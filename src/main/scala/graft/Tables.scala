@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * All reads go through here so scan-level options (nanosecond timestamp
+  * handling, schema strictness) are applied uniformly.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from an sf directory, e.g. `Tables(spark, dir, "lineitem")`.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; we read it as a nanosecond Long (legacy conf) and convert to a
+    * microsecond timestamp (the test data is µs-aligned, so lossless).
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      // integer div truncates like DuckDB's TIMESTAMP_NS→TIMESTAMP read;
+      // float division would round half-µs values the other way.
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+}

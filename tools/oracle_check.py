@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle compare.
+
+Usage: oracle_check.py <sfDir> <verifyOutDir>
+
+For each query in <verifyOutDir>/oracle_sql.json: run the SQL in DuckDB with
+tables registered as views over <sfDir>/*.parquet, load the Spark result
+parquet, sort columns by name, and compare row counts, dtypes, and values.
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            want = canon(con.sql(sql).df())
+            got = canon(pd.read_parquet(f"{out_dir}/{name}"))
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if list(want.columns) != list(got.columns):
+            print(f"FAIL {name}: columns want={list(want.columns)} "
+                  f"got={list(got.columns)}")
+            n_fail += 1
+            continue
+        if len(want) != len(got):
+            print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
+            n_fail += 1
+            continue
+        # value compare, column by column, with a readable first-diff report
+        bad = None
+        for c in want.columns:
+            w, g = want[c], got[c]
+            try:
+                eq = (w.astype(str) == g.astype(str))
+            except Exception:  # noqa: BLE001
+                eq = pd.Series([False] * len(w))
+            if not eq.all():
+                i = int((~eq).idxmax())
+                bad = (c, i, w.iloc[i], g.iloc[i])
+                break
+        if bad:
+            c, i, wv, gv = bad
+            print(f"FAIL {name}: col={c} row={i} want={wv!r} got={gv!r}")
+            n_fail += 1
+        else:
+            print(f"ok   {name} ({len(want)} rows)")
+    return n_fail
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
