@@ -1,0 +1,111 @@
+package graft.codec
+
+import graft.functions.Bytes
+
+/** Erigon account-value "fieldset" blob codec (P1, erigon_extract.c:199-260)
+  * and the storage changeset value padding rule (P2, erigon_extract.c:320-349).
+  *
+  * Layout: 1 fieldset byte, then for each set bit in order
+  * (1=nonce, 2=balance, 4=incarnation, 8=codeHash) a length byte followed by
+  * the big-endian value bytes. Upper fieldset bits must be zero; codeHash
+  * length must be exactly 32; short numbers zero-extend.
+  */
+object AccountBlob {
+
+  final case class Decoded(nonce: Long, balance: Array[Byte],
+                           incarnation: Long, codeHash: Array[Byte])
+
+  /** Strict decode — throws on malformed input, matching the reference's
+    * abort-on-invalid behavior (erigon_extract.c:257-260 and the goto
+    * err_decoding paths).
+    */
+  def decode(blob: Array[Byte]): Decoded = {
+    var pos = 0
+    def fail(msg: String) =
+      throw new IllegalArgumentException(
+        s"Error decoding account: $msg (blob=${Bytes.hex(blob)})")
+    val fieldset = if (blob.length >= 1) { pos = 1; blob(0) & 0xff } else 0
+
+    var nonce = 0L
+    var incarnation = 0L
+    val balance = new Array[Byte](32)
+    val codeHash = new Array[Byte](32)
+
+    def readLen(maxLen: Int): Int = {
+      if (pos >= blob.length) fail("truncated length")
+      val len = blob(pos) & 0xff; pos += 1
+      if (pos + len > blob.length || len > maxLen) fail(s"bad length $len")
+      len
+    }
+    if ((fieldset & 1) != 0) {
+      val len = readLen(8)
+      nonce = Bytes.get64beLen(blob, pos, len); pos += len
+    }
+    if ((fieldset & 2) != 0) {
+      val len = readLen(32)
+      if (len > 0) System.arraycopy(blob, pos, balance, 32 - len, len)
+      pos += len
+    }
+    if ((fieldset & 4) != 0) {
+      val len = readLen(8)
+      incarnation = Bytes.get64beLen(blob, pos, len); pos += len
+    }
+    if ((fieldset & 8) != 0) {
+      val len = readLen(32)
+      if (len != 32) fail(s"codeHash length $len != 32")
+      System.arraycopy(blob, pos, codeHash, 0, 32)
+      pos += len
+    }
+    if ((fieldset & 0xf0) != 0) fail(f"fieldset upper bits set: $fieldset%02x")
+    if (pos != blob.length) fail(s"trailing bytes: $pos != ${blob.length}")
+    Decoded(nonce, balance, incarnation, codeHash)
+  }
+
+  /** Inverse of [[decode]]: minimal-length field encoding, fields included
+    * iff non-zero (Erigon's own convention).
+    */
+  def encode(nonce: Long, balance: Array[Byte], incarnation: Long,
+             codeHash: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(80)
+    var fieldset = 0
+    def u64bytes(v: Long): Array[Byte] = {
+      val b = new Array[Byte](8); Bytes.put64be(b, 0, v)
+      java.util.Arrays.copyOfRange(b, 8 - sig(b), 8)
+    }
+    def sig(b: Array[Byte]): Int = Bytes.significantBytes(b)
+    out.write(0) // fieldset placeholder
+    if (nonce != 0) {
+      fieldset |= 1; val b = u64bytes(nonce); out.write(b.length); out.write(b)
+    }
+    if (!Bytes.isZero(balance)) {
+      fieldset |= 2
+      val n = sig(balance)
+      out.write(n)
+      out.write(balance, 32 - n, n)
+    }
+    if (incarnation != 0) {
+      fieldset |= 4
+      val b = u64bytes(incarnation); out.write(b.length); out.write(b)
+    }
+    if (!Bytes.isZero(codeHash)) {
+      fieldset |= 8; out.write(32); out.write(codeHash)
+    }
+    val arr = out.toByteArray
+    arr(0) = fieldset.toByte
+    arr
+  }
+
+  /** Storage changeset/plain-state value padding: stored trimmed of leading
+    * zeros, decoded by left-zero-padding to 32 bytes
+    * (erigon_extract.c:335-339).
+    */
+  def padValue32(trimmed: Array[Byte]): Array[Byte] = {
+    require(trimmed.length <= 32, s"storage value too long: ${trimmed.length}")
+    val out = new Array[Byte](32)
+    System.arraycopy(trimmed, 0, out, 32 - trimmed.length, trimmed.length)
+    out
+  }
+
+  def trimValue(full: Array[Byte]): Array[Byte] =
+    java.util.Arrays.copyOfRange(full, 32 - Bytes.significantBytes(full), 32)
+}

@@ -1,0 +1,550 @@
+package graft.codec
+
+import graft.functions.Bytes._
+import graft.model.StateItem
+
+/** Growable byte buffer supporting the writer's page-boundary rewind
+  * (the reference rewinds with fseeko, erigon_extract.c:802-822).
+  */
+final class ByteBuf(initial: Int = 1 << 16) {
+  private var buf = new Array[Byte](initial)
+  private var len = 0
+
+  def size: Int = len
+
+  private def ensure(n: Int): Unit =
+    if (len + n > buf.length) {
+      var cap = buf.length
+      while (cap < len + n) cap <<= 1
+      buf = java.util.Arrays.copyOf(buf, cap)
+    }
+
+  def putByte(b: Int): Unit = { ensure(1); buf(len) = b.toByte; len += 1 }
+
+  def putBytes(b: Array[Byte], off: Int, n: Int): Unit = {
+    ensure(n); System.arraycopy(b, off, buf, len, n); len += n
+  }
+
+  def putBytes(b: Array[Byte]): Unit = putBytes(b, 0, b.length)
+
+  def truncate(n: Int): Unit = { require(n <= len); len = n }
+
+  def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+}
+
+/** Opcode space of the stream format (erigon_extract.c:116-122). */
+object Opcodes {
+  val PagePadding = 0   // single value
+  val BlockNumber = 1   // range 1..8 (1..8-byte big-endian block)
+  val Address = 9       // single value
+  val Account = 10      // range 10..73 (6 flag bits)
+  val Storage = 74      // range 74..249
+  val Incarnation = 250 // single value
+  val BlockInline = 251 // range 251..255 (delta 0..4)
+}
+
+/** Streaming encoder for the reference's opcode-tagged state format.
+  *
+  * Faithful re-expression of `Writer`/`write_account`/`write_storage`
+  * (erigon_extract.c:525-534, 824-1269). Cross-row compression state
+  * (block, address, nonce, incarnations, balance, codeHash, slot) is carried
+  * between emits; `strategy` selects the prediction model (§2.9 of SURVEY.md):
+  * 0 = absolute block-major, 1 = delta address-major ("transposed"),
+  * 2/3 = codec variants with no production caller in the reference.
+  *
+  * With `pageShift` > 0, an entry crossing a 2^pageShift boundary is rewound,
+  * the gap padded with PAGE_PADDING, state reset, and the entry re-emitted —
+  * making every page independently decodable (erigon_extract.c:802-822),
+  * which is what lets a Spark source split this format.
+  *
+  * Note: the reference's strategy-2 writer emits a nonce layout its own
+  * reader does not decode (erigon_extract.c:958-965 vs 1040-1045); we
+  * reproduce the writer faithfully, so round-trip tests cover 0, 1, 3 only.
+  */
+final class StateWriter(val strategy: Int, val pageShift: Int = 0) {
+  val buf = new ByteBuf()
+  var countAccounts = 0L
+  var countStorageSlots = 0L
+
+  // cross-row compression state (erigon_extract.c:551-561)
+  private var block = 0L
+  private var nonce = 0L
+  private var accountIncarnation = 0L
+  private var storageIncarnation = 0L
+  private val address = new Array[Byte](20)
+  private val balance = new Array[Byte](32)
+  private val codeHash = new Array[Byte](32)
+  private val storageSlot = new Array[Byte](32)
+  private val zero32 = new Array[Byte](32)
+
+  private def stateInit(): Unit = {
+    block = 0; nonce = 0; accountIncarnation = 0; storageIncarnation = 0
+    java.util.Arrays.fill(address, 0.toByte)
+    java.util.Arrays.fill(balance, 0.toByte)
+    java.util.Arrays.fill(codeHash, 0.toByte)
+    java.util.Arrays.fill(storageSlot, 0.toByte)
+  }
+
+  /** Varint: all-zero → 0x00; single byte < 224 → itself; else prefix
+    * 223+len then the significant bytes (erigon_extract.c:596-613).
+    */
+  private def writeNumber(bytes: Array[Byte]): Unit = {
+    val len = bytes.length
+    var i = 0
+    while (i < len && bytes(i) == 0) i += 1
+    if (i == len) buf.putByte(0)
+    else if (i + 1 == len && (bytes(i) & 0xff) < 224) buf.putByte(bytes(i))
+    else {
+      buf.putByte((len - i) + 223)
+      buf.putBytes(bytes, i, len - i)
+    }
+  }
+
+  private def writeU64(v: Long): Unit = {
+    val b = new Array[Byte](8); put64be(b, 0, v); writeNumber(b)
+  }
+
+  /** Block prefix opcode: skipped when unchanged; delta under strategy ≥ 1
+    * with a 1-byte inline form for deltas ≤ 4 (erigon_extract.c:690-714).
+    */
+  private def writeBlockNumber(blk: Long): Unit = {
+    if (blk == block) return
+    val d = if (strategy == 0) blk else blk - block
+    block = blk
+    val bytes = new Array[Byte](8)
+    put64be(bytes, 0, d)
+    var i = 0
+    while (i < 7 && bytes(i) == 0) i += 1
+    if (i == 7 && (bytes(7) & 0xff) <= 4 && strategy >= 1)
+      buf.putByte(Opcodes.BlockInline + bytes(7))
+    else {
+      buf.putByte(Opcodes.BlockNumber + (7 - i))
+      buf.putBytes(bytes, i, 8 - i)
+    }
+  }
+
+  /** Address prefix opcode: emitted only on change; resets per-address
+    * compression state (erigon_extract.c:737-774).
+    */
+  private def writeAddress(addr: Array[Byte]): Unit = {
+    if (java.util.Arrays.equals(addr, address)) return
+    buf.putByte(Opcodes.Address)
+    buf.putBytes(addr, 0, 20)
+    System.arraycopy(addr, 0, address, 0, 20)
+    accountIncarnation = 0
+    storageIncarnation = 0
+    if (strategy >= 1) {
+      block = 0; nonce = 0
+      java.util.Arrays.fill(balance, 0.toByte)
+      java.util.Arrays.fill(codeHash, 0.toByte)
+    }
+  }
+
+  /** Strategy 0 orders block-major; ≥ 1 writes address first so every block
+    * delta (including the first per address) is meaningful
+    * (erigon_extract.c:789-800).
+    */
+  private def writeBlockAndAddress(item: StateItem): Unit =
+    if (strategy == 0) { writeBlockNumber(item.block); writeAddress(item.address) }
+    else { writeAddress(item.address); writeBlockNumber(item.block) }
+
+  /** Page-restart: if the entry starting at `entryStart` crossed a page
+    * boundary, rewind, pad, reset state; caller re-emits
+    * (erigon_extract.c:802-822).
+    */
+  private def checkPageBoundary(entryStart: Int): Boolean = {
+    if (pageShift == 0) return false
+    if (((entryStart ^ buf.size) >> pageShift) == 0) return false
+    buf.truncate(entryStart)
+    val mask = (1 << pageShift) - 1
+    while ((buf.size & mask) != 0) buf.putByte(Opcodes.PagePadding)
+    stateInit()
+    true
+  }
+
+  def write(item: StateItem): Unit =
+    if (item.isStorage) writeStorage(item) else writeAccount(item)
+
+  /** Account codec: 6 flag bits (balance-present, codeHash-present, 2-bit
+    * nonce inline, 2-bit/1-bit incarnation), strategy-dependent deltas,
+    * rare incarnation escape via CODE_INCARNATION
+    * (erigon_extract.c:824-1120).
+    */
+  def writeAccount(item: StateItem): Unit = {
+    countAccounts += 1
+    var again = true
+    while (again) {
+      again = false
+      val entryStart = buf.size
+      writeBlockAndAddress(item)
+      var flags = 0
+
+      val isZeroCodeHash = isZero(item.codeHash) ||
+        java.util.Arrays.equals(item.codeHash, StateItem.EmptyCodeHash)
+      val encodedCodeHash = if (isZeroCodeHash) zero32 else item.codeHash
+      // "These don't occur" — invariant, abort in the reference
+      // (erigon_extract.c:840-845).
+      require(isZeroCodeHash || item.incarnation != 0,
+        "Account with non-zero codeHash and zero incarnation")
+
+      var encodedNonce = 0L
+      var encodedIncarnation = 0L
+      if (strategy == 0) {
+        encodedNonce = item.nonce
+        encodedIncarnation = item.incarnation
+      } else {
+        encodedNonce = item.nonce - nonce
+        encodedIncarnation =
+          if (strategy == 3 && isZeroCodeHash) item.incarnation
+          else item.incarnation - accountIncarnation
+      }
+
+      val encodedBalance = new Array[Byte](32)
+      if (strategy == 0) {
+        System.arraycopy(item.balance, 0, encodedBalance, 0, 32)
+      } else {
+        deltaMinusOne(encodedBalance, item.balance, balance)
+        if ((encodedBalance(0) & 0xff) >= 0x80) {
+          invert(encodedBalance)
+          flags |= 1 << 5
+        }
+      }
+      if (!isZero(encodedBalance)) flags |= 1 << 0
+
+      if (strategy == 0) {
+        if (!isZeroCodeHash) flags |= 1 << 1
+      } else if (!java.util.Arrays.equals(codeHash, encodedCodeHash)) {
+        flags |= 1 << 1
+      }
+
+      if (strategy == 2) {
+        // The reference's balance-zero branch compares an array pointer to 0
+        // and is therefore dead (erigon_extract.c:959-962); only the nonce
+        // bit is live.
+        if (encodedNonce != 0) flags |= 1 << 2
+      } else {
+        if (java.lang.Long.compareUnsigned(encodedNonce, 3) >= 0) flags |= 3 << 2
+        else flags |= encodedNonce.toInt << 2
+      }
+
+      if (strategy == 0) {
+        if (java.lang.Long.compareUnsigned(encodedIncarnation, 3) >= 0)
+          flags |= 3 << 4
+        else flags |= encodedIncarnation.toInt << 4
+      } else {
+        // encoded incarnation is 0 in 99.865% of entries, 1 in 0.135%, ≥2
+        // essentially never (erigon_extract.c:980-996) — 1 is inlined, the
+        // rest escape through CODE_INCARNATION before the account opcode.
+        if (encodedIncarnation == 1) flags |= 1 << 4
+        else if (encodedIncarnation != 0) {
+          buf.putByte(Opcodes.Incarnation)
+          writeU64(encodedIncarnation)
+        }
+      }
+
+      buf.putByte(Opcodes.Account + flags)
+      if ((flags & (1 << 0)) != 0) writeNumber(encodedBalance)
+      if ((flags & (1 << 1)) != 0) buf.putBytes(encodedCodeHash, 0, 32)
+      if (strategy == 2) {
+        if ((flags & (1 << 2)) != 0) writeU64(encodedNonce)
+      } else if ((flags & (3 << 2)) == (3 << 2)) writeU64(encodedNonce)
+      if (strategy == 0 && (flags & (3 << 4)) == (3 << 4))
+        writeU64(encodedIncarnation)
+
+      nonce = item.nonce
+      accountIncarnation = item.incarnation
+      storageIncarnation = item.incarnation
+      System.arraycopy(item.balance, 0, balance, 0, 32)
+      System.arraycopy(item.codeHash, 0, codeHash, 0, 32)
+
+      if (checkPageBoundary(entryStart)) again = true
+    }
+  }
+
+  /** Storage codec: 3-bit value inline (6=varint, 7=inverted varint),
+    * absolute-vs-delta slot choice (whichever is shorter,
+    * erigon_extract.c:1195-1218), 4-bit slot inline (9=varint, 10=raw)
+    * (erigon_extract.c:1122-1269).
+    */
+  def writeStorage(item: StateItem): Unit = {
+    countStorageSlots += 1
+    require(item.incarnation > 0,
+      "Storage with zero or negative incarnation") // erigon_extract.c:1130-1136
+    var again = true
+    while (again) {
+      again = false
+      val entryStart = buf.size
+      writeBlockAndAddress(item)
+      var flags = 0
+
+      // storage incarnation must be ≥ 1, so a zero base acts as 1
+      // (erigon_extract.c:1138-1145)
+      var baseIncarnation = storageIncarnation
+      if (baseIncarnation == 0) baseIncarnation = 1
+      if (item.incarnation != baseIncarnation) {
+        val enc = item.incarnation - baseIncarnation
+        storageIncarnation = item.incarnation
+        buf.putByte(Opcodes.Incarnation)
+        writeU64(enc)
+      }
+
+      val isNewSlot = !java.util.Arrays.equals(item.slot, storageSlot)
+      val deltaSlot = new Array[Byte](32)
+      deltaMinusOne(deltaSlot, item.slot, storageSlot)
+
+      // varint cost of absolute vs delta slot, incl. the prefix byte
+      var slotBytes = significantBytes(item.slot)
+      var deltaBytes = significantBytes(deltaSlot)
+      if (slotBytes != 1 || (item.slot(31) & 0xff) >= 224) slotBytes += 1
+      if (deltaBytes != 1 || (deltaSlot(31) & 0xff) >= 224) deltaBytes += 1
+
+      var encodedSlot = item.slot
+      if (deltaBytes < slotBytes) {
+        encodedSlot = deltaSlot
+        slotBytes = deltaBytes
+        flags |= 1 << 3
+      }
+
+      if (slotBytes == 1 && (encodedSlot(31) & 0xff) < 9)
+        flags |= (encodedSlot(31) & 0xff) << 4
+      else if (slotBytes < 33) flags |= 9 << 4
+      else flags |= 10 << 4
+
+      val encodedValue = java.util.Arrays.copyOf(item.value, 32)
+      if ((encodedValue(0) & 0xff) <= 0x7f) {
+        val valueBytes = significantBytes(encodedValue)
+        if (valueBytes <= 1 && (encodedValue(31) & 0xff) < 6)
+          flags |= encodedValue(31) & 0xff
+        else flags |= 6
+      } else {
+        invert(encodedValue)
+        flags |= 7
+      }
+
+      buf.putByte(Opcodes.Storage + flags)
+      if ((flags >> 4) == 9) writeNumber(encodedSlot)
+      else if ((flags >> 4) == 10) buf.putBytes(encodedSlot, 0, 32)
+      if ((flags & 7) >= 6) writeNumber(encodedValue)
+
+      if (strategy >= 3 && isNewSlot) block = 0
+
+      if (checkPageBoundary(entryStart)) again = true
+    }
+  }
+
+  def toArray: Array[Byte] = buf.toArray
+}
+
+/** Streaming decoder — inverse of [[StateWriter]], mirroring
+  * `Reader`/`read_item` (erigon_extract.c:536-549, 1340-1428). A
+  * PAGE_PADDING opcode resets all state, so decoding may start at any page
+  * boundary — the property that makes the format splittable.
+  */
+final class StateReader(val strategy: Int, data: Array[Byte],
+                        start: Int = 0) extends Iterator[StateItem] {
+  private var pos = start
+  private var block = 0L
+  private var nonce = 0L
+  private var accountIncarnation = 0L
+  private var storageIncarnation = 0L
+  private var bytecodeIncarnation = 0L
+  private val address = new Array[Byte](20)
+  private val balance = new Array[Byte](32)
+  private val codeHash = new Array[Byte](32)
+  private val storageSlot = new Array[Byte](32)
+
+  private var fetched = false
+  private var nextItem: StateItem = _
+
+  private def stateInit(): Unit = {
+    block = 0; nonce = 0; accountIncarnation = 0; storageIncarnation = 0
+    bytecodeIncarnation = 0
+    java.util.Arrays.fill(address, 0.toByte)
+    java.util.Arrays.fill(balance, 0.toByte)
+    java.util.Arrays.fill(codeHash, 0.toByte)
+    java.util.Arrays.fill(storageSlot, 0.toByte)
+  }
+
+  private def readByte(): Int = { val b = data(pos) & 0xff; pos += 1; b }
+
+  private def readNumber(out: Array[Byte]): Unit = {
+    val len = out.length
+    val b = readByte()
+    if (b < 224) {
+      java.util.Arrays.fill(out, 0.toByte)
+      out(len - 1) = b.toByte
+    } else {
+      val n = b - 223
+      java.util.Arrays.fill(out, 0.toByte)
+      var i = len - n
+      while (i < len) { out(i) = data(pos).toByte; pos += 1; i += 1 }
+    }
+  }
+
+  private def readU64(): Long = {
+    val b = new Array[Byte](8); readNumber(b); get64be(b, 0)
+  }
+
+  private def readBlockNumber(b: Int): Long = {
+    var encoded = 0L
+    if (b >= Opcodes.BlockInline) encoded = b - Opcodes.BlockInline
+    else {
+      val len = b - Opcodes.BlockNumber + 1
+      var i = 0
+      while (i < len) { encoded = (encoded << 8) | readByte(); i += 1 }
+    }
+    if (strategy != 0) encoded += block
+    encoded
+  }
+
+  private def readAddress(): Unit = {
+    System.arraycopy(data, pos, address, 0, 20); pos += 20
+    accountIncarnation = 0
+    storageIncarnation = 0
+    if (strategy >= 1) {
+      block = 0; nonce = 0
+      java.util.Arrays.fill(balance, 0.toByte)
+      java.util.Arrays.fill(codeHash, 0.toByte)
+    }
+  }
+
+  private def readAccount(b: Int): StateItem = {
+    val flags = b - Opcodes.Account
+    val outBalance = new Array[Byte](32)
+    val encodedBalance = new Array[Byte](32)
+    if ((flags & (1 << 0)) != 0) readNumber(encodedBalance)
+    if (strategy == 0) System.arraycopy(encodedBalance, 0, outBalance, 0, 32)
+    else {
+      if ((flags & (1 << 5)) != 0) invert(encodedBalance)
+      sumPlusOne(outBalance, encodedBalance, balance)
+    }
+
+    val outCodeHash = new Array[Byte](32)
+    if ((flags & (1 << 1)) != 0) {
+      System.arraycopy(data, pos, outCodeHash, 0, 32); pos += 32
+    } else if (strategy != 0) {
+      System.arraycopy(codeHash, 0, outCodeHash, 0, 32)
+    }
+
+    val encodedNonce =
+      if ((flags & (3 << 2)) != (3 << 2)) ((flags >> 2) & 3).toLong
+      else readU64()
+
+    val encodedIncarnation =
+      if (strategy == 0) {
+        if ((flags & (3 << 4)) != (3 << 4)) ((flags >> 4) & 3).toLong
+        else readU64()
+      } else {
+        if ((flags & (1 << 4)) != 0) 1L else bytecodeIncarnation
+      }
+
+    val (outNonce, outIncarnation) =
+      if (strategy == 0) (encodedNonce, encodedIncarnation)
+      else (encodedNonce + nonce, encodedIncarnation + accountIncarnation)
+
+    nonce = outNonce
+    accountIncarnation = outIncarnation
+    storageIncarnation = outIncarnation
+    System.arraycopy(outBalance, 0, balance, 0, 32)
+    System.arraycopy(outCodeHash, 0, codeHash, 0, 32)
+
+    StateItem.account(address.clone(), block, outNonce, outIncarnation,
+      outBalance, outCodeHash)
+  }
+
+  private def readStorage(b: Int): StateItem = {
+    val flags = b - Opcodes.Storage
+    var outIncarnation = storageIncarnation
+    if (outIncarnation == 0) outIncarnation = 1
+    if (bytecodeIncarnation != 0) outIncarnation += bytecodeIncarnation
+
+    val encodedSlot = new Array[Byte](32)
+    if ((flags >> 4) < 9) encodedSlot(31) = ((flags >> 4) & 0xf).toByte
+    else if ((flags >> 4) == 9) readNumber(encodedSlot)
+    else { System.arraycopy(data, pos, encodedSlot, 0, 32); pos += 32 }
+
+    val outSlot = new Array[Byte](32)
+    if ((flags & (1 << 3)) != 0) sumPlusOne(outSlot, encodedSlot, storageSlot)
+    else System.arraycopy(encodedSlot, 0, outSlot, 0, 32)
+
+    val outValue = new Array[Byte](32)
+    if ((flags & 7) < 6) outValue(31) = (flags & 7).toByte
+    else {
+      readNumber(outValue)
+      if ((flags & (1 << 0)) != 0) invert(outValue)
+    }
+
+    // NB the reference computes is_new_slot AFTER sum() has already updated
+    // the accumulator, so in the delta-encoded case it is always false —
+    // reproduced as-is (only affects unused strategy ≥ 3;
+    // erigon_extract.c:1322-1327).
+    val isNewSlot = !java.util.Arrays.equals(outSlot, storageSlot)
+    storageIncarnation = outIncarnation
+    if (strategy >= 3 && isNewSlot) block = 0
+    System.arraycopy(outSlot, 0, storageSlot, 0, 32)
+
+    StateItem.storage(address.clone(), block, outIncarnation, outSlot,
+      outValue)
+  }
+
+  private def advance(): Unit = {
+    bytecodeIncarnation = 0
+    var firstTime = true
+    nextItem = null
+    while (true) {
+      if (pos >= data.length) {
+        if (!firstTime)
+          throw new IllegalArgumentException(
+            s"Invalid stream: EOF before next item at offset $pos")
+        return
+      }
+      val b = readByte()
+      firstTime = false
+      if (b == Opcodes.PagePadding) stateInit()
+      else if (b <= Opcodes.BlockNumber + 7) block = readBlockNumber(b)
+      else if (b == Opcodes.Address) readAddress()
+      else if (b <= Opcodes.Account + 63) { nextItem = readAccount(b); return }
+      else if (b <= Opcodes.Storage + 175) { nextItem = readStorage(b); return }
+      else if (b == Opcodes.Incarnation) bytecodeIncarnation = readU64()
+      else block = readBlockNumber(b) // 251..255 inline
+    }
+  }
+
+  override def hasNext: Boolean = {
+    if (!fetched) { advance(); fetched = true }
+    nextItem != null
+  }
+
+  override def next(): StateItem = {
+    if (!hasNext) throw new NoSuchElementException
+    fetched = false
+    nextItem
+  }
+}
+
+/** 256-byte file header (erigon_extract.c:2266-2288). Little-endian u64
+  * words ("simple native-endian array" on the author's x86 box). The
+  * reference assigns words[6] twice so the storage count overwrites the
+  * account count and words[7] stays zero — reproduced byte-for-byte, with
+  * the account count additionally exposed in our manifest instead.
+  */
+object Header {
+  val Magic = 202202111L
+  val Size = 256
+
+  def build(endOfStates: Long, pageShift: Int, blockStart: Long,
+            blockEnd: Long, countStorageSlots: Long): Array[Byte] = {
+    val words = new Array[Long](32)
+    words(0) = Magic
+    words(1) = endOfStates
+    words(2) = 256
+    words(3) = pageShift.toLong
+    words(4) = blockStart
+    words(5) = blockEnd
+    words(6) = countStorageSlots // reference bug: overwrites account count
+    val bb = java.nio.ByteBuffer.allocate(Size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    words.foreach(bb.putLong)
+    bb.array()
+  }
+}

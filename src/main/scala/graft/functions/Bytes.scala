@@ -1,0 +1,92 @@
+package graft.functions
+
+/** Byte/number kernels mirroring the reference's codec primitives
+  * (erigon_extract.c:131-163, 665-688). All operate on big-endian
+  * fixed-width unsigned byte arrays.
+  */
+object Bytes {
+
+  /** Big-endian u64 from 8 bytes (erigon_extract.c:131-143). */
+  def get64be(b: Array[Byte], off: Int): Long = {
+    var r = 0L
+    var i = 0
+    while (i < 8) { r = (r << 8) | (b(off + i) & 0xffL); i += 1 }
+    r
+  }
+
+  /** Big-endian u64 from up to `len` bytes, zero-extending short reads
+    * (erigon_extract.c:157-163).
+    */
+  def get64beLen(b: Array[Byte], off: Int, len: Int): Long = {
+    var r = 0L
+    var i = 0
+    while (i < 8 && i < len) { r = (r << 8) | (b(off + i) & 0xffL); i += 1 }
+    r
+  }
+
+  /** Write u64 as 8 big-endian bytes (erigon_extract.c:145-155). */
+  def put64be(b: Array[Byte], off: Int, v: Long): Unit = {
+    var i = 0
+    while (i < 8) { b(off + i) = (v >>> (56 - 8 * i)).toByte; i += 1 }
+  }
+
+  /** 256-bit big-endian subtraction with an intentional extra borrow of 1:
+    * out = in − acc − 1 (mod 2^(8·len)), and acc ← in
+    * (the "delta-minus-one" coding, erigon_extract.c:665-673).
+    */
+  def deltaMinusOne(out: Array[Byte], in: Array[Byte],
+                    acc: Array[Byte]): Unit = {
+    var borrow = 1
+    var i = out.length - 1
+    while (i >= 0) {
+      val d = (in(i) & 0xff) - (acc(i) & 0xff) - borrow
+      acc(i) = in(i)
+      borrow = if (d < 0) 1 else 0
+      out(i) = d.toByte
+      i -= 1
+    }
+  }
+
+  /** Inverse of [[deltaMinusOne]]: out = in + acc + 1, and acc ← out
+    * (erigon_extract.c:675-682).
+    */
+  def sumPlusOne(out: Array[Byte], in: Array[Byte],
+                 acc: Array[Byte]): Unit = {
+    var carry = 1
+    var i = out.length - 1
+    while (i >= 0) {
+      val s = (in(i) & 0xff) + (acc(i) & 0xff) + carry
+      carry = if (s >= 256) 1 else 0
+      out(i) = s.toByte
+      acc(i) = s.toByte
+      i -= 1
+    }
+  }
+
+  /** In-place bitwise NOT (erigon_extract.c:684-688). */
+  def invert(b: Array[Byte]): Unit = {
+    var i = 0
+    while (i < b.length) { b(i) = (~b(i)).toByte; i += 1 }
+  }
+
+  def isZero(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < b.length) { if (b(i) != 0) return false; i += 1 }
+    true
+  }
+
+  /** Count of significant bytes from the first non-zero byte to the end
+    * (0 for an all-zero array) — the reference's trailing-loop idiom
+    * (erigon_extract.c:1199-1205).
+    */
+  def significantBytes(b: Array[Byte]): Int = {
+    var n = b.length
+    while (n > 0 && b(b.length - n) == 0) n -= 1
+    n
+  }
+
+  def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+
+  def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+}

@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.codec.AccountBlob
+import graft.functions.Bytes
+import graft.model.StateItem
+
+/** Deterministic synthetic Ethereum-shaped fixtures mirroring the
+  * reference's input tables (FIXTURES.md §A; table layouts per
+  * erigon_extract.c:1561-1576, 1703-1726, 266-291).
+  *
+  * A small chain simulation produces mutually consistent
+  * AccountChangeSet / StorageChangeSet / PlainState / PlainCodeHash tables
+  * plus an independent "state after block N" oracle for as-of query checks.
+  * Account blobs deliberately omit the code hash (fieldset bit 8 unset),
+  * as Erigon's do, so the J1 PlainCodeHash lookup join is genuinely
+  * exercised.
+  */
+object Fixtures {
+
+  final case class AccountChangesetRow(block: Long, address: Array[Byte],
+                                       account_blob: Array[Byte])
+  final case class StorageChangesetRow(block: Long, address: Array[Byte],
+                                       incarnation: Long, slot: Array[Byte],
+                                       value: Array[Byte])
+  final case class CodeHashRow(address: Array[Byte], incarnation: Long,
+                               code_hash: Array[Byte])
+  final case class PlainAccountRow(address: Array[Byte],
+                                   account_blob: Array[Byte])
+  final case class PlainStorageRow(address: Array[Byte], incarnation: Long,
+                                   slot: Array[Byte], value: Array[Byte])
+
+  /** Oracle record: state AFTER executing `block`. */
+  final case class AccountAfter(addressHex: String, block: Long, nonce: Long,
+                                incarnation: Long, balance: Long,
+                                codeHashHex: String)
+  final case class StorageAfter(addressHex: String, slotHex: String,
+                                block: Long, incarnation: Long, value: Long)
+
+  final case class World(
+      accountChangeset: DataFrame,
+      storageChangeset: DataFrame,
+      plainCodeHash: DataFrame,
+      plainStateAccounts: DataFrame,
+      plainStateStorage: DataFrame,
+      latestBlock: Long,
+      accountOracle: Seq[AccountAfter],
+      storageOracle: Seq[StorageAfter])
+
+  private def be32(v: Long): Array[Byte] = {
+    val b = new Array[Byte](32); Bytes.put64be(b, 24, v); b
+  }
+
+  def generate(spark: SparkSession, nAddresses: Int = 30,
+               nBlocks: Int = 200, seed: Long = 42L): World = {
+    val rnd = new scala.util.Random(seed)
+    val addrs = (0 until nAddresses).map { _ =>
+      val a = new Array[Byte](20); rnd.nextBytes(a); a
+    }
+    // contract accounts (incarnation 1, fixed code hash) vs EOAs
+    val isContract = addrs.indices.map(i => i % 3 == 0)
+    val codeHashes = addrs.indices.map { i =>
+      val h = new Array[Byte](32); rnd.nextBytes(h); h
+    }
+    val slotPool = (0 until 8).map { i =>
+      val s = new Array[Byte](32); rnd.nextBytes(s); s
+    }
+
+    final case class Acc(var exists: Boolean = false, var nonce: Long = 0L,
+                         var balance: Long = 0L, var incarnation: Long = 0L)
+    val state = addrs.indices.map(_ => Acc())
+    val storage = scala.collection.mutable.Map[(Int, Int), Long]()
+
+    val accCs = Seq.newBuilder[AccountChangesetRow]
+    val stoCs = Seq.newBuilder[StorageChangesetRow]
+    val accOracle = Seq.newBuilder[AccountAfter]
+    val stoOracle = Seq.newBuilder[StorageAfter]
+
+    def blob(a: Acc): Array[Byte] =
+      if (!a.exists) Array.emptyByteArray
+      else AccountBlob.encode(a.nonce, be32(a.balance), a.incarnation,
+        StateItem.zeros(32)) // code hash omitted — resolved via J1
+
+    for (block <- 1L to nBlocks.toLong) {
+      val touched = rnd.shuffle(addrs.indices.toList)
+        .take(1 + rnd.nextInt(math.max(1, nAddresses / 4)))
+      for (i <- touched) {
+        val a = state(i)
+        // changeset entry records the PRE-state of this block
+        accCs += AccountChangesetRow(block, addrs(i), blob(a))
+        if (!a.exists) {
+          a.exists = true
+          a.incarnation = if (isContract(i)) 1L else 0L
+          a.balance = rnd.nextInt(1000000).toLong
+          a.nonce = if (isContract(i)) 1L else 0L
+        } else {
+          a.balance = math.max(0L, a.balance + rnd.nextInt(20001) - 10000)
+          if (rnd.nextBoolean()) a.nonce += 1
+        }
+        accOracle += AccountAfter(Bytes.hex(addrs(i)), block, a.nonce,
+          a.incarnation,
+          a.balance,
+          if (isContract(i)) Bytes.hex(codeHashes(i)) else "0" * 64)
+
+        if (isContract(i) && rnd.nextInt(3) > 0) {
+          val si = rnd.nextInt(slotPool.length)
+          val pre = storage.getOrElse((i, si), 0L)
+          stoCs += StorageChangesetRow(block, addrs(i), a.incarnation,
+            slotPool(si), AccountBlob.trimValue(be32(pre)))
+          // always non-zero: a zero write would vanish from PlainState
+          // (deleted slot) and leave the as-of oracle unverifiable
+          val nv = 1L + rnd.nextInt((1 << 20) - 1)
+          storage((i, si)) = nv
+          stoOracle += StorageAfter(Bytes.hex(addrs(i)),
+            Bytes.hex(slotPool(si)), block, a.incarnation, nv)
+        }
+      }
+    }
+
+    val pch = addrs.indices.collect {
+      case i if isContract(i) => CodeHashRow(addrs(i), 1L, codeHashes(i))
+    }
+    val psAcc = addrs.indices.collect {
+      case i if state(i).exists => PlainAccountRow(addrs(i), blob(state(i)))
+    }
+    val psSto = storage.toSeq.collect {
+      case ((i, si), v) if v != 0L =>
+        PlainStorageRow(addrs(i), state(i).incarnation, slotPool(si),
+          AccountBlob.trimValue(be32(v)))
+    }
+
+    import spark.implicits._
+    World(
+      accountChangeset = accCs.result().toDF(),
+      storageChangeset = stoCs.result().toDF(),
+      plainCodeHash = pch.toDF(),
+      plainStateAccounts = psAcc.toDF(),
+      plainStateStorage = psSto.toDF(),
+      latestBlock = nBlocks.toLong,
+      accountOracle = accOracle.result(),
+      storageOracle = stoOracle.result())
+  }
+}

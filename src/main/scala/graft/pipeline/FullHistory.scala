@@ -1,0 +1,188 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.codec.AccountBlob
+import graft.model.StateItem
+
+/** The reference's full-conversion dataflow (SURVEY.md §3.1) re-expressed as
+  * one declarative Spark plan:
+  *
+  *   decode changesets (P1/P2) → code-hash lookup join (J1) → union (J3)
+  *   → +1-adjusted PlainState union → range-partitioned multi-column sort
+  *   (O1/O2) → per-key LAG re-timestamping (W1) → genesis drop (F3)
+  *
+  * The reference runs this as 139 extract threads + 6 transpose threads + a
+  * single-threaded k-way merge (erigon_extract.c:2728-2746, the acknowledged
+  * bottleneck); here the whole thing is one job DAG whose exchanges Spark
+  * parallelizes, and the "merge" is a repartitionByRange sort that scales
+  * with the cluster instead of being pinned to one thread.
+  */
+object FullHistory {
+
+  private val zeros32 = lit(StateItem.zeros(32))
+
+  /** Decode account fieldset blobs (P1) as a struct-returning UDF. */
+  private val decodeAccountUdf = udf { blob: Array[Byte] =>
+    val d = AccountBlob.decode(blob)
+    (d.nonce, d.balance, d.incarnation, d.codeHash)
+  }
+
+  /** Left-zero-pad a trimmed storage value to 32 bytes (P2). */
+  private val padValueUdf = udf { v: Array[Byte] => AccountBlob.padValue32(v) }
+
+  /** J1: conditional left-outer code-hash lookup. Accounts whose decoded
+    * codeHash is zero/empty but incarnation ≠ 0 probe PlainCodeHash on
+    * (address, incarnation); NOTFOUND keeps the original hash
+    * (erigon_extract.c:262-292). PlainCodeHash is a per-contract dim table —
+    * tiny next to the changeset fact stream — so it is broadcast: the join
+    * adds no shuffle at any scale.
+    */
+  def resolveCodeHash(accounts: DataFrame, plainCodeHash: DataFrame): DataFrame = {
+    val needsLookup = col("codeHash") === zeros32 && col("incarnation") =!= 0
+    accounts
+      .join(broadcast(plainCodeHash.select(
+          col("address").as("pch_address"),
+          col("incarnation").as("pch_incarnation"),
+          col("code_hash").as("pch_code_hash"))),
+        needsLookup &&
+          col("address") === col("pch_address") &&
+          col("incarnation") === col("pch_incarnation"),
+        "left_outer")
+      .withColumn("codeHash", coalesce(col("pch_code_hash"), col("codeHash")))
+      .drop("pch_address", "pch_incarnation", "pch_code_hash")
+  }
+
+  /** Decode an account-changeset table (block, address, account_blob) into
+    * StateItem-shaped rows. Empty-code-hash is normalized to zeros before
+    * the J1 probe, matching decode_account (erigon_extract.c:294-300).
+    */
+  def decodeAccounts(changeset: DataFrame, plainCodeHash: DataFrame): DataFrame = {
+    val decoded = changeset
+      .withColumn("d", decodeAccountUdf(col("account_blob")))
+      .select(
+        col("address"), col("block"),
+        col("d._1").as("nonce"),
+        when(col("d._4") === lit(StateItem.EmptyCodeHash), zeros32)
+          .otherwise(col("d._4")).as("codeHash"),
+        col("d._2").as("balance"),
+        col("d._3").as("incarnation"))
+    resolveCodeHash(decoded, plainCodeHash)
+      .select(col("address"), col("block"), lit(false).as("isStorage"),
+        col("nonce"), col("incarnation"), col("balance"), col("codeHash"),
+        zeros32.as("slot"), zeros32.as("value"))
+  }
+
+  /** Decode a storage-changeset table (block, address, incarnation, slot,
+    * value-trimmed) into StateItem-shaped rows (P2).
+    */
+  def decodeStorage(changeset: DataFrame): DataFrame =
+    changeset.select(col("address"), col("block"),
+      lit(true).as("isStorage"), lit(0L).as("nonce"), col("incarnation"),
+      zeros32.as("balance"), zeros32.as("codeHash"), col("slot"),
+      padValueUdf(col("value")).as("value"))
+
+  /** Group key of the W1 window = compare_keys_except_block
+    * (erigon_extract.c:2102-2129): accounts group per address; storage per
+    * (address, incarnation, slot).
+    */
+  private def groupKeys: Seq[Column] = Seq(
+    col("address"), col("isStorage"),
+    when(col("isStorage"), col("incarnation")).otherwise(lit(0L)).as("gInc"),
+    when(col("isStorage"), col("slot")).otherwise(zeros32).as("gSlot"))
+
+  /** Full O1 sort key (erigon_extract.c:2131-2157). BinaryType ordering is
+    * unsigned-lexicographic = the reference's memcmp.
+    */
+  def sortKeys: Seq[Column] = groupKeys :+ col("block")
+
+  /** The merge stage (O3+W1+F3, erigon_extract.c:2290-2469) as a window over
+    * the globally sorted union. `plainState*` rows carry the post-latest
+    * state and get `latestBlock + 1` (the comparison-order adjustment at
+    * erigon_extract.c:2373-2387).
+    *
+    * `shufflePartitions` sizes the range partitioner; at 100 TB this is the
+    * knob that keeps each sorted partition within executor memory.
+    */
+  def build(spark: SparkSession,
+            accountChangeset: DataFrame,
+            storageChangeset: DataFrame,
+            plainCodeHash: DataFrame,
+            plainStateAccounts: DataFrame,
+            plainStateStorage: DataFrame,
+            latestBlock: Long,
+            shufflePartitions: Int = 0): DataFrame = {
+
+    val accounts = decodeAccounts(accountChangeset, plainCodeHash)
+    val storage = decodeStorage(storageChangeset)
+
+    val psAccounts = decodeAccounts(
+      plainStateAccounts.withColumn("block", lit(latestBlock + 1L)),
+      plainCodeHash)
+    val psStorage = decodeStorage(
+      plainStateStorage.withColumn("block", lit(latestBlock + 1L)))
+
+    // J3 + O3: the reference's cursor interleave and k-way file merge are
+    // both just "sorted union" relationally; one exchange covers both.
+    val unioned = accounts.unionByName(storage)
+      .unionByName(psAccounts).unionByName(psStorage)
+
+    val n = if (shufflePartitions > 0) shufflePartitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    // ONE range exchange serves three consumers: it ranges on the GROUP key
+    // (not the full sort key) so each W1 group lands wholly in one
+    // partition — RangePartitioning(groupKeys) satisfies the window's
+    // ClusteredDistribution(groupKeys), so the window adds no second
+    // exchange — while sortWithinPartitions on the full O1 key makes the
+    // output globally sorted AND satisfies the window's required ordering.
+    val keyed = unioned
+      .withColumn("gInc",
+        when(col("isStorage"), col("incarnation")).otherwise(lit(0L)))
+      .withColumn("gSlot",
+        when(col("isStorage"), col("slot")).otherwise(zeros32))
+    val gKeys = Seq(col("address"), col("isStorage"), col("gInc"),
+      col("gSlot"))
+    val sorted = keyed
+      .repartitionByRange(n, gKeys: _*)
+      .sortWithinPartitions((gKeys :+ col("block")): _*)
+
+    val w = Window.partitionBy(gKeys: _*).orderBy(col("block"))
+    sorted
+      .withColumn("valid_from_block", lag(col("block"), 1, 0L).over(w))
+      // F3: genesis entries (first-in-group AND original block 0) are
+      // dropped (erigon_extract.c:2422-2425)
+      .filter(!(col("valid_from_block") === 0L && col("block") === 0L))
+      .select(col("address"), col("isStorage"), col("incarnation"),
+        col("slot"), col("valid_from_block"), col("nonce"), col("balance"),
+        col("codeHash"), col("value"))
+  }
+
+  /** Duplicate-full-key detection — the reference aborts on the first
+    * duplicate (erigon_extract.c:2153-2155); we surface all of them so the
+    * caller can assert emptiness or report.
+    */
+  def duplicateKeys(unioned: DataFrame): DataFrame =
+    unioned.groupBy(sortKeys: _*).count().filter(col("count") > 1)
+
+  /** The reference's flagship read path: state of `address` as of `block`
+    * — an O(log N) page lookup there (README.md:36-41), a pruned sorted
+    * lookup here.
+    */
+  def accountAsOf(history: DataFrame, address: Array[Byte],
+                  block: Long): DataFrame =
+    history
+      .filter(col("address") === lit(address) && !col("isStorage") &&
+        col("valid_from_block") <= block)
+      .orderBy(col("valid_from_block").desc)
+      .limit(1)
+
+  def storageAsOf(history: DataFrame, address: Array[Byte],
+                  slot: Array[Byte], block: Long): DataFrame =
+    history
+      .filter(col("address") === lit(address) && col("isStorage") &&
+        col("slot") === lit(slot) && col("valid_from_block") <= block)
+      .orderBy(col("valid_from_block").desc)
+      .limit(1)
+}

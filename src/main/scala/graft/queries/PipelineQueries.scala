@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Fixtures, FullHistory}
+import graft.spark.StateFormat
+
+/** Reference-pipeline queries over the deterministic Ethereum-shaped
+  * fixtures (FIXTURES.md §A). Not SQL-expressible (stateful codec, byte
+  * kernels), so no DuckDB oracle — the driver records rows-only checks;
+  * deep correctness lives in PipelineSpec/CodecSpec.
+  */
+object PipelineQueries {
+
+  // fixture size scales mildly with the sf dir so bench runs exercise more
+  private def world(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val n = if (dir.contains("sf0.1")) 2000 else 200
+    Fixtures.generate(s, nAddresses = n / 4, nBlocks = n)
+  }
+
+  val all: Map[String, QuerySpec] = Map(
+
+    // §3.1 full conversion: changesets+plainstate → sorted, re-timestamped
+    // full history (J3+J1+O1/O2+W1+F3 in one DAG, single range exchange).
+    "p01_full_history" -> QuerySpec(
+      (s, dir) => {
+        val w = world(s, dir)
+        FullHistory.build(s, w.accountChangeset, w.storageChangeset,
+          w.plainCodeHash, w.plainStateAccounts, w.plainStateStorage,
+          w.latestBlock)
+          .select(hex(col("address")).as("address"), col("isStorage"),
+            col("incarnation"), hex(col("slot")).as("slot"),
+            col("valid_from_block"), col("nonce"),
+            hex(col("balance")).as("balance"),
+            hex(col("codeHash")).as("code_hash"),
+            hex(col("value")).as("value"))
+      }, None),
+
+    // §2.9 E1: order-dependent encode fold + parallel decode (copy_file
+    // round trip as a query); returns per-chunk stats.
+    "p02_state_codec" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val w = world(s, dir)
+        val h = FullHistory.build(s, w.accountChangeset, w.storageChangeset,
+          w.plainCodeHash, w.plainStateAccounts, w.plainStateStorage,
+          w.latestBlock)
+        val items = StateFormat.asItems(
+          h.withColumnRenamed("valid_from_block", "block"))
+        val chunks = StateFormat.encode(items, strategy = 1, pageShift = 12)
+        val decodedCount = StateFormat.decode(chunks, strategy = 1).count()
+        chunks.map(c => (c.partition, c.numItems, c.bytes.length.toLong,
+            decodedCount))
+          .toDF("partition", "num_items", "encoded_bytes", "decoded_total")
+          .orderBy("partition")
+      }, None),
+
+    // §3.2/README.md:36-41 flagship read: account state as of a block.
+    "p03_account_asof" -> QuerySpec(
+      (s, dir) => {
+        val w = world(s, dir)
+        val h = FullHistory.build(s, w.accountChangeset, w.storageChangeset,
+          w.plainCodeHash, w.plainStateAccounts, w.plainStateStorage,
+          w.latestBlock)
+        val addr = w.accountOracle.head.addressHex
+        FullHistory.accountAsOf(h, graft.functions.Bytes.unhex(addr),
+            w.latestBlock / 2)
+          .select(hex(col("address")).as("address"), col("valid_from_block"),
+            col("nonce"), col("incarnation"),
+            hex(col("balance")).as("balance"))
+      }, None),
+  )
+}

@@ -1,0 +1,274 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.codec.{StateReader, StateWriter, Header}
+import graft.functions.Bytes
+import graft.model.StateItem
+
+/** Codec kernel + stream round-trip properties, mirroring the reference's
+  * own verification mechanisms: copy_file round trip
+  * (erigon_extract.c:2043-2100) and the abort-level invariants (SURVEY.md §5).
+  */
+class CodecSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(42)
+
+  private def randBytes(n: Int, biasZero: Boolean = false): Array[Byte] = {
+    val b = new Array[Byte](n)
+    if (biasZero) {
+      // mostly-zero arrays exercise the varint short paths
+      val sig = rnd.nextInt(n + 1)
+      var i = n - sig
+      while (i < n) { b(i) = rnd.nextInt(256).toByte; i += 1 }
+    } else rnd.nextBytes(b)
+    b
+  }
+
+  // ---- kernels ----
+
+  test("delta/sum are inverse (delta-minus-one coding)") {
+    for (_ <- 1 to 500) {
+      val len = 32
+      val in = randBytes(len, biasZero = rnd.nextBoolean())
+      val acc0 = randBytes(len, biasZero = rnd.nextBoolean())
+      val accW = acc0.clone()
+      val accR = acc0.clone()
+      val d = new Array[Byte](len)
+      val out = new Array[Byte](len)
+      Bytes.deltaMinusOne(d, in, accW)
+      Bytes.sumPlusOne(out, d, accR)
+      assert(out.sameElements(in), s"in=${Bytes.hex(in)} acc=${Bytes.hex(acc0)}")
+      assert(accW.sameElements(in) && accR.sameElements(in))
+    }
+  }
+
+  test("get64be/put64be round trip") {
+    for (_ <- 1 to 200) {
+      val v = rnd.nextLong()
+      val b = new Array[Byte](8)
+      Bytes.put64be(b, 0, v)
+      assert(Bytes.get64be(b, 0) == v)
+      assert(Bytes.get64beLen(b, 0, 8) == v)
+    }
+    // short reads zero-extend from the left
+    assert(Bytes.get64beLen(Array[Byte](1, 2), 0, 2) == 0x0102L)
+  }
+
+  test("invert is an involution") {
+    for (_ <- 1 to 100) {
+      val b = randBytes(32)
+      val c = b.clone()
+      Bytes.invert(c); Bytes.invert(c)
+      assert(c.sameElements(b))
+    }
+  }
+
+  // ---- stream generators ----
+
+  private val addresses: IndexedSeq[Array[Byte]] =
+    (1 to 8).map(_ => randBytes(20))
+  private val slots: IndexedSeq[Array[Byte]] =
+    (1 to 16).map(_ => randBytes(32, biasZero = true))
+
+  private def genItems(n: Int): Seq[StateItem] = {
+    var lastIncarnation = 1L
+    (1 to n).map { i =>
+      val addr = addresses(rnd.nextInt(addresses.length))
+      val block = rnd.nextInt(1000).toLong
+      if (rnd.nextBoolean()) {
+        val inc = rnd.nextInt(4).toLong // may be 0 for accounts
+        val codeHash =
+          if (inc == 0) StateItem.zeros(32)
+          else rnd.nextInt(3) match {
+            case 0 => StateItem.zeros(32)
+            case 1 => StateItem.EmptyCodeHash.clone()
+            case _ => randBytes(32)
+          }
+        lastIncarnation = math.max(inc, 1)
+        StateItem.account(addr, block, rnd.nextInt(1000).toLong, inc,
+          randBytes(32, biasZero = true), codeHash)
+      } else {
+        val inc =
+          if (rnd.nextInt(10) == 0) lastIncarnation + 1 + rnd.nextInt(3)
+          else lastIncarnation
+        StateItem.storage(addr, block, inc,
+          slots(rnd.nextInt(slots.length)), randBytes(32, biasZero = true))
+      }
+    }
+  }
+
+  /** The decoded stream normalizes empty-code-hash to zeros
+    * (erigon_extract.c:832-838), so expectations must too.
+    */
+  private def normalize(it: StateItem): StateItem =
+    if (!it.isStorage &&
+        java.util.Arrays.equals(it.codeHash, StateItem.EmptyCodeHash))
+      it.copy(codeHash = StateItem.zeros(32))
+    else it
+
+  private def assertSame(a: StateItem, b: StateItem): Unit = {
+    assert(a.isStorage == b.isStorage)
+    assert(Bytes.hex(a.address) == Bytes.hex(b.address))
+    assert(a.block == b.block)
+    assert(a.nonce == b.nonce)
+    assert(a.incarnation == b.incarnation)
+    assert(Bytes.hex(a.balance) == Bytes.hex(b.balance))
+    assert(Bytes.hex(a.codeHash) == Bytes.hex(b.codeHash))
+    assert(Bytes.hex(a.slot) == Bytes.hex(b.slot))
+    assert(Bytes.hex(a.value) == Bytes.hex(b.value))
+  }
+
+  private def roundTrip(strategy: Int, pageShift: Int): Unit = {
+    for (trial <- 1 to 20) {
+      val items = genItems(200).map(normalize)
+      val w = new StateWriter(strategy, pageShift)
+      items.foreach(w.write)
+      val data = w.toArray
+      val decoded = new StateReader(strategy, data).toSeq
+      assert(decoded.length == items.length,
+        s"strategy=$strategy shift=$pageShift trial=$trial")
+      items.zip(decoded).foreach { case (a, b) => assertSame(a, b) }
+    }
+  }
+
+  test("stream round trip, strategy 0 (block-major, absolute)") {
+    roundTrip(0, 0)
+  }
+  test("stream round trip, strategy 1 (address-major, delta)") {
+    roundTrip(1, 0)
+  }
+  // Strategy 3 cannot round-trip general streams: its writer encodes the
+  // incarnation of zero-codeHash accounts absolutely
+  // (erigon_extract.c:880-883) while the shared reader always adds the
+  // accumulator, and its new-slot block reset diverges between writer and
+  // reader in the delta-slot case (erigon_extract.c:1263-1265 vs 1320-1327).
+  // Strategies 2/3 have no production caller (SURVEY.md §2.9); we verify
+  // strategy 3 on the subset where its semantics are self-consistent.
+  test("stream round trip, strategy 3 (self-consistent subset)") {
+    for (_ <- 1 to 10) {
+      val items = (1 to 100).map { i =>
+        val addr = addresses(rnd.nextInt(addresses.length))
+        if (rnd.nextBoolean())
+          StateItem.account(addr, rnd.nextInt(1000).toLong,
+            rnd.nextInt(100).toLong, 1L + rnd.nextInt(3),
+            randBytes(32, biasZero = true), randBytes(32))
+        else
+          StateItem.storage(addr, rnd.nextInt(1000).toLong, 1L,
+            StateItem.zeros(32), randBytes(32, biasZero = true))
+      }
+      val w = new StateWriter(3)
+      items.foreach(w.write)
+      val decoded = new StateReader(3, w.toArray).toSeq
+      assert(decoded.length == items.length)
+      items.zip(decoded).foreach { case (a, b) => assertSame(a, b) }
+    }
+  }
+  test("stream round trip with 256-byte page restarts, strategy 0") {
+    roundTrip(0, 8)
+  }
+  test("stream round trip with 256-byte page restarts, strategy 1") {
+    roundTrip(1, 8)
+  }
+
+  test("every page is independently decodable (splittable source property)") {
+    val items = genItems(500).map(normalize)
+    val w = new StateWriter(1, 8)
+    items.foreach(w.write)
+    val data = w.toArray
+    val full = new StateReader(1, data).toSeq
+    assert(full.length == items.length)
+    for (b <- 256 until data.length by 256) {
+      val tail = new StateReader(1, data, start = b).toSeq
+      val expected = full.takeRight(tail.length)
+      assert(tail.length < full.length)
+      tail.zip(expected).foreach { case (x, y) => assertSame(x, y) }
+    }
+  }
+
+  test("strategy 0/1 encode the same logical stream (copy_file equivalence)") {
+    val items = genItems(300).map(normalize)
+    val w0 = new StateWriter(0)
+    val w1 = new StateWriter(1)
+    items.foreach(w0.write)
+    items.foreach(w1.write)
+    val d0 = new StateReader(0, w0.toArray).toSeq
+    val d1 = new StateReader(1, w1.toArray).toSeq
+    d0.zip(d1).foreach { case (a, b) => assertSame(a, b) }
+  }
+
+  test("address-major delta encoding is denser than absolute for sorted runs") {
+    // sorted, address-clustered input — the transpose order the format is
+    // designed for (README.md:150-153)
+    // slowly-drifting balances/nonces per address — the workload the delta
+    // coding is designed for (~8% balance, ~1.5% nonce savings,
+    // erigon_extract.c:873, 886)
+    val items = addresses.sortBy(Bytes.hex).flatMap { addr =>
+      (1 to 50).map { i =>
+        val bal = StateItem.zeros(32)
+        Bytes.put64be(bal, 24, 1000000L + 3L * i)
+        StateItem.account(addr, 100L + i, i.toLong, 1L, bal,
+          StateItem.zeros(32))
+      }
+    }
+    val w0 = new StateWriter(0); items.foreach(w0.write)
+    val w1 = new StateWriter(1); items.foreach(w1.write)
+    assert(w1.toArray.length < w0.toArray.length)
+  }
+
+  // ---- invariants (reference abort conditions) ----
+
+  test("storage incarnation 0 raises (erigon_extract.c:1130-1136)") {
+    val w = new StateWriter(1)
+    val bad = StateItem.storage(randBytes(20), 5L, 0L, randBytes(32),
+      randBytes(32))
+    assertThrows[IllegalArgumentException](w.write(bad))
+  }
+
+  test("non-zero codeHash with zero incarnation raises (erigon_extract.c:840-845)") {
+    val w = new StateWriter(1)
+    val bad = StateItem.account(randBytes(20), 5L, 1L, 0L,
+      StateItem.zeros(32), randBytes(32))
+    assertThrows[IllegalArgumentException](w.write(bad))
+  }
+
+  // ---- the mainnet block-10094566 edge case (erigon_extract.c:912-944) ----
+
+  test("self-destruct/create/sstore incarnation pairing round-trips") {
+    val addr = Bytes.unhex("000000000000006f6502b7f2bbac8c30a3f67e9a")
+    val bal1 = StateItem.zeros(32); bal1(31) = 1
+    val items = Seq(
+      StateItem.account(addr, 10094566L, 1976L, 1L, bal1,
+        Bytes.unhex("a81d7f06c942f28e7852465c195e233d05e645893ae829822e95b4ff420d93c2")),
+      StateItem.storage(addr, 10094566L, 2L,
+        Bytes.unhex("0000000000000000000000000000000000000000000000000000000000005850"),
+        StateItem.zeros(32)),
+      StateItem.storage(addr, 10094566L, 2L,
+        Bytes.unhex("00000000000000000000000034529548387623137869922451323873933315"
+          + "46"),
+        StateItem.zeros(32)),
+      StateItem.account(addr, 10094587L, 1L, 2L, bal1,
+        Bytes.unhex("b06895d1ddccd23a5648db366bf46ecaf7e60d6364a7974e8785d9eb5f04cc18")))
+    for (strategy <- Seq(0, 1)) {
+      val w = new StateWriter(strategy)
+      items.foreach(w.write)
+      val decoded = new StateReader(strategy, w.toArray).toSeq
+      assert(decoded.length == items.length)
+      items.zip(decoded).foreach { case (a, b) => assertSame(a, b) }
+    }
+  }
+
+  test("header layout matches the reference (incl. the words[6] overwrite)") {
+    val h = Header.build(endOfStates = 12345L, pageShift = 12,
+      blockStart = 0L, blockEnd = 999L, countStorageSlots = 77L)
+    assert(h.length == 256)
+    val bb = java.nio.ByteBuffer.wrap(h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getLong(0) == 202202111L)
+    assert(bb.getLong(8) == 12345L)
+    assert(bb.getLong(16) == 256L)
+    assert(bb.getLong(24) == 12L)
+    assert(bb.getLong(40) == 999L)
+    assert(bb.getLong(48) == 77L) // storage count overwrote account count
+    assert(bb.getLong(56) == 0L)
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{Fixtures, FullHistory}
+
+/** Plan-shape guards: the scale properties SURVEY.md §7 promises must be
+  * visible in the physical plan, not just asserted in prose.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("full-history plan: one range exchange, no window re-shuffle, broadcast J1") {
+    val w = Fixtures.generate(spark, nAddresses = 10, nBlocks = 30)
+    val h = FullHistory.build(spark, w.accountChangeset, w.storageChangeset,
+      w.plainCodeHash, w.plainStateAccounts, w.plainStateStorage,
+      w.latestBlock)
+    h.count() // materialize so AQE finalizes the plan
+    val plan = h.queryExecution.executedPlan.toString
+    info(plan.linesIterator.take(40).mkString("\n"))
+    val shuffles = plan.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    val hashShuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected exactly 1 range exchange\n$plan")
+    assert(hashShuffles == 0, s"window must reuse the range exchange\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"J1 code-hash join must broadcast\n$plan")
+  }
+}
