@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis._
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB shape:
+  *
+  *  - exact: hash-groupBy on a digest, never shuffling document bodies;
+  *  - MinHash+LSH: per-row signatures computed NARROW (higher-order
+  *    functions, no UDF, no shuffle), then a band-bucket equi-join that
+  *    only shuffles (doc_id, band-hash) pairs — the classic
+  *    shingle→minhash→band→bucket-join plan;
+  *  - SimHash: 64-bit signature + pigeonhole chunk join for hamming ≤ 3;
+  *  - n-gram Jaccard: exact verification on candidate pairs only;
+  *  - embedding cosine: random-hyperplane LSH buckets, exact cosine verify.
+  *
+  * Candidate generation always shuffles only ids+signatures; document
+  * payloads are re-joined by id afterwards if needed.
+  */
+object Dedup {
+
+  /** Exact dedup: one hash-aggregate over a 256-bit digest. Returns one row
+    * per distinct content: the kept (minimum) id and the duplicate count.
+    */
+  def exact(df: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text",
+            digest: Column => Column = sha2(_, 256)): DataFrame =
+    df.groupBy(digest(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature: sig[i] = min over shingles of hash(shingle, i).
+    * Pure column expression — codegen'd, narrow.
+    */
+  def minhashSignature(text: Column, numHashes: Int = 128,
+                       shingleK: Int = 3): Column = {
+    val sh = shingles(text, shingleK)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(s, i))))
+  }
+
+  /** LSH banding: (band index, hash of the signature slice) rows. */
+  def lshBands(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bhash")))
+
+  /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    */
+  def minhashLsh(df: DataFrame, threshold: Double = 0.7,
+                 numHashes: Int = 128, numBands: Int = 32,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val withSig = df
+      .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+      .withColumn("sig", transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(col("sh"), s => xxhash64(s, i)))))
+    // candidates: explode only (id, band, bhash) — narrow row, small shuffle
+    val bands = withSig.select(col("id"),
+        explode(lshBands(col("sig"), numBands, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bhash"))
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bhash") === col("y.bhash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    // verify: re-join shingle sets by id, exact Jaccard on candidates only
+    val sh = withSig.select(col("id"), col("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash from token hashes — sign of per-bit vote sums, built
+    * entirely from higher-order functions (narrow, codegen'd).
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(tokens(text), t => xxhash64(t))
+    val bits = transform(sequence(lit(0), lit(63)), j =>
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc +
+          when(h.bitwiseAND(call_function("shiftleft", lit(1L), j.cast("int"))) =!= 0L, 1L)
+            .otherwise(-1L)))
+    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) =>
+      acc.bitwiseOR(when(element_at(bits, j.cast("int") + 1) > 0,
+        call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming, found by
+    * the pigeonhole chunk join: split the 64-bit signature into
+    * (maxHamming+1) chunks — any pair within the bound shares at least one
+    * exact chunk, so candidates come from equi-joins on chunk values.
+    */
+  def simhashNearDup(df: DataFrame, maxHamming: Int = 3,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val nChunks = maxHamming + 1
+    val chunkBits = 64 / nChunks
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val chunks = sigs.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(nChunks - 1)), c =>
+        struct(c.as("chunk"),
+          call_function("shiftrightunsigned", col("sig"), (c * chunkBits).cast("int"))
+            .bitwiseAND(lit((1L << chunkBits) - 1)).as("cval")))).as("c"))
+      .select(col("id"), col("sig"), col("c.chunk"), col("c.cval"))
+    val hamming = {
+      val x = col("x.sig").bitwiseXOR(col("y.sig"))
+      bit_count(x)
+    }
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") &&
+          col("x.cval") === col("y.cval") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard for a (small or pre-filtered) pair set — the
+    * verification kernel shared by the LSH paths, exposed standalone.
+    */
+  def ngramJaccard(df: DataFrame, k: Int = 3, threshold: Double = 0.5,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), k).as("sh"))
+    sh.as("x").join(sh.as("y"), col("x.id") < col("y.id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+          size(array_union(col("x.sh"), col("y.sh"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Embedding near-dup via random-hyperplane LSH: `nBits` deterministic
+    * Rademacher hyperplanes (seeded by xxhash64(bit, dim)) bucket the
+    * vectors; exact cosine verifies candidates. Only (id, bucket) shuffles.
+    */
+  def embeddingNearDup(df: DataFrame, threshold: Double = 0.95,
+                       nBits: Int = 12, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val dims = size(col(vecCol))
+    val bucket = aggregate(sequence(lit(0), lit(nBits - 1)), lit(0L),
+      (acc, b) => {
+        val dot = aggregate(sequence(lit(0), dims - 1), lit(0.0d),
+          (a, d) => a + element_at(col(vecCol), d.cast("int") + 1)
+            .cast("double") *
+            when(xxhash64(b, d).bitwiseAND(1L) === 1L, 1.0d).otherwise(-1.0d))
+        acc.bitwiseOR(when(dot > 0, call_function("shiftleft", lit(1L), b.cast("int")))
+          .otherwise(0L))
+      })
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      bucket.as("bucket"))
+    val pairs = vecs.select("id", "bucket").as("x")
+      .join(vecs.select("id", "bucket").as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val v = vecs.select("id", "v")
+    pairs
+      .join(v.withColumnRenamed("id", "id_a").withColumnRenamed("v", "v_a"),
+        "id_a")
+      .join(v.withColumnRenamed("id", "id_b").withColumnRenamed("v", "v_b"),
+        "id_b")
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+}

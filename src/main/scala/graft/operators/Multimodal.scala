@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling: opaque `binary` payloads
+  * with typed metadata, processed by batched per-partition map operators.
+  *
+  * The Spark-side plumbing is real — schema, partitioning, batch shape,
+  * operator signatures — while the actual media codecs are STUBBED with
+  * deterministic fakes (no image/audio libraries in this environment; a
+  * production deployment swaps `StubCodec` for a JNI/FFmpeg-backed
+  * implementation with the same interface).
+  *
+  * Scale notes: payloads never enter a shuffle key; feature extraction is a
+  * narrow `mapPartitions` with explicit micro-batching (amortizing codec
+  * init, the same shape as a Pandas-UDF/Arrow batch on the Python side);
+  * size-skewed blobs are range-binned before heavy decode so one 4 GB video
+  * doesn't straggle a partition of thumbnails.
+  */
+object Multimodal {
+
+  final case class MediaBlob(media_id: Long, kind: String, width: Int,
+                             height: Int, n_frames: Int, data: Array[Byte])
+
+  final case class MediaFeatures(media_id: Long, kind: String, width: Int,
+                                 height: Int, n_frames: Int,
+                                 size_bytes: Long, mean_byte: Double,
+                                 luma_histogram: Array[Long])
+
+  /** ======== STUB ========
+    * Deterministic fake media codec. A real implementation decodes pixels /
+    * PCM samples; this derives "pixels" from the payload bytes so the
+    * plumbing (batching, schema, metadata flow) is fully exercised and
+    * test-checkable.
+    */
+  object StubCodec {
+    /** STUB for image decode: "luma plane" = payload bytes cycled to
+      * width*height.
+      */
+    def decodeLuma(blob: MediaBlob): Array[Byte] = {
+      val n = math.min(blob.width * blob.height, 1 << 16)
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) { out(i) = blob.data(i % blob.data.length); i += 1 }
+      out
+    }
+
+    /** STUB for resize: metadata transform + deterministic payload
+      * truncation (a real codec would resample).
+      */
+    def resize(blob: MediaBlob, w: Int, h: Int): MediaBlob =
+      blob.copy(width = w, height = h,
+        data = java.util.Arrays.copyOf(blob.data,
+          math.max(1, math.min(blob.data.length, w * h / 8))))
+  }
+
+  /** Deterministic synthetic media table: seeded binary payloads with
+    * realistic size skew (mostly small images, occasional large videos).
+    */
+  def syntheticMedia(spark: SparkSession, n: Int,
+                     seed: Long = 42L): Dataset[MediaBlob] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val rnd = new scala.util.Random(seed + id)
+      val kind = (id % 10) match {
+        case 0 | 1 => "audio"
+        case 2 => "video"
+        case _ => "image"
+      }
+      val (w, h, frames, sz) = kind match {
+        case "image" => (64 + rnd.nextInt(512), 64 + rnd.nextInt(512), 1,
+          1024 + rnd.nextInt(8192))
+        case "audio" => (0, 0, 1, 4096 + rnd.nextInt(16384))
+        case _ => (320, 240, 30 + rnd.nextInt(300),
+          65536 + rnd.nextInt(262144))
+      }
+      val data = new Array[Byte](sz)
+      rnd.nextBytes(data)
+      MediaBlob(id, kind, w, h, frames, data)
+    }
+  }
+
+  /** Feature extraction: batched narrow mapPartitions (batches of 32 model
+    * the Arrow-batch shape); emits per-blob stats + a 16-bin luma
+    * histogram. Decode itself is the stub above.
+    */
+  def extractFeatures(media: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(32).flatMap { batch => // batched: amortizes codec init
+        batch.map { blob =>
+          val luma = StubCodec.decodeLuma(blob)
+          val hist = new Array[Long](16)
+          var sum = 0L
+          var i = 0
+          while (i < luma.length) {
+            val v = luma(i) & 0xff
+            hist(v >> 4) += 1
+            sum += v
+            i += 1
+          }
+          MediaFeatures(blob.media_id, blob.kind, blob.width, blob.height,
+            blob.n_frames, blob.data.length.toLong,
+            if (luma.isEmpty) 0.0 else sum.toDouble / luma.length, hist)
+        }
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: one output row per sampled frame index
+    * — pure relational explode on metadata; the (stubbed) per-frame decode
+    * happens downstream only for sampled frames, which is the point: prune
+    * before decode.
+    */
+  def sampleFrames(media: DataFrame, everyN: Int): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("n_frames"),
+        explode(sequence(lit(0),
+          col("n_frames") - 1, lit(everyN))).as("frame_idx"))
+
+  /** Size-binned repartitioning: co-locate similar payload sizes so decode
+    * cost is uniform per partition (anti-straggler for skewed media).
+    */
+  def sizeBinned(media: Dataset[MediaBlob], partitions: Int): Dataset[MediaBlob] = {
+    import media.sparkSession.implicits._
+    media.repartitionByRange(partitions, length(col("data")), col("media_id"))
+  }
+}

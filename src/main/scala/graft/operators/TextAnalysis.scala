@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline.
+  *
+  * Everything here is a NARROW, codegen-friendly column expression
+  * (`functions._` + higher-order array functions, no UDFs, no shuffle) —
+  * on 100 TB of documents these run at scan speed and whole-stage codegen
+  * keeps them in one pass.
+  */
+object TextAnalysis {
+
+  /** Whitespace token array (lowercased). */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: split on word boundaries AND digit/punct
+    * transitions — a deterministic regex stand-in for a tokenizer's segment
+    * count (useful as a cost estimate per document).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(
+      split(lower(trim(text)), "(?<=[a-z])(?=[^a-z])|(?<=[0-9])(?=[^0-9])|\\s+"),
+      t => length(t) > 0))
+
+  /** Character-class counts — the raw material of quality scores. Integer
+    * outputs so cross-engine checks are exact.
+    */
+  def charCounts(df: DataFrame, text: Column): DataFrame = df
+    .withColumn("n_chars", length(text))
+    .withColumn("n_alpha", length(regexp_replace(text, "[^A-Za-z]", "")))
+    .withColumn("n_digit", length(regexp_replace(text, "[^0-9]", "")))
+    .withColumn("n_space", length(regexp_replace(text, "[^ \\t\\n]", "")))
+    .withColumn("n_punct",
+      length(regexp_replace(text, "[A-Za-z0-9 \\t\\n]", "")))
+    .withColumn("n_tokens", tokenCount(text))
+
+  private val stopwordsEn = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "are", "was", "for", "on", "with", "as", "by", "at", "it")
+
+  /** Stopword hit count (English list) — a standard quality-filter feature
+    * (heuristics in the spirit of C4/Gopher quality rules).
+    */
+  def stopwordCount(text: Column): Column = {
+    val sw = array(stopwordsEn.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(sw, t)))
+  }
+
+  /** Composite quality score in [0,1]: penalizes extreme length, low alpha
+    * ratio, missing stopwords, and very long mean tokens. Deterministic,
+    * columnar, no UDF.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val alphaRatio =
+      length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+        greatest(nChars, lit(1.0))
+    val nTok = tokenCount(text).cast("double")
+    val meanTokLen = nChars / greatest(nTok, lit(1.0))
+    val hasStopwords = (stopwordCount(text) > 0).cast("double")
+    val lengthOk =
+      (nChars >= 50 && nChars <= 100000).cast("double")
+    round(
+      lit(0.3) * alphaRatio + lit(0.2) * hasStopwords +
+        lit(0.2) * lengthOk +
+        lit(0.3) * when(meanTokLen.between(3.0, 12.0), 1.0).otherwise(0.0),
+      4)
+  }
+
+  /** Language-ID n-gram heuristic: scores per-language marker profiles
+    * (stopwords + characteristic character n-grams) and picks the argmax;
+    * 'und' when nothing matches. A real pipeline would plug fastText here —
+    * the operator shape (narrow columnar scoring) is what matters at scale.
+    */
+  def langId(text: Column): Column = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq(" the ", " and ", " of ", " is ", " to ", " in "),
+      "de" -> Seq(" der ", " die ", " und ", " ist ", " das ", " ein "),
+      "fr" -> Seq(" le ", " la ", " et ", " les ", " des ", " est "),
+      "es" -> Seq(" el ", " los ", " y ", " de la ", " es ", " una "),
+      "zh" -> Seq("的", "是", "了", "在", "我", "不"))
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scores = profiles.map { case (lang, markers) =>
+      val s = markers.map(m =>
+        (size(split(padded, java.util.regex.Pattern.quote(m), -1)) - 1)
+          .cast("long"))
+        .reduce(_ + _)
+      struct(s.as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Exact content fingerprint (md5) — cross-engine checkable. */
+  def fingerprintMd5(text: Column): Column = md5(text)
+
+  /** Rolling-hash (Rabin-Karp) winnowing fingerprint: min/max over the
+    * rolling 64-bit hashes of character k-grams — robust to small edits at
+    * the ends, columnar (higher-order functions only).
+    */
+  def rollingFingerprint(text: Column, k: Int = 16): Column = {
+    val grams = ngrams(lower(text), k)
+    when(size(grams) > 0,
+      array_min(transform(grams, g => xxhash64(g))))
+      .otherwise(lit(0L))
+  }
+
+  /** Character k-grams via substring over an index sequence. */
+  def ngrams(text: Column, k: Int): Column =
+    when(length(text) >= k,
+      transform(sequence(lit(1), length(text) - (k - 1)),
+        i => text.substr(i, lit(k))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Word k-gram shingles (distinct), the dedup unit for MinHash/Jaccard. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " "))))
+      .otherwise(when(size(toks) > 0, array(array_join(toks, " ")))
+        .otherwise(array(lit(""))))
+  }
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM training-data pipeline operators over `documents` and `embeddings`
+  * (SURVEY.md §7.2 step 7). SQL-expressible ones carry a DuckDB oracle;
+  * hash/LSH-based ones are rows-only (their correctness is covered by
+  * OperatorSpec, including recall-vs-brute-force measurements).
+  */
+object LlmQueries {
+
+  val all: Map[String, QuerySpec] = Map(
+
+    // -- deduplication --
+
+    "l01_dedup_exact" -> QuerySpec(
+      (s, dir) => {
+        Dedup.exact(Tables(s, dir, "documents"), digest = md5)
+          .select(col("keep_id"), col("n_dups"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+             |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
+
+    "l02_minhash_lsh" -> QuerySpec(
+      (s, dir) => Dedup.minhashLsh(Tables(s, dir, "documents"),
+          threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    "l03_simhash_neardup" -> QuerySpec(
+      (s, dir) => Dedup.simhashNearDup(Tables(s, dir, "documents"),
+          maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    "l04_ngram_jaccard" -> QuerySpec(
+      (s, dir) => Dedup.ngramJaccard(
+          Tables(s, dir, "documents").filter(col("doc_id") < 100),
+          threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    "l05_embedding_neardup" -> QuerySpec(
+      (s, dir) => Dedup.embeddingNearDup(Tables(s, dir, "embeddings"),
+          threshold = 0.9, nBits = 8)
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // -- text analysis --
+
+    "l06_token_count" -> QuerySpec(
+      // n_subwords uses lookbehind regex (unsupported by DuckDB's RE2), so
+      // the oracle covers n_tokens; n_subwords is checked in l09 (rows-only)
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |    t -> length(t) > 0)) AS n_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "l07_char_stats" -> QuerySpec(
+      (s, dir) => TextAnalysis.charCounts(Tables(s, dir, "documents"),
+          col("text"))
+        .select("doc_id", "n_chars", "n_alpha", "n_digit", "n_space",
+          "n_punct", "n_tokens")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, length(text) AS n_chars,
+             |length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             |length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             |length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS n_space,
+             |length(regexp_replace(text, '[A-Za-z0-9 \t\n]', '', 'g')) AS n_punct,
+             |len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |    t -> length(t) > 0)) AS n_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "l08_fingerprint" -> QuerySpec(
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, md5(text) AS fp_md5
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "l09_quality_langid" -> QuerySpec(
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.stopwordCount(col("text")).as("n_stopwords"),
+          TextAnalysis.rollingFingerprint(col("text")).as("fp_rolling"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_subwords"))
+        .orderBy(col("doc_id")),
+      None),
+
+    // -- similarity search --
+
+    "s01_cosine_topk" -> QuerySpec(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |q AS (SELECT vec_id, e FROM v WHERE vec_id < 5),
+             |st AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             |  CASE WHEN sqrt(list_inner_product(v.e, v.e))
+             |            * sqrt(list_inner_product(q.e, q.e)) <> 0
+             |       THEN list_inner_product(v.e, q.e)
+             |            / (sqrt(list_inner_product(v.e, v.e))
+             |               * sqrt(list_inner_product(q.e, q.e)))
+             |       ELSE 0 END AS c
+             |  FROM v, q WHERE v.vec_id <> q.vec_id),
+             |r AS (SELECT query_id, neighbor_id, c,
+             |  row_number() OVER (PARTITION BY query_id
+             |                     ORDER BY c DESC, neighbor_id) AS rank
+             |  FROM st)
+             |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+             |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    "s02_lsh_topk" -> QuerySpec(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Similarity.lshTopK(e, e.filter(col("vec_id") < 5), k = 10,
+            nBits = 6)
+          .orderBy(col("query_id"), col("rank"))
+      }, None),
+
+    "s03_ivf_topk" -> QuerySpec(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      }, None),
+
+    // -- multimodal --
+
+    "m01_media_features" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val n = if (dir.contains("sf0.1")) 2000 else 300
+        val media = Multimodal.sizeBinned(
+          Multimodal.syntheticMedia(s, n), 8)
+        Multimodal.extractFeatures(media).toDF()
+          .select(col("media_id"), col("kind"), col("width"), col("height"),
+            col("n_frames"), col("size_bytes"),
+            round(col("mean_byte"), 4).as("mean_byte"),
+            col("luma_histogram"))
+          .orderBy(col("media_id"))
+      }, None),
+
+    "m02_frame_sample" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.syntheticMedia(s, 200).toDF()
+          .select(col("media_id"), col("kind"), col("n_frames"))
+        Multimodal.sampleFrames(media, everyN = 10)
+          .orderBy(col("media_id"), col("frame_idx"))
+      }, None),
+  )
+}

@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Semantic tests for the LLM-pipeline operators: controlled synthetic
+  * inputs with known ground truth, plus recall measurements of the
+  * approximate paths against their exact baselines.
+  */
+class OperatorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val words =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu".split(" ")
+
+  private def doc(rnd: scala.util.Random, n: Int): String =
+    (1 to n).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+
+  /** Corpus with planted near-duplicate families: base docs plus mutated
+    * copies (a few words substituted), and exact copies.
+    */
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 40).flatMap { i =>
+      val base = doc(rnd, 80)
+      val tokens = base.split(" ")
+      val mutated = tokens.zipWithIndex.map { case (t, j) =>
+        if (j % 17 == 3) words(rnd.nextInt(words.length)) else t
+      }.mkString(" ")
+      Seq((i * 10L, base, "base"),
+        (i * 10L + 1, base, "exact-copy"),
+        (i * 10L + 2, mutated, "near-copy"))
+    }
+    rows.toDF("doc_id", "text", "family")
+  }
+
+  test("exact dedup groups exact copies only") {
+    val d = Dedup.exact(corpus).collect()
+    assert(d.length == 80) // 40 distinct bases + 40 distinct mutations
+    assert(d.count(_.getAs[Long]("n_dups") == 2) == 40)
+    assert(d.count(_.getAs[Long]("n_dups") == 1) == 40)
+  }
+
+  test("minhash LSH finds planted near-duplicates with high recall") {
+    val pairs = Dedup.minhashLsh(corpus, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // ground truth: exact copies (jaccard 1.0) must all be found
+    val exactPairs = (0 until 40).map(i => (i * 10L, i * 10L + 1)).toSet
+    assert(exactPairs.subsetOf(pairs), "exact copies missed by LSH")
+    // near copies (~5/80 words changed → high jaccard): ≥ 90% recall
+    val nearPairs = (0 until 40).flatMap(i =>
+      Seq((i * 10L, i * 10L + 2), (i * 10L + 1, i * 10L + 2))).toSet
+    val found = nearPairs.intersect(pairs).size.toDouble / nearPairs.size
+    assert(found >= 0.9, s"near-dup recall $found")
+    // no cross-family false positives at this threshold
+    assert(pairs.forall { case (a, b) => a / 10 == b / 10 },
+      "cross-family pair reported")
+  }
+
+  test("minhash LSH jaccard matches exact ngram jaccard") {
+    val lsh = Dedup.minhashLsh(corpus, threshold = 0.3).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    val exact = Dedup.ngramJaccard(corpus, threshold = 0.3).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    // LSH-surfaced pairs carry the exact Jaccard value
+    lsh.foreach { case (k, v) =>
+      assert(exact.contains(k) && math.abs(exact(k) - v) < 1e-9,
+        s"pair $k jaccard mismatch")
+    }
+  }
+
+  test("simhash: exact copies at hamming 0, near copies within bound") {
+    val sigs = corpus.select(col("doc_id"),
+      Dedup.simhash(col("text")).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (i <- 0 until 40)
+      assert(sigs(i * 10L) == sigs(i * 10L + 1), "exact copy simhash differs")
+    val pairs = Dedup.simhashNearDup(corpus, maxHamming = 3).collect()
+    val pairSet = pairs.map(r => (r.getAs[Long]("id_a"),
+      r.getAs[Long]("id_b"))).toSet
+    assert((0 until 40).forall(i => pairSet.contains((i * 10L, i * 10L + 1))))
+    pairs.foreach { r =>
+      val h = java.lang.Long.bitCount(
+        sigs(r.getAs[Long]("id_a")) ^ sigs(r.getAs[Long]("id_b")))
+      assert(h == r.getAs[Int]("hamming") && h <= 3)
+    }
+  }
+
+  test("brute-force cosine top-k is exact (matches local computation)") {
+    val vecs = (0 until 60).map { i =>
+      val rnd = new scala.util.Random(100 + i)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(df, df.filter(col("vec_id") < 3), 5)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    for (q <- 0 until 3) {
+      val expected = vecs.filter(_._1 != q)
+        .map(v => (v._1, cos(vecs(q.toInt)._2, v._2)))
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      val actual = (1 to 5).map(r => got((q.toLong, r)))
+      assert(actual == expected, s"query $q: $actual != $expected")
+    }
+  }
+
+  test("LSH and IVF ANN achieve useful recall vs brute force") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    def resultSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val exact = resultSet(Similarity.bruteForceTopK(e, q, 10))
+    val lsh = resultSet(Similarity.lshTopK(e, q, 10, nBits = 4))
+    val ivf = resultSet(Similarity.ivfTopK(e, q, 10, nCentroids = 8,
+      nProbe = 4))
+    val lshRecall = lsh.intersect(exact).size.toDouble / exact.size
+    val ivfRecall = ivf.intersect(exact).size.toDouble / exact.size
+    info(s"LSH recall=$lshRecall IVF recall=$ivfRecall")
+    assert(lshRecall >= 0.2, s"LSH recall too low: $lshRecall")
+    assert(ivfRecall >= 0.3, s"IVF recall too low: $ivfRecall")
+  }
+
+  test("embedding near-dup finds planted duplicates") {
+    val rnd = new scala.util.Random(9)
+    val base = (0 until 30).map { i =>
+      (i.toLong, Array.fill(32)(rnd.nextFloat() * 2 - 1))
+    }
+    // plant: ids 1000+i are tiny perturbations of ids i<10
+    val dups = (0 until 10).map { i =>
+      (1000L + i, base(i)._2.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(df, threshold = 0.99, nBits = 6)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    val expected = (0 until 10).map(i => (i.toLong, 1000L + i)).toSet
+    val recall = expected.intersect(pairs).size.toDouble / expected.size
+    assert(recall >= 0.8, s"near-dup recall $recall (found ${pairs.size})")
+  }
+
+  test("text analysis: token counts, quality, language profiles") {
+    val df = Seq(
+      (1L, "The cat and the dog are in the house"),
+      (2L, "der Hund und die Katze ist ein Tier und das Haus"),
+      (3L, ""),
+      (4L, "x")
+    ).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("tc"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.stopwordCount(col("text")).as("sw")).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Int]("tc") == 9)
+    assert(r(1L).getAs[String]("lang") == "en")
+    assert(r(1L).getAs[Int]("sw") >= 4) // the, and, the, are, in, the
+    assert(r(2L).getAs[String]("lang") == "de")
+    assert(r(3L).getAs[Int]("tc") == 0)
+    assert(r(4L).getAs[Int]("tc") == 1)
+  }
+
+  test("rolling fingerprint is stable under prefix-preserving identity") {
+    val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789"),
+      (2L, "abcdefghijklmnopqrstuvwxyz0123456789"),
+      (3L, "completely different text here entirely")).toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"),
+      TextAnalysis.rollingFingerprint(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("multimodal: deterministic features, correct batch plumbing") {
+    val media = Multimodal.syntheticMedia(spark, 100)
+    val f1 = Multimodal.extractFeatures(media).collect()
+      .sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(
+      Multimodal.sizeBinned(media, 5)).collect().sortBy(_.media_id)
+    assert(f1.length == 100 && f2.length == 100)
+    // repartitioning must not change any feature value (determinism)
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(a.media_id == b.media_id && a.mean_byte == b.mean_byte &&
+        a.luma_histogram.sameElements(b.luma_histogram))
+    }
+    // histogram mass equals decoded plane size
+    f1.foreach { f =>
+      val n = f.luma_histogram.sum
+      if (f.kind == "image")
+        assert(n == math.min(f.width * f.height, 1 << 16))
+    }
+  }
+
+  test("frame sampling prunes before decode") {
+    val media = Multimodal.syntheticMedia(spark, 100).toDF()
+      .select(col("media_id"), col("kind"), col("n_frames"))
+    val sampled = Multimodal.sampleFrames(media, everyN = 10).collect()
+    assert(sampled.nonEmpty)
+    sampled.groupBy(_.getAs[Long]("media_id")).foreach { case (_, rows) =>
+      val n = rows.map(_.getAs[Int]("frame_idx")).sorted
+      assert(n.head == 0 && n.toList == n.indices.map(_ * 10).toList)
+    }
+  }
+}
