@@ -1,0 +1,18 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object TimedBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val n = try fn(spark, sfDir).count() catch { case e: Throwable => System.err.println(s"$name ERR ${e.getMessage.take(100)}"); -1L }
+      System.err.println(f"TIMING $name%-24s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+    }
+    spark.stop()
+  }
+}

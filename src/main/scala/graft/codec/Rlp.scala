@@ -1,0 +1,115 @@
+package graft.codec
+
+/** Minimal RLP codec (public Ethereum wire encoding) — enough for the
+  * reference's BlockBody parsing (P3, erigon_extract.c:1876-1923): a body is
+  * the RLP list [base_tx_id, tx_amount, [uncles...]]; the uncles payload is
+  * kept as an opaque blob, matching the reference's "just extract what we
+  * need" stance (erigon_extract.c:1876-1880).
+  */
+object Rlp {
+
+  /** RLP of a big-endian minimal integer (0 → empty string 0x80). */
+  def encodeLong(v: Long): Array[Byte] = {
+    require(v >= 0)
+    if (v == 0) Array(0x80.toByte)
+    else {
+      var n = v
+      val bytes = Iterator.iterate(v)(_ >>> 8).takeWhile(_ != 0)
+        .map(x => (x & 0xff).toByte).toArray.reverse
+      encodeBytes(bytes)
+    }
+  }
+
+  def encodeBytes(b: Array[Byte]): Array[Byte] =
+    if (b.length == 1 && (b(0) & 0xff) < 0x80) b
+    else lengthPrefix(b.length, 0x80) ++ b
+
+  def encodeList(payload: Array[Byte]): Array[Byte] =
+    lengthPrefix(payload.length, 0xc0) ++ payload
+
+  private def lengthPrefix(len: Int, base: Int): Array[Byte] =
+    if (len <= 55) Array((base + len).toByte)
+    else {
+      val lenBytes = Iterator.iterate(len.toLong)(_ >>> 8).takeWhile(_ != 0)
+        .map(x => (x & 0xff).toByte).toArray.reverse
+      Array((base + 55 + lenBytes.length).toByte) ++ lenBytes
+    }
+
+  final case class Decoder(data: Array[Byte], var pos: Int = 0) {
+    private def byteAt(i: Int): Int = data(i) & 0xff
+
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"RLP: $msg at offset $pos")
+
+    /** Read a (payloadStart, payloadLen, isList) header. */
+    def header(): (Int, Int, Boolean) = {
+      if (pos >= data.length) fail("truncated")
+      val b = byteAt(pos)
+      if (b < 0x80) (pos, 1, false)
+      else if (b <= 0xb7) (pos + 1, b - 0x80, false)
+      else if (b < 0xc0) {
+        val lenOfLen = b - 0xb7
+        (pos + 1 + lenOfLen, readLen(pos + 1, lenOfLen), false)
+      } else if (b <= 0xf7) (pos + 1, b - 0xc0, true)
+      else {
+        val lenOfLen = b - 0xf7
+        (pos + 1 + lenOfLen, readLen(pos + 1, lenOfLen), true)
+      }
+    }
+
+    private def readLen(off: Int, n: Int): Int = {
+      if (off + n > data.length || n > 4) fail("bad length-of-length")
+      var r = 0
+      var i = 0
+      while (i < n) { r = (r << 8) | byteAt(off + i); i += 1 }
+      r
+    }
+
+    /** Consume an integer item (minimal big-endian). */
+    def long(): Long = {
+      val (start, len, isList) = header()
+      if (isList || len > 8) fail("expected int")
+      if (start + len > data.length) fail("truncated int")
+      var r = 0L
+      var i = 0
+      while (i < len) { r = (r << 8) | byteAt(start + i); i += 1 }
+      pos = start + len
+      r
+    }
+
+    /** Enter a list: returns payload end; positions inside. */
+    def list(): Int = {
+      val (start, len, isList) = header()
+      if (!isList) fail("expected list")
+      if (start + len > data.length) fail("truncated list")
+      pos = start
+      start + len
+    }
+
+    /** Remaining bytes up to `end` as an opaque blob. */
+    def rest(end: Int): Array[Byte] = {
+      val out = java.util.Arrays.copyOfRange(data, pos, end)
+      pos = end
+      out
+    }
+  }
+
+  final case class BlockBody(txIndex: Long, txAmount: Long,
+                             unclesRlp: Array[Byte])
+
+  /** Parse [base_tx_id, tx_amount, [uncles...]] (strict: whole blob must be
+    * one list, erigon_extract.c:1840-1846 length validation spirit).
+    */
+  def decodeBlockBody(blob: Array[Byte]): BlockBody = {
+    val d = Decoder(blob)
+    val end = d.list()
+    val txIndex = d.long()
+    val txAmount = d.long()
+    val uncles = d.rest(end)
+    if (d.pos != blob.length) d.fail("trailing bytes")
+    BlockBody(txIndex, txAmount, uncles)
+  }
+
+  def encodeBlockBody(b: BlockBody): Array[Byte] =
+    encodeList(encodeLong(b.txIndex) ++ encodeLong(b.txAmount) ++ b.unclesRlp)
+}

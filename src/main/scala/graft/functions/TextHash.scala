@@ -1,0 +1,97 @@
+package graft.functions
+
+/** Tight-loop text-hashing kernels backing the MinHash/SimHash operators.
+  *
+  * The pure higher-order-function formulations (transform-over-sequence of
+  * aggregates) are algebraically correct but Catalyst's projection collapse
+  * inlines the shingle/token array expression into every lambda iteration —
+  * re-evaluating an O(tokens) array build numHashes× per row. These kernels
+  * do one pass per row: hash each shingle once, then derive the seeded hash
+  * family by cheap mixing (splitmix64 finalizer), which is the standard
+  * minhash construction. Deterministic and JVM-stable (no library hash).
+  */
+object TextHash {
+
+  /** FNV-1a 64-bit over UTF-8 bytes. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 finalizer — mixes a base hash with a seed into an
+    * independent-enough hash family member.
+    */
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e9b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Word k-gram shingle hashes (distinct), one string hash per shingle. */
+  def shingleHashes(tokens: Array[String], k: Int): Array[Long] = {
+    if (tokens.isEmpty) return Array(fnv1a64(""))
+    if (tokens.length < k) return Array(fnv1a64(tokens.mkString(" ")))
+    val out = new Array[Long](tokens.length - k + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + k <= tokens.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j)); j += 1
+      }
+      out(i) = fnv1a64(sb.toString)
+      i += 1
+    }
+    out.distinct
+  }
+
+  /** MinHash signature over shingle hashes: sig(i) = min over shingles of
+    * mix(h ^ seed_i) — one string hash per shingle, numHashes mixes each.
+    */
+  def minhashSignature(tokens: Array[String], k: Int,
+                       numHashes: Int): Array[Long] = {
+    val hs = shingleHashes(tokens, k)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var si = 0
+    while (si < hs.length) {
+      val h = hs(si)
+      var i = 0
+      while (i < numHashes) {
+        val v = mix(h ^ (i.toLong * 0x9e3779b97f4a7c15L))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      si += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over token hashes (unweighted votes). */
+  def simhash(tokens: Array[String]): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < tokens.length) {
+      val h = fnv1a64(tokens(i))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+}

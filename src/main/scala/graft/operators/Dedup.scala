@@ -30,14 +30,21 @@ object Dedup {
     df.groupBy(digest(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signature: sig[i] = min over shingles of hash(shingle, i).
-    * Pure column expression — codegen'd, narrow.
+  /** MinHash signature: sig[i] = min over shingles of a seeded hash family.
+    *
+    * Computed by a one-pass kernel ([[graft.functions.TextHash]]) rather
+    * than nested higher-order functions: Catalyst's projection collapse
+    * inlines the shingle-array build into every one of the numHashes lambda
+    * iterations, turning O(S + S·H) into O(S·H·|build|) — a 100× slowdown
+    * observed at sf0.1. Narrow, deterministic, no shuffle.
     */
   def minhashSignature(text: Column, numHashes: Int = 128,
                        shingleK: Int = 3): Column = {
-    val sh = shingles(text, shingleK)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
+    val f = udf { toks: Seq[String] =>
+      graft.functions.TextHash.minhashSignature(toks.toArray, shingleK,
+        numHashes)
+    }
+    f(tokens(text))
   }
 
   /** LSH banding: (band index, hash of the signature slice) rows. */
@@ -54,10 +61,8 @@ object Dedup {
                  numHashes: Int = 128, numBands: Int = 32,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val withSig = df
-      .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-      .withColumn("sig", transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(col("sh"), s => xxhash64(s, i)))))
+    val withSig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), numHashes, 3).as("sig"))
     // candidates: explode only (id, band, bhash) — narrow row, small shuffle
     val bands = withSig.select(col("id"),
         explode(lshBands(col("sig"), numBands, rowsPerBand)).as("b"))
@@ -69,7 +74,7 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     // verify: re-join shingle sets by id, exact Jaccard on candidates only
-    val sh = withSig.select(col("id"), col("sh"))
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
     pairs
       .join(sh.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sh", "sh_a"), "id_a")
@@ -82,19 +87,16 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash from token hashes — sign of per-bit vote sums, built
-    * entirely from higher-order functions (narrow, codegen'd).
+  /** 64-bit SimHash from token hashes — sign of per-bit vote sums. One-pass
+    * kernel for the same Catalyst re-evaluation reason as
+    * [[minhashSignature]] (64 nested aggregates re-inline the token-hash
+    * array per bit).
     */
   def simhash(text: Column): Column = {
-    val hashes = transform(tokens(text), t => xxhash64(t))
-    val bits = transform(sequence(lit(0), lit(63)), j =>
-      aggregate(hashes, lit(0L),
-        (acc, h) => acc +
-          when(h.bitwiseAND(call_function("shiftleft", lit(1L), j.cast("int"))) =!= 0L, 1L)
-            .otherwise(-1L)))
-    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) =>
-      acc.bitwiseOR(when(element_at(bits, j.cast("int") + 1) > 0,
-        call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)))
+    val f = udf { toks: Seq[String] =>
+      graft.functions.TextHash.simhash(toks.toArray)
+    }
+    f(tokens(text))
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, found by

@@ -51,8 +51,72 @@ object Fixtures {
     val b = new Array[Byte](32); Bytes.put64be(b, 24, v); b
   }
 
+  // ---- tx-bodies fixtures (FIXTURES.md §a5) ----
+
+  final case class BlockBodyRow(block: Long, block_hash: Array[Byte],
+                                body_rlp: Array[Byte])
+  final case class BlockTxRow(tx_id: Long, tx_rlp: Array[Byte])
+
+  final case class TxWorld(bodies: DataFrame, transactions: DataFrame,
+                           nBlocks: Long, totalTxs: Long,
+                           dupBlocks: Seq[Long])
+
+  private val txCache = scala.collection.mutable.Map[(Int, Long), TxWorld]()
+
+  /** BlockBody/BlockTransaction tables with contiguous tx ranges and
+    * planted reorg duplicates (every 10th block has a second body with its
+    * own tx range — the duplicate-block case of erigon_extract.c:1852-1869).
+    */
+  def generateTxWorld(spark: SparkSession, nBlocks: Int = 100,
+                      seed: Long = 7L): TxWorld = synchronized {
+    txCache.getOrElseUpdate((nBlocks, seed), {
+      val rnd = new scala.util.Random(seed)
+      val bodies = Seq.newBuilder[BlockBodyRow]
+      val txs = Seq.newBuilder[BlockTxRow]
+      val dups = Seq.newBuilder[Long]
+      var txId = 0L
+      var totalTxs = 0L
+      def emitBody(block: Long): Unit = {
+        val txAmount = rnd.nextInt(6).toLong
+        val uncles =
+          if (rnd.nextInt(5) == 0) {
+            val u = new Array[Byte](20 + rnd.nextInt(40)); rnd.nextBytes(u)
+            graft.codec.Rlp.encodeList(graft.codec.Rlp.encodeBytes(u))
+          } else graft.codec.Rlp.encodeList(Array.emptyByteArray)
+        val hash = new Array[Byte](32); rnd.nextBytes(hash)
+        bodies += BlockBodyRow(block, hash, graft.codec.Rlp.encodeBlockBody(
+          graft.codec.Rlp.BlockBody(txId, txAmount, uncles)))
+        for (_ <- 0L until txAmount) {
+          val rlp = new Array[Byte](30 + rnd.nextInt(170))
+          rnd.nextBytes(rlp)
+          txs += BlockTxRow(txId, graft.codec.Rlp.encodeBytes(rlp))
+          txId += 1
+        }
+        totalTxs += txAmount
+      }
+      for (block <- 1L to nBlocks.toLong) {
+        emitBody(block)
+        if (block % 10 == 0) { emitBody(block); dups += block } // reorg dup
+      }
+      import spark.implicits._
+      TxWorld(bodies.result().toDF(), txs.result().toDF(), nBlocks.toLong,
+        totalTxs, dups.result())
+    })
+  }
+
+  // memoized per (params): Verify/Bench call several queries that share one
+  // world; regeneration is pure driver-side waste
+  private val cache =
+    scala.collection.mutable.Map[(Int, Int, Long), World]()
+
   def generate(spark: SparkSession, nAddresses: Int = 30,
-               nBlocks: Int = 200, seed: Long = 42L): World = {
+               nBlocks: Int = 200, seed: Long = 42L): World = synchronized {
+    cache.getOrElseUpdate((nAddresses, nBlocks, seed),
+      generateUncached(spark, nAddresses, nBlocks, seed))
+  }
+
+  private def generateUncached(spark: SparkSession, nAddresses: Int,
+               nBlocks: Int, seed: Long): World = {
     val rnd = new scala.util.Random(seed)
     val addrs = (0 until nAddresses).map { _ =>
       val a = new Array[Byte](20); rnd.nextBytes(a); a

@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.codec.Rlp
+
+/** The tx-bodies pipeline (SURVEY.md §3.1 step 2, erigon_extract.c:1777-1989):
+  * BlockBody scan → RLP decode (P3) → sequence join to BlockTransaction (J2)
+  * → stats (A2) and duplicate-block detection (A3).
+  *
+  * J2 at scale: the reference reads `tx_amount` consecutive tx rows per
+  * block with a keyed cursor. The naive Spark translation is a range join
+  * (`tx_id BETWEEN tx_index AND tx_index+tx_amount-1`), which Catalyst can
+  * only execute as a nested-loop join. Because the ranges are contiguous
+  * and disjoint, we instead EXPLODE each body into its (block, tx_id) pairs
+  * — output-linear, no blow-up — turning J2 into a plain shuffled EQUI-join
+  * on tx_id that sort-merge-joins at any scale.
+  */
+object TxBodies {
+
+  private val decodeBodyUdf = udf { blob: Array[Byte] =>
+    val b = Rlp.decodeBlockBody(blob)
+    (b.txIndex, b.txAmount, b.unclesRlp)
+  }
+
+  /** Decode body blobs: (block, block_hash, body_rlp) →
+    * (block, block_hash, tx_index, tx_amount, uncles_rlp).
+    */
+  def decodeBodies(bodies: DataFrame): DataFrame =
+    bodies
+      .withColumn("d", decodeBodyUdf(col("body_rlp")))
+      .select(col("block"), col("block_hash"),
+        col("d._1").as("tx_index"), col("d._2").as("tx_amount"),
+        col("d._3").as("uncles_rlp"))
+
+  /** J2: per-block transactions via the explode-to-equi-join plan.
+    * Returns one row per (block, tx_seq, tx_id, tx_rlp).
+    */
+  def joinTransactions(decodedBodies: DataFrame,
+                       transactions: DataFrame): DataFrame = {
+    val perTx = decodedBodies
+      .filter(col("tx_amount") > 0)
+      .select(col("block"), col("block_hash"), col("tx_index"),
+        col("tx_amount"),
+        explode(sequence(col("tx_index"),
+          col("tx_index") + col("tx_amount") - 1)).as("tx_id"))
+      .withColumn("tx_seq", col("tx_id") - col("tx_index"))
+    perTx.join(transactions, Seq("tx_id"))
+      .select(col("block"), col("block_hash"), col("tx_seq"), col("tx_id"),
+        col("tx_rlp"))
+  }
+
+  /** Contiguity check (erigon_extract.c:1951-1958): every expected tx_id
+    * must resolve; returns blocks whose join count ≠ tx_amount.
+    */
+  def contiguityViolations(decodedBodies: DataFrame,
+                           transactions: DataFrame): DataFrame = {
+    // keyed per BODY (block, hash): reorged duplicates of a height have
+    // their own tx ranges and must each be contiguous
+    val joined = joinTransactions(decodedBodies, transactions)
+      .groupBy(col("block"), col("block_hash"))
+      .agg(count(lit(1)).as("n_found"))
+    decodedBodies.filter(col("tx_amount") > 0)
+      .select(col("block"), col("block_hash"), col("tx_amount"))
+      .join(joined, Seq("block", "block_hash"), "left_outer")
+      .filter(coalesce(col("n_found"), lit(0L)) =!= col("tx_amount"))
+  }
+
+  /** A2 tx statistics (erigon_extract.c:1819-1820, 1871, 1960-1972). */
+  def stats(decodedBodies: DataFrame, transactions: DataFrame): DataFrame = {
+    val joined = joinTransactions(decodedBodies, transactions)
+    val dups = duplicateBlocks(decodedBodies)
+      .agg(count(lit(1)).as("block_dups"))
+    decodedBodies.agg(
+        countDistinct(col("block")).as("block_count"),
+        sum(col("tx_amount")).as("tx_declared"))
+      .crossJoin(joined.agg(count(lit(1)).as("tx_count"),
+        sum(length(col("tx_rlp"))).as("total_size")))
+      .crossJoin(dups)
+  }
+
+  /** A3: repeated block numbers — reorg artifacts kept by Erigon
+    * (erigon_extract.c:1852-1869).
+    */
+  def duplicateBlocks(decodedBodies: DataFrame): DataFrame =
+    decodedBodies.groupBy(col("block")).agg(count(lit(1)).as("n_bodies"))
+      .filter(col("n_bodies") > 1)
+
+  /** S9 sink shape: the reference's per-block record
+    * (block, tx_amount, uncles_len, uncles_rlp, then len-prefixed tx blobs,
+    * erigon_extract.c:1925-1964) — here as one binary blob per block via
+    * aggregation, preserving tx order.
+    */
+  def encodeBlocks(decodedBodies: DataFrame,
+                   transactions: DataFrame): DataFrame = {
+    val joined = joinTransactions(decodedBodies, transactions)
+    val grouped = joined.groupBy(col("block"), col("block_hash"))
+      .agg(sort_array(collect_list(struct(col("tx_seq"), col("tx_rlp"))))
+        .as("txs"))
+    val enc = udf { (block: Long, txAmount: Long, uncles: Array[Byte],
+                     txs: Seq[org.apache.spark.sql.Row]) =>
+      val out = new java.io.ByteArrayOutputStream()
+      val b8 = new Array[Byte](8)
+      def putU64(v: Long): Unit = {
+        graft.functions.Bytes.put64be(b8, 0, v); out.write(b8)
+      }
+      putU64(block); putU64(txAmount)
+      putU64(uncles.length.toLong); out.write(uncles)
+      txs.foreach { r =>
+        val rlp = r.getAs[Array[Byte]]("tx_rlp")
+        putU64(rlp.length.toLong); out.write(rlp)
+      }
+      out.toByteArray
+    }
+    decodedBodies.join(grouped, Seq("block", "block_hash"), "left_outer")
+      .select(col("block"),
+        enc(col("block"), col("tx_amount"), col("uncles_rlp"),
+          coalesce(col("txs"), array().cast(
+            "array<struct<tx_seq:bigint,tx_rlp:binary>>"))).as("record"))
+  }
+}

@@ -68,5 +68,25 @@ object PipelineQueries {
             col("nonce"), col("incarnation"),
             hex(col("balance")).as("balance"))
       }, None),
+
+    // §3.1 step 2: BlockBody RLP decode (P3) + J2 sequence join + A2 stats
+    // + A3 duplicate-block detection, one row of totals.
+    "p04_txbodies_stats" -> QuerySpec(
+      (s, dir) => {
+        val w = graft.pipeline.Fixtures.generateTxWorld(s,
+          if (dir.contains("sf0.1")) 2000 else 200)
+        graft.pipeline.TxBodies.stats(
+          graft.pipeline.TxBodies.decodeBodies(w.bodies), w.transactions)
+      }, None),
+
+    // A3 surfaced: reorged duplicate block heights.
+    "p05_txbodies_dups" -> QuerySpec(
+      (s, dir) => {
+        val w = graft.pipeline.Fixtures.generateTxWorld(s,
+          if (dir.contains("sf0.1")) 2000 else 200)
+        graft.pipeline.TxBodies.duplicateBlocks(
+          graft.pipeline.TxBodies.decodeBodies(w.bodies))
+          .orderBy(col("block"))
+      }, None),
   )
 }

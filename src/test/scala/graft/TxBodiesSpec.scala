@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.codec.Rlp
+import graft.functions.Bytes
+import graft.pipeline.{Fixtures, TxBodies}
+
+/** Tx-bodies pipeline tests: RLP codec round trip, the J2
+  * explode-to-equi-join, contiguity invariant, duplicate-block detection,
+  * stats, and the S9 sink record layout (erigon_extract.c:1777-1989).
+  */
+class TxBodiesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val world: Fixtures.TxWorld = Fixtures.generateTxWorld(spark)
+  lazy val decoded = TxBodies.decodeBodies(world.bodies).cache()
+
+  test("RLP block-body codec round trip") {
+    val rnd = new scala.util.Random(3)
+    for (_ <- 1 to 300) {
+      val uncles =
+        if (rnd.nextBoolean()) Rlp.encodeList(Array.emptyByteArray)
+        else {
+          val u = new Array[Byte](rnd.nextInt(100)); rnd.nextBytes(u)
+          Rlp.encodeList(Rlp.encodeBytes(u))
+        }
+      val b = Rlp.BlockBody(math.abs(rnd.nextLong()) % (1L << 48),
+        rnd.nextInt(1000).toLong, uncles)
+      val d = Rlp.decodeBlockBody(Rlp.encodeBlockBody(b))
+      assert(d.txIndex == b.txIndex && d.txAmount == b.txAmount)
+      assert(d.unclesRlp.sameElements(b.unclesRlp))
+    }
+    // strictness: trailing garbage rejected
+    val ok = Rlp.encodeBlockBody(Rlp.BlockBody(1, 2,
+      Rlp.encodeList(Array.emptyByteArray)))
+    assertThrows[IllegalArgumentException](
+      Rlp.decodeBlockBody(ok ++ Array(0x00.toByte)))
+  }
+
+  test("J2 join resolves exactly the declared transactions") {
+    val joined = TxBodies.joinTransactions(decoded, world.transactions)
+    assert(joined.count() == world.totalTxs)
+    // every (body, tx_seq) pair unique and within range
+    import org.apache.spark.sql.functions._
+    val bad = joined.groupBy("block", "block_hash", "tx_seq").count()
+      .filter(col("count") > 1)
+    assert(bad.count() == 0)
+  }
+
+  test("contiguity invariant holds on consistent data and trips on gaps") {
+    assert(TxBodies.contiguityViolations(decoded,
+      world.transactions).count() == 0)
+    // drop one transaction → exactly the affected bodies are flagged
+    import org.apache.spark.sql.functions._
+    val victim = world.transactions.orderBy("tx_id").limit(1)
+      .collect()(0).getLong(0)
+    val holed = world.transactions.filter(col("tx_id") =!= victim)
+    val v = TxBodies.contiguityViolations(decoded, holed).collect()
+    assert(v.nonEmpty)
+    assert(v.forall(r => r.getAs[Long]("n_found") ==
+      r.getAs[Long]("tx_amount") - 1))
+  }
+
+  test("duplicate-block detection finds exactly the planted reorgs") {
+    val dups = TxBodies.duplicateBlocks(decoded).collect()
+      .map(_.getAs[Long]("block")).sorted
+    assert(dups.toSeq == world.dupBlocks.sorted)
+  }
+
+  test("stats aggregate matches the fixture totals") {
+    val s = TxBodies.stats(decoded, world.transactions).collect()(0)
+    assert(s.getAs[Long]("block_count") == world.nBlocks)
+    assert(s.getAs[Long]("tx_count") == world.totalTxs)
+    assert(s.getAs[Long]("tx_declared") == world.totalTxs)
+    assert(s.getAs[Long]("block_dups") == world.dupBlocks.length)
+    assert(s.getAs[Long]("total_size") > 0)
+  }
+
+  test("S9 sink record layout: u64-BE framed, parseable, ordered") {
+    val recs = TxBodies.encodeBlocks(decoded, world.transactions)
+      .collect()
+    assert(recs.length == decoded.count())
+    recs.foreach { r =>
+      val block = r.getAs[Long]("block")
+      val b = r.getAs[Array[Byte]]("record")
+      assert(Bytes.get64be(b, 0) == block)
+      val txAmount = Bytes.get64be(b, 8)
+      val unclesLen = Bytes.get64be(b, 16).toInt
+      var pos = 24 + unclesLen
+      var i = 0L
+      while (i < txAmount) {
+        val len = Bytes.get64be(b, pos).toInt
+        assert(len > 0 && pos + 8 + len <= b.length)
+        pos += 8 + len
+        i += 1
+      }
+      assert(pos == b.length, s"block $block: trailing bytes")
+    }
+  }
+}
