@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.expressions.{MinHashSigExpr, SimHash64Expr}
+
+/** SQL surface for the graft-native expressions.
+  *
+  * Attach at session build time:
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *   // or spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  * or retrofit an existing session with [[GraftFunctions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach(e.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "minhash_sig(tokens, shingle_k, num_hashes)")
+        MinHashSigExpr(exprs.head, intLit(exprs(1), "shingle_k"),
+          intLit(exprs(2), "num_hashes"))
+      }),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "simhash64(tokens)")
+        SimHash64Expr(exprs.head)
+      }))
+
+  /** Idempotent retrofit for sessions not built with the extension. */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

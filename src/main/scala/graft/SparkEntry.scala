@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DeclaredQueries, LlmQueries, PipelineQueries, QuerySpec}
+import graft.queries.{DeclaredQueries, LlmQueries, PipelineQueries, QuerySpec, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All registered query specs, keyed by query name. */
   def registry: Map[String, QuerySpec] =
-    DeclaredQueries.all ++ PipelineQueries.all ++ LlmQueries.all
+    DeclaredQueries.all ++ PipelineQueries.all ++ LlmQueries.all ++
+      StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

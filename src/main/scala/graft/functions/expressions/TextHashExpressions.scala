@@ -1,0 +1,100 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.Bridge
+import org.apache.spark.sql.types._
+import graft.functions.TextHash
+
+/** Native Catalyst expressions for the hot text-hash kernels — tier (b) of
+  * the extension ladder (built-ins → custom Expression → custom operator →
+  * mapPartitions). Compared with the Scala-UDF form these stay inside
+  * whole-stage codegen: `doGenCode` emits a direct static call, so there is
+  * no per-row closure dispatch, no ScalaUDF null-boxing, and the surrounding
+  * projection keeps fusing.
+  */
+object TextHashExpressions {
+
+  /** Convert an input ArrayData of UTF8String tokens to Array[String]. */
+  def tokensOf(arr: ArrayData): Array[String] = {
+    val n = arr.numElements()
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) { out(i) = arr.getUTF8String(i).toString; i += 1 }
+    out
+  }
+
+  /** Static entry points referenced from generated code. */
+  def minhash(arr: ArrayData, k: Int, n: Int): ArrayData =
+    new GenericArrayData(TextHash.minhashSignature(tokensOf(arr), k, n))
+
+  def simhash(arr: ArrayData): Long = TextHash.simhash(tokensOf(arr))
+
+  /** Column helpers (the Scala-facing API). */
+  def minhash_sig(tokens: Column, shingleK: Int, numHashes: Int): Column =
+    Bridge.column(
+      MinHashSigExpr(Bridge.expression(tokens), shingleK, numHashes))
+
+  def simhash64(tokens: Column): Column =
+    Bridge.column(SimHash64Expr(Bridge.expression(tokens)))
+}
+
+/** minhash_sig(tokens, k, numHashes): MinHash signature of word-shingle
+  * sets in one pass (see [[graft.functions.TextHash.minhashSignature]]).
+  */
+case class MinHashSigExpr(child: Expression, shingleK: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig needs array<string>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(tokens: Any): Any =
+    TextHashExpressions.minhash(tokens.asInstanceOf[ArrayData], shingleK,
+      numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.expressions.TextHashExpressions
+         |  .minhash($c, $shingleK, $numHashes);""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
+    copy(child = c)
+}
+
+/** simhash64(tokens): 64-bit SimHash of the token multiset. */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 needs array<string>, got $other")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(tokens: Any): Any =
+    TextHashExpressions.simhash(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextHashExpressions" +
+        s".simhash($c);")
+
+  override protected def withNewChildInternal(c: Expression): SimHash64Expr =
+    copy(child = c)
+}

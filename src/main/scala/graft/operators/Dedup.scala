@@ -39,13 +39,9 @@ object Dedup {
     * observed at sf0.1. Narrow, deterministic, no shuffle.
     */
   def minhashSignature(text: Column, numHashes: Int = 128,
-                       shingleK: Int = 3): Column = {
-    val f = udf { toks: Seq[String] =>
-      graft.functions.TextHash.minhashSignature(toks.toArray, shingleK,
-        numHashes)
-    }
-    f(tokens(text))
-  }
+                       shingleK: Int = 3): Column =
+    graft.functions.expressions.TextHashExpressions
+      .minhash_sig(tokens(text), shingleK, numHashes)
 
   /** LSH banding: (band index, hash of the signature slice) rows. */
   def lshBands(sig: Column, numBands: Int, rowsPerBand: Int): Column =
@@ -92,12 +88,8 @@ object Dedup {
     * [[minhashSignature]] (64 nested aggregates re-inline the token-hash
     * array per bit).
     */
-  def simhash(text: Column): Column = {
-    val f = udf { toks: Seq[String] =>
-      graft.functions.TextHash.simhash(toks.toArray)
-    }
-    f(tokens(text))
-  }
+  def simhash(text: Column): Column =
+    graft.functions.expressions.TextHashExpressions.simhash64(tokens(text))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, found by
     * the pigeonhole chunk join: split the 64-bit signature into

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.Streams
+
+/** Streaming-surface queries. w01 checks the windowed aggregation logic
+  * against a DuckDB oracle in batch form (same plan Structured Streaming
+  * executes incrementally); st01 actually runs the incremental W1 fold
+  * through a MemoryStream-backed streaming query.
+  */
+object StreamingQueries {
+
+  val all: Map[String, QuerySpec] = Map(
+
+    // Tumbling 1-day window over events — the batch form of
+    // Streams.eventWindowAgg (window.start == date_trunc for day windows).
+    "w01_event_window" -> QuerySpec(
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("total_value"))
+          .select(col("window.start").as("day"), col("event_type"),
+            col("n_events"), col("total_value"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""SELECT date_trunc('day', ts) AS day, event_type,
+             |COUNT(*) AS n_events,
+             |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
+
+    // Incremental W1 through an actual streaming query (MemoryStream →
+    // flatMapGroupsWithState → memory sink), fed the fixture changesets in
+    // two block-ordered micro-batches.
+    "st01_incremental_history" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val w = graft.pipeline.Fixtures.generate(s)
+        val accounts = graft.pipeline.FullHistory
+          .decodeAccounts(w.accountChangeset, w.plainCodeHash)
+        val storage = graft.pipeline.FullHistory
+          .decodeStorage(w.storageChangeset)
+        val changes = accounts.unionByName(storage)
+          .select(
+            concat_ws("/", hex(col("address")),
+              col("isStorage").cast("string"),
+              when(col("isStorage"), col("incarnation")).otherwise(lit(0L)),
+              when(col("isStorage"), hex(col("slot"))).otherwise(lit("")))
+              .as("key"),
+            col("block"),
+            concat_ws(":", col("nonce"), hex(col("balance"))).as("payload"))
+          .as[Streams.Change].collect().sortBy(_.block)
+
+        implicit val sqlCtx = s.sqlContext
+        val mem = MemoryStream[Streams.Change]
+        val name = "st01_sink"
+        val q = Streams.incrementalHistory(mem.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          val (b1, b2) = changes.splitAt(changes.length / 2)
+          mem.addData(b1.toSeq); q.processAllAvailable()
+          mem.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+        s.table(name).orderBy(col("key"), col("validFrom"))
+      }, None),
+  )
+}

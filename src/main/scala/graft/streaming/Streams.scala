@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension (SURVEY.md §7.5): the reference is pure
+  * batch, but its changeset tables are an append-only CDC log keyed by
+  * block — the natural incremental form of the §3.1 pipeline. This module
+  * maintains the W1 re-timestamping incrementally: each arriving changeset
+  * entry (the PRE-state of its block) closes the interval opened by the
+  * previous change of the same key, exactly the LAG fold of
+  * erigon_extract.c:2409-2419 — but as keyed state over an unbounded
+  * stream, scaling with Spark's state store instead of a sort.
+  *
+  * Ordering contract: within one micro-batch a group's rows are sorted by
+  * block here; across batches the CDC log must be ingested in block order
+  * (which an append-only changeset log is by construction).
+  */
+object Streams {
+
+  /** One decoded changeset entry: `key` identifies the account/slot group
+    * (compare_keys_except_block), `block` the change height, `payload` the
+    * opaque pre-state (hex-encoded decoded fields).
+    */
+  final case class Change(key: String, block: Long, payload: String)
+
+  /** A closed validity interval: `payload` was live [validFrom, block). */
+  final case class HistoryRow(key: String, validFrom: Long, block: Long,
+                              payload: String)
+
+  /** Incremental W1: flatMapGroupsWithState fold emitting one history row
+    * per change, carrying the previous change block as per-key state.
+    */
+  def incrementalHistory(changes: Dataset[Change]): Dataset[HistoryRow] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, HistoryRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Change], state: GroupState[Long]) =>
+          var last = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(_.block).map { c =>
+            val row = HistoryRow(key, last, c.block, c.payload)
+            last = c.block
+            row
+          }
+          state.update(last)
+          out.iterator
+      }
+  }
+
+  /** Generic event-stream surface: watermarked tumbling-window aggregation
+    * over the driver's `events` shape (ts, event_type, value).
+    */
+  def eventWindowAgg(events: DataFrame,
+                     watermark: String = "1 hour",
+                     window_ : String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+}

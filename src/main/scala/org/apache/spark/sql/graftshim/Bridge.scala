@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Access shim for `private[sql]` Column↔Expression conversion in Spark 4
+  * (`org.apache.spark.sql.classic.ExpressionUtils`) — the standard pattern
+  * for libraries that define native Catalyst expressions outside the Spark
+  * source tree.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

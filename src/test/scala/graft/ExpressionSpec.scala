@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextHash
+
+/** Native-expression tests: SQL registration, codegen-path equivalence with
+  * the Scala kernel, and absence of ScalaUDF from the plan.
+  */
+class ExpressionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("minhash_sig / simhash64 usable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT minhash_sig(split('a b c d e', ' '), 3, 16) AS sig, " +
+        "simhash64(split('a b c d e', ' ')) AS sh").collect()(0)
+    val sig = r.getSeq[Long](0)
+    assert(sig.length == 16)
+    assert(sig == TextHash.minhashSignature(
+      Array("a", "b", "c", "d", "e"), 3, 16).toSeq)
+    assert(r.getLong(1) == TextHash.simhash(Array("a", "b", "c", "d", "e")))
+  }
+
+  test("expression matches kernel over many rows (codegen path)") {
+    import spark.implicits._
+    val docs = (1 to 500).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, (1 to 30).map(_ => s"w${rnd.nextInt(50)}").mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+    val got = df.select(col("id"),
+        operators.Dedup.minhashSignature(col("text"), 32, 3).as("sig"),
+        operators.Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2)))
+      .toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      assert(got(id)._1 == TextHash.minhashSignature(toks, 3, 32).toSeq,
+        s"id=$id minhash")
+      assert(got(id)._2 == TextHash.simhash(toks), s"id=$id simhash")
+    }
+  }
+
+  test("plan contains the native expression, not a ScalaUDF") {
+    // non-foldable input (range), else constant folding evaluates the
+    // expression at optimization time and it vanishes from the plan
+    val df = spark.range(10)
+      .withColumn("text", concat_ws(" ", lit("a"), col("id").cast("string")))
+    val plan = df.select(operators.Dedup.minhashSignature(col("text"))
+      .as("sig")).queryExecution.executedPlan.toString
+    assert(plan.contains("minhash_sig"), plan)
+    assert(!plan.contains("UDF"), plan)
+  }
+
+  test("extensions class injects the function descriptors") {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(e) // must not throw; descriptors wired
+    assert(GraftFunctions.descriptors.map(_._1.funcName) ==
+      Seq("minhash_sig", "simhash64"))
+  }
+}
