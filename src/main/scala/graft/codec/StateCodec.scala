@@ -341,8 +341,10 @@ final class StateWriter(val strategy: Int, val pageShift: Int = 0) {
   * boundary — the property that makes the format splittable.
   */
 final class StateReader(val strategy: Int, data: Array[Byte],
-                        start: Int = 0) extends Iterator[StateItem] {
+                        start: Int = 0,
+                        end: Int = -1) extends Iterator[StateItem] {
   private var pos = start
+  private val limit = if (end < 0) data.length else end
   private var block = 0L
   private var nonce = 0L
   private var accountIncarnation = 0L
@@ -492,8 +494,11 @@ final class StateReader(val strategy: Int, data: Array[Byte],
     var firstTime = true
     nextItem = null
     while (true) {
-      if (pos >= data.length) {
-        if (!firstTime)
+      if (pos >= limit) {
+        // with an explicit `end` (page-bounded decode) stopping between
+        // items — including after trailing PAGE_PADDING — is normal;
+        // mid-stream EOF without a bound is corruption
+        if (!firstTime && end < 0)
           throw new IllegalArgumentException(
             s"Invalid stream: EOF before next item at offset $pos")
         return

@@ -1,0 +1,98 @@
+package graft.spark
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.codec.{Header, StateReader, StateWriter}
+import graft.model.StateItem
+
+/** S7/S8 — the reference's `.dat` file format as a Spark source/sink
+  * (erigon_extract.c:1340-1428 reader, 824-1269 writer, 2266-2288 header).
+  *
+  * Sink: one `part-NNNNN.dat` per partition, each a 256-byte header plus
+  * page-aligned opcode stream (the merge output layout, page_shift 12).
+  *
+  * Source: files are NOT read sequentially. Because the writer restarts
+  * compression state at every 4 KiB page boundary, every page is
+  * independently decodable — so the read path explodes (file × page-range)
+  * tasks and decodes pages in parallel, which is what makes the format
+  * splittable for Spark in exactly the way the reference's O(log N) seek
+  * exploits on disk (README.md:36-41).
+  */
+object StateFiles {
+
+  private val PageShift = 12
+  private val PageSize = 1 << PageShift
+
+  /** Write a sorted Dataset[StateItem] as header-prefixed page-aligned .dat
+    * files, one per partition (partition ordering = caller's sort).
+    */
+  def write(items: Dataset[StateItem], dir: String, strategy: Int,
+            blockStart: Long = 0L, blockEnd: Long = 0L): Unit = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    Files.createDirectories(Paths.get(dir))
+    items.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      if (it.isEmpty) Iterator.empty
+      else {
+        val w = new StateWriter(strategy, PageShift)
+        it.foreach(w.write)
+        val body = w.toArray
+        val header = Header.build(
+          endOfStates = Header.Size.toLong + body.length, PageShift,
+          blockStart, blockEnd, w.countStorageSlots)
+        val path = Paths.get(dir, f"part-$pid%05d.dat")
+        Files.write(path, header ++ body)
+        Iterator.single((pid, body.length.toLong, w.countAccounts,
+          w.countStorageSlots))
+      }
+    }.toDF("partition", "bytes", "accounts", "storage_slots")
+      .collect() // force the write; driver-side summary only
+    ()
+  }
+
+  /** Page-parallel read: list files on the driver, explode page indexes,
+    * decode each page independently in executors.
+    */
+  def read(spark: SparkSession, dir: String, strategy: Int): Dataset[StateItem] = {
+    import spark.implicits._
+    val files = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.toString.endsWith(".dat")).map(_.toString).toSeq.sorted
+    val filePages = files.flatMap { f =>
+      val size = Files.size(Paths.get(f))
+      val hBytes = new Array[Byte](Header.Size)
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try raf.readFully(hBytes) finally raf.close()
+      val h = java.nio.ByteBuffer.wrap(hBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(h.getLong(0) == Header.Magic, s"$f: bad magic")
+      val nPages =
+        ((size - Header.Size) + PageSize - 1) / PageSize
+      (0L until nPages).map(p => (f, p))
+    }
+    spark.createDataset(filePages).toDF("file", "page")
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("file"), col("page"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        // group by file within the task to read each file once
+        val byFile = it.toSeq.groupBy(_._1)
+        byFile.iterator.flatMap { case (f, pages) =>
+          val bytes = Files.readAllBytes(Paths.get(f))
+          pages.iterator.map(_._2).flatMap { p =>
+            val start = Header.Size + (p * PageSize).toInt
+            val end = math.min(start + PageSize, bytes.length)
+            new StateReader(strategy, bytes, start, end)
+          }
+        }
+      }
+  }
+
+  private implicit class IterWrap[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+}

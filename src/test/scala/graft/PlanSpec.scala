@@ -15,6 +15,36 @@ class PlanSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("q01: range predicate reaches the parquet scan (PushedFilters)") {
+    val df = SparkEntry.queries("q01_range_filter")(spark,
+      "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(l_orderkey,100"), plan.take(2000))
+    // column pruning: the scan must not read all 11 lineitem columns
+    assert(plan.contains("ReadSchema") &&
+      !plan.contains("l_shipdate"), "scan reads pruned columns")
+  }
+
+  test("q03: small dimension join broadcasts (no shuffle join)") {
+    val df = SparkEntry.queries("q03_lookup_join")(spark,
+      "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), "dim join must not sort-merge")
+  }
+
+  test("q08: aggregation is partial (map-side combine before the shuffle)") {
+    val df = SparkEntry.queries("q08_agg_counters")(spark,
+      "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // partial_ aggregate functions upstream of the exchange
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      plan.take(2000))
+  }
+
   test("full-history plan: one range exchange, no window re-shuffle, broadcast J1") {
     val w = Fixtures.generate(spark, nAddresses = 10, nBlocks = 30)
     val h = FullHistory.build(spark, w.accountChangeset, w.storageChangeset,
