@@ -79,6 +79,28 @@ object PipelineQueries {
           graft.pipeline.TxBodies.decodeBodies(w.bodies), w.transactions)
       }, None),
 
+    // S7/S8: write the full history as header-prefixed page-aligned .dat
+    // files, read it back page-parallel, report per-file page counts and
+    // the row-count equality.
+    "p06_dat_roundtrip" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val w = world(s, dir)
+        val h = FullHistory.build(s, w.accountChangeset, w.storageChangeset,
+          w.plainCodeHash, w.plainStateAccounts, w.plainStateStorage,
+          w.latestBlock)
+        val items = graft.spark.StateFormat.asItems(
+          h.withColumnRenamed("valid_from_block", "block"))
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-dat-q").toString
+        graft.spark.StateFiles.write(items, out, strategy = 0,
+          blockStart = 0L, blockEnd = w.latestBlock)
+        val back = graft.spark.StateFiles.read(s, out, strategy = 0)
+        Seq((items.count(), back.count(),
+            new java.io.File(out).listFiles().count(_.getName.endsWith(".dat"))))
+          .toDF("rows_written", "rows_read", "n_files")
+      }, None),
+
     // A3 surfaced: reorged duplicate block heights.
     "p05_txbodies_dups" -> QuerySpec(
       (s, dir) => {
