@@ -16,9 +16,12 @@ object SparkEntry {
     DeclaredQueries.all ++ PipelineQueries.all ++ LlmQueries.all ++
       StreamingQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full reference dataflow: changesets → decoded, code-hash-joined,
+    * range-sorted, LAG-re-timestamped state history (SURVEY.md §3.1).
+    */
   def entry(spark: SparkSession): DataFrame =
-    registry("q08_agg_counters").fn(spark, "/root/testdata/sf0.001")
+    registry("p01_full_history").fn(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities for the 100 TB shape (SURVEY.md §7.4: hot
+  * addresses — popular contracts — dominate `partitionBy(address, slot)`
+  * distributions; the same applies to hot dedup digests and LSH buckets).
+  *
+  * Two standard remedies, both pure plan rewrites:
+  *
+  *  - salted two-phase aggregation: pre-aggregate on (key, salt) so the hot
+  *    key's rows land on `salts` reducers before the final roll-up — turns
+  *    a single straggler into `salts` balanced partials;
+  *  - salted broadcast join: replicate the (small) build side `salts` ways
+  *    and salt the probe side, spreading one hot join key across tasks.
+  *
+  * AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on by
+  * default) covers sort-merge joins at runtime; these helpers cover the
+  * aggregation and broadcast cases AQE does not rewrite.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: count and sum per key, immune to a hot
+    * key. `salts` ≈ number of tasks a hot key should spread across.
+    */
+  def saltedAgg(df: DataFrame, key: Column, value: Column,
+                salts: Int = 16): DataFrame = {
+    val salted = df.select(key.as("k"), value.as("v"),
+      (abs(hash(monotonically_increasing_id())) % salts).as("salt"))
+    salted
+      .groupBy(col("k"), col("salt"))
+      .agg(count(lit(1)).as("pc"), sum(col("v")).as("ps"))
+      .groupBy(col("k"))
+      .agg(sum(col("pc")).as("n"), sum(col("ps")).as("total"))
+  }
+
+  /** Salted broadcast-style join for a skewed equi-join: the probe side
+    * gets a random salt in [0, salts); the build side is exploded to every
+    * salt value; the join key becomes (key, salt). Output equals the plain
+    * equi-join.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+                 buildKey: String, salts: Int = 16): DataFrame = {
+    val p = probe.withColumn("__salt",
+      abs(hash(monotonically_increasing_id())) % salts)
+    val b = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    p.join(b, p(probeKey) === b(buildKey) && p("__salt") === b("__salt"))
+      .drop("__salt")
+  }
+}

@@ -226,5 +226,21 @@ object DeclaredQueries {
       Some("""SELECT user_id, event_id, ts,
              |LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
              |FROM events ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    // Q13 — X-scale skew handling: two-phase SALTED aggregation must equal
+    // the plain aggregate (the oracle runs the plain SQL). Values are
+    // quantized to decimal per-row so both phases sum exactly.
+    "q13_salted_agg" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Skew.saltedAgg(Tables(s, dir, "events"),
+            $"user_id", $"value".cast("decimal(18,2)"), salts = 8)
+          .select($"k".as("user_id"), $"n",
+            $"total".cast("double").as("total"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, COUNT(*) AS n,
+             |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
   )
 }

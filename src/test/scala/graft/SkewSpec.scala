@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Skew
+
+/** Salted-plan equivalence: the skew rewrites must produce exactly the
+  * plain plan's results on a hot-key distribution.
+  */
+class SkewSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // 90% of rows share one hot key
+  lazy val skewed = spark.range(20000)
+    .select(when(col("id") % 10 =!= 0, lit("HOT")).otherwise(
+      concat(lit("k"), (col("id") % 97).cast("string"))).as("k"),
+      (col("id") % 1000).cast("double").as("v"))
+
+  test("salted two-phase aggregation equals plain groupBy") {
+    val plain = skewed.groupBy(col("k")).agg(count(lit(1)).as("n"),
+        sum(col("v")).as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2)))).toSet
+    val salted = Skew.saltedAgg(skewed, col("k"), col("v"), salts = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2)))).toSet
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join") {
+    val build = Seq(("HOT", 1), ("k5", 2), ("k42", 3)).toDF("bk", "tag")
+    val plain = skewed.join(build, skewed("k") === build("bk"))
+      .groupBy("bk").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val salted = Skew.saltedJoin(skewed, build, "k", "bk", salts = 8)
+      .groupBy("bk").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted == plain)
+  }
+}
