@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.expressions.{MinHashSigExpr, SimHash64Expr}
+import graft.functions.expressions.{CosineSimExpr, MinHashSigExpr, SimHash64Expr, Uint256Expr}
 
 /** SQL surface for the graft-native expressions.
   *
@@ -44,6 +44,24 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "simhash64(tokens)")
         SimHash64Expr(exprs.head)
+      }),
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "cosine_sim(a, b)")
+        CosineSimExpr(exprs(0), exprs(1))
+      }),
+    (FunctionIdentifier("uint256_add"),
+      new ExpressionInfo(classOf[Uint256Expr].getName, "uint256_add"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "uint256_add(a, b)")
+        Uint256Expr(exprs(0), exprs(1), sub = false)
+      }),
+    (FunctionIdentifier("uint256_sub"),
+      new ExpressionInfo(classOf[Uint256Expr].getName, "uint256_sub"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "uint256_sub(a, b)")
+        Uint256Expr(exprs(0), exprs(1), sub = true)
       }))
 
   /** Idempotent retrofit for sessions not built with the extension. */

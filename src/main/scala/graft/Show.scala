@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.codec.{Header, StateReader}
+import graft.functions.Bytes
+import graft.model.StateItem
+
+/** CLI equivalent of the reference's inspect/decode mode
+  * (`-s`/`-S`/`-T` → show_file, erigon_extract.c:2002-2040, 2662-2669):
+  * decode a .dat file (or raw stream) and print every item. Output format
+  * mirrors the reference's Account/Storage dump lines so decoded streams
+  * are eyeball-diffable.
+  *
+  * Usage: runMain graft.Show <strategy> <path> [--header]
+  *   --header: file starts with the 256-byte merge header (skipped, like
+  *   the reference's -T offset-256 mode).
+  */
+object Show {
+
+  def format(i: StateItem): String =
+    if (!i.isStorage)
+      s"Account block=${i.block} address=${Bytes.hex(i.address)}\n" +
+        s"        inc=${i.incarnation} nonce=${i.nonce} " +
+        s"balance=${Bytes.hex(i.balance)}\n" +
+        s"        codeHash=${Bytes.hex(i.codeHash)}"
+    else
+      s"Storage block=${i.block} slot=${Bytes.hex(i.address)}/" +
+        s"${Bytes.hex(i.slot)}\n" +
+        s"        inc=${i.incarnation} value=${Bytes.hex(i.value)}"
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Show <strategy> <path> [--header]")
+    val strategy = args(0).toInt
+    val data = Files.readAllBytes(Paths.get(args(1)))
+    val start =
+      if (args.contains("--header")) {
+        val bb = java.nio.ByteBuffer.wrap(data)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        require(bb.getLong(0) == Header.Magic,
+          f"bad magic ${bb.getLong(0)}%d (expected ${Header.Magic}%d)")
+        println(s"Header: end_of_states=${bb.getLong(8)} " +
+          s"page_shift=${bb.getLong(24)} blocks=${bb.getLong(32)}.." +
+          s"${bb.getLong(40)} storage_slots=${bb.getLong(48)}")
+        Header.Size
+      } else 0
+    var n = 0L
+    new StateReader(strategy, data, start).foreach { i =>
+      println(format(i)); n += 1
+    }
+    println(s"$n items")
+  }
+}

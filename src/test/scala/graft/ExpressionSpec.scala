@@ -59,10 +59,57 @@ class ExpressionSpec extends AnyFunSuite {
     assert(!plan.contains("UDF"), plan)
   }
 
+  test("cosine_sim native expression matches the lambda formulation bitwise") {
+    import spark.implicits._
+    val vecs = (0 until 200).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }.toDF("id", "v")
+    val both = vecs.as("x").crossJoin(vecs.limit(3).as("y"))
+      .select(
+        graft.functions.expressions.VectorExpressions
+          .cosine_sim(col("x.v"), col("y.v")).as("native"),
+        operators.Similarity.dot(col("x.v"), col("y.v"))
+          .as("d"),
+        (operators.Similarity.norm(col("x.v")) *
+          operators.Similarity.norm(col("y.v"))).as("nn"))
+      .withColumn("lambda",
+        when(col("nn") =!= 0.0d, col("d") / col("nn")).otherwise(0.0d))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("native")) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("lambda")))
+    }
+  }
+
+  test("uint256_add/sub match BigInteger mod 2^256") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(21)
+    val rows = (1 to 200).map { _ =>
+      val a = new Array[Byte](32); val b = new Array[Byte](32)
+      rnd.nextBytes(a); rnd.nextBytes(b)
+      (a, b)
+    }
+    val got = rows.toDF("a", "b")
+      .selectExpr("uint256_add(a, b) AS s", "uint256_sub(a, b) AS d")
+      .collect()
+    val mod = java.math.BigInteger.ONE.shiftLeft(256)
+    rows.zip(got).foreach { case ((a, b), r) =>
+      val ba = new java.math.BigInteger(1, a)
+      val bb = new java.math.BigInteger(1, b)
+      val es = ba.add(bb).mod(mod)
+      val ed = ba.subtract(bb).mod(mod)
+      assert(new java.math.BigInteger(1, r.getAs[Array[Byte]]("s")) == es)
+      assert(new java.math.BigInteger(1, r.getAs[Array[Byte]]("d")) == ed)
+    }
+  }
+
   test("extensions class injects the function descriptors") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // must not throw; descriptors wired
     assert(GraftFunctions.descriptors.map(_._1.funcName) ==
-      Seq("minhash_sig", "simhash64"))
+      Seq("minhash_sig", "simhash64", "cosine_sim", "uint256_add",
+        "uint256_sub"))
   }
 }
