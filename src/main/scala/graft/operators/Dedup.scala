@@ -63,14 +63,23 @@ object Dedup {
     val bands = withSig.select(col("id"),
         explode(lshBands(col("sig"), numBands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band"), col("b.bhash"))
+      // materialized once: both sides of the self-join read this tiny
+      // (id, band, hash) relation instead of recomputing signatures
+      .persist()
     val pairs = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bhash") === col("y.bhash") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    // verify: re-join shingle sets by id, exact Jaccard on candidates only
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+    // verify: compute shingle sets ONLY for candidate ids (semi-join first
+    // — at corpus scale the candidate set is orders of magnitude smaller
+    // than the corpus, so the expensive shingle build is output-sized)
+    val candidateIds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val sh = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(candidateIds, Seq("id"), "left_semi")
+      .select(col("id"), shingles(col("__text")).as("sh"))
     pairs
       .join(sh.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sh", "sh_a"), "id_a")

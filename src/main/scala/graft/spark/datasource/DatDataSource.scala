@@ -1,0 +1,123 @@
+package graft.spark.datasource
+
+import java.nio.file.{Files, Paths}
+import java.util
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.codec.{Header, StateReader}
+import graft.model.StateItem
+
+/** DataSource V2 for the reference's `.dat` state-stream format — the
+  * §2.1 S7 "custom-format file source" as a first-class Spark source:
+  *
+  * {{{
+  *   spark.read.format("graft.spark.datasource.DatDataSource")
+  *     .option("strategy", "0").load("/path/to/dats")
+  * }}}
+  *
+  * Split model: one `InputPartition` per contiguous run of 4 KiB pages
+  * (`pagesPerSplit`, default 256 = 1 MiB splits). The writer's
+  * page-restart property (erigon_extract.c:802-822) makes every split
+  * independently decodable — this source is to the .dat format what
+  * parquet's row-group splits are to parquet.
+  */
+class DatDataSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DatDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new DatTable(properties.get("path"),
+      Option(properties.get("strategy")).map(_.toInt).getOrElse(0),
+      Option(properties.get("pagesPerSplit")).map(_.toInt).getOrElse(256))
+}
+
+object DatDataSource {
+  /** Decoded stream schema (FIXTURES.md §a6). */
+  val schema: StructType = StateItem.schema
+}
+
+class DatTable(path: String, strategy: Int, pagesPerSplit: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"dat($path)"
+  override def schema(): StructType = DatDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DatScanBuilder(path, strategy, pagesPerSplit)
+}
+
+class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int)
+    extends ScanBuilder with Scan with Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = DatDataSource.schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val pageSize = 1 << 12
+    val files = Files.list(Paths.get(path)).iterator()
+    val out = Seq.newBuilder[InputPartition]
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.toString.endsWith(".dat")) {
+        val size = Files.size(f)
+        val hBytes = new Array[Byte](Header.Size)
+        val raf = new java.io.RandomAccessFile(f.toFile, "r")
+        try raf.readFully(hBytes) finally raf.close()
+        val bb = java.nio.ByteBuffer.wrap(hBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        require(bb.getLong(0) == Header.Magic, s"$f: bad magic")
+        val body = size - Header.Size
+        val nPages = ((body + pageSize - 1) / pageSize).toInt
+        var p = 0
+        while (p < nPages) {
+          val pages = math.min(pagesPerSplit, nPages - p)
+          out += DatInputPartition(f.toString,
+            Header.Size + p.toLong * pageSize,
+            Header.Size + math.min((p + pages).toLong * pageSize, body))
+          p += pages
+        }
+      }
+    }
+    out.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DatReaderFactory(strategy)
+}
+
+case class DatInputPartition(file: String, startOffset: Long,
+                             endOffset: Long) extends InputPartition
+
+class DatReaderFactory(strategy: Int) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[DatInputPartition]
+    new PartitionReader[InternalRow] {
+      // range-read just this split (+ its header-relative offsets)
+      private val bytes = {
+        val len = (part.endOffset - part.startOffset).toInt
+        val out = new Array[Byte](len)
+        val raf = new java.io.RandomAccessFile(part.file, "r")
+        try { raf.seek(part.startOffset); raf.readFully(out) }
+        finally raf.close()
+        out
+      }
+      private val it = new StateReader(strategy, bytes, 0, bytes.length)
+      private var current: StateItem = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = {
+        val i = current
+        InternalRow(i.address, i.block, i.isStorage, i.nonce, i.incarnation,
+          i.balance, i.codeHash, i.slot, i.value)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -180,6 +180,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(nPages > files.length)
   }
 
+  test("DataSource V2: spark.read.format over .dat matches the items") {
+    import spark.implicits._
+    val items = StateFormat.asItems(
+      history.withColumnRenamed("valid_from_block", "block"))
+    val dir = Files.createTempDirectory("graft-dsv2").toString
+    graft.spark.StateFiles.write(items, dir, strategy = 1)
+    val df = spark.read
+      .format("graft.spark.datasource.DatDataSource")
+      .option("strategy", "1")
+      .option("pagesPerSplit", "2") // force many splits
+      .load(dir)
+    assert(df.schema == graft.model.StateItem.schema)
+    def key(r: org.apache.spark.sql.Row) =
+      (Bytes.hex(r.getAs[Array[Byte]]("address")),
+        r.getAs[Boolean]("isStorage"), r.getAs[Long]("incarnation"),
+        Bytes.hex(r.getAs[Array[Byte]]("slot")), r.getAs[Long]("block"))
+    val got = df.collect().map(key).sorted
+    val want = items.toDF().collect().map(key).sorted
+    assert(got.length == want.length && got.sameElements(want))
+    // pushdown-free full count must also agree through SQL
+    df.createOrReplaceTempView("dat_v")
+    assert(spark.sql("SELECT COUNT(*) FROM dat_v").collect()(0).getLong(0)
+      == want.length)
+  }
+
   test("hand-computed golden: LAG re-timestamping + genesis drop") {
     import spark.implicits._
     val addr = Bytes.unhex("aa" * 20)
