@@ -101,7 +101,9 @@ object PipelineQueries {
           .createTempDirectory("graft-dat-q").toString
         graft.spark.StateFiles.write(items, out, strategy = 0,
           blockStart = 0L, blockEnd = w.latestBlock)
-        val back = graft.spark.StateFiles.read(s, out, strategy = 0)
+        // read back through the DataSource V2 (page-split, .idx-prunable)
+        val back = s.read.format("graft.spark.datasource.DatDataSource")
+          .option("strategy", "0").option("pagesPerSplit", "4").load(out)
         Seq((items.count(), back.count(),
             new java.io.File(out).listFiles().count(_.getName.endsWith(".dat"))))
           .toDF("rows_written", "rows_read", "n_files")

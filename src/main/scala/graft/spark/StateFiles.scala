@@ -44,6 +44,20 @@ object StateFiles {
           blockStart, blockEnd, w.countStorageSlots)
         val path = Paths.get(dir, f"part-$pid%05d.dat")
         Files.write(path, header ++ body)
+        // sidecar index: first address of every page — the in-file sorted
+        // order turned into a prunable split index (the reference's
+        // O(log N) seek, README.md:36-41, as source-level pruning)
+        val nPages = (body.length + PageSize - 1) / PageSize
+        val idx = new Array[Byte](nPages * 20)
+        var p = 0
+        while (p < nPages) {
+          val r = new StateReader(strategy, body, p * PageSize,
+            math.min((p + 1) * PageSize, body.length))
+          if (r.hasNext)
+            System.arraycopy(r.next().address, 0, idx, p * 20, 20)
+          p += 1
+        }
+        Files.write(Paths.get(dir, f"part-$pid%05d.idx"), idx)
         Iterator.single((pid, body.length.toLong, w.countAccounts,
           w.countStorageSlots))
       }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -54,10 +55,39 @@ class DatTable(path: String, strategy: Int, pagesPerSplit: Int)
 }
 
 class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int)
-    extends ScanBuilder with Scan with Batch {
+    extends ScanBuilder with Scan with Batch
+    with SupportsPushDownFilters {
+
+  private var addressBounds: Option[(Array[Byte], Array[Byte])] = None
+
+  /** Filters are used only to PRUNE splits via the .idx sidecar (per-page
+    * first address = the file's sorted order); they are all returned as
+    * residuals so Spark still evaluates them row-by-row — pruning is a
+    * superset, like parquet row-group min/max skipping.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    var lo: Array[Byte] = null
+    var hi: Array[Byte] = null
+    filters.foreach {
+      case EqualTo("address", v: Array[Byte]) => lo = v; hi = v
+      case GreaterThanOrEqual("address", v: Array[Byte]) => lo = v
+      case GreaterThan("address", v: Array[Byte]) => lo = v
+      case LessThanOrEqual("address", v: Array[Byte]) => hi = v
+      case LessThan("address", v: Array[Byte]) => hi = v
+      case _ => ()
+    }
+    if (lo != null || hi != null) addressBounds = Some((lo, hi))
+    filters // all residual
+  }
+
+  override def pushedFilters(): Array[Filter] = Array.empty
+
   override def build(): Scan = this
   override def readSchema(): StructType = DatDataSource.schema
   override def toBatch: Batch = this
+
+  private def cmp(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val pageSize = 1 << 12
@@ -75,12 +105,34 @@ class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int)
         require(bb.getLong(0) == Header.Magic, s"$f: bad magic")
         val body = size - Header.Size
         val nPages = ((body + pageSize - 1) / pageSize).toInt
+        // page first-address index, if the sink wrote one
+        val idxPath = Paths.get(f.toString.stripSuffix(".dat") + ".idx")
+        val idx: Array[Array[Byte]] =
+          if (Files.exists(idxPath)) {
+            val raw = Files.readAllBytes(idxPath)
+            Array.tabulate(raw.length / 20)(i =>
+              java.util.Arrays.copyOfRange(raw, i * 20, i * 20 + 20))
+          } else null
         var p = 0
         while (p < nPages) {
           val pages = math.min(pagesPerSplit, nPages - p)
-          out += DatInputPartition(f.toString,
-            Header.Size + p.toLong * pageSize,
-            Header.Size + math.min((p + pages).toLong * pageSize, body))
+          val keep = (idx, addressBounds) match {
+            case (null, _) | (_, None) => true
+            case (ix, Some((lo, hi))) =>
+              // split covers addresses in [first(p), first(p+pages)]
+              // (upper unbounded for the file tail)
+              val splitLo = ix(p)
+              val splitHiOpt =
+                if (p + pages < nPages) Some(ix(p + pages)) else None
+              val aboveLo = hi == null || cmp(splitLo, hi) <= 0
+              val belowHi = lo == null ||
+                splitHiOpt.forall(sh => cmp(sh, lo) >= 0)
+              aboveLo && belowHi
+          }
+          if (keep)
+            out += DatInputPartition(f.toString,
+              Header.Size + p.toLong * pageSize,
+              Header.Size + math.min((p + pages).toLong * pageSize, body))
           p += pages
         }
       }

@@ -205,6 +205,38 @@ class PipelineSpec extends AnyFunSuite {
       == want.length)
   }
 
+  test("DSv2 address pushdown prunes splits via the .idx sidecar") {
+    import spark.implicits._
+    val items = StateFormat.asItems(
+      history.withColumnRenamed("valid_from_block", "block"))
+    val dir = Files.createTempDirectory("graft-push").toString
+    graft.spark.StateFiles.write(items, dir, strategy = 0)
+    // pick an address present in the data
+    val addr = items.head().address
+
+    // end-to-end: filtered read equals full-scan filter
+    def rd = spark.read.format("graft.spark.datasource.DatDataSource")
+      .option("strategy", "0").option("pagesPerSplit", "1").load(dir)
+    val want = rd.collect()
+      .filter(r => java.util.Arrays.equals(
+        r.getAs[Array[Byte]]("address"), addr)).map(_.getLong(1)).sorted
+    val got = rd.filter(col("address") === lit(addr)).collect()
+      .map(_.getLong(1)).sorted
+    assert(got.length == want.length && got.sameElements(want) &&
+      got.nonEmpty)
+
+    // split pruning: the builder plans strictly fewer partitions with the
+    // address filter than without
+    val sbAll = new graft.spark.datasource.DatScanBuilder(dir, 0, 1)
+    val all = sbAll.planInputPartitions().length
+    val sbEq = new graft.spark.datasource.DatScanBuilder(dir, 0, 1)
+    sbEq.pushFilters(Array(
+      org.apache.spark.sql.sources.EqualTo("address", addr)))
+    val pruned = sbEq.planInputPartitions().length
+    info(s"splits: $all -> $pruned")
+    assert(pruned < all && pruned >= 1)
+  }
+
   test("hand-computed golden: LAG re-timestamping + genesis drop") {
     import spark.implicits._
     val addr = Bytes.unhex("aa" * 20)
