@@ -178,6 +178,29 @@ object FullHistory {
       .orderBy(col("valid_from_block").desc)
       .limit(1)
 
+  /** Batch as-of join: resolve MANY (address, block) lookups in one pass —
+    * the set form of [[accountAsOf]]. Equi-join on address narrows to each
+    * key's history, the ≤-block predicate filters to visible versions, and
+    * a per-query row_number keeps the latest. One shuffle on address; the
+    * per-query top-1 window rides the same hash partitioning. Lookups with
+    * no visible version are preserved with null state (left join
+    * semantics), so callers can distinguish "empty account" explicitly.
+    */
+  def asOfJoinAccounts(history: DataFrame, lookups: DataFrame): DataFrame = {
+    val h = history.filter(!col("isStorage"))
+      .select(col("address").as("h_address"), col("valid_from_block"),
+        col("nonce"), col("incarnation"), col("balance"), col("codeHash"))
+    val joined = lookups
+      .join(h, col("address") === col("h_address") &&
+        col("valid_from_block") <= col("block"), "left_outer")
+    val w = Window.partitionBy(col("address"), col("block"))
+      .orderBy(col("valid_from_block").desc_nulls_last)
+    joined
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "h_address")
+  }
+
   def storageAsOf(history: DataFrame, address: Array[Byte],
                   slot: Array[Byte], block: Long): DataFrame =
     history

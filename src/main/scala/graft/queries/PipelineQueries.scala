@@ -109,6 +109,25 @@ object PipelineQueries {
           .toDF("rows_written", "rows_read", "n_files")
       }, None),
 
+    // Batch as-of join: the flagship lookup as a set operation (one pass
+    // for many (address, block) probes).
+    "p07_asof_join" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val w = world(s, dir)
+        val h = history(s, dir)
+        val rnd = new scala.util.Random(31)
+        val lookups = w.accountOracle.map(_.addressHex).distinct.take(50)
+          .map(a => (graft.functions.Bytes.unhex(a),
+            1L + rnd.nextInt(w.latestBlock.toInt)))
+          .toDF("address", "block")
+        FullHistory.asOfJoinAccounts(h, lookups)
+          .select(hex(col("address")).as("address"), col("block"),
+            col("valid_from_block"), col("nonce"), col("incarnation"),
+            hex(col("balance")).as("balance"))
+          .orderBy(col("address"), col("block"))
+      }, None),
+
     // A3 surfaced: reorged duplicate block heights.
     "p05_txbodies_dups" -> QuerySpec(
       (s, dir) => {

@@ -107,6 +107,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("batch as-of join resolves many lookups in one pass") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val byAddr = world.accountOracle.groupBy(_.addressHex)
+    val lookups = rnd.shuffle(byAddr.keys.toList).take(15).flatMap { a =>
+      Seq((Bytes.unhex(a), rnd.nextInt(world.latestBlock.toInt).toLong),
+        (Bytes.unhex(a), world.latestBlock))
+    }.toDF("address", "block")
+    val got = FullHistory.asOfJoinAccounts(history, lookups).collect()
+      .map(r => (Bytes.hex(r.getAs[Array[Byte]]("address")),
+        r.getAs[Long]("block")) ->
+        (Option(r.getAs[Any]("nonce")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Array[Byte]]("balance")).map(Bytes.get64be(_, 24))))
+      .toMap
+    assert(got.size == lookups.count())
+    got.foreach { case ((addrHex, b), (nonce, balance)) =>
+      val expected = byAddr(addrHex.toLowerCase)
+        .filter(_.block <= b).sortBy(_.block).lastOption
+      expected match {
+        case Some(e) =>
+          assert(nonce.contains(e.nonce), s"$addrHex @ $b nonce")
+          assert(balance.contains(e.balance), s"$addrHex @ $b balance")
+        case None =>
+          // pre-first-change: zero row or null
+          assert(nonce.forall(_ == 0L) && balance.forall(_ == 0L))
+      }
+    }
+  }
+
   test("history is globally sorted in O1 order") {
     val rows = history
       .select("address", "isStorage", "incarnation", "slot",
