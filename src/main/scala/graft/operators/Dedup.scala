@@ -92,6 +92,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Near-duplicate CLUSTERS from a pair list: connected components via
+    * iterative label propagation (each id adopts the minimum label among
+    * itself and its neighbors until fixed point — converges in O(log
+    * diameter) rounds; `localCheckpoint` truncates the growing lineage each
+    * round). Returns (id, cluster) where cluster = min id of the
+    * component, i.e. the canonical document to KEEP; everything else in
+    * the cluster is droppable. This is the step that turns pairwise
+    * near-dup detection into dedup decisions.
+    */
+  def clusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id"))
+      .distinct().withColumn("cluster", col("id"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIterations) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("cluster", "dst_cluster"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_cluster")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash from token hashes — sign of per-bit vote sums. One-pass
     * kernel for the same Catalyst re-evaluation reason as
     * [[minhashSignature]] (64 nested aggregates re-inline the token-hash

@@ -49,6 +49,18 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b")),
       None),
 
+    // Near-dup pairs → connected components → keep/drop decisions: the
+    // complete dedup pipeline output (one row per clustered doc).
+    "l10_dedup_clusters" -> QuerySpec(
+      (s, dir) => {
+        val pairs = Dedup.minhashLsh(Tables(s, dir, "documents"),
+          threshold = 0.5)
+        Dedup.clusters(pairs)
+          .withColumn("action",
+            when(col("id") === col("cluster"), "keep").otherwise("drop"))
+          .orderBy(col("cluster"), col("id"))
+      }, None),
+
     // -- text analysis --
 
     "l06_token_count" -> QuerySpec(

@@ -81,6 +81,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup clusters: connected components of planted families") {
+    val pairs = Dedup.minhashLsh(corpus, threshold = 0.5)
+    val cl = Dedup.clusters(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    // every member of family i (ids 10i, 10i+1, 10i+2 that appear in any
+    // pair) must map to cluster 10i (the minimum id)
+    cl.foreach { case (id, c) => assert(c == (id / 10) * 10, s"$id -> $c") }
+    // chain transitivity: a-b and b-c pairs without a-c must still unify
+    import spark.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.clusters(chain).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+  }
+
   test("simhash: exact copies at hamming 0, near copies within bound") {
     val sigs = corpus.select(col("doc_id"),
       Dedup.simhash(col("text")).as("sig")).collect()
