@@ -242,5 +242,45 @@ object DeclaredQueries {
       Some("""SELECT user_id, COUNT(*) AS n,
              |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Q14 — grouping sets: ROLLUP over the A1 counters (SURVEY §2.5 marks
+    // hash-agg variants as Spark-built-in; proven against the oracle).
+    "q14_rollup" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("cnt"), sum2($"l_quantity").as("qty"))
+          .orderBy($"l_returnflag".asc_nulls_first,
+            $"l_linestatus".asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST,
+             |  l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // Q15 — set operations beyond UNION (SURVEY §2.7 ⊘-builtin):
+    // INTERSECT and EXCEPT in one result.
+    "q15_set_ops" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables(s, dir, "customer")
+          .select($"c_nationkey".cast("int").as("k"))
+        val sup = Tables(s, dir, "supplier")
+          .select($"s_nationkey".cast("int").as("k"))
+        c.intersect(sup).withColumn("op", lit("intersect"))
+          .unionByName(c.except(sup).withColumn("op", lit("except")))
+          .orderBy($"op", $"k")
+      },
+      Some("""SELECT * FROM (
+             |SELECT k, 'intersect' AS op FROM
+             |  (SELECT c_nationkey AS k FROM customer
+             |   INTERSECT SELECT s_nationkey FROM supplier)
+             |UNION ALL
+             |SELECT k, 'except' AS op FROM
+             |  (SELECT c_nationkey AS k FROM customer
+             |   EXCEPT SELECT s_nationkey FROM supplier))
+             |ORDER BY op, k""".stripMargin)),
   )
 }

@@ -109,6 +109,17 @@ object LlmQueries {
         .orderBy(col("doc_id")),
       None),
 
+    // HLL sketch vs exact distinct (approx_count_distinct is engine-
+    // specific, so rows-only; the test bound lives in the query itself).
+    "l11_approx_distinct" -> QuerySpec(
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .agg(countDistinct(col("source")).as("exact_sources"),
+            approx_count_distinct(col("source"), 0.02).as("approx_sources"),
+            countDistinct(col("text")).as("exact_texts"),
+            approx_count_distinct(col("text"), 0.02).as("approx_texts"))
+      }, None),
+
     // -- similarity search --
 
     "s01_cosine_topk" -> QuerySpec(

@@ -257,6 +257,35 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("strategy-2 writer bytes are stable (regression golden)") {
+    // strategy 2 has no production caller and its reference reader cannot
+    // decode it (SURVEY.md §2.9); we pin the writer's byte output so any
+    // accidental change to the shared codec paths is caught.
+    val addr = Bytes.unhex("00112233445566778899aabbccddeeff00112233")
+    val bal = StateItem.zeros(32); bal(31) = 7
+    val items = Seq(
+      StateItem.account(addr, 5L, 1L, 1L, bal, Bytes.unhex("11" * 32)),
+      StateItem.account(addr, 9L, 2L, 1L, bal, Bytes.unhex("11" * 32)),
+      StateItem.storage(addr, 9L, 1L, StateItem.zeros(32), bal))
+    val w = new StateWriter(2)
+    items.foreach(w.write)
+    // recorded from the first verified implementation; change only with a
+    // deliberate codec-change commit
+    assert(Bytes.hex(w.toArray) ==
+      "0900112233445566778899aabbccddeeff00112233" + // CODE_ADDRESS + addr
+      "0105" + // CODE_BLOCK_NUMBER(1 byte): block 5
+      "21" +   // CODE_ACCOUNT+23: balance, codeHash, nonce(s2), inc==1
+      "06" +   // balance delta varint: 7-0-1 = 6
+      "1111111111111111111111111111111111111111111111111111111111111111" +
+      "01" +   // nonce u64 varint (strategy-2 writes it whenever != 0)
+      "ff" +   // CODE_BLOCK_INLINE+4: block 5 -> 9
+      "2e" +   // CODE_ACCOUNT+36: nonce(s2) + balance-invert (delta -1)
+      "01" +   // nonce delta 1
+      "50" +   // CODE_STORAGE+6: slot inline 0, value varint
+      "07",    // value varint: 7
+      "strategy-2 byte stream changed")
+  }
+
   test("header layout matches the reference (incl. the words[6] overwrite)") {
     val h = Header.build(endOfStates = 12345L, pageShift = 12,
       blockStart = 0L, blockEnd = 999L, countStorageSlots = 77L)
