@@ -31,6 +31,18 @@ object StreamingQueries {
              |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
 
+    // Session windows over the event stream (gap-based sessionization) —
+    // the batch form of the Structured Streaming session_window operator.
+    "w02_session_window" -> QuerySpec(
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("session_window.start").as("session_start"),
+            col("user_id"), col("n_events"))
+          .orderBy(col("user_id"), col("session_start"))
+      }, None),
+
     // Incremental W1 through an actual streaming query (MemoryStream →
     // flatMapGroupsWithState → memory sink), fed the fixture changesets in
     // two block-ordered micro-batches.

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketed co-located join: pre-bucketing both sides of a recurring join
+  * key eliminates the exchange entirely — the "pre-partitioned ingest"
+  * strategy SURVEY.md §7.2 recommends for the 100 TB changeset tables
+  * (bucket by address so every downstream address-keyed join/window reads
+  * co-located buckets).
+  */
+class BucketSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("join of two tables bucketed on the key runs with zero exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    Tables(spark, dir, "orders")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    Tables(spark, dir, "lineitem")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("lineitem_b")
+
+    val joined = spark.table("orders_b").join(spark.table("lineitem_b"),
+      col("o_orderkey") === col("l_orderkey"))
+    val n = joined.count()
+    assert(n > 0)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle\n${plan.take(1500)}")
+
+    // sanity: same join WITHOUT bucketing does shuffle
+    val unbucketed = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+    unbucketed.count()
+    assert(unbucketed.queryExecution.executedPlan.toString
+      .contains("Exchange"))
+  }
+}
