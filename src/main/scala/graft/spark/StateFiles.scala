@@ -44,17 +44,31 @@ object StateFiles {
           blockStart, blockEnd, w.countStorageSlots)
         val path = Paths.get(dir, f"part-$pid%05d.dat")
         Files.write(path, header ++ body)
-        // sidecar index: first address of every page — the in-file sorted
-        // order turned into a prunable split index (the reference's
-        // O(log N) seek, README.md:36-41, as source-level pruning)
+        // sidecar index, 36 bytes/page: first address (20) + min block (8)
+        // + max block (8) — the in-file sorted order and per-page block
+        // stats as a prunable split index (the reference's O(log N) seek,
+        // README.md:36-41, as source-level pruning; block min/max plays
+        // the role of parquet row-group statistics)
         val nPages = (body.length + PageSize - 1) / PageSize
-        val idx = new Array[Byte](nPages * 20)
+        val idx = new Array[Byte](nPages * 36)
         var p = 0
         while (p < nPages) {
           val r = new StateReader(strategy, body, p * PageSize,
             math.min((p + 1) * PageSize, body.length))
-          if (r.hasNext)
-            System.arraycopy(r.next().address, 0, idx, p * 20, 20)
+          var minB = Long.MaxValue
+          var maxB = Long.MinValue
+          var first = true
+          r.foreach { item =>
+            if (first) {
+              System.arraycopy(item.address, 0, idx, p * 36, 20)
+              first = false
+            }
+            if (item.block < minB) minB = item.block
+            if (item.block > maxB) maxB = item.block
+          }
+          if (first) { minB = 0L; maxB = Long.MaxValue }
+          graft.functions.Bytes.put64be(idx, p * 36 + 20, minB)
+          graft.functions.Bytes.put64be(idx, p * 36 + 28, maxB)
           p += 1
         }
         Files.write(Paths.get(dir, f"part-$pid%05d.idx"), idx)

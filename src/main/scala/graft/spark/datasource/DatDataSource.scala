@@ -58,11 +58,14 @@ class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int)
     with SupportsPushDownFilters {
 
   private var addressBounds: Option[(Array[Byte], Array[Byte])] = None
+  private var blockLo: Option[Long] = None
+  private var blockHi: Option[Long] = None
 
   /** Filters are used only to PRUNE splits via the .idx sidecar (per-page
-    * first address = the file's sorted order); they are all returned as
-    * residuals so Spark still evaluates them row-by-row — pruning is a
-    * superset, like parquet row-group min/max skipping.
+    * first address = the file's sorted order; per-page block min/max =
+    * row-group-style statistics); they are all returned as residuals so
+    * Spark still evaluates them row-by-row — pruning is a superset, like
+    * parquet row-group min/max skipping.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     var lo: Array[Byte] = null
@@ -73,6 +76,11 @@ class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int)
       case GreaterThan("address", v: Array[Byte]) => lo = v
       case LessThanOrEqual("address", v: Array[Byte]) => hi = v
       case LessThan("address", v: Array[Byte]) => hi = v
+      case EqualTo("block", v: Long) => blockLo = Some(v); blockHi = Some(v)
+      case GreaterThanOrEqual("block", v: Long) => blockLo = Some(v)
+      case GreaterThan("block", v: Long) => blockLo = Some(v + 1)
+      case LessThanOrEqual("block", v: Long) => blockHi = Some(v)
+      case LessThan("block", v: Long) => blockHi = Some(v - 1)
       case _ => ()
     }
     if (lo != null || hi != null) addressBounds = Some((lo, hi))
@@ -104,30 +112,46 @@ class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int)
         require(bb.getLong(0) == Header.Magic, s"$f: bad magic")
         val body = size - Header.Size
         val nPages = ((body + pageSize - 1) / pageSize).toInt
-        // page first-address index, if the sink wrote one
+        // page index (first address + block min/max), if the sink wrote one
         val idxPath = Paths.get(f.toString.stripSuffix(".dat") + ".idx")
-        val idx: Array[Array[Byte]] =
+        val idx: Array[(Array[Byte], Long, Long)] =
           if (Files.exists(idxPath)) {
             val raw = Files.readAllBytes(idxPath)
-            Array.tabulate(raw.length / 20)(i =>
-              java.util.Arrays.copyOfRange(raw, i * 20, i * 20 + 20))
+            Array.tabulate(raw.length / 36) { i =>
+              (java.util.Arrays.copyOfRange(raw, i * 36, i * 36 + 20),
+                graft.functions.Bytes.get64be(raw, i * 36 + 20),
+                graft.functions.Bytes.get64be(raw, i * 36 + 28))
+            }
           } else null
         var p = 0
         while (p < nPages) {
           val pages = math.min(pagesPerSplit, nPages - p)
-          val keep = (idx, addressBounds) match {
+          val keepAddr = (idx, addressBounds) match {
             case (null, _) | (_, None) => true
             case (ix, Some((lo, hi))) =>
               // split covers addresses in [first(p), first(p+pages)]
               // (upper unbounded for the file tail)
-              val splitLo = ix(p)
+              val splitLo = ix(p)._1
               val splitHiOpt =
-                if (p + pages < nPages) Some(ix(p + pages)) else None
+                if (p + pages < nPages) Some(ix(p + pages)._1) else None
               val aboveLo = hi == null || cmp(splitLo, hi) <= 0
               val belowHi = lo == null ||
                 splitHiOpt.forall(sh => cmp(sh, lo) >= 0)
               aboveLo && belowHi
           }
+          val keepBlock = idx == null ||
+            (blockLo.isEmpty && blockHi.isEmpty) || {
+              var minB = Long.MaxValue
+              var maxB = Long.MinValue
+              var q = p
+              while (q < p + pages) {
+                if (idx(q)._2 < minB) minB = idx(q)._2
+                if (idx(q)._3 > maxB) maxB = idx(q)._3
+                q += 1
+              }
+              blockLo.forall(_ <= maxB) && blockHi.forall(_ >= minB)
+            }
+          val keep = keepAddr && keepBlock
           if (keep)
             out += DatInputPartition(f.toString,
               Header.Size + p.toLong * pageSize,

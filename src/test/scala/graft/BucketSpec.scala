@@ -15,21 +15,26 @@ class BucketSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
-    .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft-wh").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
   test("join of two tables bucketed on the key runs with zero exchanges") {
     val dir = "/root/testdata/sf0.001"
+    // suites share one session per JVM; set the knobs at runtime and keep
+    // table data in temp dirs (external tables), not ./spark-warehouse
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucket")
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
     Tables(spark, dir, "orders")
       .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$tmp/orders_b")
       .mode("overwrite").saveAsTable("orders_b")
     Tables(spark, dir, "lineitem")
       .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$tmp/lineitem_b")
       .mode("overwrite").saveAsTable("lineitem_b")
 
     val joined = spark.table("orders_b").join(spark.table("lineitem_b"),
@@ -47,5 +52,10 @@ class BucketSpec extends AnyFunSuite {
     unbucketed.count()
     assert(unbucketed.queryExecution.executedPlan.toString
       .contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
   }
 }

@@ -266,6 +266,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(pruned < all && pruned >= 1)
   }
 
+  test("DSv2 block-range pushdown prunes via per-page block stats") {
+    import spark.implicits._
+    // block-major layout (strategy-0 extract order): sort by block so
+    // per-page block ranges are tight and pruning is effective
+    val items = StateFormat.asItems(
+        history.withColumnRenamed("valid_from_block", "block"))
+      .orderBy(col("block"), col("address"), col("isStorage"), col("slot"))
+      .as[graft.model.StateItem]
+    val dir = Files.createTempDirectory("graft-blockidx").toString
+    graft.spark.StateFiles.write(items, dir, strategy = 0)
+    def rd = spark.read.format("graft.spark.datasource.DatDataSource")
+      .option("strategy", "0").option("pagesPerSplit", "1").load(dir)
+    val cutoff = world.latestBlock - 10
+    val want = rd.collect().count(_.getLong(1) >= cutoff)
+    val got = rd.filter(col("block") >= cutoff).count()
+    assert(got == want && got > 0)
+    val sbAll = new graft.spark.datasource.DatScanBuilder(dir, 0, 1)
+    val all = sbAll.planInputPartitions().length
+    val sbBlk = new graft.spark.datasource.DatScanBuilder(dir, 0, 1)
+    sbBlk.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("block", cutoff)))
+    val pruned = sbBlk.planInputPartitions().length
+    info(s"block-prune splits: $all -> $pruned")
+    assert(pruned < all && pruned >= 1)
+  }
+
   test("hand-computed golden: LAG re-timestamping + genesis drop") {
     import spark.implicits._
     val addr = Bytes.unhex("aa" * 20)
