@@ -76,7 +76,22 @@ object StateFiles {
           w.countStorageSlots))
       }
     }.toDF("partition", "bytes", "accounts", "storage_slots")
-      .collect() // force the write; driver-side summary only
+      .collect() match { case rows =>
+        // dataset-level manifest — the multi-file replacement for the
+        // reference's single 256-byte header (C11): totals + layout params
+        // in one JSON (the per-file headers remain byte-compatible)
+        val accounts = rows.map(_.getAs[Long]("accounts")).sum
+        val slots = rows.map(_.getAs[Long]("storage_slots")).sum
+        val bytes = rows.map(_.getAs[Long]("bytes")).sum
+        val manifest =
+          s"""{"format":"graft-dat","strategy":$strategy,""" +
+            s""""page_shift":$PageShift,"block_start":$blockStart,""" +
+            s""""block_end":$blockEnd,"files":${rows.length},""" +
+            s""""accounts":$accounts,"storage_slots":$slots,""" +
+            s""""bytes":$bytes}"""
+        Files.write(Paths.get(dir, "_manifest.json"),
+          manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     ()
   }
 

@@ -207,6 +207,14 @@ class PipelineSpec extends AnyFunSuite {
     // and the read is genuinely page-split: more input tasks than files
     val nPages = files.map(f => (f.length - 256 + 4095) / 4096).sum
     assert(nPages > files.length)
+    // dataset manifest totals agree with the data
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifest.json")))
+    assert(mf.contains("\"format\":\"graft-dat\""))
+    val nAccounts = items.filter(!col("isStorage")).count()
+    val nSlots = items.filter(col("isStorage")).count()
+    assert(mf.contains(s"\"accounts\":$nAccounts"), mf)
+    assert(mf.contains(s"\"storage_slots\":$nSlots"), mf)
   }
 
   test("DataSource V2: spark.read.format over .dat matches the items") {
