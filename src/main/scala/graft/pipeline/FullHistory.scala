@@ -112,10 +112,20 @@ object FullHistory {
             plainStateAccounts: DataFrame,
             plainStateStorage: DataFrame,
             latestBlock: Long,
-            shufflePartitions: Int = 0): DataFrame = {
+            shufflePartitions: Int = 0,
+            blockStart: Long = 0L): DataFrame = {
 
-    val accounts = decodeAccounts(accountChangeset, plainCodeHash)
-    val storage = decodeStorage(storageChangeset)
+    // F2 (-P prune, erigon_extract.c:2722-2726): keep only changesets from
+    // blockStart on — applied BEFORE decode so the predicate reaches the
+    // changeset scan (pushdown), exactly the reference's MDBX SET_RANGE
+    val accCs =
+      if (blockStart > 0) accountChangeset.filter(col("block") >= blockStart)
+      else accountChangeset
+    val stoCs =
+      if (blockStart > 0) storageChangeset.filter(col("block") >= blockStart)
+      else storageChangeset
+    val accounts = decodeAccounts(accCs, plainCodeHash)
+    val storage = decodeStorage(stoCs)
 
     val psAccounts = decodeAccounts(
       plainStateAccounts.withColumn("block", lit(latestBlock + 1L)),

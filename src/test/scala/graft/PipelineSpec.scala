@@ -136,6 +136,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("-P prune: blockStart keeps only the tail history") {
+    val pruneFrom = world.latestBlock - 50 + 1
+    val pruned = FullHistory.build(spark,
+      world.accountChangeset, world.storageChangeset, world.plainCodeHash,
+      world.plainStateAccounts, world.plainStateStorage,
+      world.latestBlock, blockStart = pruneFrom)
+    // every surviving changeset-derived row re-timestamps within the kept
+    // range (first-in-group rows get valid_from 0, the "since before the
+    // window" marker)
+    val vf = pruned.select("valid_from_block").collect().map(_.getLong(0))
+    assert(vf.forall(v => v == 0L || v >= pruneFrom))
+    assert(pruned.count() < history.count())
+    // as-of at the head still resolves (PlainState snapshot is included)
+    val someAddr = graft.functions.Bytes.unhex(
+      world.accountOracle.last.addressHex)
+    assert(FullHistory.accountAsOf(pruned, someAddr, world.latestBlock)
+      .count() == 1)
+  }
+
   test("history is globally sorted in O1 order") {
     val rows = history
       .select("address", "isStorage", "incarnation", "slot",
