@@ -319,6 +319,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(pruned < all && pruned >= 1)
   }
 
+  test("DSv2 pruning is result-identical under random predicate bounds") {
+    import spark.implicits._
+    val items = StateFormat.asItems(
+      history.withColumnRenamed("valid_from_block", "block"))
+    val dir = Files.createTempDirectory("graft-prune-prop").toString
+    graft.spark.StateFiles.write(items, dir, strategy = 0)
+    def rd = spark.read.format("graft.spark.datasource.DatDataSource")
+      .option("strategy", "0").option("pagesPerSplit", "1").load(dir)
+    val full = rd.collect()
+    val addrs = full.map(_.getAs[Array[Byte]]("address"))
+    val rnd = new scala.util.Random(41)
+    for (_ <- 1 to 8) {
+      val a = addrs(rnd.nextInt(addrs.length))
+      val bLo = rnd.nextInt(world.latestBlock.toInt).toLong
+      val wantA = full.count(r => java.util.Arrays.equals(
+        r.getAs[Array[Byte]]("address"), a))
+      val gotA = rd.filter(col("address") === lit(a)).count()
+      assert(gotA == wantA, s"address prune mismatch ${Bytes.hex(a)}")
+      val wantB = full.count(_.getAs[Long]("block") >= bLo)
+      val gotB = rd.filter(col("block") >= bLo).count()
+      assert(gotB == wantB, s"block prune mismatch >= $bLo")
+      val wantBoth = full.count(r => r.getAs[Long]("block") >= bLo &&
+        java.util.Arrays.equals(r.getAs[Array[Byte]]("address"), a))
+      val gotBoth = rd.filter(col("address") === lit(a) &&
+        col("block") >= bLo).count()
+      assert(gotBoth == wantBoth, "combined prune mismatch")
+    }
+  }
+
   test("hand-computed golden: LAG re-timestamping + genesis drop") {
     import spark.implicits._
     val addr = Bytes.unhex("aa" * 20)
