@@ -117,6 +117,30 @@ object TextAnalysis {
         i => text.substr(i, lit(k))))
       .otherwise(array().cast("array<string>"))
 
+  /** Text cleaning / PII scrubbing for training corpora — pure regex
+    * column expressions (codegen'd, scan-speed at 100 TB):
+    * control-char strip, whitespace normalization, and masking of
+    * emails / URLs / IPv4s (the standard pre-training scrub list).
+    */
+  def cleanText(text: Column): Column = {
+    val noCtl = regexp_replace(text, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "")
+    val masked = regexp_replace(
+      regexp_replace(
+        regexp_replace(noCtl,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "https?://[^\\s]+", "<URL>"),
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    trim(regexp_replace(masked, "\\s+", " "))
+  }
+
+  /** Count of masked PII occurrences per kind (audit columns). */
+  def piiCounts(df: DataFrame, text: Column): DataFrame = df
+    .withColumn("n_emails", size(split(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", -1)) - 1)
+    .withColumn("n_urls", size(split(text, "https?://[^\\s]+", -1)) - 1)
+    .withColumn("n_ips", size(split(text,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", -1)) - 1)
+
   /** Word k-gram shingles (distinct), the dedup unit for MinHash/Jaccard. */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = tokens(text)

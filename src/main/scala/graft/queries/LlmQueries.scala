@@ -120,6 +120,34 @@ object LlmQueries {
             approx_count_distinct(col("text"), 0.02).as("approx_texts"))
       }, None),
 
+    // Text cleaning + PII scrubbing with a DuckDB oracle (same regexes,
+    // RE2-compatible: no lookarounds).
+    "l12_text_clean" -> QuerySpec(
+      (s, dir) => {
+        val base = Tables(s, dir, "documents")
+        TextAnalysis.piiCounts(base, col("text"))
+          .select(col("doc_id"),
+            TextAnalysis.cleanText(col("text")).as("clean"),
+            col("n_emails"), col("n_urls"), col("n_ips"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |trim(regexp_replace(
+             |  regexp_replace(
+             |    regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+             |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      'https?://[^\s]+', '<URL>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |  '\s+', ' ', 'g')) AS clean,
+             |len(regexp_split_to_array(text,
+             |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS n_emails,
+             |len(regexp_split_to_array(text, 'https?://[^\s]+')) - 1 AS n_urls,
+             |len(regexp_split_to_array(text,
+             |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) - 1 AS n_ips
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // -- similarity search --
 
     "s01_cosine_topk" -> QuerySpec(

@@ -242,6 +242,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(Dedup.exact(df).count() == 4)
   }
 
+  test("text cleaning masks PII and normalizes whitespace") {
+    val df = Seq(
+      (1L, "Contact me at alice@example.com  or  http://x.y/z now"),
+      (2L, "server at 10.0.0.1 \t responded"),
+      (3L, "plain text")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.piiCounts(df, col("text"))
+      .select(col("doc_id"),
+        TextAnalysis.cleanText(col("text")).as("clean"),
+        col("n_emails"), col("n_urls"), col("n_ips"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[String]("clean") ==
+      "Contact me at <EMAIL> or <URL> now")
+    assert(r(1L).getAs[Int]("n_emails") == 1 && r(1L).getAs[Int]("n_urls") == 1)
+    assert(r(2L).getAs[String]("clean") == "server at <IP> responded")
+    assert(r(2L).getAs[Int]("n_ips") == 1)
+    assert(r(3L).getAs[String]("clean") == "plain text")
+    assert(r(3L).getAs[Int]("n_emails") == 0)
+  }
+
   test("frame sampling prunes before decode") {
     val media = Multimodal.syntheticMedia(spark, 100).toDF()
       .select(col("media_id"), col("kind"), col("n_frames"))
