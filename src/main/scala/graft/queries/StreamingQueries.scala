@@ -41,7 +41,25 @@ object StreamingQueries {
           .select(col("session_window.start").as("session_start"),
             col("user_id"), col("n_events"))
           .orderBy(col("user_id"), col("session_start"))
-      }, None),
+      },
+      // oracle: gap-based sessionization via lag + running sum (an event
+      // at exactly prev+30min starts a NEW session, matching Spark's
+      // half-open [ts, ts+gap) session extent)
+      Some("""WITH g AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g)
+             |SELECT MIN(ts) AS session_start, user_id,
+             |  COUNT(*) AS n_events
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
 
     // Incremental W1 through an actual streaming query (MemoryStream →
     // flatMapGroupsWithState → memory sink), fed the fixture changesets in
