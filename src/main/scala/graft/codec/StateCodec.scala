@@ -61,7 +61,8 @@ object Opcodes {
   * reader does not decode (erigon_extract.c:958-965 vs 1040-1045); we
   * reproduce the writer faithfully, so round-trip tests cover 0, 1, 3 only.
   */
-final class StateWriter(val strategy: Int, val pageShift: Int = 0) {
+final class StateWriter(val strategy: Int, val pageShift: Int = 0,
+                        val baseOffset: Int = 0) {
   val buf = new ByteBuf()
   var countAccounts = 0L
   var countStorageSlots = 0L
@@ -154,10 +155,15 @@ final class StateWriter(val strategy: Int, val pageShift: Int = 0) {
     */
   private def checkPageBoundary(entryStart: Int): Boolean = {
     if (pageShift == 0) return false
-    if (((entryStart ^ buf.size) >> pageShift) == 0) return false
+    // offsets are FILE-absolute (baseOffset covers a leading header): the
+    // reference compares ftello values, so its first page is shortened by
+    // the 256-byte header (erigon_extract.c:806, 2290-2300)
+    if ((((baseOffset + entryStart) ^ (baseOffset + buf.size))
+        >> pageShift) == 0) return false
     buf.truncate(entryStart)
     val mask = (1 << pageShift) - 1
-    while ((buf.size & mask) != 0) buf.putByte(Opcodes.PagePadding)
+    while (((baseOffset + buf.size) & mask) != 0)
+      buf.putByte(Opcodes.PagePadding)
     stateInit()
     true
   }

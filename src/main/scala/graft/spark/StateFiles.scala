@@ -36,7 +36,7 @@ object StateFiles {
       val pid = org.apache.spark.TaskContext.getPartitionId()
       if (it.isEmpty) Iterator.empty
       else {
-        val w = new StateWriter(strategy, PageShift)
+        val w = new StateWriter(strategy, PageShift, baseOffset = Header.Size)
         it.foreach(w.write)
         val body = w.toArray
         val header = Header.build(
@@ -48,13 +48,18 @@ object StateFiles {
         // + max block (8) — the in-file sorted order and per-page block
         // stats as a prunable split index (the reference's O(log N) seek,
         // README.md:36-41, as source-level pruning; block min/max plays
-        // the role of parquet row-group statistics)
-        val nPages = (body.length + PageSize - 1) / PageSize
+        // the role of parquet row-group statistics). Pages are aligned to
+        // ABSOLUTE file offsets (reference layout): page 0 is the
+        // header-shortened [256, 4096) region.
+        val nPages =
+          ((Header.Size + body.length + PageSize - 1) / PageSize).toInt
         val idx = new Array[Byte](nPages * 36)
         var p = 0
         while (p < nPages) {
-          val r = new StateReader(strategy, body, p * PageSize,
-            math.min((p + 1) * PageSize, body.length))
+          val bodyStart = math.max(0, p * PageSize - Header.Size)
+          val bodyEnd =
+            math.min((p + 1) * PageSize - Header.Size, body.length)
+          val r = new StateReader(strategy, body, bodyStart, bodyEnd)
           var minB = Long.MaxValue
           var maxB = Long.MinValue
           var first = true
@@ -110,8 +115,8 @@ object StateFiles {
       val h = java.nio.ByteBuffer.wrap(hBytes)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       require(h.getLong(0) == Header.Magic, s"$f: bad magic")
-      val nPages =
-        ((size - Header.Size) + PageSize - 1) / PageSize
+      // absolute-offset pages: page 0 starts right after the header
+      val nPages = (size + PageSize - 1) / PageSize
       (0L until nPages).map(p => (f, p))
     }
     spark.createDataset(filePages).toDF("file", "page")
@@ -124,8 +129,8 @@ object StateFiles {
         byFile.iterator.flatMap { case (f, pages) =>
           val bytes = Files.readAllBytes(Paths.get(f))
           pages.iterator.map(_._2).flatMap { p =>
-            val start = Header.Size + (p * PageSize).toInt
-            val end = math.min(start + PageSize, bytes.length)
+            val start = math.max(Header.Size, (p * PageSize).toInt)
+            val end = math.min(((p + 1) * PageSize).toInt, bytes.length)
             new StateReader(strategy, bytes, start, end)
           }
         }

@@ -110,8 +110,9 @@ class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int)
         val bb = java.nio.ByteBuffer.wrap(hBytes)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         require(bb.getLong(0) == Header.Magic, s"$f: bad magic")
-        val body = size - Header.Size
-        val nPages = ((body + pageSize - 1) / pageSize).toInt
+        // absolute-offset pages (reference layout): page 0 is the
+        // header-shortened [256, 4096) region
+        val nPages = ((size + pageSize - 1) / pageSize).toInt
         // page index (first address + block min/max), if the sink wrote one
         val idxPath = Paths.get(f.toString.stripSuffix(".dat") + ".idx")
         val idx: Array[(Array[Byte], Long, Long)] =
@@ -154,8 +155,8 @@ class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int)
           val keep = keepAddr && keepBlock
           if (keep)
             out += DatInputPartition(f.toString,
-              Header.Size + p.toLong * pageSize,
-              Header.Size + math.min((p + pages).toLong * pageSize, body))
+              math.max(Header.Size.toLong, p.toLong * pageSize),
+              math.min((p + pages).toLong * pageSize, size))
           p += pages
         }
       }
