@@ -49,37 +49,48 @@ object Dedup {
       b => struct(b.as("band"),
         xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bhash")))
 
-  /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
-    *
-    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+  /** Candidate pairs by MinHash banding — the scale-safe generator shared
+    * by [[minhashLsh]] and [[ngramJaccard]]'s default path. Only
+    * (id, band, band-hash) rows shuffle; returns distinct (id_a, id_b)
+    * with id_a < id_b.
     */
-  def minhashLsh(df: DataFrame, threshold: Double = 0.7,
-                 numHashes: Int = 128, numBands: Int = 32,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def lshCandidates(df: DataFrame, numHashes: Int = 128, numBands: Int = 32,
+                    shingleK: Int = 3, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val withSig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes, 3).as("sig"))
+      minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
     // candidates: explode only (id, band, bhash) — narrow row, small shuffle
     val bands = withSig.select(col("id"),
         explode(lshBands(col("sig"), numBands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band"), col("b.bhash"))
       // materialized once: both sides of the self-join read this tiny
-      // (id, band, hash) relation instead of recomputing signatures
-      .persist()
-    val pairs = bands.as("x").join(bands.as("y"),
+      // (id, band, hash) relation instead of recomputing signatures.
+      // localCheckpoint (not persist): blocks are reclaimed when the frame
+      // is GC'd, so long-lived sessions running many queries don't leak
+      // executor storage memory.
+      .localCheckpoint()
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bhash") === col("y.bhash") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    // verify: compute shingle sets ONLY for candidate ids (semi-join first
-    // — at corpus scale the candidate set is orders of magnitude smaller
-    // than the corpus, so the expensive shingle build is output-sized)
+  }
+
+  /** Exact-Jaccard verification kernel over an explicit candidate-pair set:
+    * shingle sets are computed ONLY for candidate ids (semi-join first — at
+    * corpus scale the candidate set is orders of magnitude smaller than the
+    * corpus, so the expensive shingle build is output-sized).
+    */
+  private def jaccardOnPairs(df: DataFrame, pairs: DataFrame, k: Int,
+                             threshold: Double, idCol: String,
+                             textCol: String): DataFrame = {
     val candidateIds = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
     val sh = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .join(candidateIds, Seq("id"), "left_semi")
-      .select(col("id"), shingles(col("__text")).as("sh"))
+      .select(col("id"), shingles(col("__text"), k).as("sh"))
     pairs
       .join(sh.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sh", "sh_a"), "id_a")
@@ -92,6 +103,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    */
+  def minhashLsh(df: DataFrame, threshold: Double = 0.7,
+                 numHashes: Int = 128, numBands: Int = 32,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    jaccardOnPairs(df,
+      lshCandidates(df, numHashes, numBands, 3, idCol, textCol),
+      k = 3, threshold, idCol, textCol)
+
   /** Near-duplicate CLUSTERS from a pair list: connected components via
     * iterative label propagation (each id adopts the minimum label among
     * itself and its neighbors until fixed point — converges in O(log
@@ -102,30 +124,39 @@ object Dedup {
     * near-dup detection into dedup decisions.
     */
   def clusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    // edges and the initial labels are materialized ONCE (eager
+    // localCheckpoint): the pair-generation lineage (often a full LSH
+    // pipeline) must not re-run per iteration, and checkpoint blocks are
+    // GC-reclaimed unlike a leaked persist
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().persist()
+      .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id"))
-      .distinct().withColumn("cluster", col("id"))
-    var changed = 1L
+      .distinct().withColumn("cluster", col("id")).localCheckpoint()
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIterations) {
+    while (!converged && i < maxIterations) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("cluster", "dst_cluster"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_cluster")).as("nmin"))
+      // change detection rides the SAME materialization as the new labels
+      // (a __chg flag inside the checkpointed frame) instead of a separate
+      // next-vs-old join: one job per round computes, one narrow
+      // early-exit scan checks convergence — halving the per-round job
+      // count that dominated wall-clock on small graphs
       val next = labels.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
-            .as("cluster"))
+            .as("cluster"),
+          (coalesce(col("nmin"), col("cluster")) < col("cluster"))
+            .as("__chg"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).count()
-      labels = next
+      converged = next.filter(col("__chg")).limit(1).count() == 0L
+      labels = next.drop("__chg")
       i += 1
     }
-    edges.unpersist()
     labels
   }
 
@@ -168,22 +199,20 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard for a (small or pre-filtered) pair set — the
-    * verification kernel shared by the LSH paths, exposed standalone.
+  /** Exact n-gram Jaccard over candidate pairs. With no `candidates` given,
+    * pairs come from MinHash banding ([[lshCandidates]]) — NEVER all-pairs:
+    * the cartesian form is a BroadcastNestedLoopJoin that dies at any real
+    * corpus size, so it is not reachable by default. Callers that truly
+    * want exhaustive pairs (tiny frames, ground-truth tests) pass an
+    * explicit all-pairs candidate frame.
     */
   def ngramJaccard(df: DataFrame, k: Int = 3, threshold: Double = 0.5,
-                   idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), k).as("sh"))
-    sh.as("x").join(sh.as("y"), col("x.id") < col("y.id"))
-      .withColumn("jaccard",
-        size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
-          size(array_union(col("x.sh"), col("y.sh"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        round(col("jaccard"), 4).as("jaccard"))
-  }
+                   idCol: String = "doc_id", textCol: String = "text",
+                   candidates: Option[DataFrame] = None): DataFrame =
+    jaccardOnPairs(df,
+      candidates.getOrElse(
+        lshCandidates(df, shingleK = k, idCol = idCol, textCol = textCol)),
+      k, threshold, idCol, textCol)
 
   /** Embedding near-dup via random-hyperplane LSH: `nBits` deterministic
     * Rademacher hyperplanes (seeded by xxhash64(bit, dim)) bucket the

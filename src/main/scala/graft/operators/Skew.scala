@@ -26,8 +26,10 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, key: Column, value: Column,
                 salts: Int = 16): DataFrame = {
+    // pmod, not abs(...)%: abs(Int.MinValue) is still negative, and a
+    // negative salt would silently break the join variant below
     val salted = df.select(key.as("k"), value.as("v"),
-      (abs(hash(monotonically_increasing_id())) % salts).as("salt"))
+      pmod(hash(monotonically_increasing_id()), lit(salts)).as("salt"))
     salted
       .groupBy(col("k"), col("salt"))
       .agg(count(lit(1)).as("pc"), sum(col("v")).as("ps"))
@@ -42,8 +44,10 @@ object Skew {
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
                  buildKey: String, salts: Int = 16): DataFrame = {
+    // pmod: abs(hash)=Int.MinValue stays negative and would never match the
+    // build side's exploded 0..salts-1 values — a silent row drop at scale
     val p = probe.withColumn("__salt",
-      abs(hash(monotonically_increasing_id())) % salts)
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
     val b = build.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     p.join(b, p(probeKey) === b(buildKey) && p("__salt") === b("__salt"))

@@ -112,7 +112,44 @@ object Fixtures {
   def generate(spark: SparkSession, nAddresses: Int = 30,
                nBlocks: Int = 200, seed: Long = 42L): World = synchronized {
     cache.getOrElseUpdate((nAddresses, nBlocks, seed),
-      generateUncached(spark, nAddresses, nBlocks, seed))
+      parquetBacked(spark, nAddresses, nBlocks, seed))
+  }
+
+  /** Round-trip the generated world through a deterministic parquet cache.
+    *
+    * Driver-built Seqs enter a plan as single-partition `LocalTableScan`s:
+    * every downstream union branch is one task, the P1 decode UDF runs
+    * single-threaded, and nothing can be pushed down. Persisting once per
+    * (params) and scanning back gives the changeset tables real parquet
+    * scans — parallel decode, filter pushdown, size statistics for AQE's
+    * broadcast decisions — i.e. the same execution shape a user gets on
+    * actual input files. The generator is seeded-deterministic, so a cache
+    * dir left by a previous JVM run is still byte-valid.
+    */
+  private def parquetBacked(spark: SparkSession, nAddresses: Int,
+                            nBlocks: Int, seed: Long): World = {
+    val base = new java.io.File(
+      s"target/fixture-cache/w-$nAddresses-$nBlocks-$seed").getAbsolutePath
+    val ok = java.nio.file.Paths.get(base, "_OK")
+    val w = generateUncached(spark, nAddresses, nBlocks, seed)
+    if (!java.nio.file.Files.exists(ok)) {
+      val par = spark.sparkContext.defaultParallelism
+      def dump(df: DataFrame, name: String, wide: Boolean): Unit =
+        df.repartition(if (wide) par else 1).write.mode("overwrite")
+          .parquet(s"$base/$name")
+      dump(w.accountChangeset, "account_changeset", wide = true)
+      dump(w.storageChangeset, "storage_changeset", wide = true)
+      dump(w.plainCodeHash, "plain_code_hash", wide = false)
+      dump(w.plainStateAccounts, "plain_state_accounts", wide = false)
+      dump(w.plainStateStorage, "plain_state_storage", wide = false)
+      java.nio.file.Files.write(ok, Array.emptyByteArray)
+    }
+    w.copy(
+      accountChangeset = spark.read.parquet(s"$base/account_changeset"),
+      storageChangeset = spark.read.parquet(s"$base/storage_changeset"),
+      plainCodeHash = spark.read.parquet(s"$base/plain_code_hash"),
+      plainStateAccounts = spark.read.parquet(s"$base/plain_state_accounts"),
+      plainStateStorage = spark.read.parquet(s"$base/plain_state_storage"))
   }
 
   private def generateUncached(spark: SparkSession, nAddresses: Int,

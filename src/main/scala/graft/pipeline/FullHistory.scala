@@ -32,26 +32,37 @@ object FullHistory {
   /** Left-zero-pad a trimmed storage value to 32 bytes (P2). */
   private val padValueUdf = udf { v: Array[Byte] => AccountBlob.padValue32(v) }
 
-  /** J1: conditional left-outer code-hash lookup. Accounts whose decoded
-    * codeHash is zero/empty but incarnation ≠ 0 probe PlainCodeHash on
-    * (address, incarnation); NOTFOUND keeps the original hash
-    * (erigon_extract.c:262-292). PlainCodeHash is a per-contract dim table —
-    * tiny next to the changeset fact stream — so it is broadcast: the join
-    * adds no shuffle at any scale.
+  /** J1: conditional code-hash lookup, the reference's per-row conditional
+    * probe (erigon_extract.c:262-292) as a plan split: only rows whose
+    * decoded codeHash is zero but incarnation ≠ 0 — contract rows that
+    * genuinely need resolution, a small fraction of the changeset stream —
+    * enter the left-outer join on (address, incarnation); everything else
+    * bypasses it entirely and is unioned back. NOTFOUND keeps the original
+    * hash.
+    *
+    * No hard `broadcast()` hint: on mainnet, PlainCodeHash is one row per
+    * contract-incarnation (tens of millions of rows, GBs serialized), so an
+    * unconditional broadcast is a driver/executor OOM at the 100 TB target.
+    * With the probe side pre-filtered, the worst case is a shuffle of just
+    * the needs-lookup subset; when PlainCodeHash is small (file statistics
+    * below `spark.sql.autoBroadcastJoinThreshold`, or AQE's runtime size),
+    * Spark still picks a broadcast hash join on its own.
     */
   def resolveCodeHash(accounts: DataFrame, plainCodeHash: DataFrame): DataFrame = {
     val needsLookup = col("codeHash") === zeros32 && col("incarnation") =!= 0
-    accounts
-      .join(broadcast(plainCodeHash.select(
+    val probe = accounts.filter(needsLookup)
+    val pass = accounts.filter(!needsLookup)
+    val resolved = probe
+      .join(plainCodeHash.select(
           col("address").as("pch_address"),
           col("incarnation").as("pch_incarnation"),
-          col("code_hash").as("pch_code_hash"))),
-        needsLookup &&
-          col("address") === col("pch_address") &&
+          col("code_hash").as("pch_code_hash")),
+        col("address") === col("pch_address") &&
           col("incarnation") === col("pch_incarnation"),
         "left_outer")
       .withColumn("codeHash", coalesce(col("pch_code_hash"), col("codeHash")))
       .drop("pch_address", "pch_incarnation", "pch_code_hash")
+    pass.unionByName(resolved.select(pass.columns.map(col).toSeq: _*))
   }
 
   /** Decode an account-changeset table (block, address, account_blob) into
@@ -200,15 +211,22 @@ object FullHistory {
     val h = history.filter(!col("isStorage"))
       .select(col("address").as("h_address"), col("valid_from_block"),
         col("nonce"), col("incarnation"), col("balance"), col("codeHash"))
-    val joined = lookups
+    // unique per-lookup id: repeated (address, block) probes must each
+    // produce their own output row, so the top-1 window keys on the probe
+    // ROW, not its (address, block) value
+    val keyed = lookups.withColumn("__lk", monotonically_increasing_id())
+    val joined = keyed
       .join(h, col("address") === col("h_address") &&
         col("valid_from_block") <= col("block"), "left_outer")
-    val w = Window.partitionBy(col("address"), col("block"))
+    // (address, block) stay in the partition key so the window's required
+    // ClusteredDistribution is still satisfied by the join's hash(address)
+    // partitioning — adding __lk alone would force a second exchange
+    val w = Window.partitionBy(col("address"), col("block"), col("__lk"))
       .orderBy(col("valid_from_block").desc_nulls_last)
     joined
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", "h_address")
+      .drop("__rn", "__lk", "h_address")
   }
 
   def storageAsOf(history: DataFrame, address: Array[Byte],

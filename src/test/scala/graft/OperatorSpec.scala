@@ -71,7 +71,13 @@ class OperatorSpec extends AnyFunSuite {
     val lsh = Dedup.minhashLsh(corpus, threshold = 0.3).collect()
       .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
         r.getAs[Double]("jaccard"))).toMap
-    val exact = Dedup.ngramJaccard(corpus, threshold = 0.3).collect()
+    // ground truth demands EXHAUSTIVE pairs — the all-pairs candidate set
+    // is passed explicitly (the default routes through LSH candidates)
+    val ids = corpus.select(col("doc_id").as("id_a"))
+    val allPairs = ids.crossJoin(corpus.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val exact = Dedup.ngramJaccard(corpus, threshold = 0.3,
+      candidates = Some(allPairs)).collect()
       .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
         r.getAs[Double]("jaccard"))).toMap
     // LSH-surfaced pairs carry the exact Jaccard value
