@@ -1,0 +1,115 @@
+package graft.codec
+
+import graft.functions.Bytes._
+
+/** S9 — the reference's tx-bodies record stream
+  * (`txbodies-S-E.dat`, erigon_extract.c:1806, 1926-1964).
+  *
+  * A headerless concatenation of per-body records (no page alignment:
+  * `writer_init(&writer, file, 0)`), each
+  *
+  * {{{
+  *   number(block) number(tx_amount) number(uncles_len) uncles_rlp
+  *   tx_amount × ( number(tx_len) tx_rlp )
+  * }}}
+  *
+  * where `number()` is the reference's variable-length integer
+  * (write_number, erigon_extract.c:596-613): an all-zero value is the
+  * single byte 0x00; a value fitting one byte < 224 is that byte; anything
+  * else is a (223 + len) prefix followed by the significant (leading-zeros
+  * trimmed) big-endian bytes.
+  *
+  * Records appear in BlockBody cursor order — (block, body) ascending, with
+  * reorged duplicate heights adjacent — and the format is sequential: there
+  * are no page restarts, so the parallel unit for reading is the FILE (the
+  * multi-file layout written by [[graft.spark.TxBodyFiles]] concatenates to
+  * the reference's single-file stream byte-for-byte).
+  */
+object TxBodyCodec {
+
+  final case class BodyRecord(block: Long, txAmount: Long,
+                              unclesRlp: Array[Byte],
+                              txs: IndexedSeq[Array[Byte]])
+
+  /** write_number / write_u64 (erigon_extract.c:596-613, 635-640). */
+  def writeNumber(buf: ByteBuf, v: Long): Unit = {
+    val bytes = new Array[Byte](8)
+    put64be(bytes, 0, v)
+    var i = 0
+    while (i < 8 && bytes(i) == 0) i += 1
+    if (i == 8) buf.putByte(0)
+    else if (i + 1 == 8 && (bytes(7) & 0xff) < 224) buf.putByte(bytes(7))
+    else {
+      buf.putByte((8 - i) + 223)
+      buf.putBytes(bytes, i, 8 - i)
+    }
+  }
+
+  def encode(buf: ByteBuf, r: BodyRecord): Unit = {
+    writeNumber(buf, r.block)
+    writeNumber(buf, r.txAmount)
+    writeNumber(buf, r.unclesRlp.length.toLong)
+    buf.putBytes(r.unclesRlp)
+    require(r.txs.length.toLong == r.txAmount,
+      s"block ${r.block}: ${r.txs.length} txs != declared ${r.txAmount}")
+    r.txs.foreach { tx =>
+      writeNumber(buf, tx.length.toLong)
+      buf.putBytes(tx)
+    }
+  }
+
+  def encodeRecord(r: BodyRecord): Array[Byte] = {
+    val buf = new ByteBuf(256)
+    encode(buf, r)
+    buf.toArray
+  }
+
+  /** Sequential decoder over a byte range (one file, or one encoded
+    * record). Mirrors read_number / read_u64 (erigon_extract.c:615-633).
+    */
+  final class RecordReader(data: Array[Byte], start: Int, end: Int)
+      extends Iterator[BodyRecord] {
+    private var pos = start
+
+    private def readByte(): Int = {
+      require(pos < end, s"truncated stream at $pos")
+      val b = data(pos) & 0xff; pos += 1; b
+    }
+
+    private def readNumber(): Long = {
+      val b = readByte()
+      if (b < 224) b.toLong
+      else {
+        val n = b - 223
+        require(n <= 8, s"number length $n > 8 at ${pos - 1}")
+        var v = 0L
+        var i = 0
+        while (i < n) { v = (v << 8) | readByte(); i += 1 }
+        v
+      }
+    }
+
+    private def readArray(n: Int): Array[Byte] = {
+      require(pos + n <= end, s"truncated array at $pos")
+      val out = java.util.Arrays.copyOfRange(data, pos, pos + n)
+      pos += n
+      out
+    }
+
+    override def hasNext: Boolean = pos < end
+
+    override def next(): BodyRecord = {
+      val block = readNumber()
+      val txAmount = readNumber()
+      val unclesLen = readNumber()
+      val uncles = readArray(unclesLen.toInt)
+      val txs = IndexedSeq.tabulate(txAmount.toInt) { _ =>
+        readArray(readNumber().toInt)
+      }
+      BodyRecord(block, txAmount, uncles, txs)
+    }
+  }
+
+  def decodeAll(data: Array[Byte]): Iterator[BodyRecord] =
+    new RecordReader(data, 0, data.length)
+}

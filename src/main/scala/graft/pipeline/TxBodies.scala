@@ -86,10 +86,13 @@ object TxBodies {
     decodedBodies.groupBy(col("block")).agg(count(lit(1)).as("n_bodies"))
       .filter(col("n_bodies") > 1)
 
-  /** S9 sink shape: the reference's per-block record
-    * (block, tx_amount, uncles_len, uncles_rlp, then len-prefixed tx blobs,
-    * erigon_extract.c:1925-1964) — here as one binary blob per block via
-    * aggregation, preserving tx order.
+  /** S9 sink records: the reference's per-body record — number(block),
+    * number(tx_amount), number(uncles_len), uncles_rlp, then per-tx
+    * number(len)+blob, where number() is the varint framing
+    * (erigon_extract.c:1925-1964, 596-613) — byte-faithful via
+    * [[graft.codec.TxBodyCodec]]. One row per (block, block_hash) body,
+    * preserving tx order; [[graft.spark.TxBodyFiles.write]] lays the
+    * records out as `txbodies-S-E.dat`-shaped files.
     */
   def encodeBlocks(decodedBodies: DataFrame,
                    transactions: DataFrame): DataFrame = {
@@ -99,21 +102,12 @@ object TxBodies {
         .as("txs"))
     val enc = udf { (block: Long, txAmount: Long, uncles: Array[Byte],
                      txs: Seq[org.apache.spark.sql.Row]) =>
-      val out = new java.io.ByteArrayOutputStream()
-      val b8 = new Array[Byte](8)
-      def putU64(v: Long): Unit = {
-        graft.functions.Bytes.put64be(b8, 0, v); out.write(b8)
-      }
-      putU64(block); putU64(txAmount)
-      putU64(uncles.length.toLong); out.write(uncles)
-      txs.foreach { r =>
-        val rlp = r.getAs[Array[Byte]]("tx_rlp")
-        putU64(rlp.length.toLong); out.write(rlp)
-      }
-      out.toByteArray
+      graft.codec.TxBodyCodec.encodeRecord(
+        graft.codec.TxBodyCodec.BodyRecord(block, txAmount, uncles,
+          txs.map(_.getAs[Array[Byte]]("tx_rlp")).toIndexedSeq))
     }
     decodedBodies.join(grouped, Seq("block", "block_hash"), "left_outer")
-      .select(col("block"),
+      .select(col("block"), col("block_hash"),
         enc(col("block"), col("tx_amount"), col("uncles_rlp"),
           coalesce(col("txs"), array().cast(
             "array<struct<tx_seq:bigint,tx_rlp:binary>>"))).as("record"))

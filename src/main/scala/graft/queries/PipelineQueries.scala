@@ -128,6 +128,28 @@ object PipelineQueries {
           .orderBy(col("address"), col("block"))
       }, None),
 
+    // S9 sink + read-back: bodies+txs → varint-framed txbodies part files
+    // (reference single-file layout split at record bounds) → decoded rows;
+    // one row of equality counters.
+    "p08_txbodies_roundtrip" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val w = graft.pipeline.Fixtures.generateTxWorld(s,
+          if (dir.contains("sf0.1")) 2000 else 200)
+        val decoded = graft.pipeline.TxBodies.decodeBodies(w.bodies)
+        val enc = graft.pipeline.TxBodies.encodeBlocks(decoded,
+          w.transactions)
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-txbodies-q").toString
+        val (nFiles, blocksWritten, _) = graft.spark.TxBodyFiles.write(
+          enc, out, blockStart = 1L, blockEnd = w.nBlocks)
+        val back = graft.spark.TxBodyFiles.read(s, out)
+        val txsRead = back.agg(sum(size(col("txs")))).collect()(0).getLong(0)
+        Seq((blocksWritten, back.count(), w.totalTxs, txsRead, nFiles))
+          .toDF("blocks_written", "blocks_read", "txs_expected", "txs_read",
+            "n_files")
+      }, None),
+
     // A3 surfaced: reorged duplicate block heights.
     "p05_txbodies_dups" -> QuerySpec(
       (s, dir) => {

@@ -1,0 +1,90 @@
+package graft.spark
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.codec.TxBodyCodec
+
+/** S9 — the reference's `txbodies-S-E.dat` output family as a Spark sink
+  * and source (erigon_extract.c:1777-1989).
+  *
+  * Layout: the reference writes ONE headerless file of varint-framed
+  * per-body records in BlockBody cursor order, single-threaded. Here each
+  * range-partition writes `part-NNNNN.dat`; because the format is a plain
+  * record concatenation with no header and no cross-record compression
+  * state, `cat part-*.dat` (ascending) reproduces the reference's
+  * single-file stream byte-for-byte — the partitioned layout IS the
+  * reference layout, split at record boundaries.
+  *
+  * Scale: records are range-partitioned on (block, block_hash) — globally
+  * ordered across files — and each task streams its partition straight to
+  * disk. Reading parallelizes per FILE (the format has no page restarts,
+  * unlike the state `.dat`s, so a file is the smallest independently
+  * decodable unit; write with enough partitions to get read parallelism).
+  */
+object TxBodyFiles {
+
+  /** Write encoded body records (from
+    * [[graft.pipeline.TxBodies.encodeBlocks]]: block, block_hash, record)
+    * as a txbodies dataset under `dir`. Returns (files, blocks, bytes).
+    */
+  def write(encodedBlocks: DataFrame, dir: String,
+            blockStart: Long = 0L, blockEnd: Long = 0L,
+            partitions: Int = 0): (Long, Long, Long) = {
+    val spark = encodedBlocks.sparkSession
+    import spark.implicits._
+    Files.createDirectories(Paths.get(dir))
+    val n = if (partitions > 0) partitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val stats = encodedBlocks
+      .repartitionByRange(n, col("block"), col("block_hash"))
+      .sortWithinPartitions(col("block"), col("block_hash"))
+      .select(col("record"))
+      .as[Array[Byte]]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        if (it.isEmpty) Iterator.empty
+        else {
+          val path = Paths.get(dir, f"part-$pid%05d.dat")
+          val out = new java.io.BufferedOutputStream(
+            Files.newOutputStream(path), 1 << 18)
+          var blocks = 0L
+          var bytes = 0L
+          try it.foreach { rec =>
+            out.write(rec); blocks += 1; bytes += rec.length
+          } finally out.close()
+          Iterator.single((pid, blocks, bytes))
+        }
+      }.collect()
+    val blocks = stats.map(_._2).sum
+    val bytes = stats.map(_._3).sum
+    val manifest =
+      s"""{"format":"graft-txbodies","block_start":$blockStart,""" +
+        s""""block_end":$blockEnd,"files":${stats.length},""" +
+        s""""blocks":$blocks,"bytes":$bytes}"""
+    Files.write(Paths.get(dir, "_manifest.json"),
+      manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (stats.length.toLong, blocks, bytes)
+  }
+
+  /** Read a txbodies dataset back: one task per file, sequential decode,
+    * rows (block, tx_amount, uncles_rlp, txs).
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = Files.list(Paths.get(dir)).iterator()
+    val names = Seq.newBuilder[String]
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.toString.endsWith(".dat")) names += f.toString
+    }
+    val sorted = names.result().sorted
+    spark.createDataset(sorted)
+      .repartition(math.max(1, sorted.length))
+      .flatMap { f =>
+        TxBodyCodec.decodeAll(Files.readAllBytes(Paths.get(f)))
+          .map(r => (r.block, r.txAmount, r.unclesRlp, r.txs))
+      }
+      .toDF("block", "tx_amount", "uncles_rlp", "txs")
+  }
+}

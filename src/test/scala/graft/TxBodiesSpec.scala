@@ -82,25 +82,78 @@ class TxBodiesSpec extends AnyFunSuite {
     assert(s.getAs[Long]("total_size") > 0)
   }
 
-  test("S9 sink record layout: u64-BE framed, parseable, ordered") {
-    val recs = TxBodies.encodeBlocks(decoded, world.transactions)
-      .collect()
+  test("S9 sink record layout: varint-framed, decodes back to the body") {
+    import graft.codec.TxBodyCodec
+    val recs = TxBodies.encodeBlocks(decoded, world.transactions).collect()
     assert(recs.length == decoded.count())
+    val declared: Map[(Long, String), (Long, Array[Byte])] =
+      decoded.collect().map { r =>
+        ((r.getAs[Long]("block"),
+          Bytes.hex(r.getAs[Array[Byte]]("block_hash"))),
+          (r.getAs[Long]("tx_amount"), r.getAs[Array[Byte]]("uncles_rlp")))
+      }.toMap
     recs.foreach { r =>
       val block = r.getAs[Long]("block")
-      val b = r.getAs[Array[Byte]]("record")
-      assert(Bytes.get64be(b, 0) == block)
-      val txAmount = Bytes.get64be(b, 8)
-      val unclesLen = Bytes.get64be(b, 16).toInt
-      var pos = 24 + unclesLen
-      var i = 0L
-      while (i < txAmount) {
-        val len = Bytes.get64be(b, pos).toInt
-        assert(len > 0 && pos + 8 + len <= b.length)
-        pos += 8 + len
-        i += 1
-      }
-      assert(pos == b.length, s"block $block: trailing bytes")
+      val key = (block, Bytes.hex(r.getAs[Array[Byte]]("block_hash")))
+      val all = TxBodyCodec.decodeAll(r.getAs[Array[Byte]]("record")).toSeq
+      assert(all.length == 1, s"block $block: one record expected")
+      val d = all.head
+      val (txAmount, uncles) = declared(key)
+      assert(d.block == block && d.txAmount == txAmount)
+      assert(d.unclesRlp.sameElements(uncles))
+      assert(d.txs.length.toLong == txAmount)
+      assert(d.txs.forall(_.nonEmpty))
     }
+  }
+
+  test("varint number framing: byte goldens from the reference encoding") {
+    import graft.codec.{ByteBuf, TxBodyCodec}
+    // (value, expected bytes): 0 → 0x00; single byte < 224 → itself;
+    // 224+ or multi-byte → (223+len) prefix + significant big-endian bytes
+    val cases = Seq(
+      0L -> Seq(0x00),
+      1L -> Seq(0x01),
+      223L -> Seq(0xdf),
+      224L -> Seq(0xe0, 0xe0),
+      255L -> Seq(0xe0, 0xff),
+      256L -> Seq(0xe1, 0x01, 0x00),
+      0x1234567890L -> Seq(0xe4, 0x12, 0x34, 0x56, 0x78, 0x90),
+      -1L -> Seq(0xe7, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff))
+    cases.foreach { case (v, expected) =>
+      val buf = new ByteBuf(16)
+      TxBodyCodec.writeNumber(buf, v)
+      assert(buf.toArray.toSeq.map(_ & 0xff) == expected, s"value $v")
+    }
+  }
+
+  test("S9 file sink round trip: records → part files → decoded rows") {
+    import org.apache.spark.sql.functions._
+    val enc = TxBodies.encodeBlocks(decoded, world.transactions)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-txbodies").toString
+    val (nFiles, nBlocks, nBytes) = graft.spark.TxBodyFiles.write(
+      enc, dir, blockStart = 1L, blockEnd = world.nBlocks)
+    assert(nBlocks == decoded.count())
+    assert(nFiles > 1, "multi-file layout expected at 4 partitions")
+    assert(nBytes > 0)
+    val back = graft.spark.TxBodyFiles.read(spark, dir)
+    assert(back.count() == decoded.count())
+    // per-block tx counts and uncles bytes survive the round trip
+    val orig = decoded.select(col("block"), col("tx_amount")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val rt = back.select(col("block"), col("tx_amount")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rt == orig)
+    // total txs preserved
+    val txTotal = back.agg(sum(size(col("txs")))).collect()(0).getLong(0)
+    assert(txTotal == world.totalTxs)
+    // global order: concatenated part files = ascending block stream
+    // (the reference's single-file cursor order, split at record bounds)
+    val fileFirstBlocks = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".dat")).sortBy(_.getName).map { f =>
+        graft.codec.TxBodyCodec.decodeAll(
+          java.nio.file.Files.readAllBytes(f.toPath)).next().block
+      }
+    assert(fileFirstBlocks.sameElements(fileFirstBlocks.sorted))
   }
 }
