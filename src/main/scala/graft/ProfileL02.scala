@@ -1,0 +1,36 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Ad-hoc stage profiler for the MinHash+LSH path (dev tool). */
+object ProfileL02 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables(spark, sfDir, "documents")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"STAGE $label%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    time("docs.count")(docs.count())
+    time("tokens+len")(docs.select(
+      sum(size(graft.operators.TextAnalysis.tokens(col("text"))))).collect())
+    time("signatures")(docs.select(
+      Dedup.minhashSignature(col("text")).as("sig"))
+      .select(max(element_at(col("sig"), 1))).collect())
+    val cand = time("lshCandidates")(
+      Dedup.lshCandidates(docs))
+    time("cand.count")(cand.count())
+    time("full minhashLsh")(
+      Dedup.minhashLsh(docs, threshold = 0.5).count())
+    time("full again (warm)")(
+      Dedup.minhashLsh(docs, threshold = 0.5).count())
+    spark.stop()
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import graft.pipeline.{Fixtures, FullHistory}
+
+/** Ad-hoc stage profiler for the p01 full-history path (dev tool). */
+object ProfileP01 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"STAGE $label%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val w = time("world gen+parquet")(
+      Fixtures.generate(spark, nAddresses = 500, nBlocks = 2000))
+    time("accCs.count")(w.accountChangeset.count())
+    val h = time("build plan")(FullHistory.build(spark, w.accountChangeset,
+      w.storageChangeset, w.plainCodeHash, w.plainStateAccounts,
+      w.plainStateStorage, w.latestBlock))
+    time("build count")(h.count())
+    time("persist+count")(h.persist().count())
+    time("recount from cache")(h.count())
+    spark.stop()
+  }
+}

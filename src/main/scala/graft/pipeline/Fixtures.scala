@@ -37,15 +37,23 @@ object Fixtures {
   final case class StorageAfter(addressHex: String, slotHex: String,
                                 block: Long, incarnation: Long, value: Long)
 
-  final case class World(
-      accountChangeset: DataFrame,
-      storageChangeset: DataFrame,
-      plainCodeHash: DataFrame,
-      plainStateAccounts: DataFrame,
-      plainStateStorage: DataFrame,
-      latestBlock: Long,
-      accountOracle: Seq[AccountAfter],
-      storageOracle: Seq[StorageAfter])
+  /** Oracles are LAZY (by-name, memoized): queries that only build plans
+    * over the tables (p01/p02/p06) never pay the oracle materialization —
+    * on a warm parquet cache that is the difference between a pure-lazy
+    * world() and seconds of driver-side collect.
+    */
+  final class World(
+      val accountChangeset: DataFrame,
+      val storageChangeset: DataFrame,
+      val plainCodeHash: DataFrame,
+      val plainStateAccounts: DataFrame,
+      val plainStateStorage: DataFrame,
+      val latestBlock: Long,
+      accountOracleF: => Seq[AccountAfter],
+      storageOracleF: => Seq[StorageAfter]) {
+    lazy val accountOracle: Seq[AccountAfter] = accountOracleF
+    lazy val storageOracle: Seq[StorageAfter] = storageOracleF
+  }
 
   private def be32(v: Long): Array[Byte] = {
     val b = new Array[Byte](32); Bytes.put64be(b, 24, v); b
@@ -124,15 +132,20 @@ object Fixtures {
     * scans — parallel decode, filter pushdown, size statistics for AQE's
     * broadcast decisions — i.e. the same execution shape a user gets on
     * actual input files. The generator is seeded-deterministic, so a cache
-    * dir left by a previous JVM run is still byte-valid.
+    * dir left by a previous JVM run is still byte-valid — and the oracles
+    * are cached alongside the tables, so a warm hit skips the whole
+    * driver-side simulation (which is seconds of single-threaded work at
+    * bench scale).
     */
   private def parquetBacked(spark: SparkSession, nAddresses: Int,
                             nBlocks: Int, seed: Long): World = {
+    import spark.implicits._
+    // v2: layout version bump (v1 lacked the oracle tables)
     val base = new java.io.File(
-      s"target/fixture-cache/w-$nAddresses-$nBlocks-$seed").getAbsolutePath
+      s"target/fixture-cache/v2-$nAddresses-$nBlocks-$seed").getAbsolutePath
     val ok = java.nio.file.Paths.get(base, "_OK")
-    val w = generateUncached(spark, nAddresses, nBlocks, seed)
     if (!java.nio.file.Files.exists(ok)) {
+      val w = generateUncached(spark, nAddresses, nBlocks, seed)
       val par = spark.sparkContext.defaultParallelism
       def dump(df: DataFrame, name: String, wide: Boolean): Unit =
         df.repartition(if (wide) par else 1).write.mode("overwrite")
@@ -142,14 +155,27 @@ object Fixtures {
       dump(w.plainCodeHash, "plain_code_hash", wide = false)
       dump(w.plainStateAccounts, "plain_state_accounts", wide = false)
       dump(w.plainStateStorage, "plain_state_storage", wide = false)
+      // oracles keep their generation ORDER (head-of-seq probes in tests
+      // and queries) via an explicit ord column
+      dump(w.accountOracle.zipWithIndex
+        .map { case (a, i) => (i.toLong, a) }.toDF(),
+        "account_oracle", wide = false)
+      dump(w.storageOracle.zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }.toDF(),
+        "storage_oracle", wide = false)
       java.nio.file.Files.write(ok, Array.emptyByteArray)
     }
-    w.copy(
-      accountChangeset = spark.read.parquet(s"$base/account_changeset"),
-      storageChangeset = spark.read.parquet(s"$base/storage_changeset"),
-      plainCodeHash = spark.read.parquet(s"$base/plain_code_hash"),
-      plainStateAccounts = spark.read.parquet(s"$base/plain_state_accounts"),
-      plainStateStorage = spark.read.parquet(s"$base/plain_state_storage"))
+    new World(
+      spark.read.parquet(s"$base/account_changeset"),
+      spark.read.parquet(s"$base/storage_changeset"),
+      spark.read.parquet(s"$base/plain_code_hash"),
+      spark.read.parquet(s"$base/plain_state_accounts"),
+      spark.read.parquet(s"$base/plain_state_storage"),
+      nBlocks.toLong,
+      spark.read.parquet(s"$base/account_oracle")
+        .as[(Long, AccountAfter)].collect().sortBy(_._1).map(_._2).toSeq,
+      spark.read.parquet(s"$base/storage_oracle")
+        .as[(Long, StorageAfter)].collect().sortBy(_._1).map(_._2).toSeq)
   }
 
   private def generateUncached(spark: SparkSession, nAddresses: Int,
@@ -231,14 +257,14 @@ object Fixtures {
     }
 
     import spark.implicits._
-    World(
-      accountChangeset = accCs.result().toDF(),
-      storageChangeset = stoCs.result().toDF(),
-      plainCodeHash = pch.toDF(),
-      plainStateAccounts = psAcc.toDF(),
-      plainStateStorage = psSto.toDF(),
-      latestBlock = nBlocks.toLong,
-      accountOracle = accOracle.result(),
-      storageOracle = stoOracle.result())
+    new World(
+      accCs.result().toDF(),
+      stoCs.result().toDF(),
+      pch.toDF(),
+      psAcc.toDF(),
+      psSto.toDF(),
+      nBlocks.toLong,
+      accOracle.result(),
+      stoOracle.result())
   }
 }

@@ -17,6 +17,18 @@ object PipelineQueries {
     Fixtures.generate(s, nAddresses = n / 4, nBlocks = n)
   }
 
+  /** Materialize the synthetic worlds for `dir` outside any timed region:
+    * fixture GENERATION is test-harness cost, not query cost (on a real
+    * deployment the changeset tables already exist on disk). Bench calls
+    * this from its warmup section so a cold fixture cache doesn't get
+    * billed to the first p-query.
+    */
+  def warmFixtures(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    world(s, dir)
+    Fixtures.generateTxWorld(s, if (dir.contains("sf0.1")) 2000 else 200)
+    ()
+  }
+
   // p01/p02/p03/p06 all consume the same built history; cache it per sf dir
   // (same reuse a user gets from `history.cache()`)
   private val histCache = scala.collection.mutable

@@ -82,6 +82,12 @@ object StreamingQueries {
               .as("key"),
             col("block"),
             concat_ws(":", col("nonce"), hex(col("balance"))).as("payload"))
+          // HARNESS ONLY — do not copy to production: collect() feeds the
+          // in-memory MemoryStream so the micro-batch boundary is
+          // deterministic for the batch≡streaming proof. A deployment
+          // reads the changeset CDC log with readStream (file/Kafka
+          // source); Streams.incrementalHistory itself is
+          // partition-parallel and never sees a driver-side collect.
           .as[Streams.Change].collect().sortBy(_.block)
 
         implicit val sqlCtx = s.sqlContext

@@ -40,6 +40,12 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, it: Iterator[Change], state: GroupState[Long]) =>
           var last = state.getOption.getOrElse(0L)
+          // SCALE NOTE: one group's MICRO-BATCH slice is buffered to sort
+          // by block (state keyed per account/slot, so a group is one
+          // key's changes within one batch — normally a handful of rows).
+          // A pathological hot key with millions of same-batch changes
+          // would need a pre-sorted source (sortWithinPartitions upstream
+          // of the sink) so this fold can stream the iterator directly.
           val out = it.toSeq.sortBy(_.block).map { c =>
             val row = HistoryRow(key, last, c.block, c.payload)
             last = c.block

@@ -236,6 +236,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(mf.contains(s"\"storage_slots\":$nSlots"), mf)
   }
 
+  test("copy_file strategy conversion: 0 -> 1 -> read-back equality") {
+    import spark.implicits._
+    val items = StateFormat.asItems(
+      history.withColumnRenamed("valid_from_block", "block"))
+    val in = Files.createTempDirectory("graft-copy-in").toString
+    val out = Files.createTempDirectory("graft-copy-out").toString
+    graft.spark.StateFiles.write(items, in, strategy = 0,
+      blockStart = 0L, blockEnd = world.latestBlock)
+    graft.spark.CopyFile.convert(spark, in, out,
+      strategyIn = 0, strategyOut = 1)
+    val back = graft.spark.StateFiles.read(spark, out, strategy = 1)
+    def key(i: graft.model.StateItem) =
+      (Bytes.hex(i.address), i.isStorage, i.incarnation, Bytes.hex(i.slot),
+        i.block, i.nonce, Bytes.hex(i.balance), Bytes.hex(i.codeHash),
+        Bytes.hex(i.value))
+    val a = items.collect().map(key).sorted
+    val b = back.collect().map(key).sorted
+    assert(b.length == a.length && b.sameElements(a))
+    // the converted manifest carries the input's block range
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_manifest.json")))
+    assert(mf.contains("\"strategy\":1"), mf)
+    assert(mf.contains(s"\"block_end\":${world.latestBlock}"), mf)
+  }
+
   test("DataSource V2: spark.read.format over .dat matches the items") {
     import spark.implicits._
     val items = StateFormat.asItems(

@@ -45,6 +45,31 @@ class PlanSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("J1 is a filtered probe: only needs-lookup rows enter the join, " +
+      "no hard broadcast hint") {
+    val w = Fixtures.generate(spark, nAddresses = 10, nBlocks = 30)
+    val resolved = FullHistory.decodeAccounts(w.accountChangeset,
+      w.plainCodeHash)
+    // logical shape: the PlainCodeHash join sits under a Union whose other
+    // branch bypasses it entirely (the reference's conditional probe,
+    // erigon_extract.c:262-292, as a plan split)
+    val logical = resolved.queryExecution.optimizedPlan.toString
+    assert(logical.contains("Union"), logical.take(3000))
+    resolved.count()
+    val plan = resolved.queryExecution.executedPlan.toString
+    // no ResolvedHint-forced broadcast: with a tiny parquet-backed dim the
+    // optimizer still CHOOSES broadcast from file statistics, but the probe
+    // side is pre-filtered so a large dim would fall back to a shuffled
+    // join of just the needs-lookup subset instead of OOMing the driver
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("Union"), plan.take(3000))
+    // the probe branch filters BEFORE the join (needs-lookup predicate on
+    // the account side): incarnation≠0 must appear in a Filter/scan, not
+    // in the join condition
+    assert(plan.contains("NOT (") && plan.contains("incarnation"),
+      plan.take(3000))
+  }
+
   test("full-history plan: one range exchange, no window re-shuffle, broadcast J1") {
     val w = Fixtures.generate(spark, nAddresses = 10, nBlocks = 30)
     val h = FullHistory.build(spark, w.accountChangeset, w.storageChangeset,
