@@ -65,11 +65,12 @@ object TextAnalysis {
     val hasStopwords = (stopwordCount(text) > 0).cast("double")
     val lengthOk =
       (nChars >= 50 && nChars <= 100000).cast("double")
-    round(
-      lit(0.3) * alphaRatio + lit(0.2) * hasStopwords +
+    // 4-dp quantization via decimal cast (not round()): HALF_UP from the
+    // same IEEE double in every engine, so the score is oracle-comparable
+    (lit(0.3) * alphaRatio + lit(0.2) * hasStopwords +
         lit(0.2) * lengthOk +
-        lit(0.3) * when(meanTokLen.between(3.0, 12.0), 1.0).otherwise(0.0),
-      4)
+        lit(0.3) * when(meanTokLen.between(3.0, 12.0), 1.0).otherwise(0.0))
+      .cast("decimal(18,4)").cast("double")
   }
 
   /** Language-ID n-gram heuristic: scores per-language marker profiles

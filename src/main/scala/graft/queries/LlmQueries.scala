@@ -131,12 +131,85 @@ object LlmQueries {
       Some("""SELECT doc_id, md5(text) AS fp_md5
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Language-ID + quality scoring, fully DuckDB-oracled: marker counts
+    // via literal splits, argmax with the same (score, lang) struct
+    // tie-break, quality quantized by the shared decimal-cast rule. The
+    // two engine-specific columns (xxhash64 fingerprint, lookbehind
+    // subword regex) live in l13 (rows-only) so they don't block this
+    // oracle.
     "l09_quality_langid" -> QuerySpec(
       (s, dir) => Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           TextAnalysis.langId(col("text")).as("lang_pred"),
           TextAnalysis.qualityScore(col("text")).as("quality"),
-          TextAnalysis.stopwordCount(col("text")).as("n_stopwords"),
+          TextAnalysis.stopwordCount(col("text")).as("n_stopwords"))
+        .orderBy(col("doc_id")),
+      Some("""WITH base AS (
+             |  SELECT doc_id, lang, text,
+             |    ' ' || lower(text) || ' ' AS p,
+             |    length(text) AS n_chars,
+             |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |                t -> length(t) > 0) AS toks
+             |  FROM documents),
+             |sc AS (
+             |  SELECT doc_id, lang, n_chars, n_alpha, len(toks) AS n_tokens,
+             |    len(list_filter(toks, t -> list_contains(
+             |      ['the','a','an','and','or','of','to','in','is','are',
+             |       'was','for','on','with','as','by','at','it'], t)))
+             |      AS n_stopwords,
+             |    (len(string_split(p, ' the ')) + len(string_split(p, ' and '))
+             |     + len(string_split(p, ' of ')) + len(string_split(p, ' is '))
+             |     + len(string_split(p, ' to ')) + len(string_split(p, ' in '))
+             |     - 6) AS s_en,
+             |    (len(string_split(p, ' der ')) + len(string_split(p, ' die '))
+             |     + len(string_split(p, ' und ')) + len(string_split(p, ' ist '))
+             |     + len(string_split(p, ' das ')) + len(string_split(p, ' ein '))
+             |     - 6) AS s_de,
+             |    (len(string_split(p, ' le ')) + len(string_split(p, ' la '))
+             |     + len(string_split(p, ' et ')) + len(string_split(p, ' les '))
+             |     + len(string_split(p, ' des ')) + len(string_split(p, ' est '))
+             |     - 6) AS s_fr,
+             |    (len(string_split(p, ' el ')) + len(string_split(p, ' los '))
+             |     + len(string_split(p, ' y ')) + len(string_split(p, ' de la '))
+             |     + len(string_split(p, ' es ')) + len(string_split(p, ' una '))
+             |     - 6) AS s_es,
+             |    (len(string_split(p, '的')) + len(string_split(p, '是'))
+             |     + len(string_split(p, '了')) + len(string_split(p, '在'))
+             |     + len(string_split(p, '我')) + len(string_split(p, '不'))
+             |     - 6) AS s_zh
+             |  FROM base),
+             |best AS (
+             |  SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS m
+             |  FROM sc)
+             |SELECT doc_id, lang,
+             |  -- argmax with Spark's (score, lang)-struct tie-break:
+             |  -- equal scores resolve to the lexicographically LARGEST lang
+             |  CASE WHEN m <= 0 THEN 'und'
+             |       WHEN s_zh = m THEN 'zh'
+             |       WHEN s_fr = m THEN 'fr'
+             |       WHEN s_es = m THEN 'es'
+             |       WHEN s_en = m THEN 'en'
+             |       ELSE 'de' END AS lang_pred,
+             |  CAST(CAST(
+             |    0.3 * (n_alpha / greatest(CAST(n_chars AS DOUBLE), 1.0))
+             |    + 0.2 * (CASE WHEN n_stopwords > 0 THEN 1.0 ELSE 0.0 END)
+             |    + 0.2 * (CASE WHEN n_chars BETWEEN 50 AND 100000
+             |             THEN 1.0 ELSE 0.0 END)
+             |    + 0.3 * (CASE WHEN CAST(n_chars AS DOUBLE)
+             |                      / greatest(CAST(n_tokens AS DOUBLE), 1.0)
+             |                      BETWEEN 3.0 AND 12.0
+             |             THEN 1.0 ELSE 0.0 END)
+             |    AS DECIMAL(18,4)) AS DOUBLE) AS quality,
+             |  n_stopwords
+             |FROM best ORDER BY doc_id""".stripMargin)),
+
+    // Engine-specific text features (xxhash64 rolling fingerprint;
+    // lookbehind subword segmentation unsupported by RE2) — rows-only,
+    // semantics covered in OperatorSpec.
+    "l13_subword_fingerprint" -> QuerySpec(
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
           TextAnalysis.rollingFingerprint(col("text")).as("fp_rolling"),
           TextAnalysis.bpeishTokenCount(col("text")).as("n_subwords"))
         .orderBy(col("doc_id")),
