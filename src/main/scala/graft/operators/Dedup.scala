@@ -100,7 +100,10 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      // decimal-cast quantization (not round()): HALF_UP from the same
+      // IEEE double in every engine, so pair lists are oracle-comparable
+      .select(col("id_a"), col("id_b"),
+        col("jaccard").cast("decimal(18,4)").cast("double").as("jaccard"))
   }
 
   /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
@@ -245,6 +248,7 @@ object Dedup {
         "id_b")
       .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .select(col("id_a"), col("id_b"),
+        col("cosine").cast("decimal(18,4)").cast("double").as("cosine"))
   }
 }

@@ -52,9 +52,11 @@ object LlmQueries {
     // near-dups at a given sf, and an empty result verifies nothing — so
     // deterministic near-duplicates of the first rows are PLANTED (ids
     // offset by 1e6, text extended by a short suffix → token-shingle
-    // jaccard stays high). Non-empty output containing the planted pairs
-    // is the pass condition. Candidates come from LSH banding (the
-    // default), never all-pairs.
+    // jaccard stays high). Candidates come from LSH banding (the default),
+    // never all-pairs. Threshold 0.8 keeps banding recall ≈ 1
+    // (1-(1-0.8^4)^32), so the EXHAUSTIVE DuckDB oracle agrees: the data's
+    // natural pair maximum is jaccard ≈ 0.03, leaving exactly the planted
+    // pairs on both sides.
     "l04_ngram_jaccard" -> QuerySpec(
       (s, dir) => {
         val base = Tables(s, dir, "documents").filter(col("doc_id") < 100)
@@ -63,9 +65,37 @@ object LlmQueries {
           .select((col("doc_id") + 1000000L).as("doc_id"),
             concat(col("text"), lit(" planted near duplicate suffix"))
               .as("text"))
-        Dedup.ngramJaccard(base.unionByName(planted), threshold = 0.3)
+        Dedup.ngramJaccard(base.unionByName(planted), threshold = 0.8)
           .orderBy(col("id_a"), col("id_b"))
-      }, None),
+      },
+      Some("""WITH slice AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 100),
+             |un AS (
+             |  SELECT doc_id, text FROM slice
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text || ' planted near duplicate suffix'
+             |  FROM slice WHERE doc_id < 10),
+             |t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |                x -> length(x) > 0) AS toks
+             |  FROM un),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(toks) >= 3 THEN list_distinct(
+             |           [array_to_string(toks[i:i+2], ' ')
+             |            for i in generate_series(1, len(toks) - 2)])
+             |         WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+             |         ELSE [''] END AS s
+             |  FROM t),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    len(list_intersect(a.s, b.s))::DOUBLE
+             |      / len(list_distinct(list_concat(a.s, b.s))) AS j
+             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+             |SELECT id_a, id_b,
+             |  CAST(CAST(j AS DECIMAL(18,4)) AS DOUBLE) AS jaccard
+             |FROM pairs WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin)),
 
     // Same positive-control shape for the embedding path: near-copies of
     // the first 10 vectors (one dimension nudged by 1e-3) planted at ids
@@ -82,7 +112,30 @@ object LlmQueries {
         Dedup.embeddingNearDup(base.unionByName(planted),
             threshold = 0.9, nBits = 8)
           .orderBy(col("id_a"), col("id_b"))
-      }, None),
+      },
+      // Exhaustive oracle is safe: the data's natural cosine maximum is
+      // ≈ 0.6, so both engines see exactly the planted pairs (which the
+      // hyperplane buckets cannot split at perturbation 1e-3).
+      Some("""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+             |un AS (
+             |  SELECT vec_id, embedding FROM v
+             |  UNION ALL
+             |  SELECT vec_id + 1000000,
+             |    [CAST(embedding[1] + '0.001'::FLOAT AS FLOAT)]
+             |      || embedding[2:]
+             |  FROM v WHERE vec_id < 10),
+             |d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM un),
+             |st AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  CASE WHEN sqrt(list_inner_product(a.e, a.e))
+             |            * sqrt(list_inner_product(b.e, b.e)) <> 0
+             |       THEN list_inner_product(a.e, b.e)
+             |            / (sqrt(list_inner_product(a.e, a.e))
+             |               * sqrt(list_inner_product(b.e, b.e)))
+             |       ELSE 0 END AS c
+             |  FROM d a, d b WHERE a.vec_id < b.vec_id)
+             |SELECT id_a, id_b,
+             |  CAST(CAST(c AS DECIMAL(18,4)) AS DOUBLE) AS cosine
+             |FROM st WHERE c >= 0.9 ORDER BY id_a, id_b""".stripMargin)),
 
     // Near-dup pairs → connected components → keep/drop decisions: the
     // complete dedup pipeline output (one row per clustered doc).
