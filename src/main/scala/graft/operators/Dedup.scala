@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.TextAnalysis._
 
@@ -104,6 +104,46 @@ object Dedup {
       // IEEE double in every engine, so pair lists are oracle-comparable
       .select(col("id_a"), col("id_b"),
         col("jaccard").cast("decimal(18,4)").cast("double").as("jaccard"))
+  }
+
+  /** Signature store: materialize the LSH band signatures ONCE as a
+    * bucketed+sorted table so every subsequent candidate generation is an
+    * EXCHANGE-FREE sort-merge self-join (the pre-partitioned-ingest
+    * strategy of SURVEY.md §7.2 applied to dedup). The corpus text is
+    * scanned exactly once — at 100 TB the signature table (id, band,
+    * bhash) is orders of magnitude smaller than the corpus and is the
+    * only thing dedup re-reads.
+    */
+  def materializeSignatures(df: DataFrame, table: String, path: String,
+                            numBuckets: Int = 32, numHashes: Int = 128,
+                            numBands: Int = 32, shingleK: Int = 3,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): Unit = {
+    val rowsPerBand = numHashes / numBands
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
+      .select(col("id"),
+        explode(lshBands(col("sig"), numBands, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bhash"))
+      .write.bucketBy(numBuckets, "band", "bhash").sortBy("band", "bhash")
+      .option("path", path).mode("overwrite").saveAsTable(table)
+  }
+
+  /** Candidate pairs from a [[materializeSignatures]] table: both join
+    * inputs read co-located buckets of (band, bhash), so the self-join
+    * plans with zero Exchange (only the final pair-distinct shuffles, and
+    * it shuffles candidate IDS, not signatures or text).
+    */
+  def storedCandidates(spark: SparkSession, table: String): DataFrame = {
+    val bands = spark.table(table)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bhash") === col("y.bhash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
   }
 
   /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.

@@ -257,6 +257,23 @@ object LlmQueries {
              |  n_stopwords
              |FROM best ORDER BY doc_id""".stripMargin)),
 
+    // The 100 TB dedup layout as a first-class flow: signatures
+    // materialized ONCE into a bucketed table (single corpus scan),
+    // candidates from an exchange-free bucketed self-join, exact-jaccard
+    // verify on candidates only. Pair output equals l02's at the same
+    // threshold (asserted in OperatorSpec); rows-only here because the
+    // bucketed table is engine-local state.
+    "l14_lsh_bucketed" -> QuerySpec(
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-sigstore-q").toString
+        Dedup.materializeSignatures(docs, "graft_sig_store", s"$path/t")
+        val cand = Dedup.storedCandidates(s, "graft_sig_store")
+        Dedup.ngramJaccard(docs, threshold = 0.5, candidates = Some(cand))
+          .orderBy(col("id_a"), col("id_b"))
+      }, None),
+
     // Engine-specific text features (xxhash64 rolling fingerprint;
     // lookbehind subword segmentation unsupported by RE2) — rows-only,
     // semantics covered in OperatorSpec.

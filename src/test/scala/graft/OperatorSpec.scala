@@ -87,6 +87,32 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed signature store: exchange-free self-join, same candidates") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sigstore")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Dedup.materializeSignatures(corpus, "sig_store_t", s"$tmp/t",
+        numBuckets = 4)
+      val cand = Dedup.storedCandidates(spark, "sig_store_t")
+      cand.count()
+      val plan = cand.queryExecution.executedPlan.toString
+      // the ONLY exchange is the pair-distinct; the self-join reads
+      // co-located buckets (no shuffle, no broadcast of signatures)
+      val exchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("Reused"))
+      assert(exchanges == 1, s"expected only the distinct's exchange\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      // and the candidate set is exactly the non-materialized one
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(pairs(cand) == pairs(Dedup.lshCandidates(corpus)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS sig_store_t")
+    }
+  }
+
   test("near-dup clusters: connected components of planted families") {
     val pairs = Dedup.minhashLsh(corpus, threshold = 0.5)
     val cl = Dedup.clusters(pairs).collect()
