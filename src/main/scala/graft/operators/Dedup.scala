@@ -54,9 +54,26 @@ object Dedup {
     * (id, band, band-hash) rows shuffle; returns distinct (id_a, id_b)
     * with id_a < id_b.
     */
+  /** Drop LSH buckets larger than `cap`: a bucket of n members emits
+    * O(n²) candidate pairs while carrying ~no near-dup signal (giant
+    * buckets are boilerplate/empty text, which EXACT dedup handles first
+    * and cheaper). At corpus scale this bounds the self-join's worst case
+    * — without it one degenerate bucket turns the candidate join
+    * quadratic.
+    */
+  private def capBuckets(bands: DataFrame, cap: Int): DataFrame =
+    if (cap <= 0) bands
+    else {
+      val big = bands.groupBy(col("band"), col("bhash"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+        .select(col("band"), col("bhash"))
+      bands.join(big, Seq("band", "bhash"), "left_anti")
+    }
+
   def lshCandidates(df: DataFrame, numHashes: Int = 128, numBands: Int = 32,
                     shingleK: Int = 3, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    maxBucketSize: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val withSig = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
@@ -70,7 +87,8 @@ object Dedup {
       // is GC'd, so long-lived sessions running many queries don't leak
       // executor storage memory.
       .localCheckpoint()
-    bands.as("x").join(bands.as("y"),
+    val capped = capBuckets(bands, maxBucketSize)
+    capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bhash") === col("y.bhash") &&
           col("x.id") < col("y.id"))
@@ -136,8 +154,11 @@ object Dedup {
     * plans with zero Exchange (only the final pair-distinct shuffles, and
     * it shuffles candidate IDS, not signatures or text).
     */
-  def storedCandidates(spark: SparkSession, table: String): DataFrame = {
-    val bands = spark.table(table)
+  def storedCandidates(spark: SparkSession, table: String,
+                       maxBucketSize: Int = 1000): DataFrame = {
+    // the bucket-size count AND the anti-join both key on (band, bhash) =
+    // the table's bucketing — they stay exchange-free like the self-join
+    val bands = capBuckets(spark.table(table), maxBucketSize)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bhash") === col("y.bhash") &&

@@ -229,6 +229,29 @@ object FullHistory {
       .drop("__rn", "__lk", "h_address")
   }
 
+  /** Storage-slot form of [[asOfJoinAccounts]]: resolve many
+    * (address, slot, block) probes in one pass. Same plan shape — equi-join
+    * on (address, slot), visibility predicate, per-probe top-1 window
+    * riding the join's hash partitioning.
+    */
+  def asOfJoinStorage(history: DataFrame, lookups: DataFrame): DataFrame = {
+    val h = history.filter(col("isStorage"))
+      .select(col("address").as("h_address"), col("slot").as("h_slot"),
+        col("valid_from_block"), col("incarnation"), col("value"))
+    val keyed = lookups.withColumn("__lk", monotonically_increasing_id())
+    val joined = keyed
+      .join(h, col("address") === col("h_address") &&
+        col("slot") === col("h_slot") &&
+        col("valid_from_block") <= col("block"), "left_outer")
+    val w = Window
+      .partitionBy(col("address"), col("slot"), col("block"), col("__lk"))
+      .orderBy(col("valid_from_block").desc_nulls_last)
+    joined
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__lk", "h_address", "h_slot")
+  }
+
   def storageAsOf(history: DataFrame, address: Array[Byte],
                   slot: Array[Byte], block: Long): DataFrame =
     history

@@ -61,6 +61,40 @@ object StreamingQueries {
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // The PRODUCTION ingestion path: a real file-source readStream over
+    // the events table (no MemoryStream, no driver collect), windowed
+    // aggregation, Trigger.AvailableNow, memory sink in complete mode.
+    // The streaming result equals the w01 batch plan on static input, so
+    // the same DuckDB oracle hash-checks an actual streaming execution.
+    "st02_file_stream" -> QuerySpec(
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        // the file source requires a DIRECTORY: stream the sf dir with a
+        // glob narrowing it to the events table
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+        val agg = stream
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("total_value"))
+          .select(col("window.start").as("day"), col("event_type"),
+            col("n_events"), col("total_value"))
+        val q = agg.writeStream.format("memory").queryName("st02_sink")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st02_sink").orderBy(col("day"), col("event_type"))
+      },
+      Some("""SELECT date_trunc('day', ts) AS day, event_type,
+             |COUNT(*) AS n_events,
+             |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
+
     // Incremental W1 through an actual streaming query (MemoryStream →
     // flatMapGroupsWithState → memory sink), fed the fixture changesets in
     // two block-ordered micro-batches.

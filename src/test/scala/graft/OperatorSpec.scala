@@ -87,6 +87,24 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH bucket cap drops degenerate buckets, keeps normal pairs") {
+    // 30 identical "spam" docs share every band bucket -> 435 junk pairs
+    // without the cap; with it they vanish and real pairs are untouched
+    val spam = (0 until 30).map(i =>
+      (5000L + i, "spam boilerplate identical text repeated everywhere",
+        "spam"))
+    val df = corpus.unionByName(spam.toDF("doc_id", "text", "family"))
+    def pairSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val capped = pairSet(Dedup.lshCandidates(df, maxBucketSize = 10))
+    assert(capped.forall { case (a, b) => a < 5000 && b < 5000 },
+      "degenerate-bucket pairs must be dropped")
+    assert(capped == pairSet(Dedup.lshCandidates(corpus)),
+      "normal pairs unaffected by the cap")
+    val uncapped = pairSet(Dedup.lshCandidates(df, maxBucketSize = 0))
+    assert(uncapped.count { case (a, b) => a >= 5000 && b >= 5000 } == 435)
+  }
+
   test("bucketed signature store: exchange-free self-join, same candidates") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sigstore")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

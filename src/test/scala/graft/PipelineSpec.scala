@@ -136,6 +136,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("batch storage as-of join matches the chain-simulation oracle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val byKey = world.storageOracle.groupBy(s => (s.addressHex, s.slotHex))
+    val lookups = rnd.shuffle(byKey.keys.toList).take(12).flatMap {
+      case (a, sl) =>
+        Seq((Bytes.unhex(a), Bytes.unhex(sl),
+          rnd.nextInt(world.latestBlock.toInt).toLong),
+          (Bytes.unhex(a), Bytes.unhex(sl), world.latestBlock))
+    }.toDF("address", "slot", "block")
+    val got = FullHistory.asOfJoinStorage(history, lookups).collect()
+      .map(r => (Bytes.hex(r.getAs[Array[Byte]]("address")),
+        Bytes.hex(r.getAs[Array[Byte]]("slot")), r.getAs[Long]("block")) ->
+        Option(r.getAs[Array[Byte]]("value")).map(Bytes.get64be(_, 24)))
+      .toMap
+    assert(got.size == lookups.count())
+    got.foreach { case ((addrHex, slotHex, b), value) =>
+      val expected = byKey((addrHex.toLowerCase, slotHex.toLowerCase))
+        .filter(_.block <= b).sortBy(_.block).lastOption
+      expected match {
+        case Some(e) => assert(value.contains(e.value),
+          s"$addrHex/$slotHex @ $b")
+        case None => assert(value.forall(_ == 0L))
+      }
+    }
+  }
+
   test("-P prune: blockStart keeps only the tail history") {
     val pruneFrom = world.latestBlock - 50 + 1
     val pruned = FullHistory.build(spark,
