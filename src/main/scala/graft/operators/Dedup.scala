@@ -64,10 +64,14 @@ object Dedup {
   private def capBuckets(bands: DataFrame, cap: Int): DataFrame =
     if (cap <= 0) bands
     else {
-      val big = bands.groupBy(col("band"), col("bhash"))
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
-        .select(col("band"), col("bhash"))
-      bands.join(big, Seq("band", "bhash"), "left_anti")
+      // windowed count, not agg+anti-join: ONE pass whose (band, bhash)
+      // hash partitioning is exactly what the candidate self-join needs,
+      // so the join that follows adds no exchange of its own (and over
+      // the bucketed store the window itself is exchange-free)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bhash"))
+      bands.withColumn("__n", count(lit(1)).over(w))
+        .filter(col("__n") <= cap).drop("__n")
     }
 
   def lshCandidates(df: DataFrame, numHashes: Int = 128, numBands: Int = 32,

