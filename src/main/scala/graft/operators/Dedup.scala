@@ -149,6 +149,12 @@ object Dedup {
       .select(col("id"),
         explode(lshBands(col("sig"), numBands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band"), col("b.bhash"))
+      // pre-shuffle into the bucket function's own partitioning
+      // (HashPartitioning = pmod(murmur3) = the bucket id): each task then
+      // owns exactly one bucket and writes ONE file, instead of every task
+      // writing a sliver of every bucket (numPartitions × numBuckets tiny
+      // files — a real small-files problem at scale)
+      .repartition(numBuckets, col("band"), col("bhash"))
       .write.bucketBy(numBuckets, "band", "bhash").sortBy("band", "bhash")
       .option("path", path).mode("overwrite").saveAsTable(table)
   }

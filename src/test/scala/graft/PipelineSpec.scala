@@ -313,6 +313,26 @@ class PipelineSpec extends AnyFunSuite {
       == want.length)
   }
 
+  test("DSv2: address filter on a BLOCK-major file loses no rows") {
+    // regression for the unsorted-idx pruning hazard: a file written in
+    // block-major order has non-monotonic per-page first-addresses; the
+    // source must detect that and disable address pruning (filters are
+    // residual, so wrongly pruned splits would just silently drop rows)
+    import spark.implicits._
+    val items = StateFormat.asItems(
+      history.withColumnRenamed("valid_from_block", "block"))
+      .orderBy(col("block"), col("address"))
+    val dir = Files.createTempDirectory("graft-blockmajor").toString
+    graft.spark.StateFiles.write(items, dir, strategy = 0)
+    def rd = spark.read.format("graft.spark.datasource.DatDataSource")
+      .option("strategy", "0").option("pagesPerSplit", "1").load(dir)
+    val addr = items.head().address
+    val want = rd.collect().count(r => java.util.Arrays.equals(
+      r.getAs[Array[Byte]]("address"), addr))
+    val got = rd.filter(col("address") === lit(addr)).count()
+    assert(got == want && got > 0, s"block-major filtered read lost rows")
+  }
+
   test("DSv2 address pushdown prunes splits via the .idx sidecar") {
     import spark.implicits._
     val items = StateFormat.asItems(
