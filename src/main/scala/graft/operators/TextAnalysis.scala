@@ -142,6 +142,40 @@ object TextAnalysis {
     .withColumn("n_ips", size(split(text,
       "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", -1)) - 1)
 
+  /** Deterministic content-hash split: reproducible train/val/test
+    * assignment from the leading md5 hex of the content — a pure string
+    * compare, so the SAME rows land in the same split in any engine, any
+    * run, any cluster size (the property random sampling lacks). Narrow,
+    * no shuffle.
+    */
+  def hashSplit(text: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct + valPct <= 100, "split percentages exceed 100")
+    val b = substring(md5(text), 1, 2) // 256 hex buckets
+    val trainHi = f"${256 * trainPct / 100}%02x"
+    val valHi = f"${256 * (trainPct + valPct) / 100}%02x"
+    when(b < trainHi, "train").when(b < valHi, "val").otherwise("test")
+  }
+
+  /** Contiguous sequence packing: assign documents to fixed-budget packs
+    * (bins of ~`targetTokens`) by exclusive running token count within a
+    * group — the standard "pack short docs into one training sequence"
+    * step. One shuffle on the group key; the running sum rides a per-group
+    * window (partition the group column sensibly at scale — e.g. source or
+    * shard id — NEVER a global orderBy, which would serialize on one
+    * task).
+    */
+  def packSequences(df: DataFrame, tokens: Column, group: Column,
+                    order: Column, targetTokens: Int = 2048): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(order)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__cum", sum(tokens).over(w))
+      .withColumn("pack_id",
+        floor((col("__cum") - tokens) / targetTokens.toDouble).cast("long"))
+      .drop("__cum")
+  }
+
   /** Word k-gram shingles (distinct), the dedup unit for MinHash/Jaccard. */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = tokens(text)

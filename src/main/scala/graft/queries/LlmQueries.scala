@@ -336,6 +336,89 @@ object LlmQueries {
              |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) - 1 AS n_ips
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Reproducible train/val/test assignment + per-split composition.
+    // Content-hash split = pure hex-string compare, so DuckDB replicates
+    // it exactly; random sampling could not be oracled.
+    "l15_hash_split" -> QuerySpec(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        d.select(col("doc_id"),
+            TextAnalysis.hashSplit(col("text")).as("split"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+             |         WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM documents)
+             |SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+             |FROM s GROUP BY split ORDER BY split""".stripMargin)),
+
+    // Corpus composition report: per-source doc/token counts and share —
+    // the mixing-weights input of a training run.
+    "l16_corpus_mix" -> QuerySpec(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("source"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        val agg = d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("sum_tokens"))
+        val total = agg.agg(sum(col("sum_tokens")).as("t"))
+        agg.crossJoin(total)
+          .select(col("source"), col("n_docs"), col("sum_tokens"),
+            (col("sum_tokens") / col("t"))
+              .cast("decimal(18,6)").cast("double").as("token_share"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH a AS (
+             |  SELECT source, COUNT(*) AS n_docs,
+             |    SUM(len(list_filter(
+             |      regexp_split_to_array(lower(trim(text)), '\s+'),
+             |      t -> length(t) > 0))) AS sum_tokens
+             |  FROM documents GROUP BY source)
+             |SELECT source, n_docs,
+             |  CAST(sum_tokens AS BIGINT) AS sum_tokens,
+             |  CAST(CAST(sum_tokens / (SELECT SUM(sum_tokens) FROM a)
+             |    AS DECIMAL(18,6)) AS DOUBLE) AS token_share
+             |FROM a ORDER BY source""".stripMargin)),
+
+    // Sequence packing: docs → fixed-budget packs (exclusive running token
+    // count within source, bins of ~2048) — one row per pack.
+    "l17_sequence_pack" -> QuerySpec(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        TextAnalysis.packSequences(d, col("n_tokens"), col("source"),
+            col("doc_id"), targetTokens = 2048)
+          .groupBy(col("source"), col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens"))
+            .as("pack_tokens"))
+          .orderBy(col("source"), col("pack_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |        x -> length(x) > 0)) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT source, n_tokens,
+             |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM t),
+             |p AS (
+             |  SELECT source, n_tokens,
+             |    CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+             |  FROM c)
+             |SELECT source, pack_id, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+             |FROM p GROUP BY source, pack_id
+             |ORDER BY source, pack_id""".stripMargin)),
+
     // -- similarity search --
 
     "s01_cosine_topk" -> QuerySpec(
@@ -391,6 +474,23 @@ object LlmQueries {
             // stringified (not array<long>): the driver's pandas compare
             // sorts on every column, and numpy arrays are unhashable there
             to_json(col("luma_histogram")).as("luma_histogram"))
+          .orderBy(col("media_id"))
+      }, None),
+
+    // Resize plumbing: metadata transform + deterministic payload change
+    // through the (stubbed) codec — one row per media with old/new dims.
+    "m03_media_resize" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.syntheticMedia(s, 200)
+          .filter(_.kind == "image")
+          .map { b =>
+            val r = Multimodal.StubCodec.resize(b, 64, 64)
+            (b.media_id, b.width, b.height, b.data.length,
+              r.width, r.height, r.data.length)
+          }
+          .toDF("media_id", "width", "height", "size_bytes",
+            "new_width", "new_height", "new_size_bytes")
           .orderBy(col("media_id"))
       }, None),
 

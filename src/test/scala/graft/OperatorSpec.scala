@@ -275,6 +275,43 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("hash split: deterministic, complete, respects percentages") {
+    val df = corpus.select(col("doc_id"), col("text"),
+      TextAnalysis.hashSplit(col("text")).as("split"))
+    val counts = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == corpus.count())
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    // train dominates at 80% nominal (loose bound for 120 docs)
+    assert(counts("train") > counts.getOrElse("val", 0L))
+    // deterministic: identical text -> identical split (exact copies
+    // land in the same split, which is what content-hash splitting is FOR:
+    // no train/test leakage between duplicates)
+    val byText = df.collect().groupBy(_.getString(1))
+    byText.values.foreach { rows =>
+      assert(rows.map(_.getString(2)).distinct.length == 1)
+    }
+  }
+
+  test("sequence packing: contiguous bins within budget order") {
+    val docs = (1 to 20).map(i => (i.toLong, "s", 500L))
+      .toDF("doc_id", "source", "n_tokens")
+    val packed = TextAnalysis.packSequences(docs, col("n_tokens"),
+      col("source"), col("doc_id"), targetTokens = 2048).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
+    // 500-token docs, 2048 budget: packs of 4-5 docs, ids nondecreasing
+    assert(packed(1L) == 0L && packed(20L) == packed.values.max)
+    (1 to 19).foreach(i =>
+      assert(packed(i.toLong) <= packed(i.toLong + 1)))
+    // 2048/500 → 4-5 docs per full pack; the final pack holds the tail
+    val lastPack = packed.values.max
+    val sizes = packed.toSeq.groupBy(_._2).map { case (p, xs) => p -> xs.size }
+    sizes.foreach { case (p, n) =>
+      if (p != lastPack) assert(n >= 4 && n <= 5, s"pack $p size $n")
+      else assert(n >= 1 && n <= 5, s"tail pack $p size $n")
+    }
+  }
+
   test("text/dedup operators are null- and empty-safe") {
     val df = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "  "),
       (4L, "normal text here")).toDF("doc_id", "text")
