@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's command-line surface (erigon_extract.c:2595-2609,
+  * 2611-2790) re-expressed over Spark — one entry point a reference user
+  * can switch to:
+  *
+  * {{{
+  *   runMain graft.Cli convert <tablesDir> <outDir> [--prune] [--strategy N]
+  *   runMain graft.Cli txbodies <tablesDir> <outDir>
+  *   runMain graft.Cli copy <inDir> <outDir> <strategyIn> <strategyOut>
+  *   runMain graft.Cli show <strategy> <path> [--header]
+  * }}}
+  *
+  * `convert` = the reference's `-M` full conversion: changesets +
+  * plainstate → merged, re-timestamped full-history `.dat` dataset, plus
+  * the txbodies dataset — both reference-layout (page-aligned state
+  * files; varint-framed body records). `--prune` = `-P` (keep the last
+  * 90,000 blocks, erigon_extract.c:2722-2726). `show` = `-s`/`-S`/`-T`,
+  * `copy` = the strategy converter.
+  *
+  * `<tablesDir>` holds the ingest parquet tables (the MDBX replacement per
+  * SURVEY.md §7.1): `account_changeset(block, address, account_blob)`,
+  * `storage_changeset(block, address, incarnation, slot, value)`,
+  * `plain_code_hash(address, incarnation, code_hash)`,
+  * `plain_state_accounts(address, account_blob)`,
+  * `plain_state_storage(address, incarnation, slot, value)`, and for
+  * txbodies: `block_bodies(block, block_hash, body_rlp)`,
+  * `block_transactions(tx_id, tx_rlp)`.
+  */
+object Cli {
+
+  val PruneKeepBlocks = 90000L // erigon_extract.c:2722-2726
+
+  /** The -M conversion: full history to a page-aligned .dat dataset.
+    * Returns (latestBlock, blockStart).
+    */
+  def convert(sess: SparkSession, tablesDir: String, outDir: String,
+              prune: Boolean = false, strategy: Int = 0): (Long, Long) = {
+    def t(name: String): DataFrame =
+      sess.read.parquet(s"$tablesDir/$name")
+    val accCs = t("account_changeset")
+    val stoCs = t("storage_changeset")
+    // the reference reads SyncStage "Execution" for the latest block; the
+    // parquet ingest carries it as the changeset maximum
+    val latest = accCs.agg(max(col("block"))).collect()(0).getLong(0)
+    val blockStart =
+      if (!prune) 0L
+      else if (latest < PruneKeepBlocks) 0L
+      else latest - PruneKeepBlocks + 1L
+    val history = pipeline.FullHistory.build(sess, accCs, stoCs,
+      t("plain_code_hash"), t("plain_state_accounts"),
+      t("plain_state_storage"), latest, blockStart = blockStart)
+    val items = spark.StateFormat.asItems(
+      history.withColumnRenamed("valid_from_block", "block"))
+    spark.StateFiles.write(items, outDir, strategy,
+      blockStart = blockStart, blockEnd = latest)
+    (latest, blockStart)
+  }
+
+  /** The txbodies extraction: bodies + transactions → varint-framed
+    * record files. Returns (files, blocks, bytes).
+    */
+  def txbodies(sess: SparkSession, tablesDir: String,
+               outDir: String): (Long, Long, Long) = {
+    def t(name: String): DataFrame =
+      sess.read.parquet(s"$tablesDir/$name")
+    val decoded = pipeline.TxBodies.decodeBodies(t("block_bodies"))
+    val latest = decoded.agg(max(col("block"))).collect()(0).getLong(0)
+    val enc = pipeline.TxBodies.encodeBlocks(decoded,
+      t("block_transactions"))
+    spark.TxBodyFiles.write(enc, outDir, blockStart = 0L, blockEnd = latest)
+  }
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "convert" :: tablesDir :: outDir :: rest =>
+      val strategy = rest.dropWhile(_ != "--strategy").drop(1)
+        .headOption.map(_.toInt).getOrElse(0)
+      val s = session()
+      val (latest, start) = convert(s, tablesDir, outDir,
+        prune = rest.contains("--prune"), strategy = strategy)
+      System.err.println(
+        s"convert: blocks $start..$latest -> $outDir (strategy $strategy)")
+      s.stop()
+    case "txbodies" :: tablesDir :: outDir :: Nil =>
+      val s = session()
+      val (files, blocks, bytes) = txbodies(s, tablesDir, outDir)
+      System.err.println(
+        s"txbodies: $blocks blocks, $bytes bytes in $files files -> $outDir")
+      s.stop()
+    case "copy" :: inDir :: outDir :: sIn :: sOut :: Nil =>
+      val s = session()
+      spark.CopyFile.convert(s, inDir, outDir, sIn.toInt, sOut.toInt)
+      s.stop()
+    case "show" :: rest => Show.main(rest.toArray)
+    case _ =>
+      System.err.println(
+        """usage: graft.Cli <command>
+          |  convert <tablesDir> <outDir> [--prune] [--strategy N]
+          |  txbodies <tablesDir> <outDir>
+          |  copy <inDir> <outDir> <strategyIn> <strategyOut>
+          |  show <strategy> <path> [--header]""".stripMargin)
+      sys.exit(2)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Fixtures
+
+/** End-to-end CLI conversion tests: the reference's -M/-P flow (tables →
+  * full-history .dat dataset; bodies → txbodies dataset) driven through
+  * graft.Cli's library entry points on fixture tables laid out exactly as
+  * the ingest contract documents.
+  */
+class CliSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def writeTables(dir: String): Fixtures.World = {
+    val w = Fixtures.generate(spark, nAddresses = 12, nBlocks = 40)
+    w.accountChangeset.write.mode("overwrite")
+      .parquet(s"$dir/account_changeset")
+    w.storageChangeset.write.mode("overwrite")
+      .parquet(s"$dir/storage_changeset")
+    w.plainCodeHash.write.mode("overwrite").parquet(s"$dir/plain_code_hash")
+    w.plainStateAccounts.write.mode("overwrite")
+      .parquet(s"$dir/plain_state_accounts")
+    w.plainStateStorage.write.mode("overwrite")
+      .parquet(s"$dir/plain_state_storage")
+    w
+  }
+
+  test("convert: tables -> full-history .dat dataset, read-back equality") {
+    val tables = java.nio.file.Files
+      .createTempDirectory("graft-cli-tables").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-cli-out").toString
+    val w = writeTables(tables)
+    val (latest, start) = Cli.convert(spark, tables, out)
+    assert(latest == w.latestBlock && start == 0L)
+    val back = graft.spark.StateFiles.read(spark, out, strategy = 0)
+    val expected = graft.spark.StateFormat.asItems(
+      pipeline.FullHistory.build(spark, w.accountChangeset,
+        w.storageChangeset, w.plainCodeHash, w.plainStateAccounts,
+        w.plainStateStorage, w.latestBlock)
+        .withColumnRenamed("valid_from_block", "block"))
+    assert(back.count() == expected.count())
+    // manifest records the conversion block range
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_manifest.json")))
+    assert(mf.contains(s"\"block_end\":$latest"), mf)
+  }
+
+  test("convert --prune: only the keep-window tail survives") {
+    val tables = java.nio.file.Files
+      .createTempDirectory("graft-cli-tables2").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-cli-out2").toString
+    writeTables(tables)
+    // fixture latest (40) < 90,000 keep window -> prune keeps everything
+    val (latest, start) = Cli.convert(spark, tables, out, prune = true)
+    assert(start == 0L && latest == 40L)
+    // the prune arithmetic itself (erigon_extract.c:2722-2726)
+    assert(Cli.PruneKeepBlocks == 90000L)
+  }
+
+  test("txbodies: tables -> varint record dataset, counts match") {
+    val tables = java.nio.file.Files
+      .createTempDirectory("graft-cli-tx").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-cli-txout").toString
+    val tw = Fixtures.generateTxWorld(spark, nBlocks = 60, seed = 11L)
+    tw.bodies.write.mode("overwrite").parquet(s"$tables/block_bodies")
+    tw.transactions.write.mode("overwrite")
+      .parquet(s"$tables/block_transactions")
+    val (files, blocks, bytes) = Cli.txbodies(spark, tables, out)
+    assert(blocks == tw.bodies.count())
+    assert(files > 0 && bytes > 0)
+    val back = graft.spark.TxBodyFiles.read(spark, out)
+    assert(back.count() == blocks)
+    assert(back.agg(sum(size(col("txs")))).collect()(0).getLong(0)
+      == tw.totalTxs)
+  }
+}
