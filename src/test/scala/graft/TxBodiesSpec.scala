@@ -126,6 +126,39 @@ class TxBodiesSpec extends AnyFunSuite {
     }
   }
 
+  test("TxBodyCodec: randomized record-stream round trip") {
+    import graft.codec.{ByteBuf, TxBodyCodec}
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 50) {
+      val records = IndexedSeq.fill(1 + rnd.nextInt(20)) {
+        val txs = IndexedSeq.fill(rnd.nextInt(6)) {
+          val b = new Array[Byte](1 + rnd.nextInt(300)); rnd.nextBytes(b); b
+        }
+        val uncles = new Array[Byte](rnd.nextInt(100)); rnd.nextBytes(uncles)
+        TxBodyCodec.BodyRecord(math.abs(rnd.nextLong()) % (1L << 40),
+          txs.length.toLong, uncles, txs)
+      }
+      val buf = new ByteBuf()
+      records.foreach(TxBodyCodec.encode(buf, _))
+      val back = TxBodyCodec.decodeAll(buf.toArray).toIndexedSeq
+      assert(back.length == records.length)
+      records.zip(back).foreach { case (a, b) =>
+        assert(a.block == b.block && a.txAmount == b.txAmount)
+        assert(a.unclesRlp.sameElements(b.unclesRlp))
+        assert(a.txs.length == b.txs.length)
+        a.txs.zip(b.txs).foreach { case (x, y) => assert(x.sameElements(y)) }
+      }
+    }
+    // truncated stream rejected, not silently empty
+    val buf = new ByteBuf()
+    TxBodyCodec.encode(buf, TxBodyCodec.BodyRecord(5L, 1L,
+      Array[Byte](1, 2), IndexedSeq(Array[Byte](9, 9, 9))))
+    val bytes = buf.toArray
+    assertThrows[IllegalArgumentException](
+      TxBodyCodec.decodeAll(java.util.Arrays.copyOf(bytes,
+        bytes.length - 2)).toIndexedSeq)
+  }
+
   test("S9 file sink round trip: records → part files → decoded rows") {
     import org.apache.spark.sql.functions._
     val enc = TxBodies.encodeBlocks(decoded, world.transactions)
