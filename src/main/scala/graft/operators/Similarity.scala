@@ -118,6 +118,48 @@ object Similarity {
                 - 1.0d))
             .as("score"),
           c.as("cell")))
+    ivfSearch(vectors, queries, k, nProbe, idCol, vecCol, centroidScores)
+  }
+
+  /** IVF with TRAINED centroids: k-means (Spark MLlib) fit on the corpus,
+    * then the same cell-equi-join probe as [[ivfTopK]]. The trained
+    * centroid matrix enters the plan as a LITERAL array-of-arrays, so cell
+    * assignment stays a narrow codegen'd expression — no per-row model
+    * object, no UDF. At 100 TB, fit on a sample
+    * (`vectors.sample(...)`): k-means cost is per-centroid-dim, not
+    * corpus-sized, and assignment is the same narrow scan either way.
+    */
+  def ivfTopKTrained(vectors: DataFrame, queries: DataFrame, k: Int,
+                     nCentroids: Int = 16, nProbe: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     maxIter: Int = 10, seed: Long = 7L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = vectors.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setMaxIter(maxIter).fit(train)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val cLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    // nearest-centroid score = -‖v - c‖² (monotone in similarity of cell)
+    def centroidScores(vec: Column): Column =
+      zip_with(cLit, sequence(lit(0), lit(nCentroids - 1)), (c, idx) =>
+        struct(
+          aggregate(zip_with(vec, c,
+              (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+            lit(0.0d), (a, d) => a + d)
+            .unary_-.as("score"),
+          idx.as("cell")))
+    ivfSearch(vectors, queries, k, nProbe, idCol, vecCol, centroidScores)
+  }
+
+  /** Shared IVF probe: vectors assigned to their nearest cell, queries
+    * probe their nProbe best cells, exact cosine ranks within the probed
+    * union — a cell equi-join instead of an O(N·Q) scan.
+    */
+  private def ivfSearch(vectors: DataFrame, queries: DataFrame, k: Int,
+                        nProbe: Int, idCol: String, vecCol: String,
+                        centroidScores: Column => Column): DataFrame = {
     def topCells(vec: Column, n: Int): Column =
       transform(slice(reverse(array_sort(centroidScores(vec))), 1, n),
         s => s.getField("cell"))

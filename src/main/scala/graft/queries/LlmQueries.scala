@@ -459,6 +459,15 @@ object LlmQueries {
           .orderBy(col("query_id"), col("rank"))
       }, None),
 
+    // Trained-centroid IVF: k-means centroids as plan literals, same
+    // cell-join probe. Rows-only (k-means is engine-local state).
+    "s04_ivf_trained" -> QuerySpec(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Similarity.ivfTopKTrained(e, e.filter(col("vec_id") < 5), k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      }, None),
+
     // -- multimodal --
 
     "m01_media_features" -> QuerySpec(

@@ -199,11 +199,19 @@ class OperatorSpec extends AnyFunSuite {
     val lsh = resultSet(Similarity.lshTopK(e, q, 10, nBits = 4))
     val ivf = resultSet(Similarity.ivfTopK(e, q, 10, nCentroids = 8,
       nProbe = 4))
+    val trained = resultSet(Similarity.ivfTopKTrained(e, q, 10,
+      nCentroids = 8, nProbe = 4))
     val lshRecall = lsh.intersect(exact).size.toDouble / exact.size
     val ivfRecall = ivf.intersect(exact).size.toDouble / exact.size
-    info(s"LSH recall=$lshRecall IVF recall=$ivfRecall")
+    val trainedRecall = trained.intersect(exact).size.toDouble / exact.size
+    info(s"LSH recall=$lshRecall IVF recall=$ivfRecall " +
+      s"trained-IVF recall=$trainedRecall")
     assert(lshRecall >= 0.2, s"LSH recall too low: $lshRecall")
     assert(ivfRecall >= 0.3, s"IVF recall too low: $ivfRecall")
+    assert(trainedRecall >= 0.3, s"trained-IVF recall: $trainedRecall")
+    // trained centroids should not do WORSE than the pseudo-random ones
+    assert(trainedRecall >= ivfRecall - 0.15,
+      s"trained $trainedRecall vs random $ivfRecall")
   }
 
   test("embedding near-dup finds planted duplicates") {
