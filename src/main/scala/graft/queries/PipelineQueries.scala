@@ -162,6 +162,28 @@ object PipelineQueries {
             "n_files")
       }, None),
 
+    // Batch STORAGE as-of join: many (address, slot, block) probes in one
+    // pass over the slot history.
+    "p09_storage_asof_join" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val w = world(s, dir)
+        val h = history(s, dir)
+        val rnd = new scala.util.Random(37)
+        val keys = w.storageOracle.map(o => (o.addressHex, o.slotHex))
+          .distinct.take(40)
+        val lookups = keys.map { case (a, sl) =>
+          (graft.functions.Bytes.unhex(a), graft.functions.Bytes.unhex(sl),
+            1L + rnd.nextInt(w.latestBlock.toInt))
+        }.toDF("address", "slot", "block")
+        FullHistory.asOfJoinStorage(h, lookups)
+          .select(hex(col("address")).as("address"),
+            hex(col("slot")).as("slot"), col("block"),
+            col("valid_from_block"), col("incarnation"),
+            hex(col("value")).as("value"))
+          .orderBy(col("address"), col("slot"), col("block"))
+      }, None),
+
     // A3 surfaced: reorged duplicate block heights.
     "p05_txbodies_dups" -> QuerySpec(
       (s, dir) => {
