@@ -44,8 +44,14 @@ object Cli {
     val accCs = t("account_changeset")
     val stoCs = t("storage_changeset")
     // the reference reads SyncStage "Execution" for the latest block; the
-    // parquet ingest carries it as the changeset maximum
-    val latest = accCs.agg(max(col("block"))).collect()(0).getLong(0)
+    // parquet ingest carries it as the maximum over BOTH changeset tables
+    // (storage changesets can extend past the last account change)
+    val latestRow = accCs.select(col("block"))
+      .unionByName(stoCs.select(col("block")))
+      .agg(max(col("block"))).collect()(0)
+    require(!latestRow.isNullAt(0),
+      s"$tablesDir: changeset tables are empty — nothing to convert")
+    val latest = latestRow.getLong(0)
     val blockStart =
       if (!prune) 0L
       else if (latest < PruneKeepBlocks) 0L

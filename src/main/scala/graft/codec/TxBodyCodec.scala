@@ -64,6 +64,16 @@ object TxBodyCodec {
     buf.toArray
   }
 
+  /** A decoded length/count must fit an Int BEFORE truncation: a corrupt
+    * or hostile stream declaring e.g. tx_len = 2^32+5 would otherwise
+    * silently read 5 bytes and desynchronize the record stream into
+    * plausible-looking garbage.
+    */
+  private def toLen(v: Long, what: String): Int = {
+    require(v >= 0 && v <= Int.MaxValue, s"$what out of range: $v")
+    v.toInt
+  }
+
   /** Sequential decoder over a byte range (one file, or one encoded
     * record). Mirrors read_number / read_u64 (erigon_extract.c:615-633).
     */
@@ -90,7 +100,7 @@ object TxBodyCodec {
     }
 
     private def readArray(n: Int): Array[Byte] = {
-      require(pos + n <= end, s"truncated array at $pos")
+      require(n >= 0 && pos + n <= end, s"truncated array at $pos")
       val out = java.util.Arrays.copyOfRange(data, pos, pos + n)
       pos += n
       out
@@ -102,9 +112,9 @@ object TxBodyCodec {
       val block = readNumber()
       val txAmount = readNumber()
       val unclesLen = readNumber()
-      val uncles = readArray(unclesLen.toInt)
-      val txs = IndexedSeq.tabulate(txAmount.toInt) { _ =>
-        readArray(readNumber().toInt)
+      val uncles = readArray(toLen(unclesLen, "uncles length"))
+      val txs = IndexedSeq.tabulate(toLen(txAmount, "tx count")) { _ =>
+        readArray(toLen(readNumber(), "tx length"))
       }
       BodyRecord(block, txAmount, uncles, txs)
     }
@@ -112,4 +122,60 @@ object TxBodyCodec {
 
   def decodeAll(data: Array[Byte]): Iterator[BodyRecord] =
     new RecordReader(data, 0, data.length)
+
+  /** Streaming decoder over an InputStream — the large-file path: a
+    * reference-sized multi-GB `txbodies-S-E.dat` streams through in
+    * O(record) memory instead of a whole-file byte array (which caps at
+    * 2 GiB and OOMs long before).
+    */
+  final class StreamReader(in: java.io.InputStream)
+      extends Iterator[BodyRecord] {
+    private var peeked: Int = in.read() // one-byte lookahead for hasNext
+
+    override def hasNext: Boolean = peeked >= 0
+
+    private def readByte(): Int = {
+      require(peeked >= 0, "truncated stream")
+      val b = peeked; peeked = in.read(); b
+    }
+
+    private def readNumber(): Long = {
+      val b = readByte()
+      if (b < 224) b.toLong
+      else {
+        val n = b - 223
+        require(n <= 8, s"number length $n > 8")
+        var v = 0L
+        var i = 0
+        while (i < n) { v = (v << 8) | readByte(); i += 1 }
+        v
+      }
+    }
+
+    private def readArray(n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      if (n > 0) {
+        require(peeked >= 0, "truncated array")
+        out(0) = peeked.toByte
+        val got = in.readNBytes(out, 1, n - 1)
+        require(got == n - 1, "truncated array")
+        peeked = in.read()
+      }
+      out
+    }
+
+    override def next(): BodyRecord = {
+      val block = readNumber()
+      val txAmount = readNumber()
+      val unclesLen = readNumber()
+      val uncles = readArray(toLen(unclesLen, "uncles length"))
+      val txs = IndexedSeq.tabulate(toLen(txAmount, "tx count")) { _ =>
+        readArray(toLen(readNumber(), "tx length"))
+      }
+      BodyRecord(block, txAmount, uncles, txs)
+    }
+  }
+
+  def decodeStream(in: java.io.InputStream): Iterator[BodyRecord] =
+    new StreamReader(in)
 }

@@ -179,13 +179,22 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
     *
+    * NOTE `maxBucketSize`: buckets with more members than the cap are
+    * DROPPED from candidate generation (see [[lshCandidates]]) — a corpus
+    * with >cap exact copies of one document will not report those pairs
+    * here. That family is exactly what [[exact]] dedup catches first and
+    * cheaper (identical text ⇒ identical digest); run it before the LSH
+    * pass, or pass maxBucketSize = 0 to disable the cap.
+    *
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     */
   def minhashLsh(df: DataFrame, threshold: Double = 0.7,
                  numHashes: Int = 128, numBands: Int = 32,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+                 idCol: String = "doc_id", textCol: String = "text",
+                 maxBucketSize: Int = 1000): DataFrame =
     jaccardOnPairs(df,
-      lshCandidates(df, numHashes, numBands, 3, idCol, textCol),
+      lshCandidates(df, numHashes, numBands, 3, idCol, textCol,
+        maxBucketSize),
       k = 3, threshold, idCol, textCol)
 
   /** Near-duplicate CLUSTERS from a pair list: connected components via
@@ -282,10 +291,12 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, k: Int = 3, threshold: Double = 0.5,
                    idCol: String = "doc_id", textCol: String = "text",
-                   candidates: Option[DataFrame] = None): DataFrame =
+                   candidates: Option[DataFrame] = None,
+                   maxBucketSize: Int = 1000): DataFrame =
     jaccardOnPairs(df,
       candidates.getOrElse(
-        lshCandidates(df, shingleK = k, idCol = idCol, textCol = textCol)),
+        lshCandidates(df, shingleK = k, idCol = idCol, textCol = textCol,
+          maxBucketSize = maxBucketSize)),
       k, threshold, idCol, textCol)
 
   /** Embedding near-dup via random-hyperplane LSH: `nBits` deterministic

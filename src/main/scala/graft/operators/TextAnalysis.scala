@@ -151,8 +151,12 @@ object TextAnalysis {
   def hashSplit(text: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
     require(trainPct + valPct <= 100, "split percentages exceed 100")
     val b = substring(md5(text), 1, 2) // 256 hex buckets
-    val trainHi = f"${256 * trainPct / 100}%02x"
-    val valHi = f"${256 * (trainPct + valPct) / 100}%02x"
+    // bucket 256 (a 100% bound) must compare GREATER than every 2-char
+    // hex prefix; %02x would format it as 3-char "100", which string-
+    // compares LESS than "e6" and silently corrupts the split
+    def bound(n: Int): String = if (n >= 256) "zz" else f"$n%02x"
+    val trainHi = bound(256 * trainPct / 100)
+    val valHi = bound(256 * (trainPct + valPct) / 100)
     when(b < trainHi, "train").when(b < valHi, "val").otherwise("test")
   }
 

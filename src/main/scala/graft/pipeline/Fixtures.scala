@@ -69,7 +69,10 @@ object Fixtures {
                            nBlocks: Long, totalTxs: Long,
                            dupBlocks: Seq[Long])
 
-  private val txCache = scala.collection.mutable.Map[(Int, Long), TxWorld]()
+  // memo entries carry their owning session: DataFrames from a stopped
+  // SparkContext must be regenerated, not served
+  private val txCache =
+    scala.collection.mutable.Map[(Int, Long), (SparkSession, TxWorld)]()
 
   /** BlockBody/BlockTransaction tables with contiguous tx ranges and
     * planted reorg duplicates (every 10th block has a second body with its
@@ -77,7 +80,18 @@ object Fixtures {
     */
   def generateTxWorld(spark: SparkSession, nBlocks: Int = 100,
                       seed: Long = 7L): TxWorld = synchronized {
-    txCache.getOrElseUpdate((nBlocks, seed), {
+    txCache.get((nBlocks, seed)) match {
+      case Some((owner, w)) if owner eq spark => w
+      case _ =>
+        val w = generateTxWorldUncached(spark, nBlocks, seed)
+        txCache((nBlocks, seed)) = (spark, w)
+        w
+    }
+  }
+
+  private def generateTxWorldUncached(spark: SparkSession, nBlocks: Int,
+                                      seed: Long): TxWorld = {
+    locally {
       val rnd = new scala.util.Random(seed)
       val bodies = Seq.newBuilder[BlockBodyRow]
       val txs = Seq.newBuilder[BlockTxRow]
@@ -109,18 +123,24 @@ object Fixtures {
       import spark.implicits._
       TxWorld(bodies.result().toDF(), txs.result().toDF(), nBlocks.toLong,
         totalTxs, dups.result())
-    })
+    }
   }
 
   // memoized per (params): Verify/Bench call several queries that share one
-  // world; regeneration is pure driver-side waste
+  // world; regeneration is pure driver-side waste. Entries carry their
+  // owning session (see txCache).
   private val cache =
-    scala.collection.mutable.Map[(Int, Int, Long), World]()
+    scala.collection.mutable.Map[(Int, Int, Long), (SparkSession, World)]()
 
   def generate(spark: SparkSession, nAddresses: Int = 30,
                nBlocks: Int = 200, seed: Long = 42L): World = synchronized {
-    cache.getOrElseUpdate((nAddresses, nBlocks, seed),
-      parquetBacked(spark, nAddresses, nBlocks, seed))
+    cache.get((nAddresses, nBlocks, seed)) match {
+      case Some((owner, w)) if owner eq spark => w
+      case _ =>
+        val w = parquetBacked(spark, nAddresses, nBlocks, seed)
+        cache((nAddresses, nBlocks, seed)) = (spark, w)
+        w
+    }
   }
 
   /** Round-trip the generated world through a deterministic parquet cache.

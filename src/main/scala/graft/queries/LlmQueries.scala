@@ -27,14 +27,22 @@ object LlmQueries {
   // real pipeline gets from caching the pairs frame between the pair report
   // and the clustering step. Eager localCheckpoint: the LSH lineage runs
   // once, and the blocks are GC-reclaimed with the frame.
-  private val pairsCache =
-    scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+  // cache entries carry their owning session: a checkpointed frame from a
+  // STOPPED SparkContext would otherwise be served to a new session and
+  // die with IllegalStateException instead of recomputing
+  private val pairsCache = scala.collection.mutable.Map[String,
+    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()
   private def lshPairs(s: org.apache.spark.sql.SparkSession,
                        dir: String): org.apache.spark.sql.DataFrame =
     synchronized {
-      pairsCache.getOrElseUpdate(dir,
-        Dedup.minhashLsh(parallelDocs(s, dir), threshold = 0.5)
-          .localCheckpoint())
+      pairsCache.get(dir) match {
+        case Some((owner, df)) if owner eq s => df
+        case _ =>
+          val df = Dedup.minhashLsh(parallelDocs(s, dir), threshold = 0.5)
+            .localCheckpoint()
+          pairsCache(dir) = (s, df)
+          df
+      }
     }
 
   val all: Map[String, QuerySpec] = Map(

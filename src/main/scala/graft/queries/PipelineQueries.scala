@@ -30,19 +30,25 @@ object PipelineQueries {
   }
 
   // p01/p02/p03/p06 all consume the same built history; cache it per sf dir
-  // (same reuse a user gets from `history.cache()`)
-  private val histCache = scala.collection.mutable
-    .Map[String, org.apache.spark.sql.DataFrame]()
+  // (same reuse a user gets from `history.cache()`). Entries carry their
+  // owning session so a frame from a stopped SparkContext is recomputed,
+  // not served.
+  private val histCache = scala.collection.mutable.Map[String,
+    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()
 
   private def history(s: org.apache.spark.sql.SparkSession,
                       dir: String): org.apache.spark.sql.DataFrame =
     synchronized {
-      histCache.getOrElseUpdate(dir, {
-        val w = world(s, dir)
-        FullHistory.build(s, w.accountChangeset, w.storageChangeset,
-          w.plainCodeHash, w.plainStateAccounts, w.plainStateStorage,
-          w.latestBlock).persist()
-      })
+      histCache.get(dir) match {
+        case Some((owner, df)) if owner eq s => df
+        case _ =>
+          val w = world(s, dir)
+          val df = FullHistory.build(s, w.accountChangeset,
+            w.storageChangeset, w.plainCodeHash, w.plainStateAccounts,
+            w.plainStateStorage, w.latestBlock).persist()
+          histCache(dir) = (s, df)
+          df
+      }
     }
 
   val all: Map[String, QuerySpec] = Map(

@@ -42,18 +42,27 @@ object StateFiles {
         val header = Header.build(
           endOfStates = Header.Size.toLong + body.length, PageShift,
           blockStart, blockEnd, w.countStorageSlots)
+        // temp + atomic rename: retried/speculative attempts each produce
+        // a complete file; the rename is all-or-nothing
         val path = Paths.get(dir, f"part-$pid%05d.dat")
-        Files.write(path, header ++ body)
-        // sidecar index, 36 bytes/page: first address (20) + min block (8)
-        // + max block (8) — the in-file sorted order and per-page block
-        // stats as a prunable split index (the reference's O(log N) seek,
-        // README.md:36-41, as source-level pruning; block min/max plays
-        // the role of parquet row-group statistics). Pages are aligned to
-        // ABSOLUTE file offsets (reference layout): page 0 is the
-        // header-shortened [256, 4096) region.
+        val tmp = Paths.get(dir,
+          f".part-$pid%05d.tmp-${java.util.UUID.randomUUID()}")
+        Files.write(tmp, header ++ body)
+        Files.move(tmp, path,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // sidecar index, 56 bytes/page: min address (20) + max address
+        // (20) + min block (8) + max block (8) — TRUE per-page bounds, so
+        // split pruning is sound for ANY row order (address-major,
+        // block-major, arbitrary), exactly like parquet row-group min/max
+        // statistics (the reference's O(log N) seek, README.md:36-41, as
+        // source-level pruning). Pages are aligned to ABSOLUTE file
+        // offsets (reference layout): page 0 is the header-shortened
+        // [256, 4096) region. Empty pages get full-range bounds (never
+        // pruned).
         val nPages =
           ((Header.Size + body.length + PageSize - 1) / PageSize).toInt
-        val idx = new Array[Byte](nPages * 36)
+        val idx = new Array[Byte](nPages * 56)
         var p = 0
         while (p < nPages) {
           val bodyStart = math.max(0, p * PageSize - Header.Size)
@@ -62,21 +71,35 @@ object StateFiles {
           val r = new StateReader(strategy, body, bodyStart, bodyEnd)
           var minB = Long.MaxValue
           var maxB = Long.MinValue
-          var first = true
+          var any = false
+          val minA = Array.fill[Byte](20)(-1) // 0xff..ff
+          val maxA = new Array[Byte](20)      // 0x00..00
           r.foreach { item =>
-            if (first) {
-              System.arraycopy(item.address, 0, idx, p * 36, 20)
-              first = false
-            }
+            any = true
+            if (java.util.Arrays.compareUnsigned(item.address, minA) < 0)
+              System.arraycopy(item.address, 0, minA, 0, 20)
+            if (java.util.Arrays.compareUnsigned(item.address, maxA) > 0)
+              System.arraycopy(item.address, 0, maxA, 0, 20)
             if (item.block < minB) minB = item.block
             if (item.block > maxB) maxB = item.block
           }
-          if (first) { minB = 0L; maxB = Long.MaxValue }
-          graft.functions.Bytes.put64be(idx, p * 36 + 20, minB)
-          graft.functions.Bytes.put64be(idx, p * 36 + 28, maxB)
+          if (!any) {
+            java.util.Arrays.fill(minA, 0.toByte)
+            java.util.Arrays.fill(maxA, -1.toByte)
+            minB = 0L; maxB = Long.MaxValue
+          }
+          System.arraycopy(minA, 0, idx, p * 56, 20)
+          System.arraycopy(maxA, 0, idx, p * 56 + 20, 20)
+          graft.functions.Bytes.put64be(idx, p * 56 + 40, minB)
+          graft.functions.Bytes.put64be(idx, p * 56 + 48, maxB)
           p += 1
         }
-        Files.write(Paths.get(dir, f"part-$pid%05d.idx"), idx)
+        val idxTmp = Paths.get(dir,
+          f".part-$pid%05d.idx.tmp-${java.util.UUID.randomUUID()}")
+        Files.write(idxTmp, idx)
+        Files.move(idxTmp, Paths.get(dir, f"part-$pid%05d.idx"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         Iterator.single((pid, body.length.toLong, w.countAccounts,
           w.countStorageSlots))
       }

@@ -45,14 +45,24 @@ object TxBodyFiles {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         if (it.isEmpty) Iterator.empty
         else {
+          // write-to-temp + atomic rename: a speculative or retried task
+          // attempt never interleaves with another attempt's partial file
+          // — each attempt produces a complete temp and the rename is
+          // all-or-nothing (attempts write identical content: the
+          // partition's sort is deterministic)
           val path = Paths.get(dir, f"part-$pid%05d.dat")
+          val tmp = Paths.get(dir,
+            f".part-$pid%05d.tmp-${java.util.UUID.randomUUID()}")
           val out = new java.io.BufferedOutputStream(
-            Files.newOutputStream(path), 1 << 18)
+            Files.newOutputStream(tmp), 1 << 18)
           var blocks = 0L
           var bytes = 0L
           try it.foreach { rec =>
             out.write(rec); blocks += 1; bytes += rec.length
           } finally out.close()
+          Files.move(tmp, path,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           Iterator.single((pid, blocks, bytes))
         }
       }.collect()
@@ -82,8 +92,20 @@ object TxBodyFiles {
     spark.createDataset(sorted)
       .repartition(math.max(1, sorted.length))
       .flatMap { f =>
-        TxBodyCodec.decodeAll(Files.readAllBytes(Paths.get(f)))
+        // streamed, not readAllBytes: reference-sized multi-GB files
+        // decode in O(record) memory
+        val in = new java.io.BufferedInputStream(
+          Files.newInputStream(Paths.get(f)), 1 << 18)
+        val it = TxBodyCodec.decodeStream(in)
           .map(r => (r.block, r.txAmount, r.unclesRlp, r.txs))
+        new Iterator[(Long, Long, Array[Byte], IndexedSeq[Array[Byte]])] {
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) in.close()
+            h
+          }
+          override def next() = it.next()
+        }
       }
       .toDF("block", "tx_amount", "uncles_rlp", "txs")
   }

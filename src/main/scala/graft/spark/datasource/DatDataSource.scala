@@ -113,49 +113,41 @@ class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int)
         // absolute-offset pages (reference layout): page 0 is the
         // header-shortened [256, 4096) region
         val nPages = ((size + pageSize - 1) / pageSize).toInt
-        // page index (first address + block min/max), if the sink wrote one
+        // page index: TRUE per-page (minAddr, maxAddr, minBlock, maxBlock)
+        // bounds, 56 bytes/page — sound to prune against for any row
+        // order, like parquet row-group statistics. A sidecar whose size
+        // doesn't match the expected record count (e.g. written by an
+        // older layout) is ignored rather than misread.
         val idxPath = Paths.get(f.toString.stripSuffix(".dat") + ".idx")
-        val idx: Array[(Array[Byte], Long, Long)] =
+        val idx: Array[(Array[Byte], Array[Byte], Long, Long)] =
           if (Files.exists(idxPath)) {
             val raw = Files.readAllBytes(idxPath)
-            Array.tabulate(raw.length / 36) { i =>
-              (java.util.Arrays.copyOfRange(raw, i * 36, i * 36 + 20),
-                graft.functions.Bytes.get64be(raw, i * 36 + 20),
-                graft.functions.Bytes.get64be(raw, i * 36 + 28))
-            }
+            if (raw.length == nPages * 56)
+              Array.tabulate(nPages) { i =>
+                (java.util.Arrays.copyOfRange(raw, i * 56, i * 56 + 20),
+                  java.util.Arrays.copyOfRange(raw, i * 56 + 20, i * 56 + 40),
+                  graft.functions.Bytes.get64be(raw, i * 56 + 40),
+                  graft.functions.Bytes.get64be(raw, i * 56 + 48))
+              }
+            else null
           } else null
-        // Address pruning is only sound for address-major files: the .idx
-        // records whatever order the caller wrote (e.g. block-major), and
-        // pruning on out-of-order first-addresses would silently DROP rows
-        // (filters are residual — Spark would just see fewer input rows).
-        // Verify nondecreasing per-page first-addresses before honoring
-        // addressBounds; block min/max stats are order-independent and
-        // stay usable either way.
-        val addrSorted = idx != null && {
-          var i = 1
-          var ok = true
-          while (ok && i < idx.length) {
-            if (cmp(idx(i - 1)._1, idx(i)._1) > 0) ok = false
-            i += 1
-          }
-          ok
-        }
         var p = 0
         while (p < nPages) {
           val pages = math.min(pagesPerSplit, nPages - p)
           val keepAddr = (idx, addressBounds) match {
             case (null, _) | (_, None) => true
-            case _ if !addrSorted => true
             case (ix, Some((lo, hi))) =>
-              // split covers addresses in [first(p), first(p+pages)]
-              // (upper unbounded for the file tail)
-              val splitLo = ix(p)._1
-              val splitHiOpt =
-                if (p + pages < nPages) Some(ix(p + pages)._1) else None
-              val aboveLo = hi == null || cmp(splitLo, hi) <= 0
-              val belowHi = lo == null ||
-                splitHiOpt.forall(sh => cmp(sh, lo) >= 0)
-              aboveLo && belowHi
+              // split bounds = union of its pages' [minAddr, maxAddr]
+              var minA = ix(p)._1
+              var maxA = ix(p)._2
+              var q = p + 1
+              while (q < p + pages) {
+                if (cmp(ix(q)._1, minA) < 0) minA = ix(q)._1
+                if (cmp(ix(q)._2, maxA) > 0) maxA = ix(q)._2
+                q += 1
+              }
+              (hi == null || cmp(minA, hi) <= 0) &&
+                (lo == null || cmp(maxA, lo) >= 0)
           }
           val keepBlock = idx == null ||
             (blockLo.isEmpty && blockHi.isEmpty) || {
@@ -163,8 +155,8 @@ class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int)
               var maxB = Long.MinValue
               var q = p
               while (q < p + pages) {
-                if (idx(q)._2 < minB) minB = idx(q)._2
-                if (idx(q)._3 > maxB) maxB = idx(q)._3
+                if (idx(q)._3 < minB) minB = idx(q)._3
+                if (idx(q)._4 > maxB) maxB = idx(q)._4
                 q += 1
               }
               blockLo.forall(_ <= maxB) && blockHi.forall(_ >= minB)

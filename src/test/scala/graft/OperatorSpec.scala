@@ -299,6 +299,18 @@ class OperatorSpec extends AnyFunSuite {
     byText.values.foreach { rows =>
       assert(rows.map(_.getString(2)).distinct.length == 1)
     }
+    // 100%-bound regression: a 90/10/0 split must produce NO test rows
+    // (the bound formats as 3-char "100" if done naively, corrupting the
+    // comparison) and must keep a val share
+    val ninetyTen = corpus.select(
+      TextAnalysis.hashSplit(col("text"), 90, 10).as("s")).collect()
+      .map(_.getString(0))
+    assert(!ninetyTen.contains("test"), "90+10 split leaked a test row")
+    assert(ninetyTen.contains("val"), "90/10 split lost its val share")
+    val allTrain = corpus.select(
+      TextAnalysis.hashSplit(col("text"), 100, 0).as("s")).collect()
+      .map(_.getString(0))
+    assert(allTrain.forall(_ == "train"))
   }
 
   test("sequence packing: contiguous bins within budget order") {
