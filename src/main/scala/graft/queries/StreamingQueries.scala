@@ -95,6 +95,31 @@ object StreamingQueries {
              |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
 
+    // Streaming EXACT DEDUP: the l01 operator as a continuous query —
+    // file-source stream, per-row digest, streaming dropDuplicates
+    // (unbounded state keyed by digest; production bounds it with a
+    // watermark on an event-time column). Output restricted to the digest
+    // set, which is deterministic under any arrival order, so the DuckDB
+    // DISTINCT oracle hash-checks a real streaming dedup execution.
+    "st03_stream_dedup" -> QuerySpec(
+      (s, dir) => {
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val q = stream
+          .select(md5(col("text")).as("digest"))
+          .dropDuplicates("digest")
+          .writeStream.format("memory").queryName("st03_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st03_sink").orderBy(col("digest"))
+      },
+      Some("""SELECT DISTINCT md5(text) AS digest
+             |FROM documents ORDER BY digest""".stripMargin)),
+
     // Incremental W1 through an actual streaming query (MemoryStream →
     // flatMapGroupsWithState → memory sink), fed the fixture changesets in
     // two block-ordered micro-batches.
