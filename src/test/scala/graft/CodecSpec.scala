@@ -286,6 +286,24 @@ class CodecSpec extends AnyFunSuite {
       "strategy-2 byte stream changed")
   }
 
+  test("decoder fuzz: random garbage terminates (throws or ends), never loops") {
+    // corrupt pages must fail fast or exhaust — a decoder that spins or
+    // fabricates unbounded rows on bad input is a cluster-killer when one
+    // page of one file is damaged
+    val rnd = new scala.util.Random(123)
+    for (strategy <- Seq(0, 1, 3); _ <- 1 to 100) {
+      val b = new Array[Byte](rnd.nextInt(2048))
+      rnd.nextBytes(b)
+      val outcome = try {
+        val r = new StateReader(strategy, b, 0, b.length)
+        var n = 0
+        while (r.hasNext && n < 1000000) { r.next(); n += 1 }
+        n
+      } catch { case _: Exception => -1 }
+      assert(outcome < 1000000, s"decoder looped on garbage (strategy $strategy)")
+    }
+  }
+
   test("header layout matches the reference (incl. the words[6] overwrite)") {
     val h = Header.build(endOfStates = 12345L, pageShift = 12,
       blockStart = 0L, blockEnd = 999L, countStorageSlots = 77L)
