@@ -200,56 +200,79 @@ object FullHistory {
       .limit(1)
 
   /** Batch as-of join: resolve MANY (address, block) lookups in one pass —
-    * the set form of [[accountAsOf]]. Equi-join on address narrows to each
-    * key's history, the ≤-block predicate filters to visible versions, and
-    * a per-query row_number keeps the latest. One shuffle on address; the
-    * per-query top-1 window rides the same hash partitioning. Lookups with
-    * no visible version are preserved with null state (left join
-    * semantics), so callers can distinguish "empty account" explicitly.
+    * the set form of [[accountAsOf]], as the UNION-window as-of plan:
+    * interleave probes with history versions sorted per address by
+    * (block, probe-after-version), then `last(..., ignoreNulls)` carries
+    * the latest visible version forward into each probe row.
+    *
+    * Why not a join: `lookups ⋈ history ON addr = addr AND vf ≤ block`
+    * materializes EVERY visible version per probe before the top-1 window
+    * — O(probes × versions-per-address) intermediate rows, quadratic on
+    * hot addresses at 100 TB. The union form is O(N + Q) rows through ONE
+    * address-partitioned window, same single shuffle, no blow-up.
+    *
+    * Probes with no visible version come back with null state (the old
+    * left-join semantics); repeated (address, block) probes each produce
+    * their own row. Lookups must carry exactly (address, block).
     */
   def asOfJoinAccounts(history: DataFrame, lookups: DataFrame): DataFrame = {
-    val h = history.filter(!col("isStorage"))
-      .select(col("address").as("h_address"), col("valid_from_block"),
-        col("nonce"), col("incarnation"), col("balance"), col("codeHash"))
-    // unique per-lookup id: repeated (address, block) probes must each
-    // produce their own output row, so the top-1 window keys on the probe
-    // ROW, not its (address, block) value
-    val keyed = lookups.withColumn("__lk", monotonically_increasing_id())
-    val joined = keyed
-      .join(h, col("address") === col("h_address") &&
-        col("valid_from_block") <= col("block"), "left_outer")
-    // (address, block) stay in the partition key so the window's required
-    // ClusteredDistribution is still satisfied by the join's hash(address)
-    // partitioning — adding __lk alone would force a second exchange
-    val w = Window.partitionBy(col("address"), col("block"), col("__lk"))
-      .orderBy(col("valid_from_block").desc_nulls_last)
-    joined
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__lk", "h_address")
+    val h = history.filter(!col("isStorage")).select(
+      col("address"), col("valid_from_block").as("__v"),
+      lit(0).as("__probe"),
+      col("nonce"), col("incarnation"), col("balance"), col("codeHash"))
+    val p = lookups.select(
+      col("address"), col("block").as("__v"),
+      lit(1).as("__probe"),
+      lit(null).cast("long").as("nonce"),
+      lit(null).cast("long").as("incarnation"),
+      lit(null).cast("binary").as("balance"),
+      lit(null).cast("binary").as("codeHash"))
+    // version at exactly block B is visible (vf ≤ B): versions sort
+    // BEFORE probes on ties via __probe
+    val w = Window.partitionBy(col("address"))
+      .orderBy(col("__v"), col("__probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.unionByName(p)
+      .select(col("address"), col("__v"), col("__probe"),
+        last(col("nonce"), ignoreNulls = true).over(w).as("nonce"),
+        last(col("incarnation"), ignoreNulls = true).over(w)
+          .as("incarnation"),
+        last(col("balance"), ignoreNulls = true).over(w).as("balance"),
+        last(col("codeHash"), ignoreNulls = true).over(w).as("codeHash"),
+        last(when(col("__probe") === 0, col("__v")), ignoreNulls = true)
+          .over(w).as("valid_from_block"))
+      .filter(col("__probe") === 1)
+      .select(col("address"), col("__v").as("block"),
+        col("valid_from_block"), col("nonce"), col("incarnation"),
+        col("balance"), col("codeHash"))
   }
 
   /** Storage-slot form of [[asOfJoinAccounts]]: resolve many
-    * (address, slot, block) probes in one pass. Same plan shape — equi-join
-    * on (address, slot), visibility predicate, per-probe top-1 window
-    * riding the join's hash partitioning.
+    * (address, slot, block) probes in one pass via the same union-window
+    * as-of plan, partitioned by (address, slot).
     */
   def asOfJoinStorage(history: DataFrame, lookups: DataFrame): DataFrame = {
-    val h = history.filter(col("isStorage"))
-      .select(col("address").as("h_address"), col("slot").as("h_slot"),
+    val h = history.filter(col("isStorage")).select(
+      col("address"), col("slot"), col("valid_from_block").as("__v"),
+      lit(0).as("__probe"), col("incarnation"), col("value"))
+    val p = lookups.select(
+      col("address"), col("slot"), col("block").as("__v"),
+      lit(1).as("__probe"),
+      lit(null).cast("long").as("incarnation"),
+      lit(null).cast("binary").as("value"))
+    val w = Window.partitionBy(col("address"), col("slot"))
+      .orderBy(col("__v"), col("__probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.unionByName(p)
+      .select(col("address"), col("slot"), col("__v"), col("__probe"),
+        last(col("incarnation"), ignoreNulls = true).over(w)
+          .as("incarnation"),
+        last(col("value"), ignoreNulls = true).over(w).as("value"),
+        last(when(col("__probe") === 0, col("__v")), ignoreNulls = true)
+          .over(w).as("valid_from_block"))
+      .filter(col("__probe") === 1)
+      .select(col("address"), col("slot"), col("__v").as("block"),
         col("valid_from_block"), col("incarnation"), col("value"))
-    val keyed = lookups.withColumn("__lk", monotonically_increasing_id())
-    val joined = keyed
-      .join(h, col("address") === col("h_address") &&
-        col("slot") === col("h_slot") &&
-        col("valid_from_block") <= col("block"), "left_outer")
-    val w = Window
-      .partitionBy(col("address"), col("slot"), col("block"), col("__lk"))
-      .orderBy(col("valid_from_block").desc_nulls_last)
-    joined
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__lk", "h_address", "h_slot")
   }
 
   def storageAsOf(history: DataFrame, address: Array[Byte],
