@@ -35,10 +35,13 @@ object Cli {
   val PruneKeepBlocks = 90000L // erigon_extract.c:2722-2726
 
   /** The -M conversion: full history to a page-aligned .dat dataset.
-    * Returns (latestBlock, blockStart).
+    * Returns (latestBlock, blockStart). `keepBlocks` parameterizes the -P
+    * window (reference constant 90,000) so the prune arithmetic is
+    * testable below mainnet heights.
     */
   def convert(sess: SparkSession, tablesDir: String, outDir: String,
-              prune: Boolean = false, strategy: Int = 0): (Long, Long) = {
+              prune: Boolean = false, strategy: Int = 0,
+              keepBlocks: Long = PruneKeepBlocks): (Long, Long) = {
     def t(name: String): DataFrame =
       sess.read.parquet(s"$tablesDir/$name")
     val accCs = t("account_changeset")
@@ -54,8 +57,8 @@ object Cli {
     val latest = latestRow.getLong(0)
     val blockStart =
       if (!prune) 0L
-      else if (latest < PruneKeepBlocks) 0L
-      else latest - PruneKeepBlocks + 1L
+      else if (latest < keepBlocks) 0L
+      else latest - keepBlocks + 1L
     val history = pipeline.FullHistory.build(sess, accCs, stoCs,
       t("plain_code_hash"), t("plain_state_accounts"),
       t("plain_state_storage"), latest, blockStart = blockStart)
@@ -73,10 +76,15 @@ object Cli {
                outDir: String): (Long, Long, Long) = {
     def t(name: String): DataFrame =
       sess.read.parquet(s"$tablesDir/$name")
-    val decoded = pipeline.TxBodies.decodeBodies(t("block_bodies"))
-    val latest = decoded.agg(max(col("block"))).collect()(0).getLong(0)
-    val enc = pipeline.TxBodies.encodeBlocks(decoded,
-      t("block_transactions"))
+    val bodies = t("block_bodies")
+    // latest from the RAW block column — no RLP decode needed for it, and
+    // the decode lineage then runs exactly once (inside encodeBlocks)
+    val latestRow = bodies.agg(max(col("block"))).collect()(0)
+    require(!latestRow.isNullAt(0),
+      s"$tablesDir: block_bodies is empty — nothing to extract")
+    val latest = latestRow.getLong(0)
+    val enc = pipeline.TxBodies.encodeBlocks(
+      pipeline.TxBodies.decodeBodies(bodies), t("block_transactions"))
     spark.TxBodyFiles.write(enc, outDir, blockStart = 0L, blockEnd = latest)
   }
 
@@ -91,13 +99,29 @@ object Cli {
     s
   }
 
+  /** Strict flag parse: an unrecognized/typo'd flag must FAIL, not
+    * silently run an unpruned conversion.
+    */
+  private def parseConvertFlags(rest: List[String]): (Boolean, Int) = {
+    var prune = false
+    var strategy = 0
+    var args = rest
+    while (args.nonEmpty) args = args match {
+      case "--prune" :: t => prune = true; t
+      case "--strategy" :: v :: t => strategy = v.toInt; t
+      case bad :: _ =>
+        throw new IllegalArgumentException(s"unknown convert flag: $bad")
+      case Nil => Nil
+    }
+    (prune, strategy)
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "convert" :: tablesDir :: outDir :: rest =>
-      val strategy = rest.dropWhile(_ != "--strategy").drop(1)
-        .headOption.map(_.toInt).getOrElse(0)
+      val (prune, strategy) = parseConvertFlags(rest)
       val s = session()
       val (latest, start) = convert(s, tablesDir, outDir,
-        prune = rest.contains("--prune"), strategy = strategy)
+        prune = prune, strategy = strategy)
       System.err.println(
         s"convert: blocks $start..$latest -> $outDir (strategy $strategy)")
       s.stop()

@@ -64,71 +64,17 @@ object TxBodyCodec {
     buf.toArray
   }
 
-  /** A decoded length/count must fit an Int BEFORE truncation: a corrupt
-    * or hostile stream declaring e.g. tx_len = 2^32+5 would otherwise
-    * silently read 5 bytes and desynchronize the record stream into
-    * plausible-looking garbage.
+  /** ONE streaming decoder (the array form delegates here — a format
+    * tweak can't desynchronize two copies). O(record) memory: a
+    * reference-sized multi-GB `txbodies-S-E.dat` streams through without
+    * whole-file buffering (which caps at 2 GiB and OOMs long before).
+    *
+    * `maxArray` bounds any single declared length/count BEFORE
+    * allocation: a corrupt stream declaring tx_len = 2^31-1 must fail
+    * with a clear error, not OOM the executor on `new Array`. Callers
+    * that know the input size (a file, a byte array) pass it.
     */
-  private def toLen(v: Long, what: String): Int = {
-    require(v >= 0 && v <= Int.MaxValue, s"$what out of range: $v")
-    v.toInt
-  }
-
-  /** Sequential decoder over a byte range (one file, or one encoded
-    * record). Mirrors read_number / read_u64 (erigon_extract.c:615-633).
-    */
-  final class RecordReader(data: Array[Byte], start: Int, end: Int)
-      extends Iterator[BodyRecord] {
-    private var pos = start
-
-    private def readByte(): Int = {
-      require(pos < end, s"truncated stream at $pos")
-      val b = data(pos) & 0xff; pos += 1; b
-    }
-
-    private def readNumber(): Long = {
-      val b = readByte()
-      if (b < 224) b.toLong
-      else {
-        val n = b - 223
-        require(n <= 8, s"number length $n > 8 at ${pos - 1}")
-        var v = 0L
-        var i = 0
-        while (i < n) { v = (v << 8) | readByte(); i += 1 }
-        v
-      }
-    }
-
-    private def readArray(n: Int): Array[Byte] = {
-      require(n >= 0 && pos + n <= end, s"truncated array at $pos")
-      val out = java.util.Arrays.copyOfRange(data, pos, pos + n)
-      pos += n
-      out
-    }
-
-    override def hasNext: Boolean = pos < end
-
-    override def next(): BodyRecord = {
-      val block = readNumber()
-      val txAmount = readNumber()
-      val unclesLen = readNumber()
-      val uncles = readArray(toLen(unclesLen, "uncles length"))
-      val txs = IndexedSeq.tabulate(toLen(txAmount, "tx count")) { _ =>
-        readArray(toLen(readNumber(), "tx length"))
-      }
-      BodyRecord(block, txAmount, uncles, txs)
-    }
-  }
-
-  def decodeAll(data: Array[Byte]): Iterator[BodyRecord] =
-    new RecordReader(data, 0, data.length)
-
-  /** Streaming decoder over an InputStream — the large-file path: a
-    * reference-sized multi-GB `txbodies-S-E.dat` streams through in
-    * O(record) memory instead of a whole-file byte array (which caps at
-    * 2 GiB and OOMs long before).
-    */
-  final class StreamReader(in: java.io.InputStream)
+  final class StreamReader(in: java.io.InputStream, maxArray: Long)
       extends Iterator[BodyRecord] {
     private var peeked: Int = in.read() // one-byte lookahead for hasNext
 
@@ -150,6 +96,12 @@ object TxBodyCodec {
         while (i < n) { v = (v << 8) | readByte(); i += 1 }
         v
       }
+    }
+
+    private def toLen(v: Long, what: String): Int = {
+      require(v >= 0 && v <= maxArray && v <= Int.MaxValue,
+        s"$what out of range: $v (limit $maxArray)")
+      v.toInt
     }
 
     private def readArray(n: Int): Array[Byte] = {
@@ -176,6 +128,11 @@ object TxBodyCodec {
     }
   }
 
-  def decodeStream(in: java.io.InputStream): Iterator[BodyRecord] =
-    new StreamReader(in)
+  def decodeStream(in: java.io.InputStream,
+                   maxArray: Long = Int.MaxValue): Iterator[BodyRecord] =
+    new StreamReader(in, maxArray)
+
+  def decodeAll(data: Array[Byte]): Iterator[BodyRecord] =
+    decodeStream(new java.io.ByteArrayInputStream(data),
+      maxArray = data.length.toLong)
 }

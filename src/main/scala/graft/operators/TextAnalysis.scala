@@ -149,7 +149,8 @@ object TextAnalysis {
     * no shuffle.
     */
   def hashSplit(text: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
-    require(trainPct + valPct <= 100, "split percentages exceed 100")
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "split percentages must be in [0,100] and sum to at most 100")
     val b = substring(md5(text), 1, 2) // 256 hex buckets
     // bucket 256 (a 100% bound) must compare GREATER than every 2-char
     // hex prefix; %02x would format it as 3-char "100", which string-

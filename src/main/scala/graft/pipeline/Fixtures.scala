@@ -91,7 +91,6 @@ object Fixtures {
 
   private def generateTxWorldUncached(spark: SparkSession, nBlocks: Int,
                                       seed: Long): TxWorld = {
-    locally {
       val rnd = new scala.util.Random(seed)
       val bodies = Seq.newBuilder[BlockBodyRow]
       val txs = Seq.newBuilder[BlockTxRow]
@@ -123,7 +122,6 @@ object Fixtures {
       import spark.implicits._
       TxWorld(bodies.result().toDF(), txs.result().toDF(), nBlocks.toLong,
         totalTxs, dups.result())
-    }
   }
 
   // memoized per (params): Verify/Bench call several queries that share one

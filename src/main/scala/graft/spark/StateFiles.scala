@@ -24,6 +24,28 @@ object StateFiles {
   private val PageShift = 12
   private val PageSize = 1 << PageShift
 
+  /** Content-pairing token binding an `.idx` sidecar to ITS `.dat`: FNV-1a
+    * over the first (header + 4 KiB) and last 4 KiB of the file. Renames
+    * are per-file atomic but the PAIR is not — after a crash mid-rewrite a
+    * new `.dat` can sit next to a stale same-page-count `.idx`, and
+    * pruning against stale bounds silently drops rows. The reader verifies
+    * (size, checksum) from the sidecar trailer and ignores the index on
+    * mismatch (no pruning = correct, just slower).
+    */
+  private[spark] def pairingChecksum(prefix: Array[Byte],
+                                     suffix: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(b: Array[Byte]): Unit = {
+      var i = 0
+      while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    }
+    mix(prefix); mix(suffix)
+    h
+  }
+
+  private[spark] val PairPrefixLen: Int = Header.Size + PageSize
+  private[spark] val PairSuffixLen: Int = PageSize
+
   /** Write a sorted Dataset[StateItem] as header-prefixed page-aligned .dat
     * files, one per partition (partition ordering = caller's sort).
     */
@@ -44,10 +66,11 @@ object StateFiles {
           blockStart, blockEnd, w.countStorageSlots)
         // temp + atomic rename: retried/speculative attempts each produce
         // a complete file; the rename is all-or-nothing
+        val full = header ++ body
         val path = Paths.get(dir, f"part-$pid%05d.dat")
         val tmp = Paths.get(dir,
           f".part-$pid%05d.tmp-${java.util.UUID.randomUUID()}")
-        Files.write(tmp, header ++ body)
+        Files.write(tmp, full)
         Files.move(tmp, path,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -62,7 +85,9 @@ object StateFiles {
         // pruned).
         val nPages =
           ((Header.Size + body.length + PageSize - 1) / PageSize).toInt
-        val idx = new Array[Byte](nPages * 56)
+        // + 16-byte trailer: .dat size + pairing checksum (see
+        // pairingChecksum — binds this sidecar to exactly this .dat)
+        val idx = new Array[Byte](nPages * 56 + 16)
         var p = 0
         while (p < nPages) {
           val bodyStart = math.max(0, p * PageSize - Header.Size)
@@ -94,6 +119,13 @@ object StateFiles {
           graft.functions.Bytes.put64be(idx, p * 56 + 48, maxB)
           p += 1
         }
+        graft.functions.Bytes.put64be(idx, nPages * 56, full.length.toLong)
+        graft.functions.Bytes.put64be(idx, nPages * 56 + 8,
+          pairingChecksum(
+            java.util.Arrays.copyOf(full,
+              math.min(full.length, PairPrefixLen)),
+            java.util.Arrays.copyOfRange(full,
+              math.max(0, full.length - PairSuffixLen), full.length)))
         val idxTmp = Paths.get(dir,
           f".part-$pid%05d.idx.tmp-${java.util.UUID.randomUUID()}")
         Files.write(idxTmp, idx)

@@ -93,19 +93,17 @@ object TxBodyFiles {
       .repartition(math.max(1, sorted.length))
       .flatMap { f =>
         // streamed, not readAllBytes: reference-sized multi-GB files
-        // decode in O(record) memory
+        // decode in O(record) memory. The stream is closed by a
+        // task-completion listener — closing on iterator exhaustion alone
+        // leaks the FD when a query stops pulling early (limit/take) or
+        // the decoder throws mid-file.
+        val path = Paths.get(f)
         val in = new java.io.BufferedInputStream(
-          Files.newInputStream(Paths.get(f)), 1 << 18)
-        val it = TxBodyCodec.decodeStream(in)
+          Files.newInputStream(path), 1 << 18)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        TxBodyCodec.decodeStream(in, maxArray = Files.size(path))
           .map(r => (r.block, r.txAmount, r.unclesRlp, r.txs))
-        new Iterator[(Long, Long, Array[Byte], IndexedSeq[Array[Byte]])] {
-          override def hasNext: Boolean = {
-            val h = it.hasNext
-            if (!h) in.close()
-            h
-          }
-          override def next() = it.next()
-        }
       }
       .toDF("block", "tx_amount", "uncles_rlp", "txs")
   }

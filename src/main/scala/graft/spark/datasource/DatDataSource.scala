@@ -114,15 +114,39 @@ class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int)
         // header-shortened [256, 4096) region
         val nPages = ((size + pageSize - 1) / pageSize).toInt
         // page index: TRUE per-page (minAddr, maxAddr, minBlock, maxBlock)
-        // bounds, 56 bytes/page — sound to prune against for any row
-        // order, like parquet row-group statistics. A sidecar whose size
-        // doesn't match the expected record count (e.g. written by an
-        // older layout) is ignored rather than misread.
+        // bounds, 56 bytes/page + a 16-byte (size, checksum) trailer that
+        // binds the sidecar to THIS .dat (per-file renames are atomic but
+        // the pair is not — a stale same-page-count sidecar next to a
+        // rewritten .dat would otherwise prune against wrong bounds and
+        // silently drop rows). Any mismatch → index ignored (correct,
+        // just unpruned).
         val idxPath = Paths.get(f.toString.stripSuffix(".dat") + ".idx")
         val idx: Array[(Array[Byte], Array[Byte], Long, Long)] =
           if (Files.exists(idxPath)) {
             val raw = Files.readAllBytes(idxPath)
-            if (raw.length == nPages * 56)
+            val paired = raw.length == nPages * 56 + 16 && {
+              val declaredSize =
+                graft.functions.Bytes.get64be(raw, nPages * 56)
+              val declaredSum =
+                graft.functions.Bytes.get64be(raw, nPages * 56 + 8)
+              declaredSize == size && {
+                val pfx = new Array[Byte](
+                  math.min(size, graft.spark.StateFiles.PairPrefixLen.toLong)
+                    .toInt)
+                val sfxLen = math.min(size,
+                  graft.spark.StateFiles.PairSuffixLen.toLong).toInt
+                val sfx = new Array[Byte](sfxLen)
+                val raf = new java.io.RandomAccessFile(f.toFile, "r")
+                try {
+                  raf.readFully(pfx)
+                  raf.seek(size - sfxLen)
+                  raf.readFully(sfx)
+                } finally raf.close()
+                graft.spark.StateFiles.pairingChecksum(pfx, sfx) ==
+                  declaredSum
+              }
+            }
+            if (paired)
               Array.tabulate(nPages) { i =>
                 (java.util.Arrays.copyOfRange(raw, i * 56, i * 56 + 20),
                   java.util.Arrays.copyOfRange(raw, i * 56 + 20, i * 56 + 40),

@@ -58,12 +58,33 @@ class CliSpec extends AnyFunSuite {
       .createTempDirectory("graft-cli-tables2").toString
     val out = java.nio.file.Files
       .createTempDirectory("graft-cli-out2").toString
-    writeTables(tables)
+    val w = writeTables(tables)
     // fixture latest (40) < 90,000 keep window -> prune keeps everything
     val (latest, start) = Cli.convert(spark, tables, out, prune = true)
     assert(start == 0L && latest == 40L)
-    // the prune arithmetic itself (erigon_extract.c:2722-2726)
     assert(Cli.PruneKeepBlocks == 90000L)
+
+    // the REAL keep-window branch, with a window smaller than the chain:
+    // keepBlocks=10 on latest=40 -> blockStart = 31
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft-cli-out3").toString
+    val (latest2, start2) = Cli.convert(spark, tables, out2, prune = true,
+      keepBlocks = 10L)
+    assert(latest2 == 40L && start2 == 31L)
+    // read-back equals a direct pruned build
+    val back = graft.spark.StateFiles.read(spark, out2, strategy = 0)
+    val expected = graft.spark.StateFormat.asItems(
+      pipeline.FullHistory.build(spark, w.accountChangeset,
+        w.storageChangeset, w.plainCodeHash, w.plainStateAccounts,
+        w.plainStateStorage, w.latestBlock, blockStart = 31L)
+        .withColumnRenamed("valid_from_block", "block"))
+    assert(back.count() == expected.count())
+    assert(back.count() < graft.spark.StateFiles.read(spark, out,
+      strategy = 0).count(), "pruned dataset must be smaller than full")
+    // no changeset-derived row below the window (PlainState rows carry
+    // latest+1; changeset rows pruned to >= blockStart keep their blocks)
+    val minBlock = back.toDF().agg(min(col("block"))).collect()(0).getLong(0)
+    assert(minBlock >= 31L || minBlock == 0L)
   }
 
   test("txbodies: tables -> varint record dataset, counts match") {

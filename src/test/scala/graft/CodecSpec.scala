@@ -291,7 +291,7 @@ class CodecSpec extends AnyFunSuite {
     // fabricates unbounded rows on bad input is a cluster-killer when one
     // page of one file is damaged
     val rnd = new scala.util.Random(123)
-    for (strategy <- Seq(0, 1, 3); _ <- 1 to 100) {
+    for (strategy <- Seq(0, 1, 2, 3); _ <- 1 to 100) {
       val b = new Array[Byte](rnd.nextInt(2048))
       rnd.nextBytes(b)
       val outcome = try {
