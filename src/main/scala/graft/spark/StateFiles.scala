@@ -50,12 +50,60 @@ object StateFiles {
     * files, one per partition (partition ordering = caller's sort).
     */
   def write(items: Dataset[StateItem], dir: String, strategy: Int,
-            blockStart: Long = 0L, blockEnd: Long = 0L): Unit = {
+            blockStart: Long = 0L, blockEnd: Long = 0L): Unit =
+    writeCore(items, dir, strategy, blockStart, blockEnd, partBase = 0,
+      mergeManifest = false)
+
+  /** Incremental APPEND: new part files after the existing ones, manifest
+    * totals merged — the daily-increment flow (changesets are an
+    * append-only log; each increment converts its block range and lands
+    * as additional files). Reads stay pruned and correct because the
+    * `.idx` bounds are true per-page min/max for ANY order — overlapping
+    * address ranges across increments just mean more splits match.
+    * Single-writer: concurrent appends to one dataset are not supported
+    * (same as any file-append protocol without a lock service).
+    */
+  def append(items: Dataset[StateItem], dir: String, strategy: Int,
+             blockStart: Long = 0L, blockEnd: Long = 0L): Unit = {
+    val partBase = {
+      val it = Files.list(Paths.get(dir)).iterator()
+      var maxPart = -1
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString
+        if (name.startsWith("part-") && name.endsWith(".dat")) {
+          val n = name.stripPrefix("part-").stripSuffix(".dat")
+          try maxPart = math.max(maxPart, n.toInt)
+          catch { case _: NumberFormatException => () }
+        }
+      }
+      maxPart + 1
+    }
+    manifestField(dir, "strategy").foreach(s0 =>
+      require(s0 == strategy.toLong,
+        s"append strategy $strategy != dataset strategy $s0"))
+    writeCore(items, dir, strategy, blockStart, blockEnd, partBase,
+      mergeManifest = true)
+  }
+
+  private def manifestField(dir: String, name: String): Option[Long] = {
+    val p = Paths.get(dir, "_manifest.json")
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      s"""\"$name\":(-?\\d+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong)
+    }
+  }
+
+  private def writeCore(items: Dataset[StateItem], dir: String,
+                        strategy: Int, blockStart: Long, blockEnd: Long,
+                        partBase: Int, mergeManifest: Boolean): Unit = {
     val spark = items.sparkSession
     import spark.implicits._
     Files.createDirectories(Paths.get(dir))
     items.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val pid = partBase + org.apache.spark.TaskContext.getPartitionId()
       if (it.isEmpty) Iterator.empty
       else {
         val w = new StateWriter(strategy, PageShift, baseOffset = Header.Size)
@@ -139,14 +187,30 @@ object StateFiles {
       .collect() match { case rows =>
         // dataset-level manifest — the multi-file replacement for the
         // reference's single 256-byte header (C11): totals + layout params
-        // in one JSON (the per-file headers remain byte-compatible)
-        val accounts = rows.map(_.getAs[Long]("accounts")).sum
-        val slots = rows.map(_.getAs[Long]("storage_slots")).sum
-        val bytes = rows.map(_.getAs[Long]("bytes")).sum
+        // in one JSON (the per-file headers remain byte-compatible). On
+        // append, totals merge and the block range widens.
+        def prev(name: String): Long =
+          if (mergeManifest) manifestField(dir, name).getOrElse(0L) else 0L
+        val accounts = rows.map(_.getAs[Long]("accounts")).sum +
+          prev("accounts")
+        val slots = rows.map(_.getAs[Long]("storage_slots")).sum +
+          prev("storage_slots")
+        val bytes = rows.map(_.getAs[Long]("bytes")).sum + prev("bytes")
+        val files = rows.length + prev("files")
+        val bStart =
+          if (mergeManifest)
+            math.min(blockStart,
+              manifestField(dir, "block_start").getOrElse(blockStart))
+          else blockStart
+        val bEnd =
+          if (mergeManifest)
+            math.max(blockEnd,
+              manifestField(dir, "block_end").getOrElse(blockEnd))
+          else blockEnd
         val manifest =
           s"""{"format":"graft-dat","strategy":$strategy,""" +
-            s""""page_shift":$PageShift,"block_start":$blockStart,""" +
-            s""""block_end":$blockEnd,"files":${rows.length},""" +
+            s""""page_shift":$PageShift,"block_start":$bStart,""" +
+            s""""block_end":$bEnd,"files":$files,""" +
             s""""accounts":$accounts,"storage_slots":$slots,""" +
             s""""bytes":$bytes}"""
         Files.write(Paths.get(dir, "_manifest.json"),

@@ -263,6 +263,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(mf.contains(s"\"storage_slots\":$nSlots"), mf)
   }
 
+  test("incremental append: two increments read back as the union, pruned reads stay complete") {
+    import spark.implicits._
+    val items = StateFormat.asItems(
+      history.withColumnRenamed("valid_from_block", "block"))
+    val mid = world.latestBlock / 2
+    val first = items.filter(col("block") <= mid).as[graft.model.StateItem]
+    val second = items.filter(col("block") > mid).as[graft.model.StateItem]
+    val dir = Files.createTempDirectory("graft-append").toString
+    graft.spark.StateFiles.write(first, dir, strategy = 0,
+      blockStart = 0L, blockEnd = mid)
+    graft.spark.StateFiles.append(second, dir, strategy = 0,
+      blockStart = mid + 1, blockEnd = world.latestBlock)
+    val back = graft.spark.StateFiles.read(spark, dir, strategy = 0)
+    assert(back.count() == items.count())
+    // address-filtered read over the merged dataset loses nothing
+    val addr = items.head().address
+    val want = items.filter(_.address.sameElements(addr)).count()
+    val got = back.toDF().filter(col("address") === lit(addr)).count()
+    assert(got == want && got > 0)
+    // manifest merged: widened block range, summed files
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifest.json")))
+    assert(mf.contains("\"block_start\":0"), mf)
+    assert(mf.contains(s"\"block_end\":${world.latestBlock}"), mf)
+    // appending with a mismatched strategy is refused
+    assertThrows[IllegalArgumentException](
+      graft.spark.StateFiles.append(second, dir, strategy = 1))
+  }
+
   test("copy_file strategy conversion: 0 -> 1 -> read-back equality") {
     import spark.implicits._
     val items = StateFormat.asItems(
