@@ -168,6 +168,32 @@ object PipelineQueries {
             "n_files")
       }, None),
 
+    // Incremental append flow: convert in two block-range increments into
+    // ONE dataset (the daily-increment shape), read back the union.
+    "p10_dat_append" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val w = world(s, dir)
+        val h = history(s, dir)
+        val items = graft.spark.StateFormat.asItems(
+          h.withColumnRenamed("valid_from_block", "block"))
+        val mid = w.latestBlock / 2
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-dat-append-q").toString
+        graft.spark.StateFiles.write(
+          items.filter(col("block") <= mid).as[graft.model.StateItem],
+          out, strategy = 0, blockStart = 0L, blockEnd = mid)
+        graft.spark.StateFiles.append(
+          items.filter(col("block") > mid).as[graft.model.StateItem],
+          out, strategy = 0, blockStart = mid + 1, blockEnd = w.latestBlock)
+        val back = s.read.format("graft.spark.datasource.DatDataSource")
+          .option("strategy", "0").load(out)
+        Seq((items.count(), back.count(),
+            new java.io.File(out).listFiles()
+              .count(_.getName.endsWith(".dat"))))
+          .toDF("rows_written", "rows_read", "n_files")
+      }, None),
+
     // Batch STORAGE as-of join: many (address, slot, block) probes in one
     // pass over the slot history.
     "p09_storage_asof_join" -> QuerySpec(
