@@ -225,6 +225,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(bytes < orig.length * 133L / 2)
   }
 
+  test("delta strategy 1 beats absolute strategy 0 on sorted history " +
+      "(the reference's measured delta savings)") {
+    val items = StateFormat.asItems(
+      history.withColumnRenamed("valid_from_block", "block"))
+    def encodedBytes(strategy: Int): Long =
+      StateFormat.encode(items, strategy, pageShift = 12)
+        .collect().map(_.bytes.length.toLong).sum
+    val b0 = encodedBytes(0)
+    val b1 = encodedBytes(1)
+    assert(b1 < b0,
+      s"delta coding must shrink sorted input: s1=$b1 vs s0=$b0")
+    info(f"strategy-1 saves ${(b0 - b1) * 100.0 / b0}%.1f%% vs absolute " +
+      s"($b0 -> $b1 bytes)")
+  }
+
   test("S7/S8 .dat file sink + page-parallel source round trip") {
     import spark.implicits._
     val items = StateFormat.asItems(
