@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal (image/audio/video) column handling: opaque `binary` payloads
   * with typed metadata, processed by batched per-partition map operators.
   *
-  * The Spark-side plumbing is real — schema, partitioning, batch shape,
-  * operator signatures — while the actual media codecs are STUBBED with
-  * deterministic fakes (no image/audio libraries in this environment; a
-  * production deployment swaps `StubCodec` for a JNI/FFmpeg-backed
-  * implementation with the same interface).
+  * The codecs here are REAL pure-JVM implementations of the uncompressed
+  * formats — 24-bit BMP images, 16-bit PCM WAV audio, and a
+  * length-prefixed frame container for video — so decode, feature
+  * extraction, resizing, and frame access genuinely parse and transform
+  * pixel/sample data (strict parsers: corrupt payloads throw, the F4
+  * validation stance). Compressed formats (JPEG/H.264/FLAC) need native
+  * libraries not present in this environment; they would slot behind the
+  * same [[Codecs]] interface with identical operator plumbing.
   *
   * Scale notes: payloads never enter a shuffle key; feature extraction is a
   * narrow `mapPartitions` with explicit micro-batching (amortizing codec
@@ -28,90 +31,286 @@ object Multimodal {
                                  size_bytes: Long, mean_byte: Double,
                                  luma_histogram: Array[Long])
 
-  /** ======== STUB ========
-    * Deterministic fake media codec. A real implementation decodes pixels /
-    * PCM samples; this derives "pixels" from the payload bytes so the
-    * plumbing (batching, schema, metadata flow) is fully exercised and
-    * test-checkable.
-    */
-  object StubCodec {
-    /** STUB for image decode: "luma plane" = payload bytes cycled to
-      * width*height.
-      */
-    def decodeLuma(blob: MediaBlob): Array[Byte] = {
-      val n = math.min(blob.width * blob.height, 1 << 16)
-      val out = new Array[Byte](n)
-      var i = 0
-      while (i < n) { out(i) = blob.data(i % blob.data.length); i += 1 }
+  /** Pure-JVM media codecs (no external libraries). */
+  object Codecs {
+
+    private def putU32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+      b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+    }
+    private def getU32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def putU16(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+    }
+    private def getU16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    // ---- BMP: 24-bit uncompressed, bottom-up rows, 4-byte row padding --
+
+    def encodeBmp(w: Int, h: Int, rgbTopDown: Array[Byte]): Array[Byte] = {
+      require(w > 0 && h > 0 && rgbTopDown.length == w * h * 3,
+        s"bad BMP input ${rgbTopDown.length} for ${w}x$h")
+      val rowSize = (3 * w + 3) & ~3
+      val out = new Array[Byte](54 + rowSize * h)
+      out(0) = 'B'; out(1) = 'M'
+      putU32(out, 2, out.length)
+      putU32(out, 10, 54)     // pixel data offset
+      putU32(out, 14, 40)     // BITMAPINFOHEADER size
+      putU32(out, 18, w)
+      putU32(out, 22, h)      // positive = bottom-up
+      putU16(out, 26, 1)      // planes
+      putU16(out, 28, 24)     // bits per pixel
+      putU32(out, 34, rowSize * h)
+      var y = 0
+      while (y < h) {
+        val dstRow = 54 + (h - 1 - y) * rowSize // bottom-up
+        var x = 0
+        while (x < w) {
+          val src = (y * w + x) * 3
+          // BMP stores BGR
+          out(dstRow + x * 3) = rgbTopDown(src + 2)
+          out(dstRow + x * 3 + 1) = rgbTopDown(src + 1)
+          out(dstRow + x * 3 + 2) = rgbTopDown(src)
+          x += 1
+        }
+        y += 1
+      }
       out
     }
 
-    /** STUB for resize: metadata transform + deterministic payload
-      * truncation (a real codec would resample).
+    /** Strict decode → (width, height, top-down RGB). */
+    def decodeBmp(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+        "not a BMP")
+      val offset = getU32(bytes, 10)
+      val w = getU32(bytes, 18)
+      val h = getU32(bytes, 22)
+      require(getU16(bytes, 28) == 24, "only 24-bit BMP supported")
+      require(getU32(bytes, 30) == 0, "only uncompressed BMP supported")
+      require(w > 0 && h > 0 && w < (1 << 16) && h < (1 << 16), "bad dims")
+      val rowSize = (3 * w + 3) & ~3
+      require(bytes.length >= offset + rowSize * h, "truncated BMP")
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val srcRow = offset + (h - 1 - y) * rowSize
+        var x = 0
+        while (x < w) {
+          val dst = (y * w + x) * 3
+          rgb(dst) = bytes(srcRow + x * 3 + 2)
+          rgb(dst + 1) = bytes(srcRow + x * 3 + 1)
+          rgb(dst + 2) = bytes(srcRow + x * 3)
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, rgb)
+    }
+
+    /** ITU-R BT.601 integer luma per pixel. */
+    def lumaOf(rgb: Array[Byte]): Array[Byte] = {
+      val n = rgb.length / 3
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        val r = rgb(i * 3) & 0xff
+        val g = rgb(i * 3 + 1) & 0xff
+        val b = rgb(i * 3 + 2) & 0xff
+        out(i) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+        i += 1
+      }
+      out
+    }
+
+    /** Nearest-neighbor resample — a REAL resize, not a truncation. */
+    def resizeBmp(bytes: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
+      val (w, h, rgb) = decodeBmp(bytes)
+      val out = new Array[Byte](newW * newH * 3)
+      var y = 0
+      while (y < newH) {
+        val sy = y * h / newH
+        var x = 0
+        while (x < newW) {
+          val sx = x * w / newW
+          val src = (sy * w + sx) * 3
+          val dst = (y * newW + x) * 3
+          out(dst) = rgb(src); out(dst + 1) = rgb(src + 1)
+          out(dst + 2) = rgb(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      encodeBmp(newW, newH, out)
+    }
+
+    // ---- WAV: RIFF, 16-bit PCM, mono ----
+
+    def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataSize = samples.length * 2
+      val out = new Array[Byte](44 + dataSize)
+      out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+      putU32(out, 4, 36 + dataSize)
+      out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+      out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+      putU32(out, 16, 16)          // fmt chunk size
+      putU16(out, 20, 1)           // PCM
+      putU16(out, 22, 1)           // mono
+      putU32(out, 24, sampleRate)
+      putU32(out, 28, sampleRate * 2)
+      putU16(out, 32, 2)           // block align
+      putU16(out, 34, 16)          // bits per sample
+      out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+      putU32(out, 40, dataSize)
+      var i = 0
+      while (i < samples.length) {
+        putU16(out, 44 + i * 2, samples(i) & 0xffff); i += 1
+      }
+      out
+    }
+
+    /** Strict decode → (sampleRate, samples). */
+    def decodeWav(bytes: Array[Byte]): (Int, Array[Short]) = {
+      require(bytes.length >= 44 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(8) == 'W' && bytes(12) == 'f' && bytes(36) == 'd', "not a WAV")
+      require(getU16(bytes, 20) == 1 && getU16(bytes, 34) == 16,
+        "only 16-bit PCM supported")
+      val rate = getU32(bytes, 24)
+      val dataSize = getU32(bytes, 40)
+      require(bytes.length >= 44 + dataSize, "truncated WAV")
+      val samples = new Array[Short](dataSize / 2)
+      var i = 0
+      while (i < samples.length) {
+        samples(i) = getU16(bytes, 44 + i * 2).toShort; i += 1
+      }
+      (rate, samples)
+    }
+
+    // ---- video: "GVID" container, length-prefixed BMP frames ----
+    // (a deterministic stand-in for a real container format; per-frame
+    // decode is the real BMP parser above)
+
+    def encodeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val total = 8 + frames.map(_.length + 4).sum
+      val out = new Array[Byte](total)
+      out(0) = 'G'; out(1) = 'V'; out(2) = 'I'; out(3) = 'D'
+      putU32(out, 4, frames.length)
+      var off = 8
+      frames.foreach { f =>
+        putU32(out, off, f.length)
+        System.arraycopy(f, 0, out, off + 4, f.length)
+        off += 4 + f.length
+      }
+      out
+    }
+
+    def videoFrameCount(bytes: Array[Byte]): Int = {
+      require(bytes.length >= 8 && bytes(0) == 'G' && bytes(1) == 'V',
+        "not a GVID container")
+      getU32(bytes, 4)
+    }
+
+    /** Random access to one frame — seek by lengths, decode ONLY the
+      * requested frame (prune before decode, the point of frame
+      * sampling).
+      */
+    def videoFrame(bytes: Array[Byte], idx: Int): Array[Byte] = {
+      val n = videoFrameCount(bytes)
+      require(idx >= 0 && idx < n, s"frame $idx out of $n")
+      var off = 8
+      var i = 0
+      while (i < idx) {
+        off += 4 + getU32(bytes, off)
+        i += 1
+      }
+      val len = getU32(bytes, off)
+      require(off + 4 + len <= bytes.length, "truncated GVID")
+      java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len)
+    }
+
+    /** Resize dispatch on kind: images resample for real; audio/video
+      * payloads pass through (a real pipeline would transcode).
       */
     def resize(blob: MediaBlob, w: Int, h: Int): MediaBlob =
-      blob.copy(width = w, height = h,
-        data = java.util.Arrays.copyOf(blob.data,
-          math.max(1, math.min(blob.data.length, w * h / 8))))
+      if (blob.kind == "image")
+        blob.copy(width = w, height = h, data = resizeBmp(blob.data, w, h))
+      else blob.copy(width = w, height = h)
   }
 
-  /** Deterministic synthetic media table: seeded binary payloads with
-    * realistic size skew (mostly small images, occasional large videos).
+  /** Deterministic synthetic media table with VALID payloads: real BMPs,
+    * real WAVs, real frame containers — seeded patterns, realistic size
+    * skew (small images, mid audio, large multi-frame video).
     */
   def syntheticMedia(spark: SparkSession, n: Int,
                      seed: Long = 42L): Dataset[MediaBlob] = {
     import spark.implicits._
     spark.range(n).map { id =>
       val rnd = new scala.util.Random(seed + id)
-      val kind = (id % 10) match {
-        case 0 | 1 => "audio"
-        case 2 => "video"
-        case _ => "image"
+      (id % 10) match {
+        case 0 | 1 => // audio: 16-bit PCM, tone + seeded noise
+          val samples = Array.tabulate(2048 + rnd.nextInt(8192)) { i =>
+            (math.sin(i * 0.05) * 8000 + rnd.nextInt(2001) - 1000).toShort
+          }
+          MediaBlob(id, "audio", 0, 0, 1,
+            Codecs.encodeWav(16000, samples))
+        case 2 => // video: 4-16 frames of 32x24
+          val nFrames = 4 + rnd.nextInt(13)
+          val frames = Seq.fill(nFrames) {
+            val rgb = new Array[Byte](32 * 24 * 3); rnd.nextBytes(rgb)
+            Codecs.encodeBmp(32, 24, rgb)
+          }
+          MediaBlob(id, "video", 32, 24, nFrames,
+            Codecs.encodeVideo(frames))
+        case _ => // image: 16..135 px square-ish
+          val w = 16 + rnd.nextInt(120)
+          val h = 16 + rnd.nextInt(120)
+          val rgb = new Array[Byte](w * h * 3); rnd.nextBytes(rgb)
+          MediaBlob(id, "image", w, h, 1, Codecs.encodeBmp(w, h, rgb))
       }
-      val (w, h, frames, sz) = kind match {
-        case "image" => (64 + rnd.nextInt(512), 64 + rnd.nextInt(512), 1,
-          1024 + rnd.nextInt(8192))
-        case "audio" => (0, 0, 1, 4096 + rnd.nextInt(16384))
-        case _ => (320, 240, 30 + rnd.nextInt(300),
-          65536 + rnd.nextInt(262144))
-      }
-      val data = new Array[Byte](sz)
-      rnd.nextBytes(data)
-      MediaBlob(id, kind, w, h, frames, data)
     }
   }
 
   /** Feature extraction: batched narrow mapPartitions (batches of 32 model
-    * the Arrow-batch shape); emits per-blob stats + a 16-bin luma
-    * histogram. Decode itself is the stub above.
+    * the Arrow-batch shape); REAL decode per kind — image/video frame 0 →
+    * BT.601 luma histogram; audio → amplitude histogram over the high
+    * byte of each sample.
     */
   def extractFeatures(media: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(32).flatMap { batch => // batched: amortizes codec init
         batch.map { blob =>
-          val luma = StubCodec.decodeLuma(blob)
+          val plane: Array[Byte] = blob.kind match {
+            case "image" => Codecs.lumaOf(Codecs.decodeBmp(blob.data)._3)
+            case "video" =>
+              Codecs.lumaOf(
+                Codecs.decodeBmp(Codecs.videoFrame(blob.data, 0))._3)
+            case _ =>
+              val (_, samples) = Codecs.decodeWav(blob.data)
+              samples.map(s => (((s >> 8) & 0xff) ^ 0x80).toByte)
+          }
           val hist = new Array[Long](16)
           var sum = 0L
           var i = 0
-          while (i < luma.length) {
-            val v = luma(i) & 0xff
+          while (i < plane.length) {
+            val v = plane(i) & 0xff
             hist(v >> 4) += 1
             sum += v
             i += 1
           }
           MediaFeatures(blob.media_id, blob.kind, blob.width, blob.height,
             blob.n_frames, blob.data.length.toLong,
-            if (luma.isEmpty) 0.0 else sum.toDouble / luma.length, hist)
+            if (plane.isEmpty) 0.0 else sum.toDouble / plane.length, hist)
         }
       }
     }
   }
 
   /** Frame sampling for video rows: one output row per sampled frame index
-    * — pure relational explode on metadata; the (stubbed) per-frame decode
-    * happens downstream only for sampled frames, which is the point: prune
-    * before decode.
+    * — pure relational explode on metadata; the per-frame decode
+    * ([[Codecs.videoFrame]] seeks to just that frame) happens downstream
+    * only for sampled frames, which is the point: prune before decode.
     */
   def sampleFrames(media: DataFrame, everyN: Int): DataFrame =
     media.filter(col("kind") === "video")

@@ -494,15 +494,15 @@ object LlmQueries {
           .orderBy(col("media_id"))
       }, None),
 
-    // Resize plumbing: metadata transform + deterministic payload change
-    // through the (stubbed) codec — one row per media with old/new dims.
+    // REAL resize: images re-sampled (nearest-neighbor) through the BMP
+    // codec — one row per media with old/new dims and byte sizes.
     "m03_media_resize" -> QuerySpec(
       (s, dir) => {
         import s.implicits._
         Multimodal.syntheticMedia(s, 200)
           .filter(_.kind == "image")
           .map { b =>
-            val r = Multimodal.StubCodec.resize(b, 64, 64)
+            val r = Multimodal.Codecs.resize(b, 16, 16)
             (b.media_id, b.width, b.height, b.data.length,
               r.width, r.height, r.data.length)
           }

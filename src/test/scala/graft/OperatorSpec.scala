@@ -275,12 +275,50 @@ class OperatorSpec extends AnyFunSuite {
       assert(a.media_id == b.media_id && a.mean_byte == b.mean_byte &&
         a.luma_histogram.sameElements(b.luma_histogram))
     }
-    // histogram mass equals decoded plane size
+    // histogram mass equals the REAL decoded plane size
     f1.foreach { f =>
       val n = f.luma_histogram.sum
-      if (f.kind == "image")
-        assert(n == math.min(f.width * f.height, 1 << 16))
+      if (f.kind == "image") assert(n == f.width.toLong * f.height)
+      if (f.kind == "video") assert(n == 32L * 24) // frame-0 luma
     }
+  }
+
+  test("media codecs: BMP/WAV/video round trips and real resize") {
+    import graft.operators.Multimodal.Codecs
+    // BMP: 2x2 known pixels round-trip exactly (incl. BGR + bottom-up)
+    val rgb = Array[Byte](
+      10, 20, 30,   40, 50, 60,
+      70, 80, 90,  100, 110, 120)
+    val bmp = Codecs.encodeBmp(2, 2, rgb)
+    val (w, h, back) = Codecs.decodeBmp(bmp)
+    assert(w == 2 && h == 2 && back.sameElements(rgb))
+    // luma of a pure-white and pure-black pixel
+    val lum = Codecs.lumaOf(Array[Byte](-1, -1, -1, 0, 0, 0))
+    assert((lum(0) & 0xff) == 255 && (lum(1) & 0xff) == 0)
+    // nearest-neighbor 4x4 -> 2x2 picks pixels (0,0),(0,2),(2,0),(2,2)
+    val rgb4 = Array.tabulate(4 * 4 * 3)(i => (i / 3).toByte)
+    val small = Codecs.decodeBmp(Codecs.resizeBmp(
+      Codecs.encodeBmp(4, 4, rgb4), 2, 2))._3
+    val expect = Seq(0, 2, 8, 10).flatMap(p =>
+      Seq(p.toByte, p.toByte, p.toByte))
+    assert(small.toSeq == expect)
+    // WAV round trip exact
+    val samples = Array.tabulate(500)(i => (i * 131 - 30000).toShort)
+    val (rate, sBack) = Codecs.decodeWav(Codecs.encodeWav(16000, samples))
+    assert(rate == 16000 && sBack.sameElements(samples))
+    // video container: per-frame random access
+    val frames = (0 until 3).map { i =>
+      Codecs.encodeBmp(2, 1, Array[Byte](i.toByte, 0, 0, 0, i.toByte, 0))
+    }
+    val vid = Codecs.encodeVideo(frames)
+    assert(Codecs.videoFrameCount(vid) == 3)
+    (0 until 3).foreach(i =>
+      assert(Codecs.videoFrame(vid, i).sameElements(frames(i))))
+    // strict parsers reject garbage
+    assertThrows[IllegalArgumentException](
+      Codecs.decodeBmp(Array[Byte](1, 2, 3)))
+    assertThrows[IllegalArgumentException](
+      Codecs.decodeWav(new Array[Byte](44)))
   }
 
   test("hash split: deterministic, complete, respects percentages") {
