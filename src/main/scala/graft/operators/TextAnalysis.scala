@@ -181,6 +181,20 @@ object TextAnalysis {
       .drop("__cum")
   }
 
+  /** Deterministic per-group sample: keep the first `n` rows of each
+    * group under content-hash order — reproducible across engines, runs,
+    * and cluster sizes (unlike random sampling), and unbiased w.r.t. the
+    * table's physical order. One shuffle on the group key.
+    */
+  def samplePerGroup(df: DataFrame, group: Column, text: Column,
+                     id: Column, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(md5(text), id)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Word k-gram shingles (distinct), the dedup unit for MinHash/Jaccard. */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = tokens(text)

@@ -427,6 +427,26 @@ object LlmQueries {
              |FROM p GROUP BY source, pack_id
              |ORDER BY source, pack_id""".stripMargin)),
 
+    // Deterministic per-source sample: 20 docs per source under
+    // content-hash order — the reproducible corpus-curation primitive
+    // (random sampling could never be oracled).
+    "l18_per_source_sample" -> QuerySpec(
+      (s, dir) => {
+        TextAnalysis.samplePerGroup(
+            Tables(s, dir, "documents").select(
+              col("doc_id"), col("source"), col("text")),
+            col("source"), col("text"), col("doc_id"), n = 20)
+          .select(col("source"), col("doc_id"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source
+             |                       ORDER BY md5(text), doc_id) AS rn
+             |  FROM documents)
+             |SELECT source, doc_id FROM r WHERE rn <= 20
+             |ORDER BY source, doc_id""".stripMargin)),
+
     // -- similarity search --
 
     "s01_cosine_topk" -> QuerySpec(
