@@ -80,7 +80,11 @@ object Multimodal {
       out
     }
 
-    /** Strict decode → (width, height, top-down RGB). */
+    /** Strict decode → (width, height, top-down RGB). All size checks in
+      * LONG arithmetic: crafted dims like 65535×21846 overflow Int in
+      * rowSize*h and would otherwise slip past validation into wrapped
+      * allocations / out-of-bounds reads.
+      */
     def decodeBmp(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
       require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
         "not a BMP")
@@ -89,9 +93,12 @@ object Multimodal {
       val h = getU32(bytes, 22)
       require(getU16(bytes, 28) == 24, "only 24-bit BMP supported")
       require(getU32(bytes, 30) == 0, "only uncompressed BMP supported")
-      require(w > 0 && h > 0 && w < (1 << 16) && h < (1 << 16), "bad dims")
+      require(w > 0 && h > 0 && w < (1 << 16) && h < (1 << 16) &&
+        w.toLong * h * 3 <= Int.MaxValue, "bad dims")
+      require(offset >= 54 && offset <= bytes.length, "bad pixel offset")
       val rowSize = (3 * w + 3) & ~3
-      require(bytes.length >= offset + rowSize * h, "truncated BMP")
+      require(bytes.length.toLong >= offset.toLong + rowSize.toLong * h,
+        "truncated BMP")
       val rgb = new Array[Byte](w * h * 3)
       var y = 0
       while (y < h) {
@@ -170,15 +177,22 @@ object Multimodal {
       out
     }
 
-    /** Strict decode → (sampleRate, samples). */
+    /** Strict decode → (sampleRate, samples). Data size read UNSIGNED so
+      * a crafted 0xFFFFFFF0 chunk size can't bypass the truncation check
+      * as a negative Int; mono is enforced (interleaved stereo treated as
+      * mono would silently corrupt every downstream feature).
+      */
     def decodeWav(bytes: Array[Byte]): (Int, Array[Short]) = {
       require(bytes.length >= 44 && bytes(0) == 'R' && bytes(1) == 'I' &&
         bytes(8) == 'W' && bytes(12) == 'f' && bytes(36) == 'd', "not a WAV")
       require(getU16(bytes, 20) == 1 && getU16(bytes, 34) == 16,
         "only 16-bit PCM supported")
+      require(getU16(bytes, 22) == 1, "only mono supported")
       val rate = getU32(bytes, 24)
-      val dataSize = getU32(bytes, 40)
-      require(bytes.length >= 44 + dataSize, "truncated WAV")
+      val dataSizeL = getU32(bytes, 40).toLong & 0xffffffffL
+      require(dataSizeL % 2 == 0 && 44L + dataSizeL <= bytes.length,
+        "truncated WAV")
+      val dataSize = dataSizeL.toInt
       val samples = new Array[Short](dataSize / 2)
       var i = 0
       while (i < samples.length) {
@@ -208,25 +222,36 @@ object Multimodal {
     def videoFrameCount(bytes: Array[Byte]): Int = {
       require(bytes.length >= 8 && bytes(0) == 'G' && bytes(1) == 'V',
         "not a GVID container")
-      getU32(bytes, 4)
+      val n = getU32(bytes, 4)
+      // each frame needs at least its 4-byte length prefix
+      require(n >= 0 && 8L + n.toLong * 4 <= bytes.length,
+        s"implausible frame count $n for ${bytes.length} bytes")
+      n
     }
 
     /** Random access to one frame — seek by lengths, decode ONLY the
       * requested frame (prune before decode, the point of frame
-      * sampling).
+      * sampling). EVERY hop is bounds- and sign-checked: a corrupt
+      * length field must raise the clean strict-parse error, not walk
+      * backwards or out of the array.
       */
     def videoFrame(bytes: Array[Byte], idx: Int): Array[Byte] = {
       val n = videoFrameCount(bytes)
       require(idx >= 0 && idx < n, s"frame $idx out of $n")
-      var off = 8
+      var off = 8L
       var i = 0
-      while (i < idx) {
-        off += 4 + getU32(bytes, off)
+      while (i <= idx) {
+        require(off + 4 <= bytes.length, "truncated GVID")
+        val len = getU32(bytes, off.toInt)
+        require(len >= 0 && off + 4 + len <= bytes.length,
+          s"bad frame length $len at $off")
+        if (i == idx)
+          return java.util.Arrays.copyOfRange(bytes, off.toInt + 4,
+            off.toInt + 4 + len)
+        off += 4 + len
         i += 1
       }
-      val len = getU32(bytes, off)
-      require(off + 4 + len <= bytes.length, "truncated GVID")
-      java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len)
+      throw new IllegalStateException("unreachable")
     }
 
     /** Resize dispatch on kind: images resample for real; audio/video
@@ -254,8 +279,10 @@ object Multimodal {
           }
           MediaBlob(id, "audio", 0, 0, 1,
             Codecs.encodeWav(16000, samples))
-        case 2 => // video: 4-16 frames of 32x24
-          val nFrames = 4 + rnd.nextInt(13)
+        case 2 => // video: 30-120 frames of 32x24 — the LARGE size tail
+          // (70-280 KB vs ~1-55 KB images/audio) that sizeBinned's
+          // anti-straggler binning exists for
+          val nFrames = 30 + rnd.nextInt(91)
           val frames = Seq.fill(nFrames) {
             val rgb = new Array[Byte](32 * 24 * 3); rnd.nextBytes(rgb)
             Codecs.encodeBmp(32, 24, rgb)

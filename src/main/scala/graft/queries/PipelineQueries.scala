@@ -188,10 +188,15 @@ object PipelineQueries {
           out, strategy = 0, blockStart = mid + 1, blockEnd = w.latestBlock)
         val back = s.read.format("graft.spark.datasource.DatDataSource")
           .option("strategy", "0").load(out)
-        Seq((items.count(), back.count(),
+        val result = Seq((items.count(), back.count(),
             new java.io.File(out).listFiles()
               .count(_.getName.endsWith(".dat"))))
           .toDF("rows_written", "rows_read", "n_files")
+        // counts already materialized into the local relation; drop the
+        // temp dataset so repeated harness runs don't accumulate garbage
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(out))
+        result
       }, None),
 
     // Batch STORAGE as-of join: many (address, slot, block) probes in one

@@ -60,24 +60,40 @@ object StateFiles {
     * as additional files). Reads stay pruned and correct because the
     * `.idx` bounds are true per-page min/max for ANY order — overlapping
     * address ranges across increments just mean more splits match.
-    * Single-writer: concurrent appends to one dataset are not supported
-    * (same as any file-append protocol without a lock service).
+    *
+    * COMMIT PROTOCOL: the manifest's `file_list` is the authoritative
+    * snapshot — the DSv2 source reads exactly those files when a manifest
+    * is present — and the manifest is replaced ATOMICALLY as the LAST
+    * step. A crash mid-append leaves orphan part files on disk but
+    * readers still see the previous consistent snapshot; a retried
+    * append commits past the orphans (they stay unreferenced garbage, no
+    * duplicated rows). Single-writer: concurrent appends to one dataset
+    * are not supported (no lock service here).
     */
   def append(items: Dataset[StateItem], dir: String, strategy: Int,
              blockStart: Long = 0L, blockEnd: Long = 0L): Unit = {
     val partBase = {
-      val it = Files.list(Paths.get(dir)).iterator()
-      var maxPart = -1
-      while (it.hasNext) {
-        val name = it.next().getFileName.toString
-        if (name.startsWith("part-") && name.endsWith(".dat")) {
-          val n = name.stripPrefix("part-").stripSuffix(".dat")
-          try maxPart = math.max(maxPart, n.toInt)
-          catch { case _: NumberFormatException => () }
+      val stream = Files.list(Paths.get(dir))
+      try {
+        val it = stream.iterator()
+        var maxPart = -1
+        while (it.hasNext) {
+          val name = it.next().getFileName.toString
+          if (name.startsWith("part-") && name.endsWith(".dat")) {
+            val n = name.stripPrefix("part-").stripSuffix(".dat")
+            try maxPart = math.max(maxPart, n.toInt)
+            catch { case _: NumberFormatException => () }
+          }
         }
-      }
-      maxPart + 1
+        maxPart + 1
+      } finally stream.close()
     }
+    // a dataset with part files but NO manifest is a torn write — its
+    // strategy and committed contents are unknowable; refuse rather than
+    // risk a mixed-strategy dataset that decodes as garbage
+    require(partBase == 0 || manifestField(dir, "strategy").isDefined,
+      s"$dir has part files but no manifest — cannot append to a torn " +
+        "dataset")
     manifestField(dir, "strategy").foreach(s0 =>
       require(s0 == strategy.toLong,
         s"append strategy $strategy != dataset strategy $s0"))
@@ -85,16 +101,28 @@ object StateFiles {
       mergeManifest = true)
   }
 
-  private def manifestField(dir: String, name: String): Option[Long] = {
+  private def manifestText(dir: String): Option[String] = {
     val p = Paths.get(dir, "_manifest.json")
     if (!Files.exists(p)) None
-    else {
-      val s = new String(Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8)
-      s"""\"$name\":(-?\\d+)""".r.findFirstMatchIn(s)
-        .map(_.group(1).toLong)
-    }
+    else Some(new String(Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8))
   }
+
+  private def manifestField(dir: String, name: String): Option[Long] =
+    manifestText(dir).flatMap(s =>
+      s"""\"$name\":(-?\\d+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong))
+
+  /** The committed file snapshot, if the dataset has a manifest with one.
+    * Readers use it to ignore orphan files from failed appends.
+    */
+  private[spark] def manifestFileList(dir: String): Option[Seq[String]] =
+    manifestText(dir).flatMap { s =>
+      """"file_list":\[([^\]]*)\]""".r.findFirstMatchIn(s).map { m =>
+        """"([^"]+)"""".r.findAllMatchIn(m.group(1))
+          .map(_.group(1)).toSeq
+      }
+    }
 
   private def writeCore(items: Dataset[StateItem], dir: String,
                         strategy: Int, blockStart: Long, blockEnd: Long,
@@ -207,14 +235,30 @@ object StateFiles {
             math.max(blockEnd,
               manifestField(dir, "block_end").getOrElse(blockEnd))
           else blockEnd
+        // file_list: the committed snapshot (prev list + this increment's
+        // files). Replaced ATOMICALLY as the last step of the write —
+        // this IS the dataset-level commit point.
+        val newNames = rows.map(r =>
+          f"part-${r.getAs[Int]("partition")}%05d.dat").sorted
+        val allNames =
+          (if (mergeManifest)
+             manifestFileList(dir).getOrElse(Seq.empty)
+           else Seq.empty) ++ newNames
+        val fileListJson =
+          allNames.map("\"" + _ + "\"").mkString("[", ",", "]")
         val manifest =
           s"""{"format":"graft-dat","strategy":$strategy,""" +
             s""""page_shift":$PageShift,"block_start":$bStart,""" +
             s""""block_end":$bEnd,"files":$files,""" +
             s""""accounts":$accounts,"storage_slots":$slots,""" +
-            s""""bytes":$bytes}"""
-        Files.write(Paths.get(dir, "_manifest.json"),
+            s""""bytes":$bytes,"file_list":$fileListJson}"""
+        val mfTmp = Paths.get(dir,
+          s"._manifest.tmp-${java.util.UUID.randomUUID()}")
+        Files.write(mfTmp,
           manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Files.move(mfTmp, Paths.get(dir, "_manifest.json"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     ()
   }

@@ -98,7 +98,24 @@ class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val pageSize = 1 << 12
-    val files = Files.list(Paths.get(path)).iterator()
+    // the manifest's file_list is the COMMITTED snapshot: when present,
+    // read exactly those files, so orphan part files from a failed
+    // append are invisible (directory listing is the manifest-less
+    // fallback for ad-hoc dirs)
+    val committed: Iterator[java.nio.file.Path] =
+      graft.spark.StateFiles.manifestFileList(path) match {
+        case Some(names) => names.iterator.map(n => Paths.get(path, n))
+        case None =>
+          val listed = Files.list(Paths.get(path))
+          // materialize so the directory stream closes deterministically
+          val buf = Seq.newBuilder[java.nio.file.Path]
+          try {
+            val it = listed.iterator()
+            while (it.hasNext) buf += it.next()
+          } finally listed.close()
+          buf.result().iterator
+      }
+    val files = committed
     val out = Seq.newBuilder[InputPartition]
     while (files.hasNext) {
       val f = files.next()

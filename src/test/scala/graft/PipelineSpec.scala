@@ -305,6 +305,23 @@ class PipelineSpec extends AnyFunSuite {
     // appending with a mismatched strategy is refused
     assertThrows[IllegalArgumentException](
       graft.spark.StateFiles.append(second, dir, strategy = 1))
+
+    // ORPHAN from a failed append (a part file never committed to the
+    // manifest's file_list) is invisible to reads — the previous
+    // snapshot stays consistent, no duplicated rows
+    val aPart = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".dat")).head.toPath
+    java.nio.file.Files.copy(aPart,
+      java.nio.file.Paths.get(dir, "part-99999.dat"))
+    assert(graft.spark.StateFiles.read(spark, dir, strategy = 0).count()
+      == items.count(), "orphan part file leaked into the read")
+
+    // a TORN dataset (part files, no manifest) refuses appends
+    val torn = Files.createTempDirectory("graft-torn").toString
+    java.nio.file.Files.copy(aPart,
+      java.nio.file.Paths.get(torn, "part-00000.dat"))
+    assertThrows[IllegalArgumentException](
+      graft.spark.StateFiles.append(second, torn, strategy = 0))
   }
 
   test("copy_file strategy conversion: 0 -> 1 -> read-back equality") {
