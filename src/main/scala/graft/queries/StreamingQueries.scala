@@ -152,14 +152,23 @@ object StreamingQueries {
         implicit val sqlCtx = s.sqlContext
         val mem = MemoryStream[Streams.Change]
         val name = "st01_sink"
-        val q = Streams.incrementalHistory(mem.toDS())
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
+        // state-store sizing: the partition count is fixed at query start
+        // from spark.sql.shuffle.partitions; a fixture-scale keyed stream
+        // doesn't need 32 state partitions' worth of per-batch task +
+        // store overhead (a production deployment sizes this to keyed
+        // state volume, the same knob)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
         try {
-          val (b1, b2) = changes.splitAt(changes.length / 2)
-          mem.addData(b1.toSeq); q.processAllAvailable()
-          mem.addData(b2.toSeq); q.processAllAvailable()
-        } finally q.stop()
+          val q = Streams.incrementalHistory(mem.toDS())
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          try {
+            val (b1, b2) = changes.splitAt(changes.length / 2)
+            mem.addData(b1.toSeq); q.processAllAvailable()
+            mem.addData(b2.toSeq); q.processAllAvailable()
+          } finally q.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         s.table(name).orderBy(col("key"), col("validFrom"))
       }, None),
   )
