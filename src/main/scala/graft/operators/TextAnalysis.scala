@@ -195,6 +195,17 @@ object TextAnalysis {
       .drop("__rn")
   }
 
+  /** ALL word n-grams in order (non-distinct — frequency semantics, the
+    * corpus-statistics counterpart of the deduped [[shingles]]).
+    */
+  def tokenNgramsAll(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Word k-gram shingles (distinct), the dedup unit for MinHash/Jaccard. */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = tokens(text)

@@ -427,6 +427,30 @@ object LlmQueries {
              |FROM p GROUP BY source, pack_id
              |ORDER BY source, pack_id""".stripMargin)),
 
+    // Corpus n-gram statistics: top-50 bigrams by frequency — exact
+    // integer counts, deterministic total order (count desc, ngram).
+    "l19_top_ngrams" -> QuerySpec(
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(explode(
+            TextAnalysis.tokenNgramsAll(col("text"), 2)).as("ngram"))
+          .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("ngram"))
+          .limit(50)
+      },
+      Some("""WITH t AS (
+             |  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |         x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT unnest(CASE WHEN len(toks) >= 2
+             |    THEN [array_to_string(toks[i:i+1], ' ')
+             |          for i in generate_series(1, len(toks) - 1)]
+             |    ELSE [] END) AS ngram
+             |  FROM t)
+             |SELECT ngram, COUNT(*) AS n FROM g GROUP BY ngram
+             |ORDER BY n DESC, ngram LIMIT 50""".stripMargin)),
+
     // Deterministic per-source sample: 20 docs per source under
     // content-hash order — the reproducible corpus-curation primitive
     // (random sampling could never be oracled).
