@@ -95,6 +95,48 @@ object StreamingQueries {
              |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
 
+    // Gap-based SESSIONIZATION through a real file-source stream
+    // (complete mode, AvailableNow): the streaming session_window state
+    // machine produces the same sessions as the batch plan on static
+    // input, so w02's DuckDB lag+running-sum oracle hash-checks a
+    // streaming session-window execution.
+    "st04_session_stream" -> QuerySpec(
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+        val q = stream
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("session_window.start").as("session_start"),
+            col("user_id"), col("n_events"))
+          .writeStream.format("memory").queryName("st04_sink")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st04_sink")
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g)
+             |SELECT MIN(ts) AS session_start, user_id,
+             |  COUNT(*) AS n_events
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // Streaming EXACT DEDUP: the l01 operator as a continuous query —
     // file-source stream, per-row digest, streaming dropDuplicates
     // (unbounded state keyed by digest; production bounds it with a
