@@ -95,6 +95,29 @@ object StreamingQueries {
              |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
 
+    // Exact per-type value quantiles — Spark's exact `percentile`
+    // (sort + linear interpolation) is the same estimator as DuckDB's
+    // quantile_cont, decimal-quantized on both sides.
+    "w03_quantiles" -> QuerySpec(
+      (s, dir) => {
+        Tables(s, dir, "events").groupBy(col("event_type"))
+          .agg(
+            expr("percentile(value, 0.5d)")
+              .cast("decimal(18,4)").cast("double").as("p50"),
+            expr("percentile(value, 0.9d)")
+              .cast("decimal(18,4)").cast("double").as("p90"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,4))
+             |    AS DOUBLE) AS p50,
+             |  CAST(CAST(quantile_cont(value, 0.9) AS DECIMAL(18,4))
+             |    AS DOUBLE) AS p90,
+             |  COUNT(*) AS n
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
     // Gap-based SESSIONIZATION through a real file-source stream
     // (complete mode, AvailableNow): the streaming session_window state
     // machine produces the same sessions as the batch plan on static
