@@ -431,7 +431,7 @@ object LlmQueries {
     // integer counts, deterministic total order (count desc, ngram).
     "l19_top_ngrams" -> QuerySpec(
       (s, dir) => {
-        Tables(s, dir, "documents")
+        parallelDocs(s, dir)
           .select(explode(
             TextAnalysis.tokenNgramsAll(col("text"), 2)).as("ngram"))
           .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
