@@ -12,9 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token array (lowercased). */
+  /** Whitespace token array (lowercased). The split class is written out
+    * EXPLICITLY instead of `\s`: Java's `\s` includes U+000B (vertical
+    * tab) while RE2's — the DuckDB oracle's engine — does not, so a
+    * document containing \x0B would tokenize differently across engines
+    * and silently break every token-based oracle. This class equals
+    * RE2's `\s` exactly.
+    */
   def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    filter(split(lower(trim(text)), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -199,6 +205,7 @@ object TextAnalysis {
     * corpus-statistics counterpart of the deduped [[shingles]]).
     */
   def tokenNgramsAll(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be positive, got $n")
     val toks = tokens(text)
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),

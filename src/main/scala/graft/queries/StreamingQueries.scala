@@ -11,6 +11,44 @@ import graft.streaming.Streams
   */
 object StreamingQueries {
 
+  /** File-source stream over one table of the sf dir with the same
+    * ns→µs timestamp handling as the batch reads (shared with
+    * [[graft.Tables]]'s rationale: integer div truncates like DuckDB's
+    * TIMESTAMP_NS read). One definition — st02 and st04 must not drift.
+    */
+  private def eventFileStream(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Gap-based sessionization oracle (lag + running sum): an event at
+    * exactly prev+30min starts a NEW session, matching Spark's half-open
+    * [ts, ts+gap) session extent. Shared by the batch (w02) and
+    * streaming (st04) session-window entries so the two oracles cannot
+    * drift.
+    */
+  private val sessionOracleSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g)
+      |SELECT MIN(ts) AS session_start, user_id,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val all: Map[String, QuerySpec] = Map(
 
     // Tumbling 1-day window over events — the batch form of
@@ -42,24 +80,7 @@ object StreamingQueries {
             col("user_id"), col("n_events"))
           .orderBy(col("user_id"), col("session_start"))
       },
-      // oracle: gap-based sessionization via lag + running sum (an event
-      // at exactly prev+30min starts a NEW session, matching Spark's
-      // half-open [ts, ts+gap) session extent)
-      Some("""WITH g AS (
-             |  SELECT user_id, ts,
-             |    CASE WHEN lag(ts) OVER w IS NULL
-             |          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-             |         THEN 1 ELSE 0 END AS new_s
-             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-             |s AS (
-             |  SELECT user_id, ts,
-             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-             |      ROWS UNBOUNDED PRECEDING) AS sid
-             |  FROM g)
-             |SELECT MIN(ts) AS session_start, user_id,
-             |  COUNT(*) AS n_events
-             |FROM s GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin)),
+      Some(sessionOracleSql)),
 
     // The PRODUCTION ingestion path: a real file-source readStream over
     // the events table (no MemoryStream, no driver collect), windowed
@@ -68,15 +89,7 @@ object StreamingQueries {
     // the same DuckDB oracle hash-checks an actual streaming execution.
     "st02_file_stream" -> QuerySpec(
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = s.read.parquet(s"$dir/events.parquet")
-        // the file source requires a DIRECTORY: stream the sf dir with a
-        // glob narrowing it to the events table
-        val stream = s.readStream.schema(raw.schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-        val agg = stream
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val agg = eventFileStream(s, dir)
           .groupBy(window(col("ts"), "1 day"), col("event_type"))
           .agg(count(lit(1)).as("n_events"),
             sum(col("value").cast("decimal(18,2)")).cast("double")
@@ -98,6 +111,10 @@ object StreamingQueries {
     // Exact per-type value quantiles — Spark's exact `percentile`
     // (sort + linear interpolation) is the same estimator as DuckDB's
     // quantile_cont, decimal-quantized on both sides.
+    // SCALE NOTE: exact percentile buffers per-group values in executor
+    // memory — right for oracle-exact verification at test scale; a
+    // 100 TB deployment uses approx_percentile (bounded sketch) for the
+    // same report.
     "w03_quantiles" -> QuerySpec(
       (s, dir) => {
         Tables(s, dir, "events").groupBy(col("event_type"))
@@ -125,13 +142,7 @@ object StreamingQueries {
     // streaming session-window execution.
     "st04_session_stream" -> QuerySpec(
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = s.read.parquet(s"$dir/events.parquet")
-        val stream = s.readStream.schema(raw.schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-        val q = stream
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val q = eventFileStream(s, dir)
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
           .agg(count(lit(1)).as("n_events"))
           .select(col("session_window.start").as("session_start"),
@@ -144,21 +155,7 @@ object StreamingQueries {
         s.table("st04_sink")
           .orderBy(col("user_id"), col("session_start"))
       },
-      Some("""WITH g AS (
-             |  SELECT user_id, ts,
-             |    CASE WHEN lag(ts) OVER w IS NULL
-             |          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-             |         THEN 1 ELSE 0 END AS new_s
-             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-             |s AS (
-             |  SELECT user_id, ts,
-             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-             |      ROWS UNBOUNDED PRECEDING) AS sid
-             |  FROM g)
-             |SELECT MIN(ts) AS session_start, user_id,
-             |  COUNT(*) AS n_events
-             |FROM s GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin)),
+      Some(sessionOracleSql)),
 
     // Streaming EXACT DEDUP: the l01 operator as a continuous query —
     // file-source stream, per-row digest, streaming dropDuplicates
