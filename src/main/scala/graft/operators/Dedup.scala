@@ -122,10 +122,10 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
-      // decimal-cast quantization (not round()): HALF_UP from the same
-      // IEEE double in every engine, so pair lists are oracle-comparable
+      // engine-stable 4-dp quantization (see TextAnalysis.quant4: pure
+      // double ops — decimal casts diverge across engines at halves)
       .select(col("id_a"), col("id_b"),
-        col("jaccard").cast("decimal(18,4)").cast("double").as("jaccard"))
+        TextAnalysis.quant4(col("jaccard")).as("jaccard"))
   }
 
   /** Signature store: materialize the LSH band signatures ONCE as a
@@ -331,6 +331,6 @@ object Dedup {
       .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"),
-        col("cosine").cast("decimal(18,4)").cast("double").as("cosine"))
+        TextAnalysis.quant4(col("cosine")).as("cosine"))
   }
 }

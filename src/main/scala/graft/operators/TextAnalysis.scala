@@ -71,13 +71,26 @@ object TextAnalysis {
     val hasStopwords = (stopwordCount(text) > 0).cast("double")
     val lengthOk =
       (nChars >= 50 && nChars <= 100000).cast("double")
-    // 4-dp quantization via decimal cast (not round()): HALF_UP from the
-    // same IEEE double in every engine, so the score is oracle-comparable
-    (lit(0.3) * alphaRatio + lit(0.2) * hasStopwords +
-        lit(0.2) * lengthOk +
-        lit(0.3) * when(meanTokLen.between(3.0, 12.0), 1.0).otherwise(0.0))
-      .cast("decimal(18,4)").cast("double")
+    // 4-dp quantization as PURE double arithmetic: floor(x*1e4 + 0.5)/1e4
+    // is the same IEEE ops in every engine. Neither decimal casts nor
+    // round() are engine-stable here — Java expands the exact binary
+    // (0.95124999… → .9512) while DuckDB multiplies by 1e4 in double
+    // first (→ 9512.5 → .9513); this formula makes both engines take the
+    // multiply-first path.
+    quant4(lit(0.3) * alphaRatio + lit(0.2) * hasStopwords +
+      lit(0.2) * lengthOk +
+      lit(0.3) * when(meanTokLen.between(3.0, 12.0), 1.0).otherwise(0.0))
   }
+
+  /** Engine-stable n-digit quantizer: floor(x·10ⁿ + 0.5)/10ⁿ in pure
+    * IEEE double ops (see [[qualityScore]] for why decimal casts and
+    * round() diverge across engines at half boundaries).
+    */
+  def quant(c: Column, digits: Int): Column = {
+    val p = math.pow(10.0, digits)
+    floor(c * p + lit(0.5)) / p
+  }
+  def quant4(c: Column): Column = quant(c, 4)
 
   /** Language-ID n-gram heuristic: scores per-language marker profiles
     * (stopwords + characteristic character n-grams) and picks the argmax;

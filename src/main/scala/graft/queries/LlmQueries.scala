@@ -114,7 +114,8 @@ object LlmQueries {
              |      / len(list_distinct(list_concat(a.s, b.s))) AS j
              |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
              |SELECT id_a, id_b,
-             |  CAST(CAST(j AS DECIMAL(18,4)) AS DOUBLE) AS jaccard
+             |  floor(j * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+             |    AS jaccard
              |FROM pairs WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin)),
 
     // Same positive-control shape for the embedding path: near-copies of
@@ -154,7 +155,8 @@ object LlmQueries {
              |       ELSE 0 END AS c
              |  FROM d a, d b WHERE a.vec_id < b.vec_id)
              |SELECT id_a, id_b,
-             |  CAST(CAST(c AS DECIMAL(18,4)) AS DOUBLE) AS cosine
+             |  floor(c * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+             |    AS cosine
              |FROM st WHERE c >= 0.9 ORDER BY id_a, id_b""".stripMargin)),
 
     // Near-dup pairs → connected components → keep/drop decisions: the
@@ -264,16 +266,23 @@ object LlmQueries {
              |       WHEN s_es = m THEN 'es'
              |       WHEN s_en = m THEN 'en'
              |       ELSE 'de' END AS lang_pred,
-             |  CAST(CAST(
-             |    0.3 * (n_alpha / greatest(CAST(n_chars AS DOUBLE), 1.0))
-             |    + 0.2 * (CASE WHEN n_stopwords > 0 THEN 1.0 ELSE 0.0 END)
-             |    + 0.2 * (CASE WHEN n_chars BETWEEN 50 AND 100000
-             |             THEN 1.0 ELSE 0.0 END)
-             |    + 0.3 * (CASE WHEN CAST(n_chars AS DOUBLE)
-             |                      / greatest(CAST(n_tokens AS DOUBLE), 1.0)
-             |                      BETWEEN 3.0 AND 12.0
-             |             THEN 1.0 ELSE 0.0 END)
-             |    AS DECIMAL(18,4)) AS DOUBLE) AS quality,
+             |  -- every literal forced to DOUBLE (DuckDB parses 0.3 as
+             |  -- DECIMAL) and quantized by floor(x*1e4 + 0.5)/1e4 — the
+             |  -- same pure-IEEE ops Spark computes; decimal casts round
+             |  -- differently across engines at 4-dp halves
+             |  floor((
+             |    0.3::DOUBLE * (n_alpha
+             |        / greatest(CAST(n_chars AS DOUBLE), 1.0::DOUBLE))
+             |    + 0.2::DOUBLE * (CASE WHEN n_stopwords > 0
+             |        THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
+             |    + 0.2::DOUBLE * (CASE WHEN n_chars BETWEEN 50 AND 100000
+             |        THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
+             |    + 0.3::DOUBLE * (CASE WHEN CAST(n_chars AS DOUBLE)
+             |          / greatest(CAST(n_tokens AS DOUBLE), 1.0::DOUBLE)
+             |          BETWEEN 3.0 AND 12.0
+             |        THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
+             |    ) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+             |    AS quality,
              |  n_stopwords
              |FROM best ORDER BY doc_id""".stripMargin)),
 
@@ -378,8 +387,8 @@ object LlmQueries {
         val total = agg.agg(sum(col("sum_tokens")).as("t"))
         agg.crossJoin(total)
           .select(col("source"), col("n_docs"), col("sum_tokens"),
-            (col("sum_tokens") / col("t"))
-              .cast("decimal(18,6)").cast("double").as("token_share"))
+            TextAnalysis.quant(col("sum_tokens") / col("t"), 6)
+              .as("token_share"))
           .orderBy(col("source"))
       },
       Some("""WITH a AS (
@@ -390,8 +399,10 @@ object LlmQueries {
              |  FROM documents GROUP BY source)
              |SELECT source, n_docs,
              |  CAST(sum_tokens AS BIGINT) AS sum_tokens,
-             |  CAST(CAST(sum_tokens / (SELECT SUM(sum_tokens) FROM a)
-             |    AS DECIMAL(18,6)) AS DOUBLE) AS token_share
+             |  floor((CAST(sum_tokens AS DOUBLE)
+             |      / CAST((SELECT SUM(sum_tokens) FROM a) AS DOUBLE))
+             |    * 1000000.0::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE
+             |    AS token_share
              |FROM a ORDER BY source""".stripMargin)),
 
     // Sequence packing: docs → fixed-budget packs (exclusive running token

@@ -119,18 +119,18 @@ object StreamingQueries {
       (s, dir) => {
         Tables(s, dir, "events").groupBy(col("event_type"))
           .agg(
-            expr("percentile(value, 0.5d)")
-              .cast("decimal(18,4)").cast("double").as("p50"),
-            expr("percentile(value, 0.9d)")
-              .cast("decimal(18,4)").cast("double").as("p90"),
+            graft.operators.TextAnalysis.quant4(
+              expr("percentile(value, 0.5d)")).as("p50"),
+            graft.operators.TextAnalysis.quant4(
+              expr("percentile(value, 0.9d)")).as("p90"),
             count(lit(1)).as("n"))
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type,
-             |  CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,4))
-             |    AS DOUBLE) AS p50,
-             |  CAST(CAST(quantile_cont(value, 0.9) AS DECIMAL(18,4))
-             |    AS DOUBLE) AS p90,
+             |  floor(quantile_cont(value, 0.5) * 10000.0::DOUBLE
+             |    + 0.5::DOUBLE) / 10000.0::DOUBLE AS p50,
+             |  floor(quantile_cont(value, 0.9) * 10000.0::DOUBLE
+             |    + 0.5::DOUBLE) / 10000.0::DOUBLE AS p90,
              |  COUNT(*) AS n
              |FROM events GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
