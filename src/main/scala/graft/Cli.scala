@@ -136,13 +136,54 @@ object Cli {
       spark.CopyFile.convert(s, inDir, outDir, sIn.toInt, sOut.toInt)
       s.stop()
     case "show" :: rest => Show.main(rest.toArray)
+    case "show-txbodies" :: path :: Nil =>
+      // inspect tool for the second output family: decoded body records
+      val in = new java.io.BufferedInputStream(
+        java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path)),
+        1 << 18)
+      try codec.TxBodyCodec
+        .decodeStream(in, java.nio.file.Files.size(
+          java.nio.file.Paths.get(path)))
+        .foreach { r =>
+          println(s"Block ${r.block} txs=${r.txAmount} " +
+            s"uncles=${r.unclesRlp.length}B " +
+            s"txBytes=${r.txs.map(_.length).sum}")
+        }
+      finally in.close()
+    case "check" :: dir :: strategyStr :: Nil =>
+      // dataset integrity: decode EVERYTHING, compare against the
+      // manifest's committed totals
+      val s = session()
+      val strategy = strategyStr.toInt
+      val items = spark.StateFiles.read(s, dir, strategy)
+      val counts = items.toDF().groupBy(col("isStorage")).count()
+        .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      val accounts = counts.getOrElse(false, 0L)
+      val slots = counts.getOrElse(true, 0L)
+      def mf(name: String): Long = {
+        val p = java.nio.file.Paths.get(dir, "_manifest.json")
+        val txt = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        s"""\"$name\":(-?\\d+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toLong)
+          .getOrElse(sys.error(s"manifest missing $name"))
+      }
+      val ok = accounts == mf("accounts") && slots == mf("storage_slots")
+      System.err.println(
+        s"check: decoded accounts=$accounts (manifest ${mf("accounts")}), " +
+          s"storage_slots=$slots (manifest ${mf("storage_slots")}) -> " +
+          (if (ok) "OK" else "MISMATCH"))
+      s.stop()
+      if (!ok) sys.exit(1)
     case _ =>
       System.err.println(
         """usage: graft.Cli <command>
           |  convert <tablesDir> <outDir> [--prune] [--strategy N]
           |  txbodies <tablesDir> <outDir>
           |  copy <inDir> <outDir> <strategyIn> <strategyOut>
-          |  show <strategy> <path> [--header]""".stripMargin)
+          |  show <strategy> <path> [--header]
+          |  show-txbodies <file.dat>
+          |  check <datasetDir> <strategy>""".stripMargin)
       sys.exit(2)
   }
 }

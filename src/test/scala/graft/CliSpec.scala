@@ -87,6 +87,25 @@ class CliSpec extends AnyFunSuite {
     assert(minBlock >= 31L || minBlock == 0L)
   }
 
+  test("check: decoded totals match the manifest after convert") {
+    val tables = java.nio.file.Files
+      .createTempDirectory("graft-cli-check-t").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-cli-check-o").toString
+    writeTables(tables)
+    Cli.convert(spark, tables, out)
+    // the check command's core comparison, invoked as a library call
+    val items = graft.spark.StateFiles.read(spark, out, strategy = 0)
+    val counts = items.toDF().groupBy(col("isStorage")).count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_manifest.json")))
+    assert(mf.contains(s""""accounts":${counts.getOrElse(false, 0L)}"""),
+      mf)
+    assert(mf.contains(
+      s""""storage_slots":${counts.getOrElse(true, 0L)}"""), mf)
+  }
+
   test("txbodies: tables -> varint record dataset, counts match") {
     val tables = java.nio.file.Files
       .createTempDirectory("graft-cli-tx").toString
