@@ -23,16 +23,27 @@ object Bench {
     graft.operators.Dedup.minhashLsh(
       spark.read.parquet(s"$sfDir/documents.parquet").limit(20),
       threshold = 0.5).count()
+    // median-of-3 per query: this VM's single-run times swing ±50%
+    // (q01 0.2↔3 s observed round-to-round), so one sample cannot
+    // attribute a regression to a plan change. The median absorbs one bad
+    // run; the per-query spread (max-min of the 3) is reported alongside
+    // so a genuinely noisy entry is visible as such.
+    val runsPer = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        val times = (1 to runsPer).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        name -> (times(runsPer / 2), times.last - times.head)
+    }
+    val qs = results.map { case (k, (m, _)) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spreads = results.map { case (k, (_, sp)) => s"\"" + k + "\":" + sp }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runsPer,"aggregation":"median","queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -108,12 +108,19 @@ object Dedup {
   private def jaccardOnPairs(df: DataFrame, pairs: DataFrame, k: Int,
                              threshold: Double, idCol: String,
                              textCol: String): DataFrame = {
-    val candidateIds = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
+    // the pair frame feeds THREE consumers (final join + both sides of the
+    // candidate-id union); without a checkpoint the whole candidate
+    // generation subtree (LSH banding or the bucketed-store self-join)
+    // re-runs per consumer — a real 3× at corpus scale. Candidate pairs
+    // are tiny (ids only), so materializing once is cheap; localCheckpoint
+    // blocks are GC-reclaimed with the frame, unlike a leaked persist.
+    val p = pairs.localCheckpoint()
+    val candidateIds = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id"))).distinct()
     val sh = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .join(candidateIds, Seq("id"), "left_semi")
       .select(col("id"), shingles(col("__text"), k).as("sh"))
-    pairs
+    p
       .join(sh.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b")

@@ -98,26 +98,55 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Spark-identical xxhash64(a, b) (seed 42, left-to-right fold) computed
+    * driver-side — lets seeded pseudo-random plan constants (centroids,
+    * hyperplanes) be generated ON THE DRIVER with the exact values the
+    * in-plan `xxhash64` column function would produce.
+    */
+  private[operators] def xxhash64Pair(a: Long, b: Long): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    XXH64.hashLong(b, XXH64.hashLong(a, 42L))
+  }
+
+  private def pmodL(x: Long, m: Long): Long = { val r = x % m; if (r < 0) r + m else r }
+
   /** IVF-style ANN: partition vectors by nearest of `nCentroids` seeded
     * pseudo-random unit directions (a deterministic stand-in for trained
     * k-means centroids), probe the query's `nProbe` nearest cells. The
     * Spark shape — centroid assignment as a narrow column expression, then
     * a cell equi-join — is exactly what a trained-IVF would use.
+    *
+    * The centroid matrix is generated DRIVER-SIDE (same seeded xxhash64
+    * values the previous in-plan expression produced — bit-identical cell
+    * assignments) and enters the plan as literals through the same
+    * `zip_with` path as [[ivfTopKTrained]]: a 16×dims constant is plan
+    * metadata, not per-row work, so scoring stays one fused codegen loop
+    * instead of re-hashing 16×dims per row. `dims` comes from one
+    * driver-side metadata row, the same class of driver work as the
+    * trained variant's k-means fit.
     */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    val dims = vectors.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val cents: Array[Array[Double]] = Array.tabulate(nCentroids) { c =>
+      // deterministic pseudo-centroid component in [-1, 1)
+      Array.tabulate(dims) { i =>
+        pmodL(xxhash64Pair(c.toLong, i.toLong), 2000L).toDouble / 1000.0d -
+          1.0d
+      }
+    }
+    val cLit = array(cents.map(c => array(c.map(lit).toIndexedSeq: _*))
+      .toIndexedSeq: _*)
+    // dot(vec, centroid) with the same ascending-index double accumulation
+    // as the previous expression — identical scores, identical cells
     def centroidScores(vec: Column): Column =
-      transform(sequence(lit(0), lit(nCentroids - 1)), c =>
+      zip_with(cLit, sequence(lit(0), lit(nCentroids - 1)), (c, idx) =>
         struct(
-          aggregate(sequence(lit(0), size(vec) - 1), lit(0.0d),
-            (a, i) => a + element_at(vec, i.cast("int") + 1).cast("double") *
-              // deterministic pseudo-centroid component in [-1, 1)
-              (pmod(xxhash64(c, i), lit(2000L)).cast("double") / 1000.0d
-                - 1.0d))
-            .as("score"),
-          c.as("cell")))
+          aggregate(zip_with(vec, c, (x, cc) => x.cast("double") * cc),
+            lit(0.0d), (a, d) => a + d).as("score"),
+          idx.as("cell")))
     ivfSearch(vectors, queries, k, nProbe, idCol, vecCol, centroidScores)
   }
 
