@@ -28,7 +28,11 @@ object SparkEntry {
     registry.map { case (k, v) => k -> v.fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * Late-bound oracles (fixture-path/probe-literal SQL) are evaluated
+    * here — i.e. at Verify dump time, after the queries have run. */
   def oracleSql: Map[String, String] =
-    registry.collect { case (k, QuerySpec(_, Some(sql))) => k -> sql }
+    registry.flatMap { case (k, qs) =>
+      qs.oracle.orElse(qs.oracleLate.map(f => f())).map(k -> _)
+    }
 }

@@ -89,39 +89,52 @@ object Fixtures {
     }
   }
 
+  /** Pure generation result — the tx-bodies ground truth WITHOUT any Spark
+    * dependency, usable both to build the DataFrames and to derive oracle
+    * literals (total counts/bytes) at verify-dump time.
+    */
+  final case class TxSim(bodies: Seq[BlockBodyRow], txs: Seq[BlockTxRow],
+                         dups: Seq[Long], totalTxs: Long)
+
+  /** Deterministic pure replay of the tx-bodies generator. */
+  def txSimulate(nBlocks: Int, seed: Long = 7L): TxSim = {
+    val rnd = new scala.util.Random(seed)
+    val bodies = Seq.newBuilder[BlockBodyRow]
+    val txs = Seq.newBuilder[BlockTxRow]
+    val dups = Seq.newBuilder[Long]
+    var txId = 0L
+    var totalTxs = 0L
+    def emitBody(block: Long): Unit = {
+      val txAmount = rnd.nextInt(6).toLong
+      val uncles =
+        if (rnd.nextInt(5) == 0) {
+          val u = new Array[Byte](20 + rnd.nextInt(40)); rnd.nextBytes(u)
+          graft.codec.Rlp.encodeList(graft.codec.Rlp.encodeBytes(u))
+        } else graft.codec.Rlp.encodeList(Array.emptyByteArray)
+      val hash = new Array[Byte](32); rnd.nextBytes(hash)
+      bodies += BlockBodyRow(block, hash, graft.codec.Rlp.encodeBlockBody(
+        graft.codec.Rlp.BlockBody(txId, txAmount, uncles)))
+      for (_ <- 0L until txAmount) {
+        val rlp = new Array[Byte](30 + rnd.nextInt(170))
+        rnd.nextBytes(rlp)
+        txs += BlockTxRow(txId, graft.codec.Rlp.encodeBytes(rlp))
+        txId += 1
+      }
+      totalTxs += txAmount
+    }
+    for (block <- 1L to nBlocks.toLong) {
+      emitBody(block)
+      if (block % 10 == 0) { emitBody(block); dups += block } // reorg dup
+    }
+    TxSim(bodies.result(), txs.result(), dups.result(), totalTxs)
+  }
+
   private def generateTxWorldUncached(spark: SparkSession, nBlocks: Int,
                                       seed: Long): TxWorld = {
-      val rnd = new scala.util.Random(seed)
-      val bodies = Seq.newBuilder[BlockBodyRow]
-      val txs = Seq.newBuilder[BlockTxRow]
-      val dups = Seq.newBuilder[Long]
-      var txId = 0L
-      var totalTxs = 0L
-      def emitBody(block: Long): Unit = {
-        val txAmount = rnd.nextInt(6).toLong
-        val uncles =
-          if (rnd.nextInt(5) == 0) {
-            val u = new Array[Byte](20 + rnd.nextInt(40)); rnd.nextBytes(u)
-            graft.codec.Rlp.encodeList(graft.codec.Rlp.encodeBytes(u))
-          } else graft.codec.Rlp.encodeList(Array.emptyByteArray)
-        val hash = new Array[Byte](32); rnd.nextBytes(hash)
-        bodies += BlockBodyRow(block, hash, graft.codec.Rlp.encodeBlockBody(
-          graft.codec.Rlp.BlockBody(txId, txAmount, uncles)))
-        for (_ <- 0L until txAmount) {
-          val rlp = new Array[Byte](30 + rnd.nextInt(170))
-          rnd.nextBytes(rlp)
-          txs += BlockTxRow(txId, graft.codec.Rlp.encodeBytes(rlp))
-          txId += 1
-        }
-        totalTxs += txAmount
-      }
-      for (block <- 1L to nBlocks.toLong) {
-        emitBody(block)
-        if (block % 10 == 0) { emitBody(block); dups += block } // reorg dup
-      }
+      val sim = txSimulate(nBlocks, seed)
       import spark.implicits._
-      TxWorld(bodies.result().toDF(), txs.result().toDF(), nBlocks.toLong,
-        totalTxs, dups.result())
+      TxWorld(sim.bodies.toDF(), sim.txs.toDF(), nBlocks.toLong,
+        sim.totalTxs, sim.dups)
   }
 
   // memoized per (params): Verify/Bench call several queries that share one
@@ -155,12 +168,19 @@ object Fixtures {
     * driver-side simulation (which is seconds of single-threaded work at
     * bench scale).
     */
+  /** Absolute on-disk location of the parquet cache for these params —
+    * also the `read_parquet` root the pipeline oracle SQL points DuckDB at
+    * (built at verify-dump time, AFTER the queries have warmed the cache).
+    */
+  def cacheBase(nAddresses: Int, nBlocks: Int, seed: Long = 42L): String =
+    // v2: layout version bump (v1 lacked the oracle tables)
+    new java.io.File(
+      s"target/fixture-cache/v2-$nAddresses-$nBlocks-$seed").getAbsolutePath
+
   private def parquetBacked(spark: SparkSession, nAddresses: Int,
                             nBlocks: Int, seed: Long): World = {
     import spark.implicits._
-    // v2: layout version bump (v1 lacked the oracle tables)
-    val base = new java.io.File(
-      s"target/fixture-cache/v2-$nAddresses-$nBlocks-$seed").getAbsolutePath
+    val base = cacheBase(nAddresses, nBlocks, seed)
     val ok = java.nio.file.Paths.get(base, "_OK")
     if (!java.nio.file.Files.exists(ok)) {
       val w = generateUncached(spark, nAddresses, nBlocks, seed)
@@ -196,8 +216,46 @@ object Fixtures {
         .as[(Long, StorageAfter)].collect().sortBy(_._1).map(_._2).toSeq)
   }
 
+  /** Pure simulation result: the raw table rows plus the independent
+    * state-after oracles, with no Spark dependency — the same ground truth
+    * the parquet cache persists, replayable at verify-dump time to derive
+    * probe lists / literals for the DuckDB pipeline oracles.
+    */
+  final case class Sim(accountChangeset: Seq[AccountChangesetRow],
+                       storageChangeset: Seq[StorageChangesetRow],
+                       plainCodeHash: Seq[CodeHashRow],
+                       plainStateAccounts: Seq[PlainAccountRow],
+                       plainStateStorage: Seq[PlainStorageRow],
+                       accountOracle: Seq[AccountAfter],
+                       storageOracle: Seq[StorageAfter])
+
+  private val simCache =
+    scala.collection.mutable.Map[(Int, Int, Long), Sim]()
+
   private def generateUncached(spark: SparkSession, nAddresses: Int,
                nBlocks: Int, seed: Long): World = {
+    val sim = simulate(nAddresses, nBlocks, seed)
+    import spark.implicits._
+    new World(
+      sim.accountChangeset.toDF(),
+      sim.storageChangeset.toDF(),
+      sim.plainCodeHash.toDF(),
+      sim.plainStateAccounts.toDF(),
+      sim.plainStateStorage.toDF(),
+      nBlocks.toLong,
+      sim.accountOracle,
+      sim.storageOracle)
+  }
+
+  /** Deterministic pure chain simulation (memoized per params). */
+  def simulate(nAddresses: Int, nBlocks: Int,
+               seed: Long = 42L): Sim = synchronized {
+    simCache.getOrElseUpdate((nAddresses, nBlocks, seed),
+      simulateUncached(nAddresses, nBlocks, seed))
+  }
+
+  private def simulateUncached(nAddresses: Int, nBlocks: Int,
+                               seed: Long): Sim = {
     val rnd = new scala.util.Random(seed)
     val addrs = (0 until nAddresses).map { _ =>
       val a = new Array[Byte](20); rnd.nextBytes(a); a
@@ -274,15 +332,7 @@ object Fixtures {
           AccountBlob.trimValue(be32(v)))
     }
 
-    import spark.implicits._
-    new World(
-      accCs.result().toDF(),
-      stoCs.result().toDF(),
-      pch.toDF(),
-      psAcc.toDF(),
-      psSto.toDF(),
-      nBlocks.toLong,
-      accOracle.result(),
-      stoOracle.result())
+    Sim(accCs.result(), stoCs.result(), pch.toSeq, psAcc.toSeq, psSto.toSeq,
+      accOracle.result(), stoOracle.result())
   }
 }

@@ -14,9 +14,16 @@ import graft.Tables
   * double is cast to DECIMAL(18,2) per-row (order-independent, bit-stable
   * across engines) and the aggregate re-cast to DECIMAL(18,2).
   */
+/** `oracle` is static SQL; `oracleLate` is built AT VERIFY-DUMP TIME (after
+  * every query has run), for oracles that embed runtime-determined
+  * literals — the fixture-cache absolute path, probe lists replayed from
+  * the deterministic simulation, golden-parquet locations. Only one of the
+  * two should be set.
+  */
 final case class QuerySpec(
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    oracleLate: Option[() => String] = None)
 
 /** The reference-parity declared-query surface — SURVEY.md §2.12 Q1–Q12.
   * Each query exercises one operator class of the reference
@@ -282,5 +289,25 @@ object DeclaredQueries {
              |  (SELECT c_nationkey AS k FROM customer
              |   EXCEPT SELECT s_nationkey FROM supplier))
              |ORDER BY op, k""".stripMargin)),
+
+    // Q16 — the SKEWED-JOIN rewrite (Skew.saltedJoin): probe side salted,
+    // build side exploded ×salts, join on (key, salt). The oracle is the
+    // PLAIN equi-join — proving the rewrite is result-identical, which is
+    // the whole point (same rows, hot key spread over `salts` tasks; the
+    // hot-address shape of erigon_extract.c's popular contracts at 100×).
+    "q16_salted_join" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Skew.saltedJoin(
+            Tables(s, dir, "lineitem"), Tables(s, dir, "supplier"),
+            probeKey = "l_suppkey", buildKey = "s_suppkey", salts = 8)
+          .select($"l_orderkey", $"l_linenumber", $"s_name",
+            dec2($"l_extendedprice").as("price"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, s_name,
+             |CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
   )
 }

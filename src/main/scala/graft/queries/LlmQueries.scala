@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, MultimodalGolden, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators over `documents` and `embeddings`
   * (SURVEY.md §7.2 step 7). SQL-expressible ones carry a DuckDB oracle;
@@ -532,28 +532,44 @@ object LlmQueries {
       }, None),
 
     // -- multimodal --
+    //
+    // The m-oracles are GOLDEN parquet built by MultimodalGolden: a replay
+    // of the generator's seeded draws with features computed from the RAW
+    // pre-encode pixels/samples (no codec involvement), so the DuckDB
+    // compare genuinely checks the encode→decode→extract path. Goldens are
+    // written (once, deterministic content) by the query functions; the
+    // late-bound SQL just reads them back.
 
     "m01_media_features" -> QuerySpec(
       (s, dir) => {
         import s.implicits._
         val n = if (dir.contains("sf0.1")) 2000 else 300
+        lastMediaN = n
+        MultimodalGolden.ensureGolden(s, s"m01-features-$n-v1",
+          MultimodalGolden.features(n))
         val media = Multimodal.sizeBinned(
           Multimodal.syntheticMedia(s, n), 8)
         Multimodal.extractFeatures(media).toDF()
           .select(col("media_id"), col("kind"), col("width"), col("height"),
             col("n_frames"), col("size_bytes"),
-            round(col("mean_byte"), 4).as("mean_byte"),
+            // engine-stable 4-dp quantizer (pure double ops) so the golden
+            // can reproduce the value bit-exactly in plain Scala
+            TextAnalysis.quant4(col("mean_byte")).as("mean_byte"),
             // stringified (not array<long>): the driver's pandas compare
             // sorts on every column, and numpy arrays are unhashable there
             to_json(col("luma_histogram")).as("luma_histogram"))
           .orderBy(col("media_id"))
-      }, None),
+      }, None, Some(() => mGoldenSql(s"m01-features-$lastMediaN-v1",
+        "media_id, kind, width, height, n_frames, size_bytes, mean_byte, " +
+          "luma_histogram", "media_id"))),
 
     // REAL resize: images re-sampled (nearest-neighbor) through the BMP
     // codec — one row per media with old/new dims and byte sizes.
     "m03_media_resize" -> QuerySpec(
       (s, dir) => {
         import s.implicits._
+        MultimodalGolden.ensureGolden(s, "m03-resize-200-v1",
+          MultimodalGolden.resizes(200, 16, 16))
         Multimodal.syntheticMedia(s, 200)
           .filter(_.kind == "image")
           .map { b =>
@@ -564,15 +580,30 @@ object LlmQueries {
           .toDF("media_id", "width", "height", "size_bytes",
             "new_width", "new_height", "new_size_bytes")
           .orderBy(col("media_id"))
-      }, None),
+      }, None, Some(() => mGoldenSql("m03-resize-200-v1",
+        "media_id, width, height, size_bytes, new_width, new_height, " +
+          "new_size_bytes", "media_id"))),
 
     "m02_frame_sample" -> QuerySpec(
       (s, dir) => {
         import s.implicits._
+        MultimodalGolden.ensureGolden(s, "m02-frames-200-v1",
+          MultimodalGolden.frames(200, everyN = 10))
         val media = Multimodal.syntheticMedia(s, 200).toDF()
           .select(col("media_id"), col("kind"), col("n_frames"))
         Multimodal.sampleFrames(media, everyN = 10)
           .orderBy(col("media_id"), col("frame_idx"))
-      }, None),
+      }, None, Some(() => mGoldenSql("m02-frames-200-v1",
+        "media_id, n_frames, frame_idx", "media_id, frame_idx"))),
   )
+
+  // media count of the last m01 run (300 at sf≤0.01, 2000 at sf0.1) — read
+  // by the late-bound golden SQL, built after the queries ran
+  @volatile private var lastMediaN: Int = 300
+
+  private def mGoldenSql(name: String, cols: String,
+                         order: String): String = {
+    val base = new java.io.File(s"target/golden/$name").getAbsolutePath
+    s"SELECT $cols FROM read_parquet('$base/*.parquet') ORDER BY $order"
+  }
 }

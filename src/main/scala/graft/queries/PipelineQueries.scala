@@ -12,9 +12,23 @@ import graft.spark.StateFormat
 object PipelineQueries {
 
   // fixture size scales mildly with the sf dir so bench runs exercise more
+  private def nFor(dir: String): Int = if (dir.contains("sf0.1")) 2000 else 200
+
+  // the last fixture size any pipeline query ran at — read by the
+  // late-bound oracle builders, which run at verify-DUMP time (after all
+  // queries) and must describe the same world the queries used
+  @volatile private var lastN: Int = 200
+
   private def world(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val n = if (dir.contains("sf0.1")) 2000 else 200
+    val n = nFor(dir)
+    lastN = n
     Fixtures.generate(s, nAddresses = n / 4, nBlocks = n)
+  }
+
+  private def txWorld(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val n = nFor(dir)
+    lastN = n
+    Fixtures.generateTxWorld(s, n)
   }
 
   /** Materialize the synthetic worlds for `dir` outside any timed region:
@@ -25,8 +39,157 @@ object PipelineQueries {
     */
   def warmFixtures(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     world(s, dir)
-    Fixtures.generateTxWorld(s, if (dir.contains("sf0.1")) 2000 else 200)
+    txWorld(s, dir)
     ()
+  }
+
+  /** The deterministic probe sets of p07/p09, shared VERBATIM between the
+    * query functions and the oracle-SQL builders so both sides resolve the
+    * identical (address[, slot], block) lookups.
+    */
+  private[queries] def accountProbes(oracle: Seq[Fixtures.AccountAfter],
+                                     latestBlock: Long): Seq[(String, Long)] = {
+    val rnd = new scala.util.Random(31)
+    oracle.map(_.addressHex).distinct.take(50)
+      .map(a => (a, 1L + rnd.nextInt(latestBlock.toInt)))
+  }
+
+  private[queries] def storageProbes(oracle: Seq[Fixtures.StorageAfter],
+      latestBlock: Long): Seq[(String, String, Long)] = {
+    val rnd = new scala.util.Random(37)
+    oracle.map(o => (o.addressHex, o.slotHex)).distinct.take(40)
+      .map { case (a, sl) => (a, sl, 1L + rnd.nextInt(latestBlock.toInt)) }
+  }
+
+  // ---- DuckDB oracles for the pipeline entries (late-bound) ----
+  //
+  // The account/storage oracle tables in the fixture parquet cache are an
+  // INDEPENDENT driver-side chain simulation (state-after-block per touch),
+  // not an output of the changeset pipeline — so reconstructing the full
+  // history from them in DuckDB genuinely cross-checks the Spark plan
+  // (decode → J1 join → union → sort → LAG → genesis drop). The mapping:
+  // every oracle entry (address, P) is the history row valid FROM P, and
+  // each key group additionally has one pre-first-touch zero-state row
+  // with valid_from_block = 0. Built at dump time because the SQL embeds
+  // the cache's absolute path and simulation-replayed literals.
+
+  private def accBase: String = Fixtures.cacheBase(lastN / 4, lastN)
+  private val z64 = "repeat('0',64)"
+
+  private def aoCte(base: String): String =
+    s"""ao AS (SELECT "_1" AS ord, "_2".addressHex AS address,
+       |  "_2".block AS blk, "_2".nonce AS nonce, "_2".incarnation AS inc,
+       |  "_2".balance AS bal, "_2".codeHashHex AS ch
+       |  FROM read_parquet('$base/account_oracle/*.parquet'))""".stripMargin
+
+  private def soCte(base: String): String =
+    s"""so AS (SELECT "_2".addressHex AS address, "_2".slotHex AS slot,
+       |  "_2".block AS blk, "_2".incarnation AS inc, "_2".value AS val
+       |  FROM read_parquet('$base/storage_oracle/*.parquet'))""".stripMargin
+
+  private def p01Sql(): String = {
+    val b = accBase
+    s"""WITH ${aoCte(b)},
+       |${soCte(b)},
+       |acct_rows AS (
+       |  SELECT upper(address) AS address, FALSE AS "isStorage",
+       |    inc AS incarnation, $z64 AS slot, blk AS valid_from_block, nonce,
+       |    upper(lpad(to_hex(bal),64,'0')) AS balance,
+       |    upper(ch) AS code_hash, $z64 AS value
+       |  FROM ao
+       |  UNION ALL
+       |  SELECT DISTINCT upper(address), FALSE, 0::BIGINT, $z64, 0::BIGINT,
+       |    0::BIGINT, $z64, $z64, $z64 FROM ao),
+       |sto_rows AS (
+       |  SELECT upper(address) AS address, TRUE AS "isStorage",
+       |    inc AS incarnation, upper(slot) AS slot, blk AS valid_from_block,
+       |    0::BIGINT AS nonce, $z64 AS balance, $z64 AS code_hash,
+       |    upper(lpad(to_hex(val),64,'0')) AS value
+       |  FROM so
+       |  UNION ALL
+       |  SELECT upper(address), TRUE, min(inc), upper(slot), 0::BIGINT,
+       |    0::BIGINT, $z64, $z64, $z64 FROM so GROUP BY address, slot)
+       |SELECT * FROM (SELECT * FROM acct_rows UNION ALL SELECT * FROM sto_rows)
+       |ORDER BY address, "isStorage", incarnation, slot, valid_from_block""".stripMargin
+  }
+
+  private def p03Sql(): String = {
+    val b = accBase
+    val mid = lastN.toLong / 2
+    s"""WITH ${aoCte(b)},
+       |head AS (SELECT address FROM ao WHERE ord = 0),
+       |hist AS (
+       |  SELECT blk AS vf, nonce, inc, bal FROM ao
+       |  WHERE address = (SELECT address FROM head)
+       |  UNION ALL SELECT 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT)
+       |SELECT upper((SELECT address FROM head)) AS address,
+       |  vf AS valid_from_block, nonce, inc AS incarnation,
+       |  upper(lpad(to_hex(bal),64,'0')) AS balance
+       |FROM hist WHERE vf <= $mid
+       |ORDER BY vf DESC LIMIT 1""".stripMargin
+  }
+
+  private def p04Sql(): String = {
+    val sim = Fixtures.txSimulate(lastN)
+    val totalSize = sim.txs.map(_.tx_rlp.length.toLong).sum
+    s"""SELECT ${lastN}::BIGINT AS block_count,
+       |  ${sim.totalTxs}::BIGINT AS tx_declared,
+       |  ${sim.totalTxs}::BIGINT AS tx_count,
+       |  ${totalSize}::BIGINT AS total_size,
+       |  ${sim.dups.size}::BIGINT AS block_dups""".stripMargin
+  }
+
+  private def p05Sql(): String = {
+    val sim = Fixtures.txSimulate(lastN)
+    val vals = sim.dups.map(b => s"($b::BIGINT, 2::BIGINT)").mkString(", ")
+    s"SELECT * FROM (VALUES $vals) AS t(block, n_bodies) ORDER BY block"
+  }
+
+  private def p07Sql(): String = {
+    val b = accBase
+    val sim = Fixtures.simulate(lastN / 4, lastN)
+    val probeVals = accountProbes(sim.accountOracle, lastN.toLong)
+      .map { case (a, blk) => s"('${a.toUpperCase}', $blk::BIGINT)" }
+      .mkString(", ")
+    s"""WITH ${aoCte(b)},
+       |hist AS (
+       |  SELECT upper(address) AS a, blk AS vf, nonce, inc,
+       |    upper(lpad(to_hex(bal),64,'0')) AS balhex FROM ao
+       |  UNION ALL
+       |  SELECT DISTINCT upper(address), 0::BIGINT, 0::BIGINT, 0::BIGINT,
+       |    $z64 FROM ao),
+       |probes(address, block) AS (VALUES $probeVals)
+       |SELECT p.address AS address, p.block AS block,
+       |  h.vf AS valid_from_block, h.nonce AS nonce, h.inc AS incarnation,
+       |  h.balhex AS balance
+       |FROM probes p JOIN hist h ON h.a = p.address AND h.vf <= p.block
+       |QUALIFY row_number() OVER (PARTITION BY p.address, p.block
+       |                           ORDER BY h.vf DESC) = 1
+       |ORDER BY address, block""".stripMargin
+  }
+
+  private def p09Sql(): String = {
+    val b = accBase
+    val sim = Fixtures.simulate(lastN / 4, lastN)
+    val probeVals = storageProbes(sim.storageOracle, lastN.toLong)
+      .map { case (a, sl, blk) =>
+        s"('${a.toUpperCase}', '${sl.toUpperCase}', $blk::BIGINT)" }
+      .mkString(", ")
+    s"""WITH ${soCte(b)},
+       |hist AS (
+       |  SELECT upper(address) AS a, upper(slot) AS s, blk AS vf, inc,
+       |    upper(lpad(to_hex(val),64,'0')) AS valhex FROM so
+       |  UNION ALL
+       |  SELECT upper(address), upper(slot), 0::BIGINT, min(inc), $z64
+       |  FROM so GROUP BY address, slot),
+       |probes(address, slot, block) AS (VALUES $probeVals)
+       |SELECT p.address AS address, p.slot AS slot, p.block AS block,
+       |  h.vf AS valid_from_block, h.inc AS incarnation, h.valhex AS value
+       |FROM probes p JOIN hist h
+       |  ON h.a = p.address AND h.s = p.slot AND h.vf <= p.block
+       |QUALIFY row_number() OVER (PARTITION BY p.address, p.slot, p.block
+       |                           ORDER BY h.vf DESC) = 1
+       |ORDER BY address, slot, block""".stripMargin
   }
 
   // p01/p02/p03/p06 all consume the same built history; cache it per sf dir
@@ -64,7 +227,12 @@ object PipelineQueries {
             hex(col("balance")).as("balance"),
             hex(col("codeHash")).as("code_hash"),
             hex(col("value")).as("value"))
-      }, None),
+          // presentation order = the reference's global output order
+          // (address-major, then key, then block); also what pins the
+          // driver's row-ordered hash compare on both engines
+          .orderBy(col("address"), col("isStorage"), col("incarnation"),
+            col("slot"), col("valid_from_block"))
+      }, None, Some(() => p01Sql())),
 
     // §2.9 E1: order-dependent encode fold + parallel decode (copy_file
     // round trip as a query); returns per-chunk stats.
@@ -93,17 +261,16 @@ object PipelineQueries {
           .select(hex(col("address")).as("address"), col("valid_from_block"),
             col("nonce"), col("incarnation"),
             hex(col("balance")).as("balance"))
-      }, None),
+      }, None, Some(() => p03Sql())),
 
     // §3.1 step 2: BlockBody RLP decode (P3) + J2 sequence join + A2 stats
     // + A3 duplicate-block detection, one row of totals.
     "p04_txbodies_stats" -> QuerySpec(
       (s, dir) => {
-        val w = graft.pipeline.Fixtures.generateTxWorld(s,
-          if (dir.contains("sf0.1")) 2000 else 200)
+        val w = txWorld(s, dir)
         graft.pipeline.TxBodies.stats(
           graft.pipeline.TxBodies.decodeBodies(w.bodies), w.transactions)
-      }, None),
+      }, None, Some(() => p04Sql())),
 
     // S7/S8: write the full history as header-prefixed page-aligned .dat
     // files, read it back page-parallel, report per-file page counts and
@@ -134,17 +301,15 @@ object PipelineQueries {
         import s.implicits._
         val w = world(s, dir)
         val h = history(s, dir)
-        val rnd = new scala.util.Random(31)
-        val lookups = w.accountOracle.map(_.addressHex).distinct.take(50)
-          .map(a => (graft.functions.Bytes.unhex(a),
-            1L + rnd.nextInt(w.latestBlock.toInt)))
+        val lookups = accountProbes(w.accountOracle, w.latestBlock)
+          .map { case (a, blk) => (graft.functions.Bytes.unhex(a), blk) }
           .toDF("address", "block")
         FullHistory.asOfJoinAccounts(h, lookups)
           .select(hex(col("address")).as("address"), col("block"),
             col("valid_from_block"), col("nonce"), col("incarnation"),
             hex(col("balance")).as("balance"))
           .orderBy(col("address"), col("block"))
-      }, None),
+      }, None, Some(() => p07Sql())),
 
     // S9 sink + read-back: bodies+txs → varint-framed txbodies part files
     // (reference single-file layout split at record bounds) → decoded rows;
@@ -152,8 +317,7 @@ object PipelineQueries {
     "p08_txbodies_roundtrip" -> QuerySpec(
       (s, dir) => {
         import s.implicits._
-        val w = graft.pipeline.Fixtures.generateTxWorld(s,
-          if (dir.contains("sf0.1")) 2000 else 200)
+        val w = txWorld(s, dir)
         val decoded = graft.pipeline.TxBodies.decodeBodies(w.bodies)
         val enc = graft.pipeline.TxBodies.encodeBlocks(decoded,
           w.transactions)
@@ -206,29 +370,26 @@ object PipelineQueries {
         import s.implicits._
         val w = world(s, dir)
         val h = history(s, dir)
-        val rnd = new scala.util.Random(37)
-        val keys = w.storageOracle.map(o => (o.addressHex, o.slotHex))
-          .distinct.take(40)
-        val lookups = keys.map { case (a, sl) =>
-          (graft.functions.Bytes.unhex(a), graft.functions.Bytes.unhex(sl),
-            1L + rnd.nextInt(w.latestBlock.toInt))
-        }.toDF("address", "slot", "block")
+        val lookups = storageProbes(w.storageOracle, w.latestBlock)
+          .map { case (a, sl, blk) =>
+            (graft.functions.Bytes.unhex(a), graft.functions.Bytes.unhex(sl),
+              blk)
+          }.toDF("address", "slot", "block")
         FullHistory.asOfJoinStorage(h, lookups)
           .select(hex(col("address")).as("address"),
             hex(col("slot")).as("slot"), col("block"),
             col("valid_from_block"), col("incarnation"),
             hex(col("value")).as("value"))
           .orderBy(col("address"), col("slot"), col("block"))
-      }, None),
+      }, None, Some(() => p09Sql())),
 
     // A3 surfaced: reorged duplicate block heights.
     "p05_txbodies_dups" -> QuerySpec(
       (s, dir) => {
-        val w = graft.pipeline.Fixtures.generateTxWorld(s,
-          if (dir.contains("sf0.1")) 2000 else 200)
+        val w = txWorld(s, dir)
         graft.pipeline.TxBodies.duplicateBlocks(
           graft.pipeline.TxBodies.decodeBodies(w.bodies))
           .orderBy(col("block"))
-      }, None),
+      }, None, Some(() => p05Sql())),
   )
 }
