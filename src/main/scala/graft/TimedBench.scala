@@ -8,7 +8,12 @@ object TimedBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // optional name-substring filter, e.g. runMain graft.TimedBench s0 l05
+    val filters = args.toSeq
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        filters.isEmpty || filters.exists(name.contains) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case e: Throwable => System.err.println(s"$name ERR ${e.getMessage.take(100)}"); -1L }
       System.err.println(f"TIMING $name%-24s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")

@@ -313,16 +313,12 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, threshold: Double = 0.95,
                        nBits: Int = 12, idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
-    val dims = size(col(vecCol))
-    val bucket = aggregate(sequence(lit(0), lit(nBits - 1)), lit(0L),
-      (acc, b) => {
-        val dot = aggregate(sequence(lit(0), dims - 1), lit(0.0d),
-          (a, d) => a + element_at(col(vecCol), d.cast("int") + 1)
-            .cast("double") *
-            when(xxhash64(b, d).bitwiseAND(1L) === 1L, 1.0d).otherwise(-1.0d))
-        acc.bitwiseOR(when(dot > 0, call_function("shiftleft", lit(1L), b.cast("int")))
-          .otherwise(0L))
-      })
+    // literal planes (driver-generated, same seeded draws → identical
+    // buckets): per-row work is nBits fused dot products, not
+    // nBits×dims interpreted xxhash64 calls
+    val planes = Similarity.rademacherPlanes(nBits,
+      Similarity.dimsOf(df, vecCol))
+    val bucket = Similarity.hyperplaneBucket(col(vecCol), planes)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       bucket.as("bucket"))
     val pairs = vecs.select("id", "bucket").as("x")

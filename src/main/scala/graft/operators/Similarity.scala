@@ -56,7 +56,11 @@ object Similarity {
   }
 
   /** Random-hyperplane signature (nBits-bit bucket id), deterministic via
-    * seeded xxhash64 Rademacher planes.
+    * seeded xxhash64 Rademacher planes — the column-function REFERENCE
+    * implementation (like [[dot]]): it re-hashes nBits×dims per row
+    * through an interpreted expression. Production paths use
+    * [[hyperplaneBucket]] with driver-generated literal planes
+    * (identical values, fused codegen).
     */
   def lshBucket(vec: Column, nBits: Int): Column = {
     val dims = size(vec)
@@ -69,6 +73,41 @@ object Similarity {
     })
   }
 
+  /** Seeded Rademacher hyperplane signs generated DRIVER-SIDE with the
+    * exact xxhash64 draws the in-plan expression uses — bit-identical
+    * buckets, but the signs enter the plan as literals (plan metadata,
+    * not per-row hashing).
+    */
+  private[operators] def rademacherPlanes(nBits: Int,
+                                          dims: Int): Array[Array[Double]] =
+    Array.tabulate(nBits) { b =>
+      Array.tabulate(dims) { i =>
+        if ((xxhash64Pair(b.toLong, i.toLong) & 1L) == 1L) 1.0d else -1.0d
+      }
+    }
+
+  /** nBits-bit hyperplane bucket from literal planes: one codegen'd
+    * zip_with dot product per bit (same ascending-index accumulation as
+    * [[lshBucket]] → identical bucket ids).
+    */
+  private[operators] def hyperplaneBucket(
+      vec: Column, planes: Array[Array[Double]]): Column =
+    if (planes.isEmpty) lit(0L)
+    else planes.zipWithIndex.map { case (p, b) =>
+      val pl = array(p.map(lit).toIndexedSeq: _*)
+      val dot = aggregate(zip_with(vec, pl, (x, s) => x.cast("double") * s),
+        lit(0.0d), (a, d) => a + d)
+      when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** First row's embedding dimensionality — one driver-side metadata
+    * lookup (0 for an empty frame), used to size literal plane/centroid
+    * matrices.
+    */
+  private[operators] def dimsOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("d")).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+
   /** LSH-bucketed ANN top-k with multi-probe: each query scores vectors in
     * its own bucket plus every bucket at hamming distance 1 (flipping each
     * signature bit) — the standard recall fix for hyperplane LSH. Cost
@@ -79,12 +118,13 @@ object Similarity {
   def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int,
               nBits: Int = 8, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    val planes = rademacherPlanes(nBits, dimsOf(vectors, vecCol))
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), nBits).as("bucket"))
+      hyperplaneBucket(col(vecCol), planes).as("bucket"))
     val probes = (0 until nBits)
       .map(i => col("bucket").bitwiseXOR(lit(1L << i))) :+ col("bucket")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
-        lshBucket(col(vecCol), nBits).as("bucket"))
+        hyperplaneBucket(col(vecCol), planes).as("bucket"))
       .withColumn("probe", explode(array(probes: _*)))
     val scored = v.join(q,
         v("bucket") === q("probe") && col("id") =!= col("query_id"))
@@ -129,7 +169,7 @@ object Similarity {
               nCentroids: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val dims = vectors.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val dims = dimsOf(vectors, vecCol)
     val cents: Array[Array[Double]] = Array.tabulate(nCentroids) { c =>
       // deterministic pseudo-centroid component in [-1, 1)
       Array.tabulate(dims) { i =>
