@@ -68,12 +68,23 @@ object TxBodyFiles {
       }.collect()
     val blocks = stats.map(_._2).sum
     val bytes = stats.map(_._3).sum
+    // the manifest IS the commit point (same protocol as StateFiles):
+    // its file_list names exactly the part files of this completed write,
+    // so a reader never sees orphan parts from a crashed/concurrent
+    // attempt; the manifest itself lands by atomic rename
+    val fileListJson = stats.map(_._1).sorted
+      .map(pid => "\"" + f"part-$pid%05d.dat" + "\"")
+      .mkString("[", ",", "]")
     val manifest =
       s"""{"format":"graft-txbodies","block_start":$blockStart,""" +
         s""""block_end":$blockEnd,"files":${stats.length},""" +
-        s""""blocks":$blocks,"bytes":$bytes}"""
-    Files.write(Paths.get(dir, "_manifest.json"),
+        s""""blocks":$blocks,"bytes":$bytes,"file_list":$fileListJson}"""
+    val mTmp = Paths.get(dir, s".manifest.tmp-${java.util.UUID.randomUUID()}")
+    Files.write(mTmp,
       manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(mTmp, Paths.get(dir, "_manifest.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     (stats.length.toLong, blocks, bytes)
   }
 
@@ -82,13 +93,21 @@ object TxBodyFiles {
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val files = Files.list(Paths.get(dir)).iterator()
-    val names = Seq.newBuilder[String]
-    while (files.hasNext) {
-      val f = files.next()
-      if (f.toString.endsWith(".dat")) names += f.toString
+    // manifest file_list = the committed snapshot; orphan part files from
+    // a failed write attempt are invisible. Directory listing only for
+    // ad-hoc (manifest-less) dirs.
+    val sorted = StateFiles.manifestFileList(dir) match {
+      case Some(list) =>
+        list.sorted.map(n => Paths.get(dir, n).toString)
+      case None =>
+        val files = Files.list(Paths.get(dir)).iterator()
+        val names = Seq.newBuilder[String]
+        while (files.hasNext) {
+          val f = files.next()
+          if (f.toString.endsWith(".dat")) names += f.toString
+        }
+        names.result().sorted
     }
-    val sorted = names.result().sorted
     spark.createDataset(sorted)
       .repartition(math.max(1, sorted.length))
       .flatMap { f =>

@@ -189,4 +189,31 @@ class TxBodiesSpec extends AnyFunSuite {
       }
     assert(fileFirstBlocks.sameElements(fileFirstBlocks.sorted))
   }
+
+  test("S9 manifest is the commit point: orphan part files are invisible") {
+    import graft.codec.{ByteBuf, TxBodyCodec}
+    val enc = TxBodies.encodeBlocks(decoded, world.transactions)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-txbodies-orphan").toString
+    graft.spark.TxBodyFiles.write(enc, dir, blockStart = 1L,
+      blockEnd = world.nBlocks)
+    val committed = graft.spark.TxBodyFiles.read(spark, dir).count()
+    // crash simulation: a later write attempt died after dropping a part
+    // file but BEFORE committing its manifest — the orphan must not be
+    // served (it would double-count blocks / mix block ranges)
+    val orphan = new ByteBuf()
+    TxBodyCodec.encode(orphan, TxBodyCodec.BodyRecord(999999L, 0L,
+      Array[Byte](0xc0.toByte), IndexedSeq.empty))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-99999.dat"), orphan.toArray)
+    val after = graft.spark.TxBodyFiles.read(spark, dir)
+    assert(after.count() == committed, "orphan part file leaked into read")
+    assert(after.filter(org.apache.spark.sql.functions.col("block") ===
+      999999L).count() == 0)
+    // a manifest-less ad-hoc dir still falls back to directory listing
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, "_manifest.json"))
+    assert(graft.spark.TxBodyFiles.read(spark, dir).count() ==
+      committed + 1)
+  }
 }
