@@ -78,8 +78,8 @@ object Similarity {
     * buckets, but the signs enter the plan as literals (plan metadata,
     * not per-row hashing).
     */
-  private[operators] def rademacherPlanes(nBits: Int,
-                                          dims: Int): Array[Array[Double]] =
+  private[graft] def rademacherPlanes(nBits: Int,
+                                      dims: Int): Array[Array[Double]] =
     Array.tabulate(nBits) { b =>
       Array.tabulate(dims) { i =>
         if ((xxhash64Pair(b.toLong, i.toLong) & 1L) == 1L) 1.0d else -1.0d
@@ -104,7 +104,7 @@ object Similarity {
     * lookup (0 for an empty frame), used to size literal plane/centroid
     * matrices.
     */
-  private[operators] def dimsOf(df: DataFrame, vecCol: String): Int =
+  private[graft] def dimsOf(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol)).as("d")).take(1)
       .headOption.map(_.getInt(0)).getOrElse(0)
 
@@ -143,7 +143,7 @@ object Similarity {
     * hyperplanes) be generated ON THE DRIVER with the exact values the
     * in-plan `xxhash64` column function would produce.
     */
-  private[operators] def xxhash64Pair(a: Long, b: Long): Long = {
+  private[graft] def xxhash64Pair(a: Long, b: Long): Long = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     XXH64.hashLong(b, XXH64.hashLong(a, 42L))
   }
@@ -165,18 +165,24 @@ object Similarity {
     * driver-side metadata row, the same class of driver work as the
     * trained variant's k-means fit.
     */
-  def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4,
-              idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val dims = dimsOf(vectors, vecCol)
-    val cents: Array[Array[Double]] = Array.tabulate(nCentroids) { c =>
-      // deterministic pseudo-centroid component in [-1, 1)
+  /** The seeded pseudo-centroid matrix (deterministic stand-in for trained
+    * k-means centroids), components in [-1, 1) from the same xxhash64
+    * draws the original in-plan expression used.
+    */
+  private[graft] def pseudoCentroids(nCentroids: Int,
+                                     dims: Int): Array[Array[Double]] =
+    Array.tabulate(nCentroids) { c =>
       Array.tabulate(dims) { i =>
         pmodL(xxhash64Pair(c.toLong, i.toLong), 2000L).toDouble / 1000.0d -
           1.0d
       }
     }
+
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val cents = pseudoCentroids(nCentroids, dimsOf(vectors, vecCol))
     val cLit = array(cents.map(c => array(c.map(lit).toIndexedSeq: _*))
       .toIndexedSeq: _*)
     // dot(vec, centroid) with the same ascending-index double accumulation
@@ -198,29 +204,58 @@ object Similarity {
     * (`vectors.sample(...)`): k-means cost is per-centroid-dim, not
     * corpus-sized, and assignment is the same narrow scan either way.
     */
-  def ivfTopKTrained(vectors: DataFrame, queries: DataFrame, k: Int,
-                     nCentroids: Int = 16, nProbe: Int = 4,
-                     idCol: String = "vec_id", vecCol: String = "embedding",
-                     maxIter: Int = 10, seed: Long = 7L): DataFrame = {
+  /** Fit k-means on the corpus and return the centroid matrix. At 100 TB,
+    * fit on a sample (`vectors.sample(...)`): k-means cost is
+    * per-centroid-dim, not corpus-sized.
+    */
+  def fitIvfCentroids(vectors: DataFrame, nCentroids: Int = 16,
+                      vecCol: String = "embedding", maxIter: Int = 10,
+                      seed: Long = 7L): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val train = vectors.select(
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nCentroids).setSeed(seed)
-      .setMaxIter(maxIter).fit(train)
-    val centroids = model.clusterCenters.map(_.toArray)
-    val cLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
-    // nearest-centroid score = -‖v - c‖² (monotone in similarity of cell)
+    new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(maxIter)
+      .fit(train).clusterCenters.map(_.toArray)
+  }
+
+  /** IVF probe against an EXPLICIT centroid matrix (plan literals).
+    * Nearest-centroid score = 2·v·c − ‖c‖², which orders cells exactly
+    * like −‖v−c‖² (the ‖v‖² term is constant per vector) but is a single
+    * dot product per cell — and, with ‖c‖² precomputed driver-side, is
+    * reproducible operation-for-operation by an external engine's
+    * `list_inner_product` (the DuckDB oracle recomputes the assignment
+    * independently from the same literals).
+    */
+  def ivfTopKWithCentroids(vectors: DataFrame, queries: DataFrame, k: Int,
+                           centroids: Array[Array[Double]], nProbe: Int = 4,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val n = centroids.length
+    val cLit = array(centroids.map(c =>
+      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val c2 = centroids.map(c => c.map(x => x * x).sum)
+    val c2Lit = array(c2.map(lit).toIndexedSeq: _*)
     def centroidScores(vec: Column): Column =
-      zip_with(cLit, sequence(lit(0), lit(nCentroids - 1)), (c, idx) =>
+      zip_with(cLit, sequence(lit(0), lit(n - 1)), (c, idx) =>
         struct(
-          aggregate(zip_with(vec, c,
-              (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
-            lit(0.0d), (a, d) => a + d)
-            .unary_-.as("score"),
+          (aggregate(zip_with(vec, c, (x, cc) => x.cast("double") * cc),
+            lit(0.0d), (a, d) => a + d) * lit(2.0d) -
+            element_at(c2Lit, idx.cast("int") + 1)).as("score"),
           idx.as("cell")))
     ivfSearch(vectors, queries, k, nProbe, idCol, vecCol, centroidScores)
   }
+
+  /** IVF with TRAINED centroids: k-means fit, then the literal-centroid
+    * probe of [[ivfTopKWithCentroids]].
+    */
+  def ivfTopKTrained(vectors: DataFrame, queries: DataFrame, k: Int,
+                     nCentroids: Int = 16, nProbe: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     maxIter: Int = 10, seed: Long = 7L): DataFrame =
+    ivfTopKWithCentroids(vectors, queries, k,
+      fitIvfCentroids(vectors, nCentroids, vecCol, maxIter, seed), nProbe,
+      idCol, vecCol)
 
   /** Shared IVF probe: vectors assigned to their nearest cell, queries
     * probe their nProbe best cells, exact cosine ranks within the probed

@@ -507,29 +507,41 @@ object LlmQueries {
              |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
              |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // The ANN oracles are FULL DuckDB reimplementations: the plane/centroid
+    // matrices are driver-side literals now, so the late-bound SQL embeds
+    // the same numbers and DuckDB independently recomputes buckets / cell
+    // assignments (list_inner_product ≡ the plan's left-to-right zip_with
+    // dot — the equivalence s01 already hash-proves), multi-probe sets,
+    // and the final cosine ranking.
+
     "s02_lsh_topk" -> QuerySpec(
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
+        lastEmbDims = Similarity.dimsOf(e, "embedding")
         Similarity.lshTopK(e, e.filter(col("vec_id") < 5), k = 10,
             nBits = 6)
           .orderBy(col("query_id"), col("rank"))
-      }, None),
+      }, None, Some(() => s02Sql())),
 
     "s03_ivf_topk" -> QuerySpec(
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
+        lastEmbDims = Similarity.dimsOf(e, "embedding")
         Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10)
           .orderBy(col("query_id"), col("rank"))
-      }, None),
+      }, None, Some(() => s03Sql())),
 
     // Trained-centroid IVF: k-means centroids as plan literals, same
-    // cell-join probe. Rows-only (k-means is engine-local state).
+    // cell-join probe; the fitted matrix is captured for the oracle.
     "s04_ivf_trained" -> QuerySpec(
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
-        Similarity.ivfTopKTrained(e, e.filter(col("vec_id") < 5), k = 10)
+        val cents = Similarity.fitIvfCentroids(e)
+        lastS04Centroids = cents
+        Similarity.ivfTopKWithCentroids(e, e.filter(col("vec_id") < 5),
+            k = 10, cents)
           .orderBy(col("query_id"), col("rank"))
-      }, None),
+      }, None, Some(() => s04Sql())),
 
     // -- multimodal --
     //
@@ -605,5 +617,90 @@ object LlmQueries {
                          order: String): String = {
     val base = new java.io.File(s"target/golden/$name").getAbsolutePath
     s"SELECT $cols FROM read_parquet('$base/*.parquet') ORDER BY $order"
+  }
+
+  // ---- ANN oracle builders (late-bound; see the s-entries) ----
+
+  // captured by the s-entries at run time for the dump-time SQL builders
+  @volatile private var lastEmbDims: Int = 0
+  @volatile private var lastS04Centroids: Array[Array[Double]] = Array.empty
+
+  // Scala Double.toString is shortest-roundtrip, so DuckDB parses back the
+  // exact same IEEE value
+  private def sqlArr(a: Array[Double]): String =
+    a.mkString("[", ",", "]") + "::DOUBLE[]"
+
+  // same zero-guarded cosine the (hash-proven) s01 oracle uses
+  private val cosineCase =
+    """CASE WHEN sqrt(list_inner_product(v.e, v.e))
+      |          * sqrt(list_inner_product(q.e, q.e)) <> 0
+      |     THEN list_inner_product(v.e, q.e)
+      |          / (sqrt(list_inner_product(v.e, v.e))
+      |             * sqrt(list_inner_product(q.e, q.e)))
+      |     ELSE 0 END""".stripMargin
+
+  private def s02Sql(): String = {
+    val planes = graft.operators.Similarity.rademacherPlanes(6, lastEmbDims)
+    val bucketExpr = planes.zipWithIndex.map { case (p, b) =>
+      s"(CASE WHEN list_inner_product(e, ${sqlArr(p)}) > 0" +
+        s" THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    val masks = ((0 until 6).map(i => 1L << i) :+ 0L)
+      .map(m => s"($m::BIGINT)").mkString(", ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |vb AS (SELECT vec_id, e, $bucketExpr AS bucket FROM base),
+       |qp AS (SELECT vec_id AS query_id, e, xor(bucket, mask) AS probe
+       |  FROM vb CROSS JOIN (VALUES $masks) m(mask) WHERE vec_id < 5),
+       |st AS (SELECT q.query_id, v.vec_id AS neighbor_id, $cosineCase AS c
+       |  FROM vb v JOIN qp q
+       |  ON v.bucket = q.probe AND v.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, c,
+       |  row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY c DESC, neighbor_id) AS rank FROM st)
+       |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Shared IVF oracle shape: assign each vector to its best cell, probe
+    * each query's top-4 cells, rank exact cosine within the probed union —
+    * DuckDB's own computation of the Spark plan's semantics from the same
+    * centroid literals (ties broken score DESC, cell DESC on both sides).
+    */
+  private def ivfSql(centCols: String, centVals: String,
+                     score: String): String =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cents$centCols AS (VALUES $centVals),
+       |sc AS (SELECT vec_id, e, cell, $score AS s
+       |  FROM base CROSS JOIN cents),
+       |vcell AS (SELECT vec_id, e, cell FROM (
+       |  SELECT vec_id, e, cell, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY s DESC, cell DESC) AS rn FROM sc) WHERE rn = 1),
+       |qcell AS (SELECT vec_id AS query_id, e, cell FROM (
+       |  SELECT vec_id, e, cell, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY s DESC, cell DESC) AS rn FROM sc WHERE vec_id < 5)
+       |  WHERE rn <= 4),
+       |st AS (SELECT q.query_id, v.vec_id AS neighbor_id, $cosineCase AS c
+       |  FROM vcell v JOIN qcell q
+       |  ON v.cell = q.cell AND v.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, c,
+       |  row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY c DESC, neighbor_id) AS rank FROM st)
+       |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private def s03Sql(): String = {
+    val cents = graft.operators.Similarity.pseudoCentroids(16, lastEmbDims)
+    val centVals = cents.zipWithIndex
+      .map { case (c, i) => s"($i, ${sqlArr(c)})" }.mkString(", ")
+    ivfSql("(cell, c)", centVals, "list_inner_product(e, c)")
+  }
+
+  private def s04Sql(): String = {
+    val centVals = lastS04Centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      s"($i, ${sqlArr(c)}, $c2::DOUBLE)"
+    }.mkString(", ")
+    ivfSql("(cell, c, c2)", centVals,
+      "list_inner_product(e, c) * 2.0 - c2")
   }
 }

@@ -113,6 +113,36 @@ object PipelineQueries {
        |ORDER BY address, "isStorage", incarnation, slot, valid_from_block""".stripMargin
   }
 
+  /** Simulation-predicted full-history row count: one row per oracle
+    * entry plus one zero-state row per key group (the p01 mapping).
+    */
+  private def histCount(): Long = {
+    val sim = Fixtures.simulate(lastN / 4, lastN)
+    sim.accountOracle.size.toLong +
+      sim.accountOracle.map(_.addressHex).distinct.size +
+      sim.storageOracle.size +
+      sim.storageOracle.map(o => (o.addressHex, o.slotHex)).distinct.size
+  }
+
+  private def p02Sql(): String = {
+    val h = histCount()
+    s"SELECT $h::BIGINT AS encoded_items, $h::BIGINT AS decoded_total"
+  }
+
+  private def p06Sql(): String = {
+    val h = histCount()
+    s"SELECT $h::BIGINT AS rows_written, $h::BIGINT AS rows_read"
+  }
+
+  private def p08Sql(): String = {
+    val sim = Fixtures.txSimulate(lastN)
+    val bodies = sim.bodies.size
+    s"""SELECT $bodies::BIGINT AS blocks_written,
+       |  $bodies::BIGINT AS blocks_read,
+       |  ${sim.totalTxs}::BIGINT AS txs_expected,
+       |  ${sim.totalTxs}::BIGINT AS txs_read""".stripMargin
+  }
+
   private def p03Sql(): String = {
     val b = accBase
     val mid = lastN.toLong / 2
@@ -235,7 +265,11 @@ object PipelineQueries {
       }, None, Some(() => p01Sql())),
 
     // §2.9 E1: order-dependent encode fold + parallel decode (copy_file
-    // round trip as a query); returns per-chunk stats.
+    // round trip as a query). Output is the environment-independent
+    // equality (encoded items = decoded items = simulation-predicted
+    // history size); per-chunk layout detail is partition-count-dependent
+    // and lives in CodecSpec instead, so the driver's literal oracle
+    // applies.
     "p02_state_codec" -> QuerySpec(
       (s, dir) => {
         import s.implicits._
@@ -244,11 +278,10 @@ object PipelineQueries {
           h.withColumnRenamed("valid_from_block", "block"))
         val chunks = StateFormat.encode(items, strategy = 1, pageShift = 12)
         val decodedCount = StateFormat.decode(chunks, strategy = 1).count()
-        chunks.map(c => (c.partition, c.numItems, c.bytes.length.toLong,
-            decodedCount))
-          .toDF("partition", "num_items", "encoded_bytes", "decoded_total")
-          .orderBy("partition")
-      }, None),
+        chunks.map(c => c.numItems)
+          .agg(sum(col("value")).as("encoded_items"))
+          .withColumn("decoded_total", lit(decodedCount))
+      }, None, Some(() => p02Sql())),
 
     // §3.2/README.md:36-41 flagship read: account state as of a block.
     "p03_account_asof" -> QuerySpec(
@@ -289,10 +322,12 @@ object PipelineQueries {
         // read back through the DataSource V2 (page-split, .idx-prunable)
         val back = s.read.format("graft.spark.datasource.DatDataSource")
           .option("strategy", "0").option("pagesPerSplit", "4").load(out)
-        Seq((items.count(), back.count(),
-            new java.io.File(out).listFiles().count(_.getName.endsWith(".dat"))))
-          .toDF("rows_written", "rows_read", "n_files")
-      }, None),
+        // counts only (no n_files: file count = partition count, an
+        // environment knob) so the sim-literal oracle applies; the
+        // multi-file layout itself is asserted in PipelineSpec
+        Seq((items.count(), back.count()))
+          .toDF("rows_written", "rows_read")
+      }, None, Some(() => p06Sql())),
 
     // Batch as-of join: the flagship lookup as a set operation (one pass
     // for many (address, block) probes).
@@ -323,14 +358,13 @@ object PipelineQueries {
           w.transactions)
         val out = java.nio.file.Files
           .createTempDirectory("graft-txbodies-q").toString
-        val (nFiles, blocksWritten, _) = graft.spark.TxBodyFiles.write(
+        val (_, blocksWritten, _) = graft.spark.TxBodyFiles.write(
           enc, out, blockStart = 1L, blockEnd = w.nBlocks)
         val back = graft.spark.TxBodyFiles.read(s, out)
         val txsRead = back.agg(sum(size(col("txs")))).collect()(0).getLong(0)
-        Seq((blocksWritten, back.count(), w.totalTxs, txsRead, nFiles))
-          .toDF("blocks_written", "blocks_read", "txs_expected", "txs_read",
-            "n_files")
-      }, None),
+        Seq((blocksWritten, back.count(), w.totalTxs, txsRead))
+          .toDF("blocks_written", "blocks_read", "txs_expected", "txs_read")
+      }, None, Some(() => p08Sql())),
 
     // Incremental append flow: convert in two block-range increments into
     // ONE dataset (the daily-increment shape), read back the union.
@@ -352,16 +386,14 @@ object PipelineQueries {
           out, strategy = 0, blockStart = mid + 1, blockEnd = w.latestBlock)
         val back = s.read.format("graft.spark.datasource.DatDataSource")
           .option("strategy", "0").load(out)
-        val result = Seq((items.count(), back.count(),
-            new java.io.File(out).listFiles()
-              .count(_.getName.endsWith(".dat"))))
-          .toDF("rows_written", "rows_read", "n_files")
+        val result = Seq((items.count(), back.count()))
+          .toDF("rows_written", "rows_read")
         // counts already materialized into the local relation; drop the
         // temp dataset so repeated harness runs don't accumulate garbage
         org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(out))
         result
-      }, None),
+      }, None, Some(() => p06Sql())),
 
     // Batch STORAGE as-of join: many (address, slot, block) probes in one
     // pass over the slot history.
