@@ -182,6 +182,45 @@ object StreamingQueries {
       Some("""SELECT DISTINCT md5(text) AS digest
              |FROM documents ORDER BY digest""".stripMargin)),
 
+    // The PRODUCTION shape of the incremental pipeline: the account
+    // changeset table as a real FILE-SOURCE readStream (no MemoryStream,
+    // no driver collect) → decode → incremental W1 fold
+    // (flatMapGroupsWithState) → memory sink. The DuckDB oracle
+    // reconstructs the same closed intervals from the INDEPENDENT chain
+    // simulation's account oracle (entry (addr, P) with a next touch at B
+    // ⇒ interval [P, B); first touch opens from 0) — so a genuine
+    // streaming execution of the flagship W1 is hash-checked end-to-end.
+    // Fits one micro-batch (files ≪ maxFilesPerTrigger), and the fold
+    // sorts each group's batch slice by block, so arrival order within
+    // the batch is irrelevant.
+    "st05_history_stream" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val n = if (dir.contains("sf0.1")) 2000 else 200
+        graft.pipeline.Fixtures.generate(s, n / 4, n) // materialize cache
+        val base = graft.pipeline.Fixtures.cacheBase(n / 4, n)
+        lastAccBase = base
+        val src = s"$base/account_changeset"
+        val raw = s.read.parquet(src)
+        val dec = udf { blob: Array[Byte] =>
+          val d = graft.codec.AccountBlob.decode(blob)
+          (d.nonce, d.balance)
+        }
+        val changes = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "*.parquet").parquet(src)
+          .withColumn("d", dec(col("account_blob")))
+          .select(hex(col("address")).as("key"), col("block"),
+            concat_ws(":", col("d._1"), hex(col("d._2"))).as("payload"))
+          .as[Streams.Change]
+        val q = Streams.incrementalHistory(changes)
+          .writeStream.format("memory").queryName("st05_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st05_sink").orderBy(col("key"), col("validFrom"))
+      }, None, Some(() => st05Sql())),
+
     // Incremental W1 through an actual streaming query (MemoryStream →
     // flatMapGroupsWithState → memory sink), fed the fixture changesets in
     // two block-ordered micro-batches.
@@ -234,4 +273,28 @@ object StreamingQueries {
         s.table(name).orderBy(col("key"), col("validFrom"))
       }, None),
   )
+
+  // fixture-cache base of the last st05 run — read by its late-bound
+  // oracle builder at verify-dump time
+  @volatile private var lastAccBase: String = ""
+
+  private def st05Sql(): String = {
+    val b = lastAccBase
+    s"""WITH ao AS (SELECT "_2".addressHex AS address, "_2".block AS blk,
+       |  "_2".nonce AS nonce, "_2".balance AS bal
+       |  FROM read_parquet('$b/account_oracle/*.parquet')),
+       |seq AS (SELECT address, blk, nonce, bal,
+       |  lead(blk) OVER (PARTITION BY address ORDER BY blk) AS nxt
+       |  FROM ao),
+       |closed AS (
+       |  SELECT upper(address) AS key, blk AS "validFrom", nxt AS block,
+       |    nonce::VARCHAR || ':' || upper(lpad(to_hex(bal),64,'0'))
+       |      AS payload
+       |  FROM seq WHERE nxt IS NOT NULL
+       |  UNION ALL
+       |  SELECT upper(address), 0::BIGINT, min(blk),
+       |    '0:' || repeat('0',64) FROM ao GROUP BY address)
+       |SELECT key, "validFrom", block, payload FROM closed
+       |ORDER BY key, "validFrom"""".stripMargin
+  }
 }

@@ -85,4 +85,37 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"J1 code-hash join must broadcast\n$plan")
   }
+
+  test("ANN plans carry literal planes/centroids: no per-row xxhash64") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    for ((name, df) <- Seq(
+        "lshTopK" -> graft.operators.Similarity.lshTopK(e, q, k = 5,
+          nBits = 6),
+        "ivfTopK" -> graft.operators.Similarity.ivfTopK(e, q, k = 5),
+        "embeddingNearDup" -> graft.operators.Dedup.embeddingNearDup(e,
+          threshold = 0.9, nBits = 6))) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      // the seeded draws happen ON THE DRIVER now; an xxhash64 in the plan
+      // means the interpreted per-row hashing regression came back
+      assert(!plan.contains("xxhash64"),
+        s"$name re-hashes per row:\n${plan.take(3000)}")
+    }
+  }
+
+  test("candidate pairs are materialized once (checkpointed), so the " +
+      "candidate subtree cannot re-run per consumer") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 60)
+    val out = graft.operators.Dedup.minhashLsh(docs, threshold = 0.5)
+    val plan = out.queryExecution.optimizedPlan.toString
+    // the pair frame enters the final plan as a checkpointed scan (three
+    // consumers read the RDD, not three copies of the LSH band join)
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+      plan.take(3000))
+    assert(!plan.toLowerCase.contains("minhash_sig"),
+      s"signature kernel must not re-run inside the verify plan:\n${plan.take(3000)}")
+  }
 }
