@@ -129,13 +129,20 @@ object MultimodalGolden {
         bmpBytes(newW, newH))
     }
 
+  /** Absolute on-disk location of a named golden — the single source of
+    * truth for the layout, shared by the writer below and the oracle-SQL
+    * builders that read it back.
+    */
+  def goldenBase(name: String): String =
+    new java.io.File(s"target/golden/$name").getAbsolutePath
+
   /** Write a golden parquet once per (name, n) — content is deterministic,
     * so an existing directory is already valid (same _OK convention as the
     * fixture cache). Returns the absolute path the oracle SQL should read.
     */
   def ensureGolden[T <: Product : org.apache.spark.sql.Encoder](
       spark: SparkSession, name: String, rows: => Seq[T]): String = {
-    val base = new java.io.File(s"target/golden/$name").getAbsolutePath
+    val base = goldenBase(name)
     val ok = java.nio.file.Paths.get(base, "_OK")
     if (!java.nio.file.Files.exists(ok)) {
       import spark.implicits._

@@ -82,23 +82,27 @@ object Similarity {
                                       dims: Int): Array[Array[Double]] =
     Array.tabulate(nBits) { b =>
       Array.tabulate(dims) { i =>
-        if ((xxhash64Pair(b.toLong, i.toLong) & 1L) == 1L) 1.0d else -1.0d
+        if ((xxhash64IntPair(b, i) & 1L) == 1L) 1.0d else -1.0d
       }
     }
 
   /** nBits-bit hyperplane bucket from literal planes: one codegen'd
-    * zip_with dot product per bit (same ascending-index accumulation as
-    * [[lshBucket]] → identical bucket ids).
+    * zip_with dot product per bit (same ascending-index accumulation and
+    * the same seeded draws as [[lshBucket]] → identical bucket ids,
+    * asserted in OperatorSpec). Vectors whose length differs from the
+    * plane matrix raise (see [[guardDims]]) instead of silently
+    * mis-bucketing through zip_with NULL padding.
     */
-  private[operators] def hyperplaneBucket(
+  private[graft] def hyperplaneBucket(
       vec: Column, planes: Array[Array[Double]]): Column =
     if (planes.isEmpty) lit(0L)
-    else planes.zipWithIndex.map { case (p, b) =>
-      val pl = array(p.map(lit).toIndexedSeq: _*)
-      val dot = aggregate(zip_with(vec, pl, (x, s) => x.cast("double") * s),
-        lit(0.0d), (a, d) => a + d)
-      when(dot > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    else guardDims(vec, planes.head.length,
+      planes.zipWithIndex.map { case (p, b) =>
+        val pl = array(p.map(lit).toIndexedSeq: _*)
+        val dot = aggregate(zip_with(vec, pl, (x, s) => x.cast("double") * s),
+          lit(0.0d), (a, d) => a + d)
+        when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_)))
 
   /** First row's embedding dimensionality — one driver-side metadata
     * lookup (0 for an empty frame), used to size literal plane/centroid
@@ -117,8 +121,9 @@ object Similarity {
     */
   def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int,
               nBits: Int = 8, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val planes = rademacherPlanes(nBits, dimsOf(vectors, vecCol))
+              vecCol: String = "embedding", dims: Int = -1): DataFrame = {
+    val planes = rademacherPlanes(nBits,
+      if (dims >= 0) dims else dimsOf(vectors, vecCol))
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
       hyperplaneBucket(col(vecCol), planes).as("bucket"))
     val probes = (0 until nBits)
@@ -138,17 +143,43 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Spark-identical xxhash64(a, b) (seed 42, left-to-right fold) computed
-    * driver-side — lets seeded pseudo-random plan constants (centroids,
-    * hyperplanes) be generated ON THE DRIVER with the exact values the
-    * in-plan `xxhash64` column function would produce.
+  /** Driver-side replica of the in-plan `xxhash64(a, b)` over two
+    * IntegerType columns (seed 42, left-to-right fold; integers hash via
+    * `XXH64.hashInt`, NOT `hashLong` — the two mix different input
+    * lengths and give different values). This is what lets the seeded
+    * plan constants (planes, pseudo-centroids) be generated ON THE DRIVER
+    * with exactly the values the reference in-plan expressions draw —
+    * OperatorSpec asserts [[lshBucket]] ≡ [[hyperplaneBucket]] on data.
     */
-  private[graft] def xxhash64Pair(a: Long, b: Long): Long = {
+  private[graft] def xxhash64IntPair(a: Int, b: Int): Long = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
-    XXH64.hashLong(b, XXH64.hashLong(a, 42L))
+    XXH64.hashInt(b, XXH64.hashInt(a, 42L))
   }
 
   private def pmodL(x: Long, m: Long): Long = { val r = x % m; if (r < 0) r + m else r }
+
+  /** Per-row dimensionality guard for literal-matrix kernels: `zip_with`
+    * against a fixed-length literal NULL-pads a mismatched vector, which
+    * would silently zero bucket bits / skew cell scores — so a vector
+    * whose length differs from the matrix raises instead.
+    */
+  private def guardDims(vec: Column, dims: Int, out: Column): Column =
+    when(size(vec) === lit(dims), out)
+      .otherwise(raise_error(concat(
+        lit(s"graft: expected $dims-dim vector, got "),
+        size(vec).cast("string"))))
+
+  /** The seeded pseudo-centroid matrix (deterministic stand-in for trained
+    * k-means centroids), components in [-1, 1) from the same xxhash64
+    * draws the in-plan expression form uses.
+    */
+  private[graft] def pseudoCentroids(nCentroids: Int,
+                                     dims: Int): Array[Array[Double]] =
+    Array.tabulate(nCentroids) { c =>
+      Array.tabulate(dims) { i =>
+        pmodL(xxhash64IntPair(c, i), 2000L).toDouble / 1000.0d - 1.0d
+      }
+    }
 
   /** IVF-style ANN: partition vectors by nearest of `nCentroids` seeded
     * pseudo-random unit directions (a deterministic stand-in for trained
@@ -156,57 +187,37 @@ object Similarity {
     * Spark shape — centroid assignment as a narrow column expression, then
     * a cell equi-join — is exactly what a trained-IVF would use.
     *
-    * The centroid matrix is generated DRIVER-SIDE (same seeded xxhash64
-    * values the previous in-plan expression produced — bit-identical cell
-    * assignments) and enters the plan as literals through the same
-    * `zip_with` path as [[ivfTopKTrained]]: a 16×dims constant is plan
-    * metadata, not per-row work, so scoring stays one fused codegen loop
-    * instead of re-hashing 16×dims per row. `dims` comes from one
-    * driver-side metadata row, the same class of driver work as the
-    * trained variant's k-means fit.
+    * The centroid matrix is generated DRIVER-SIDE and enters the plan as
+    * literals through the same `zip_with` path as [[ivfTopKTrained]]: a
+    * 16×dims constant is plan metadata, not per-row work, so scoring
+    * stays one fused codegen loop instead of re-hashing 16×dims per row.
+    * `dims` defaults to one driver-side metadata row (pass it explicitly
+    * to avoid the lookup job); vectors of any other length raise.
     */
-  /** The seeded pseudo-centroid matrix (deterministic stand-in for trained
-    * k-means centroids), components in [-1, 1) from the same xxhash64
-    * draws the original in-plan expression used.
-    */
-  private[graft] def pseudoCentroids(nCentroids: Int,
-                                     dims: Int): Array[Array[Double]] =
-    Array.tabulate(nCentroids) { c =>
-      Array.tabulate(dims) { i =>
-        pmodL(xxhash64Pair(c.toLong, i.toLong), 2000L).toDouble / 1000.0d -
-          1.0d
-      }
-    }
-
   def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val cents = pseudoCentroids(nCentroids, dimsOf(vectors, vecCol))
+              vecCol: String = "embedding", dims: Int = -1): DataFrame = {
+    val d = if (dims >= 0) dims else dimsOf(vectors, vecCol)
+    val cents = pseudoCentroids(nCentroids, d)
     val cLit = array(cents.map(c => array(c.map(lit).toIndexedSeq: _*))
       .toIndexedSeq: _*)
     // dot(vec, centroid) with the same ascending-index double accumulation
-    // as the previous expression — identical scores, identical cells
+    // as the expression form — identical scores, identical cells
     def centroidScores(vec: Column): Column =
-      zip_with(cLit, sequence(lit(0), lit(nCentroids - 1)), (c, idx) =>
-        struct(
-          aggregate(zip_with(vec, c, (x, cc) => x.cast("double") * cc),
-            lit(0.0d), (a, d) => a + d).as("score"),
-          idx.as("cell")))
+      guardDims(vec, d,
+        zip_with(cLit, sequence(lit(0), lit(nCentroids - 1)), (c, idx) =>
+          struct(
+            aggregate(zip_with(vec, c, (x, cc) => x.cast("double") * cc),
+              lit(0.0d), (a, d) => a + d).as("score"),
+            idx.as("cell"))))
     ivfSearch(vectors, queries, k, nProbe, idCol, vecCol, centroidScores)
   }
 
-  /** IVF with TRAINED centroids: k-means (Spark MLlib) fit on the corpus,
-    * then the same cell-equi-join probe as [[ivfTopK]]. The trained
-    * centroid matrix enters the plan as a LITERAL array-of-arrays, so cell
-    * assignment stays a narrow codegen'd expression — no per-row model
-    * object, no UDF. At 100 TB, fit on a sample
-    * (`vectors.sample(...)`): k-means cost is per-centroid-dim, not
-    * corpus-sized, and assignment is the same narrow scan either way.
-    */
-  /** Fit k-means on the corpus and return the centroid matrix. At 100 TB,
-    * fit on a sample (`vectors.sample(...)`): k-means cost is
-    * per-centroid-dim, not corpus-sized.
+  /** Fit k-means (Spark MLlib) on the corpus and return the centroid
+    * matrix. At 100 TB, fit on a sample (`vectors.sample(...)`): k-means
+    * cost is per-centroid-dim, not corpus-sized, and assignment is the
+    * same narrow scan either way.
     */
   def fitIvfCentroids(vectors: DataFrame, nCentroids: Int = 16,
                       vecCol: String = "embedding", maxIter: Int = 10,
@@ -231,18 +242,20 @@ object Similarity {
                            centroids: Array[Array[Double]], nProbe: Int = 4,
                            idCol: String = "vec_id",
                            vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "empty centroid matrix")
     val n = centroids.length
     val cLit = array(centroids.map(c =>
       array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
     val c2 = centroids.map(c => c.map(x => x * x).sum)
     val c2Lit = array(c2.map(lit).toIndexedSeq: _*)
     def centroidScores(vec: Column): Column =
-      zip_with(cLit, sequence(lit(0), lit(n - 1)), (c, idx) =>
-        struct(
-          (aggregate(zip_with(vec, c, (x, cc) => x.cast("double") * cc),
-            lit(0.0d), (a, d) => a + d) * lit(2.0d) -
-            element_at(c2Lit, idx.cast("int") + 1)).as("score"),
-          idx.as("cell")))
+      guardDims(vec, centroids.head.length,
+        zip_with(cLit, sequence(lit(0), lit(n - 1)), (c, idx) =>
+          struct(
+            (aggregate(zip_with(vec, c, (x, cc) => x.cast("double") * cc),
+              lit(0.0d), (a, d) => a + d) * lit(2.0d) -
+              element_at(c2Lit, idx.cast("int") + 1)).as("score"),
+            idx.as("cell"))))
     ivfSearch(vectors, queries, k, nProbe, idCol, vecCol, centroidScores)
   }
 

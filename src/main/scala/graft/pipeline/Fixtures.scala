@@ -154,6 +154,15 @@ object Fixtures {
     }
   }
 
+  /** Absolute on-disk location of the parquet cache for these params —
+    * also the `read_parquet` root the pipeline oracle SQL points DuckDB at
+    * (built at verify-dump time, AFTER the queries have warmed the cache).
+    */
+  def cacheBase(nAddresses: Int, nBlocks: Int, seed: Long = 42L): String =
+    // v2: layout version bump (v1 lacked the oracle tables)
+    new java.io.File(
+      s"target/fixture-cache/v2-$nAddresses-$nBlocks-$seed").getAbsolutePath
+
   /** Round-trip the generated world through a deterministic parquet cache.
     *
     * Driver-built Seqs enter a plan as single-partition `LocalTableScan`s:
@@ -168,15 +177,6 @@ object Fixtures {
     * driver-side simulation (which is seconds of single-threaded work at
     * bench scale).
     */
-  /** Absolute on-disk location of the parquet cache for these params —
-    * also the `read_parquet` root the pipeline oracle SQL points DuckDB at
-    * (built at verify-dump time, AFTER the queries have warmed the cache).
-    */
-  def cacheBase(nAddresses: Int, nBlocks: Int, seed: Long = 42L): String =
-    // v2: layout version bump (v1 lacked the oracle tables)
-    new java.io.File(
-      s"target/fixture-cache/v2-$nAddresses-$nBlocks-$seed").getAbsolutePath
-
   private def parquetBacked(spark: SparkSession, nAddresses: Int,
                             nBlocks: Int, seed: Long): World = {
     import spark.implicits._

@@ -517,17 +517,20 @@ object LlmQueries {
     "s02_lsh_topk" -> QuerySpec(
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
-        lastEmbDims = Similarity.dimsOf(e, "embedding")
+        val dims = Similarity.dimsOf(e, "embedding")
+        lastEmbDims = dims
         Similarity.lshTopK(e, e.filter(col("vec_id") < 5), k = 10,
-            nBits = 6)
+            nBits = 6, dims = dims)
           .orderBy(col("query_id"), col("rank"))
       }, None, Some(() => s02Sql())),
 
     "s03_ivf_topk" -> QuerySpec(
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
-        lastEmbDims = Similarity.dimsOf(e, "embedding")
-        Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10)
+        val dims = Similarity.dimsOf(e, "embedding")
+        lastEmbDims = dims
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10,
+            dims = dims)
           .orderBy(col("query_id"), col("rank"))
       }, None, Some(() => s03Sql())),
 
@@ -615,7 +618,9 @@ object LlmQueries {
 
   private def mGoldenSql(name: String, cols: String,
                          order: String): String = {
-    val base = new java.io.File(s"target/golden/$name").getAbsolutePath
+    // single source of truth for the golden layout — the same helper
+    // ensureGolden uses to place the files
+    val base = MultimodalGolden.goldenBase(name)
     s"SELECT $cols FROM read_parquet('$base/*.parquet') ORDER BY $order"
   }
 
@@ -640,6 +645,7 @@ object LlmQueries {
       |     ELSE 0 END""".stripMargin
 
   private def s02Sql(): String = {
+    require(lastEmbDims > 0, "s02 never ran — no dims captured")
     val planes = graft.operators.Similarity.rademacherPlanes(6, lastEmbDims)
     val bucketExpr = planes.zipWithIndex.map { case (p, b) =>
       s"(CASE WHEN list_inner_product(e, ${sqlArr(p)}) > 0" +
@@ -689,6 +695,7 @@ object LlmQueries {
        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   private def s03Sql(): String = {
+    require(lastEmbDims > 0, "s03 never ran — no dims captured")
     val cents = graft.operators.Similarity.pseudoCentroids(16, lastEmbDims)
     val centVals = cents.zipWithIndex
       .map { case (c, i) => s"($i, ${sqlArr(c)})" }.mkString(", ")
@@ -696,6 +703,7 @@ object LlmQueries {
   }
 
   private def s04Sql(): String = {
+    require(lastS04Centroids.nonEmpty, "s04 never ran — no centroids")
     val centVals = lastS04Centroids.zipWithIndex.map { case (c, i) =>
       val c2 = c.map(x => x * x).sum
       s"($i, ${sqlArr(c)}, $c2::DOUBLE)"

@@ -11,8 +11,11 @@ import graft.spark.StateFormat
   */
 object PipelineQueries {
 
-  // fixture size scales mildly with the sf dir so bench runs exercise more
-  private def nFor(dir: String): Int = if (dir.contains("sf0.1")) 2000 else 200
+  // fixture size scales mildly with the sf dir so bench runs exercise
+  // more; SHARED with the streaming st05 entry so the two surfaces can
+  // never read differently-sized fixture worlds
+  private[queries] def nFor(dir: String): Int =
+    if (dir.contains("sf0.1")) 2000 else 200
 
   // the last fixture size any pipeline query ran at — read by the
   // late-bound oracle builders, which run at verify-DUMP time (after all
@@ -171,6 +174,9 @@ object PipelineQueries {
 
   private def p05Sql(): String = {
     val sim = Fixtures.txSimulate(lastN)
+    // empty VALUES is a syntax error, not a degrade — throw instead so
+    // SparkEntry's Try drops just this entry to rows-only
+    require(sim.dups.nonEmpty, "no duplicate blocks in simulation")
     val vals = sim.dups.map(b => s"($b::BIGINT, 2::BIGINT)").mkString(", ")
     s"SELECT * FROM (VALUES $vals) AS t(block, n_bodies) ORDER BY block"
   }

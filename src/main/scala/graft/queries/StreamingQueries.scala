@@ -196,7 +196,7 @@ object StreamingQueries {
     "st05_history_stream" -> QuerySpec(
       (s, dir) => {
         import s.implicits._
-        val n = if (dir.contains("sf0.1")) 2000 else 200
+        val n = PipelineQueries.nFor(dir) // same world as the p-entries
         graft.pipeline.Fixtures.generate(s, n / 4, n) // materialize cache
         val base = graft.pipeline.Fixtures.cacheBase(n / 4, n)
         lastAccBase = base
@@ -280,6 +280,7 @@ object StreamingQueries {
 
   private def st05Sql(): String = {
     val b = lastAccBase
+    require(b.nonEmpty, "st05 never ran — no fixture base captured")
     s"""WITH ao AS (SELECT "_2".addressHex AS address, "_2".block AS blk,
        |  "_2".nonce AS nonce, "_2".balance AS bal
        |  FROM read_parquet('$b/account_oracle/*.parquet')),

@@ -214,6 +214,37 @@ class OperatorSpec extends AnyFunSuite {
       s"trained $trainedRecall vs random $ivfRecall")
   }
 
+  test("literal-plane buckets equal the in-plan xxhash64 reference " +
+      "(hashInt draw parity)") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val dims = Similarity.dimsOf(e, "embedding")
+    for (nBits <- Seq(4, 6, 12)) {
+      val planes = Similarity.rademacherPlanes(nBits, dims)
+      // the production literal path and the interpreted reference path
+      // must agree on EVERY row — this is the guard that the driver-side
+      // XXH64 replay (hashInt for IntegerType inputs, not hashLong)
+      // draws exactly the values the in-plan expression draws
+      val diff = e.select(
+          Similarity.lshBucket(col("embedding"), nBits).as("ref"),
+          Similarity.hyperplaneBucket(col("embedding"), planes).as("lit"))
+        .filter(col("ref") =!= col("lit")).count()
+      assert(diff == 0L, s"nBits=$nBits: $diff rows bucket differently")
+    }
+  }
+
+  test("literal-matrix kernels raise on dimension mismatch instead of " +
+      "silently mis-bucketing") {
+    val planes = Similarity.rademacherPlanes(4, 8)
+    val bad = Seq((1L, Array.fill(5)(0.5f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      bad.select(Similarity.hyperplaneBucket(col("embedding"), planes))
+        .collect()
+    }
+    assert(ex.getMessage.contains("expected 8-dim") ||
+      Option(ex.getCause).exists(_.getMessage.contains("expected 8-dim")),
+      s"wrong error: ${ex.getMessage}")
+  }
+
   test("embedding near-dup finds planted duplicates") {
     val rnd = new scala.util.Random(9)
     val base = (0 until 30).map { i =>
