@@ -116,6 +116,28 @@ object Cli {
     (prune, strategy)
   }
 
+  /** The reference's headline read (README.md:36-41): state of an address
+    * (or one of its storage slots) as of a block, against a CONVERTED
+    * dataset. The reference does an O(log N) page seek; here the same IO
+    * discipline falls out of the DSv2 source — the address/block
+    * predicates push into split planning and prune pages via the `.idx`
+    * sidecar bounds, so only the matching page runs decode.
+    */
+  def asOf(s: org.apache.spark.sql.SparkSession, dir: String, strategy: Int,
+           addressHex: String, block: Long,
+           slotHex: Option[String] = None): Option[model.StateItem] = {
+    val addr = functions.Bytes.unhex(addressHex)
+    val items = spark.StateFiles.read(s, dir, strategy)
+    val base = items.filter(col("address") === lit(addr) &&
+      col("block") <= block)
+    val keyed = slotHex match {
+      case Some(sl) => base.filter(col("isStorage") &&
+        col("slot") === lit(functions.Bytes.unhex(sl)))
+      case None => base.filter(!col("isStorage"))
+    }
+    keyed.orderBy(col("block").desc).limit(1).collect().headOption
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "convert" :: tablesDir :: outDir :: rest =>
       val (prune, strategy) = parseConvertFlags(rest)
@@ -150,6 +172,27 @@ object Cli {
             s"txBytes=${r.txs.map(_.length).sum}")
         }
       finally in.close()
+    case "asof" :: dir :: strategyStr :: addrHex :: blockStr :: rest
+        if rest.size <= 1 =>
+      val s = session()
+      val res = asOf(s, dir, strategyStr.toInt, addrHex, blockStr.toLong,
+        rest.headOption)
+      res match {
+        case Some(i) if i.isStorage =>
+          println(s"address=${functions.Bytes.hex(i.address)} " +
+            s"slot=${functions.Bytes.hex(i.slot)} valid_from=${i.block} " +
+            s"incarnation=${i.incarnation} " +
+            s"value=${functions.Bytes.hex(i.value)}")
+        case Some(i) =>
+          println(s"address=${functions.Bytes.hex(i.address)} " +
+            s"valid_from=${i.block} nonce=${i.nonce} " +
+            s"incarnation=${i.incarnation} " +
+            s"balance=${functions.Bytes.hex(i.balance)} " +
+            s"code_hash=${functions.Bytes.hex(i.codeHash)}")
+        case None => System.err.println("asof: no visible state")
+      }
+      s.stop()
+      if (res.isEmpty) sys.exit(1)
     case "check" :: dir :: strategyStr :: Nil =>
       // dataset integrity: decode EVERYTHING, compare against the
       // manifest's committed totals
@@ -183,7 +226,8 @@ object Cli {
           |  copy <inDir> <outDir> <strategyIn> <strategyOut>
           |  show <strategy> <path> [--header]
           |  show-txbodies <file.dat>
-          |  check <datasetDir> <strategy>""".stripMargin)
+          |  check <datasetDir> <strategy>
+          |  asof <datasetDir> <strategy> <addressHex> <block> [slotHex]""".stripMargin)
       sys.exit(2)
   }
 }

@@ -87,6 +87,47 @@ class CliSpec extends AnyFunSuite {
     assert(minBlock >= 31L || minBlock == 0L)
   }
 
+  test("asof: flagship point read on a converted dataset matches the " +
+      "chain oracle (account, storage, pre-existence)") {
+    val tables = java.nio.file.Files
+      .createTempDirectory("graft-cli-asof-tables").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-cli-asof-out").toString
+    val w = writeTables(tables)
+    Cli.convert(spark, tables, out)
+    // mid-chain account probe: as-of AT a touch block must return exactly
+    // that oracle entry (history row valid FROM it)
+    val (addr, touches) = w.accountOracle.groupBy(_.addressHex)
+      .maxBy(_._2.size)
+    val sorted = touches.sortBy(_.block)
+    val probe = sorted(sorted.size / 2)
+    val res = Cli.asOf(spark, out, 0, addr, probe.block)
+      .getOrElse(fail("account probe found nothing"))
+    assert(!res.isStorage && res.block == probe.block)
+    assert(res.nonce == probe.nonce && res.incarnation == probe.incarnation)
+    assert(BigInt(graft.functions.Bytes.hex(res.balance), 16) ==
+      BigInt(probe.balance))
+    // storage probe through the same dataset
+    val (_, stTouches) = w.storageOracle
+      .groupBy(o => (o.addressHex, o.slotHex)).maxBy(_._2.size)
+    val stSorted = stTouches.sortBy(_.block)
+    val sp = stSorted(stSorted.size / 2)
+    val sres = Cli.asOf(spark, out, 0, sp.addressHex, sp.block,
+        Some(sp.slotHex))
+      .getOrElse(fail("storage probe found nothing"))
+    assert(sres.isStorage && sres.block == sp.block)
+    assert(BigInt(graft.functions.Bytes.hex(sres.value), 16) ==
+      BigInt(sp.value))
+    // before the first touch the zero-state row answers (account did not
+    // exist yet): valid_from 0, zeroed fields
+    if (sorted.head.block > 1) {
+      val r0 = Cli.asOf(spark, out, 0, addr, sorted.head.block - 1)
+        .getOrElse(fail("pre-existence probe found nothing"))
+      assert(r0.block == 0L && r0.nonce == 0L &&
+        BigInt(graft.functions.Bytes.hex(r0.balance), 16) == 0)
+    }
+  }
+
   test("check: decoded totals match the manifest after convert") {
     val tables = java.nio.file.Files
       .createTempDirectory("graft-cli-check-t").toString
