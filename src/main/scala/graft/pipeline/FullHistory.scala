@@ -116,16 +116,16 @@ object FullHistory {
     * `shufflePartitions` sizes the range partitioner; at 100 TB this is the
     * knob that keeps each sorted partition within executor memory.
     */
-  def build(spark: SparkSession,
-            accountChangeset: DataFrame,
-            storageChangeset: DataFrame,
-            plainCodeHash: DataFrame,
-            plainStateAccounts: DataFrame,
-            plainStateStorage: DataFrame,
-            latestBlock: Long,
-            shufflePartitions: Int = 0,
-            blockStart: Long = 0L): DataFrame = {
-
+  /** Decode + prune + union + group-key annotation — the shared front of
+    * [[build]] and [[buildSkewTolerant]].
+    */
+  private def keyedUnion(accountChangeset: DataFrame,
+                         storageChangeset: DataFrame,
+                         plainCodeHash: DataFrame,
+                         plainStateAccounts: DataFrame,
+                         plainStateStorage: DataFrame,
+                         latestBlock: Long,
+                         blockStart: Long): DataFrame = {
     // F2 (-P prune, erigon_extract.c:2722-2726): keep only changesets from
     // blockStart on — applied BEFORE decode so the predicate reaches the
     // changeset scan (pushdown), exactly the reference's MDBX SET_RANGE
@@ -146,9 +146,30 @@ object FullHistory {
 
     // J3 + O3: the reference's cursor interleave and k-way file merge are
     // both just "sorted union" relationally; one exchange covers both.
-    val unioned = accounts.unionByName(storage)
+    accounts.unionByName(storage)
       .unionByName(psAccounts).unionByName(psStorage)
+      .withColumn("gInc",
+        when(col("isStorage"), col("incarnation")).otherwise(lit(0L)))
+      .withColumn("gSlot",
+        when(col("isStorage"), col("slot")).otherwise(zeros32))
+  }
 
+  private val outputCols = Seq(col("address"), col("isStorage"),
+    col("incarnation"), col("slot"), col("valid_from_block"), col("nonce"),
+    col("balance"), col("codeHash"), col("value"))
+
+  def build(spark: SparkSession,
+            accountChangeset: DataFrame,
+            storageChangeset: DataFrame,
+            plainCodeHash: DataFrame,
+            plainStateAccounts: DataFrame,
+            plainStateStorage: DataFrame,
+            latestBlock: Long,
+            shufflePartitions: Int = 0,
+            blockStart: Long = 0L): DataFrame = {
+    val keyed = keyedUnion(accountChangeset, storageChangeset,
+      plainCodeHash, plainStateAccounts, plainStateStorage, latestBlock,
+      blockStart)
     val n = if (shufflePartitions > 0) shufflePartitions
             else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
@@ -158,11 +179,6 @@ object FullHistory {
     // ClusteredDistribution(groupKeys), so the window adds no second
     // exchange — while sortWithinPartitions on the full O1 key makes the
     // output globally sorted AND satisfies the window's required ordering.
-    val keyed = unioned
-      .withColumn("gInc",
-        when(col("isStorage"), col("incarnation")).otherwise(lit(0L)))
-      .withColumn("gSlot",
-        when(col("isStorage"), col("slot")).otherwise(zeros32))
     val gKeys = Seq(col("address"), col("isStorage"), col("gInc"),
       col("gSlot"))
     val sorted = keyed
@@ -175,9 +191,125 @@ object FullHistory {
       // F3: genesis entries (first-in-group AND original block 0) are
       // dropped (erigon_extract.c:2422-2425)
       .filter(!(col("valid_from_block") === 0L && col("block") === 0L))
-      .select(col("address"), col("isStorage"), col("incarnation"),
-        col("slot"), col("valid_from_block"), col("nonce"), col("balance"),
-        col("codeHash"), col("value"))
+      .select(outputCols: _*)
+  }
+
+  // ---- skew-tolerant W1 (SURVEY §7.4's acknowledged 100× risk) ----
+
+  /** Internal row shape of the skew-tolerant fold. */
+  private[pipeline] final case class KeyedRow(
+      address: Array[Byte], block: Long, isStorage: Boolean, nonce: Long,
+      incarnation: Long, balance: Array[Byte], codeHash: Array[Byte],
+      slot: Array[Byte], value: Array[Byte], gInc: Long, gSlot: Array[Byte])
+
+  private def sameGroup(a: KeyedRow, b: KeyedRow): Boolean =
+    a.isStorage == b.isStorage && a.gInc == b.gInc &&
+      java.util.Arrays.equals(a.address, b.address) &&
+      java.util.Arrays.equals(a.gSlot, b.gSlot)
+
+  /** [[build]] with HOT-KEY tolerance: identical output rows, but no
+    * group is required to fit one partition.
+    *
+    * `build`'s window clusters each (address[,inc,slot]) group into a
+    * single partition — the right plan when the largest group ≪ one
+    * executor's share, but a mainnet-hot contract slot with 10⁸⁺ changes
+    * becomes a straggler (or OOM) there, and an order-dependent LAG
+    * cannot be salted. The standard fix is a RANGE-SPLIT SCAN WITH
+    * BOUNDARY FIXUP, done here in three narrow steps:
+    *
+    *  1. range-partition by (groupKey, block) — a hot group SPLITS across
+    *     consecutive partitions in block order; sortWithinPartitions
+    *     gives the same global order as `build`;
+    *  2. one narrow pass collects each partition's first group-key and
+    *     last (group-key, block) — O(partitions) rows to the driver;
+    *  3. one narrow fold computes LAG per partition, seeding each
+    *     partition's FIRST row from its predecessor partition's last row
+    *     when both belong to the same group (chunk-boundary patch).
+    *
+    * The frame is localCheckpoint'ed so steps 2 and 3 see the SAME
+    * physical partitioning (range-partition sampling is
+    * non-deterministic across jobs) — that materialization is the
+    * documented price of hot-key tolerance; everything after it is
+    * exchange-free. Output rows equal `build`'s exactly (PipelineSpec
+    * asserts it, including on a planted hot key spanning partitions, and
+    * p11 hash-checks it against p01's DuckDB oracle).
+    */
+  def buildSkewTolerant(spark: SparkSession,
+                        accountChangeset: DataFrame,
+                        storageChangeset: DataFrame,
+                        plainCodeHash: DataFrame,
+                        plainStateAccounts: DataFrame,
+                        plainStateStorage: DataFrame,
+                        latestBlock: Long,
+                        shufflePartitions: Int = 0,
+                        blockStart: Long = 0L): DataFrame = {
+    import spark.implicits._
+    val keyed = keyedUnion(accountChangeset, storageChangeset,
+      plainCodeHash, plainStateAccounts, plainStateStorage, latestBlock,
+      blockStart)
+    val n = if (shufflePartitions > 0) shufflePartitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val splitKeys = Seq(col("address"), col("isStorage"), col("gInc"),
+      col("gSlot"), col("block"))
+    val sorted = keyed
+      .select(col("address"), col("block"), col("isStorage"), col("nonce"),
+        col("incarnation"), col("balance"), col("codeHash"), col("slot"),
+        col("value"), col("gInc"), col("gSlot"))
+      .repartitionByRange(n, splitKeys: _*)
+      .sortWithinPartitions(splitKeys: _*)
+      .as[KeyedRow]
+      .localCheckpoint()
+
+    // step 2: partition boundary digest (first/last row per partition)
+    val bounds = sorted.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val first = it.next()
+        var last = first
+        while (it.hasNext) last = it.next()
+        Iterator.single((pid, first, last))
+      }
+    }.collect().sortBy(_._1)
+
+    // predecessor patch: partition p's first row continues the group of
+    // the nearest NON-EMPTY partition before it iff same group key
+    val seed: Map[Int, Long] = {
+      val m = Map.newBuilder[Int, Long]
+      var prev: Option[(Int, KeyedRow, KeyedRow)] = None
+      bounds.foreach { case e @ (pid, first, _) =>
+        prev.foreach { case (_, _, prevLast) =>
+          if (sameGroup(prevLast, first)) m += pid -> prevLast.block
+        }
+        prev = Some(e)
+      }
+      m.result()
+    }
+
+    // step 3: per-partition LAG fold with the boundary seed
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cur: KeyedRow = null
+      var lastBlock = 0L
+      var firstRow = true
+      it.map { r =>
+        val vf =
+          if (firstRow) seed.getOrElse(pid, 0L)
+          else if (sameGroup(cur, r)) lastBlock
+          else 0L
+        firstRow = false
+        cur = r
+        lastBlock = r.block
+        (r, vf)
+      }
+    }.toDF("r", "valid_from_block")
+      .select(col("r.address").as("address"), col("r.isStorage").as("isStorage"),
+        col("r.incarnation").as("incarnation"), col("r.slot").as("slot"),
+        col("valid_from_block"), col("r.nonce").as("nonce"),
+        col("r.balance").as("balance"), col("r.codeHash").as("codeHash"),
+        col("r.value").as("value"), col("r.block").as("__b"))
+      .filter(!(col("valid_from_block") === 0L && col("__b") === 0L))
+      .select(outputCols: _*)
   }
 
   /** Duplicate-full-key detection — the reference aborts on the first

@@ -116,6 +116,21 @@ object PipelineQueries {
        |ORDER BY address, "isStorage", incarnation, slot, valid_from_block""".stripMargin
   }
 
+  /** The p01/p11 presentation projection: hex-encoded keys/values,
+    * ordered as the reference's global output (address-major, then key,
+    * then block) — also what pins the driver's row-ordered hash compare
+    * on both engines.
+    */
+  private def hexHistory(h: org.apache.spark.sql.DataFrame) =
+    h.select(hex(col("address")).as("address"), col("isStorage"),
+        col("incarnation"), hex(col("slot")).as("slot"),
+        col("valid_from_block"), col("nonce"),
+        hex(col("balance")).as("balance"),
+        hex(col("codeHash")).as("code_hash"),
+        hex(col("value")).as("value"))
+      .orderBy(col("address"), col("isStorage"), col("incarnation"),
+        col("slot"), col("valid_from_block"))
+
   /** Simulation-predicted full-history row count: one row per oracle
     * entry plus one zero-state row per key group (the p01 mapping).
     */
@@ -255,19 +270,20 @@ object PipelineQueries {
     // §3.1 full conversion: changesets+plainstate → sorted, re-timestamped
     // full history (J3+J1+O1/O2+W1+F3 in one DAG, single range exchange).
     "p01_full_history" -> QuerySpec(
+      (s, dir) => hexHistory(history(s, dir)),
+      None, Some(() => p01Sql())),
+
+    // The SAME conversion through the skew-tolerant W1 (range-split scan
+    // + boundary fixup, FullHistory.buildSkewTolerant): hash-checked
+    // against the SAME DuckDB oracle as p01 — a driver-level proof that
+    // the hot-key-safe plan is result-identical to the clustered-window
+    // plan.
+    "p11_full_history_skew" -> QuerySpec(
       (s, dir) => {
-        history(s, dir)
-          .select(hex(col("address")).as("address"), col("isStorage"),
-            col("incarnation"), hex(col("slot")).as("slot"),
-            col("valid_from_block"), col("nonce"),
-            hex(col("balance")).as("balance"),
-            hex(col("codeHash")).as("code_hash"),
-            hex(col("value")).as("value"))
-          // presentation order = the reference's global output order
-          // (address-major, then key, then block); also what pins the
-          // driver's row-ordered hash compare on both engines
-          .orderBy(col("address"), col("isStorage"), col("incarnation"),
-            col("slot"), col("valid_from_block"))
+        val w = world(s, dir)
+        hexHistory(FullHistory.buildSkewTolerant(s, w.accountChangeset,
+          w.storageChangeset, w.plainCodeHash, w.plainStateAccounts,
+          w.plainStateStorage, w.latestBlock))
       }, None, Some(() => p01Sql())),
 
     // §2.9 E1: order-dependent encode fold + parallel decode (copy_file

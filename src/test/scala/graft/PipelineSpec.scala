@@ -163,6 +163,54 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("skew-tolerant W1 equals the clustered-window build (fixture world)") {
+    val skew = FullHistory.buildSkewTolerant(spark,
+      world.accountChangeset, world.storageChangeset, world.plainCodeHash,
+      world.plainStateAccounts, world.plainStateStorage, world.latestBlock)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(hex(col("address")), col("isStorage"), col("incarnation"),
+        hex(col("slot")), col("valid_from_block"), col("nonce"),
+        hex(col("balance")), hex(col("codeHash")), hex(col("value")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(canon(skew) == canon(history))
+  }
+
+  test("skew-tolerant W1: a planted hot key spanning many partitions " +
+      "gets correct chunk-boundary LAG") {
+    import spark.implicits._
+    // ONE address dominates: 3000 consecutive touches, forcing the range
+    // partitioner (on key+block, 8 partitions) to split the group — every
+    // partition boundary inside it exercises the seed patch
+    val hot = Array.fill(20)(7.toByte)
+    val cold = Array.fill(20)(9.toByte)
+    def blob(nonce: Long) = graft.codec.AccountBlob.encode(
+      nonce, StateItem.zeros(32), 0L, StateItem.zeros(32))
+    val accCs = ((1L to 3000L).map(b => (b, hot, blob(b))) ++
+        Seq((5L, cold, blob(1L))))
+      .toDF("block", "address", "account_blob")
+    val stoCs = Seq.empty[(Long, Array[Byte], Long, Array[Byte],
+      Array[Byte])].toDF("block", "address", "incarnation", "slot", "value")
+    val pch = Seq.empty[(Array[Byte], Long, Array[Byte])]
+      .toDF("address", "incarnation", "code_hash")
+    val psAcc = Seq((hot, blob(3001L)), (cold, blob(2L)))
+      .toDF("address", "account_blob")
+    val psSto = Seq.empty[(Array[Byte], Long, Array[Byte], Array[Byte])]
+      .toDF("address", "incarnation", "slot", "value")
+    val std = FullHistory.build(spark, accCs, stoCs, pch, psAcc, psSto,
+      latestBlock = 3000L, shufflePartitions = 8)
+    val skew = FullHistory.buildSkewTolerant(spark, accCs, stoCs, pch,
+      psAcc, psSto, latestBlock = 3000L, shufflePartitions = 8)
+    val stdRows = std.select(hex(col("address")), col("valid_from_block"),
+        col("nonce")).collect().map(_.toString).sorted.toSeq
+    val skewRows = skew.select(hex(col("address")), col("valid_from_block"),
+        col("nonce")).collect().map(_.toString).sorted.toSeq
+    assert(skewRows == stdRows)
+    // the hot group really has a contiguous LAG chain: 3001 rows
+    // (vf 0,1..3000), one per touch plus the plainstate closure
+    assert(skew.filter(hex(col("address")) === Bytes.hex(hot).toUpperCase)
+      .count() == 3001L)
+  }
+
   test("-P prune: blockStart keeps only the tail history") {
     val pruneFrom = world.latestBlock - 50 + 1
     val pruned = FullHistory.build(spark,
