@@ -72,22 +72,7 @@ object StateFiles {
     */
   def append(items: Dataset[StateItem], dir: String, strategy: Int,
              blockStart: Long = 0L, blockEnd: Long = 0L): Unit = {
-    val partBase = {
-      val stream = Files.list(Paths.get(dir))
-      try {
-        val it = stream.iterator()
-        var maxPart = -1
-        while (it.hasNext) {
-          val name = it.next().getFileName.toString
-          if (name.startsWith("part-") && name.endsWith(".dat")) {
-            val n = name.stripPrefix("part-").stripSuffix(".dat")
-            try maxPart = math.max(maxPart, n.toInt)
-            catch { case _: NumberFormatException => () }
-          }
-        }
-        maxPart + 1
-      } finally stream.close()
-    }
+    val partBase = nextPartBase(dir)
     // a dataset with part files but NO manifest is a torn write — its
     // strategy and committed contents are unknowable; refuse rather than
     // risk a mixed-strategy dataset that decodes as garbage
@@ -124,143 +109,189 @@ object StateFiles {
       }
     }
 
+  /** One encoded part: the full `.dat` bytes (header + page-aligned body)
+    * and its `.idx` sidecar, plus the stat counters. Shared by the
+    * function sink below and the DataSource V2 write path.
+    */
+  private[spark] final case class EncodedPart(dat: Array[Byte],
+                                              idx: Array[Byte],
+                                              bodyBytes: Long,
+                                              accounts: Long, slots: Long)
+
+  /** Encode one partition's (pre-sorted) items into the reference layout.
+    * None for an empty partition (no file emitted).
+    */
+  private[spark] def encodePart(it: Iterator[StateItem], strategy: Int,
+                                blockStart: Long,
+                                blockEnd: Long): Option[EncodedPart] = {
+    if (!it.hasNext) return None
+    val w = new StateWriter(strategy, PageShift, baseOffset = Header.Size)
+    it.foreach(w.write)
+    Some(finishPart(w, strategy, blockStart, blockEnd))
+  }
+
+  /** Streaming form of [[encodePart]]: callers feed a [[StateWriter]] (of
+    * [[partWriter]]) row by row and finish here — the DSv2 DataWriter
+    * shape, same memory profile as the iterator form.
+    */
+  private[spark] def partWriter(strategy: Int): StateWriter =
+    new StateWriter(strategy, PageShift, baseOffset = Header.Size)
+
+  private[spark] def finishPart(w: StateWriter, strategy: Int,
+                                blockStart: Long,
+                                blockEnd: Long): EncodedPart = {
+    val body = w.toArray
+    val header = Header.build(
+      endOfStates = Header.Size.toLong + body.length, PageShift,
+      blockStart, blockEnd, w.countStorageSlots)
+    val full = header ++ body
+    // sidecar index, 56 bytes/page: min address (20) + max address
+    // (20) + min block (8) + max block (8) — TRUE per-page bounds, so
+    // split pruning is sound for ANY row order (address-major,
+    // block-major, arbitrary), exactly like parquet row-group min/max
+    // statistics (the reference's O(log N) seek, README.md:36-41, as
+    // source-level pruning). Pages are aligned to ABSOLUTE file
+    // offsets (reference layout): page 0 is the header-shortened
+    // [256, 4096) region. Empty pages get full-range bounds (never
+    // pruned).
+    val nPages =
+      ((Header.Size + body.length + PageSize - 1) / PageSize).toInt
+    // + 16-byte trailer: .dat size + pairing checksum (see
+    // pairingChecksum — binds this sidecar to exactly this .dat)
+    val idx = new Array[Byte](nPages * 56 + 16)
+    var p = 0
+    while (p < nPages) {
+      val bodyStart = math.max(0, p * PageSize - Header.Size)
+      val bodyEnd =
+        math.min((p + 1) * PageSize - Header.Size, body.length)
+      val r = new StateReader(strategy, body, bodyStart, bodyEnd)
+      var minB = Long.MaxValue
+      var maxB = Long.MinValue
+      var any = false
+      val minA = Array.fill[Byte](20)(-1) // 0xff..ff
+      val maxA = new Array[Byte](20)      // 0x00..00
+      r.foreach { item =>
+        any = true
+        if (java.util.Arrays.compareUnsigned(item.address, minA) < 0)
+          System.arraycopy(item.address, 0, minA, 0, 20)
+        if (java.util.Arrays.compareUnsigned(item.address, maxA) > 0)
+          System.arraycopy(item.address, 0, maxA, 0, 20)
+        if (item.block < minB) minB = item.block
+        if (item.block > maxB) maxB = item.block
+      }
+      if (!any) {
+        java.util.Arrays.fill(minA, 0.toByte)
+        java.util.Arrays.fill(maxA, -1.toByte)
+        minB = 0L; maxB = Long.MaxValue
+      }
+      System.arraycopy(minA, 0, idx, p * 56, 20)
+      System.arraycopy(maxA, 0, idx, p * 56 + 20, 20)
+      graft.functions.Bytes.put64be(idx, p * 56 + 40, minB)
+      graft.functions.Bytes.put64be(idx, p * 56 + 48, maxB)
+      p += 1
+    }
+    graft.functions.Bytes.put64be(idx, nPages * 56, full.length.toLong)
+    graft.functions.Bytes.put64be(idx, nPages * 56 + 8,
+      pairingChecksum(
+        java.util.Arrays.copyOf(full, math.min(full.length, PairPrefixLen)),
+        java.util.Arrays.copyOfRange(full,
+          math.max(0, full.length - PairSuffixLen), full.length)))
+    EncodedPart(full, idx, body.length.toLong, w.countAccounts,
+      w.countStorageSlots)
+  }
+
+  private[spark] def atomicWrite(dir: String, name: String,
+                                 bytes: Array[Byte]): Unit = {
+    val tmp = Paths.get(dir, s".$name.tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, bytes)
+    Files.move(tmp, Paths.get(dir, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Write/merge the dataset-level manifest — the multi-file replacement
+    * for the reference's single 256-byte header (C11): totals + layout
+    * params in one JSON (the per-file headers remain byte-compatible). On
+    * merge (append), totals accumulate and the block range widens. The
+    * `file_list` snapshot is replaced ATOMICALLY as the last step — this
+    * IS the dataset-level commit point. Shared by the function sink and
+    * the DSv2 BatchWrite.commit.
+    */
+  private[spark] def commitManifest(dir: String, strategy: Int,
+                                    blockStart: Long, blockEnd: Long,
+                                    mergeManifest: Boolean,
+                                    parts: Seq[(Int, Long, Long, Long)]): Unit = {
+    def prev(name: String): Long =
+      if (mergeManifest) manifestField(dir, name).getOrElse(0L) else 0L
+    val accounts = parts.map(_._3).sum + prev("accounts")
+    val slots = parts.map(_._4).sum + prev("storage_slots")
+    val bytes = parts.map(_._2).sum + prev("bytes")
+    val files = parts.length + prev("files")
+    val bStart =
+      if (mergeManifest)
+        math.min(blockStart,
+          manifestField(dir, "block_start").getOrElse(blockStart))
+      else blockStart
+    val bEnd =
+      if (mergeManifest)
+        math.max(blockEnd,
+          manifestField(dir, "block_end").getOrElse(blockEnd))
+      else blockEnd
+    val newNames = parts.map(p => f"part-${p._1}%05d.dat").sorted
+    val allNames =
+      (if (mergeManifest) manifestFileList(dir).getOrElse(Seq.empty)
+       else Seq.empty) ++ newNames
+    val fileListJson =
+      allNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val manifest =
+      s"""{"format":"graft-dat","strategy":$strategy,""" +
+        s""""page_shift":$PageShift,"block_start":$bStart,""" +
+        s""""block_end":$bEnd,"files":$files,""" +
+        s""""accounts":$accounts,"storage_slots":$slots,""" +
+        s""""bytes":$bytes,"file_list":$fileListJson}"""
+    atomicWrite(dir, "_manifest.json",
+      manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** First part number AFTER the existing files (0 for a fresh dir). */
+  private[spark] def nextPartBase(dir: String): Int = {
+    if (!Files.exists(Paths.get(dir))) return 0
+    val stream = Files.list(Paths.get(dir))
+    try {
+      val it = stream.iterator()
+      var maxPart = -1
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString
+        if (name.startsWith("part-") && name.endsWith(".dat")) {
+          val n = name.stripPrefix("part-").stripSuffix(".dat")
+          try maxPart = math.max(maxPart, n.toInt)
+          catch { case _: NumberFormatException => () }
+        }
+      }
+      maxPart + 1
+    } finally stream.close()
+  }
+
   private def writeCore(items: Dataset[StateItem], dir: String,
                         strategy: Int, blockStart: Long, blockEnd: Long,
                         partBase: Int, mergeManifest: Boolean): Unit = {
     val spark = items.sparkSession
     import spark.implicits._
     Files.createDirectories(Paths.get(dir))
-    items.mapPartitions { it =>
+    val rows = items.mapPartitions { it =>
       val pid = partBase + org.apache.spark.TaskContext.getPartitionId()
-      if (it.isEmpty) Iterator.empty
-      else {
-        val w = new StateWriter(strategy, PageShift, baseOffset = Header.Size)
-        it.foreach(w.write)
-        val body = w.toArray
-        val header = Header.build(
-          endOfStates = Header.Size.toLong + body.length, PageShift,
-          blockStart, blockEnd, w.countStorageSlots)
-        // temp + atomic rename: retried/speculative attempts each produce
-        // a complete file; the rename is all-or-nothing
-        val full = header ++ body
-        val path = Paths.get(dir, f"part-$pid%05d.dat")
-        val tmp = Paths.get(dir,
-          f".part-$pid%05d.tmp-${java.util.UUID.randomUUID()}")
-        Files.write(tmp, full)
-        Files.move(tmp, path,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        // sidecar index, 56 bytes/page: min address (20) + max address
-        // (20) + min block (8) + max block (8) — TRUE per-page bounds, so
-        // split pruning is sound for ANY row order (address-major,
-        // block-major, arbitrary), exactly like parquet row-group min/max
-        // statistics (the reference's O(log N) seek, README.md:36-41, as
-        // source-level pruning). Pages are aligned to ABSOLUTE file
-        // offsets (reference layout): page 0 is the header-shortened
-        // [256, 4096) region. Empty pages get full-range bounds (never
-        // pruned).
-        val nPages =
-          ((Header.Size + body.length + PageSize - 1) / PageSize).toInt
-        // + 16-byte trailer: .dat size + pairing checksum (see
-        // pairingChecksum — binds this sidecar to exactly this .dat)
-        val idx = new Array[Byte](nPages * 56 + 16)
-        var p = 0
-        while (p < nPages) {
-          val bodyStart = math.max(0, p * PageSize - Header.Size)
-          val bodyEnd =
-            math.min((p + 1) * PageSize - Header.Size, body.length)
-          val r = new StateReader(strategy, body, bodyStart, bodyEnd)
-          var minB = Long.MaxValue
-          var maxB = Long.MinValue
-          var any = false
-          val minA = Array.fill[Byte](20)(-1) // 0xff..ff
-          val maxA = new Array[Byte](20)      // 0x00..00
-          r.foreach { item =>
-            any = true
-            if (java.util.Arrays.compareUnsigned(item.address, minA) < 0)
-              System.arraycopy(item.address, 0, minA, 0, 20)
-            if (java.util.Arrays.compareUnsigned(item.address, maxA) > 0)
-              System.arraycopy(item.address, 0, maxA, 0, 20)
-            if (item.block < minB) minB = item.block
-            if (item.block > maxB) maxB = item.block
-          }
-          if (!any) {
-            java.util.Arrays.fill(minA, 0.toByte)
-            java.util.Arrays.fill(maxA, -1.toByte)
-            minB = 0L; maxB = Long.MaxValue
-          }
-          System.arraycopy(minA, 0, idx, p * 56, 20)
-          System.arraycopy(maxA, 0, idx, p * 56 + 20, 20)
-          graft.functions.Bytes.put64be(idx, p * 56 + 40, minB)
-          graft.functions.Bytes.put64be(idx, p * 56 + 48, maxB)
-          p += 1
-        }
-        graft.functions.Bytes.put64be(idx, nPages * 56, full.length.toLong)
-        graft.functions.Bytes.put64be(idx, nPages * 56 + 8,
-          pairingChecksum(
-            java.util.Arrays.copyOf(full,
-              math.min(full.length, PairPrefixLen)),
-            java.util.Arrays.copyOfRange(full,
-              math.max(0, full.length - PairSuffixLen), full.length)))
-        val idxTmp = Paths.get(dir,
-          f".part-$pid%05d.idx.tmp-${java.util.UUID.randomUUID()}")
-        Files.write(idxTmp, idx)
-        Files.move(idxTmp, Paths.get(dir, f"part-$pid%05d.idx"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        Iterator.single((pid, body.length.toLong, w.countAccounts,
-          w.countStorageSlots))
+      encodePart(it, strategy, blockStart, blockEnd) match {
+        case None => Iterator.empty
+        case Some(part) =>
+          // temp + atomic rename: retried/speculative attempts each
+          // produce a complete file; the rename is all-or-nothing
+          atomicWrite(dir, f"part-$pid%05d.dat", part.dat)
+          atomicWrite(dir, f"part-$pid%05d.idx", part.idx)
+          Iterator.single((pid, part.bodyBytes, part.accounts, part.slots))
       }
-    }.toDF("partition", "bytes", "accounts", "storage_slots")
-      .collect() match { case rows =>
-        // dataset-level manifest — the multi-file replacement for the
-        // reference's single 256-byte header (C11): totals + layout params
-        // in one JSON (the per-file headers remain byte-compatible). On
-        // append, totals merge and the block range widens.
-        def prev(name: String): Long =
-          if (mergeManifest) manifestField(dir, name).getOrElse(0L) else 0L
-        val accounts = rows.map(_.getAs[Long]("accounts")).sum +
-          prev("accounts")
-        val slots = rows.map(_.getAs[Long]("storage_slots")).sum +
-          prev("storage_slots")
-        val bytes = rows.map(_.getAs[Long]("bytes")).sum + prev("bytes")
-        val files = rows.length + prev("files")
-        val bStart =
-          if (mergeManifest)
-            math.min(blockStart,
-              manifestField(dir, "block_start").getOrElse(blockStart))
-          else blockStart
-        val bEnd =
-          if (mergeManifest)
-            math.max(blockEnd,
-              manifestField(dir, "block_end").getOrElse(blockEnd))
-          else blockEnd
-        // file_list: the committed snapshot (prev list + this increment's
-        // files). Replaced ATOMICALLY as the last step of the write —
-        // this IS the dataset-level commit point.
-        val newNames = rows.map(r =>
-          f"part-${r.getAs[Int]("partition")}%05d.dat").sorted
-        val allNames =
-          (if (mergeManifest)
-             manifestFileList(dir).getOrElse(Seq.empty)
-           else Seq.empty) ++ newNames
-        val fileListJson =
-          allNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-        val manifest =
-          s"""{"format":"graft-dat","strategy":$strategy,""" +
-            s""""page_shift":$PageShift,"block_start":$bStart,""" +
-            s""""block_end":$bEnd,"files":$files,""" +
-            s""""accounts":$accounts,"storage_slots":$slots,""" +
-            s""""bytes":$bytes,"file_list":$fileListJson}"""
-        val mfTmp = Paths.get(dir,
-          s"._manifest.tmp-${java.util.UUID.randomUUID()}")
-        Files.write(mfTmp,
-          manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        Files.move(mfTmp, Paths.get(dir, "_manifest.json"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-    ()
+    }.collect()
+    commitManifest(dir, strategy, blockStart, blockEnd, mergeManifest,
+      rows.toSeq)
   }
 
   /** Page-parallel read, delegated to the DataSource V2

@@ -44,13 +44,21 @@ object DatDataSource {
 }
 
 class DatTable(path: String, strategy: Int, pagesPerSplit: Int)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"dat($path)"
   override def schema(): StructType = DatDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DatScanBuilder(path, strategy, pagesPerSplit)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new DatWriteBuilder(path, strategy,
+      Option(info.options.get("blockStart")).map(_.toLong).getOrElse(0L),
+      Option(info.options.get("blockEnd")).map(_.toLong).getOrElse(0L))
 }
 
 class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int)
@@ -246,4 +254,140 @@ class DatReaderFactory(strategy: Int) extends PartitionReaderFactory {
       override def close(): Unit = ()
     }
   }
+}
+
+// ---- write path (S8 as a first-class DataSource V2 sink) ----
+//
+//   df.write.format("graft.spark.datasource.DatDataSource")
+//     .option("strategy", "1").option("blockStart", "0")
+//     .option("blockEnd", "1000").mode("append").save(dir)
+//
+// Each task streams its (pre-sorted) partition through the reference
+// encoder into TEMP files; the part files are renamed and the dataset
+// manifest replaced only in BatchWrite.commit — i.e. the manifest-as-
+// commit-point protocol of StateFiles, expressed through DSv2's native
+// two-phase commit (task messages carry temp names; driver commit
+// publishes; abort deletes temps and leaves the previous snapshot
+// untouched). mode("append") adds an increment; mode("overwrite")
+// publishes a fresh snapshot and garbage-collects the old files AFTER
+// the new manifest lands.
+
+class DatWriteBuilder(path: String, strategy: Int, blockStart: Long,
+                      blockEnd: Long)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new DatWrite(path, strategy, blockStart, blockEnd, doTruncate)
+}
+
+case class DatCommitMessage(pid: Int, datTmp: String, idxTmp: String,
+                            bodyBytes: Long, accounts: Long, slots: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class DatWrite(path: String, strategy: Int, blockStart: Long,
+               blockEnd: Long, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(Paths.get(path))
+    val partBase =
+      if (truncate) 0 else graft.spark.StateFiles.nextPartBase(path)
+    new DatWriterFactory(path, strategy, blockStart, blockEnd, partBase)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val parts = messages.collect { case m: DatCommitMessage => m }
+      .sortBy(_.pid)
+    // publish: rename every temp into place, THEN swap the manifest —
+    // readers keep the previous consistent snapshot until the last move
+    parts.foreach { m =>
+      Files.move(Paths.get(m.datTmp), Paths.get(path, f"part-${m.pid}%05d.dat"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.move(Paths.get(m.idxTmp), Paths.get(path, f"part-${m.pid}%05d.idx"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val keepOld = !truncate &&
+      Files.exists(Paths.get(path, "_manifest.json"))
+    graft.spark.StateFiles.commitManifest(path, strategy, blockStart,
+      blockEnd, mergeManifest = keepOld,
+      parts.map(m => (m.pid, m.bodyBytes, m.accounts, m.slots)).toSeq)
+    if (truncate) {
+      // snapshot is live; old files are unreferenced garbage now
+      val keep = parts.map(m => f"part-${m.pid}%05d").toSet
+      val listed = Files.list(Paths.get(path))
+      try {
+        val it = listed.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          val n = f.getFileName.toString
+          if ((n.endsWith(".dat") || n.endsWith(".idx")) &&
+              n.startsWith("part-") &&
+              !keep.contains(n.stripSuffix(".dat").stripSuffix(".idx")))
+            try Files.deleteIfExists(f)
+            catch { case _: java.io.IOException => () } // best-effort GC
+        }
+      } finally listed.close()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: DatCommitMessage => m }.foreach { m =>
+      Files.deleteIfExists(Paths.get(m.datTmp))
+      Files.deleteIfExists(Paths.get(m.idxTmp))
+    }
+}
+
+class DatWriterFactory(path: String, strategy: Int, blockStart: Long,
+                       blockEnd: Long, partBase: Int)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private val w = graft.spark.StateFiles.partWriter(strategy)
+      private var rows = 0L
+      // temp names carry the task id so speculative attempts never
+      // collide; only the committed attempt's names reach the driver
+      private val datTmp = Paths.get(path,
+        f".part-${partBase + partitionId}%05d.dat.tmp-$taskId").toString
+      private val idxTmp = Paths.get(path,
+        f".part-${partBase + partitionId}%05d.idx.tmp-$taskId").toString
+
+      override def write(r: InternalRow): Unit = {
+        w.write(StateItem(r.getBinary(0), r.getLong(1), r.getBoolean(2),
+          r.getLong(3), r.getLong(4), r.getBinary(5), r.getBinary(6),
+          r.getBinary(7), r.getBinary(8)))
+        rows += 1
+      }
+
+      override def commit()
+          : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        if (rows == 0) DatCommitMessage(-1, "", "", 0L, 0L, 0L)
+        else {
+          val part = graft.spark.StateFiles.finishPart(w, strategy,
+            blockStart, blockEnd)
+          Files.write(Paths.get(datTmp), part.dat)
+          Files.write(Paths.get(idxTmp), part.idx)
+          DatCommitMessage(partBase + partitionId, datTmp, idxTmp,
+            part.bodyBytes, part.accounts, part.slots)
+        }
+      }
+
+      override def abort(): Unit = {
+        Files.deleteIfExists(Paths.get(datTmp))
+        Files.deleteIfExists(Paths.get(idxTmp))
+      }
+
+      override def close(): Unit = ()
+    }
 }

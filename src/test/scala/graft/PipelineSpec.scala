@@ -372,6 +372,49 @@ class PipelineSpec extends AnyFunSuite {
       graft.spark.StateFiles.append(second, torn, strategy = 0))
   }
 
+  test("DSv2 write path: df.write append/overwrite with manifest commit") {
+    val items = StateFormat.asItems(
+      history.withColumnRenamed("valid_from_block", "block"))
+    val df = items.toDF()
+    val dir = Files.createTempDirectory("graft-dsv2-write").toString
+    val fmt = "graft.spark.datasource.DatDataSource"
+    val total = df.count()
+    val mid = world.latestBlock / 2
+
+    // increment 1 + increment 2 via mode("append") — the daily-increment
+    // flow through the standard writer API
+    df.filter(col("block") <= mid).write.format(fmt)
+      .option("strategy", "1").option("blockStart", "0")
+      .option("blockEnd", mid.toString).mode("append").save(dir)
+    df.filter(col("block") > mid).write.format(fmt)
+      .option("strategy", "1")
+      .option("blockStart", (mid + 1).toString)
+      .option("blockEnd", (world.latestBlock + 1).toString)
+      .mode("append").save(dir)
+    val back = spark.read.format(fmt).option("strategy", "1").load(dir)
+    assert(back.count() == total, "append increments must union")
+    val mf = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifest.json")))
+    assert(mf.contains("\"file_list\"") && mf.contains("\"strategy\":1"), mf)
+
+    // an orphan temp from a simulated failed attempt stays invisible
+    Files.write(java.nio.file.Paths.get(dir, "part-99998.dat"),
+      Array[Byte](1, 2, 3))
+    assert(spark.read.format(fmt).option("strategy", "1").load(dir)
+      .count() == total, "orphan part leaked into the committed snapshot")
+
+    // overwrite publishes a fresh snapshot and GCs the old increment's
+    // files after the new manifest lands
+    df.filter(col("block") <= mid).write.format(fmt)
+      .option("strategy", "1").option("blockStart", "0")
+      .option("blockEnd", mid.toString).mode("overwrite").save(dir)
+    val after = spark.read.format(fmt).option("strategy", "1").load(dir)
+    assert(after.count() == df.filter(col("block") <= mid).count())
+    val mf2 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifest.json")))
+    assert(!mf2.contains("\"files\":0"), mf2)
+  }
+
   test("copy_file strategy conversion: 0 -> 1 -> read-back equality") {
     import spark.implicits._
     val items = StateFormat.asItems(
