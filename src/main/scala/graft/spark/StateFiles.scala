@@ -93,7 +93,7 @@ object StateFiles {
       java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  private def manifestField(dir: String, name: String): Option[Long] =
+  private[spark] def manifestField(dir: String, name: String): Option[Long] =
     manifestText(dir).flatMap(s =>
       s"""\"$name\":(-?\\d+)""".r.findFirstMatchIn(s)
         .map(_.group(1).toLong))

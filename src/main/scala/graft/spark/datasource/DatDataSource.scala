@@ -129,57 +129,9 @@ class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int)
       val f = files.next()
       if (f.toString.endsWith(".dat")) {
         val size = Files.size(f)
-        val hBytes = new Array[Byte](Header.Size)
-        val raf = new java.io.RandomAccessFile(f.toFile, "r")
-        try raf.readFully(hBytes) finally raf.close()
-        val bb = java.nio.ByteBuffer.wrap(hBytes)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        require(bb.getLong(0) == Header.Magic, s"$f: bad magic")
-        // absolute-offset pages (reference layout): page 0 is the
-        // header-shortened [256, 4096) region
-        val nPages = ((size + pageSize - 1) / pageSize).toInt
-        // page index: TRUE per-page (minAddr, maxAddr, minBlock, maxBlock)
-        // bounds, 56 bytes/page + a 16-byte (size, checksum) trailer that
-        // binds the sidecar to THIS .dat (per-file renames are atomic but
-        // the pair is not — a stale same-page-count sidecar next to a
-        // rewritten .dat would otherwise prune against wrong bounds and
-        // silently drop rows). Any mismatch → index ignored (correct,
-        // just unpruned).
-        val idxPath = Paths.get(f.toString.stripSuffix(".dat") + ".idx")
-        val idx: Array[(Array[Byte], Array[Byte], Long, Long)] =
-          if (Files.exists(idxPath)) {
-            val raw = Files.readAllBytes(idxPath)
-            val paired = raw.length == nPages * 56 + 16 && {
-              val declaredSize =
-                graft.functions.Bytes.get64be(raw, nPages * 56)
-              val declaredSum =
-                graft.functions.Bytes.get64be(raw, nPages * 56 + 8)
-              declaredSize == size && {
-                val pfx = new Array[Byte](
-                  math.min(size, graft.spark.StateFiles.PairPrefixLen.toLong)
-                    .toInt)
-                val sfxLen = math.min(size,
-                  graft.spark.StateFiles.PairSuffixLen.toLong).toInt
-                val sfx = new Array[Byte](sfxLen)
-                val raf = new java.io.RandomAccessFile(f.toFile, "r")
-                try {
-                  raf.readFully(pfx)
-                  raf.seek(size - sfxLen)
-                  raf.readFully(sfx)
-                } finally raf.close()
-                graft.spark.StateFiles.pairingChecksum(pfx, sfx) ==
-                  declaredSum
-              }
-            }
-            if (paired)
-              Array.tabulate(nPages) { i =>
-                (java.util.Arrays.copyOfRange(raw, i * 56, i * 56 + 20),
-                  java.util.Arrays.copyOfRange(raw, i * 56 + 20, i * 56 + 40),
-                  graft.functions.Bytes.get64be(raw, i * 56 + 40),
-                  graft.functions.Bytes.get64be(raw, i * 56 + 48))
-              }
-            else null
-          } else null
+        val ent = DatSidecarCache.validated(f, size)
+        val nPages = ent.nPages
+        val idx = ent.idx
         var p = 0
         while (p < nPages) {
           val pages = math.min(pagesPerSplit, nPages - p)
@@ -224,6 +176,100 @@ class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DatReaderFactory(strategy)
+}
+
+/** Per-session cache of plan-time file validation — header magic plus the
+  * `.idx` sidecar's pairing-checksum verification. Without it every query
+  * re-reads the header and the prefix/suffix checksum region of EVERY file
+  * sequentially on the driver (O(files) driver I/O per plan — fine for
+  * hundreds of files, a real planning bottleneck at a 100 TB dataset's
+  * file count). Keyed by (path → size, mtime): any rewrite lands under a
+  * new (size, mtime), which re-validates; the commit protocol never
+  * rewrites bytes under an unchanged (size, mtime) pair. LRU-capped —
+  * bounds are 56 B/page on disk, so the cap is a few hundred MB of driver
+  * heap worst-case, and eviction only costs re-validation.
+  */
+private[datasource] object DatSidecarCache {
+  final case class Entry(size: Long, mtime: Long, nPages: Int,
+                         idx: Array[(Array[Byte], Array[Byte], Long, Long)])
+
+  private val MaxFiles = 4096
+  private val cache =
+    new java.util.LinkedHashMap[String, Entry](128, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Entry]): Boolean =
+        size() > MaxFiles
+    }
+
+  /** The validated (nPages, idx-bounds-or-null) of `f`, from cache when
+    * (size, mtime) is unchanged. Throws on bad header magic (a corrupt or
+    * foreign file must fail the plan, cached or not — only success is
+    * cached).
+    */
+  def validated(f: java.nio.file.Path, size: Long): Entry = {
+    val pageSize = 1 << 12
+    val key = f.toString
+    val mtime = Files.getLastModifiedTime(f)
+      .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null && hit.size == size && hit.mtime == mtime) return hit
+    }
+    val hBytes = new Array[Byte](Header.Size)
+    val raf = new java.io.RandomAccessFile(f.toFile, "r")
+    try raf.readFully(hBytes) finally raf.close()
+    val bb = java.nio.ByteBuffer.wrap(hBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bb.getLong(0) == Header.Magic, s"$f: bad magic")
+    // absolute-offset pages (reference layout): page 0 is the
+    // header-shortened [256, 4096) region
+    val nPages = ((size + pageSize - 1) / pageSize).toInt
+    // page index: TRUE per-page (minAddr, maxAddr, minBlock, maxBlock)
+    // bounds, 56 bytes/page + a 16-byte (size, checksum) trailer that
+    // binds the sidecar to THIS .dat (per-file renames are atomic but
+    // the pair is not — a stale same-page-count sidecar next to a
+    // rewritten .dat would otherwise prune against wrong bounds and
+    // silently drop rows). Any mismatch → index ignored (correct,
+    // just unpruned).
+    val idxPath = Paths.get(key.stripSuffix(".dat") + ".idx")
+    val idx: Array[(Array[Byte], Array[Byte], Long, Long)] =
+      if (Files.exists(idxPath)) {
+        val raw = Files.readAllBytes(idxPath)
+        val paired = raw.length == nPages * 56 + 16 && {
+          val declaredSize =
+            graft.functions.Bytes.get64be(raw, nPages * 56)
+          val declaredSum =
+            graft.functions.Bytes.get64be(raw, nPages * 56 + 8)
+          declaredSize == size && {
+            val pfx = new Array[Byte](
+              math.min(size, graft.spark.StateFiles.PairPrefixLen.toLong)
+                .toInt)
+            val sfxLen = math.min(size,
+              graft.spark.StateFiles.PairSuffixLen.toLong).toInt
+            val sfx = new Array[Byte](sfxLen)
+            val raf = new java.io.RandomAccessFile(f.toFile, "r")
+            try {
+              raf.readFully(pfx)
+              raf.seek(size - sfxLen)
+              raf.readFully(sfx)
+            } finally raf.close()
+            graft.spark.StateFiles.pairingChecksum(pfx, sfx) ==
+              declaredSum
+          }
+        }
+        if (paired)
+          Array.tabulate(nPages) { i =>
+            (java.util.Arrays.copyOfRange(raw, i * 56, i * 56 + 20),
+              java.util.Arrays.copyOfRange(raw, i * 56 + 20, i * 56 + 40),
+              graft.functions.Bytes.get64be(raw, i * 56 + 40),
+              graft.functions.Bytes.get64be(raw, i * 56 + 48))
+          }
+        else null
+      } else null
+    val ent = Entry(size, mtime, nPages, idx)
+    cache.synchronized { cache.put(key, ent) }
+    ent
+  }
 }
 
 case class DatInputPartition(file: String, startOffset: Long,
@@ -299,16 +345,44 @@ class DatWrite(path: String, strategy: Int, blockStart: Long,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(path))
-    val partBase =
-      if (truncate) 0 else graft.spark.StateFiles.nextPartBase(path)
+    // Fresh part numbers for EVERY write, truncate included: an
+    // overwrite's files can then never collide with the previous
+    // snapshot's names, so a reader that resolved the old manifest keeps
+    // reading the old bytes (never new bytes under old pruning metadata)
+    // until commit's post-manifest GC removes them — at which point the
+    // reader fails cleanly instead of silently mixing snapshots.
+    val partBase = graft.spark.StateFiles.nextPartBase(path)
+    if (!truncate) {
+      // mirror the function sink's append guards (StateFiles.append): a
+      // torn dir (part files, no manifest) has unknowable committed
+      // contents, and a strategy mismatch would silently rewrite the
+      // manifest's strategy and make the existing parts decode as garbage
+      require(partBase == 0 ||
+        graft.spark.StateFiles.manifestField(path, "strategy").isDefined,
+        s"$path has part files but no manifest — cannot append to a " +
+          "torn dataset")
+      graft.spark.StateFiles.manifestField(path, "strategy").foreach(s0 =>
+        require(s0 == strategy.toLong,
+          s"append strategy $strategy != dataset strategy $s0"))
+    }
     new DatWriterFactory(path, strategy, blockStart, blockEnd, partBase)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val parts = messages.collect { case m: DatCommitMessage => m }
+    // empty input partitions commit the pid = -1 sentinel (no temp file
+    // written) — drop them here, or the rename below would move
+    // Paths.get("") and the manifest would record a bogus part--0001.dat.
+    // repartitionByRange routinely produces empty partitions, so this is
+    // the common case, not a corner.
+    val parts = messages
+      .collect { case m: DatCommitMessage if m.pid >= 0 => m }
       .sortBy(_.pid)
     // publish: rename every temp into place, THEN swap the manifest —
-    // readers keep the previous consistent snapshot until the last move
+    // readers keep the previous consistent snapshot until the last move.
+    // Part numbers are FRESH for every write (see
+    // createBatchWriterFactory), so no rename ever lands on a name a
+    // previous snapshot used: REPLACE_EXISTING only covers a retried
+    // commit of THIS write.
     parts.foreach { m =>
       Files.move(Paths.get(m.datTmp), Paths.get(path, f"part-${m.pid}%05d.dat"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -342,10 +416,13 @@ class DatWrite(path: String, strategy: Int, blockStart: Long,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: DatCommitMessage => m }.foreach { m =>
-      Files.deleteIfExists(Paths.get(m.datTmp))
-      Files.deleteIfExists(Paths.get(m.idxTmp))
-    }
+    // skip the empty-partition sentinels: their temp names are "" and
+    // Paths.get("") resolves to the working directory
+    messages.collect { case m: DatCommitMessage if m.pid >= 0 => m }
+      .foreach { m =>
+        Files.deleteIfExists(Paths.get(m.datTmp))
+        Files.deleteIfExists(Paths.get(m.idxTmp))
+      }
 }
 
 class DatWriterFactory(path: String, strategy: Int, blockStart: Long,

@@ -415,6 +415,118 @@ class PipelineSpec extends AnyFunSuite {
     assert(!mf2.contains("\"files\":0"), mf2)
   }
 
+  test("DSv2 write: empty input partitions commit cleanly") {
+    val items = StateFormat.asItems(
+      history.withColumnRenamed("valid_from_block", "block"))
+    val fmt = "graft.spark.datasource.DatDataSource"
+    // 10 rows over 64 range partitions: most partitions are EMPTY — the
+    // empty DataWriters commit pid=-1 sentinels that the driver commit
+    // must drop (unfiltered, Files.move(Paths.get(""), …) throws and the
+    // manifest records a bogus part--0001.dat)
+    val tiny = items.toDF().limit(10)
+      .repartitionByRange(64, col("address"), col("block"))
+    val dir = Files.createTempDirectory("graft-dsv2-empty").toString
+    tiny.write.format(fmt).option("strategy", "0")
+      .mode("append").save(dir)
+    val back = spark.read.format(fmt).option("strategy", "0").load(dir)
+    assert(back.count() == 10, "rows lost through empty-partition write")
+    val mf = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifest.json")))
+    assert(!mf.contains("part--"), s"sentinel leaked into manifest: $mf")
+    // only non-empty partitions produced files
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".dat"))
+    assert(nFiles > 0 && nFiles <= 10, s"expected <=10 part files, $nFiles")
+  }
+
+  test("DSv2 overwrite: fresh part names, old snapshot never rewritten") {
+    val items = StateFormat.asItems(
+      history.withColumnRenamed("valid_from_block", "block"))
+    val fmt = "graft.spark.datasource.DatDataSource"
+    val dir = Files.createTempDirectory("graft-dsv2-iso").toString
+    def partNames = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".dat")).toSet
+    items.toDF().write.format(fmt).option("strategy", "0")
+      .mode("append").save(dir)
+    val oldNames = partNames
+    val oldBytes = oldNames.map(n => n ->
+      Files.readAllBytes(java.nio.file.Paths.get(dir, n))).toMap
+    val mid = world.latestBlock / 2
+    items.toDF().filter(col("block") <= mid).write.format(fmt)
+      .option("strategy", "0").mode("overwrite").save(dir)
+    val newNames = partNames
+    // isolation: the new snapshot's names are disjoint from the old ones,
+    // so at no instant did an old-manifest reader see new bytes under an
+    // old name — old files are either intact or GC'd, never rewritten
+    assert(newNames.intersect(oldNames).isEmpty,
+      s"overwrite reused old part names: ${newNames.intersect(oldNames)}")
+    assert(oldNames.forall(n =>
+      !Files.exists(java.nio.file.Paths.get(dir, n)) ||
+        Files.readAllBytes(java.nio.file.Paths.get(dir, n))
+          .sameElements(oldBytes(n))),
+      "old snapshot bytes changed in place")
+    val back = spark.read.format(fmt).option("strategy", "0").load(dir)
+    assert(back.count() ==
+      items.toDF().filter(col("block") <= mid).count())
+  }
+
+  test("DSv2 append guards: strategy mismatch and torn dir refused") {
+    val items = StateFormat.asItems(
+      history.withColumnRenamed("valid_from_block", "block"))
+    val fmt = "graft.spark.datasource.DatDataSource"
+    val dir = Files.createTempDirectory("graft-dsv2-guards").toString
+    items.toDF().write.format(fmt).option("strategy", "1")
+      .mode("append").save(dir)
+    // appending with a different strategy would rewrite the manifest's
+    // strategy field and make the existing parts decode as garbage
+    val e1 = intercept[Exception] {
+      items.toDF().write.format(fmt).option("strategy", "0")
+        .mode("append").save(dir)
+    }
+    assert(exceptionChain(e1).exists(_.getMessage != null) &&
+      exceptionChain(e1).exists(m => Option(m.getMessage)
+        .exists(_.contains("strategy"))), e1.toString)
+    // a torn dir (part files, no manifest) has unknowable contents
+    val torn = Files.createTempDirectory("graft-dsv2-torn").toString
+    val aPart = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".dat")).head.toPath
+    java.nio.file.Files.copy(aPart,
+      java.nio.file.Paths.get(torn, "part-00000.dat"))
+    val e2 = intercept[Exception] {
+      items.toDF().write.format(fmt).option("strategy", "1")
+        .mode("append").save(torn)
+    }
+    assert(exceptionChain(e2).exists(m => Option(m.getMessage)
+      .exists(_.contains("torn"))), e2.toString)
+    // overwrite of the torn dir is fine (fresh snapshot semantics)
+    items.toDF().write.format(fmt).option("strategy", "0")
+      .mode("overwrite").save(torn)
+    assert(spark.read.format(fmt).option("strategy", "0").load(torn)
+      .count() == items.count())
+  }
+
+  private def exceptionChain(e: Throwable): List[Throwable] =
+    if (e == null) Nil else e :: exceptionChain(e.getCause)
+
+  test("DSv2 sidecar cache invalidates on in-place rewrite") {
+    import spark.implicits._
+    val items = StateFormat.asItems(
+      history.withColumnRenamed("valid_from_block", "block"))
+    val dir = Files.createTempDirectory("graft-dsv2-cache").toString
+    val mid = world.latestBlock / 2
+    val half = items.filter(col("block") <= mid).as[graft.model.StateItem]
+    graft.spark.StateFiles.write(half, dir, strategy = 0)
+    val c1 = graft.spark.StateFiles.read(spark, dir, 0).count()
+    assert(c1 == half.count())
+    // the FUNCTION sink reuses part numbers on rewrite (same names, new
+    // bytes/size/mtime) — the plan-time validation cache must re-validate,
+    // not serve the old page count/bounds
+    graft.spark.StateFiles.write(items.repartition(2), dir, strategy = 0)
+    val c2 = graft.spark.StateFiles.read(spark, dir, 0).count()
+    assert(c2 == items.count(),
+      s"stale sidecar cache: read $c2 of ${items.count()} after rewrite")
+  }
+
   test("copy_file strategy conversion: 0 -> 1 -> read-back equality") {
     import spark.implicits._
     val items = StateFormat.asItems(
