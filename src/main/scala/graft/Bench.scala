@@ -31,19 +31,29 @@ object Bench {
     val runsPer = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        // a throwing query must be FLAGGED, not averaged in as a
+        // near-instant success that makes the bench look faster
+        var err: Option[String] = None
         val times = (1 to runsPer).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          try { fn(spark, sfDir).count() }
+          catch { case e: Throwable =>
+            err = Some(s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(120))
+          }
           (System.nanoTime() - t0) / 1e9
         }.sorted
-        name -> (times(runsPer / 2), times.last - times.head)
+        (name, times(runsPer / 2), times.last - times.head, err)
     }
-    val qs = results.map { case (k, (m, _)) => s"\"" + k + "\":" + m }
+    val qs = results.map { case (k, m, _, _) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, (_, sp)) => s"\"" + k + "\":" + sp }
+    val spreads = results.map { case (k, _, sp, _) => s"\"" + k + "\":" + sp }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runsPer,"aggregation":"median","queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, _, Some(e)) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") +
+        "\"" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runsPer,"aggregation":"median","errors":$errs,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

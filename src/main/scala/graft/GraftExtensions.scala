@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.expressions.{CosineSimExpr, MinHashSigExpr, SimHash64Expr, Uint256Expr}
+import graft.functions.expressions.{CosineSimExpr, MinHashSigExpr, SimHash64Expr, TokenNgramsExpr, Uint256Expr}
 
 /** SQL surface for the graft-native expressions.
   *
@@ -43,6 +43,12 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "simhash64(tokens)")
         SimHash64Expr(exprs.head)
+      }),
+    (FunctionIdentifier("token_ngrams"),
+      new ExpressionInfo(classOf[TokenNgramsExpr].getName, "token_ngrams"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "token_ngrams(tokens, n)")
+        TokenNgramsExpr(exprs.head, intLit(exprs(1), "n"))
       }),
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),

@@ -30,16 +30,22 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     * Late-bound oracles (fixture-path/probe-literal SQL) are evaluated
-    * here — i.e. at Verify dump time, after the queries have run. A
-    * throwing builder degrades ITS entry to rows-only instead of killing
-    * the whole dump (which would zero every entry's oracle). */
-  def oracleSql: Map[String, String] =
+    * here — i.e. at Verify dump time, after the queries have run, against
+    * the SAME sf dir the queries ran on. A throwing builder degrades ITS
+    * entry to rows-only instead of killing the whole dump (which would
+    * zero every entry's oracle). */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
     registry.flatMap { case (k, qs) =>
       qs.oracle.orElse(qs.oracleLate.flatMap { f =>
-        val t = scala.util.Try(f())
+        val t = scala.util.Try(f(sfDir))
         t.failed.foreach(e => System.err.println(
           s"[oracle] late SQL for $k failed: ${e.getMessage}"))
         t.toOption
       }).map(k -> _)
     }
+
+  /** Contract-shaped convenience (driver consumes Verify's dump, which is
+    * dir-explicit; this default matches the driver's gate scale).
+    */
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
 }

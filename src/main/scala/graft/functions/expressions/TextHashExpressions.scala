@@ -33,6 +33,28 @@ object TextHashExpressions {
 
   def simhash(arr: ArrayData): Long = TextHash.simhash(tokensOf(arr))
 
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** All space-joined n-grams of a token array in ONE pass, directly on
+    * UTF8String (no UTF-8 decode/encode round trip per token).
+    */
+  def tokenNgrams(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[AnyRef])
+    val toks =
+      new Array[org.apache.spark.unsafe.types.UTF8String](len)
+    var i = 0
+    while (i < len) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new Array[AnyRef](len - n + 1)
+    i = 0
+    while (i + n <= len) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(Space,
+        java.util.Arrays.copyOfRange(toks, i, i + n): _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Column helpers (the Scala-facing API). */
   def minhash_sig(tokens: Column, shingleK: Int, numHashes: Int): Column =
     Bridge.column(
@@ -40,6 +62,9 @@ object TextHashExpressions {
 
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64Expr(Bridge.expression(tokens)))
+
+  def token_ngrams(tokens: Column, n: Int): Column =
+    Bridge.column(TokenNgramsExpr(Bridge.expression(tokens), n))
 }
 
 /** minhash_sig(tokens, k, numHashes): MinHash signature of word-shingle
@@ -69,6 +94,42 @@ case class MinHashSigExpr(child: Expression, shingleK: Int, numHashes: Int)
          |  .minhash($c, $shingleK, $numHashes);""".stripMargin)
 
   override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
+    copy(child = c)
+}
+
+/** token_ngrams(tokens, n): ALL space-joined word n-grams in order
+  * (non-distinct — frequency semantics). One pass; the higher-order
+  * `transform(sequence(...), i => array_join(slice(toks, i, n)))` form
+  * re-evaluates the token-array build per n-gram index after projection
+  * collapse (the [[MinHashSigExpr]] trap — measured 2.5× on the corpus
+  * bigram count at sf0.1). NULL in → NULL out (the HOF form returned an
+  * empty array for NULL text; every caller explodes the result, where the
+  * two are indistinguishable).
+  */
+case class TokenNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_ngrams needs array<string>, got $other")
+  }
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "token_ngrams"
+
+  override def nullSafeEval(tokens: Any): Any =
+    TextHashExpressions.tokenNgrams(tokens.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextHashExpressions" +
+        s".tokenNgrams($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): TokenNgramsExpr =
     copy(child = c)
 }
 

@@ -151,4 +151,19 @@ object MultimodalGolden {
     }
     base
   }
+
+  /** DataFrame variant of [[ensureGolden]] for goldens computed
+    * DISTRIBUTED (e.g. a typed-map replay over a source table) — same
+    * write-once `_OK` convention.
+    */
+  def ensureGoldenDf(name: String,
+                     df: => org.apache.spark.sql.DataFrame): String = {
+    val base = goldenBase(name)
+    val ok = java.nio.file.Paths.get(base, "_OK")
+    if (!java.nio.file.Files.exists(ok)) {
+      df.coalesce(1).write.mode("overwrite").parquet(base)
+      java.nio.file.Files.write(ok, Array.emptyByteArray)
+    }
+    base
+  }
 }

@@ -215,15 +215,18 @@ object TextAnalysis {
   }
 
   /** ALL word n-grams in order (non-distinct — frequency semantics, the
-    * corpus-statistics counterpart of the deduped [[shingles]]).
+    * corpus-statistics counterpart of the deduped [[shingles]]). One-pass
+    * kernel ([[graft.functions.expressions.TokenNgramsExpr]]): the
+    * higher-order `transform(sequence(...), i => slice(toks, i, n))` form
+    * re-evaluates the tokenization per n-gram index after Catalyst's
+    * projection collapse — the same trap [[graft.operators.Dedup
+    * .minhashSignature]] documents, measured as a 2.5× corpus-count
+    * slowdown at sf0.1.
     */
   def tokenNgramsAll(text: Column, n: Int): Column = {
     require(n >= 1, s"n-gram size must be positive, got $n")
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.expressions.TextHashExpressions
+      .token_ngrams(tokens(text), n)
   }
 
   /** Word k-gram shingles (distinct), the dedup unit for MinHash/Jaccard. */

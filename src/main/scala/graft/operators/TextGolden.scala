@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Replay kernels for l13's golden oracle: the same text features as
+  * [[TextAnalysis.rollingFingerprint]] / [[TextAnalysis.bpeishTokenCount]]
+  * computed through plain typed-Scala loops over engine string/hash
+  * primitives — no Catalyst expressions, no codegen, no higher-order
+  * functions. A bug in the COLUMN formulation (HOF inlining, substr
+  * indexing, filter semantics) diverges from this replay; only the shared
+  * primitives (UTF8String semantics, XXH64) are common by construction,
+  * the same standard as [[MultimodalGolden]]'s raw-pixel replays.
+  *
+  * Everything stays on UTF8String (not java.lang.String) so character
+  * counting, substring, trim and lowercase match the engine's SQL
+  * semantics exactly (code points; trim = 0x20 only — Java's
+  * String.trim strips all control chars and would silently diverge).
+  */
+object TextGolden {
+
+  /** [[TextAnalysis.rollingFingerprint]] replayed: min xxhash64 (seed 42,
+    * the engine's string hash) over the character k-grams of lower(text);
+    * 0 when the text is shorter than k characters.
+    */
+  def fpRolling(text: String, k: Int = 16): Long = {
+    val t = UTF8String.fromString(text).toLowerCase
+    val n = t.numChars()
+    if (n < k) 0L
+    else {
+      var min = Long.MaxValue
+      var i = 1
+      while (i <= n - k + 1) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(t.substringSQL(i, k), 42L)
+        if (h < min) min = h
+        i += 1
+      }
+      min
+    }
+  }
+
+  /** [[TextAnalysis.bpeishTokenCount]] replayed: split lower(trim(text))
+    * on word-boundary/digit transitions and whitespace, count non-empty
+    * segments.
+    */
+  def nSubwords(text: String): Int =
+    UTF8String.fromString(text).trim().toLowerCase.toString
+      .split("(?<=[a-z])(?=[^a-z])|(?<=[0-9])(?=[^0-9])|\\s+", -1)
+      .count(_.nonEmpty)
+}

@@ -17,13 +17,17 @@ import graft.Tables
 /** `oracle` is static SQL; `oracleLate` is built AT VERIFY-DUMP TIME (after
   * every query has run), for oracles that embed runtime-determined
   * literals — the fixture-cache absolute path, probe lists replayed from
-  * the deterministic simulation, golden-parquet locations. Only one of the
-  * two should be set.
+  * the deterministic simulation, golden-parquet locations. The builder
+  * receives the sf dir and must derive everything DETERMINISTICALLY from
+  * it (nFor(dir), cacheBase, …) or from per-dir keyed captures — never
+  * from shared mutable "last run" state, which would describe a different
+  * world than the query used when Verify runs a subset or reorders
+  * entries. Only one of the two should be set.
   */
 final case class QuerySpec(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    oracleLate: Option[() => String] = None)
+    oracleLate: Option[String => String] = None)
 
 /** The reference-parity declared-query surface — SURVEY.md §2.12 Q1–Q12.
   * Each query exercises one operator class of the reference

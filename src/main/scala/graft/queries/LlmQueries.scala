@@ -160,14 +160,18 @@ object LlmQueries {
              |FROM st WHERE c >= 0.9 ORDER BY id_a, id_b""".stripMargin)),
 
     // Near-dup pairs → connected components → keep/drop decisions: the
-    // complete dedup pipeline output (one row per clustered doc).
+    // complete dedup pipeline output (one row per clustered doc). The
+    // oracle embeds the SAME checkpointed candidate pairs as dump-time
+    // literals and recomputes connected components independently in
+    // DuckDB (recursive CTE) — it cross-checks the CLUSTERING (label
+    // propagation + keep/drop), pair generation being l02's scope.
     "l10_dedup_clusters" -> QuerySpec(
       (s, dir) => {
         Dedup.clusters(lshPairs(s, dir))
           .withColumn("action",
             when(col("id") === col("cluster"), "keep").otherwise("drop"))
           .orderBy(col("cluster"), col("id"))
-      }, None),
+      }, None, Some(dir => l10Sql(dir))),
 
     // -- text analysis --
 
@@ -306,13 +310,30 @@ object LlmQueries {
     // Engine-specific text features (xxhash64 rolling fingerprint;
     // lookbehind subword segmentation unsupported by RE2) — rows-only,
     // semantics covered in OperatorSpec.
+    // Golden oracle (the m-entries' replay pattern applied to text): a
+    // typed-Scala replay of the fingerprint/subword kernels — plain loops
+    // over UTF8String + XXH64, no Catalyst expressions — computed
+    // DISTRIBUTED over the same table and written once as golden parquet;
+    // the oracle SQL reads the golden back. A bug in the column
+    // formulation (HOF inlining, substr indexing) shifts the query output
+    // but not the golden.
     "l13_subword_fingerprint" -> QuerySpec(
-      (s, dir) => Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.rollingFingerprint(col("text")).as("fp_rolling"),
-          TextAnalysis.bpeishTokenCount(col("text")).as("n_subwords"))
-        .orderBy(col("doc_id")),
-      None),
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.MultimodalGolden.ensureGoldenDf(l13GoldenName(dir),
+          Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+            .as[(Long, String)]
+            .map { case (id, t) =>
+              (id, graft.operators.TextGolden.fpRolling(t, 16),
+                graft.operators.TextGolden.nSubwords(t)) }
+            .toDF("doc_id", "fp_rolling", "n_subwords"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.rollingFingerprint(col("text")).as("fp_rolling"),
+            TextAnalysis.bpeishTokenCount(col("text")).as("n_subwords"))
+          .orderBy(col("doc_id"))
+      }, None, Some(dir => mGoldenSql(l13GoldenName(dir),
+        "doc_id, fp_rolling, n_subwords", "doc_id"))),
 
     // HLL sketch vs exact distinct (approx_count_distinct is engine-
     // specific, so rows-only; the test bound lives in the query itself).
@@ -518,21 +539,21 @@ object LlmQueries {
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
         val dims = Similarity.dimsOf(e, "embedding")
-        lastEmbDims = dims
+        dimsByDir(dir) = dims
         Similarity.lshTopK(e, e.filter(col("vec_id") < 5), k = 10,
             nBits = 6, dims = dims)
           .orderBy(col("query_id"), col("rank"))
-      }, None, Some(() => s02Sql())),
+      }, None, Some(dir => s02Sql(dir))),
 
     "s03_ivf_topk" -> QuerySpec(
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
         val dims = Similarity.dimsOf(e, "embedding")
-        lastEmbDims = dims
+        dimsByDir(dir) = dims
         Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10,
             dims = dims)
           .orderBy(col("query_id"), col("rank"))
-      }, None, Some(() => s03Sql())),
+      }, None, Some(dir => s03Sql(dir))),
 
     // Trained-centroid IVF: k-means centroids as plan literals, same
     // cell-join probe; the fitted matrix is captured for the oracle.
@@ -540,11 +561,11 @@ object LlmQueries {
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
         val cents = Similarity.fitIvfCentroids(e)
-        lastS04Centroids = cents
+        s04CentroidsByDir(dir) = cents
         Similarity.ivfTopKWithCentroids(e, e.filter(col("vec_id") < 5),
             k = 10, cents)
           .orderBy(col("query_id"), col("rank"))
-      }, None, Some(() => s04Sql())),
+      }, None, Some(dir => s04Sql(dir))),
 
     // -- multimodal --
     //
@@ -558,8 +579,7 @@ object LlmQueries {
     "m01_media_features" -> QuerySpec(
       (s, dir) => {
         import s.implicits._
-        val n = if (dir.contains("sf0.1")) 2000 else 300
-        lastMediaN = n
+        val n = mediaNFor(dir)
         MultimodalGolden.ensureGolden(s, s"m01-features-$n-v1",
           MultimodalGolden.features(n))
         val media = Multimodal.sizeBinned(
@@ -574,7 +594,7 @@ object LlmQueries {
             // sorts on every column, and numpy arrays are unhashable there
             to_json(col("luma_histogram")).as("luma_histogram"))
           .orderBy(col("media_id"))
-      }, None, Some(() => mGoldenSql(s"m01-features-$lastMediaN-v1",
+      }, None, Some(dir => mGoldenSql(s"m01-features-${mediaNFor(dir)}-v1",
         "media_id, kind, width, height, n_frames, size_bytes, mean_byte, " +
           "luma_histogram", "media_id"))),
 
@@ -595,7 +615,7 @@ object LlmQueries {
           .toDF("media_id", "width", "height", "size_bytes",
             "new_width", "new_height", "new_size_bytes")
           .orderBy(col("media_id"))
-      }, None, Some(() => mGoldenSql("m03-resize-200-v1",
+      }, None, Some(_ => mGoldenSql("m03-resize-200-v1",
         "media_id, width, height, size_bytes, new_width, new_height, " +
           "new_size_bytes", "media_id"))),
 
@@ -608,13 +628,14 @@ object LlmQueries {
           .select(col("media_id"), col("kind"), col("n_frames"))
         Multimodal.sampleFrames(media, everyN = 10)
           .orderBy(col("media_id"), col("frame_idx"))
-      }, None, Some(() => mGoldenSql("m02-frames-200-v1",
+      }, None, Some(_ => mGoldenSql("m02-frames-200-v1",
         "media_id, n_frames, frame_idx", "media_id, frame_idx"))),
   )
 
-  // media count of the last m01 run (300 at sf≤0.01, 2000 at sf0.1) — read
-  // by the late-bound golden SQL, built after the queries ran
-  @volatile private var lastMediaN: Int = 300
+  // media count per sf dir (300 at sf≤0.01, 2000 at sf0.1) — a pure
+  // function of the dir, shared by the m01 query fn and its golden SQL
+  private def mediaNFor(dir: String): Int =
+    if (dir.contains("sf0.1")) 2000 else 300
 
   private def mGoldenSql(name: String, cols: String,
                          order: String): String = {
@@ -624,11 +645,53 @@ object LlmQueries {
     s"SELECT $cols FROM read_parquet('$base/*.parquet') ORDER BY $order"
   }
 
+  // golden name derived from the sf dir's basename — pure, so the query
+  // fn and the dump-time oracle builder always name the same golden
+  private def l13GoldenName(dir: String): String =
+    s"l13-fp-${new java.io.File(dir).getName}-v1"
+
+  /** l10's dump-time oracle: the checkpointed candidate pairs (tiny —
+    * ids only) become VALUES literals and DuckDB independently computes
+    * connected components via a recursive CTE (min reachable id = the
+    * cluster / keep decision). Keyed by dir through pairsCache; a dir
+    * the queries never ran degrades to rows-only via the builder throw.
+    */
+  private def l10Sql(dir: String): String = {
+    val df = synchronized {
+      pairsCache.get(dir) match {
+        case Some((owner, df)) if !owner.sparkContext.isStopped => df
+        case _ => sys.error(s"l02/l10 never ran for $dir — no pairs")
+      }
+    }
+    val pairs = df.select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    require(pairs.nonEmpty, "no near-dup pairs — VALUES would be empty")
+    val edges = pairs
+      .flatMap { case (a, b) => Seq(s"($a::BIGINT,$b::BIGINT)",
+        s"($b::BIGINT,$a::BIGINT)") }
+      .mkString(", ")
+    s"""WITH RECURSIVE
+       |edges(src, dst) AS (SELECT * FROM (VALUES $edges) t(src, dst)),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT rr.id, e.dst FROM reach rr JOIN edges e ON e.src = rr.r)
+       |SELECT id, MIN(r) AS cluster,
+       |  CASE WHEN id = MIN(r) THEN 'keep' ELSE 'drop' END AS action
+       |FROM reach GROUP BY id ORDER BY cluster, id""".stripMargin
+  }
+
   // ---- ANN oracle builders (late-bound; see the s-entries) ----
 
-  // captured by the s-entries at run time for the dump-time SQL builders
-  @volatile private var lastEmbDims: Int = 0
-  @volatile private var lastS04Centroids: Array[Array[Double]] = Array.empty
+  // run-derived values the dump-time SQL builders need, keyed PER SF DIR
+  // (not "last run" globals): a Verify subset/reorder can then never pair
+  // an oracle with a different dir's dims/centroids. A missing key means
+  // the query never ran — the builder's require degrades that entry to
+  // rows-only (SparkEntry Try-wraps builders).
+  private val dimsByDir =
+    scala.collection.concurrent.TrieMap[String, Int]()
+  private val s04CentroidsByDir =
+    scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]()
 
   // Scala Double.toString is shortest-roundtrip, so DuckDB parses back the
   // exact same IEEE value
@@ -644,9 +707,10 @@ object LlmQueries {
       |             * sqrt(list_inner_product(q.e, q.e)))
       |     ELSE 0 END""".stripMargin
 
-  private def s02Sql(): String = {
-    require(lastEmbDims > 0, "s02 never ran — no dims captured")
-    val planes = graft.operators.Similarity.rademacherPlanes(6, lastEmbDims)
+  private def s02Sql(dir: String): String = {
+    val dims = dimsByDir.getOrElse(dir,
+      sys.error(s"s02 never ran for $dir — no dims captured"))
+    val planes = graft.operators.Similarity.rademacherPlanes(6, dims)
     val bucketExpr = planes.zipWithIndex.map { case (p, b) =>
       s"(CASE WHEN list_inner_product(e, ${sqlArr(p)}) > 0" +
         s" THEN ${1L << b} ELSE 0 END)"
@@ -694,17 +758,19 @@ object LlmQueries {
        |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
-  private def s03Sql(): String = {
-    require(lastEmbDims > 0, "s03 never ran — no dims captured")
-    val cents = graft.operators.Similarity.pseudoCentroids(16, lastEmbDims)
+  private def s03Sql(dir: String): String = {
+    val dims = dimsByDir.getOrElse(dir,
+      sys.error(s"s03 never ran for $dir — no dims captured"))
+    val cents = graft.operators.Similarity.pseudoCentroids(16, dims)
     val centVals = cents.zipWithIndex
       .map { case (c, i) => s"($i, ${sqlArr(c)})" }.mkString(", ")
     ivfSql("(cell, c)", centVals, "list_inner_product(e, c)")
   }
 
-  private def s04Sql(): String = {
-    require(lastS04Centroids.nonEmpty, "s04 never ran — no centroids")
-    val centVals = lastS04Centroids.zipWithIndex.map { case (c, i) =>
+  private def s04Sql(dir: String): String = {
+    val cents = s04CentroidsByDir.getOrElse(dir,
+      sys.error(s"s04 never ran for $dir — no centroids captured"))
+    val centVals = cents.zipWithIndex.map { case (c, i) =>
       val c2 = c.map(x => x * x).sum
       s"($i, ${sqlArr(c)}, $c2::DOUBLE)"
     }.mkString(", ")

@@ -26,6 +26,22 @@ object StreamingQueries {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** State-store sizing shared by every REAL streaming execution here
+    * (st01/st02/st04/st05): a streaming query fixes its state-partition
+    * count at query start from `spark.sql.shuffle.partitions`, and each
+    * micro-batch then pays per-partition task + state-store load/commit
+    * overhead regardless of data volume. A fixture-scale keyed stream
+    * doesn't need 32 state partitions' worth of that (measured: st04 went
+    * 19.6 s → ~1 s median at sf0.1 with 8). A production deployment sizes
+    * this to keyed-state volume — same knob, bigger number.
+    */
+  private def withStateSizing[A](s: org.apache.spark.sql.SparkSession)
+                                (body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Gap-based sessionization oracle (lag + running sum): an event at
     * exactly prev+30min starts a NEW session, matching Spark's half-open
     * [ts, ts+gap) session extent. Shared by the batch (w02) and
@@ -96,11 +112,13 @@ object StreamingQueries {
               .as("total_value"))
           .select(col("window.start").as("day"), col("event_type"),
             col("n_events"), col("total_value"))
-        val q = agg.writeStream.format("memory").queryName("st02_sink")
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        withStateSizing(s) {
+          val q = agg.writeStream.format("memory").queryName("st02_sink")
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table("st02_sink").orderBy(col("day"), col("event_type"))
       },
       Some("""SELECT date_trunc('day', ts) AS day, event_type,
@@ -142,16 +160,18 @@ object StreamingQueries {
     // streaming session-window execution.
     "st04_session_stream" -> QuerySpec(
       (s, dir) => {
-        val q = eventFileStream(s, dir)
-          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-          .agg(count(lit(1)).as("n_events"))
-          .select(col("session_window.start").as("session_start"),
-            col("user_id"), col("n_events"))
-          .writeStream.format("memory").queryName("st04_sink")
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        withStateSizing(s) {
+          val q = eventFileStream(s, dir)
+            .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+            .agg(count(lit(1)).as("n_events"))
+            .select(col("session_window.start").as("session_start"),
+              col("user_id"), col("n_events"))
+            .writeStream.format("memory").queryName("st04_sink")
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table("st04_sink")
           .orderBy(col("user_id"), col("session_start"))
       },
@@ -198,9 +218,8 @@ object StreamingQueries {
         import s.implicits._
         val n = PipelineQueries.nFor(dir) // same world as the p-entries
         graft.pipeline.Fixtures.generate(s, n / 4, n) // materialize cache
-        val base = graft.pipeline.Fixtures.cacheBase(n / 4, n)
-        lastAccBase = base
-        val src = s"$base/account_changeset"
+        val src = s"${graft.pipeline.Fixtures.cacheBase(n / 4, n)}" +
+          "/account_changeset"
         val raw = s.read.parquet(src)
         val dec = udf { blob: Array[Byte] =>
           val d = graft.codec.AccountBlob.decode(blob)
@@ -212,14 +231,16 @@ object StreamingQueries {
           .select(hex(col("address")).as("key"), col("block"),
             concat_ws(":", col("d._1"), hex(col("d._2"))).as("payload"))
           .as[Streams.Change]
-        val q = Streams.incrementalHistory(changes)
-          .writeStream.format("memory").queryName("st05_sink")
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        withStateSizing(s) {
+          val q = Streams.incrementalHistory(changes)
+            .writeStream.format("memory").queryName("st05_sink")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table("st05_sink").orderBy(col("key"), col("validFrom"))
-      }, None, Some(() => st05Sql())),
+      }, None, Some(dir => st05Sql(dir))),
 
     // Incremental W1 through an actual streaming query (MemoryStream →
     // flatMapGroupsWithState → memory sink), fed the fixture changesets in
@@ -274,13 +295,12 @@ object StreamingQueries {
       }, None),
   )
 
-  // fixture-cache base of the last st05 run — read by its late-bound
-  // oracle builder at verify-dump time
-  @volatile private var lastAccBase: String = ""
-
-  private def st05Sql(): String = {
-    val b = lastAccBase
-    require(b.nonEmpty, "st05 never ran — no fixture base captured")
+  private def st05Sql(dir: String): String = {
+    // derived from the sf dir exactly as the query fn derives it — no
+    // run-time capture, so a subset/reordered Verify run cannot describe
+    // a different fixture world than the query used
+    val n = PipelineQueries.nFor(dir)
+    val b = graft.pipeline.Fixtures.cacheBase(n / 4, n)
     s"""WITH ao AS (SELECT "_2".addressHex AS address, "_2".block AS blk,
        |  "_2".nonce AS nonce, "_2".balance AS bal
        |  FROM read_parquet('$b/account_oracle/*.parquet')),

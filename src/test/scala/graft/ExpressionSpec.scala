@@ -48,6 +48,39 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("token_ngrams kernel ≡ the higher-order-function formulation") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val docs = (1 to 300).map { i =>
+      val rnd = new scala.util.Random(1000 + i)
+      // include sub-n docs (0 and 1 tokens) to pin the empty-array edge
+      val nTok = rnd.nextInt(8)
+      (i.toLong, (1 to nTok).map(_ => s"W${rnd.nextInt(20)}").mkString("  "))
+    } :+ (0L -> "single")
+    val df = docs.toDF("id", "text")
+    def hof(n: Int) = { // the pre-kernel formulation, kept as the oracle
+      val toks = operators.TextAnalysis.tokens(col("text"))
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+    Seq(1, 2, 3).foreach { n =>
+      val got = df.select(col("id"),
+          operators.TextAnalysis.tokenNgramsAll(col("text"), n).as("a"),
+          hof(n).as("b"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"id=${r.getLong(0)} n=$n")
+      }
+    }
+    // SQL surface
+    val viaSql = spark.sql(
+      "SELECT token_ngrams(split('a b c', ' '), 2) AS g").collect()(0)
+    assert(viaSql.getSeq[String](0) == Seq("a b", "b c"))
+  }
+
   test("plan contains the native expression, not a ScalaUDF") {
     // non-foldable input (range), else constant folding evaluates the
     // expression at optimization time and it vanishes from the plan
@@ -109,7 +142,7 @@ class ExpressionSpec extends AnyFunSuite {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // must not throw; descriptors wired
     assert(GraftFunctions.descriptors.map(_._1.funcName) ==
-      Seq("minhash_sig", "simhash64", "cosine_sim", "uint256_add",
-        "uint256_sub"))
+      Seq("minhash_sig", "simhash64", "token_ngrams", "cosine_sim",
+        "uint256_add", "uint256_sub"))
   }
 }
