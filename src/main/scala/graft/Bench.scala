@@ -49,11 +49,28 @@ object Bench {
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, _, sp, _) => s"\"" + k + "\":" + sp }
       .mkString("{", ",", "}")
+    // Exception messages routinely contain newlines (AnalysisException
+    // embeds plan fragments); control chars must be \u-escaped or the
+    // one-line JSON contract breaks exactly when a query fails.
+    def jstr(s: String): String = s.flatMap {
+      case '\\'          => "\\\\"
+      case '"'           => "\\\""
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
     val errs = results.collect { case (k, _, _, Some(e)) =>
-      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") +
-        "\"" }.mkString("{", ",", "}")
+      "\"" + k + "\":\"" + jstr(e) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runsPer,"aggregation":"median","errors":$errs,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
+    // Compact summary printed LAST: a consumer that keeps only the tail of
+    // stdout (or of the long line above) must still see MEDIANS — r3/r4
+    // artifacts captured only the trailing `spread` map and medians were
+    // misread as spreads. Medians are rounded to 4dp to keep this line
+    // well under typical tail-capture budgets (~1.4 KB for 62 entries).
+    val maxMedian = results.map(_._2).maxOption.getOrElse(0.0)
+    val qs4 = results.map { case (k, m, _, _) =>
+      "\"" + k + "\":" + f"$m%.4f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"bench_summary","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},"max_median":${f"$maxMedian%.4f"},"aggregation":"median","errors":$errs,"queries":$qs4}""")
     spark.stop()
   }
 }

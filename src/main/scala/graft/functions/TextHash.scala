@@ -76,27 +76,6 @@ object TextHash {
     sig
   }
 
-  /** ALL word n-grams in order (non-distinct), space-joined — one pass
-    * over the token array. Empty when fewer than n tokens.
-    */
-  def tokenNgrams(tokens: Array[String], n: Int): Array[String] = {
-    if (tokens.length < n) return Array.empty[String]
-    val out = new Array[String](tokens.length - n + 1)
-    val sb = new java.lang.StringBuilder()
-    var i = 0
-    while (i + n <= tokens.length) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(tokens(i + j)); j += 1
-      }
-      out(i) = sb.toString
-      i += 1
-    }
-    out
-  }
-
   /** 64-bit SimHash over token hashes (unweighted votes). */
   def simhash(tokens: Array[String]): Long = {
     val votes = new Array[Int](64)

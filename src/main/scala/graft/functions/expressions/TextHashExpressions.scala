@@ -109,11 +109,14 @@ case class MinHashSigExpr(child: Expression, shingleK: Int, numHashes: Int)
 case class TokenNgramsExpr(child: Expression, n: Int)
     extends UnaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"token_ngrams needs array<string>, got $other")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (n < 1) // plan-time failure, not an executor-side copyOfRange throw
+      TypeCheckResult.TypeCheckFailure(s"token_ngrams needs n >= 1, got $n")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"token_ngrams needs array<string>, got $other")
+    }
 
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)

@@ -324,8 +324,16 @@ object LlmQueries {
           Tables(s, dir, "documents").select(col("doc_id"), col("text"))
             .as[(Long, String)]
             .map { case (id, t) =>
-              (id, graft.operators.TextGolden.fpRolling(t, 16),
-                graft.operators.TextGolden.nSubwords(t)) }
+              // null text must golden to NULL, exactly as the column
+              // formulation nulls through — not NPE the golden job
+              if (t == null)
+                (id, null.asInstanceOf[java.lang.Long],
+                  null.asInstanceOf[java.lang.Integer])
+              else
+                (id, java.lang.Long.valueOf(
+                    graft.operators.TextGolden.fpRolling(t, 16)),
+                  java.lang.Integer.valueOf(
+                    graft.operators.TextGolden.nSubwords(t))) }
             .toDF("doc_id", "fp_rolling", "n_subwords"))
         Tables(s, dir, "documents")
           .select(col("doc_id"),

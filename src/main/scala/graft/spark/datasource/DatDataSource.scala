@@ -129,45 +129,30 @@ class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int)
       val f = files.next()
       if (f.toString.endsWith(".dat")) {
         val size = Files.size(f)
-        val ent = DatSidecarCache.validated(f, size)
+        val ent = DatSidecarCache.validated(f, size, pagesPerSplit)
         val nPages = ent.nPages
-        val idx = ent.idx
+        val sb = ent.splits
         var p = 0
+        var s = 0
         while (p < nPages) {
           val pages = math.min(pagesPerSplit, nPages - p)
-          val keepAddr = (idx, addressBounds) match {
-            case (null, _) | (_, None) => true
-            case (ix, Some((lo, hi))) =>
-              // split bounds = union of its pages' [minAddr, maxAddr]
-              var minA = ix(p)._1
-              var maxA = ix(p)._2
-              var q = p + 1
-              while (q < p + pages) {
-                if (cmp(ix(q)._1, minA) < 0) minA = ix(q)._1
-                if (cmp(ix(q)._2, maxA) > 0) maxA = ix(q)._2
-                q += 1
-              }
-              (hi == null || cmp(minA, hi) <= 0) &&
-                (lo == null || cmp(maxA, lo) >= 0)
-          }
-          val keepBlock = idx == null ||
-            (blockLo.isEmpty && blockHi.isEmpty) || {
-              var minB = Long.MaxValue
-              var maxB = Long.MinValue
-              var q = p
-              while (q < p + pages) {
-                if (idx(q)._3 < minB) minB = idx(q)._3
-                if (idx(q)._4 > maxB) maxB = idx(q)._4
-                q += 1
-              }
-              blockLo.forall(_ <= maxB) && blockHi.forall(_ >= minB)
+          val keep = sb == null || {
+            val b = sb(s)
+            val keepAddr = addressBounds match {
+              case None => true
+              case Some((lo, hi)) =>
+                (hi == null || cmp(b.minAddr, hi) <= 0) &&
+                  (lo == null || cmp(b.maxAddr, lo) >= 0)
             }
-          val keep = keepAddr && keepBlock
+            keepAddr && blockLo.forall(_ <= b.maxBlock) &&
+              blockHi.forall(_ >= b.minBlock)
+          }
           if (keep)
             out += DatInputPartition(f.toString,
               math.max(Header.Size.toLong, p.toLong * pageSize),
               math.min((p + pages).toLong * pageSize, size))
           p += pages
+          s += 1
         }
       }
     }
@@ -183,38 +168,111 @@ class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int)
   * re-reads the header and the prefix/suffix checksum region of EVERY file
   * sequentially on the driver (O(files) driver I/O per plan — fine for
   * hundreds of files, a real planning bottleneck at a 100 TB dataset's
-  * file count). Keyed by (path → size, mtime): any rewrite lands under a
-  * new (size, mtime), which re-validates; the commit protocol never
-  * rewrites bytes under an unchanged (size, mtime) pair. LRU-capped —
-  * bounds are 56 B/page on disk, so the cap is a few hundred MB of driver
-  * heap worst-case, and eviction only costs re-validation.
+  * file count).
+  *
+  * Retention model: the planner only ever consumes bounds at SPLIT
+  * granularity (`pagesPerSplit` pages per split), so per-page tuples are
+  * aggregated to per-split bounds before caching — ~150 B per 1 MiB split
+  * (~0.015% of data size) instead of ~100 B per 4 KiB page (~2.5%). The
+  * cache is capped by ESTIMATED BYTES, not file count: a byte cap bounds
+  * driver heap at any file-size mix, and eviction only costs
+  * re-validation.
+  *
+  * Staleness: keyed by (path → size, mtime, pagesPerSplit), and a hit
+  * whose cached bounds came from a paired sidecar additionally re-reads
+  * the sidecar's 16-byte (size, checksum) trailer — the pairing checksum
+  * covers the `.dat`'s content prefix/suffix, so an in-place same-size
+  * rewrite landing within the filesystem's mtime granularity still
+  * changes the trailer and forces re-validation (16-byte pread per file
+  * per plan vs the full prefix/suffix read).
   */
-private[datasource] object DatSidecarCache {
-  final case class Entry(size: Long, mtime: Long, nPages: Int,
-                         idx: Array[(Array[Byte], Array[Byte], Long, Long)])
+private[graft] object DatSidecarCache {
+  /** Aggregated bounds of one split (a run of `pagesPerSplit` pages). */
+  final case class SplitBounds(minAddr: Array[Byte], maxAddr: Array[Byte],
+                               minBlock: Long, maxBlock: Long)
 
-  private val MaxFiles = 4096
-  private val cache =
-    new java.util.LinkedHashMap[String, Entry](128, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Entry]): Boolean =
-        size() > MaxFiles
-    }
-
-  /** The validated (nPages, idx-bounds-or-null) of `f`, from cache when
-    * (size, mtime) is unchanged. Throws on bad header magic (a corrupt or
-    * foreign file must fail the plan, cached or not — only success is
-    * cached).
+  /** `idxSig` = the paired sidecar's (declaredSize, declaredSum) trailer,
+    * defined iff `splits != null`; `idxSeen` = whether an .idx file (even
+    * an unpaired one) existed at validation time.
     */
-  def validated(f: java.nio.file.Path, size: Long): Entry = {
+  final case class Entry(size: Long, mtime: Long, pagesPerSplit: Int,
+                         nPages: Int, splits: Array[SplitBounds],
+                         idxSig: Option[(Long, Long)], idxSeen: Boolean) {
+    /** Rough driver-heap estimate: two 20 B arrays (+16 B headers each) +
+      * 2 longs + object/record overhead per split, plus the entry shell.
+      */
+    def estBytes: Long =
+      96L + (if (splits == null) 0L else splits.length * 160L)
+  }
+
+  private val MaxBytes = 64L << 20 // 64 MiB of bounds metadata
+  private var totalBytes = 0L
+  private val cache =
+    new java.util.LinkedHashMap[String, Entry](128, 0.75f, true)
+
+  private def put(key: String, ent: Entry): Unit = cache.synchronized {
+    val old = cache.put(key, ent)
+    if (old != null) totalBytes -= old.estBytes
+    totalBytes += ent.estBytes
+    val it = cache.entrySet().iterator()
+    while (totalBytes > MaxBytes && it.hasNext) {
+      val e = it.next()
+      if (e.getValue ne ent) { // never evict the entry being returned
+        totalBytes -= e.getValue.estBytes
+        it.remove()
+      }
+    }
+  }
+
+  /** Test seam: (entries, estimated bytes) currently retained. */
+  private[graft] def stats: (Int, Long) =
+    cache.synchronized { (cache.size(), totalBytes) }
+  private[graft] def clear(): Unit =
+    cache.synchronized { cache.clear(); totalBytes = 0L }
+
+  /** A cached hit is only served if the sidecar situation is provably
+    * unchanged: paired bounds re-check the 16-byte trailer; a no-bounds
+    * entry is invalidated the moment an .idx appears where none was seen
+    * (a persistently-unpaired sidecar keeps serving null bounds — that is
+    * always correct, just unpruned).
+    */
+  private def hitStillValid(f: java.nio.file.Path, hit: Entry): Boolean = {
+    val idxPath = Paths.get(f.toString.stripSuffix(".dat") + ".idx")
+    hit.idxSig match {
+      case Some((dSize, dSum)) =>
+        try {
+          val raf = new java.io.RandomAccessFile(idxPath.toFile, "r")
+          try {
+            val len = raf.length()
+            if (len < 16) false
+            else {
+              val t = new Array[Byte](16)
+              raf.seek(len - 16)
+              raf.readFully(t)
+              graft.functions.Bytes.get64be(t, 0) == dSize &&
+                graft.functions.Bytes.get64be(t, 8) == dSum
+            }
+          } finally raf.close()
+        } catch { case _: java.io.IOException => false }
+      case None => hit.idxSeen || !Files.exists(idxPath)
+    }
+  }
+
+  /** The validated (nPages, per-split-bounds-or-null) of `f`, from cache
+    * when unchanged (see class doc for the staleness model). Throws on bad
+    * header magic (a corrupt or foreign file must fail the plan, cached or
+    * not — only success is cached).
+    */
+  def validated(f: java.nio.file.Path, size: Long,
+                pagesPerSplit: Int): Entry = {
     val pageSize = 1 << 12
     val key = f.toString
     val mtime = Files.getLastModifiedTime(f)
       .to(java.util.concurrent.TimeUnit.NANOSECONDS)
-    cache.synchronized {
-      val hit = cache.get(key)
-      if (hit != null && hit.size == size && hit.mtime == mtime) return hit
-    }
+    val hit = cache.synchronized { cache.get(key) }
+    if (hit != null && hit.size == size && hit.mtime == mtime &&
+        hit.pagesPerSplit == pagesPerSplit && hitStillValid(f, hit))
+      return hit
     val hBytes = new Array[Byte](Header.Size)
     val raf = new java.io.RandomAccessFile(f.toFile, "r")
     try raf.readFully(hBytes) finally raf.close()
@@ -232,8 +290,10 @@ private[datasource] object DatSidecarCache {
     // silently drop rows). Any mismatch → index ignored (correct,
     // just unpruned).
     val idxPath = Paths.get(key.stripSuffix(".dat") + ".idx")
-    val idx: Array[(Array[Byte], Array[Byte], Long, Long)] =
-      if (Files.exists(idxPath)) {
+    val idxSeen = Files.exists(idxPath)
+    var idxSig: Option[(Long, Long)] = None
+    val splits: Array[SplitBounds] =
+      if (idxSeen) {
         val raw = Files.readAllBytes(idxPath)
         val paired = raw.length == nPages * 56 + 16 && {
           val declaredSize =
@@ -253,21 +313,48 @@ private[datasource] object DatSidecarCache {
               raf.seek(size - sfxLen)
               raf.readFully(sfx)
             } finally raf.close()
-            graft.spark.StateFiles.pairingChecksum(pfx, sfx) ==
+            val ok = graft.spark.StateFiles.pairingChecksum(pfx, sfx) ==
               declaredSum
+            if (ok) idxSig = Some((declaredSize, declaredSum))
+            ok
           }
         }
-        if (paired)
-          Array.tabulate(nPages) { i =>
-            (java.util.Arrays.copyOfRange(raw, i * 56, i * 56 + 20),
-              java.util.Arrays.copyOfRange(raw, i * 56 + 20, i * 56 + 40),
-              graft.functions.Bytes.get64be(raw, i * 56 + 40),
-              graft.functions.Bytes.get64be(raw, i * 56 + 48))
+        if (paired) {
+          // aggregate per-page bounds to per-split ON PARSE — per-page
+          // tuples never survive past this stack frame
+          val nSplits = (nPages + pagesPerSplit - 1) / pagesPerSplit
+          Array.tabulate(nSplits) { s =>
+            val p0 = s * pagesPerSplit
+            val p1 = math.min(p0 + pagesPerSplit, nPages)
+            var minOff = p0 * 56
+            var maxOff = p0 * 56 + 20
+            var minB = graft.functions.Bytes.get64be(raw, p0 * 56 + 40)
+            var maxB = graft.functions.Bytes.get64be(raw, p0 * 56 + 48)
+            var p = p0 + 1
+            while (p < p1) {
+              val o = p * 56
+              if (java.util.Arrays.compareUnsigned(
+                    raw, o, o + 20, raw, minOff, minOff + 20) < 0)
+                minOff = o
+              if (java.util.Arrays.compareUnsigned(
+                    raw, o + 20, o + 40, raw, maxOff, maxOff + 20) > 0)
+                maxOff = o + 20
+              val b0 = graft.functions.Bytes.get64be(raw, o + 40)
+              val b1 = graft.functions.Bytes.get64be(raw, o + 48)
+              if (b0 < minB) minB = b0
+              if (b1 > maxB) maxB = b1
+              p += 1
+            }
+            SplitBounds(
+              java.util.Arrays.copyOfRange(raw, minOff, minOff + 20),
+              java.util.Arrays.copyOfRange(raw, maxOff, maxOff + 20),
+              minB, maxB)
           }
-        else null
+        } else null
       } else null
-    val ent = Entry(size, mtime, nPages, idx)
-    cache.synchronized { cache.put(key, ent) }
+    val ent = Entry(size, mtime, pagesPerSplit, nPages, splits, idxSig,
+      idxSeen)
+    put(key, ent)
     ent
   }
 }

@@ -81,6 +81,19 @@ class ExpressionSpec extends AnyFunSuite {
     assert(viaSql.getSeq[String](0) == Seq("a b", "b c"))
   }
 
+  test("token_ngrams rejects n < 1 at analysis time") {
+    GraftFunctions.register(spark)
+    // n=0 used to return len+1 empty strings; n<0 threw a raw
+    // IllegalArgumentException from copyOfRange at EXECUTION time — both
+    // must instead fail analysis with the type-check message
+    Seq(0, -1).foreach { n =>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT token_ngrams(split('a b', ' '), $n)").collect()
+      }
+      assert(e.getMessage.contains("n >= 1"), s"n=$n: ${e.getMessage}")
+    }
+  }
+
   test("plan contains the native expression, not a ScalaUDF") {
     // non-foldable input (range), else constant folding evaluates the
     // expression at optimization time and it vanishes from the plan

@@ -527,6 +527,63 @@ class PipelineSpec extends AnyFunSuite {
       s"stale sidecar cache: read $c2 of ${items.count()} after rewrite")
   }
 
+  test("DSv2 sidecar cache retains per-SPLIT bounds and re-keys on the " +
+      "idx trailer (same-size same-mtime rewrite)") {
+    import graft.spark.datasource.DatSidecarCache
+    val items = StateFormat.asItems(
+      history.withColumnRenamed("valid_from_block", "block"))
+    val dir = Files.createTempDirectory("graft-cache-model").toString
+    // one partition → one many-page part file (the aggregation target)
+    graft.spark.StateFiles.write(items.coalesce(1), dir, strategy = 0)
+    val dat = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".dat")).head.toPath
+    val size = Files.size(dat)
+    val pps = 4
+    DatSidecarCache.clear()
+    val ent = DatSidecarCache.validated(dat, size, pps)
+    assert(ent.splits != null && ent.idxSig.isDefined)
+    // retention is one bounds record per SPLIT, never per page
+    val expSplits = (ent.nPages + pps - 1) / pps
+    assert(ent.nPages > pps, "fixture too small to exercise aggregation")
+    assert(ent.splits.length == expSplits)
+    assert(ent.estBytes == 96L + expSplits * 160L)
+    assert(DatSidecarCache.stats == ((1, ent.estBytes)))
+    // cached split bounds equal an independent per-page aggregation of
+    // the raw sidecar
+    val idxP = java.nio.file.Paths.get(
+      dat.toString.stripSuffix(".dat") + ".idx")
+    val raw = Files.readAllBytes(idxP)
+    for (s <- 0 until expSplits) {
+      val ps = (s * pps) until math.min((s + 1) * pps, ent.nPages)
+      val minA = ps.map(p => java.util.Arrays.copyOfRange(
+        raw, p * 56, p * 56 + 20)).minBy(Bytes.hex)
+      val maxA = ps.map(p => java.util.Arrays.copyOfRange(
+        raw, p * 56 + 20, p * 56 + 40)).maxBy(Bytes.hex)
+      assert(ent.splits(s).minAddr.sameElements(minA), s"split $s minAddr")
+      assert(ent.splits(s).maxAddr.sameElements(maxA), s"split $s maxAddr")
+      assert(ent.splits(s).minBlock ==
+        ps.map(p => Bytes.get64be(raw, p * 56 + 40)).min)
+      assert(ent.splits(s).maxBlock ==
+        ps.map(p => Bytes.get64be(raw, p * 56 + 48)).max)
+    }
+    // unchanged file: the hit serves the SAME entry (no re-parse)
+    assert(DatSidecarCache.validated(dat, size, pps) eq ent)
+    // a rewrite the (size, mtime) key cannot see — e.g. the function
+    // sink rewriting the same part names within the filesystem's mtime
+    // granularity — still changes the sidecar's pairing-checksum
+    // trailer; simulate by flipping one trailer bit with both mtimes
+    // pinned. The hit must NOT be served: re-validation finds the pair
+    // broken and degrades to null bounds (unpruned, never wrong).
+    val datMt = Files.getLastModifiedTime(dat)
+    val idxMt = Files.getLastModifiedTime(idxP)
+    raw(raw.length - 1) = (raw(raw.length - 1) ^ 0x01).toByte
+    Files.write(idxP, raw)
+    Files.setLastModifiedTime(dat, datMt)
+    Files.setLastModifiedTime(idxP, idxMt)
+    val ent2 = DatSidecarCache.validated(dat, size, pps)
+    assert(!(ent2 eq ent) && ent2.splits == null)
+  }
+
   test("copy_file strategy conversion: 0 -> 1 -> read-back equality") {
     import spark.implicits._
     val items = StateFormat.asItems(
