@@ -47,4 +47,32 @@ object TextGolden {
     UTF8String.fromString(text).trim().toLowerCase.toString
       .split("(?<=[a-z])(?=[^a-z])|(?<=[0-9])(?=[^0-9])|\\s+", -1)
       .count(_.nonEmpty)
+
+  /** [[TextAnalysis.tokens]] replayed: engine trim (0x20 only — NOT
+    * Java's String.trim) + engine lowercase, split on the explicit
+    * RE2-equal whitespace class, drop empties.
+    */
+  def tokens(text: String): Array[String] =
+    UTF8String.fromString(text).trim().toLowerCase.toString
+      .split("[ \\t\\n\\f\\r]+", -1).filter(_.nonEmpty)
+
+  /** [[Dedup.minhashSignature]] replayed for the l02/l14 golden: the
+    * replay tokenization above feeds the plain-Scala signature loop
+    * ([[graft.functions.TextHash.minhashSignature]] — the shared hash
+    * primitive, the l13 XXH64 standard). The Catalyst side under test is
+    * everything AROUND the loop: the tokens() column plumbing,
+    * ArrayData/codegen dispatch, LSH banding, the candidate join and the
+    * jaccard verify — all recomputed independently by DuckDB from this
+    * golden.
+    */
+  def minhashSig(text: String, numHashes: Int = 128,
+                 shingleK: Int = 3): Array[Long] =
+    graft.functions.TextHash.minhashSignature(tokens(text), shingleK,
+      numHashes)
+
+  /** [[Dedup.simhash]] replayed for the l03 golden (same standard as
+    * [[minhashSig]]); DuckDB does the pigeonhole chunking and hamming.
+    */
+  def simhashSig(text: String): Long =
+    graft.functions.TextHash.simhash(tokens(text))
 }

@@ -6,8 +6,10 @@ import graft.operators.{Dedup, Multimodal, MultimodalGolden, Similarity, TextAna
 
 /** LLM training-data pipeline operators over `documents` and `embeddings`
   * (SURVEY.md §7.2 step 7). SQL-expressible ones carry a DuckDB oracle;
-  * hash/LSH-based ones are rows-only (their correctness is covered by
-  * OperatorSpec, including recall-vs-brute-force measurements).
+  * hash/LSH-based ones carry golden-replay oracles (typed-Scala signature
+  * replay → golden parquet → DuckDB redoes banding/hamming/jaccard);
+  * only the HLL sketch (l11) stays rows-only, being approximate by
+  * nature. OperatorSpec adds recall-vs-brute-force measurements.
   */
 object LlmQueries {
 
@@ -58,15 +60,32 @@ object LlmQueries {
       Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
              |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
 
+    // Golden-replay oracle (the l13 pattern applied to LSH): typed-Scala
+    // MinHash signatures → golden parquet; DuckDB independently redoes
+    // the banding (slice equality over the golden signatures — band-hash
+    // equality ⇔ slice equality up to a 64-bit xxhash collision), the
+    // candidate join, and the exact-jaccard verify. Banding recall is
+    // REPLAYED, not approximated, so the sub-recall-at-0.5 objection to
+    // an exhaustive oracle does not apply. The maxBucketSize=1000 cap is
+    // unreachable on a 500-doc corpus, so the oracle omits it.
     "l02_minhash_lsh" -> QuerySpec(
-      (s, dir) => lshPairs(s, dir).orderBy(col("id_a"), col("id_b")),
-      None),
+      (s, dir) => {
+        ensureMinhashGolden(s, dir)
+        lshPairs(s, dir).orderBy(col("id_a"), col("id_b"))
+      },
+      None, Some(dir => lshPairSql(l02GoldenName(dir)))),
 
+    // Same golden-replay standard: typed-Scala SimHash signatures →
+    // golden parquet; DuckDB redoes the pigeonhole chunk join (any pair
+    // within hamming ≤ 3 shares one exact 16-bit chunk) and the hamming
+    // filter.
     "l03_simhash_neardup" -> QuerySpec(
-      (s, dir) => Dedup.simhashNearDup(parallelDocs(s, dir),
-          maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b")),
-      None),
+      (s, dir) => {
+        ensureSimhashGolden(s, dir)
+        Dedup.simhashNearDup(parallelDocs(s, dir), maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None, Some(l03Sql)),
 
     // POSITIVE CONTROL: the raw corpus slice can legitimately contain zero
     // near-dups at a given sf, and an empty result verifies nothing — so
@@ -294,10 +313,12 @@ object LlmQueries {
     // materialized ONCE into a bucketed table (single corpus scan),
     // candidates from an exchange-free bucketed self-join, exact-jaccard
     // verify on candidates only. Pair output equals l02's at the same
-    // threshold (asserted in OperatorSpec); rows-only here because the
-    // bucketed table is engine-local state.
+    // threshold (asserted in OperatorSpec), and the l02 golden-replay
+    // oracle applies verbatim: the bucketed store changes WHERE the
+    // banding join runs, not WHAT it computes.
     "l14_lsh_bucketed" -> QuerySpec(
       (s, dir) => {
+        ensureMinhashGolden(s, dir)
         val docs = parallelDocs(s, dir)
         val path = java.nio.file.Files
           .createTempDirectory("graft-sigstore-q").toString
@@ -305,7 +326,7 @@ object LlmQueries {
         val cand = Dedup.storedCandidates(s, "graft_sig_store")
         Dedup.ngramJaccard(docs, threshold = 0.5, candidates = Some(cand))
           .orderBy(col("id_a"), col("id_b"))
-      }, None),
+      }, None, Some(dir => lshPairSql(l02GoldenName(dir)))),
 
     // Engine-specific text features (xxhash64 rolling fingerprint;
     // lookbehind subword segmentation unsupported by RE2) — rows-only,
@@ -657,6 +678,101 @@ object LlmQueries {
   // fn and the dump-time oracle builder always name the same golden
   private def l13GoldenName(dir: String): String =
     s"l13-fp-${new java.io.File(dir).getName}-v1"
+
+  private def l02GoldenName(dir: String): String =
+    s"l02-minhash-${new java.io.File(dir).getName}-v1"
+  private def l03GoldenName(dir: String): String =
+    s"l03-simhash-${new java.io.File(dir).getName}-v1"
+
+  // Signature goldens for l02/l03/l14 (see TextGolden.minhashSig /
+  // simhashSig): computed DISTRIBUTED over the documents table by the
+  // typed replay, written once per sf dir. Null text goldens to a null
+  // signature, exactly as the column formulation nulls through (and the
+  // banding explode then drops the row on both sides).
+  private def ensureMinhashGolden(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): Unit = {
+    import s.implicits._
+    graft.operators.MultimodalGolden.ensureGoldenDf(l02GoldenName(dir),
+      Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          (id, if (t == null) null
+               else graft.operators.TextGolden.minhashSig(t)) }
+        .toDF("doc_id", "sig"))
+  }
+
+  private def ensureSimhashGolden(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): Unit = {
+    import s.implicits._
+    graft.operators.MultimodalGolden.ensureGoldenDf(l03GoldenName(dir),
+      Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          (id, if (t == null) null.asInstanceOf[java.lang.Long]
+               else java.lang.Long.valueOf(
+                 graft.operators.TextGolden.simhashSig(t))) }
+        .toDF("doc_id", "sig"))
+  }
+
+  /** l02/l14's oracle from the minhash golden: DuckDB re-derives LSH
+    * candidates by direct signature-slice equality over the 32 bands of
+    * 4 rows (what the engine's xxhash64 band-hash equality encodes), then
+    * verifies exact 3-shingle jaccard ≥ 0.5 the same way the l04 oracle
+    * does — quantized by the engine-stable 4-dp floor.
+    */
+  private def lshPairSql(goldenName: String): String = {
+    val base = MultimodalGolden.goldenBase(goldenName)
+    s"""WITH sig AS (
+       |  SELECT doc_id, sig FROM read_parquet('$base/*.parquet')),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE EXISTS (SELECT 1 FROM generate_series(0, 31) g(i)
+       |    WHERE a.sig[i*4+1 : i*4+4] = b.sig[i*4+1 : i*4+4])),
+       |t AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                x -> length(x) > 0) AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= 3 THEN list_distinct(
+       |           [array_to_string(toks[i:i+2], ' ')
+       |            for i in generate_series(1, len(toks) - 2)])
+       |         WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+       |         ELSE [''] END AS s
+       |  FROM t),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_intersect(a.s, b.s))::DOUBLE
+       |      / len(list_distinct(list_concat(a.s, b.s))) AS j
+       |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+       |              JOIN sh b ON b.doc_id = c.id_b)
+       |SELECT id_a, id_b,
+       |  floor(j * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+       |    AS jaccard
+       |FROM pairs WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** l03's oracle from the simhash golden: candidates by pigeonhole — a
+    * pair within hamming ≤ 3 of 64 bits must agree on one of the four
+    * 16-bit chunks (arithmetic >> then mask ≡ the engine's unsigned
+    * shift after & 65535) — then the exact popcount-of-xor filter.
+    */
+  private def l03Sql(dir: String): String = {
+    val base = MultimodalGolden.goldenBase(l03GoldenName(dir))
+    s"""WITH sig AS (
+       |  SELECT doc_id, sig FROM read_parquet('$base/*.parquet')),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    bit_count(xor(a.sig, b.sig)) AS h
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE EXISTS (SELECT 1 FROM generate_series(0, 3) g(c)
+       |    WHERE ((a.sig >> (c*16)) & 65535) =
+       |          ((b.sig >> (c*16)) & 65535)))
+       |SELECT id_a, id_b, h::INT AS hamming
+       |FROM cand WHERE h <= 3 ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** l10's dump-time oracle: the checkpointed candidate pairs (tiny —
     * ids only) become VALUES literals and DuckDB independently computes
