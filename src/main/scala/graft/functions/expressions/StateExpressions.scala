@@ -1,0 +1,106 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftshim.Bridge
+import org.apache.spark.sql.types._
+import graft.codec.AccountBlob
+
+/** Native Catalyst expressions for the P1/P2 changeset decode kernels —
+  * the hottest per-row work of the flagship full-history pipeline (every
+  * account/storage changeset row passes through exactly one of them).
+  * Tier (b) of the extension ladder, same recipe as
+  * [[TextHashExpressions]]: `doGenCode` emits a direct static call, so the
+  * decode stays inside whole-stage codegen with no ScalaUDF closure
+  * dispatch, no Option/tuple boxing, and no encoder round trip for the
+  * struct result.
+  */
+object StateExpressions {
+
+  /** Static entry points referenced from generated code. */
+  def decodeAccount(blob: Array[Byte]): InternalRow = {
+    val d = AccountBlob.decode(blob)
+    new GenericInternalRow(
+      Array[Any](d.nonce, d.balance, d.incarnation, d.codeHash))
+  }
+
+  def padValue32(v: Array[Byte]): Array[Byte] = AccountBlob.padValue32(v)
+
+  /** Column helpers (the Scala-facing API). */
+  def account_decode(blob: Column): Column =
+    Bridge.column(AccountDecodeExpr(Bridge.expression(blob)))
+
+  def pad_value32(v: Column): Column =
+    Bridge.column(PadValue32Expr(Bridge.expression(v)))
+}
+
+/** account_decode(blob): the P1 fieldset decode
+  * (erigon_extract.c:199-260) as a struct-returning native expression.
+  * Malformed blobs THROW (the reference's abort-on-invalid), so a corrupt
+  * changeset fails the job rather than flowing on as nulls.
+  */
+case class AccountDecodeExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"account_decode needs binary, got $other")
+  }
+
+  override def dataType: DataType = AccountDecodeExpr.schema
+
+  override def prettyName: String = "account_decode"
+
+  override def nullSafeEval(blob: Any): Any =
+    StateExpressions.decodeAccount(blob.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.StateExpressions" +
+        s".decodeAccount($c);")
+
+  override protected def withNewChildInternal(c: Expression): AccountDecodeExpr =
+    copy(child = c)
+}
+
+object AccountDecodeExpr {
+  /** Decoded fieldset schema — named fields (vs the UDF tuple's _1.._4). */
+  val schema: StructType = StructType(Seq(
+    StructField("nonce", LongType, nullable = false),
+    StructField("balance", BinaryType, nullable = false),
+    StructField("incarnation", LongType, nullable = false),
+    StructField("codeHash", BinaryType, nullable = false)))
+}
+
+/** pad_value32(v): the P2 left-zero-pad of a trimmed storage value to 32
+  * bytes (erigon_extract.c:335-339). Throws on len > 32 like the kernel.
+  */
+case class PadValue32Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pad_value32 needs binary, got $other")
+  }
+
+  override def dataType: DataType = BinaryType
+
+  override def prettyName: String = "pad_value32"
+
+  override def nullSafeEval(v: Any): Any =
+    StateExpressions.padValue32(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.StateExpressions" +
+        s".padValue32($c);")
+
+  override protected def withNewChildInternal(c: Expression): PadValue32Expr =
+    copy(child = c)
+}

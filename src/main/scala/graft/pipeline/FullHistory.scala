@@ -3,7 +3,6 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.codec.AccountBlob
 import graft.model.StateItem
 
 /** The reference's full-conversion dataflow (SURVEY.md §3.1) re-expressed as
@@ -23,14 +22,16 @@ object FullHistory {
 
   private val zeros32 = lit(StateItem.zeros(32))
 
-  /** Decode account fieldset blobs (P1) as a struct-returning UDF. */
-  private val decodeAccountUdf = udf { blob: Array[Byte] =>
-    val d = AccountBlob.decode(blob)
-    (d.nonce, d.balance, d.incarnation, d.codeHash)
-  }
+  // P1/P2 decode as native codegen expressions (StateExpressions): the
+  // hottest per-row work of the pipeline stays inside whole-stage codegen
+  // instead of paying ScalaUDF closure dispatch + tuple encoding per
+  // changeset row (bitwise equality with the former UDF forms is pinned
+  // in ExpressionSpec)
+  private def decodeAccountExpr(blob: Column): Column =
+    graft.functions.expressions.StateExpressions.account_decode(blob)
 
-  /** Left-zero-pad a trimmed storage value to 32 bytes (P2). */
-  private val padValueUdf = udf { v: Array[Byte] => AccountBlob.padValue32(v) }
+  private def padValueExpr(v: Column): Column =
+    graft.functions.expressions.StateExpressions.pad_value32(v)
 
   /** J1: conditional code-hash lookup, the reference's per-row conditional
     * probe (erigon_extract.c:262-292) as a plan split: only rows whose
@@ -71,14 +72,14 @@ object FullHistory {
     */
   def decodeAccounts(changeset: DataFrame, plainCodeHash: DataFrame): DataFrame = {
     val decoded = changeset
-      .withColumn("d", decodeAccountUdf(col("account_blob")))
+      .withColumn("d", decodeAccountExpr(col("account_blob")))
       .select(
         col("address"), col("block"),
-        col("d._1").as("nonce"),
-        when(col("d._4") === lit(StateItem.EmptyCodeHash), zeros32)
-          .otherwise(col("d._4")).as("codeHash"),
-        col("d._2").as("balance"),
-        col("d._3").as("incarnation"))
+        col("d.nonce").as("nonce"),
+        when(col("d.codeHash") === lit(StateItem.EmptyCodeHash), zeros32)
+          .otherwise(col("d.codeHash")).as("codeHash"),
+        col("d.balance").as("balance"),
+        col("d.incarnation").as("incarnation"))
     resolveCodeHash(decoded, plainCodeHash)
       .select(col("address"), col("block"), lit(false).as("isStorage"),
         col("nonce"), col("incarnation"), col("balance"), col("codeHash"),
@@ -92,7 +93,7 @@ object FullHistory {
     changeset.select(col("address"), col("block"),
       lit(true).as("isStorage"), lit(0L).as("nonce"), col("incarnation"),
       zeros32.as("balance"), zeros32.as("codeHash"), col("slot"),
-      padValueUdf(col("value")).as("value"))
+      padValueExpr(col("value")).as("value"))
 
   /** Group key of the W1 window = compare_keys_except_block
     * (erigon_extract.c:2102-2129): accounts group per address; storage per

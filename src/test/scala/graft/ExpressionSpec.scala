@@ -94,6 +94,56 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("account_decode / pad_value32 match the ScalaUDF forms bitwise") {
+    import spark.implicits._
+    import graft.codec.AccountBlob
+    // the pre-promotion UDF formulations, kept as the equality oracle
+    val decodeUdf = udf { blob: Array[Byte] =>
+      val d = AccountBlob.decode(blob)
+      (d.nonce, d.balance, d.incarnation, d.codeHash)
+    }
+    val padUdf = udf { v: Array[Byte] => AccountBlob.padValue32(v) }
+    val rnd = new scala.util.Random(23)
+    val blobs = (1 to 300).map { i =>
+      val nonce = if (rnd.nextBoolean()) math.abs(rnd.nextLong()) % 1000000 else 0L
+      val bal = new Array[Byte](32)
+      if (rnd.nextBoolean()) rnd.nextBytes(bal)
+      val inc = rnd.nextInt(4).toLong
+      val hash = new Array[Byte](32)
+      if (rnd.nextBoolean()) rnd.nextBytes(hash)
+      (i.toLong, AccountBlob.encode(nonce, bal, inc, hash),
+        java.util.Arrays.copyOfRange(bal, 32 - rnd.nextInt(33), 32))
+    }
+    val df = blobs.toDF("id", "blob", "trimmed")
+    val exprs = graft.functions.expressions.StateExpressions
+    df.select(col("id"),
+        exprs.account_decode(col("blob")).as("n"),
+        decodeUdf(col("blob")).as("u"),
+        exprs.pad_value32(col("trimmed")).as("pn"),
+        padUdf(col("trimmed")).as("pu"))
+      .collect().foreach { r =>
+        val (n, u) = (r.getStruct(1), r.getStruct(2))
+        assert(n.getLong(0) == u.getLong(0), s"id=${r.getLong(0)} nonce")
+        assert(n.getAs[Array[Byte]](1).sameElements(u.getAs[Array[Byte]](1)),
+          s"id=${r.getLong(0)} balance")
+        assert(n.getLong(2) == u.getLong(2), s"id=${r.getLong(0)} inc")
+        assert(n.getAs[Array[Byte]](3).sameElements(u.getAs[Array[Byte]](3)),
+          s"id=${r.getLong(0)} codeHash")
+        assert(r.getAs[Array[Byte]]("pn").sameElements(
+          r.getAs[Array[Byte]]("pu")), s"id=${r.getLong(0)} pad")
+      }
+    // malformed blob still fails the job (the reference's abort-on-invalid)
+    val bad = intercept[Exception] {
+      Seq((1L, Array[Byte](0x0f, 99.toByte))).toDF("id", "blob")
+        .select(exprs.account_decode(col("blob"))).collect()
+    }
+    assert(exceptionChain(bad).exists(
+      _.getMessage.contains("Error decoding account")), bad.getMessage)
+  }
+
+  private def exceptionChain(e: Throwable): List[Throwable] =
+    if (e == null) Nil else e :: exceptionChain(e.getCause)
+
   test("plan contains the native expression, not a ScalaUDF") {
     // non-foldable input (range), else constant folding evaluates the
     // expression at optimization time and it vanishes from the plan
