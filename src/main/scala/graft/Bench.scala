@@ -72,5 +72,8 @@ object Bench {
       "\"" + k + "\":" + f"$m%.4f" }.mkString("{", ",", "}")
     println(s"""{"metric":"bench_summary","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},"max_median":${f"$maxMedian%.4f"},"aggregation":"median","errors":$errs,"queries":$qs4}""")
     spark.stop()
+    // a broken query must not ride a green exit status: the errors map is
+    // easy to miss in a 1.4 KB JSON line, rc != 0 is not
+    if (results.exists(_._4.isDefined)) sys.exit(1)
   }
 }

@@ -320,10 +320,25 @@ object LlmQueries {
       (s, dir) => {
         ensureMinhashGolden(s, dir)
         val docs = parallelDocs(s, dir)
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-sigstore-q").toString
-        Dedup.materializeSignatures(docs, "graft_sig_store", s"$path/t")
-        val cand = Dedup.storedCandidates(s, "graft_sig_store")
+        // one store per sf dir at a STABLE path (same write-once convention
+        // as the golden/fixture caches — a fresh temp dir per invocation
+        // leaked an orphan store per bench run): re-runs in the same
+        // session skip straight to the bucketed self-join, which is the
+        // whole point of the amortized layout
+        val dirTag = new java.io.File(dir).getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+        val table = s"graft_sig_store_$dirTag"
+        val path = new java.io.File(s"target/sigstore/$dirTag")
+          .getAbsolutePath
+        val ok = java.nio.file.Paths.get(path, "_OK")
+        if (!(s.catalog.tableExists(table) &&
+              java.nio.file.Files.exists(ok))) {
+          Dedup.materializeSignatures(docs, table, s"$path/t")
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(path))
+          java.nio.file.Files.write(ok, Array.emptyByteArray)
+        }
+        val cand = Dedup.storedCandidates(s, table)
         Dedup.ngramJaccard(docs, threshold = 0.5, candidates = Some(cand))
           .orderBy(col("id_a"), col("id_b"))
       }, None, Some(dir => lshPairSql(l02GoldenName(dir)))),
@@ -364,16 +379,37 @@ object LlmQueries {
       }, None, Some(dir => mGoldenSql(l13GoldenName(dir),
         "doc_id, fp_rolling, n_subwords", "doc_id"))),
 
-    // HLL sketch vs exact distinct (approx_count_distinct is engine-
-    // specific, so rows-only; the test bound lives in the query itself).
+    // HLL sketch with a BOUNDED-ERROR oracle: the estimate itself is
+    // engine-specific (HLL++ register layout), but its error envelope is
+    // not — |approx − exact| ≤ 3·rsd·exact holds with probability
+    // ~0.9997 per HLL++'s Gaussian error model, and rsd is a declared
+    // query parameter (0.02, so ±6%). The entry emits the EXACT counts
+    // (DuckDB-recomputable) plus within-bound flags; the oracle computes
+    // the same exact counts and literal TRUEs. An HLL regression that
+    // drifts outside the theoretical envelope flips a flag and fails the
+    // hash — a falsifiable tolerance oracle, not rows-only.
     "l11_approx_distinct" -> QuerySpec(
       (s, dir) => {
+        val rsd = 0.02
         Tables(s, dir, "documents")
           .agg(countDistinct(col("source")).as("exact_sources"),
-            approx_count_distinct(col("source"), 0.02).as("approx_sources"),
+            approx_count_distinct(col("source"), rsd).as("a_src"),
             countDistinct(col("text")).as("exact_texts"),
-            approx_count_distinct(col("text"), 0.02).as("approx_texts"))
-      }, None),
+            approx_count_distinct(col("text"), rsd).as("a_txt"))
+          .select(col("exact_sources"),
+            (abs(col("a_src") - col("exact_sources"))
+              <= lit(3 * rsd) * col("exact_sources"))
+              .as("sources_in_bound"),
+            col("exact_texts"),
+            (abs(col("a_txt") - col("exact_texts"))
+              <= lit(3 * rsd) * col("exact_texts"))
+              .as("texts_in_bound"))
+      },
+      Some("""SELECT count(DISTINCT source) AS exact_sources,
+             |TRUE AS sources_in_bound,
+             |count(DISTINCT text) AS exact_texts,
+             |TRUE AS texts_in_bound
+             |FROM documents""".stripMargin)),
 
     // Text cleaning + PII scrubbing with a DuckDB oracle (same regexes,
     // RE2-compatible: no lookarounds).

@@ -6,8 +6,10 @@ import graft.streaming.Streams
 
 /** Streaming-surface queries. w01 checks the windowed aggregation logic
   * against a DuckDB oracle in batch form (same plan Structured Streaming
-  * executes incrementally); st01 actually runs the incremental W1 fold
-  * through a MemoryStream-backed streaming query.
+  * executes incrementally); st02–st05 run REAL streaming queries
+  * (file-source or memory-sink micro-batches) hash-checked against DuckDB
+  * oracles; the MemoryStream batch≡streaming equivalence proof lives in
+  * StreamingSpec.
   */
 object StreamingQueries {
 
@@ -27,7 +29,7 @@ object StreamingQueries {
   }
 
   /** State-store sizing shared by every REAL streaming execution here
-    * (st01/st02/st04/st05): a streaming query fixes its state-partition
+    * (st02/st04/st05): a streaming query fixes its state-partition
     * count at query start from `spark.sql.shuffle.partitions`, and each
     * micro-batch then pays per-partition task + state-store load/commit
     * overhead regardless of data volume. A fixture-scale keyed stream
@@ -221,15 +223,16 @@ object StreamingQueries {
         val src = s"${graft.pipeline.Fixtures.cacheBase(n / 4, n)}" +
           "/account_changeset"
         val raw = s.read.parquet(src)
-        val dec = udf { blob: Array[Byte] =>
-          val d = graft.codec.AccountBlob.decode(blob)
-          (d.nonce, d.balance)
-        }
+        // P1 decode through the native codegen expression — the streaming
+        // micro-batch plan codegens it exactly like the batch flagship
+        // (the last udf-shaped dispatch in any registry entry, removed)
         val changes = s.readStream.schema(raw.schema)
           .option("pathGlobFilter", "*.parquet").parquet(src)
-          .withColumn("d", dec(col("account_blob")))
+          .withColumn("d", graft.functions.expressions.StateExpressions
+            .account_decode(col("account_blob")))
           .select(hex(col("address")).as("key"), col("block"),
-            concat_ws(":", col("d._1"), hex(col("d._2"))).as("payload"))
+            concat_ws(":", col("d.nonce"), hex(col("d.balance")))
+              .as("payload"))
           .as[Streams.Change]
         withStateSizing(s) {
           val q = Streams.incrementalHistory(changes)
@@ -242,57 +245,12 @@ object StreamingQueries {
         s.table("st05_sink").orderBy(col("key"), col("validFrom"))
       }, None, Some(dir => st05Sql(dir))),
 
-    // Incremental W1 through an actual streaming query (MemoryStream →
-    // flatMapGroupsWithState → memory sink), fed the fixture changesets in
-    // two block-ordered micro-batches.
-    "st01_incremental_history" -> QuerySpec(
-      (s, dir) => {
-        import s.implicits._
-        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-        val w = graft.pipeline.Fixtures.generate(s)
-        val accounts = graft.pipeline.FullHistory
-          .decodeAccounts(w.accountChangeset, w.plainCodeHash)
-        val storage = graft.pipeline.FullHistory
-          .decodeStorage(w.storageChangeset)
-        val changes = accounts.unionByName(storage)
-          .select(
-            concat_ws("/", hex(col("address")),
-              col("isStorage").cast("string"),
-              when(col("isStorage"), col("incarnation")).otherwise(lit(0L)),
-              when(col("isStorage"), hex(col("slot"))).otherwise(lit("")))
-              .as("key"),
-            col("block"),
-            concat_ws(":", col("nonce"), hex(col("balance"))).as("payload"))
-          // HARNESS ONLY — do not copy to production: collect() feeds the
-          // in-memory MemoryStream so the micro-batch boundary is
-          // deterministic for the batch≡streaming proof. A deployment
-          // reads the changeset CDC log with readStream (file/Kafka
-          // source); Streams.incrementalHistory itself is
-          // partition-parallel and never sees a driver-side collect.
-          .as[Streams.Change].collect().sortBy(_.block)
-
-        implicit val sqlCtx = s.sqlContext
-        val mem = MemoryStream[Streams.Change]
-        val name = "st01_sink"
-        // state-store sizing: the partition count is fixed at query start
-        // from spark.sql.shuffle.partitions; a fixture-scale keyed stream
-        // doesn't need 32 state partitions' worth of per-batch task +
-        // store overhead (a production deployment sizes this to keyed
-        // state volume, the same knob)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
-          val q = Streams.incrementalHistory(mem.toDS())
-            .writeStream.format("memory").queryName(name)
-            .outputMode("append").start()
-          try {
-            val (b1, b2) = changes.splitAt(changes.length / 2)
-            mem.addData(b1.toSeq); q.processAllAvailable()
-            mem.addData(b2.toSeq); q.processAllAvailable()
-          } finally q.stop()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        s.table(name).orderBy(col("key"), col("validFrom"))
-      }, None),
+    // (st01_incremental_history retired: the two-micro-batch
+    // batch≡streaming proof it ran — MemoryStream fed by a harness-side
+    // collect — lives in StreamingSpec ("incremental history == batch
+    // pipeline on the same changesets"), and the PRODUCTION ingestion
+    // shape of the same fold is st05 above, oracle-green from a real
+    // file-source stream. The registry carries no harness-fed entry.)
   )
 
   private def st05Sql(dir: String): String = {

@@ -164,4 +164,75 @@ class CliSpec extends AnyFunSuite {
     assert(back.agg(sum(size(col("txs")))).collect()(0).getLong(0)
       == tw.totalTxs)
   }
+
+  // The reference's show_file contract (erigon_extract.c:1998-2002): "The
+  // printed output should be identical to the formatted output if PRINT
+  // was set when generating that file" — reader print ≡ writer print
+  // trace, so a decoded stream is byte-diffable against what the writer
+  // logged. Pinned here as (a) a golden literal for the line format
+  // itself, (b) writer-trace ≡ reader-trace through a real encode/decode
+  // round trip on every strategy, (c) the `show` CLI's full stdout.
+  test("show: decoder print output is diffable against the writer trace") {
+    import graft.codec.{StateReader, StateWriter}
+    import graft.functions.Bytes
+    import graft.model.StateItem
+
+    val addr = Bytes.unhex("00112233445566778899aabbccddeeff00112233")
+    def b32(last: Int): Array[Byte] = {
+      val a = new Array[Byte](32); a(31) = last.toByte; a
+    }
+    val acct = StateItem.account(addr, block = 7L, nonce = 5L,
+      incarnation = 1L, balance = b32(0x2a), codeHash = b32(0x01))
+    val acctEmptyCode = StateItem.account(addr, block = 9L, nonce = 6L,
+      incarnation = 1L, balance = b32(0x2b),
+      codeHash = StateItem.EmptyCodeHash.clone())
+    val stor = StateItem.storage(addr, block = 9L, incarnation = 1L,
+      slot = b32(0x03), value = b32(0x04))
+
+    // (a) the format golden — any drift here breaks diffability of traces
+    // recorded by earlier builds
+    assert(Show.format(acct) ==
+      "Account block=7 " +
+        "address=00112233445566778899aabbccddeeff00112233\n" +
+        "        inc=1 nonce=5 balance=" + "0" * 62 + "2a\n" +
+        "        codeHash=" + "0" * 62 + "01")
+    assert(Show.format(stor) ==
+      "Storage block=9 " +
+        "slot=00112233445566778899aabbccddeeff00112233/" +
+        "0" * 62 + "03\n" +
+        "        inc=1 value=" + "0" * 62 + "04")
+
+    // (b) writer trace == reader trace across the production strategies
+    // (2 is writer-only — the reference's own reader cannot decode it —
+    // and 3 round-trips only on its transpose-ordered subset, SURVEY.md
+    // §2.9 / CodecSpec); the writer prints what it encodes
+    // (empty-code-hash normalization included, erigon_extract.c:832-838),
+    // the reader prints what it decodes
+    val items = Seq(acct, acctEmptyCode, stor)
+    val writerTrace = items.map(i =>
+      Show.format(if (!i.isStorage &&
+          java.util.Arrays.equals(i.codeHash, StateItem.EmptyCodeHash))
+        i.copy(codeHash = StateItem.zeros(32)) else i))
+    for (strategy <- Seq(0, 1)) {
+      val w = new StateWriter(strategy)
+      items.foreach(w.write)
+      val readerTrace =
+        new StateReader(strategy, w.toArray).toSeq.map(Show.format)
+      assert(readerTrace == writerTrace, s"strategy=$strategy")
+    }
+
+    // (c) the CLI surface end-to-end: `show` prints exactly the trace
+    // plus the item count
+    val w0 = new StateWriter(0)
+    items.foreach(w0.write)
+    val f = java.nio.file.Files.createTempFile("graft-show", ".dat")
+    java.nio.file.Files.write(f, w0.toArray)
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+      Show.main(Array("0", f.toString))
+    }
+    java.nio.file.Files.delete(f)
+    assert(bos.toString("UTF-8") ==
+      writerTrace.mkString("", "\n", "\n") + s"${items.size} items\n")
+  }
 }
