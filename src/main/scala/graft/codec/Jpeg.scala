@@ -1,0 +1,656 @@
+package graft.codec
+
+/** Pure-JVM baseline JPEG (ITU-T T.81 sequential DCT, Huffman) codec.
+  *
+  * Closes the "compressed formats would slot behind the same Codecs
+  * interface" gap in [[graft.operators.Multimodal]]: the m04 entry decodes
+  * REAL JPEG payloads produced by this encoder, and JpegSpec cross-checks
+  * both directions against the JDK's independent ImageIO implementation.
+  *
+  * Encoder: 8-bit baseline, YCbCr 4:4:4 (or grayscale), the standard
+  * Annex K quantization tables scaled by a quality factor, the standard
+  * Annex K Huffman tables, JFIF APP0 header.
+  *
+  * Decoder: 8-bit baseline sequential (SOF0) only — grayscale or YCbCr
+  * with sampling factors up to 2×2 (covers 4:4:4, 4:2:2, 4:2:0, so
+  * JDK-encoded images decode too), restart intervals (DRI/RSTn), multiple
+  * DQT/DHT segments. Strict parser: malformed input throws (the F4
+  * validation stance), progressive/arithmetic/12-bit streams are rejected
+  * with a clear error rather than mis-decoded.
+  *
+  * All tables and layouts are from the public JPEG standard (ITU-T T.81
+  * Annex K); no code is derived from any existing decoder.
+  */
+object Jpeg {
+
+  // ---- standard tables (ITU-T T.81 Annex K) ----
+
+  private[codec] val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  private val QLumA: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  private val QChrA: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  private val DcLumBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcLumVals = (0 to 11).map(_.toByte).toArray
+  private val DcChrBits = Array(0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChrVals = (0 to 11).map(_.toByte).toArray
+
+  private val AcLumBits = Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcLumVals: Array[Byte] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
+
+  private val AcChrBits = Array(0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChrVals: Array[Byte] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+    0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+    0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
+
+  // `bits` arrays above are 1-indexed by code length (index 0 unused).
+
+  private def scaledQuant(base: Array[Int], quality: Int): Array[Int] = {
+    // above 95 the scaled DC step can reach 1, whose worst-case DC diff
+    // magnitude (12 bits) exceeds the standard DC Huffman table's range
+    require(quality >= 1 && quality <= 95, s"quality $quality (1..95)")
+    val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
+    base.map { q =>
+      val s = (q * scale + 50) / 100
+      math.max(1, math.min(255, s))
+    }
+  }
+
+  // 1D 8-point DCT-II basis: cosTab(u)(x) = cos((2x+1)uπ/16) * c(u)/2
+  private val CosTab: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    0.5 * c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  // ---- bit I/O ----
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0L
+    private var nBits = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nBits += len
+      while (nBits >= 8) {
+        val b = ((acc >>> (nBits - 8)) & 0xff).toInt
+        out.write(b)
+        if (b == 0xff) out.write(0x00) // byte stuffing
+        nBits -= 8
+      }
+    }
+    /** Pad with 1-bits to a byte boundary (put handles stuffing). */
+    def flush(): Unit =
+      if (nBits > 0) put((1 << (8 - nBits)) - 1, 8 - nBits)
+  }
+
+  private final case class HuffEnc(codes: Array[Int], lens: Array[Int])
+
+  /** Canonical code assignment per T.81 C.2 from a (bits, vals) spec. */
+  private def buildEnc(bits: Array[Int], vals: Array[Byte]): HuffEnc = {
+    val codes = new Array[Int](256)
+    val lens = new Array[Int](256)
+    var code = 0
+    var k = 0
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l)) {
+        val v = vals(k) & 0xff
+        codes(v) = code; lens(v) = l
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1; l += 1
+    }
+    HuffEnc(codes, lens)
+  }
+
+  // ---- encoder ----
+
+  /** Encode top-down RGB (3 bytes/pixel) as baseline JFIF 4:4:4. */
+  def encode(w: Int, h: Int, rgbTopDown: Array[Byte],
+             quality: Int = 90): Array[Byte] = {
+    require(w > 0 && h > 0 && w < (1 << 16) && h < (1 << 16) &&
+      rgbTopDown.length == w * h * 3,
+      s"bad RGB input ${rgbTopDown.length} for ${w}x$h")
+    val qLum = scaledQuant(QLumA, quality)
+    val qChr = scaledQuant(QChrA, quality)
+    val out = new java.io.ByteArrayOutputStream(w * h / 2 + 1024)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16) // APP0 JFIF
+    out.write(Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    // DQT: two 8-bit tables, zigzag order
+    marker(0xdb); u16(2 + 2 * 65)
+    out.write(0x00); ZigZag.foreach(z => out.write(qLum(z)))
+    out.write(0x01); ZigZag.foreach(z => out.write(qChr(z)))
+    // SOF0: 3 components, all 1x1 sampling (4:4:4)
+    marker(0xc0); u16(8 + 3 * 3)
+    out.write(8); u16(h); u16(w); out.write(3)
+    out.write(1); out.write(0x11); out.write(0) // Y  -> qtable 0
+    out.write(2); out.write(0x11); out.write(1) // Cb -> qtable 1
+    out.write(3); out.write(0x11); out.write(1) // Cr -> qtable 1
+    // DHT: the four standard tables
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length)
+      out.write((cls << 4) | id)
+      (1 to 16).foreach(l => out.write(bits(l)))
+      out.write(vals)
+    }
+    dht(0, 0, DcLumBits, DcLumVals); dht(1, 0, AcLumBits, AcLumVals)
+    dht(0, 1, DcChrBits, DcChrVals); dht(1, 1, AcChrBits, AcChrVals)
+    // SOS
+    marker(0xda); u16(6 + 2 * 3)
+    out.write(3)
+    out.write(1); out.write(0x00)
+    out.write(2); out.write(0x11)
+    out.write(3); out.write(0x11)
+    out.write(0); out.write(63); out.write(0)
+
+    val encDcL = buildEnc(DcLumBits, DcLumVals)
+    val encAcL = buildEnc(AcLumBits, AcLumVals)
+    val encDcC = buildEnc(DcChrBits, DcChrVals)
+    val encAcC = buildEnc(AcChrBits, AcChrVals)
+    val bw = new BitWriter(out)
+    val mcusX = (w + 7) / 8
+    val mcusY = (h + 7) / 8
+    val block = new Array[Double](64)
+    val coef = new Array[Int](64)
+    val dcPred = new Array[Int](3)
+
+    def magnitude(v: Int): Int = { // bit length of |v|
+      var a = math.abs(v); var n = 0
+      while (a != 0) { a >>= 1; n += 1 }
+      n
+    }
+    def putCoef(v: Int, len: Int): Unit =
+      // negative values are encoded as v-1 in `len` low bits (T.81 F.1.2.1)
+      bw.put(if (v < 0) v - 1 else v, len)
+
+    def encodeBlock(q: Array[Int], dc: HuffEnc, ac: HuffEnc,
+                    comp: Int): Unit = {
+      // forward 2D DCT (separable) + quantize in zigzag order
+      val tmp = new Array[Double](64)
+      var u = 0
+      while (u < 8) { // rows
+        var x = 0
+        while (x < 8) {
+          var s = 0.0; var i = 0
+          while (i < 8) { s += block(u * 8 + i) * CosTab(x)(i); i += 1 }
+          tmp(u * 8 + x) = s
+          x += 1
+        }
+        u += 1
+      }
+      var v = 0
+      while (v < 8) { // cols
+        var y = 0
+        while (y < 8) {
+          var s = 0.0; var i = 0
+          while (i < 8) { s += tmp(i * 8 + v) * CosTab(y)(i); i += 1 }
+          val z = s / q(y * 8 + v)
+          coef(y * 8 + v) = math.round(z).toInt
+          y += 1
+        }
+        v += 1
+      }
+      // DC
+      val diff = coef(0) - dcPred(comp)
+      dcPred(comp) = coef(0)
+      val dLen = magnitude(diff)
+      bw.put(dc.codes(dLen), dc.lens(dLen))
+      if (dLen > 0) putCoef(diff, dLen)
+      // AC: run-length of zeros + magnitude
+      var run = 0
+      var k = 1
+      while (k < 64) {
+        val c = coef(ZigZag(k))
+        if (c == 0) run += 1
+        else {
+          while (run > 15) { bw.put(ac.codes(0xf0), ac.lens(0xf0)); run -= 16 }
+          val aLen = magnitude(c)
+          val sym = (run << 4) | aLen
+          bw.put(ac.codes(sym), ac.lens(sym))
+          putCoef(c, aLen)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) bw.put(ac.codes(0x00), ac.lens(0x00)) // EOB
+    }
+
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var comp = 0
+        while (comp < 3) {
+          var by = 0
+          while (by < 8) {
+            val sy = math.min(my * 8 + by, h - 1)
+            var bx = 0
+            while (bx < 8) {
+              val sx = math.min(mx * 8 + bx, w - 1) // edge replicate
+              val p = (sy * w + sx) * 3
+              val r = rgbTopDown(p) & 0xff
+              val g = rgbTopDown(p + 1) & 0xff
+              val b = rgbTopDown(p + 2) & 0xff
+              val v = comp match {
+                case 0 => 0.299 * r + 0.587 * g + 0.114 * b
+                case 1 => -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+                case _ => 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+              }
+              block(by * 8 + bx) = v - 128.0
+              bx += 1
+            }
+            by += 1
+          }
+          if (comp == 0) encodeBlock(qLum, encDcL, encAcL, 0)
+          else encodeBlock(qChr, encDcC, encAcC, comp)
+          comp += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ---- decoder ----
+
+  private final class HuffDec(bits: Array[Int], vals: Array[Byte]) {
+    // canonical decode tables per T.81 F.2.2.3
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l); k += bits(l)
+        maxCode(l) = if (bits(l) == 0) -1 else code - 1
+        code <<= 1; l += 1
+      }
+      require(k == vals.length, "DHT count mismatch")
+    }
+    def value(l: Int, code: Int): Int =
+      vals(valPtr(l) + code - minCode(l)) & 0xff
+  }
+
+  private final class Reader(bytes: Array[Byte]) {
+    var pos = 0
+    def u8(): Int = {
+      require(pos < bytes.length, "truncated JPEG")
+      val v = bytes(pos) & 0xff; pos += 1; v
+    }
+    def u16(): Int = { val hi = u8(); (hi << 8) | u8() }
+    def skip(n: Int): Unit = {
+      require(n >= 0 && pos + n <= bytes.length, "truncated JPEG segment")
+      pos += n
+    }
+
+    // entropy-coded bit reader with 0xFF00 un-stuffing
+    private var acc = 0L
+    private var nBits = 0
+    var hitMarker = false
+    def resetBits(): Unit = { acc = 0L; nBits = 0; hitMarker = false }
+    def bit(): Int = {
+      if (nBits == 0) {
+        if (hitMarker) return 0 // T.81 F.2.2.5: pad past a marker with 0s
+        val b = u8()
+        if (b == 0xff) {
+          val n = u8()
+          if (n == 0x00) { acc = 0xff; nBits = 8 }
+          else { pos -= 2; hitMarker = true; return 0 }
+        } else { acc = b; nBits = 8 }
+      }
+      nBits -= 1
+      ((acc >>> nBits) & 1L).toInt
+    }
+    def bitsVal(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def decodeHuff(t: HuffDec): Int = {
+      var code = bit()
+      var l = 1
+      while (l <= 16) {
+        if (t.maxCode(l) >= 0 && code <= t.maxCode(l) &&
+          code >= t.minCode(l)) return t.value(l, code)
+        code = (code << 1) | bit()
+        l += 1
+      }
+      throw new IllegalArgumentException("invalid Huffman code in scan")
+    }
+  }
+
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  private final case class Component(id: Int, hSamp: Int, vSamp: Int,
+                                     qId: Int, var dcId: Int = 0,
+                                     var acId: Int = 0)
+
+  /** Strict baseline decode → (width, height, top-down RGB). */
+  def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
+    val r = new Reader(bytes)
+    r.skip(2)
+    val quant = new Array[Array[Int]](4)
+    val huffDc = new Array[HuffDec](4)
+    val huffAc = new Array[HuffDec](4)
+    var comps: Array[Component] = null
+    var w = 0
+    var h = 0
+    var restartInterval = 0
+    var sawSof = false
+
+    def parseDqt(len: Int): Unit = {
+      var remaining = len - 2
+      while (remaining > 0) {
+        val pq = r.u8()
+        require((pq >> 4) == 0, "only 8-bit quant tables supported")
+        val id = pq & 0x0f
+        require(id < 4, s"bad quant table id $id")
+        val t = new Array[Int](64)
+        var i = 0
+        while (i < 64) { t(ZigZag(i)) = r.u8(); i += 1 }
+        quant(id) = t
+        remaining -= 65
+      }
+      require(remaining == 0, "bad DQT length")
+    }
+
+    def parseDht(len: Int): Unit = {
+      var remaining = len - 2
+      while (remaining > 0) {
+        val tc = r.u8()
+        val cls = tc >> 4
+        val id = tc & 0x0f
+        require(cls <= 1 && id < 4, s"bad Huffman table spec $tc")
+        val bits = new Array[Int](17)
+        var total = 0
+        var l = 1
+        while (l <= 16) { bits(l) = r.u8(); total += bits(l); l += 1 }
+        require(total <= 256, "bad DHT")
+        val vals = new Array[Byte](total)
+        var i = 0
+        while (i < total) { vals(i) = r.u8().toByte; i += 1 }
+        val t = new HuffDec(bits, vals)
+        if (cls == 0) huffDc(id) = t else huffAc(id) = t
+        remaining -= 1 + 16 + total
+      }
+      require(remaining == 0, "bad DHT length")
+    }
+
+    def parseSof(len: Int, marker: Int): Unit = {
+      require(marker == 0xc0 || marker == 0xc1,
+        f"unsupported SOF marker 0x$marker%02x (baseline sequential only)")
+      require(r.u8() == 8, "only 8-bit precision supported")
+      h = r.u16(); w = r.u16()
+      require(w > 0 && h > 0 && w < (1 << 16) && h < (1 << 16) &&
+        w.toLong * h * 3 <= Int.MaxValue, s"bad dims ${w}x$h")
+      val n = r.u8()
+      require(n == 1 || n == 3, s"unsupported component count $n")
+      require(len == 8 + 3 * n, "bad SOF length")
+      comps = Array.fill(n)(null)
+      var i = 0
+      while (i < n) {
+        val id = r.u8()
+        val hv = r.u8()
+        val hs = hv >> 4
+        val vs = hv & 0x0f
+        require(hs >= 1 && hs <= 2 && vs >= 1 && vs <= 2,
+          s"unsupported sampling ${hs}x$vs")
+        comps(i) = Component(id, hs, vs, r.u8())
+        i += 1
+      }
+      if (n == 1)
+        require(comps(0).hSamp == 1 && comps(0).vSamp == 1,
+          "grayscale must be 1x1 sampled")
+      sawSof = true
+    }
+
+    // marker loop up to SOS
+    var sosSeen = false
+    while (!sosSeen) {
+      var b = r.u8()
+      require(b == 0xff, f"expected marker, got 0x$b%02x")
+      var m = r.u8()
+      while (m == 0xff) m = r.u8() // fill bytes
+      m match {
+        case 0xd9 => throw new IllegalArgumentException("EOI before SOS")
+        case 0xda => sosSeen = true
+        case 0xdd =>
+          require(r.u16() == 4, "bad DRI length")
+          restartInterval = r.u16()
+        case 0xdb => parseDqt(r.u16())
+        case 0xc4 => parseDht(r.u16())
+        case 0xc0 | 0xc1 => parseSof(r.u16(), m)
+        case sof if sof >= 0xc2 && sof <= 0xcf && sof != 0xc8 =>
+          throw new IllegalArgumentException(
+            f"unsupported SOF 0x$sof%02x (progressive/arithmetic)")
+        case _ =>
+          val len = r.u16()
+          require(len >= 2, "bad segment length")
+          r.skip(len - 2) // APPn / COM / others
+      }
+    }
+    require(sawSof, "SOS before SOF")
+
+    // SOS header
+    val sosLen = r.u16()
+    val ns = r.u8()
+    require(ns == comps.length && sosLen == 6 + 2 * ns, "bad SOS")
+    var i = 0
+    while (i < ns) {
+      val sel = r.u8()
+      val c = comps.find(_.id == sel).getOrElse(
+        throw new IllegalArgumentException(s"SOS references component $sel"))
+      val tbl = r.u8()
+      c.dcId = tbl >> 4; c.acId = tbl & 0x0f
+      i += 1
+    }
+    require(r.u8() == 0 && r.u8() == 63 && r.u8() == 0,
+      "not a sequential full scan")
+
+    val maxH = comps.map(_.hSamp).max
+    val maxV = comps.map(_.vSamp).max
+    val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+    // per-component padded planes
+    val planes = comps.map { c =>
+      new Array[Byte](mcusX * 8 * c.hSamp * mcusY * 8 * c.vSamp)
+    }
+    val planeW = comps.map(c => mcusX * 8 * c.hSamp)
+    val dcPred = new Array[Int](comps.length)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+
+    def decodeBlock(ci: Int, blockX: Int, blockY: Int): Unit = {
+      val c = comps(ci)
+      val dcT = huffDc(c.dcId)
+      val acT = huffAc(c.acId)
+      val q = quant(c.qId)
+      require(dcT != null && acT != null && q != null,
+        "scan references undefined table")
+      java.util.Arrays.fill(coef, 0)
+      val t = r.decodeHuff(dcT)
+      require(t <= 11, "bad DC magnitude")
+      dcPred(ci) += extend(r.bitsVal(t), t)
+      coef(0) = dcPred(ci) * q(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = r.decodeHuff(acT)
+        val run = rs >> 4
+        val size = rs & 0x0f
+        if (size == 0) {
+          if (run == 15) k += 16 // ZRL
+          else eob = true
+        } else {
+          k += run
+          require(k < 64, "AC index overflow")
+          val zz = ZigZag(k)
+          coef(zz) = extend(r.bitsVal(size), size) * q(zz)
+          k += 1
+        }
+      }
+      // IDCT (separable, same basis as the encoder)
+      var y = 0
+      while (y < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0.0; var u = 0
+          while (u < 8) { s += CosTab(u)(y) * coef(u * 8 + v); u += 1 }
+          tmp(y * 8 + v) = s
+          v += 1
+        }
+        y += 1
+      }
+      val plane = planes(ci)
+      val pw = planeW(ci)
+      var py = 0
+      while (py < 8) {
+        var px = 0
+        while (px < 8) {
+          var s = 0.0; var u = 0
+          while (u < 8) { s += CosTab(u)(px) * tmp(py * 8 + u); u += 1 }
+          val vv = math.round(s + 128.0).toInt
+          val clamped = if (vv < 0) 0 else if (vv > 255) 255 else vv
+          plane((blockY * 8 + py) * pw + blockX * 8 + px) = clamped.toByte
+          px += 1
+        }
+        py += 1
+      }
+    }
+
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // expect RSTn, reset entropy state and DC predictions
+        r.resetBits()
+        require(r.u8() == 0xff, "expected RST marker")
+        val m = r.u8()
+        require(m >= 0xd0 && m <= 0xd7, f"expected RSTn, got 0x$m%02x")
+        java.util.Arrays.fill(dcPred, 0)
+      }
+      val my = mcu / mcusX
+      val mx = mcu % mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        var by = 0
+        while (by < c.vSamp) {
+          var bx = 0
+          while (bx < c.hSamp) {
+            decodeBlock(ci, mx * c.hSamp + bx, my * c.vSamp + by)
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+
+    // color convert + chroma upsample (sample replication)
+    val rgb = new Array[Byte](w * h * 3)
+    if (comps.length == 1) {
+      val plane = planes(0)
+      val pw = planeW(0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = plane(y * pw + x)
+          val d = (y * w + x) * 3
+          rgb(d) = v; rgb(d + 1) = v; rgb(d + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      val py0 = planes(0); val pw0 = planeW(0)
+      val py1 = planes(1); val pw1 = planeW(1)
+      val py2 = planes(2); val pw2 = planeW(2)
+      val c0 = comps(0); val c1 = comps(1); val c2 = comps(2)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yy = py0((y * c0.vSamp / maxV) * pw0 +
+            x * c0.hSamp / maxH) & 0xff
+          val cb = (py1((y * c1.vSamp / maxV) * pw1 +
+            x * c1.hSamp / maxH) & 0xff) - 128
+          val cr = (py2((y * c2.vSamp / maxV) * pw2 +
+            x * c2.hSamp / maxH) & 0xff) - 128
+          def clamp(v: Double): Byte = {
+            val i = math.round(v).toInt
+            (if (i < 0) 0 else if (i > 255) 255 else i).toByte
+          }
+          val d = (y * w + x) * 3
+          rgb(d) = clamp(yy + 1.402 * cr)
+          rgb(d + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+          rgb(d + 2) = clamp(yy + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    (w, h, rgb)
+  }
+}

@@ -6,14 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal (image/audio/video) column handling: opaque `binary` payloads
   * with typed metadata, processed by batched per-partition map operators.
   *
-  * The codecs here are REAL pure-JVM implementations of the uncompressed
-  * formats — 24-bit BMP images, 16-bit PCM WAV audio, and a
-  * length-prefixed frame container for video — so decode, feature
-  * extraction, resizing, and frame access genuinely parse and transform
-  * pixel/sample data (strict parsers: corrupt payloads throw, the F4
-  * validation stance). Compressed formats (JPEG/H.264/FLAC) need native
-  * libraries not present in this environment; they would slot behind the
-  * same [[Codecs]] interface with identical operator plumbing.
+  * The codecs here are REAL pure-JVM implementations — 24-bit BMP images,
+  * 16-bit PCM WAV audio, a length-prefixed frame container for video, and
+  * (via [[graft.codec.Jpeg]]) baseline JPEG with full DCT/Huffman entropy
+  * coding — so decode, feature extraction, resizing, and frame access
+  * genuinely parse and transform pixel/sample data (strict parsers:
+  * corrupt payloads throw, the F4 validation stance). Remaining compressed
+  * formats (H.264/FLAC) need native libraries not present in this
+  * environment; they would slot behind the same [[Codecs]] interface with
+  * identical operator plumbing, exactly as JPEG did.
   *
   * Scale notes: payloads never enter a shuffle key; feature extraction is a
   * narrow `mapPartitions` with explicit micro-batching (amortizing codec
@@ -254,12 +255,38 @@ object Multimodal {
       throw new IllegalStateException("unreachable")
     }
 
-    /** Resize dispatch on kind: images resample for real; audio/video
-      * payloads pass through (a real pipeline would transcode).
+    /** Nearest-neighbor resample through the JPEG codec (decode →
+      * resample raw pixels → re-encode).
+      */
+    def resizeJpeg(bytes: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
+      val (w, h, rgb) = graft.codec.Jpeg.decode(bytes)
+      val out = new Array[Byte](newW * newH * 3)
+      var y = 0
+      while (y < newH) {
+        val sy = y * h / newH
+        var x = 0
+        while (x < newW) {
+          val sx = x * w / newW
+          val src = (sy * w + sx) * 3
+          val dst = (y * newW + x) * 3
+          out(dst) = rgb(src); out(dst + 1) = rgb(src + 1)
+          out(dst + 2) = rgb(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      graft.codec.Jpeg.encode(newW, newH, out)
+    }
+
+    /** Resize dispatch on kind: images resample for real (BMP or JPEG);
+      * audio/video payloads pass through (a real pipeline would
+      * transcode).
       */
     def resize(blob: MediaBlob, w: Int, h: Int): MediaBlob =
       if (blob.kind == "image")
         blob.copy(width = w, height = h, data = resizeBmp(blob.data, w, h))
+      else if (blob.kind == "jpeg")
+        blob.copy(width = w, height = h, data = resizeJpeg(blob.data, w, h))
       else blob.copy(width = w, height = h)
   }
 
@@ -298,6 +325,53 @@ object Multimodal {
     }
   }
 
+  /** Deterministic raw RGB draw for the JPEG table — a smooth seeded
+    * pattern plus low-amplitude noise (JPEG is lossy; smooth content keeps
+    * the quantization error tightly bounded so the m04 tolerance oracle is
+    * sharp). Shared VERBATIM with the golden replay, which computes
+    * features from these raw pixels and never touches the codec.
+    */
+  def jpegRawDraw(id: Long, seed: Long = 42L): (Int, Int, Array[Byte]) = {
+    val rnd = new scala.util.Random(seed + 7919 * id)
+    val w = 16 + rnd.nextInt(80)
+    val h = 16 + rnd.nextInt(80)
+    val p0 = rnd.nextDouble() * math.Pi
+    val p1 = rnd.nextDouble() * math.Pi
+    val rgb = new Array[Byte](w * h * 3)
+    def clamp(v: Double): Byte = {
+      val i = math.round(v).toInt
+      (if (i < 0) 0 else if (i > 255) 255 else i).toByte
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = 128.0 +
+          100.0 * math.sin(x * 0.11 + p0) * math.cos(y * 0.07 + p1)
+        val i = (y * w + x) * 3
+        rgb(i) = clamp(base + rnd.nextInt(9) - 4)
+        rgb(i + 1) = clamp(base * 0.8 + rnd.nextInt(9) - 4)
+        rgb(i + 2) = clamp(255.0 - base * 0.9 + rnd.nextInt(9) - 4)
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rgb)
+  }
+
+  /** Synthetic JPEG table: real baseline-JPEG payloads from the seeded
+    * raw draws (kind = "jpeg"; a separate table from [[syntheticMedia]]
+    * so the m01–m03 goldens stay byte-stable).
+    */
+  def syntheticJpegs(spark: SparkSession, n: Int,
+                     seed: Long = 42L): Dataset[MediaBlob] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val (w, h, rgb) = jpegRawDraw(id, seed)
+      MediaBlob(id, "jpeg", w, h, 1, graft.codec.Jpeg.encode(w, h, rgb))
+    }
+  }
+
   /** Feature extraction: batched narrow mapPartitions (batches of 32 model
     * the Arrow-batch shape); REAL decode per kind — image/video frame 0 →
     * BT.601 luma histogram; audio → amplitude histogram over the high
@@ -310,6 +384,8 @@ object Multimodal {
         batch.map { blob =>
           val plane: Array[Byte] = blob.kind match {
             case "image" => Codecs.lumaOf(Codecs.decodeBmp(blob.data)._3)
+            case "jpeg" =>
+              Codecs.lumaOf(graft.codec.Jpeg.decode(blob.data)._3)
             case "video" =>
               Codecs.lumaOf(
                 Codecs.decodeBmp(Codecs.videoFrame(blob.data, 0))._3)

@@ -695,6 +695,49 @@ object LlmQueries {
           .orderBy(col("media_id"), col("frame_idx"))
       }, None, Some(_ => mGoldenSql("m02-frames-200-v1",
         "media_id, n_frames, frame_idx", "media_id, frame_idx"))),
+
+    // REAL compressed-format decode: baseline JPEG (full DCT + Huffman
+    // entropy coding, graft.codec.Jpeg) with a TOLERANCE oracle in the
+    // l11 style. The golden replay computes mean BT.601 luma from the RAW
+    // pre-encode pixels (never touching the codec); the entry decodes the
+    // JPEG payloads and emits decoder-parsed dims (exact — a header/MCU
+    // bug flips them) plus a |mean_dec − mean_raw| ≤ 2.0 flag. JPEG's
+    // quantization bounds the DC (mean) error well under 1 gray level at
+    // q90 on smooth content, so the tolerance catches any real transform,
+    // entropy, or color-convert regression while absorbing lossy-codec
+    // rounding. JpegSpec independently cross-checks the codec against the
+    // JDK's ImageIO decoder in both directions.
+    "m04_jpeg_decode" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val n = 150
+        val gname = s"m04-jpeg-$n-v1"
+        MultimodalGolden.ensureGoldenDf(gname,
+          s.range(n).map { id =>
+            val (w, h, rgb) = Multimodal.jpegRawDraw(id)
+            val luma = Multimodal.Codecs.lumaOf(rgb)
+            var sum = 0L
+            luma.foreach(b => sum += (b & 0xff))
+            (id, w, h, sum.toDouble / luma.length)
+          }.toDF("media_id", "width", "height", "mean_raw"))
+        val golden = s.read.parquet(MultimodalGolden.goldenBase(gname))
+          .select(col("media_id").as("gid"), col("mean_raw"))
+        Multimodal.syntheticJpegs(s, n)
+          .map { b =>
+            val (dw, dh, rgb) = graft.codec.Jpeg.decode(b.data)
+            val luma = Multimodal.Codecs.lumaOf(rgb)
+            var sum = 0L
+            luma.foreach(x => sum += (x & 0xff))
+            (b.media_id, dw, dh, sum.toDouble / luma.length)
+          }
+          .toDF("media_id", "width", "height", "mean_dec")
+          .join(golden, col("media_id") === col("gid"))
+          .select(col("media_id"), col("width"), col("height"),
+            (abs(col("mean_dec") - col("mean_raw")) <= 2.0)
+              .as("luma_within_tol"))
+          .orderBy(col("media_id"))
+      }, None, Some(_ => mGoldenSql("m04-jpeg-150-v1",
+        "media_id, width, height, TRUE AS luma_within_tol", "media_id"))),
   )
 
   // media count per sf dir (300 at sf≤0.01, 2000 at sf0.1) — a pure

@@ -38,6 +38,14 @@ object PipelineQueries {
     // reuse it (the reuse a user gets from history.cache()), so its
     // one-time build is session setup, not the first p-query's cost
     history(s, dir).count()
+    // p13's 10x world: driver-side simulation + parquet dump is harness
+    // cost — the entry times only pipeline execution over the cached
+    // parquet. Address set deliberately FIXED (blocks ×10): per-block
+    // touch count scales with nAddresses, so scaling blocks alone grows
+    // the data ~10x while making every key's history 10x deeper — the
+    // harder case for the W1 window path.
+    val n = nFor(dir)
+    Fixtures.generate(s, nAddresses = n / 4, nBlocks = n * 10)
     ()
   }
 
@@ -135,13 +143,24 @@ object PipelineQueries {
   /** Simulation-predicted full-history row count: one row per oracle
     * entry plus one zero-state row per key group (the p01 mapping).
     */
-  private def histCount(dir: String): Long = {
-    val n = nFor(dir)
-    val sim = Fixtures.simulate(n / 4, n)
+  private def histCountFor(nAddresses: Int, nBlocks: Int): Long = {
+    val sim = Fixtures.simulate(nAddresses, nBlocks)
     sim.accountOracle.size.toLong +
       sim.accountOracle.map(_.addressHex).distinct.size +
       sim.storageOracle.size +
       sim.storageOracle.map(o => (o.addressHex, o.slotHex)).distinct.size
+  }
+
+  private def histCount(dir: String): Long = {
+    val n = nFor(dir)
+    histCountFor(n / 4, n)
+  }
+
+  private def p13Sql(dir: String): String = {
+    val n = nFor(dir)
+    s"""SELECT ${histCountFor(n / 4, n)}::BIGINT AS rows_1x,
+       |  ${histCountFor(n / 4, n * 10)}::BIGINT AS rows_10x,
+       |  TRUE AS subquadratic, TRUE AS driver_heap_flat""".stripMargin
   }
 
   private def p02Sql(dir: String): String = {
@@ -465,6 +484,57 @@ object PipelineQueries {
           .deleteDirectory(new java.io.File(out))
         result
       }, None, Some(dir => p06Sql(dir))),
+
+    // Scale stress: the flagship conversion DAG (§3.1 — decode → J1 →
+    // union → range sort → W1 → F3) executed at 1x and 10x fixture scale
+    // IN THE SAME INVOCATION, with the growth measured rather than argued.
+    // The 10x world scales BLOCKS ×10 at a fixed address set, so the data
+    // grows ~10x while every key's history gets 10x deeper — the harder
+    // case for the per-key W1 window. Emits the two row counts (checked
+    // exactly against the independent chain simulation — a wrong-at-scale
+    // pipeline fails the hash) plus two measured flags: `subquadratic`
+    // (10x data must cost < 35x the 1x wall time; a quadratic stage would
+    // show ~100x) and `driver_heap_flat` (post-GC driver live set must
+    // not grow data-proportionally across the 10x run — the pipeline's
+    // only driver-side traffic is O(partitions) boundary digests). Bounds
+    // are deliberately generous: they flag algorithmic regressions, not
+    // scheduler noise. The 1x run goes first so its codegen/scan warmup
+    // can only shrink the ratio. Fixture GENERATION (driver sim + parquet
+    // dump, warmed by warmFixtures) sits outside both timed regions.
+    "p13_scale_stress" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val n = nFor(dir)
+        def timedRun(nb: Int): (Long, Double) = {
+          val w = Fixtures.generate(s, nAddresses = n / 4, nBlocks = nb)
+          val df = FullHistory.build(s, w.accountChangeset,
+            w.storageChangeset, w.plainCodeHash, w.plainStateAccounts,
+            w.plainStateStorage, w.latestBlock)
+          val t0 = System.nanoTime()
+          val rows = df.count()
+          (rows, (System.nanoTime() - t0) / 1e9)
+        }
+        def usedMb(): Long = {
+          val rt = Runtime.getRuntime
+          System.gc(); System.gc()
+          (rt.totalMemory() - rt.freeMemory()) / (1024L * 1024L)
+        }
+        val (rows1, t1) = timedRun(n)
+        val heap0 = usedMb()
+        val (rows10, t10) = timedRun(n * 10)
+        val heap1 = usedMb()
+        val ratio = t10 / math.max(t1, 0.05)
+        val sub = ratio < 35.0
+        val heapOk = heap1 - heap0 < 512L
+        if (!sub || !heapOk) System.err.println(
+          f"[p13] SCALE REGRESSION: t1=$t1%.3fs t10=$t10%.3fs " +
+            f"ratio=$ratio%.1f heapDelta=${heap1 - heap0}MB")
+        else System.err.println(
+          f"[p13] t1=$t1%.3fs t10=$t10%.3fs ratio=$ratio%.1f " +
+            f"heapDelta=${heap1 - heap0}MB")
+        Seq((rows1, rows10, sub, heapOk))
+          .toDF("rows_1x", "rows_10x", "subquadratic", "driver_heap_flat")
+      }, None, Some(dir => p13Sql(dir))),
 
     // A3 surfaced: reorged duplicate block heights.
     "p05_txbodies_dups" -> QuerySpec(

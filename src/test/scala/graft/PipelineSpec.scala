@@ -584,6 +584,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(!(ent2 eq ent) && ent2.splits == null)
   }
 
+  test("sidecar metadata stays a bounded fraction of data at 10x scale") {
+    // the S7 driver-retention claim, MEASURED on a 10x world (2,000
+    // blocks vs the suite's 200): after a full DSv2 read, the sidecar
+    // cache's live bytes must stay under the hard 64 MiB cap AND under
+    // 0.1% of the data it describes (per-split bounds at the default 256
+    // pages/split are ~0.015%; the max() term absorbs the 96-byte fixed
+    // entry overhead on small files). A per-page (or per-row) retention
+    // regression fails the fraction bound long before the cap.
+    import graft.spark.datasource.DatSidecarCache
+    val w10 = Fixtures.generate(spark, nAddresses = 500, nBlocks = 2000)
+    val h10 = FullHistory.build(spark, w10.accountChangeset,
+      w10.storageChangeset, w10.plainCodeHash, w10.plainStateAccounts,
+      w10.plainStateStorage, w10.latestBlock)
+    val items = StateFormat.asItems(
+      h10.withColumnRenamed("valid_from_block", "block"))
+    val dir = Files.createTempDirectory("graft-scale-dat").toString
+    graft.spark.StateFiles.write(items, dir, strategy = 0)
+    val fmt = "graft.spark.datasource.DatDataSource"
+    DatSidecarCache.clear()
+    val back = spark.read.format(fmt).option("strategy", "0").load(dir)
+    assert(back.count() == items.count())
+    val datBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".dat")).map(_.length).sum
+    val (entries, metaBytes) = DatSidecarCache.stats
+    assert(entries > 0, "read path did not populate the sidecar cache")
+    assert(metaBytes <= 64L * 1024 * 1024, s"cap breached: $metaBytes")
+    assert(metaBytes <= math.max(4096L, datBytes / 1000),
+      s"metadata $metaBytes bytes for $datBytes data bytes " +
+        f"(${metaBytes.toDouble / datBytes * 100}%.3f%%)")
+  }
+
   test("copy_file strategy conversion: 0 -> 1 -> read-back equality") {
     import spark.implicits._
     val items = StateFormat.asItems(
