@@ -454,7 +454,9 @@ object Jpeg {
         val vs = hv & 0x0f
         require(hs >= 1 && hs <= 2 && vs >= 1 && vs <= 2,
           s"unsupported sampling ${hs}x$vs")
-        comps(i) = Component(id, hs, vs, r.u8())
+        val qId = r.u8()
+        require(qId < 4, s"bad quant table selector $qId")
+        comps(i) = Component(id, hs, vs, qId)
         i += 1
       }
       if (n == 1)
@@ -500,6 +502,8 @@ object Jpeg {
       val c = comps.find(_.id == sel).getOrElse(
         throw new IllegalArgumentException(s"SOS references component $sel"))
       val tbl = r.u8()
+      require((tbl >> 4) < 4 && (tbl & 0x0f) < 4,
+        s"bad Huffman table selector $tbl")
       c.dcId = tbl >> 4; c.acId = tbl & 0x0f
       i += 1
     }

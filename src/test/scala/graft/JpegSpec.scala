@@ -183,6 +183,28 @@ class JpegSpec extends AnyFunSuite {
     assert(!dec.sameElements(rgb), "JPEG round trip is not lossless here")
   }
 
+  test("decoder survives byte-flip fuzzing with clean errors") {
+    // strict-parse stance under corruption: every single-byte mutation of
+    // a valid stream must either decode (entropy-data flips usually still
+    // parse, just with wrong pixels) or raise the decoder's clean
+    // IllegalArgumentException — never hang, never escape with an
+    // ArrayIndexOutOfBounds/NegativeArraySize from unchecked arithmetic
+    val src = smoothImage(48, 32, 50L)
+    val good = Jpeg.encode(48, 32, src, quality = 85)
+    val rnd = new scala.util.Random(99L)
+    var decoded = 0
+    var rejected = 0
+    for (_ <- 1 to 400) {
+      val fuzzed = good.clone()
+      val at = rnd.nextInt(fuzzed.length)
+      fuzzed(at) = (fuzzed(at) ^ (1 + rnd.nextInt(255))).toByte
+      try { Jpeg.decode(fuzzed); decoded += 1 }
+      catch { case _: IllegalArgumentException => rejected += 1 }
+    }
+    assert(decoded + rejected == 400)
+    assert(rejected > 0, "no corruption was ever detected")
+  }
+
   test("restart markers (DRI/RSTn) decode correctly") {
     // ImageIO's writer emits restart markers when asked via DRI in the
     // stream metadata is awkward; instead hand-assemble: encode two
