@@ -495,7 +495,23 @@ final class StateReader(val strategy: Int, data: Array[Byte],
       outValue)
   }
 
-  private def advance(): Unit = {
+  /** One item step, with corruption surfaced as the codec's clean error:
+    * a truncated or bit-flipped stream otherwise escapes as a raw
+    * (possibly negative-index) ArrayIndexOutOfBounds from the fixed-width
+    * copies — e.g. a corrupt varint length byte can claim up to 32 bytes
+    * against an 8-byte buffer. The try adds no cost on the hot path
+    * (JVM exception tables are free until thrown), which matters: this
+    * is the per-row decode kernel of the S7 source.
+    */
+  private def advance(): Unit =
+    try advanceUnchecked()
+    catch {
+      case e: IndexOutOfBoundsException =>
+        throw new IllegalArgumentException(
+          s"Invalid stream: corrupt item near offset $pos", e)
+    }
+
+  private def advanceUnchecked(): Unit = {
     bytecodeIncarnation = 0
     var firstTime = true
     nextItem = null

@@ -318,4 +318,60 @@ class CodecSpec extends AnyFunSuite {
     assert(bb.getLong(48) == 77L) // storage count overwrote account count
     assert(bb.getLong(56) == 0L)
   }
+
+  test("StateReader survives byte-flip and truncation fuzzing with " +
+      "clean errors") {
+    // the strict-parse stance under corruption (same harness that caught
+    // the JPEG table-selector hole): every mutation either decodes (to
+    // garbage values — the stream carries no checksums; pairing checksums
+    // live in the .idx sidecar) or raises the codec's
+    // IllegalArgumentException — never a raw (possibly negative-index)
+    // ArrayIndexOutOfBounds from the fixed-width copies, never a hang
+    for (strategy <- Seq(0, 1, 3)) {
+      val w = new StateWriter(strategy)
+      genItems(150).map(normalize).foreach(w.write)
+      val good = w.toArray
+      val r = new scala.util.Random(1234 + strategy)
+      var decoded = 0
+      var rejected = 0
+      for (_ <- 1 to 300) {
+        val fuzzed = good.clone()
+        val at = r.nextInt(fuzzed.length)
+        fuzzed(at) = (fuzzed(at) ^ (1 + r.nextInt(255))).toByte
+        try { new StateReader(strategy, fuzzed).foreach(_ => ()); decoded += 1 }
+        catch { case _: IllegalArgumentException => rejected += 1 }
+      }
+      assert(decoded + rejected == 300, s"strategy $strategy")
+      assert(rejected > 0, s"strategy $strategy: nothing ever rejected")
+      // truncation at every offset: clean prefix or clean error
+      for (cut <- 1 until math.min(good.length, 400)) {
+        try new StateReader(strategy, good.take(cut)).foreach(_ => ())
+        catch { case _: IllegalArgumentException => () }
+      }
+    }
+  }
+
+  test("TxBodyCodec decode survives byte-flip fuzzing with clean errors") {
+    import graft.codec.TxBodyCodec
+    val recs = (1 to 40).map { i =>
+      val txs = IndexedSeq.fill(rnd.nextInt(4))(randBytes(1 + rnd.nextInt(60)))
+      TxBodyCodec.BodyRecord(i.toLong, txs.length.toLong,
+        randBytes(rnd.nextInt(30)), txs)
+    }
+    val good = recs.flatMap(rec => TxBodyCodec.encodeRecord(rec)).toArray
+    val r = new scala.util.Random(777)
+    var decoded = 0
+    var rejected = 0
+    for (_ <- 1 to 300) {
+      val fuzzed = good.clone()
+      val at = r.nextInt(fuzzed.length)
+      fuzzed(at) = (fuzzed(at) ^ (1 + r.nextInt(255))).toByte
+      // decodeAll's maxArray = data.length also bounds every declared
+      // length, so a corrupt 2^31-size claim fails BEFORE allocation
+      try { TxBodyCodec.decodeAll(fuzzed).foreach(_ => ()); decoded += 1 }
+      catch { case _: IllegalArgumentException => rejected += 1 }
+    }
+    assert(decoded + rejected == 300)
+    assert(rejected > 0)
+  }
 }
