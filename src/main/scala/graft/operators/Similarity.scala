@@ -270,6 +270,171 @@ object Similarity {
       fitIvfCentroids(vectors, nCentroids, vecCol, maxIter, seed), nProbe,
       idCol, vecCol)
 
+  // ---- product quantization (PQ) ----
+
+  /** Fit per-subspace PQ codebooks: `m` subspaces of `dims/m` components,
+    * `k` codewords each (k-means per subspace). Returns
+    * `books(sub)(codeword)(component)`. At 100 TB, fit on a sample —
+    * codebook training cost is per-subspace-dim, not corpus-sized, and
+    * the codebooks are a few KB of plan literals forever after.
+    */
+  def fitPqCodebooks(vectors: DataFrame, m: Int = 8, k: Int = 16,
+                     vecCol: String = "embedding", maxIter: Int = 10,
+                     seed: Long = 7L,
+                     dims: Int = -1): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val d = if (dims >= 0) dims else dimsOf(vectors, vecCol)
+    require(m > 0 && d > 0 && d % m == 0,
+      s"dims $d not divisible into $m subspaces")
+    val subLen = d / m
+    Array.tabulate(m) { sub =>
+      val train = vectors.select(array_to_vector(
+        slice(col(vecCol).cast("array<double>"), sub * subLen + 1, subLen))
+        .as("features"))
+      new KMeans().setK(k).setSeed(seed + sub).setMaxIter(maxIter)
+        .fit(train).clusterCenters.map(_.toArray)
+    }
+  }
+
+  /** PQ code assignment: `array<int>` of one codeword id per subspace.
+    * Per subspace, argmin ‖v_sub − c_j‖² computed as
+    * argmax (2·v_sub·c_j − ‖c_j‖²) — one reproducible dot per codeword
+    * with ‖c_j‖² folded in driver-side (the same trick as
+    * [[ivfTopKWithCentroids]]); ties break toward the HIGHER codeword id
+    * (reverse of an ascending (score, cw) sort), mirrored exactly by the
+    * oracle's `ORDER BY score DESC, cw DESC`.
+    */
+  private[graft] def pqCodes(vec: Column,
+      books: Array[Array[Array[Double]]]): Column = {
+    require(books.nonEmpty && books.head.nonEmpty, "empty codebooks")
+    val subLen = books.head.head.length
+    guardDims(vec, books.length * subLen,
+      array(books.zipWithIndex.map { case (cws, sub) =>
+        val subVec = slice(vec, sub * subLen + 1, subLen)
+        val scored = cws.zipWithIndex.map { case (c, j) =>
+          val cl = array(c.map(lit).toIndexedSeq: _*)
+          val c2 = c.map(x => x * x).sum
+          struct(
+            (aggregate(zip_with(subVec, cl, (x, cc) => x.cast("double") * cc),
+              lit(0.0d), (a, dd) => a + dd) * lit(2.0d) - lit(c2))
+              .as("score"),
+            lit(j).as("cw"))
+        }
+        element_at(reverse(array_sort(array(scored.toIndexedSeq: _*))), 1)
+          .getField("cw")
+      }.toIndexedSeq: _*))
+  }
+
+  /** Per-query ADC lookup tables: `tables(sub)(codeword) = q_sub · c` —
+    * K·M doubles per query, computed once from the literal codebooks and
+    * broadcast with the query row.
+    */
+  private[graft] def pqQueryTables(vec: Column,
+      books: Array[Array[Array[Double]]]): Column = {
+    val subLen = books.head.head.length
+    guardDims(vec, books.length * subLen,
+      array(books.zipWithIndex.map { case (cws, sub) =>
+        val subVec = slice(vec, sub * subLen + 1, subLen)
+        array(cws.map { c =>
+          val cl = array(c.map(lit).toIndexedSeq: _*)
+          aggregate(zip_with(subVec, cl, (x, cc) => x.cast("double") * cc),
+            lit(0.0d), (a, dd) => a + dd)
+        }.toIndexedSeq: _*)
+      }.toIndexedSeq: _*))
+  }
+
+  /** Asymmetric distance computation: Σ_sub tables(sub)(codes(sub)) —
+    * M table lookups per candidate pair instead of a d-component dot,
+    * accumulated left-to-right in subspace order (bit-reproducible).
+    */
+  private def adcScore(codes: Column, tables: Column): Column =
+    aggregate(zip_with(codes, tables, (c, t) => element_at(t, c + 1)),
+      lit(0.0d), (a, x) => a + x)
+
+  /** PQ-ADC top-k with exact re-rank — the memory-side scale path: the
+    * scan side carries only the M-code array (at the defaults, 8×4-bit
+    * codewords ≈ 4 bytes vs 256 bytes of float32s, 64×) plus ids; full
+    * vectors are
+    * touched only for the `rerank` exact-cosine candidates per query.
+    * Approximate ADC ranks select the candidate set; exact cosine orders
+    * the final top-k. Codes would be precomputed and stored in a real
+    * deployment ([[pqCodes]] is the one-scan encoder); compose with the
+    * IVF cell join ([[ivfPqTopK]]) to also prune the candidate-pair space.
+    */
+  def pqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+             books: Array[Array[Array[Double]]], rerank: Int = 64,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      pqCodes(col(vecCol), books).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
+      pqQueryTables(col(vecCol), books).as("tabs"))
+    val approx = v.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("s", adcScore(col("codes"), col("tabs")))
+    rerankExact(approx, k, rerank)
+  }
+
+  /** IVF-PQ: coarse cell equi-join (nearest of `centroids`, queries probe
+    * `nProbe` cells) + ADC scoring + exact re-rank — the standard
+    * billion-scale ANN layout (both the pair space AND the bytes-per-pair
+    * are pruned). Recall is measured against [[bruteForceTopK]] in
+    * OperatorSpec; the oracled registry entry uses the flat [[pqTopK]]
+    * form so DuckDB re-derives the full candidate pipeline.
+    */
+  def ivfPqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                centroids: Array[Array[Double]],
+                books: Array[Array[Array[Double]]], nProbe: Int = 4,
+                rerank: Int = 32, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "empty centroid matrix")
+    val n = centroids.length
+    val cLit = array(centroids.map(c =>
+      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val c2 = centroids.map(c => c.map(x => x * x).sum)
+    val c2Lit = array(c2.map(lit).toIndexedSeq: _*)
+    def centroidScores(vec: Column): Column =
+      guardDims(vec, centroids.head.length,
+        zip_with(cLit, sequence(lit(0), lit(n - 1)), (c, idx) =>
+          struct(
+            (aggregate(zip_with(vec, c, (x, cc) => x.cast("double") * cc),
+              lit(0.0d), (a, d) => a + d) * lit(2.0d) -
+              element_at(c2Lit, idx.cast("int") + 1)).as("score"),
+            idx.as("cell"))))
+    def topCells(vec: Column, nn: Int): Column =
+      transform(slice(reverse(array_sort(centroidScores(vec))), 1, nn),
+        s => s.getField("cell"))
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      pqCodes(col(vecCol), books).as("codes"),
+      element_at(topCells(col(vecCol), 1), 1).as("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
+      pqQueryTables(col(vecCol), books).as("tabs"),
+      explode(topCells(col(vecCol), nProbe)).as("cell"))
+    val approx = v.join(q, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("s", adcScore(col("codes"), col("tabs")))
+    rerankExact(approx, k, rerank)
+  }
+
+  /** Shared two-stage finish: ADC-approximate top-`rerank` candidates per
+    * query, then exact cosine over just those, final top-k.
+    */
+  private def rerankExact(approx: DataFrame, k: Int,
+                          rerank: Int): DataFrame = {
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("s").desc, col("id"))
+    val cand = approx.withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= rerank)
+      .withColumn("cosine", cosine(col("v"), col("q")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Shared IVF probe: vectors assigned to their nearest cell, queries
     * probe their nProbe best cells, exact cosine ranks within the probed
     * union — a cell equi-join instead of an O(N·Q) scan.

@@ -632,6 +632,25 @@ object LlmQueries {
           .orderBy(col("query_id"), col("rank"))
       }, None, Some(dir => s04Sql(dir))),
 
+    // Product quantization: per-subspace k-means codebooks (8 subspaces ×
+    // 16 codewords over the 64-dim embeddings — 4 bytes of codes vs 256
+    // bytes of float32, the memory-side 100 TB lever), ADC candidate
+    // scoring (M table lookups per pair), exact-cosine re-rank of the
+    // top-64. The fitted codebooks are captured for the oracle, which
+    // re-derives EVERYTHING in DuckDB from the same literals: per-vector
+    // code assignment (argmax 2·v·c − ‖c‖² per subspace), per-query ADC
+    // tables, the explicit left-to-right ADC sum, the candidate cut, and
+    // the exact-cosine final rank. The composed IVF-PQ form (cell join +
+    // ADC) is recall-tested in OperatorSpec.
+    "s05_pq_adc" -> QuerySpec(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val books = Similarity.fitPqCodebooks(e)
+        s05BooksByDir(dir) = books
+        Similarity.pqTopK(e, e.filter(col("vec_id") < 5), k = 10, books)
+          .orderBy(col("query_id"), col("rank"))
+      }, None, Some(dir => s05Sql(dir))),
+
     // -- multimodal --
     //
     // The m-oracles are GOLDEN parquet built by MultimodalGolden: a replay
@@ -895,6 +914,8 @@ object LlmQueries {
     scala.collection.concurrent.TrieMap[String, Int]()
   private val s04CentroidsByDir =
     scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]()
+  private val s05BooksByDir =
+    scala.collection.concurrent.TrieMap[String, Array[Array[Array[Double]]]]()
 
   // Scala Double.toString is shortest-roundtrip, so DuckDB parses back the
   // exact same IEEE value
@@ -979,5 +1000,60 @@ object LlmQueries {
     }.mkString(", ")
     ivfSql("(cell, c, c2)", centVals,
       "list_inner_product(e, c) * 2.0 - c2")
+  }
+
+  /** Full DuckDB re-derivation of the PQ-ADC pipeline from the captured
+    * codebook literals: code assignment (argmax 2·v·c − ‖c‖², ties to the
+    * higher codeword — the engine's reverse-sort convention), per-query
+    * tables, the ADC sum in EXPLICIT left-to-right subspace order (a bare
+    * SUM() would let DuckDB reassociate doubles), candidate top-32 by
+    * (adc DESC, id), exact-cosine top-10.
+    */
+  private def s05Sql(dir: String): String = {
+    val books = s05BooksByDir.getOrElse(dir,
+      sys.error(s"s05 never ran for $dir — no codebooks captured"))
+    val m = books.length
+    val subLen = books.head.head.length
+    val bookVals = (for {
+      (cws, sub) <- books.zipWithIndex
+      (c, j) <- cws.zipWithIndex
+    } yield {
+      val c2 = c.map(x => x * x).sum
+      s"($sub, $j, ${sqlArr(c)}, $c2::DOUBLE)"
+    }).mkString(", ")
+    val adcSum = (0 until m)
+      .map(i => s"max(CASE WHEN qt.sub = $i THEN qt.t END)")
+      .foldLeft("0.0::DOUBLE")((acc, t) => s"($acc + $t)")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |books(sub, cw, c, c2) AS (VALUES $bookVals),
+       |codes AS (SELECT vec_id, sub, cw FROM (
+       |  SELECT b.vec_id, k.sub, k.cw, row_number() OVER (
+       |    PARTITION BY b.vec_id, k.sub ORDER BY
+       |      list_inner_product(
+       |        list_slice(b.e, k.sub * $subLen + 1, k.sub * $subLen + $subLen),
+       |        k.c) * 2.0 - k.c2 DESC, k.cw DESC) AS rn
+       |  FROM base b CROSS JOIN books k) WHERE rn = 1),
+       |qt AS (SELECT vec_id AS query_id, sub, cw,
+       |    list_inner_product(
+       |      list_slice(e, sub * $subLen + 1, sub * $subLen + $subLen),
+       |      c) AS t
+       |  FROM base CROSS JOIN books WHERE vec_id < 5),
+       |approx AS (SELECT qt.query_id, cd.vec_id AS neighbor_id, $adcSum AS s
+       |  FROM codes cd JOIN qt ON cd.sub = qt.sub AND cd.cw = qt.cw
+       |    AND cd.vec_id <> qt.query_id
+       |  GROUP BY qt.query_id, cd.vec_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+       |  FROM approx) WHERE rn <= 64),
+       |st AS (SELECT cd.query_id, cd.neighbor_id, $cosineCase AS c
+       |  FROM cand cd
+       |  JOIN base v ON v.vec_id = cd.neighbor_id
+       |  JOIN base q ON q.vec_id = cd.query_id),
+       |r AS (SELECT query_id, neighbor_id, c,
+       |  row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY c DESC, neighbor_id) AS rank FROM st)
+       |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 }

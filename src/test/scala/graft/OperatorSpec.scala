@@ -214,6 +214,41 @@ class OperatorSpec extends AnyFunSuite {
       s"trained $trainedRecall vs random $ivfRecall")
   }
 
+  test("PQ-ADC and IVF-PQ achieve useful recall vs brute force") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    def resultSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val exact = resultSet(Similarity.bruteForceTopK(e, q, 10))
+    val books = Similarity.fitPqCodebooks(e)
+    val pq = resultSet(Similarity.pqTopK(e, q, 10, books))
+    val pqRecall = pq.intersect(exact).size.toDouble / exact.size
+    // flat PQ scans every pair (only the per-pair cost shrinks), so with
+    // rerank=32 over ~500 vectors the ADC candidate set should capture
+    // most of the true top-10
+    info(s"PQ-ADC recall=$pqRecall")
+    assert(pqRecall >= 0.5, s"PQ recall too low: $pqRecall")
+    // composed IVF-PQ: cell pruning costs additional recall but must
+    // stay useful, and must not beat flat PQ (it probes a subset)
+    val cents = Similarity.fitIvfCentroids(e, nCentroids = 8)
+    val ivfPq = resultSet(Similarity.ivfPqTopK(e, q, 10, cents, books,
+      nProbe = 4))
+    val ivfPqRecall = ivfPq.intersect(exact).size.toDouble / exact.size
+    info(s"IVF-PQ recall=$ivfPqRecall")
+    assert(ivfPqRecall >= 0.25, s"IVF-PQ recall too low: $ivfPqRecall")
+
+    // the PQ code column is M small ints, each a valid codeword id —
+    // the compressed representation the scan side carries
+    val codes = e.select(
+        Similarity.pqCodes(col("embedding"), books).as("codes"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == books.length &&
+      c.forall(j => j >= 0 && j < books.head.length)))
+    // codes discriminate: at least half the codeword space is in use
+    assert(codes.flatten.distinct.size >= books.head.length / 2)
+  }
+
   test("literal-plane buckets equal the in-plan xxhash64 reference " +
       "(hashInt draw parity)") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
