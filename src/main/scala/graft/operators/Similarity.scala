@@ -284,17 +284,27 @@ object Similarity {
                      dims: Int = -1): Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val d = if (dims >= 0) dims else dimsOf(vectors, vecCol)
     require(m > 0 && d > 0 && d % m == 0,
       s"dims $d not divisible into $m subspaces")
     val subLen = d / m
-    Array.tabulate(m) { sub =>
-      val train = vectors.select(array_to_vector(
-        slice(col(vecCol).cast("array<double>"), sub * subLen + 1, subLen))
-        .as("features"))
-      new KMeans().setK(k).setSeed(seed + sub).setMaxIter(maxIter)
-        .fit(train).clusterCenters.map(_.toArray)
+    // the M fits are independent (own seed each, so concurrency cannot
+    // change the result) and each is dominated by fixed per-job cost at
+    // fit time — run them as concurrent Spark actions instead of a
+    // sequential M-fold job-latency sum
+    val fits = (0 until m).map { sub =>
+      Future {
+        val train = vectors.select(array_to_vector(
+          slice(col(vecCol).cast("array<double>"), sub * subLen + 1, subLen))
+          .as("features"))
+        new KMeans().setK(k).setSeed(seed + sub).setMaxIter(maxIter)
+          .fit(train).clusterCenters.map(_.toArray)
+      }
     }
+    Await.result(Future.sequence(fits), Duration.Inf).toArray
   }
 
   /** PQ code assignment: `array<int>` of one codeword id per subspace.
