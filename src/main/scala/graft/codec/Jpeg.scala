@@ -151,9 +151,16 @@ object Jpeg {
 
   // ---- encoder ----
 
-  /** Encode top-down RGB (3 bytes/pixel) as baseline JFIF 4:4:4. */
+  /** Encode top-down RGB (3 bytes/pixel) as baseline JFIF 4:4:4.
+    * `restartInterval` > 0 emits DRI plus an RSTn marker (with DC
+    * prediction reset and byte alignment) every that-many MCUs — the
+    * error-resilience feature real camera/libjpeg streams use, and what
+    * exercises the decoder's restart path end-to-end.
+    */
   def encode(w: Int, h: Int, rgbTopDown: Array[Byte],
-             quality: Int = 90): Array[Byte] = {
+             quality: Int = 90, restartInterval: Int = 0): Array[Byte] = {
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      s"restart interval $restartInterval")
     require(w > 0 && h > 0 && w < (1 << 16) && h < (1 << 16) &&
       rgbTopDown.length == w * h * 3,
       s"bad RGB input ${rgbTopDown.length} for ${w}x$h")
@@ -184,6 +191,7 @@ object Jpeg {
     }
     dht(0, 0, DcLumBits, DcLumVals); dht(1, 0, AcLumBits, AcLumVals)
     dht(0, 1, DcChrBits, DcChrVals); dht(1, 1, AcChrBits, AcChrVals)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
     // SOS
     marker(0xda); u16(6 + 2 * 3)
     out.write(3)
@@ -264,10 +272,20 @@ object Jpeg {
       if (run > 0) bw.put(ac.codes(0x00), ac.lens(0x00)) // EOB
     }
 
+    var mcu = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          // byte-align, emit RSTn (n cycles 0..7), reset DC predictions —
+          // the decoder mirrors each step
+          bw.flush()
+          out.write(0xff)
+          out.write(0xd0 + ((mcu / restartInterval - 1) & 7))
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        mcu += 1
         var comp = 0
         while (comp < 3) {
           var by = 0

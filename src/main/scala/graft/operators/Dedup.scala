@@ -166,6 +166,22 @@ object Dedup {
       .option("path", path).mode("overwrite").saveAsTable(table)
   }
 
+  /** Re-attach an existing on-disk signature store (written by
+    * [[materializeSignatures]] in a previous session) to this session's
+    * catalog: table registrations die with the JVM but the bucketed
+    * parquet does not, and re-registering is a DDL no-op against
+    * re-running the whole corpus scan. The bucket spec in the DDL is what
+    * keeps [[storedCandidates]] exchange-free on the re-attached store.
+    */
+  def registerSignatureStore(spark: SparkSession, table: String,
+                             path: String, numBuckets: Int = 32): Unit =
+    spark.sql(
+      s"""CREATE TABLE $table (id BIGINT, band INT, bhash BIGINT)
+         |USING PARQUET
+         |CLUSTERED BY (band, bhash) SORTED BY (band, bhash)
+         |INTO $numBuckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+
   /** Candidate pairs from a [[materializeSignatures]] table: both join
     * inputs read co-located buckets of (band, bhash), so the self-join
     * plans with zero Exchange (only the final pair-distinct shuffles, and

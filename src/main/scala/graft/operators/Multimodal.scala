@@ -132,9 +132,11 @@ object Multimodal {
       out
     }
 
-    /** Nearest-neighbor resample — a REAL resize, not a truncation. */
-    def resizeBmp(bytes: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
-      val (w, h, rgb) = decodeBmp(bytes)
+    /** Nearest-neighbor RGB resample — shared by every image codec's
+      * resize (one copy of the index arithmetic to keep correct).
+      */
+    private def resampleRgb(w: Int, h: Int, rgb: Array[Byte],
+                            newW: Int, newH: Int): Array[Byte] = {
       val out = new Array[Byte](newW * newH * 3)
       var y = 0
       while (y < newH) {
@@ -150,7 +152,13 @@ object Multimodal {
         }
         y += 1
       }
-      encodeBmp(newW, newH, out)
+      out
+    }
+
+    /** Nearest-neighbor resample — a REAL resize, not a truncation. */
+    def resizeBmp(bytes: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
+      val (w, h, rgb) = decodeBmp(bytes)
+      encodeBmp(newW, newH, resampleRgb(w, h, rgb, newW, newH))
     }
 
     // ---- WAV: RIFF, 16-bit PCM, mono ----
@@ -260,22 +268,7 @@ object Multimodal {
       */
     def resizeJpeg(bytes: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
       val (w, h, rgb) = graft.codec.Jpeg.decode(bytes)
-      val out = new Array[Byte](newW * newH * 3)
-      var y = 0
-      while (y < newH) {
-        val sy = y * h / newH
-        var x = 0
-        while (x < newW) {
-          val sx = x * w / newW
-          val src = (sy * w + sx) * 3
-          val dst = (y * newW + x) * 3
-          out(dst) = rgb(src); out(dst + 1) = rgb(src + 1)
-          out(dst + 2) = rgb(src + 2)
-          x += 1
-        }
-        y += 1
-      }
-      graft.codec.Jpeg.encode(newW, newH, out)
+      graft.codec.Jpeg.encode(newW, newH, resampleRgb(w, h, rgb, newW, newH))
     }
 
     /** Resize dispatch on kind: images resample for real (BMP or JPEG);
@@ -335,6 +328,17 @@ object Multimodal {
     val rnd = new scala.util.Random(seed + 7919 * id)
     val w = 16 + rnd.nextInt(80)
     val h = 16 + rnd.nextInt(80)
+    (w, h, smoothRgb(w, h, rnd))
+  }
+
+  /** The seeded smooth-gradient-plus-noise pixel draw itself — ONE copy
+    * shared with JpegSpec, because the JPEG error-tolerance bounds in
+    * both the spec and the m04 oracle are calibrated to exactly this
+    * content (same RNG consumption order as always: p0, p1, then 3
+    * noise draws per pixel).
+    */
+  private[graft] def smoothRgb(w: Int, h: Int,
+                               rnd: scala.util.Random): Array[Byte] = {
     val p0 = rnd.nextDouble() * math.Pi
     val p1 = rnd.nextDouble() * math.Pi
     val rgb = new Array[Byte](w * h * 3)
@@ -356,7 +360,7 @@ object Multimodal {
       }
       y += 1
     }
-    (w, h, rgb)
+    rgb
   }
 
   /** Synthetic JPEG table: real baseline-JPEG payloads from the seeded

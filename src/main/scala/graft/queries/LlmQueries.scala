@@ -331,12 +331,18 @@ object LlmQueries {
         val path = new java.io.File(s"target/sigstore/$dirTag")
           .getAbsolutePath
         val ok = java.nio.file.Paths.get(path, "_OK")
-        if (!(s.catalog.tableExists(table) &&
-              java.nio.file.Files.exists(ok))) {
-          Dedup.materializeSignatures(docs, table, s"$path/t")
-          java.nio.file.Files.createDirectories(
-            java.nio.file.Paths.get(path))
-          java.nio.file.Files.write(ok, Array.emptyByteArray)
+        if (!s.catalog.tableExists(table)) {
+          // a store left by a previous JVM re-ATTACHES (one DDL) instead
+          // of re-materializing (a corpus scan) — the amortization the
+          // stable path exists for
+          if (java.nio.file.Files.exists(ok))
+            Dedup.registerSignatureStore(s, table, s"$path/t")
+          else {
+            Dedup.materializeSignatures(docs, table, s"$path/t")
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(path))
+            java.nio.file.Files.write(ok, Array.emptyByteArray)
+          }
         }
         val cand = Dedup.storedCandidates(s, table)
         Dedup.ngramJaccard(docs, threshold = 0.5, candidates = Some(cand))
@@ -1006,8 +1012,9 @@ object LlmQueries {
     * codebook literals: code assignment (argmax 2·v·c − ‖c‖², ties to the
     * higher codeword — the engine's reverse-sort convention), per-query
     * tables, the ADC sum in EXPLICIT left-to-right subspace order (a bare
-    * SUM() would let DuckDB reassociate doubles), candidate top-32 by
-    * (adc DESC, id), exact-cosine top-10.
+    * SUM() would let DuckDB reassociate doubles), candidate top-64 by
+    * (adc DESC, id) — pqTopK's rerank default, which this cut must track —
+    * exact-cosine top-10.
     */
   private def s05Sql(dir: String): String = {
     val books = s05BooksByDir.getOrElse(dir,

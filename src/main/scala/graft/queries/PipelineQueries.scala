@@ -505,8 +505,14 @@ object PipelineQueries {
       (s, dir) => {
         import s.implicits._
         val n = nFor(dir)
-        def timedRun(nb: Int): (Long, Double) = {
-          val w = Fixtures.generate(s, nAddresses = n / 4, nBlocks = nb)
+        // BOTH worlds materialize before any probe: generation (driver
+        // sim + parquet dump + permanent simCache memoization) is harness
+        // cost, and on a COLD cache it retains O(data) oracle Seqs on the
+        // driver — inside the heap window that would flip the flag with
+        // zero pipeline regression (a Verify run has no warmFixtures)
+        val w1 = Fixtures.generate(s, nAddresses = n / 4, nBlocks = n)
+        val w10 = Fixtures.generate(s, nAddresses = n / 4, nBlocks = n * 10)
+        def timedRun(w: Fixtures.World): (Long, Double) = {
           val df = FullHistory.build(s, w.accountChangeset,
             w.storageChangeset, w.plainCodeHash, w.plainStateAccounts,
             w.plainStateStorage, w.latestBlock)
@@ -519,9 +525,9 @@ object PipelineQueries {
           System.gc(); System.gc()
           (rt.totalMemory() - rt.freeMemory()) / (1024L * 1024L)
         }
-        val (rows1, t1) = timedRun(n)
+        val (rows1, t1) = timedRun(w1)
         val heap0 = usedMb()
-        val (rows10, t10) = timedRun(n * 10)
+        val (rows10, t10) = timedRun(w10)
         val heap1 = usedMb()
         val ratio = t10 / math.max(t1, 0.05)
         val sub = ratio < 35.0

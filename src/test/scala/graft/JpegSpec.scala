@@ -12,20 +12,11 @@ import graft.codec.Jpeg
   */
 class JpegSpec extends AnyFunSuite {
 
-  private def smoothImage(w: Int, h: Int, seed: Long): Array[Byte] = {
-    val rnd = new scala.util.Random(seed)
-    val p0 = rnd.nextDouble() * math.Pi
-    val p1 = rnd.nextDouble() * math.Pi
-    val rgb = new Array[Byte](w * h * 3)
-    for (y <- 0 until h; x <- 0 until w) {
-      val base = 128 + 100 * math.sin(x * 0.11 + p0) * math.cos(y * 0.07 + p1)
-      val i = (y * w + x) * 3
-      rgb(i) = clamp(base + rnd.nextInt(9) - 4)
-      rgb(i + 1) = clamp(base * 0.8 + rnd.nextInt(9) - 4)
-      rgb(i + 2) = clamp(255 - base * 0.9 + rnd.nextInt(9) - 4)
-    }
-    rgb
-  }
+  // the shared draw whose smoothness the tolerance bounds here and in the
+  // m04 oracle are calibrated to — one copy, in Multimodal
+  private def smoothImage(w: Int, h: Int, seed: Long): Array[Byte] =
+    graft.operators.Multimodal.smoothRgb(w, h, new scala.util.Random(seed))
+
   private def clamp(v: Double): Byte = {
     val i = math.round(v).toInt
     (if (i < 0) 0 else if (i > 255) 255 else i).toByte
@@ -206,21 +197,27 @@ class JpegSpec extends AnyFunSuite {
   }
 
   test("restart markers (DRI/RSTn) decode correctly") {
-    // ImageIO's writer emits restart markers when asked via DRI in the
-    // stream metadata is awkward; instead hand-assemble: encode two
-    // images and verify our decoder handles an ImageIO stream that
-    // contains DRI (ImageIO emits DRI=0 normally — so synthesize by
-    // splicing a DRI segment that declares no restart, which must be a
-    // no-op for the decoder)
-    val src = smoothImage(32, 24, 40L)
-    val enc = Jpeg.encode(32, 24, src, quality = 90)
-    // splice DRI (interval 0 = disabled) right before SOS
-    val sosAt = (0 until enc.length - 1).find(i =>
-      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xda).get
-    val dri = Array(0xff, 0xdd, 0x00, 0x04, 0x00, 0x00).map(_.toByte)
-    val spliced = enc.take(sosAt) ++ dri ++ enc.drop(sosAt)
-    val (_, _, a) = Jpeg.decode(enc)
-    val (_, _, b) = Jpeg.decode(spliced)
+    val src = smoothImage(48, 32, 40L) // 24 MCUs -> 11 restarts at R=2
+    val plain = Jpeg.encode(48, 32, src, quality = 90)
+    val restarted = Jpeg.encode(48, 32, src, quality = 90,
+      restartInterval = 2)
+    assert(restarted.length > plain.length, "no RST markers were emitted")
+    // restart changes HOW coefficients are entropy-coded (DC predictions
+    // reset, byte alignment), not WHAT they decode to — the two streams
+    // must reconstruct bit-identical pixels through the restart path
+    val (_, _, a) = Jpeg.decode(plain)
+    val (_, _, b) = Jpeg.decode(restarted)
     assert(a.sameElements(b))
+    // and the emitted restart stream is spec-conformant per an
+    // INDEPENDENT decoder: ImageIO parses it to the same pixels too
+    val (iw, ih, theirs) = imageIoDecode(restarted)
+    assert(iw == 48 && ih == 32)
+    assert(maxAbsDiff(b, theirs) <= 3)
+    // a DRI declaring interval 0 (what ImageIO itself writes) is a no-op
+    val sosAt = (0 until plain.length - 1).find(i =>
+      (plain(i) & 0xff) == 0xff && (plain(i + 1) & 0xff) == 0xda).get
+    val dri0 = Array(0xff, 0xdd, 0x00, 0x04, 0x00, 0x00).map(_.toByte)
+    val spliced = plain.take(sosAt) ++ dri0 ++ plain.drop(sosAt)
+    assert(Jpeg.decode(spliced)._3.sameElements(a))
   }
 }

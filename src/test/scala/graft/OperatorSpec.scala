@@ -124,7 +124,22 @@ class OperatorSpec extends AnyFunSuite {
       // and the candidate set is exactly the non-materialized one
       def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
-      assert(pairs(cand) == pairs(Dedup.lshCandidates(corpus)))
+      val expected = pairs(Dedup.lshCandidates(corpus))
+      assert(pairs(cand) == expected)
+      // cross-JVM reuse: registration dies with the session, the store
+      // does not — simulate by dropping the table (external: files stay)
+      // and RE-ATTACHING via DDL; candidates and the exchange-free plan
+      // shape must survive the round trip
+      spark.sql("DROP TABLE sig_store_t")
+      Dedup.registerSignatureStore(spark, "sig_store_t", s"$tmp/t",
+        numBuckets = 4)
+      val cand2 = Dedup.storedCandidates(spark, "sig_store_t")
+      cand2.count()
+      val plan2 = cand2.queryExecution.executedPlan.toString
+      assert(plan2.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("Reused")) == 1,
+        s"re-attached store lost bucket co-location\n$plan2")
+      assert(pairs(cand2) == expected)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS sig_store_t")
@@ -225,8 +240,8 @@ class OperatorSpec extends AnyFunSuite {
     val pq = resultSet(Similarity.pqTopK(e, q, 10, books))
     val pqRecall = pq.intersect(exact).size.toDouble / exact.size
     // flat PQ scans every pair (only the per-pair cost shrinks), so with
-    // rerank=32 over ~500 vectors the ADC candidate set should capture
-    // most of the true top-10
+    // the rerank=64 default over ~500 vectors the ADC candidate set
+    // should capture most of the true top-10
     info(s"PQ-ADC recall=$pqRecall")
     assert(pqRecall >= 0.5, s"PQ recall too low: $pqRecall")
     // composed IVF-PQ: cell pruning costs additional recall but must
