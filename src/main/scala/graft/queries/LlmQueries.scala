@@ -554,6 +554,19 @@ object LlmQueries {
              |SELECT ngram, COUNT(*) AS n FROM g GROUP BY ngram
              |ORDER BY n DESC, ngram LIMIT 50""".stripMargin)),
 
+    // BM25 term weighting (tf/df/dl/avgdl composed per the standard
+    // formula) with the RATIONAL idf (N − df + 0.5)/(df + 0.5) — log-free,
+    // so every operation is exactly-rounded IEEE arithmetic and the score
+    // is bit-identical across engines given the same operation order
+    // (which the oracle mirrors parenthesis-for-parenthesis; the log is
+    // monotone, so per-doc term ranking is unchanged). Top-3 distinctive
+    // terms per document.
+    "l20_bm25_terms" -> QuerySpec(
+      (s, dir) => TextAnalysis.bm25TopTerms(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"), col("rank")),
+      Some(bm25Sql)),
+
     // Deterministic per-source sample: 20 docs per source under
     // content-hash order — the reproducible corpus-curation primitive
     // (random sampling could never be oracled).
@@ -769,6 +782,45 @@ object LlmQueries {
   // function of the dir, shared by the m01 query fn and its golden SQL
   private def mediaNFor(dir: String): Int =
     if (dir.contains("sf0.1")) 2000 else 300
+
+  /** The l20 oracle — same constants, same parenthesization as
+    * TextAnalysis.bm25TopTerms (k1+1, 1−b embedded via Scala's
+    * shortest-roundtrip Double.toString so DuckDB parses the identical
+    * IEEE values the plan's literals hold).
+    */
+  // lazy: referenced from `all`, which initializes BEFORE this val in
+  // declaration order — a plain val would be captured as null
+  private lazy val bm25Sql: String = {
+    val k1 = 1.2
+    val b = 0.75
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    x -> length(x) > 0)) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       |  GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+       |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+       |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |  FROM dl),
+       |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+       |  floor(((CAST(s.n AS DOUBLE) - CAST(dft.df AS DOUBLE)
+       |        + 0.5::DOUBLE)
+       |      / (CAST(dft.df AS DOUBLE) + 0.5::DOUBLE)
+       |    * ((CAST(tf.tf AS DOUBLE) * ${k1 + 1.0}::DOUBLE)
+       |      / (CAST(tf.tf AS DOUBLE) + $k1::DOUBLE
+       |         * (${1.0 - b}::DOUBLE + $b::DOUBLE
+       |            * (CAST(dl.dl AS DOUBLE) / s.avgdl)))))
+       |    * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS score
+       |  FROM tf JOIN dl USING (doc_id) JOIN dft USING (term)
+       |    CROSS JOIN stats s),
+       |r AS (SELECT doc_id, term, tf, df, score, row_number() OVER (
+       |  PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
+       |SELECT doc_id, rank, term, tf, df, score
+       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+  }
 
   private def mGoldenSql(name: String, cols: String,
                          order: String): String = {
