@@ -104,6 +104,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ plans carry literal codebooks: no per-row hashing, and the " +
+      "scan side of the ADC join carries codes, not embeddings") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    val books = graft.operators.Similarity.fitPqCodebooks(e, m = 4, k = 4)
+    val df = graft.operators.Similarity.pqTopK(e, q, k = 5, books)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("xxhash64"), plan.take(3000))
+    // code assignment must be plan literals (the codebook values appear
+    // verbatim), not a re-derivation per row
+    assert(plan.contains(books.head.head.head.toString.take(8)),
+      "codebook literals missing from the plan")
+  }
+
+  test("l20: BM25 aggregations are partial (map-side combine) and " +
+      "nothing wider than a token shuffles") {
+    val df = SparkEntry.queries("l20_bm25_terms")(spark,
+      "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      plan.take(2000))
+    // the full text column must never reach an exchange: only doc_id,
+    // term, and counts shuffle
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange"))
+      .mkString("\n")
+    assert(!exchanges.contains("text"), exchanges)
+  }
+
   test("corpus n-gram plan uses the one-pass kernel, not HOF re-tokenization") {
     import org.apache.spark.sql.functions.{col, explode}
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
