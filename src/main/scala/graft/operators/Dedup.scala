@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.TextAnalysis._
 
@@ -164,6 +164,65 @@ object Dedup {
       .repartition(numBuckets, col("band"), col("bhash"))
       .write.bucketBy(numBuckets, "band", "bhash").sortBy("band", "bhash")
       .option("path", path).mode("overwrite").saveAsTable(table)
+  }
+
+  /** STREAMING candidate pairs — dedup-on-ingest. The same MinHash
+    * banding as [[lshCandidates]], but bucket membership lives in
+    * per-(band, bhash) keyed state: each arriving document joins its 32
+    * band buckets and immediately emits a candidate pair against every
+    * EARLIER member of each bucket. On a 100 TB ingest this is the shape
+    * that avoids re-scanning the corpus per increment — signatures are
+    * computed once on arrival (stateless codegen kernel), and only
+    * (id, band, bhash) rows reach the shuffle/state store, never text.
+    *
+    * Bucket cap: state stops growing (and emitting) at `maxBucketSize`
+    * members, so one degenerate bucket cannot go quadratic or bloat the
+    * state store — prefix-truncating, the streaming analogue of the batch
+    * cap (a stream cannot retroactively un-emit a bucket that later turns
+    * out degenerate). Pairs may repeat across bands; callers distinct()
+    * the (batch-viewed) sink, keeping the stream single-stateful.
+    */
+  def streamingCandidatePairs(docs: DataFrame, numHashes: Int = 128,
+      numBands: Int = 32, shingleK: Int = 3, maxBucketSize: Int = 1000,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Dataset[(Long, Long)] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val rowsPerBand = numHashes / numBands
+    docs
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
+      .select(col("id"),
+        explode(lshBands(col("sig"), numBands, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bhash"))
+      .as[(Long, Int, Long)]
+      .groupByKey { case (_, band, bhash) => (band, bhash) }
+      .flatMapGroupsWithState[Array[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          val seen = state.getOption.getOrElse(Array.empty[Long])
+          val seenSet = seen.toSet
+          val fresh = rows.map(_._1).toArray.distinct.sorted
+            .filterNot(seenSet.contains)
+          val out = Seq.newBuilder[(Long, Long)]
+          var members = seen
+          var i = 0
+          while (i < fresh.length) {
+            val id = fresh(i)
+            if (members.length < maxBucketSize) {
+              var j = 0
+              while (j < members.length) {
+                val m = members(j)
+                out += (if (m < id) (m, id) else (id, m))
+                j += 1
+              }
+              members = members :+ id
+            }
+            i += 1
+          }
+          if (members.length != seen.length) state.update(members)
+          out.result().iterator
+      }
   }
 
   /** Re-attach an existing on-disk signature store (written by

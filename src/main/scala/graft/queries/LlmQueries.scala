@@ -835,7 +835,7 @@ object LlmQueries {
   private def l13GoldenName(dir: String): String =
     s"l13-fp-${new java.io.File(dir).getName}-v1"
 
-  private def l02GoldenName(dir: String): String =
+  private[queries] def l02GoldenName(dir: String): String =
     s"l02-minhash-${new java.io.File(dir).getName}-v1"
   private def l03GoldenName(dir: String): String =
     s"l03-simhash-${new java.io.File(dir).getName}-v1"
@@ -845,8 +845,8 @@ object LlmQueries {
   // typed replay, written once per sf dir. Null text goldens to a null
   // signature, exactly as the column formulation nulls through (and the
   // banding explode then drops the row on both sides).
-  private def ensureMinhashGolden(s: org.apache.spark.sql.SparkSession,
-                                  dir: String): Unit = {
+  private[queries] def ensureMinhashGolden(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import s.implicits._
     graft.operators.MultimodalGolden.ensureGoldenDf(l02GoldenName(dir),
       Tables(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -876,6 +876,22 @@ object LlmQueries {
     * verifies exact 3-shingle jaccard ≥ 0.5 the same way the l04 oracle
     * does — quantized by the engine-stable 4-dp floor.
     */
+  /** Candidate pairs ONLY (no jaccard verify) from the minhash golden —
+    * st06's oracle: DuckDB re-derives band-bucket membership by direct
+    * 4-row signature-slice equality per band, exactly what the engine's
+    * per-band xxhash64 bucket equality encodes.
+    */
+  private[queries] def lshCandSql(goldenName: String): String = {
+    val base = MultimodalGolden.goldenBase(goldenName)
+    s"""WITH sig AS (
+       |  SELECT doc_id, sig FROM read_parquet('$base/*.parquet'))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE EXISTS (SELECT 1 FROM generate_series(0, 31) g(i)
+       |  WHERE a.sig[i*4+1 : i*4+4] = b.sig[i*4+1 : i*4+4])
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private def lshPairSql(goldenName: String): String = {
     val base = MultimodalGolden.goldenBase(goldenName)
     s"""WITH sig AS (

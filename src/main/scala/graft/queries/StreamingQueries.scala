@@ -185,6 +185,36 @@ object StreamingQueries {
     // watermark on an event-time column). Output restricted to the digest
     // set, which is deterministic under any arrival order, so the DuckDB
     // DISTINCT oracle hash-checks a real streaming dedup execution.
+    // NEAR-dup dedup on ingest: MinHash banding over a real file-source
+    // stream, bucket membership in per-(band, bhash) keyed state
+    // (flatMapGroupsWithState) — each arriving document immediately
+    // pairs with every earlier member of its 32 band buckets, with the
+    // signature computed ONCE on arrival by the stateless codegen kernel
+    // and only (id, band, bhash) rows reaching the state store. The
+    // oracle re-derives the same candidate set in DuckDB by direct
+    // signature-slice equality over the l02 golden (what the engine's
+    // per-band bucket-hash equality encodes). Cross-band duplicate pairs
+    // are distinct()ed on the batch-viewed sink so the stream itself
+    // stays single-stateful.
+    "st06_stream_neardup" -> QuerySpec(
+      (s, dir) => withStateSizing(s) {
+        LlmQueries.ensureMinhashGolden(s, dir)
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val q = graft.operators.Dedup.streamingCandidatePairs(stream)
+          .toDF("id_a", "id_b")
+          .writeStream.format("memory").queryName("st06_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st06_sink").distinct()
+          .orderBy(col("id_a"), col("id_b"))
+      }, None,
+      Some(dir => LlmQueries.lshCandSql(LlmQueries.l02GoldenName(dir)))),
+
     "st03_stream_dedup" -> QuerySpec(
       (s, dir) => {
         val raw = s.read.parquet(s"$dir/documents.parquet")

@@ -103,4 +103,35 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     assert(got == expected)
   }
+
+  test("streaming near-dup candidates accumulate across micro-batches " +
+      "and equal the batch candidate set") {
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.Dedup
+      .streamingCandidatePairs(mem.toDS().toDF("doc_id", "text"))
+      .toDF("id_a", "id_b")
+      .writeStream.format("memory").queryName("nd_sink")
+      .outputMode("append").start()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    mem.addData(b1.toSeq); q.processAllAvailable()
+    val afterB1 = spark.table("nd_sink").distinct().count()
+    mem.addData(b2.toSeq); q.processAllAvailable()
+    val got = spark.table("nd_sink").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    val expected = graft.operators.Dedup.lshCandidates(
+        Tables(spark, "/root/testdata/sf0.001", "documents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the union's candidate set, independent of micro-batch cut: pairs
+    // spanning the boundary are emitted when the SECOND member arrives
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(afterB1 < got.size,
+      "no cross-batch pairs were emitted in the second batch")
+  }
 }
