@@ -281,7 +281,79 @@ object StreamingQueries {
     // pipeline on the same changesets"), and the PRODUCTION ingestion
     // shape of the same fold is st05 above, oracle-green from a real
     // file-source stream. The registry carries no harness-fed entry.)
+
+    // The full streaming ARCHIVAL loop — the reference's one-shot
+    // conversion projected onto its naturally-incremental input
+    // (SURVEY §7.5): account changesets arrive as a file-source stream in
+    // ~3 micro-batches (maxFilesPerTrigger), each batch decodes through
+    // the native expression and APPENDS to one .dat dataset via
+    // foreachBatch → StateFiles.append — per-batch part files plus the
+    // manifest-merge commit, so a crash between batches leaves a readable
+    // prefix archive. The readback (DSv2, .idx-pruned) must return every
+    // appended row; counts are checked against the independent chain
+    // simulation's changeset size.
+    "st07_stream_archive" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val n = PipelineQueries.nFor(dir)
+        graft.pipeline.Fixtures.generate(s, n / 4, n)
+        val src = s"${graft.pipeline.Fixtures.cacheBase(n / 4, n)}" +
+          "/account_changeset"
+        val raw = s.read.parquet(src)
+        val nFiles = new java.io.File(src).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        val dirTag = new java.io.File(dir).getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+        val out = new java.io.File(s"target/stream-archive/$dirTag")
+          .getAbsolutePath
+        // fresh archive + checkpoint per invocation: this entry measures
+        // the append protocol, not a warm cache
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(out))
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(out + ".ckpt"))
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "*.parquet")
+          .option("maxFilesPerTrigger",
+            math.max(1, nFiles / 3).toString)
+          .parquet(src)
+        val z32 = graft.model.StateItem.zeros(32)
+        val q = stream.writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[
+               org.apache.spark.sql.Row], _: Long) =>
+              val items = batch
+                .withColumn("d",
+                  graft.functions.expressions.StateExpressions
+                    .account_decode(col("account_blob")))
+                .select(col("address"), col("block"),
+                  lit(false).as("isStorage"),
+                  col("d.nonce").as("nonce"),
+                  col("d.incarnation").as("incarnation"),
+                  col("d.balance").as("balance"),
+                  col("d.codeHash").as("codeHash"),
+                  lit(z32).as("slot"), lit(z32).as("value"))
+                .sortWithinPartitions(col("address"), col("block"))
+                .as[graft.model.StateItem]
+              graft.spark.StateFiles.append(items, out, strategy = 0)
+              ()
+          }
+          .option("checkpointLocation", out + ".ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val readBack = graft.spark.StateFiles.read(s, out, 0).count()
+        Seq((raw.count(), readBack))
+          .toDF("rows_streamed", "rows_read")
+      }, None, Some(dir => st07Sql(dir))),
   )
+
+  private def st07Sql(dir: String): String = {
+    val n = PipelineQueries.nFor(dir)
+    val sim = graft.pipeline.Fixtures.simulate(n / 4, n)
+    val c = sim.accountChangeset.size
+    s"SELECT $c::BIGINT AS rows_streamed, $c::BIGINT AS rows_read"
+  }
 
   private def st05Sql(dir: String): String = {
     // derived from the sf dir exactly as the query fn derives it — no
