@@ -74,17 +74,33 @@ object Dedup {
         .filter(col("__n") <= cap).drop("__n")
     }
 
+  /** The (id, band, bhash) banding rows — ONE copy of the shared head of
+    * every LSH candidate path (batch self-join, bucketed store,
+    * streaming). Null signatures (null text has no shingles) are dropped
+    * HERE: `xxhash64` over a null band slice folds to the seed rather
+    * than null, which would glue every null document into one degenerate
+    * bucket per band — while the DuckDB oracles' signature-slice equality
+    * (NULL = NULL is never true) excludes them. Dropping at the source
+    * keeps engine and oracle agreeing for corpora WITH null texts.
+    */
+  private[operators] def bandRows(df: DataFrame, numHashes: Int,
+      numBands: Int, shingleK: Int, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"),
+        explode(lshBands(col("sig"), numBands,
+          numHashes / numBands)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bhash"))
+
   def lshCandidates(df: DataFrame, numHashes: Int = 128, numBands: Int = 32,
                     shingleK: Int = 3, idCol: String = "doc_id",
                     textCol: String = "text",
                     maxBucketSize: Int = 1000): DataFrame = {
-    val rowsPerBand = numHashes / numBands
-    val withSig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
-    // candidates: explode only (id, band, bhash) — narrow row, small shuffle
-    val bands = withSig.select(col("id"),
-        explode(lshBands(col("sig"), numBands, rowsPerBand)).as("b"))
-      .select(col("id"), col("b.band"), col("b.bhash"))
+    // candidates: explode only (id, band, bhash) — narrow row, small
+    // shuffle;
+    val bands = bandRows(df, numHashes, numBands, shingleK, idCol, textCol)
       // materialized once: both sides of the self-join read this tiny
       // (id, band, hash) relation instead of recomputing signatures.
       // localCheckpoint (not persist): blocks are reclaimed when the frame
@@ -148,14 +164,9 @@ object Dedup {
                             numBands: Int = 32, shingleK: Int = 3,
                             idCol: String = "doc_id",
                             textCol: String = "text"): Unit = {
-    val rowsPerBand = numHashes / numBands
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    df.select(col(idCol).as("id"),
-        minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
-      .select(col("id"),
-        explode(lshBands(col("sig"), numBands, rowsPerBand)).as("b"))
-      .select(col("id"), col("b.band"), col("b.bhash"))
+    bandRows(df, numHashes, numBands, shingleK, idCol, textCol)
       // pre-shuffle into the bucket function's own partitioning
       // (HashPartitioning = pmod(murmur3) = the bucket id): each task then
       // owns exactly one bucket and writes ONE file, instead of every task
@@ -177,10 +188,17 @@ object Dedup {
     *
     * Bucket cap: state stops growing (and emitting) at `maxBucketSize`
     * members, so one degenerate bucket cannot go quadratic or bloat the
-    * state store — prefix-truncating, the streaming analogue of the batch
-    * cap (a stream cannot retroactively un-emit a bucket that later turns
-    * out degenerate). Pairs may repeat across bands; callers distinct()
-    * the (batch-viewed) sink, keeping the stream single-stateful.
+    * state store. NOTE the cap's boundary semantics deliberately DIFFER
+    * from the batch policy on degenerate buckets: batch
+    * [[lshCandidates]] drops an over-cap bucket entirely (it can see the
+    * final size), while a stream cannot retroactively un-emit — it keeps
+    * the first `maxBucketSize` members by arrival and ignores the rest.
+    * On a corpus with a degenerate bucket the two surfaces (and a
+    * cap-free oracle) therefore disagree by design; run EXACT dedup
+    * first (the standing guidance — degenerate buckets are
+    * boilerplate/empty text), after which no bucket approaches the cap.
+    * Pairs may repeat across bands; callers distinct() the
+    * (batch-viewed) sink, keeping the stream single-stateful.
     */
   def streamingCandidatePairs(docs: DataFrame, numHashes: Int = 128,
       numBands: Int = 32, shingleK: Int = 3, maxBucketSize: Int = 1000,
@@ -188,13 +206,7 @@ object Dedup {
       textCol: String = "text"): Dataset[(Long, Long)] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val rowsPerBand = numHashes / numBands
-    docs
-      .select(col(idCol).as("id"),
-        minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
-      .select(col("id"),
-        explode(lshBands(col("sig"), numBands, rowsPerBand)).as("b"))
-      .select(col("id"), col("b.band"), col("b.bhash"))
+    bandRows(docs, numHashes, numBands, shingleK, idCol, textCol)
       .as[(Long, Int, Long)]
       .groupByKey { case (_, band, bhash) => (band, bhash) }
       .flatMapGroupsWithState[Array[Long], (Long, Long)](

@@ -43,14 +43,28 @@ object TextAnalysis {
     * every join key is (doc_id) or (term), no payload wider than a token
     * ever shuffles.
     */
-  def bm25TopTerms(docs: DataFrame, topN: Int = 3, k1: Double = 1.2,
-                   b: Double = 0.75, idCol: String = "doc_id",
+  /** l20's parameters, ONE copy: the entry's Spark call and its DuckDB
+    * oracle builder must hold the same values or the bit-reproducibility
+    * contract breaks silently on the next tune.
+    */
+  object Bm25 {
+    val K1 = 1.2
+    val B = 0.75
+    val TopN = 3
+  }
+
+  def bm25TopTerms(docs: DataFrame, topN: Int = Bm25.TopN,
+                   k1: Double = Bm25.K1, b: Double = Bm25.B,
+                   idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // dl and df both DERIVE from tf (sum of per-term counts = token
+    // count), so the corpus is tokenized in exactly one aggregation pass
+    // — Catalyst reuses the (doc_id, term) exchange for all three frames
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n_docs")).crossJoin(
       dl.agg((sum(col("dl")).cast("double") /

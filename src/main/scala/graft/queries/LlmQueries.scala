@@ -789,10 +789,11 @@ object LlmQueries {
     * IEEE values the plan's literals hold).
     */
   // lazy: referenced from `all`, which initializes BEFORE this val in
-  // declaration order — a plain val would be captured as null
+  // declaration order — a plain val would be captured as null.
+  // Constants come from the ONE shared definition the entry also uses.
   private lazy val bm25Sql: String = {
-    val k1 = 1.2
-    val b = 0.75
+    val k1 = TextAnalysis.Bm25.K1
+    val b = TextAnalysis.Bm25.B
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(list_filter(
        |    regexp_split_to_array(lower(trim(text)), '\\s+'),
@@ -819,7 +820,8 @@ object LlmQueries {
        |r AS (SELECT doc_id, term, tf, df, score, row_number() OVER (
        |  PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
        |SELECT doc_id, rank, term, tf, df, score
-       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+       |FROM r WHERE rank <= ${TextAnalysis.Bm25.TopN}
+       |ORDER BY doc_id, rank""".stripMargin
   }
 
   private def mGoldenSql(name: String, cols: String,

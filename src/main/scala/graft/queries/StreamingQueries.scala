@@ -302,16 +302,10 @@ object StreamingQueries {
         val raw = s.read.parquet(src)
         val nFiles = new java.io.File(src).listFiles()
           .count(_.getName.endsWith(".parquet"))
-        val dirTag = new java.io.File(dir).getName
-          .replaceAll("[^A-Za-z0-9]", "_")
-        val out = new java.io.File(s"target/stream-archive/$dirTag")
-          .getAbsolutePath
-        // fresh archive + checkpoint per invocation: this entry measures
-        // the append protocol, not a warm cache
-        org.apache.commons.io.FileUtils
-          .deleteDirectory(new java.io.File(out))
-        org.apache.commons.io.FileUtils
-          .deleteDirectory(new java.io.File(out + ".ckpt"))
+        // temp archive + checkpoint, deleted after the counts materialize
+        // (the p12 convention — repeated harness runs leave no garbage)
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-stream-archive").toString
         val stream = s.readStream.schema(raw.schema)
           .option("pathGlobFilter", "*.parquet")
           .option("maxFilesPerTrigger",
@@ -321,30 +315,43 @@ object StreamingQueries {
         val q = stream.writeStream
           .foreachBatch {
             (batch: org.apache.spark.sql.Dataset[
-               org.apache.spark.sql.Row], _: Long) =>
-              val items = batch
-                .withColumn("d",
-                  graft.functions.expressions.StateExpressions
-                    .account_decode(col("account_blob")))
-                .select(col("address"), col("block"),
-                  lit(false).as("isStorage"),
-                  col("d.nonce").as("nonce"),
-                  col("d.incarnation").as("incarnation"),
-                  col("d.balance").as("balance"),
-                  col("d.codeHash").as("codeHash"),
-                  lit(z32).as("slot"), lit(z32).as("value"))
-                .sortWithinPartitions(col("address"), col("block"))
-                .as[graft.model.StateItem]
-              graft.spark.StateFiles.append(items, out, strategy = 0)
+               org.apache.spark.sql.Row], batchId: Long) =>
+              // replay guard: a micro-batch whose append already reached
+              // the manifest (crash between manifest commit and
+              // checkpoint commit) must not append twice — the batch id
+              // travels IN the manifest, atomically with the data
+              if (!graft.spark.StateFiles.lastStreamBatch(out)
+                    .exists(_ >= batchId)) {
+                val items = batch
+                  .withColumn("d",
+                    graft.functions.expressions.StateExpressions
+                      .account_decode(col("account_blob")))
+                  .select(col("address"), col("block"),
+                    lit(false).as("isStorage"),
+                    col("d.nonce").as("nonce"),
+                    col("d.incarnation").as("incarnation"),
+                    col("d.balance").as("balance"),
+                    col("d.codeHash").as("codeHash"),
+                    lit(z32).as("slot"), lit(z32).as("value"))
+                  .sortWithinPartitions(col("address"), col("block"))
+                  .as[graft.model.StateItem]
+                graft.spark.StateFiles.append(items, out, strategy = 0,
+                  streamBatchId = batchId)
+              }
               ()
           }
-          .option("checkpointLocation", out + ".ckpt")
+          .option("checkpointLocation", out + "-ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
         val readBack = graft.spark.StateFiles.read(s, out, 0).count()
-        Seq((raw.count(), readBack))
+        val result = Seq((raw.count(), readBack))
           .toDF("rows_streamed", "rows_read")
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(out))
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(out + "-ckpt"))
+        result
       }, None, Some(dir => st07Sql(dir))),
   )
 

@@ -52,7 +52,7 @@ object StateFiles {
   def write(items: Dataset[StateItem], dir: String, strategy: Int,
             blockStart: Long = 0L, blockEnd: Long = 0L): Unit =
     writeCore(items, dir, strategy, blockStart, blockEnd, partBase = 0,
-      mergeManifest = false)
+      mergeManifest = false, streamBatchId = -1L)
 
   /** Incremental APPEND: new part files after the existing ones, manifest
     * totals merged — the daily-increment flow (changesets are an
@@ -69,9 +69,17 @@ object StateFiles {
     * append commits past the orphans (they stay unreferenced garbage, no
     * duplicated rows). Single-writer: concurrent appends to one dataset
     * are not supported (no lock service here).
+    *
+    * `streamBatchId` (optional, for streaming foreachBatch writers):
+    * recorded in the manifest ATOMICALLY with the append, so a
+    * micro-batch replayed after a crash BETWEEN the manifest commit and
+    * the streaming checkpoint commit can be detected via
+    * [[lastStreamBatch]] and skipped — exactly-once appends for a
+    * linear (monotone-batch-id) stream.
     */
   def append(items: Dataset[StateItem], dir: String, strategy: Int,
-             blockStart: Long = 0L, blockEnd: Long = 0L): Unit = {
+             blockStart: Long = 0L, blockEnd: Long = 0L,
+             streamBatchId: Long = -1L): Unit = {
     val partBase = nextPartBase(dir)
     // a dataset with part files but NO manifest is a torn write — its
     // strategy and committed contents are unknowable; refuse rather than
@@ -83,8 +91,14 @@ object StateFiles {
       require(s0 == strategy.toLong,
         s"append strategy $strategy != dataset strategy $s0"))
     writeCore(items, dir, strategy, blockStart, blockEnd, partBase,
-      mergeManifest = true)
+      mergeManifest = true, streamBatchId = streamBatchId)
   }
+
+  /** Highest `streamBatchId` ever committed to `dir`'s manifest, if the
+    * dataset was written by a streaming appender — the replay-skip seam.
+    */
+  def lastStreamBatch(dir: String): Option[Long] =
+    manifestField(dir, "stream_batch").filter(_ >= 0L)
 
   private def manifestText(dir: String): Option[String] = {
     val p = Paths.get(dir, "_manifest.json")
@@ -220,7 +234,8 @@ object StateFiles {
   private[spark] def commitManifest(dir: String, strategy: Int,
                                     blockStart: Long, blockEnd: Long,
                                     mergeManifest: Boolean,
-                                    parts: Seq[(Int, Long, Long, Long)]): Unit = {
+                                    parts: Seq[(Int, Long, Long, Long)],
+                                    streamBatchId: Long = -1L): Unit = {
     def prev(name: String): Long =
       if (mergeManifest) manifestField(dir, name).getOrElse(0L) else 0L
     val accounts = parts.map(_._3).sum + prev("accounts")
@@ -243,10 +258,17 @@ object StateFiles {
        else Seq.empty) ++ newNames
     val fileListJson =
       allNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // streaming appenders carry their batch id forward (monotone max) so
+    // a replayed micro-batch is detectable; batch writers omit the field,
+    // keeping pre-existing manifests byte-identical in shape
+    val sb = math.max(streamBatchId,
+      if (mergeManifest) manifestField(dir, "stream_batch").getOrElse(-1L)
+      else -1L)
+    val sbJson = if (sb >= 0) s""""stream_batch":$sb,""" else ""
     val manifest =
       s"""{"format":"graft-dat","strategy":$strategy,""" +
         s""""page_shift":$PageShift,"block_start":$bStart,""" +
-        s""""block_end":$bEnd,"files":$files,""" +
+        s""""block_end":$bEnd,"files":$files,$sbJson""" +
         s""""accounts":$accounts,"storage_slots":$slots,""" +
         s""""bytes":$bytes,"file_list":$fileListJson}"""
     atomicWrite(dir, "_manifest.json",
@@ -274,7 +296,8 @@ object StateFiles {
 
   private def writeCore(items: Dataset[StateItem], dir: String,
                         strategy: Int, blockStart: Long, blockEnd: Long,
-                        partBase: Int, mergeManifest: Boolean): Unit = {
+                        partBase: Int, mergeManifest: Boolean,
+                        streamBatchId: Long): Unit = {
     val spark = items.sparkSession
     import spark.implicits._
     Files.createDirectories(Paths.get(dir))
@@ -291,7 +314,7 @@ object StateFiles {
       }
     }.collect()
     commitManifest(dir, strategy, blockStart, blockEnd, mergeManifest,
-      rows.toSeq)
+      rows.toSeq, streamBatchId)
   }
 
   /** Page-parallel read, delegated to the DataSource V2

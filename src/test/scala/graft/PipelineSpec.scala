@@ -584,6 +584,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(!(ent2 eq ent) && ent2.splits == null)
   }
 
+  test("streaming append replay guard: a re-delivered batch id cannot " +
+      "duplicate rows") {
+    // the st07 crash window: manifest commit succeeded, streaming
+    // checkpoint commit did not — on restart the SAME batch id is
+    // re-delivered. The id travels in the manifest atomically with the
+    // append, so the foreachBatch guard (lastStreamBatch >= batchId)
+    // skips the replay instead of double-appending.
+    val items = StateFormat.asItems(
+      history.withColumnRenamed("valid_from_block", "block"))
+    val dir = Files.createTempDirectory("graft-replay").toString
+    graft.spark.StateFiles.append(items, dir, 0, streamBatchId = 0L)
+    val c1 = graft.spark.StateFiles.read(spark, dir, 0).count()
+    assert(graft.spark.StateFiles.lastStreamBatch(dir).contains(0L))
+    // replayed batch 0 — the entry's guard condition must skip it
+    if (!graft.spark.StateFiles.lastStreamBatch(dir).exists(_ >= 0L))
+      graft.spark.StateFiles.append(items, dir, 0, streamBatchId = 0L)
+    assert(graft.spark.StateFiles.read(spark, dir, 0).count() == c1)
+    // the NEXT batch appends and advances the recorded id
+    graft.spark.StateFiles.append(items, dir, 0, streamBatchId = 1L)
+    assert(graft.spark.StateFiles.lastStreamBatch(dir).contains(1L))
+    assert(graft.spark.StateFiles.read(spark, dir, 0).count() == 2 * c1)
+    // plain batch writes never record a batch id
+    val dir2 = Files.createTempDirectory("graft-replay2").toString
+    graft.spark.StateFiles.write(items, dir2, 0)
+    assert(graft.spark.StateFiles.lastStreamBatch(dir2).isEmpty)
+  }
+
   test("sidecar metadata stays a bounded fraction of data at 10x scale") {
     // the S7 driver-retention claim, MEASURED on a 10x world (2,000
     // blocks vs the suite's 200): after a full DSv2 read, the sidecar

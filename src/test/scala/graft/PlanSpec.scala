@@ -125,13 +125,20 @@ class PlanSpec extends AnyFunSuite {
       "/root/testdata/sf0.001")
     df.count()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("partial_count") || plan.contains("partial"),
-      plan.take(2000))
+    assert(plan.contains("partial_count"), plan.take(2000))
     // the full text column must never reach an exchange: only doc_id,
-    // term, and counts shuffle
-    val exchanges = plan.linesIterator.filter(_.contains("Exchange"))
-      .mkString("\n")
-    assert(!exchanges.contains("text"), exchanges)
+    // term, and counts shuffle. The FORMATTED explain lists each
+    // operator's Input columns (Exchange lines in the tree dump print
+    // only partitioning expressions, which would make a substring check
+    // vacuous), so assert over the Exchange nodes' input schemas.
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeBlocks = fmt.split("\n\n")
+      .filter(b => b.linesIterator.nextOption()
+        .exists(l => l.matches("\\(\\d+\\) Exchange.*")))
+    assert(exchangeBlocks.nonEmpty, "no Exchange nodes found in:\n" + fmt)
+    for (b <- exchangeBlocks)
+      assert(!b.contains("text#"), s"text column reached an exchange:\n$b")
   }
 
   test("corpus n-gram plan uses the one-pass kernel, not HOF re-tokenization") {
