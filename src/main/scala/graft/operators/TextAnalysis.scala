@@ -59,11 +59,16 @@ object TextAnalysis {
                    textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
+    // dl and df both DERIVE from tf (sum of per-term counts = token
+    // count), and tf is MATERIALIZED once (localCheckpoint, the
+    // lshCandidates convention) — so the corpus is scanned and tokenized
+    // exactly once, with the three downstream frames reading the small
+    // aggregated (doc_id, term, tf) relation. Plain exchange reuse does
+    // NOT dedupe this shape (verified in the plan: three scan+tokenize
+    // subtrees without it).
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // dl and df both DERIVE from tf (sum of per-term counts = token
-    // count), so the corpus is tokenized in exactly one aggregation pass
-    // — Catalyst reuses the (doc_id, term) exchange for all three frames
+      .localCheckpoint()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n_docs")).crossJoin(
