@@ -670,6 +670,27 @@ object LlmQueries {
           .orderBy(col("query_id"), col("rank"))
       }, None, Some(dir => s05Sql(dir))),
 
+    // The COMPOSED billion-scale layout, fully verified: IVF coarse cell
+    // join (trained centroids as plan literals) + PQ-ADC candidate
+    // scoring + exact re-rank. The oracle re-derives the whole pipeline
+    // in DuckDB from both captured matrices: cell assignment
+    // (2·v·c − ‖c‖², ties to the higher cell), the query's 4 probed
+    // cells, PQ code assignment per subspace, per-query ADC tables, the
+    // explicit left-to-right ADC sum, the top-32 candidate cut, and the
+    // exact-cosine final rank — so the layout that prunes BOTH the pair
+    // space and the bytes-per-pair is hash-checked, not just
+    // recall-tested.
+    "s06_ivf_pq" -> QuerySpec(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val cents = Similarity.fitIvfCentroids(e)
+        val books = Similarity.fitPqCodebooks(e)
+        s06CapturesByDir(dir) = (cents, books)
+        Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), k = 10,
+            cents, books, nProbe = 4, rerank = 32)
+          .orderBy(col("query_id"), col("rank"))
+      }, None, Some(dir => s06Sql(dir))),
+
     // -- multimodal --
     //
     // The m-oracles are GOLDEN parquet built by MultimodalGolden: a replay
@@ -822,6 +843,77 @@ object LlmQueries {
        |SELECT doc_id, rank, term, tf, df, score
        |FROM r WHERE rank <= ${TextAnalysis.Bm25.TopN}
        |ORDER BY doc_id, rank""".stripMargin
+  }
+
+  /** s06's oracle: the s04 cell machinery + the s05 PQ machinery composed
+    * — candidates are restricted to vectors whose (single) nearest cell
+    * is among the query's 4 probed cells, then ADC-scored and
+    * exact-re-ranked. Every tie-break mirrors the engine (cell DESC on
+    * score ties, codeword DESC, candidate cut by (adc DESC, id)).
+    */
+  private def s06Sql(dir: String): String = {
+    val (cents, books) = s06CapturesByDir.getOrElse(dir,
+      sys.error(s"s06 never ran for $dir — no captures"))
+    val m = books.length
+    val subLen = books.head.head.length
+    val centVals = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, ${sqlArr(c)}, ${c.map(x => x * x).sum}::DOUBLE)"
+    }.mkString(", ")
+    val bookVals = (for {
+      (cws, sub) <- books.zipWithIndex
+      (c, j) <- cws.zipWithIndex
+    } yield s"($sub, $j, ${sqlArr(c)}, ${c.map(x => x * x).sum}::DOUBLE)")
+      .mkString(", ")
+    val adcSum = (0 until m)
+      .map(i => s"max(CASE WHEN qt.sub = $i THEN qt.t END)")
+      .foldLeft("0.0::DOUBLE")((acc, t) => s"($acc + $t)")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cents(cell, c, c2) AS (VALUES $centVals),
+       |books(sub, cw, bc, bc2) AS (VALUES $bookVals),
+       |sc AS (SELECT vec_id, e, cell,
+       |    list_inner_product(e, c) * 2.0 - c2 AS s
+       |  FROM base CROSS JOIN cents),
+       |vcell AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY s DESC, cell DESC) AS rn FROM sc) WHERE rn = 1),
+       |qcell AS (SELECT vec_id AS query_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY s DESC, cell DESC) AS rn FROM sc WHERE vec_id < 5)
+       |  WHERE rn <= 4),
+       |codes AS (SELECT vec_id, sub, cw FROM (
+       |  SELECT b.vec_id, k.sub, k.cw, row_number() OVER (
+       |    PARTITION BY b.vec_id, k.sub ORDER BY
+       |      list_inner_product(
+       |        list_slice(b.e, k.sub * $subLen + 1, k.sub * $subLen + $subLen),
+       |        k.bc) * 2.0 - k.bc2 DESC, k.cw DESC) AS rn
+       |  FROM base b CROSS JOIN books k) WHERE rn = 1),
+       |qt AS (SELECT vec_id AS query_id, sub, cw,
+       |    list_inner_product(
+       |      list_slice(e, sub * $subLen + 1, sub * $subLen + $subLen),
+       |      bc) AS t
+       |  FROM base CROSS JOIN books WHERE vec_id < 5),
+       |pool AS (SELECT q.query_id, v.vec_id AS neighbor_id
+       |  FROM vcell v JOIN qcell q ON v.cell = q.cell
+       |    AND v.vec_id <> q.query_id),
+       |approx AS (SELECT p.query_id, p.neighbor_id, $adcSum AS s
+       |  FROM pool p
+       |  JOIN codes cd ON cd.vec_id = p.neighbor_id
+       |  JOIN qt ON qt.query_id = p.query_id AND qt.sub = cd.sub
+       |    AND qt.cw = cd.cw
+       |  GROUP BY p.query_id, p.neighbor_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+       |  FROM approx) WHERE rn <= 32),
+       |st AS (SELECT cd.query_id, cd.neighbor_id, $cosineCase AS c
+       |  FROM cand cd
+       |  JOIN base v ON v.vec_id = cd.neighbor_id
+       |  JOIN base q ON q.vec_id = cd.query_id),
+       |r AS (SELECT query_id, neighbor_id, c,
+       |  row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY c DESC, neighbor_id) AS rank FROM st)
+       |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
   private def mGoldenSql(name: String, cols: String,
@@ -992,6 +1084,8 @@ object LlmQueries {
     scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]()
   private val s05BooksByDir =
     scala.collection.concurrent.TrieMap[String, Array[Array[Array[Double]]]]()
+  private val s06CapturesByDir = scala.collection.concurrent.TrieMap[
+    String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
 
   // Scala Double.toString is shortest-roundtrip, so DuckDB parses back the
   // exact same IEEE value
