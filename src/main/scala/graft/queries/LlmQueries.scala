@@ -977,12 +977,18 @@ object LlmQueries {
     */
   private[queries] def lshCandSql(goldenName: String): String = {
     val base = MultimodalGolden.goldenBase(goldenName)
+    // band-key EQUI-join (not a pairwise EXISTS): same candidate set,
+    // but hash-joinable — the pairwise form is quadratic in DuckDB and
+    // does not finish at sf0.1's 5,000 docs
     s"""WITH sig AS (
-       |  SELECT doc_id, sig FROM read_parquet('$base/*.parquet'))
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |WHERE EXISTS (SELECT 1 FROM generate_series(0, 31) g(i)
-       |  WHERE a.sig[i*4+1 : i*4+4] = b.sig[i*4+1 : i*4+4])
+       |  SELECT doc_id, sig FROM read_parquet('$base/*.parquet')),
+       |bnd AS (
+       |  SELECT doc_id, i AS band,
+       |    array_to_string(list_slice(sig, i*4+1, i*4+4), ',') AS bkey
+       |  FROM sig, generate_series(0, 31) g(i) WHERE sig IS NOT NULL)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey
+       |  AND a.doc_id < b.doc_id
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -990,11 +996,14 @@ object LlmQueries {
     val base = MultimodalGolden.goldenBase(goldenName)
     s"""WITH sig AS (
        |  SELECT doc_id, sig FROM read_parquet('$base/*.parquet')),
+       |bnd AS (
+       |  SELECT doc_id, i AS band,
+       |    array_to_string(list_slice(sig, i*4+1, i*4+4), ',') AS bkey
+       |  FROM sig, generate_series(0, 31) g(i) WHERE sig IS NOT NULL),
        |cand AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |  WHERE EXISTS (SELECT 1 FROM generate_series(0, 31) g(i)
-       |    WHERE a.sig[i*4+1 : i*4+4] = b.sig[i*4+1 : i*4+4])),
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey
+       |    AND a.doc_id < b.doc_id),
        |t AS (
        |  SELECT doc_id,
        |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
@@ -1029,13 +1038,14 @@ object LlmQueries {
     val base = MultimodalGolden.goldenBase(l03GoldenName(dir))
     s"""WITH sig AS (
        |  SELECT doc_id, sig FROM read_parquet('$base/*.parquet')),
+       |bnd AS (
+       |  SELECT doc_id, sig, c AS chunk, (sig >> (c*16)) & 65535 AS ckey
+       |  FROM sig, generate_series(0, 3) g(c) WHERE sig IS NOT NULL),
        |cand AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    bit_count(xor(a.sig, b.sig)) AS h
-       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |  WHERE EXISTS (SELECT 1 FROM generate_series(0, 3) g(c)
-       |    WHERE ((a.sig >> (c*16)) & 65535) =
-       |          ((b.sig >> (c*16)) & 65535)))
+       |  FROM bnd a JOIN bnd b ON a.chunk = b.chunk AND a.ckey = b.ckey
+       |    AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b, h::INT AS hamming
        |FROM cand WHERE h <= 3 ORDER BY id_a, id_b""".stripMargin
   }
