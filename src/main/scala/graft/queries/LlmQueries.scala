@@ -682,9 +682,17 @@ object LlmQueries {
     // recall-tested.
     "s06_ivf_pq" -> QuerySpec(
       (s, dir) => {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
         val e = Tables(s, dir, "embeddings")
-        val cents = Similarity.fitIvfCentroids(e)
-        val books = Similarity.fitPqCodebooks(e)
+        // the two training stages are independent — run them as
+        // concurrent Spark actions (each is deterministic with its own
+        // seed, so concurrency cannot change the matrices)
+        val centsF = Future(Similarity.fitIvfCentroids(e))
+        val booksF = Future(Similarity.fitPqCodebooks(e))
+        val cents = Await.result(centsF, Duration.Inf)
+        val books = Await.result(booksF, Duration.Inf)
         s06CapturesByDir(dir) = (cents, books)
         Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), k = 10,
             cents, books, nProbe = 4, rerank = 32)
