@@ -284,35 +284,59 @@ object StreamingQueries {
 
     // The full streaming ARCHIVAL loop — the reference's one-shot
     // conversion projected onto its naturally-incremental input
-    // (SURVEY §7.5): account changesets arrive as a file-source stream in
-    // ~3 micro-batches (maxFilesPerTrigger), each batch decodes through
-    // the native expression and APPENDS to one .dat dataset via
-    // foreachBatch → StateFiles.append — per-batch part files plus the
-    // manifest-merge commit, so a crash between batches leaves a readable
-    // prefix archive. The readback (DSv2, .idx-pruned) must return every
-    // appended row; counts are checked against the independent chain
-    // simulation's changeset size.
+    // (SURVEY §7.5): BOTH changeset tables (accounts AND storage, the
+    // complete §3.1 input surface) arrive as file-source streams in
+    // several micro-batches (maxFilesPerTrigger), each batch decodes
+    // through the native expressions (account_decode / pad_value32),
+    // interleaves to tagged StateItems, and APPENDS to one .dat dataset
+    // via foreachBatch → StateFiles.append — per-batch part files plus
+    // the manifest-merge commit, so a crash between batches leaves a
+    // readable prefix archive. The readback (DSv2, .idx-pruned) must
+    // return every appended row; counts are checked against the
+    // independent chain simulation's combined changeset size.
     "st07_stream_archive" -> QuerySpec(
       (s, dir) => {
         import s.implicits._
         val n = PipelineQueries.nFor(dir)
         graft.pipeline.Fixtures.generate(s, n / 4, n)
-        val src = s"${graft.pipeline.Fixtures.cacheBase(n / 4, n)}" +
-          "/account_changeset"
+        val base = graft.pipeline.Fixtures.cacheBase(n / 4, n)
+        val src = s"$base/account_changeset"
+        val srcSto = s"$base/storage_changeset"
         val raw = s.read.parquet(src)
+        val rawSto = s.read.parquet(srcSto)
         val nFiles = new java.io.File(src).listFiles()
           .count(_.getName.endsWith(".parquet"))
         // temp archive + checkpoint, deleted after the counts materialize
         // (the p12 convention — repeated harness runs leave no garbage)
         val out = java.nio.file.Files
           .createTempDirectory("graft-stream-archive").toString
-        val stream = s.readStream.schema(raw.schema)
-          .option("pathGlobFilter", "*.parquet")
-          .option("maxFilesPerTrigger",
-            math.max(1, nFiles / 3).toString)
-          .parquet(src)
         val z32 = graft.model.StateItem.zeros(32)
-        val q = stream.writeStream
+        val perTrigger = math.max(1, nFiles / 3).toString
+        val accounts = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "*.parquet")
+          .option("maxFilesPerTrigger", perTrigger)
+          .parquet(src)
+          .withColumn("d", graft.functions.expressions.StateExpressions
+            .account_decode(col("account_blob")))
+          .select(col("address"), col("block"),
+            lit(false).as("isStorage"),
+            col("d.nonce").as("nonce"),
+            col("d.incarnation").as("incarnation"),
+            col("d.balance").as("balance"),
+            col("d.codeHash").as("codeHash"),
+            lit(z32).as("slot"), lit(z32).as("value"))
+        val storage = s.readStream.schema(rawSto.schema)
+          .option("pathGlobFilter", "*.parquet")
+          .option("maxFilesPerTrigger", perTrigger)
+          .parquet(srcSto)
+          .select(col("address"), col("block"),
+            lit(true).as("isStorage"),
+            lit(0L).as("nonce"), col("incarnation"),
+            lit(z32).as("balance"), lit(z32).as("codeHash"),
+            col("slot"),
+            graft.functions.expressions.StateExpressions
+              .pad_value32(col("value")).as("value"))
+        val q = accounts.unionByName(storage).writeStream
           .foreachBatch {
             (batch: org.apache.spark.sql.Dataset[
                org.apache.spark.sql.Row], batchId: Long) =>
@@ -323,17 +347,8 @@ object StreamingQueries {
               if (!graft.spark.StateFiles.lastStreamBatch(out)
                     .exists(_ >= batchId)) {
                 val items = batch
-                  .withColumn("d",
-                    graft.functions.expressions.StateExpressions
-                      .account_decode(col("account_blob")))
-                  .select(col("address"), col("block"),
-                    lit(false).as("isStorage"),
-                    col("d.nonce").as("nonce"),
-                    col("d.incarnation").as("incarnation"),
-                    col("d.balance").as("balance"),
-                    col("d.codeHash").as("codeHash"),
-                    lit(z32).as("slot"), lit(z32).as("value"))
-                  .sortWithinPartitions(col("address"), col("block"))
+                  .sortWithinPartitions(col("address"),
+                    col("isStorage"), col("block"))
                   .as[graft.model.StateItem]
                 graft.spark.StateFiles.append(items, out, strategy = 0,
                   streamBatchId = batchId)
@@ -345,7 +360,7 @@ object StreamingQueries {
           .start()
         q.awaitTermination()
         val readBack = graft.spark.StateFiles.read(s, out, 0).count()
-        val result = Seq((raw.count(), readBack))
+        val result = Seq((raw.count() + rawSto.count(), readBack))
           .toDF("rows_streamed", "rows_read")
         org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(out))
@@ -358,7 +373,7 @@ object StreamingQueries {
   private def st07Sql(dir: String): String = {
     val n = PipelineQueries.nFor(dir)
     val sim = graft.pipeline.Fixtures.simulate(n / 4, n)
-    val c = sim.accountChangeset.size
+    val c = sim.accountChangeset.size + sim.storageChangeset.size
     s"SELECT $c::BIGINT AS rows_streamed, $c::BIGINT AS rows_read"
   }
 
