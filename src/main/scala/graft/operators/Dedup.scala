@@ -165,6 +165,7 @@ object Dedup {
                             idCol: String = "doc_id",
                             textCol: String = "text"): Unit = {
     val spark = df.sparkSession
+    requireIdent(table)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     bandRows(df, numHashes, numBands, shingleK, idCol, textCol)
       // pre-shuffle into the bucket function's own partitioning
@@ -175,7 +176,25 @@ object Dedup {
       .repartition(numBuckets, col("band"), col("bhash"))
       .write.bucketBy(numBuckets, "band", "bhash").sortBy("band", "bhash")
       .option("path", path).mode("overwrite").saveAsTable(table)
+    // record the bucket spec WITH the data: re-attachment in a later JVM
+    // must register the spec the files were actually written with — a
+    // wrong count silently breaks the exchange-free join's correctness
+    // (rows hash to different buckets than the reader assumes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, bucketSpecFile),
+      s"""{"num_buckets":$numBuckets}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
+
+  private[graft] val bucketSpecFile = "_graft_buckets.json"
+
+  /** SQL-identifier guard for the DDL built below: interpolating an
+    * arbitrary string into CREATE TABLE is an injection/breakage hazard
+    * (quotes, dots, spaces), so only plain identifiers are accepted.
+    */
+  private def requireIdent(name: String): Unit =
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"'$name' is not a plain SQL identifier ([A-Za-z_][A-Za-z0-9_]*)")
 
   /** STREAMING candidate pairs — dedup-on-ingest. The same MinHash
     * banding as [[lshCandidates]], but bucket membership lives in
@@ -197,8 +216,11 @@ object Dedup {
     * cap-free oracle) therefore disagree by design; run EXACT dedup
     * first (the standing guidance — degenerate buckets are
     * boilerplate/empty text), after which no bucket approaches the cap.
-    * Pairs may repeat across bands; callers distinct() the
-    * (batch-viewed) sink, keeping the stream single-stateful.
+    * An oracle-verified caller that must match a cap-free batch oracle
+    * exactly passes `maxBucketSize = Int.MaxValue` (st06 does).
+    * Pairs may repeat across bands; [[streamingCandidatePairsDistinct]]
+    * adds the in-stream pair-dedup stage, or callers can distinct() a
+    * batch-viewed sink to keep the stream single-stateful.
     */
   def streamingCandidatePairs(docs: DataFrame, numHashes: Int = 128,
       numBands: Int = 32, shingleK: Int = 3, maxBucketSize: Int = 1000,
@@ -237,21 +259,81 @@ object Dedup {
       }
   }
 
+  /** [[streamingCandidatePairs]] with an IN-STREAM pair-dedup stage: a
+    * second Append-mode keyed state (Spark permits chaining
+    * flatMapGroupsWithState stages when every stage and the query are
+    * Append) keyed by the pair itself, emitting each (id_a, id_b) the
+    * first time any band produces it and dropping repeats — across bands
+    * AND across micro-batches. The stream's output is pair-unique with
+    * no batch post-processing. State cost is one empty-valued key per
+    * DISTINCT emitted pair — the same cardinality a downstream consumer
+    * must hold anyway, and orders of magnitude below the corpus (pairs
+    * are near-dup candidates, not documents).
+    */
+  def streamingCandidatePairsDistinct(docs: DataFrame, numHashes: Int = 128,
+      numBands: Int = 32, shingleK: Int = 3, maxBucketSize: Int = 1000,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Dataset[(Long, Long)] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    streamingCandidatePairs(docs, numHashes, numBands, shingleK,
+        maxBucketSize, idCol, textCol)
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Boolean, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (pair, _, state) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(pair) }
+      }
+  }
+
   /** Re-attach an existing on-disk signature store (written by
     * [[materializeSignatures]] in a previous session) to this session's
     * catalog: table registrations die with the JVM but the bucketed
     * parquet does not, and re-registering is a DDL no-op against
     * re-running the whole corpus scan. The bucket spec in the DDL is what
-    * keeps [[storedCandidates]] exchange-free on the re-attached store.
+    * keeps [[storedCandidates]] exchange-free on the re-attached store —
+    * and it must match what the files were WRITTEN with, or the
+    * exchange-free join silently reads wrong buckets: the count is read
+    * from the store's own spec sidecar, and a caller-passed `numBuckets`
+    * is verified against it rather than trusted. The table name is
+    * identifier-checked and the path quote-escaped before either reaches
+    * the DDL.
+    *
+    * @param numBuckets optional cross-check; -1 (default) = use the
+    *                   store's recorded spec. Required for stores
+    *                   predating the spec sidecar.
     */
   def registerSignatureStore(spark: SparkSession, table: String,
-                             path: String, numBuckets: Int = 32): Unit =
+                             path: String, numBuckets: Int = -1): Unit = {
+    requireIdent(table)
+    val recorded: Option[Int] =
+      try {
+        val p = java.nio.file.Paths.get(path, bucketSpecFile)
+        if (java.nio.file.Files.exists(p))
+          """"num_buckets":(\d+)""".r.findFirstMatchIn(
+            new String(java.nio.file.Files.readAllBytes(p),
+              java.nio.charset.StandardCharsets.UTF_8))
+            .map(_.group(1).toInt)
+        else None
+      } catch { case _: java.io.IOException => None }
+    require(recorded.nonEmpty || numBuckets > 0,
+      s"$path has no $bucketSpecFile and no explicit numBuckets was " +
+        "passed — cannot re-attach without knowing the written bucket " +
+        "count")
+    require(numBuckets <= 0 || recorded.forall(_ == numBuckets),
+      s"caller says $numBuckets buckets but $path was written with " +
+        s"${recorded.get} — re-attaching with a wrong bucket spec would " +
+        "silently produce wrong exchange-free join results")
+    val n = recorded.getOrElse(numBuckets)
+    val safePath = path.replace("'", "''")
     spark.sql(
       s"""CREATE TABLE $table (id BIGINT, band INT, bhash BIGINT)
          |USING PARQUET
          |CLUSTERED BY (band, bhash) SORTED BY (band, bhash)
-         |INTO $numBuckets BUCKETS
-         |LOCATION '$path'""".stripMargin)
+         |INTO $n BUCKETS
+         |LOCATION '$safePath'""".stripMargin)
+  }
 
   /** Candidate pairs from a [[materializeSignatures]] table: both join
     * inputs read co-located buckets of (band, bhash), so the self-join

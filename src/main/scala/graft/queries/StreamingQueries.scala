@@ -190,12 +190,16 @@ object StreamingQueries {
     // (flatMapGroupsWithState) — each arriving document immediately
     // pairs with every earlier member of its 32 band buckets, with the
     // signature computed ONCE on arrival by the stateless codegen kernel
-    // and only (id, band, bhash) rows reaching the state store. The
-    // oracle re-derives the same candidate set in DuckDB by direct
-    // signature-slice equality over the l02 golden (what the engine's
-    // per-band bucket-hash equality encodes). Cross-band duplicate pairs
-    // are distinct()ed on the batch-viewed sink so the stream itself
-    // stays single-stateful.
+    // and only (id, band, bhash) rows reaching the state store. A SECOND
+    // Append-mode keyed state (pair-keyed) drops cross-band duplicate
+    // pairs INSIDE the stream, so the sink is pair-unique with no batch
+    // post-processing. The oracle re-derives the same candidate set in
+    // DuckDB by direct signature-slice equality over the l02 golden
+    // (what the engine's per-band bucket-hash equality encodes); the
+    // oracle is CAP-FREE, so the stream runs uncapped too
+    // (maxBucketSize = Int.MaxValue) — a >cap degenerate bucket would
+    // otherwise make the two sides disagree by design. Production
+    // callers keep the default 1000 cap.
     "st06_stream_neardup" -> QuerySpec(
       (s, dir) => withStateSizing(s) {
         LlmQueries.ensureMinhashGolden(s, dir)
@@ -203,15 +207,16 @@ object StreamingQueries {
         val stream = s.readStream.schema(raw.schema)
           .option("pathGlobFilter", "documents.parquet")
           .parquet(dir)
-        val q = graft.operators.Dedup.streamingCandidatePairs(stream)
+        val q = graft.operators.Dedup
+          .streamingCandidatePairsDistinct(stream,
+            maxBucketSize = Int.MaxValue)
           .toDF("id_a", "id_b")
           .writeStream.format("memory").queryName("st06_sink")
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.table("st06_sink").distinct()
-          .orderBy(col("id_a"), col("id_b"))
+        s.table("st06_sink").orderBy(col("id_a"), col("id_b"))
       }, None,
       Some(dir => LlmQueries.lshCandSql(LlmQueries.l02GoldenName(dir)))),
 
@@ -310,6 +315,11 @@ object StreamingQueries {
         // (the p12 convention — repeated harness runs leave no garbage)
         val out = java.nio.file.Files
           .createTempDirectory("graft-stream-archive").toString
+        // writer identity, persisted in the checkpoint: the replay-skip
+        // below is only valid for THIS linear stream — a different
+        // checkpoint (or a reset one restarting at batch 0) fails the
+        // manifest ownership check loudly instead of dropping batches
+        val sid = graft.spark.StateFiles.streamIdentity(out + "-ckpt")
         val z32 = graft.model.StateItem.zeros(32)
         val perTrigger = math.max(1, nFiles / 3).toString
         val accounts = s.readStream.schema(raw.schema)
@@ -344,14 +354,14 @@ object StreamingQueries {
               // the manifest (crash between manifest commit and
               // checkpoint commit) must not append twice — the batch id
               // travels IN the manifest, atomically with the data
-              if (!graft.spark.StateFiles.lastStreamBatch(out)
+              if (!graft.spark.StateFiles.lastStreamBatch(out, sid)
                     .exists(_ >= batchId)) {
                 val items = batch
                   .sortWithinPartitions(col("address"),
                     col("isStorage"), col("block"))
                   .as[graft.model.StateItem]
                 graft.spark.StateFiles.append(items, out, strategy = 0,
-                  streamBatchId = batchId)
+                  streamBatchId = batchId, streamId = sid)
               }
               ()
           }

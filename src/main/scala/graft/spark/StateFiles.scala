@@ -79,7 +79,7 @@ object StateFiles {
     */
   def append(items: Dataset[StateItem], dir: String, strategy: Int,
              blockStart: Long = 0L, blockEnd: Long = 0L,
-             streamBatchId: Long = -1L): Unit = {
+             streamBatchId: Long = -1L, streamId: String = ""): Unit = {
     val partBase = nextPartBase(dir)
     // a dataset with part files but NO manifest is a torn write — its
     // strategy and committed contents are unknowable; refuse rather than
@@ -90,15 +90,71 @@ object StateFiles {
     manifestField(dir, "strategy").foreach(s0 =>
       require(s0 == strategy.toLong,
         s"append strategy $strategy != dataset strategy $s0"))
+    // a streaming append must carry its writer identity: the batch id is
+    // only monotone WITHIN one linear stream, so an id without an owner
+    // cannot support the replay-skip contract
+    require(streamBatchId < 0L || streamId.nonEmpty,
+      "streaming append (streamBatchId >= 0) requires a streamId — " +
+        "use StateFiles.streamIdentity(checkpointDir)")
+    // ownership check BEFORE any part file is written (commitManifest
+    // re-checks as a backstop, but by then orphans would exist)
+    if (streamId.nonEmpty)
+      manifestStringField(dir, "stream_id").foreach(owner =>
+        require(owner == streamId,
+          s"dataset $dir is stream-owned by $owner; " +
+            s"refusing append from stream $streamId"))
     writeCore(items, dir, strategy, blockStart, blockEnd, partBase,
-      mergeManifest = true, streamBatchId = streamBatchId)
+      mergeManifest = true, streamBatchId = streamBatchId,
+      streamId = streamId)
   }
 
-  /** Highest `streamBatchId` ever committed to `dir`'s manifest, if the
-    * dataset was written by a streaming appender — the replay-skip seam.
+  /** Highest `streamBatchId` committed to `dir`'s manifest by the stream
+    * identified by `streamId` — the replay-skip seam. The batch id is
+    * only meaningful within ONE linear stream: if the manifest's recorded
+    * `stream_id` differs (the dataset is being appended by a second
+    * streaming query, or the original checkpoint was reset so batch ids
+    * restarted at 0), a `>= batchId` skip would silently drop data — so
+    * an ownership mismatch FAILS LOUDLY instead of answering.
     */
-  def lastStreamBatch(dir: String): Option[Long] =
-    manifestField(dir, "stream_batch").filter(_ >= 0L)
+  def lastStreamBatch(dir: String, streamId: String): Option[Long] = {
+    val batch = manifestField(dir, "stream_batch").filter(_ >= 0L)
+    batch.foreach { _ =>
+      val owner = manifestStringField(dir, "stream_id")
+      require(owner.contains(streamId),
+        s"dataset $dir was stream-appended by " +
+          s"${owner.fold("an unidentified stream")(o => s"stream $o")}, " +
+          s"not $streamId — batch ids are not comparable across streams " +
+          "(second query, or a reset checkpoint restarting at batch 0); " +
+          "refusing the replay-skip check rather than losing data")
+    }
+    batch
+  }
+
+  /** Stable identity of one linear streaming writer, persisted IN its
+    * checkpoint directory (write-once `graft-stream-id` file): a restart
+    * from the same checkpoint reads the same id — batch ids continue one
+    * monotone sequence, so the replay-skip applies — while a RESET or
+    * different checkpoint mints a fresh id, which [[lastStreamBatch]]
+    * then rejects against the manifest instead of silently dropping the
+    * restarted batches.
+    */
+  def streamIdentity(checkpointDir: String): String = {
+    val p = Paths.get(checkpointDir, "graft-stream-id")
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    if (Files.exists(p)) new String(Files.readAllBytes(p), utf8).trim
+    else {
+      Files.createDirectories(p.getParent)
+      val id = java.util.UUID.randomUUID().toString
+      try {
+        Files.write(p, id.getBytes(utf8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        id
+      } catch { // lost a creation race: the winner's id is the identity
+        case _: java.nio.file.FileAlreadyExistsException =>
+          new String(Files.readAllBytes(p), utf8).trim
+      }
+    }
+  }
 
   private def manifestText(dir: String): Option[String] = {
     val p = Paths.get(dir, "_manifest.json")
@@ -111,6 +167,12 @@ object StateFiles {
     manifestText(dir).flatMap(s =>
       s"""\"$name\":(-?\\d+)""".r.findFirstMatchIn(s)
         .map(_.group(1).toLong))
+
+  private[spark] def manifestStringField(dir: String,
+                                         name: String): Option[String] =
+    manifestText(dir).flatMap(s =>
+      s"""\"$name\":\"([^\"]*)\"""".r.findFirstMatchIn(s)
+        .map(_.group(1)))
 
   /** The committed file snapshot, if the dataset has a manifest with one.
     * Readers use it to ignore orphan files from failed appends.
@@ -235,7 +297,8 @@ object StateFiles {
                                     blockStart: Long, blockEnd: Long,
                                     mergeManifest: Boolean,
                                     parts: Seq[(Int, Long, Long, Long)],
-                                    streamBatchId: Long = -1L): Unit = {
+                                    streamBatchId: Long = -1L,
+                                    streamId: String = ""): Unit = {
     def prev(name: String): Long =
       if (mergeManifest) manifestField(dir, name).getOrElse(0L) else 0L
     val accounts = parts.map(_._3).sum + prev("accounts")
@@ -260,11 +323,23 @@ object StateFiles {
       allNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     // streaming appenders carry their batch id forward (monotone max) so
     // a replayed micro-batch is detectable; batch writers omit the field,
-    // keeping pre-existing manifests byte-identical in shape
+    // keeping pre-existing manifests byte-identical in shape. The WRITER
+    // IDENTITY travels with the batch id: a second stream (or a reset
+    // checkpoint) must not silently adopt another stream's id sequence.
+    val prevSid =
+      if (mergeManifest) manifestStringField(dir, "stream_id") else None
+    require(streamId.isEmpty || prevSid.forall(_ == streamId),
+      s"dataset $dir is stream-owned by ${prevSid.getOrElse("?")}; " +
+        s"refusing append from stream $streamId")
     val sb = math.max(streamBatchId,
       if (mergeManifest) manifestField(dir, "stream_batch").getOrElse(-1L)
       else -1L)
-    val sbJson = if (sb >= 0) s""""stream_batch":$sb,""" else ""
+    val sidOut = if (streamId.nonEmpty) Some(streamId) else prevSid
+    val sbJson =
+      if (sb >= 0)
+        s""""stream_batch":$sb,""" +
+          sidOut.fold("")(id => s""""stream_id":"$id",""")
+      else ""
     val manifest =
       s"""{"format":"graft-dat","strategy":$strategy,""" +
         s""""page_shift":$PageShift,"block_start":$bStart,""" +
@@ -297,7 +372,8 @@ object StateFiles {
   private def writeCore(items: Dataset[StateItem], dir: String,
                         strategy: Int, blockStart: Long, blockEnd: Long,
                         partBase: Int, mergeManifest: Boolean,
-                        streamBatchId: Long): Unit = {
+                        streamBatchId: Long,
+                        streamId: String = ""): Unit = {
     val spark = items.sparkSession
     import spark.implicits._
     Files.createDirectories(Paths.get(dir))
@@ -314,7 +390,7 @@ object StateFiles {
       }
     }.collect()
     commitManifest(dir, strategy, blockStart, blockEnd, mergeManifest,
-      rows.toSeq, streamBatchId)
+      rows.toSeq, streamBatchId, streamId)
   }
 
   /** Page-parallel read, delegated to the DataSource V2

@@ -131,8 +131,19 @@ class OperatorSpec extends AnyFunSuite {
       // and RE-ATTACHING via DDL; candidates and the exchange-free plan
       // shape must survive the round trip
       spark.sql("DROP TABLE sig_store_t")
-      Dedup.registerSignatureStore(spark, "sig_store_t", s"$tmp/t",
-        numBuckets = 4)
+      // a bucket spec that disagrees with what the files were written
+      // with must be rejected (it would silently mis-join), as must a
+      // non-identifier table name (DDL injection)
+      intercept[IllegalArgumentException] {
+        Dedup.registerSignatureStore(spark, "sig_store_t", s"$tmp/t",
+          numBuckets = 8)
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.registerSignatureStore(spark, "bad name; DROP TABLE x",
+          s"$tmp/t")
+      }
+      // no numBuckets passed: the store's recorded spec is used
+      Dedup.registerSignatureStore(spark, "sig_store_t", s"$tmp/t")
       val cand2 = Dedup.storedCandidates(spark, "sig_store_t")
       cand2.count()
       val plan2 = cand2.queryExecution.executedPlan.toString

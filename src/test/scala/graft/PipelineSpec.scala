@@ -594,21 +594,46 @@ class PipelineSpec extends AnyFunSuite {
     val items = StateFormat.asItems(
       history.withColumnRenamed("valid_from_block", "block"))
     val dir = Files.createTempDirectory("graft-replay").toString
-    graft.spark.StateFiles.append(items, dir, 0, streamBatchId = 0L)
+    val ckpt = Files.createTempDirectory("graft-replay-ckpt").toString
+    val sid = graft.spark.StateFiles.streamIdentity(ckpt)
+    // identity is persisted: a restart from the same checkpoint reads
+    // the same id
+    assert(graft.spark.StateFiles.streamIdentity(ckpt) == sid)
+    graft.spark.StateFiles.append(items, dir, 0, streamBatchId = 0L,
+      streamId = sid)
     val c1 = graft.spark.StateFiles.read(spark, dir, 0).count()
-    assert(graft.spark.StateFiles.lastStreamBatch(dir).contains(0L))
+    assert(graft.spark.StateFiles.lastStreamBatch(dir, sid).contains(0L))
     // replayed batch 0 — the entry's guard condition must skip it
-    if (!graft.spark.StateFiles.lastStreamBatch(dir).exists(_ >= 0L))
-      graft.spark.StateFiles.append(items, dir, 0, streamBatchId = 0L)
+    if (!graft.spark.StateFiles.lastStreamBatch(dir, sid).exists(_ >= 0L))
+      graft.spark.StateFiles.append(items, dir, 0, streamBatchId = 0L,
+        streamId = sid)
     assert(graft.spark.StateFiles.read(spark, dir, 0).count() == c1)
     // the NEXT batch appends and advances the recorded id
-    graft.spark.StateFiles.append(items, dir, 0, streamBatchId = 1L)
-    assert(graft.spark.StateFiles.lastStreamBatch(dir).contains(1L))
+    graft.spark.StateFiles.append(items, dir, 0, streamBatchId = 1L,
+      streamId = sid)
+    assert(graft.spark.StateFiles.lastStreamBatch(dir, sid).contains(1L))
     assert(graft.spark.StateFiles.read(spark, dir, 0).count() == 2 * c1)
+    // a DIFFERENT stream (second query, or a reset checkpoint restarting
+    // at batch 0) must not silently compare batch ids against this
+    // dataset: the ownership check fails loudly on both read and append
+    val sid2 = graft.spark.StateFiles.streamIdentity(
+      Files.createTempDirectory("graft-replay-ckpt2").toString)
+    assert(sid2 != sid)
+    intercept[IllegalArgumentException] {
+      graft.spark.StateFiles.lastStreamBatch(dir, sid2)
+    }
+    intercept[IllegalArgumentException] {
+      graft.spark.StateFiles.append(items, dir, 0, streamBatchId = 0L,
+        streamId = sid2)
+    }
+    // a streaming append without an identity is rejected outright
+    intercept[IllegalArgumentException] {
+      graft.spark.StateFiles.append(items, dir, 0, streamBatchId = 2L)
+    }
     // plain batch writes never record a batch id
     val dir2 = Files.createTempDirectory("graft-replay2").toString
     graft.spark.StateFiles.write(items, dir2, 0)
-    assert(graft.spark.StateFiles.lastStreamBatch(dir2).isEmpty)
+    assert(graft.spark.StateFiles.lastStreamBatch(dir2, sid).isEmpty)
   }
 
   test("sidecar metadata stays a bounded fraction of data at 10x scale") {
@@ -822,5 +847,24 @@ class PipelineSpec extends AnyFunSuite {
     // entry@9 (pre: nonce 1)    -> valid_from 5, nonce 1
     // plainstate@11 (nonce 2)   -> valid_from 9, nonce 2
     assert(rows.toSeq == Seq((0L, 0L), (5L, 1L), (9L, 2L)))
+  }
+
+  test("p13 scale bounds: 10x blocks stays sub-quadratic with flat driver heap") {
+    // The p13 registry entry oracle-hashes only the sim-exact row counts;
+    // the environment-dependent ratio/heap BOUNDS live here, where a GC
+    // pause or noisy co-tenant can be absorbed by a retry instead of
+    // failing the correctness artifact (ADVICE r6). Three attempts: a
+    // genuine quadratic stage fails all of them (ratio would sit ~100x,
+    // nowhere near the 35x line).
+    // LazyList: memoized + lazy, so .exists stops at the first passing
+    // attempt and .head below reuses attempt 1 instead of re-running
+    val attempts = LazyList.continually(
+      graft.queries.PipelineQueries.measureScaleStress(spark, "spec"))
+      .take(3)
+    assert(attempts.exists(m => m.subquadratic && m.driverHeapFlat),
+      "ratio >= 35x or driver heap grew >= 512MB on all 3 attempts")
+    // counts are deterministic regardless of timing
+    val first = attempts.head
+    assert(first.rows1 > 0 && first.rows10 > first.rows1)
   }
 }
