@@ -571,6 +571,25 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("rank")),
       Some(bm25Sql)),
 
+    // Measured scale stress for the LSH candidate-generation path (the
+    // p13 pattern applied to the LLM side): full MinHash banding +
+    // bucket self-join over a 1x and a 10x-document planted corpus IN
+    // THE SAME INVOCATION. The ORACLE-HASHED output carries only the
+    // design-exact counts (corpus sizes and planted-pair counts — a
+    // wrong-at-scale candidate join fails the hash); the measured
+    // wall-clock ratio and driver-heap delta print as a parseable [l21]
+    // stderr line, with the sub-quadratic / flat-heap BOUNDS enforced by
+    // OperatorSpec's retrying check (the ADVICE r6 split: environment-
+    // dependent measurements never ride the correctness hash).
+    "l21_lsh_scale_stress" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val n = l21NFor(dir)
+        val m = measureLshScaleStress(s, dir)
+        Seq((n.toLong, n * 10L, m.rows1, m.rows10))
+          .toDF("docs_1x", "docs_10x", "pairs_1x", "pairs_10x")
+      }, None, Some(dir => l21Sql(dir))),
+
     // Deterministic per-source sample: 20 docs per source under
     // content-hash order — the reproducible corpus-curation primitive
     // (random sampling could never be oracled).
@@ -978,6 +997,97 @@ object LlmQueries {
                else java.lang.Long.valueOf(
                  graft.operators.TextGolden.simhashSig(t))) }
         .toDF("doc_id", "sig"))
+  }
+
+  // ---- l21: measured LSH scale stress ----
+
+  private[queries] def l21NFor(dir: String): Int =
+    if (dir.contains("sf0.1")) 1500 else 150
+
+  /** Deterministic planted corpus for the measured scale run, cached as
+    * parquet under a stable path (generation is harness cost, outside
+    * every timed/heap-probed region — the p13/warmFixtures convention).
+    * Ids [0, 2f) form f exact-duplicate pairs (ids 2i and 2i+1 share a
+    * text built from family-unique tokens); the rest are singletons with
+    * globally-unique tokens. Identical text ⇒ identical signature ⇒ all
+    * 32 bands collide, so the planted pairs are emitted with certainty,
+    * while disjoint token sets across all other documents make an
+    * accidental band collision require equal 4-minhash slices over
+    * disjoint shingle universes — cryptographically negligible, and
+    * deterministic either way (seedless construction; a collision would
+    * have failed the very first verify). Expected candidates = exactly
+    * the f planted pairs, computable in O(1) without replaying MinHash.
+    */
+  private def l21CorpusPath(s: org.apache.spark.sql.SparkSession,
+                            n: Int): String = {
+    val base = new java.io.File(s"target/l21corpus/$n").getAbsolutePath
+    val ok = java.nio.file.Paths.get(base, "_OK")
+    if (!java.nio.file.Files.exists(ok)) {
+      import s.implicits._
+      val f = n / 10
+      (0 until n).map { id =>
+        val text =
+          if (id < 2 * f)
+            (0 until 40).map(j => s"fam${id / 2}w$j").mkString(" ")
+          else (0 until 40).map(j => s"doc${id}w$j").mkString(" ")
+        (id.toLong, text)
+      }.toDF("doc_id", "text")
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$base/docs")
+      java.nio.file.Files.write(ok, Array.emptyByteArray)
+    }
+    s"$base/docs"
+  }
+
+  /** One measured 1x-vs-10x run of LSH candidate generation
+    * ([[Dedup.lshCandidates]] — signatures, banding, capped bucket
+    * self-join, pair distinct). Shared by the l21 registry entry (counts
+    * → oracle hash) and OperatorSpec's retrying bound check (ratio/heap
+    * → assertion). Timing takes the MIN of two counts on one frame —
+    * the second reuses shuffle outputs, stripping first-run scheduling
+    * noise (the p13 convention). The 1x run goes first so codegen/scan
+    * warmup can only shrink the ratio.
+    */
+  def measureLshScaleStress(s: org.apache.spark.sql.SparkSession,
+      dir: String): PipelineQueries.ScaleRun = {
+    val n = l21NFor(dir)
+    val p1 = l21CorpusPath(s, n)
+    val p10 = l21CorpusPath(s, n * 10)
+    def timedRun(path: String): (Long, Double) = {
+      val cand = Dedup.lshCandidates(s.read.parquet(path))
+      def once(): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val c = cand.count()
+        (c, (System.nanoTime() - t0) / 1e9)
+      }
+      val (rows, tA) = once()
+      val (_, tB) = once()
+      (rows, math.min(tA, tB))
+    }
+    def usedMb(): Long = {
+      val rt = Runtime.getRuntime
+      System.gc(); System.gc()
+      (rt.totalMemory() - rt.freeMemory()) / (1024L * 1024L)
+    }
+    val (rows1, t1) = timedRun(p1)
+    val heap0 = usedMb()
+    val (rows10, t10) = timedRun(p10)
+    val heap1 = usedMb()
+    val ratio = t10 / math.max(t1, 0.05)
+    val run = PipelineQueries.ScaleRun(rows1, rows10, t1, t10, ratio,
+      heap1 - heap0)
+    val tag = if (run.subquadratic && run.driverHeapFlat) "" else
+      "SCALE REGRESSION: "
+    System.err.println(
+      f"[l21] $tag%st1=$t1%.3fs t10=$t10%.3fs ratio=$ratio%.1f " +
+        f"heapDelta=${run.heapDeltaMb}%dMB")
+    run
+  }
+
+  private def l21Sql(dir: String): String = {
+    val n = l21NFor(dir)
+    s"""SELECT $n::BIGINT AS docs_1x, ${n * 10}::BIGINT AS docs_10x,
+       |  ${n / 10}::BIGINT AS pairs_1x, $n::BIGINT AS pairs_10x""".stripMargin
   }
 
   /** l02/l14's oracle from the minhash golden: DuckDB re-derives LSH

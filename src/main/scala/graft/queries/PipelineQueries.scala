@@ -151,7 +151,7 @@ object PipelineQueries {
       sim.storageOracle.map(o => (o.addressHex, o.slotHex)).distinct.size
   }
 
-  private def histCount(dir: String): Long = {
+  private[queries] def histCount(dir: String): Long = {
     val n = nFor(dir)
     histCountFor(n / 4, n)
   }
@@ -330,8 +330,8 @@ object PipelineQueries {
   private val histCache = scala.collection.mutable.Map[String,
     (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()
 
-  private def history(s: org.apache.spark.sql.SparkSession,
-                      dir: String): org.apache.spark.sql.DataFrame =
+  private[queries] def history(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame =
     synchronized {
       histCache.get(dir) match {
         case Some((owner, df)) if owner eq s => df

@@ -378,7 +378,68 @@ object StreamingQueries {
           .deleteDirectory(new java.io.File(out + "-ckpt"))
         result
       }, None, Some(dir => st07Sql(dir))),
+
+    // The READ side of the §7.5 loop, closing it: a .dat archive is
+    // TAILED incrementally by the DSv2 MicroBatchStream — new-file
+    // discovery over the manifest's committed file_list (offsets are
+    // list prefixes pinned by name + dataset generation), splits reuse
+    // the batch scan's .idx machinery, maxFilesPerTrigger=1 forces real
+    // multi-micro-batch admission control. Two drains: run 1 reads
+    // increment 1; an append lands; run 2 RESUMES from the checkpoint
+    // and reads only increment 2. Counts are checked against the
+    // independent chain simulation (each increment is the full-history
+    // item set) and against the batch DSv2 read of the final dataset.
+    // foreachBatch sink: only fault-tolerant sinks may recover from a
+    // checkpoint, and the resumed second drain is exactly a recovery.
+    "st08_archive_tail" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val h = PipelineQueries.history(s, dir)
+        val items = graft.spark.StateFormat.asItems(
+          h.withColumnRenamed("valid_from_block", "block"))
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-archive-tail").toString
+        val ckpt = out + "-ckpt"
+        val got = new java.util.concurrent.atomic.AtomicLong
+        def drain(): Long = {
+          got.set(0L)
+          val q = s.readStream
+            .format("graft.spark.datasource.DatDataSource")
+            .option("strategy", "0").option("maxFilesPerTrigger", "1")
+            .load(out)
+            .writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               _: Long) => got.addAndGet(b.count()); ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          got.get()
+        }
+        graft.spark.StateFiles.append(items, out, 0)
+        val run1 = drain()
+        graft.spark.StateFiles.append(items, out, 0)
+        val run2 = drain()
+        val batchTotal = s.read
+          .format("graft.spark.datasource.DatDataSource")
+          .option("strategy", "0").load(out).count()
+        val result = Seq((run1, run2, batchTotal))
+          .toDF("rows_run1", "rows_run2", "rows_batch")
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(out))
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(ckpt))
+        result
+      }, None, Some(dir => st08Sql(dir))),
   )
+
+  private def st08Sql(dir: String): String = {
+    val h = PipelineQueries.histCount(dir)
+    s"""SELECT $h::BIGINT AS rows_run1, $h::BIGINT AS rows_run2,
+       |  ${2 * h}::BIGINT AS rows_batch""".stripMargin
+  }
 
   private def st07Sql(dir: String): String = {
     val n = PipelineQueries.nFor(dir)

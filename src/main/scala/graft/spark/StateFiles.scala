@@ -321,6 +321,15 @@ object StateFiles {
        else Seq.empty) ++ newNames
     val fileListJson =
       allNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // dataset GENERATION id: minted at the snapshot's first write,
+    // preserved by every append, REPLACED by an overwrite — the streaming
+    // source pins it in its offsets, so a stream whose consumed prefix
+    // was invalidated by an overwrite fails loudly even when the new
+    // snapshot reuses the same part names (the function sink numbers
+    // from 0 again; names alone cannot distinguish the generations)
+    val datasetId =
+      (if (mergeManifest) manifestStringField(dir, "dataset_id") else None)
+        .getOrElse(java.util.UUID.randomUUID().toString)
     // streaming appenders carry their batch id forward (monotone max) so
     // a replayed micro-batch is detectable; batch writers omit the field,
     // keeping pre-existing manifests byte-identical in shape. The WRITER
@@ -342,7 +351,8 @@ object StateFiles {
       else ""
     val manifest =
       s"""{"format":"graft-dat","strategy":$strategy,""" +
-        s""""page_shift":$PageShift,"block_start":$bStart,""" +
+        s""""dataset_id":"$datasetId","page_shift":$PageShift,""" +
+        s""""block_start":$bStart,""" +
         s""""block_end":$bEnd,"files":$files,$sbJson""" +
         s""""accounts":$accounts,"storage_slots":$slots,""" +
         s""""bytes":$bytes,"file_list":$fileListJson}"""

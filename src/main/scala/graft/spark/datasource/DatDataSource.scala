@@ -50,9 +50,11 @@ class DatTable(path: String, strategy: Int, pagesPerSplit: Int)
   override def schema(): StructType = DatDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DatScanBuilder(path, strategy, pagesPerSplit)
+    new DatScanBuilder(path, strategy, pagesPerSplit,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -61,7 +63,8 @@ class DatTable(path: String, strategy: Int, pagesPerSplit: Int)
       Option(info.options.get("blockEnd")).map(_.toLong).getOrElse(0L))
 }
 
-class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int)
+class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int,
+                     maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with Scan with Batch
     with SupportsPushDownFilters {
 
@@ -101,9 +104,6 @@ class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int)
   override def readSchema(): StructType = DatDataSource.schema
   override def toBatch: Batch = this
 
-  private def cmp(a: Array[Byte], b: Array[Byte]): Int =
-    java.util.Arrays.compareUnsigned(a, b)
-
   override def planInputPartitions(): Array[InputPartition] = {
     val pageSize = 1 << 12
     // the manifest's file_list is the COMMITTED snapshot: when present,
@@ -127,40 +127,227 @@ class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int)
     val out = Seq.newBuilder[InputPartition]
     while (files.hasNext) {
       val f = files.next()
-      if (f.toString.endsWith(".dat")) {
-        val size = Files.size(f)
-        val ent = DatSidecarCache.validated(f, size, pagesPerSplit)
-        val nPages = ent.nPages
-        val sb = ent.splits
-        var p = 0
-        var s = 0
-        while (p < nPages) {
-          val pages = math.min(pagesPerSplit, nPages - p)
-          val keep = sb == null || {
-            val b = sb(s)
-            val keepAddr = addressBounds match {
-              case None => true
-              case Some((lo, hi)) =>
-                (hi == null || cmp(b.minAddr, hi) <= 0) &&
-                  (lo == null || cmp(b.maxAddr, lo) >= 0)
-            }
-            keepAddr && blockLo.forall(_ <= b.maxBlock) &&
-              blockHi.forall(_ >= b.minBlock)
-          }
-          if (keep)
-            out += DatInputPartition(f.toString,
-              math.max(Header.Size.toLong, p.toLong * pageSize),
-              math.min((p + pages).toLong * pageSize, size))
-          p += pages
-          s += 1
-        }
-      }
+      if (f.toString.endsWith(".dat"))
+        out ++= DatSplitPlanner.splitsForFile(f, pagesPerSplit,
+          addressBounds, blockLo, blockHi)
     }
     out.result().toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DatReaderFactory(strategy)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new DatMicroBatchStream(path, strategy, pagesPerSplit,
+      maxFilesPerTrigger)
+}
+
+/** Shared per-file split planning (batch scan + micro-batch stream): one
+  * `InputPartition` per `pagesPerSplit`-page run, pruned by the `.idx`
+  * sidecar's per-split bounds when filters are present.
+  */
+private[datasource] object DatSplitPlanner {
+  private def cmp(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
+
+  def splitsForFile(f: java.nio.file.Path, pagesPerSplit: Int,
+      addressBounds: Option[(Array[Byte], Array[Byte])] = None,
+      blockLo: Option[Long] = None,
+      blockHi: Option[Long] = None): Seq[InputPartition] = {
+    val pageSize = 1 << 12
+    val size = Files.size(f)
+    val ent = DatSidecarCache.validated(f, size, pagesPerSplit)
+    val nPages = ent.nPages
+    val sb = ent.splits
+    val out = Seq.newBuilder[InputPartition]
+    var p = 0
+    var s = 0
+    while (p < nPages) {
+      val pages = math.min(pagesPerSplit, nPages - p)
+      val keep = sb == null || {
+        val b = sb(s)
+        val keepAddr = addressBounds match {
+          case None => true
+          case Some((lo, hi)) =>
+            (hi == null || cmp(b.minAddr, hi) <= 0) &&
+              (lo == null || cmp(b.maxAddr, lo) >= 0)
+        }
+        keepAddr && blockLo.forall(_ <= b.maxBlock) &&
+          blockHi.forall(_ >= b.minBlock)
+      }
+      if (keep)
+        out += DatInputPartition(f.toString,
+          math.max(Header.Size.toLong, p.toLong * pageSize),
+          math.min((p + pages).toLong * pageSize, size))
+      p += pages
+      s += 1
+    }
+    out.result()
+  }
+}
+
+/** Streaming offset into a `.dat` dataset: a PREFIX COUNT of the
+  * manifest's `file_list`, plus the name at that prefix's end and the
+  * manifest's dataset GENERATION id. The manifest is the commit point
+  * and appends only ever EXTEND the list (StateFiles.commitManifest
+  * merges `existing ++ new`), so a consumed prefix is immutable for any
+  * sequence of appends — the (name, generation) pair pins that: an
+  * overwrite either publishes fresh part numbers (DSv2 truncate — the
+  * name stops matching) or reuses names from part 0 (function sink —
+  * the generation id changes), and the stream fails loudly in both
+  * cases instead of silently treating a new snapshot as a continuation.
+  */
+case class DatOffset(files: Int, lastFile: String, datasetId: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    s"""{"files":$files,"last":"$lastFile","dataset":"$datasetId"}"""
+}
+
+object DatOffset {
+  def fromJson(json: String): DatOffset = {
+    def str(field: String): String =
+      (s""""$field":"([^"]*)"""").r.findFirstMatchIn(json)
+        .map(_.group(1))
+        .getOrElse(sys.error(s"bad DatOffset json: $json"))
+    val files = """"files":(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+      .getOrElse(sys.error(s"bad DatOffset json: $json"))
+    DatOffset(files, str("last"), str("dataset"))
+  }
+}
+
+/** Micro-batch tail of a `.dat` dataset — the incremental READ side of
+  * the §7.5 archival loop (st07 streams in; this streams back out):
+  *
+  * {{{
+  *   spark.readStream.format("graft.spark.datasource.DatDataSource")
+  *     .option("strategy", "0").load(dir)
+  * }}}
+  *
+  * New-file discovery is manifest-driven: each `latestOffset` re-reads
+  * the committed `file_list`, and a batch is the splits of the files in
+  * `(start.files, end.files]` — exactly the increments appended since
+  * the last batch, never orphan part files (the manifest is the commit
+  * point, so a torn append is invisible here just as in the batch scan).
+  * Splits reuse the batch scan's `.idx` machinery (page-restart
+  * independence + sidecar cache). Admission control: `maxFilesPerTrigger`
+  * caps files per micro-batch; `Trigger.AvailableNow` pins the target at
+  * query start and drains up to it in capped batches, then stops.
+  *
+  * A dataset being streamed must be append-only: an OVERWRITE rewrites
+  * the file list (fresh part numbers), the offset's recorded name stops
+  * matching the prefix, and planning fails loudly — the same
+  * fail-don't-guess stance as the stream-identity check on the write
+  * side.
+  */
+class DatMicroBatchStream(path: String, strategy: Int, pagesPerSplit: Int,
+                          maxFilesPerTrigger: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
+
+  private def committedFiles(): Seq[String] =
+    graft.spark.StateFiles.manifestFileList(path).getOrElse(
+      throw new IllegalStateException(
+        s"$path has no manifest — a streaming read needs the committed " +
+          "file_list as its offset log (write the dataset via " +
+          "StateFiles/DSv2, not ad-hoc files)"))
+
+  private def generation(): String =
+    graft.spark.StateFiles.manifestStringField(path, "dataset_id")
+      .getOrElse("")
+
+  private def offsetAt(files: Seq[String], n: Int): DatOffset =
+    DatOffset(n, if (n == 0) "" else files(n - 1), generation())
+
+  // Trigger.AvailableNow pins the drain target ONCE at query start: the
+  // query then processes exactly the files committed before it started,
+  // in maxFilesPerTrigger-sized batches, and terminates — appends racing
+  // the drain are picked up by the next run, not chased forever.
+  @volatile private var availableNowTarget: Option[DatOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val files = committedFiles()
+    availableNowTarget = Some(offsetAt(files, files.length))
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(
+      ReadLimit.allAvailable())
+
+  override def initialOffset(): Offset = DatOffset(0, "", "")
+
+  override def deserializeOffset(json: String): Offset =
+    DatOffset.fromJson(json)
+
+  // SupportsTriggerAvailableNow extends SupportsAdmissionControl: the
+  // two-arg latestOffset below is the one the engine calls; the legacy
+  // zero-arg form must never be reached
+  override def latestOffset(): Offset =
+    throw new IllegalStateException(
+      "latestOffset() should not be called on an admission-controlled " +
+        "source — latestOffset(start, limit) is the entry point")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[DatOffset]
+    val target = availableNowTarget.getOrElse {
+      val files = committedFiles()
+      offsetAt(files, files.length)
+    }
+    limit match {
+      case mf: ReadMaxFiles if target.files > s.files =>
+        val capped = math.min(target.files, s.files + mf.maxFiles())
+        if (capped == target.files) target
+        else offsetAt(committedFiles(), capped)
+      case _ => target
+    }
+  }
+
+  override def reportLatestOffset(): Offset = {
+    val files = committedFiles()
+    offsetAt(files, files.length)
+  }
+
+  /** The consumed prefix must still be the list's prefix (`files(n-1)`
+    * carries the recorded name) AND belong to the same dataset
+    * generation — the function sink's overwrite reuses part names from
+    * 0, so names alone cannot tell a new snapshot from a continuation.
+    * An offset that consumed nothing is compatible with anything.
+    */
+  private def requirePrefix(files: Seq[String], o: DatOffset): Unit = {
+    if (o.files == 0) return
+    require(o.datasetId == generation() &&
+        files.length >= o.files && files(o.files - 1) == o.lastFile,
+      s"$path: offset expects file #${o.files} = '${o.lastFile}' of " +
+        s"dataset generation '${o.datasetId}' but the manifest lists " +
+        s"${files.length} files of generation '${generation()}'" +
+        (if (files.length >= o.files)
+           s" with '${files(o.files - 1)}' at that position" else "") +
+        " — the dataset was overwritten under a live stream; restart " +
+        "from a fresh checkpoint")
+  }
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DatOffset]
+    val e = end.asInstanceOf[DatOffset]
+    val files = committedFiles()
+    requirePrefix(files, s)
+    requirePrefix(files, e)
+    files.slice(s.files, e.files)
+      .filter(_.endsWith(".dat"))
+      .flatMap(n => DatSplitPlanner.splitsForFile(
+        Paths.get(path, n), pagesPerSplit))
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DatReaderFactory(strategy)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Per-session cache of plan-time file validation — header magic plus the

@@ -509,4 +509,21 @@ class OperatorSpec extends AnyFunSuite {
       assert(n.head == 0 && n.toList == n.indices.map(_ * 10).toList)
     }
   }
+
+  test("l21 scale bounds: 10x documents stays sub-quadratic with flat " +
+      "driver heap") {
+    // The l21 registry entry oracle-hashes only the design-exact counts;
+    // the environment-dependent ratio/heap BOUNDS live here with retries
+    // (the ADVICE r6 split, mirroring PipelineSpec's p13 check). A
+    // genuinely quadratic candidate join would sit ~100x, far over the
+    // 35x line, and fail all 3 attempts.
+    val attempts = LazyList.continually(
+      graft.queries.LlmQueries.measureLshScaleStress(spark, "spec"))
+      .take(3)
+    assert(attempts.exists(m => m.subquadratic && m.driverHeapFlat),
+      "ratio >= 35x or driver heap grew >= 512MB on all 3 attempts")
+    val first = attempts.head
+    // planted design: n/10 pairs at 1x, n pairs at 10x
+    assert(first.rows1 == 15L && first.rows10 == 150L)
+  }
 }

@@ -134,4 +134,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterB1 < got.size,
       "no cross-batch pairs were emitted in the second batch")
   }
+
+  test("streaming .dat source tails appends incrementally and rejects " +
+      "an overwrite under a live offset") {
+    import spark.implicits._
+    val world = Fixtures.generate(spark, nAddresses = 16, nBlocks = 80,
+      seed = 7L)
+    val h = FullHistory.build(spark, world.accountChangeset,
+      world.storageChangeset, world.plainCodeHash,
+      world.plainStateAccounts, world.plainStateStorage, world.latestBlock)
+    val items = graft.spark.StateFormat.asItems(
+      h.withColumnRenamed("valid_from_block", "block"))
+    val n = items.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft-tail").toString
+    val ckpt = dir + "-ckpt"
+    graft.spark.StateFiles.append(items, dir, 0)
+
+    // foreachBatch, not the memory sink: only fault-tolerant sinks may
+    // recover from a checkpoint, and the multi-run tail IS a recovery
+    val got = new java.util.concurrent.atomic.AtomicLong
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+    def drain(): Long = {
+      got.set(0L); batches.set(0)
+      val q = spark.readStream
+        .format("graft.spark.datasource.DatDataSource")
+        .option("strategy", "0").option("maxFilesPerTrigger", "1")
+        .load(dir)
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            got.addAndGet(b.count()); batches.incrementAndGet(); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      got.get()
+    }
+    // run 1 drains increment 1; maxFilesPerTrigger=1 forces one
+    // micro-batch per committed part file (real admission control)
+    val nParts = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".dat"))
+    assert(drain() == n)
+    assert(batches.get() == nParts,
+      s"expected $nParts capped micro-batches, got ${batches.get()}")
+    // run 2 resumes from the checkpoint and reads ONLY increment 2
+    graft.spark.StateFiles.append(items, dir, 0)
+    assert(drain() == n)
+    // nothing new: an empty drain delivers zero rows
+    assert(drain() == 0L)
+    // the batch DSv2 read of the same dataset sees both increments
+    assert(spark.read.format("graft.spark.datasource.DatDataSource")
+      .option("strategy", "0").load(dir).count() == 2 * n)
+    // OVERWRITE under the live offset log: fresh part numbers, the
+    // consumed prefix no longer matches → the next drain fails loudly
+    // instead of silently re-reading renamed data
+    graft.spark.StateFiles.write(items, dir, 0)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => Option(c.getMessage)
+        .exists(_.contains("overwritten under a live stream"))),
+      s"unexpected failure: $ex")
+  }
 }
