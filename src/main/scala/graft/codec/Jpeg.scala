@@ -11,12 +11,18 @@ package graft.codec
   * Annex K quantization tables scaled by a quality factor, the standard
   * Annex K Huffman tables, JFIF APP0 header.
   *
-  * Decoder: 8-bit baseline sequential (SOF0) only — grayscale or YCbCr
-  * with sampling factors up to 2×2 (covers 4:4:4, 4:2:2, 4:2:0, so
-  * JDK-encoded images decode too), restart intervals (DRI/RSTn), multiple
-  * DQT/DHT segments. Strict parser: malformed input throws (the F4
-  * validation stance), progressive/arithmetic/12-bit streams are rejected
-  * with a clear error rather than mis-decoded.
+  * Decoder: 8-bit sequential (SOF0/SOF1) AND progressive (SOF2) —
+  * grayscale or YCbCr with sampling factors up to 2×2 (covers 4:4:4,
+  * 4:2:2, 4:2:0, so JDK-encoded images decode too), restart intervals
+  * (DRI/RSTn), multiple DQT/DHT segments, and the full progressive scan
+  * algebra (DC/AC first + successive-approximation refinement, spectral
+  * selection, EOB runs — T.81 G.1.2), unified as one multi-scan
+  * coefficient-accumulation path with dequant+IDCT at EOI. Progressive
+  * covers the majority of web JPEGs, so real-corpus multimodal ingestion
+  * (m04's production story) decodes rather than rejects them. Strict
+  * parser: malformed input throws (the F4 validation stance);
+  * lossless/arithmetic/12-bit streams are rejected with a clear error
+  * rather than mis-decoded.
   *
   * All tables and layouts are from the public JPEG standard (ITU-T T.81
   * Annex K); no code is derived from any existing decoder.
@@ -400,7 +406,14 @@ object Jpeg {
                                      qId: Int, var dcId: Int = 0,
                                      var acId: Int = 0)
 
-  /** Strict baseline decode → (width, height, top-down RGB). */
+  /** Strict decode → (width, height, top-down RGB). Baseline sequential
+    * (SOF0/SOF1) and PROGRESSIVE (SOF2) streams: both decode through one
+    * unified multi-scan path — every scan (full sequential, DC
+    * first/refine, AC first/refine with EOB runs) accumulates RAW
+    * coefficients into per-component full-image buffers, and
+    * dequantization + IDCT run once at EOI. Lossless/arithmetic/12-bit
+    * remain rejected with clear errors (the F4 validation stance).
+    */
   def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
@@ -414,6 +427,7 @@ object Jpeg {
     var h = 0
     var restartInterval = 0
     var sawSof = false
+    var progressive = false
 
     def parseDqt(len: Int): Unit = {
       var remaining = len - 2
@@ -454,8 +468,11 @@ object Jpeg {
     }
 
     def parseSof(len: Int, marker: Int): Unit = {
-      require(marker == 0xc0 || marker == 0xc1,
-        f"unsupported SOF marker 0x$marker%02x (baseline sequential only)")
+      require(marker == 0xc0 || marker == 0xc1 || marker == 0xc2,
+        f"unsupported SOF marker 0x$marker%02x (sequential/progressive " +
+          "Huffman only)")
+      require(!sawSof, "multiple SOF segments")
+      progressive = marker == 0xc2
       require(r.u8() == 8, "only 8-bit precision supported")
       h = r.u16(); w = r.u16()
       require(w > 0 && h > 0 && w < (1 << 16) && h < (1 << 16) &&
@@ -483,150 +500,327 @@ object Jpeg {
       sawSof = true
     }
 
-    // marker loop up to SOS
-    var sosSeen = false
-    while (!sosSeen) {
-      var b = r.u8()
+    // ---- multi-scan state (allocated once SOF is known) ----
+    var maxH = 0
+    var maxV = 0
+    var mcusX = 0
+    var mcusY = 0
+    // per-component: full-image RAW coefficient buffers over the
+    // MCU-PADDED block grid (progressive scans revisit blocks, so
+    // coefficients accumulate across scans and dequant/IDCT run at EOI)
+    var coefArrs: Array[Array[Int]] = null
+    var blocksWpad: Array[Int] = null
+    var blocksHpad: Array[Int] = null
+    // true (unpadded) per-component block grid — non-interleaved scans
+    // cover exactly these blocks (T.81 A.2.2), not the MCU padding
+    var compBlocksW: Array[Int] = null
+    var compBlocksH: Array[Int] = null
+    var dcPred: Array[Int] = null
+    var eobrun = 0
+
+    def allocate(): Unit = {
+      maxH = comps.map(_.hSamp).max
+      maxV = comps.map(_.vSamp).max
+      mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+      mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+      blocksWpad = comps.map(c => mcusX * c.hSamp)
+      blocksHpad = comps.map(c => mcusY * c.vSamp)
+      compBlocksW = comps.map(c => ((w * c.hSamp + maxH - 1) / maxH + 7) / 8)
+      compBlocksH = comps.map(c => ((h * c.vSamp + maxV - 1) / maxV + 7) / 8)
+      coefArrs = comps.indices.toArray.map(ci =>
+        new Array[Int](blocksWpad(ci) * blocksHpad(ci) * 64))
+      dcPred = new Array[Int](comps.length)
+    }
+
+    /** One block's contribution from the CURRENT scan: the unified
+      * sequential/progressive kernel. Baseline = (Ss=0, Se=63, Ah=Al=0);
+      * progressive splits the spectrum (Ss..Se) and the bit planes
+      * (Ah → Al refinement) across scans per T.81 G.1.2.
+      */
+    def decodeBlockScan(ci: Int, blockIdx: Int, ss: Int, se: Int,
+                        ah: Int, al: Int): Unit = {
+      val c = comps(ci)
+      val coefs = coefArrs(ci)
+      val off = blockIdx * 64
+      if (ss == 0) {
+        if (ah == 0) {
+          val dcT = huffDc(c.dcId)
+          require(dcT != null, "scan references undefined DC table")
+          val t = r.decodeHuff(dcT)
+          require(t <= 11, "bad DC magnitude")
+          dcPred(ci) += extend(r.bitsVal(t), t)
+          coefs(off) = dcPred(ci) << al
+        } else {
+          // DC refinement: one appended magnitude bit (two's-complement
+          // |= adds the bit for negative values too)
+          if (r.bit() == 1) coefs(off) |= (1 << al)
+        }
+        if (se == 0) return // progressive DC-only scan
+      }
+      val acT = huffAc(c.acId)
+      require(acT != null, "scan references undefined AC table")
+      var k = math.max(ss, 1)
+      if (ah == 0) {
+        // AC first pass (also the baseline AC path). An EOB run covers
+        // whole blocks within this scan's spectral band.
+        if (eobrun > 0) { eobrun -= 1; return }
+        while (k <= se) {
+          val rs = r.decodeHuff(acT)
+          val run = rs >> 4
+          val size = rs & 0x0f
+          if (size == 0) {
+            if (run == 15) k += 16 // ZRL
+            else {
+              eobrun = (1 << run) - 1
+              if (run > 0) eobrun += r.bitsVal(run)
+              return
+            }
+          } else {
+            k += run
+            require(k <= se, "AC index overflow")
+            coefs(off + ZigZag(k)) = extend(r.bitsVal(size), size) << al
+            k += 1
+          }
+        }
+      } else {
+        // AC refinement (T.81 G.1.2.3): newly-significant coefficients
+        // arrive as ±1<<Al after `run` ZERO-HISTORY positions; every
+        // nonzero-history coefficient passed over emits one correction
+        // bit. An EOB run ends with correction bits for the band's tail.
+        // NOTE the EOB-run convention here is POST-decrement (T.81
+        // G.1.2.3 via the classic implementation shape): the run counts
+        // the CURRENT block too, because even an r=0 EOB must still emit
+        // correction bits for this block's remaining nonzero-history
+        // coefficients in the tail below — the first-pass branch above
+        // pre-decrements instead, because its tail reads nothing.
+        val p1 = 1 << al
+        val m1 = -1 << al
+        if (eobrun == 0) {
+          var brk = false
+          while (k <= se && !brk) {
+            val rs = r.decodeHuff(acT)
+            var run = rs >> 4
+            val size = rs & 0x0f
+            var newVal = 0
+            if (size == 0) {
+              if (run < 15) {
+                eobrun = 1 << run
+                if (run > 0) eobrun += r.bitsVal(run)
+                brk = true
+              } // run == 15: ZRL — skip 16 zero-history coefficients
+            } else {
+              require(size == 1, "bad AC refinement magnitude")
+              newVal = if (r.bit() == 1) p1 else m1
+            }
+            if (!brk) {
+              var done = false
+              while (!done && k <= se) {
+                val z = off + ZigZag(k)
+                if (coefs(z) != 0) {
+                  if (r.bit() == 1 && (coefs(z) & p1) == 0)
+                    coefs(z) += (if (coefs(z) > 0) p1 else m1)
+                } else {
+                  if (run == 0) {
+                    if (newVal != 0) coefs(z) = newVal
+                    done = true
+                  } else run -= 1
+                }
+                k += 1
+              }
+              require(done || newVal == 0, "AC refinement overran Se")
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            val z = off + ZigZag(k)
+            if (coefs(z) != 0 && r.bit() == 1 && (coefs(z) & p1) == 0)
+              coefs(z) += (if (coefs(z) > 0) p1 else m1)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+    }
+
+    def decodeScan(): Unit = {
+      val sosLen = r.u16()
+      val ns = r.u8()
+      require(ns >= 1 && ns <= comps.length && sosLen == 6 + 2 * ns,
+        "bad SOS")
+      val scanCis = new Array[Int](ns)
+      var i = 0
+      while (i < ns) {
+        val sel = r.u8()
+        val ci = comps.indexWhere(_.id == sel)
+        require(ci >= 0, s"SOS references component $sel")
+        val tbl = r.u8()
+        require((tbl >> 4) < 4 && (tbl & 0x0f) < 4,
+          s"bad Huffman table selector $tbl")
+        comps(ci).dcId = tbl >> 4; comps(ci).acId = tbl & 0x0f
+        scanCis(i) = ci
+        i += 1
+      }
+      val ss = r.u8()
+      val se = r.u8()
+      val ahal = r.u8()
+      val ah = ahal >> 4
+      val al = ahal & 0x0f
+      if (!progressive)
+        require(ns == comps.length && ss == 0 && se == 63 &&
+          ah == 0 && al == 0, "not a sequential full scan")
+      else {
+        require(ss <= se && se <= 63 && al <= 13, "bad spectral selection")
+        if (ss == 0) require(se == 0, "progressive DC scan must have Se=0")
+        else require(ns == 1,
+          "progressive AC scan must be single-component")
+        require(ah == 0 || ah == al + 1, "bad successive approximation")
+      }
+      r.resetBits()
+      java.util.Arrays.fill(dcPred, 0)
+      eobrun = 0
+      // restart interval: units are MCUs; in a non-interleaved scan an
+      // MCU is ONE block (T.81 A.2.2). RSTn resets entropy state, DC
+      // predictions, and any open EOB run.
+      def maybeRestart(unit: Int): Unit =
+        if (restartInterval > 0 && unit > 0 &&
+            unit % restartInterval == 0) {
+          r.resetBits()
+          require(r.u8() == 0xff, "expected RST marker")
+          val m = r.u8()
+          require(m >= 0xd0 && m <= 0xd7, f"expected RSTn, got 0x$m%02x")
+          java.util.Arrays.fill(dcPred, 0)
+          eobrun = 0
+        }
+      if (ns == 1) {
+        // non-interleaved: the component's TRUE block grid in raster
+        // order (indices into the padded coefficient layout)
+        val ci = scanCis(0)
+        val bw = compBlocksW(ci)
+        val total = bw * compBlocksH(ci)
+        var blk = 0
+        while (blk < total) {
+          maybeRestart(blk)
+          decodeBlockScan(ci,
+            (blk / bw) * blocksWpad(ci) + blk % bw, ss, se, ah, al)
+          blk += 1
+        }
+      } else {
+        val nMcus = mcusX * mcusY
+        var mcu = 0
+        while (mcu < nMcus) {
+          maybeRestart(mcu)
+          val my = mcu / mcusX
+          val mx = mcu % mcusX
+          var si = 0
+          while (si < ns) {
+            val ci = scanCis(si)
+            val c = comps(ci)
+            var by = 0
+            while (by < c.vSamp) {
+              var bx = 0
+              while (bx < c.hSamp) {
+                decodeBlockScan(ci,
+                  (my * c.vSamp + by) * blocksWpad(ci) +
+                    mx * c.hSamp + bx, ss, se, ah, al)
+                bx += 1
+              }
+              by += 1
+            }
+            si += 1
+          }
+          mcu += 1
+        }
+      }
+    }
+
+    // marker loop: tables/DRI/SOF segments and EVERY scan, until EOI —
+    // a progressive stream interleaves DHT/SOS pairs; baseline has one
+    var sosCount = 0
+    var done = false
+    while (!done) {
+      val b = r.u8()
       require(b == 0xff, f"expected marker, got 0x$b%02x")
       var m = r.u8()
       while (m == 0xff) m = r.u8() // fill bytes
       m match {
-        case 0xd9 => throw new IllegalArgumentException("EOI before SOS")
-        case 0xda => sosSeen = true
+        case 0xd9 =>
+          require(sosCount > 0, "EOI before SOS")
+          done = true
+        case 0xda =>
+          require(sawSof, "SOS before SOF")
+          if (coefArrs == null) allocate()
+          decodeScan()
+          sosCount += 1
         case 0xdd =>
           require(r.u16() == 4, "bad DRI length")
           restartInterval = r.u16()
         case 0xdb => parseDqt(r.u16())
         case 0xc4 => parseDht(r.u16())
-        case 0xc0 | 0xc1 => parseSof(r.u16(), m)
-        case sof if sof >= 0xc2 && sof <= 0xcf && sof != 0xc8 =>
+        case 0xc0 | 0xc1 | 0xc2 => parseSof(r.u16(), m)
+        case sof if sof >= 0xc3 && sof <= 0xcf && sof != 0xc8 =>
           throw new IllegalArgumentException(
-            f"unsupported SOF 0x$sof%02x (progressive/arithmetic)")
+            f"unsupported SOF 0x$sof%02x (lossless/arithmetic)")
         case _ =>
           val len = r.u16()
           require(len >= 2, "bad segment length")
           r.skip(len - 2) // APPn / COM / others
       }
     }
-    require(sawSof, "SOS before SOF")
 
-    // SOS header
-    val sosLen = r.u16()
-    val ns = r.u8()
-    require(ns == comps.length && sosLen == 6 + 2 * ns, "bad SOS")
-    var i = 0
-    while (i < ns) {
-      val sel = r.u8()
-      val c = comps.find(_.id == sel).getOrElse(
-        throw new IllegalArgumentException(s"SOS references component $sel"))
-      val tbl = r.u8()
-      require((tbl >> 4) < 4 && (tbl & 0x0f) < 4,
-        s"bad Huffman table selector $tbl")
-      c.dcId = tbl >> 4; c.acId = tbl & 0x0f
-      i += 1
-    }
-    require(r.u8() == 0 && r.u8() == 63 && r.u8() == 0,
-      "not a sequential full scan")
-
-    val maxH = comps.map(_.hSamp).max
-    val maxV = comps.map(_.vSamp).max
-    val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
-    val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
-    // per-component padded planes
+    // ---- dequantize + IDCT every block (padded grid) into planes ----
     val planes = comps.map { c =>
       new Array[Byte](mcusX * 8 * c.hSamp * mcusY * 8 * c.vSamp)
     }
     val planeW = comps.map(c => mcusX * 8 * c.hSamp)
-    val dcPred = new Array[Int](comps.length)
     val coef = new Array[Int](64)
     val tmp = new Array[Double](64)
-
-    def decodeBlock(ci: Int, blockX: Int, blockY: Int): Unit = {
+    var ci = 0
+    while (ci < comps.length) {
       val c = comps(ci)
-      val dcT = huffDc(c.dcId)
-      val acT = huffAc(c.acId)
       val q = quant(c.qId)
-      require(dcT != null && acT != null && q != null,
-        "scan references undefined table")
-      java.util.Arrays.fill(coef, 0)
-      val t = r.decodeHuff(dcT)
-      require(t <= 11, "bad DC magnitude")
-      dcPred(ci) += extend(r.bitsVal(t), t)
-      coef(0) = dcPred(ci) * q(0)
-      var k = 1
-      var eob = false
-      while (k < 64 && !eob) {
-        val rs = r.decodeHuff(acT)
-        val run = rs >> 4
-        val size = rs & 0x0f
-        if (size == 0) {
-          if (run == 15) k += 16 // ZRL
-          else eob = true
-        } else {
-          k += run
-          require(k < 64, "AC index overflow")
-          val zz = ZigZag(k)
-          coef(zz) = extend(r.bitsVal(size), size) * q(zz)
-          k += 1
-        }
-      }
-      // IDCT (separable, same basis as the encoder)
-      var y = 0
-      while (y < 8) {
-        var v = 0
-        while (v < 8) {
-          var s = 0.0; var u = 0
-          while (u < 8) { s += CosTab(u)(y) * coef(u * 8 + v); u += 1 }
-          tmp(y * 8 + v) = s
-          v += 1
-        }
-        y += 1
-      }
+      require(q != null, "scan references undefined quant table")
+      val coefs = coefArrs(ci)
+      val bwp = blocksWpad(ci)
       val plane = planes(ci)
       val pw = planeW(ci)
-      var py = 0
-      while (py < 8) {
-        var px = 0
-        while (px < 8) {
-          var s = 0.0; var u = 0
-          while (u < 8) { s += CosTab(u)(px) * tmp(py * 8 + u); u += 1 }
-          val vv = math.round(s + 128.0).toInt
-          val clamped = if (vv < 0) 0 else if (vv > 255) 255 else vv
-          plane((blockY * 8 + py) * pw + blockX * 8 + px) = clamped.toByte
-          px += 1
-        }
-        py += 1
-      }
-    }
-
-    var mcu = 0
-    val nMcus = mcusX * mcusY
-    while (mcu < nMcus) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        // expect RSTn, reset entropy state and DC predictions
-        r.resetBits()
-        require(r.u8() == 0xff, "expected RST marker")
-        val m = r.u8()
-        require(m >= 0xd0 && m <= 0xd7, f"expected RSTn, got 0x$m%02x")
-        java.util.Arrays.fill(dcPred, 0)
-      }
-      val my = mcu / mcusX
-      val mx = mcu % mcusX
-      var ci = 0
-      while (ci < comps.length) {
-        val c = comps(ci)
-        var by = 0
-        while (by < c.vSamp) {
-          var bx = 0
-          while (bx < c.hSamp) {
-            decodeBlock(ci, mx * c.hSamp + bx, my * c.vSamp + by)
-            bx += 1
+      var blockY = 0
+      while (blockY < blocksHpad(ci)) {
+        var blockX = 0
+        while (blockX < bwp) {
+          val off = (blockY * bwp + blockX) * 64
+          var z = 0
+          while (z < 64) { coef(z) = coefs(off + z) * q(z); z += 1 }
+          var y = 0
+          while (y < 8) {
+            var v = 0
+            while (v < 8) {
+              var s = 0.0; var u = 0
+              while (u < 8) { s += CosTab(u)(y) * coef(u * 8 + v); u += 1 }
+              tmp(y * 8 + v) = s
+              v += 1
+            }
+            y += 1
           }
-          by += 1
+          var py = 0
+          while (py < 8) {
+            var px = 0
+            while (px < 8) {
+              var s = 0.0; var u = 0
+              while (u < 8) { s += CosTab(u)(px) * tmp(py * 8 + u); u += 1 }
+              val vv = math.round(s + 128.0).toInt
+              val clamped = if (vv < 0) 0 else if (vv > 255) 255 else vv
+              plane((blockY * 8 + py) * pw + blockX * 8 + px) =
+                clamped.toByte
+              px += 1
+            }
+            py += 1
+          }
+          blockX += 1
         }
-        ci += 1
+        blockY += 1
       }
-      mcu += 1
+      ci += 1
     }
 
     // color convert + chroma upsample (sample replication)

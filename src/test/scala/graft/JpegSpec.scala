@@ -40,7 +40,8 @@ class JpegSpec extends AnyFunSuite {
   }
 
   private def imageIoEncode(w: Int, h: Int, rgb: Array[Byte],
-                            quality: Float): Array[Byte] = {
+                            quality: Float,
+                            progressive: Boolean = false): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until h; x <- 0 until w) {
@@ -52,6 +53,8 @@ class JpegSpec extends AnyFunSuite {
     val params = writer.getDefaultWriteParam
     params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     params.setCompressionQuality(quality)
+    if (progressive)
+      params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val bos = new java.io.ByteArrayOutputStream()
     writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
     writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
@@ -137,6 +140,78 @@ class JpegSpec extends AnyFunSuite {
     val (dw, dh, dec) = Jpeg.decode(bos.toByteArray)
     assert(dw == w && dh == h)
     assert(meanAbsDiff(rgb, dec) < 4.0)
+  }
+
+  test("graft decodes ImageIO-encoded PROGRESSIVE (SOF2) streams") {
+    // ImageIO's progressive writer emits the real multi-scan shape (DC
+    // first + AC spectral-selection scans with successive approximation
+    // and EOB runs) over 4:2:0-subsampled chroma — the ~60%-of-web-JPEGs
+    // case the decoder must handle for real-corpus ingestion. Both
+    // decoders must reconstruct the same pixels from the same scans.
+    for ((w, h, seed) <- Seq((64, 48, 60L), (37, 29, 61L), (8, 8, 62L))) {
+      val src = smoothImage(w, h, seed)
+      val enc = imageIoEncode(w, h, src, 0.9f, progressive = true)
+      // confirm the stream really is progressive (SOF2 present)
+      assert((0 until enc.length - 1).exists(i =>
+        (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xc2),
+        "ImageIO did not produce a progressive stream")
+      val (dw, dh, mine) = Jpeg.decode(enc)
+      val (_, _, theirs) = imageIoDecode(enc)
+      assert(dw == w && dh == h)
+      // same tolerance rationale as the sequential 4:2:0 test: chroma
+      // upsampling policies differ, mean agreement must be tight
+      assert(meanAbsDiff(mine, theirs) < 2.0,
+        s"${w}x$h mean diff ${meanAbsDiff(mine, theirs)}")
+      assert(maxAbsDiff(mine, theirs) <= 64)
+    }
+  }
+
+  test("progressive grayscale decodes back to the source") {
+    // compare against the SOURCE, not ImageIO.read: getRGB on a
+    // TYPE_BYTE_GRAY image converts linear gray to sRGB (gamma), so an
+    // ImageIO-decode comparison would measure the JDK's color management,
+    // not our scan decoding — same rationale as the sequential
+    // "grayscale round trip" test above
+    val w = 40; val h = 24
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      rgb((y * w + x) * 3 + c) = clamp(128 + 90 * math.sin(x * 0.2 + y * 0.1))
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, rgb((y * w + x) * 3) & 0xff)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    writer.dispose()
+    val enc = bos.toByteArray
+    assert((0 until enc.length - 1).exists(i =>
+      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xc2),
+      "ImageIO did not produce a progressive stream")
+    val (dw, dh, dec) = Jpeg.decode(enc)
+    assert(dw == w && dh == h)
+    assert(meanAbsDiff(rgb, dec) < 4.0,
+      s"gray progressive mean err ${meanAbsDiff(rgb, dec)}")
+  }
+
+  test("progressive fuzzing: clean errors, never crashes") {
+    val src = smoothImage(48, 32, 70L)
+    val good = imageIoEncode(48, 32, src, 0.85f, progressive = true)
+    val rnd = new scala.util.Random(101L)
+    var decoded = 0
+    var rejected = 0
+    for (_ <- 1 to 400) {
+      val fuzzed = good.clone()
+      val at = rnd.nextInt(fuzzed.length)
+      fuzzed(at) = (fuzzed(at) ^ (1 + rnd.nextInt(255))).toByte
+      try { Jpeg.decode(fuzzed); decoded += 1 }
+      catch { case _: IllegalArgumentException => rejected += 1 }
+    }
+    assert(decoded + rejected == 400)
+    assert(rejected > 0, "no corruption was ever detected")
   }
 
   test("strict parser rejects malformed streams") {
