@@ -8,15 +8,20 @@ object TimedBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // optional name-substring filter, e.g. runMain graft.TimedBench s0 l05
+    // optional name-substring filter, e.g. runMain graft.TimedBench s0 l05;
+    // SPARK_GRAFT_REPEAT=N times each entry N times (first run shows the
+    // cold cost, later runs the warm cost Bench's median reports)
     val filters = args.toSeq
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         filters.isEmpty || filters.exists(name.contains) }
       .foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch { case e: Throwable => System.err.println(s"$name ERR ${e.getMessage.take(100)}"); -1L }
-      System.err.println(f"TIMING $name%-24s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+      for (i <- 1 to repeat) {
+        val t0 = System.nanoTime()
+        val n = try fn(spark, sfDir).count() catch { case e: Throwable => System.err.println(s"$name ERR ${e.getMessage.take(100)}"); -1L }
+        System.err.println(f"TIMING $name%-24s run$i ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+      }
     }
     spark.stop()
   }

@@ -403,9 +403,17 @@ object StreamingQueries {
         val got = new java.util.concurrent.atomic.AtomicLong
         def drain(): Long = {
           got.set(0L)
+          // files/3 per trigger (the st07 convention): a multi-batch
+          // drain without paying per-file micro-batch overhead ×32 part
+          // files — StreamingSpec's tail test keeps maxFilesPerTrigger=1
+          // for strict per-file admission control
+          val nFiles = math.max(1, new java.io.File(out).listFiles()
+            .count(_.getName.endsWith(".dat")))
           val q = s.readStream
             .format("graft.spark.datasource.DatDataSource")
-            .option("strategy", "0").option("maxFilesPerTrigger", "1")
+            .option("strategy", "0")
+            .option("maxFilesPerTrigger",
+              math.max(1, nFiles / 3).toString)
             .load(out)
             .writeStream
             .foreachBatch {
@@ -419,9 +427,9 @@ object StreamingQueries {
           got.get()
         }
         graft.spark.StateFiles.append(items, out, 0)
-        val run1 = drain()
+        val run1 = withStateSizing(s) { drain() }
         graft.spark.StateFiles.append(items, out, 0)
-        val run2 = drain()
+        val run2 = withStateSizing(s) { drain() }
         val batchTotal = s.read
           .format("graft.spark.datasource.DatDataSource")
           .option("strategy", "0").load(out).count()
