@@ -441,7 +441,63 @@ object StreamingQueries {
           .deleteDirectory(new java.io.File(ckpt))
         result
       }, None, Some(dir => st08Sql(dir))),
+
+    // The whole §7.5 loop in ONE streaming query, both ends native DSv2:
+    // tail a .dat archive (MicroBatchStream) and MIRROR it into a second
+    // .dat dataset through the STREAMING_WRITE sink — each epoch is one
+    // append increment committed with (stream_batch = epochId,
+    // stream_id = query id), so a replayed epoch after a crash is
+    // skipped, not double-appended. Two runs: run 1 mirrors increment 1;
+    // an append lands on the source; run 2 resumes from the checkpoint
+    // and mirrors ONLY the new increment. The mirror must batch-read
+    // equal to the source — counts sim-exact.
+    "st09_archive_mirror" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val h = PipelineQueries.history(s, dir)
+        val items = graft.spark.StateFormat.asItems(
+          h.withColumnRenamed("valid_from_block", "block"))
+        val src = java.nio.file.Files
+          .createTempDirectory("graft-mirror-src").toString
+        val dst = java.nio.file.Files
+          .createTempDirectory("graft-mirror-dst").toString
+        val ckpt = src + "-ckpt"
+        def mirror(): Unit = withStateSizing(s) {
+          val nFiles = math.max(1, new java.io.File(src).listFiles()
+            .count(_.getName.endsWith(".dat")))
+          val q = s.readStream
+            .format("graft.spark.datasource.DatDataSource")
+            .option("strategy", "0")
+            .option("maxFilesPerTrigger",
+              math.max(1, nFiles / 3).toString)
+            .load(src)
+            .writeStream
+            .format("graft.spark.datasource.DatDataSource")
+            .option("strategy", "0")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(dst)
+          q.awaitTermination()
+        }
+        graft.spark.StateFiles.append(items, src, 0)
+        mirror()
+        graft.spark.StateFiles.append(items, src, 0)
+        mirror()
+        def datCount(p: String): Long = s.read
+          .format("graft.spark.datasource.DatDataSource")
+          .option("strategy", "0").load(p).count()
+        val result = Seq((datCount(src), datCount(dst)))
+          .toDF("rows_src", "rows_mirror")
+        Seq(src, dst, ckpt).foreach(p => org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(p)))
+        result
+      }, None, Some(dir => st09Sql(dir))),
   )
+
+  private def st09Sql(dir: String): String = {
+    val h = 2 * PipelineQueries.histCount(dir)
+    s"SELECT $h::BIGINT AS rows_src, $h::BIGINT AS rows_mirror"
+  }
 
   private def st08Sql(dir: String): String = {
     val h = PipelineQueries.histCount(dir)

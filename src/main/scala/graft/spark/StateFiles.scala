@@ -168,7 +168,7 @@ object StateFiles {
       s"""\"$name\":(-?\\d+)""".r.findFirstMatchIn(s)
         .map(_.group(1).toLong))
 
-  private[spark] def manifestStringField(dir: String,
+  private[graft] def manifestStringField(dir: String,
                                          name: String): Option[String] =
     manifestText(dir).flatMap(s =>
       s"""\"$name\":\"([^\"]*)\"""".r.findFirstMatchIn(s)

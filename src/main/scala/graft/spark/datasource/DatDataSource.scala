@@ -51,7 +51,8 @@ class DatTable(path: String, strategy: Int, pagesPerSplit: Int)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DatScanBuilder(path, strategy, pagesPerSplit,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt))
@@ -60,7 +61,8 @@ class DatTable(path: String, strategy: Int, pagesPerSplit: Int)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new DatWriteBuilder(path, strategy,
       Option(info.options.get("blockStart")).map(_.toLong).getOrElse(0L),
-      Option(info.options.get("blockEnd")).map(_.toLong).getOrElse(0L))
+      Option(info.options.get("blockEnd")).map(_.toLong).getOrElse(0L),
+      info.queryId())
 }
 
 class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int,
@@ -593,7 +595,7 @@ class DatReaderFactory(strategy: Int) extends PartitionReaderFactory {
 // the new manifest lands.
 
 class DatWriteBuilder(path: String, strategy: Int, blockStart: Long,
-                      blockEnd: Long)
+                      blockEnd: Long, queryId: String = "")
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var doTruncate = false
@@ -601,7 +603,7 @@ class DatWriteBuilder(path: String, strategy: Int, blockStart: Long,
     doTruncate = true; this
   }
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new DatWrite(path, strategy, blockStart, blockEnd, doTruncate)
+    new DatWrite(path, strategy, blockStart, blockEnd, doTruncate, queryId)
 }
 
 case class DatCommitMessage(pid: Int, datTmp: String, idxTmp: String,
@@ -609,12 +611,22 @@ case class DatCommitMessage(pid: Int, datTmp: String, idxTmp: String,
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 class DatWrite(path: String, strategy: Int, blockStart: Long,
-               blockEnd: Long, truncate: Boolean)
+               blockEnd: Long, truncate: Boolean, queryId: String = "")
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
   override def toBatch: BatchWrite = this
+
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    // append-only sink: complete/update modes would truncate per epoch,
+    // which the manifest's append-forever contract does not model
+    require(!truncate,
+      "dat streaming sink supports append output mode only")
+    require(queryId.nonEmpty, "streaming write without a query id")
+    new DatStreamingWrite(path, strategy, blockStart, blockEnd, queryId)
+  }
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
@@ -730,6 +742,143 @@ class DatWriterFactory(path: String, strategy: Int, blockStart: Long,
           Files.write(Paths.get(datTmp), part.dat)
           Files.write(Paths.get(idxTmp), part.idx)
           DatCommitMessage(partBase + partitionId, datTmp, idxTmp,
+            part.bodyBytes, part.accounts, part.slots)
+        }
+      }
+
+      override def abort(): Unit = {
+        Files.deleteIfExists(Paths.get(datTmp))
+        Files.deleteIfExists(Paths.get(idxTmp))
+      }
+
+      override def close(): Unit = ()
+    }
+}
+
+// ---- streaming write path (the sink side of the §7.5 loop as native
+// DSv2 instead of foreachBatch) ----
+//
+//   df.writeStream.format("graft.spark.datasource.DatDataSource")
+//     .option("strategy", "0").option("checkpointLocation", ckpt)
+//     .start(dir)
+//
+// Each epoch is one append increment: tasks stream their partitions into
+// epoch-tagged temp files; the DRIVER's commit(epochId) assigns fresh
+// part numbers, renames, and merges the manifest with
+// (stream_batch = epochId, stream_id = the streaming QUERY id — Spark
+// persists it in the checkpoint, so restarts keep it and a reset
+// checkpoint mints a new one). A replayed epoch (crash between the
+// manifest commit and the streaming checkpoint commit) is detected via
+// lastStreamBatch and skipped — the same exactly-once contract
+// StateFiles.append offers foreachBatch writers, expressed through
+// DSv2's native epoch protocol.
+
+case class DatStreamCommitMessage(partitionId: Int, rows: Long,
+    datTmp: String, idxTmp: String, bodyBytes: Long, accounts: Long,
+    slots: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class DatStreamingWrite(path: String, strategy: Int, blockStart: Long,
+                        blockEnd: Long, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write._
+  import org.apache.spark.sql.connector.write.streaming._
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    Files.createDirectories(Paths.get(path))
+    // the append guards run ONCE at query start (driver): a torn dir or
+    // a strategy mismatch must fail before any epoch writes
+    require(graft.spark.StateFiles.nextPartBase(path) == 0 ||
+      graft.spark.StateFiles.manifestField(path, "strategy").isDefined,
+      s"$path has part files but no manifest — cannot stream-append to " +
+        "a torn dataset")
+    graft.spark.StateFiles.manifestField(path, "strategy").foreach(s0 =>
+      require(s0 == strategy.toLong,
+        s"stream strategy $strategy != dataset strategy $s0"))
+    new DatStreamingWriterFactory(path, strategy, blockStart, blockEnd)
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val parts = messages
+      .collect { case m: DatStreamCommitMessage if m.rows > 0 => m }
+      .sortBy(_.partitionId)
+    // replay guard: the manifest carries the last committed epoch FOR
+    // THIS QUERY; an older-or-equal epoch re-delivered after a crash
+    // must drop its temps, not append twice. A different stream_id in
+    // the manifest fails loudly inside lastStreamBatch.
+    if (graft.spark.StateFiles.lastStreamBatch(path, queryId)
+          .exists(_ >= epochId)) {
+      parts.foreach { m =>
+        Files.deleteIfExists(Paths.get(m.datTmp))
+        Files.deleteIfExists(Paths.get(m.idxTmp))
+      }
+      return
+    }
+    val partBase = graft.spark.StateFiles.nextPartBase(path)
+    val finals = parts.zipWithIndex.map { case (m, i) =>
+      val pid = partBase + i
+      Files.move(Paths.get(m.datTmp),
+        Paths.get(path, f"part-$pid%05d.dat"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.move(Paths.get(m.idxTmp),
+        Paths.get(path, f"part-$pid%05d.idx"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      (pid, m.bodyBytes, m.accounts, m.slots)
+    }
+    graft.spark.StateFiles.commitManifest(path, strategy, blockStart,
+      blockEnd, mergeManifest = true, finals.toSeq,
+      streamBatchId = epochId, streamId = queryId)
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: DatStreamCommitMessage if m.rows > 0 => m }
+      .foreach { m =>
+        Files.deleteIfExists(Paths.get(m.datTmp))
+        Files.deleteIfExists(Paths.get(m.idxTmp))
+      }
+}
+
+class DatStreamingWriterFactory(path: String, strategy: Int,
+                                blockStart: Long, blockEnd: Long)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private val w = graft.spark.StateFiles.partWriter(strategy)
+      private var rows = 0L
+      // temp names carry epoch + partition + task id: epochs never
+      // collide with each other, speculative attempts never collide
+      // within an epoch, and final part numbers are assigned at commit
+      // (appends accumulate across epochs, so partition id alone cannot
+      // name the final file)
+      private val datTmp = Paths.get(path,
+        f".stream-e$epochId%d-p$partitionId%05d.dat.tmp-$taskId").toString
+      private val idxTmp = Paths.get(path,
+        f".stream-e$epochId%d-p$partitionId%05d.idx.tmp-$taskId").toString
+
+      override def write(r: InternalRow): Unit = {
+        w.write(graft.model.StateItem(r.getBinary(0), r.getLong(1),
+          r.getBoolean(2), r.getLong(3), r.getLong(4), r.getBinary(5),
+          r.getBinary(6), r.getBinary(7), r.getBinary(8)))
+        rows += 1
+      }
+
+      override def commit()
+          : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        if (rows == 0)
+          DatStreamCommitMessage(partitionId, 0L, "", "", 0L, 0L, 0L)
+        else {
+          val part = graft.spark.StateFiles.finishPart(w, strategy,
+            blockStart, blockEnd)
+          Files.write(Paths.get(datTmp), part.dat)
+          Files.write(Paths.get(idxTmp), part.idx)
+          DatStreamCommitMessage(partitionId, rows, datTmp, idxTmp,
             part.bodyBytes, part.accounts, part.slots)
         }
       }

@@ -201,4 +201,74 @@ class StreamingSpec extends AnyFunSuite {
         .exists(_.contains("overwritten under a live stream"))),
       s"unexpected failure: $ex")
   }
+
+  test("DSv2 streaming sink mirrors a .dat archive with exactly-once " +
+      "epochs") {
+    val world = Fixtures.generate(spark, nAddresses = 16, nBlocks = 80,
+      seed = 7L)
+    val h = FullHistory.build(spark, world.accountChangeset,
+      world.storageChangeset, world.plainCodeHash,
+      world.plainStateAccounts, world.plainStateStorage, world.latestBlock)
+    val items = graft.spark.StateFormat.asItems(
+      h.withColumnRenamed("valid_from_block", "block"))
+    val n = items.count()
+    val src = java.nio.file.Files.createTempDirectory("graft-msrc").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-mdst").toString
+    val ckpt = src + "-ck"
+    def mirror(): Unit = {
+      val q = spark.readStream
+        .format("graft.spark.datasource.DatDataSource")
+        .option("strategy", "0").option("maxFilesPerTrigger", "1")
+        .load(src)
+        .writeStream
+        .format("graft.spark.datasource.DatDataSource")
+        .option("strategy", "0")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    def datCount(p: String): Long = spark.read
+      .format("graft.spark.datasource.DatDataSource")
+      .option("strategy", "0").load(p).count()
+    graft.spark.StateFiles.append(items, src, 0)
+    mirror()
+    assert(datCount(dst) == n)
+    // the mirror's manifest records the stream identity: the query id,
+    // which Spark persists in the checkpoint
+    val qid = graft.spark.StateFiles
+      .manifestStringField(dst, "stream_id")
+    assert(qid.exists(_.nonEmpty))
+    // resume: only the NEW source increment mirrors (no double-append of
+    // increment 1 — the epoch guard and the offset log both hold)
+    graft.spark.StateFiles.append(items, src, 0)
+    mirror()
+    assert(datCount(dst) == 2 * n)
+    assert(graft.spark.StateFiles
+      .manifestStringField(dst, "stream_id") == qid,
+      "restart from the same checkpoint must keep the stream identity")
+    // nothing new: an empty run appends nothing
+    mirror()
+    assert(datCount(dst) == 2 * n)
+    // a DIFFERENT streaming query (fresh checkpoint) may not silently
+    // continue this mirror: the commit path fails loudly on the
+    // stream_id mismatch rather than comparing epoch ids across streams
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream
+        .format("graft.spark.datasource.DatDataSource")
+        .option("strategy", "0").load(src)
+        .writeStream
+        .format("graft.spark.datasource.DatDataSource")
+        .option("strategy", "0")
+        .option("checkpointLocation", src + "-ck2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(causes(ex).exists(c => Option(c.getMessage)
+      .exists(_.contains("not comparable across streams"))),
+      s"unexpected failure: $ex")
+  }
 }
