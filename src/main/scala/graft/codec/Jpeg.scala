@@ -413,8 +413,17 @@ object Jpeg {
     * coefficients into per-component full-image buffers, and
     * dequantization + IDCT run once at EOI. Lossless/arithmetic/12-bit
     * remain rejected with clear errors (the F4 validation stance).
+    *
+    * `maxPixels` bounds what a HEADER can make us allocate: the
+    * multi-scan path holds full-image Int coefficient buffers
+    * (~4 B/pixel/component), so an 8-byte header declaring huge dims
+    * must fail as a clean IllegalArgumentException BEFORE allocation,
+    * not as an OOM Error. The default (2^25 ≈ 33.5 MP, ~8K×4K) caps the
+    * worst-case buffers near 400 MB; callers ingesting known-larger
+    * imagery raise it explicitly.
     */
-  def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+  def decode(bytes: Array[Byte],
+             maxPixels: Int = 1 << 25): (Int, Int, Array[Byte]) = {
     require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
     val r = new Reader(bytes)
@@ -477,6 +486,8 @@ object Jpeg {
       h = r.u16(); w = r.u16()
       require(w > 0 && h > 0 && w < (1 << 16) && h < (1 << 16) &&
         w.toLong * h * 3 <= Int.MaxValue, s"bad dims ${w}x$h")
+      require(w.toLong * h <= maxPixels,
+        s"${w}x$h exceeds the $maxPixels-pixel decode limit")
       val n = r.u8()
       require(n == 1 || n == 3, s"unsupported component count $n")
       require(len == 8 + 3 * n, "bad SOF length")

@@ -313,11 +313,20 @@ object Similarity {
     import scala.concurrent.{Await, ExecutionContext, Future, blocking}
     if (tasks.isEmpty) return Seq.empty
     if (tasks.lengthCompare(1) == 0) return Seq(tasks.head())
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    // daemon threads + shutdownNow: a task still wedged when the Await
+    // deadline fires must neither keep running unobserved nor pin the
+    // JVM open (a plain shutdown() would let a non-daemon thread do both)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      tasks.size,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-concurrent-fit")
+        t.setDaemon(true)
+        t
+      })
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try Await.result(
       Future.sequence(tasks.map(t => Future(blocking(t())))), timeout)
-    finally pool.shutdown()
+    finally pool.shutdownNow()
   }
 
   // ---- train-time fit memoization ----

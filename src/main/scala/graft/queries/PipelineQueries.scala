@@ -174,21 +174,50 @@ object PipelineQueries {
     def driverHeapFlat: Boolean = heapDeltaMb < 512L
   }
 
+  /** The shared 1x-vs-10x measurement scaffold (one copy of the noise
+    * protocol — p13 and l21 must not drift apart): heap is probed post-GC
+    * around the 10x run, ratio computed against a 50 ms floor, and the
+    * result printed as a parseable `[tag]` stderr line. `timed1x` /
+    * `timed10x` return (rows, seconds) however the caller defines its
+    * timed region. The 1x run goes first so its codegen/scan warmup can
+    * only shrink the ratio.
+    */
+  private[queries] def measureScalePair(tag: String,
+      timed1x: () => (Long, Double),
+      timed10x: () => (Long, Double)): ScaleRun = {
+    def usedMb(): Long = {
+      val rt = Runtime.getRuntime
+      System.gc(); System.gc()
+      (rt.totalMemory() - rt.freeMemory()) / (1024L * 1024L)
+    }
+    val (rows1, t1) = timed1x()
+    val heap0 = usedMb()
+    val (rows10, t10) = timed10x()
+    val heap1 = usedMb()
+    val ratio = t10 / math.max(t1, 0.05)
+    val run = ScaleRun(rows1, rows10, t1, t10, ratio, heap1 - heap0)
+    val flag = if (run.subquadratic && run.driverHeapFlat) "" else
+      "SCALE REGRESSION: "
+    System.err.println(
+      f"[$tag%s] $flag%st1=$t1%.3fs t10=$t10%.3fs ratio=$ratio%.1f " +
+        f"heapDelta=${run.heapDeltaMb}%dMB")
+    run
+  }
+
   /** Shared by the p13 registry entry (row counts → oracle hash) and
     * PipelineSpec's retrying bound check (ratio/heap → assertion). Both
     * worlds materialize BEFORE any probe: generation (driver sim +
     * parquet dump + permanent simCache memoization) is harness cost, and
     * on a COLD cache it retains O(data) oracle Seqs on the driver —
     * inside the heap window that would flip the flag with zero pipeline
-    * regression (a Verify run has no warmFixtures). The 1x run goes
-    * first so its codegen/scan warmup can only shrink the ratio.
+    * regression (a Verify run has no warmFixtures).
     */
   def measureScaleStress(s: org.apache.spark.sql.SparkSession,
       dir: String): ScaleRun = {
     val n = nFor(dir)
     val w1 = Fixtures.generate(s, nAddresses = n / 4, nBlocks = n)
     val w10 = Fixtures.generate(s, nAddresses = n / 4, nBlocks = n * 10)
-    def timedRun(w: Fixtures.World): (Long, Double) = {
+    def timedRun(w: Fixtures.World)(): (Long, Double) = {
       val df = FullHistory.build(s, w.accountChangeset,
         w.storageChangeset, w.plainCodeHash, w.plainStateAccounts,
         w.plainStateStorage, w.latestBlock)
@@ -201,23 +230,7 @@ object PipelineQueries {
       val (_, tB) = once()
       (rows, math.min(tA, tB))
     }
-    def usedMb(): Long = {
-      val rt = Runtime.getRuntime
-      System.gc(); System.gc()
-      (rt.totalMemory() - rt.freeMemory()) / (1024L * 1024L)
-    }
-    val (rows1, t1) = timedRun(w1)
-    val heap0 = usedMb()
-    val (rows10, t10) = timedRun(w10)
-    val heap1 = usedMb()
-    val ratio = t10 / math.max(t1, 0.05)
-    val run = ScaleRun(rows1, rows10, t1, t10, ratio, heap1 - heap0)
-    val tag = if (run.subquadratic && run.driverHeapFlat) "" else
-      "SCALE REGRESSION: "
-    System.err.println(
-      f"[p13] $tag%st1=$t1%.3fs t10=$t10%.3fs ratio=$ratio%.1f " +
-        f"heapDelta=${run.heapDeltaMb}%dMB")
-    run
+    measureScalePair("p13", timedRun(w1), timedRun(w10))
   }
 
   private def p02Sql(dir: String): String = {

@@ -326,10 +326,15 @@ object StateFiles {
     // source pins it in its offsets, so a stream whose consumed prefix
     // was invalidated by an overwrite fails loudly even when the new
     // snapshot reuses the same part names (the function sink numbers
-    // from 0 again; names alone cannot distinguish the generations)
-    val datasetId =
-      (if (mergeManifest) manifestStringField(dir, "dataset_id") else None)
-        .getOrElse(java.util.UUID.randomUUID().toString)
+    // from 0 again; names alone cannot distinguish the generations).
+    // Merging into a pre-existing manifest that PREDATES the field keeps
+    // it ABSENT rather than minting mid-life: a live stream pinned the
+    // absent generation ("") at start, and minting on a legitimate
+    // append would false-fail it with an "overwritten" diagnostic.
+    val datasetId: Option[String] =
+      if (mergeManifest && manifestText(dir).isDefined)
+        manifestStringField(dir, "dataset_id")
+      else Some(java.util.UUID.randomUUID().toString)
     // streaming appenders carry their batch id forward (monotone max) so
     // a replayed micro-batch is detectable; batch writers omit the field,
     // keeping pre-existing manifests byte-identical in shape. The WRITER
@@ -349,9 +354,11 @@ object StateFiles {
         s""""stream_batch":$sb,""" +
           sidOut.fold("")(id => s""""stream_id":"$id",""")
       else ""
+    val datasetIdJson =
+      datasetId.fold("")(id => s""""dataset_id":"$id",""")
     val manifest =
       s"""{"format":"graft-dat","strategy":$strategy,""" +
-        s""""dataset_id":"$datasetId","page_shift":$PageShift,""" +
+        s"""$datasetIdJson"page_shift":$PageShift,""" +
         s""""block_start":$bStart,""" +
         s""""block_end":$bEnd,"files":$files,$sbJson""" +
         s""""accounts":$accounts,"storage_slots":$slots,""" +

@@ -261,8 +261,16 @@ class DatMicroBatchStream(path: String, strategy: Int, pagesPerSplit: Int,
     graft.spark.StateFiles.manifestStringField(path, "dataset_id")
       .getOrElse("")
 
-  private def offsetAt(files: Seq[String], n: Int): DatOffset =
-    DatOffset(n, if (n == 0) "" else files(n - 1), generation())
+  private def offsetAt(files: Seq[String], n: Int): DatOffset = {
+    val last = if (n == 0) "" else files(n - 1)
+    // the offset is serialized into the checkpoint log as hand-built
+    // JSON with no escaping: generated part-NNNNN.dat names are always
+    // clean, but a hand-edited manifest with a quote/backslash in a name
+    // must fail HERE, not corrupt the durable offset log
+    require(last.forall(c => c != '"' && c != '\\' && c >= ' '),
+      s"file name not offset-serializable: $last")
+    DatOffset(n, last, generation())
+  }
 
   // Trigger.AvailableNow pins the drain target ONCE at query start: the
   // query then processes exactly the files committed before it started,
@@ -294,15 +302,17 @@ class DatMicroBatchStream(path: String, strategy: Int, pagesPerSplit: Int,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[DatOffset]
-    val target = availableNowTarget.getOrElse {
-      val files = committedFiles()
-      offsetAt(files, files.length)
-    }
+    // ONE manifest read per call: the capped branch slices this same
+    // snapshot, so an overwrite racing this trigger can never
+    // index-out-of-bounds here — it surfaces as requirePrefix's loud
+    // diagnostic in planInputPartitions instead
+    val files = committedFiles()
+    val target = availableNowTarget.getOrElse(offsetAt(files, files.length))
     limit match {
       case mf: ReadMaxFiles if target.files > s.files =>
         val capped = math.min(target.files, s.files + mf.maxFiles())
-        if (capped == target.files) target
-        else offsetAt(committedFiles(), capped)
+        if (capped >= target.files || files.length < capped) target
+        else offsetAt(files, capped)
       case _ => target
     }
   }
