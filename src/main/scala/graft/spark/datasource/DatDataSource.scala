@@ -141,8 +141,10 @@ class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    // pushed filters prune the streaming splits exactly like the batch
+    // scan's (same .idx bounds; filters stay residual either way)
     new DatMicroBatchStream(path, strategy, pagesPerSplit,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, addressBounds, blockLo, blockHi)
 }
 
 /** Shared per-file split planning (batch scan + micro-batch stream): one
@@ -244,7 +246,11 @@ object DatOffset {
   * side.
   */
 class DatMicroBatchStream(path: String, strategy: Int, pagesPerSplit: Int,
-                          maxFilesPerTrigger: Option[Int])
+                          maxFilesPerTrigger: Option[Int],
+                          addressBounds: Option[(Array[Byte], Array[Byte])] =
+                            None,
+                          blockLo: Option[Long] = None,
+                          blockHi: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
@@ -351,7 +357,8 @@ class DatMicroBatchStream(path: String, strategy: Int, pagesPerSplit: Int,
     files.slice(s.files, e.files)
       .filter(_.endsWith(".dat"))
       .flatMap(n => DatSplitPlanner.splitsForFile(
-        Paths.get(path, n), pagesPerSplit))
+        Paths.get(path, n), pagesPerSplit, addressBounds, blockLo,
+        blockHi))
       .toArray
   }
 
