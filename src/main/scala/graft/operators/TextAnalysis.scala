@@ -295,6 +295,37 @@ object TextAnalysis {
       .token_ngrams(tokens(text), n)
   }
 
+  /** Benchmark DECONTAMINATION — the standard training-data hygiene
+    * step: flag every training document that shares at least one word
+    * n-gram with a held-out benchmark/eval set, so evaluation data can
+    * be excised from the corpus before training (the n-gram-overlap
+    * method; n ≈ 8–13 in practice — long enough that shared runs are
+    * copies, not idiom).
+    *
+    * Spark shape for 100 TB: the benchmark is SMALL by nature (eval
+    * sets are thousands of documents against a corpus of billions), so
+    * its distinct n-gram set broadcasts — the corpus side computes
+    * n-grams narrowly (one-pass [[tokenNgramsAll]] kernel, no shuffle
+    * of text) and the broadcast join + partial count aggregate mean the
+    * only shuffled rows are (doc_id, partial hit count), one per
+    * contaminated doc per partition. Returns one row per CONTAMINATED
+    * training doc: (doc_id, n_hits — n-gram instances matched,
+    * frequency semantics — and first_ngram, the lexicographically first
+    * matched n-gram as a review witness).
+    */
+  def contaminatedDocs(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val bGrams = benchmark
+      .select(explode(tokenNgramsAll(col(textCol), n)).as("ngram"))
+      .distinct()
+    docs.select(col(idCol), explode(tokenNgramsAll(col(textCol), n))
+        .as("ngram"))
+      .join(broadcast(bGrams), Seq("ngram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), min(col("ngram")).as("first_ngram"))
+  }
+
   /** Word k-gram shingles (distinct), the dedup unit for MinHash/Jaccard. */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = tokens(text)

@@ -590,6 +590,38 @@ object LlmQueries {
           .toDF("docs_1x", "docs_10x", "pairs_1x", "pairs_10x")
       }, None, Some(dir => l21Sql(dir))),
 
+    // Benchmark decontamination: every 20th document plays the held-out
+    // eval set; training docs sharing any 8-token n-gram with it are
+    // flagged with hit counts and a witness n-gram. DuckDB re-derives
+    // the whole thing directly (same tokenization as the jaccard
+    // oracles, inclusive list slicing for the 8-grams).
+    "l22_decontaminate" -> QuerySpec(
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        TextAnalysis.contaminatedDocs(
+            docs.filter(col("doc_id") % 20 =!= 0),
+            docs.filter(col("doc_id") % 20 === 0), n = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |                x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    [array_to_string(toks[i:i+7], ' ')
+             |     for i in generate_series(1, len(toks) - 7)] AS gs
+             |  FROM t),
+             |bg AS (SELECT DISTINCT unnest(gs) AS ngram FROM g
+             |       WHERE doc_id % 20 = 0),
+             |tg AS (SELECT doc_id, unnest(gs) AS ngram FROM g
+             |       WHERE doc_id % 20 <> 0)
+             |SELECT tg.doc_id, COUNT(*) AS n_hits,
+             |  MIN(tg.ngram) AS first_ngram
+             |FROM tg JOIN bg USING (ngram)
+             |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin)),
+
     // Deterministic per-source sample: 20 docs per source under
     // content-hash order — the reproducible corpus-curation primitive
     // (random sampling could never be oracled).

@@ -510,6 +510,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination flags exactly the docs sharing benchmark n-grams") {
+    val train = Seq(
+      // shares the benchmark's full 8-token run TWICE (frequency counts)
+      (1L, "x x the quick brown fox jumps over the lazy dog y " +
+        "the quick brown fox jumps over the lazy dog"),
+      // shares a 7-token run only — under n=8, clean
+      (2L, "quick brown fox jumps over the lazy cat entirely"),
+      (3L, "completely unrelated text with no overlap at all here ok"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.contaminatedDocs(train, bench, n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 1 matches both 8-gram windows of the benchmark sentence, twice
+    // each (two copies in the doc) = 4 instance hits; docs 2/3 clean
+    assert(got == Map(1L -> 4L), s"got $got")
+    // n bound is respected: at n=7 the near-miss doc 2 IS contaminated
+    val at7 = TextAnalysis.contaminatedDocs(train, bench, n = 7)
+      .collect().map(_.getLong(0)).toSet
+    assert(at7.contains(2L) && at7.contains(1L))
+  }
+
   test("l21 scale bounds: 10x documents stays sub-quadratic with flat " +
       "driver heap") {
     // The l21 registry entry oracle-hashes only the design-exact counts;
