@@ -326,6 +326,18 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"), min(col("ngram")).as("first_ngram"))
   }
 
+  /** The cleaned corpus: [[contaminatedDocs]]' flags applied as a
+    * left-anti join — training docs with any benchmark n-gram overlap
+    * removed. The anti-join keys on ids only (the flag frame is
+    * contaminated-doc-sized, orders of magnitude below the corpus).
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs.join(
+      contaminatedDocs(docs, benchmark, n, idCol, textCol).select(idCol),
+      Seq(idCol), "left_anti")
+
   /** Word k-gram shingles (distinct), the dedup unit for MinHash/Jaccard. */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = tokens(text)

@@ -531,6 +531,10 @@ class OperatorSpec extends AnyFunSuite {
     val at7 = TextAnalysis.contaminatedDocs(train, bench, n = 7)
       .collect().map(_.getLong(0)).toSet
     assert(at7.contains(2L) && at7.contains(1L))
+    // the cleaned corpus is everything minus the flagged ids
+    val clean = TextAnalysis.decontaminate(train, bench, n = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 3L))
   }
 
   test("l21 scale bounds: 10x documents stays sub-quadratic with flat " +
