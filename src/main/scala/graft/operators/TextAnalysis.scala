@@ -306,12 +306,14 @@ object TextAnalysis {
     * sets are thousands of documents against a corpus of billions), so
     * its distinct n-gram set broadcasts — the corpus side computes
     * n-grams narrowly (one-pass [[tokenNgramsAll]] kernel, no shuffle
-    * of text) and the broadcast join + partial count aggregate mean the
-    * only shuffled rows are (doc_id, partial hit count), one per
-    * contaminated doc per partition. Returns one row per CONTAMINATED
-    * training doc: (doc_id, n_hits — n-gram instances matched,
-    * frequency semantics — and first_ngram, the lexicographically first
-    * matched n-gram as a review witness).
+    * of text) and the broadcast join + partial aggregate mean the only
+    * shuffled rows are (doc_id, partial count, partial min witness),
+    * one per contaminated doc per partition — the witness n-gram string
+    * is the widest field; use [[decontaminate]] when only the verdict
+    * matters. Returns one row per CONTAMINATED training doc: (doc_id,
+    * n_hits — n-gram instances matched, frequency semantics — and
+    * first_ngram, the lexicographically first matched n-gram as a
+    * review witness).
     */
   def contaminatedDocs(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
                        idCol: String = "doc_id",
@@ -326,17 +328,25 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"), min(col("ngram")).as("first_ngram"))
   }
 
-  /** The cleaned corpus: [[contaminatedDocs]]' flags applied as a
-    * left-anti join — training docs with any benchmark n-gram overlap
-    * removed. The anti-join keys on ids only (the flag frame is
-    * contaminated-doc-sized, orders of magnitude below the corpus).
+  /** The cleaned corpus: training docs with any benchmark n-gram
+    * overlap removed via a left-anti join on flagged ids. The flag side
+    * here is a bare id DISTINCT (not [[contaminatedDocs]]' report): when
+    * only the verdict matters, shuffling hit counts and witness strings
+    * to discard them is wasted bytes at corpus scale.
     */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame =
-    docs.join(
-      contaminatedDocs(docs, benchmark, n, idCol, textCol).select(idCol),
-      Seq(idCol), "left_anti")
+                    textCol: String = "text"): DataFrame = {
+    val bGrams = benchmark
+      .select(explode(tokenNgramsAll(col(textCol), n)).as("ngram"))
+      .distinct()
+    val flagged = docs
+      .select(col(idCol), explode(tokenNgramsAll(col(textCol), n))
+        .as("ngram"))
+      .join(broadcast(bGrams), Seq("ngram"))
+      .select(col(idCol)).distinct()
+    docs.join(flagged, Seq(idCol), "left_anti")
+  }
 
   /** Word k-gram shingles (distinct), the dedup unit for MinHash/Jaccard. */
   def shingles(text: Column, k: Int = 3): Column = {

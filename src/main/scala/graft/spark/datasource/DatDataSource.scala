@@ -55,7 +55,9 @@ class DatTable(path: String, strategy: Int, pagesPerSplit: Int)
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DatScanBuilder(path, strategy, pagesPerSplit,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("blockGte")).map(_.toLong),
+      Option(options.get("blockLte")).map(_.toLong))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -66,7 +68,9 @@ class DatTable(path: String, strategy: Int, pagesPerSplit: Int)
 }
 
 class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int,
-                     maxFilesPerTrigger: Option[Int] = None)
+                     maxFilesPerTrigger: Option[Int] = None,
+                     optBlockGte: Option[Long] = None,
+                     optBlockLte: Option[Long] = None)
     extends ScanBuilder with Scan with Batch
     with SupportsPushDownFilters {
 
@@ -141,10 +145,16 @@ class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    // pushed filters prune the streaming splits exactly like the batch
-    // scan's (same .idx bounds; filters stay residual either way)
+    // Spark does NOT push filters into streaming DSv2 scans (verified on
+    // 4.1.2: MicroBatchExecution builds the scan straight from
+    // newScanBuilder, before the optimizer sees any Filter), so
+    // streaming split pruning is OPT-IN via the blockGte/blockLte read
+    // options — the "tail only blocks ≥ N" case. Pruning is at split
+    // granularity (same .idx bounds as the batch scan) and a superset:
+    // rows inside kept splits are NOT row-filtered here, compose with
+    // .filter() for exact semantics.
     new DatMicroBatchStream(path, strategy, pagesPerSplit,
-      maxFilesPerTrigger, addressBounds, blockLo, blockHi)
+      maxFilesPerTrigger, optBlockGte, optBlockLte)
 }
 
 /** Shared per-file split planning (batch scan + micro-batch stream): one
@@ -247,8 +257,6 @@ object DatOffset {
   */
 class DatMicroBatchStream(path: String, strategy: Int, pagesPerSplit: Int,
                           maxFilesPerTrigger: Option[Int],
-                          addressBounds: Option[(Array[Byte], Array[Byte])] =
-                            None,
                           blockLo: Option[Long] = None,
                           blockHi: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
@@ -357,8 +365,8 @@ class DatMicroBatchStream(path: String, strategy: Int, pagesPerSplit: Int,
     files.slice(s.files, e.files)
       .filter(_.endsWith(".dat"))
       .flatMap(n => DatSplitPlanner.splitsForFile(
-        Paths.get(path, n), pagesPerSplit, addressBounds, blockLo,
-        blockHi))
+        Paths.get(path, n), pagesPerSplit, blockLo = blockLo,
+        blockHi = blockHi))
       .toArray
   }
 

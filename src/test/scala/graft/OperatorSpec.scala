@@ -527,10 +527,12 @@ class OperatorSpec extends AnyFunSuite {
     // doc 1 matches both 8-gram windows of the benchmark sentence, twice
     // each (two copies in the doc) = 4 instance hits; docs 2/3 clean
     assert(got == Map(1L -> 4L), s"got $got")
-    // n bound is respected: at n=7 the near-miss doc 2 IS contaminated
+    // n bound is respected: at n=7 the near-miss doc 2 IS contaminated —
+    // and doc 3 still is NOT (exact set: an over-flagging regression
+    // that marks everything must fail here, not just the n=8 check)
     val at7 = TextAnalysis.contaminatedDocs(train, bench, n = 7)
       .collect().map(_.getLong(0)).toSet
-    assert(at7.contains(2L) && at7.contains(1L))
+    assert(at7 == Set(1L, 2L), s"got $at7")
     // the cleaned corpus is everything minus the flagged ids
     val clean = TextAnalysis.decontaminate(train, bench, n = 8)
       .collect().map(_.getLong(0)).toSet

@@ -202,6 +202,51 @@ class StreamingSpec extends AnyFunSuite {
       s"unexpected failure: $ex")
   }
 
+  test("streaming .dat source prunes splits via blockGte/blockLte options") {
+    import org.apache.spark.sql.functions.col
+    val world = Fixtures.generate(spark, nAddresses = 16, nBlocks = 80,
+      seed = 7L)
+    val h = FullHistory.build(spark, world.accountChangeset,
+      world.storageChangeset, world.plainCodeHash,
+      world.plainStateAccounts, world.plainStateStorage, world.latestBlock)
+    val items = graft.spark.StateFormat.asItems(
+      h.withColumnRenamed("valid_from_block", "block"))
+    val mid = world.latestBlock / 2
+    val lo = items.filter(col("block") < mid)
+    val hi = items.filter(col("block") >= mid)
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    // two increments with DISJOINT block ranges → the low increment's
+    // files have maxBlock < mid in their .idx bounds and a blockGte=mid
+    // tail must prune them entirely (split-granularity, superset — here
+    // exact because the ranges are disjoint at file level)
+    graft.spark.StateFiles.append(lo, dir, 0)
+    graft.spark.StateFiles.append(hi, dir, 0)
+    def drained(opts: Map[String, String]): Long = {
+      val got = new java.util.concurrent.atomic.AtomicLong
+      val q = opts.foldLeft(spark.readStream
+          .format("graft.spark.datasource.DatDataSource")
+          .option("strategy", "0")) { case (r, (k, v)) => r.option(k, v) }
+        .load(dir)
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) => got.addAndGet(b.count()); ()
+        }
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft-prune-ck").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      got.get()
+    }
+    val nHi = hi.count()
+    val nAll = items.count()
+    assert(drained(Map.empty) == nAll)
+    assert(drained(Map("blockGte" -> mid.toString)) == nHi,
+      "blockGte did not prune the low-block increment's splits")
+    assert(drained(Map("blockLte" -> (mid - 1).toString)) == nAll - nHi)
+  }
+
   test("DSv2 streaming sink mirrors a .dat archive with exactly-once " +
       "epochs") {
     val world = Fixtures.generate(spark, nAddresses = 16, nBlocks = 80,
