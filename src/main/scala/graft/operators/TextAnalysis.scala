@@ -348,6 +348,45 @@ object TextAnalysis {
     docs.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** WITHIN-document repetition signals — the Gopher-style quality
+    * rules that catch boilerplate/spam text cross-document dedup never
+    * sees (a page repeating one nav bar 50 times is unique as a
+    * document but garbage as training data):
+    *
+    *  - `top_token_frac`: occurrences of the most common token over all
+    *    tokens — high = keyword stuffing;
+    *  - `dup_2gram_frac` / `dup_3gram_frac`: fraction of word n-grams
+    *    that are repeats of an earlier n-gram — high = templated text.
+    *
+    * All NARROW per-row array computation (no shuffle, no UDF): token
+    * counts via a distinct×filter comprehension (O(d·n) per row — docs
+    * are short; a pathological row is exactly what the metric flags),
+    * n-gram repeats via the one-pass [[tokenNgramsAll]] kernel minus
+    * `array_distinct`. Fractions are quant4-quantized — exactly-rounded
+    * int→double casts and one division, bit-reproducible cross-engine.
+    */
+  def repetitionStats(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val counts = transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t)))
+    val topFrac = when(n > 0,
+      array_max(counts).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0d))
+    def dupFrac(g: Int): Column = {
+      val gs = tokenNgramsAll(col(textCol), g)
+      val ng = size(gs)
+      when(ng > 0,
+        (ng - size(array_distinct(gs))).cast("double") / ng.cast("double"))
+        .otherwise(lit(0.0d))
+    }
+    df.select(col(idCol), n.as("n_tokens"),
+      quant4(topFrac).as("top_token_frac"),
+      quant4(dupFrac(2)).as("dup_2gram_frac"),
+      quant4(dupFrac(3)).as("dup_3gram_frac"))
+  }
+
   /** Word k-gram shingles (distinct), the dedup unit for MinHash/Jaccard. */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = tokens(text)

@@ -590,6 +590,50 @@ object LlmQueries {
           .toDF("docs_1x", "docs_10x", "pairs_1x", "pairs_10x")
       }, None, Some(dir => l21Sql(dir))),
 
+    // Within-document repetition (Gopher-style quality rules): top-token
+    // fraction + duplicate 2/3-gram fractions, all narrow per-row array
+    // math. DuckDB mirrors the comprehensions exactly (same tokenization,
+    // inclusive slicing, int→double casts, one division, quant4).
+    "l23_repetition" -> QuerySpec(
+      (s, dir) => TextAnalysis.repetitionStats(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |                x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id, toks, len(toks) AS n,
+             |    [array_to_string(toks[i:i+1], ' ')
+             |     for i in generate_series(1, len(toks) - 1)] AS g2,
+             |    [array_to_string(toks[i:i+2], ' ')
+             |     for i in generate_series(1, len(toks) - 2)] AS g3
+             |  FROM t),
+             |f AS (
+             |  SELECT doc_id, n,
+             |    CASE WHEN n > 0 THEN
+             |      list_max(list_transform(list_distinct(toks),
+             |        t -> len(list_filter(toks, y -> y = t))))::DOUBLE
+             |        / n::DOUBLE
+             |    ELSE 0.0::DOUBLE END AS tf,
+             |    CASE WHEN len(g2) > 0 THEN
+             |      (len(g2) - len(list_distinct(g2)))::DOUBLE
+             |        / len(g2)::DOUBLE
+             |    ELSE 0.0::DOUBLE END AS d2,
+             |    CASE WHEN len(g3) > 0 THEN
+             |      (len(g3) - len(list_distinct(g3)))::DOUBLE
+             |        / len(g3)::DOUBLE
+             |    ELSE 0.0::DOUBLE END AS d3
+             |  FROM m)
+             |SELECT doc_id, n AS n_tokens,
+             |  floor(tf * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+             |    AS top_token_frac,
+             |  floor(d2 * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+             |    AS dup_2gram_frac,
+             |  floor(d3 * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+             |    AS dup_3gram_frac
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
     // Benchmark decontamination: every 20th document plays the held-out
     // eval set; training docs sharing any 8-token n-gram with it are
     // flagged with hit counts and a witness n-gram. DuckDB re-derives

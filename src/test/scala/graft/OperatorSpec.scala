@@ -510,6 +510,26 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition stats flag stuffed and templated text") {
+    val df = Seq(
+      (1L, "spam spam spam spam"), // pure stuffing
+      (2L, "a b c d e"),           // no repetition
+      (3L, "x y x y x y"))         // templated alternation
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(df).collect()
+      .map(row => row.getLong(0) ->
+        (row.getInt(1), row.getDouble(2), row.getDouble(3),
+          row.getDouble(4))).toMap
+    // doc 1: 4 tokens all equal → tf 1.0; 3 bigrams, 1 distinct → 2/3;
+    // 2 trigrams, 1 distinct → 1/2
+    assert(r(1L) == ((4, 1.0, 0.6667, 0.5)), s"got ${r(1L)}")
+    // doc 2: clean
+    assert(r(2L) == ((5, 0.2, 0.0, 0.0)), s"got ${r(2L)}")
+    // doc 3: tf 3/6; bigrams 5 with 2 distinct → 3/5; trigrams 4 with
+    // 2 distinct → 1/2
+    assert(r(3L) == ((6, 0.5, 0.6, 0.5)), s"got ${r(3L)}")
+  }
+
   test("decontamination flags exactly the docs sharing benchmark n-grams") {
     val train = Seq(
       // shares the benchmark's full 8-token run TWICE (frequency counts)
