@@ -419,6 +419,33 @@ object Dedup {
     labels
   }
 
+  /** SEMANTIC dedup over embeddings (the SemDeDup shape): coarse
+    * k-means cells bound the pair space — exact cosine runs only WITHIN
+    * a cell — and near-duplicate pairs (cosine ≥ threshold) collapse to
+    * connected components, labeled by their minimum id (the canonical
+    * keeper). Cell-local by design: a near-dup pair split across a cell
+    * boundary is missed, the standard recall trade every
+    * billion-vector deployment makes (centroids come from
+    * [[Similarity.fitIvfCentroids]] / the cached variant — train-time,
+    * sample-able, plan literals forever after). Only (id, cell) and the
+    * verified pair ids shuffle; vectors are compared cell-locally and
+    * never leave their join.
+    *
+    * @return (id, cluster) for every id in at least one near-dup pair;
+    *         `id == cluster` marks the keeper.
+    */
+  def semanticDedup(vectors: DataFrame,
+                    centroids: Array[Array[Double]],
+                    threshold: Double = 0.95, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val v = Similarity.assignCells(vectors, centroids, idCol, vecCol)
+    val pairs = v.as("x").join(v.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .filter(Similarity.cosine(col("x.v"), col("y.v")) >= threshold)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    clusters(pairs)
+  }
+
   /** 64-bit SimHash from token hashes — sign of per-bit vote sums. One-pass
     * kernel for the same Catalyst re-evaluation reason as
     * [[minhashSignature]] (64 nested aggregates re-inline the token-hash

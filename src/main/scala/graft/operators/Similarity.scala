@@ -259,6 +259,35 @@ object Similarity {
     ivfSearch(vectors, queries, k, nProbe, idCol, vecCol, centroidScores)
   }
 
+  /** Nearest-cell assignment against an explicit centroid matrix:
+    * (id, v, cell), cell = argmax (2·v·c − ‖c‖²) with ties to the
+    * HIGHER cell id — the exact convention of [[ivfTopKWithCentroids]]'
+    * scan side (reverse array_sort), reproducible by an external engine
+    * as `ORDER BY score DESC, cell DESC`. The coarse-partition primitive
+    * that cell-local operators (IVF probes, semantic dedup) share.
+    */
+  def assignCells(vectors: DataFrame, centroids: Array[Array[Double]],
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "empty centroid matrix")
+    val n = centroids.length
+    val cLit = array(centroids.map(c =>
+      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val c2 = centroids.map(c => c.map(x => x * x).sum)
+    val c2Lit = array(c2.map(lit).toIndexedSeq: _*)
+    def scores(vec: Column): Column =
+      guardDims(vec, centroids.head.length,
+        zip_with(cLit, sequence(lit(0), lit(n - 1)), (c, idx) =>
+          struct(
+            (aggregate(zip_with(vec, c, (x, cc) => x.cast("double") * cc),
+              lit(0.0d), (a, d) => a + d) * lit(2.0d) -
+              element_at(c2Lit, idx.cast("int") + 1)).as("score"),
+            idx.as("cell"))))
+    vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      element_at(reverse(array_sort(scores(col(vecCol)))), 1)
+        .getField("cell").as("cell"))
+  }
+
   /** IVF with TRAINED centroids: k-means fit, then the literal-centroid
     * probe of [[ivfTopKWithCentroids]].
     */

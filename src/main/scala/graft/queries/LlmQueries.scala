@@ -802,6 +802,35 @@ object LlmQueries {
           .orderBy(col("query_id"), col("rank"))
       }, None, Some(dir => s06Sql(dir))),
 
+    // SEMANTIC dedup (the SemDeDup shape): trained coarse cells bound
+    // the pair space, exact cosine verifies within cells, connected
+    // components pick the minimum-id keeper. The synthetic embeddings
+    // are pure random (max pairwise cosine ≈ 0.51), so the entry plants
+    // positives per the l04/l05 convention — EXACT copies of vec_id<10
+    // at id+100000 (copies share the original's cell by construction
+    // and pair at cosine 1.0; no float→double perturbation arithmetic
+    // to mirror). Centroids are fitted on the BASE table (shared cached
+    // fit with s04/s06). The oracle is fully self-contained DuckDB:
+    // the same planted union, cell assignment re-derived from the
+    // captured centroid literals (score DESC, cell DESC ties — the
+    // engine's reverse-sort convention), within-cell cosine at full
+    // precision (list_inner_product ≡ the plan's left-to-right dot,
+    // s01-proven), and a recursive CTE for the components (the l10
+    // pattern, but with the pairs derived in-SQL, not passed in).
+    "s07_semantic_dedup" -> QuerySpec(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val base = e.select(col("vec_id"), col("embedding"))
+        val planted = base.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            col("embedding"))
+        val cents = Similarity.ivfCentroidsCached(dir, e)
+        s07CentroidsByDir(dir) = cents
+        graft.operators.Dedup.semanticDedup(base.unionByName(planted),
+            cents, threshold = 0.95)
+          .orderBy(col("id"))
+      }, None, Some(dir => s07Sql(dir))),
+
     // -- multimodal --
     //
     // The m-oracles are GOLDEN parquet built by MultimodalGolden: a replay
@@ -1281,6 +1310,8 @@ object LlmQueries {
     scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]()
   private val s05BooksByDir =
     scala.collection.concurrent.TrieMap[String, Array[Array[Array[Double]]]]()
+  private val s07CentroidsByDir =
+    scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]()
   private val s06CapturesByDir = scala.collection.concurrent.TrieMap[
     String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
 
@@ -1356,6 +1387,48 @@ object LlmQueries {
     val centVals = cents.zipWithIndex
       .map { case (c, i) => s"($i, ${sqlArr(c)})" }.mkString(", ")
     ivfSql("(cell, c)", centVals, "list_inner_product(e, c)")
+  }
+
+  private def s07Sql(dir: String): String = {
+    val cents = s07CentroidsByDir.getOrElse(dir,
+      sys.error(s"s07 never ran for $dir — no centroids captured"))
+    val centVals = cents.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      s"($i, ${sqlArr(c)}, $c2::DOUBLE)"
+    }.mkString(", ")
+    s"""WITH RECURSIVE
+       |base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings
+       |  WHERE vec_id < 10),
+       |cents(cell, c, c2) AS (VALUES $centVals),
+       |asg AS (SELECT vec_id, e, cell FROM (
+       |  SELECT b.vec_id, b.e, k.cell, row_number() OVER (
+       |    PARTITION BY b.vec_id ORDER BY
+       |      list_inner_product(b.e, k.c) * 2.0 - k.c2 DESC,
+       |      k.cell DESC) AS rn
+       |  FROM base b CROSS JOIN cents k) WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM asg a JOIN asg b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE (CASE WHEN sqrt(list_inner_product(a.e, a.e))
+       |                   * sqrt(list_inner_product(b.e, b.e)) <> 0
+       |         THEN list_inner_product(a.e, b.e)
+       |              / (sqrt(list_inner_product(a.e, a.e))
+       |                 * sqrt(list_inner_product(b.e, b.e)))
+       |         ELSE 0 END) >= (0.95)::DOUBLE),
+       |edges(src, dst) AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT rr.id, e2.dst FROM reach rr JOIN edges e2
+       |    ON e2.src = rr.r)
+       |SELECT id, MIN(r) AS cluster FROM reach
+       |GROUP BY id ORDER BY id""".stripMargin
   }
 
   private def s04Sql(dir: String): String = {

@@ -510,6 +510,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup clusters cell-local near-dup vectors to min id") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.01f)),   // cell 0
+      (2L, Array(1.0f, 0.011f)),  // cell 0, ~cosine 1 with id 1
+      (3L, Array(0.01f, 1.0f)),   // cell 1
+      (4L, Array(0.011f, 1.0f)),  // cell 1, ~cosine 1 with id 3
+      (5L, Array(1.0f, -0.9f)))   // cell 0, far from everything
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val got = graft.operators.Dedup.semanticDedup(vecs, cents,
+        threshold = 0.95).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two components, each labeled by its min id; the unpaired id 5 is
+    // absent (nothing to dedup)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L), s"$got")
+  }
+
   test("repetition stats flag stuffed and templated text") {
     val df = Seq(
       (1L, "spam spam spam spam"), // pure stuffing
