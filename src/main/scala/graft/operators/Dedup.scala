@@ -375,12 +375,19 @@ object Dedup {
 
   /** Near-duplicate CLUSTERS from a pair list: connected components via
     * iterative label propagation (each id adopts the minimum label among
-    * itself and its neighbors until fixed point — converges in O(log
-    * diameter) rounds; `localCheckpoint` truncates the growing lineage each
-    * round). Returns (id, cluster) where cluster = min id of the
-    * component, i.e. the canonical document to KEEP; everything else in
-    * the cluster is droppable. This is the step that turns pairwise
+    * itself and its neighbors until fixed point — the min label travels
+    * ONE hop per round, so convergence is O(component diameter) rounds;
+    * `localCheckpoint` truncates the growing lineage each round).
+    * Returns (id, cluster) where cluster = min id of the component,
+    * i.e. the canonical document to KEEP; everything else in the
+    * cluster is droppable. This is the step that turns pairwise
     * near-dup detection into dedup decisions.
+    *
+    * A component with diameter > `maxIterations` THROWS rather than
+    * returning silently-wrong labels (multiple rows would claim
+    * `id == cluster` and the keeper contract would break unobserved);
+    * near-dup graphs are overwhelmingly star/clique-shaped, so the
+    * default covers real corpora — raise it for pathological chains.
     */
   def clusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     // edges and the initial labels are materialized ONCE (eager
@@ -416,6 +423,11 @@ object Dedup {
       labels = next.drop("__chg")
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxIterations rounds — " +
+          "a component's diameter exceeds the bound; raise maxIterations " +
+          "(labels would be silently non-minimal otherwise)")
     labels
   }
 
@@ -427,9 +439,14 @@ object Dedup {
     * boundary is missed, the standard recall trade every
     * billion-vector deployment makes (centroids come from
     * [[Similarity.fitIvfCentroids]] / the cached variant — train-time,
-    * sample-able, plan literals forever after). Only (id, cell) and the
-    * verified pair ids shuffle; vectors are compared cell-locally and
-    * never leave their join.
+    * sample-able, plan literals forever after). Shuffle shape: the cell
+    * self-join hash-partitions (id, vector, cell) by cell on BOTH sides
+    * — vector payload included — so shuffled bytes ≈ 2× the embedding
+    * column; at deployment scale the vectors would live in a
+    * cell-bucketed store (the [[materializeSignatures]] layout applied
+    * to embeddings) making the self-join exchange-free, exactly as l14
+    * does for text signatures. Downstream of the join only verified
+    * pair ids move.
     *
     * @return (id, cluster) for every id in at least one near-dup pair;
     *         `id == cluster` marks the keeper.
@@ -437,13 +454,14 @@ object Dedup {
   def semanticDedup(vectors: DataFrame,
                     centroids: Array[Array[Double]],
                     threshold: Double = 0.95, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    maxIterations: Int = 20): DataFrame = {
     val v = Similarity.assignCells(vectors, centroids, idCol, vecCol)
     val pairs = v.as("x").join(v.as("y"),
         col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
       .filter(Similarity.cosine(col("x.v"), col("y.v")) >= threshold)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-    clusters(pairs)
+    clusters(pairs, maxIterations)
   }
 
   /** 64-bit SimHash from token hashes — sign of per-bit vote sums. One-pass

@@ -241,14 +241,29 @@ object Similarity {
   def ivfTopKWithCentroids(vectors: DataFrame, queries: DataFrame, k: Int,
                            centroids: Array[Array[Double]], nProbe: Int = 4,
                            idCol: String = "vec_id",
-                           vecCol: String = "embedding"): DataFrame = {
+                           vecCol: String = "embedding"): DataFrame =
+    ivfSearch(vectors, queries, k, nProbe, idCol, vecCol,
+      literalCellScores(centroids))
+
+  /** The ONE copy of the literal-centroid cell-scoring expression:
+    * per cell, `2·v·c − ‖c‖²` (orders like −‖v−c‖², the ‖v‖² term being
+    * constant per vector) with ‖c‖² folded in driver-side — one
+    * reproducible dot per cell, re-derivable by an external engine via
+    * `list_inner_product(e, c) * 2 − c2`. Every consumer of the
+    * centroid-matrix convention ([[ivfTopKWithCentroids]],
+    * [[ivfPqTopK]], [[assignCells]]) MUST go through this helper: the
+    * accumulation order and tie convention are load-bearing for the
+    * DuckDB oracle contract.
+    */
+  private[graft] def literalCellScores(
+      centroids: Array[Array[Double]]): Column => Column = {
     require(centroids.nonEmpty, "empty centroid matrix")
     val n = centroids.length
     val cLit = array(centroids.map(c =>
       array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
     val c2 = centroids.map(c => c.map(x => x * x).sum)
     val c2Lit = array(c2.map(lit).toIndexedSeq: _*)
-    def centroidScores(vec: Column): Column =
+    vec =>
       guardDims(vec, centroids.head.length,
         zip_with(cLit, sequence(lit(0), lit(n - 1)), (c, idx) =>
           struct(
@@ -256,7 +271,6 @@ object Similarity {
               lit(0.0d), (a, d) => a + d) * lit(2.0d) -
               element_at(c2Lit, idx.cast("int") + 1)).as("score"),
             idx.as("cell"))))
-    ivfSearch(vectors, queries, k, nProbe, idCol, vecCol, centroidScores)
   }
 
   /** Nearest-cell assignment against an explicit centroid matrix:
@@ -269,20 +283,7 @@ object Similarity {
   def assignCells(vectors: DataFrame, centroids: Array[Array[Double]],
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
-    require(centroids.nonEmpty, "empty centroid matrix")
-    val n = centroids.length
-    val cLit = array(centroids.map(c =>
-      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-    val c2 = centroids.map(c => c.map(x => x * x).sum)
-    val c2Lit = array(c2.map(lit).toIndexedSeq: _*)
-    def scores(vec: Column): Column =
-      guardDims(vec, centroids.head.length,
-        zip_with(cLit, sequence(lit(0), lit(n - 1)), (c, idx) =>
-          struct(
-            (aggregate(zip_with(vec, c, (x, cc) => x.cast("double") * cc),
-              lit(0.0d), (a, d) => a + d) * lit(2.0d) -
-              element_at(c2Lit, idx.cast("int") + 1)).as("score"),
-            idx.as("cell"))))
+    val scores = literalCellScores(centroids)
     vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
       element_at(reverse(array_sort(scores(col(vecCol)))), 1)
         .getField("cell").as("cell"))
@@ -483,20 +484,7 @@ object Similarity {
                 books: Array[Array[Array[Double]]], nProbe: Int = 4,
                 rerank: Int = 32, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
-    require(centroids.nonEmpty, "empty centroid matrix")
-    val n = centroids.length
-    val cLit = array(centroids.map(c =>
-      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-    val c2 = centroids.map(c => c.map(x => x * x).sum)
-    val c2Lit = array(c2.map(lit).toIndexedSeq: _*)
-    def centroidScores(vec: Column): Column =
-      guardDims(vec, centroids.head.length,
-        zip_with(cLit, sequence(lit(0), lit(n - 1)), (c, idx) =>
-          struct(
-            (aggregate(zip_with(vec, c, (x, cc) => x.cast("double") * cc),
-              lit(0.0d), (a, d) => a + d) * lit(2.0d) -
-              element_at(c2Lit, idx.cast("int") + 1)).as("score"),
-            idx.as("cell"))))
+    val centroidScores = literalCellScores(centroids)
     def topCells(vec: Column, nn: Int): Column =
       transform(slice(reverse(array_sort(centroidScores(vec))), 1, nn),
         s => s.getField("cell"))

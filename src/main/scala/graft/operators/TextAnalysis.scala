@@ -315,18 +315,27 @@ object TextAnalysis {
     * first_ngram, the lexicographically first matched n-gram as a
     * review witness).
     */
-  def contaminatedDocs(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
-                       idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
+  /** The shared contamination subplan — ONE copy of the tokenization +
+    * broadcast contract both surfaces depend on: (idCol, ngram), one
+    * row per matched n-gram INSTANCE in a training doc.
+    */
+  private def benchmarkHits(docs: DataFrame, benchmark: DataFrame,
+                            n: Int, idCol: String,
+                            textCol: String): DataFrame = {
     val bGrams = benchmark
       .select(explode(tokenNgramsAll(col(textCol), n)).as("ngram"))
       .distinct()
     docs.select(col(idCol), explode(tokenNgramsAll(col(textCol), n))
         .as("ngram"))
       .join(broadcast(bGrams), Seq("ngram"))
+  }
+
+  def contaminatedDocs(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    benchmarkHits(docs, benchmark, n, idCol, textCol)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"), min(col("ngram")).as("first_ngram"))
-  }
 
   /** The cleaned corpus: training docs with any benchmark n-gram
     * overlap removed via a left-anti join on flagged ids. The flag side
@@ -336,17 +345,11 @@ object TextAnalysis {
     */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
-    val bGrams = benchmark
-      .select(explode(tokenNgramsAll(col(textCol), n)).as("ngram"))
-      .distinct()
-    val flagged = docs
-      .select(col(idCol), explode(tokenNgramsAll(col(textCol), n))
-        .as("ngram"))
-      .join(broadcast(bGrams), Seq("ngram"))
-      .select(col(idCol)).distinct()
-    docs.join(flagged, Seq(idCol), "left_anti")
-  }
+                    textCol: String = "text"): DataFrame =
+    docs.join(
+      benchmarkHits(docs, benchmark, n, idCol, textCol)
+        .select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 
   /** WITHIN-document repetition signals — the Gopher-style quality
     * rules that catch boilerplate/spam text cross-document dedup never
@@ -358,10 +361,15 @@ object TextAnalysis {
     *  - `dup_2gram_frac` / `dup_3gram_frac`: fraction of word n-grams
     *    that are repeats of an earlier n-gram — high = templated text.
     *
-    * All NARROW per-row array computation (no shuffle, no UDF): token
-    * counts via a distinct×filter comprehension (O(d·n) per row — docs
-    * are short; a pathological row is exactly what the metric flags),
-    * n-gram repeats via the one-pass [[tokenNgramsAll]] kernel minus
+    * All NARROW per-row array computation (no shuffle, no UDF): the
+    * top-token count is the longest equal-run of the SORTED token array
+    * — one `aggregate` fold whose lambda touches only its own element
+    * and accumulator, NEVER the token expression (a distinct×filter
+    * comprehension would re-inline the tokenization into every lambda
+    * iteration after projection collapse — the trap
+    * [[tokenNgramsAll]]'s one-pass kernel exists for, O(d · |split|)
+    * regex work per row on exactly the stuffed pages this metric
+    * targets); n-gram repeats via the one-pass kernel minus
     * `array_distinct`. Fractions are quant4-quantized — exactly-rounded
     * int→double casts and one division, bit-reproducible cross-engine.
     */
@@ -369,10 +377,18 @@ object TextAnalysis {
                       textCol: String = "text"): DataFrame = {
     val toks = tokens(col(textCol))
     val n = size(toks)
-    val counts = transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t)))
+    // max multiplicity = longest run in sorted order: O(n log n) sort +
+    // one O(n) fold, single evaluation of the token array
+    val topCount = aggregate(array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      }).getField("best")
     val topFrac = when(n > 0,
-      array_max(counts).cast("double") / n.cast("double"))
+      topCount.cast("double") / n.cast("double"))
       .otherwise(lit(0.0d))
     def dupFrac(g: Int): Column = {
       val gs = tokenNgramsAll(col(textCol), g)

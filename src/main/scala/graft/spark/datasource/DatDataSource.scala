@@ -130,12 +130,17 @@ class DatScanBuilder(path: String, strategy: Int, pagesPerSplit: Int,
           buf.result().iterator
       }
     val files = committed
+    // the blockGte/blockLte OPTIONS prune batch scans too (merged with
+    // any pushed filters — intersection of the two ranges), so the same
+    // option means the same thing on read and readStream
+    val effLo = Seq(blockLo, optBlockGte).flatten.reduceOption(_ max _)
+    val effHi = Seq(blockHi, optBlockLte).flatten.reduceOption(_ min _)
     val out = Seq.newBuilder[InputPartition]
     while (files.hasNext) {
       val f = files.next()
       if (f.toString.endsWith(".dat"))
         out ++= DatSplitPlanner.splitsForFile(f, pagesPerSplit,
-          addressBounds, blockLo, blockHi)
+          addressBounds, effLo, effHi)
     }
     out.result().toArray
   }
