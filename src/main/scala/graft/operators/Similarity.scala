@@ -364,35 +364,90 @@ object Similarity {
   // Codebooks/centroids are "plan literals forever after" (a real
   // deployment fits once on a sample and stores the matrices), so
   // repeated invocations against the same corpus — the bench's
-  // median-of-N loop, a Verify pass after a bench — should pay the
-  // k-means cost ONCE and measure the query path. Same convention as
-  // Fixtures.generate's simCache: keyed by (corpus key, fit params),
-  // permanent for the JVM's lifetime (a few KB per entry).
+  // median-of-N loop, a Verify pass after a bench, a FRESH JVM running
+  // the same suite — should pay the k-means cost ONCE and measure the
+  // query path. Two layers, both keyed by (corpus key, fit params):
+  // a JVM-lifetime TrieMap (the Fixtures.generate simCache convention)
+  // over a CROSS-JVM disk cache under target/fitcache (the
+  // sigstore/golden write-once convention — doubles serialize via
+  // shortest-roundtrip toString, which parseDouble inverts EXACTLY, so
+  // a reloaded matrix is bit-identical to the fitted one and every
+  // downstream oracle capture is unaffected).
 
   private val centroidCache = scala.collection.concurrent.TrieMap[
     (String, Int, Int, Long), Array[Array[Double]]]()
   private val codebookCache = scala.collection.concurrent.TrieMap[
     (String, Int, Int, Int, Long), Array[Array[Array[Double]]]]()
 
-  /** [[fitIvfCentroids]] memoized per (corpusKey, params). `corpusKey`
-    * must identify the corpus contents (e.g. the sf dir path); `vectors`
-    * is by-name and only evaluated on a cache miss.
+  private[graft] def fitCachePath(kind: String, key: Product): java.nio.file.Path =
+    java.nio.file.Paths.get("target", "fitcache",
+      s"$kind-${key.productIterator.mkString("_")
+        .replaceAll("[^A-Za-z0-9_.-]", "_")}.txt")
+
+  /** Rows = centroids (or flattened codewords); cols = components —
+    * one line per row, space-separated shortest-roundtrip doubles.
+    */
+  private[graft] def diskLoad(p: java.nio.file.Path): Option[Array[Array[Double]]] =
+    if (!java.nio.file.Files.exists(p)) None
+    else scala.util.Try {
+      java.nio.file.Files.readAllLines(p).toArray(Array.empty[String])
+        .filter(_.nonEmpty)
+        .map(_.split(" ").map(java.lang.Double.parseDouble))
+    }.toOption
+
+  private[graft] def diskStore(p: java.nio.file.Path,
+                        rows: Array[Array[Double]]): Unit = {
+    java.nio.file.Files.createDirectories(p.getParent)
+    val body = rows.map(_.mkString(" ")).mkString("\n")
+    // temp + atomic move: a concurrent reader never sees a torn file
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** [[fitIvfCentroids]] memoized per (corpusKey, params) — in-JVM and
+    * on disk. `corpusKey` must identify the corpus contents (e.g. the
+    * sf dir path); `vectors` is by-name and only evaluated when both
+    * cache layers miss.
     */
   def ivfCentroidsCached(corpusKey: String, vectors: => DataFrame,
                          nCentroids: Int = 16, vecCol: String = "embedding",
                          maxIter: Int = 10,
-                         seed: Long = 7L): Array[Array[Double]] =
-    centroidCache.getOrElseUpdate(
-      (s"$corpusKey|$vecCol", nCentroids, maxIter, seed),
-      fitIvfCentroids(vectors, nCentroids, vecCol, maxIter, seed))
+                         seed: Long = 7L): Array[Array[Double]] = {
+    val key = (s"$corpusKey|$vecCol", nCentroids, maxIter, seed)
+    centroidCache.getOrElseUpdate(key, {
+      val p = fitCachePath("cents", key)
+      diskLoad(p).getOrElse {
+        val fitted = fitIvfCentroids(vectors, nCentroids, vecCol,
+          maxIter, seed)
+        diskStore(p, fitted)
+        fitted
+      }
+    })
+  }
 
-  /** [[fitPqCodebooks]] memoized per (corpusKey, params). */
+  /** [[fitPqCodebooks]] memoized per (corpusKey, params) — in-JVM and
+    * on disk (codebooks flatten to `m·k` rows of `subLen` components).
+    */
   def pqCodebooksCached(corpusKey: String, vectors: => DataFrame,
                         m: Int = 8, k: Int = 16,
                         vecCol: String = "embedding", maxIter: Int = 10,
-                        seed: Long = 7L): Array[Array[Array[Double]]] =
-    codebookCache.getOrElseUpdate((s"$corpusKey|$vecCol", m, k, maxIter, seed),
-      fitPqCodebooks(vectors, m, k, vecCol, maxIter, seed))
+                        seed: Long = 7L): Array[Array[Array[Double]]] = {
+    val key = (s"$corpusKey|$vecCol", m, k, maxIter, seed)
+    codebookCache.getOrElseUpdate(key, {
+      val p = fitCachePath("books", key)
+      diskLoad(p).filter(_.length == m * k)
+        .map(_.grouped(k).toArray)
+        .getOrElse {
+          val fitted = fitPqCodebooks(vectors, m, k, vecCol, maxIter, seed)
+          diskStore(p, fitted.flatten)
+          fitted
+        }
+    })
+  }
 
   /** PQ code assignment: `array<int>` of one codeword id per subspace.
     * Per subspace, argmin ‖v_sub − c_j‖² computed as

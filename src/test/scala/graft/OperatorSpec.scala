@@ -510,6 +510,25 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("fit disk cache round-trips doubles bit-exactly") {
+    // the cross-JVM fit cache serializes via shortest-roundtrip
+    // toString; parseDouble must invert it EXACTLY (incl. -0.0,
+    // subnormals, extremes) or a reloaded matrix would silently shift
+    // every downstream oracle capture
+    val rows = Array(
+      Array(0.1, -0.0, java.lang.Double.MIN_VALUE, math.Pi),
+      Array(1e308, -1e-308, 2.0 / 3.0, -123.456789012345678))
+    val p = java.nio.file.Files.createTempDirectory("graft-fitc")
+      .resolve("m.txt")
+    Similarity.diskStore(p, rows)
+    val back = Similarity.diskLoad(p).get
+    assert(back.length == rows.length)
+    for (i <- rows.indices)
+      assert(back(i).toSeq.map(java.lang.Double.doubleToRawLongBits) ==
+        rows(i).toSeq.map(java.lang.Double.doubleToRawLongBits),
+        s"row $i drifted")
+  }
+
   test("semantic dedup clusters cell-local near-dup vectors to min id") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.01f)),   // cell 0
