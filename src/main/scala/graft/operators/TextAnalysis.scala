@@ -351,6 +351,126 @@ object TextAnalysis {
         .select(col(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** The scanned-once word-n-gram relation both corpus-statistic
+    * operators below derive from: (idCol, ngram, cnt), one row per
+    * DISTINCT n-gram per document, cnt = its occurrence count. The
+    * corpus is tokenized exactly once (one-pass [[tokenNgramsAll]]
+    * kernel) and the aggregate is materialized (localCheckpoint — the
+    * bm25 tf convention) because every caller fans out into 2–3
+    * downstream frames over it; plain exchange reuse does not dedupe
+    * that shape (measured on l20).
+    */
+  private def ngramCounts(docs: DataFrame, n: Int, idCol: String,
+                          textCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(tokenNgramsAll(col(textCol), n)).as("ngram"))
+      .groupBy(col(idCol), col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+
+  /** CROSS-document repeated-passage statistics — the ExactSubstr-dedup
+    * signal (the "Deduplicating Training Data Makes Language Models
+    * Better" shape): a word n-gram long enough that sharing it means
+    * copying (n ≈ 10) is support-counted across DISTINCT documents, and
+    * every document reports how much of it is corpus-repeated material.
+    * Complements the near-dup family — l02/l03/l04 flag whole documents;
+    * this measures repeated PASSAGES inside otherwise-unique documents
+    * (licence headers, quoted boilerplate, syndicated paragraphs) that
+    * document-level similarity never reaches.
+    *
+    * Spark shape for 100 TB: one corpus scan into [[ngramCounts]]; the
+    * support count is a partial-agg'd groupBy over ALREADY per-doc-
+    * deduped rows (so a doc repeating one n-gram 1000× contributes 1 to
+    * support, not 1000 — and 1000 rows never shuffle); the shared-set
+    * join back is hot-key-skewed by nature (boilerplate n-grams ARE the
+    * hot keys) — AQE's skew join handles it, and at cluster scale you'd
+    * shuffle xxhash64(ngram) 8-byte keys instead of strings; kept exact
+    * strings here so the DuckDB oracle mirrors string-for-string.
+    * Returns one row per document (docs below n tokens report 0/0/0.0).
+    */
+  def repeatedNgramStats(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val gcnt = ngramCounts(docs, n, idCol, textCol)
+    val shared = gcnt.groupBy(col("ngram"))
+      .agg(count(lit(1)).as("nd")) // gcnt is distinct per (id, ngram)
+      .filter(col("nd") >= minDocs)
+      .select(col("ngram"))
+    val totals = gcnt.groupBy(col(idCol)).agg(sum(col("cnt")).as("tot"))
+    val rep = gcnt.join(shared, Seq("ngram"))
+      .groupBy(col(idCol)).agg(sum(col("cnt")).as("rep"))
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(rep, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("tot"), lit(0L)).as("n_grams"),
+        coalesce(col("rep"), lit(0L)).as("n_shared"),
+        quant4(when(coalesce(col("tot"), lit(0L)) > 0,
+          coalesce(col("rep"), lit(0L)).cast("double") /
+            col("tot").cast("double"))
+          .otherwise(lit(0.0d))).as("repeated_frac"))
+  }
+
+  /** l25's parameters, ONE copy (the Bm25-object convention). */
+  object NgramLm {
+    val N = 3
+    val RareMax = 2
+  }
+
+  /** Corpus-relative n-gram LM familiarity — the CCNet-style LM quality
+    * filter made BIT-EXACT: instead of a smoothed log-probability
+    * (transcendental — the one step an external oracle can disagree
+    * with in the last ulp, and whose float SUM is partial-agg-order-
+    * dependent), documents are scored by the RATIONAL corpus statistics
+    * the log score is monotone in:
+    *
+    *  - `familiarity`: mean corpus support of the doc's n-gram
+    *    instances (low = unusual text for this corpus);
+    *  - `rare_frac`: fraction of n-gram instances with corpus support
+    *    ≤ rareMax (high = gibberish / OOV-heavy);
+    *  - `rarest`: the (support, n-gram)-minimal n-gram as a review
+    *    witness, encoded `%012d:%s` so a STRING min IS the pair min.
+    *
+    * Integer counts, one division per score, quant4 — reproducible
+    * across engines (the l20 rational-idf argument; ranking equals the
+    * log version's by monotonicity).
+    *
+    * Spark shape for 100 TB: same scanned-once [[ngramCounts]] relation;
+    * the LM itself (ngram → corpus support) is vocabulary-sized — in a
+    * real deployment it broadcasts (millions of entries, not corpus-
+    * sized; left to AQE here); the witness min partial-aggregates
+    * map-side because the fixed-width key encoding makes it a plain
+    * string MIN, so only (doc, 5-column) rows ever shuffle.
+    */
+  def ngramLmScore(docs: DataFrame, n: Int = NgramLm.N,
+                   rareMax: Int = NgramLm.RareMax,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val gcnt = ngramCounts(docs, n, idCol, textCol)
+    val lm = gcnt.groupBy(col("ngram")).agg(sum(col("cnt")).as("ccnt"))
+    val per = gcnt.join(lm, Seq("ngram"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("nn"),
+        sum(col("cnt") * col("ccnt")).as("support"),
+        sum(when(col("ccnt") <= rareMax, col("cnt")).otherwise(lit(0L)))
+          .as("nr"),
+        min(concat(lpad(col("ccnt").cast("string"), 12, "0"), lit(":"),
+          col("ngram"))).as("rarest"))
+    docs.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nn"), lit(0L)).as("n_ngrams"),
+        quant4(when(coalesce(col("nn"), lit(0L)) > 0,
+          col("support").cast("double") / col("nn").cast("double"))
+          .otherwise(lit(0.0d))).as("familiarity"),
+        coalesce(col("nr"), lit(0L)).as("n_rare"),
+        quant4(when(coalesce(col("nn"), lit(0L)) > 0,
+          col("nr").cast("double") / col("nn").cast("double"))
+          .otherwise(lit(0.0d))).as("rare_frac"),
+        coalesce(col("rarest"), lit("")).as("rarest"))
+  }
+
   /** WITHIN-document repetition signals — the Gopher-style quality
     * rules that catch boilerplate/spam text cross-document dedup never
     * sees (a page repeating one nav bar 50 times is unique as a

@@ -666,6 +666,90 @@ object LlmQueries {
              |FROM tg JOIN bg USING (ngram)
              |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Cross-document repeated-passage statistics (the ExactSubstr-dedup
+    // signal): 10-grams support-counted across distinct docs, per-doc
+    // repeated-material fraction. DuckDB re-derives the whole relation
+    // (l22's tokenization + inclusive slicing; sums cast back to BIGINT
+    // — DuckDB SUM widens to HUGEINT).
+    "l24_repeated_ngrams" -> QuerySpec(
+      (s, dir) => TextAnalysis.repeatedNgramStats(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |                x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    [array_to_string(toks[i:i+9], ' ')
+             |     for i in generate_series(1, len(toks) - 9)] AS gs
+             |  FROM t),
+             |gc AS (SELECT doc_id, unnest(gs) AS ngram FROM g),
+             |gcnt AS (SELECT doc_id, ngram, COUNT(*) AS cnt FROM gc
+             |         GROUP BY doc_id, ngram),
+             |sh AS (SELECT ngram FROM gcnt GROUP BY ngram
+             |       HAVING COUNT(*) >= 2),
+             |tot AS (SELECT doc_id, SUM(cnt) AS tot FROM gcnt
+             |        GROUP BY doc_id),
+             |rep AS (SELECT gcnt.doc_id AS doc_id, SUM(cnt) AS rep
+             |        FROM gcnt JOIN sh USING (ngram) GROUP BY gcnt.doc_id)
+             |SELECT d.doc_id,
+             |  COALESCE(tot.tot, 0)::BIGINT AS n_grams,
+             |  COALESCE(rep.rep, 0)::BIGINT AS n_shared,
+             |  CASE WHEN COALESCE(tot.tot, 0) > 0 THEN
+             |    floor(COALESCE(rep.rep, 0)::DOUBLE / tot.tot::DOUBLE
+             |      * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+             |  ELSE 0.0::DOUBLE END AS repeated_frac
+             |FROM documents d
+             |LEFT JOIN tot USING (doc_id) LEFT JOIN rep USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Corpus-relative trigram LM familiarity (the CCNet LM-filter shape,
+    // rational therefore bit-exact — see ngramLmScore's scaladoc). The
+    // witness column is a string MIN over %012d-padded (support, ngram)
+    // keys, identical lexicographic order in both engines.
+    "l25_ngram_lm" -> QuerySpec(
+      (s, dir) => TextAnalysis.ngramLmScore(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             |                x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    [array_to_string(toks[i:i+${TextAnalysis.NgramLm.N - 1}], ' ')
+             |     for i in generate_series(1,
+             |       len(toks) - ${TextAnalysis.NgramLm.N - 1})] AS gs
+             |  FROM t),
+             |gc AS (SELECT doc_id, unnest(gs) AS ngram FROM g),
+             |gcnt AS (SELECT doc_id, ngram, COUNT(*) AS cnt FROM gc
+             |         GROUP BY doc_id, ngram),
+             |lm AS (SELECT ngram, SUM(cnt) AS ccnt FROM gcnt GROUP BY ngram),
+             |per AS (SELECT gcnt.doc_id AS doc_id,
+             |    SUM(cnt) AS nn,
+             |    SUM(cnt * ccnt) AS support,
+             |    SUM(CASE WHEN ccnt <= ${TextAnalysis.NgramLm.RareMax}
+             |        THEN cnt ELSE 0 END) AS nr,
+             |    MIN(lpad(ccnt::VARCHAR, 12, '0') || ':' || ngram) AS rarest
+             |  FROM gcnt JOIN lm USING (ngram) GROUP BY gcnt.doc_id)
+             |SELECT d.doc_id,
+             |  COALESCE(per.nn, 0)::BIGINT AS n_ngrams,
+             |  CASE WHEN COALESCE(per.nn, 0) > 0 THEN
+             |    floor(per.support::DOUBLE / per.nn::DOUBLE
+             |      * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+             |  ELSE 0.0::DOUBLE END AS familiarity,
+             |  COALESCE(per.nr, 0)::BIGINT AS n_rare,
+             |  CASE WHEN COALESCE(per.nn, 0) > 0 THEN
+             |    floor(per.nr::DOUBLE / per.nn::DOUBLE
+             |      * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+             |  ELSE 0.0::DOUBLE END AS rare_frac,
+             |  COALESCE(per.rarest, '') AS rarest
+             |FROM documents d LEFT JOIN per USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Deterministic per-source sample: 20 docs per source under
     // content-hash order — the reproducible corpus-curation primitive
     // (random sampling could never be oracled).

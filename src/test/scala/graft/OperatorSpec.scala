@@ -566,6 +566,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(r(3L) == ((6, 0.5, 0.6, 0.5)), s"got ${r(3L)}")
   }
 
+  test("repeated-ngram stats count cross-doc passages, not within-doc " +
+      "repeats") {
+    val df = Seq(
+      (1L, "a b c d e f"),          // 4 trigram positions, 2 shared w/ doc 2
+      (2L, "z z a b c d q"),        // 5 positions, the same 2 shared
+      (3L, "x y"),                  // too short: zero positions
+      (4L, "m n o m n o m n o"))    // heavy WITHIN-doc repeats, no sharing
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repeatedNgramStats(df, n = 3, minDocs = 2)
+      .collect()
+      .map(row => row.getLong(0) ->
+        (row.getLong(1), row.getLong(2), row.getDouble(3))).toMap
+    assert(r(1L) == ((4L, 2L, 0.5)), s"got ${r(1L)}")    // "a b c","b c d"
+    assert(r(2L) == ((5L, 2L, 0.4)), s"got ${r(2L)}")
+    assert(r(3L) == ((0L, 0L, 0.0)), s"got ${r(3L)}")
+    // support counts DISTINCT docs: doc 4 repeating "m n o" 3x alone
+    // must stay unshared (a frequency-counting regression flags it)
+    assert(r(4L) == ((7L, 0L, 0.0)), s"got ${r(4L)}")
+  }
+
+  test("ngram LM familiarity scores corpus-typical text high and rare " +
+      "text low") {
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, ""))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.ngramLmScore(df, n = 1, rareMax = 1)
+      .collect()
+      .map(row => row.getLong(0) ->
+        (row.getLong(1), row.getDouble(2), row.getLong(3),
+          row.getDouble(4), row.getString(5))).toMap
+    // lm: a→3, b→1, c→1. doc 1: support 2·3+1·1=7 over 3 instances
+    assert(r(1L) == ((3L, 2.3333, 1L, 0.3333, "000000000001:b")),
+      s"got ${r(1L)}")
+    assert(r(2L) == ((2L, 2.0, 1L, 0.5, "000000000001:c")), s"got ${r(2L)}")
+    // empty doc: all-zero row with empty witness, not a dropped row
+    assert(r(3L) == ((0L, 0.0, 0L, 0.0, "")), s"got ${r(3L)}")
+  }
+
   test("decontamination flags exactly the docs sharing benchmark n-grams") {
     val train = Seq(
       // shares the benchmark's full 8-token run TWICE (frequency counts)
