@@ -379,10 +379,17 @@ object Similarity {
   private val codebookCache = scala.collection.concurrent.TrieMap[
     (String, Int, Int, Int, Long), Array[Array[Array[Double]]]]()
 
-  private[graft] def fitCachePath(kind: String, key: Product): java.nio.file.Path =
+  private[graft] def fitCachePath(kind: String, key: Product): java.nio.file.Path = {
+    val raw = key.productIterator.mkString("_")
+    // readable sanitized prefix + md5 of the RAW key: sanitization maps
+    // distinct corpus paths onto the same characters ("/a/b" vs "/a_b");
+    // the digest keeps such keys distinct
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString.take(12)
     java.nio.file.Paths.get("target", "fitcache",
-      s"$kind-${key.productIterator.mkString("_")
-        .replaceAll("[^A-Za-z0-9_.-]", "_")}.txt")
+      s"$kind-${raw.replaceAll("[^A-Za-z0-9_.-]", "_")}-$digest.txt")
+  }
 
   /** Rows = centroids (or flattened codewords); cols = components —
     * one line per row, space-separated shortest-roundtrip doubles.
@@ -420,7 +427,7 @@ object Similarity {
     val key = (s"$corpusKey|$vecCol", nCentroids, maxIter, seed)
     centroidCache.getOrElseUpdate(key, {
       val p = fitCachePath("cents", key)
-      diskLoad(p).getOrElse {
+      diskLoad(p).filter(_.length == nCentroids).getOrElse {
         val fitted = fitIvfCentroids(vectors, nCentroids, vecCol,
           maxIter, seed)
         diskStore(p, fitted)
