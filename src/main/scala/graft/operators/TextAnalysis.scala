@@ -471,6 +471,85 @@ object TextAnalysis {
         coalesce(col("rarest"), lit("")).as("rarest"))
   }
 
+  /** l26's parameters, ONE copy (the Bm25-object convention). */
+  object Bpe {
+    val NumMerges = 12
+  }
+
+  /** BPE merge-table TRAINING — the tokenizer-side operator the token
+    * counters ([[bpeishTokenCount]]) stand in for: learn the first
+    * `numMerges` byte-pair-encoding merges from the corpus, Sennrich-
+    * style — count adjacent symbol pairs weighted by word frequency
+    * (overlapping occurrences, the reference dictionary semantics),
+    * merge the most frequent pair greedily left-to-right everywhere,
+    * repeat. Ties break (count DESC, pair ASC): fully deterministic,
+    * which is what makes the independent golden replay possible.
+    * Symbols are code points; merges never span words because pairs are
+    * built inside each word's symbol array (no end-of-word marker —
+    * documented choice, mirrored by the replay).
+    *
+    * Spark shape for 100 TB — the part that matters: the CORPUS is
+    * touched exactly once (token explode → map-side-combining word-
+    * frequency aggregate); every merge iteration then runs on the
+    * WORD-FREQUENCY relation, which is VOCABULARY-sized (millions of
+    * rows for a 100 TB corpus — cluster-trivial), so training costs
+    * O(corpus) + numMerges · O(vocab), not numMerges · O(corpus). Each
+    * iteration is one vocab-sized pair aggregate, a single-ROW collect
+    * (the argmax — the same driver-side narrowing the k-means fits
+    * use), and a narrow greedy re-segmentation fold; the relation is
+    * localCheckpointed per iteration so plans stay flat instead of
+    * stacking numMerges nested folds.
+    */
+  def bpeTrainMerges(docs: DataFrame, numMerges: Int = Bpe.NumMerges,
+                     textCol: String = "text"): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be positive, got $numMerges")
+    val spark = docs.sparkSession
+    var wf = docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))).as("syms"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val best = wf.select(col("freq"),
+          explode(when(size(col("syms")) >= 2,
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("lhs"),
+                element_at(col("syms"), i + 1).as("rhs"))))
+            .otherwise(array().cast(
+              "array<struct<lhs:string,rhs:string>>"))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // all words down to one symbol
+      else {
+        val (a, b, c) =
+          (best.head.getString(0), best.head.getString(1),
+            best.head.getLong(2))
+        val m = a + b
+        merges += ((r, a, b, m, c))
+        // greedy left-to-right: a freshly merged symbol becomes the new
+        // "last" and is compared as a whole — "aaa" under (a,a) yields
+        // [aa, a], the non-overlapping regex semantics. The size-0 arm
+        // comes FIRST so element_at(last) only evaluates on non-empty
+        // accumulators (CaseWhen evaluates arms in order — ANSI-safe).
+        val fold = aggregate(col("syms"), array().cast("array<string>"),
+          (acc, s) => when(size(acc) === 0, array(s)).otherwise(
+            when(element_at(acc, size(acc)) === lit(a) && (s === lit(b)),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+              .otherwise(concat(acc, array(s)))))
+        wf = wf.select(fold.as("syms"), col("freq")).localCheckpoint()
+        r += 1
+      }
+    }
+    spark.createDataFrame(merges.toSeq)
+      .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
   /** WITHIN-document repetition signals — the Gopher-style quality
     * rules that catch boilerplate/spam text cross-document dedup never
     * sees (a page repeating one nav bar 50 times is unique as a

@@ -75,4 +75,52 @@ object TextGolden {
     */
   def simhashSig(text: String): Long =
     graft.functions.TextHash.simhash(tokens(text))
+
+  /** [[TextAnalysis.bpeTrainMerges]] replayed in plain Scala for the
+    * l26 golden: same code-point symbols (Catalyst `substr` indexes by
+    * code point, so the replay must too — `String.map` would split
+    * surrogate pairs), same overlapping weighted pair counts, same
+    * (count DESC, pair ASC) tie-break, same greedy left-to-right
+    * re-segmentation, same early stop when no pair remains.
+    */
+  def bpeMerges(wordFreq: Seq[(String, Long)], numMerges: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    var wf: Seq[(Array[String], Long)] = wordFreq.map { case (w, f) =>
+      (w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))), f)
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      wf.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        val m = a + b
+        out += ((r, a, b, m, c))
+        wf = wf.map { case (syms, f) =>
+          val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { s =>
+            if (nb.nonEmpty && nb.last == a && s == b)
+              nb(nb.length - 1) = m
+            else nb += s
+          }
+          (nb.toArray, f)
+        }
+        r += 1
+      }
+    }
+    out.toSeq
+  }
 }

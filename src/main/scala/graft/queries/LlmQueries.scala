@@ -750,6 +750,22 @@ object LlmQueries {
              |FROM documents d LEFT JOIN per USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // BPE merge-table training (Sennrich): one corpus-scale pass to the
+    // vocabulary-sized word-frequency relation, then numMerges
+    // vocab-sized iterations. Golden-replay oracle (the l02 convention):
+    // an independent plain-Scala BPE on the replay tokenization; DuckDB
+    // reads the golden and the driver hash-compares the full merge
+    // table — a wrong pair count, tie-break, or re-segmentation shifts
+    // every later merge.
+    "l26_bpe_train" -> QuerySpec(
+      (s, dir) => {
+        ensureBpeGolden(s, dir)
+        TextAnalysis.bpeTrainMerges(
+            Tables(s, dir, "documents").select(col("text")))
+          .orderBy(col("rank"))
+      }, None, Some(dir => mGoldenSql(l26GoldenName(dir),
+        "rank, lhs, rhs, merged, pair_count", "rank"))),
+
     // Deterministic per-source sample: 20 docs per source under
     // content-hash order — the reproducible corpus-curation primitive
     // (random sampling could never be oracled).
@@ -1155,6 +1171,29 @@ object LlmQueries {
 
   private[queries] def l02GoldenName(dir: String): String =
     s"l02-minhash-${new java.io.File(dir).getName}-v1"
+  private def l26GoldenName(dir: String): String =
+    s"l26-bpe-${new java.io.File(dir).getName}-v1"
+
+  /** The l26 golden: replay tokenization (TextGolden.tokens ≡ the
+    * engine's tokens()) aggregated to a word-frequency dictionary on
+    * the RDD side (independent of the column plumbing under test),
+    * collected — vocabulary-sized by construction — and trained through
+    * the plain-Scala BPE replay.
+    */
+  private def ensureBpeGolden(s: org.apache.spark.sql.SparkSession,
+                              dir: String): Unit = {
+    import s.implicits._
+    graft.operators.MultimodalGolden.ensureGoldenDf(l26GoldenName(dir), {
+      val wfreq = Tables(s, dir, "documents").select(col("text"))
+        .as[String].rdd
+        .flatMap(t => if (t == null) Iterator.empty
+          else graft.operators.TextGolden.tokens(t).iterator)
+        .map(w => (w, 1L)).reduceByKey(_ + _).collect().toSeq
+      graft.operators.TextGolden
+        .bpeMerges(wfreq, graft.operators.TextAnalysis.Bpe.NumMerges)
+        .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+    })
+  }
   private def l03GoldenName(dir: String): String =
     s"l03-simhash-${new java.io.File(dir).getName}-v1"
 

@@ -603,6 +603,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(r(3L) == ((0L, 0.0, 0L, 0.0, "")), s"got ${r(3L)}")
   }
 
+  test("BPE training learns hand-computable merges and stops when " +
+      "exhausted") {
+    val df = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    // wordfreq: aaab×2, ab×1. Overlapping counts: (a,a)=4, (a,b)=3.
+    // merge1 (a,a)→aa: aaab→[aa,a,b]. merge2 (a,b)=3 → ab:
+    // [aa,a,b]→[aa,ab], [a,b]→[ab]. merge3 (aa,ab)=2 → aaab. Then no
+    // pairs remain: asking for 10 merges must return exactly 3.
+    val got = TextAnalysis.bpeTrainMerges(df, numMerges = 10)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq((1, "a", "a", "aa", 4L), (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 2L)), s"got $got")
+  }
+
+  test("BPE tie-break picks the lexicographically smallest pair") {
+    val df = Seq((1L, "ab ba")).toDF("doc_id", "text")
+    val first = TextAnalysis.bpeTrainMerges(df, numMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).head
+    // (a,b) and (b,a) both count 1 — deterministic order matters
+    assert(first == (("a", "b")), s"got $first")
+  }
+
+  test("BPE engine run equals the plain-Scala golden replay") {
+    val wfreq = corpus.select(col("text")).as[String].collect()
+      .flatMap(t => graft.operators.TextGolden.tokens(t))
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }
+      .toSeq
+    val want = graft.operators.TextGolden.bpeMerges(wfreq, 8)
+    val got = TextAnalysis.bpeTrainMerges(corpus.select(col("text")),
+        numMerges = 8)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got == want, s"engine $got vs replay $want")
+  }
+
   test("decontamination flags exactly the docs sharing benchmark n-grams") {
     val train = Seq(
       // shares the benchmark's full 8-token run TWICE (frequency counts)
