@@ -471,6 +471,58 @@ object TextAnalysis {
         coalesce(col("rarest"), lit("")).as("rarest"))
   }
 
+  /** l27's parameters, ONE copy (the Bm25-object convention). */
+  object Cms {
+    val Eps = 0.0005
+    val Confidence = 0.99
+    val Seed = 7
+  }
+
+  /** Count-Min-Sketch term counting — the COUNTING sketch beside l11's
+    * cardinality sketch, and the 100 TB answer to "how often does each
+    * of these items occur" when the item space is too large for an
+    * exact groupBy to be worth its shuffle: one pass builds a fixed-size
+    * sketch (Spark's native `count_min_sketch` aggregate — partial
+    * sketches merge by cell-wise addition, so the tree aggregation is
+    * order-insensitive and deterministic for a fixed seed), point
+    * queries answer from the merged sketch without touching the data
+    * again. CMS guarantees estimate ≥ exact always, and estimate ≤
+    * exact + eps·N with probability `confidence` — for a FIXED corpus
+    * and seed both bounds are deterministic facts, so they ride the
+    * correctness hash as flags (the l11 bounded-error convention: the
+    * oracle re-derives the exact counts and asserts every flag TRUE).
+    *
+    * The query set here is the corpus vocabulary (exact counts come
+    * along for the audit columns); the per-term estimates are computed
+    * driver-side from the collected sketch — vocabulary-sized work, the
+    * same narrowing the BPE argmax and k-means fits use, and exactly
+    * how a sketch is consumed in production (shipped to a coordinator
+    * for point queries).
+    */
+  def cmsTermCounts(docs: DataFrame, eps: Double = Cms.Eps,
+                    confidence: Double = Cms.Confidence,
+                    seed: Int = Cms.Seed,
+                    textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs.select(explode(tokens(col(textCol))).as("term"))
+      .localCheckpoint() // one scan feeds sketch build + exact audit
+    val skBytes = toks.agg(count_min_sketch(col("term"), lit(eps),
+        lit(confidence), lit(seed)).as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val exact = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("exact_count")).collect()
+    val n = exact.map(_.getLong(1)).sum
+    val rows = exact.toSeq.map { r =>
+      val (t, ex) = (r.getString(0), r.getLong(1))
+      val est = cms.estimateCount(t)
+      (t, ex, est >= ex, est.toDouble <= ex.toDouble + eps * n.toDouble)
+    }
+    spark.createDataFrame(rows)
+      .toDF("term", "exact_count", "est_ge_exact", "est_within_eps")
+  }
+
   /** l26's parameters, ONE copy (the Bm25-object convention). */
   object Bpe {
     val NumMerges = 12

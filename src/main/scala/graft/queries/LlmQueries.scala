@@ -750,6 +750,23 @@ object LlmQueries {
              |FROM documents d LEFT JOIN per USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Count-Min-Sketch term counts (the counting sketch beside l11's
+    // HLL): native count_min_sketch aggregate, driver-side point
+    // queries, deterministic CMS bounds as hash-verified flags — the
+    // oracle re-derives exact counts and asserts every flag TRUE.
+    "l27_cms_counts" -> QuerySpec(
+      (s, dir) => TextAnalysis.cmsTermCounts(
+          Tables(s, dir, "documents").select(col("text")))
+        .orderBy(col("term")),
+      Some("""WITH t AS (
+             |  SELECT unnest(list_filter(
+             |    regexp_split_to_array(lower(trim(text)), '\s+'),
+             |    x -> length(x) > 0)) AS term
+             |  FROM documents)
+             |SELECT term, COUNT(*)::BIGINT AS exact_count,
+             |  TRUE AS est_ge_exact, TRUE AS est_within_eps
+             |FROM t GROUP BY term ORDER BY term""".stripMargin)),
+
     // BPE merge-table training (Sennrich): one corpus-scale pass to the
     // vocabulary-sized word-frequency relation, then numMerges
     // vocab-sized iterations. Golden-replay oracle (the l02 convention):

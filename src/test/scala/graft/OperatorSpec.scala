@@ -603,6 +603,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(r(3L) == ((0L, 0.0, 0L, 0.0, "")), s"got ${r(3L)}")
   }
 
+  test("CMS term counts satisfy both sketch bounds and track exact " +
+      "counts on a small vocab") {
+    val df = Seq((1L, ("spam " * 500).trim),
+      (2L, "rare a b c d e f g h")).toDF("doc_id", "text")
+    val r = TextAnalysis.cmsTermCounts(df).collect()
+      .map(row => row.getString(0) ->
+        (row.getLong(1), row.getBoolean(2), row.getBoolean(3))).toMap
+    assert(r("spam") == ((500L, true, true)), s"got ${r("spam")}")
+    assert(r("rare") == ((1L, true, true)), s"got ${r("rare")}")
+    assert(r.size == 10)
+    // sketch width at eps=5e-4 dwarfs a 10-term vocab: estimates are
+    // collision-free here, so any flag=false is a build/read bug
+    assert(r.values.forall(v => v._2 && v._3))
+  }
+
   test("BPE training learns hand-computable merges and stops when " +
       "exhausted") {
     val df = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
