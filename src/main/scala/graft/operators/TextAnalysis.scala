@@ -471,6 +471,68 @@ object TextAnalysis {
         coalesce(col("rarest"), lit("")).as("rarest"))
   }
 
+  /** The standard corpus-preparation FUNNEL composed end-to-end in ONE
+    * declarative plan — the proof that the library's operators compose
+    * the way a production pipeline uses them: clean/PII-mask
+    * ([[cleanText]]) → quality gate (length + distinct-token ratio) →
+    * exact dedup (min-id per content hash) → benchmark decontamination
+    * ([[decontaminate]], cleaned text both sides) → content-hash split
+    * ([[hashSplit]]). Returns the stage funnel — (stage, n_docs,
+    * n_tokens) for each successive stage plus per-split rows — the
+    * numbers a corpus curator actually watches.
+    *
+    * Spark shape for 100 TB: everything is ONE logical plan. Catalyst
+    * prunes the payload to (id, clean) at the scan, the gate is a
+    * narrow filter, dedup is one window over md5(clean) (the content
+    * hash spreads uniformly, so the window partitioning is skew-free by
+    * construction; a groupBy-min + semi-join serves the same stage if a
+    * deployment prefers partial aggs), decontamination broadcasts the
+    * benchmark n-grams (l22), and the funnel rows are single-row
+    * aggregates over successive PREFIXES of the same plan — no stage
+    * materializes an intermediate corpus.
+    */
+  def corpusFunnel(docs: DataFrame, benchmarkMod: Int = 20,
+                   contamN: Int = 8, minTokens: Int = 20,
+                   minDistinctRatio: Double = 0.3,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol), cleanText(col(textCol)).as("clean"))
+    val corpus = base.filter(col(idCol) % benchmarkMod =!= 0)
+    val bench = base.filter(col(idCol) % benchmarkMod === 0)
+    val toks = tokens(col("clean"))
+    val stats = corpus
+      .withColumn("n", size(toks).cast("long"))
+      .withColumn("nd", size(array_distinct(toks)).cast("long"))
+    // the when-guard keeps the ratio ANSI-safe on n = 0 (predicate
+    // order is the optimizer's to choose, so `n >= minTokens` cannot be
+    // relied on to short-circuit the division)
+    val qual = stats.filter(col("n") >= minTokens &&
+      when(col("n") > 0,
+        col("nd").cast("double") / col("n").cast("double"))
+        .otherwise(lit(0.0d)) >= minDistinctRatio)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("clean"))).orderBy(col(idCol))
+    val ded = qual.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val decon = decontaminate(ded, bench, n = contamN, idCol = idCol,
+      textCol = "clean")
+    val spl = decon.withColumn("split", hashSplit(col("clean")))
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n")), lit(0L)).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    val splits = spl.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n")), lit(0L)).as("n_tokens"))
+      .select(concat(lit("5_split:"), col("split")).as("stage"),
+        col("n_docs"), col("n_tokens"))
+    stage("1_raw", stats)
+      .unionByName(stage("2_quality", qual))
+      .unionByName(stage("3_dedup", ded))
+      .unionByName(stage("4_decontam", decon))
+      .unionByName(splits)
+  }
+
   /** l27's parameters, ONE copy (the Bm25-object convention). */
   object Cms {
     val Eps = 0.0005

@@ -750,6 +750,72 @@ object LlmQueries {
              |FROM documents d LEFT JOIN per USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // The corpus-prep funnel: clean → quality gate → exact dedup →
+    // decontaminate → split, ONE declarative plan, funnel counts out.
+    // DuckDB chains the same stages as CTEs (l12's clean expression,
+    // l22's n-gram machinery, l15's split thresholds).
+    "l28_corpus_funnel" -> QuerySpec(
+      (s, dir) => TextAnalysis.corpusFunnel(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy(col("stage")),
+      Some("""WITH base AS (
+             |  SELECT doc_id,
+             |    trim(regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(
+             |          regexp_replace(
+             |            regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+             |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |          'https?://[^\s]+', '<URL>', 'g'),
+             |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |      '\s+', ' ', 'g')) AS clean
+             |  FROM documents),
+             |corpus AS (SELECT * FROM base WHERE doc_id % 20 <> 0),
+             |bench AS (SELECT * FROM base WHERE doc_id % 20 = 0),
+             |m AS (
+             |  SELECT doc_id, clean,
+             |    list_filter(regexp_split_to_array(lower(trim(clean)), '\s+'),
+             |                x -> length(x) > 0) AS toks
+             |  FROM corpus),
+             |st AS (SELECT doc_id, clean, toks, len(toks) AS n,
+             |       len(list_distinct(toks)) AS nd FROM m),
+             |qual AS (SELECT * FROM st WHERE n >= 20 AND
+             |  (CASE WHEN n > 0 THEN nd::DOUBLE / n::DOUBLE
+             |        ELSE 0.0::DOUBLE END) >= 0.3::DOUBLE),
+             |ded AS (SELECT * FROM qual QUALIFY row_number() OVER (
+             |  PARTITION BY md5(clean) ORDER BY doc_id) = 1),
+             |bg AS (SELECT DISTINCT unnest(
+             |    [array_to_string(toks[i:i+7], ' ')
+             |     for i in generate_series(1, len(toks) - 7)]) AS ngram
+             |  FROM (SELECT list_filter(
+             |      regexp_split_to_array(lower(trim(clean)), '\s+'),
+             |      x -> length(x) > 0) AS toks FROM bench)),
+             |dg AS (SELECT doc_id, unnest(
+             |    [array_to_string(toks[i:i+7], ' ')
+             |     for i in generate_series(1, len(toks) - 7)]) AS ngram
+             |  FROM ded),
+             |contam AS (SELECT DISTINCT dg.doc_id FROM dg
+             |           JOIN bg USING (ngram)),
+             |decon AS (SELECT * FROM ded WHERE doc_id NOT IN
+             |          (SELECT doc_id FROM contam)),
+             |spl AS (SELECT *,
+             |  CASE WHEN substr(md5(clean), 1, 2) < 'cc' THEN 'train'
+             |       WHEN substr(md5(clean), 1, 2) < 'e6' THEN 'val'
+             |       ELSE 'test' END AS split FROM decon),
+             |funnel AS (
+             |  SELECT '1_raw' AS stage, COUNT(*)::BIGINT AS n_docs,
+             |    COALESCE(SUM(n), 0)::BIGINT AS n_tokens FROM st
+             |  UNION ALL SELECT '2_quality', COUNT(*)::BIGINT,
+             |    COALESCE(SUM(n), 0)::BIGINT FROM qual
+             |  UNION ALL SELECT '3_dedup', COUNT(*)::BIGINT,
+             |    COALESCE(SUM(n), 0)::BIGINT FROM ded
+             |  UNION ALL SELECT '4_decontam', COUNT(*)::BIGINT,
+             |    COALESCE(SUM(n), 0)::BIGINT FROM decon
+             |  UNION ALL SELECT '5_split:' || split, COUNT(*)::BIGINT,
+             |    COALESCE(SUM(n), 0)::BIGINT FROM spl GROUP BY split)
+             |SELECT stage, n_docs, n_tokens FROM funnel
+             |ORDER BY stage""".stripMargin)),
+
     // Count-Min-Sketch term counts (the counting sketch beside l11's
     // HLL): native count_min_sketch aggregate, driver-side point
     // queries, deterministic CMS bounds as hash-verified flags — the
@@ -1188,8 +1254,11 @@ object LlmQueries {
 
   private[queries] def l02GoldenName(dir: String): String =
     s"l02-minhash-${new java.io.File(dir).getName}-v1"
+  // NumMerges rides the name: the _OK-guarded golden can never go
+  // stale against a retuned merge count without the name changing too
   private def l26GoldenName(dir: String): String =
-    s"l26-bpe-${new java.io.File(dir).getName}-v1"
+    s"l26-bpe-${graft.operators.TextAnalysis.Bpe.NumMerges}-" +
+      s"${new java.io.File(dir).getName}-v1"
 
   /** The l26 golden: replay tokenization (TextGolden.tokens ≡ the
     * engine's tokens()) aggregated to a word-frequency dictionary on

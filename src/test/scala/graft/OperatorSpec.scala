@@ -603,6 +603,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(r(3L) == ((0L, 0.0, 0L, 0.0, "")), s"got ${r(3L)}")
   }
 
+  test("corpus funnel drops docs at the intended stages") {
+    val good = (1 to 30).map(i => s"w$i").mkString(" ") // 30 distinct
+    val stuffed = ("spam " * 30).trim                   // ratio 1/30
+    val short = "a b c"
+    val df = Seq(
+      (0L, good),     // benchmark doc (id % 20 == 0): NOT corpus
+      (1L, good),     // survives everything EXCEPT decontam (= bench)
+      (2L, stuffed),  // killed by quality gate (distinct ratio)
+      (3L, short),    // killed by quality gate (length)
+      (4L, good + " extra1 tail2"),  // survives; dup of id 5
+      (5L, good + " extra1 tail2"),  // killed by dedup (min id wins)
+      (6L, (1 to 25).map(i => s"z$i").mkString(" "))) // clean survivor
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.corpusFunnel(df).collect()
+      .map(row => row.getString(0) -> (row.getLong(1), row.getLong(2)))
+      .toMap
+    assert(r("1_raw") == ((6L, 30L + 30L + 3L + 32L + 32L + 25L)),
+      s"got ${r("1_raw")}")
+    assert(r("2_quality") == ((4L, 30L + 32L + 32L + 25L)))
+    assert(r("3_dedup")._1 == 3L) // id 5 collapsed into id 4
+    // id 1 shares every 8-gram with benchmark doc 0; id 4 shares the
+    // first 8-grams too (same 30-token prefix) — only id 6 survives
+    assert(r("4_decontam") == ((1L, 25L)), s"got ${r("4_decontam")}")
+    val splitRows = r.keys.filter(_.startsWith("5_split:"))
+    assert(splitRows.map(k => r(k)._1).sum == 1L)
+  }
+
   test("CMS term counts satisfy both sketch bounds and track exact " +
       "counts on a small vocab") {
     val df = Seq((1L, ("spam " * 500).trim),
