@@ -664,6 +664,70 @@ object TextAnalysis {
       .toDF("rank", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** BPE ENCODE, vocabulary side — apply a trained merge table (lhs, rhs)
+    * in rank order to every DISTINCT word, greedy left-to-right per merge
+    * (exactly [[bpeTrainMerges]]'s re-segmentation fold, so encode ∘ train
+    * is self-consistent), returning `word → n_bpe` (the word's token count
+    * under the trained tokenizer).
+    *
+    * Spark shape for 100 TB: this relation is VOCABULARY-sized, so the
+    * per-merge fold chain runs on millions of rows, not the corpus; each
+    * merge is one narrow projection, localCheckpointed so numMerges folds
+    * never stack into one giant expression tree (flat plans, codegen per
+    * stage). The corpus itself is only ever touched by the caller's single
+    * explode+join pass ([[bpeEncodeCounts]]).
+    */
+  def bpeEncodeVocab(docs: DataFrame, merges: Seq[(String, String)],
+                     textCol: String = "text"): DataFrame = {
+    var wf = docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))).as("syms"))
+      .localCheckpoint()
+    merges.foreach { case (a, b) =>
+      val m = a + b
+      // same greedy fold as training: a fresh merge becomes the new last
+      // symbol, compared whole — "aaa" under (a,a) → [aa, a]; the size-0
+      // arm first so element_at only sees non-empty accumulators.
+      val fold = aggregate(col("syms"), array().cast("array<string>"),
+        (acc, s) => when(size(acc) === 0, array(s)).otherwise(
+          when(element_at(acc, size(acc)) === lit(a) && (s === lit(b)),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+            .otherwise(concat(acc, array(s)))))
+      wf = wf.select(col("word"), col("freq"), fold.as("syms"))
+        .localCheckpoint()
+    }
+    wf.select(col("word"), col("freq"), size(col("syms")).as("n_bpe"))
+  }
+
+  /** BPE ENCODE, corpus side — per-document token counts under a trained
+    * merge table: `doc_id, n_words, bpe_token_count`. The tokenizer-apply
+    * operator that pairs with [[bpeTrainMerges]] (train) to complete the
+    * tokenizer story; `bpe_token_count` is the number a sequence-packing /
+    * context-length budget actually needs (whitespace counts — the l06
+    * proxy — misestimate badly under a real subword vocabulary).
+    *
+    * Spark shape for 100 TB: the corpus is touched EXACTLY ONCE (explode
+    * words → join → map-side-combining per-doc aggregate); the merge-fold
+    * work all happens on the vocabulary relation ([[bpeEncodeVocab]]),
+    * which AQE auto-broadcasts when small — at web-corpus vocabulary sizes
+    * the join is a shuffle-on-word hash join whose build side is
+    * vocab-sized, never corpus-sized. Documents with no tokens (null/empty
+    * text) have no word rows and drop out, mirroring the oracle's unnest.
+    */
+  def bpeEncodeCounts(docs: DataFrame, merges: Seq[(String, String)],
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val vocab = bpeEncodeVocab(docs.select(col(textCol)), merges, textCol)
+      .select(col("word"), col("n_bpe"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .join(vocab, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_bpe")).as("bpe_token_count"))
+  }
+
   /** WITHIN-document repetition signals — the Gopher-style quality
     * rules that catch boilerplate/spam text cross-document dedup never
     * sees (a page repeating one nav bar 50 times is unique as a

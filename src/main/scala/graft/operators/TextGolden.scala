@@ -110,17 +110,39 @@ object TextGolden {
         val m = a + b
         out += ((r, a, b, m, c))
         wf = wf.map { case (syms, f) =>
-          val nb = scala.collection.mutable.ArrayBuffer.empty[String]
-          syms.foreach { s =>
-            if (nb.nonEmpty && nb.last == a && s == b)
-              nb(nb.length - 1) = m
-            else nb += s
-          }
-          (nb.toArray, f)
+          (mergeOnce(syms, a, b, m), f)
         }
         r += 1
       }
     }
     out.toSeq
+  }
+
+  /** One greedy left-to-right merge pass — the replay of the training
+    * fold ([[TextAnalysis.bpeTrainMerges]]) and of the encode fold
+    * ([[TextAnalysis.bpeEncodeVocab]]), ONE copy so the two replays can
+    * never drift from each other.
+    */
+  private def mergeOnce(syms: Array[String], a: String, b: String,
+                        m: String): Array[String] = {
+    val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+    syms.foreach { s =>
+      if (nb.nonEmpty && nb.last == a && s == b)
+        nb(nb.length - 1) = m
+      else nb += s
+    }
+    nb.toArray
+  }
+
+  /** [[TextAnalysis.bpeEncodeVocab]] replayed in plain Scala for the l29
+    * golden: code-point symbols (the l26 standard), every trained merge
+    * applied in rank order with the same greedy pass; returns the word's
+    * token count under the trained tokenizer.
+    */
+  def bpeEncodeWord(word: String, merges: Seq[(String, String)]): Int = {
+    var syms = word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
+    merges.foreach { case (a, b) => syms = mergeOnce(syms, a, b, a + b) }
+    syms.length
   }
 }

@@ -849,6 +849,29 @@ object LlmQueries {
       }, None, Some(dir => mGoldenSql(l26GoldenName(dir),
         "rank, lhs, rhs, merged, pair_count", "rank"))),
 
+    // BPE tokenizer APPLY (encode) — the train/apply pair's other half:
+    // the engine trains the merge table (l26's operator), applies it to
+    // the vocabulary relation, and joins back to the exploded corpus for
+    // per-document token counts under the trained tokenizer — the number
+    // a sequence-packing/context-budget pipeline actually needs. The
+    // oracle re-derives per-doc counts COMPUTATIONALLY in DuckDB (its
+    // own tokenize → unnest → join → aggregate) against an independently
+    // replay-trained vocabulary golden (plain-Scala BPE, the l26
+    // standard) — drift anywhere (training, fold application, join,
+    // aggregation) flips counts.
+    "l29_bpe_encode" -> QuerySpec(
+      (s, dir) => {
+        ensureBpeEncodeGolden(s, dir)
+        val merges = TextAnalysis.bpeTrainMerges(
+            Tables(s, dir, "documents").select(col("text")))
+          .orderBy(col("rank")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        TextAnalysis.bpeEncodeCounts(
+            Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+            merges)
+          .orderBy(col("doc_id"))
+      }, None, Some(dir => l29OracleSql(dir))),
+
     // Deterministic per-source sample: 20 docs per source under
     // content-hash order — the reproducible corpus-curation primitive
     // (random sampling could never be oracled).
@@ -1280,6 +1303,50 @@ object LlmQueries {
         .toDF("rank", "lhs", "rhs", "merged", "pair_count")
     })
   }
+  // NumMerges rides the name (the l26 convention): a retuned merge count
+  // can never silently reuse a stale vocabulary golden
+  private def l29GoldenName(dir: String): String =
+    s"l29-bpevocab-${graft.operators.TextAnalysis.Bpe.NumMerges}-" +
+      s"${new java.io.File(dir).getName}-v1"
+
+  /** The l29 golden: replay word frequencies (the l26 path), replay-train
+    * the merge table, then plain-Scala-encode every distinct word —
+    * vocabulary-sized by construction. DuckDB does the corpus-side
+    * explode/join/aggregate itself, so only the vocab mapping is golden.
+    */
+  private def ensureBpeEncodeGolden(s: org.apache.spark.sql.SparkSession,
+                                    dir: String): Unit = {
+    import s.implicits._
+    graft.operators.MultimodalGolden.ensureGoldenDf(l29GoldenName(dir), {
+      val wfreq = Tables(s, dir, "documents").select(col("text"))
+        .as[String].rdd
+        .flatMap(t => if (t == null) Iterator.empty
+          else graft.operators.TextGolden.tokens(t).iterator)
+        .map(w => (w, 1L)).reduceByKey(_ + _).collect().toSeq
+      val merges = graft.operators.TextGolden
+        .bpeMerges(wfreq, graft.operators.TextAnalysis.Bpe.NumMerges)
+        .map { case (_, lhs, rhs, _, _) => (lhs, rhs) }
+      wfreq.map { case (w, _) =>
+        (w, graft.operators.TextGolden.bpeEncodeWord(w, merges))
+      }.toDF("word", "n_bpe")
+    })
+  }
+
+  private def l29OracleSql(dir: String): String = {
+    val base = graft.operators.MultimodalGolden
+      .goldenBase(l29GoldenName(dir))
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    x -> length(x) > 0)) AS word
+       |  FROM documents),
+       |v AS (SELECT word, n_bpe FROM read_parquet('$base/*.parquet'))
+       |SELECT t.doc_id, COUNT(*)::BIGINT AS n_words,
+       |  SUM(v.n_bpe)::BIGINT AS bpe_token_count
+       |FROM toks t JOIN v USING (word)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+  }
+
   private def l03GoldenName(dir: String): String =
     s"l03-simhash-${new java.io.File(dir).getName}-v1"
 

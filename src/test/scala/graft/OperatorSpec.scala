@@ -684,6 +684,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == want, s"engine $got vs replay $want")
   }
 
+  test("BPE encode produces hand-computable per-doc token counts") {
+    val df = Seq((1L, "aaab ab"), (2L, "ab ab aaab"), (3L, "zq"))
+      .toDF("doc_id", "text")
+    // merges learned on the l26 hand corpus: (a,a)→aa, (a,b)→ab,
+    // (aa,ab)→aaab. Applied: aaab→1 sym, ab→1 sym, zq→2 syms (no merge
+    // touches z/q).
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val got = TextAnalysis.bpeEncodeCounts(df, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> ((2L, 2L)), 2L -> ((3L, 3L)),
+      3L -> ((1L, 2L))), s"got $got")
+  }
+
+  test("BPE encode equals the plain-Scala replay over the shared corpus") {
+    val merges = TextAnalysis.bpeTrainMerges(corpus.select(col("text")),
+        numMerges = 8)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = TextAnalysis.bpeEncodeCounts(corpus, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = corpus.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .flatMap { case (id, t) =>
+        val ws = graft.operators.TextGolden.tokens(t)
+        if (ws.isEmpty) None
+        else Some(id -> ((ws.length.toLong,
+          ws.map(w => graft.operators.TextGolden
+            .bpeEncodeWord(w, merges).toLong).sum)))
+      }.toMap
+    assert(got == want, s"engine $got vs replay $want")
+  }
+
   test("decontamination flags exactly the docs sharing benchmark n-grams") {
     val train = Seq(
       // shares the benchmark's full 8-token run TWICE (frequency counts)
