@@ -1,0 +1,347 @@
+package graft.codec
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Pure-JVM PNG (ISO/IEC 15948 / RFC 2083) codec.
+  *
+  * The lossless counterpart to [[Jpeg]] behind the same
+  * [[graft.operators.Multimodal]] Codecs surface: the m05 entry decodes
+  * real PNG payloads and — because PNG is lossless — its oracle is EXACT
+  * equality against the raw-pixel golden, a sharper contract than m04's
+  * bounded-error JPEG oracle. PngSpec cross-checks both directions
+  * against the JDK's independent ImageIO implementation.
+  *
+  * Encoder: 8-bit truecolor (color type 2), non-interlaced, one IDAT,
+  * per-row adaptive filtering (minimum sum of absolute differences over
+  * the five standard filters — the heuristic the spec itself suggests),
+  * zlib best compression.
+  *
+  * Decoder: all five standard color types (grayscale 0, truecolor 2,
+  * palette 3, gray+alpha 4, truecolor+alpha 6), bit depths 1/2/4/8/16
+  * where the spec allows them, all five scanline filters, and BOTH
+  * interlace methods (null and Adam7). Output is always top-down 8-bit
+  * RGB: 16-bit samples take their high byte (the spec's own 16→8
+  * reduction), gray replicates, alpha is dropped (feature extraction
+  * reads color planes; compositing policy belongs to the caller).
+  * Strict parser (the F4 validation stance): bad signature, CRC
+  * mismatch, illegal depth/color combination, bad filter type, trailing
+  * or missing pixel data all throw rather than mis-decode.
+  *
+  * Layout and constants are from the public PNG specification (ISO/IEC
+  * 15948, W3C PNG 2nd edition); no code is derived from libpng or any
+  * other decoder.
+  */
+object Png {
+
+  private val Signature =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  // Adam7 pass origins and steps: (x0, y0, dx, dy) per spec clause 8.2
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  private def channelsOf(colorType: Int): Int = colorType match {
+    case 0 => 1 case 2 => 3 case 3 => 1 case 4 => 2 case 6 => 4
+    case t => throw new IllegalArgumentException(s"PNG: color type $t")
+  }
+
+  private def depthLegal(colorType: Int, depth: Int): Boolean =
+    colorType match {
+      case 0 => Set(1, 2, 4, 8, 16)(depth)
+      case 3 => Set(1, 2, 4, 8)(depth)
+      case 2 | 4 | 6 => depth == 8 || depth == 16
+      case _ => false
+    }
+
+  // ---- encoding ----
+
+  /** Encode 8-bit top-down RGB as truecolor PNG (adaptive filters). */
+  def encode(w: Int, h: Int, rgbTopDown: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0, s"PNG: bad dims ${w}x$h")
+    require(rgbTopDown.length == w * h * 3,
+      s"PNG: rgb length ${rgbTopDown.length} != ${w * h * 3}")
+    val rowBytes = w * 3
+    val raw = new Array[Byte]((rowBytes + 1) * h)
+    val cand = Array.ofDim[Byte](5, rowBytes)
+    var y = 0
+    while (y < h) {
+      val row = y * rowBytes
+      val prev = (y - 1) * rowBytes
+      var bestF = 0
+      var bestSum = Long.MaxValue
+      var f = 0
+      while (f < 5) {
+        var sum = 0L
+        var i = 0
+        while (i < rowBytes) {
+          val x = rgbTopDown(row + i) & 0xff
+          val a = if (i >= 3) rgbTopDown(row + i - 3) & 0xff else 0
+          val b = if (y > 0) rgbTopDown(prev + i) & 0xff else 0
+          val c = if (y > 0 && i >= 3) rgbTopDown(prev + i - 3) & 0xff else 0
+          val v = f match {
+            case 0 => x
+            case 1 => (x - a) & 0xff
+            case 2 => (x - b) & 0xff
+            case 3 => (x - (a + b) / 2) & 0xff
+            case 4 => (x - paeth(a, b, c)) & 0xff
+          }
+          cand(f)(i) = v.toByte
+          // abs-difference cost as signed byte magnitude (the standard
+          // heuristic): treat v as signed and sum |v|
+          val sv = v.toByte.toInt
+          sum += (if (sv < 0) -sv else sv)
+          i += 1
+        }
+        if (sum < bestSum) { bestSum = sum; bestF = f }
+        f += 1
+      }
+      raw(y * (rowBytes + 1)) = bestF.toByte
+      System.arraycopy(cand(bestF), 0, raw, y * (rowBytes + 1) + 1, rowBytes)
+      y += 1
+    }
+    val defl = new Deflater(Deflater.BEST_COMPRESSION)
+    defl.setInput(raw); defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](65536)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature, 0, Signature.length)
+    val ihdr = new Array[Byte](13)
+    putU32(ihdr, 0, w); putU32(ihdr, 4, h)
+    ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "IDAT", zbuf.toByteArray)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private def putU32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+    b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+  }
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream, typ: String,
+                         data: Array[Byte]): Unit = {
+    val len = new Array[Byte](4); putU32(len, 0, data.length)
+    out.write(len, 0, 4)
+    val tb = typ.getBytes("US-ASCII")
+    out.write(tb, 0, 4)
+    out.write(data, 0, data.length)
+    val crc = new CRC32()
+    crc.update(tb); crc.update(data)
+    val cb = new Array[Byte](4); putU32(cb, 0, crc.getValue.toInt)
+    out.write(cb, 0, 4)
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  // ---- decoding ----
+
+  /** Decode any supported PNG to (width, height, top-down 8-bit RGB). */
+  def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes.length >= 8 + 25 + 12,
+      s"PNG: truncated (${bytes.length} bytes)")
+    var i = 0
+    while (i < 8) {
+      require(bytes(i) == Signature(i), "PNG: bad signature")
+      i += 1
+    }
+    var pos = 8
+    var w = 0; var h = 0; var depth = 0; var colorType = 0
+    var interlace = 0
+    var palette: Array[Byte] = null
+    var sawIhdr = false; var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!sawIend) {
+      require(pos + 8 <= bytes.length, "PNG: truncated chunk header")
+      val len = ((bytes(pos) & 0xff) << 24) | ((bytes(pos + 1) & 0xff) << 16) |
+        ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+      require(len >= 0 && pos + 12 + len <= bytes.length,
+        s"PNG: chunk length $len overruns input")
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      val crc = new CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      val want = ((bytes(pos + 8 + len) & 0xffL) << 24) |
+        ((bytes(pos + 9 + len) & 0xffL) << 16) |
+        ((bytes(pos + 10 + len) & 0xffL) << 8) |
+        (bytes(pos + 11 + len) & 0xffL)
+      require(crc.getValue == want, s"PNG: CRC mismatch in $typ")
+      typ match {
+        case "IHDR" =>
+          require(!sawIhdr && len == 13, "PNG: bad IHDR")
+          w = ((bytes(pos + 8) & 0xff) << 24) |
+            ((bytes(pos + 9) & 0xff) << 16) |
+            ((bytes(pos + 10) & 0xff) << 8) | (bytes(pos + 11) & 0xff)
+          h = ((bytes(pos + 12) & 0xff) << 24) |
+            ((bytes(pos + 13) & 0xff) << 16) |
+            ((bytes(pos + 14) & 0xff) << 8) | (bytes(pos + 15) & 0xff)
+          depth = bytes(pos + 16) & 0xff
+          colorType = bytes(pos + 17) & 0xff
+          require((bytes(pos + 18) & 0xff) == 0, "PNG: compression method")
+          require((bytes(pos + 19) & 0xff) == 0, "PNG: filter method")
+          interlace = bytes(pos + 20) & 0xff
+          require(interlace == 0 || interlace == 1, "PNG: interlace method")
+          require(w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue - 64,
+            s"PNG: bad dims ${w}x$h")
+          require(depthLegal(colorType, depth),
+            s"PNG: illegal depth $depth for color type $colorType")
+          sawIhdr = true
+        case "PLTE" =>
+          require(sawIhdr && idat.size == 0, "PNG: PLTE misplaced")
+          require(len % 3 == 0 && len >= 3 && len <= 768, "PNG: bad PLTE")
+          palette = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
+        case "IDAT" =>
+          require(sawIhdr, "PNG: IDAT before IHDR")
+          idat.write(bytes, pos + 8, len)
+        case "IEND" =>
+          require(len == 0, "PNG: bad IEND")
+          sawIend = true
+        case _ =>
+          // ancillary chunks (tEXt, tRNS, gAMA, …) are CRC-checked and
+          // skipped; an unknown CRITICAL chunk (bit 5 of first byte
+          // clear = upper-case) would change the decode and must reject
+          require((bytes(pos + 4) & 0x20) != 0,
+            s"PNG: unsupported critical chunk $typ")
+      }
+      pos += 12 + len
+    }
+    require(sawIhdr, "PNG: missing IHDR")
+    if (colorType == 3) require(palette != null, "PNG: palette missing")
+
+    val channels = channelsOf(colorType)
+    val bitsPerPixel = channels * depth
+    val filterBpp = math.max(1, bitsPerPixel / 8)
+
+    // inflate the full multi-pass raw stream
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlace == 0) Array((0, 0, 1, 1)) else Adam7
+    var rawSize = 0L
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0)
+        rawSize += ph.toLong * (1 + (pw.toLong * bitsPerPixel + 7) / 8)
+    }
+    require(rawSize <= Int.MaxValue - 64, "PNG: raw stream too large")
+    val raw = new Array[Byte](rawSize.toInt)
+    val inf = new Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      require(n > 0 || inf.finished(),
+        "PNG: pixel data truncated or corrupt")
+      got += n
+    }
+    require(got == raw.length, s"PNG: raw stream $got != ${raw.length}")
+    // drain: a well-formed stream ends exactly here
+    val spill = new Array[Byte](1)
+    require(inf.finished() || inf.inflate(spill) == 0 && inf.finished(),
+      "PNG: trailing pixel data")
+    inf.end()
+
+    val rgb = new Array[Byte](w * h * 3)
+    var off = 0
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val rowBytes = ((pw.toLong * bitsPerPixel + 7) / 8).toInt
+        val prevRow = new Array[Byte](rowBytes)
+        val curRow = new Array[Byte](rowBytes)
+        java.util.Arrays.fill(prevRow, 0.toByte)
+        var j = 0
+        while (j < ph) {
+          val ft = raw(off) & 0xff
+          require(ft <= 4, s"PNG: filter type $ft")
+          System.arraycopy(raw, off + 1, curRow, 0, rowBytes)
+          unfilter(ft, curRow, prevRow, filterBpp)
+          // emit pixels of this scanline into the RGB plane
+          var i2 = 0
+          while (i2 < pw) {
+            val x = x0 + i2 * dx
+            val o = ((y0 + j * dy) * w + x) * 3
+            emitPixel(curRow, i2, depth, colorType, channels, palette, rgb, o)
+            i2 += 1
+          }
+          System.arraycopy(curRow, 0, prevRow, 0, rowBytes)
+          off += 1 + rowBytes
+          j += 1
+        }
+      }
+    }
+    (w, h, rgb)
+  }
+
+  /** In-place scanline reconstruction (spec clause 9: filters 0–4). */
+  private def unfilter(ft: Int, cur: Array[Byte], prev: Array[Byte],
+                       bpp: Int): Unit = {
+    val n = cur.length
+    var i = 0
+    ft match {
+      case 0 => ()
+      case 1 =>
+        i = bpp
+        while (i < n) { cur(i) = (cur(i) + cur(i - bpp)).toByte; i += 1 }
+      case 2 =>
+        while (i < n) { cur(i) = (cur(i) + prev(i)).toByte; i += 1 }
+      case 3 =>
+        while (i < n) {
+          val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+          cur(i) = (cur(i) + (a + (prev(i) & 0xff)) / 2).toByte
+          i += 1
+        }
+      case 4 =>
+        while (i < n) {
+          val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+          val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
+          cur(i) = (cur(i) + paeth(a, prev(i) & 0xff, c)).toByte
+          i += 1
+        }
+    }
+  }
+
+  /** Read pixel `idx` of a defiltered scanline and write 8-bit RGB. */
+  private def emitPixel(row: Array[Byte], idx: Int, depth: Int,
+                        colorType: Int, channels: Int,
+                        palette: Array[Byte], rgb: Array[Byte],
+                        o: Int): Unit = {
+    def sample(ch: Int): Int = depth match {
+      case 8 => row(idx * channels + ch) & 0xff
+      case 16 => row((idx * channels + ch) * 2) & 0xff // high byte
+      case _ => // sub-byte: gray or palette only (1 channel)
+        val bitPos = idx * depth
+        val b = row(bitPos >> 3) & 0xff
+        val shift = 8 - depth - (bitPos & 7)
+        (b >> shift) & ((1 << depth) - 1)
+    }
+    colorType match {
+      case 0 => // grayscale: scale sub-byte depths to 8-bit (spec: v*255/max)
+        val v0 = sample(0)
+        val v = if (depth < 8) v0 * 255 / ((1 << depth) - 1) else v0
+        rgb(o) = v.toByte; rgb(o + 1) = v.toByte; rgb(o + 2) = v.toByte
+      case 2 =>
+        rgb(o) = sample(0).toByte; rgb(o + 1) = sample(1).toByte
+        rgb(o + 2) = sample(2).toByte
+      case 3 =>
+        val pi = sample(0)
+        require(pi * 3 + 2 < palette.length, s"PNG: palette index $pi")
+        rgb(o) = palette(pi * 3); rgb(o + 1) = palette(pi * 3 + 1)
+        rgb(o + 2) = palette(pi * 3 + 2)
+      case 4 =>
+        val v = sample(0)
+        rgb(o) = v.toByte; rgb(o + 1) = v.toByte; rgb(o + 2) = v.toByte
+      case 6 =>
+        rgb(o) = sample(0).toByte; rgb(o + 1) = sample(1).toByte
+        rgb(o + 2) = sample(2).toByte
+    }
+  }
+}

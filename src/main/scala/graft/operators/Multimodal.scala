@@ -271,8 +271,8 @@ object Multimodal {
       graft.codec.Jpeg.encode(newW, newH, resampleRgb(w, h, rgb, newW, newH))
     }
 
-    /** Resize dispatch on kind: images resample for real (BMP or JPEG);
-      * audio/video payloads pass through (a real pipeline would
+    /** Resize dispatch on kind: images resample for real (BMP, JPEG or
+      * PNG); audio/video payloads pass through (a real pipeline would
       * transcode).
       */
     def resize(blob: MediaBlob, w: Int, h: Int): MediaBlob =
@@ -280,7 +280,48 @@ object Multimodal {
         blob.copy(width = w, height = h, data = resizeBmp(blob.data, w, h))
       else if (blob.kind == "jpeg")
         blob.copy(width = w, height = h, data = resizeJpeg(blob.data, w, h))
+      else if (blob.kind == "png")
+        blob.copy(width = w, height = h, data = resizePng(blob.data, w, h))
       else blob.copy(width = w, height = h)
+
+    /** Nearest-neighbor resample through the PNG codec. */
+    def resizePng(bytes: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
+      val (w, h, rgb) = graft.codec.Png.decode(bytes)
+      graft.codec.Png.encode(newW, newH, resampleRgb(w, h, rgb, newW, newH))
+    }
+
+    /** PNG via the JDK's INDEPENDENT ImageIO implementation — the
+      * cross-codec half of the m05 fixture (and PngSpec's referee):
+      * payloads our decoder must read that our encoder never produced.
+      * `progressive = true` asks the JDK writer for Adam7 interlacing.
+      */
+    def imageIoPng(w: Int, h: Int, rgb: Array[Byte],
+                   progressive: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = (y * w + x) * 3
+          img.setRGB(x, y, ((rgb(i) & 0xff) << 16) |
+            ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
+      val param = writer.getDefaultWriteParam
+      if (progressive)
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
   }
 
   /** Deterministic synthetic media table with VALID payloads: real BMPs,
@@ -376,6 +417,39 @@ object Multimodal {
     }
   }
 
+  /** Deterministic raw RGB draw for the PNG table. PNG is lossless, so
+    * unlike [[jpegRawDraw]] no content smoothness is required — but the
+    * same generator keeps the fixture family uniform (seed offset keeps
+    * the two tables' pixel streams distinct).
+    */
+  def pngRawDraw(id: Long, seed: Long = 42L): (Int, Int, Array[Byte]) = {
+    val rnd = new scala.util.Random(seed + 104729 * id)
+    val w = 16 + rnd.nextInt(80)
+    val h = 16 + rnd.nextInt(80)
+    (w, h, smoothRgb(w, h, rnd))
+  }
+
+  /** Synthetic PNG table: real PNG payloads from the seeded raw draws,
+    * deliberately produced by THREE different encoders so m05 decodes
+    * streams our own encoder never wrote — id%3==0 our adaptive-filter
+    * encoder, 1 the JDK's ImageIO writer (independent implementation),
+    * 2 ImageIO in Adam7 interlaced mode (exercises the deinterlacer on
+    * every third row).
+    */
+  def syntheticPngs(spark: SparkSession, n: Int,
+                    seed: Long = 42L): Dataset[MediaBlob] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val (w, h, rgb) = pngRawDraw(id, seed)
+      val data = (id % 3) match {
+        case 0 => graft.codec.Png.encode(w, h, rgb)
+        case 1 => Codecs.imageIoPng(w, h, rgb, progressive = false)
+        case _ => Codecs.imageIoPng(w, h, rgb, progressive = true)
+      }
+      MediaBlob(id, "png", w, h, 1, data)
+    }
+  }
+
   /** Feature extraction: batched narrow mapPartitions (batches of 32 model
     * the Arrow-batch shape); REAL decode per kind — image/video frame 0 →
     * BT.601 luma histogram; audio → amplitude histogram over the high
@@ -390,6 +464,8 @@ object Multimodal {
             case "image" => Codecs.lumaOf(Codecs.decodeBmp(blob.data)._3)
             case "jpeg" =>
               Codecs.lumaOf(graft.codec.Jpeg.decode(blob.data)._3)
+            case "png" =>
+              Codecs.lumaOf(graft.codec.Png.decode(blob.data)._3)
             case "video" =>
               Codecs.lumaOf(
                 Codecs.decodeBmp(Codecs.videoFrame(blob.data, 0))._3)

@@ -606,4 +606,80 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  // ---- SQ8: per-dimension scalar quantization ----
+
+  /** SQ8's entire "training": per-dimension [lo, hi] bounds over the
+    * corpus — ONE order-independent min/max aggregate (exact, seed-free,
+    * iteration-free; contrast with the k-means fits behind IVF/PQ),
+    * collected dims-sized. At 100 TB this is a single map-side-combining
+    * pass; the bounds land as plan literals exactly like the
+    * plane/centroid/codebook matrices.
+    */
+  def fitSqBounds(vectors: DataFrame, vecCol: String = "embedding")
+      : (Array[Double], Array[Double]) = {
+    val rows = vectors
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("lo"),
+        max(col("x").cast("double")).as("hi"))
+      .orderBy(col("pos")).collect()
+    require(rows.nonEmpty, "fitSqBounds: empty corpus")
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** 8-bit scalar quantization: code_d = clamp₀₂₅₅(⌊(x−lo)/(hi−lo)·255
+    * + 0.5⌋) — round-half-up via floor, the rounding both engines
+    * reproduce bit-for-bit from identical doubles; a degenerate
+    * dimension (hi ≤ lo) codes to 0. The scan side then carries d bytes
+    * per vector instead of 8d (doubles) — the faiss-SQ8 memory layout.
+    */
+  private[graft] def sqCodes(vec: Column, lo: Array[Double],
+                             hi: Array[Double]): Column = {
+    require(lo.length == hi.length && lo.nonEmpty, "sqCodes: bad bounds")
+    val loL = array(lo.map(lit).toIndexedSeq: _*)
+    val hiL = array(hi.map(lit).toIndexedSeq: _*)
+    guardDims(vec, lo.length,
+      zip_with(vec,
+        zip_with(loL, hiL, (a, b) => struct(a.as("lo"), b.as("hi"))),
+        (x, bnd) => {
+          val l = bnd.getField("lo")
+          val h = bnd.getField("hi")
+          when(h <= l, lit(0)).otherwise(
+            least(lit(255), greatest(lit(0),
+              floor((x.cast("double") - l) / (h - l) * lit(255.0d)
+                + lit(0.5d)).cast("int"))))
+        }))
+  }
+
+  /** SQ8 top-k with exact re-rank — the third point in the memory-layout
+    * family (full vectors → [[pqTopK]] 4-bit-ish codes → this, byte
+    * codes): candidates rank by the symmetric CENTERED quantized dot
+    * Σ (code_d−128)(qcode_d−128). Centering matters: the raw code is an
+    * affine shift of the value (≈ (x−lo)·255/range), so a raw-code dot
+    * adds a candidate-dependent Σx_d bias that wrecks ranking on
+    * zero-centered embeddings; code−128 ≈ x·255/range recovers a
+    * per-dim-scaled dot. Still pure INTEGER arithmetic —
+    * order-independent and bit-exact in every engine, so the oracle's
+    * unordered SUM reproduces the engine's fold with no explicit-order
+    * gymnastics (the s05 ADC sum needed them; integer candidates
+    * don't). Exact cosine over the top-`rerank` candidates orders the
+    * final top-k.
+    */
+  def sqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+             lo: Array[Double], hi: Array[Double], rerank: Int = 64,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqCodes(col(vecCol), lo, hi).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
+      sqCodes(col(vecCol), lo, hi).as("qcodes"))
+    val approx = v.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("s",
+        aggregate(zip_with(col("codes"), col("qcodes"),
+          (a, b) => ((a - lit(128)) * (b - lit(128))).cast("long")),
+          lit(0L), (acc, x) => acc + x)
+          .cast("double"))
+    rerankExact(approx, k, rerank)
+  }
 }

@@ -978,6 +978,24 @@ object LlmQueries {
           .orderBy(col("query_id"), col("rank"))
       }, None, Some(dir => s05Sql(dir))),
 
+    // SQ8 scalar-quantization ANN — the third memory layout in the
+    // family (full vectors / PQ codes / byte codes): training is ONE
+    // exact min-max aggregate (no k-means, no seed), codes are 8-bit
+    // per-dimension, and the candidate score is a symmetric INTEGER
+    // quantized dot — order-independent, so the oracle re-derives the
+    // entire pipeline (code assignment from the captured bounds, integer
+    // dot, candidate cut, exact-cosine re-rank) with plain SQL SUMs and
+    // still hash-matches bit-for-bit.
+    "s08_sq8_topk" -> QuerySpec(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val bounds = Similarity.fitSqBounds(e)
+        s08BoundsByDir(dir) = bounds
+        Similarity.sqTopK(e, e.filter(col("vec_id") < 5), k = 10,
+            bounds._1, bounds._2)
+          .orderBy(col("query_id"), col("rank"))
+      }, None, Some(dir => s08Sql(dir))),
+
     // The COMPOSED billion-scale layout, fully verified: IVF coarse cell
     // join (trained centroids as plan literals) + PQ-ADC candidate
     // scoring + exact re-rank. The oracle re-derives the whole pipeline
@@ -1143,6 +1161,41 @@ object LlmQueries {
           .orderBy(col("media_id"))
       }, None, Some(_ => mGoldenSql("m04-jpeg-150-v1",
         "media_id, width, height, TRUE AS luma_within_tol", "media_id"))),
+
+    // PNG decode — the LOSSLESS compressed-image path (pure-JVM codec,
+    // codec/Png.scala): unlike m04's bounded-tolerance JPEG oracle this
+    // one is EXACT — the decoded mean luma must equal the raw-draw golden
+    // bit for bit, because PNG decode reproduces the source pixels
+    // exactly. The fixture deliberately mixes three encoders (our
+    // adaptive-filter writer, the JDK's independent ImageIO writer, and
+    // ImageIO in Adam7 interlaced mode), so the decoder is exercised on
+    // streams our encoder never produced. PngSpec cross-checks gray /
+    // palette / alpha / 16-bit variants against ImageIO directly.
+    "m05_png_decode" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val n = 150
+        val gname = s"m05-png-$n-v1"
+        MultimodalGolden.ensureGoldenDf(gname,
+          s.range(n).map { id =>
+            val (w, h, rgb) = Multimodal.pngRawDraw(id)
+            val luma = Multimodal.Codecs.lumaOf(rgb)
+            var sum = 0L
+            luma.foreach(b => sum += (b & 0xff))
+            (id, w, h, sum.toDouble / luma.length)
+          }.toDF("media_id", "width", "height", "mean_luma"))
+        Multimodal.syntheticPngs(s, n)
+          .map { b =>
+            val (dw, dh, rgb) = graft.codec.Png.decode(b.data)
+            val luma = Multimodal.Codecs.lumaOf(rgb)
+            var sum = 0L
+            luma.foreach(x => sum += (x & 0xff))
+            (b.media_id, dw, dh, sum.toDouble / luma.length)
+          }
+          .toDF("media_id", "width", "height", "mean_luma")
+          .orderBy(col("media_id"))
+      }, None, Some(_ => mGoldenSql("m05-png-150-v1",
+        "media_id, width, height, mean_luma", "media_id"))),
   )
 
   // media count per sf dir (300 at sf≤0.01, 2000 at sf0.1) — a pure
@@ -1588,6 +1641,8 @@ object LlmQueries {
     scala.collection.concurrent.TrieMap[String, Array[Array[Array[Double]]]]()
   private val s07CentroidsByDir =
     scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]()
+  private val s08BoundsByDir = scala.collection.concurrent.TrieMap[
+    String, (Array[Double], Array[Double])]()
   private val s06CapturesByDir = scala.collection.concurrent.TrieMap[
     String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
 
@@ -1759,6 +1814,50 @@ object LlmQueries {
        |  FROM codes cd JOIN qt ON cd.sub = qt.sub AND cd.cw = qt.cw
        |    AND cd.vec_id <> qt.query_id
        |  GROUP BY qt.query_id, cd.vec_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+       |  FROM approx) WHERE rn <= 64),
+       |st AS (SELECT cd.query_id, cd.neighbor_id, $cosineCase AS c
+       |  FROM cand cd
+       |  JOIN base v ON v.vec_id = cd.neighbor_id
+       |  JOIN base q ON q.vec_id = cd.query_id),
+       |r AS (SELECT query_id, neighbor_id, c,
+       |  row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY c DESC, neighbor_id) AS rank FROM st)
+       |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** s08 oracle: DuckDB re-derives SQ8 end to end from the captured
+    * per-dimension bounds — code assignment (same round-half-up floor
+    * from identical doubles), symmetric integer quantized dot (unordered
+    * SUM is safe: integer arithmetic), top-64 candidate cut (ties to the
+    * smaller neighbor_id, mirroring rerankExact), exact-cosine final
+    * rank.
+    */
+  private def s08Sql(dir: String): String = {
+    val (lo, hi) = s08BoundsByDir.getOrElse(dir,
+      sys.error(s"s08 never ran for $dir — no bounds captured"))
+    val boundVals = lo.indices
+      .map(i => s"(${i + 1}, ${lo(i)}::DOUBLE, ${hi(i)}::DOUBLE)")
+      .mkString(", ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |bounds(pos, lo, hi) AS (VALUES $boundVals),
+       |xs AS (SELECT vec_id, generate_subscripts(e, 1) AS pos,
+       |    unnest(e) AS x FROM base),
+       |codes AS (SELECT vec_id, pos,
+       |    CASE WHEN hi <= lo THEN 0
+       |         ELSE least(255, greatest(0,
+       |           CAST(floor((x - lo) / (hi - lo) * 255.0 + 0.5) AS INT)))
+       |    END AS code
+       |  FROM xs JOIN bounds USING (pos)),
+       |approx AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |    SUM((v.code::BIGINT - 128) * (q.code::BIGINT - 128)) AS s
+       |  FROM codes v JOIN codes q
+       |    ON v.pos = q.pos AND v.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 5
+       |  GROUP BY q.vec_id, v.vec_id),
        |cand AS (SELECT query_id, neighbor_id FROM (
        |  SELECT query_id, neighbor_id, row_number() OVER (
        |    PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn

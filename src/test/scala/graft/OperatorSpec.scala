@@ -240,6 +240,33 @@ class OperatorSpec extends AnyFunSuite {
       s"trained $trainedRecall vs random $ivfRecall")
   }
 
+  test("SQ8 codes are hand-computable and sqTopK recall is near-exact") {
+    // bounds [0, 10]: x=5 → floor(5/10*255+0.5)=128; x=10 → 255; x=-3
+    // clamps to 0; degenerate dim (hi==lo) → 0
+    val df = Seq((0L, Seq(5.0f, 10.0f, -3.0f, 7.0f)))
+      .toDF("vec_id", "embedding")
+    val lo = Array(0.0, 0.0, 0.0, 7.0)
+    val hi = Array(10.0, 10.0, 10.0, 7.0)
+    val codes = df.select(
+        Similarity.sqCodes(col("embedding"), lo, hi).as("c"))
+      .collect().head.getSeq[Int](0)
+    assert(codes == Seq(128, 255, 0, 0), s"got $codes")
+
+    // 8-bit quantization barely perturbs ranking: recall vs brute force
+    // should be near 1.0 (contrast with the coarser PQ/LSH paths)
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    def resultSet(df2: org.apache.spark.sql.DataFrame) = df2.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val exact = resultSet(Similarity.bruteForceTopK(e, q, 10))
+    val (blo, bhi) = Similarity.fitSqBounds(e)
+    val sq = resultSet(Similarity.sqTopK(e, q, 10, blo, bhi))
+    val recall = sq.intersect(exact).size.toDouble / exact.size
+    info(s"SQ8 recall=$recall")
+    assert(recall >= 0.9, s"SQ8 recall too low: $recall")
+  }
+
   test("PQ-ADC and IVF-PQ achieve useful recall vs brute force") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter(col("vec_id") < 20)
