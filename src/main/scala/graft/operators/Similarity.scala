@@ -682,4 +682,52 @@ object Similarity {
           .cast("double"))
     rerankExact(approx, k, rerank)
   }
+
+  // ---- MaxSim: multi-vector late interaction ----
+
+  /** ColBERT-style late-interaction scoring: documents and queries are
+    * BAGS of vectors (one per token/chunk), and
+    * score(q, d) = Σ_{i∈q} max_{j∈d} cos(q_i, d_j) — every query vector
+    * finds its best match in the document independently. This is the
+    * multi-vector retrieval shape single-vector ANN (s01–s08) cannot
+    * express: a document matching all of a query's distinct aspects
+    * beats one matching a single aspect strongly.
+    *
+    * Determinism across engines: the per-(query-vector, doc) MAX of
+    * cosines is order-independent; the per-pair maxes are then
+    * round-half-up quantized to integer MICRO-units before the sum, so
+    * the final Σ is integer arithmetic — an unordered SQL SUM reproduces
+    * the engine bit-for-bit (the s08 integer-dot trick applied to
+    * doubles).
+    *
+    * Spark shape for 100 TB: queries broadcast (a query workload is
+    * small by contract — the s01 stance); the corpus vector table
+    * streams through ONE join and two map-side-combining aggregates
+    * whose keys are (query, token, doc) then (query, doc) — token-width
+    * rows, never document-width. For a billion-doc corpus compose with
+    * an ANN candidate stage first (any of s02–s08) and MaxSim-score
+    * only the candidates.
+    */
+  def maxSimTopK(docVecs: DataFrame, queryVecs: DataFrame, k: Int,
+                 docCol: String = "doc", idxCol: String = "token_idx",
+                 vecCol: String = "embedding"): DataFrame = {
+    val d = docVecs.select(col(docCol).as("ddoc"), col(vecCol).as("dv"))
+    val q = queryVecs.select(col(docCol).as("qdoc"), col(idxCol).as("qi"),
+      col(vecCol).as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qdoc")).orderBy(col("smicro").desc, col("ddoc"))
+    d.join(broadcast(q), col("ddoc") =!= col("qdoc"))
+      .withColumn("c", cosine(col("dv"), col("qv")))
+      .groupBy(col("qdoc"), col("qi"), col("ddoc"))
+      .agg(max(col("c")).as("m"))
+      .withColumn("mq",
+        floor(col("m") * lit(1000000.0d) + lit(0.5d)).cast("long"))
+      .groupBy(col("qdoc"), col("ddoc"))
+      .agg(sum(col("mq")).as("smicro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qdoc").as("query_doc"), col("rank"),
+        col("ddoc").as("doc"),
+        (col("smicro").cast("double") / lit(1000000.0d)).as("maxsim"))
+  }
 }

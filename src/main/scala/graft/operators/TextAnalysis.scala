@@ -337,6 +337,57 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"), min(col("ngram")).as("first_ngram"))
 
+  /** [[contaminatedDocs]] with a BLOOM-FILTER prefilter on the corpus
+    * side — the shape that survives benchmark suites too large to
+    * broadcast as strings. The benchmark's n-gram hashes aggregate into
+    * one bloom filter DISTRIBUTED (Spark's own `BloomFilterAggregate`,
+    * the runtime-row-level-filtering machinery, driven explicitly):
+    * O(bits) travels to the driver, never the n-grams. Corpus n-grams
+    * probe the bloom (a codegen'd `might_contain` on `xxhash64`) and
+    * only survivors — true hits plus an fpp-sized trickle of false
+    * positives — reach the exact string join, which keeps the RESULT
+    * exactly equal to the unfiltered operator (the oracle is the same
+    * plain SQL as the exact path; the bloom changes the plan, not the
+    * answer).
+    *
+    * Spark shape for 100 TB: the corpus-side explode streams through a
+    * narrow filter that drops ~everything before any join structure is
+    * built; the exact-verify join's probe input is hit-sized. The
+    * benchmark side is scanned twice (bloom build + exact side) — it is
+    * benchmark-sized, the small table by definition.
+    */
+  def contaminatedDocsBloom(docs: DataFrame, benchmark: DataFrame,
+                            n: Int = 8, bitsPerGram: Long = 16,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.
+      BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.Bridge
+    val bGrams = benchmark
+      .select(explode(tokenNgramsAll(col(textCol), n)).as("ngram"))
+      .distinct()
+      .localCheckpoint() // bloom build + exact join share one computation
+    val est = math.max(bGrams.count(), 1L)
+    val bloomAgg = new BloomFilterAggregate(
+      Bridge.expression(xxhash64(col("ngram"))),
+      Literal(est), Literal(math.max(64L, est * bitsPerGram)))
+    val bloomBytes = bGrams
+      .select(Bridge.column(bloomAgg.toAggregateExpression()))
+      .head().getAs[Array[Byte]](0)
+    val probe = Bridge.column(BloomFilterMightContain(
+      Literal.create(bloomBytes,
+        org.apache.spark.sql.types.BinaryType),
+      Bridge.expression(xxhash64(col("ngram")))))
+    docs.select(col(idCol), explode(tokenNgramsAll(col(textCol), n))
+        .as("ngram"))
+      .filter(probe)
+      .join(broadcast(bGrams), Seq("ngram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), min(col("ngram")).as("first_ngram"))
+  }
+
   /** The cleaned corpus: training docs with any benchmark n-gram
     * overlap removed via a left-anti join on flagged ids. The flag side
     * here is a bare id DISTINCT (not [[contaminatedDocs]]' report): when

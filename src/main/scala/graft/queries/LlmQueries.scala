@@ -666,6 +666,41 @@ object LlmQueries {
              |FROM tg JOIN bg USING (ngram)
              |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Decontamination with a BLOOM prefilter — the benchmark's n-gram
+    // hashes aggregate into one distributed bloom (Spark's own
+    // BloomFilterAggregate, driven explicitly); corpus n-grams probe it
+    // BEFORE any join, and the exact string join on survivors removes
+    // false positives — so the result equals the exact operator and the
+    // oracle is the same plain SQL (no bloom in it: the bloom changes
+    // the plan, never the answer). Different params from l22 (6-grams,
+    // %10 benchmark split) so the two entries cover different slices.
+    "l30_bloom_decontaminate" -> QuerySpec(
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        TextAnalysis.contaminatedDocsBloom(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0), n = 6)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |                x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    [array_to_string(toks[i:i+5], ' ')
+             |     for i in generate_series(1, len(toks) - 5)] AS gs
+             |  FROM t),
+             |bg AS (SELECT DISTINCT unnest(gs) AS ngram FROM g
+             |       WHERE doc_id % 10 = 0),
+             |tg AS (SELECT doc_id, unnest(gs) AS ngram FROM g
+             |       WHERE doc_id % 10 <> 0)
+             |SELECT tg.doc_id, COUNT(*) AS n_hits,
+             |  MIN(tg.ngram) AS first_ngram
+             |FROM tg JOIN bg USING (ngram)
+             |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin)),
+
     // Cross-document repeated-passage statistics (the ExactSubstr-dedup
     // signal): 10-grams support-counted across distinct docs, per-doc
     // repeated-material fraction. DuckDB re-derives the whole relation
@@ -995,6 +1030,25 @@ object LlmQueries {
             bounds._1, bounds._2)
           .orderBy(col("query_id"), col("rank"))
       }, None, Some(dir => s08Sql(dir))),
+
+    // Multi-vector late interaction (ColBERT MaxSim): vectors grouped 8
+    // per "document", score = Σ over query tokens of the best cosine in
+    // the candidate doc. Per-pair maxes quantize to integer micro-units
+    // before summation, so the oracle's unordered SUM is bit-exact; the
+    // whole pipeline is static SQL — no trained captures at all.
+    "s09_maxsim_topk" -> QuerySpec(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val dv = e.select(expr("vec_id DIV 8").as("doc"),
+          col("embedding"))
+        val qv = e.filter(expr("vec_id DIV 8") < 2)
+          .select(expr("vec_id DIV 8").as("doc"),
+            pmod(col("vec_id"), lit(8)).as("token_idx"), col("embedding"))
+        Similarity.maxSimTopK(dv, qv, k = 10)
+          .orderBy(col("query_doc"), col("rank"))
+      // the SQL is static but cosineCase initializes after `all`, so the
+      // builder is late-bound (the s02–s08 convention) rather than eager
+      }, None, Some(_ => s09Sql)),
 
     // The COMPOSED billion-scale layout, fully verified: IVF coarse cell
     // join (trained centroids as plan literals) + PQ-ADC candidate
@@ -1828,6 +1882,31 @@ object LlmQueries {
        |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
+
+  /** s09 oracle: DuckDB re-derives MaxSim end to end — the 8-per-doc
+    * grouping, per-(query-token, doc) cosine MAX, micro-unit
+    * quantization, integer SUM, tie-broken rank. Fully static (no
+    * trained captures).
+    */
+  private def s09Sql: String =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+       |    vec_id // 8 AS doc FROM embeddings),
+       |qv AS (SELECT doc AS qdoc, vec_id % 8 AS qi, e FROM base
+       |       WHERE doc < 2),
+       |pair AS (SELECT q.qdoc, q.qi, v.doc AS ddoc, $cosineCase AS c
+       |  FROM base v JOIN qv q ON v.doc <> q.qdoc),
+       |mx AS (SELECT qdoc, qi, ddoc,
+       |    CAST(floor(max(c) * 1000000.0 + 0.5) AS BIGINT) AS mq
+       |  FROM pair GROUP BY qdoc, qi, ddoc),
+       |sc AS (SELECT qdoc, ddoc, SUM(mq) AS smicro
+       |  FROM mx GROUP BY qdoc, ddoc),
+       |r AS (SELECT qdoc, ddoc, smicro, row_number() OVER (
+       |  PARTITION BY qdoc ORDER BY smicro DESC, ddoc) AS rank
+       |  FROM sc)
+       |SELECT qdoc AS query_doc, rank, ddoc AS doc,
+       |  smicro::DOUBLE / 1000000.0 AS maxsim
+       |FROM r WHERE rank <= 10
+       |ORDER BY query_doc, rank""".stripMargin
 
   /** s08 oracle: DuckDB re-derives SQ8 end to end from the captured
     * per-dimension bounds — code assignment (same round-half-up floor

@@ -267,6 +267,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"SQ8 recall too low: $recall")
   }
 
+  test("MaxSim scores hand-computable multi-vector matches") {
+    // q doc 0: tokens along axes x and y. doc 1 matches BOTH aspects
+    // (maxsim 2.0); doc 2 matches only x twice (maxsim 1.0); doc 3
+    // matches neither (cos 0 against both).
+    val vecs = Seq(
+      (0L, 0L, Seq(1.0f, 0.0f, 0.0f)), (0L, 1L, Seq(0.0f, 1.0f, 0.0f)),
+      (1L, 0L, Seq(2.0f, 0.0f, 0.0f)), (1L, 1L, Seq(0.0f, 3.0f, 0.0f)),
+      (2L, 0L, Seq(1.0f, 0.0f, 0.0f)), (2L, 1L, Seq(5.0f, 0.0f, 0.0f)),
+      (3L, 0L, Seq(0.0f, 0.0f, 1.0f)), (3L, 1L, Seq(0.0f, 0.0f, 2.0f)))
+      .toDF("doc", "token_idx", "embedding")
+    val got = Similarity.maxSimTopK(vecs, vecs.filter(col("doc") === 0),
+        k = 3)
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((1, 1L, 2.0), (2, 2L, 1.0), (3, 3L, 0.0)),
+      s"got $got")
+  }
+
+  test("bloom-prefiltered decontamination equals the exact operator") {
+    val docs = corpus.select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val exact = canon(TextAnalysis.contaminatedDocs(train, bench, n = 6))
+    val bloom = canon(
+      TextAnalysis.contaminatedDocsBloom(train, bench, n = 6))
+    assert(bloom == exact, s"bloom $bloom vs exact $exact")
+    // and with a DELIBERATELY tiny, collision-heavy bloom the exact
+    // join must still scrub every false positive
+    val tiny = canon(TextAnalysis.contaminatedDocsBloom(train, bench,
+      n = 6, bitsPerGram = 1))
+    assert(tiny == exact, s"tiny-bloom $tiny vs exact $exact")
+  }
+
   test("PQ-ADC and IVF-PQ achieve useful recall vs brute force") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter(col("vec_id") < 20)

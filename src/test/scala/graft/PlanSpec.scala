@@ -169,4 +169,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("minhash_sig"),
       s"signature kernel must not re-run inside the verify plan:\n${plan.take(3000)}")
   }
+
+  test("l30: bloom probe filters the corpus grams BEFORE the exact join") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.operators.TextAnalysis.contaminatedDocsBloom(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), n = 6)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(3000))
+    // the probe must sit below the join: in the optimized plan string the
+    // first Join appears before (= above) the might_contain filter
+    val joinAt = plan.indexOf("Join")
+    val probeAt = plan.indexOf("might_contain")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"bloom probe not below the join:\n${plan.take(3000)}")
+  }
 }
