@@ -683,6 +683,39 @@ object Similarity {
     rerankExact(approx, k, rerank)
   }
 
+  /** IVF-SQ8: coarse cell equi-join + centered integer SQ dot + exact
+    * re-rank — [[ivfPqTopK]]'s layout with the SQ8 code side instead of
+    * PQ: the pair space is pruned by the cell join AND the scan side
+    * carries byte codes, while (unlike PQ-ADC) the candidate arithmetic
+    * stays integer — so the composed oracle needs no explicit-order sum.
+    * The practical middle ground when PQ's accuracy loss is too much but
+    * full vectors don't fit: faiss's `IVF…,SQ8` index family.
+    */
+  def ivfSqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                centroids: Array[Array[Double]], lo: Array[Double],
+                hi: Array[Double], nProbe: Int = 4, rerank: Int = 64,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val centroidScores = literalCellScores(centroids)
+    def topCells(vec: Column, nn: Int): Column =
+      transform(slice(reverse(array_sort(centroidScores(vec))), 1, nn),
+        s => s.getField("cell"))
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqCodes(col(vecCol), lo, hi).as("codes"),
+      element_at(topCells(col(vecCol), 1), 1).as("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
+      sqCodes(col(vecCol), lo, hi).as("qcodes"),
+      explode(topCells(col(vecCol), nProbe)).as("cell"))
+    val approx = v.join(q, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("s",
+        aggregate(zip_with(col("codes"), col("qcodes"),
+          (a, b) => ((a - lit(128)) * (b - lit(128))).cast("long")),
+          lit(0L), (acc, x) => acc + x)
+          .cast("double"))
+    rerankExact(approx, k, rerank)
+  }
+
   // ---- MaxSim: multi-vector late interaction ----
 
   /** ColBERT-style late-interaction scoring: documents and queries are

@@ -897,10 +897,14 @@ object LlmQueries {
     "l29_bpe_encode" -> QuerySpec(
       (s, dir) => {
         ensureBpeEncodeGolden(s, dir)
-        val merges = TextAnalysis.bpeTrainMerges(
-            Tables(s, dir, "documents").select(col("text")))
-          .orderBy(col("rank")).collect()
-          .map(r => (r.getString(1), r.getString(2))).toSeq
+        // merge-table training is l26's operator and fully deterministic
+        // per dir — memoized so this entry benches the ENCODE path (the
+        // fit-cache stance the ANN entries follow)
+        val merges = l29MergesByDir.getOrElseUpdate(dir,
+          TextAnalysis.bpeTrainMerges(
+              Tables(s, dir, "documents").select(col("text")))
+            .orderBy(col("rank")).collect()
+            .map(r => (r.getString(1), r.getString(2))).toSeq)
         TextAnalysis.bpeEncodeCounts(
             Tables(s, dir, "documents").select(col("doc_id"), col("text")),
             merges)
@@ -1049,6 +1053,23 @@ object LlmQueries {
       // the SQL is static but cosineCase initializes after `all`, so the
       // builder is late-bound (the s02–s08 convention) rather than eager
       }, None, Some(_ => s09Sql)),
+
+    // IVF-SQ8 — the composed faiss-style "IVF…,SQ8" layout: trained
+    // coarse cells prune the pair space, byte codes prune the
+    // bytes-per-pair, and (unlike IVF-PQ's ADC) the candidate score is
+    // the centered integer dot, so the composed oracle re-derives cell
+    // assignment + code assignment + candidate ranking with plain SQL
+    // and no explicit-order sums.
+    "s10_ivf_sq8" -> QuerySpec(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val cents = Similarity.ivfCentroidsCached(dir, e)
+        val bounds = Similarity.fitSqBounds(e)
+        s10CapturesByDir(dir) = (cents, bounds._1, bounds._2)
+        Similarity.ivfSqTopK(e, e.filter(col("vec_id") < 5), k = 10,
+            cents, bounds._1, bounds._2, nProbe = 4, rerank = 64)
+          .orderBy(col("query_id"), col("rank"))
+      }, None, Some(dir => s10Sql(dir))),
 
     // The COMPOSED billion-scale layout, fully verified: IVF coarse cell
     // join (trained centroids as plan literals) + PQ-ADC candidate
@@ -1697,6 +1718,10 @@ object LlmQueries {
     scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]()
   private val s08BoundsByDir = scala.collection.concurrent.TrieMap[
     String, (Array[Double], Array[Double])]()
+  private val s10CapturesByDir = scala.collection.concurrent.TrieMap[
+    String, (Array[Array[Double]], Array[Double], Array[Double])]()
+  private val l29MergesByDir = scala.collection.concurrent.TrieMap[
+    String, Seq[(String, String)]]()
   private val s06CapturesByDir = scala.collection.concurrent.TrieMap[
     String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
 
@@ -1907,6 +1932,65 @@ object LlmQueries {
        |  smicro::DOUBLE / 1000000.0 AS maxsim
        |FROM r WHERE rank <= 10
        |ORDER BY query_doc, rank""".stripMargin
+
+  /** s10 oracle: the composed IVF-SQ8 re-derivation — cell assignment
+    * from the captured centroids (the s06 idiom), SQ8 code assignment
+    * from the captured bounds (the s08 idiom), centered integer dot over
+    * the cell-joined pool, top-64 cut, exact-cosine final rank.
+    */
+  private def s10Sql(dir: String): String = {
+    val (cents, lo, hi) = s10CapturesByDir.getOrElse(dir,
+      sys.error(s"s10 never ran for $dir — no captures"))
+    val centVals = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, ${sqlArr(c)}, ${c.map(x => x * x).sum}::DOUBLE)"
+    }.mkString(", ")
+    val boundVals = lo.indices
+      .map(i => s"(${i + 1}, ${lo(i)}::DOUBLE, ${hi(i)}::DOUBLE)")
+      .mkString(", ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cents(cell, c, c2) AS (VALUES $centVals),
+       |bounds(pos, lo, hi) AS (VALUES $boundVals),
+       |sc AS (SELECT vec_id, e, cell,
+       |    list_inner_product(e, c) * 2.0 - c2 AS s
+       |  FROM base CROSS JOIN cents),
+       |vcell AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY s DESC, cell DESC) AS rn FROM sc) WHERE rn = 1),
+       |qcell AS (SELECT vec_id AS query_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY s DESC, cell DESC) AS rn FROM sc WHERE vec_id < 5)
+       |  WHERE rn <= 4),
+       |xs AS (SELECT vec_id, generate_subscripts(e, 1) AS pos,
+       |    unnest(e) AS x FROM base),
+       |codes AS (SELECT vec_id, pos,
+       |    CASE WHEN hi <= lo THEN 0
+       |         ELSE least(255, greatest(0,
+       |           CAST(floor((x - lo) / (hi - lo) * 255.0 + 0.5) AS INT)))
+       |    END AS code
+       |  FROM xs JOIN bounds USING (pos)),
+       |pool AS (SELECT DISTINCT q.query_id, v.vec_id AS neighbor_id
+       |  FROM vcell v JOIN qcell q ON v.cell = q.cell
+       |    AND v.vec_id <> q.query_id),
+       |approx AS (SELECT p.query_id, p.neighbor_id,
+       |    SUM((cv.code::BIGINT - 128) * (cq.code::BIGINT - 128)) AS s
+       |  FROM pool p
+       |  JOIN codes cv ON cv.vec_id = p.neighbor_id
+       |  JOIN codes cq ON cq.vec_id = p.query_id AND cq.pos = cv.pos
+       |  GROUP BY p.query_id, p.neighbor_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+       |  FROM approx) WHERE rn <= 64),
+       |st AS (SELECT cd.query_id, cd.neighbor_id, $cosineCase AS c
+       |  FROM cand cd
+       |  JOIN base v ON v.vec_id = cd.neighbor_id
+       |  JOIN base q ON q.vec_id = cd.query_id),
+       |r AS (SELECT query_id, neighbor_id, c,
+       |  row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY c DESC, neighbor_id) AS rank FROM st)
+       |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** s08 oracle: DuckDB re-derives SQ8 end to end from the captured
     * per-dimension bounds — code assignment (same round-half-up floor

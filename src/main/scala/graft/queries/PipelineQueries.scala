@@ -243,6 +243,15 @@ object PipelineQueries {
     s"SELECT $h::BIGINT AS rows_written, $h::BIGINT AS rows_read"
   }
 
+  private def p14Sql(dir: String): String = {
+    val h = histCount(dir)
+    // files_after = targetParts: every range partition is non-empty at
+    // fixture scale (h rows across 2 ranges); generation_changed is the
+    // compaction contract itself
+    s"""SELECT $h::BIGINT AS rows_written, $h::BIGINT AS rows_read,
+       |  2::BIGINT AS files_after, TRUE AS generation_changed""".stripMargin
+  }
+
   private def p08Sql(dir: String): String = {
     val sim = Fixtures.txSimulate(nFor(dir))
     val bodies = sim.bodies.size
@@ -509,6 +518,57 @@ object PipelineQueries {
           .deleteDirectory(new java.io.File(out))
         result
       }, None, Some(dir => p06Sql(dir))),
+
+    // Dataset COMPACTION — the archive-maintenance lifecycle op: three
+    // increments (write + two appends, the daily-increment flow) are
+    // rewritten into ONE fresh range-sorted generation of 2 part files;
+    // the manifest swap is the commit, the old generation is GC'd, and a
+    // new dataset_id is minted (so live streaming tails fail loudly
+    // rather than read reshuffled offsets). The entry checks rows in =
+    // rows out across the rewrite, that the manifest's file count hit
+    // the target, and that the generation id actually changed.
+    "p14_dat_compact" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val w = world(s, dir)
+        val h = history(s, dir)
+        val items = graft.spark.StateFormat.asItems(
+          h.withColumnRenamed("valid_from_block", "block"))
+        val third = math.max(w.latestBlock / 3, 1L)
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-dat-compact-q").toString
+        graft.spark.StateFiles.write(
+          items.filter(col("block") <= third).as[graft.model.StateItem],
+          out, strategy = 0, blockStart = 0L, blockEnd = third)
+        graft.spark.StateFiles.append(
+          items.filter(col("block") > third
+            && col("block") <= 2 * third).as[graft.model.StateItem],
+          out, strategy = 0, blockStart = third + 1,
+          blockEnd = 2 * third)
+        graft.spark.StateFiles.append(
+          items.filter(col("block") > 2 * third)
+            .as[graft.model.StateItem],
+          out, strategy = 0, blockStart = 2 * third + 1,
+          blockEnd = w.latestBlock)
+        val genBefore = graft.spark.StateFiles
+          .manifestStringField(out, "dataset_id")
+        graft.spark.StateFiles.compact(s, out, strategy = 0,
+          targetParts = 2)
+        val back = s.read.format("graft.spark.datasource.DatDataSource")
+          .option("strategy", "0").load(out)
+        val genAfter = graft.spark.StateFiles
+          .manifestStringField(out, "dataset_id")
+        val filesAfter = graft.spark.StateFiles
+          .manifestField(out, "files").getOrElse(-1L)
+        val result = Seq((items.count(), back.count(), filesAfter,
+            genBefore.isDefined && genAfter.isDefined
+              && genBefore != genAfter))
+          .toDF("rows_written", "rows_read", "files_after",
+            "generation_changed")
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(out))
+        result
+      }, None, Some(dir => p14Sql(dir))),
 
     // Batch STORAGE as-of join: many (address, slot, block) probes in one
     // pass over the slot history.

@@ -108,6 +108,63 @@ object StateFiles {
       streamId = streamId)
   }
 
+  /** COMPACTION — the archive-maintenance op the incremental flows
+    * eventually need: [[append]] and the streaming sink each land one
+    * part-file set per increment/epoch, so a long-lived dataset
+    * accumulates many small files (the classic small-files problem; at
+    * daily-increment cadence, hundreds of parts whose per-file open and
+    * split overhead dominates reads). Compact rewrites the WHOLE dataset
+    * as one fresh generation of `targetParts` range-sorted part files:
+    *
+    *  - the old generation is scanned through the DSv2 source (planned
+    *    against the OLD manifest), range-repartitioned on the canonical
+    *    (address, isStorage, slot, block) order — restoring the sorted
+    *    layout interleaved increments erode, which is what keeps the
+    *    `.idx` bounds tight and split pruning effective;
+    *  - new part files land in the SAME directory with part numbers
+    *    continuing past the old ones (both generations coexist on disk);
+    *  - the atomic manifest swap — the dataset's ONE commit point —
+    *    switches readers to the new file list and mints a new
+    *    `dataset_id`, so a live streaming tail (st08) pinned to the old
+    *    generation fails LOUDLY instead of silently re-reading
+    *    reshuffled offsets;
+    *  - only then is the old generation's files deleted (on an object
+    *    store this delete would be a grace-period GC).
+    *
+    * Crash safety: death before the swap leaves orphan new-generation
+    * parts invisible to the manifest (the established orphan contract);
+    * death after the swap but mid-GC leaves unreferenced old files —
+    * harmless garbage, re-deletable.
+    */
+  def compact(spark: SparkSession, dir: String, strategy: Int,
+              targetParts: Int = 1): Unit = {
+    require(targetParts >= 1, s"compact: targetParts $targetParts")
+    val oldFiles = manifestFileList(dir).getOrElse(
+      throw new IllegalStateException(s"compact: no manifest in $dir"))
+    manifestField(dir, "strategy").foreach(s0 =>
+      require(s0 == strategy.toLong,
+        s"compact strategy $strategy != dataset strategy $s0"))
+    val bStart = manifestField(dir, "block_start").getOrElse(0L)
+    val bEnd = manifestField(dir, "block_end").getOrElse(0L)
+    val items = read(spark, dir, strategy)
+    val sorted = items
+      .repartitionByRange(targetParts, col("address"), col("isStorage"),
+        col("slot"), col("block"))
+      .sortWithinPartitions(col("address"), col("isStorage"), col("slot"),
+        col("block"))
+    // the scan executes inside this job, strictly before the commit:
+    // writeCore's final manifest write REPLACES the snapshot (fresh
+    // dataset_id — overwrite semantics, not merge)
+    writeCore(sorted, dir, strategy, bStart, bEnd,
+      partBase = nextPartBase(dir), mergeManifest = false,
+      streamBatchId = -1L)
+    oldFiles.foreach { f =>
+      Files.deleteIfExists(Paths.get(dir, f))
+      Files.deleteIfExists(
+        Paths.get(dir, f.stripSuffix(".dat") + ".idx"))
+    }
+  }
+
   /** Highest `streamBatchId` committed to `dir`'s manifest by the stream
     * identified by `streamId` — the replay-skip seam. The batch id is
     * only meaningful within ONE linear stream: if the manifest's recorded
@@ -163,7 +220,7 @@ object StateFiles {
       java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  private[spark] def manifestField(dir: String, name: String): Option[Long] =
+  private[graft] def manifestField(dir: String, name: String): Option[Long] =
     manifestText(dir).flatMap(s =>
       s"""\"$name\":(-?\\d+)""".r.findFirstMatchIn(s)
         .map(_.group(1).toLong))
@@ -177,7 +234,7 @@ object StateFiles {
   /** The committed file snapshot, if the dataset has a manifest with one.
     * Readers use it to ignore orphan files from failed appends.
     */
-  private[spark] def manifestFileList(dir: String): Option[Seq[String]] =
+  private[graft] def manifestFileList(dir: String): Option[Seq[String]] =
     manifestText(dir).flatMap { s =>
       """"file_list":\[([^\]]*)\]""".r.findFirstMatchIn(s).map { m =>
         """"([^"]+)"""".r.findAllMatchIn(m.group(1))

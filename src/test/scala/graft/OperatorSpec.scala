@@ -265,6 +265,14 @@ class OperatorSpec extends AnyFunSuite {
     val recall = sq.intersect(exact).size.toDouble / exact.size
     info(s"SQ8 recall=$recall")
     assert(recall >= 0.9, s"SQ8 recall too low: $recall")
+    // composed IVF-SQ8: cells prune the pool, so recall drops toward
+    // the IVF ceiling, but the SQ ranking inside cells must hold it
+    // near the trained-IVF level
+    val cents = Similarity.fitIvfCentroids(e, nCentroids = 8)
+    val ivfSq = resultSet(Similarity.ivfSqTopK(e, q, 10, cents, blo, bhi))
+    val ivfSqRecall = ivfSq.intersect(exact).size.toDouble / exact.size
+    info(s"IVF-SQ8 recall=$ivfSqRecall")
+    assert(ivfSqRecall >= 0.3, s"IVF-SQ8 recall too low: $ivfSqRecall")
   }
 
   test("MaxSim scores hand-computable multi-vector matches") {

@@ -692,6 +692,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(mf.contains(s"\"block_end\":${world.latestBlock}"), mf)
   }
 
+  test("compact: three increments collapse to one sorted generation, " +
+      "content-identical, old files GC'd, dataset_id reminted") {
+    import spark.implicits._
+    val items = StateFormat.asItems(
+      history.withColumnRenamed("valid_from_block", "block"))
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val third = math.max(world.latestBlock / 3, 1L)
+    graft.spark.StateFiles.write(
+      items.filter(col("block") <= third).as[graft.model.StateItem],
+      dir, strategy = 0, blockStart = 0L, blockEnd = third)
+    graft.spark.StateFiles.append(
+      items.filter(col("block") > third && col("block") <= 2 * third)
+        .as[graft.model.StateItem],
+      dir, strategy = 0, blockStart = third + 1, blockEnd = 2 * third)
+    graft.spark.StateFiles.append(
+      items.filter(col("block") > 2 * third).as[graft.model.StateItem],
+      dir, strategy = 0, blockStart = 2 * third + 1,
+      blockEnd = world.latestBlock)
+    val genBefore = graft.spark.StateFiles
+      .manifestStringField(dir, "dataset_id")
+    val filesBefore = graft.spark.StateFiles
+      .manifestFileList(dir).get
+    assert(filesBefore.size >= 3, s"want >=3 increments: $filesBefore")
+
+    graft.spark.StateFiles.compact(spark, dir, strategy = 0,
+      targetParts = 2)
+
+    def key(i: graft.model.StateItem) =
+      (Bytes.hex(i.address), i.isStorage, i.incarnation, Bytes.hex(i.slot),
+        i.block, i.nonce, Bytes.hex(i.balance), Bytes.hex(i.codeHash),
+        Bytes.hex(i.value))
+    val back = graft.spark.StateFiles.read(spark, dir, strategy = 0)
+    val a = items.collect().map(key).sorted
+    val b = back.collect().map(key).sorted
+    assert(b.length == a.length && b.sameElements(a),
+      s"content changed across compaction: ${a.length} vs ${b.length}")
+    val filesAfter = graft.spark.StateFiles.manifestFileList(dir).get
+    assert(filesAfter.size == 2, s"files after: $filesAfter")
+    // block range survives the rewrite; generation id does not
+    assert(graft.spark.StateFiles.manifestField(dir, "block_end")
+      .contains(world.latestBlock))
+    assert(graft.spark.StateFiles.manifestStringField(dir, "dataset_id")
+      != genBefore, "dataset_id must be reminted by compaction")
+    // the old generation is gone from disk (dat AND idx)
+    filesBefore.foreach { f =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, f)),
+        s"old part $f survived GC")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir,
+        f.stripSuffix(".dat") + ".idx")), s"old idx for $f survived GC")
+    }
+  }
+
   test("DataSource V2: spark.read.format over .dat matches the items") {
     import spark.implicits._
     val items = StateFormat.asItems(
