@@ -193,6 +193,17 @@ object Cli {
       }
       s.stop()
       if (res.isEmpty) sys.exit(1)
+    case "compact" :: dir :: strategyStr :: rest if rest.size <= 1 =>
+      // dataset maintenance: collapse accumulated increments into one
+      // fresh range-sorted generation (see StateFiles.compact)
+      val s = session()
+      val target = rest.headOption.map(_.toInt).getOrElse(1)
+      val before = spark.StateFiles.manifestField(dir, "files")
+        .getOrElse(sys.error(s"no manifest in $dir"))
+      spark.StateFiles.compact(s, dir, strategyStr.toInt, target)
+      val after = spark.StateFiles.manifestField(dir, "files").get
+      System.err.println(s"compact: $before -> $after files in $dir")
+      s.stop()
     case "check" :: dir :: strategyStr :: Nil =>
       // dataset integrity: decode EVERYTHING, compare against the
       // manifest's committed totals
@@ -227,6 +238,7 @@ object Cli {
           |  show <strategy> <path> [--header]
           |  show-txbodies <file.dat>
           |  check <datasetDir> <strategy>
+          |  compact <datasetDir> <strategy> [targetParts]
           |  asof <datasetDir> <strategy> <addressHex> <block> [slotHex]""".stripMargin)
       sys.exit(2)
   }

@@ -155,6 +155,46 @@ object StreamingQueries {
              |FROM events GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
+    // MERGEABLE approximate quantiles — the sketch-family member w03's
+    // exact percentile can't scale to: `percentile` materializes every
+    // group's values, while approx_percentile (Greenwald-Khanna summary)
+    // is bounded-memory and partial-aggregable — the 100 TB per-group
+    // quantile path. The l11/l27 bounded-error convention: the engine
+    // re-derives each approx value's EXACT rank in a second pass and
+    // flags |rank − target| ≤ ε·n; the oracle recomputes group sizes and
+    // asserts every flag TRUE (at accuracy 100 the GK bound is ε = 1%,
+    // loose enough to be merge-order-robust, tight enough that a broken
+    // sketch or a swapped percentile flips a flag).
+    "w04_approx_quantiles" -> QuerySpec(
+      (s, dir) => {
+        val eps = 0.01 // = 1/accuracy below
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type"), col("value"))
+        val approx = ev.groupBy(col("event_type"))
+          .agg(expr("approx_percentile(value, 0.5d, 100)").as("ap50"),
+            expr("approx_percentile(value, 0.9d, 100)").as("ap90"),
+            count(lit(1)).as("n"))
+        def rankOk(ap: org.apache.spark.sql.Column, pct: Double) = {
+          // valid ranks of ap span (cntLt, cntLe]; the GK guarantee
+          // holds iff that interval intersects [pct·n − εn, pct·n + εn]
+          val cntLt = sum(when(col("value") < ap, 1L).otherwise(0L))
+          val cntLe = sum(when(col("value") <= ap, 1L).otherwise(0L))
+          (cntLe >= ceil((lit(pct) - eps) * col("n").cast("double")) &&
+            cntLt <= floor((lit(pct) + eps) * col("n").cast("double")))
+        }
+        ev.join(broadcast(approx), Seq("event_type"))
+          .groupBy(col("event_type"), col("n"))
+          .agg(rankOk(col("ap50"), 0.5).as("p50_rank_ok"),
+            rankOk(col("ap90"), 0.9).as("p90_rank_ok"))
+          .select(col("event_type"), col("n"), col("p50_rank_ok"),
+            col("p90_rank_ok"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*)::BIGINT AS n,
+             |  TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
     // Gap-based SESSIONIZATION through a real file-source stream
     // (complete mode, AvailableNow): the streaming session_window state
     // machine produces the same sessions as the batch plan on static

@@ -147,6 +147,34 @@ class CliSpec extends AnyFunSuite {
       s""""storage_slots":${counts.getOrElse(true, 0L)}"""), mf)
   }
 
+  test("compact after convert: one generation, totals and content intact") {
+    val tables = java.nio.file.Files
+      .createTempDirectory("graft-cli-compact-t").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-cli-compact-o").toString
+    writeTables(tables)
+    Cli.convert(spark, tables, out)
+    val before = graft.spark.StateFiles.read(spark, out, strategy = 0)
+      .toDF().count()
+    graft.spark.StateFiles.compact(spark, out, strategy = 0,
+      targetParts = 1)
+    val filesAfter = graft.spark.StateFiles.manifestFileList(out).get
+    assert(filesAfter.size == 1, s"files after: $filesAfter")
+    val after = graft.spark.StateFiles.read(spark, out, strategy = 0)
+      .toDF().count()
+    assert(after == before, s"rows $before -> $after across compaction")
+    // the check command's comparison still holds on the new generation
+    val counts = graft.spark.StateFiles.read(spark, out, strategy = 0)
+      .toDF().groupBy(col("isStorage")).count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_manifest.json")))
+    assert(mf.contains(s""""accounts":${counts.getOrElse(false, 0L)}"""),
+      mf)
+    assert(mf.contains(
+      s""""storage_slots":${counts.getOrElse(true, 0L)}"""), mf)
+  }
+
   test("txbodies: tables -> varint record dataset, counts match") {
     val tables = java.nio.file.Files
       .createTempDirectory("graft-cli-tx").toString
