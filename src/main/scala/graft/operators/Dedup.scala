@@ -550,4 +550,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         TextAnalysis.quant4(col("cosine")).as("cosine"))
   }
+
+  /** Edit-distance (fuzzy) self-join: all pairs whose strings are within
+    * Levenshtein distance `k`, found WITHOUT the O(n²) cross join — the
+    * near-duplicate-title/URL primitive MinHash is too coarse for.
+    *
+    * The scale shape is Gravano-style q-gram COUNT FILTERING: one edit
+    * operation destroys at most q of a string's positional q-grams, so
+    * any pair within distance k shares at least
+    * max(|s1|,|s2|) − q + 1 − k·q q-grams (multiset). Candidates come
+    * from a gram equi-join + per-pair Σ min(count) aggregate (token-width
+    * shuffles, same family as the LSH band joins); exact `levenshtein`
+    * verifies survivors. The filter is LOSSLESS above the length floor —
+    * the l31 oracle is the exhaustive DuckDB cross join, so a pruned
+    * true pair would hash-mismatch, proving losslessness per run.
+    *
+    * Strings shorter than q + k·q can satisfy distance ≤ k while sharing
+    * ZERO grams (the bound goes non-positive) — a gram join can never
+    * emit such pairs, so callers must length-floor the relation
+    * (`minLen`); the method enforces it rather than silently missing
+    * pairs.
+    */
+  def fuzzyJoin(rel: DataFrame, k: Int = 2, q: Int = 3,
+                idCol: String = "doc_id",
+                strCol: String = "title"): DataFrame = {
+    require(k >= 0 && q >= 1, s"fuzzyJoin: bad k=$k q=$q")
+    val minLen = q + k * q // bound stays ≥ 1 shared gram at this length
+    val src = rel.select(col(idCol).as("id"), col(strCol).as("t"))
+    val grams = src
+      .filter(length(col("t")) >= minLen)
+      .select(col("id"), col("t"),
+        explode(transform(sequence(lit(1), length(col("t")) - (q - 1)),
+          i => col("t").substr(i, lit(q)))).as("g"))
+      .groupBy(col("id"), col("t"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val a = grams.select(col("id").as("id_a"), col("t").as("t_a"),
+      col("g"), col("c").as("c_a"))
+    val b = grams.select(col("id").as("id_b"), col("t").as("t_b"),
+      col("g"), col("c").as("c_b"))
+    a.join(b, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("t_a"), col("t_b"))
+      .agg(sum(least(col("c_a"), col("c_b"))).as("shared"))
+      .filter(col("shared") >=
+        greatest(length(col("t_a")), length(col("t_b")))
+          - lit(q - 1) - lit(k * q))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        levenshtein(col("t_a"), col("t_b")).as("dist"))
+      .filter(col("dist") <= k)
+  }
 }

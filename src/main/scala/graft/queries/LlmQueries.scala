@@ -701,6 +701,40 @@ object LlmQueries {
              |FROM tg JOIN bg USING (ngram)
              |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Fuzzy (edit-distance) self-join on document titles — q-gram count
+    // filtering generates candidates (token-width shuffles, no cross
+    // join), exact levenshtein verifies. The oracle is the EXHAUSTIVE
+    // DuckDB cross join over the same relation, so the entry proves the
+    // prefilter lossless on every run. Positives planted per the l04/l05
+    // convention: doc_id<10 titles re-appear at +200000 with one char
+    // substituted (distance ≤ 1).
+    "l31_fuzzy_join" -> QuerySpec(
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val base = docs.select(col("doc_id"),
+          lower(substring(trim(col("text")), 1, 24)).as("title"))
+        val planted = base.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(substring(col("title"), 1, 4), lit("q"),
+              substring(col("title"), 6, 24)).as("title"))
+        Dedup.fuzzyJoin(base.unionByName(planted), k = 2, q = 3)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, lower(substr(trim(text), 1, 24)) AS title
+             |  FROM documents),
+             |planted AS (
+             |  SELECT doc_id + 200000 AS doc_id,
+             |    substr(title, 1, 4) || 'q' || substr(title, 6, 24) AS title
+             |  FROM base WHERE doc_id < 10),
+             |rel AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+             |flr AS (SELECT * FROM rel WHERE length(title) >= 9)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  levenshtein(a.title, b.title)::INT AS dist
+             |FROM flr a JOIN flr b
+             |  ON a.doc_id < b.doc_id AND levenshtein(a.title, b.title) <= 2
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Cross-document repeated-passage statistics (the ExactSubstr-dedup
     // signal): 10-grams support-counted across distinct docs, per-doc
     // repeated-material fraction. DuckDB re-derives the whole relation

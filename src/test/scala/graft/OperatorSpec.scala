@@ -275,6 +275,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(ivfSqRecall >= 0.3, s"IVF-SQ8 recall too low: $ivfSqRecall")
   }
 
+  test("fuzzy join finds hand-planted edit-distance pairs and equals " +
+      "the brute-force cross join") {
+    val rel = Seq(
+      (1L, "hello world spark"),   // dist 1 to id 2 (one substitution)
+      (2L, "hella world spark"),
+      (3L, "hello world spank"),   // dist 1 to id 1, dist 2 to id 2
+      (4L, "completely different"),
+      (5L, "short"))               // below the q+k·q floor: excluded
+      .toDF("doc_id", "title")
+    val got = Dedup.fuzzyJoin(rel, k = 2, q = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 2)), s"got $got")
+
+    // losslessness on real text: candidates from the q-gram count filter
+    // must reproduce the exhaustive pairwise result exactly
+    val titles = corpus.select(col("doc_id"),
+      lower(substring(trim(col("text")), 1, 20)).as("title"))
+    val fuzzy = Dedup.fuzzyJoin(titles, k = 2, q = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rows = titles.collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2 != null).filter(_._2.length >= 9)
+    def lev(s1: String, s2: String): Int = {
+      val d = Array.tabulate(s1.length + 1, s2.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to s1.length; j <- 1 to s2.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (s1(i - 1) == s2(j - 1)) 0 else 1))
+      d(s1.length)(s2.length)
+    }
+    val brute = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      d = lev(ta, tb) if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(fuzzy == brute,
+      s"prefilter lost pairs: missing=${brute -- fuzzy} extra=${fuzzy -- brute}")
+  }
+
   test("MaxSim scores hand-computable multi-vector matches") {
     // q doc 0: tokens along axes x and y. doc 1 matches BOTH aspects
     // (maxsim 2.0); doc 2 matches only x twice (maxsim 1.0); doc 3

@@ -119,6 +119,33 @@ class PlanSpec extends AnyFunSuite {
       "codebook literals missing from the plan")
   }
 
+  test("SQ8/MaxSim plans: literal bounds (no corpus re-aggregation in " +
+      "the query plan) and broadcast query sides") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    val (lo, hi) = graft.operators.Similarity.fitSqBounds(e)
+    val sq = graft.operators.Similarity.sqTopK(e, q, 5, lo, hi)
+    val sqPlan = sq.queryExecution.optimizedPlan.toString
+    // training is a separate collected pass: the QUERY plan must carry
+    // the bounds as literals, never a posexplode/min/max re-derivation
+    assert(!sqPlan.contains("posexplode"),
+      s"sq bounds re-derived per query:\n${sqPlan.take(3000)}")
+    assert(sqPlan.contains(lo.head.toString.take(8)),
+      "bound literals missing from the sq plan")
+    val ms = graft.operators.Similarity.maxSimTopK(
+      e.select((col("vec_id") / lit(4)).cast("long").as("doc"),
+        col("embedding")),
+      e.filter(col("vec_id") < 8)
+        .select((col("vec_id") / lit(4)).cast("long").as("doc"),
+          pmod(col("vec_id"), lit(4)).as("token_idx"), col("embedding")),
+      k = 5)
+    val msPlan = ms.queryExecution.sparkPlan.toString
+    // queries are the broadcast side of the token join
+    assert(msPlan.contains("Broadcast"),
+      s"maxsim query side not broadcast:\n${msPlan.take(3000)}")
+  }
+
   test("l20: BM25 aggregations are partial (map-side combine) and " +
       "nothing wider than a token shuffles") {
     val df = SparkEntry.queries("l20_bm25_terms")(spark,
