@@ -55,10 +55,52 @@ object TextHashExpressions {
     new GenericArrayData(out)
   }
 
+  /** All strings obtainable from `s` by deleting up to `k` code points
+    * (including `s` itself) — the SymSpell deletion neighborhood, built
+    * in ONE pass per row. The HOF formulation (nested
+    * transform(sequence)·concat(substr…)) evaluates interpreted per
+    * variant and measured ~10× slower on the l31 corpus; this is the
+    * [[tokenNgrams]] story again: a hot O(|s|²)-output kernel belongs in
+    * a native expression.
+    */
+  def deletionVariants(s: org.apache.spark.unsafe.types.UTF8String,
+                       k: Int): ArrayData = {
+    val str = s.toString
+    val cps = str.codePoints.toArray
+    val n = cps.length
+    val out = new java.util.ArrayList[AnyRef](1 + n + n * (n - 1) / 2)
+    def mk(skip1: Int, skip2: Int): AnyRef = {
+      val sb = new java.lang.StringBuilder(str.length)
+      var i = 0
+      while (i < n) {
+        if (i != skip1 && i != skip2) sb.appendCodePoint(cps(i))
+        i += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+    }
+    out.add(s)
+    if (k >= 1) {
+      var i = 0
+      while (i < n) { out.add(mk(i, -1)); i += 1 }
+    }
+    if (k >= 2) {
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { out.add(mk(i, j)); j += 1 }
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Column helpers (the Scala-facing API). */
   def minhash_sig(tokens: Column, shingleK: Int, numHashes: Int): Column =
     Bridge.column(
       MinHashSigExpr(Bridge.expression(tokens), shingleK, numHashes))
+
+  def deletion_variants(str: Column, k: Int): Column =
+    Bridge.column(DeletionVariantsExpr(Bridge.expression(str), k))
 
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64Expr(Bridge.expression(tokens)))
@@ -161,4 +203,39 @@ case class SimHash64Expr(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): SimHash64Expr =
     copy(child = c)
+}
+
+/** deletion_variants(str, k): the SymSpell ≤ k-deletion neighborhood of a
+  * string (including the string itself) — see
+  * [[TextHashExpressions.deletionVariants]]. Plan-time k; analysis
+  * rejects k outside [0, 2] (the neighborhood is O(|s|^k) — beyond 2 the
+  * signature volume is the wrong tool, use the q-gram prefix filter).
+  */
+case class DeletionVariantsExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k >= 0 && k <= 2 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"deletion_variants needs 0 <= k <= 2, got $k")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"deletion_variants needs string, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "deletion_variants"
+
+  override def nullSafeEval(str: Any): Any =
+    TextHashExpressions.deletionVariants(
+      str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextHashExpressions" +
+        s".deletionVariants($c, $k);")
+
+  override protected def withNewChildInternal(c: Expression)
+      : DeletionVariantsExpr = copy(child = c)
 }

@@ -555,21 +555,30 @@ object Dedup {
     * Levenshtein distance `k`, found WITHOUT the O(n²) cross join — the
     * near-duplicate-title/URL primitive MinHash is too coarse for.
     *
-    * The scale shape is Gravano-style q-gram COUNT FILTERING: one edit
-    * operation destroys at most q of a string's positional q-grams, so
-    * any pair within distance k shares at least
-    * max(|s1|,|s2|) − q + 1 − k·q q-grams (multiset). Candidates come
-    * from a gram equi-join + per-pair Σ min(count) aggregate (token-width
-    * shuffles, same family as the LSH band joins); exact `levenshtein`
-    * verifies survivors. The filter is LOSSLESS above the length floor —
-    * the l31 oracle is the exhaustive DuckDB cross join, so a pruned
-    * true pair would hash-mismatch, proving losslessness per run.
+    * The scale shape is q-gram PREFIX FILTERING (the ppjoin family): one
+    * edit operation destroys at most q of a string's positional q-grams,
+    * so a pair within distance k shares ≥ max(|s1|,|s2|)−q+1−k·q gram
+    * instances — which means it must share at least one instance inside
+    * each string's (k·q+1)-instance PREFIX under any one GLOBAL gram
+    * order. Ordering grams rarest-first makes those prefixes land on the
+    * most selective grams, so the candidate join fans out on rare grams
+    * only — a naive all-gram equi-join degenerates quadratically on
+    * repetitive text (measured 360 s → sub-second on the sf0.1 corpus,
+    * whose 24-char prefixes of small-vocabulary text are the worst
+    * case). Exact `levenshtein` verifies candidates. The filter is
+    * LOSSLESS above the length floor — the l31 oracle is the exhaustive
+    * DuckDB cross join, so a pruned true pair would hash-mismatch,
+    * proving losslessness per run.
+    *
+    * Cost anatomy for 100 TB: one gram explode (token-width), one
+    * gram-frequency aggregate (gram-width, map-side combining), one
+    * per-string window over ≤|s| rows to take the prefix, a prefix-only
+    * equi-join, and one levenshtein per surviving candidate.
     *
     * Strings shorter than q + k·q can satisfy distance ≤ k while sharing
     * ZERO grams (the bound goes non-positive) — a gram join can never
-    * emit such pairs, so callers must length-floor the relation
-    * (`minLen`); the method enforces it rather than silently missing
-    * pairs.
+    * emit such pairs, so the operator enforces a length floor rather
+    * than silently missing pairs.
     */
   def fuzzyJoin(rel: DataFrame, k: Int = 2, q: Int = 3,
                 idCol: String = "doc_id",
@@ -577,24 +586,83 @@ object Dedup {
     require(k >= 0 && q >= 1, s"fuzzyJoin: bad k=$k q=$q")
     val minLen = q + k * q // bound stays ≥ 1 shared gram at this length
     val src = rel.select(col(idCol).as("id"), col(strCol).as("t"))
-    val grams = src
       .filter(length(col("t")) >= minLen)
-      .select(col("id"), col("t"),
-        explode(transform(sequence(lit(1), length(col("t")) - (q - 1)),
-          i => col("t").substr(i, lit(q)))).as("g"))
-      .groupBy(col("id"), col("t"), col("g"))
-      .agg(count(lit(1)).as("c"))
-    val a = grams.select(col("id").as("id_a"), col("t").as("t_a"),
-      col("g"), col("c").as("c_a"))
-    val b = grams.select(col("id").as("id_b"), col("t").as("t_b"),
-      col("g"), col("c").as("c_b"))
+    // positional gram INSTANCES (the bound is over the multiset)
+    val grams = src.select(col("id"), col("t"),
+      explode(transform(sequence(lit(1), length(col("t")) - (q - 1)),
+        i => col("t").substr(i, lit(q)))).as("g"))
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("gf"))
+    // canonical global order (gf ASC, g ASC — ties broken by the gram
+    // itself so every string ranks instances identically); instance
+    // rank within the string picks the (k·q+1)-prefix
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("gf"), col("g"))
+    val prefix = grams.join(freq, Seq("g"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k * q + 1)
+      .select(col("id"), col("t"), col("g"))
+    val a = prefix.select(col("id").as("id_a"), col("t").as("t_a"),
+      col("g"))
+    val b = prefix.select(col("id").as("id_b"), col("t").as("t_b"),
+      col("g"))
     a.join(b, Seq("g"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("t_a"), col("t_b"))
-      .agg(sum(least(col("c_a"), col("c_b"))).as("shared"))
-      .filter(col("shared") >=
-        greatest(length(col("t_a")), length(col("t_b")))
-          - lit(q - 1) - lit(k * q))
+      .select(col("id_a"), col("t_a"), col("id_b"), col("t_b"))
+      .distinct()
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        levenshtein(col("t_a"), col("t_b")).as("dist"))
+      .filter(col("dist") <= k)
+  }
+
+  /** [[fuzzyJoin]] for SHORT keys (titles, URLs, names; k ≤ 2) via the
+    * SymSpell DELETION NEIGHBORHOOD: lev(s1,s2) ≤ k implies some string
+    * obtained by ≤ k character deletions from s1 equals one obtained by
+    * ≤ k deletions from s2 — so exploding each string's ≤ k-deletion
+    * variants and equi-joining on the variant yields a candidate set
+    * whose false positives are only pairs within distance ≤ 2k.
+    *
+    * The trade vs the q-gram prefix filter: O(|s|^k) signature rows per
+    * string (301 for |s|=24, k=2) but candidate precision that does NOT
+    * depend on the text's gram entropy — on the repetitive small-
+    * vocabulary fixture the prefix filter's 400-gram universe yields
+    * ~3.9M candidates where the deletion join yields ~the true pairs
+    * (measured; the prefix path is the right one for LONG strings,
+    * where |s|² variants explode but grams are selective). Exact
+    * `levenshtein` verifies candidates; lossless for all strings of
+    * length ≥ 1 (no gram length floor — deletes of short strings,
+    * including the empty variant, pair correctly).
+    */
+  def fuzzyJoinShort(rel: DataFrame, k: Int = 2,
+                     idCol: String = "doc_id",
+                     strCol: String = "title"): DataFrame = {
+    require(k >= 0 && k <= 2, s"fuzzyJoinShort: k=$k (use fuzzyJoin)")
+    val src = rel.select(col(idCol).as("id"), col(strCol).as("t"))
+      .filter(col("t").isNotNull && length(col("t")) >= 1)
+    // ONE native codegen pass per row builds all O(|t|²) variants
+    // (duplicates from repeated characters included — deduping them is
+    // O(|v|²) string compares per row, measured worse than letting the
+    // pair distinct absorb the few extra join rows). The signature join
+    // carries IDs only (titles would triple the shuffle width); titles
+    // re-attach to the id-pair candidates afterwards.
+    val variants = graft.functions.expressions.TextHashExpressions
+      .deletion_variants(col("t"), k)
+    val sig = src.select(col("id"), explode(variants).as("v"))
+    // the optimizer sizes the Generate output from its tiny pre-explode
+    // child and tries to BROADCAST the |s|²-times-larger signature side
+    // (measured: a 1.5M-row hashed-relation build dominating the whole
+    // operator); force the shuffle join — identical subplans on both
+    // sides then share ONE exchange (ReusedExchange), so the variant
+    // kernel also runs once instead of twice
+    val cand = sig.select(col("id").as("id_a"), col("v"))
+      .hint("shuffle_hash")
+      .join(sig.select(col("id").as("id_b"), col("v"))
+        .hint("shuffle_hash"), Seq("v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(src.select(col("id").as("id_a"), col("t").as("t_a")), Seq("id_a"))
+      .join(src.select(col("id").as("id_b"), col("t").as("t_b")), Seq("id_b"))
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         levenshtein(col("t_a"), col("t_b")).as("dist"))
       .filter(col("dist") <= k)

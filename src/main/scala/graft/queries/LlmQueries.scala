@@ -701,13 +701,16 @@ object LlmQueries {
              |FROM tg JOIN bg USING (ngram)
              |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin)),
 
-    // Fuzzy (edit-distance) self-join on document titles — q-gram count
-    // filtering generates candidates (token-width shuffles, no cross
-    // join), exact levenshtein verifies. The oracle is the EXHAUSTIVE
-    // DuckDB cross join over the same relation, so the entry proves the
-    // prefilter lossless on every run. Positives planted per the l04/l05
+    // Fuzzy (edit-distance) self-join on document titles — SymSpell
+    // deletion-neighborhood candidates (selectivity independent of the
+    // text's gram entropy — this fixture's 24-char small-vocabulary
+    // titles are the q-gram prefix filter's worst case), exact
+    // levenshtein verifies. The oracle is the EXHAUSTIVE DuckDB cross
+    // join over the same relation, so the entry proves the prefilter
+    // lossless on every run. Positives planted per the l04/l05
     // convention: doc_id<10 titles re-appear at +200000 with one char
-    // substituted (distance ≤ 1).
+    // substituted (distance ≤ 1). The ≥9 length floor mirrors the
+    // oracle (fuzzyJoinShort itself needs none).
     "l31_fuzzy_join" -> QuerySpec(
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
@@ -717,7 +720,9 @@ object LlmQueries {
           .select((col("doc_id") + 200000).as("doc_id"),
             concat(substring(col("title"), 1, 4), lit("q"),
               substring(col("title"), 6, 24)).as("title"))
-        Dedup.fuzzyJoin(base.unionByName(planted), k = 2, q = 3)
+        Dedup.fuzzyJoinShort(
+            base.unionByName(planted)
+              .filter(length(col("title")) >= 9), k = 2)
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some("""WITH base AS (

@@ -81,6 +81,33 @@ class ExpressionSpec extends AnyFunSuite {
     assert(viaSql.getSeq[String](0) == Seq("a b", "b c"))
   }
 
+  test("deletion_variants enumerates the exact ≤k-deletion neighborhood") {
+    import spark.implicits._
+    val df = Seq("abc", "aa", "a", "日本語x").toDF("t")
+    val got = df.select(col("t"),
+        graft.functions.expressions.TextHashExpressions
+          .deletion_variants(col("t"), 2).as("v"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // reference enumeration: all (i), (i,j) code-point deletions,
+    // duplicates included (the operator's pair-distinct absorbs them)
+    def ref(s: String): Seq[String] = {
+      val cps = s.codePoints().toArray
+      def mk(sk: Set[Int]) = new String(
+        cps.zipWithIndex.filterNot(p => sk(p._2)).map(_._1), 0,
+        cps.length - sk.size)
+      Seq(s) ++ cps.indices.map(i => mk(Set(i))) ++
+        (for (i <- cps.indices; j <- i + 1 until cps.length)
+          yield mk(Set(i, j)))
+    }
+    for ((s, vs) <- got)
+      assert(vs == ref(s), s"variants of '$s': $vs vs ${ref(s)}")
+    // k bound rejected at analysis time
+    val bad = intercept[Exception](df.select(
+      graft.functions.expressions.TextHashExpressions
+        .deletion_variants(col("t"), 3)).collect())
+    assert(bad.getMessage.contains("deletion_variants"), bad.getMessage)
+  }
+
   test("token_ngrams rejects n < 1 at analysis time") {
     GraftFunctions.register(spark)
     // n=0 used to return len+1 empty strings; n<0 threw a raw

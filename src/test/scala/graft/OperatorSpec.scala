@@ -287,13 +287,24 @@ class OperatorSpec extends AnyFunSuite {
     val got = Dedup.fuzzyJoin(rel, k = 2, q = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 2)), s"got $got")
+    // the deletion-neighborhood variant must agree on the same input
+    // (id 5 "short" IS in range for it — no gram floor — but has no
+    // partner within distance 2)
+    val gotShort = Dedup.fuzzyJoinShort(rel, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotShort == got, s"short-variant drift: $gotShort vs $got")
 
-    // losslessness on real text: candidates from the q-gram count filter
+    // losslessness on real text: candidates from BOTH prefilters
     // must reproduce the exhaustive pairwise result exactly
     val titles = corpus.select(col("doc_id"),
       lower(substring(trim(col("text")), 1, 20)).as("title"))
     val fuzzy = Dedup.fuzzyJoin(titles, k = 2, q = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fuzzyShort = Dedup.fuzzyJoinShort(
+        titles.filter(length(col("title")) >= 9), k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fuzzyShort == fuzzy,
+      s"variants disagree: ${fuzzyShort -- fuzzy} / ${fuzzy -- fuzzyShort}")
     val rows = titles.collect().map(r => (r.getLong(0), r.getString(1)))
       .filter(_._2 != null).filter(_._2.length >= 9)
     def lev(s1: String, s2: String): Int = {
