@@ -453,6 +453,59 @@ object PipelineQueries {
           .toDF("rows_written", "rows_read")
       }, None, Some(dir => p06Sql(dir))),
 
+    // Source/sink FORMAT breadth: the documents frame round-tripped
+    // through every columnar/text format Spark ships (parquet, ORC,
+    // JSON-lines, CSV with full quoting) — write, read back with an
+    // explicit schema, and hash-compare content via an order-independent
+    // sum of row hashes. CSV/JSON are the interchange formats a real
+    // corpus pipeline ingests from; ORC/parquet the columnar store-outs.
+    // content_ok = TRUE is the falsifiable part: a quoting bug, a
+    // null-vs-empty drift, or a schema-coercion change flips it and the
+    // oracle hash-mismatches.
+    "p15_format_roundtrip" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val docs = graft.Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+        // order-independent content digest: XOR of row hashes (sum would
+        // overflow under ANSI arithmetic)
+        def digest(df: org.apache.spark.sql.DataFrame): Long =
+          df.select(xxhash64(col("doc_id"), col("text"), col("lang"),
+              col("source"), col("n_chars")).as("h"))
+            .agg(expr("bit_xor(h)")).head().getLong(0)
+        val want = digest(docs)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-formats-q").toString
+        val rows = Seq("csv", "json", "orc", "parquet").map { fmt =>
+          val path = s"$base/$fmt"
+          fmt match {
+            case "csv" => docs.write.mode("overwrite")
+              .option("header", "true").option("quoteAll", "true")
+              .csv(path)
+            case "json" => docs.write.mode("overwrite").json(path)
+            case "orc" => docs.write.mode("overwrite").orc(path)
+            case _ => docs.write.mode("overwrite").parquet(path)
+          }
+          val back = fmt match {
+            case "csv" => s.read.schema(docs.schema)
+              .option("header", "true").csv(path)
+            case "json" => s.read.schema(docs.schema).json(path)
+            case "orc" => s.read.orc(path)
+            case _ => s.read.parquet(path)
+          }
+          (fmt, back.count(), digest(back) == want)
+        }
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(base))
+        rows.toDF("format", "n_rows", "content_ok")
+          .orderBy(col("format"))
+      },
+      Some("""WITH n AS (SELECT COUNT(*) AS c FROM documents)
+             |SELECT f.fmt AS format, n.c AS n_rows, TRUE AS content_ok
+             |FROM (VALUES ('csv'), ('json'), ('orc'), ('parquet')) f(fmt)
+             |CROSS JOIN n ORDER BY format""".stripMargin)),
+
     // Batch as-of join: the flagship lookup as a set operation (one pass
     // for many (address, block) probes).
     "p07_asof_join" -> QuerySpec(
