@@ -1,0 +1,311 @@
+package graft.codec
+
+/** Pure-JVM GIF (GIF87a/89a) codec — the LZW member of the compressed-
+  * image family ([[Jpeg]] lossy DCT, [[Png]] lossless deflate, this:
+  * lossless LZW over palette indices).
+  *
+  * Encoder: GIF89a, one image, global color table (2..256 entries,
+  * padded to a power of two), variable-width LZW with the standard
+  * clear-code reset at table overflow, optional 4-pass interlacing.
+  *
+  * Decoder: GIF87a and GIF89a, global AND local color tables, the
+  * 4-pass interlace, extension blocks (graphic control, comment,
+  * application — skipped structurally), first image frame of an
+  * animation. Output is top-down 8-bit RGB through the palette;
+  * transparency is ignored (alpha is dropped family-wide — rendering
+  * policy belongs to the caller). Strict parser within the format's
+  * means: GIF carries no checksums, so corruption that decodes to
+  * different pixels is undetectable by design, but every structural
+  * violation — bad signature, block overruns, out-of-range LZW codes,
+  * palette index past the table, truncated sub-blocks — throws
+  * IllegalArgumentException rather than mis-decoding.
+  *
+  * Layout and LZW rules are from the public GIF89a specification
+  * (CompuServe, 1990); no code is derived from any existing decoder.
+  */
+object Gif {
+
+  // GIF interlace pass origins/steps (spec appendix E)
+  private val Passes = Array((0, 8), (4, 8), (2, 4), (1, 2))
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"GIF: $msg")
+
+  // ---- encoding ----
+
+  /** Encode palette-indexed pixels (top-down) as a single-frame GIF89a.
+    * `palette` holds packed 0xRRGGBB ints (2..256 entries); every index
+    * must be < palette.length.
+    */
+  def encode(w: Int, h: Int, palette: Array[Int], indices: Array[Byte],
+             interlace: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff
+      && indices.length == w * h,
+      s"GIF: bad dims ${w}x$h for ${indices.length} indices")
+    require(palette.length >= 2 && palette.length <= 256,
+      s"GIF: palette size ${palette.length}")
+    var bits = 1
+    while ((1 << bits) < palette.length) bits += 1
+    val tableSize = 1 << bits
+    indices.foreach(i => require((i & 0xff) < palette.length,
+      s"GIF: index ${i & 0xff} outside palette"))
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    // logical screen descriptor: global table present, bits-1 size field
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0x80 | (bits - 1)); out.write(0); out.write(0)
+    var i = 0
+    while (i < tableSize) {
+      val c = if (i < palette.length) palette(i) else 0
+      out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff)
+      out.write(c & 0xff)
+      i += 1
+    }
+    // image descriptor at (0,0), no local table
+    out.write(0x2c)
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(if (interlace) 0x40 else 0x00)
+
+    // row order: sequential or the 4-pass interlace
+    val rowOrder: Seq[Int] =
+      if (!interlace) 0 until h
+      else Passes.toIndexedSeq.flatMap { case (start, step) =>
+        start until h by step
+      }
+
+    val minCode = math.max(2, bits)
+    out.write(minCode)
+    val lzw = new LzwEncoder(minCode)
+    rowOrder.foreach { y =>
+      var x = 0
+      while (x < w) { lzw.put(indices(y * w + x) & 0xff); x += 1 }
+    }
+    val data = lzw.finish()
+    var off = 0
+    while (off < data.length) {
+      val n = math.min(255, data.length - off)
+      out.write(n); out.write(data, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Variable-width GIF-LZW encoder with standard clear-code resets. */
+  private final class LzwEncoder(minCode: Int) {
+    private val clear = 1 << minCode
+    private val eoi = clear + 1
+    private val bytes = new java.io.ByteArrayOutputStream()
+    private var cur = 0L
+    private var curBits = 0
+    private var width = minCode + 1
+    private var next = eoi + 1
+    // dictionary: (prefixCode << 8 | suffix) -> code
+    private var dict = new java.util.HashMap[Integer, Integer]()
+    private var prefix = -1
+
+    emit(clear)
+
+    private def emit(code: Int): Unit = {
+      cur |= code.toLong << curBits
+      curBits += width
+      while (curBits >= 8) {
+        bytes.write((cur & 0xff).toInt)
+        cur >>>= 8; curBits -= 8
+      }
+    }
+
+    def put(sym: Int): Unit = {
+      if (prefix < 0) { prefix = sym; return }
+      val key = Integer.valueOf((prefix << 8) | sym)
+      val hit = dict.get(key)
+      if (hit != null) prefix = hit.intValue()
+      else {
+        emit(prefix)
+        if (next < 4096) {
+          dict.put(key, Integer.valueOf(next))
+          // widen AFTER assigning: the decoder grows when it has seen
+          // code (1<<width)-1 assigned
+          if (next == (1 << width) && width < 12) width += 1
+          next += 1
+        } else {
+          emit(clear)
+          dict = new java.util.HashMap[Integer, Integer]()
+          width = minCode + 1
+          next = eoi + 1
+        }
+        prefix = sym
+      }
+    }
+
+    def finish(): Array[Byte] = {
+      if (prefix >= 0) emit(prefix)
+      emit(eoi)
+      if (curBits > 0) bytes.write((cur & 0xff).toInt)
+      bytes.toByteArray
+    }
+  }
+
+  // ---- decoding ----
+
+  /** Decode the FIRST image frame to (width, height, top-down RGB). */
+  def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    if (bytes.length < 13) fail(s"truncated (${bytes.length} bytes)")
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") fail(s"bad signature '$sig'")
+    var pos = 6
+    def u8(): Int = {
+      if (pos >= bytes.length) fail("truncated")
+      val v = bytes(pos) & 0xff; pos += 1; v
+    }
+    def u16(): Int = { val lo = u8(); lo | (u8() << 8) }
+    val sw = u16(); val sh = u16()
+    val lsdFlags = u8()
+    u8(); u8() // background index, aspect ratio
+    val global: Array[Int] =
+      if ((lsdFlags & 0x80) != 0) readColorTable(bytes, 2 << (lsdFlags & 7),
+        () => u8())
+      else null
+
+    while (true) {
+      u8() match {
+        case 0x21 => // extension: label + sub-blocks, all skipped
+          u8()
+          var n = u8()
+          while (n != 0) { pos += n; if (pos > bytes.length) fail("truncated extension"); n = u8() }
+        case 0x2c =>
+          val ix = u16(); val iy = u16()
+          val iw = u16(); val ih = u16()
+          val f = u8()
+          if (iw <= 0 || ih <= 0 || ix + iw > sw || iy + ih > sh)
+            fail(s"image ${iw}x$ih at ($ix,$iy) outside ${sw}x$sh screen")
+          val table =
+            if ((f & 0x80) != 0) readColorTable(bytes, 2 << (f & 7),
+              () => u8())
+            else global
+          if (table == null) fail("no color table")
+          val interlaced = (f & 0x40) != 0
+          val minCode = u8()
+          if (minCode < 2 || minCode > 11) fail(s"LZW min code $minCode")
+          // gather sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          var n = u8()
+          while (n != 0) {
+            if (pos + n > bytes.length) fail("truncated image data")
+            data.write(bytes, pos, n); pos += n
+            n = u8()
+          }
+          val idx = lzwDecode(data.toByteArray, minCode, iw * ih)
+          // palette map into a full-screen RGB canvas (frame 1 covers it
+          // for our fixtures; partial first frames leave black borders)
+          val rgb = new Array[Byte](sw * sh * 3)
+          val rows: Seq[Int] =
+            if (!interlaced) 0 until ih
+            else Passes.toIndexedSeq.flatMap { case (s0, st) => s0 until ih by st }
+          var src = 0
+          rows.foreach { y =>
+            var x = 0
+            while (x < iw) {
+              val pi = idx(src) & 0xff
+              if (pi >= table.length) fail(s"palette index $pi")
+              val c = table(pi)
+              val o = ((iy + y) * sw + (ix + x)) * 3
+              rgb(o) = ((c >> 16) & 0xff).toByte
+              rgb(o + 1) = ((c >> 8) & 0xff).toByte
+              rgb(o + 2) = (c & 0xff).toByte
+              src += 1; x += 1
+            }
+          }
+          return (sw, sh, rgb)
+        case 0x3b => fail("trailer before any image")
+        case b => fail(f"unknown block 0x$b%02x")
+      }
+    }
+    fail("unreachable")
+  }
+
+  private def readColorTable(bytes: Array[Byte], n: Int,
+                             u8: () => Int): Array[Int] = {
+    val t = new Array[Int](n)
+    var i = 0
+    while (i < n) { t(i) = (u8() << 16) | (u8() << 8) | u8(); i += 1 }
+    t
+  }
+
+  /** Variable-width GIF-LZW decode of exactly `expected` symbols. */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+                        expected: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefixOf = new Array[Int](4096)
+    val suffixOf = new Array[Byte](4096)
+    val out = new Array[Byte](expected)
+    var outLen = 0
+    var width = minCode + 1
+    var next = eoi + 1
+    var prev = -1
+    var acc = 0L
+    var accBits = 0
+    var bi = 0
+    val stack = new Array[Byte](4096)
+
+    def expand(code0: Int): Unit = {
+      var code = code0
+      var sp = 0
+      while (code >= clear + 2) { // a composite code
+        stack(sp) = suffixOf(code); sp += 1
+        code = prefixOf(code)
+      }
+      if (code >= clear) fail(s"LZW code chain ends at $code")
+      stack(sp) = code.toByte; sp += 1
+      while (sp > 0) {
+        sp -= 1
+        if (outLen >= expected) fail("LZW output past pixel count")
+        out(outLen) = stack(sp); outLen += 1
+      }
+    }
+
+    while (true) {
+      while (accBits < width) {
+        if (bi >= data.length) {
+          // missing explicit EOI: spec-lenient IF all pixels arrived
+          if (outLen == expected) return out
+          fail(s"LZW truncated at $outLen/$expected symbols")
+        }
+        acc |= (data(bi) & 0xffL) << accBits
+        bi += 1; accBits += 8
+      }
+      val code = (acc & ((1 << width) - 1)).toInt
+      acc >>>= width; accBits -= width
+      if (code == clear) {
+        width = minCode + 1; next = eoi + 1; prev = -1
+      } else if (code == eoi) {
+        if (outLen != expected) fail(s"EOI at $outLen/$expected symbols")
+        return out
+      } else if (prev < 0) {
+        if (code >= clear) fail(s"first code $code not a literal")
+        expand(code)
+        prev = code
+      } else {
+        if (code > next || (code == next && next >= 4096))
+          fail(s"LZW code $code beyond table $next")
+        val headOf = { var c = if (code == next) prev else code
+          while (c >= clear + 2) c = prefixOf(c); c }
+        if (next < 4096) {
+          prefixOf(next) = prev
+          suffixOf(next) = headOf.toByte
+          next += 1
+        }
+        expand(code)
+        if (next == (1 << width) && width < 12) width += 1
+        prev = code
+      }
+    }
+    fail("unreachable")
+  }
+}

@@ -290,6 +290,31 @@ object Multimodal {
       graft.codec.Png.encode(newW, newH, resampleRgb(w, h, rgb, newW, newH))
     }
 
+    /** Single-frame GIF via the JDK's INDEPENDENT ImageIO implementation
+      * (see [[imageIoPng]] — same referee role, for the m06 fixture).
+      */
+    def imageIoGif(w: Int, h: Int, palette: Array[Int],
+                   idx: Array[Byte]): Array[Byte] = {
+      val size = palette.length
+      val r = new Array[Byte](size); val g = new Array[Byte](size)
+      val b = new Array[Byte](size)
+      var i = 0
+      while (i < size) {
+        r(i) = ((palette(i) >> 16) & 0xff).toByte
+        g(i) = ((palette(i) >> 8) & 0xff).toByte
+        b(i) = (palette(i) & 0xff).toByte
+        i += 1
+      }
+      val cm = new java.awt.image.IndexColorModel(8, size, r, g, b)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      img.getRaster.setDataElements(0, 0, w, h, idx.clone())
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "gif", bos),
+        "ImageIO has no GIF writer")
+      bos.toByteArray
+    }
+
     /** PNG via the JDK's INDEPENDENT ImageIO implementation — the
       * cross-codec half of the m05 fixture (and PngSpec's referee):
       * payloads our decoder must read that our encoder never produced.
@@ -450,6 +475,60 @@ object Multimodal {
     }
   }
 
+  /** Deterministic seeded palette + index draw for the GIF table — ONE
+    * copy shared with the m06 golden replay (which maps indices through
+    * the palette and never touches the codec).
+    */
+  def gifRawDraw(id: Long, seed: Long = 42L)
+      : (Int, Int, Array[Int], Array[Byte]) = {
+    val rnd = new scala.util.Random(seed + 15485863L * id)
+    val w = 16 + rnd.nextInt(60)
+    val h = 16 + rnd.nextInt(60)
+    val nColors = 4 + rnd.nextInt(60)
+    val palette = Array.fill(nColors)(rnd.nextInt(1 << 24))
+    val idx = new Array[Byte](w * h)
+    var i = 0
+    while (i < idx.length) {
+      val x = i % w; val y = i / w
+      idx(i) = (((x / 3 + y / 2 + rnd.nextInt(3)) % nColors) & 0xff).toByte
+      i += 1
+    }
+    (w, h, palette, idx)
+  }
+
+  /** Palette-map a raw GIF draw to top-down RGB (the golden side). */
+  def gifRawRgb(palette: Array[Int], idx: Array[Byte]): Array[Byte] = {
+    val rgb = new Array[Byte](idx.length * 3)
+    var i = 0
+    while (i < idx.length) {
+      val c = palette(idx(i) & 0xff)
+      rgb(i * 3) = ((c >> 16) & 0xff).toByte
+      rgb(i * 3 + 1) = ((c >> 8) & 0xff).toByte
+      rgb(i * 3 + 2) = (c & 0xff).toByte
+      i += 1
+    }
+    rgb
+  }
+
+  /** Synthetic GIF table: real single-frame GIF payloads from the seeded
+    * indexed draws — id%3==0 our LZW encoder, 1 our encoder INTERLACED
+    * (exercises the 4-pass deinterlacer), 2 the JDK's independent
+    * ImageIO writer.
+    */
+  def syntheticGifs(spark: SparkSession, n: Int,
+                    seed: Long = 42L): Dataset[MediaBlob] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val (w, h, pal, idx) = gifRawDraw(id, seed)
+      val data = (id % 3) match {
+        case 0 => graft.codec.Gif.encode(w, h, pal, idx)
+        case 1 => graft.codec.Gif.encode(w, h, pal, idx, interlace = true)
+        case _ => Codecs.imageIoGif(w, h, pal, idx)
+      }
+      MediaBlob(id, "gif", w, h, 1, data)
+    }
+  }
+
   /** Feature extraction: batched narrow mapPartitions (batches of 32 model
     * the Arrow-batch shape); REAL decode per kind — image/video frame 0 →
     * BT.601 luma histogram; audio → amplitude histogram over the high
@@ -466,6 +545,8 @@ object Multimodal {
               Codecs.lumaOf(graft.codec.Jpeg.decode(blob.data)._3)
             case "png" =>
               Codecs.lumaOf(graft.codec.Png.decode(blob.data)._3)
+            case "gif" =>
+              Codecs.lumaOf(graft.codec.Gif.decode(blob.data)._3)
             case "video" =>
               Codecs.lumaOf(
                 Codecs.decodeBmp(Codecs.videoFrame(blob.data, 0))._3)

@@ -1310,6 +1310,41 @@ object LlmQueries {
           .orderBy(col("media_id"))
       }, None, Some(_ => mGoldenSql("m05-png-150-v1",
         "media_id, width, height, mean_luma", "media_id"))),
+
+    // GIF decode — the LZW member of the compressed-image family
+    // (codec/Gif.scala). Lossless over palette indices, so the oracle is
+    // EXACT like m05's: decoded mean luma must equal the golden computed
+    // from the raw indexed draw mapped through the palette, never
+    // touching the codec. The fixture mixes our encoder, our encoder in
+    // 4-pass interlaced mode, and the JDK's independent ImageIO writer;
+    // GifSpec cross-checks both directions including LZW table-overflow
+    // resets.
+    "m06_gif_decode" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val n = 150
+        val gname = s"m06-gif-$n-v1"
+        MultimodalGolden.ensureGoldenDf(gname,
+          s.range(n).map { id =>
+            val (w, h, pal, idx) = Multimodal.gifRawDraw(id)
+            val luma = Multimodal.Codecs.lumaOf(
+              Multimodal.gifRawRgb(pal, idx))
+            var sum = 0L
+            luma.foreach(b => sum += (b & 0xff))
+            (id, w, h, sum.toDouble / luma.length)
+          }.toDF("media_id", "width", "height", "mean_luma"))
+        Multimodal.syntheticGifs(s, n)
+          .map { b =>
+            val (dw, dh, rgb) = graft.codec.Gif.decode(b.data)
+            val luma = Multimodal.Codecs.lumaOf(rgb)
+            var sum = 0L
+            luma.foreach(x => sum += (x & 0xff))
+            (b.media_id, dw, dh, sum.toDouble / luma.length)
+          }
+          .toDF("media_id", "width", "height", "mean_luma")
+          .orderBy(col("media_id"))
+      }, None, Some(_ => mGoldenSql("m06-gif-150-v1",
+        "media_id, width, height, mean_luma", "media_id"))),
   )
 
   // media count per sf dir (300 at sf≤0.01, 2000 at sf0.1) — a pure

@@ -1,0 +1,159 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.codec.Gif
+
+/** The GIF codec's independent oracle is the JDK's ImageIO GIF
+  * implementation. GIF's LZW is lossless over palette indices, so every
+  * cross-check is EXACT pixel equality: graft-encoded streams must decode
+  * identically in both decoders, and graft must reproduce ImageIO's
+  * decode of ImageIO-encoded streams.
+  */
+class GifSpec extends AnyFunSuite {
+
+  /** Deterministic palette + index draw (seeded). */
+  private def drawIndexed(w: Int, h: Int, nColors: Int,
+                          seed: Long): (Array[Int], Array[Byte]) = {
+    val rnd = new scala.util.Random(seed)
+    val palette = Array.fill(nColors)(rnd.nextInt(1 << 24))
+    val idx = new Array[Byte](w * h)
+    var i = 0
+    while (i < idx.length) {
+      // smooth-ish bands + noise: exercises LZW runs and literals
+      val x = i % w; val y = i / w
+      idx(i) = (((x / 3 + y / 2 + rnd.nextInt(3)) % nColors) & 0xff).toByte
+      i += 1
+    }
+    (palette, idx)
+  }
+
+  private def rgbOf(palette: Array[Int], idx: Array[Byte]): Array[Byte] = {
+    val rgb = new Array[Byte](idx.length * 3)
+    var i = 0
+    while (i < idx.length) {
+      val c = palette(idx(i) & 0xff)
+      rgb(i * 3) = ((c >> 16) & 0xff).toByte
+      rgb(i * 3 + 1) = ((c >> 8) & 0xff).toByte
+      rgb(i * 3 + 2) = (c & 0xff).toByte
+      i += 1
+    }
+    rgb
+  }
+
+  private def imageIoEncodeGif(w: Int, h: Int, palette: Array[Int],
+                               idx: Array[Byte]): Array[Byte] = {
+    val size = palette.length
+    val r = new Array[Byte](size); val g = new Array[Byte](size)
+    val b = new Array[Byte](size)
+    for (i <- 0 until size) {
+      r(i) = ((palette(i) >> 16) & 0xff).toByte
+      g(i) = ((palette(i) >> 8) & 0xff).toByte
+      b(i) = (palette(i) & 0xff).toByte
+    }
+    val cm = new java.awt.image.IndexColorModel(8, size, r, g, b)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    img.getRaster.setDataElements(0, 0, w, h, idx.clone())
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    bos.toByteArray
+  }
+
+  private def imageIoDecodeRgb(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO could not parse stream")
+    val w = img.getWidth; val h = img.getHeight
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      val i = (y * w + x) * 3
+      rgb(i) = ((p >> 16) & 0xff).toByte
+      rgb(i + 1) = ((p >> 8) & 0xff).toByte
+      rgb(i + 2) = (p & 0xff).toByte
+    }
+    (w, h, rgb)
+  }
+
+  test("graft encode -> graft decode is a lossless round trip") {
+    for ((w, h, n, seed) <- Seq((40, 30, 16, 1L), (7, 5, 4, 2L),
+        (64, 64, 64, 3L), (33, 17, 200, 4L), (1, 1, 2, 5L))) {
+      val (pal, idx) = drawIndexed(w, h, n, seed)
+      val (dw, dh, out) = Gif.decode(Gif.encode(w, h, pal, idx))
+      assert((dw, dh) == ((w, h)), s"dims at seed $seed")
+      assert(java.util.Arrays.equals(out, rgbOf(pal, idx)),
+        s"pixels at seed $seed")
+    }
+  }
+
+  test("interlaced round trip") {
+    for ((w, h, n, seed) <- Seq((40, 30, 16, 11L), (8, 3, 8, 12L),
+        (19, 9, 32, 13L))) {
+      val (pal, idx) = drawIndexed(w, h, n, seed)
+      val (dw, dh, out) =
+        Gif.decode(Gif.encode(w, h, pal, idx, interlace = true))
+      assert((dw, dh) == ((w, h)))
+      assert(java.util.Arrays.equals(out, rgbOf(pal, idx)),
+        s"interlaced pixels at seed $seed")
+    }
+  }
+
+  test("graft-encoded streams decode identically in ImageIO") {
+    for (interlace <- Seq(false, true)) {
+      val (pal, idx) = drawIndexed(45, 37, 32, 21L)
+      val bytes = Gif.encode(45, 37, pal, idx, interlace)
+      val (dw, dh, out) = imageIoDecodeRgb(bytes)
+      assert((dw, dh) == ((45, 37)), s"dims interlace=$interlace")
+      assert(java.util.Arrays.equals(out, rgbOf(pal, idx)),
+        s"ImageIO disagrees, interlace=$interlace")
+    }
+  }
+
+  test("graft decodes ImageIO-encoded streams exactly") {
+    for ((w, h, n, seed) <- Seq((45, 37, 32, 31L), (16, 16, 4, 32L),
+        (80, 11, 128, 33L))) {
+      val (pal, idx) = drawIndexed(w, h, n, seed)
+      val bytes = imageIoEncodeGif(w, h, pal, idx)
+      // referee: ImageIO's own read of its own bytes (palette layout may
+      // be remapped by the writer — pixels are the contract)
+      val (_, _, want) = imageIoDecodeRgb(bytes)
+      val (dw, dh, out) = Gif.decode(bytes)
+      assert((dw, dh) == ((w, h)), s"dims at seed $seed")
+      assert(java.util.Arrays.equals(out, want), s"pixels at seed $seed")
+    }
+  }
+
+  test("LZW table overflow (clear-code reset) round-trips") {
+    // high-entropy indices over a full 256-color palette on a large
+    // image force the dictionary past 4096 and through resets
+    val rnd = new scala.util.Random(41L)
+    val w = 200; val h = 150
+    val pal = Array.fill(256)(rnd.nextInt(1 << 24))
+    val idx = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    val bytes = Gif.encode(w, h, pal, idx)
+    val (_, _, out) = Gif.decode(bytes)
+    assert(java.util.Arrays.equals(out, rgbOf(pal, idx)))
+    val (_, _, ioOut) = imageIoDecodeRgb(bytes)
+    assert(java.util.Arrays.equals(ioOut, rgbOf(pal, idx)),
+      "ImageIO disagrees after table resets")
+  }
+
+  test("strict parser rejects structural corruption cleanly") {
+    val (pal, idx) = drawIndexed(30, 20, 16, 51L)
+    val good = Gif.encode(30, 20, pal, idx)
+    val sig = good.clone(); sig(0) = 'X'.toByte
+    assertThrows[IllegalArgumentException](Gif.decode(sig))
+    assertThrows[IllegalArgumentException](
+      Gif.decode(java.util.Arrays.copyOf(good, 20)))
+    // fuzz: GIF has no checksums, so flips may decode to different
+    // pixels — the contract is no crash and no non-IAE exception
+    val rnd = new scala.util.Random(52L)
+    for (_ <- 1 to 300) {
+      val bad = good.clone()
+      bad(rnd.nextInt(bad.length)) =
+        (bad(rnd.nextInt(bad.length)) ^ (1 << rnd.nextInt(8))).toByte
+      try { Gif.decode(bad); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+}
