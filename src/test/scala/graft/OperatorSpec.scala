@@ -879,4 +879,37 @@ class OperatorSpec extends AnyFunSuite {
     // planted design: n/10 pairs at 1x, n pairs at 10x
     assert(first.rows1 == 15L && first.rows10 == 150L)
   }
+
+  test("fuzzy-join scale bounds: 10x titles stays sub-quadratic") {
+    // the l31 analogue of the l21 check: a planted world whose expected
+    // output is computable in O(1) — high-entropy random titles (no
+    // accidental deletion-variant collisions at these lengths) plus one
+    // single-substitution partner per id < f — run at 1x and 10x in one
+    // session; a quadratic candidate structure would show ~100x wall
+    def world(n: Int, seed: Long) = {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until n).map { i =>
+        (i.toLong, Seq.fill(20)(('a' + rnd.nextInt(26)).toChar).mkString)
+      }
+      val planted = rows.take(n / 10).map { case (id, t) =>
+        (id + 1000000L, "q" + t.substring(1))
+      }
+      spark.createDataFrame(rows ++ planted).toDF("doc_id", "title")
+    }
+    def run(n: Int, seed: Long): (Long, Double) = {
+      val df = world(n, seed)
+      val t0 = System.nanoTime()
+      val c = Dedup.fuzzyJoinShort(df, k = 2).count()
+      (c, (System.nanoTime() - t0) / 1e9)
+    }
+    run(100, 99L) // warm the plan/codegen path once
+    val ok = (1 to 3).exists { a =>
+      val (c1, w1) = run(300, 7L + a)
+      val (c10, w10) = run(3000, 70L + a)
+      // exactly the planted pairs: distance-1 partners for id < n/10
+      assert(c1 == 30L && c10 == 300L, s"pairs $c1/$c10")
+      w10 / math.max(w1, 0.05) < 35.0
+    }
+    assert(ok, "10x fuzzy join wall ratio >= 35x on all 3 attempts")
+  }
 }
