@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.expressions.{CosineSimExpr, MinHashSigExpr, SimHash64Expr, TokenNgramsExpr, Uint256Expr}
+import graft.functions.expressions.{CosineSimExpr, DeletionVariantsExpr, MinHashSigExpr, NfcNormalizeExpr, SimHash64Expr, TokenNgramsExpr, Uint256Expr}
 
 /** SQL surface for the graft-native expressions.
   *
@@ -49,6 +49,20 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "token_ngrams(tokens, n)")
         TokenNgramsExpr(exprs.head, intLit(exprs(1), "n"))
+      }),
+    (FunctionIdentifier("deletion_variants"),
+      new ExpressionInfo(classOf[DeletionVariantsExpr].getName,
+        "deletion_variants"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "deletion_variants(str, k)")
+        DeletionVariantsExpr(exprs.head, intLit(exprs(1), "k"))
+      }),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName,
+        "nfc_normalize"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "nfc_normalize(str)")
+        NfcNormalizeExpr(exprs.head)
       }),
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),

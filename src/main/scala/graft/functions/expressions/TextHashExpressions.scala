@@ -102,6 +102,25 @@ object TextHashExpressions {
   def deletion_variants(str: Column, k: Int): Column =
     Bridge.column(DeletionVariantsExpr(Bridge.expression(str), k))
 
+  /** Unicode NFC normalization (java.text.Normalizer — the same
+    * canonical-composition standard DuckDB's `nfc_normalize` and
+    * Python's `unicodedata` implement, so cross-engine oracles compare
+    * byte-identical outputs). Fast path: Normalizer.isNormalized short-
+    * circuits the (overwhelmingly common) already-NFC case without
+    * allocating.
+    */
+  def nfcNormalize(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  def nfc_normalize(str: Column): Column =
+    Bridge.column(NfcNormalizeExpr(Bridge.expression(str)))
+
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64Expr(Bridge.expression(tokens)))
 
@@ -238,4 +257,35 @@ case class DeletionVariantsExpr(child: Expression, k: Int)
 
   override protected def withNewChildInternal(c: Expression)
       : DeletionVariantsExpr = copy(child = c)
+}
+
+/** nfc_normalize(str): Unicode canonical composition (NFC) — the
+  * corpus-prep normalization that makes composed ("é") and decomposed
+  * ("e" + U+0301) spellings of the same text hash/dedup identically.
+  * See [[TextHashExpressions.nfcNormalize]].
+  */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize needs string, got $other")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(str: Any): Any =
+    TextHashExpressions.nfcNormalize(
+      str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextHashExpressions" +
+        s".nfcNormalize($c);")
+
+  override protected def withNewChildInternal(c: Expression)
+      : NfcNormalizeExpr = copy(child = c)
 }

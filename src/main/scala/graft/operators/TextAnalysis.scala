@@ -779,6 +779,38 @@ object TextAnalysis {
         sum(col("n_bpe")).as("bpe_token_count"))
   }
 
+  /** TEMPERATURE-based corpus mixing (τ = 0.5, "square-root sampling" —
+    * the standard multilingual/multi-source rebalancing rule: sampling
+    * weight w_i = n_i^τ / Σ n_j^τ, so low-resource sources are
+    * up-weighted relative to their raw share): per-source document
+    * counts, mixing weight, and the integer per-source quota for a
+    * sampling budget. τ is FIXED at 0.5 because sqrt is an
+    * exactly-rounded IEEE operation both engines compute identically —
+    * a general pow(x, τ) differs in ULPs across libm implementations and
+    * would need the rational-arithmetic treatment the BM25 idf got.
+    *
+    * Spark shape: one map-side-combining count aggregate (source-width),
+    * a scalar crossJoin for the normalizer (the l16 convention), narrow
+    * arithmetic after — nothing data-sized shuffles.
+    */
+  def temperatureMix(docs: DataFrame, budget: Int = 1000,
+                     sourceCol: String = "source"): DataFrame = {
+    // per-source sqrt quantized to a 6-decimal grid, then summed as
+    // DECIMAL — decimal addition is exact and order-independent, so the
+    // normalizer is bit-identical across engines regardless of
+    // aggregation order (a raw double SUM would drift in final ULPs)
+    val sq = quant(sqrt(col("n_docs").cast("double")), 6)
+    val counts = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(
+      sum(sq.cast("decimal(18,6)")).cast("double").as("z"))
+    counts.crossJoin(total)
+      .select(col("source"), col("n_docs"),
+        quant4(sq / col("z")).as("weight"),
+        floor(sq / col("z") * lit(budget.toDouble) + lit(0.5d))
+          .cast("long").as("quota"))
+  }
+
   /** WITHIN-document repetition signals — the Gopher-style quality
     * rules that catch boilerplate/spam text cross-document dedup never
     * sees (a page repeating one nav bar 50 times is unique as a

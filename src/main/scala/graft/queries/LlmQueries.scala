@@ -740,6 +740,65 @@ object LlmQueries {
              |  ON a.doc_id < b.doc_id AND levenshtein(a.title, b.title) <= 2
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Temperature-based corpus mixing (τ=0.5 square-root sampling): the
+    // multilingual/multi-source rebalancing rule — weight n_i^τ/Σn_j^τ,
+    // integer quota for a 1000-doc budget. sqrt is exactly-rounded IEEE
+    // (cross-engine identical); the normalizer sums 6-decimal-quantized
+    // terms as DECIMAL, so aggregation order cannot drift a ULP.
+    "l33_temperature_mix" -> QuerySpec(
+      (s, dir) => TextAnalysis.temperatureMix(
+          Tables(s, dir, "documents").select(col("source")))
+        .orderBy(col("source")),
+      Some("""WITH c AS (SELECT source, COUNT(*) AS n_docs
+             |  FROM documents GROUP BY source),
+             |q AS (SELECT source, n_docs,
+             |  floor(sqrt(n_docs) * 1000000.0 + 0.5) / 1000000.0 AS sq
+             |  FROM c),
+             |z AS (SELECT CAST(SUM(CAST(sq AS DECIMAL(18,6))) AS DOUBLE)
+             |  AS z FROM q)
+             |SELECT source, n_docs,
+             |  floor(sq / z * 10000.0 + 0.5) / 10000.0 AS weight,
+             |  CAST(floor(sq / z * 1000.0 + 0.5) AS BIGINT) AS quota
+             |FROM q CROSS JOIN z ORDER BY source""".stripMargin)),
+
+    // Unicode NFC normalization — the corpus-prep step that makes
+    // composed ("é") and decomposed ("e"+U+0301) spellings hash/dedup
+    // identically (a silent false-negative source for every
+    // content-hash/MinHash operator upstream). Native codegen expression
+    // over java.text.Normalizer; DuckDB re-derives everything through
+    // its own independent nfc_normalize (different implementation, same
+    // Unicode standard — byte-identical outputs hash-match). The
+    // fixture's ASCII text is NFC-trivially, so decomposed variants are
+    // planted at +300000 (doc_id < 20, text ⊕ "e"+U+0301): for those
+    // was_normalized flips false and NFC shortens by one code point.
+    "l32_unicode_nfc" -> QuerySpec(
+      (s, dir) => {
+        val nfc: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          graft.functions.expressions.TextHashExpressions.nfc_normalize _
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val planted = docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(col("text"), lit("e"), lit("\u0301")).as("text"))
+        docs.unionByName(planted)
+          .select(col("doc_id"),
+            md5(nfc(col("text"))).as("nfc_md5"),
+            (col("text") === nfc(col("text"))).as("was_normalized"),
+            (length(nfc(col("text"))) - length(col("text")))
+              .cast("int").as("len_delta"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+             |planted AS (SELECT doc_id + 300000 AS doc_id,
+             |    text || 'e' || chr(769) AS text
+             |  FROM base WHERE doc_id < 20),
+             |rel AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+             |SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
+             |  text = nfc_normalize(text) AS was_normalized,
+             |  (length(nfc_normalize(text)) - length(text))::INT
+             |    AS len_delta
+             |FROM rel ORDER BY doc_id""".stripMargin)),
+
     // Cross-document repeated-passage statistics (the ExactSubstr-dedup
     // signal): 10-grams support-counted across distinct docs, per-doc
     // repeated-material fraction. DuckDB re-derives the whole relation

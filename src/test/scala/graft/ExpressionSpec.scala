@@ -108,6 +108,36 @@ class ExpressionSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("deletion_variants"), bad.getMessage)
   }
 
+  test("nfc_normalize composes canonically and is idempotent") {
+    import spark.implicits._
+    val nfc = graft.functions.expressions.TextHashExpressions
+      .nfc_normalize _
+    val decomposedE = "e\u0301"      // e + combining acute
+    val composedE = "\u00e9"          // precomposed
+    val decomposedA = "A\u030a"      // A + combining ring
+    val composedA = "\u00c5"
+    val supp = "\ud83d\ude00x\u0301" // supplementary char + combining
+    val df = Seq(decomposedE, composedE, "plain ascii", decomposedA, supp)
+      .toDF("t")
+    val got = df.select(col("t"), nfc(col("t")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((in, out) <- got) {
+      assert(out == java.text.Normalizer.normalize(in,
+        java.text.Normalizer.Form.NFC), s"NFC of $in")
+      // idempotence through a second engine pass
+      val twice = Seq(out).toDF("t").select(nfc(col("t")))
+        .collect().head.getString(0)
+      assert(twice == out, s"not idempotent on $in")
+    }
+    assert(got(decomposedE) == composedE)
+    assert(got(composedE) == composedE)
+    assert(got(decomposedA) == composedA)
+    // null passes through
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(nfc(col("t"))).collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("token_ngrams rejects n < 1 at analysis time") {
     GraftFunctions.register(spark)
     // n=0 used to return len+1 empty strings; n<0 threw a raw
@@ -232,7 +262,8 @@ class ExpressionSpec extends AnyFunSuite {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // must not throw; descriptors wired
     assert(GraftFunctions.descriptors.map(_._1.funcName) ==
-      Seq("minhash_sig", "simhash64", "token_ngrams", "cosine_sim",
+      Seq("minhash_sig", "simhash64", "token_ngrams",
+        "deletion_variants", "nfc_normalize", "cosine_sim",
         "uint256_add", "uint256_sub"))
   }
 }

@@ -323,6 +323,22 @@ class OperatorSpec extends AnyFunSuite {
       s"prefilter lost pairs: missing=${brute -- fuzzy} extra=${fuzzy -- brute}")
   }
 
+  test("temperature mix computes hand-checkable sqrt-sampling quotas") {
+    // sources with 100 / 25 / 1 docs: sqrt = 10, 5, 1 → z = 16,
+    // weights 0.625 / 0.3125 / 0.0625, quotas 625 / 313 / 63
+    val df = (Seq.fill(100)("big") ++ Seq.fill(25)("mid") ++ Seq("tiny"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "source")
+    val got = TextAnalysis.temperatureMix(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toMap
+    assert(got("big") == ((100L, 0.625, 625L)), s"got ${got("big")}")
+    assert(got("mid") == ((25L, 0.3125, 313L)), s"got ${got("mid")}")
+    assert(got("tiny") == ((1L, 0.0625, 63L)), s"got ${got("tiny")}")
+    // low-resource up-weighting: tiny's weight share (6.25%) far
+    // exceeds its raw share (1/126 ≈ 0.8%)
+  }
+
   test("MaxSim scores hand-computable multi-vector matches") {
     // q doc 0: tokens along axes x and y. doc 1 matches BOTH aspects
     // (maxsim 2.0); doc 2 matches only x twice (maxsim 1.0); doc 3
