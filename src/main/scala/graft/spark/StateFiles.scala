@@ -152,12 +152,18 @@ object StateFiles {
         col("slot"), col("block"))
       .sortWithinPartitions(col("address"), col("isStorage"), col("slot"),
         col("block"))
+    // a stream-owned dataset keeps its writer identity and replay
+    // watermark across the rewrite: the DATA is equivalent, so the
+    // exactly-once guard (lastStreamBatch) must survive — dropping the
+    // fields would reset the skip and let a replayed epoch double-append
+    val sb = manifestField(dir, "stream_batch").getOrElse(-1L)
+    val sid = manifestStringField(dir, "stream_id").getOrElse("")
     // the scan executes inside this job, strictly before the commit:
     // writeCore's final manifest write REPLACES the snapshot (fresh
     // dataset_id — overwrite semantics, not merge)
     writeCore(sorted, dir, strategy, bStart, bEnd,
       partBase = nextPartBase(dir), mergeManifest = false,
-      streamBatchId = -1L)
+      streamBatchId = sb, streamId = sid)
     oldFiles.foreach { f =>
       Files.deleteIfExists(Paths.get(dir, f))
       Files.deleteIfExists(

@@ -744,6 +744,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("compact preserves a stream owner's identity and replay watermark") {
+    import spark.implicits._
+    val items = StateFormat.asItems(
+      history.withColumnRenamed("valid_from_block", "block"))
+    val dir = Files.createTempDirectory("graft-compact-stream").toString
+    graft.spark.StateFiles.write(items, dir, strategy = 0,
+      blockStart = 0L, blockEnd = world.latestBlock)
+    // a streaming appender commits an epoch with its identity
+    graft.spark.StateFiles.append(
+      items.limit(5).as[graft.model.StateItem], dir, strategy = 0,
+      blockStart = 0L, blockEnd = world.latestBlock,
+      streamBatchId = 7L, streamId = "stream-A")
+    graft.spark.StateFiles.compact(spark, dir, strategy = 0)
+    // the rewrite must not reset the exactly-once guard: the same
+    // stream's replayed epoch 7 is still skippable, a second stream is
+    // still rejected
+    assert(graft.spark.StateFiles.lastStreamBatch(dir, "stream-A")
+      .contains(7L), "replay watermark lost across compaction")
+    val e = intercept[Exception](
+      graft.spark.StateFiles.append(
+        items.limit(1).as[graft.model.StateItem], dir, strategy = 0,
+        blockStart = 0L, blockEnd = 1L,
+        streamBatchId = 0L, streamId = "stream-B"))
+    assert(e.getMessage.contains("stream-owned"), e.getMessage)
+  }
+
   test("DataSource V2: spark.read.format over .dat matches the items") {
     import spark.implicits._
     val items = StateFormat.asItems(
