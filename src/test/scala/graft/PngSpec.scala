@@ -128,7 +128,8 @@ class PngSpec extends AnyFunSuite {
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY,    // color type 0
       java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, // color type 3
       java.awt.image.BufferedImage.TYPE_INT_ARGB,     // color type 6
-      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)  // 16-bit gray
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY,  // 16-bit gray
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)  // 1-bit sub-byte
     variants.foreach { t =>
       val bytes = imageIoEncode(rgbImage(w, h, rgb, t))
       // referee: whatever ImageIO itself decodes those bytes to
