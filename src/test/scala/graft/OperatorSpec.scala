@@ -896,6 +896,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(first.rows1 == 15L && first.rows10 == 150L)
   }
 
+  test("SQ8 query-path scale bounds: 10x vectors stays linear-ish") {
+    // the ANN-side analogue of l21/p13: the flat SQ8 scan is O(N·Q) BY
+    // DESIGN (that's the layout's contract — bytes per pair is what it
+    // prunes), so 10x vectors should cost ~10x, never ~100x; the
+    // IVF-composed form prunes the pool by nProbe/nCells on top. Both
+    // measured at 1x and 10x in one session with retries (host noise).
+    import spark.implicits._
+    def world(n: Int, seed: Long) = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map(i =>
+        (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2f - 1f)))
+        .toDF("vec_id", "embedding")
+    }
+    def run(df: org.apache.spark.sql.DataFrame,
+            lo: Array[Double], hi: Array[Double]): Double = {
+      val q = df.filter(col("vec_id") < 5)
+      val t0 = System.nanoTime()
+      val n = Similarity.sqTopK(df, q, 10, lo, hi).count()
+      assert(n == 50L, s"rows $n")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val w1 = world(2000, 1L).localCheckpoint()
+    val w10 = world(20000, 2L).localCheckpoint()
+    val (lo1, hi1) = Similarity.fitSqBounds(w1)
+    val (lo10, hi10) = Similarity.fitSqBounds(w10)
+    run(w1, lo1, hi1) // warm codegen once
+    val ok = (1 to 3).exists { _ =>
+      val a = run(w1, lo1, hi1)
+      val b = run(w10, lo10, hi10)
+      b / math.max(a, 0.05) < 25.0
+    }
+    assert(ok, "10x SQ8 query wall ratio >= 25x on all 3 attempts")
+  }
+
   test("fuzzy-join scale bounds: 10x titles stays sub-quadratic") {
     // the l31 analogue of the l21 check: a planted world whose expected
     // output is computable in O(1) — high-entropy random titles (no
