@@ -614,6 +614,28 @@ object Dedup {
       .filter(col("dist") <= k)
   }
 
+  /** Length-dispatched fuzzy join: one cheap max-length aggregate picks
+    * the prefilter — the ≤k-deletion neighborhood ([[fuzzyJoinShort]])
+    * while the signature volume O(maxLen^k) stays cheap (its selectivity
+    * is entropy-independent, the safe default for titles/URLs/names),
+    * the q-gram prefix filter ([[fuzzyJoin]]) beyond, where |s|² variant
+    * generation would dominate and long strings carry enough gram
+    * entropy for the prefix filter to prune well. Both paths are
+    * lossless, so the dispatch changes the plan, never the answer.
+    */
+  def fuzzyJoinAuto(rel: DataFrame, k: Int = 2, q: Int = 3,
+                    idCol: String = "doc_id",
+                    strCol: String = "title",
+                    maxDeletionLen: Int = 48): DataFrame = {
+    val maxLen = rel.agg(max(length(col(strCol)))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0)
+    }
+    if (k <= 2 && maxLen <= maxDeletionLen)
+      fuzzyJoinShort(rel, k, idCol, strCol)
+    else fuzzyJoin(rel, k, q, idCol, strCol)
+  }
+
   /** [[fuzzyJoin]] for SHORT keys (titles, URLs, names; k ≤ 2) via the
     * SymSpell DELETION NEIGHBORHOOD: lev(s1,s2) ≤ k implies some string
     * obtained by ≤ k character deletions from s1 equals one obtained by

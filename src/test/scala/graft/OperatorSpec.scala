@@ -305,6 +305,12 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(fuzzyShort == fuzzy,
       s"variants disagree: ${fuzzyShort -- fuzzy} / ${fuzzy -- fuzzyShort}")
+    // auto-dispatch picks the deletion path here (20-char keys) and
+    // must return the identical result either way
+    val auto = Dedup.fuzzyJoinAuto(
+        titles.filter(length(col("title")) >= 9), k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(auto == fuzzy, s"auto-dispatch drift: ${auto -- fuzzy}")
     val rows = titles.collect().map(r => (r.getLong(0), r.getString(1)))
       .filter(_._2 != null).filter(_._2.length >= 9)
     def lev(s1: String, s2: String): Int = {
