@@ -279,6 +279,40 @@ object StreamingQueries {
       Some("""SELECT DISTINCT md5(text) AS digest
              |FROM documents ORDER BY digest""".stripMargin)),
 
+    // The STREAMING corpus-prep funnel — l28's shape composed over a
+    // real file-source stream: quality gate (token floor) → Unicode NFC
+    // normalization (the l32 native expression, so composed/decomposed
+    // spellings dedup identically) → STATEFUL cross-batch exact dedup
+    // on the normalized content hash. The state store carries only the
+    // 32-hex digest per surviving doc; the DuckDB oracle re-derives the
+    // surviving set through its own tokenizer and nfc_normalize.
+    "st10_stream_funnel" -> QuerySpec(
+      (s, dir) => {
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val nfc = graft.functions.expressions.TextHashExpressions
+          .nfc_normalize _
+        val q = stream
+          .filter(size(graft.operators.TextAnalysis.tokens(col("text")))
+            >= 5)
+          .select(md5(nfc(col("text"))).as("digest"))
+          .dropDuplicates("digest")
+          .writeStream.format("memory").queryName("st10_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st10_sink").orderBy(col("digest"))
+      },
+      Some("""SELECT DISTINCT md5(nfc_normalize(text)) AS digest
+             |FROM documents
+             |WHERE len(list_filter(
+             |    regexp_split_to_array(lower(trim(text)), '\s+'),
+             |    t -> length(t) > 0)) >= 5
+             |ORDER BY digest""".stripMargin)),
+
     // The PRODUCTION shape of the incremental pipeline: the account
     // changeset table as a real FILE-SOURCE readStream (no MemoryStream,
     // no driver collect) → decode → incremental W1 fold
