@@ -716,6 +716,59 @@ object Similarity {
     rerankExact(approx, k, rerank)
   }
 
+  // ---- BQ: 1-bit binary quantization ----
+
+  /** Per-dimension mean thresholds — binary quantization's "training"
+    * (one aggregate; like the SQ bounds these land as plan literals and
+    * as the oracle's captured literals).
+    */
+  def fitBqThresholds(vectors: DataFrame,
+                      vecCol: String = "embedding"): Array[Double] = {
+    val rows = vectors
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(avg(col("x").cast("double")).as("mu"))
+      .orderBy(col("pos")).collect()
+    require(rows.nonEmpty, "fitBqThresholds: empty corpus")
+    rows.map(_.getDouble(1))
+  }
+
+  /** Sign bits against the per-dimension thresholds. Kept as a boolean
+    * array rather than packed words: semantically identical, and the
+    * hamming sum stays plain integer arithmetic the oracle mirrors with
+    * an unordered SUM; a production deployment would pack 64 bits per
+    * long (8 bytes per 512 dims) — the layout, not the semantics.
+    */
+  private[graft] def bqBits(vec: Column, mu: Array[Double]): Column = {
+    require(mu.nonEmpty, "bqBits: empty thresholds")
+    val muL = array(mu.map(lit).toIndexedSeq: _*)
+    guardDims(vec, mu.length,
+      zip_with(vec, muL, (x, m) => x.cast("double") > m))
+  }
+
+  /** Binary-quantization top-k with exact re-rank — the 1-bit end of the
+    * quantization spectrum (full → SQ8 → PQ → this): candidates rank by
+    * NEGATIVE hamming distance between sign-bit vectors (pure integer
+    * arithmetic — the s08 oracle stance), exact cosine orders the final
+    * top-k. One bit per dimension is the coarsest signal, so the default
+    * re-rank pool is deeper than SQ8's.
+    */
+  def bqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+             mu: Array[Double], rerank: Int = 128,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      bqBits(col(vecCol), mu).as("bits"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
+      bqBits(col(vecCol), mu).as("qbits"))
+    val approx = v.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("s",
+        -aggregate(zip_with(col("bits"), col("qbits"),
+          (a, b) => when(a =!= b, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).cast("double"))
+    rerankExact(approx, k, rerank)
+  }
+
   // ---- MaxSim: multi-vector late interaction ----
 
   /** ColBERT-style late-interaction scoring: documents and queries are

@@ -1133,6 +1133,21 @@ object LlmQueries {
           .orderBy(col("query_id"), col("rank"))
       }, None, Some(dir => s08Sql(dir))),
 
+    // Binary quantization ANN — the 1-bit end of the quantization
+    // spectrum (full / SQ8 / PQ / sign bits): per-dim mean thresholds
+    // (one aggregate, captured as literals), candidates by negative
+    // hamming on the sign-bit vectors — pure integer arithmetic, so the
+    // composed oracle is plain SQL SUMs — and a deep exact-cosine
+    // re-rank (1 bit/dim is the coarsest signal).
+    "s11_binary_topk" -> QuerySpec(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val mu = Similarity.fitBqThresholds(e)
+        s11ThresholdsByDir(dir) = mu
+        Similarity.bqTopK(e, e.filter(col("vec_id") < 5), k = 10, mu)
+          .orderBy(col("query_id"), col("rank"))
+      }, None, Some(dir => s11Sql(dir))),
+
     // Multi-vector late interaction (ColBERT MaxSim): vectors grouped 8
     // per "document", score = Σ over query tokens of the best cosine in
     // the candidate doc. Per-pair maxes quantize to integer micro-units
@@ -1855,6 +1870,8 @@ object LlmQueries {
     String, (Array[Array[Double]], Array[Double], Array[Double])]()
   private val l29MergesByDir = scala.collection.concurrent.TrieMap[
     String, Seq[(String, String)]]()
+  private val s11ThresholdsByDir = scala.collection.concurrent.TrieMap[
+    String, Array[Double]]()
   private val s06CapturesByDir = scala.collection.concurrent.TrieMap[
     String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
 
@@ -2030,6 +2047,44 @@ object LlmQueries {
        |  SELECT query_id, neighbor_id, row_number() OVER (
        |    PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
        |  FROM approx) WHERE rn <= 64),
+       |st AS (SELECT cd.query_id, cd.neighbor_id, $cosineCase AS c
+       |  FROM cand cd
+       |  JOIN base v ON v.vec_id = cd.neighbor_id
+       |  JOIN base q ON q.vec_id = cd.query_id),
+       |r AS (SELECT query_id, neighbor_id, c,
+       |  row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY c DESC, neighbor_id) AS rank FROM st)
+       |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** s11 oracle: binary quantization re-derived from the captured
+    * per-dimension mean thresholds — sign bits, unordered integer
+    * hamming SUM (negated for the DESC candidate cut, ties to the
+    * smaller neighbor_id per rerankExact), top-128 pool, exact-cosine
+    * final rank.
+    */
+  private def s11Sql(dir: String): String = {
+    val mu = s11ThresholdsByDir.getOrElse(dir,
+      sys.error(s"s11 never ran for $dir — no thresholds captured"))
+    val muVals = mu.indices
+      .map(i => s"(${i + 1}, ${mu(i)}::DOUBLE)").mkString(", ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |mu(pos, m) AS (VALUES $muVals),
+       |xs AS (SELECT vec_id, generate_subscripts(e, 1) AS pos,
+       |    unnest(e) AS x FROM base),
+       |bits AS (SELECT vec_id, pos, (x > m) AS bit
+       |  FROM xs JOIN mu USING (pos)),
+       |approx AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |    -SUM(CASE WHEN v.bit <> q.bit THEN 1 ELSE 0 END) AS s
+       |  FROM bits v JOIN bits q
+       |    ON v.pos = q.pos AND v.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 5
+       |  GROUP BY q.vec_id, v.vec_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+       |  FROM approx) WHERE rn <= 128),
        |st AS (SELECT cd.query_id, cd.neighbor_id, $cosineCase AS c
        |  FROM cand cd
        |  JOIN base v ON v.vec_id = cd.neighbor_id

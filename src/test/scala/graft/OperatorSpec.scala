@@ -273,6 +273,12 @@ class OperatorSpec extends AnyFunSuite {
     val ivfSqRecall = ivfSq.intersect(exact).size.toDouble / exact.size
     info(s"IVF-SQ8 recall=$ivfSqRecall")
     assert(ivfSqRecall >= 0.3, s"IVF-SQ8 recall too low: $ivfSqRecall")
+    // 1-bit codes: the coarsest signal, recovered by the deep re-rank
+    val mu = Similarity.fitBqThresholds(e)
+    val bq = resultSet(Similarity.bqTopK(e, q, 10, mu))
+    val bqRecall = bq.intersect(exact).size.toDouble / exact.size
+    info(s"BQ recall=$bqRecall")
+    assert(bqRecall >= 0.3, s"BQ recall too low: $bqRecall")
   }
 
   test("fuzzy join finds hand-planted edit-distance pairs and equals " +
