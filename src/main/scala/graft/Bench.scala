@@ -107,16 +107,39 @@ object Bench {
     val calMean = (calPre + calPost) / 2.0
     val cal = f""""calibration_sec":$calMean%.4f,"calibration_pre_sec":$calPre%.4f,"calibration_post_sec":$calPost%.4f"""
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runsPer,"aggregation":"median",$cal,"errors":$errs,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
-    // Compact summary printed LAST: a consumer that keeps only the tail of
-    // stdout (or of the long line above) must still see MEDIANS — r3/r4
-    // artifacts captured only the trailing `spread` map and medians were
-    // misread as spreads. Medians are rounded to 4dp to keep this line
-    // well under typical tail-capture budgets (~1.4 KB for 62 entries).
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runsPer,"aggregation":"median",$cal,"errors":$errs,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}"""
+    println(fullLine)
+    // Compact summary: a consumer that keeps only the tail of stdout (or
+    // of the long line above) must still see MEDIANS — r3/r4 artifacts
+    // captured only the trailing `spread` map and medians were misread as
+    // spreads. Medians are rounded to 4dp to keep this line small.
     val maxMedian = results.map(_._2).maxOption.getOrElse(0.0)
     val qs4 = results.map { case (k, m, _, _) =>
       "\"" + k + "\":" + f"$m%.4f" }.mkString("{", ",", "}")
     println(s"""{"metric":"bench_summary","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},"max_median":${f"$maxMedian%.4f"},"aggregation":"median",$cal,"errors":$errs,"queries":$qs4}""")
+    // The registry outgrew tail-capture: at 94 entries even the 4dp
+    // summary line is ~2.3 KB, and a harness that keeps the last ~1 KB of
+    // stdout truncates the line's HEAD — an unparseable fragment
+    // (BENCH_r07's `parsed: null`). Two-part fix: (a) the FULL artifact
+    // persists to a sidecar file (machine-readable regardless of stdout
+    // policy), and (b) the LAST stdout line is a scalars-only summary —
+    // total, max, calibration band, error names, the 10 slowest medians,
+    // and the sidecar path — sized to survive any plausible tail window
+    // and parse as complete JSON.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
+      "target/bench_artifact.json")
+    try {
+      val p = java.nio.file.Paths.get(sidecar)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p,
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] sidecar write failed: $e") }
+    val errNames = results.collect { case (k, _, _, Some(_)) => k }
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val top10 = results.sortBy(-_._2).take(10).map { case (k, m, _, _) =>
+      "\"" + k + "\":" + f"$m%.4f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"bench_scalars","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},"max_median":${f"$maxMedian%.4f"},"aggregation":"median",$cal,"n_errors":${results.count(_._4.isDefined)},"error_queries":$errNames,"slowest":$top10,"sidecar":"${jstr(sidecar)}","sf":"${jstr(sfDir)}"}""")
     spark.stop()
     // a broken query must not ride a green exit status: the errors map is
     // easy to miss in a 1.4 KB JSON line, rc != 0 is not

@@ -165,6 +165,12 @@ object Gif {
     }
     def u16(): Int = { val lo = u8(); lo | (u8() << 8) }
     val sw = u16(); val sh = u16()
+    // Png.decode's dims stance: bound the canvas BEFORE any allocation —
+    // a malformed 0xffff×0xffff header must raise here, not overflow
+    // `sw * sh * 3` into a NegativeArraySizeException or a multi-GB
+    // allocation attempt below.
+    if (sw <= 0 || sh <= 0 || sw.toLong * sh * 3 > Int.MaxValue - 64)
+      fail(s"unreasonable screen ${sw}x$sh")
     val lsdFlags = u8()
     u8(); u8() // background index, aspect ratio
     val global: Array[Int] =

@@ -204,6 +204,36 @@ object PipelineQueries {
     run
   }
 
+  /** Lossless-modulo-sentinel CSV round trip (the p15 leg, shared with
+    * PipelineSpec's adversarial-content test). CSV has no native null,
+    * so null and "" both serialize to the writer defaults' "" — an
+    * explicit `\N` null sentinel (never quoted ⇒ distinguishable from
+    * the quoted empty string under quoteAll) keeps null ≠ "" through
+    * the trip; `multiLine` on read reassembles quoted embedded
+    * newlines. The one residual collision is a LITERAL `\N` string
+    * value — the standard sentinel trade-off (PostgreSQL COPY uses the
+    * same token), documented here rather than hidden behind a fixture
+    * invariant.
+    */
+  private[graft] def csvWriteLossless(df: org.apache.spark.sql.DataFrame,
+                                      path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true")
+      .option("nullValue", "\\N").option("emptyValue", "\"\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
+
+  private[graft] def csvReadLossless(s: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      path: String): org.apache.spark.sql.DataFrame =
+    s.read.schema(schema)
+      .option("header", "true").option("multiLine", "true")
+      .option("nullValue", "\\N").option("emptyValue", "")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
+
   /** Shared by the p13 registry entry (row counts → oracle hash) and
     * PipelineSpec's retrying bound check (ratio/heap → assertion). Both
     * worlds materialize BEFORE any probe: generation (driver sim +
@@ -454,14 +484,15 @@ object PipelineQueries {
       }, None, Some(dir => p06Sql(dir))),
 
     // Source/sink FORMAT breadth: the documents frame round-tripped
-    // through every columnar/text format Spark ships (parquet, ORC,
-    // JSON-lines, CSV with full quoting) — write, read back with an
-    // explicit schema, and hash-compare content via an order-independent
-    // sum of row hashes. CSV/JSON are the interchange formats a real
-    // corpus pipeline ingests from; ORC/parquet the columnar store-outs.
-    // content_ok = TRUE is the falsifiable part: a quoting bug, a
-    // null-vs-empty drift, or a schema-coercion change flips it and the
-    // oracle hash-mismatches.
+    // through every columnar/text/row format Spark ships (parquet, ORC,
+    // Avro, JSON-lines, CSV with full quoting + null sentinel) — write,
+    // read back with an explicit schema, and hash-compare content via an
+    // order-independent sum of row hashes. CSV/JSON are the interchange
+    // formats a real corpus pipeline ingests from; Avro the
+    // row-oriented ingestion/log format (bundled in spark-sql since
+    // Spark 4); ORC/parquet the columnar store-outs. content_ok = TRUE
+    // is the falsifiable part: a quoting bug, a null-vs-empty drift, or
+    // a schema-coercion change flips it and the oracle hash-mismatches.
     "p15_format_roundtrip" -> QuerySpec(
       (s, dir) => {
         import s.implicits._
@@ -477,19 +508,24 @@ object PipelineQueries {
         val want = digest(docs)
         val base = java.nio.file.Files
           .createTempDirectory("graft-formats-q").toString
-        val rows = Seq("csv", "json", "orc", "parquet").map { fmt =>
+        // the sandbox's spark-sql bundles the complete Avro v1 FileFormat
+        // classes but not the META-INF DataSourceRegister entry, so the
+        // "avro" alias doesn't resolve — the fully-qualified FileFormat
+        // class does, and is the same code the alias would dispatch to
+        val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+        val rows = Seq("avro", "csv", "json", "orc", "parquet").map { fmt =>
           val path = s"$base/$fmt"
           fmt match {
-            case "csv" => docs.write.mode("overwrite")
-              .option("header", "true").option("quoteAll", "true")
-              .csv(path)
+            case "avro" => docs.write.mode("overwrite")
+              .format(avroFmt).save(path)
+            case "csv" => csvWriteLossless(docs, path)
             case "json" => docs.write.mode("overwrite").json(path)
             case "orc" => docs.write.mode("overwrite").orc(path)
             case _ => docs.write.mode("overwrite").parquet(path)
           }
           val back = fmt match {
-            case "csv" => s.read.schema(docs.schema)
-              .option("header", "true").csv(path)
+            case "avro" => s.read.format(avroFmt).load(path)
+            case "csv" => csvReadLossless(s, docs.schema, path)
             case "json" => s.read.schema(docs.schema).json(path)
             case "orc" => s.read.orc(path)
             case _ => s.read.parquet(path)
@@ -503,7 +539,8 @@ object PipelineQueries {
       },
       Some("""WITH n AS (SELECT COUNT(*) AS c FROM documents)
              |SELECT f.fmt AS format, n.c AS n_rows, TRUE AS content_ok
-             |FROM (VALUES ('csv'), ('json'), ('orc'), ('parquet')) f(fmt)
+             |FROM (VALUES ('avro'), ('csv'), ('json'), ('orc'),
+             |      ('parquet')) f(fmt)
              |CROSS JOIN n ORDER BY format""".stripMargin)),
 
     // Batch as-of join: the flagship lookup as a set operation (one pass

@@ -176,11 +176,16 @@ object StreamingQueries {
             count(lit(1)).as("n"))
         def rankOk(ap: org.apache.spark.sql.Column, pct: Double) = {
           // valid ranks of ap span (cntLt, cntLe]; the GK guarantee
-          // holds iff that interval intersects [pct·n − εn, pct·n + εn]
+          // holds iff that interval intersects [pct·n − εn, pct·n + εn]:
+          // some valid rank ≥ the lower bound (cntLe ≥ ⌈(p−ε)n⌉) AND
+          // some valid rank ≤ the upper bound — the smallest valid rank
+          // is cntLt + 1, so the conjunct is the STRICT cntLt < ⌊(p+ε)n⌋
+          // (a non-strict ≤ would pass when cntLt equals the bound even
+          // though no valid rank lies inside the window)
           val cntLt = sum(when(col("value") < ap, 1L).otherwise(0L))
           val cntLe = sum(when(col("value") <= ap, 1L).otherwise(0L))
           (cntLe >= ceil((lit(pct) - eps) * col("n").cast("double")) &&
-            cntLt <= floor((lit(pct) + eps) * col("n").cast("double")))
+            cntLt < floor((lit(pct) + eps) * col("n").cast("double")))
         }
         ev.join(broadcast(approx), Seq("event_type"))
           .groupBy(col("event_type"), col("n"))

@@ -945,4 +945,38 @@ class PipelineSpec extends AnyFunSuite {
     val first = attempts.head
     assert(first.rows1 > 0 && first.rows10 > first.rows1)
   }
+
+  test("p15 CSV leg is lossless on nulls, empties, newlines, quotes") {
+    // the adversarial contents ADVICE r7 flagged as latent in the p15
+    // documents fixture: null vs empty string, embedded newlines (and
+    // CRLF), quotes, commas, leading/trailing whitespace, unicode —
+    // all must survive the csvWriteLossless/csvReadLossless pair
+    // byte-for-byte (the literal `\N` sentinel is the one documented
+    // non-goal)
+    import spark.implicits._
+    val tricky = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, ""),
+      (3L, "plain"),
+      (4L, "embedded\nnewline"),
+      (5L, "crlf\r\nline"),
+      (6L, "quote\"comma,semi;"),
+      (7L, "  padded  "),
+      (8L, "ünïcødé — πλ"),
+      (9L, "trailing newline\n"),
+      (10L, "\ttab\tseparated\t")
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-csv-lossless").toString
+    graft.queries.PipelineQueries.csvWriteLossless(tricky, s"$dir/csv")
+    val back = graft.queries.PipelineQueries
+      .csvReadLossless(spark, tricky.schema, s"$dir/csv")
+    val wantRows = tricky.collect().map(r => (r.getLong(0), r.getString(1)))
+      .toMap
+    val gotRows = back.collect().map(r => (r.getLong(0), r.getString(1)))
+      .toMap
+    assert(gotRows.keySet == wantRows.keySet)
+    for ((id, want) <- wantRows)
+      assert(gotRows(id) == want, s"doc $id: ${gotRows(id)} != $want")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
