@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.Bridge
@@ -59,6 +59,123 @@ object VectorExpressions {
     out
   }
 
+  /** Sign bits of `v` against per-dimension thresholds, PACKED 64 per
+    * long (bit d of word d>>>6) — the binary-quantization storage layout:
+    * 8 bytes per 512 dims instead of 64 boolean array slots. Semantics
+    * identical to the boolean `zip_with(v, mu, x > m)` form (asserted in
+    * OperatorSpec); only the layout and the per-row cost change.
+    */
+  def bqPack(v: ArrayData, mu: Array[Double], floats: Boolean): ArrayData = {
+    val n = mu.length
+    if (v.numElements() != n)
+      throw new IllegalArgumentException(
+        s"bq_pack_bits: expected $n-dim vector, got ${v.numElements()}")
+    val words = new Array[Long]((n + 63) >>> 6)
+    var i = 0
+    while (i < n) {
+      val x = if (floats) v.getFloat(i).toDouble else v.getDouble(i)
+      if (x > mu(i)) words(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(words)
+  }
+
+  /** Hamming distance between two packed sign-bit vectors: Σ popcount of
+    * the per-word XOR — one Long.bitCount per 64 dimensions, vs 64
+    * boolean compares in the interpreted `zip_with` form it replaces.
+    */
+  def hammingPacked(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"hamming_packed: word counts differ: $n vs ${b.numElements()}")
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    s
+  }
+
+  /** PQ code assignment — the codegen form of the per-subspace argmax
+    * (2·v_sub·c − ‖c‖², ties to the HIGHER codeword id): one fused
+    * m×k×subLen loop per row instead of an interpreted HOF tree
+    * re-sorting k structs per subspace. Arithmetic order matches the
+    * column form exactly: ascending-index double dots, ‖c‖² accumulated
+    * ascending driver-side, score = dot·2 − c2 — so codes are
+    * bit-identical (and the DuckDB oracle re-derives them
+    * independently either way).
+    */
+  def pqAssign(v: ArrayData, books: Array[Array[Array[Double]]],
+               c2: Array[Array[Double]], floats: Boolean): ArrayData = {
+    val m = books.length
+    val subLen = books(0)(0).length
+    if (v.numElements() != m * subLen)
+      throw new IllegalArgumentException(
+        s"pq_codes: expected ${m * subLen}-dim vector, got ${v.numElements()}")
+    val out = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      val cws = books(sub)
+      val off = sub * subLen
+      var best = Double.NegativeInfinity
+      var bestCw = 0
+      var j = 0
+      while (j < cws.length) {
+        val c = cws(j)
+        var dot = 0.0
+        var i = 0
+        while (i < subLen) {
+          dot += (if (floats) v.getFloat(off + i).toDouble
+                  else v.getDouble(off + i)) * c(i)
+          i += 1
+        }
+        val s = dot * 2.0 - c2(sub)(j)
+        if (s >= best) { best = s; bestCw = j } // >= : ties to higher cw
+        j += 1
+      }
+      out(sub) = bestCw
+      sub += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** ADC sum — codegen form of Σ_sub tables(sub)(codes(sub)), the
+    * per-candidate-pair kernel: m array lookups accumulated in subspace
+    * order (left-to-right, same as the interpreted aggregate it
+    * replaces).
+    */
+  def adcSum(codes: ArrayData, tables: ArrayData): Double = {
+    val m = codes.numElements()
+    if (tables.numElements() != m)
+      throw new IllegalArgumentException(
+        s"adc_score: $m codes vs ${tables.numElements()} tables")
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      s += tables.getArray(i).getDouble(codes.getInt(i))
+      i += 1
+    }
+    s
+  }
+
+  def pq_codes(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqCodesExpr(Bridge.expression(vec), books))
+
+  def adc_score(codes: Column, tables: Column): Column =
+    Bridge.column(
+      AdcScoreExpr(Bridge.expression(codes), Bridge.expression(tables)))
+
+  def bq_pack_bits(vec: Column, mu: Array[Double]): Column =
+    Bridge.column(BqPackBitsExpr(Bridge.expression(vec), mu))
+
+  def hamming_packed(a: Column, b: Column): Column =
+    Bridge.column(
+      HammingPackedExpr(Bridge.expression(a), Bridge.expression(b)))
+
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
 
@@ -105,6 +222,169 @@ case class CosineSimExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): CosineSimExpr = copy(left = l, right = r)
+}
+
+/** pq_codes(vec): per-subspace PQ codeword assignment against plan-time
+  * codebooks (the fitted training product — codegen reference objects,
+  * not per-row plan work).
+  */
+case class PqCodesExpr(child: Expression,
+                       books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (books == null || books.isEmpty || books.exists(_.isEmpty))
+      TypeCheckResult.TypeCheckFailure("pq_codes needs codebooks")
+    else if (elemOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_codes needs array<float>|array<double>, got ${child.dataType}")
+
+  private def floats: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  // ‖c‖² per codeword, accumulated ascending — identical to the column
+  // form's driver-side c.map(x => x*x).sum
+  @transient private lazy val c2: Array[Array[Double]] =
+    books.map(_.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    })
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorExpressions.pqAssign(v.asInstanceOf[ArrayData], books, c2, floats)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+    val c2Ref = ctx.addReferenceObj("pqC2", c2, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.VectorExpressions" +
+        s".pqAssign($c, $booksRef, $c2Ref, $floats);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqCodesExpr =
+    copy(child = c)
+}
+
+/** adc_score(codes, tables): the per-candidate ADC kernel. */
+case class AdcScoreExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"adc_score needs (array<int>, array<array<double>>), got $l/$r")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_score"
+
+  override def nullSafeEval(codes: Any, tables: Any): Any =
+    VectorExpressions.adcSum(codes.asInstanceOf[ArrayData],
+      tables.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.VectorExpressions" +
+        s".adcSum($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): AdcScoreExpr =
+    copy(left = l, right = r)
+}
+
+/** bq_pack_bits(vec): packed sign-bit vector against plan-time
+  * per-dimension thresholds (the fitted BQ "training" product — plan
+  * metadata like the centroid/codebook literals, entering codegen as one
+  * reference object, not per-row work).
+  */
+case class BqPackBitsExpr(child: Expression, mu: Array[Double])
+    extends UnaryExpression {
+
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (mu == null || mu.isEmpty)
+      TypeCheckResult.TypeCheckFailure("bq_pack_bits needs thresholds")
+    else if (elemOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bq_pack_bits needs array<float>|array<double>, got ${child.dataType}")
+
+  private def floats: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bq_pack_bits"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorExpressions.bqPack(v.asInstanceOf[ArrayData], mu, floats)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val muRef = ctx.addReferenceObj("bqMu", mu, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.VectorExpressions" +
+        s".bqPack($c, $muRef, $floats);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BqPackBitsExpr =
+    copy(child = c)
+}
+
+/** hamming_packed(a, b): XOR+popcount hamming distance over packed
+  * sign-bit vectors — the BQ candidate kernel.
+  */
+case class HammingPackedExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def longArr(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (longArr(left.dataType) && longArr(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hamming_packed needs two array<bigint>, got " +
+        s"${left.dataType}/${right.dataType}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hamming_packed"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorExpressions.hammingPacked(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.VectorExpressions" +
+        s".hammingPacked($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): HammingPackedExpr =
+    copy(left = l, right = r)
 }
 
 case class Uint256Expr(left: Expression, right: Expression, sub: Boolean)

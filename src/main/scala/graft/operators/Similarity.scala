@@ -467,6 +467,20 @@ object Similarity {
   private[graft] def pqCodes(vec: Column,
       books: Array[Array[Array[Double]]]): Column = {
     require(books.nonEmpty && books.head.nonEmpty, "empty codebooks")
+    graft.functions.expressions.VectorExpressions.pq_codes(vec, books)
+  }
+
+  /** The interpreted column-function REFERENCE form of [[pqCodes]] (the
+    * [[dot]]/[[lshBucket]]/[[bqBits]] convention): identical argmax
+    * arithmetic and tie order, but k structs sorted per subspace through
+    * HOF nodes — CodegenFallback, measured ~4× the whole-query wall of
+    * the fused [[graft.functions.expressions.PqCodesExpr]] kernel on the
+    * s13 10× corpus. Kept for OperatorSpec to assert the promotion
+    * changed nothing.
+    */
+  private[graft] def pqCodesColumnForm(vec: Column,
+      books: Array[Array[Array[Double]]]): Column = {
+    require(books.nonEmpty && books.head.nonEmpty, "empty codebooks")
     val subLen = books.head.head.length
     guardDims(vec, books.length * subLen,
       array(books.zipWithIndex.map { case (cws, sub) =>
@@ -506,8 +520,15 @@ object Similarity {
   /** Asymmetric distance computation: Σ_sub tables(sub)(codes(sub)) —
     * M table lookups per candidate pair instead of a d-component dot,
     * accumulated left-to-right in subspace order (bit-reproducible).
+    * The PER-PAIR hot kernel, so it runs as the fused codegen
+    * [[graft.functions.expressions.AdcScoreExpr]] rather than an
+    * interpreted HOF ([[adcScoreColumnForm]] kept as the reference).
     */
   private def adcScore(codes: Column, tables: Column): Column =
+    graft.functions.expressions.VectorExpressions.adc_score(codes, tables)
+
+  private[graft] def adcScoreColumnForm(codes: Column,
+                                        tables: Column): Column =
     aggregate(zip_with(codes, tables, (c, t) => element_at(t, c + 1)),
       lit(0.0d), (a, x) => a + x)
 
@@ -733,11 +754,11 @@ object Similarity {
     rows.map(_.getDouble(1))
   }
 
-  /** Sign bits against the per-dimension thresholds. Kept as a boolean
-    * array rather than packed words: semantically identical, and the
-    * hamming sum stays plain integer arithmetic the oracle mirrors with
-    * an unordered SUM; a production deployment would pack 64 bits per
-    * long (8 bytes per 512 dims) — the layout, not the semantics.
+  /** Sign bits against the per-dimension thresholds as a BOOLEAN array —
+    * the column-function REFERENCE implementation (the [[dot]] /
+    * [[lshBucket]] convention): semantically the unpacked form of
+    * [[bqPackedBits]], kept for tests to assert the packed layout
+    * changes nothing.
     */
   private[graft] def bqBits(vec: Column, mu: Array[Double]): Column = {
     require(mu.nonEmpty, "bqBits: empty thresholds")
@@ -746,26 +767,72 @@ object Similarity {
       zip_with(vec, muL, (x, m) => x.cast("double") > m))
   }
 
+  /** Production sign-bit layout: 64 bits per long via the codegen
+    * [[graft.functions.expressions.VectorExpressions.bq_pack_bits]]
+    * expression (8 bytes per 512 dims; thresholds enter codegen as ONE
+    * reference object). Dimension mismatches raise inside the kernel
+    * (the [[guardDims]] stance).
+    */
+  private[graft] def bqPackedBits(vec: Column, mu: Array[Double]): Column =
+    graft.functions.expressions.VectorExpressions.bq_pack_bits(vec, mu)
+
   /** Binary-quantization top-k with exact re-rank — the 1-bit end of the
     * quantization spectrum (full → SQ8 → PQ → this): candidates rank by
     * NEGATIVE hamming distance between sign-bit vectors (pure integer
     * arithmetic — the s08 oracle stance), exact cosine orders the final
     * top-k. One bit per dimension is the coarsest signal, so the default
-    * re-rank pool is deeper than SQ8's.
+    * re-rank pool is deeper than SQ8's. The scan carries PACKED words
+    * and the hamming sum is one XOR+popcount per 64 dims
+    * ([[bqPackedBits]] — r7 ran an interpreted per-dimension `zip_with`,
+    * ~64× the ALU work for the same integer distances; the oracle's
+    * per-dimension SUM re-derives the identical numbers either way).
     */
   def bqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
              mu: Array[Double], rerank: Int = 128,
              idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
-      bqBits(col(vecCol), mu).as("bits"))
+      bqPackedBits(col(vecCol), mu).as("bits"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
-      bqBits(col(vecCol), mu).as("qbits"))
+      bqPackedBits(col(vecCol), mu).as("qbits"))
     val approx = v.join(broadcast(q), col("id") =!= col("query_id"))
       .withColumn("s",
-        -aggregate(zip_with(col("bits"), col("qbits"),
-          (a, b) => when(a =!= b, 1L).otherwise(0L)),
-          lit(0L), (acc, x) => acc + x).cast("double"))
+        -graft.functions.expressions.VectorExpressions
+          .hamming_packed(col("bits"), col("qbits")).cast("double"))
+    rerankExact(approx, k, rerank)
+  }
+
+  /** IVF-BQ: coarse cell equi-join + packed-bit hamming + deep exact
+    * re-rank — the composition a billion-vector 1-bit deployment ships
+    * ([[ivfSqTopK]]'s layout with sign bits on the scan side): trained
+    * cells prune the PAIR space, the 1-bit codes prune the
+    * bytes-per-pair to 8 per 512 dims, and the candidate arithmetic
+    * stays pure integer so the composed oracle re-derives cell
+    * assignment + per-dimension bit disagreement + exact re-rank with
+    * plain SQL (no explicit-order sums). r7 shipped the flat scan
+    * ([[bqTopK]]) only — linear per query by design; this prunes the
+    * corpus side too.
+    */
+  def ivfBqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                centroids: Array[Array[Double]], mu: Array[Double],
+                nProbe: Int = 4, rerank: Int = 128,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val centroidScores = literalCellScores(centroids)
+    def topCells(vec: Column, nn: Int): Column =
+      transform(slice(reverse(array_sort(centroidScores(vec))), 1, nn),
+        s => s.getField("cell"))
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      bqPackedBits(col(vecCol), mu).as("bits"),
+      element_at(topCells(col(vecCol), 1), 1).as("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
+      bqPackedBits(col(vecCol), mu).as("qbits"),
+      explode(topCells(col(vecCol), nProbe)).as("cell"))
+    val approx = v.join(q, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("s",
+        -graft.functions.expressions.VectorExpressions
+          .hamming_packed(col("bits"), col("qbits")).cast("double"))
     rerankExact(approx, k, rerank)
   }
 

@@ -279,6 +279,63 @@ class OperatorSpec extends AnyFunSuite {
     val bqRecall = bq.intersect(exact).size.toDouble / exact.size
     info(s"BQ recall=$bqRecall")
     assert(bqRecall >= 0.3, s"BQ recall too low: $bqRecall")
+    // composed IVF-BQ: cell pruning over sign bits — must hold recall
+    // near the other composed layouts' floor
+    val ivfBq = resultSet(Similarity.ivfBqTopK(e, q, 10, cents, mu))
+    val ivfBqRecall = ivfBq.intersect(exact).size.toDouble / exact.size
+    info(s"IVF-BQ recall=$ivfBqRecall")
+    assert(ivfBqRecall >= 0.25, s"IVF-BQ recall too low: $ivfBqRecall")
+  }
+
+  test("packed sign bits equal the boolean reference form bit for bit " +
+      "and the popcount hamming equals the per-dimension count") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val mu = Similarity.fitBqThresholds(e)
+    // unpack the packed words and compare against the boolean form
+    val both = e.select(col("vec_id"),
+      Similarity.bqBits(col("embedding"), mu).as("bools"),
+      Similarity.bqPackedBits(col("embedding"), mu).as("words"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val bools = r.getSeq[Boolean](1)
+      val words = r.getSeq[Long](2)
+      assert(words.length == (mu.length + 63) / 64)
+      bools.zipWithIndex.foreach { case (b, i) =>
+        val bit = (words(i >>> 6) >>> (i & 63)) & 1L
+        assert((bit == 1L) == b, s"vec ${r.getLong(0)} bit $i: " +
+          s"packed=$bit boolean=$b")
+      }
+    }
+    // hamming: packed XOR+popcount vs naive per-dimension disagreement
+    val rows = both.map(r => (r.getLong(0), r.getSeq[Boolean](1),
+      r.getSeq[Long](2))).take(20)
+    for ((ia, ba, wa) <- rows; (ib, bb, wb) <- rows if ia < ib) {
+      val naive = ba.zip(bb).count { case (x, y) => x != y }.toLong
+      val packed = wa.zip(wb)
+        .map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+      assert(naive == packed, s"hamming($ia,$ib): $naive vs $packed")
+    }
+    // the in-plan kernel agrees with the driver-side recomputation
+    val pair = e.filter(col("vec_id") < 2)
+      .select(Similarity.bqPackedBits(col("embedding"), mu).as("w"))
+      .collect().map(_.getSeq[Long](0))
+    val kernel = e.filter(col("vec_id") === 0)
+      .crossJoin(e.filter(col("vec_id") === 1).select(
+        col("embedding").as("e2")))
+      .select(graft.functions.expressions.VectorExpressions.hamming_packed(
+        Similarity.bqPackedBits(col("embedding"), mu),
+        Similarity.bqPackedBits(col("e2"), mu)).as("h"))
+      .collect().head.getLong(0)
+    val expected = pair(0).zip(pair(1))
+      .map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+    assert(kernel == expected, s"kernel $kernel vs $expected")
+    // dimension mismatch raises (the guardDims stance), not mis-buckets
+    val badErr = intercept[Exception] {
+      Seq((0L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+        .select(Similarity.bqPackedBits(col("embedding"), mu)).collect()
+    }
+    assert(badErr.getMessage != null)
   }
 
   test("fuzzy join finds hand-planted edit-distance pairs and equals " +
@@ -333,6 +390,52 @@ class OperatorSpec extends AnyFunSuite {
     } yield (ia, ib, d)).toSet
     assert(fuzzy == brute,
       s"prefilter lost pairs: missing=${brute -- fuzzy} extra=${fuzzy -- brute}")
+  }
+
+  test("banded fuzzy dispatch: a long outlier no longer flips the short " +
+      "mass off the deletion path, and boundary pairs survive the split") {
+    // short mass (24-char small-vocabulary titles — the gram path's
+    // worst case) + ONE 120-char outlier pair: the r7 corpus-max
+    // dispatch would have routed EVERYTHING through grams
+    val longA = "the quick brown fox jumps over the lazy dog again and " +
+      "again until the corpus statistics finally notice it is long"
+    val longB = longA.updated(10, 'x') // distance 1 partner
+    val shorts = Seq(
+      (1L, "alpha beta gamma delta x"), (2L, "alpha beta gamma delta y"),
+      (3L, "epsilon zeta eta theta z"), (4L, "completely different one"))
+    val rel = (shorts ++ Seq((50L, longA), (51L, longB)))
+      .toDF("doc_id", "title")
+    val auto = Dedup.fuzzyJoinAuto(rel, k = 2)
+    // plan shape: the deletion-variant kernel is IN the plan (the short
+    // band kept its path) AND the gram prefix machinery is too (the
+    // outlier routes through grams) — r7's dispatch had exactly one
+    val plan = auto.queryExecution.analyzed.toString
+    assert(plan.contains("deletionvariants") ||
+      plan.toLowerCase.contains("deletion_variants"),
+      s"short band lost the deletion path:\n${plan.take(800)}")
+    assert(plan.contains("row_number"), // the gram path's prefix window
+      s"long band lost the gram path:\n${plan.take(800)}")
+    val got = auto.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // cross-check vs both single-path answers on the same relation
+    assert(got == Set((1L, 2L, 1), (50L, 51L, 1)), s"got $got")
+    // boundary coverage: a pair STRADDLING maxDeletionLen (lengths 47
+    // and 49 around the default 48) must be found — it can only come
+    // from the long band's k-early opening
+    val l47 = "a" * 46 + "b"
+    val l49 = "a" * 46 + "bdd" // two insertions: lev(l47, l49) = 2 ≤ k
+    val straddle = Seq((60L, l47), (61L, l49)).toDF("doc_id", "title")
+    val gotS = Dedup.fuzzyJoinAuto(straddle, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotS == Set((60L, 61L, 2)), s"straddle pair lost: $gotS")
+    // overlap pairs (both strings inside the k-wide overlap) emit from
+    // BOTH paths — the output distinct must collapse them to one row
+    val l47b = "a" * 45 + "bb"
+    val overlap = Seq((70L, l47), (71L, l47b)).toDF("doc_id", "title")
+    val gotO = Dedup.fuzzyJoinAuto(overlap, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(gotO.length == gotO.distinct.length && gotO.nonEmpty,
+      s"overlap pair duplicated or lost: ${gotO.toSeq}")
   }
 
   test("temperature mix computes hand-checkable sqrt-sampling quotas") {
@@ -419,6 +522,24 @@ class OperatorSpec extends AnyFunSuite {
       c.forall(j => j >= 0 && j < books.head.length)))
     // codes discriminate: at least half the codeword space is in use
     assert(codes.flatten.distinct.size >= books.head.length / 2)
+    // the fused codegen assignment kernel equals the interpreted HOF
+    // reference form on EVERY row (same dots, same ties), and the fused
+    // ADC kernel equals the interpreted aggregate on every (v, q) pair
+    val codeDiff = e.select(
+        Similarity.pqCodes(col("embedding"), books).as("a"),
+        Similarity.pqCodesColumnForm(col("embedding"), books).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(codeDiff == 0L, s"$codeDiff rows assign different PQ codes")
+    val adcDiff = e.limit(30).select(
+        Similarity.pqCodes(col("embedding"), books).as("codes"))
+      .crossJoin(e.limit(5).select(
+        Similarity.pqQueryTables(col("embedding"), books).as("tabs")))
+      .select(
+        graft.functions.expressions.VectorExpressions
+          .adc_score(col("codes"), col("tabs")).as("a"),
+        Similarity.adcScoreColumnForm(col("codes"), col("tabs")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(adcDiff == 0L, s"$adcDiff pairs score different ADC sums")
   }
 
   test("literal-plane buckets equal the in-plan xxhash64 reference " +
@@ -906,6 +1027,27 @@ class OperatorSpec extends AnyFunSuite {
     val first = attempts.head
     // planted design: n/10 pairs at 1x, n pairs at 10x
     assert(first.rows1 == 15L && first.rows10 == 150L)
+  }
+
+  test("s13 quantized-ANN scale bounds: 10x vectors stays linear-ish " +
+      "for the PQ-ADC and packed-BQ query paths with flat driver heap") {
+    // the s13 registry entry oracle-hashes only the design-exact counts;
+    // the environment-dependent ratio/heap BOUNDS live here with retries
+    // (the l21/p13 split). Both paths are O(N·Q) flat scans BY DESIGN —
+    // what they prune is bytes-per-pair — so 10x vectors must cost
+    // ~10x, never the ~100x a pair-space blowup would show.
+    val attempts = LazyList.continually(
+      graft.queries.LlmQueries.measureAnnScaleStress(spark, "spec"))
+      .take(3)
+    assert(attempts.exists { case (pq, bq) =>
+      pq.subquadratic && pq.driverHeapFlat &&
+        bq.subquadratic && bq.driverHeapFlat },
+      "PQ or BQ ratio >= 35x or driver heap grew >= 512MB on all 3 tries")
+    val (pq1, bq1) = attempts.head
+    // top-k caps the output at k·|Q| = 480 rows at BOTH scales by design
+    assert(pq1.rows1 == 480L && pq1.rows10 == 480L &&
+      bq1.rows1 == 480L && bq1.rows10 == 480L,
+      s"rows: pq=${(pq1.rows1, pq1.rows10)} bq=${(bq1.rows1, bq1.rows10)}")
   }
 
   test("SQ8 query-path scale bounds: 10x vectors stays linear-ish") {
