@@ -287,6 +287,124 @@ object Dedup {
       }
   }
 
+  /** [[streamingCandidatePairs]] under a TIME-BOUNDED state contract —
+    * the production knob the unbounded variants deliberately lack.
+    *
+    * The two contracts, explicitly:
+    *
+    *  - **Exact-global** ([[streamingCandidatePairs]],
+    *    [[streamingCandidatePairsDistinct]], and the `dropDuplicates`
+    *    exact-dedup streams): every near-dup pair across the ENTIRE
+    *    stream history is emitted, at the price of state that grows with
+    *    the corpus (one (band, bhash) bucket per distinct signature
+    *    slice; one key per emitted pair). Right when the stream is a
+    *    bounded backfill (AvailableNow over an archive) or when global
+    *    exactness is the product requirement and the state store is
+    *    provisioned for it.
+    *
+    *  - **Windowed** (this): buckets idle past `ttlMs` of EVENT TIME are
+    *    evicted (EventTimeTimeout anchored to the newest event in the
+    *    bucket), so state is bounded by the TTL window's arrival volume.
+    *    The price is recall at the boundary: a pair whose two members
+    *    arrive more than the TTL apart in event time is NOT emitted.
+    *    Right for indefinite ingest where near-dups cluster in time
+    *    (crawl recrawls, wire dupes) — the standard production trade.
+    *
+    * Pair emission within a live bucket follows the exact variant
+    * (first-arrival pairing, capped buckets); eviction differs, and the
+    * output is PAIR-UNIQUE in this ONE stateful stage: each member's
+    * state carries its full band-hash vector, and a colliding pair is
+    * emitted only from its OWNER band — the first band where the two
+    * signatures agree. A second TTL'd pair-dedup stage would need its
+    * own event-time watermark over a stateful operator's output, which
+    * Spark's global-watermark correctness check rejects (chained
+    * watermarked stateful ops can silently drop late rows in general,
+    * even though these emissions never are); the owner-band rule gets
+    * pair-uniqueness without a second state layer at the price of
+    * `numBands` longs per member in bucket state.
+    *
+    * Owner-band + TTL interplay, precisely: a pair whose members arrive
+    * within `ttlMs` of each other is ALWAYS emitted — the owner bucket
+    * still holds the first member (its timeout is at least that
+    * member's event time + TTL). A pair further apart is emitted only
+    * if intervening traffic kept the owner bucket alive — best-effort
+    * by contract. Under an over-cap owner bucket the pair can also be
+    * lost even if a later band would have found it (caps guard
+    * degenerate buckets, where near-dup signal is ~nil — the
+    * [[lshCandidates]] stance).
+    *
+    * Requires an event-time column; `watermarkDelay` bounds late
+    * arrivals exactly as in every watermarked stream.
+    */
+  def streamingCandidatePairsWindowed(docs: DataFrame,
+      eventTimeCol: String, watermarkDelay: String, ttlMs: Long,
+      numHashes: Int = 128, numBands: Int = 32, shingleK: Int = 3,
+      maxBucketSize: Int = 1000, idCol: String = "doc_id",
+      textCol: String = "text"): Dataset[(Long, Long)] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
+    val allBands = transform(
+      lshBands(col("sig"), numBands, numHashes / numBands),
+      s => s.getField("bhash"))
+    val bands = docs.withWatermark(eventTimeCol, watermarkDelay)
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), numHashes, shingleK).as("sig"),
+        col(eventTimeCol).as("ts"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"),
+        explode(lshBands(col("sig"), numBands,
+          numHashes / numBands)).as("b"), col("ts"),
+        allBands.as("bandvec"))
+      .select(col("id"), col("b.band"), col("b.bhash"), col("ts"),
+        col("bandvec"))
+      .as[(Long, Int, Long, java.sql.Timestamp, Seq[Long])]
+    bands.groupByKey { case (_, band, bhash, _, _) => (band, bhash) }
+      .flatMapGroupsWithState[Seq[(Long, Seq[Long])], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((band, _), rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toArray
+            val seen = state.getOption.getOrElse(Seq.empty)
+            val seenSet = seen.iterator.map(_._1).toSet
+            val fresh = batch.filterNot(r => seenSet.contains(r._1))
+              .map(r => (r._1, r._5)).distinctBy(_._1).sortBy(_._1)
+            // first band where the two signatures collide — emitting
+            // only there makes the pair unique across this pair's
+            // buckets without a second stateful stage
+            def ownerBand(a: Seq[Long], b: Seq[Long]): Int = {
+              var i = 0
+              while (i < a.length && a(i) != b(i)) i += 1
+              i
+            }
+            val out = Seq.newBuilder[(Long, Long)]
+            var members = seen
+            var i = 0
+            while (i < fresh.length) {
+              val (id, vec) = fresh(i)
+              if (members.length < maxBucketSize) {
+                members.foreach { case (m, mvec) =>
+                  if (ownerBand(mvec, vec) == band)
+                    out += (if (m < id) (m, id) else (id, m))
+                }
+                members = members :+ ((id, vec))
+              }
+              i += 1
+            }
+            if (members.length != seen.length) state.update(members)
+            // TTL anchored to the bucket's newest event; clamped above
+            // the current watermark (Spark rejects a timeout at or
+            // below it — reachable when a late-but-in-watermark row is
+            // the bucket's only activity)
+            val maxTs = batch.map(_._4.getTime).max
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(maxTs + ttlMs, wm + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Re-attach an existing on-disk signature store (written by
     * [[materializeSignatures]] in a previous session) to this session's
     * catalog: table registrations die with the JVM but the bucketed
@@ -614,26 +732,48 @@ object Dedup {
       .filter(col("dist") <= k)
   }
 
-  /** Length-dispatched fuzzy join: one cheap max-length aggregate picks
-    * the prefilter — the ≤k-deletion neighborhood ([[fuzzyJoinShort]])
-    * while the signature volume O(maxLen^k) stays cheap (its selectivity
-    * is entropy-independent, the safe default for titles/URLs/names),
-    * the q-gram prefix filter ([[fuzzyJoin]]) beyond, where |s|² variant
-    * generation would dominate and long strings carry enough gram
-    * entropy for the prefix filter to prune well. Both paths are
-    * lossless, so the dispatch changes the plan, never the answer.
+  /** Length-BANDED fuzzy join: each string routes to the prefilter that
+    * suits ITS length — the ≤k-deletion neighborhood ([[fuzzyJoinShort]])
+    * for strings up to `maxDeletionLen`, where the O(|s|^k) signature
+    * volume stays cheap and selectivity is entropy-independent (the safe
+    * default for titles/URLs/names), the q-gram prefix filter
+    * ([[fuzzyJoin]]) beyond, where variant generation would dominate and
+    * long strings carry enough gram entropy to prune well.
+    *
+    * Earlier rounds dispatched the WHOLE corpus on its max length — one
+    * 100-char outlier flipped every short key onto the gram path (the
+    * entropy-brittle one for repetitive short text). The band split
+    * keeps the mass on the deletion path and routes only the tail
+    * through grams, and it drops the driver-side max() action entirely:
+    * the split is two filters in the plan.
+    *
+    * Losslessness of the split (both prefilters are already lossless): a
+    * pair within distance k has lengths differing by ≤ k, so with the
+    * long band opened k early (len > maxDeletionLen − k) every pair
+    * falls in at least one band — both ≤ maxDeletionLen → short band;
+    * both > maxDeletionLen → long band; one on each side of the
+    * boundary → the short one is within k of the long one's length, so
+    * BOTH sit in the long band. Pairs wholly inside the k-wide overlap
+    * emit from both paths with identical (doc_a, doc_b, dist) rows; one
+    * output-side distinct (over the verified, true-pair-sized result)
+    * dedupes them.
     */
   def fuzzyJoinAuto(rel: DataFrame, k: Int = 2, q: Int = 3,
                     idCol: String = "doc_id",
                     strCol: String = "title",
                     maxDeletionLen: Int = 48): DataFrame = {
-    val maxLen = rel.agg(max(length(col(strCol)))).head() match {
-      case r if r.isNullAt(0) => 0
-      case r => r.getInt(0)
-    }
-    if (k <= 2 && maxLen <= maxDeletionLen)
-      fuzzyJoinShort(rel, k, idCol, strCol)
-    else fuzzyJoin(rel, k, q, idCol, strCol)
+    if (k > 2) return fuzzyJoin(rel, k, q, idCol, strCol) // no deletion path
+    // every long-band string must clear the gram path's length floor, or
+    // boundary pairs could be silently missed
+    require(maxDeletionLen - k >= q + k * q,
+      s"fuzzyJoinAuto: maxDeletionLen=$maxDeletionLen too small for " +
+        s"k=$k q=$q (needs > ${q + k * q + k})")
+    val len = length(col(strCol))
+    val shortPairs = fuzzyJoinShort(
+      rel.filter(len <= maxDeletionLen), k, idCol, strCol)
+    val longPairs = fuzzyJoin(
+      rel.filter(len > maxDeletionLen - k), k, q, idCol, strCol)
+    shortPairs.unionByName(longPairs).distinct()
   }
 
   /** [[fuzzyJoin]] for SHORT keys (titles, URLs, names; k ≤ 2) via the

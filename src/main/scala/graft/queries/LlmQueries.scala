@@ -1784,13 +1784,14 @@ object LlmQueries {
   // Spark's fixed per-job cost — a ratio near 1 would mean the
   // measurement saw only overhead and proves nothing) while the whole
   // 2-path × 2-scale × min-of-2 protocol stays inside an l21-sized
-  // bench budget: at sf0.1 the 10x world is 25k vectors × 48 queries =
-  // 1.2M candidate pairs per path (measured ratios ~3 — the fixed cost
-  // amortizing over a visibly linear data term)
+  // bench budget: at sf0.1 the 10x world is 20k vectors × 24 queries =
+  // 480k candidate pairs per path (measured ratios ~2.5 — the fixed
+  // cost amortizing over a visibly linear data term; a first cut at
+  // 25k × 48 queries measured the same ratios at 2.6× the wall)
   private[queries] def s13NFor(dir: String): Int =
-    if (dir.contains("sf0.1")) 2500 else 800
+    if (dir.contains("sf0.1")) 2000 else 800
 
-  private val s13QueryIds = 48 // ids < 48 exist at every corpus size
+  private val s13QueryIds = 24 // ids < 24 exist at every corpus size
   private val s13K = 10
 
   /** Deterministic synthetic 64-dim vector corpus, cached as parquet

@@ -318,6 +318,78 @@ object StreamingQueries {
              |    t -> length(t) > 0)) >= 5
              |ORDER BY digest""".stripMargin)),
 
+    // The TIME-BOUNDED streaming near-dup contract, proven against the
+    // exact-global one on the same deterministic schedule (st06 covers
+    // the LSH semantics on the real corpus; this entry's subject is the
+    // STATE contract, so the fixture is a crafted 4-batch event-time
+    // schedule driven through MemoryStream — the only way to pin batch
+    // boundaries, and batch boundaries are what eviction observability
+    // needs). Group c's two members arrive 660 s apart in event time
+    // with an intervening batch that advances the watermark past the
+    // 60 s TTL: the windowed stream EVICTS c's band buckets (and its
+    // pair keys) before the second member arrives, so contract
+    // 'windowed' misses (301, 302) while contract 'exact'
+    // ([[graft.operators.Dedup.streamingCandidatePairsDistinct]], state
+    // never evicted) emits it — the recall-vs-bounded-state trade made
+    // observable. The oracle re-derives both contracts from the same
+    // schedule literals: same-group pairs for 'exact', |Δts| ≤ TTL for
+    // 'windowed' (equivalent to bucket-liveness on THIS schedule, where
+    // every cross-TTL pair has an eviction batch between its members).
+    "st11_stream_neardup_ttl" -> QuerySpec(
+      (s, dir) => withStateSizing(s) {
+        import s.implicits._
+        implicit val sqlCtx = s.sqlContext
+        val base = 1700000000000L // fixed epoch — event time, not wall
+        def ts(sec: Long) = new java.sql.Timestamp(base + sec * 1000L)
+        // mutually non-near-dup word sequences (3-word shingles disjoint)
+        val tA = "alpha bravo charlie delta echo foxtrot golf hotel india"
+        val tB = "juliet kilo lima mike november oscar papa quebec romeo"
+        val tC = "sierra tango uniform victor whiskey xray yankee zulu ok"
+        val tD = "two three four five six seven eight nine ten eleven"
+        val batches: Seq[Seq[(Long, String, java.sql.Timestamp)]] = Seq(
+          Seq((101L, tA, ts(0)), (102L, tA, ts(1)), (301L, tC, ts(0))),
+          Seq((201L, tB, ts(600)), (202L, tB, ts(601))),
+          Seq((401L, tD, ts(630))), // watermark carrier: evicts group c
+          Seq((302L, tC, ts(660))))
+        def run(windowed: Boolean, sink: String): Unit = {
+          val mem = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, String, java.sql.Timestamp)]
+          val docs = mem.toDS().toDF("doc_id", "text", "ts")
+          val pairs =
+            if (windowed) graft.operators.Dedup
+              .streamingCandidatePairsWindowed(docs, "ts",
+                "0 seconds", ttlMs = 60000L)
+            else graft.operators.Dedup.streamingCandidatePairsDistinct(docs)
+          val q = pairs.toDF("id_a", "id_b")
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+          batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+          q.stop()
+        }
+        run(windowed = true, "st11_w_sink")
+        run(windowed = false, "st11_e_sink")
+        s.table("st11_e_sink")
+          .select(lit("exact").as("contract"), col("id_a"), col("id_b"))
+          .unionByName(s.table("st11_w_sink")
+            .select(lit("windowed").as("contract"), col("id_a"),
+              col("id_b")))
+          .orderBy(col("contract"), col("id_a"), col("id_b"))
+      },
+      Some("""WITH sched(id, grp, tsec) AS (VALUES
+             |  (101, 'a', 0), (102, 'a', 1), (301, 'c', 0),
+             |  (201, 'b', 600), (202, 'b', 601), (401, 'd', 630),
+             |  (302, 'c', 660)),
+             |p AS (SELECT a.id::BIGINT AS id_a, b.id::BIGINT AS id_b,
+             |        abs(a.tsec - b.tsec) AS dt
+             |      FROM sched a JOIN sched b
+             |        ON a.grp = b.grp AND a.id < b.id)
+             |SELECT contract, id_a, id_b FROM (
+             |  SELECT 'exact' AS contract, id_a, id_b FROM p
+             |  UNION ALL
+             |  SELECT 'windowed' AS contract, id_a, id_b FROM p
+             |  WHERE dt <= 60)
+             |ORDER BY contract, id_a, id_b""".stripMargin)),
+
     // The PRODUCTION shape of the incremental pipeline: the account
     // changeset table as a real FILE-SOURCE readStream (no MemoryStream,
     // no driver collect) → decode → incremental W1 fold

@@ -1044,9 +1044,9 @@ class OperatorSpec extends AnyFunSuite {
         bq.subquadratic && bq.driverHeapFlat },
       "PQ or BQ ratio >= 35x or driver heap grew >= 512MB on all 3 tries")
     val (pq1, bq1) = attempts.head
-    // top-k caps the output at k·|Q| = 480 rows at BOTH scales by design
-    assert(pq1.rows1 == 480L && pq1.rows10 == 480L &&
-      bq1.rows1 == 480L && bq1.rows10 == 480L,
+    // top-k caps the output at k·|Q| = 240 rows at BOTH scales by design
+    assert(pq1.rows1 == 240L && pq1.rows10 == 240L &&
+      bq1.rows1 == 240L && bq1.rows10 == 240L,
       s"rows: pq=${(pq1.rows1, pq1.rows10)} bq=${(bq1.rows1, bq1.rows10)}")
   }
 

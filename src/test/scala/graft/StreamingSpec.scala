@@ -104,6 +104,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("windowed streaming near-dup evicts idle bucket state (observable " +
+      "in state metrics) and misses only the cross-TTL pair") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def ts(sec: Long) = new java.sql.Timestamp(base + sec * 1000L)
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val tB = "juliet kilo lima mike november oscar papa quebec romeo"
+    val tC = "sierra tango uniform victor whiskey xray yankee zulu ok"
+    val tD = "two three four five six seven eight nine ten eleven"
+    val batches: Seq[Seq[(Long, String, java.sql.Timestamp)]] = Seq(
+      Seq((101L, tA, ts(0)), (102L, tA, ts(1)), (301L, tC, ts(0))),
+      Seq((201L, tB, ts(600)), (202L, tB, ts(601))),
+      Seq((401L, tD, ts(630))), // no data for group a/c buckets → timeout
+      Seq((302L, tC, ts(660))))
+    def run(windowed: Boolean, sink: String): (Set[(Long, Long)],
+        Seq[Long]) = {
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val docs = mem.toDS().toDF("doc_id", "text", "ts")
+      val pairs =
+        if (windowed) graft.operators.Dedup
+          .streamingCandidatePairsWindowed(docs, "ts", "0 seconds",
+            ttlMs = 60000L)
+        else graft.operators.Dedup.streamingCandidatePairsDistinct(docs)
+      val q = pairs.toDF("id_a", "id_b")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      // total state rows (both stateful stages) per completed batch
+      val stateTotals = q.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+      q.stop()
+      val got = spark.table(sink).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got, stateTotals)
+    }
+    val (wGot, wState) = run(windowed = true, "ttl_w_sink")
+    val (eGot, eState) = run(windowed = false, "ttl_e_sink")
+    // the windowed contract loses EXACTLY the pair whose members arrive
+    // more than a TTL apart in event time — nothing else
+    assert(eGot == Set((101L, 102L), (201L, 202L), (301L, 302L)),
+      s"exact contract: $eGot")
+    assert(wGot == Set((101L, 102L), (201L, 202L)),
+      s"windowed contract: $wGot")
+    // eviction is visible in the state store itself: some batch of the
+    // windowed run DROPS state rows (group a + c buckets die when the
+    // watermark passes their TTL), while the exact run's state only
+    // ever grows
+    def drops(xs: Seq[Long]) = xs.lazyZip(xs.drop(1)).exists(_ > _)
+    assert(wState.nonEmpty && drops(wState),
+      s"no state eviction observed: $wState")
+    assert(eState.nonEmpty && !drops(eState),
+      s"exact-contract state shrank: $eState")
+  }
+
   test("streaming near-dup candidates accumulate across micro-batches " +
       "and equal the batch candidate set") {
     import spark.implicits._
