@@ -171,6 +171,71 @@ object StateFiles {
     }
   }
 
+  /** Small-files POLICY for [[compact]] — the threshold an [[append]] /
+    * streaming-sink loop consults after each increment instead of
+    * compacting on a human's schedule. Triggers when the committed
+    * `.dat` count exceeds `maxParts` (per-file open + split-planning
+    * overhead is linear in file count) OR when more than
+    * `maxSmallFraction` of the committed files are under
+    * `smallFileBytes` (a dataset can hold few-but-tiny files whose
+    * per-file fixed cost dominates long before the count trips —
+    * the bytes-ratio arm of the policy). A dataset without a manifest
+    * has nothing to compact; a single committed file never needs it.
+    *
+    * Reads the manifest + `Files.size` only — safe to call from inside
+    * a foreachBatch or an append loop every increment.
+    */
+  def needsCompaction(dir: String, maxParts: Int = 64,
+                      smallFileBytes: Long = 64L << 20,
+                      maxSmallFraction: Double = 0.5): Boolean = {
+    require(maxParts >= 1, s"needsCompaction: maxParts $maxParts")
+    manifestFileList(dir).map(_.filter(_.endsWith(".dat"))) match {
+      case None => false
+      case Some(dats) if dats.length <= 1 => false
+      case Some(dats) if dats.length > maxParts => true
+      case Some(dats) =>
+        val sizes = dats.map { f =>
+          try Files.size(Paths.get(dir, f))
+          catch { case _: java.io.IOException => Long.MaxValue }
+        }
+        sizes.count(_ < smallFileBytes).toDouble / sizes.length >
+          maxSmallFraction
+    }
+  }
+
+  /** [[compact]] gated by [[needsCompaction]]; returns whether a rewrite
+    * ran. The auto-maintenance call for append/streaming loops:
+    *
+    * {{{
+    * StateFiles.append(increment, dir, strategy)
+    * StateFiles.compactIfNeeded(spark, dir, strategy, targetParts = 8)
+    * }}}
+    *
+    * RECOVERY RECIPE for streams tailing the dataset (st08-shape):
+    * compaction mints a new `dataset_id`, so a tail pinned to the old
+    * generation fails LOUDLY at its next trigger ("the dataset was
+    * overwritten under a live stream") rather than silently re-reading
+    * reshuffled offsets — that failure is the designed signal, not a
+    * bug. To recover, restart the tail with a FRESH checkpoint
+    * directory: the new stream plans against the compacted manifest
+    * from offset zero and re-delivers the full (content-equal) dataset;
+    * downstream consumers that must not double-process keep their own
+    * idempotence key, exactly as they already must for at-least-once
+    * redelivery after any checkpoint loss. A stream-OWNED dataset (the
+    * streaming SINK side) is unaffected: the writer identity and replay
+    * watermark survive the rewrite, so exactly-once append resumes
+    * against the new generation with no operator action.
+    */
+  def compactIfNeeded(spark: SparkSession, dir: String, strategy: Int,
+                      targetParts: Int = 1, maxParts: Int = 64,
+                      smallFileBytes: Long = 64L << 20,
+                      maxSmallFraction: Double = 0.5): Boolean = {
+    val go = needsCompaction(dir, maxParts, smallFileBytes,
+      maxSmallFraction)
+    if (go) compact(spark, dir, strategy, targetParts)
+    go
+  }
+
   /** Highest `streamBatchId` committed to `dir`'s manifest by the stream
     * identified by `streamId` — the replay-skip seam. The batch id is
     * only meaningful within ONE linear stream: if the manifest's recorded
