@@ -867,10 +867,19 @@ object Similarity {
     val d = docVecs.select(col(docCol).as("ddoc"), col(vecCol).as("dv"))
     val q = queryVecs.select(col(docCol).as("qdoc"), col(idxCol).as("qi"),
       col(vecCol).as("qv"))
+    maxSimRank(
+      d.join(broadcast(q), col("ddoc") =!= col("qdoc"))
+        .withColumn("c", cosine(col("dv"), col("qv"))), k)
+  }
+
+  /** The shared MaxSim scoring tail — one copy so [[maxSimTopK]] and
+    * [[maxSimRescoreTopK]] cannot drift: per-(query-token, doc) MAX,
+    * micro-unit quantization, integer SUM, tie-broken rank.
+    */
+  private def maxSimRank(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qdoc")).orderBy(col("smicro").desc, col("ddoc"))
-    d.join(broadcast(q), col("ddoc") =!= col("qdoc"))
-      .withColumn("c", cosine(col("dv"), col("qv")))
+    scored
       .groupBy(col("qdoc"), col("qi"), col("ddoc"))
       .agg(max(col("c")).as("m"))
       .withColumn("mq",
@@ -882,5 +891,38 @@ object Similarity {
       .select(col("qdoc").as("query_doc"), col("rank"),
         col("ddoc").as("doc"),
         (col("smicro").cast("double") / lit(1000000.0d)).as("maxsim"))
+  }
+
+  /** TWO-STAGE retrieval: [[maxSimTopK]]'s late-interaction scoring
+    * restricted to an ANN-pruned candidate set — the composition the
+    * s09 scale note recommends and a billion-doc ColBERT-style
+    * deployment ships: a cheap single-vector ANN stage (any of s02–s11
+    * over pooled/CLS document vectors) nominates `candidates`
+    * (qdoc, ddoc) pairs, and the token-level MaxSim kernel — the
+    * expensive |q|·|d| part — runs ONLY over those pairs.
+    *
+    * Plan shape: `candidates` is k·|Q| rows by construction, so it
+    * broadcasts; the corpus token table is pruned by one broadcast
+    * equi-join on ddoc BEFORE any token×token work, then query tokens
+    * join in (broadcast — query workloads are small by the s01
+    * contract). The scoring tail is literally [[maxSimTopK]]'s
+    * ([[maxSimRank]]), so the two stages compose without changing
+    * MaxSim semantics on the surviving pairs.
+    */
+  def maxSimRescoreTopK(docVecs: DataFrame, queryVecs: DataFrame,
+      candidates: DataFrame, k: Int, docCol: String = "doc",
+      idxCol: String = "token_idx", vecCol: String = "embedding",
+      candQueryCol: String = "qdoc",
+      candDocCol: String = "ddoc"): DataFrame = {
+    val d = docVecs.select(col(docCol).as("ddoc"), col(vecCol).as("dv"))
+    val q = queryVecs.select(col(docCol).as("qdoc"), col(idxCol).as("qi"),
+      col(vecCol).as("qv"))
+    val cand = candidates.select(col(candQueryCol).as("qdoc"),
+      col(candDocCol).as("ddoc"))
+    maxSimRank(
+      d.join(broadcast(cand), Seq("ddoc"))
+        .join(broadcast(q), Seq("qdoc"))
+        .filter(col("ddoc") =!= col("qdoc"))
+        .withColumn("c", cosine(col("dv"), col("qv"))), k)
   }
 }

@@ -1230,6 +1230,41 @@ object LlmQueries {
             "bq_rows_1x", "bq_rows_10x")
       }, None, Some(dir => s13Sql(dir))),
 
+    // TWO-STAGE retrieval, fully verified — the composition the s09
+    // scale note recommends (until now only as advice): a cheap
+    // single-vector ANN stage nominates candidates, and the expensive
+    // token-level MaxSim kernel re-scores ONLY those. Stage 1 is
+    // IVF-SQ8 (s10's layout) over each document's FIRST token vector —
+    // CLS pooling: deterministic representative, no cross-engine
+    // float-sum ordering risk — returning 20 candidates per query doc;
+    // stage 2 is s09's late interaction restricted to the candidate
+    // pairs. The oracle re-derives BOTH stages from the captured
+    // fit literals: cell assignment, SQ8 codes, centered integer dot,
+    // candidate cut, exact-cosine stage-1 rank, then per-(query-token,
+    // doc) cosine MAX, micro-quantized integer SUM, final rank.
+    "s14_two_stage_retrieval" -> QuerySpec(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        // the s09 multi-vector world: doc = vec_id DIV 8
+        val cls = e.filter(pmod(col("vec_id"), lit(8)) === 0)
+          .select(expr("vec_id DIV 8").as("vec_id"), col("embedding"))
+        val cents = Similarity.ivfCentroidsCached(s"$dir#cls", cls)
+        val bounds = Similarity.fitSqBounds(cls)
+        s14CapturesByDir(dir) = (cents, bounds._1, bounds._2)
+        val cand = Similarity.ivfSqTopK(cls,
+            cls.filter(col("vec_id") < 2), k = 20, cents, bounds._1,
+            bounds._2, nProbe = 4, rerank = 64)
+          .select(col("query_id").as("qdoc"),
+            col("neighbor_id").as("ddoc"))
+        val dv = e.select(expr("vec_id DIV 8").as("doc"),
+          col("embedding"))
+        val qv = e.filter(expr("vec_id DIV 8") < 2)
+          .select(expr("vec_id DIV 8").as("doc"),
+            pmod(col("vec_id"), lit(8)).as("token_idx"), col("embedding"))
+        Similarity.maxSimRescoreTopK(dv, qv, cand, k = 10)
+          .orderBy(col("query_doc"), col("rank"))
+      }, None, Some(dir => s14Sql(dir))),
+
     // The COMPOSED billion-scale layout, fully verified: IVF coarse cell
     // join (trained centroids as plan literals) + PQ-ADC candidate
     // scoring + exact re-rank. The oracle re-derives the whole pipeline
@@ -2018,6 +2053,8 @@ object LlmQueries {
     String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
   private val s12CapturesByDir = scala.collection.concurrent.TrieMap[
     String, (Array[Array[Double]], Array[Double])]()
+  private val s14CapturesByDir = scala.collection.concurrent.TrieMap[
+    String, (Array[Array[Double]], Array[Double], Array[Double])]()
 
   // Scala Double.toString is shortest-roundtrip, so DuckDB parses back the
   // exact same IEEE value
@@ -2380,6 +2417,84 @@ object LlmQueries {
        |                     ORDER BY c DESC, neighbor_id) AS rank FROM st)
        |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** s14 oracle: the full two-stage derivation — s10's IVF-SQ8 stages
+    * over the CLS vectors (cells, codes, integer dot, top-64 cut,
+    * exact-cosine stage-1 rank, top-20 candidates), then s09's MaxSim
+    * stages restricted to those candidate pairs.
+    */
+  private def s14Sql(dir: String): String = {
+    val (cents, lo, hi) = s14CapturesByDir.getOrElse(dir,
+      sys.error(s"s14 never ran for $dir — no captures"))
+    val centVals = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, ${sqlArr(c)}, ${c.map(x => x * x).sum}::DOUBLE)"
+    }.mkString(", ")
+    val boundVals = lo.indices
+      .map(i => s"(${i + 1}, ${lo(i)}::DOUBLE, ${hi(i)}::DOUBLE)")
+      .mkString(", ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+       |    vec_id // 8 AS doc FROM embeddings),
+       |cls AS (SELECT doc AS vec_id, e FROM base WHERE vec_id % 8 = 0),
+       |cents(cell, c, c2) AS (VALUES $centVals),
+       |bounds(pos, lo, hi) AS (VALUES $boundVals),
+       |sc AS (SELECT vec_id, e, cell,
+       |    list_inner_product(e, c) * 2.0 - c2 AS s
+       |  FROM cls CROSS JOIN cents),
+       |vcell AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY s DESC, cell DESC) AS rn FROM sc) WHERE rn = 1),
+       |qcell AS (SELECT vec_id AS query_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY s DESC, cell DESC) AS rn FROM sc WHERE vec_id < 2)
+       |  WHERE rn <= 4),
+       |xs AS (SELECT vec_id, generate_subscripts(e, 1) AS pos,
+       |    unnest(e) AS x FROM cls),
+       |codes AS (SELECT vec_id, pos,
+       |    CASE WHEN hi <= lo THEN 0
+       |         ELSE least(255, greatest(0,
+       |           CAST(floor((x - lo) / (hi - lo) * 255.0 + 0.5) AS INT)))
+       |    END AS code
+       |  FROM xs JOIN bounds USING (pos)),
+       |pool AS (SELECT DISTINCT q.query_id, v.vec_id AS neighbor_id
+       |  FROM vcell v JOIN qcell q ON v.cell = q.cell
+       |    AND v.vec_id <> q.query_id),
+       |approx AS (SELECT p.query_id, p.neighbor_id,
+       |    SUM((cv.code::BIGINT - 128) * (cq.code::BIGINT - 128)) AS s
+       |  FROM pool p
+       |  JOIN codes cv ON cv.vec_id = p.neighbor_id
+       |  JOIN codes cq ON cq.vec_id = p.query_id AND cq.pos = cv.pos
+       |  GROUP BY p.query_id, p.neighbor_id),
+       |cand0 AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+       |  FROM approx) WHERE rn <= 64),
+       |st1 AS (SELECT cd.query_id, cd.neighbor_id, $cosineCase AS c
+       |  FROM cand0 cd
+       |  JOIN cls v ON v.vec_id = cd.neighbor_id
+       |  JOIN cls q ON q.vec_id = cd.query_id),
+       |cand AS (SELECT query_id AS qdoc, neighbor_id AS ddoc FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS r1
+       |  FROM st1) WHERE r1 <= 20),
+       |qv AS (SELECT doc AS qdoc, vec_id % 8 AS qi, e FROM base
+       |       WHERE doc < 2),
+       |pair AS (SELECT q.qdoc, q.qi, v.doc AS ddoc, $cosineCase AS c
+       |  FROM cand cd
+       |  JOIN base v ON v.doc = cd.ddoc
+       |  JOIN qv q ON q.qdoc = cd.qdoc),
+       |mx AS (SELECT qdoc, qi, ddoc,
+       |    CAST(floor(max(c) * 1000000.0 + 0.5) AS BIGINT) AS mq
+       |  FROM pair GROUP BY qdoc, qi, ddoc),
+       |scr AS (SELECT qdoc, ddoc, SUM(mq) AS smicro
+       |  FROM mx GROUP BY qdoc, ddoc),
+       |r AS (SELECT qdoc, ddoc, smicro, row_number() OVER (
+       |  PARTITION BY qdoc ORDER BY smicro DESC, ddoc) AS rank
+       |  FROM scr)
+       |SELECT qdoc AS query_doc, rank, ddoc AS doc,
+       |  smicro::DOUBLE / 1000000.0 AS maxsim
+       |FROM r WHERE rank <= 10
+       |ORDER BY query_doc, rank""".stripMargin
   }
 
   /** s08 oracle: DuckDB re-derives SQ8 end to end from the captured

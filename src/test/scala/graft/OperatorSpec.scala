@@ -472,6 +472,46 @@ class OperatorSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("two-stage retrieval: all-pairs candidates reproduce full MaxSim " +
+      "exactly, and the ANN-pruned stage holds recall") {
+    import spark.implicits._
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val dv = e.select(expr("vec_id DIV 8").as("doc"), col("embedding"))
+    val qv = e.filter(expr("vec_id DIV 8") < 2)
+      .select(expr("vec_id DIV 8").as("doc"),
+        pmod(col("vec_id"), lit(8)).as("token_idx"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_doc"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc"), r.getAs[Double]("maxsim"))).toSeq.sorted
+    val full = Similarity.maxSimTopK(dv, qv, k = 10)
+    // candidates = EVERY (query, doc) pair → the rescore path must be
+    // bit-identical to the one-stage operator (same shared tail, but
+    // this pins the join plumbing too)
+    val allPairs = dv.select(col("doc").as("ddoc")).distinct()
+      .crossJoin(qv.select(col("doc").as("qdoc")).distinct())
+      .filter(col("ddoc") =!= col("qdoc"))
+    val viaRescore = Similarity.maxSimRescoreTopK(dv, qv, allPairs, k = 10)
+    assert(rows(viaRescore) == rows(full),
+      "all-pairs rescore diverged from full MaxSim")
+    // the real composition: IVF-SQ8 over CLS vectors nominates 20
+    // candidates per query; MaxSim re-scores only those — top-10 recall
+    // against full MaxSim must stay useful
+    val cls = e.filter(pmod(col("vec_id"), lit(8)) === 0)
+      .select(expr("vec_id DIV 8").as("vec_id"), col("embedding"))
+    val cents = Similarity.fitIvfCentroids(cls)
+    val (lo, hi) = Similarity.fitSqBounds(cls)
+    val cand = Similarity.ivfSqTopK(cls, cls.filter(col("vec_id") < 2),
+        k = 20, cents, lo, hi, nProbe = 4, rerank = 64)
+      .select(col("query_id").as("qdoc"), col("neighbor_id").as("ddoc"))
+    val two = Similarity.maxSimRescoreTopK(dv, qv, cand, k = 10)
+    def keys(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_doc"), r.getAs[Long]("doc"))).toSet
+    val recall = keys(two).intersect(keys(full)).size.toDouble /
+      keys(full).size
+    info(s"two-stage recall=$recall")
+    assert(recall >= 0.3, s"two-stage recall too low: $recall")
+  }
+
   test("bloom-prefiltered decontamination equals the exact operator") {
     val docs = corpus.select(col("doc_id"), col("text"))
     val train = docs.filter(col("doc_id") % 10 =!= 0)
