@@ -146,6 +146,34 @@ class PlanSpec extends AnyFunSuite {
       s"maxsim query side not broadcast:\n${msPlan.take(3000)}")
   }
 
+  test("s14 two-stage plan: ANN candidates broadcast-prune the token " +
+      "table before any token x token work, no cartesian product") {
+    import org.apache.spark.sql.functions.{col, expr, lit, pmod}
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val dv = e.select(expr("vec_id DIV 8").as("doc"), col("embedding"))
+    val qv = e.filter(expr("vec_id DIV 8") < 2)
+      .select(expr("vec_id DIV 8").as("doc"),
+        pmod(col("vec_id"), lit(8)).as("token_idx"), col("embedding"))
+    val cls = e.filter(pmod(col("vec_id"), lit(8)) === 0)
+      .select(expr("vec_id DIV 8").as("vec_id"), col("embedding"))
+    val cents = graft.operators.Similarity.fitIvfCentroids(cls)
+    val (lo, hi) = graft.operators.Similarity.fitSqBounds(cls)
+    val cand = graft.operators.Similarity.ivfSqTopK(cls,
+        cls.filter(col("vec_id") < 2), k = 20, cents, lo, hi)
+      .select(col("query_id").as("qdoc"), col("neighbor_id").as("ddoc"))
+    val two = graft.operators.Similarity.maxSimRescoreTopK(dv, qv, cand,
+      k = 10)
+    val plan = two.queryExecution.sparkPlan.toString
+    // the candidate list and the query tokens are BOTH broadcast sides;
+    // the corpus token table is probe-side only, and nothing in the
+    // composed plan degenerates to a cartesian product
+    assert(!plan.contains("CartesianProduct"),
+      s"two-stage plan went cartesian:\n${plan.take(3000)}")
+    assert(plan.split("BroadcastHashJoin").length >= 3,
+      s"expected >=2 broadcast joins (candidates + query tokens):\n" +
+        plan.take(3000))
+  }
+
   test("l20: BM25 aggregations are partial (map-side combine) and " +
       "nothing wider than a token shuffles") {
     val df = SparkEntry.queries("l20_bm25_terms")(spark,
