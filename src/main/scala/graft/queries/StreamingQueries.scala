@@ -326,17 +326,32 @@ object StreamingQueries {
     // boundaries, and batch boundaries are what eviction observability
     // needs). Group c's two members arrive 660 s apart in event time
     // with an intervening batch that advances the watermark past the
-    // 60 s TTL: the windowed stream EVICTS c's band buckets (and its
-    // pair keys) before the second member arrives, so contract
-    // 'windowed' misses (301, 302) while contract 'exact'
-    // ([[graft.operators.Dedup.streamingCandidatePairsDistinct]], state
-    // never evicted) emits it — the recall-vs-bounded-state trade made
-    // observable. The oracle re-derives both contracts from the same
+    // 60 s TTL: the windowed stream EVICTS c's band buckets before the
+    // second member arrives, so contract 'windowed' misses (301, 302)
+    // while contract 'exact' — the batch candidate set over the same
+    // docs, which st06 hash-proves the exact-global STREAM
+    // ([[graft.operators.Dedup.streamingCandidatePairsDistinct]])
+    // equals — emits it: the recall-vs-bounded-state trade made
+    // observable. (StreamingSpec runs the exact contract as a REAL
+    // second stream and additionally asserts eviction in the
+    // state-store metrics; the entry keeps one streaming query so the
+    // bench cost is the contract proof, not repeated micro-batch fixed
+    // costs.) The oracle re-derives both contracts from the same
     // schedule literals: same-group pairs for 'exact', |Δts| ≤ TTL for
     // 'windowed' (equivalent to bucket-liveness on THIS schedule, where
     // every cross-TTL pair has an eviction batch between its members).
     "st11_stream_neardup_ttl" -> QuerySpec(
-      (s, dir) => withStateSizing(s) {
+      (s, dir) => {
+        // even tighter than withStateSizing's 8: a 4-batch streaming
+        // query over a 7-doc schedule pays per-batch state-store task
+        // overhead as ITS dominant cost (measured 4.2 s at 8
+        // partitions, 32 bands, two streams); 2 partitions and 8 bands
+        // carry the same proof at a fraction of the fixed cost
+        // (identical texts collide in every band, and the oracle is
+        // schedule-derived — band count cannot change the output)
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "2")
+        try {
         import s.implicits._
         implicit val sqlCtx = s.sqlContext
         val base = 1700000000000L // fixed epoch — event time, not wall
@@ -351,29 +366,31 @@ object StreamingQueries {
           Seq((201L, tB, ts(600)), (202L, tB, ts(601))),
           Seq((401L, tD, ts(630))), // watermark carrier: evicts group c
           Seq((302L, tC, ts(660))))
-        def run(windowed: Boolean, sink: String): Unit = {
-          val mem = org.apache.spark.sql.execution.streaming.runtime
-            .MemoryStream[(Long, String, java.sql.Timestamp)]
-          val docs = mem.toDS().toDF("doc_id", "text", "ts")
-          val pairs =
-            if (windowed) graft.operators.Dedup
-              .streamingCandidatePairsWindowed(docs, "ts",
-                "0 seconds", ttlMs = 60000L)
-            else graft.operators.Dedup.streamingCandidatePairsDistinct(docs)
-          val q = pairs.toDF("id_a", "id_b")
-            .writeStream.format("memory").queryName(sink)
-            .outputMode("append").start()
-          batches.foreach { b => mem.addData(b); q.processAllAvailable() }
-          q.stop()
-        }
-        run(windowed = true, "st11_w_sink")
-        run(windowed = false, "st11_e_sink")
-        s.table("st11_e_sink")
-          .select(lit("exact").as("contract"), col("id_a"), col("id_b"))
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, java.sql.Timestamp)]
+        val docs = mem.toDS().toDF("doc_id", "text", "ts")
+        val q = graft.operators.Dedup
+          .streamingCandidatePairsWindowed(docs, "ts", "0 seconds",
+            ttlMs = 60000L, numHashes = 32, numBands = 8)
+          .toDF("id_a", "id_b")
+          .writeStream.format("memory").queryName("st11_w_sink")
+          .outputMode("append").start()
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        q.stop()
+        // the exact-global contrast comes from the BATCH candidate set
+        // over the same docs — st06 already hash-proves the exact
+        // STREAM equals the batch set, so re-running a second streaming
+        // query here would only re-pay micro-batch fixed costs (it did:
+        // 4.2 s → this shape benches ~1.5 s) without adding proof
+        val exact = graft.operators.Dedup.lshCandidates(
+          batches.flatten.toDF("doc_id", "text", "ts"),
+          numHashes = 32, numBands = 8)
+        exact.select(lit("exact").as("contract"), col("id_a"), col("id_b"))
           .unionByName(s.table("st11_w_sink")
             .select(lit("windowed").as("contract"), col("id_a"),
               col("id_b")))
           .orderBy(col("contract"), col("id_a"), col("id_b"))
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       },
       Some("""WITH sched(id, grp, tsec) AS (VALUES
              |  (101, 'a', 0), (102, 'a', 1), (301, 'c', 0),
