@@ -5,7 +5,7 @@ import graft.pipeline.{Fixtures, FullHistory}
 /** Ad-hoc stage profiler for the p01 full-history path (dev tool). */
 object ProfileP01 {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = Sessions.withDefaults(SparkSession.builder()).master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -2,31 +2,53 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
-  * All reads go through here so scan-level options (nanosecond timestamp
-  * handling, schema strictness) are applied uniformly.
+  * All reads go through here so scan-level handling (nanosecond
+  * timestamp normalization, schema strictness) is applied uniformly.
+  * Sessions must be built via [[Sessions.withDefaults]] (see there for
+  * why `nanosAsLong` is a build-time conf, not a scoped mutation).
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one table from an sf directory, e.g. `Tables(spark, dir, "lineitem")`.
+  /** Canonicalize an event-time column to µs-instant TimestampType, the
+    * ONE timestamp type every downstream plan (batch windows, streaming
+    * watermarks, oracles) sees — regardless of which of the three forms
+    * the testdata has shipped it in across driver rounds:
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; we read it as a nanosecond Long (legacy conf) and convert to a
-    * microsecond timestamp (the test data is µs-aligned, so lossless).
+    *  - `LongType` nanoseconds (TIMESTAMP(NANOS) parquet read under
+    *    `nanosAsLong`): integer-div by 1000 — truncation, matching
+    *    DuckDB's TIMESTAMP_NS→TIMESTAMP read (float division would
+    *    round half-µs values the other way);
+    *  - `TimestampNTZType` (timestamp[us] NTZ, the round-8 drift): cast
+    *    to TimestampType — with the project-wide UTC session timezone
+    *    this reinterprets the same wall-clock value as the same µs
+    *    instant, byte-identical to what the ns path produces;
+    *  - already `TimestampType`: no-op.
+    *
+    * Batch ([[apply]]) and the streaming file source
+    * (`StreamingQueries.eventFileStream`) BOTH route through here, so a
+    * future schema drift cannot fork their behavior again (r8 broke
+    * st02/st04 exactly that way). OperatorSpec fabricates a fixture in
+    * each form and asserts identical output through this one function.
     */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame =
+    df.schema.find(_.name == colName).map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
+    }
+
+  /** Read one table from an sf directory, e.g. `Tables(spark, dir, "lineitem")`. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      // integer div truncates like DuckDB's TIMESTAMP_NS→TIMESTAMP read;
-      // float division would round half-µs values the other way.
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
 }

@@ -7,7 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = Sessions.withDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -21,13 +21,33 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    // every selected key MUST produce a result directory: a throwing
+    // entry writes a one-row sentinel frame whose schema ("err") can
+    // never match its oracle, so the driver's compare records an
+    // explicit per-entry failure instead of silently shrinking the
+    // registry (r8: st02/st04 vanished from CORRECTNESS rather than
+    // appearing as failures — VERDICT item 6)
+    val status = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val err: Option[String] =
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          None
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getSimpleName}: ${
+            Option(e.getMessage).getOrElse("").take(500)}"
+          import spark.implicits._
+          Seq(msg).toDF("err").coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          Some(msg)
+        }
+      name -> err
     }
+    val missing = selected.keySet.filterNot(n =>
+      new java.io.File(s"$outDir/$n").isDirectory)
+    require(missing.isEmpty,
+      s"verify self-check: entries with no result dir: $missing")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -44,6 +64,15 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable per-entry outcome beside the dumps (null = wrote
+    // a real result; string = the sentinel's error) — lets a human or
+    // the driver distinguish "entry failed" from "entry mismatched"
+    Files.writeString(Paths.get(s"$outDir/verify_status.json"),
+      status.map { case (n, e) =>
+        s"${q(n)}: ${e.map(q).getOrElse("null")}" }.mkString("{", ",", "}"))
+    if (status.exists(_._2.isDefined))
+      System.err.println(s"[verify] ${status.count(_._2.isDefined)} of " +
+        s"${status.size} entries failed (sentinel rows written)")
     spark.stop()
   }
 }

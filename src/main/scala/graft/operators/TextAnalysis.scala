@@ -606,33 +606,41 @@ object TextAnalysis {
     * oracle re-derives the exact counts and asserts every flag TRUE).
     *
     * The query set here is the corpus vocabulary (exact counts come
-    * along for the audit columns); the per-term estimates are computed
-    * driver-side from the collected sketch — vocabulary-sized work, the
-    * same narrowing the BPE argmax and k-means fits use, and exactly
-    * how a sketch is consumed in production (shipped to a coordinator
-    * for point queries).
+    * along for the audit columns). The sketch — a few hundred KB,
+    * already reduced to the driver by the aggregate — is BROADCAST back
+    * out and point-queried distributively over the exact-counts
+    * relation (typed mapPartitions, one sketch deserialization per
+    * partition): the vocabulary itself never funnels through the
+    * driver, because at 100 TB the distinct-term relation is exactly
+    * the thing the sketch exists to avoid materializing in one place
+    * (VERDICT r8 item 3; the old shape collected it). `totalCount` for
+    * the ε·N bound comes from the sketch itself — same value as
+    * summing the exact counts, without a second aggregate.
     */
   def cmsTermCounts(docs: DataFrame, eps: Double = Cms.Eps,
                     confidence: Double = Cms.Confidence,
                     seed: Int = Cms.Seed,
                     textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
     val toks = docs.select(explode(tokens(col(textCol))).as("term"))
       .localCheckpoint() // one scan feeds sketch build + exact audit
     val skBytes = toks.agg(count_min_sketch(col("term"), lit(eps),
         lit(confidence), lit(seed)).as("sk"))
       .head.getAs[Array[Byte]](0)
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(skBytes))
-    val exact = toks.groupBy(col("term"))
-      .agg(count(lit(1)).as("exact_count")).collect()
-    val n = exact.map(_.getLong(1)).sum
-    val rows = exact.toSeq.map { r =>
-      val (t, ex) = (r.getString(0), r.getLong(1))
-      val est = cms.estimateCount(t)
-      (t, ex, est >= ex, est.toDouble <= ex.toDouble + eps * n.toDouble)
-    }
-    spark.createDataFrame(rows)
+    val n = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes)).totalCount
+    val bcSketch = spark.sparkContext.broadcast(skBytes)
+    toks.groupBy(col("term")).agg(count(lit(1)).as("exact_count"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(bcSketch.value))
+        it.map { case (t, ex) =>
+          val est = cms.estimateCount(t)
+          (t, ex, est >= ex, est.toDouble <= ex.toDouble + eps * n.toDouble)
+        }
+      }
       .toDF("term", "exact_count", "est_ge_exact", "est_within_eps")
   }
 

@@ -13,19 +13,21 @@ import graft.streaming.Streams
   */
 object StreamingQueries {
 
-  /** File-source stream over one table of the sf dir with the same
-    * ns→µs timestamp handling as the batch reads (shared with
-    * [[graft.Tables]]'s rationale: integer div truncates like DuckDB's
-    * TIMESTAMP_NS read). One definition — st02 and st04 must not drift.
+  /** File-source stream over the events table with EXACTLY the batch
+    * path's timestamp canonicalization: the inferred schema (whatever
+    * form the testdata currently ships — ns-long, µs-NTZ, or already an
+    * instant) goes through the ONE shared [[graft.Tables.normalizeTs]],
+    * so batch and streaming reads cannot drift (the r8 testdata schema
+    * change broke st02/st04 precisely because this site had its own
+    * unconditional copy of the conversion).
     */
   private def eventFileStream(s: org.apache.spark.sql.SparkSession,
                               dir: String): org.apache.spark.sql.DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
-    s.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeTs(
+      s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** State-store sizing shared by every REAL streaming execution here

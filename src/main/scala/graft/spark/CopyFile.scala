@@ -48,7 +48,7 @@ object CopyFile {
       "usage: CopyFile <inDir> <outDir> <strategyIn> <strategyOut>")
     val Array(inDir, outDir, sIn, sOut) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = graft.Sessions.withDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

@@ -12,7 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BucketSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = Sessions.withDefaults(SparkSession.builder())
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")

@@ -231,7 +231,7 @@ class JpegSpec extends AnyFunSuite {
   }
 
   test("m04 entry: every decoded JPEG lands within the luma tolerance") {
-    val spark = org.apache.spark.sql.SparkSession.builder()
+    val spark = graft.Sessions.withDefaults(org.apache.spark.sql.SparkSession.builder())
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")

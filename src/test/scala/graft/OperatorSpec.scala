@@ -11,9 +11,10 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 class OperatorSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = Sessions.withDefaults(SparkSession.builder())
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -1155,5 +1156,38 @@ class OperatorSpec extends AnyFunSuite {
       w10 / math.max(w1, 0.05) < 35.0
     }
     assert(ok, "10x fuzzy join wall ratio >= 35x on all 3 attempts")
+  }
+
+  test("normalizeTs canonicalizes ns-long, us-NTZ and instant ts " +
+      "fixtures to identical TimestampType output (schema-drift guard)") {
+    // the r8 testdata changed events.ts from TIMESTAMP(NANOS) to
+    // timestamp[us] NTZ and broke the one reader with its own copy of
+    // the conversion; this pins that every form the driver has shipped
+    // flows through Tables.normalizeTs to the SAME instants
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val micros = Seq(1700000000000000L, 1700000000500000L,
+      1700003600123456L, 0L)
+    def df(rows: Seq[Any], dt: DataType) = {
+      val schema = StructType(Seq(StructField("ts", dt),
+        StructField("v", IntegerType)))
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          rows.zipWithIndex.map { case (t, i) =>
+            org.apache.spark.sql.Row(t, i) }.asJava), schema)
+    }
+    val nsLong = df(micros.map(m => m * 1000L: Any), LongType)
+    val usNtz  = df(micros.map(m => java.time.LocalDateTime.ofEpochSecond(
+      m / 1000000L, (m % 1000000L).toInt * 1000,
+      java.time.ZoneOffset.UTC): Any), TimestampNTZType)
+    val inst   = df(micros.map(m => java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(m / 1000000L,
+        (m % 1000000L) * 1000L)): Any), TimestampType)
+    val outs = Seq(nsLong, usNtz, inst).map(Tables.normalizeTs(_))
+    outs.foreach(o => assert(o.schema("ts").dataType == TimestampType))
+    val sets = outs.map(_.collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getInt(1))).toSet)
+    assert(sets(0) == sets(1) && sets(1) == sets(2),
+      s"ns=${sets(0)} ntz=${sets(1)} inst=${sets(2)}")
   }
 }

@@ -9,7 +9,7 @@ import graft.pipeline.{Fixtures, FullHistory}
   */
 class PlanSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = Sessions.withDefaults(SparkSession.builder())
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
@@ -239,5 +239,19 @@ class PlanSpec extends AnyFunSuite {
     val probeAt = plan.indexOf("might_contain")
     assert(joinAt >= 0 && probeAt > joinAt,
       s"bloom probe not below the join:\n${plan.take(3000)}")
+  }
+
+  test("l27: CMS point queries evaluate distributively over the " +
+      "exact-counts relation — no vocabulary-sized driver materialization") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.operators.TextAnalysis.cmsTermCounts(docs)
+    val plan = out.queryExecution.optimizedPlan.toString
+    // the old shape collected the vocab and re-created it driver-side,
+    // which shows up as a LocalRelation leaf; the distributed shape is
+    // Aggregate → typed MapPartitions with the sketch as broadcast state
+    assert(!plan.contains("LocalRelation"),
+      s"vocab materialized on the driver:\n${plan.take(3000)}")
+    assert(plan.contains("MapPartitions"), plan.take(3000))
+    assert(plan.contains("Aggregate"), plan.take(3000))
   }
 }

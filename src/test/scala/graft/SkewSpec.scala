@@ -10,7 +10,7 @@ import graft.operators.Skew
   */
 class SkewSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = Sessions.withDefaults(SparkSession.builder())
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")

@@ -14,7 +14,7 @@ import graft.streaming.Streams
   */
 class StreamingSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = Sessions.withDefaults(SparkSession.builder())
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
@@ -102,6 +102,89 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
       .toSet
     assert(got == expected)
+  }
+
+  test("windowed near-dup contract holds on RANDOM schedules: stream " +
+      "output equals the schedule-derived eviction simulation (property)") {
+    // st11 proves the TTL contract on one crafted schedule; this runs
+    // randomized schedules (seeded — deterministic in CI) through the
+    // REAL stream and checks the emitted pair set against a direct
+    // simulation of the documented contract: watermark = max event time
+    // seen (delay 0), a bucket whose (newest-member ts + TTL) falls
+    // strictly below the watermark is evicted before the next batch's
+    // data (no-data micro-batches make eviction prompt), members of a
+    // live bucket always pair, evicted members never re-pair.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // mutually non-near-dup word sequences (3-word shingles disjoint) —
+    // same-group docs share a text, so they collide in EVERY band and
+    // the owner-band rule reduces to one logical bucket per group
+    val groupTexts = Vector(
+      "alpha bravo charlie delta echo foxtrot golf hotel india",
+      "juliet kilo lima mike november oscar papa quebec romeo",
+      "sierra tango uniform victor whiskey xray yankee zulu ok",
+      "two three four five six seven eight nine ten eleven",
+      "red orange yellow green blue indigo violet silver gold",
+      "ant bee crow deer elk fox goat hawk ibex jay koala lynx")
+    val ttlMs = 60000L
+    val base = 1700000000000L
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try for (seed <- Seq(11L, 23L, 47L)) {
+      val rnd = new scala.util.Random(seed)
+      val nDocs = 12 + rnd.nextInt(6)
+      // ts jitter i*7+1 makes |Δts| == ttl and watermark == timeout
+      // unreachable (7*(i2-i1) ≡ 0 mod 1000 has no solution here), so
+      // the strict-inequality eviction boundary is never ambiguous
+      val docs = (0 until nDocs).map { i =>
+        (2000L + i, rnd.nextInt(groupTexts.size),
+          base + rnd.nextInt(300) * 1000L + i * 7L + 1L)
+      }
+      // processing order = event-time order: delay-0 watermark means a
+      // genuinely late row would be dropped pre-state, which is the
+      // watermark's contract, not the TTL contract under test
+      val ordered = docs.sortBy(_._3)
+      val nBatches = 3 + rnd.nextInt(3)
+      val cuts = (0 until nBatches - 1)
+        .map(_ => rnd.nextInt(ordered.size)).sorted
+      val batches = ((0 +: cuts) :+ ordered.size).sliding(2)
+        .map { case Seq(a, b) => ordered.slice(a, b) }
+        .filter(_.nonEmpty).toSeq
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val sink = s"prop_w_$seed"
+      val q = graft.operators.Dedup.streamingCandidatePairsWindowed(
+          mem.toDS().toDF("doc_id", "text", "ts"), "ts", "0 seconds",
+          ttlMs = ttlMs, numHashes = 32, numBands = 8)
+        .toDF("id_a", "id_b")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      batches.foreach { b =>
+        mem.addData(b.map { case (id, g, ts) =>
+          (id, groupTexts(g), new java.sql.Timestamp(ts)) })
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(sink).as[(Long, Long)].collect().toSet
+      // --- contract simulation over the same schedule ---
+      val buckets = scala.collection.mutable.Map
+        .empty[Int, List[(Long, Long)]] // group -> members (id, ts)
+      val expected = scala.collection.mutable.Set.empty[(Long, Long)]
+      var wm = Long.MinValue
+      for (b <- batches) {
+        buckets.filterInPlace { case (_, ms) =>
+          ms.map(_._2).max + ttlMs >= wm } // strict: evict iff wm > timeout
+        for ((id, g, ts) <- b.sortBy(_._1)) {
+          val members = buckets.getOrElse(g, Nil)
+          members.foreach { case (m, _) =>
+            expected += (if (m < id) (m, id) else (id, m)) }
+          buckets(g) = members :+ ((id, ts))
+        }
+        wm = math.max(wm, b.map(_._3).max)
+      }
+      assert(got == expected.toSet,
+        s"seed=$seed batches=${batches.map(_.map(_._1))}\n" +
+          s"missing=${(expected.toSet -- got)} extra=${(got -- expected)}")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   test("windowed streaming near-dup evicts idle bucket state (observable " +
