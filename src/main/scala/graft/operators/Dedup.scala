@@ -597,10 +597,30 @@ object Dedup {
     */
   def simhashNearDup(df: DataFrame, maxHamming: Int = 3,
                      idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text"): DataFrame =
+    hammingNearDup(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")),
+      maxHamming, idCol = "id", hashCol = "sig")
+
+  /** Generic 64-bit hamming near-dup join — the pigeonhole chunk
+    * strategy behind [[simhashNearDup]], exposed for ANY precomputed
+    * 64-bit signature column (SimHash, perceptual image dHash, audio
+    * fingerprints…): split the hash into (maxHamming+1) chunks; a pair
+    * within the bound differs in ≤ maxHamming bits, so at least one
+    * chunk is bit-identical (pigeonhole) and every candidate comes from
+    * a chunk-value EQUI-join — never an all-pairs comparison. Scale
+    * shape: the shuffle carries (id, hash, chunk, cval) rows —
+    * (maxHamming+1)× the input, each a few dozen bytes; join fan-out is
+    * bounded by chunk-bucket occupancy (16-bit chunks at maxHamming=3:
+    * 65 536 buckets per chunk position), and the exact `bit_count`
+    * filter runs codegen'd on candidates only.
+    */
+  def hammingNearDup(hashes: DataFrame, maxHamming: Int = 3,
+                     idCol: String = "id",
+                     hashCol: String = "hash"): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val sigs = hashes.select(col(idCol).as("id"), col(hashCol).as("sig"))
     val chunks = sigs.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(nChunks - 1)), c =>
         struct(c.as("chunk"),

@@ -475,6 +475,99 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference hash (dHash) over a top-down RGB plane: BT.601
+    * luma → 9×8 box-downsample (integer area averages) → bit (r·8+c)
+    * set iff cell[r][c+1] > cell[r][c]. ONE copy shared by the decode
+    * path ([[perceptualHashes]]) and the m07 golden replay — the
+    * gifRawDraw convention — so a decoded-pixel hash can only match the
+    * golden if the codec reproduced the pixels exactly. Integer-only
+    * arithmetic end to end: bit-stable across JVMs.
+    */
+  def dHash64(w: Int, h: Int, rgb: Array[Byte]): Long = {
+    val luma = Codecs.lumaOf(rgb)
+    val cols = 9; val rows = 8
+    val cell = Array.ofDim[Long](rows, cols)
+    var r = 0
+    while (r < rows) {
+      val y0 = r * h / rows; val y1 = (r + 1) * h / rows
+      var c = 0
+      while (c < cols) {
+        val x0 = c * w / cols; val x1 = (c + 1) * w / cols
+        var sum = 0L; var cnt = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += (luma(y * w + x) & 0xff); cnt += 1; x += 1 }
+          y += 1
+        }
+        cell(r)(c) = if (cnt == 0) 0L else sum / cnt
+        c += 1
+      }
+      r += 1
+    }
+    var bits = 0L
+    r = 0
+    while (r < rows) {
+      var c = 0
+      while (c < cols - 1) {
+        if (cell(r)(c + 1) > cell(r)(c)) bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** Raw pixels of the m07 near-dup variant for base image `id`: even
+    * ids get a uniform +8 brightness shift (smoothRgb stays ≤ 228, so
+    * no clamping — differences, and therefore the dHash, are exactly
+    * preserved), odd ids keep the base pixels (the variant differs only
+    * in ENCODER, an exact re-encode dup). ONE copy shared with the
+    * golden replay.
+    */
+  def phashVariantRaw(id: Long, seed: Long = 42L): (Int, Int, Array[Byte]) = {
+    val (w, h, rgb) = pngRawDraw(id, seed)
+    if (id % 2 == 0)
+      (w, h, rgb.map(b => math.min(255, (b & 0xff) + 8).toByte))
+    else (w, h, rgb)
+  }
+
+  /** m07 fixture: the [[syntheticPngs]] table plus one variant per base
+    * id < nVariants at media_id+100000 — even ids brightness-shifted
+    * (decoder-invariant dHash ⇒ hamming 0 pairs), odd ids byte-different
+    * re-encodes of the same pixels through the NEXT encoder in the
+    * three-encoder rotation (exact-pixel dups a byte-hash would miss —
+    * the reason a PERCEPTUAL hash exists).
+    */
+  def syntheticPngVariants(spark: SparkSession, n: Int, nVariants: Int,
+                           seed: Long = 42L): Dataset[MediaBlob] = {
+    import spark.implicits._
+    val variants = spark.range(nVariants).map { id =>
+      val (w, h, rgb) = phashVariantRaw(id, seed)
+      val data = ((id % 3) + 1) % 3 match {
+        case 0 => graft.codec.Png.encode(w, h, rgb)
+        case 1 => Codecs.imageIoPng(w, h, rgb, progressive = false)
+        case _ => Codecs.imageIoPng(w, h, rgb, progressive = true)
+      }
+      MediaBlob(id + 100000L, "png", w, h, 1, data)
+    }
+    syntheticPngs(spark, n, seed).unionByName(variants)
+  }
+
+  /** Perceptual hashes from DECODED payloads: each partition decodes its
+    * PNGs (pure-JVM codec, O(image) memory) and emits (media_id, phash).
+    * Distributed map — no shuffle; pair finding is
+    * [[graft.operators.Dedup.hammingNearDup]]'s pigeonhole chunk join,
+    * never an all-pairs scan.
+    */
+  def perceptualHashes(media: Dataset[MediaBlob]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { b =>
+      val (w, h, rgb) = graft.codec.Png.decode(b.data)
+      (b.media_id, dHash64(w, h, rgb))
+    }.toDF("media_id", "phash")
+  }
+
   /** Deterministic seeded palette + index draw for the GIF table — ONE
     * copy shared with the m06 golden replay (which maps indices through
     * the palette and never touches the codec).

@@ -1500,7 +1500,66 @@ object LlmQueries {
           .orderBy(col("media_id"))
       }, None, Some(_ => mGoldenSql("m06-gif-150-v1",
         "media_id, width, height, mean_luma", "media_id"))),
+
+    // Perceptual near-dup over IMAGES — the multimodal member of the
+    // dedup family: payloads decode through the pure-JVM PNG codec,
+    // hash to a 64-bit dHash (BT.601 luma → 9×8 box-downsample →
+    // difference bits), and pair via the SAME pigeonhole chunk join
+    // simhash uses ([[graft.operators.Dedup.hammingNearDup]]) — never
+    // all-pairs. The fixture plants two variant kinds per base id <
+    // nVar: a +8 brightness shift (different pixels, IDENTICAL dHash —
+    // the invariance a perceptual hash exists for) and an exact
+    // re-encode through a DIFFERENT PNG encoder (identical pixels,
+    // different bytes — the dup a byte-hash dedup misses). The golden
+    // replays the raw draws through the ONE shared dHash64 (never the
+    // codec), so hash agreement proves the decode path bit-exact
+    // (PNG is lossless); the oracle re-derives the pairs from the
+    // golden hashes with the same pigeonhole in SQL.
+    "m07_phash_neardup" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val n = 200; val nVar = 40
+        val gname = s"m07-phash-$n-$nVar-v1"
+        MultimodalGolden.ensureGoldenDf(gname,
+          s.range(n + nVar).map { boxed =>
+            val i: Long = boxed // spark.range boxes; pin the branch types
+            if (i < n) {
+              val (w, h, rgb) = Multimodal.pngRawDraw(i)
+              (i, Multimodal.dHash64(w, h, rgb))
+            } else {
+              val (w, h, rgb) = Multimodal.phashVariantRaw(i - n)
+              (i - n + 100000L, Multimodal.dHash64(w, h, rgb))
+            }
+          }.toDF("media_id", "phash"))
+        val hashes = Multimodal.perceptualHashes(
+          Multimodal.syntheticPngVariants(s, n, nVar))
+        graft.operators.Dedup.hammingNearDup(hashes, maxHamming = 3,
+            idCol = "media_id", hashCol = "phash")
+          .orderBy(col("id_a"), col("id_b"))
+      }, None, Some(_ => m07Sql("m07-phash-200-40-v1"))),
   )
+
+  /** m07's oracle from the phash golden — the l03Sql pigeonhole shape:
+    * candidates agree on one 16-bit chunk (arithmetic >> then mask ≡
+    * the engine's unsigned shift after the mask), then the exact
+    * popcount-of-xor filter.
+    */
+  private def m07Sql(gname: String): String = {
+    val base = MultimodalGolden.goldenBase(gname)
+    s"""WITH sig AS (
+       |  SELECT media_id, phash FROM read_parquet('$base/*.parquet')),
+       |bnd AS (
+       |  SELECT media_id, phash, c AS chunk,
+       |    (phash >> (c*16)) & 65535 AS ckey
+       |  FROM sig, generate_series(0, 3) g(c)),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       |    bit_count(xor(a.phash, b.phash)) AS h
+       |  FROM bnd a JOIN bnd b ON a.chunk = b.chunk AND a.ckey = b.ckey
+       |    AND a.media_id < b.media_id)
+       |SELECT id_a, id_b, h::INT AS hamming
+       |FROM cand WHERE h <= 3 ORDER BY id_a, id_b""".stripMargin
+  }
 
   // media count per sf dir (300 at sf≤0.01, 2000 at sf0.1) — a pure
   // function of the dir, shared by the m01 query fn and its golden SQL

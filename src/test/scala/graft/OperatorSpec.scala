@@ -1158,6 +1158,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(ok, "10x fuzzy join wall ratio >= 35x on all 3 attempts")
   }
 
+  test("perceptual dHash: brightness-shift invariant, lossless decode " +
+      "reproduces raw-pixel hashes, banded join equals brute force") {
+    import graft.operators.Multimodal
+    // invariance: +8 shift preserves every luma difference (no clamp on
+    // the smooth fixture) — the reason the m07 variant pairs at hamming 0
+    for (id <- 0L until 10L) {
+      val (w, h, rgb) = Multimodal.pngRawDraw(id)
+      val shifted = rgb.map(b => math.min(255, (b & 0xff) + 8).toByte)
+      assert(Multimodal.dHash64(w, h, rgb) ==
+        Multimodal.dHash64(w, h, shifted), s"id=$id")
+    }
+    // decode path == raw path (PNG lossless), across all three encoders
+    val media = Multimodal.syntheticPngVariants(spark, 30, 10)
+    val decoded = Multimodal.perceptualHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- 0L until 30L) {
+      val (w, h, rgb) = Multimodal.pngRawDraw(id)
+      assert(decoded(id) == Multimodal.dHash64(w, h, rgb), s"base $id")
+    }
+    for (id <- 0L until 10L) {
+      val (w, h, rgb) = Multimodal.phashVariantRaw(id)
+      assert(decoded(id + 100000L) == Multimodal.dHash64(w, h, rgb),
+        s"variant $id")
+    }
+    // pigeonhole banded join == brute-force hamming on the same hashes
+    val hashes = decoded.toSeq.toDF("media_id", "phash")
+    val got = Dedup.hammingNearDup(hashes, maxHamming = 3,
+        idCol = "media_id", hashCol = "phash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (a, ha) <- decoded.toSeq; (b, hb) <- decoded.toSeq
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(got == brute,
+      s"missing=${brute -- got} extra=${got -- brute}")
+  }
+
   test("normalizeTs canonicalizes ns-long, us-NTZ and instant ts " +
       "fixtures to identical TimestampType output (schema-drift guard)") {
     // the r8 testdata changed events.ts from TIMESTAMP(NANOS) to
