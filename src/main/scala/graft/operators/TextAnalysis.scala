@@ -25,6 +25,45 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Fixed-size token chunking with overlap — the RAG / context-window
+    * prep step between cleaning and packing: each document's token
+    * array is sliced into windows of `chunkTokens` advancing by
+    * (chunkTokens − overlapTokens), so consecutive chunks share
+    * `overlapTokens` tokens and no boundary sentence is lost to a hard
+    * cut. Output: (id, chunk_idx, chunk_tokens, chunk_text); the final
+    * chunk may be short; zero-token documents produce no chunks; a
+    * would-be tail chunk that adds NO tokens beyond the previous
+    * chunk's coverage (start + overlap ≥ n — a pure suffix of its
+    * predecessor) is suppressed, the standard text-splitter contract.
+    *
+    * Scale shape: a NARROW per-row transform — tokenize once, explode a
+    * ~(tokens/step)-element start index array, slice — no shuffle, no
+    * UDF, everything codegen'd builtins, so it pipelines inside
+    * whatever scan/filter stage precedes it. Output volume is input
+    * tokens × (1 + overlap/step) — the amplification is the
+    * user-chosen redundancy, not a join blow-up.
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 64,
+                overlapTokens: Int = 16, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(overlapTokens >= 0 && chunkTokens > overlapTokens,
+      s"need 0 <= overlap < chunk, got $overlapTokens/$chunkTokens")
+    val step = chunkTokens - overlapTokens
+    docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col(idCol), col("n"), col("toks"),
+        explode(sequence(lit(0), col("n") - 1, lit(step))).as("start"))
+      .filter(col("start") === 0 ||
+        col("start") + overlapTokens < col("n"))
+      .select(col(idCol),
+        expr(s"CAST(start div $step AS BIGINT)").as("chunk_idx"),
+        slice(col("toks"), col("start") + 1, lit(chunkTokens)).as("ctoks"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("ctoks")).cast("long").as("chunk_tokens"),
+        array_join(col("ctoks"), " ").as("chunk_text"))
+  }
+
   /** Per-document top terms by BM25 weight — corpus term statistics (tf,
     * df, document length, corpus avgdl) composed into the standard BM25
     * term score, with one deliberate twist: the idf factor is the RATIONAL

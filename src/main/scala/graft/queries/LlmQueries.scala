@@ -534,6 +534,36 @@ object LlmQueries {
              |FROM p GROUP BY source, pack_id
              |ORDER BY source, pack_id""".stripMargin)),
 
+    // Fixed-size token chunking with overlap (64/16) — the RAG /
+    // context-window prep sibling of l17's packing: l17 concatenates
+    // short docs UP to a budget, this slices long docs DOWN to it with
+    // boundary redundancy. Narrow per-row transform, no shuffle; the
+    // oracle re-derives every chunk (slice bounds, short tail, token
+    // counts, joined text) from the same whitespace tokenization.
+    "l34_chunk_overlap" -> QuerySpec(
+      (s, dir) => {
+        TextAnalysis.chunkDocs(Tables(s, dir, "documents"),
+            chunkTokens = 64, overlapTokens = 16)
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |        x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |n AS (SELECT doc_id, toks, len(toks) AS n FROM t
+             |      WHERE len(toks) > 0),
+             |s0 AS (SELECT doc_id, toks, n,
+             |        unnest(range(0, CAST(n AS BIGINT), 48)) AS start
+             |      FROM n),
+             |s AS (SELECT * FROM s0 WHERE start = 0 OR start + 16 < n)
+             |SELECT doc_id, start // 48 AS chunk_idx,
+             |  len(list_slice(toks, CAST(start+1 AS BIGINT),
+             |      CAST(start+64 AS BIGINT))) AS chunk_tokens,
+             |  array_to_string(list_slice(toks, CAST(start+1 AS BIGINT),
+             |      CAST(start+64 AS BIGINT)), ' ') AS chunk_text
+             |FROM s ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // Corpus n-gram statistics: top-50 bigrams by frequency — exact
     // integer counts, deterministic total order (count desc, ngram).
     "l19_top_ngrams" -> QuerySpec(

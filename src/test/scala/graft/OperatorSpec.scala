@@ -1158,6 +1158,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(ok, "10x fuzzy join wall ratio >= 35x on all 3 attempts")
   }
 
+  test("chunkDocs: consecutive chunks share exactly the overlap; " +
+      "dropping each successor's overlap prefix reconstructs the doc") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, (1 to 150).map(i => s"w$i").mkString(" ")), // 3 chunks
+      (2L, (1 to 64).map(i => s"x$i").mkString(" ")),  // exactly one
+      (3L, "lone"),                                     // short tail only
+      (4L, "   ")                                       // zero tokens
+    ).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocs(docs, chunkTokens = 64,
+        overlapTokens = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(!chunks.contains(4L), "zero-token doc must yield no chunks")
+    assert(chunks(2L).length == 1 && chunks(2L).head._3 == 64L)
+    assert(chunks(3L) sameElements Array((3L, 0L, 1L, "lone")))
+    val c1 = chunks(1L)
+    // starts 0,48,96 — the would-be start-144 chunk (tokens 145..150)
+    // adds nothing beyond chunk 96's coverage and is suppressed
+    assert(c1.length == 3 && c1.map(_._3).toSeq == Seq(64L, 64L, 54L))
+    for (w <- c1.map(_._4.split(" ").toSeq).toSeq.sliding(2)) {
+      val (a, b) = (w(0), w(1))
+      val k = math.min(16, b.length) // tail may be shorter than overlap
+      assert(a.drop(48).take(k) == b.take(k), "overlap mismatch")
+    }
+    val rebuilt = c1.map(_._4.split(" ").toSeq)
+      .reduceLeft((acc, next) => acc ++ next.drop(16))
+    assert(rebuilt == (1 to 150).map(i => s"w$i"))
+  }
+
   test("perceptual dHash: brightness-shift invariant, lossless decode " +
       "reproduces raw-pixel hashes, banded join equals brute force") {
     import graft.operators.Multimodal

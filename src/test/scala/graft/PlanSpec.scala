@@ -241,6 +241,33 @@ class PlanSpec extends AnyFunSuite {
       s"bloom probe not below the join:\n${plan.take(3000)}")
   }
 
+  test("m07/l03: pigeonhole hamming join is an equi-join, never " +
+      "all-pairs (no cartesian / broadcast nested loop)") {
+    import spark.implicits._
+    val hashes = (0L until 50L).map(i => (i, i * 0x9E3779B97F4A7C15L))
+      .toDF("media_id", "phash")
+    val out = graft.operators.Dedup.hammingNearDup(hashes, maxHamming = 3,
+      idCol = "media_id", hashCol = "phash")
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in hamming plan:\n${plan.take(3000)}")
+  }
+
+  test("l34: token chunking is a narrow per-row transform — zero " +
+      "exchanges in the plan") {
+    val out = graft.operators.TextAnalysis.chunkDocs(
+      Tables(spark, "/root/testdata/sf0.001", "documents"))
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"chunking shuffled:\n${plan.take(3000)}")
+    // '*(n)' operator prefixes = whole-stage-codegen stages in this
+    // toString form
+    assert(plan.contains("*("), plan.take(1000))
+  }
+
   test("l27: CMS point queries evaluate distributively over the " +
       "exact-counts relation — no vocabulary-sized driver materialization") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
