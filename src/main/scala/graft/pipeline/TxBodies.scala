@@ -18,20 +18,34 @@ import graft.codec.Rlp
   */
 object TxBodies {
 
-  private val decodeBodyUdf = udf { blob: Array[Byte] =>
-    val b = Rlp.decodeBlockBody(blob)
-    (b.txIndex, b.txAmount, b.unclesRlp)
-  }
+  /** Typed row shapes for the imperative byte-codec boundaries below.
+    * RLP parse/serialize is inherently per-record byte work — the E1
+    * convention (StateFiles' sortWithinPartitions + mapPartitions)
+    * applies: a typed Dataset map with these by-NAME encoders, not a
+    * ScalaUDF (black-box to Catalyst in the same way, but typed at
+    * compile time and uniform with every other codec boundary in the
+    * project).
+    */
+  final case class RawBody(block: Long, block_hash: Array[Byte],
+                           body_rlp: Array[Byte])
+  final case class EncInput(block: Long, block_hash: Array[Byte],
+                            tx_amount: Long, uncles_rlp: Array[Byte],
+                            txs: Seq[Array[Byte]])
 
   /** Decode body blobs: (block, block_hash, body_rlp) →
     * (block, block_hash, tx_index, tx_amount, uncles_rlp).
     */
-  def decodeBodies(bodies: DataFrame): DataFrame =
-    bodies
-      .withColumn("d", decodeBodyUdf(col("body_rlp")))
-      .select(col("block"), col("block_hash"),
-        col("d._1").as("tx_index"), col("d._2").as("tx_amount"),
-        col("d._3").as("uncles_rlp"))
+  def decodeBodies(bodies: DataFrame): DataFrame = {
+    val spark = bodies.sparkSession
+    import spark.implicits._
+    bodies.select(col("block"), col("block_hash"), col("body_rlp"))
+      .as[RawBody]
+      .map { r =>
+        val b = Rlp.decodeBlockBody(r.body_rlp)
+        (r.block, r.block_hash, b.txIndex, b.txAmount, b.unclesRlp)
+      }
+      .toDF("block", "block_hash", "tx_index", "tx_amount", "uncles_rlp")
+  }
 
   /** J2: per-block transactions via the explode-to-equi-join plan.
     * Returns one row per (block, tx_seq, tx_id, tx_rlp).
@@ -96,20 +110,25 @@ object TxBodies {
     */
   def encodeBlocks(decodedBodies: DataFrame,
                    transactions: DataFrame): DataFrame = {
+    val spark = decodedBodies.sparkSession
+    import spark.implicits._
     val joined = joinTransactions(decodedBodies, transactions)
+    // sort_array on (tx_seq, tx_rlp) structs = tx order restored after
+    // the shuffle; only the rlp payloads survive into the typed row
     val grouped = joined.groupBy(col("block"), col("block_hash"))
-      .agg(sort_array(collect_list(struct(col("tx_seq"), col("tx_rlp"))))
-        .as("txs"))
-    val enc = udf { (block: Long, txAmount: Long, uncles: Array[Byte],
-                     txs: Seq[org.apache.spark.sql.Row]) =>
-      graft.codec.TxBodyCodec.encodeRecord(
-        graft.codec.TxBodyCodec.BodyRecord(block, txAmount, uncles,
-          txs.map(_.getAs[Array[Byte]]("tx_rlp")).toIndexedSeq))
-    }
+      .agg(transform(
+        sort_array(collect_list(struct(col("tx_seq"), col("tx_rlp")))),
+        t => t.getField("tx_rlp")).as("txs"))
     decodedBodies.join(grouped, Seq("block", "block_hash"), "left_outer")
-      .select(col("block"), col("block_hash"),
-        enc(col("block"), col("tx_amount"), col("uncles_rlp"),
-          coalesce(col("txs"), array().cast(
-            "array<struct<tx_seq:bigint,tx_rlp:binary>>"))).as("record"))
+      .select(col("block"), col("block_hash"), col("tx_amount"),
+        col("uncles_rlp"),
+        coalesce(col("txs"), array().cast("array<binary>")).as("txs"))
+      .as[EncInput]
+      .map { r =>
+        (r.block, r.block_hash, graft.codec.TxBodyCodec.encodeRecord(
+          graft.codec.TxBodyCodec.BodyRecord(r.block, r.tx_amount,
+            r.uncles_rlp, r.txs.toIndexedSeq)))
+      }
+      .toDF("block", "block_hash", "record")
   }
 }

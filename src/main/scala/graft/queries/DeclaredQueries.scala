@@ -313,5 +313,38 @@ object DeclaredQueries {
              |CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Q17 — the INTERVAL JOIN rewrite (RangeJoin.intervalJoin): Catalyst
+    // plans a bare BETWEEN join as BroadcastNestedLoopJoin (or an
+    // equi-join with a per-key quadratic residual); the operator buckets
+    // the time domain so the plan is a shuffled EQUI-join on
+    // (user_id, bucket) with the exact range check as a post-filter —
+    // PlanSpec pins the no-nested-loop shape. The oracle is the PLAIN
+    // inequality join: the rewrite must be result-identical. Query:
+    // clicks within 12 h after a purchase by the same user (attribution
+    // windows — the classic interval-join workload).
+    "q17_interval_join" -> QuerySpec(
+      (s, dir) => {
+        val winUs = 12L * 3600L * 1000000L
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            unix_micros(col("ts")).as("start_us"))
+          .withColumn("end_us", col("start_us") + winUs)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            unix_micros(col("ts")).as("click_us"))
+        graft.operators.RangeJoin.intervalJoin(clicks, "click_us",
+            purchases, "start_us", "end_us", bucketWidth = winUs,
+            keys = Seq("user_id"))
+          .select(col("user_id"), col("purchase_id"), col("click_id"))
+          .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+      },
+      Some("""SELECT p.user_id, p.event_id AS purchase_id,
+             |  c.event_id AS click_id
+             |FROM events p JOIN events c ON c.user_id = p.user_id
+             |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+             |  AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 12 HOUR
+             |ORDER BY 1, 2, 3""".stripMargin)),
   )
 }

@@ -1158,6 +1158,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(ok, "10x fuzzy join wall ratio >= 35x on all 3 attempts")
   }
 
+  test("intervalJoin: bucketed equi-join equals the naive range join " +
+      "on random intervals, including spans wider than the bucket") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(77L)
+    // spans 0..5000 against bucketWidth 1000: most intervals cross
+    // multiple buckets; some are points; domains collide across keys
+    val intervals = (0 until 300).map { i =>
+      val s0 = rnd.nextInt(100000).toLong
+      (i.toLong, s0, s0 + rnd.nextInt(5000).toLong, rnd.nextInt(4).toLong)
+    }.toDF("iv_id", "start_v", "end_v", "k")
+    val points = (0 until 500).map { i =>
+      (1000L + i, rnd.nextInt(100000).toLong, rnd.nextInt(4).toLong)
+    }.toDF("p_id", "p_v", "k")
+    val got = RangeJoin.intervalJoin(points, "p_v", intervals,
+        "start_v", "end_v", bucketWidth = 1000L, keys = Seq("k"))
+      .select(col("p_id"), col("iv_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      (iv, s0, e0, ik) <- intervals.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      (p, v, pk) <- points.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      if ik == pk && v >= s0 && v <= e0
+    } yield (p, iv)).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("chunkDocs: consecutive chunks share exactly the overlap; " +
       "dropping each successor's overlap prefix reconstructs the doc") {
     import graft.operators.TextAnalysis

@@ -255,6 +255,20 @@ class PlanSpec extends AnyFunSuite {
       s"all-pairs join in hamming plan:\n${plan.take(3000)}")
   }
 
+  test("q17: interval join plans as a shuffled equi-join on " +
+      "(keys, bucket) — no nested-loop, range check is a post-filter") {
+    val df = SparkEntry.queries("q17_interval_join")(spark,
+      "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval join fell back to nested loop:\n${plan.take(3000)}")
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("l34: token chunking is a narrow per-row transform — zero " +
       "exchanges in the plan") {
     val out = graft.operators.TextAnalysis.chunkDocs(
