@@ -130,6 +130,51 @@ object StreamingQueries {
              |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
 
+    // STREAM-STREAM interval join — the streaming twin of
+    // q17_interval_join (batch oracle-identical by construction): two
+    // watermarked event streams join on user_id AND a 12 h event-time
+    // range; Spark's stream-stream join keeps both sides' state and
+    // uses the range condition + watermarks to derive state EVICTION
+    // bounds (a purchase can be dropped once the click watermark passes
+    // its ts + 12 h) — the production attribution-window shape, where
+    // per-side state is bounded by the window's arrival volume, not
+    // stream history. AvailableNow over the fixture file = one batch,
+    // so append-mode inner-join output is complete and deterministic.
+    "st12_stream_interval_join" -> QuerySpec(
+      (s, dir) => {
+        val purchases = eventFileStream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"),
+            col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "0 seconds")
+        val clicks = eventFileStream(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"),
+            col("event_id").as("click_id"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "0 seconds")
+        val joined = clicks.join(purchases,
+          expr("c_user = p_user AND c_ts >= p_ts AND " +
+            "c_ts <= p_ts + interval 12 hours"))
+        withStateSizing(s) {
+          val q = joined
+            .select(col("p_user").as("user_id"), col("purchase_id"),
+              col("click_id"))
+            .writeStream.format("memory").queryName("st12_sink")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.table("st12_sink")
+          .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+      },
+      Some("""SELECT p.user_id, p.event_id AS purchase_id,
+             |  c.event_id AS click_id
+             |FROM events p JOIN events c ON c.user_id = p.user_id
+             |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+             |  AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 12 HOUR
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
     // Exact per-type value quantiles — Spark's exact `percentile`
     // (sort + linear interpolation) is the same estimator as DuckDB's
     // quantile_cont, decimal-quantized on both sides.
