@@ -26,10 +26,13 @@ import org.apache.spark.sql.functions._
   * occupancy. `bucketWidth` ≈ the TYPICAL interval span minimizes the
   * sum (width ≫ span: buckets get crowded, the post-filter discards
   * more; width ≪ span: intervals replicate across many buckets).
-  * Degenerate giant intervals (span ≫ typical) are the skew to watch —
-  * cap them upstream or split the interval relation by span and join
-  * the long tail with a broadcast, exactly the AQE-style split a
-  * planner would make.
+  * Degenerate giant intervals (span ≫ typical) are the skew hazard —
+  * one year-long interval at a 1-minute width would explode to ~525k
+  * bucket rows. The operator SPLITS the interval relation by span:
+  * intervals wider than `longSpanBuckets` buckets skip bucketing and
+  * join through a broadcast instead (they are rare by the same
+  * assumption that makes them dangerous — if they were common, the
+  * width is simply wrong), the AQE-style rewrite done statically.
   */
 object RangeJoin {
 
@@ -43,16 +46,32 @@ object RangeJoin {
   def intervalJoin(points: DataFrame, pointCol: String,
                    intervals: DataFrame, startCol: String, endCol: String,
                    bucketWidth: Long,
-                   keys: Seq[String] = Nil): DataFrame = {
+                   keys: Seq[String] = Nil,
+                   longSpanBuckets: Int = 64): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    require(longSpanBuckets > 0,
+      s"longSpanBuckets must be positive: $longSpanBuckets")
     def bucketOf(c: Column): Column = // integral div: exact on the full
       call_function("div", c.cast("long"), lit(bucketWidth)) // long range
-    val ib = intervals.withColumn("_bucket",
-      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    val rangeOk = col(pointCol) >= col(startCol) &&
+      col(pointCol) <= col(endCol)
+    val spanBuckets =
+      bucketOf(col(endCol)) - bucketOf(col(startCol)) + lit(1L)
+    val ib = intervals.filter(spanBuckets <= longSpanBuckets)
+      .withColumn("_bucket",
+        explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
     val pb = points.withColumn("_bucket", bucketOf(col(pointCol)))
-    pb.join(ib, keys :+ "_bucket")
-      .filter(col(pointCol) >= col(startCol) &&
-        col(pointCol) <= col(endCol))
+    val bucketed = pb.join(ib, keys :+ "_bucket")
+      .filter(rangeOk)
       .drop("_bucket")
+    // the long tail: rare-by-assumption giant intervals broadcast; with
+    // keys this is a BroadcastHashJoin with the range as residual, so
+    // even the tail never plans a data×data nested loop (keyless: a
+    // broadcast loop over the rare giants only — data×rare, not data²)
+    val longSide = broadcast(intervals.filter(spanBuckets > longSpanBuckets))
+    val longTail = (if (keys.isEmpty) points.crossJoin(longSide)
+                    else points.join(longSide, keys))
+      .filter(rangeOk)
+    bucketed.unionByName(longTail.select(bucketed.columns.map(col): _*))
   }
 }

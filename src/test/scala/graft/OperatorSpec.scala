@@ -1164,15 +1164,22 @@ class OperatorSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(77L)
     // spans 0..5000 against bucketWidth 1000: most intervals cross
     // multiple buckets; some are points; domains collide across keys
-    val intervals = (0 until 300).map { i =>
+    // 300 typical intervals plus 5 GIANT ones (span ~50 buckets over
+    // the longSpanBuckets=16 cut) that must route through the broadcast
+    // long-tail branch and still contribute exactly their pairs
+    val intervals = ((0 until 300).map { i =>
       val s0 = rnd.nextInt(100000).toLong
       (i.toLong, s0, s0 + rnd.nextInt(5000).toLong, rnd.nextInt(4).toLong)
-    }.toDF("iv_id", "start_v", "end_v", "k")
+    } ++ (0 until 5).map { i =>
+      val s0 = rnd.nextInt(50000).toLong
+      (900L + i, s0, s0 + 50000L, rnd.nextInt(4).toLong)
+    }).toDF("iv_id", "start_v", "end_v", "k")
     val points = (0 until 500).map { i =>
       (1000L + i, rnd.nextInt(100000).toLong, rnd.nextInt(4).toLong)
     }.toDF("p_id", "p_v", "k")
     val got = RangeJoin.intervalJoin(points, "p_v", intervals,
-        "start_v", "end_v", bucketWidth = 1000L, keys = Seq("k"))
+        "start_v", "end_v", bucketWidth = 1000L, keys = Seq("k"),
+        longSpanBuckets = 16)
       .select(col("p_id"), col("iv_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val expected = (for {
