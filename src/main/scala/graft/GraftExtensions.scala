@@ -16,8 +16,11 @@ import graft.functions.expressions.{CosineSimExpr, DeletionVariantsExpr, MinHash
   * or retrofit an existing session with [[GraftFunctions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(e.injectFunction)
+    // opt-in interval-join bucketing (spark.graft.rangejoin.bucketWidth)
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
 
 object GraftFunctions {

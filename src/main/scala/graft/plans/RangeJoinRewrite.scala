@@ -1,0 +1,144 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Catalyst optimizer rule: rewrite point-in-interval theta joins into
+  * the domain-bucketed equi-join shape
+  * [[graft.operators.RangeJoin.intervalJoin]] builds by hand — applied
+  * AUTOMATICALLY to any join whose condition contains
+  * `p >= s AND p <= e` (any comparison mix; `BETWEEN` desugars to
+  * exactly this) with `p` from one side and both bounds from the other.
+  *
+  * Without the rewrite Catalyst can only plan such a join as
+  * BroadcastNestedLoopJoin (or an equi-join whose range residual runs
+  * per key group) — O(|L|·|R|) the moment neither side broadcasts. The
+  * rewrite adds a conjunct the planner CAN use: each interval row is
+  * exploded to the bucket ids its `[s, e]` overlaps
+  * (`Sequence(s div W, e div W)`), the point side computes its single
+  * bucket id, and `p_bucket = iv_bucket` turns the plan into a shuffled
+  * equi-join. The ORIGINAL condition is kept in full as the residual,
+  * so strict/inclusive bounds and any extra predicates keep their exact
+  * semantics; a Project restores the original output, so the rewrite is
+  * invisible to everything above it.
+  *
+  * Correctness needs only that the bucket map is (a) the same on both
+  * sides and (b) monotone: `IntegralDivide` (truncation toward zero) is
+  * monotone nondecreasing, so bucket(p) always lies in
+  * [bucket(s), bucket(e)] for p ∈ [s, e] — negative domains included.
+  * Null point/bounds produce a null bucket / empty sequence, dropped by
+  * the inner join exactly as null comparisons were. Accepted domain
+  * types: integral, date, timestamp (cast to long is monotone for all).
+  *
+  * Opt-in via `spark.graft.rangejoin.bucketWidth` (long > 0, in the
+  * domain's cast-to-long units — e.g. SECONDS for timestamps): the
+  * right width is workload knowledge (≈ typical interval span), the
+  * same contract as the public range-join bin-size hints in other
+  * engines. 0 (default) disables the rule. Registered by
+  * [[graft.GraftExtensions]]; sessions can also retrofit through
+  * `spark.experimental.extraOptimizations`.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] {
+
+  val WidthConf = "spark.graft.rangejoin.bucketWidth"
+
+  private val PBucket = "_graft_p_bucket"
+  private val IvBucket = "_graft_iv_bucket"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val width = conf.getConfString(WidthConf, "0").toLong
+    if (width <= 0) plan
+    else plan.transformUp {
+      case j @ Join(_, _, Inner, Some(cond), _) if !alreadyRewritten(cond) =>
+        rewrite(j, width).getOrElse(j)
+    }
+  }
+
+  // the rule runs inside a fixed-point batch: the rewritten join still
+  // contains the range conjuncts (as residual), so mark by bucket-attr
+  // name and never touch a marked join again
+  private def alreadyRewritten(cond: Expression): Boolean =
+    cond.exists {
+      case a: Attribute => a.name == PBucket || a.name == IvBucket
+      case _ => false
+    }
+
+  private def domainOk(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType => e.deterministic
+    case _ => false
+  }
+
+  /** (point, bound, boundIsLower) readings of one comparison conjunct. */
+  private def readings(c: Expression): Seq[(Expression, Expression, Boolean)] =
+    c match {
+      case GreaterThanOrEqual(a, b) => Seq((a, b, true), (b, a, false))
+      case GreaterThan(a, b)        => Seq((a, b, true), (b, a, false))
+      case LessThanOrEqual(a, b)    => Seq((a, b, false), (b, a, true))
+      case LessThan(a, b)           => Seq((a, b, false), (b, a, true))
+      case _ => Nil
+    }
+
+  private def rewrite(j: Join, width: Long): Option[LogicalPlan] = {
+    val conjuncts = {
+      def split(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => split(l) ++ split(r)
+        case other => Seq(other)
+      }
+      split(j.condition.get)
+    }
+    def sideOf(e: Expression): Option[Boolean] = { // Some(true)=left side
+      val refs = e.references
+      if (refs.isEmpty) None
+      else if (refs.subsetOf(j.left.outputSet)) Some(true)
+      else if (refs.subsetOf(j.right.outputSet)) Some(false)
+      else None
+    }
+    val candidates = conjuncts.flatMap(readings).flatMap {
+      case (p, b, isLower) =>
+        (sideOf(p), sideOf(b)) match {
+          case (Some(ps), Some(bs))
+              if ps != bs && domainOk(p) && domainOk(b) =>
+            Some((p, ps, b, isLower))
+          case _ => None
+        }
+    }
+    // a usable pattern = one lower and one upper bound for the SAME
+    // point expression, bounds on the same (opposite) side
+    val pattern = candidates.collectFirst {
+      case t @ (p, ps, lo, true) if candidates.exists {
+            case (p2, ps2, _, false) => ps2 == ps && p2.semanticEquals(p)
+            case _ => false
+          } =>
+        val hi = candidates.collectFirst {
+          case (p2, ps2, b2, false)
+              if ps2 == ps && p2.semanticEquals(p) => b2
+        }.get
+        (p, ps, lo, hi)
+    }
+    pattern.map { case (p, pointOnLeft, lo, hi) =>
+      val w = Literal(width)
+      val tz = Some(conf.sessionLocalTimeZone) // Cast/Sequence are
+      def bucket(e: Expression): Expression =  // tz-aware: unresolved
+        IntegralDivide(Cast(e, LongType, tz), w) // without an id
+      val pAlias = Alias(bucket(p), PBucket)()
+      val ivAttr = AttributeReference(IvBucket, LongType, nullable = true)()
+      val seq = Sequence(bucket(lo), bucket(hi), Some(Literal(1L)), tz)
+      def pointsOf(side: LogicalPlan) =
+        Project(side.output :+ pAlias, side)
+      def intervalsOf(side: LogicalPlan) =
+        Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
+          qualifier = None, generatorOutput = Seq(ivAttr), child = side)
+      val (newLeft, newRight) =
+        if (pointOnLeft) (pointsOf(j.left), intervalsOf(j.right))
+        else (intervalsOf(j.left), pointsOf(j.right))
+      val bucketEq = EqualTo(pAlias.toAttribute, ivAttr)
+      val newJoin = Join(newLeft, newRight, Inner,
+        Some(And(j.condition.get, bucketEq)), j.hint)
+      Project(j.output, newJoin)
+    }
+  }
+}

@@ -255,6 +255,76 @@ class PlanSpec extends AnyFunSuite {
       s"all-pairs join in hamming plan:\n${plan.take(3000)}")
   }
 
+  test("RangeJoinRewrite: a BETWEEN theta join auto-rewrites to a " +
+      "bucketed equi-join under the conf, result-identical to naive") {
+    import spark.implicits._
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.RangeJoinRewrite)
+    val rnd = new scala.util.Random(13L)
+    val points = (0 until 400).map(i =>
+      (i.toLong, rnd.nextInt(50000).toLong)).toDF("p_id", "p_v")
+    val intervals = (0 until 200).map { i =>
+      val s0 = rnd.nextInt(50000).toLong
+      (1000L + i, s0, s0 + rnd.nextInt(2000).toLong)
+    }.toDF("iv_id", "s_v", "e_v")
+    def run() = points.join(intervals,
+        $"p_v" >= $"s_v" && $"p_v" <= $"e_v")
+      .select($"p_id", $"iv_id")
+    val naive = run()
+    naive.count()
+    assert(naive.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin")) // what Catalyst does alone
+    val expected = naive.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "1000")
+    try {
+      val rewritten = run()
+      rewritten.count()
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"rewrite did not fire:\n${plan.take(3000)}")
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin") ||
+        plan.contains("BroadcastHashJoin"), plan.take(3000))
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(got == expected,
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+
+      // timestamp domain + equality key, written as PLAIN SQL the way a
+      // user would (the q17 shape with no manual bucketing): the rule
+      // must still fire (Cast(ts → long) is monotone; width in seconds)
+      val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+      ev.createOrReplaceTempView("ev_rjr")
+      spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf,
+        (12L * 3600L).toString)
+      val sqlJoin = spark.sql(
+        """SELECT p.user_id, p.event_id AS purchase_id,
+          |  c.event_id AS click_id
+          |FROM ev_rjr p JOIN ev_rjr c ON c.user_id = p.user_id
+          |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+          |  AND c.ts >= p.ts AND c.ts <= p.ts + interval 12 hours
+          |""".stripMargin)
+      sqlJoin.count()
+      val sqlPlan = sqlJoin.queryExecution.executedPlan.toString
+      assert(!sqlPlan.contains("BroadcastNestedLoopJoin") &&
+        !sqlPlan.contains("CartesianProduct"),
+        s"ts-domain rewrite did not fire:\n${sqlPlan.take(3000)}")
+      val viaRule = sqlJoin.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "0")
+      // independent expected set: the hand-bucketed q17 operator path
+      val naiveTs = SparkEntry.queries("q17_interval_join")(spark,
+          "/root/testdata/sf0.001").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(viaRule == naiveTs,
+        s"missing=${(naiveTs -- viaRule).take(5)} extra=${(viaRule -- naiveTs).take(5)}")
+    } finally spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "0")
+  }
+
   test("q17: interval join plans as a shuffled equi-join on " +
       "(keys, bucket) — no nested-loop, range check is a post-filter") {
     val df = SparkEntry.queries("q17_interval_join")(spark,
