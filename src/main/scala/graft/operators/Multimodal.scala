@@ -568,6 +568,99 @@ object Multimodal {
     }.toDF("media_id", "phash")
   }
 
+  /** 64-bit audio fingerprint over 16-bit PCM samples — the dHash idea
+    * in the time domain (Philips/Haitsma-Kalker sign-of-energy-delta
+    * fingerprinting, reduced to integer time-domain band energies so it
+    * is bit-exact): samples split into 8 equal windows × 9 sub-bands,
+    * energy = Σ s² per sub-band (Long — exact), bit (r·8+c) set iff
+    * band[r][c+1] > band[r][c]. Uniform GAIN scaling multiplies every
+    * energy by the same factor and preserves every comparison — the
+    * invariance an amplitude-normalizing dedup needs. ONE copy shared
+    * by the decode path and the m08 golden replay (the dHash64 / m07
+    * convention), so decoded-sample fingerprints match the golden only
+    * if WAV decode reproduced the PCM exactly.
+    */
+  def audioFingerprint64(samples: Array[Short]): Long = {
+    val rows = 8; val cols = 9
+    val e = Array.ofDim[Long](rows, cols)
+    val n = samples.length
+    var r = 0
+    while (r < rows) {
+      val w0 = r * n / rows; val w1 = (r + 1) * n / rows
+      var c = 0
+      while (c < cols) {
+        val x0 = w0 + (w1 - w0) * c / cols
+        val x1 = w0 + (w1 - w0) * (c + 1) / cols
+        var sum = 0L
+        var i = x0
+        while (i < x1) { val s = samples(i).toLong; sum += s * s; i += 1 }
+        e(r)(c) = sum
+        c += 1
+      }
+      r += 1
+    }
+    var bits = 0L
+    r = 0
+    while (r < rows) {
+      var c = 0
+      while (c < cols - 1) {
+        if (e(r)(c + 1) > e(r)(c)) bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** Deterministic PCM draw for the m08 table (tone + seeded noise, the
+    * syntheticMedia audio recipe at a dedicated seed offset).
+    */
+  def audioRawDraw(id: Long, seed: Long = 42L): Array[Short] = {
+    val rnd = new scala.util.Random(seed + 2654435761L * id)
+    Array.tabulate(2048 + rnd.nextInt(8192)) { i =>
+      (math.sin(i * 0.05) * 8000 + rnd.nextInt(2001) - 1000).toShort
+    }
+  }
+
+  /** m08 variant: uniform gain (×2 even ids, ×3 odd) — no clipping
+    * (|sample| ≤ 9000, ×3 < 32767), so the fingerprint is IDENTICAL by
+    * the energy-order argument. ONE copy shared with the golden replay.
+    */
+  def audioVariantRaw(id: Long, seed: Long = 42L): Array[Short] = {
+    val gain = if (id % 2 == 0) 2 else 3
+    audioRawDraw(id, seed).map(s => (s * gain).toShort)
+  }
+
+  /** m08 fixture: n base WAVs plus one gain-scaled variant per base
+    * id < nVariants at media_id+100000.
+    */
+  def syntheticWavVariants(spark: SparkSession, n: Int, nVariants: Int,
+                           seed: Long = 42L): Dataset[MediaBlob] = {
+    import spark.implicits._
+    val base = spark.range(n).map { id =>
+      MediaBlob(id, "audio", 0, 0, 1,
+        Codecs.encodeWav(16000, audioRawDraw(id, seed)))
+    }
+    val variants = spark.range(nVariants).map { id =>
+      MediaBlob(id + 100000L, "audio", 0, 0, 1,
+        Codecs.encodeWav(16000, audioVariantRaw(id, seed)))
+    }
+    base.unionByName(variants)
+  }
+
+  /** Audio fingerprints from DECODED payloads (same distributed shape
+    * as [[perceptualHashes]]): (media_id, phash) — the column name is
+    * deliberately shared with m07 so both modalities ride the same
+    * pigeonhole oracle SQL and [[graft.operators.Dedup.hammingNearDup]].
+    */
+  def audioFingerprints(media: Dataset[MediaBlob]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { b =>
+      val (_, samples) = Codecs.decodeWav(b.data)
+      (b.media_id, audioFingerprint64(samples))
+    }.toDF("media_id", "phash")
+  }
+
   /** Deterministic seeded palette + index draw for the GIF table — ONE
     * copy shared with the m06 golden replay (which maps indices through
     * the palette and never touches the codec).

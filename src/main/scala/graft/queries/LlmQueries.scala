@@ -1567,7 +1567,37 @@ object LlmQueries {
             idCol = "media_id", hashCol = "phash")
           .orderBy(col("id_a"), col("id_b"))
       }, None, Some(_ => m07Sql("m07-phash-200-40-v1"))),
-  )
+  ) + m08Entry
+
+  /** m08 — the m07 contract on AUDIO: WAV payloads decode through the
+    * PCM codec, fingerprint via the shared integer energy-delta hash
+    * (gain-scaled variants planted — ×2/×3 amplification preserves
+    * every energy comparison, so the fingerprint is identical and the
+    * pair lands at hamming 0), pairs via the SAME pigeonhole join and
+    * the SAME oracle SQL as m07 (golden column names shared by design).
+    */
+  private def m08Entry: (String, QuerySpec) =
+    "m08_audio_fingerprint" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val n = 200; val nVar = 40
+        val gname = s"m08-afp-$n-$nVar-v1"
+        MultimodalGolden.ensureGoldenDf(gname,
+          s.range(n + nVar).map { boxed =>
+            val i: Long = boxed
+            if (i < n)
+              (i, Multimodal.audioFingerprint64(Multimodal.audioRawDraw(i)))
+            else
+              (i - n + 100000L,
+                Multimodal.audioFingerprint64(
+                  Multimodal.audioVariantRaw(i - n)))
+          }.toDF("media_id", "phash"))
+        val hashes = Multimodal.audioFingerprints(
+          Multimodal.syntheticWavVariants(s, n, nVar))
+        graft.operators.Dedup.hammingNearDup(hashes, maxHamming = 3,
+            idCol = "media_id", hashCol = "phash")
+          .orderBy(col("id_a"), col("id_b"))
+      }, None, Some(_ => m07Sql("m08-afp-200-40-v1")))
 
   /** m07's oracle from the phash golden — the l03Sql pigeonhole shape:
     * candidates agree on one 16-bit chunk (arithmetic >> then mask ≡

@@ -1193,6 +1193,29 @@ class OperatorSpec extends AnyFunSuite {
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
 
+  test("audio fingerprint: gain-invariant (x2/x3, no clipping), " +
+      "lossless WAV decode reproduces raw-sample fingerprints") {
+    import graft.operators.Multimodal
+    for (id <- 0L until 10L) {
+      val raw = Multimodal.audioRawDraw(id)
+      val fp = Multimodal.audioFingerprint64(raw)
+      for (gain <- Seq(2, 3)) {
+        val scaled = raw.map(s => (s * gain).toShort)
+        assert(Multimodal.audioFingerprint64(scaled) == fp,
+          s"id=$id gain=$gain")
+      }
+    }
+    val decoded = Multimodal.audioFingerprints(
+        Multimodal.syntheticWavVariants(spark, 20, 6)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- 0L until 20L)
+      assert(decoded(id) == Multimodal.audioFingerprint64(
+        Multimodal.audioRawDraw(id)), s"base $id")
+    for (id <- 0L until 6L)
+      assert(decoded(id + 100000L) == Multimodal.audioFingerprint64(
+        Multimodal.audioVariantRaw(id)), s"variant $id")
+  }
+
   test("chunkDocs: consecutive chunks share exactly the overlap; " +
       "dropping each successor's overlap prefix reconstructs the doc") {
     import graft.operators.TextAnalysis
