@@ -661,6 +661,85 @@ object Multimodal {
     }.toDF("media_id", "phash")
   }
 
+  /** Per-pixel integer luma L1 distance between two same-size RGB
+    * frames — the scene-change statistic (exact Long arithmetic; ONE
+    * copy shared by the decode path and the m09 golden replay).
+    */
+  def frameDeltaLuma(a: Array[Byte], b: Array[Byte]): Long = {
+    val la = Codecs.lumaOf(a); val lb = Codecs.lumaOf(b)
+    require(la.length == lb.length, "frame size mismatch")
+    var sum = 0L; var i = 0
+    while (i < la.length) {
+      sum += math.abs((la(i) & 0xff) - (lb(i) & 0xff)); i += 1
+    }
+    sum
+  }
+
+  /** Deterministic scene-structured raw frames for the m09 table:
+    * scenes of 6–15 frames, each frame = the scene's base image plus
+    * fresh ±3 per-pixel jitter (smoothRgb stays in 28..228 — no
+    * clamping), a cut draws a new base. Within-scene luma deltas land
+    * around ~1–2 per pixel, cuts around ~40+ — the 8000 threshold on a
+    * 32×24 frame separates them by an order of magnitude on both
+    * sides.
+    */
+  def videoSceneDraw(id: Long, seed: Long = 42L): Seq[Array[Byte]] = {
+    val rnd = new scala.util.Random(seed + 7919L * id)
+    val w = 32; val h = 24
+    val nFrames = 24 + rnd.nextInt(32)
+    var base: Array[Byte] = null
+    var left = 0
+    (0 until nFrames).map { _ =>
+      if (left == 0) {
+        // rejection-sample the new scene base until it sits far from
+        // the previous one (two random smooth draws can land close):
+        // keeps every cut delta an order of magnitude above jitter,
+        // deterministically (the seeded rnd consumes draws in order)
+        var nb = smoothRgb(w, h, rnd)
+        if (base != null)
+          while (frameDeltaLuma(base, nb) < 20000L) nb = smoothRgb(w, h, rnd)
+        base = nb
+        left = 6 + rnd.nextInt(10)
+      }
+      left -= 1
+      base.map(b => ((b & 0xff) + rnd.nextInt(7) - 3).toByte)
+    }
+  }
+
+  /** m09 fixture: scene-structured GVID videos (lossless BMP frames, so
+    * decoded deltas must equal the raw-draw golden bit for bit).
+    */
+  def syntheticSceneVideos(spark: SparkSession, n: Int,
+                           seed: Long = 42L): Dataset[MediaBlob] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val frames = videoSceneDraw(id, seed)
+      MediaBlob(id, "video", 32, 24, frames.length,
+        Codecs.encodeVideo(frames.map(Codecs.encodeBmp(32, 24, _))))
+    }
+  }
+
+  /** Consecutive-frame luma deltas from DECODED payloads — one row per
+    * frame_idx ≥ 1. Frames decode sequentially inside the task (GVID
+    * random access walks length prefixes; BMP is lossless), holding two
+    * frames at a time — O(frame) memory however long the video.
+    */
+  def sceneDeltas(media: Dataset[MediaBlob]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { b =>
+      val n = Codecs.videoFrameCount(b.data)
+      var prev: Array[Byte] = null
+      (0 until n).iterator.flatMap { i =>
+        val (_, _, rgb) = Codecs.decodeBmp(Codecs.videoFrame(b.data, i))
+        val out =
+          if (i == 0) None
+          else Some((b.media_id, i, frameDeltaLuma(prev, rgb)))
+        prev = rgb
+        out
+      }
+    }.toDF("media_id", "frame_idx", "delta")
+  }
+
   /** Deterministic seeded palette + index draw for the GIF table — ONE
     * copy shared with the m06 golden replay (which maps indices through
     * the palette and never touches the codec).

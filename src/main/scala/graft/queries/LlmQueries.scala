@@ -1567,7 +1567,7 @@ object LlmQueries {
             idCol = "media_id", hashCol = "phash")
           .orderBy(col("id_a"), col("id_b"))
       }, None, Some(_ => m07Sql("m07-phash-200-40-v1"))),
-  ) + m08Entry
+  ) + m08Entry + m09Entry
 
   /** m08 — the m07 contract on AUDIO: WAV payloads decode through the
     * PCM codec, fingerprint via the shared integer energy-delta hash
@@ -1598,6 +1598,38 @@ object LlmQueries {
             idCol = "media_id", hashCol = "phash")
           .orderBy(col("id_a"), col("id_b"))
       }, None, Some(_ => m07Sql("m08-afp-200-40-v1")))
+
+  /** m09 — VIDEO scene-change detection, the temporal member of the
+    * multimodal family: GVID payloads walk frame-by-frame (random
+    * access by length prefix, two frames in memory at a time), each
+    * consecutive pair scores an integer luma-L1 delta, and a cut is a
+    * delta over threshold. Scene-structured fixture: within-scene
+    * jitter deltas sit an order of magnitude below cut deltas on both
+    * sides of the 8000 line. The golden replays the raw pre-encode
+    * frames through the ONE shared delta function (BMP frames are
+    * lossless, so decode must match bit-exactly); the oracle re-derives
+    * the cut flags from the golden deltas in SQL.
+    */
+  private def m09Entry: (String, QuerySpec) =
+    "m09_scene_detect" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val n = 200
+        val gname = s"m09-scenes-$n-v2"
+        MultimodalGolden.ensureGoldenDf(gname,
+          s.range(n).flatMap { boxed =>
+            val id: Long = boxed
+            val frames = Multimodal.videoSceneDraw(id)
+            (1 until frames.length).map { i =>
+              (id, i, Multimodal.frameDeltaLuma(frames(i - 1), frames(i)))
+            }
+          }.toDF("media_id", "frame_idx", "delta"))
+        Multimodal.sceneDeltas(Multimodal.syntheticSceneVideos(s, n))
+          .withColumn("is_cut", col("delta") > 8000L)
+          .orderBy(col("media_id"), col("frame_idx"))
+      }, None, Some(_ => mGoldenSql("m09-scenes-200-v2",
+        "media_id, frame_idx, delta, delta > 8000 AS is_cut",
+        "media_id, frame_idx")))
 
   /** m07's oracle from the phash golden — the l03Sql pigeonhole shape:
     * candidates agree on one 16-bit chunk (arithmetic >> then mask ≡

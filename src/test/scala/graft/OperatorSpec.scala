@@ -1193,6 +1193,27 @@ class OperatorSpec extends AnyFunSuite {
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
 
+  test("scene detection: decoded deltas equal raw-frame deltas, and " +
+      "cut deltas separate from jitter deltas by the 8000 threshold") {
+    import graft.operators.Multimodal
+    val decoded = Multimodal.sceneDeltas(
+        Multimodal.syntheticSceneVideos(spark, 20)).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    var below = List.empty[Long]; var above = List.empty[Long]
+    for (id <- 0L until 20L) {
+      val frames = Multimodal.videoSceneDraw(id)
+      for (i <- 1 until frames.length) {
+        val d = Multimodal.frameDeltaLuma(frames(i - 1), frames(i))
+        assert(decoded((id, i)) == d, s"video $id frame $i")
+        if (d > 8000L) above ::= d else below ::= d
+      }
+    }
+    // both classes occur, and the threshold sits in a wide empty band
+    assert(above.nonEmpty && below.nonEmpty)
+    assert(below.max < 4000L, s"jitter delta too high: ${below.max}")
+    assert(above.min > 16000L, s"cut delta too low: ${above.min}")
+  }
+
   test("audio fingerprint: gain-invariant (x2/x3, no clipping), " +
       "lossless WAV decode reproduces raw-sample fingerprints") {
     import graft.operators.Multimodal
