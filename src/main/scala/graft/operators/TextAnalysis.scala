@@ -683,6 +683,63 @@ object TextAnalysis {
       .toDF("term", "exact_count", "est_ge_exact", "est_within_eps")
   }
 
+  /** Frequent-item (heavy hitter) detection with Misra-Gries candidate
+    * pruning — the FREQUENT-ITEMS sketch beside l27's counting sketch
+    * and l11's cardinality sketch. One corpus pass builds a k-counter
+    * Misra-Gries summary PER PARTITION (mapPartitions, bounded at k
+    * entries each — never a full vocabulary map); the driver merges
+    * numPartitions × k entries (sketch-sized, not data-sized) into a
+    * global candidate set, which the MG guarantee makes a SUPERSET of
+    * every item with true count > N/k. A second pass counts EXACTLY,
+    * but only over rows whose term is a broadcast candidate — at 100 TB
+    * the confirm-pass groupBy runs on the candidate-filtered sliver,
+    * not the vocabulary. The final HAVING filter (exact > N/k) makes
+    * the output the EXACT heavy-hitter set: deterministic regardless of
+    * partitioning (partitioning moves which extra candidates survive
+    * pruning, never which true heavy hitters exist — they all reach the
+    * candidate set by the guarantee, and the exact filter drops the
+    * rest), which is what lets a plain GROUP BY/HAVING oracle hash it.
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 50,
+                   textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k > 1, s"k must be > 1: $k")
+    val toks = docs.select(explode(tokens(col(textCol))).as("term"))
+      .localCheckpoint() // one scan feeds sketch pass + confirm pass
+    val partials: Array[(String, Long)] = toks.as[String]
+      .mapPartitions { it =>
+        val counters = new java.util.HashMap[String, Long](k * 2)
+        it.foreach { t =>
+          val c = counters.get(t)
+          if (c != 0L || counters.containsKey(t)) counters.put(t, c + 1)
+          else if (counters.size < k) counters.put(t, 1L)
+          else { // decrement-all step, dropping zeroed counters
+            val e = counters.entrySet().iterator()
+            while (e.hasNext) {
+              val en = e.next()
+              if (en.getValue == 1L) e.remove()
+              else en.setValue(en.getValue - 1)
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        counters.asScala.iterator.map { case (t, c) => (t, c) }
+      }.collect()
+    // merged candidate set: sketch-sized (≤ partitions × k terms) — a
+    // broadcast join, not an In-list, so 10k-partition clusters with
+    // large candidate unions still get a hash-probe plan
+    val candDf = spark.createDataset(partials.map(_._1).distinct.toSeq)
+      .toDF("term")
+    val n = toks.count()
+    val threshold = n / k
+    toks.join(broadcast(candDf), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("exact_count"))
+      .filter(col("exact_count") > threshold)
+      .withColumn("share",
+        quant4(col("exact_count").cast("double") / n.toDouble))
+  }
+
   /** l26's parameters, ONE copy (the Bm25-object convention). */
   object Bpe {
     val NumMerges = 12

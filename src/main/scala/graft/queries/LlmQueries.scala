@@ -564,6 +564,31 @@ object LlmQueries {
              |      CAST(start+64 AS BIGINT)), ' ') AS chunk_text
              |FROM s ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // Frequent items via Misra-Gries candidate pruning + exact confirm
+    // (l19 ranks top-k exactly; this answers the different question
+    // "every term above an N/k frequency floor" with bounded-memory
+    // sketch passes). Output is the EXACT heavy-hitter set — the MG
+    // superset guarantee + exact HAVING filter make it independent of
+    // partitioning — so the oracle is a plain GROUP BY/HAVING.
+    "l35_heavy_hitters" -> QuerySpec(
+      (s, dir) => {
+        TextAnalysis.heavyHitters(Tables(s, dir, "documents"), k = 50)
+          .orderBy(col("term"))
+      },
+      Some("""WITH t AS (
+             |  SELECT unnest(list_filter(
+             |    regexp_split_to_array(lower(trim(text)), '\s+'),
+             |    x -> length(x) > 0)) AS term
+             |  FROM documents),
+             |tot AS (SELECT COUNT(*) AS n FROM t)
+             |SELECT term, COUNT(*) AS exact_count,
+             |  floor((COUNT(*)::DOUBLE / (SELECT n FROM tot))
+             |    * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+             |    AS share
+             |FROM t GROUP BY term
+             |HAVING COUNT(*) > (SELECT n FROM tot) // 50
+             |ORDER BY term""".stripMargin)),
+
     // Corpus n-gram statistics: top-50 bigrams by frequency — exact
     // integer counts, deterministic total order (count desc, ngram).
     "l19_top_ngrams" -> QuerySpec(

@@ -1193,6 +1193,36 @@ class OperatorSpec extends AnyFunSuite {
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
 
+  test("heavyHitters: Misra-Gries pruning + exact confirm equals plain " +
+      "GROUP BY/HAVING even at tiny k (aggressive pruning) and skew") {
+    import graft.operators.TextAnalysis
+    for (seed <- Seq(3L, 21L)) {
+      val rnd = new scala.util.Random(seed)
+      // zipf-ish: few very hot words, long uniform tail — the shape
+      // where a naive top-k-per-partition heuristic loses true HHs
+      val vocab = (0 until 200).map(i => s"w$i")
+      val docs = (0 until 120).map { i =>
+        val words = (0 until 150).map { _ =>
+          val r = rnd.nextInt(100)
+          if (r < 40) vocab(rnd.nextInt(3))         // hot head
+          else if (r < 70) vocab(3 + rnd.nextInt(10))
+          else vocab(13 + rnd.nextInt(187))         // tail
+        }
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text").repartition(7) // multiple MG partials
+      val k = 5
+      val got = TextAnalysis.heavyHitters(docs, k = k)
+        .select(col("term"), col("exact_count"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val counts = docs.collect().flatMap(_.getString(1).split(" "))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = counts.values.sum
+      val expected = counts.filter(_._2 > n / k).toSet
+      assert(got == expected,
+        s"seed=$seed missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("scene detection: decoded deltas equal raw-frame deltas, and " +
       "cut deltas separate from jitter deltas by the 8000 threshold") {
     import graft.operators.Multimodal
