@@ -52,17 +52,29 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     val width = conf.getConfString(WidthConf, "0").toLong
     if (width <= 0) plan
     else plan.transformUp {
-      case j @ Join(_, _, Inner, Some(cond), _) if !alreadyRewritten(cond) =>
+      // streaming joins are excluded: StreamingSymmetricHashJoin derives
+      // its state-eviction bounds from the RAW range condition and plan
+      // shape (st12's contract) — restructuring under it would break
+      // watermark-based state cleanup
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if !left.isStreaming && !right.isStreaming &&
+            !alreadyRewritten(cond) =>
         rewrite(j, width).getOrElse(j)
     }
   }
 
   // the rule runs inside a fixed-point batch: the rewritten join still
   // contains the range conjuncts (as residual), so mark by bucket-attr
-  // name and never touch a marked join again
+  // name and never touch a marked join again. "_bucket" is the
+  // hand-bucketed RangeJoin.intervalJoin operator's column — a join
+  // that operator built is already in the target shape, and
+  // re-bucketing it under a conf width in DIFFERENT domain units can
+  // explode the Sequence (observed: a seconds-width conf on a
+  // micros-domain join = 10^6 bucket rows per interval)
   private def alreadyRewritten(cond: Expression): Boolean =
     cond.exists {
-      case a: Attribute => a.name == PBucket || a.name == IvBucket
+      case a: Attribute =>
+        a.name == PBucket || a.name == IvBucket || a.name == "_bucket"
       case _ => false
     }
 

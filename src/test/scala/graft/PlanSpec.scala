@@ -325,6 +325,28 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "0")
   }
 
+  test("RangeJoinRewrite leaves STREAMING joins untouched: st12 output " +
+      "is unchanged with the conf set") {
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.RangeJoinRewrite)
+    // expected set computed with the rule OFF (the conf's width units
+    // are per-domain; only the streaming run needs it on)
+    val batch = SparkEntry.queries("q17_interval_join")(spark,
+        "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf,
+      (12L * 3600L).toString)
+    try {
+      val streamed = SparkEntry.queries("st12_stream_interval_join")(
+          spark, "/root/testdata/sf0.001").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+    } finally spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "0")
+  }
+
   test("q17: interval join plans as a shuffled equi-join on " +
       "(keys, bucket) — no nested-loop, range check is a post-filter") {
     val df = SparkEntry.queries("q17_interval_join")(spark,
