@@ -23,7 +23,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   val readDefaults: Seq[(String, String)] = Seq(
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // normalizeTs's NTZ→Timestamp cast is instant-correct only under
+    // UTC, and every DuckDB-oracle hash depends on it — so the timezone
+    // is a project-wide session default, not something each entrypoint
+    // remembers (an entrypoint launched outside sbt on a non-UTC host
+    // would otherwise silently shift every events.ts instant)
+    "spark.sql.session.timeZone" -> "UTC")
 
   /** Fold the graft read defaults into a builder:
     * `Sessions.withDefaults(SparkSession.builder().master(...))`. */

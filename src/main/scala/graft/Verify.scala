@@ -37,17 +37,22 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           val msg = s"${e.getClass.getSimpleName}: ${
             Option(e.getMessage).getOrElse("").take(500)}"
-          import spark.implicits._
-          Seq(msg).toDF("err").coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
+          // the sentinel write itself must not abort the run: a failure
+          // that wedged the session (stopped context, heap pressure)
+          // would otherwise escape the per-entry catch and zero the
+          // whole round — the exact mode this block exists to prevent
+          try {
+            import spark.implicits._
+            Seq(msg).toDF("err").coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+          } catch { case e2: Throwable =>
+            System.err.println(s"[verify] $name sentinel write also " +
+              s"failed: ${e2.getMessage}")
+          }
           Some(msg)
         }
       name -> err
     }
-    val missing = selected.keySet.filterNot(n =>
-      new java.io.File(s"$outDir/$n").isDirectory)
-    require(missing.isEmpty,
-      s"verify self-check: entries with no result dir: $missing")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -73,6 +78,12 @@ object Verify {
     if (status.exists(_._2.isDefined))
       System.err.println(s"[verify] ${status.count(_._2.isDefined)} of " +
         s"${status.size} entries failed (sentinel rows written)")
+    // self-check LAST: by here oracle_sql.json and verify_status.json
+    // exist, so a loud failure still leaves the driver its inputs
+    val missing = selected.keySet.filterNot(n =>
+      new java.io.File(s"$outDir/$n").isDirectory)
+    require(missing.isEmpty,
+      s"verify self-check: entries with no result dir: $missing")
     spark.stop()
   }
 }

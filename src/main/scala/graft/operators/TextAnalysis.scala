@@ -707,10 +707,15 @@ object TextAnalysis {
     require(k > 1, s"k must be > 1: $k")
     val toks = docs.select(explode(tokens(col(textCol))).as("term"))
       .localCheckpoint() // one scan feeds sketch pass + confirm pass
+    // each partition also emits its token TOTAL as a null-term sentinel
+    // row ("" is unreachable — tokens are length-filtered — but null is
+    // stricter), so N needs no separate count() pass over the corpus
     val partials: Array[(String, Long)] = toks.as[String]
       .mapPartitions { it =>
+        var total = 0L
         val counters = new java.util.HashMap[String, Long](k * 2)
         it.foreach { t =>
+          total += 1
           val c = counters.get(t)
           if (c != 0L || counters.containsKey(t)) counters.put(t, c + 1)
           else if (counters.size < k) counters.put(t, 1L)
@@ -724,14 +729,16 @@ object TextAnalysis {
           }
         }
         import scala.jdk.CollectionConverters._
-        counters.asScala.iterator.map { case (t, c) => (t, c) }
+        Iterator.single((null: String, total)) ++
+          counters.asScala.iterator.map { case (t, c) => (t, c) }
       }.collect()
     // merged candidate set: sketch-sized (≤ partitions × k terms) — a
     // broadcast join, not an In-list, so 10k-partition clusters with
     // large candidate unions still get a hash-probe plan
-    val candDf = spark.createDataset(partials.map(_._1).distinct.toSeq)
+    val candDf = spark.createDataset(
+        partials.collect { case (t, _) if t != null => t }.distinct.toSeq)
       .toDF("term")
-    val n = toks.count()
+    val n = partials.collect { case (t, c) if t == null => c }.sum
     val threshold = n / k
     toks.join(broadcast(candDf), "term")
       .groupBy(col("term")).agg(count(lit(1)).as("exact_count"))

@@ -25,62 +25,81 @@ import org.apache.spark.sql.types._
   * semantics; a Project restores the original output, so the rewrite is
   * invisible to everything above it.
   *
+  * Giant intervals are NOT exploded (the hand-built operator's
+  * longSpanBuckets contract, here as `spark.graft.rangejoin
+  * .maxSpanBuckets`, default 256): the interval relation splits by
+  * bucket span into a bucketed branch and a pass-through branch that
+  * keeps the original theta join for only the wide rows — a SCD-2
+  * sentinel end date ('9999-12-31') or a mis-matched width can
+  * therefore cost at most maxSpanBuckets rows per interval, never a
+  * multi-million-element Sequence. Rows with NULL bounds drop from
+  * both branches, exactly as their null comparisons dropped them from
+  * the original inner join.
+  *
   * Correctness needs only that the bucket map is (a) the same on both
   * sides and (b) monotone: `IntegralDivide` (truncation toward zero) is
   * monotone nondecreasing, so bucket(p) always lies in
   * [bucket(s), bucket(e)] for p ∈ [s, e] — negative domains included.
-  * Null point/bounds produce a null bucket / empty sequence, dropped by
-  * the inner join exactly as null comparisons were. Accepted domain
-  * types: integral, date, timestamp (cast to long is monotone for all).
+  * Accepted domain types: integral and TimestampType — the types whose
+  * `Cast(_, LongType)` is defined and monotone. (DateType and
+  * TimestampNTZType are deliberately NOT accepted: their casts to long
+  * are not legal in Spark 4 and would invalidate the plan.)
   *
   * Opt-in via `spark.graft.rangejoin.bucketWidth` (long > 0, in the
-  * domain's cast-to-long units — e.g. SECONDS for timestamps): the
-  * right width is workload knowledge (≈ typical interval span), the
-  * same contract as the public range-join bin-size hints in other
-  * engines. 0 (default) disables the rule. Registered by
+  * domain's cast-to-long units — SECONDS for timestamps): the right
+  * width is workload knowledge (≈ typical interval span), the same
+  * contract as the public range-join bin-size hints in other engines.
+  * 0 (default) disables the rule. Registered by
   * [[graft.GraftExtensions]]; sessions can also retrofit through
-  * `spark.experimental.extraOptimizations`.
+  * `spark.experimental.extraOptimizations`. Streaming joins are left
+  * untouched (state-eviction bounds derive from the raw plan shape).
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
   val WidthConf = "spark.graft.rangejoin.bucketWidth"
+  val MaxSpanConf = "spark.graft.rangejoin.maxSpanBuckets"
 
   private val PBucket = "_graft_p_bucket"
   private val IvBucket = "_graft_iv_bucket"
+  private val LongTail = "_graft_long_tail"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val width = conf.getConfString(WidthConf, "0").toLong
     if (width <= 0) plan
-    else plan.transformUp {
-      // streaming joins are excluded: StreamingSymmetricHashJoin derives
-      // its state-eviction bounds from the RAW range condition and plan
-      // shape (st12's contract) — restructuring under it would break
-      // watermark-based state cleanup
-      case j @ Join(left, right, Inner, Some(cond), _)
-          if !left.isStreaming && !right.isStreaming &&
-            !alreadyRewritten(cond) =>
-        rewrite(j, width).getOrElse(j)
+    else {
+      val maxSpan = math.max(1L, conf.getConfString(MaxSpanConf, "256").toLong)
+      plan.transformUp {
+        // streaming joins are excluded: StreamingSymmetricHashJoin
+        // derives its state-eviction bounds from the RAW range condition
+        // and plan shape (st12's contract) — restructuring under it
+        // would break watermark-based state cleanup
+        case j @ Join(left, right, Inner, Some(cond), _)
+            if !left.isStreaming && !right.isStreaming && !marked(j, cond) =>
+          rewrite(j, width, maxSpan).getOrElse(j)
+      }
     }
   }
 
-  // the rule runs inside a fixed-point batch: the rewritten join still
-  // contains the range conjuncts (as residual), so mark by bucket-attr
-  // name and never touch a marked join again. "_bucket" is the
-  // hand-bucketed RangeJoin.intervalJoin operator's column — a join
-  // that operator built is already in the target shape, and
-  // re-bucketing it under a conf width in DIFFERENT domain units can
-  // explode the Sequence (observed: a seconds-width conf on a
-  // micros-domain join = 10^6 bucket rows per interval)
-  private def alreadyRewritten(cond: Expression): Boolean =
+  // the rule runs inside a fixed-point batch: every join it emits still
+  // contains the range conjuncts (as residual), so each is marked and
+  // never touched again — the bucketed branch by its bucket attributes
+  // in the condition, the pass-through branch by the LongTail column in
+  // its interval child's schema. "_bucket" additionally recognizes the
+  // hand-bucketed RangeJoin.intervalJoin operator's own column: that
+  // join is already in the target shape, and re-bucketing it under a
+  // conf width in DIFFERENT domain units would be pure waste (bounded
+  // waste, post-maxSpanBuckets, but waste).
+  private def marked(j: Join, cond: Expression): Boolean =
     cond.exists {
       case a: Attribute =>
         a.name == PBucket || a.name == IvBucket || a.name == "_bucket"
       case _ => false
-    }
+    } || j.left.output.exists(_.name == LongTail) ||
+      j.right.output.exists(_.name == LongTail)
 
   private def domainOk(e: Expression): Boolean = e.dataType match {
-    case ByteType | ShortType | IntegerType | LongType | DateType |
-         TimestampType | TimestampNTZType => e.deterministic
+    case ByteType | ShortType | IntegerType | LongType | TimestampType =>
+      e.deterministic
     case _ => false
   }
 
@@ -94,7 +113,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       case _ => Nil
     }
 
-  private def rewrite(j: Join, width: Long): Option[LogicalPlan] = {
+  private def rewrite(j: Join, width: Long,
+                      maxSpan: Long): Option[LogicalPlan] = {
     val conjuncts = {
       def split(e: Expression): Seq[Expression] = e match {
         case And(l, r) => split(l) ++ split(r)
@@ -121,7 +141,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     // a usable pattern = one lower and one upper bound for the SAME
     // point expression, bounds on the same (opposite) side
     val pattern = candidates.collectFirst {
-      case t @ (p, ps, lo, true) if candidates.exists {
+      case (p, ps, lo, true) if candidates.exists {
             case (p2, ps2, _, false) => ps2 == ps && p2.semanticEquals(p)
             case _ => false
           } =>
@@ -131,26 +151,54 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         }.get
         (p, ps, lo, hi)
     }
-    pattern.map { case (p, pointOnLeft, lo, hi) =>
+    pattern.flatMap { case (p, pointOnLeft, lo, hi) =>
       val w = Literal(width)
       val tz = Some(conf.sessionLocalTimeZone) // Cast/Sequence are
       def bucket(e: Expression): Expression =  // tz-aware: unresolved
         IntegralDivide(Cast(e, LongType, tz), w) // without an id
+      val ivSide = if (pointOnLeft) j.right else j.left
+      val pSide = if (pointOnLeft) j.left else j.right
+      // span split: NULL bounds null out both predicates, dropping the
+      // row from both branches — same fate the original inner join's
+      // null comparison gave it
+      val spanBuckets = Subtract(bucket(hi), bucket(lo))
+      val longPred = GreaterThan(spanBuckets, Literal(maxSpan))
+      // convergence backstop, independent of the name markers (other
+      // optimizer rules interleave with this one and may strip an
+      // unreferenced marker column): if the interval side already
+      // carries OUR span filter, this IS the pass-through branch of a
+      // previous firing — leave it as the theta join it was built to be
+      val isOwnLongBranch = ivSide.collectFirst {
+        case f: Filter if f.condition.exists(_.semanticEquals(longPred)) =>
+          ()
+      }.isDefined
+      if (isOwnLongBranch) None
+      else Some {
+      val shortIv = Filter(LessThanOrEqual(spanBuckets, Literal(maxSpan)),
+        ivSide)
+      val longIv = Project(
+        ivSide.output :+ Alias(Literal(true), LongTail)(),
+        Filter(longPred, ivSide))
+      // bucketed branch over the short intervals
       val pAlias = Alias(bucket(p), PBucket)()
       val ivAttr = AttributeReference(IvBucket, LongType, nullable = true)()
       val seq = Sequence(bucket(lo), bucket(hi), Some(Literal(1L)), tz)
-      def pointsOf(side: LogicalPlan) =
-        Project(side.output :+ pAlias, side)
-      def intervalsOf(side: LogicalPlan) =
-        Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
-          qualifier = None, generatorOutput = Seq(ivAttr), child = side)
-      val (newLeft, newRight) =
-        if (pointOnLeft) (pointsOf(j.left), intervalsOf(j.right))
-        else (intervalsOf(j.left), pointsOf(j.right))
+      val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
+        outer = false, qualifier = None, generatorOutput = Seq(ivAttr),
+        child = shortIv)
+      val points = Project(pSide.output :+ pAlias, pSide)
       val bucketEq = EqualTo(pAlias.toAttribute, ivAttr)
-      val newJoin = Join(newLeft, newRight, Inner,
-        Some(And(j.condition.get, bucketEq)), j.hint)
-      Project(j.output, newJoin)
+      val (bl, br) = if (pointOnLeft) (points, gen) else (gen, points)
+      val bucketed = Project(j.output,
+        Join(bl, br, Inner, Some(And(j.condition.get, bucketEq)), j.hint))
+      // pass-through branch: original theta join over only the wide
+      // rows (rare by the width-choice assumption; `marked` exempts it
+      // from re-rewriting via the LongTail schema column)
+      val (ll, lr) = if (pointOnLeft) (pSide, longIv) else (longIv, pSide)
+      val longJoin = Project(j.output,
+        Join(ll, lr, Inner, j.condition, j.hint))
+      Union(Seq(bucketed, longJoin))
+      }
     }
   }
 }

@@ -43,6 +43,19 @@ object DeclaredQueries {
   private def sum2(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** ONE copy of the 12 h attribution-window oracle, shared by q17 and
+    * its streaming twin st12 — the "oracle-identical by construction"
+    * contract is enforced by the shared constant, not by keeping two
+    * string literals in sync.
+    */
+  private[queries] val attributionWindowOracleSql: String =
+    """SELECT p.user_id, p.event_id AS purchase_id,
+      |  c.event_id AS click_id
+      |FROM events p JOIN events c ON c.user_id = p.user_id
+      |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 12 HOUR
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val all: Map[String, QuerySpec] = Map(
 
     // Q1 — S2/F1 range-scan filter (MDBX SET_RANGE ≈ parquet pushdown).
@@ -340,11 +353,6 @@ object DeclaredQueries {
           .select(col("user_id"), col("purchase_id"), col("click_id"))
           .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
       },
-      Some("""SELECT p.user_id, p.event_id AS purchase_id,
-             |  c.event_id AS click_id
-             |FROM events p JOIN events c ON c.user_id = p.user_id
-             |  AND p.event_type = 'purchase' AND c.event_type = 'click'
-             |  AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 12 HOUR
-             |ORDER BY 1, 2, 3""".stripMargin)),
+      Some(attributionWindowOracleSql)),
   )
 }

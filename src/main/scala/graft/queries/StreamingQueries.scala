@@ -168,12 +168,7 @@ object StreamingQueries {
         s.table("st12_sink")
           .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
       },
-      Some("""SELECT p.user_id, p.event_id AS purchase_id,
-             |  c.event_id AS click_id
-             |FROM events p JOIN events c ON c.user_id = p.user_id
-             |  AND p.event_type = 'purchase' AND c.event_type = 'click'
-             |  AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 12 HOUR
-             |ORDER BY 1, 2, 3""".stripMargin)),
+      Some(DeclaredQueries.attributionWindowOracleSql)),
 
     // Exact per-type value quantiles — Spark's exact `percentile`
     // (sort + linear interpolation) is the same estimator as DuckDB's

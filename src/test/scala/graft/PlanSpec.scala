@@ -283,16 +283,53 @@ class PlanSpec extends AnyFunSuite {
       val rewritten = run()
       rewritten.count()
       val plan = rewritten.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastNestedLoopJoin") &&
-        !plan.contains("CartesianProduct"),
-        s"rewrite did not fire:\n${plan.take(3000)}")
+      // the bucketed equi-join must exist (the giant-interval pass-
+      // through branch is empty here but may still plan a nested loop)
       assert(plan.contains("SortMergeJoin") ||
         plan.contains("ShuffledHashJoin") ||
-        plan.contains("BroadcastHashJoin"), plan.take(3000))
+        plan.contains("BroadcastHashJoin"),
+        s"rewrite did not fire:\n${plan.take(3000)}")
       val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1)))
         .toSet
       assert(got == expected,
         s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+
+      // GIANT intervals (SCD-2 sentinel ends, span ≫ maxSpanBuckets)
+      // must route through the pass-through branch — bounded plan, same
+      // results — never a multi-million-element Sequence explosion
+      val giants = (0 until 3).map(i =>
+        (5000L + i, 0L, 40000000L)).toDF("iv_id", "s_v", "e_v")
+      val mixed = intervals.unionByName(giants)
+      def runMixed() = points.join(mixed,
+          $"p_v" >= $"s_v" && $"p_v" <= $"e_v")
+        .select($"p_id", $"iv_id")
+      spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "0")
+      val expMixed = runMixed().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "1000")
+      val gotMixedDf = runMixed()
+      val gotMixed = gotMixedDf.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotMixed == expMixed,
+        s"missing=${(expMixed -- gotMixed).take(5)} extra=${(gotMixed -- expMixed).take(5)}")
+      assert(gotMixedDf.queryExecution.optimizedPlan.toString
+        .contains("Union"), "span split missing from the plan")
+
+      // DATE domain: Cast(date -> long) is not legal, so the rule must
+      // LEAVE the join alone (correct rows via the naive plan) rather
+      // than generate an invalid plan
+      val dPoints = (0 until 50).map(i => (i.toLong,
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(i)))).toDF("p_id", "d")
+      val dIvs = (0 until 10).map(i => (100L + i,
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(i * 5)),
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(i * 5 + 6)))).toDF("iv_id", "s_d", "e_d")
+      val dJoin = dPoints.join(dIvs,
+          $"d" >= $"s_d" && $"d" <= $"e_d")
+        .select($"p_id", $"iv_id")
+      assert(dJoin.count() > 0) // completes; no PLAN_VALIDATION_FAILED
 
       // timestamp domain + equality key, written as PLAIN SQL the way a
       // user would (the q17 shape with no manual bucketing): the rule
