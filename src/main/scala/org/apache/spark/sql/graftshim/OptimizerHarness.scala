@@ -1,0 +1,37 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.catalyst.optimizer._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.{Rule, RuleExecutor}
+
+/** Test harness that replays the `injectOptimizerRule` placement:
+  * injected rules land INSIDE Catalyst's operator-optimization
+  * fixed-point batch, interleaved with rules like ColumnPruning and
+  * FoldablePropagation that can strip an "unused" marker column a
+  * custom rewrite left behind. A rewrite whose idempotence relies only
+  * on such markers diverges there — this executor lets a spec prove
+  * convergence against the destructive gauntlet, with `errorOnExceed`
+  * so non-convergence FAILS the test instead of logging a warning.
+  * Lives in the graftshim package for `private[sql]` rule access (the
+  * [[Bridge]] convention).
+  */
+object OptimizerHarness {
+
+  /** Optimizer rules that collapse/prune/fold away helper columns. */
+  def markerDestroyingRules: Seq[Rule[LogicalPlan]] = Seq(
+    ColumnPruning, CollapseProject, FoldablePropagation,
+    ConstantFolding, BooleanSimplification, RemoveNoopOperators)
+
+  /** Run `rules` interleaved in one fixed-point batch; throws if the
+    * batch fails to converge within `maxIter` iterations.
+    */
+  def runInterleaved(plan: LogicalPlan, rules: Seq[Rule[LogicalPlan]],
+                     maxIter: Int = 50): LogicalPlan = {
+    object Exec extends RuleExecutor[LogicalPlan] {
+      override protected def batches: Seq[Batch] = Seq(
+        Batch("interleaved-test", FixedPoint(maxIter,
+          errorOnExceed = true, "graft.test.maxIterations"), rules: _*))
+    }
+    Exec.execute(plan)
+  }
+}

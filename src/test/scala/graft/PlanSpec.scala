@@ -362,6 +362,36 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "0")
   }
 
+  test("RangeJoinRewrite converges under the injected-batch placement " +
+      "(interleaved with pruning/folding rules that strip markers)") {
+    import spark.implicits._
+    // giant intervals force the pass-through branch whose marker column
+    // ColumnPruning will strip — convergence must come from the
+    // structural span-filter check, not the marker
+    val points = (0 until 50).map(i =>
+      (i.toLong, (i * 997L) % 50000L)).toDF("p_id", "p_v")
+    val ivs = ((0 until 20).map { i =>
+      val s0 = i * 2000L
+      (100L + i, s0, s0 + 1500L)
+    } ++ Seq((900L, 0L, 40000000L))).toDF("iv_id", "s_v", "e_v")
+    val joined = points.join(ivs,
+        $"p_v" >= $"s_v" && $"p_v" <= $"e_v")
+      .select($"p_id", $"iv_id")
+    spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "1000")
+    try {
+      val analyzed = joined.queryExecution.analyzed
+      // throws on non-convergence (errorOnExceed): the real failure
+      // mode would be one more Union layer per iteration
+      val out = org.apache.spark.sql.graftshim.OptimizerHarness
+        .runInterleaved(analyzed,
+          org.apache.spark.sql.graftshim.OptimizerHarness
+            .markerDestroyingRules :+ graft.plans.RangeJoinRewrite)
+      val unions = out.collect { case u: org.apache.spark.sql.catalyst
+          .plans.logical.Union => u }.size
+      assert(unions == 1, s"expected exactly one span-split Union:\n$out")
+    } finally spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "0")
+  }
+
   test("RangeJoinRewrite leaves STREAMING joins untouched: st12 output " +
       "is unchanged with the conf set") {
     if (!spark.experimental.extraOptimizations
