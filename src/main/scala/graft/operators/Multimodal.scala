@@ -519,17 +519,21 @@ object Multimodal {
   }
 
   /** Raw pixels of the m07 near-dup variant for base image `id`: even
-    * ids get a uniform +8 brightness shift (smoothRgb stays ≤ 228, so
-    * no clamping — differences, and therefore the dHash, are exactly
-    * preserved), odd ids keep the base pixels (the variant differs only
-    * in ENCODER, an exact re-encode dup). ONE copy shared with the
-    * golden replay.
+    * ids get a uniform +8 brightness shift (per-channel base values top
+    * out around 234 — smoothRgb's ≤228 base plus its ±4 jitter, and the
+    * blue channel's 255−0.9·base+4 — leaving 255−234=21 of headroom, so
+    * a +8 shift never clamps and differences, and therefore the dHash,
+    * are exactly preserved; the require below enforces it), odd ids
+    * keep the base pixels (the variant differs only in ENCODER, an
+    * exact re-encode dup). ONE copy shared with the golden replay.
     */
   def phashVariantRaw(id: Long, seed: Long = 42L): (Int, Int, Array[Byte]) = {
     val (w, h, rgb) = pngRawDraw(id, seed)
-    if (id % 2 == 0)
-      (w, h, rgb.map(b => math.min(255, (b & 0xff) + 8).toByte))
-    else (w, h, rgb)
+    if (id % 2 == 0) {
+      require(rgb.forall(b => (b & 0xff) + 8 <= 255),
+        "brightness shift would clamp — dHash invariance broken")
+      (w, h, rgb.map(b => ((b & 0xff) + 8).toByte))
+    } else (w, h, rgb)
   }
 
   /** m07 fixture: the [[syntheticPngs]] table plus one variant per base

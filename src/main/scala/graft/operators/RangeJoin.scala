@@ -60,7 +60,13 @@ object RangeJoin {
     val ib = intervals.filter(spanBuckets <= longSpanBuckets)
       .withColumn("_bucket",
         explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
-    val pb = points.withColumn("_bucket", bucketOf(col(pointCol)))
+    // the point-side bucket carries RangeJoinRewrite's marker METADATA:
+    // the optimizer rule recognizes this join as already-bucketed from
+    // the metadata (never from the column NAME, which a user table
+    // could legitimately collide with) and won't re-bucket it under a
+    // conf width in different domain units
+    val pb = points.withColumn("_bucket", bucketOf(col(pointCol))
+      .as("_bucket", graft.plans.RangeJoinRewrite.BucketMeta))
     val bucketed = pb.join(ib, keys :+ "_bucket")
       .filter(rangeOk)
       .drop("_bucket")

@@ -1,9 +1,12 @@
 package graft.plans
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.graftshim.Bridge
 import org.apache.spark.sql.types._
 
 /** Catalyst optimizer rule: rewrite point-in-interval theta joins into
@@ -28,13 +31,14 @@ import org.apache.spark.sql.types._
   * Giant intervals are NOT exploded (the hand-built operator's
   * longSpanBuckets contract, here as `spark.graft.rangejoin
   * .maxSpanBuckets`, default 256): the interval relation splits by
-  * bucket span into a bucketed branch and a pass-through branch that
-  * keeps the original theta join for only the wide rows — a SCD-2
-  * sentinel end date ('9999-12-31') or a mis-matched width can
-  * therefore cost at most maxSpanBuckets rows per interval, never a
-  * multi-million-element Sequence. Rows with NULL bounds drop from
-  * both branches, exactly as their null comparisons dropped them from
-  * the original inner join.
+  * bucket span (span counted INCLUSIVELY, `bucket(e)−bucket(s)+1`, the
+  * same count `intervalJoin` charges against `longSpanBuckets`) into a
+  * bucketed branch and a pass-through branch that keeps the original
+  * theta join for only the wide rows — a SCD-2 sentinel end date
+  * ('9999-12-31') or a mis-matched width can therefore cost at most
+  * `maxSpanBuckets` rows per interval, never a multi-million-element
+  * Sequence. Rows with NULL bounds drop from both branches, exactly as
+  * their null comparisons dropped them from the original inner join.
   *
   * Correctness needs only that the bucket map is (a) the same on both
   * sides and (b) monotone: `IntegralDivide` (truncation toward zero) is
@@ -45,29 +49,101 @@ import org.apache.spark.sql.types._
   * TimestampNTZType are deliberately NOT accepted: their casts to long
   * are not legal in Spark 4 and would invalidate the plan.)
   *
-  * Opt-in via `spark.graft.rangejoin.bucketWidth` (long > 0, in the
-  * domain's cast-to-long units — SECONDS for timestamps): the right
-  * width is workload knowledge (≈ typical interval span), the same
-  * contract as the public range-join bin-size hints in other engines.
-  * 0 (default) disables the rule. Registered by
-  * [[graft.GraftExtensions]]; sessions can also retrofit through
-  * `spark.experimental.extraOptimizations`. Streaming joins are left
-  * untouched (state-eviction bounds derive from the raw plan shape).
+  * `spark.graft.rangejoin.bucketWidth` controls the width (long, in the
+  * domain's cast-to-long units — SECONDS for timestamps):
+  *
+  *  - `auto` (default): the width is DERIVED — a bounded probe
+  *    (first [[SampleRows]] interval rows) runs at rewrite time, and
+  *    width = sampled median span + 1, the "width ≈ typical span"
+  *    optimum of the bucketing cost model (see `RangeJoin`'s scaladoc).
+  *    Derivations are cached per (interval sub-plan, bounds) so a query
+  *    re-optimized repeatedly probes once. Auto mode fires ONLY when
+  *    the join has no usable equi-key conjunct: with an equi key
+  *    Catalyst already plans a hash/sort-merge join (the range residual
+  *    runs per key group — the skewed-key hazard is real but bucketing
+  *    it uninvited would re-plan every keyed interval join on a guessed
+  *    width; callers who want that set an explicit width, as
+  *    PlanSpec's keyed-SQL case does). Without an equi key the only
+  *    alternative is the nested loop, so auto-bucketing strictly
+  *    dominates.
+  *  - a positive long: fixed width, applied to keyed joins too (the
+  *    caller asserted workload knowledge).
+  *  - `off` / `0`: rule disabled.
+  *  - anything else: logged once, treated as `off` — a typo'd conf
+  *    value must not throw NumberFormatException out of the optimizer
+  *    of every subsequent query.
+  *
+  * Rewritten joins are recognized by a [[TreeNodeTag]] plus marker
+  * METADATA on the generated bucket/long-tail attributes — never by
+  * attribute NAME, so a user table with a `_bucket` column cannot
+  * suppress the rewrite (r9 ADVICE). A structural span-filter check
+  * backstops both markers for the pass-through branch, because an
+  * interleaved rule that rebuilds the Join via case-class `copy` drops
+  * tags and ColumnPruning strips the (unreferenced) marker column.
+  * Registered by [[graft.GraftExtensions]]; sessions can also retrofit
+  * through `spark.experimental.extraOptimizations`. Streaming joins are
+  * left untouched (state-eviction bounds derive from the raw plan
+  * shape).
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
   val WidthConf = "spark.graft.rangejoin.bucketWidth"
   val MaxSpanConf = "spark.graft.rangejoin.maxSpanBuckets"
 
+  /** Rows the auto-width probe reads from the interval side. */
+  val SampleRows = 4096
+
   private val PBucket = "_graft_p_bucket"
   private val IvBucket = "_graft_iv_bucket"
   private val LongTail = "_graft_long_tail"
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = conf.getConfString(WidthConf, "0").toLong
-    if (width <= 0) plan
-    else {
-      val maxSpan = math.max(1L, conf.getConfString(MaxSpanConf, "256").toLong)
+  /** Metadata key marking attributes generated by this rule (or by the
+    * hand-built `RangeJoin.intervalJoin`, which stamps its `_bucket`
+    * column with the same metadata so the rule never re-buckets an
+    * already-bucketed plan). */
+  val MetaKey = "graft.rangejoin.bucket"
+  val BucketMeta: Metadata =
+    new MetadataBuilder().putBoolean(MetaKey, true).build()
+
+  /** Tag stamped on the two Join nodes the rewrite emits. */
+  val RewrittenTag: TreeNodeTag[Unit] =
+    new TreeNodeTag[Unit]("graft.rangejoin.rewritten")
+
+  private sealed trait Mode
+  private case object Off extends Mode
+  private case object Auto extends Mode
+  private case class Fixed(width: Long) extends Mode
+
+  // warn once per distinct bad conf value, not once per optimized query
+  private val warned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def widthMode: Mode = conf.getConfString(WidthConf, "auto").trim match {
+    case s if s.equalsIgnoreCase("auto") => Auto
+    case s if s.equalsIgnoreCase("off") || s == "0" => Off
+    case s => s.toLongOption match {
+      case Some(w) if w > 0 => Fixed(w)
+      case _ =>
+        if (warned.add(s)) logWarning(s"$WidthConf='$s' is not 'auto', " +
+          "'off'/'0', or a positive long - range-join rewrite disabled")
+        Off
+    }
+  }
+
+  private def maxSpanBuckets: Long = {
+    val s = conf.getConfString(MaxSpanConf, "256").trim
+    s.toLongOption match {
+      case Some(v) if v > 0 => v
+      case _ =>
+        if (warned.add("maxspan:" + s)) logWarning(s"$MaxSpanConf='$s' is " +
+          "not a positive long - using the default 256")
+        256L
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = widthMode match {
+    case Off => plan
+    case mode =>
+      val maxSpan = maxSpanBuckets
       plan.transformUp {
         // streaming joins are excluded: StreamingSymmetricHashJoin
         // derives its state-eviction bounds from the RAW range condition
@@ -75,27 +151,26 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         // would break watermark-based state cleanup
         case j @ Join(left, right, Inner, Some(cond), _)
             if !left.isStreaming && !right.isStreaming && !marked(j, cond) =>
-          rewrite(j, width, maxSpan).getOrElse(j)
+          rewrite(j, mode, maxSpan).getOrElse(j)
       }
-    }
   }
 
   // the rule runs inside a fixed-point batch: every join it emits still
-  // contains the range conjuncts (as residual), so each is marked and
-  // never touched again — the bucketed branch by its bucket attributes
-  // in the condition, the pass-through branch by the LongTail column in
-  // its interval child's schema. "_bucket" additionally recognizes the
-  // hand-bucketed RangeJoin.intervalJoin operator's own column: that
-  // join is already in the target shape, and re-bucketing it under a
-  // conf width in DIFFERENT domain units would be pure waste (bounded
-  // waste, post-maxSpanBuckets, but waste).
+  // contains the range conjuncts (as residual), so each must be
+  // recognized and never touched again — by the RewrittenTag, or (when
+  // a rebuild dropped the tag) by the marker metadata the generated
+  // bucket/long-tail attributes carry. Attribute metadata travels with
+  // the exprId, so no interleaved rule can strip it while the attribute
+  // is referenced at all; the structural span-filter backstop inside
+  // rewrite() covers the pass-through branch, whose marker COLUMN is
+  // legitimately prunable.
   private def marked(j: Join, cond: Expression): Boolean =
-    cond.exists {
-      case a: Attribute =>
-        a.name == PBucket || a.name == IvBucket || a.name == "_bucket"
-      case _ => false
-    } || j.left.output.exists(_.name == LongTail) ||
-      j.right.output.exists(_.name == LongTail)
+    j.getTagValue(RewrittenTag).isDefined ||
+      cond.exists {
+        case a: Attribute => a.metadata.contains(MetaKey)
+        case _ => false
+      } || j.left.output.exists(_.metadata.contains(MetaKey)) ||
+      j.right.output.exists(_.metadata.contains(MetaKey))
 
   private def domainOk(e: Expression): Boolean = e.dataType match {
     case ByteType | ShortType | IntegerType | LongType | TimestampType =>
@@ -113,7 +188,91 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       case _ => Nil
     }
 
-  private def rewrite(j: Join, width: Long,
+  private def stripCast(e: Expression): Expression = e match {
+    case Cast(c, _, _, _) => stripCast(c)
+    case other => other
+  }
+
+  /** Does `c` have the shape of OUR span filter for these bounds —
+    * `(hi div W) − (lo div W) + 1 <cmp> Literal` for ANY width W? The
+    * width is deliberately a wildcard (auto mode derives it per plan)
+    * and casts are stripped on both sides (SimplifyCasts erases a
+    * long→long cast from the surviving filter but not from the probe
+    * expression being compared against it). */
+  private def isOwnSpanFilter(c: Expression, lo: Expression,
+                              hi: Expression): Boolean = {
+    def divArg(e: Expression): Option[Expression] = e match {
+      case IntegralDivide(x, Literal(_, LongType), _) => Some(stripCast(x))
+      case _ => None
+    }
+    def spanShape(sp: Expression): Boolean = sp match {
+      case Add(Subtract(h, l, _), Literal(1L, LongType), _) =>
+        (divArg(h), divArg(l)) match {
+          case (Some(hh), Some(ll)) =>
+            hh.semanticEquals(stripCast(hi)) &&
+              ll.semanticEquals(stripCast(lo))
+          case _ => false
+        }
+      case _ => false
+    }
+    c match {
+      case GreaterThan(sp, Literal(_, LongType)) => spanShape(sp)
+      case LessThanOrEqual(sp, Literal(_, LongType)) => spanShape(sp)
+      case _ => false
+    }
+  }
+
+  // ---- auto-width derivation ----------------------------------------
+
+  // (interval sub-plan, bounds) -> derived width; None = probe failed
+  // or empty interval side (rewrite skipped, also cached). A hash
+  // collision can only mis-size a bucket, never change results.
+  private val widthCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Option[Long]]()
+
+  // re-entrancy guard: the probe executes a query, whose optimization
+  // runs this rule again on this thread — and the interval sub-plan may
+  // itself contain a qualifying join
+  private val inProbe = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  private def autoWidth(ivSide: LogicalPlan, lo: Expression, hi: Expression,
+                        tz: Option[String]): Option[Long] = {
+    if (inProbe.get()) return None
+    SparkSession.getActiveSession.flatMap { session =>
+      val key = (ivSide.semanticHash(), lo.canonicalized.hashCode(),
+        hi.canonicalized.hashCode())
+      val cached = widthCache.get(key)
+      if (cached != null) cached
+      else {
+        val derived: Option[Long] =
+          try {
+            inProbe.set(true)
+            val span = Subtract(Cast(hi, LongType, tz), Cast(lo, LongType, tz))
+            val probe = Limit(Literal(SampleRows),
+              Project(Seq(Alias(span, "_graft_span")()),
+                Filter(And(IsNotNull(lo), IsNotNull(hi)), ivSide)))
+            val spans = Bridge.ofRows(session, probe).collect()
+              .map(_.getLong(0)).sorted
+            if (spans.isEmpty) None
+            else Some(math.max(1L, spans(spans.length / 2) + 1L))
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              logWarning("range-join auto-width probe failed; leaving the " +
+                s"join unrewritten: $e")
+              None
+          } finally inProbe.set(false)
+        if (widthCache.size > 128) widthCache.clear()
+        widthCache.put(key, derived)
+        derived
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------
+
+  private def rewrite(j: Join, mode: Mode,
                       maxSpan: Long): Option[LogicalPlan] = {
     val conjuncts = {
       def split(e: Expression): Seq[Expression] = e match {
@@ -152,52 +311,82 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         (p, ps, lo, hi)
     }
     pattern.flatMap { case (p, pointOnLeft, lo, hi) =>
-      val w = Literal(width)
       val tz = Some(conf.sessionLocalTimeZone) // Cast/Sequence are
-      def bucket(e: Expression): Expression =  // tz-aware: unresolved
-        IntegralDivide(Cast(e, LongType, tz), w) // without an id
+                                               // tz-aware: unresolved
+                                               // without an id
       val ivSide = if (pointOnLeft) j.right else j.left
       val pSide = if (pointOnLeft) j.left else j.right
-      // span split: NULL bounds null out both predicates, dropping the
-      // row from both branches — same fate the original inner join's
-      // null comparison gave it
-      val spanBuckets = Subtract(bucket(hi), bucket(lo))
-      val longPred = GreaterThan(spanBuckets, Literal(maxSpan))
-      // convergence backstop, independent of the name markers (other
-      // optimizer rules interleave with this one and may strip an
-      // unreferenced marker column): if the interval side already
-      // carries OUR span filter, this IS the pass-through branch of a
-      // previous firing — leave it as the theta join it was built to be
-      val isOwnLongBranch = ivSide.collectFirst {
-        case f: Filter if f.condition.exists(_.semanticEquals(longPred)) =>
+      // convergence backstop, independent of tag and metadata markers
+      // (an interleaved rule rebuilding the Join via case-class copy
+      // drops the tag, and ColumnPruning strips the unreferenced marker
+      // column): if the interval side already carries OUR span filter,
+      // this IS a branch of a previous firing — leave it alone
+      val isOwnBranch = ivSide.collectFirst {
+        case f: Filter if f.condition.exists(isOwnSpanFilter(_, lo, hi)) =>
           ()
       }.isDefined
-      if (isOwnLongBranch) None
-      else Some {
-      val shortIv = Filter(LessThanOrEqual(spanBuckets, Literal(maxSpan)),
-        ivSide)
-      val longIv = Project(
-        ivSide.output :+ Alias(Literal(true), LongTail)(),
-        Filter(longPred, ivSide))
-      // bucketed branch over the short intervals
-      val pAlias = Alias(bucket(p), PBucket)()
-      val ivAttr = AttributeReference(IvBucket, LongType, nullable = true)()
-      val seq = Sequence(bucket(lo), bucket(hi), Some(Literal(1L)), tz)
-      val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
-        outer = false, qualifier = None, generatorOutput = Seq(ivAttr),
-        child = shortIv)
-      val points = Project(pSide.output :+ pAlias, pSide)
-      val bucketEq = EqualTo(pAlias.toAttribute, ivAttr)
-      val (bl, br) = if (pointOnLeft) (points, gen) else (gen, points)
-      val bucketed = Project(j.output,
-        Join(bl, br, Inner, Some(And(j.condition.get, bucketEq)), j.hint))
-      // pass-through branch: original theta join over only the wide
-      // rows (rare by the width-choice assumption; `marked` exempts it
-      // from re-rewriting via the LongTail schema column)
-      val (ll, lr) = if (pointOnLeft) (pSide, longIv) else (longIv, pSide)
-      val longJoin = Project(j.output,
-        Join(ll, lr, Inner, j.condition, j.hint))
-      Union(Seq(bucketed, longJoin))
+      if (isOwnBranch) None
+      else {
+        val hasEquiKey = conjuncts.exists {
+          case EqualTo(a, b) =>
+            (sideOf(a), sideOf(b)) match {
+              case (Some(x), Some(y)) => x != y
+              case _ => false
+            }
+          case EqualNullSafe(a, b) =>
+            (sideOf(a), sideOf(b)) match {
+              case (Some(x), Some(y)) => x != y
+              case _ => false
+            }
+          case _ => false
+        }
+        val widthOpt = mode match {
+          case Fixed(w) => Some(w)
+          case Auto if hasEquiKey => None // already an equi-join plan
+          case Auto => autoWidth(ivSide, lo, hi, tz)
+          case Off => None
+        }
+        widthOpt.map { width =>
+          val w = Literal(width)
+          def bucket(e: Expression): Expression =
+            IntegralDivide(Cast(e, LongType, tz), w)
+          // span split: NULL bounds null out both predicates, dropping
+          // the row from both branches — same fate the original inner
+          // join's null comparison gave it. Span is counted inclusively
+          // (bucket(hi)−bucket(lo)+1 rows will be emitted), matching
+          // RangeJoin.intervalJoin's longSpanBuckets accounting.
+          val spanBuckets = Add(Subtract(bucket(hi), bucket(lo)), Literal(1L))
+          val longPred = GreaterThan(spanBuckets, Literal(maxSpan))
+          val shortIv = Filter(
+            LessThanOrEqual(spanBuckets, Literal(maxSpan)), ivSide)
+          val longIv = Project(
+            ivSide.output :+
+              Alias(Literal(true), LongTail)(
+                explicitMetadata = Some(BucketMeta)),
+            Filter(longPred, ivSide))
+          // bucketed branch over the short intervals
+          val pAlias = Alias(bucket(p), PBucket)(
+            explicitMetadata = Some(BucketMeta))
+          val ivAttr = AttributeReference(IvBucket, LongType,
+            nullable = true, BucketMeta)()
+          val seq = Sequence(bucket(lo), bucket(hi), Some(Literal(1L)), tz)
+          val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
+            outer = false, qualifier = None, generatorOutput = Seq(ivAttr),
+            child = shortIv)
+          val points = Project(pSide.output :+ pAlias, pSide)
+          val bucketEq = EqualTo(pAlias.toAttribute, ivAttr)
+          val (bl, br) = if (pointOnLeft) (points, gen) else (gen, points)
+          val bucketedJoin =
+            Join(bl, br, Inner, Some(And(j.condition.get, bucketEq)), j.hint)
+          bucketedJoin.setTagValue(RewrittenTag, ())
+          val bucketed = Project(j.output, bucketedJoin)
+          // pass-through branch: original theta join over only the wide
+          // rows (rare by the width-choice assumption)
+          val (ll, lr) = if (pointOnLeft) (pSide, longIv) else (longIv, pSide)
+          val longJoin = Join(ll, lr, Inner, j.condition, j.hint)
+          longJoin.setTagValue(RewrittenTag, ())
+          Union(Seq(bucketed, Project(j.output, longJoin)))
+        }
       }
     }
   }

@@ -1,7 +1,9 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Access shim for `private[sql]` Column↔Expression conversion in Spark 4
@@ -12,4 +14,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap an analyzed logical plan as an executable DataFrame
+    * (`Dataset.ofRows` is `private[sql]`). Used by
+    * [[graft.plans.RangeJoinRewrite]]'s auto-width sampler to run a
+    * bounded driver-side probe over a sub-plan mid-optimization.
+    */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -17,10 +17,27 @@ import org.apache.spark.sql.catalyst.rules.{Rule, RuleExecutor}
   */
 object OptimizerHarness {
 
-  /** Optimizer rules that collapse/prune/fold away helper columns. */
+  /** Strips graft.plans.RangeJoinRewrite's TreeNodeTag from every node —
+    * simulating an interleaved rule that rebuilds a Join via case-class
+    * `copy` (which drops tags), so a convergence test cannot silently
+    * lean on the tag marker.
+    */
+  object StripGraftTags extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      plan.foreach(_.unsetTagValue(graft.plans.RangeJoinRewrite.RewrittenTag))
+      plan
+    }
+  }
+
+  /** Optimizer rules that collapse/prune/fold away helper columns —
+    * plus SimplifyCasts (erases the long→long casts the rewrite's span
+    * filter carries, stressing the cast-insensitive structural check)
+    * and the tag stripper above.
+    */
   def markerDestroyingRules: Seq[Rule[LogicalPlan]] = Seq(
     ColumnPruning, CollapseProject, FoldablePropagation,
-    ConstantFolding, BooleanSimplification, RemoveNoopOperators)
+    ConstantFolding, BooleanSimplification, RemoveNoopOperators,
+    SimplifyCasts, StripGraftTags)
 
   /** Run `rules` interleaved in one fixed-point batch; throws if the
     * batch fails to converge within `maxIter` iterations.

@@ -272,6 +272,9 @@ class PlanSpec extends AnyFunSuite {
     def run() = points.join(intervals,
         $"p_v" >= $"s_v" && $"p_v" <= $"e_v")
       .select($"p_id", $"iv_id")
+    // the naive reference plan needs the rule explicitly OFF ("0"):
+    // the conf DEFAULT is auto mode, which would bucket this join
+    spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "0")
     val naive = run()
     naive.count()
     assert(naive.queryExecution.executedPlan.toString
@@ -359,6 +362,75 @@ class PlanSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(viaRule == naiveTs,
         s"missing=${(naiveTs -- viaRule).take(5)} extra=${(viaRule -- naiveTs).take(5)}")
+    } finally spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "0")
+  }
+
+  test("RangeJoinRewrite auto mode: a CONF-FREE keyless BETWEEN join " +
+      "derives its width from sampled spans and plans as a bucketed " +
+      "equi-join — hostile user '_bucket' column, invalid conf, and " +
+      "keyed joins all handled") {
+    import spark.implicits._
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.RangeJoinRewrite)
+    val rnd = new scala.util.Random(29L)
+    val points = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(40000).toLong)).toDF("p_id", "p_v")
+    // the interval table carries a user column literally named "_bucket"
+    // (the r9 ADVICE adversarial case): recognition is metadata-based,
+    // so the rewrite must still fire
+    val intervals = (0 until 150).map { i =>
+      val s0 = rnd.nextInt(40000).toLong
+      (1000L + i, s0, s0 + 500L + rnd.nextInt(1000).toLong, i.toLong)
+    }.toDF("iv_id", "s_v", "e_v", "_bucket")
+    def run() = points.join(intervals,
+        $"p_v" >= $"s_v" && $"p_v" <= $"e_v")
+      .select($"p_id", $"iv_id")
+    spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "0")
+    val expected = run().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    try {
+      // conf UNSET = auto mode (the default): width is derived by the
+      // sampling probe, no workload knowledge required
+      spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+      val auto = run()
+      auto.count()
+      val plan = auto.queryExecution.executedPlan.toString
+      // the bucketed equi-join must exist (the giant-interval pass-
+      // through branch is empty here but may still plan a nested loop)
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin") ||
+        plan.contains("BroadcastHashJoin"),
+        s"auto rewrite did not fire:\n${plan.take(3000)}")
+      assert(plan.contains("_graft_p_bucket"),
+        s"bucket column missing — equi-join is not the derived bucketing:\n${plan.take(3000)}")
+      val got = auto.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+
+      // a join WITH an equi key is left alone in auto mode: Catalyst
+      // already plans a hash/sort-merge join there, and auto-bucketing
+      // it would re-plan every keyed interval join on a guessed width
+      val keyedIv = intervals.withColumn("ik", $"iv_id" % 10)
+      val keyedPts = points.withColumn("pk", $"p_id" % 10)
+      val keyed = keyedPts.join(keyedIv,
+          $"pk" === $"ik" && $"p_v" >= $"s_v" && $"p_v" <= $"e_v")
+        .select($"p_id", $"iv_id")
+      keyed.count()
+      val keyedPlan = keyed.queryExecution.optimizedPlan.toString
+      assert(!keyedPlan.contains("Generate") && !keyedPlan.contains("Union"),
+        s"auto mode must not bucket a keyed join:\n${keyedPlan.take(3000)}")
+
+      // a typo'd conf value must DISABLE the rule with a warning — not
+      // throw NumberFormatException out of every optimization
+      spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "12h")
+      val disabled = run()
+      val gotDisabled = disabled.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotDisabled == expected)
+      assert(!disabled.queryExecution.optimizedPlan.toString
+        .contains("Union"), "invalid conf value must disable the rewrite")
     } finally spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "0")
   }
 
