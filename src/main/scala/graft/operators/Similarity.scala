@@ -628,6 +628,56 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  // ---- filtered ANN: metadata predicate ∩ vector search ----
+
+  /** Probe width for a FILTERED search: widen `nProbe` by the inverse of
+    * the predicate's selectivity, capped at `nCells`. Rationale: with
+    * only `eligible/total` of the corpus passing the filter, a fixed
+    * nProbe-of-nCells probe inspects ≈ nProbe/nCells of the ELIGIBLE
+    * set — recall collapses exactly when the filter is selective.
+    * Widening to `nProbe·total/eligible` keeps the number of probed
+    * eligible vectors ≈ the unfiltered design point (so cost is flat),
+    * and a >90 %-selective filter widens to ALL cells — the cell join
+    * degenerates to a scan of the (tiny) eligible set, which is the
+    * brute-force-on-filtered fallback every production vector store
+    * takes at high selectivity. The two counts are driver scalars; a
+    * 100 TB deployment would substitute a cached column statistic or a
+    * sample estimate — only the ORDER of magnitude matters here.
+    */
+  def filteredProbeWidth(vectors: DataFrame, pred: Column, nProbe: Int,
+                         nCells: Int): Int = {
+    val total = vectors.count()
+    val eligible = vectors.filter(pred).count()
+    if (eligible <= 0) nCells
+    else math.min(nCells.toLong,
+      math.max(nProbe.toLong,
+        math.ceil(nProbe.toDouble * total / eligible).toLong)).toInt
+  }
+
+  /** Filtered ANN: top-k by exact cosine among vectors satisfying a
+    * metadata predicate, candidates via the IVF cell join. The predicate
+    * is applied to the VECTOR side BEFORE cell assignment — a
+    * PRE-filter, pushed to the scan — never a post-filter of an
+    * unfiltered top-k (which returns fewer than k, often zero, whenever
+    * the filter is selective: the classic filtered-ANN failure mode).
+    * The probe is widened per [[filteredProbeWidth]] (pass
+    * `nProbeOverride` to pin it, e.g. to a captured value) so recall
+    * holds at any selectivity. Plan shape: predicate → parquet scan
+    * (PushedFilters), cell assignment on survivors only, cell equi-join,
+    * exact-cosine window top-k — identical to [[ivfTopKWithCentroids]]
+    * modulo the filter and the widened probe.
+    */
+  def filteredIvfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                      centroids: Array[Array[Double]], pred: Column,
+                      nProbe: Int = 4, idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      nProbeOverride: Int = -1): DataFrame = {
+    val np = if (nProbeOverride > 0) nProbeOverride
+      else filteredProbeWidth(vectors, pred, nProbe, centroids.length)
+    ivfSearch(vectors.filter(pred), queries, k, np, idCol, vecCol,
+      literalCellScores(centroids))
+  }
+
   // ---- SQ8: per-dimension scalar quantization ----
 
   /** SQ8's entire "training": per-dimension [lo, hi] bounds over the

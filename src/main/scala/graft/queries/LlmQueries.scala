@@ -1320,6 +1320,29 @@ object LlmQueries {
           .orderBy(col("query_doc"), col("rank"))
       }, None, Some(dir => s14Sql(dir))),
 
+    // FILTERED ANN — the most common real retrieval query: a metadata
+    // predicate ∩ vector search. The predicate PRE-filters the vector
+    // side (pushed to the scan, cells assigned to survivors only), and
+    // the IVF probe WIDENS by the filter's inverse selectivity
+    // (filteredProbeWidth) — post-filtering an unfiltered top-k would
+    // return < k (usually 0) rows at this ~95 % selectivity, and a
+    // fixed-width probe would tank recall. The widened probe is
+    // captured for the oracle, which re-derives the whole pipeline from
+    // the same centroid literals with the same filter and probe width.
+    // Recall ≥ 0.95 vs FILTERED brute force is asserted in OperatorSpec.
+    "s15_filtered_ann" -> QuerySpec(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val cents = Similarity.ivfCentroidsCached(dir, e)
+        val pred = col("label") === 7 && col("vec_id") % 2 === 0
+        val np = Similarity.filteredProbeWidth(e, pred, nProbe = 4,
+          nCells = cents.length)
+        s15CapturesByDir(dir) = (cents, np)
+        Similarity.filteredIvfTopK(e, e.filter(col("vec_id") < 5), k = 10,
+            cents, pred, nProbeOverride = np)
+          .orderBy(col("query_id"), col("rank"))
+      }, None, Some(dir => s15Sql(dir))),
+
     // The COMPOSED billion-scale layout, fully verified: IVF coarse cell
     // join (trained centroids as plan literals) + PQ-ADC candidate
     // scoring + exact re-rank. The oracle re-derives the whole pipeline
@@ -2231,6 +2254,8 @@ object LlmQueries {
     String, (Array[Array[Double]], Array[Double])]()
   private val s14CapturesByDir = scala.collection.concurrent.TrieMap[
     String, (Array[Array[Double]], Array[Double], Array[Double])]()
+  private val s15CapturesByDir = scala.collection.concurrent.TrieMap[
+    String, (Array[Array[Double]], Int)]()
 
   // Scala Double.toString is shortest-roundtrip, so DuckDB parses back the
   // exact same IEEE value
@@ -2357,6 +2382,43 @@ object LlmQueries {
     }.mkString(", ")
     ivfSql("(cell, c, c2)", centVals,
       "list_inner_product(e, c) * 2.0 - c2")
+  }
+
+  /** s15 oracle: the s04 cell machinery with (a) the metadata predicate
+    * applied to the VECTOR side before the cell join — the engine's
+    * pre-filter, re-applied here in SQL — and (b) the captured WIDENED
+    * probe width (the engine derives it from the filter's selectivity;
+    * the literal pins the exact number the engine used).
+    */
+  private def s15Sql(dir: String): String = {
+    val (cents, np) = s15CapturesByDir.getOrElse(dir,
+      sys.error(s"s15 never ran for $dir — no captures"))
+    val centVals = cents.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      s"($i, ${sqlArr(c)}, $c2::DOUBLE)"
+    }.mkString(", ")
+    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+       |  FROM embeddings),
+       |cents(cell, c, c2) AS (VALUES $centVals),
+       |sc AS (SELECT vec_id, label, e, cell,
+       |    list_inner_product(e, c) * 2.0 - c2 AS s
+       |  FROM base CROSS JOIN cents),
+       |vcell AS (SELECT vec_id, e, cell FROM (
+       |  SELECT vec_id, e, cell, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY s DESC, cell DESC) AS rn FROM sc
+       |  WHERE label = 7 AND vec_id % 2 = 0) WHERE rn = 1),
+       |qcell AS (SELECT vec_id AS query_id, e, cell FROM (
+       |  SELECT vec_id, e, cell, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY s DESC, cell DESC) AS rn FROM sc WHERE vec_id < 5)
+       |  WHERE rn <= $np),
+       |st AS (SELECT q.query_id, v.vec_id AS neighbor_id, $cosineCase AS c
+       |  FROM vcell v JOIN qcell q
+       |  ON v.cell = q.cell AND v.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, c,
+       |  row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY c DESC, neighbor_id) AS rank FROM st)
+       |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
   /** Full DuckDB re-derivation of the PQ-ADC pipeline from the captured

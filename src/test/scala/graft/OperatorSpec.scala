@@ -241,6 +241,44 @@ class OperatorSpec extends AnyFunSuite {
       s"trained $trainedRecall vs random $ivfRecall")
   }
 
+  test("s15 filtered ANN: >90%-selective predicate, probe widens with " +
+      "selectivity, recall >= 0.95 vs FILTERED brute force — and " +
+      "post-filtering an unfiltered top-k would starve") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val pred = col("label") === 7 && col("vec_id") % 2 === 0
+    val total = e.count()
+    val eligible = e.filter(pred).count()
+    // the verdict's done-criterion: the filter drops > 90% of candidates
+    assert(eligible.toDouble / total < 0.10,
+      s"fixture not selective enough: $eligible/$total")
+    val q = e.filter(col("vec_id") < 5)
+    val cents = Similarity.ivfCentroidsCached("/root/testdata/sf0.001", e)
+    val np = Similarity.filteredProbeWidth(e, pred, nProbe = 4,
+      nCells = cents.length)
+    // ~5% selectivity × nProbe 4 → widens past nCells, capped there
+    assert(np == cents.length, s"probe width $np, expected all cells")
+    def resultSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val filteredExact = resultSet(
+      Similarity.bruteForceTopK(e.filter(pred), q, 10))
+    val got = resultSet(
+      Similarity.filteredIvfTopK(e, q, 10, cents, pred))
+    val recall = got.intersect(filteredExact).size.toDouble /
+      filteredExact.size
+    info(s"filtered-ANN recall=$recall eligible=$eligible/$total probe=$np")
+    assert(recall >= 0.95, s"filtered-ANN recall too low: $recall")
+    // the NAIVE composition — unfiltered top-k, then filter — starves:
+    // at ~5% selectivity almost no top-10 neighbor satisfies the
+    // predicate, which is exactly why the pre-filtered operator exists
+    val postFiltered = Similarity
+      .bruteForceTopK(e, q, 10).join(e.filter(pred).select(
+        col("vec_id").as("neighbor_id")), Seq("neighbor_id"))
+    assert(postFiltered.count() < filteredExact.size / 2,
+      "post-filtering did not starve — fixture no longer demonstrates " +
+        "the failure mode")
+  }
+
   test("SQ8 codes are hand-computable and sqTopK recall is near-exact") {
     // bounds [0, 10]: x=5 → floor(5/10*255+0.5)=128; x=10 → 255; x=-3
     // clamps to 0; degenerate dim (hi==lo) → 0
