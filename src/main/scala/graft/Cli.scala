@@ -66,6 +66,22 @@ object Cli {
       history.withColumnRenamed("valid_from_block", "block"))
     spark.StateFiles.write(items, outDir, strategy,
       blockStart = blockStart, blockEnd = latest)
+    // SURVEY §5 mechanism 3: the reference PRINTS warn-but-tolerate
+    // anomalies during -M conversion (incarnation decrease, codeHash
+    // change without incarnation, non-advancing adjusted block); a
+    // Goerli-shaped chain loses that operator signal without this
+    // summary. The first two accumulate through the codec into the
+    // manifest; the third is one aggregate over the merged stream.
+    val nonAdv = pipeline.FullHistory.nonAdvancingCount(
+      pipeline.FullHistory.mergedStream(accCs, stoCs,
+        t("plain_code_hash"), t("plain_state_accounts"),
+        t("plain_state_storage"), latest, blockStart))
+    def mfL(name: String): Long =
+      spark.StateFiles.manifestField(outDir, name).getOrElse(0L)
+    System.err.println("convert anomalies: " +
+      s"incarnation_decrease=${mfL("anomaly_incarnation_decrease")} " +
+      s"codehash_no_incarnation=${mfL("anomaly_codehash_no_incarnation")} " +
+      s"non_advancing_block=$nonAdv")
     (latest, blockStart)
   }
 
@@ -223,10 +239,18 @@ object Cli {
           .getOrElse(sys.error(s"manifest missing $name"))
       }
       val ok = accounts == mf("accounts") && slots == mf("storage_slots")
+      // write-time anomaly telemetry travels in the manifest (absent in
+      // pre-telemetry manifests -> reported as 0)
+      def mfAnom(name: String): Long =
+        spark.StateFiles.manifestField(dir, name).getOrElse(0L)
       System.err.println(
         s"check: decoded accounts=$accounts (manifest ${mf("accounts")}), " +
           s"storage_slots=$slots (manifest ${mf("storage_slots")}) -> " +
-          (if (ok) "OK" else "MISMATCH"))
+          (if (ok) "OK" else "MISMATCH") +
+          "; anomalies: incarnation_decrease=" +
+          mfAnom("anomaly_incarnation_decrease") +
+          " codehash_no_incarnation=" +
+          mfAnom("anomaly_codehash_no_incarnation"))
       s.stop()
       if (!ok) sys.exit(1)
     case _ =>

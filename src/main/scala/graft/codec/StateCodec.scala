@@ -67,6 +67,18 @@ final class StateWriter(val strategy: Int, val pageShift: Int = 0,
   var countAccounts = 0L
   var countStorageSlots = 0L
 
+  // SURVEY §5 mechanism 3 — warn-but-tolerate anomaly counters. The
+  // reference PRINTS these (and keeps writing; aborts are commented out):
+  // same-address incarnation decrease (erigon_extract.c:1154-1180, seen
+  // in Goerli PlainState) and codeHash change without an incarnation
+  // change (:948-956). The codec tolerates both identically (signed
+  // deltas round-trip); the counters carry the reference's operator
+  // signal. Counted on COMMITTED entries only — a page-restart re-emit
+  // re-evaluates the predicate against the restarted (reset) stream
+  // state, exactly what a reader of the page would infer.
+  var anomalyIncarnationDecrease = 0L
+  var anomalyCodeHashNoIncarnation = 0L
+
   // cross-row compression state (erigon_extract.c:551-561)
   private var block = 0L
   private var nonce = 0L
@@ -181,6 +193,7 @@ final class StateWriter(val strategy: Int, val pageShift: Int = 0,
     var again = true
     while (again) {
       again = false
+      var warnCodeHash = false
       val entryStart = buf.size
       writeBlockAndAddress(item)
       var flags = 0
@@ -221,6 +234,9 @@ final class StateWriter(val strategy: Int, val pageShift: Int = 0,
         if (!isZeroCodeHash) flags |= 1 << 1
       } else if (!java.util.Arrays.equals(codeHash, encodedCodeHash)) {
         flags |= 1 << 1
+        // reference warning site (erigon_extract.c:948-956): a real hash
+        // changing with no incarnation step
+        warnCodeHash = !isZeroCodeHash && encodedIncarnation == 0
       }
 
       if (strategy == 2) {
@@ -264,6 +280,7 @@ final class StateWriter(val strategy: Int, val pageShift: Int = 0,
       System.arraycopy(item.codeHash, 0, codeHash, 0, 32)
 
       if (checkPageBoundary(entryStart)) again = true
+      else if (warnCodeHash) anomalyCodeHashNoIncarnation += 1
     }
   }
 
@@ -279,6 +296,7 @@ final class StateWriter(val strategy: Int, val pageShift: Int = 0,
     var again = true
     while (again) {
       again = false
+      var warnIncDecrease = false
       val entryStart = buf.size
       writeBlockAndAddress(item)
       var flags = 0
@@ -288,6 +306,9 @@ final class StateWriter(val strategy: Int, val pageShift: Int = 0,
       var baseIncarnation = storageIncarnation
       if (baseIncarnation == 0) baseIncarnation = 1
       if (item.incarnation != baseIncarnation) {
+        // reference warning site (erigon_extract.c:1154-1180): tolerated
+        // (Goerli PlainState exhibits it), but counted
+        warnIncDecrease = item.incarnation < baseIncarnation
         val enc = item.incarnation - baseIncarnation
         storageIncarnation = item.incarnation
         buf.putByte(Opcodes.Incarnation)
@@ -335,6 +356,7 @@ final class StateWriter(val strategy: Int, val pageShift: Int = 0,
       if (strategy >= 3 && isNewSlot) block = 0
 
       if (checkPageBoundary(entryStart)) again = true
+      else if (warnIncDecrease) anomalyIncarnationDecrease += 1
     }
   }
 

@@ -320,6 +320,35 @@ object FullHistory {
   def duplicateKeys(unioned: DataFrame): DataFrame =
     unioned.groupBy(sortKeys: _*).count().filter(col("count") > 1)
 
+  /** The merged pre-LAG stream ([[build]]'s internal union) exposed for
+    * telemetry probes — same inputs, same prune/decode/union front.
+    */
+  def mergedStream(accountChangeset: DataFrame,
+                   storageChangeset: DataFrame,
+                   plainCodeHash: DataFrame,
+                   plainStateAccounts: DataFrame,
+                   plainStateStorage: DataFrame,
+                   latestBlock: Long,
+                   blockStart: Long = 0L): DataFrame =
+    keyedUnion(accountChangeset, storageChangeset, plainCodeHash,
+      plainStateAccounts, plainStateStorage, latestBlock, blockStart)
+
+  /** SURVEY §5 mechanism 3 telemetry — the reference's "Adjusted block
+    * number has not moved backward" warning (erigon_extract.c:2426-2433):
+    * a W1-adjusted block failing to advance means the SAME full key
+    * changed twice at one block, i.e. adjusted (= LAG) == current. The
+    * reference warns and still writes (abort commented out), but SKIPS
+    * genesis entries silently before the warning fires (:2422-2425), so
+    * block-0 duplicates are excluded here too. Count = Σ(n−1) over
+    * duplicate (full key, block>0) groups of the merged stream — one
+    * map-side-combining aggregate, no window needed.
+    */
+  def nonAdvancingCount(merged: DataFrame): Long = {
+    val row = duplicateKeys(merged.filter(col("block") > 0L))
+      .agg(coalesce(sum(col("count") - 1L), lit(0L))).collect()(0)
+    row.getLong(0)
+  }
+
   /** The reference's flagship read path: state of `address` as of `block`
     * — an O(log N) page lookup there (README.md:36-41), a pruned sorted
     * lookup here.

@@ -21,8 +21,8 @@ object StreamingQueries {
     * change broke st02/st04 precisely because this site had its own
     * unconditional copy of the conversion).
     */
-  private def eventFileStream(s: org.apache.spark.sql.SparkSession,
-                              dir: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def eventFileStream(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val raw = s.read.parquet(s"$dir/events.parquet")
     Tables.normalizeTs(
       s.readStream.schema(raw.schema)

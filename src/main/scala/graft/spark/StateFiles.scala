@@ -313,6 +313,14 @@ object StateFiles {
       }
     }
 
+  /** Per-part stat bundle carried from tasks to the manifest commit
+    * (row totals + write-time anomaly counters).
+    */
+  private[spark] final case class PartStats(pid: Int, bytes: Long,
+                                            accounts: Long, slots: Long,
+                                            anomIncDecrease: Long,
+                                            anomCodeHashNoInc: Long)
+
   /** One encoded part: the full `.dat` bytes (header + page-aligned body)
     * and its `.idx` sidecar, plus the stat counters. Shared by the
     * function sink below and the DataSource V2 write path.
@@ -320,7 +328,9 @@ object StateFiles {
   private[spark] final case class EncodedPart(dat: Array[Byte],
                                               idx: Array[Byte],
                                               bodyBytes: Long,
-                                              accounts: Long, slots: Long)
+                                              accounts: Long, slots: Long,
+                                              anomIncDecrease: Long,
+                                              anomCodeHashNoInc: Long)
 
   /** Encode one partition's (pre-sorted) items into the reference layout.
     * None for an empty partition (no file emitted).
@@ -401,7 +411,8 @@ object StateFiles {
         java.util.Arrays.copyOfRange(full,
           math.max(0, full.length - PairSuffixLen), full.length)))
     EncodedPart(full, idx, body.length.toLong, w.countAccounts,
-      w.countStorageSlots)
+      w.countStorageSlots, w.anomalyIncarnationDecrease,
+      w.anomalyCodeHashNoIncarnation)
   }
 
   private[spark] def atomicWrite(dir: String, name: String,
@@ -424,15 +435,21 @@ object StateFiles {
   private[spark] def commitManifest(dir: String, strategy: Int,
                                     blockStart: Long, blockEnd: Long,
                                     mergeManifest: Boolean,
-                                    parts: Seq[(Int, Long, Long, Long)],
+                                    parts: Seq[PartStats],
                                     streamBatchId: Long = -1L,
                                     streamId: String = ""): Unit = {
     def prev(name: String): Long =
       if (mergeManifest) manifestField(dir, name).getOrElse(0L) else 0L
-    val accounts = parts.map(_._3).sum + prev("accounts")
-    val slots = parts.map(_._4).sum + prev("storage_slots")
-    val bytes = parts.map(_._2).sum + prev("bytes")
+    val accounts = parts.map(_.accounts).sum + prev("accounts")
+    val slots = parts.map(_.slots).sum + prev("storage_slots")
+    val bytes = parts.map(_.bytes).sum + prev("bytes")
     val files = parts.length + prev("files")
+    // write-time anomaly telemetry (SURVEY §5 mechanism 3) accumulates
+    // across appends exactly like the row totals
+    val anomInc = parts.map(_.anomIncDecrease).sum +
+      prev("anomaly_incarnation_decrease")
+    val anomCh = parts.map(_.anomCodeHashNoInc).sum +
+      prev("anomaly_codehash_no_incarnation")
     val bStart =
       if (mergeManifest)
         math.min(blockStart,
@@ -443,7 +460,7 @@ object StateFiles {
         math.max(blockEnd,
           manifestField(dir, "block_end").getOrElse(blockEnd))
       else blockEnd
-    val newNames = parts.map(p => f"part-${p._1}%05d.dat").sorted
+    val newNames = parts.map(p => f"part-${p.pid}%05d.dat").sorted
     val allNames =
       (if (mergeManifest) manifestFileList(dir).getOrElse(Seq.empty)
        else Seq.empty) ++ newNames
@@ -490,6 +507,8 @@ object StateFiles {
         s""""block_start":$bStart,""" +
         s""""block_end":$bEnd,"files":$files,$sbJson""" +
         s""""accounts":$accounts,"storage_slots":$slots,""" +
+        s""""anomaly_incarnation_decrease":$anomInc,""" +
+        s""""anomaly_codehash_no_incarnation":$anomCh,""" +
         s""""bytes":$bytes,"file_list":$fileListJson}"""
     atomicWrite(dir, "_manifest.json",
       manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -531,7 +550,8 @@ object StateFiles {
           // produce a complete file; the rename is all-or-nothing
           atomicWrite(dir, f"part-$pid%05d.dat", part.dat)
           atomicWrite(dir, f"part-$pid%05d.idx", part.idx)
-          Iterator.single((pid, part.bodyBytes, part.accounts, part.slots))
+          Iterator.single(PartStats(pid, part.bodyBytes, part.accounts,
+            part.slots, part.anomIncDecrease, part.anomCodeHashNoInc))
       }
     }.collect()
     commitManifest(dir, strategy, blockStart, blockEnd, mergeManifest,

@@ -195,14 +195,56 @@ private[datasource] object DatSplitPlanner {
         keepAddr && blockLo.forall(_ <= b.maxBlock) &&
           blockHi.forall(_ >= b.minBlock)
       }
-      if (keep)
+      if (keep) {
+        // PAGE-level pruning inside the split (the reference's O(log N)
+        // page seek, README.md:36-41, carried to its end): when the
+        // sidecar is validated and a predicate exists, the READER
+        // re-reads this split's 56 B/page bounds (one ~14 KB range read
+        // of the .idx — the "1 IOPS" index touch) and decodes ONLY the
+        // matching pages. The planner ships the predicate + the
+        // sidecar's pairing trailer so the executor can re-verify it is
+        // skipping against the exact sidecar the plan validated; any
+        // mismatch falls back to full-split decode (superset-safe — all
+        // filters stay residual).
+        val pred =
+          if (sb != null && ent.idxSig.isDefined &&
+              (addressBounds.isDefined || blockLo.isDefined ||
+                blockHi.isDefined))
+            Some(PagePredicate(
+              addressBounds.flatMap(b => Option(b._1)).orNull,
+              addressBounds.flatMap(b => Option(b._2)).orNull,
+              blockLo.getOrElse(Long.MinValue),
+              blockHi.getOrElse(Long.MaxValue),
+              ent.idxSig.get._1, ent.idxSig.get._2))
+          else None
         out += DatInputPartition(f.toString,
           math.max(Header.Size.toLong, p.toLong * pageSize),
-          math.min((p + pages).toLong * pageSize, size))
+          math.min((p + pages).toLong * pageSize, size), pred)
+      }
       p += pages
       s += 1
     }
     out.result()
+  }
+}
+
+/** Split-local page predicate: the pushed bounds plus the validated
+  * sidecar's pairing trailer (declared .dat size + checksum) the reader
+  * re-checks before trusting page skips.
+  */
+case class PagePredicate(addrLo: Array[Byte], addrHi: Array[Byte],
+                         blockLo: Long, blockHi: Long,
+                         idxDeclaredSize: Long, idxDeclaredSum: Long)
+
+/** Executor-side page-pruning counters — a test seam (meaningful in
+  * local mode, where tasks share the driver JVM): PipelineSpec bounds
+  * `pagesDecoded` on point lookups across dataset scales.
+  */
+private[graft] object DatPageMetrics {
+  val pagesDecoded = new java.util.concurrent.atomic.LongAdder
+  val pagesSkipped = new java.util.concurrent.atomic.LongAdder
+  private[graft] def reset(): Unit = {
+    pagesDecoded.reset(); pagesSkipped.reset()
   }
 }
 
@@ -579,25 +621,112 @@ private[graft] object DatSidecarCache {
 }
 
 case class DatInputPartition(file: String, startOffset: Long,
-                             endOffset: Long) extends InputPartition
+                             endOffset: Long,
+                             pred: Option[PagePredicate] = None)
+    extends InputPartition
 
 class DatReaderFactory(strategy: Int) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[DatInputPartition]
     new PartitionReader[InternalRow] {
-      // range-read just this split (+ its header-relative offsets)
-      private val bytes = {
-        val len = (part.endOffset - part.startOffset).toInt
-        val out = new Array[Byte](len)
-        val raf = new java.io.RandomAccessFile(part.file, "r")
-        try { raf.seek(part.startOffset); raf.readFully(out) }
-        finally raf.close()
-        out
+      private val pageSize = 1 << 12
+
+      /** Byte ranges of this split that can contain matching rows:
+        * the whole split when no predicate / no trustable sidecar;
+        * otherwise the merged runs of pages whose sidecar bounds
+        * intersect the predicate. Every page is independently decodable
+        * (the writer's page-restart property), so each run decodes with
+        * a fresh StateReader.
+        */
+      private val ranges: Seq[(Long, Long)] = part.pred match {
+        case None => Seq((part.startOffset, part.endOffset))
+        case Some(pr) => keptRanges(pr)
       }
-      private val it = new StateReader(strategy, bytes, 0, bytes.length)
+
+      private def keptRanges(pr: PagePredicate): Seq[(Long, Long)] = {
+        val idxPath = part.file.stripSuffix(".dat") + ".idx"
+        val full = Seq((part.startOffset, part.endOffset))
+        try {
+          val raf = new java.io.RandomAccessFile(idxPath, "r")
+          try {
+            val len = raf.length()
+            if (len < 16) return full
+            val trailer = new Array[Byte](16)
+            raf.seek(len - 16)
+            raf.readFully(trailer)
+            // the sidecar must still be the one the PLANNER validated
+            // against this .dat (pairing trailer match) — else decode
+            // everything, which is always correct
+            if (graft.functions.Bytes.get64be(trailer, 0) !=
+                  pr.idxDeclaredSize ||
+                graft.functions.Bytes.get64be(trailer, 8) !=
+                  pr.idxDeclaredSum) return full
+            val startPage = (part.startOffset / pageSize).toInt
+            val endPage =
+              ((part.endOffset + pageSize - 1) / pageSize).toInt
+            val nPages = ((len - 16) / 56).toInt
+            val last = math.min(endPage, nPages)
+            if (startPage >= last) return full
+            val bounds = new Array[Byte]((last - startPage) * 56)
+            raf.seek(startPage.toLong * 56)
+            raf.readFully(bounds)
+            val out = Seq.newBuilder[(Long, Long)]
+            var runStart = -1L
+            var p = startPage
+            while (p < last) {
+              val o = (p - startPage) * 56
+              val keepAddr =
+                (pr.addrHi == null ||
+                  java.util.Arrays.compareUnsigned(
+                    java.util.Arrays.copyOfRange(bounds, o, o + 20),
+                    pr.addrHi) <= 0) &&
+                (pr.addrLo == null ||
+                  java.util.Arrays.compareUnsigned(
+                    java.util.Arrays.copyOfRange(bounds, o + 20, o + 40),
+                    pr.addrLo) >= 0)
+              val keep = keepAddr &&
+                pr.blockLo <= graft.functions.Bytes.get64be(bounds, o + 48) &&
+                pr.blockHi >= graft.functions.Bytes.get64be(bounds, o + 40)
+              if (keep) {
+                DatPageMetrics.pagesDecoded.increment()
+                if (runStart < 0)
+                  runStart = math.max(part.startOffset, p.toLong * pageSize)
+              } else {
+                DatPageMetrics.pagesSkipped.increment()
+                if (runStart >= 0) {
+                  out += ((runStart,
+                    math.min(part.endOffset, p.toLong * pageSize)))
+                  runStart = -1L
+                }
+              }
+              p += 1
+            }
+            if (runStart >= 0) out += ((runStart, part.endOffset))
+            out.result()
+          } finally raf.close()
+        } catch { case _: java.io.IOException => full }
+      }
+
+      private val rangeIt = ranges.iterator
+      private var it: StateReader = _
       private var current: StateItem = _
+
+      private def advance(): Boolean = {
+        while ((it == null || !it.hasNext) && rangeIt.hasNext) {
+          val (s, e) = rangeIt.next()
+          val len = (e - s).toInt
+          val out = new Array[Byte](len)
+          val raf = new java.io.RandomAccessFile(part.file, "r")
+          try { raf.seek(s); raf.readFully(out) }
+          finally raf.close()
+          it = new StateReader(strategy, out, 0, out.length)
+        }
+        it != null && it.hasNext
+      }
+
       override def next(): Boolean =
-        if (it.hasNext) { current = it.next(); true } else false
+        if (advance()) { current = it.next(); true } else false
+
       override def get(): InternalRow = {
         val i = current
         InternalRow(i.address, i.block, i.isStorage, i.nonce, i.incarnation,
@@ -637,7 +766,8 @@ class DatWriteBuilder(path: String, strategy: Int, blockStart: Long,
 }
 
 case class DatCommitMessage(pid: Int, datTmp: String, idxTmp: String,
-                            bodyBytes: Long, accounts: Long, slots: Long)
+                            bodyBytes: Long, accounts: Long, slots: Long,
+                            anomIncDecrease: Long, anomCodeHashNoInc: Long)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 class DatWrite(path: String, strategy: Int, blockStart: Long,
@@ -711,7 +841,8 @@ class DatWrite(path: String, strategy: Int, blockStart: Long,
       Files.exists(Paths.get(path, "_manifest.json"))
     graft.spark.StateFiles.commitManifest(path, strategy, blockStart,
       blockEnd, mergeManifest = keepOld,
-      parts.map(m => (m.pid, m.bodyBytes, m.accounts, m.slots)).toSeq)
+      parts.map(m => graft.spark.StateFiles.PartStats(m.pid, m.bodyBytes,
+        m.accounts, m.slots, m.anomIncDecrease, m.anomCodeHashNoInc)).toSeq)
     if (truncate) {
       // snapshot is live; old files are unreferenced garbage now
       val keep = parts.map(m => f"part-${m.pid}%05d").toSet
@@ -765,14 +896,15 @@ class DatWriterFactory(path: String, strategy: Int, blockStart: Long,
 
       override def commit()
           : org.apache.spark.sql.connector.write.WriterCommitMessage = {
-        if (rows == 0) DatCommitMessage(-1, "", "", 0L, 0L, 0L)
+        if (rows == 0) DatCommitMessage(-1, "", "", 0L, 0L, 0L, 0L, 0L)
         else {
           val part = graft.spark.StateFiles.finishPart(w, strategy,
             blockStart, blockEnd)
           Files.write(Paths.get(datTmp), part.dat)
           Files.write(Paths.get(idxTmp), part.idx)
           DatCommitMessage(partBase + partitionId, datTmp, idxTmp,
-            part.bodyBytes, part.accounts, part.slots)
+            part.bodyBytes, part.accounts, part.slots,
+            part.anomIncDecrease, part.anomCodeHashNoInc)
         }
       }
 
@@ -805,7 +937,7 @@ class DatWriterFactory(path: String, strategy: Int, blockStart: Long,
 
 case class DatStreamCommitMessage(partitionId: Int, rows: Long,
     datTmp: String, idxTmp: String, bodyBytes: Long, accounts: Long,
-    slots: Long)
+    slots: Long, anomIncDecrease: Long, anomCodeHashNoInc: Long)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 class DatStreamingWrite(path: String, strategy: Int, blockStart: Long,
@@ -857,7 +989,8 @@ class DatStreamingWrite(path: String, strategy: Int, blockStart: Long,
         Paths.get(path, f"part-$pid%05d.idx"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      (pid, m.bodyBytes, m.accounts, m.slots)
+      graft.spark.StateFiles.PartStats(pid, m.bodyBytes, m.accounts,
+        m.slots, m.anomIncDecrease, m.anomCodeHashNoInc)
     }
     graft.spark.StateFiles.commitManifest(path, strategy, blockStart,
       blockEnd, mergeManifest = true, finals.toSeq,
@@ -902,14 +1035,16 @@ class DatStreamingWriterFactory(path: String, strategy: Int,
       override def commit()
           : org.apache.spark.sql.connector.write.WriterCommitMessage = {
         if (rows == 0)
-          DatStreamCommitMessage(partitionId, 0L, "", "", 0L, 0L, 0L)
+          DatStreamCommitMessage(partitionId, 0L, "", "", 0L, 0L, 0L, 0L,
+            0L)
         else {
           val part = graft.spark.StateFiles.finishPart(w, strategy,
             blockStart, blockEnd)
           Files.write(Paths.get(datTmp), part.dat)
           Files.write(Paths.get(idxTmp), part.idx)
           DatStreamCommitMessage(partitionId, rows, datTmp, idxTmp,
-            part.bodyBytes, part.accounts, part.slots)
+            part.bodyBytes, part.accounts, part.slots,
+            part.anomIncDecrease, part.anomCodeHashNoInc)
         }
       }
 

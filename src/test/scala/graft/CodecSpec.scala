@@ -319,6 +319,73 @@ class CodecSpec extends AnyFunSuite {
     assert(bb.getLong(56) == 0L)
   }
 
+  test("anomaly telemetry: the reference's warn-but-tolerate counters " +
+      "fire on planted fixtures and stay zero on clean streams") {
+    val addr = Array.fill[Byte](20)(0x5e.toByte)
+    val bal = new Array[Byte](32)
+    val hashA = Array.fill[Byte](32)(0x11.toByte)
+    val hashB = Array.fill[Byte](32)(0x22.toByte)
+    val slot = { val s = new Array[Byte](32); s(31) = 2; s }
+    val v40 = { val s = new Array[Byte](32); s(31) = 40; s }
+    def acct(block: Long, inc: Long, hash: Array[Byte]) = StateItem(
+      addr, block, isStorage = false, nonce = 1L, incarnation = inc,
+      balance = bal, codeHash = hash, slot = new Array[Byte](32),
+      value = new Array[Byte](32))
+    def sto(block: Long, inc: Long) = StateItem(
+      addr, block, isStorage = true, nonce = 0L, incarnation = inc,
+      balance = new Array[Byte](32), codeHash = new Array[Byte](32),
+      slot = slot, value = v40)
+
+    // the reference's own Goerli example (erigon_extract.c:1157-1169):
+    // account inc=4 followed by same-address storage inc=3
+    for (strategy <- Seq(0, 1, 2, 3)) {
+      val w = new StateWriter(strategy)
+      w.write(acct(5636094L, 4L, hashA))
+      w.write(sto(5636094L, 3L))
+      assert(w.anomalyIncarnationDecrease == 1L,
+        s"strategy $strategy: incarnation decrease not counted")
+      assert(w.anomalyCodeHashNoIncarnation == 0L)
+      // round-trips regardless (the tolerate half of warn-but-tolerate);
+      // strategy 2 is writer-faithful-only (reference reader bug), so
+      // the round-trip leg skips it
+      if (strategy != 2) {
+        val back = new StateReader(strategy, w.toArray).toSeq
+        assert(back.length == 2 && back(1).incarnation == 3L)
+      }
+    }
+
+    // codeHash changes with no incarnation step (erigon_extract.c:948-956)
+    // — a strategy >= 1 delta-stream signal (strategy 0 writes absolute
+    // hashes; the reference site is the memcmp branch)
+    for (strategy <- Seq(1, 3)) {
+      val w = new StateWriter(strategy)
+      w.write(acct(100L, 1L, hashA))
+      w.write(acct(200L, 1L, hashB))
+      assert(w.anomalyCodeHashNoIncarnation == 1L,
+        s"strategy $strategy: codeHash-no-incarnation not counted")
+      assert(w.anomalyIncarnationDecrease == 0L)
+      // an incarnation step alongside the hash change is NOT anomalous
+      val w2 = new StateWriter(strategy)
+      w2.write(acct(100L, 1L, hashA))
+      w2.write(acct(200L, 2L, hashB))
+      assert(w2.anomalyCodeHashNoIncarnation == 0L,
+        s"strategy $strategy: false positive with incarnation step")
+    }
+
+    // a well-formed lifecycle (create → store → self-destruct+recreate
+    // with hash change AND incarnation step → store) trips nothing
+    for (strategy <- Seq(0, 1, 2, 3)) {
+      val w = new StateWriter(strategy)
+      w.write(acct(10L, 1L, hashA))
+      w.write(sto(10L, 1L))
+      w.write(acct(20L, 2L, hashB))
+      w.write(sto(20L, 2L))
+      assert(w.anomalyIncarnationDecrease == 0L &&
+        w.anomalyCodeHashNoIncarnation == 0L,
+        s"strategy $strategy: clean lifecycle tripped a counter")
+    }
+  }
+
   test("StateReader survives byte-flip and truncation fuzzing with " +
       "clean errors") {
     // the strict-parse stance under corruption (same harness that caught

@@ -53,6 +53,30 @@ class PipelineSpec extends AnyFunSuite {
       history.withColumnRenamed("valid_from_block", "block")).count() == 0)
   }
 
+  test("anomaly telemetry: nonAdvancingCount counts planted duplicate " +
+      "(key, block) rows, skips genesis duplicates, zero on clean data") {
+    import spark.implicits._
+    def merged(acc: org.apache.spark.sql.DataFrame) =
+      FullHistory.mergedStream(acc, world.storageChangeset,
+        world.plainCodeHash, world.plainStateAccounts,
+        world.plainStateStorage, world.latestBlock)
+    // the driver fixture is a well-formed chain: zero anomalies
+    assert(FullHistory.nonAdvancingCount(
+      merged(world.accountChangeset)) == 0L)
+    // plant ONE duplicate (address, block>0) account-changeset row — the
+    // reference's "Adjusted block number has not moved backward" case
+    // (erigon_extract.c:2426-2433) — and TWO duplicate genesis rows,
+    // which the reference skips silently before the warning (:2422-2425)
+    val one = world.accountChangeset.filter(col("block") > 0).limit(1)
+    val genesisDup = world.accountChangeset.filter(col("block") > 0)
+      .limit(1).withColumn("block", lit(0L))
+    val planted = world.accountChangeset
+      .unionByName(one)
+      .unionByName(genesisDup).unionByName(genesisDup)
+    val n = FullHistory.nonAdvancingCount(merged(planted))
+    assert(n == 1L, s"expected exactly the planted non-genesis dup: $n")
+  }
+
   test("as-of account queries match the chain-simulation oracle") {
     val rnd = new scala.util.Random(13)
     val byAddr = world.accountOracle.groupBy(_.addressHex)
@@ -370,6 +394,68 @@ class PipelineSpec extends AnyFunSuite {
       java.nio.file.Paths.get(torn, "part-00000.dat"))
     assertThrows[IllegalArgumentException](
       graft.spark.StateFiles.append(second, torn, strategy = 0))
+  }
+
+  test("page-level point lookup: pages decoded stays O(matching pages) " +
+      "while the dataset scales 10x (the reference's O(log N) page seek, " +
+      "README.md:36-41, at PAGE granularity)") {
+    import spark.implicits._
+    val fmt = "graft.spark.datasource.DatDataSource"
+    def addrOf(i: Int): Array[Byte] = {
+      val a = new Array[Byte](20); Bytes.put64be(a, 0, i.toLong); a
+    }
+    def mkDataset(nAddresses: Int): String = {
+      val items = (0 until nAddresses).flatMap { i =>
+        (1 to 4).map { v =>
+          val bal = new Array[Byte](32); bal(31) = v.toByte
+          StateItem.account(addrOf(i), v * 10L, v.toLong, 1L, bal,
+            StateItem.zeros(32))
+        }
+      }
+      val dir = Files.createTempDirectory(s"graft-pagelookup-$nAddresses")
+        .toString
+      // address-major global order (the O1/O2 layout every converted
+      // dataset has); one part file keeps the page count deterministic
+      graft.spark.StateFiles.write(
+        spark.createDataset(items).coalesce(1), dir, strategy = 1)
+      dir
+    }
+    val dir1 = mkDataset(5000)   // ~20k items
+    val dir10 = mkDataset(50000) // ~200k items, ~10x the pages
+    val probe = addrOf(1234)
+    def lookup(dir: String): (Long, Seq[(Long, Long)]) = {
+      graft.spark.datasource.DatPageMetrics.reset()
+      val rows = spark.read.format(fmt).option("strategy", "1").load(dir)
+        .filter(col("address") === lit(probe) && !col("isStorage") &&
+          col("block") <= 25L)
+        .collect().map(r => (r.getAs[Long]("block"), r.getAs[Long]("nonce")))
+        .toSeq.sorted
+      (graft.spark.datasource.DatPageMetrics.pagesDecoded.sum(), rows)
+    }
+    val (pages1, rows1) = lookup(dir1)
+    val (pages10, rows10) = lookup(dir10)
+    // correctness first: both scales return exactly versions 1 and 2
+    assert(rows1 == Seq((10L, 1L), (20L, 2L)), s"1x rows: $rows1")
+    assert(rows10 == rows1, s"10x rows: $rows10")
+    // the file really is ~10x the pages
+    def datBytes(dir: String): Long = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".dat")).map(_.length()).sum
+    assert(datBytes(dir10) > 5L * datBytes(dir1),
+      s"10x fixture not actually bigger: ${datBytes(dir1)} -> ${datBytes(dir10)}")
+    // the point of the test: decoded pages are O(matching pages) — a
+    // handful, FLAT across the 10x scale-up (split pruning handles the
+    // coarse cut; page pruning finishes the job inside the split)
+    assert(pages1 >= 1L && pages1 <= 4L, s"1x decoded $pages1 pages")
+    assert(pages10 <= pages1 + 2L,
+      s"page pruning not flat: $pages1 -> $pages10 pages decoded")
+    // fallback safety: with the sidecar gone the reader decodes the
+    // whole split (no pruning, no metric) and still answers correctly
+    new java.io.File(dir1).listFiles()
+      .filter(_.getName.endsWith(".idx")).foreach(_.delete())
+    graft.spark.datasource.DatSidecarCache.clear()
+    val (pagesNoIdx, rowsNoIdx) = lookup(dir1)
+    assert(rowsNoIdx == rows1, s"no-idx rows: $rowsNoIdx")
+    assert(pagesNoIdx == 0L, "metric counted without a validated sidecar")
   }
 
   test("DSv2 write path: df.write append/overwrite with manifest commit") {
