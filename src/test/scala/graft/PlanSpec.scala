@@ -513,6 +513,96 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*("), plan.take(1000))
   }
 
+  test("m08/m09: audio near-dup joins stay equi (pigeonhole), scene " +
+      "detection stays narrow (no join, only the output sort exchanges)") {
+    val m08 = SparkEntry.queries("m08_audio_fingerprint")(spark,
+      "/root/testdata/sf0.001")
+    m08.count()
+    val p8 = m08.queryExecution.executedPlan.toString
+    assert(!p8.contains("CartesianProduct") &&
+      !p8.contains("BroadcastNestedLoopJoin"),
+      s"m08 planned an all-pairs join:\n${p8.take(3000)}")
+    val m09 = SparkEntry.queries("m09_scene_detect")(spark,
+      "/root/testdata/sf0.001")
+    m09.count()
+    val p9 = m09.queryExecution.executedPlan.toString
+    assert(!p9.contains("Join"), // frame walk is per-video, no pairing
+      s"m09 plan contains a join:\n${p9.take(3000)}")
+    val exchanges = "Exchange".r.findAllIn(p9).size
+    assert(exchanges <= 2, // the entry's orderBy (+ AQE read) only
+      s"m09 shuffles beyond the output sort ($exchanges):\n${p9.take(3000)}")
+  }
+
+  test("l35: heavy-hitter confirm pass is a BROADCAST join of the " +
+      "sketch-sized candidate set — the corpus never shuffles wider " +
+      "than candidate-filtered tokens") {
+    val df = SparkEntry.queries("l35_heavy_hitters")(spark,
+      "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate join not broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"sketch-sized candidates must never sort-merge:\n${plan.take(3000)}")
+    // the candidate relation is driver-built (sketch-sized partials):
+    // a LocalTableScan, not a corpus-derived subquery
+    assert(plan.contains("LocalTableScan"), plan.take(3000))
+    // partial aggregation below the exchange on the confirm groupBy
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      plan.take(3000))
+  }
+
+  test("s15: filtered ANN pushes the metadata predicate to the parquet " +
+      "scan and keeps the cell equi-join") {
+    val df = SparkEntry.queries("s15_filtered_ann")(spark,
+      "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the label predicate must reach the scan, not run post-join
+    assert(plan.contains("PushedFilters:") && plan.contains("label"),
+      s"label filter not pushed:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("st12: the streaming interval join runs as a state-store " +
+      "symmetric hash join (the eviction-bound shape RangeJoinRewrite " +
+      "must not restructure)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    implicit val sq = spark.sqlContext
+    val clicks = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, m))
+    purchases.addData((1L, 100L, ts(0)))
+    clicks.addData((1L, 200L, ts(5)))
+    val c = clicks.toDF().toDF("c_user", "click_id", "c_ts")
+      .withWatermark("c_ts", "0 seconds")
+    val p = purchases.toDF().toDF("p_user", "purchase_id", "p_ts")
+      .withWatermark("p_ts", "0 seconds")
+    val joined = c.join(p, expr(
+      "c_user = p_user AND c_ts >= p_ts AND " +
+        "c_ts <= p_ts + interval 12 hours"))
+    val q = joined.select(col("p_user"), col("purchase_id"),
+        col("click_id"))
+      .writeStream.format("memory").queryName("planspec_st12")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val buf = new java.io.ByteArrayOutputStream
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        q.explain()
+      }
+      val plan = buf.toString("UTF-8")
+      assert(plan.contains("StreamingSymmetricHashJoin"),
+        s"streaming interval join lost its state-store shape:\n$plan")
+      assert(spark.table("planspec_st12").count() == 1)
+    } finally q.stop()
+  }
+
   test("l27: CMS point queries evaluate distributively over the " +
       "exact-counts relation — no vocabulary-sized driver materialization") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
