@@ -107,7 +107,23 @@ object Bench {
     val calMean = (calPre + calPost) / 2.0
     val cal = f""""calibration_sec":$calMean%.4f,"calibration_pre_sec":$calPre%.4f,"calibration_post_sec":$calPost%.4f"""
     val total = results.map(_._2).sum
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runsPer,"aggregation":"median",$cal,"errors":$errs,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}"""
+    // per-entry budget tripwire (BenchBudgets): flag medians beyond
+    // 2x the pinned idle median, scaled by the calibration ratio so a
+    // loaded host widens the allowance instead of false-alarming.
+    // Telemetry only — rc stays 0 unless a query actually threw.
+    val calScale = math.max(1.0,
+      calMean / graft.BenchBudgets.RefCalibration)
+    val exceeded = results.collect {
+      case (k, m, _, None)
+          if graft.BenchBudgets.pinnedMedians.get(k)
+            .exists(p => m > p * graft.BenchBudgets.Factor * calScale) =>
+        k -> m
+    }
+    val budgetJson = exceeded.map { case (k, m) =>
+      "\"" + k + "\":" + f"$m%.4f" }.mkString("{", ",", "}")
+    val budget =
+      s""""budget_exceeded":$budgetJson,"budget_scale":${f"$calScale%.4f"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runsPer,"aggregation":"median",$cal,$budget,"errors":$errs,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}"""
     println(fullLine)
     // Compact summary: a consumer that keeps only the tail of stdout (or
     // of the long line above) must still see MEDIANS — r3/r4 artifacts
@@ -116,7 +132,7 @@ object Bench {
     val maxMedian = results.map(_._2).maxOption.getOrElse(0.0)
     val qs4 = results.map { case (k, m, _, _) =>
       "\"" + k + "\":" + f"$m%.4f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"bench_summary","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},"max_median":${f"$maxMedian%.4f"},"aggregation":"median",$cal,"errors":$errs,"queries":$qs4}""")
+    println(s"""{"metric":"bench_summary","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},"max_median":${f"$maxMedian%.4f"},"aggregation":"median",$cal,$budget,"errors":$errs,"queries":$qs4}""")
     // The registry outgrew tail-capture: at 94 entries even the 4dp
     // summary line is ~2.3 KB, and a harness that keeps the last ~1 KB of
     // stdout truncates the line's HEAD — an unparseable fragment
@@ -139,7 +155,7 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val top10 = results.sortBy(-_._2).take(10).map { case (k, m, _, _) =>
       "\"" + k + "\":" + f"$m%.4f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"bench_scalars","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},"max_median":${f"$maxMedian%.4f"},"aggregation":"median",$cal,"n_errors":${results.count(_._4.isDefined)},"error_queries":$errNames,"slowest":$top10,"sidecar":"${jstr(sidecar)}","sf":"${jstr(sfDir)}"}""")
+    println(s"""{"metric":"bench_scalars","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},"max_median":${f"$maxMedian%.4f"},"aggregation":"median",$cal,"n_budget_exceeded":${exceeded.size},"n_errors":${results.count(_._4.isDefined)},"error_queries":$errNames,"slowest":$top10,"sidecar":"${jstr(sidecar)}","sf":"${jstr(sfDir)}"}""")
     spark.stop()
     // a broken query must not ride a green exit status: the errors map is
     // easy to miss in a 1.4 KB JSON line, rc != 0 is not

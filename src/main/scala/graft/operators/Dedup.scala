@@ -507,7 +507,16 @@ object Dedup {
     * near-dup graphs are overwhelmingly star/clique-shaped, so the
     * default covers real corpora — raise it for pathological chains.
     */
-  def clusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  def clusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame =
+    clustersWithRounds(pairs, maxIterations)._1
+
+  /** [[clusters]] plus the number of label-propagation rounds executed —
+    * the scale-stress observable: rounds = component diameter (in hops
+    * from the min-id node) + 1 confirming round, INDEPENDENT of pair
+    * count (OperatorSpec pins both on planted components at 1x and 10x).
+    */
+  def clustersWithRounds(pairs: DataFrame,
+                         maxIterations: Int = 20): (DataFrame, Int) = {
     // edges and the initial labels are materialized ONCE (eager
     // localCheckpoint): the pair-generation lineage (often a full LSH
     // pipeline) must not re-run per iteration, and checkpoint blocks are
@@ -546,7 +555,7 @@ object Dedup {
         s"label propagation did not converge in $maxIterations rounds — " +
           "a component's diameter exceeds the bound; raise maxIterations " +
           "(labels would be silently non-minimal otherwise)")
-    labels
+    (labels, i)
   }
 
   /** SEMANTIC dedup over embeddings (the SemDeDup shape): coarse

@@ -64,6 +64,74 @@ object TextAnalysis {
         array_join(col("ctoks"), " ").as("chunk_text"))
   }
 
+  /** l36 — CONCAT-AND-CHUNK packing, the other standard pack shape
+    * ([[packSequences]]/l17 bins whole docs per group and never splits
+    * one; this one splits the exact token STREAM): documents are
+    * tokenized,
+    * a separator token appended (the +1), concatenated in canonical
+    * `idCol` order into one virtual token stream, and the stream split
+    * into fixed `seqLen`-token training sequences; the final partial
+    * sequence is dropped (standard). Output, per FULL sequence:
+    * (seq_idx, n_docs crossing it, n_starts beginning in it, first_doc)
+    * — the packing manifest a loader uses to attribute samples to
+    * documents.
+    *
+    * Scale shape — deliberately NOT a global `Window.orderBy` (which
+    * Spark plans as ONE partition — the single-threaded-merge trap):
+    * the token-offset cumsum is the two-phase fold of
+    * `FullHistory.buildSkewTolerant` — range-partition by id (pinned
+    * with localCheckpoint so both passes see the same partitioning),
+    * one narrow pass collects per-partition token totals
+    * (O(partitions) to the driver), a prefix sum seeds each
+    * partition's running offset, and a second narrow pass emits
+    * per-doc (start, len) with NO exchange. Each doc then explodes to
+    * the sequences it overlaps (Σ rows ≤ docs + tokens/seqLen — linear)
+    * and ONE shuffle on seq_idx aggregates the manifest.
+    */
+  def packTokenStream(docs: DataFrame, seqLen: Int,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      partitions: Int = 0): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = if (partitions > 0) partitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val lens = docs.select(col(idCol).cast("long").as("id"),
+        (tokenCount(col(textCol)) + lit(1)).cast("long").as("len"))
+      .repartitionByRange(n, col("id"))
+      .sortWithinPartitions(col("id"))
+      .localCheckpoint() // pin the sampled ranges across the two passes
+    val perPart: Array[(Int, Long)] = lens.as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var s = 0L
+        it.foreach(s += _._2)
+        Iterator.single((pid, s))
+      }.collect()
+    var acc = 0L
+    val offMap = perPart.sortBy(_._1).map { case (pid, s) =>
+      val base = pid -> acc; acc += s; base
+    }.toMap
+    val total = acc
+    val nSeq = total / seqLen
+    val offsets = lens.as[(Long, Long)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var off = offMap.getOrElse(pid, 0L)
+      it.map { case (id, len) => val s = off; off += len; (id, s, len) }
+    }.toDF("id", "start", "len")
+    offsets
+      .withColumn("first_seq", expr(s"start div $seqLen"))
+      .withColumn("last_seq", expr(s"(start + len - 1) div $seqLen"))
+      .filter(col("first_seq") < lit(nSeq)) // tail-only docs drop
+      .withColumn("seq_idx", explode(sequence(col("first_seq"),
+        least(col("last_seq"), lit(nSeq - 1)))))
+      .groupBy(col("seq_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("first_seq") === col("seq_idx"), 1))
+          .as("n_starts"),
+        min(col("id")).as("first_doc"))
+  }
+
   /** Per-document top terms by BM25 weight — corpus term statistics (tf,
     * df, document length, corpus avgdl) composed into the standard BM25
     * term score, with one deliberate twist: the idf factor is the RATIONAL

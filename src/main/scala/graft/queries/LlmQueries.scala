@@ -589,6 +589,39 @@ object LlmQueries {
              |HAVING COUNT(*) > (SELECT n FROM tot) // 50
              |ORDER BY term""".stripMargin)),
 
+    // Concat-and-chunk packing: tokenize + separator, concatenate in
+    // doc_id order, split at EXACT 512-token boundaries, drop the
+    // partial tail — the GPT-pretraining pack shape (l17 is the other
+    // one: bin whole docs per group, never split a doc). The oracle re-derives the identical manifest in DuckDB
+    // with a window cumsum; the ENGINE computes the same offsets with
+    // the two-phase partition fold (no single-partition global window —
+    // see packSequences' scaladoc), so the hash ALSO proves the fold ≡
+    // the window.
+    "l36_concat_chunk_pack" -> QuerySpec(
+      (s, dir) => TextAnalysis.packTokenStream(
+          Tables(s, dir, "documents"), seqLen = 512)
+        .orderBy(col("seq_idx")),
+      Some("""WITH lens AS (SELECT doc_id,
+             |    len(list_filter(regexp_split_to_array(lower(trim(text)),
+             |      '\s+'), t -> length(t) > 0)) + 1 AS len
+             |  FROM documents),
+             |offs AS (SELECT doc_id, len,
+             |    (COALESCE(SUM(len) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0))::BIGINT AS s
+             |  FROM lens),
+             |tot AS (SELECT (SUM(len))::BIGINT AS total FROM lens),
+             |sq AS (SELECT o.doc_id, o.s,
+             |    unnest(generate_series(o.s // 512,
+             |      least((o.s + o.len - 1) // 512,
+             |            t.total // 512 - 1))) AS seq
+             |  FROM offs o CROSS JOIN tot t
+             |  WHERE o.s // 512 < t.total // 512)
+             |SELECT seq::BIGINT AS seq_idx, COUNT(*) AS n_docs,
+             |  COUNT(*) FILTER (WHERE s // 512 = seq) AS n_starts,
+             |  MIN(doc_id) AS first_doc
+             |FROM sq GROUP BY seq ORDER BY seq_idx""".stripMargin)),
+
     // Corpus n-gram statistics: top-50 bigrams by frequency — exact
     // integer counts, deterministic total order (count desc, ngram).
     "l19_top_ngrams" -> QuerySpec(

@@ -603,6 +603,19 @@ class PlanSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("l36: concat-and-chunk packing computes the token-offset cumsum " +
+      "with the two-phase fold — NO global Window (single-partition " +
+      "trap) anywhere in the plan") {
+    val df = SparkEntry.queries("l36_concat_chunk_pack")(spark,
+      "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"global window leaked into the pack plan:\n${plan.take(3000)}")
+    assert(plan.contains("partial"), // map-side combine on the seq agg
+      plan.take(3000))
+  }
+
   test("l27: CMS point queries evaluate distributively over the " +
       "exact-counts relation — no vocabulary-sized driver materialization") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
