@@ -307,6 +307,27 @@ object PipelineQueries {
        |ORDER BY vf DESC LIMIT 1""".stripMargin
   }
 
+  /** p16 oracle: the p03 as-of derivation batched over the same 8-probe
+    * set the entry selects (first-occurrence order, version visible at
+    * mid-chain — `MIN(ord)` ≡ the entry's LinkedHashSet insertion scan).
+    */
+  private def p16Sql(dir: String): String = {
+    val b = accBase(dir)
+    val mid = nFor(dir).toLong / 2
+    s"""WITH ${aoCte(b)},
+       |sel AS (SELECT address FROM ao GROUP BY address
+       |  HAVING MIN(blk) <= $mid ORDER BY MIN(ord) LIMIT 8),
+       |r AS (SELECT address, blk, nonce, inc, bal,
+       |    row_number() OVER (PARTITION BY address
+       |      ORDER BY blk DESC) AS rn
+       |  FROM ao WHERE address IN (SELECT address FROM sel)
+       |    AND blk <= $mid)
+       |SELECT upper(address) AS address, blk AS valid_from_block,
+       |  nonce, inc AS incarnation,
+       |  upper(lpad(to_hex(bal),64,'0')) AS balance
+       |FROM r WHERE rn = 1 ORDER BY address""".stripMargin
+  }
+
   private def p04Sql(dir: String): String = {
     val sim = Fixtures.txSimulate(nFor(dir))
     val totalSize = sim.txs.map(_.tx_rlp.length.toLong).sum
@@ -396,6 +417,29 @@ object PipelineQueries {
           df
       }
     }
+
+  // p16's cached archive per (session, dir): the .dat dataset its point
+  // lookups probe — built once from the shared history (the stored-
+  // dataset deployment shape; a bench's repeat loop measures lookups,
+  // not the one-time conversion)
+  private val archCache = scala.collection.mutable.Map[String,
+    (org.apache.spark.sql.SparkSession, String)]()
+
+  private def archive(s: org.apache.spark.sql.SparkSession,
+                      dir: String): String = synchronized {
+    archCache.get(dir) match {
+      case Some((owner, path)) if (owner eq s) && java.nio.file.Files
+          .exists(java.nio.file.Paths.get(path, "_manifest.json")) => path
+      case _ =>
+        val items = graft.spark.StateFormat.asItems(
+          history(s, dir).withColumnRenamed("valid_from_block", "block"))
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-p16-arch").toString
+        graft.spark.StateFiles.write(items, out, strategy = 1)
+        archCache(dir) = (s, out)
+        out
+    }
+  }
 
   val all: Map[String, QuerySpec] = Map(
 
@@ -725,6 +769,42 @@ object PipelineQueries {
         val m = measureScaleStress(s, dir)
         Seq((m.rows1, m.rows10)).toDF("rows_1x", "rows_10x")
       }, None, Some(dir => p13Sql(dir))),
+
+    // The reference's headline read (README.md:36-41) against a REAL
+    // converted archive through the full IO path: 8 point as-of lookups
+    // via the DSv2 source, whose pushed (address, block) bounds prune
+    // SPLITS at plan time and PAGES inside the surviving split at read
+    // time (r10: the page-level seek) — each probe decodes O(matching
+    // pages), not the archive. The archive is built once per session
+    // from the shared history (stored-dataset deployment); the oracle
+    // re-derives each probe's visible version from the independent
+    // chain simulation (the p03 machinery, batched). Probe set =
+    // first 8 oracle addresses with a version visible at mid-chain, an
+    // identical derivation on both sides.
+    "p16_point_lookup_pages" -> QuerySpec(
+      (s, dir) => {
+        val w = world(s, dir)
+        val arch = archive(s, dir)
+        val mid = nFor(dir).toLong / 2
+        val minBlk = w.accountOracle.groupBy(_.addressHex)
+          .map { case (k, v) => k -> v.map(_.block).min }
+        val seen = scala.collection.mutable.LinkedHashSet[String]()
+        w.accountOracle.foreach(a => seen += a.addressHex)
+        val probes = seen.iterator.filter(a => minBlk(a) <= mid)
+          .take(8).toSeq
+        val base = s.read.format("graft.spark.datasource.DatDataSource")
+          .option("strategy", "1").load(arch)
+        probes.map { a =>
+          base.filter(col("address") ===
+              lit(graft.functions.Bytes.unhex(a)) &&
+              !col("isStorage") && col("block") <= mid)
+            .orderBy(col("block").desc).limit(1)
+        }.reduce(_ unionByName _)
+          .select(hex(col("address")).as("address"),
+            col("block").as("valid_from_block"), col("nonce"),
+            col("incarnation"), hex(col("balance")).as("balance"))
+          .orderBy(col("address"))
+      }, None, Some(dir => p16Sql(dir))),
 
     // A3 surfaced: reorged duplicate block heights.
     "p05_txbodies_dups" -> QuerySpec(
