@@ -207,6 +207,12 @@ object Cli {
             s"code_hash=${functions.Bytes.hex(i.codeHash)}")
         case None => System.err.println("asof: no visible state")
       }
+      // IO-discipline telemetry (local mode: tasks share this JVM): how
+      // many 4 KiB pages the lookup actually decoded vs skipped via the
+      // .idx bounds — the observable behind the O(log N) seek claim
+      System.err.println("asof: pages decoded=" +
+        spark.datasource.DatPageMetrics.pagesDecoded.sum() +
+        " skipped=" + spark.datasource.DatPageMetrics.pagesSkipped.sum())
       s.stop()
       if (res.isEmpty) sys.exit(1)
     case "compact" :: dir :: strategyStr :: rest if rest.size <= 1 =>

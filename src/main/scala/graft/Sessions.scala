@@ -29,7 +29,14 @@ object Sessions {
     // is a project-wide session default, not something each entrypoint
     // remembers (an entrypoint launched outside sbt on a non-UTC host
     // would otherwise silently shift every events.ts instant)
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    // the library's own extensions are ON in every graft session (r10):
+    // the graft-native SQL functions (minhash_sig, cosine_sim, …) and
+    // the RangeJoinRewrite optimizer rule — whose auto mode buckets
+    // exactly the keyless point-in-interval joins Catalyst can only
+    // nested-loop, and leaves everything else alone. The full
+    // 108-entry oracle gate runs under this default.
+    "spark.sql.extensions" -> "graft.GraftExtensions")
 
   /** Fold the graft read defaults into a builder:
     * `Sessions.withDefaults(SparkSession.builder().master(...))`. */

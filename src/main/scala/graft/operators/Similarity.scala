@@ -678,6 +678,38 @@ object Similarity {
       literalCellScores(centroids))
   }
 
+  /** Cluster-balanced sampling — the embedding-space curation step that
+    * stops one dominant topic/domain from swamping a training mix
+    * (the DataComp-style balancing that samples per semantic cluster
+    * instead of uniformly): assign each vector to its trained coarse
+    * cell ([[assignCells]] — the shared cell primitive, literal
+    * centroids, reverse-sort tie convention) and keep a deterministic
+    * per-cell quota under content-hash order (md5 of the id rendered as
+    * a string — reproducible across engines, runs, and cluster sizes,
+    * unbiased w.r.t. physical row order; the [[graft.operators
+    * .TextAnalysis.samplePerGroup]] convention). Output
+    * (cell, id, cell_rank ≤ nPerCell).
+    *
+    * Scale shape: narrow cell assignment (centroid matrix is plan
+    * literals) + ONE shuffle on cell for the quota window — cells are
+    * the balance dimension, so the window key has bounded cardinality
+    * and the per-cell top-n uses WindowGroupLimit pushdown.
+    */
+  def clusterBalancedSample(vectors: DataFrame,
+                            centroids: Array[Array[Double]], nPerCell: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(nPerCell > 0, s"nPerCell must be positive: $nPerCell")
+    val asg = assignCells(vectors, centroids, idCol, vecCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    asg.withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= nPerCell)
+      .select(col("cell").cast("long").as("cell"),
+        col("id").as(idCol), col("cell_rank").cast("long").as("cell_rank"))
+  }
+
   // ---- SQ8: per-dimension scalar quantization ----
 
   /** SQ8's entire "training": per-dimension [lo, hi] bounds over the

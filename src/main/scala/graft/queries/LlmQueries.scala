@@ -622,6 +622,21 @@ object LlmQueries {
              |  MIN(doc_id) AS first_doc
              |FROM sq GROUP BY seq ORDER BY seq_idx""".stripMargin)),
 
+    // Cluster-balanced sampling — per-semantic-cluster quotas (the
+    // DataComp-style curation step): trained coarse cells (shared
+    // cached fit with s04/s06) partition the embedding space, then a
+    // deterministic content-hash quota keeps <= 12 per cell. The oracle
+    // re-derives cell assignment from the captured centroid literals
+    // (score DESC, cell DESC ties) and the same md5(vec_id) order.
+    "l37_cluster_balance" -> QuerySpec(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val cents = Similarity.ivfCentroidsCached(dir, e)
+        l37CentroidsByDir(dir) = cents
+        Similarity.clusterBalancedSample(e, cents, nPerCell = 12)
+          .orderBy(col("cell"), col("cell_rank"))
+      }, None, Some(dir => l37Sql(dir))),
+
     // Corpus n-gram statistics: top-50 bigrams by frequency — exact
     // integer counts, deterministic total order (count desc, ngram).
     "l19_top_ngrams" -> QuerySpec(
@@ -2289,6 +2304,8 @@ object LlmQueries {
     String, (Array[Array[Double]], Array[Double], Array[Double])]()
   private val s15CapturesByDir = scala.collection.concurrent.TrieMap[
     String, (Array[Array[Double]], Int)]()
+  private val l37CentroidsByDir = scala.collection.concurrent.TrieMap[
+    String, Array[Array[Double]]]()
 
   // Scala Double.toString is shortest-roundtrip, so DuckDB parses back the
   // exact same IEEE value
@@ -2415,6 +2432,34 @@ object LlmQueries {
     }.mkString(", ")
     ivfSql("(cell, c, c2)", centVals,
       "list_inner_product(e, c) * 2.0 - c2")
+  }
+
+  /** l37 oracle: cell assignment re-derived from the captured centroid
+    * literals (the s04 machinery), then the same deterministic
+    * md5(vec_id)-ordered per-cell quota.
+    */
+  private def l37Sql(dir: String): String = {
+    val cents = l37CentroidsByDir.getOrElse(dir,
+      sys.error(s"l37 never ran for $dir — no centroids captured"))
+    val centVals = cents.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      s"($i, ${sqlArr(c)}, $c2::DOUBLE)"
+    }.mkString(", ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e
+       |  FROM embeddings),
+       |cents(cell, c, c2) AS (VALUES $centVals),
+       |sc AS (SELECT vec_id, cell,
+       |    list_inner_product(e, c) * 2.0 - c2 AS s
+       |  FROM base CROSS JOIN cents),
+       |vcell AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY s DESC, cell DESC) AS rn FROM sc) WHERE rn = 1),
+       |r AS (SELECT cell, vec_id, row_number() OVER (PARTITION BY cell
+       |    ORDER BY md5(vec_id::VARCHAR), vec_id) AS cell_rank
+       |  FROM vcell)
+       |SELECT cell::BIGINT AS cell, vec_id, cell_rank
+       |FROM r WHERE cell_rank <= 12 ORDER BY cell, cell_rank"""
+      .stripMargin
   }
 
   /** s15 oracle: the s04 cell machinery with (a) the metadata predicate
