@@ -51,6 +51,14 @@ class CliSpec extends AnyFunSuite {
     val mf = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(out, "_manifest.json")))
     assert(mf.contains(s"\"block_end\":$latest"), mf)
+    // anomaly telemetry (SURVEY §5 mechanism 3) rides the manifest and
+    // is ZERO on the well-formed fixture chain
+    assert(mf.contains("\"anomaly_incarnation_decrease\":0") &&
+      mf.contains("\"anomaly_codehash_no_incarnation\":0"), mf)
+    assert(pipeline.FullHistory.nonAdvancingCount(
+      pipeline.FullHistory.mergedStream(w.accountChangeset,
+        w.storageChangeset, w.plainCodeHash, w.plainStateAccounts,
+        w.plainStateStorage, w.latestBlock)) == 0L)
   }
 
   test("convert --prune: only the keep-window tail survives") {

@@ -1108,6 +1108,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(first.rows1 == 15L && first.rows10 == 150L)
   }
 
+  test("packTokenStream: hand-computed manifest — doc spanning multiple " +
+      "sequences, tail-only doc dropped, separator counted") {
+    import spark.implicits._
+    // doc0: 3 tokens (+1 sep = 4), doc1: 1200 tokens (+1 = 1201),
+    // doc2: 10 tokens (+1 = 11). Offsets: [0,4), [4,1205), [1205,1216).
+    // total 1216 -> 2 full 512-token sequences (partial tail dropped):
+    //  seq0 [0,512):   doc0 starts, doc1 starts   -> (2 docs, 2 starts)
+    //  seq1 [512,1024): doc1 spans                 -> (1 doc, 0 starts)
+    //  doc2 lives entirely in the dropped tail     -> absent
+    val docs = Seq(
+      (0L, Seq.fill(3)("tok").mkString(" ")),
+      (1L, Seq.fill(1200)("tok").mkString(" ")),
+      (2L, Seq.fill(10)("tok").mkString(" "))).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .packTokenStream(docs, seqLen = 512)
+      .orderBy(col("seq_idx"))
+      .collect()
+      .map(r => (r.getAs[Long]("seq_idx"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_starts"), r.getAs[Long]("first_doc"))).toSeq
+    assert(got == Seq((0L, 2L, 2L, 0L), (1L, 1L, 0L, 1L)), got.toString)
+    // seqLen larger than the whole stream -> zero full sequences
+    assert(graft.operators.TextAnalysis
+      .packTokenStream(docs, seqLen = 100000).count() == 0L)
+  }
+
   test("clusters scale bounds: label-prop rounds = planted component " +
       "diameter + 1, flat across a 10x pair set; wall stays sub-linear " +
       "in rounds x size") {
