@@ -71,11 +71,11 @@ object Cli {
     // change without incarnation, non-advancing adjusted block); a
     // Goerli-shaped chain loses that operator signal without this
     // summary. The first two accumulate through the codec into the
-    // manifest; the third is one aggregate over the merged stream.
-    val nonAdv = pipeline.FullHistory.nonAdvancingCount(
-      pipeline.FullHistory.mergedStream(accCs, stoCs,
-        t("plain_code_hash"), t("plain_state_accounts"),
-        t("plain_state_storage"), latest, blockStart))
+    // manifest; the third is two pushed-down key-column aggregates over
+    // the raw changesets (the decode-free form — telemetry must not
+    // double the conversion's ingest reads).
+    val nonAdv = pipeline.FullHistory.nonAdvancingCountRaw(
+      accCs, stoCs, blockStart)
     def mfL(name: String): Long =
       spark.StateFiles.manifestField(outDir, name).getOrElse(0L)
     System.err.println("convert anomalies: " +
@@ -209,10 +209,17 @@ object Cli {
       }
       // IO-discipline telemetry (local mode: tasks share this JVM): how
       // many 4 KiB pages the lookup actually decoded vs skipped via the
-      // .idx bounds — the observable behind the O(log N) seek claim
-      System.err.println("asof: pages decoded=" +
-        spark.datasource.DatPageMetrics.pagesDecoded.sum() +
-        " skipped=" + spark.datasource.DatPageMetrics.pagesSkipped.sum())
+      // .idx bounds — the observable behind the O(log N) seek claim.
+      // Both zero means page pruning never engaged (missing/unpaired
+      // sidecar → full-split decode), which must not read as "0 pages
+      // touched".
+      val pd = spark.datasource.DatPageMetrics.pagesDecoded.sum()
+      val ps = spark.datasource.DatPageMetrics.pagesSkipped.sum()
+      System.err.println(
+        if (pd + ps == 0)
+          "asof: page pruning inactive (no validated .idx sidecar) — " +
+            "full-split decode"
+        else s"asof: pages decoded=$pd skipped=$ps")
       s.stop()
       if (res.isEmpty) sys.exit(1)
     case "compact" :: dir :: strategyStr :: rest if rest.size <= 1 =>

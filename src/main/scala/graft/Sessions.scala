@@ -35,7 +35,15 @@ object Sessions {
     // the RangeJoinRewrite optimizer rule — whose auto mode buckets
     // exactly the keyless point-in-interval joins Catalyst can only
     // nested-loop, and leaves everything else alone. The full
-    // 108-entry oracle gate runs under this default.
+    // oracle gate runs under this default.
+    //
+    // COMPOSITION NOTE: spark.sql.extensions is a comma-separated LIST
+    // and builder confs overwrite earlier values — an application with
+    // its own extensions must set the conf AFTER withDefaults with both
+    // classes ("com.their.Ext,graft.GraftExtensions"), or retrofit via
+    // GraftFunctions.register + experimental.extraOptimizations; a bare
+    // later .config("spark.sql.extensions", "com.their.Ext") would
+    // replace this one silently.
     "spark.sql.extensions" -> "graft.GraftExtensions")
 
   /** Fold the graft read defaults into a builder:

@@ -57,7 +57,12 @@ object RangeJoin {
       col(pointCol) <= col(endCol)
     val spanBuckets =
       bucketOf(col(endCol)) - bucketOf(col(startCol)) + lit(1L)
-    val ib = intervals.filter(spanBuckets <= longSpanBuckets)
+    // span ≥ 1 drops INVERTED intervals (end < start) early: they can
+    // match no point, and without the guard `sequence` (step inferred
+    // −1 for descending bounds) would explode them to useless buckets
+    // the range filter then discards
+    val ib = intervals.filter(spanBuckets >= 1 &&
+        spanBuckets <= longSpanBuckets)
       .withColumn("_bucket",
         explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
     // the point-side bucket carries RangeJoinRewrite's marker METADATA:

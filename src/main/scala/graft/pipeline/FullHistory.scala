@@ -349,6 +349,34 @@ object FullHistory {
     row.getLong(0)
   }
 
+  /** [[nonAdvancingCount]] from the RAW changeset tables — no decode, no
+    * plainstate union (plainstate rows sit alone at latestBlock+1 and
+    * cannot duplicate a changeset key): duplicate account
+    * (address, block) pairs plus duplicate storage
+    * (address, incarnation, slot, block) tuples, genesis and pre-prune
+    * blocks excluded. Equal to the merged-stream count by construction
+    * (account group key = (address); storage = (address, inc, slot);
+    * the two tables cannot collide across the isStorage split —
+    * PipelineSpec asserts the equality on a planted fixture), at a
+    * fraction of the cost: two pushed-down key-column aggregates
+    * instead of a second decode-and-union pass over all five inputs —
+    * the form `Cli convert` uses so telemetry never doubles the
+    * conversion's ingest reads.
+    */
+  def nonAdvancingCountRaw(accountChangeset: DataFrame,
+                           storageChangeset: DataFrame,
+                           blockStart: Long = 0L): Long = {
+    val minBlock = math.max(1L, blockStart)
+    def dups(df: DataFrame, keys: Seq[Column]): Long =
+      df.filter(col("block") >= minBlock)
+        .groupBy(keys: _*).count().filter(col("count") > 1)
+        .agg(coalesce(sum(col("count") - 1L), lit(0L))).collect()(0)
+        .getLong(0)
+    dups(accountChangeset, Seq(col("address"), col("block"))) +
+      dups(storageChangeset, Seq(col("address"), col("incarnation"),
+        col("slot"), col("block")))
+  }
+
   /** The reference's flagship read path: state of `address` as of `block`
     * — an O(log N) page lookup there (README.md:36-41), a pruned sorted
     * lookup here.

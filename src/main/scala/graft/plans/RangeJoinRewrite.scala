@@ -65,7 +65,13 @@ import org.apache.spark.sql.types._
   *    width; callers who want that set an explicit width, as
   *    PlanSpec's keyed-SQL case does). Without an equi key the only
   *    alternative is the nested loop, so auto-bucketing strictly
-  *    dominates.
+  *    dominates. COST CAVEAT: the probe executes at OPTIMIZATION time —
+  *    even a plan-only `df.explain()` on a qualifying join runs it —
+  *    and `Limit(SampleRows)` bounds the rows RETURNED, not the work of
+  *    computing the interval sub-plan feeding them (a file scan stops
+  *    early; an aggregate-derived interval side executes). Set an
+  *    explicit width or `off` where that one-time, cached probe is
+  *    unacceptable.
   *  - a positive long: fixed width, applied to keyed joins too (the
   *    caller asserted workload knowledge).
   *  - `off` / `0`: rule disabled.
@@ -246,6 +252,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       val cached = widthCache.get(key)
       if (cached != null) cached
       else {
+        var failed = false
         val derived: Option[Long] =
           try {
             inProbe.set(true)
@@ -261,10 +268,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
             case scala.util.control.NonFatal(e) =>
               logWarning("range-join auto-width probe failed; leaving the " +
                 s"join unrewritten: $e")
+              failed = true
               None
           } finally inProbe.set(false)
-        if (widthCache.size > 128) widthCache.clear()
-        widthCache.put(key, derived)
+        // cache widths and the (deterministic) empty-sample outcome, but
+        // NOT failures: a transient probe error must not pin this plan
+        // shape to the nested-loop fallback for the JVM's lifetime
+        if (!failed) {
+          if (widthCache.size > 128) widthCache.clear()
+          widthCache.put(key, derived)
+        }
         derived
       }
     }
@@ -357,8 +370,17 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
           // RangeJoin.intervalJoin's longSpanBuckets accounting.
           val spanBuckets = Add(Subtract(bucket(hi), bucket(lo)), Literal(1L))
           val longPred = GreaterThan(spanBuckets, Literal(maxSpan))
-          val shortIv = Filter(
-            LessThanOrEqual(spanBuckets, Literal(maxSpan)), ivSide)
+          // span ≥ 1 guards INVERTED intervals (hi < lo): the original
+          // join matches no point for such a row, but Sequence with an
+          // explicit +1 step THROWS on descending boundaries — the row
+          // must drop from the bucketed branch, not crash it. (A row
+          // inverted WITHIN one bucket keeps span 1; the residual
+          // condition filters its matches exactly as the naive join
+          // would.) The negative-span rows fail longPred too, so they
+          // drop from both branches — same empty match set as naive.
+          val shortIv = Filter(And(
+            GreaterThanOrEqual(spanBuckets, Literal(1L)),
+            LessThanOrEqual(spanBuckets, Literal(maxSpan))), ivSide)
           val longIv = Project(
             ivSide.output :+
               Alias(Literal(true), LongTail)(

@@ -430,12 +430,20 @@ object PipelineQueries {
     archCache.get(dir) match {
       case Some((owner, path)) if (owner eq s) && java.nio.file.Files
           .exists(java.nio.file.Paths.get(path, "_manifest.json")) => path
-      case _ =>
+      case prev =>
         val items = graft.spark.StateFormat.asItems(
           history(s, dir).withColumnRenamed("valid_from_block", "block"))
         val out = java.nio.file.Files
           .createTempDirectory("graft-p16-arch").toString
         graft.spark.StateFiles.write(items, out, strategy = 1)
+        // best-effort GC of the dir this entry replaces (a new session
+        // over the same testdata rebuilds; without this, long-lived
+        // hosts accumulate archive-sized temp dirs)
+        prev.foreach { case (_, old) =>
+          try org.apache.commons.io.FileUtils
+            .deleteDirectory(new java.io.File(old))
+          catch { case _: java.io.IOException => () }
+        }
         archCache(dir) = (s, out)
         out
     }
@@ -794,12 +802,17 @@ object PipelineQueries {
           .take(8).toSeq
         val base = s.read.format("graft.spark.datasource.DatDataSource")
           .option("strategy", "1").load(arch)
-        probes.map { a =>
-          base.filter(col("address") ===
-              lit(graft.functions.Bytes.unhex(a)) &&
-              !col("isStorage") && col("block") <= mid)
-            .orderBy(col("block").desc).limit(1)
-        }.reduce(_ unionByName _)
+        // a probe-less world (every first version past mid-chain) must
+        // yield an empty frame, not an empty.reduce crash
+        val lookups =
+          if (probes.isEmpty) Seq(base.filter(lit(false)))
+          else probes.map { a =>
+            base.filter(col("address") ===
+                lit(graft.functions.Bytes.unhex(a)) &&
+                !col("isStorage") && col("block") <= mid)
+              .orderBy(col("block").desc).limit(1)
+          }
+        lookups.reduce(_ unionByName _)
           .select(hex(col("address")).as("address"),
             col("block").as("valid_from_block"), col("nonce"),
             col("incarnation"), hex(col("balance")).as("balance"))

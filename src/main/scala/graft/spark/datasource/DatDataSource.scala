@@ -518,6 +518,29 @@ private[graft] object DatSidecarCache {
   private[graft] def clear(): Unit =
     cache.synchronized { cache.clear(); totalBytes = 0L }
 
+  /** The 16-byte pairing trailer of `idxPath` as
+    * (idxFileLen, declaredDatSize, declaredChecksum), None when the file
+    * is unreadable or shorter than a trailer — the ONE copy of the
+    * trailer layout, shared by cache validation and the reader's
+    * page-pruning re-verification.
+    */
+  private[datasource] def readTrailer(
+      idxPath: java.nio.file.Path): Option[(Long, Long, Long)] =
+    try {
+      val raf = new java.io.RandomAccessFile(idxPath.toFile, "r")
+      try {
+        val len = raf.length()
+        if (len < 16) None
+        else {
+          val t = new Array[Byte](16)
+          raf.seek(len - 16)
+          raf.readFully(t)
+          Some((len, graft.functions.Bytes.get64be(t, 0),
+            graft.functions.Bytes.get64be(t, 8)))
+        }
+      } finally raf.close()
+    } catch { case _: java.io.IOException => None }
+
   /** A cached hit is only served if the sidecar situation is provably
     * unchanged: paired bounds re-check the 16-byte trailer; a no-bounds
     * entry is invalidated the moment an .idx appears where none was seen
@@ -528,20 +551,9 @@ private[graft] object DatSidecarCache {
     val idxPath = Paths.get(f.toString.stripSuffix(".dat") + ".idx")
     hit.idxSig match {
       case Some((dSize, dSum)) =>
-        try {
-          val raf = new java.io.RandomAccessFile(idxPath.toFile, "r")
-          try {
-            val len = raf.length()
-            if (len < 16) false
-            else {
-              val t = new Array[Byte](16)
-              raf.seek(len - 16)
-              raf.readFully(t)
-              graft.functions.Bytes.get64be(t, 0) == dSize &&
-                graft.functions.Bytes.get64be(t, 8) == dSum
-            }
-          } finally raf.close()
-        } catch { case _: java.io.IOException => false }
+        readTrailer(idxPath).exists { case (_, size, sum) =>
+          size == dSize && sum == dSum
+        }
       case None => hit.idxSeen || !Files.exists(idxPath)
     }
   }
@@ -675,21 +687,18 @@ class DatReaderFactory(strategy: Int) extends PartitionReaderFactory {
       private def keptRanges(pr: PagePredicate): Seq[(Long, Long)] = {
         val idxPath = part.file.stripSuffix(".dat") + ".idx"
         val full = Seq((part.startOffset, part.endOffset))
+        // the sidecar must still be the one the PLANNER validated
+        // against this .dat (pairing trailer match, shared reader) —
+        // else decode everything, which is always correct
+        val len = DatSidecarCache.readTrailer(Paths.get(idxPath)) match {
+          case Some((l, size, sum))
+              if size == pr.idxDeclaredSize && sum == pr.idxDeclaredSum =>
+            l
+          case _ => return full
+        }
         try {
           val raf = new java.io.RandomAccessFile(idxPath, "r")
           try {
-            val len = raf.length()
-            if (len < 16) return full
-            val trailer = new Array[Byte](16)
-            raf.seek(len - 16)
-            raf.readFully(trailer)
-            // the sidecar must still be the one the PLANNER validated
-            // against this .dat (pairing trailer match) — else decode
-            // everything, which is always correct
-            if (graft.functions.Bytes.get64be(trailer, 0) !=
-                  pr.idxDeclaredSize ||
-                graft.functions.Bytes.get64be(trailer, 8) !=
-                  pr.idxDeclaredSum) return full
             val startPage = (part.startOffset / pageSize).toInt
             val endPage =
               ((part.endOffset + pageSize - 1) / pageSize).toInt

@@ -434,6 +434,44 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "0")
   }
 
+  test("RangeJoinRewrite: INVERTED intervals (end < start) drop from " +
+      "the bucketed branch — no Sequence crash, results equal naive " +
+      "(which matches nothing for them)") {
+    import spark.implicits._
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.RangeJoinRewrite)
+    val points = (0 until 200).map(i =>
+      (i.toLong, (i * 53L) % 10000L)).toDF("p_id", "p_v")
+    val intervals = Seq(
+      (1L, 100L, 2100L),   // normal
+      (2L, 5000L, 100L),   // inverted ACROSS buckets (negative span)
+      (3L, 950L, 920L),    // inverted WITHIN one bucket (span stays 1)
+      (4L, 3000L, 3500L))  // normal
+      .toDF("iv_id", "s_v", "e_v")
+    def run() = points.join(intervals,
+        $"p_v" >= $"s_v" && $"p_v" <= $"e_v")
+      .select($"p_id", $"iv_id")
+    spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "0")
+    val expected = run().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(expected.nonEmpty && !expected.exists(_._2 == 2L) &&
+      !expected.exists(_._2 == 3L)) // inverted rows match nothing
+    try {
+      // fixed width AND auto mode must both survive the inverted rows
+      for (conf <- Seq("1000", null)) {
+        if (conf == null)
+          spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+        else spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, conf)
+        val got = run().collect().map(r => (r.getLong(0), r.getLong(1)))
+          .toSet
+        assert(got == expected, s"conf=$conf: " +
+          s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+      }
+    } finally spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "0")
+  }
+
   test("RangeJoinRewrite converges under the injected-batch placement " +
       "(interleaved with pruning/folding rules that strip markers)") {
     import spark.implicits._
