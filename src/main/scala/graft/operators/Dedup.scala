@@ -510,6 +510,85 @@ object Dedup {
   def clusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame =
     clustersWithRounds(pairs, maxIterations)._1
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * contraction (the MapReduce-and-beyond algorithm: Kiveris et al.,
+    * KDD'14) — the SAME (id, cluster = component min id) output as
+    * [[clusters]], but convergence takes O(log n) ROUNDS regardless of
+    * component DIAMETER, where label propagation needs O(diameter).
+    * A pathological chain world (each near-dup linked only to its
+    * neighbors) makes [[clusters]] a driver-coordination hazard — and
+    * its diameter guard THROWS past maxIterations — while the star
+    * operations contract any chain exponentially.
+    *
+    * Per round: large-star (every node hangs its LARGER neighbors onto
+    * its current minimum) then small-star (every node re-hangs its
+    * smaller neighborhood onto that neighborhood's minimum) — each a
+    * bounded min-aggregate + equi-join over the edge relation, nothing
+    * wider than an edge shuffles, localCheckpoint truncating lineage
+    * per round (the [[clusters]] convention). At the fixed point the
+    * edges form stars rooted at component minima; the label read-off
+    * is one left join.
+    */
+  def clustersStar(pairs: DataFrame, maxIterations: Int = 50): DataFrame =
+    clustersStarWithRounds(pairs, maxIterations)._1
+
+  /** [[clustersStar]] plus the executed round count (the scale
+    * observable OperatorSpec bounds logarithmically on a planted
+    * long-chain world that label propagation cannot finish).
+    */
+  def clustersStarWithRounds(pairs: DataFrame,
+                             maxIterations: Int = 50): (DataFrame, Int) = {
+    var edges = pairs
+      .select(col("id_a").cast("long").as("u"),
+        col("id_b").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    val nodes = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id")))
+      .distinct().localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val d = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = d.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      d.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient every edge (larger endpoint = center u, smaller = v)
+      val d = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).distinct()
+      val m = d.groupBy(col("u")).agg(min(col("v")).as("m")) // m < u
+      val nEdges = d.join(m, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val uEdges = m.select(col("u"), col("m").as("v"))
+      nEdges.union(uEdges).filter(col("u") =!= col("v")).distinct()
+    }
+
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged =
+        next.except(edges).limit(1).count() == 0L &&
+          edges.except(next).limit(1).count() == 0L
+      edges = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star contraction did not converge in $maxIterations rounds " +
+          "(expected O(log n)) — raise maxIterations")
+    val labels = nodes
+      .join(edges.select(col("u").as("id"), col("v").as("cluster")),
+        Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("cluster"), col("id")).as("cluster"))
+    (labels, i)
+  }
+
   /** [[clusters]] plus the number of label-propagation rounds executed —
     * the scale-stress observable: rounds = component diameter (in hops
     * from the min-id node) + 1 confirming round, INDEPENDENT of pair

@@ -192,6 +192,19 @@ object LlmQueries {
           .orderBy(col("cluster"), col("id"))
       }, None, Some(dir => l10Sql(dir))),
 
+    // The SAME components through star contraction (large-star/
+    // small-star, O(log n) rounds vs label propagation's O(diameter)) —
+    // same oracle as l10, so the driver hash-proves the two algorithms
+    // agree on the real LSH pair set; the chain world label propagation
+    // CANNOT finish is exercised in OperatorSpec.
+    "l38_dedup_clusters_star" -> QuerySpec(
+      (s, dir) => {
+        Dedup.clustersStar(lshPairs(s, dir))
+          .withColumn("action",
+            when(col("id") === col("cluster"), "keep").otherwise("drop"))
+          .orderBy(col("cluster"), col("id"))
+      }, None, Some(dir => l10Sql(dir))),
+
     // -- text analysis --
 
     "l06_token_count" -> QuerySpec(

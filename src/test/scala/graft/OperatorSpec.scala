@@ -1133,6 +1133,37 @@ class OperatorSpec extends AnyFunSuite {
       .packTokenStream(docs, seqLen = 100000).count() == 0L)
   }
 
+  test("clustersStar: labels identical to label propagation on random " +
+      "worlds; O(log n) rounds on a 60-hop chain that label-prop's " +
+      "diameter guard refuses") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val pairs = (0 until 3000)
+      .map(_ => (rnd.nextInt(1500).toLong, rnd.nextInt(1500).toLong))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    def labelSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("cluster"))).toSet
+    val viaProp = labelSet(graft.operators.Dedup
+      .clusters(pairs, maxIterations = 200))
+    val viaStar = labelSet(graft.operators.Dedup.clustersStar(pairs))
+    assert(viaStar == viaProp,
+      s"disagreement: ${(viaProp -- viaStar).take(5)} vs ${(viaStar -- viaProp).take(5)}")
+    // a 60-hop chain: diameter 60 > label-prop's default bound, which
+    // THROWS (by contract) — star contraction finishes in O(log n)
+    val chain = (0 until 60).map(i => (i.toLong, i.toLong + 1))
+      .toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      graft.operators.Dedup.clusters(chain)
+    }
+    val (lbl, rounds) = graft.operators.Dedup.clustersStarWithRounds(chain)
+    val got = labelSet(lbl)
+    assert(got == (0L to 60L).map(i => (i, 0L)).toSet,
+      s"chain labels wrong: ${got.toSeq.sortBy(_._1).take(8)}")
+    info(s"star rounds on 60-hop chain: $rounds")
+    assert(rounds <= 12, // log2(61) ~ 6; alternation costs a few more
+      s"star contraction took $rounds rounds on a 61-node chain")
+  }
+
   test("clusters scale bounds: label-prop rounds = planted component " +
       "diameter + 1, flat across a 10x pair set; wall stays sub-linear " +
       "in rounds x size") {
