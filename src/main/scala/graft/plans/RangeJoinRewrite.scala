@@ -44,13 +44,16 @@ import org.apache.spark.sql.types._
   * sides and (b) monotone: `IntegralDivide` (truncation toward zero) is
   * monotone nondecreasing, so bucket(p) always lies in
   * [bucket(s), bucket(e)] for p ∈ [s, e] — negative domains included.
-  * Accepted domain types: integral and TimestampType — the types whose
-  * `Cast(_, LongType)` is defined and monotone. (DateType and
-  * TimestampNTZType are deliberately NOT accepted: their casts to long
-  * are not legal in Spark 4 and would invalidate the plan.)
+  * Accepted domain types: integral, TimestampType (long units =
+  * SECONDS via Cast), and DateType (long units = DAYS via
+  * `datediff(e, epoch)` — Spark 4 forbids Cast(date → long), but the
+  * day count is the same monotone map). TimestampNTZType stays
+  * excluded: its only route to a long goes through a timezone-sensitive
+  * wall-clock→instant cast whose monotonicity breaks at DST
+  * transitions.
   *
   * `spark.graft.rangejoin.bucketWidth` controls the width (long, in the
-  * domain's cast-to-long units — SECONDS for timestamps):
+  * domain's long units — SECONDS for timestamps, DAYS for dates):
   *
   *  - `auto` (default): the width is DERIVED — a bounded probe
   *    (first [[SampleRows]] interval rows) runs at rewrite time, and
@@ -179,10 +182,23 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       j.right.output.exists(_.metadata.contains(MetaKey))
 
   private def domainOk(e: Expression): Boolean = e.dataType match {
-    case ByteType | ShortType | IntegerType | LongType | TimestampType =>
+    case ByteType | ShortType | IntegerType | LongType | TimestampType |
+        DateType =>
       e.deterministic
     case _ => false
   }
+
+  /** The monotone domain→long map: Cast for integral/timestamp domains
+    * (seconds for timestamps), day count since epoch for dates (the
+    * only Spark-4-legal monotone date map — Cast(date → long) is
+    * forbidden).
+    */
+  private def toLong(e: Expression, tz: Option[String]): Expression =
+    e.dataType match {
+      case DateType =>
+        Cast(DateDiff(e, Literal(0, DateType)), LongType)
+      case _ => Cast(e, LongType, tz)
+    }
 
   /** (point, bound, boundIsLower) readings of one comparison conjunct. */
   private def readings(c: Expression): Seq[(Expression, Expression, Boolean)] =
@@ -196,6 +212,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
 
   private def stripCast(e: Expression): Expression = e match {
     case Cast(c, _, _, _) => stripCast(c)
+    case DateDiff(c, Literal(0, DateType)) => stripCast(c) // date→days map
     case other => other
   }
 
@@ -256,7 +273,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         val derived: Option[Long] =
           try {
             inProbe.set(true)
-            val span = Subtract(Cast(hi, LongType, tz), Cast(lo, LongType, tz))
+            val span = Subtract(toLong(hi, tz), toLong(lo, tz))
             val probe = Limit(Literal(SampleRows),
               Project(Seq(Alias(span, "_graft_span")()),
                 Filter(And(IsNotNull(lo), IsNotNull(hi)), ivSide)))
@@ -362,7 +379,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         widthOpt.map { width =>
           val w = Literal(width)
           def bucket(e: Expression): Expression =
-            IntegralDivide(Cast(e, LongType, tz), w)
+            IntegralDivide(toLong(e, tz), w)
           // span split: NULL bounds null out both predicates, dropping
           // the row from both branches — same fate the original inner
           // join's null comparison gave it. Span is counted inclusively

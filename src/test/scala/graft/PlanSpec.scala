@@ -318,9 +318,10 @@ class PlanSpec extends AnyFunSuite {
       assert(gotMixedDf.queryExecution.optimizedPlan.toString
         .contains("Union"), "span split missing from the plan")
 
-      // DATE domain: Cast(date -> long) is not legal, so the rule must
-      // LEAVE the join alone (correct rows via the naive plan) rather
-      // than generate an invalid plan
+      // DATE domain (r10): Cast(date -> long) is illegal in Spark 4, so
+      // the rule maps dates through datediff-from-epoch (DAYS) — the
+      // SCD-2 shape. The rewrite must FIRE (width in days) and be
+      // result-identical to naive.
       val dPoints = (0 until 50).map(i => (i.toLong,
         java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
           .plusDays(i)))).toDF("p_id", "d")
@@ -329,10 +330,22 @@ class PlanSpec extends AnyFunSuite {
           .plusDays(i * 5)),
         java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
           .plusDays(i * 5 + 6)))).toDF("iv_id", "s_d", "e_d")
-      val dJoin = dPoints.join(dIvs,
+      def runDates() = dPoints.join(dIvs,
           $"d" >= $"s_d" && $"d" <= $"e_d")
         .select($"p_id", $"iv_id")
-      assert(dJoin.count() > 0) // completes; no PLAN_VALIDATION_FAILED
+      spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "0")
+      val dExpected = runDates().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "7") // days
+      val dJoin = runDates()
+      dJoin.count()
+      val dPlan = dJoin.queryExecution.executedPlan.toString
+      assert(dPlan.contains("_graft_p_bucket"),
+        s"date-domain rewrite did not fire:\n${dPlan.take(3000)}")
+      val dGot = dJoin.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(dGot == dExpected,
+        s"missing=${(dExpected -- dGot).take(5)} extra=${(dGot -- dExpected).take(5)}")
 
       // timestamp domain + equality key, written as PLAIN SQL the way a
       // user would (the q17 shape with no manual bucketing): the rule
