@@ -937,4 +937,72 @@ object Dedup {
         levenshtein(col("t_a"), col("t_b")).as("dist"))
       .filter(col("dist") <= k)
   }
+
+  /** Corpus-level exact PASSAGE dedup — the rewrite step the
+    * document-level family (l01–l05) and the measurement step (l24)
+    * both stop short of: each document is cut into consecutive
+    * non-overlapping `passageTokens`-token passages, every passage
+    * keeps only its FIRST corpus occurrence (ordered by (doc id,
+    * passage index) — deterministic, replayable), and each document is
+    * reassembled from its surviving passages. This is the scalable
+    * fixed-granularity approximation of suffix-array ExactSubstr dedup
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): boilerplate repeated across documents is removed
+    * everywhere but its first appearance, while each document's unique
+    * material survives untouched.
+    *
+    * Output (one row per input document, including zero-token ones):
+    * (doc_id, n_passages, n_kept, text_dedup).
+    *
+    * Scale shape: ONE tokenize+explode pass (n_passages is derived
+    * arithmetically from the token count, not re-exploded); first
+    * occurrence is `row_number() = 1` over the passage string, which
+    * Spark executes with WindowGroupLimit pushdown — each map
+    * partition forwards at most ONE row per passage into the
+    * exchange, so a passage repeated a billion times ("lorem ipsum"
+    * boilerplate) contributes ≤ numPartitions rows to its reducer:
+    * skew-free by construction, no salting needed. Reassembly is one
+    * doc-keyed aggregate. Passages shuffle as their own text (~tens
+    * of bytes at the default granularity); a deployment at longer
+    * granularities would key the window on a 128-bit digest of the
+    * passage and let the (first-doc, first-idx) pair disambiguate —
+    * the l01 convention.
+    */
+  def passageDedup(docs: DataFrame, passageTokens: Int = 8,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(passageTokens > 0, s"passageTokens=$passageTokens")
+    val k = passageTokens
+    val p = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("n") - 1, lit(k))).as("start"))
+      .select(col("doc_id"),
+        expr(s"CAST(start div $k AS BIGINT)").as("p_idx"),
+        array_join(slice(col("toks"), col("start") + 1, lit(k)), " ")
+          .as("passage"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("passage"))
+      .orderBy(col("doc_id"), col("p_idx"))
+    val kept = p.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val perDoc = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(sort_array(collect_list(struct(col("p_idx"),
+          col("passage")))), s => s.getField("passage")), " ")
+        .as("text_dedup"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).as("n_toks"))
+      .select(col("doc_id"),
+        expr(s"CAST((n_toks + ${k - 1}) div $k AS BIGINT)")
+          .as("n_passages"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_passages"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

@@ -205,6 +205,44 @@ object LlmQueries {
           .orderBy(col("cluster"), col("id"))
       }, None, Some(dir => l10Sql(dir))),
 
+    // Passage-level exact dedup — the REWRITE the document-level family
+    // stops short of: boilerplate 8-token passages keep only their first
+    // corpus occurrence and documents are reassembled from survivors
+    // (fixed-granularity ExactSubstr dedup). The oracle chains the
+    // identical explode → first-occurrence window → reassembly in DuckDB.
+    "l39_passage_dedup" -> QuerySpec(
+      (s, dir) => Dedup.passageDedup(parallelDocs(s, dir))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |        x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, start // 8 AS p_idx,
+             |    array_to_string(list_slice(toks, CAST(start+1 AS BIGINT),
+             |        CAST(start+8 AS BIGINT)), ' ') AS passage
+             |  FROM (SELECT doc_id, toks,
+             |          unnest(range(0, CAST(len(toks) AS BIGINT), 8)) AS start
+             |        FROM t WHERE len(toks) > 0)),
+             |k AS (
+             |  SELECT doc_id, p_idx, passage,
+             |    row_number() OVER (PARTITION BY passage
+             |                       ORDER BY doc_id, p_idx) AS rn
+             |  FROM p),
+             |a AS (
+             |  SELECT doc_id, COUNT(*) AS n_kept,
+             |    string_agg(passage, ' ' ORDER BY p_idx) AS text_dedup
+             |  FROM k WHERE rn = 1 GROUP BY doc_id),
+             |c AS (
+             |  SELECT doc_id,
+             |    CAST((len(toks) + 7) // 8 AS BIGINT) AS n_passages FROM t)
+             |SELECT c.doc_id, c.n_passages,
+             |  coalesce(a.n_kept, 0) AS n_kept,
+             |  coalesce(a.text_dedup, '') AS text_dedup
+             |FROM c LEFT JOIN a ON c.doc_id = a.doc_id
+             |ORDER BY c.doc_id""".stripMargin)),
+
     // -- text analysis --
 
     "l06_token_count" -> QuerySpec(

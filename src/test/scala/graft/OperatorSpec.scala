@@ -1434,6 +1434,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(rebuilt == (1 to 150).map(i => s"w$i"))
   }
 
+  test("passageDedup: first corpus occurrence survives, aligned repeats " +
+      "(cross-doc and within-doc) drop, unaligned repeats survive, " +
+      "docs reassemble in passage order") {
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 b1 b2 b3 b4 c1 c2 c3 c4"), // first owner of A,B,C
+      (2L, "b1 b2 b3 b4 d1 d2 d3 d4"),             // B repeats aligned
+      (3L, "a1 a2 a3 a4 b1 b2 b3 b4 c1 c2 c3 c4"), // exact copy: all drop
+      (4L, "x b1 b2 b3 b4 y z w"),  // B shifted off the passage grid
+      (5L, "   "),                  // zero tokens
+      (6L, "e1 e2 e3 e4 e5 e6"),    // short unique tail passage
+      (7L, "p q r s p q r s")       // within-doc repeat
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(docs, passageTokens = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(out.size == 7, "one row per input doc, empty docs included")
+    assert(out(1L) == ((3L, 3L, "a1 a2 a3 a4 b1 b2 b3 b4 c1 c2 c3 c4")))
+    assert(out(2L) == ((2L, 1L, "d1 d2 d3 d4")))
+    assert(out(3L) == ((3L, 0L, "")))
+    // fixed-granularity limitation, stated not hidden: a repeat that is
+    // not aligned to the passage grid is NOT removed
+    assert(out(4L) == ((2L, 2L, "x b1 b2 b3 b4 y z w")))
+    assert(out(5L) == ((0L, 0L, "")))
+    assert(out(6L) == ((2L, 2L, "e1 e2 e3 e4 e5 e6")))
+    assert(out(7L) == ((2L, 1L, "p q r s")))
+  }
+
   test("perceptual dHash: brightness-shift invariant, lossless decode " +
       "reproduces raw-pixel hashes, banded join equals brute force") {
     import graft.operators.Multimodal

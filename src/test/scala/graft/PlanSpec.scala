@@ -551,6 +551,22 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("l39: passage dedup's first-occurrence window runs with " +
+      "WindowGroupLimit pushdown (partial top-1 per map partition " +
+      "before the passage exchange — skew-free) and no all-pairs join") {
+    val df = SparkEntry.queries("l39_passage_dedup")(spark,
+      "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"first-occurrence window lost the group-limit pushdown:\n${
+        plan.take(3000)}")
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected Partial+Final WindowGroupLimit pair:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("l34: token chunking is a narrow per-row transform — zero " +
       "exchanges in the plan") {
     val out = graft.operators.TextAnalysis.chunkDocs(
