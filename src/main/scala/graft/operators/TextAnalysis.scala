@@ -255,6 +255,57 @@ object TextAnalysis {
       lit(0.3) * when(meanTokLen.between(3.0, 12.0), 1.0).otherwise(0.0))
   }
 
+  /** Gopher-style quality-RULE battery (Rae et al. 2021, §A1.1; the
+    * filter shape Dolma/RefinedWeb ship): where [[qualityScore]] blends
+    * signals into one scalar, this emits each rule as its own boolean
+    * flag plus the conjunctive gate — the form a production pipeline
+    * needs to report per-rule rejection rates and tune thresholds.
+    * Rules (canonical Gopher thresholds): word count in [50, 100000];
+    * mean word length in [3, 10]; > 0.8 of words contain an alphabetic
+    * character; ≥ 2 stopwords; symbol-to-word ratio ('#' and '...')
+    * ≤ 0.1. Gopher's line-shape rules (bullet/ellipsis line starts,
+    * duplicate-line fraction) are omitted — this corpus is single-line
+    * (see l23/l39 for the repetition axis).
+    *
+    * Flags are computed on the RAW doubles (int-derived IEEE divisions,
+    * bit-identical across engines); only the REPORTED ratios are
+    * 4-dp-quantized ([[quant4]]). Narrow per-row columnar math — no
+    * shuffle, no UDF; pipelines inside the preceding scan stage.
+    */
+  def gopherRules(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nW = size(toks).cast("long")
+    val nD = greatest(nW.cast("double"), lit(1.0))
+    val sumLen = aggregate(toks, lit(0L),
+      (acc, t) => acc + length(t).cast("long"))
+    val mwl = sumLen.cast("double") / nD
+    val fracAlpha =
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nD
+    val nStop = stopwordCount(col(textCol)).cast("long")
+    val nSym = (size(split(col(textCol), "#")) - 1 +
+      size(split(col(textCol), "\\.\\.\\.")) - 1).cast("long")
+    val symRatio = nSym.cast("double") / nD
+    val rWordCount = nW.between(50L, 100000L)
+    val rMeanWordLen = mwl >= 3.0 && mwl <= 10.0
+    val rAlpha = fracAlpha > 0.8
+    val rStopwords = nStop >= 2L
+    val rSymbol = symRatio <= 0.1
+    df.select(col(idCol),
+      nW.as("n_words"),
+      quant4(mwl).as("mean_word_len"),
+      quant4(fracAlpha).as("frac_alpha_words"),
+      nStop.as("n_stop"),
+      quant4(symRatio).as("symbol_ratio"),
+      rWordCount.as("r_word_count"),
+      rMeanWordLen.as("r_mean_word_len"),
+      rAlpha.as("r_alpha"),
+      rStopwords.as("r_stopwords"),
+      rSymbol.as("r_symbol"),
+      (rWordCount && rMeanWordLen && rAlpha && rStopwords && rSymbol)
+        .as("pass"))
+  }
+
   /** Engine-stable n-digit quantizer: floor(x·10ⁿ + 0.5)/10ⁿ in pure
     * IEEE double ops (see [[qualityScore]] for why decimal casts and
     * round() diverge across engines at half boundaries).

@@ -360,6 +360,60 @@ object LlmQueries {
              |  n_stopwords
              |FROM best ORDER BY doc_id""".stripMargin)),
 
+    // Gopher rule battery — per-rule boolean flags + the conjunctive
+    // gate (where l09 blends signals into one scalar). Flags compare the
+    // RAW int-derived doubles (bit-identical across engines); only the
+    // reported ratios quantize. The oracle recomputes every rule.
+    "l40_gopher_rules" -> QuerySpec(
+      (s, dir) => TextAnalysis.gopherRules(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |        x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+             |    COALESCE(list_aggregate(list_transform(toks,
+             |        t -> CAST(length(t) AS BIGINT)), 'sum'), 0) AS sum_len,
+             |    CAST(len(list_filter(toks,
+             |        t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha_w,
+             |    CAST(len(list_filter(toks, t -> list_contains(
+             |      ['the','a','an','and','or','of','to','in','is','are',
+             |       'was','for','on','with','as','by','at','it'], t)))
+             |      AS BIGINT) AS n_stop,
+             |    CAST(len(string_split(text, '#')) - 1
+             |       + len(string_split(text, '...')) - 1 AS BIGINT) AS n_sym
+             |  FROM t),
+             |r AS (
+             |  SELECT doc_id, n_words, n_stop,
+             |    sum_len / greatest(CAST(n_words AS DOUBLE), 1.0::DOUBLE)
+             |      AS mwl,
+             |    n_alpha_w / greatest(CAST(n_words AS DOUBLE), 1.0::DOUBLE)
+             |      AS fa,
+             |    n_sym / greatest(CAST(n_words AS DOUBLE), 1.0::DOUBLE)
+             |      AS sr
+             |  FROM m)
+             |SELECT doc_id, n_words,
+             |  floor(mwl * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+             |    AS mean_word_len,
+             |  floor(fa * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+             |    AS frac_alpha_words,
+             |  n_stop,
+             |  floor(sr * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+             |    AS symbol_ratio,
+             |  (n_words BETWEEN 50 AND 100000) AS r_word_count,
+             |  (mwl >= 3.0::DOUBLE AND mwl <= 10.0::DOUBLE)
+             |    AS r_mean_word_len,
+             |  (fa > 0.8::DOUBLE) AS r_alpha,
+             |  (n_stop >= 2) AS r_stopwords,
+             |  (sr <= 0.1::DOUBLE) AS r_symbol,
+             |  ((n_words BETWEEN 50 AND 100000)
+             |   AND (mwl >= 3.0::DOUBLE AND mwl <= 10.0::DOUBLE)
+             |   AND (fa > 0.8::DOUBLE) AND (n_stop >= 2)
+             |   AND (sr <= 0.1::DOUBLE)) AS pass
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
     // The 100 TB dedup layout as a first-class flow: signatures
     // materialized ONCE into a bucketed table (single corpus scan),
     // candidates from an exchange-free bucketed self-join, exact-jaccard

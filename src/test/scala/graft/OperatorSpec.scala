@@ -1461,6 +1461,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(7L) == ((2L, 1L, "p q r s")))
   }
 
+  test("gopherRules: each rule flips independently on planted docs; " +
+      "pass is the conjunction of all five") {
+    val filler = Seq.fill(58)("word")
+    val good = ("the and " + filler.mkString(" ")) // 60 words, 2 stop
+    val docs = Seq(
+      (1L, good),                            // all rules pass
+      (2L, "the and word"),                  // only word-count fails
+      (3L, Seq.fill(30)("123 456").mkString(" ")), // alpha + stopwords fail
+      (4L, good + " # # # # ... ... ..."),   // symbol ratio 7/67 > 0.1
+      (5L, "the and " + Seq.fill(58)("supercalifragilist").mkString(" ")),
+      (6L, "   ")                            // empty: count + mean fail
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs).collect().map { r =>
+      r.getLong(0) -> ((r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+        r.getBoolean(9), r.getBoolean(10), r.getBoolean(11)))
+    }.toMap
+    // (r_word_count, r_mean_word_len, r_alpha, r_stopwords, r_symbol, pass)
+    assert(out(1L) == ((true, true, true, true, true, true)))
+    assert(out(2L) == ((false, true, true, true, true, false)))
+    // doc 3: 60 numeric words, mean len exactly 3.0 (boundary inclusive)
+    assert(out(3L) == ((true, true, false, false, true, false)))
+    assert(out(4L) == ((true, true, true, true, false, false)))
+    assert(out(5L) == ((true, false, true, true, true, false)))
+    assert(out(6L) == ((false, false, false, false, true, false)))
+    val row3 = TextAnalysis.gopherRules(docs).filter(col("doc_id") === 3L)
+      .select("mean_word_len", "frac_alpha_words").collect().head
+    assert(row3.getDouble(0) == 3.0 && row3.getDouble(1) == 0.0)
+  }
+
   test("perceptual dHash: brightness-shift invariant, lossless decode " +
       "reproduces raw-pixel hashes, banded join equals brute force") {
     import graft.operators.Multimodal
