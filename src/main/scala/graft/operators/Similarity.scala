@@ -143,6 +143,82 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Seeded Rademacher PROJECTION matrix (projDims × dims, entries ±1)
+    * for [[randomProjectionTopK]] — the Achlioptas database-friendly
+    * Johnson–Lindenstrauss construction (±1 entries preserve pairwise
+    * inner-product ORDER in expectation, and candidate ranking only
+    * needs order, so the 1/√projDims JL scale factor is dropped). Rows
+    * draw from the same seeded xxhash64 stream as [[rademacherPlanes]]
+    * but at a disjoint row-index offset, so the projection is
+    * independent of the LSH hyperplanes.
+    */
+  private[graft] val ProjSeedOffset = 1 << 20
+  private[graft] def rademacherProjection(projDims: Int,
+                                          dims: Int): Array[Array[Double]] =
+    Array.tabulate(projDims) { j =>
+      Array.tabulate(dims) { i =>
+        if ((xxhash64IntPair(j + ProjSeedOffset, i) & 1L) == 1L) 1.0d
+        else -1.0d
+      }
+    }
+
+  /** projDims-element reduced vector from literal projection rows: one
+    * codegen'd zip_with dot per output dimension (the [[hyperplaneBucket]]
+    * kernel, kept as a VALUE instead of collapsed to a sign bit).
+    * Dimension mismatches raise (see [[guardDims]]).
+    */
+  private[graft] def projectVec(vec: Column,
+                                proj: Array[Array[Double]]): Column =
+    if (proj.isEmpty) array()
+    else guardDims(vec, proj.head.length,
+      array(proj.toIndexedSeq.map { row =>
+        val pl = array(row.map(lit).toIndexedSeq: _*)
+        aggregate(zip_with(vec, pl, (x, s) => x.cast("double") * s),
+          lit(0.0d), (a, d) => a + d)
+      }: _*))
+
+  /** Random-projection ANN (Johnson–Lindenstrauss): vectors and queries
+    * project through a seeded ±1 matrix to `projDims` dimensions, the
+    * all-pairs candidate scan runs ENTIRELY in the reduced space, the
+    * top `shortlist` per query re-rank by exact cosine on the original
+    * vectors. This is the dimension-REDUCTION point on the compression
+    * spectrum (PQ/SQ8/BQ quantize per-dimension precision; JL cuts the
+    * dimension count) — at 64→32 dims the candidate scan's compute AND
+    * shuffle width both drop 2×, and the full-width vectors never enter
+    * the cross join at all: they re-attach by id for only shortlist·Q
+    * candidate rows. Queries broadcast (the q-side of every ANN entry
+    * here); recall vs [[bruteForceTopK]] is measured in OperatorSpec.
+    */
+  def randomProjectionTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                           projDims: Int = 32, shortlist: Int = 128,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           dims: Int = -1): DataFrame = {
+    val d = if (dims >= 0) dims else dimsOf(vectors, vecCol)
+    val proj = rademacherProjection(projDims, d)
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"))
+    val vp = v.select(col("id"), projectVec(col("v"), proj).as("p"))
+    val qp = q.select(col("query_id"), projectVec(col("q"), proj).as("qp"))
+    val approx = vp.crossJoin(broadcast(qp))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("s", cosine(col("p"), col("qp")))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("s").desc, col("id"))
+    val cand = approx.withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= shortlist)
+      .select(col("query_id"), col("id"))
+    val scored = cand.join(v, Seq("id")).join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", cosine(col("v"), col("q")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Driver-side replica of the in-plan `xxhash64(a, b)` over two
     * IntegerType columns (seed 42, left-to-right fold; integers hash via
     * `XXH64.hashInt`, NOT `hashLong` — the two mix different input

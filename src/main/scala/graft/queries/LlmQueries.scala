@@ -1356,6 +1356,22 @@ object LlmQueries {
           .orderBy(col("query_id"), col("rank"))
       }, None, Some(dir => s11Sql(dir))),
 
+    // Random-projection (Johnson–Lindenstrauss) ANN — the dimension-
+    // REDUCTION point on the compression spectrum (PQ/SQ8/BQ quantize
+    // precision; JL cuts the dimension count): seeded ±1 projection to
+    // 16 dims, all-pairs candidate scan entirely in the reduced space,
+    // exact-cosine re-rank of the top-64 shortlist. The oracle
+    // regenerates the same seeded matrix and chains the identical
+    // project → reduced-dot shortlist → re-rank stages.
+    "s16_random_projection" -> QuerySpec(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        s16DimsByDir(dir) = Similarity.dimsOf(e, "embedding")
+        Similarity.randomProjectionTopK(e, e.filter(col("vec_id") < 5),
+            k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      }, None, Some(dir => s16Sql(dir))),
+
     // Multi-vector late interaction (ColBERT MaxSim): vectors grouped 8
     // per "document", score = Σ over query tokens of the best cosine in
     // the candidate doc. Per-pair maxes quantize to integer micro-units
@@ -2401,6 +2417,8 @@ object LlmQueries {
     String, Seq[(String, String)]]()
   private val s11ThresholdsByDir = scala.collection.concurrent.TrieMap[
     String, Array[Double]]()
+  private val s16DimsByDir = scala.collection.concurrent.TrieMap[
+    String, Int]()
   private val s06CapturesByDir = scala.collection.concurrent.TrieMap[
     String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
   private val s12CapturesByDir = scala.collection.concurrent.TrieMap[
@@ -2707,6 +2725,45 @@ object LlmQueries {
     * integer, unordered SUM safe), the top-128 candidate cut, and the
     * exact-cosine final rank.
     */
+  /** s16 oracle: the seeded ±1 projection matrix regenerates from the
+    * captured dims (the s02 convention — the matrix is a pure function
+    * of (projDims, dims)); DuckDB projects every vector through the same
+    * 16 literal rows (list_inner_product ≡ the engine's ascending
+    * zip_with fold, the s12 precedent), shortlists the top 64 by the
+    * reduced-space dot, and re-ranks by exact cosine.
+    */
+  private def s16Sql(dir: String): String = {
+    val dims = s16DimsByDir.getOrElse(dir,
+      sys.error(s"s16 never ran for $dir — no dims captured"))
+    val proj = graft.operators.Similarity.rademacherProjection(32, dims)
+    val pArr = proj.map(r => s"list_inner_product(e, ${sqlArr(r)})")
+      .mkString("[", ", ", "]")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |pv AS (SELECT vec_id, $pArr AS p FROM base),
+       |approx AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |    CASE WHEN sqrt(list_inner_product(v.p, v.p))
+       |              * sqrt(list_inner_product(q.p, q.p)) <> 0
+       |         THEN list_inner_product(v.p, q.p)
+       |              / (sqrt(list_inner_product(v.p, v.p))
+       |                 * sqrt(list_inner_product(q.p, q.p)))
+       |         ELSE 0 END AS s
+       |  FROM pv v CROSS JOIN pv q
+       |  WHERE q.vec_id < 5 AND v.vec_id <> q.vec_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+       |  FROM approx) WHERE rn <= 128),
+       |st AS (SELECT cd.query_id, cd.neighbor_id, $cosineCase AS c
+       |  FROM cand cd
+       |  JOIN base v ON v.vec_id = cd.neighbor_id
+       |  JOIN base q ON q.vec_id = cd.query_id),
+       |r AS (SELECT query_id, neighbor_id, c,
+       |  row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY c DESC, neighbor_id) AS rank FROM st)
+       |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   private def s12Sql(dir: String): String = {
     val (cents, mu) = s12CapturesByDir.getOrElse(dir,
       sys.error(s"s12 never ran for $dir — no captures"))
