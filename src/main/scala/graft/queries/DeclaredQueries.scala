@@ -284,6 +284,30 @@ object DeclaredQueries {
              |ORDER BY l_returnflag ASC NULLS FIRST,
              |  l_linestatus ASC NULLS FIRST""".stripMargin)),
 
+    // CUBE — q14's rollup widened to all 2^n grouping sets, with
+    // grouping_id() disambiguating a rollup NULL from NULL data (the
+    // standard-SQL bit order both engines share: first column = MSB).
+    // One Expand + one hash aggregate: Spark plans every grouping set
+    // in a single shuffle, not 2^n scans.
+    "q18_cube" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+            sum2($"l_quantity").as("qty"))
+          .select($"l_returnflag", $"l_linestatus", $"gid", $"cnt", $"qty")
+          .orderBy($"gid", $"l_returnflag".asc_nulls_first,
+            $"l_linestatus".asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             |COUNT(*) AS cnt,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+             |  l_linestatus ASC NULLS FIRST""".stripMargin)),
+
     // Q15 — set operations beyond UNION (SURVEY §2.7 ⊘-builtin):
     // INTERSECT and EXCEPT in one result.
     "q15_set_ops" -> QuerySpec(
