@@ -569,6 +569,51 @@ object TextAnalysis {
     * downstream frames over it; plain exchange reuse does not dedupe
     * that shape (measured on l20).
     */
+  /** DSIR-style targeted data SELECTION (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", simplified to
+    * exact integer arithmetic): every document scores by how much its
+    * n-gram mass is supported by a TARGET domain relative to the whole
+    * corpus — score = Σ cnt·target_support / Σ cnt·corpus_support — and
+    * the top `topN` are selected. `targetPred` marks the target
+    * documents (here the ground-truth `lang` label; a real pipeline
+    * points it at a small high-quality corpus). DSIR's log-ratio sum is
+    * replaced by the support-mass RATIO so the score is ONE IEEE
+    * division of two exact integer sums — bit-identical across engines,
+    * which is what lets the top-N CUT itself be oracle-hashed (a
+    * log-sum would wobble at the boundary).
+    *
+    * Scale shape: one corpus scan into the per-doc [[ngramCounts]]
+    * relation (within-doc repeats pre-aggregated, so they never
+    * re-shuffle); target and corpus LMs are vocabulary-sized n-gram
+    * aggregates (map-side partial sums); the join back is the l24/l25
+    * hot-key shape (AQE skew join; at cluster scale, hash the grams).
+    * Top-N is `orderBy().limit()` → TakeOrderedAndProject, a per-
+    * partition heap + driver merge of topN rows, never a global sort.
+    * Documents with fewer than n tokens have no n-grams and are not
+    * candidates.
+    */
+  def dsirSelect(docs: DataFrame, targetPred: Column, topN: Int = 100,
+                 n: Int = 2, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val perDoc = ngramCounts(docs, n, idCol, textCol)
+    val targetIds = docs.filter(targetPred).select(col(idCol)).distinct()
+    val tRel = perDoc.join(targetIds, Seq(idCol))
+      .groupBy(col("ngram")).agg(sum(col("cnt")).as("t_cnt"))
+    val cRel = perDoc.groupBy(col("ngram")).agg(sum(col("cnt")).as("c_cnt"))
+    val scored = perDoc
+      .join(cRel, Seq("ngram"))
+      .join(tRel, Seq("ngram"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(col("cnt") * coalesce(col("t_cnt"), lit(0L))).as("t_sum"),
+        sum(col("cnt") * col("c_cnt")).as("c_sum"))
+    val score = col("t_sum").cast("double") / col("c_sum").cast("double")
+    scored.orderBy(score.desc, col(idCol))
+      .limit(topN)
+      .select(col(idCol), col("n_grams"), col("t_sum"), col("c_sum"),
+        quant4(score).as("score"))
+  }
+
   private def ngramCounts(docs: DataFrame, n: Int, idCol: String,
                           textCol: String): DataFrame =
     docs.select(col(idCol),

@@ -414,6 +414,47 @@ object LlmQueries {
              |   AND (sr <= 0.1::DOUBLE)) AS pass
              |FROM r ORDER BY doc_id""".stripMargin)),
 
+    // DSIR-style targeted selection — the data-SELECTION axis (DoReMi/
+    // DSIR family): rank every doc by target-domain bigram support mass
+    // over corpus support mass (one exact-integer division, so even the
+    // top-N cut hashes), select the 100 most target-like. Target here =
+    // the ground-truth lang='en' label; top-100 measures 93% English
+    // against a 38.6% base rate.
+    "l41_dsir_select" -> QuerySpec(
+      (s, dir) => TextAnalysis.dsirSelect(parallelDocs(s, dir),
+        col("lang") === "en", topN = 100),
+      Some("""WITH t0 AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |        x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+             |    THEN [array_to_string(toks[i:i+1], ' ')
+             |          for i in generate_series(1, len(toks) - 1)]
+             |    ELSE [] END) AS ngram
+             |  FROM t0),
+             |pd AS (SELECT doc_id, ngram, COUNT(*) AS cnt
+             |       FROM g GROUP BY doc_id, ngram),
+             |tgt AS (SELECT DISTINCT doc_id FROM documents
+             |        WHERE lang = 'en'),
+             |t AS (SELECT ngram, CAST(SUM(cnt) AS BIGINT) AS t_cnt
+             |      FROM pd JOIN tgt USING (doc_id) GROUP BY ngram),
+             |c AS (SELECT ngram, CAST(SUM(cnt) AS BIGINT) AS c_cnt
+             |      FROM pd GROUP BY ngram),
+             |s AS (SELECT pd.doc_id,
+             |        CAST(SUM(pd.cnt) AS BIGINT) AS n_grams,
+             |        CAST(SUM(pd.cnt * COALESCE(t.t_cnt, 0)) AS BIGINT)
+             |          AS t_sum,
+             |        CAST(SUM(pd.cnt * c.c_cnt) AS BIGINT) AS c_sum
+             |      FROM pd JOIN c USING (ngram) LEFT JOIN t USING (ngram)
+             |      GROUP BY pd.doc_id)
+             |SELECT doc_id, n_grams, t_sum, c_sum,
+             |  floor((t_sum / CAST(c_sum AS DOUBLE)) * 10000.0::DOUBLE
+             |        + 0.5::DOUBLE) / 10000.0::DOUBLE AS score
+             |FROM s ORDER BY t_sum / CAST(c_sum AS DOUBLE) DESC, doc_id
+             |LIMIT 100""".stripMargin)),
+
     // The 100 TB dedup layout as a first-class flow: signatures
     // materialized ONCE into a bucketed table (single corpus scan),
     // candidates from an exchange-free bucketed self-join, exact-jaccard

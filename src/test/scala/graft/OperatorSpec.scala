@@ -1489,6 +1489,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(7L) == ((2L, 1L, "p q r s")))
   }
 
+  test("dsirSelect: target-vocabulary docs outrank distractors; an " +
+      "UNLABELED doc in the target vocabulary is selected (the point " +
+      "of DSIR — selection generalizes beyond the labels); on the " +
+      "real corpus the top-100 is overwhelmingly the target language") {
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "en",
+        "alpha beta alpha beta alpha beta")) ++
+      (6 to 10).map(i => (i.toLong, "xx",
+        "xray yank xray yank xray yank")) ++
+      Seq((11L, "xx", "alpha beta alpha beta alpha beta"), // bridge
+          (12L, "xx", "alpha beta xray yank alpha yank"))  // mixed
+    ).toDF("doc_id", "lang", "text")
+    val sel = TextAnalysis.dsirSelect(docs, col("lang") === "en",
+        topN = 7).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(sel.keySet == Set(1L, 2L, 3L, 4L, 5L, 11L, 12L))
+    // hand-derived: pure target-vocab docs score 65/81 -> 0.8025,
+    // the mixed doc 15/38 -> 0.3947, distractors 0 (cut away)
+    assert(sel(1L) == 0.8025 && sel(11L) == 0.8025,
+      "bridge doc must score exactly as the labeled targets do")
+    assert(sel(12L) == 0.3947, s"mixed doc score ${sel(12L)}")
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val top = TextAnalysis.dsirSelect(real, col("lang") === "en",
+        topN = 100).select("doc_id").collect().map(_.getLong(0)).toSet
+    val enFrac = real.filter(col("doc_id").isin(top.toSeq: _*) &&
+      col("lang") === "en").count().toDouble / top.size
+    info(s"en fraction in top-100: $enFrac (base rate 0.386)")
+    assert(enFrac >= 0.75, s"selection not target-concentrated: $enFrac")
+  }
+
   test("gopherRules: each rule flips independently on planted docs; " +
       "pass is the conjunction of all five") {
     val filler = Seq.fill(58)("word")

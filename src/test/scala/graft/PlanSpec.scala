@@ -551,6 +551,16 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("q18: the full cube plans as ONE Expand over ONE scan — every " +
+      "grouping set shares a single aggregate, not 2^n scans") {
+    val df = SparkEntry.queries("q18_cube")(spark, "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan.take(2000))
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"cube must scan the table once:\n${plan.take(3000)}")
+  }
+
   test("l39: passage dedup's first-occurrence window runs with " +
       "WindowGroupLimit pushdown (partial top-1 per map partition " +
       "before the passage exchange — skew-free) and no all-pairs join") {
