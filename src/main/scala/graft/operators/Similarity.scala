@@ -365,6 +365,62 @@ object Similarity {
         .getField("cell").as("cell"))
   }
 
+  /** PERSIST the IVF index: cell assignments written as parquet
+    * PARTITIONED BY cell — one directory per coarse cell, the layout
+    * every production vector store deploys ("build once, query many").
+    * At 100 TB this is the difference between an index and a scan: a
+    * query touches nProbe/nCells of the DIRECTORIES, pruned by the file
+    * index at plan time before any task launches. Rewrites are
+    * `mode(overwrite)`; content is a pure function of (corpus,
+    * centroids), so callers key the path by both (the entry hashes the
+    * centroid matrix into the path — testdata drift remints the index).
+    */
+  def writeIvfIndex(vectors: DataFrame, centroids: Array[Array[Double]],
+                    path: String, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit =
+    assignCells(vectors, centroids, idCol, vecCol)
+      .select(col("id").as(idCol), col("v").as(vecCol), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Query a [[writeIvfIndex]] index: the probe cells come from the
+    * literal centroid matrix (same 2·v·c − ‖c‖², ties to the higher
+    * cell), their union becomes a plan-time `IN` literal on the
+    * PARTITION column — the scan's file index prunes every unprobed
+    * cell directory before execution (PlanSpec pins the
+    * PartitionFilters) — and exact cosine ranks within the probed
+    * union, result-identical to the in-memory [[ivfTopKWithCentroids]]
+    * (asserted in OperatorSpec; the s17 oracle is byte-for-byte s04's).
+    * The driver-side cell-union collect is bounded by the CELL COUNT,
+    * never the corpus.
+    */
+  def queryIvfIndex(path: String, centroids: Array[Array[Double]],
+                    queries: DataFrame, k: Int, nProbe: Int = 4,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val scores = literalCellScores(centroids)
+    def topCells(vec: Column, nn: Int): Column =
+      transform(slice(reverse(array_sort(scores(vec))), 1, nn),
+        s => s.getField("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
+      explode(topCells(col(vecCol), nProbe)).as("cell"))
+    val cells = q.select(col("cell")).distinct().collect()
+      .map(_.getInt(0)).sorted
+    val idx = spark.read.parquet(path)
+      .filter(col("cell").isin(cells.map(Int.box).toIndexedSeq: _*))
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
+    val scored = idx.join(q, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("v"), col("q")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** IVF with TRAINED centroids: k-means fit, then the literal-centroid
     * probe of [[ivfTopKWithCentroids]].
     */

@@ -1397,6 +1397,28 @@ object LlmQueries {
           .orderBy(col("query_id"), col("rank"))
       }, None, Some(dir => s11Sql(dir))),
 
+    // Persistent IVF index — the "build once, query many" deployment
+    // shape: cell assignments written as parquet PARTITIONED BY cell
+    // (one directory per coarse cell), the query's probed-cell union a
+    // plan-time IN literal on the partition column, so the file index
+    // prunes every unprobed cell DIRECTORY before a task launches. The
+    // oracle is byte-for-byte s04's — the driver hash-proves the
+    // persisted index returns exactly what the in-memory path returns.
+    "s17_indexed_ann" -> QuerySpec(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val cents = Similarity.ivfCentroidsCached(dir, e)
+        s17CentroidsByDir(dir) = cents
+        val path = s17IndexPath(dir, cents)
+        s17BuildLock.synchronized {
+          if (!new java.io.File(path, "_SUCCESS").isFile)
+            Similarity.writeIvfIndex(e, cents, path)
+        }
+        Similarity.queryIvfIndex(path, cents,
+            e.filter(col("vec_id") < 5), k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      }, None, Some(dir => s17Sql(dir))),
+
     // Random-projection (Johnson–Lindenstrauss) ANN — the dimension-
     // REDUCTION point on the compression spectrum (PQ/SQ8/BQ quantize
     // precision; JL cuts the dimension count): seeded ±1 projection to
@@ -2460,6 +2482,19 @@ object LlmQueries {
     String, Array[Double]]()
   private val s16DimsByDir = scala.collection.concurrent.TrieMap[
     String, Int]()
+  private val s17CentroidsByDir = scala.collection.concurrent.TrieMap[
+    String, Array[Array[Double]]]()
+  private val s17BuildLock = new Object
+  // index content is a pure function of (corpus dir, centroid matrix) —
+  // hashing BOTH into the path means testdata drift (which changes the
+  // trained centroids) remints the index instead of serving stale cells
+  private def s17IndexPath(dir: String,
+                           cents: Array[Array[Double]]): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((dir + "|" + cents.map(_.mkString(",")).mkString(";"))
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"target/annindex/ivf-$key"
+  }
   private val s06CapturesByDir = scala.collection.concurrent.TrieMap[
     String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
   private val s12CapturesByDir = scala.collection.concurrent.TrieMap[
@@ -2766,6 +2801,23 @@ object LlmQueries {
     * integer, unordered SUM safe), the top-128 candidate cut, and the
     * exact-cosine final rank.
     */
+  /** s17 oracle: byte-for-byte the s04 derivation over the ORIGINAL
+    * embeddings table — the persisted cell-partitioned index must
+    * return exactly what the in-memory trained-IVF path returns, so a
+    * lossy write (dropped rows, mangled floats, wrong cells) breaks the
+    * hash.
+    */
+  private def s17Sql(dir: String): String = {
+    val cents = s17CentroidsByDir.getOrElse(dir,
+      sys.error(s"s17 never ran for $dir — no centroids captured"))
+    val centVals = cents.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      s"($i, ${sqlArr(c)}, $c2::DOUBLE)"
+    }.mkString(", ")
+    ivfSql("(cell, c, c2)", centVals,
+      "list_inner_product(e, c) * 2.0 - c2")
+  }
+
   /** s16 oracle: the seeded ±1 projection matrix regenerates from the
     * captured dims (the s02 convention — the matrix is a pure function
     * of (projDims, dims)); DuckDB projects every vector through the same

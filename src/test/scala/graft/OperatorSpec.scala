@@ -241,6 +241,25 @@ class OperatorSpec extends AnyFunSuite {
       s"trained $trainedRecall vs random $ivfRecall")
   }
 
+  test("s17 indexed ANN: the persisted cell-partitioned index returns " +
+      "EXACTLY the in-memory trained-IVF results (lossless round trip " +
+      "through the partitioned layout)") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.ivfCentroidsCached("/root/testdata/sf0.001", e)
+    val path = java.nio.file.Files.createTempDirectory("annidx")
+      .resolve("ivf").toString
+    Similarity.writeIvfIndex(e, cents, path)
+    val q = e.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSet
+    val mem = rows(Similarity.ivfTopKWithCentroids(e, q, 10, cents))
+    val idx = rows(Similarity.queryIvfIndex(path, cents, q, 10))
+    assert(idx == mem,
+      s"index diverged: only-mem=${(mem -- idx).take(3)} " +
+        s"only-idx=${(idx -- mem).take(3)}")
+  }
+
   test("s16 random projection: reduced-space shortlist + exact re-rank " +
       "achieves high recall vs brute force; projection matrix is " +
       "seed-deterministic and disjoint from the LSH planes") {

@@ -551,6 +551,21 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("s17: the index scan carries the probed-cell IN literal as a " +
+      "PARTITION filter — unprobed cell directories prune at plan " +
+      "time, before any task launches") {
+    val df = SparkEntry.queries("s17_indexed_ann")(spark,
+      "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*cell[^\\]]*\\]".r
+      .findFirstIn(plan)
+    assert(pf.isDefined,
+      s"no partition filter on the cell column:\n${plan.take(3000)}")
+    assert(pf.get.contains("IN") || pf.get.contains("in("),
+      s"partition filter is not the probed-cell IN literal: ${pf.get}")
+  }
+
   test("q18: the full cube plans as ONE Expand over ONE scan — every " +
       "grouping set shares a single aggregate, not 2^n scans") {
     val df = SparkEntry.queries("q18_cube")(spark, "/root/testdata/sf0.001")
