@@ -241,6 +241,45 @@ class OperatorSpec extends AnyFunSuite {
       s"trained $trainedRecall vs random $ivfRecall")
   }
 
+  test("passageDedup scale bounds: a boilerplate passage shared by " +
+      "EVERY doc cannot skew — outputs exact at 1x and 10x, wall " +
+      "stays sub-quadratic") {
+    // every doc = the SAME 8-token boilerplate passage + one unique
+    // passage: the worst-case hot key (one passage occurring n times).
+    // WindowGroupLimit's partial top-1 forwards <= numPartitions rows
+    // for that passage into the exchange regardless of n; a full
+    // window shuffle without the pushdown would grow the hot reducer
+    // linearly and the wall super-linearly.
+    def world(n: Int) = {
+      val rows = (0 until n).map { i =>
+        (i.toLong,
+          "boiler plate one two three four five six " +
+            s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h")
+      }
+      spark.createDataFrame(rows).toDF("doc_id", "text")
+    }
+    def run(n: Int): (Long, Long, Double) = {
+      val df = world(n)
+      val t0 = System.nanoTime()
+      val out = Dedup.passageDedup(df).collect()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val kept = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(kept(0L) == 2L, "doc 0 owns the boilerplate passage")
+      assert((1 until n).forall(i => kept(i.toLong) == 1L),
+        "every later doc keeps exactly its unique passage")
+      (out.length.toLong, out.map(_.getLong(2)).sum, wall)
+    }
+    run(100) // warm the plan/codegen path once
+    val ok = (1 to 3).exists { _ =>
+      val (r1, k1, w1) = run(500)
+      val (r10, k10, w10) = run(5000)
+      assert(r1 == 500L && k1 == 501L, s"1x rows=$r1 kept=$k1")
+      assert(r10 == 5000L && k10 == 5001L, s"10x rows=$r10 kept=$k10")
+      w10 / math.max(w1, 0.05) < 35.0
+    }
+    assert(ok, "10x passage dedup wall ratio >= 35x on all 3 attempts")
+  }
+
   test("s17 indexed ANN: the persisted cell-partitioned index returns " +
       "EXACTLY the in-memory trained-IVF results (lossless round trip " +
       "through the partitioned layout)") {
