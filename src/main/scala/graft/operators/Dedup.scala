@@ -538,13 +538,19 @@ object Dedup {
     */
   def clustersStarWithRounds(pairs: DataFrame,
                              maxIterations: Int = 50): (DataFrame, Int) = {
-    var edges = pairs
+    val typed = pairs
       .select(col("id_a").cast("long").as("u"),
         col("id_b").cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
+    // nodes derive from the UNFILTERED pairs: an id appearing only in
+    // self-pairs (id_a == id_b) carries no connectivity but is still a
+    // node, and must label as its own singleton — the same (id, id) row
+    // [[clusters]] emits for it (which seeds labels from BOTH endpoint
+    // columns of the raw pair set)
+    val nodes = typed.select(col("u").as("id"))
+      .union(typed.select(col("v").as("id")))
       .distinct().localCheckpoint()
-    val nodes = edges.select(col("u").as("id"))
-      .union(edges.select(col("v").as("id")))
+    var edges = typed
+      .filter(col("u") =!= col("v"))
       .distinct().localCheckpoint()
 
     def largeStar(e: DataFrame): DataFrame = {
@@ -567,13 +573,31 @@ object Dedup {
       nEdges.union(uEdges).filter(col("u") =!= col("v")).distinct()
     }
 
+    // fixpoint detection as ONE aggregate job per round: digest the new
+    // edge set as (count, bit_xor of xxhash64(u, v)) — XOR is
+    // order-insensitive and overflow-free (a wrapping SUM would trip
+    // Spark 4's default-ANSI overflow check), and both sides are
+    // distinct sets so self-cancellation can't occur — and compare
+    // against the PREVIOUS round's digest, carried forward so `edges` is
+    // never re-digested. This replaces the two except().limit(1).count()
+    // jobs (two extra shuffles per round over the full edge relation)
+    // the r10 review flagged: at 10^10 edges each avoided shuffle is
+    // real. A false "converged" needs two distinct sets to collide on
+    // cardinality AND a 64-bit hash fold (~2^-64 per round) — and the
+    // labels are still hash-verified downstream.
+    def digest(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = digest(edges)
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged =
-        next.except(edges).limit(1).count() == 0L &&
-          edges.except(next).limit(1).count() == 0L
+      val d = digest(next)
+      converged = d == prev
+      prev = d
       edges = next
       i += 1
     }
@@ -954,8 +978,14 @@ object Dedup {
     * Output (one row per input document, including zero-token ones):
     * (doc_id, n_passages, n_kept, text_dedup).
     *
-    * Scale shape: ONE tokenize+explode pass (n_passages is derived
-    * arithmetically from the token count, not re-exploded); first
+    * Scale shape: ONE tokenize projection in the plan — both consumer
+    * branches (the passage explode and the arithmetic n_passages count)
+    * derive from the same `(doc_id, toks, n)` sub-plan, so the tokenizer
+    * expression appears exactly once (n_passages is never re-exploded).
+    * Spark executes a shared (un-persisted) subtree once per consumer,
+    * so the corpus is SCANNED twice; a deployment would `.persist()` the
+    * tokenized projection to make it one physical pass — kept pure-plan
+    * here so the DuckDB oracle can mirror it. First
     * occurrence is `row_number() = 1` over the passage string, which
     * Spark executes with WindowGroupLimit pushdown — each map
     * partition forwards at most ONE row per passage into the
@@ -973,9 +1003,11 @@ object Dedup {
                    textCol: String = "text"): DataFrame = {
     require(passageTokens > 0, s"passageTokens=$passageTokens")
     val k = passageTokens
-    val p = docs
+    // the ONE tokenizer call site; both branches below derive from it
+    val base = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .withColumn("n", size(col("toks")))
+    val p = base
       .filter(col("n") > 0)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0), col("n") - 1, lit(k))).as("start"))
@@ -994,11 +1026,9 @@ object Dedup {
         transform(sort_array(collect_list(struct(col("p_idx"),
           col("passage")))), s => s.getField("passage")), " ")
         .as("text_dedup"))
-    docs
-      .select(col(idCol).as("doc_id"),
-        size(tokens(col(textCol))).as("n_toks"))
+    base
       .select(col("doc_id"),
-        expr(s"CAST((n_toks + ${k - 1}) div $k AS BIGINT)")
+        expr(s"CAST((n + ${k - 1}) div $k AS BIGINT)")
           .as("n_passages"))
       .join(perDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_passages"),

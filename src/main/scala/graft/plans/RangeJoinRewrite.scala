@@ -248,10 +248,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   // ---- auto-width derivation ----------------------------------------
 
   // (interval sub-plan, bounds) -> derived width; None = probe failed
-  // or empty interval side (rewrite skipped, also cached). A hash
-  // collision can only mis-size a bucket, never change results.
+  // or empty interval side (rewrite skipped, also cached). Keyed on the
+  // CANONICALIZED plan/expression objects themselves (structural
+  // equality), not their hash codes: a bare-hashCode key could serve a
+  // width derived from a DIFFERENT plan's spans on collision — results
+  // would stay correct (the residual condition re-checks every pair) but
+  // a pathological width can reintroduce the giant-Sequence blowup the
+  // maxSpan split only bounds per interval.
   private val widthCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Option[Long]]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (LogicalPlan, Expression, Expression), Option[Long]]()
 
   // re-entrancy guard: the probe executes a query, whose optimization
   // runs this rule again on this thread — and the interval sub-plan may
@@ -264,8 +270,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
                         tz: Option[String]): Option[Long] = {
     if (inProbe.get()) return None
     SparkSession.getActiveSession.flatMap { session =>
-      val key = (ivSide.semanticHash(), lo.canonicalized.hashCode(),
-        hi.canonicalized.hashCode())
+      val key = (ivSide.canonicalized, lo.canonicalized, hi.canonicalized)
       val cached = widthCache.get(key)
       if (cached != null) cached
       else {

@@ -595,6 +595,40 @@ object PipelineQueries {
              |      ('parquet')) f(fmt)
              |CROSS JOIN n ORDER BY format""".stripMargin)),
 
+    // WARC/WET ingestion round trip: the documents table is encoded as
+    // Common Crawl-style multi-member .warc.gz part files (one gzip
+    // member per record, distributed writer) and read back through the
+    // Warc source (file-parallel, mapPartitions-narrow, no whole-file
+    // collect — PlanSpec pins the plan). The oracle recomputes
+    // (url, ts, text) INDEPENDENTLY from documents.parquet, so a hash
+    // match proves the encode→decode loop lossless over framing,
+    // multi-byte text, and the warcinfo/conversion type filter.
+    "p17_warc_ingest" -> QuerySpec(
+      (s, dir) => {
+        val docs = graft.Tables(s, dir, "documents")
+        val rows = docs.select(
+          concat(lit("https://example.org/doc/"), col("doc_id")).as("url"),
+          date_format(
+            expr("timestampadd(SECOND, doc_id, " +
+              "TIMESTAMP'2026-01-01 00:00:00')"),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_date"),
+          col("text"))
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-warc-q").toString
+        graft.sources.Warc.write(rows.repartition(4), base)
+        graft.sources.Warc.read(s, base)
+          .filter(col("rec_type") === "conversion")
+          .select(col("url"),
+            to_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+              .as("ts"),
+            col("text"))
+          .orderBy(col("url"))
+      },
+      Some("""SELECT 'https://example.org/doc/' || doc_id AS url,
+             |  TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id) AS ts,
+             |  text
+             |FROM documents ORDER BY url""".stripMargin)),
+
     // Batch as-of join: the flagship lookup as a set operation (one pass
     // for many (address, block) probes).
     "p07_asof_join" -> QuerySpec(

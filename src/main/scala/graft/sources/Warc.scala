@@ -1,0 +1,231 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, EOFException, InputStream, PushbackInputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.TaskContext
+
+/** WARC/WET ingestion — the Common Crawl corpus format, the most common
+  * real-world input to an LLM training-data pipeline (the reference has
+  * no analog: its inputs are MDBX tables, `erigon_extract.c:2683-2687` —
+  * this is an extension operator, not reference parity).
+  *
+  * Format (ISO 28500): a WARC file is a sequence of records, each a
+  * CRLF-terminated header block (`WARC/1.0`, `WARC-Type`,
+  * `WARC-Target-URI`, `WARC-Date`, `Content-Length`, …), a blank line,
+  * exactly `Content-Length` payload bytes, and a `\r\n\r\n` separator.
+  * Common Crawl's `.warc.gz`/`.wet.gz` files compress EACH RECORD AS ITS
+  * OWN GZIP MEMBER and concatenate the members — the same
+  * independently-decodable-unit property the `.dat` format's page
+  * restarts provide (`StateCodec.scala:168`), which is what makes the
+  * format seekable by byte offset given an external index.
+  *
+  * Scale shape: a crawl ships tens of thousands of ~1 GiB files, so the
+  * FILE is the unit of parallelism (exactly how Common Crawl is consumed
+  * in practice); within a file, records decode as a stream with memory
+  * bounded by one record. [[read]] lists files through Spark's
+  * `binaryFile` source (path column only — content is never
+  * materialized into a row) and parses with `mapPartitions`: a narrow,
+  * exchange-free plan (PlanSpec pins it). Byte-offset splitting WITHIN
+  * a file would need the crawl's cdx/index sidecar to locate member
+  * boundaries; with file counts in the tens of thousands per crawl it
+  * buys nothing at this granularity, so it is intentionally out of
+  * scope.
+  *
+  * [[write]] exists to produce fixtures and test round-trips: one
+  * `warcinfo` member at the head of each part file, then one
+  * `conversion` (WET-style) member per row, each its own gzip member.
+  */
+object Warc {
+
+  /** One parsed record. `text` is the payload decoded as UTF-8 (WET
+    * `conversion` payloads are plain text by contract; `response`
+    * payloads are the raw HTTP bytes, decoded permissively).
+    */
+  final case class Record(file: String, rec_type: String, url: String,
+                          warc_date: String, content_type: String,
+                          n_bytes: Long, text: String)
+
+  private val Crlf = "\r\n".getBytes("US-ASCII")
+
+  // ---- read path ----------------------------------------------------
+
+  /** All WARC records under `path` (a file, directory, or glob of
+    * `.warc[.gz]` / `.wet[.gz]` files) as
+    * (file, rec_type, url, warc_date, content_type, n_bytes, text).
+    * Malformed framing fails the task loudly (a truncated member or a
+    * header block without Content-Length is data corruption, not a row
+    * to skip silently).
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    // binaryFile is used ONLY as a distributed file lister (globbing,
+    // partitioning, FileIndex caching); selecting just `path` prunes the
+    // content column so file bytes never enter a row
+    val files: Dataset[String] = spark.read.format("binaryFile")
+      .load(path).select("path").as[String]
+    files.mapPartitions { paths =>
+      paths.flatMap(parseFile)
+    }.toDF()
+  }
+
+  /** Parse one WARC file (gzip-member or plain), streaming — memory is
+    * bounded by the largest single record. Visible for tests.
+    */
+  private[graft] def parseFile(uri: String): Iterator[Record] = {
+    // executor-side Hadoop FS access: the default Configuration carries
+    // the cluster's core-site on a real deployment and handles file://
+    // locally; no driver-side listing or collect is involved
+    val hPath = new org.apache.hadoop.fs.Path(uri)
+    val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val raw = new PushbackInputStream(
+      new BufferedInputStream(fs.open(hPath), 1 << 16), 2)
+    val b0 = raw.read(); val b1 = raw.read()
+    if (b1 >= 0) raw.unread(b1)
+    if (b0 >= 0) raw.unread(b0)
+    val in: InputStream =
+      if (b0 == 0x1f && b1 == 0x8b)
+        // java's GZIPInputStream consumes CONCATENATED members
+        // transparently — exactly the multi-member framing
+        new BufferedInputStream(new GZIPInputStream(raw, 1 << 16), 1 << 16)
+      else raw
+    new Iterator[Record] {
+      private var nextRec: Record = null
+      private var done = false
+      private def fetch(): Unit = {
+        if (done || nextRec != null) return
+        nextRec = readRecord(uri, in) match {
+          case Some(r) => r
+          case None => done = true; in.close(); null
+        }
+      }
+      override def hasNext: Boolean = { fetch(); nextRec != null }
+      override def next(): Record = {
+        fetch()
+        if (nextRec == null) throw new NoSuchElementException
+        val r = nextRec; nextRec = null; r
+      }
+    }
+  }
+
+  /** Read one record off the (decompressed) stream; None at clean EOF. */
+  private def readRecord(file: String, in: InputStream): Option[Record] = {
+    // skip inter-record blank lines, find the version line
+    var line = readLine(in)
+    while (line != null && line.isEmpty) line = readLine(in)
+    if (line == null) return None
+    require(line.startsWith("WARC/"),
+      s"$file: expected WARC version line, got '${line.take(40)}'")
+    // header block until the blank line
+    val headers = scala.collection.mutable.Map[String, String]()
+    var h = readLine(in)
+    while (h != null && h.nonEmpty) {
+      val i = h.indexOf(':')
+      require(i > 0, s"$file: malformed WARC header '${h.take(60)}'")
+      headers(h.substring(0, i).trim.toLowerCase) = h.substring(i + 1).trim
+      h = readLine(in)
+    }
+    require(h != null, s"$file: EOF inside WARC header block")
+    val len = headers.getOrElse("content-length",
+      throw new IllegalArgumentException(
+        s"$file: WARC record without Content-Length")).toLong
+    require(len >= 0 && len <= Int.MaxValue.toLong,
+      s"$file: unreasonable Content-Length $len")
+    val payload = new Array[Byte](len.toInt)
+    var off = 0
+    while (off < payload.length) {
+      val n = in.read(payload, off, payload.length - off)
+      if (n < 0) throw new EOFException(
+        s"$file: truncated WARC payload ($off of $len bytes)")
+      off += n
+    }
+    Some(Record(
+      file = file,
+      rec_type = headers.getOrElse("warc-type", ""),
+      url = headers.getOrElse("warc-target-uri", ""),
+      warc_date = headers.getOrElse("warc-date", ""),
+      content_type = headers.getOrElse("content-type", ""),
+      n_bytes = len,
+      text = new String(payload, "UTF-8")))
+  }
+
+  /** One CRLF- (or LF-) terminated line as a string without the
+    * terminator; null at EOF before any byte.
+    */
+  private def readLine(in: InputStream): String = {
+    val buf = new java.io.ByteArrayOutputStream(128)
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n') {
+      buf.write(c)
+      c = in.read()
+    }
+    val bytes = buf.toByteArray
+    val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+      bytes.length - 1 else bytes.length
+    new String(bytes, 0, n, "UTF-8")
+  }
+
+  // ---- write path (fixture generator / round-trip proof) -------------
+
+  /** Write `df` (columns url, warc_date, text) as WET-style
+    * `part-NNNNN.warc.gz` files under `dir`, one file per partition:
+    * a `warcinfo` member first, then one `conversion` member per row —
+    * EVERY record its own gzip member (the Common Crawl framing).
+    * Distributed: each task streams its own partition; nothing passes
+    * through the driver.
+    */
+  def write(df: DataFrame, dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("url").cast("string"), col("warc_date").cast("string"),
+        col("text").cast("string"))
+      .as[(String, String, String)]
+      .foreachPartition { (rows: Iterator[(String, String, String)]) =>
+        val pid = TaskContext.getPartitionId()
+        val hPath = new org.apache.hadoop.fs.Path(
+          dir, f"part-$pid%05d.warc.gz")
+        val fs = hPath.getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(hPath, true)
+        try {
+          writeMember(out, "warcinfo", "", "2026-01-01T00:00:00Z",
+            "application/warc-fields",
+            "software: graft-warc-fixture/1.0\r\n".getBytes("UTF-8"))
+          rows.foreach { case (url, date, text) =>
+            writeMember(out, "conversion", url, date, "text/plain",
+              text.getBytes("UTF-8"))
+          }
+        } finally out.close()
+      }
+  }
+
+  /** One WARC record as ONE complete gzip member on `out`. */
+  private def writeMember(out: java.io.OutputStream, recType: String,
+                          url: String, date: String, contentType: String,
+                          payload: Array[Byte]): Unit = {
+    // GZIPOutputStream.finish() completes the member WITHOUT closing the
+    // underlying stream, so consecutive members concatenate
+    val gz = new GZIPOutputStream(out, 1 << 16)
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    sb.append("WARC-Type: ").append(recType).append("\r\n")
+    if (url.nonEmpty)
+      sb.append("WARC-Target-URI: ").append(url).append("\r\n")
+    sb.append("WARC-Date: ").append(date).append("\r\n")
+    sb.append("WARC-Record-ID: <urn:graft:")
+      .append(java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(url + date).toLong
+          & 0xffffffffL))
+      .append(">\r\n")
+    sb.append("Content-Type: ").append(contentType).append("\r\n")
+    sb.append("Content-Length: ").append(payload.length).append("\r\n")
+    sb.append("\r\n")
+    gz.write(sb.toString.getBytes("UTF-8"))
+    gz.write(payload)
+    gz.write(Crlf); gz.write(Crlf)
+    gz.finish()
+  }
+}

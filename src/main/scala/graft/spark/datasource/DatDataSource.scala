@@ -528,17 +528,28 @@ private[graft] object DatSidecarCache {
       idxPath: java.nio.file.Path): Option[(Long, Long, Long)] =
     try {
       val raf = new java.io.RandomAccessFile(idxPath.toFile, "r")
-      try {
-        val len = raf.length()
-        if (len < 16) None
-        else {
-          val t = new Array[Byte](16)
-          raf.seek(len - 16)
-          raf.readFully(t)
-          Some((len, graft.functions.Bytes.get64be(t, 0),
-            graft.functions.Bytes.get64be(t, 8)))
-        }
-      } finally raf.close()
+      try readTrailerFrom(raf) finally raf.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** [[readTrailer]] against an ALREADY-OPEN handle, for callers that
+    * must read the trailer and then other bytes of the SAME file
+    * version: an open fd pins the inode, so an atomic path replace
+    * between validation and use cannot pair a fresh file's bytes with a
+    * stale file's validation (the page-pruning TOCTOU). Leaves the
+    * handle open; seek position is unspecified afterwards.
+    */
+  private[datasource] def readTrailerFrom(
+      raf: java.io.RandomAccessFile): Option[(Long, Long, Long)] =
+    try {
+      val len = raf.length()
+      if (len < 16) None
+      else {
+        val t = new Array[Byte](16)
+        raf.seek(len - 16)
+        raf.readFully(t)
+        Some((len, graft.functions.Bytes.get64be(t, 0),
+          graft.functions.Bytes.get64be(t, 8)))
+      }
     } catch { case _: java.io.IOException => None }
 
   /** A cached hit is only served if the sidecar situation is provably
@@ -672,6 +683,14 @@ class DatReaderFactory(strategy: Int) extends PartitionReaderFactory {
       private var decodedPages = 0L
       private var skippedPages = 0L
 
+      // set iff `ranges` came from a validated sidecar's page bounds —
+      // only then do decoded-page counters tick (the full-split fallback
+      // is "pruning inactive", not "every page pruned-in"). MUST be
+      // declared before `ranges`: field initializers run in declaration
+      // order, and keptRanges (called from the `ranges` initializer)
+      // writes this flag.
+      private var pruningActive = false
+
       /** Byte ranges of this split that can contain matching rows:
         * the whole split when no predicate / no trustable sidecar;
         * otherwise the merged runs of pages whose sidecar bounds
@@ -687,18 +706,25 @@ class DatReaderFactory(strategy: Int) extends PartitionReaderFactory {
       private def keptRanges(pr: PagePredicate): Seq[(Long, Long)] = {
         val idxPath = part.file.stripSuffix(".dat") + ".idx"
         val full = Seq((part.startOffset, part.endOffset))
-        // the sidecar must still be the one the PLANNER validated
-        // against this .dat (pairing trailer match, shared reader) —
-        // else decode everything, which is always correct
-        val len = DatSidecarCache.readTrailer(Paths.get(idxPath)) match {
-          case Some((l, size, sum))
-              if size == pr.idxDeclaredSize && sum == pr.idxDeclaredSum =>
-            l
-          case _ => return full
-        }
         try {
+          // trailer validation and the bounds read share ONE open handle:
+          // the fd pins the file version, so an atomic .idx replace
+          // between the two reads cannot pair freshly-written bounds
+          // with a stale file's validation (which could silently skip
+          // pages that contain matching rows — exactly what this
+          // re-verification exists to prevent)
           val raf = new java.io.RandomAccessFile(idxPath, "r")
           try {
+            // the sidecar must still be the one the PLANNER validated
+            // against this .dat (pairing trailer match, shared reader) —
+            // else decode everything, which is always correct
+            val len = DatSidecarCache.readTrailerFrom(raf) match {
+              case Some((l, size, sum))
+                  if size == pr.idxDeclaredSize &&
+                    sum == pr.idxDeclaredSum =>
+                l
+              case _ => return full
+            }
             val startPage = (part.startOffset / pageSize).toInt
             val endPage =
               ((part.endOffset + pageSize - 1) / pageSize).toInt
@@ -726,8 +752,6 @@ class DatReaderFactory(strategy: Int) extends PartitionReaderFactory {
                 pr.blockLo <= graft.functions.Bytes.get64be(bounds, o + 48) &&
                 pr.blockHi >= graft.functions.Bytes.get64be(bounds, o + 40)
               if (keep) {
-                DatPageMetrics.pagesDecoded.increment()
-                decodedPages += 1
                 if (runStart < 0)
                   runStart = math.max(part.startOffset, p.toLong * pageSize)
               } else {
@@ -742,6 +766,7 @@ class DatReaderFactory(strategy: Int) extends PartitionReaderFactory {
               p += 1
             }
             if (runStart >= 0) out += ((runStart, part.endOffset))
+            pruningActive = true
             out.result()
           } finally raf.close()
         } catch { case _: java.io.IOException => full }
@@ -759,6 +784,16 @@ class DatReaderFactory(strategy: Int) extends PartitionReaderFactory {
           val raf = new java.io.RandomAccessFile(part.file, "r")
           try { raf.seek(s); raf.readFully(out) }
           finally raf.close()
+          // decoded-page accounting happens when a range's bytes are
+          // ACTUALLY read, not while planning kept ranges: a task that
+          // stops early (limit pushdown closing the reader) must not
+          // report pages as decoded that were never touched — the
+          // telemetry backs the O(log N)-IO claim, so it errs low
+          if (pruningActive) {
+            val pages = (e + pageSize - 1) / pageSize - s / pageSize
+            DatPageMetrics.pagesDecoded.add(pages)
+            decodedPages += pages
+          }
           it = new StateReader(strategy, out, 0, out.length)
         }
         it != null && it.hasNext

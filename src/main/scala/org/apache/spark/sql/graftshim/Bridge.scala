@@ -22,4 +22,11 @@ object Bridge {
     */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Drain the async listener bus (`private[spark]`) so a test's
+    * job-counting SparkListener has seen every already-submitted job
+    * before the count is read.
+    */
+  def waitListenerBusEmpty(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -1241,13 +1241,56 @@ class OperatorSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       graft.operators.Dedup.clusters(chain)
     }
-    val (lbl, rounds) = graft.operators.Dedup.clustersStarWithRounds(chain)
+    // job accounting: convergence detection is ONE aggregate job per
+    // round (the carried-forward set digest), not the two
+    // except().limit(1).count() jobs it replaced — so a round costs
+    // 2 ACTIONS (checkpoint materialize + digest); setup adds the edges
+    // and nodes checkpoints, the initial digest, and small constants.
+    // AQE is disabled for the counted run so each action is exactly one
+    // Spark job (AQE re-plans per exchange, inflating job counts ~5x
+    // and decoupling them from the action count being asserted).
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCounter.incrementAndGet()
+    }
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    val (lbl, rounds) =
+      try {
+        val r = graft.operators.Dedup.clustersStarWithRounds(chain)
+        org.apache.spark.sql.graftshim.Bridge.waitListenerBusEmpty(spark)
+        r
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      }
+    val jobs = jobCounter.get()
     val got = labelSet(lbl)
     assert(got == (0L to 60L).map(i => (i, 0L)).toSet,
       s"chain labels wrong: ${got.toSeq.sortBy(_._1).take(8)}")
-    info(s"star rounds on 60-hop chain: $rounds")
+    info(s"star rounds on 60-hop chain: $rounds ($jobs jobs)")
     assert(rounds <= 12, // log2(61) ~ 6; alternation costs a few more
       s"star contraction took $rounds rounds on a 61-node chain")
+    // per round: 1 checkpoint + 1 digest + up to 3 broadcast-exchange
+    // materializations from the two star joins (broadcast builds run as
+    // their own jobs even with AQE off). The replaced two-except scheme
+    // added 2 join-shaped actions per round (~+5 jobs/round here), so
+    // this bound trips on a regression while absorbing plan-shape noise.
+    assert(jobs <= 5 * rounds + 8,
+      s"$jobs jobs for $rounds rounds — convergence check regressed " +
+        "past one digest action per round")
+    // degenerate pairs: an id appearing ONLY in self-pairs carries no
+    // edge but is still a node — star and label-prop agree it labels as
+    // its own singleton (the documented same-output contract)
+    val selfPairs = Seq((5L, 5L), (1L, 2L)).toDF("id_a", "id_b")
+    val viaStarSelf = labelSet(graft.operators.Dedup.clustersStar(selfPairs))
+    val viaPropSelf = labelSet(graft.operators.Dedup.clusters(selfPairs))
+    assert(viaStarSelf == Set((5L, 5L), (1L, 1L), (2L, 1L)), viaStarSelf)
+    assert(viaStarSelf == viaPropSelf,
+      s"self-pair divergence: $viaStarSelf vs $viaPropSelf")
   }
 
   test("clusters scale bounds: label-prop rounds = planted component " +
