@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained quality classifier — the fastText-shape model production
+  * pipelines put beside rule batteries ([[TextAnalysis.gopherRules]],
+  * l40) and importance resampling (DSIR, l41): a LINEAR classifier over
+  * HASHED bag-of-token features, trained by full-batch gradient descent
+  * where each epoch is ONE distributed aggregate pass and the model
+  * state that crosses the driver is exactly `dim + 1` doubles.
+  *
+  * Scale shape (the whole point of the hashing trick):
+  *  - the feature space is a FIXED `dim`, independent of vocabulary —
+  *    no token→index dictionary to build, broadcast, or keep in sync;
+  *  - per epoch: margins are a broadcast-join + per-doc sum, the
+  *    gradient is one `groupBy(bucket)` aggregate whose result is at
+  *    most `dim` rows (the ONLY driver collect, bounded by `dim`, never
+  *    by corpus size), and the weight update is O(dim) driver-side;
+  *  - scoring is a narrow columnar pass: tokenize → hash → broadcast
+  *    weight join → per-doc integer sum. Nothing shuffles wider than
+  *    (doc id, bucket, count).
+  *
+  * Determinism contract: the trained weights are float aggregates
+  * (reduction-order-sensitive in the last ulps), so they are treated as
+  * DATA — captured and replayed — while SCORING quantizes weights to
+  * integer micro-units and computes margins as exact integer sums
+  * (order-insensitive, engine-independent), so a DuckDB oracle given
+  * the captured units reproduces every margin bit-for-bit (the s09
+  * micro-unit convention).
+  *
+  * The bucket hash is md5-prefix based so the oracle can re-derive it:
+  * both engines agree on md5 hex and on the 32-bit prefix value
+  * (`conv(hex,16,10)` in Spark, `('0x'||hex)::BIGINT` in DuckDB).
+  */
+object QualityClassifier {
+
+  /** A trained model: `weights(bucket)` for bucket ∈ [0, dim), the bias,
+    * and the per-epoch mean binary-cross-entropy trace (monotone on a
+    * separable corpus with the default step size — OperatorSpec pins it).
+    */
+  final case class Model(dim: Int, weights: Array[Double], bias: Double,
+                         lossHistory: Seq[Double]) {
+    /** Integer micro-unit quantization of the weights for exact-sum
+      * scoring and oracle replay. */
+    def weightUnits(unit: Double = 1e6): Array[Long] =
+      weights.map(w => math.rint(w * unit).toLong)
+    def biasUnits(unit: Double = 1e6): Long = math.rint(bias * unit).toLong
+  }
+
+  /** Feature bucket of one token: first 8 hex chars of md5 (a 32-bit
+    * value, so no sign/overflow edge) mod `dim`.
+    */
+  def bucketOf(tok: Column, dim: Int): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % dim
+
+  /** Hashed bag-of-tokens: (id, bucket, cnt), one row per distinct
+    * (document, bucket) — within-document repeats pre-aggregate before
+    * anything shuffles (the l41 convention).
+    */
+  private def feats(docs: DataFrame, dim: Int, idCol: String,
+                    textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col("id"), bucketOf(col("tok"), dim).as("bucket"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Train by full-batch logistic-regression gradient descent.
+    *
+    * @param docs     corpus with `idCol`, `textCol`, and `labelCol`
+    *                 (boolean or 0/1 numeric — the quality target)
+    * @param lr       step size on the MEAN gradient (full-batch descent
+    *                 decreases the loss monotonically for a small enough
+    *                 step; the default is tuned for count-scale features)
+    */
+  def train(docs: DataFrame, labelCol: String, dim: Int = 512,
+            epochs: Int = 12, lr: Double = 0.05,
+            idCol: String = "doc_id", textCol: String = "text"): Model = {
+    require(dim > 0 && epochs > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val labeled = docs.select(col(idCol).as("id"),
+      col(labelCol).cast("double").as("y"), col(textCol).as("text"))
+    // ONE corpus-scale pass; every epoch re-reads this materialized
+    // (id, bucket, cnt) relation, never the raw text
+    val f = feats(labeled, dim, "id", "text").localCheckpoint()
+    val ids = labeled.select("id", "y").localCheckpoint()
+    val nDocs = ids.count().toDouble
+    require(nDocs > 0, "empty training corpus")
+
+    val w = new Array[Double](dim)
+    var b = 0.0
+    val losses = Seq.newBuilder[Double]
+    for (_ <- 1 to epochs) {
+      val wdf = broadcast(
+        w.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toSeq.toDF("bucket", "wv"))
+      val dots = f.join(wdf, Seq("bucket"))
+        .groupBy("id").agg(sum(col("cnt") * col("wv")).as("dot"))
+      // zero-token docs have no feature rows but still carry a margin
+      // (the bias) and a gradient contribution (to the bias)
+      val perDoc = ids.join(dots, Seq("id"), "left_outer")
+        .select(col("id"), col("y"),
+          (coalesce(col("dot"), lit(0.0)) + lit(b)).as("m"))
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+        .withColumn("r", col("p") - col("y"))
+        .localCheckpoint() // 3 consumers below: loss+bias-grad, grads
+      // numerically stable BCE: max(m,0) − m·y + log1p(exp(−|m|))
+      val lb = perDoc.agg(
+        avg(greatest(col("m"), lit(0.0)) - col("m") * col("y") +
+          log1p(exp(-abs(col("m"))))).as("loss"),
+        sum(col("r")).as("gb")).head()
+      losses += lb.getDouble(0)
+      // the gradient aggregate: ≤ dim rows to the driver, by construction
+      val grads = f.join(perDoc.select("id", "r"), Seq("id"))
+        .groupBy("bucket").agg(sum(col("cnt") * col("r")).as("g"))
+        .collect()
+      grads.foreach { row =>
+        val bk = row.getAs[Long]("bucket").toInt
+        w(bk) -= lr * row.getAs[Double]("g") / nDocs
+      }
+      b -= lr * lb.getDouble(1) / nDocs
+    }
+    Model(dim, w, b, losses.result())
+  }
+
+  /** Score `docs` with integer micro-unit margins:
+    * (doc_id, margin_units, pred) where
+    * margin_units = Σ_buckets cnt·round(w·unit) + round(bias·unit) —
+    * an EXACT integer sum, order-insensitive and engine-independent.
+    * `pred` = margin_units > 0. One row per input document (zero-token
+    * documents score the bias).
+    */
+  def scoreUnits(docs: DataFrame, model: Model, unit: Double = 1e6,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wu = model.weightUnits(unit)
+    val bu = model.biasUnits(unit)
+    // only non-zero weights ship; missing buckets coalesce to 0
+    val wdf = broadcast(
+      wu.zipWithIndex.collect { case (v, i) if v != 0L => (i.toLong, v) }
+        .toSeq.toDF("bucket", "wu"))
+    val dots = feats(docs, model.dim, idCol, textCol)
+      .join(wdf, Seq("bucket"), "left_outer")
+      .groupBy("id")
+      .agg(sum(col("cnt") * coalesce(col("wu"), lit(0L))).as("dot"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(dots.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+        "left_outer")
+      .select(col("doc_id"),
+        (coalesce(col("dot"), lit(0L)) + lit(bu)).as("margin_units"))
+      .withColumn("pred", col("margin_units") > 0L)
+  }
+}

@@ -53,4 +53,42 @@ object Skew {
     p.join(b, p(probeKey) === b(buildKey) && p("__salt") === b("__salt"))
       .drop("__salt")
   }
+
+  /** KEYED interval join with hot-key immunity — the case
+    * [[graft.plans.RangeJoinRewrite]]'s auto mode deliberately declines
+    * (a join that already has an equi key plans as a hash/sort-merge
+    * join, so the rule leaves it alone) and [[RangeJoin.intervalJoin]]
+    * alone doesn't solve: its shuffle key is (keys, _bucket), so ONE hot
+    * key whose activity clusters in a few buckets still lands on a few
+    * reducers. This composes the two standard rewrites: points are
+    * salted (each row one salt in [0, salts)), intervals replicate
+    * across ALL salts, and the bucketed equi-join runs on
+    * (keys, __salt, _bucket) — a hot (key, bucket)'s points now spread
+    * over `salts` tasks, bounded per-task input by construction
+    * (SkewSpec plants a hot key and pins the task-level row bound).
+    *
+    * Output EQUALS the keyed [[RangeJoin.intervalJoin]] (each point
+    * carries exactly one salt; every interval is present at that salt),
+    * which itself equals the naive BETWEEN join. Cost: the interval
+    * side shuffles `salts`× — the standard replication-for-balance
+    * trade, worth it exactly when one key dominates (SURVEY.md §7.4's
+    * hot contracts).
+    */
+  def saltedIntervalJoin(points: DataFrame, pointCol: String,
+                         intervals: DataFrame, startCol: String,
+                         endCol: String, bucketWidth: Long,
+                         keys: Seq[String], salts: Int = 16,
+                         longSpanBuckets: Int = 64): DataFrame = {
+    require(keys.nonEmpty,
+      "saltedIntervalJoin is the keyed hot-key remedy; for keyless " +
+        "joins use RangeJoin.intervalJoin (buckets already balance)")
+    require(salts > 0, s"salts must be positive: $salts")
+    val p = points.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val iv = intervals.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    RangeJoin.intervalJoin(p, pointCol, iv, startCol, endCol,
+        bucketWidth, keys :+ "__salt", longSpanBuckets)
+      .drop("__salt")
+  }
 }

@@ -916,6 +916,67 @@ object TextAnalysis {
     val NumMerges = 12
   }
 
+  /** One greedy left-to-right merge pass as a Catalyst fold: a freshly
+    * merged symbol becomes the new "last" and is compared as a whole —
+    * "aaa" under (a,a) yields [aa, a], the non-overlapping regex
+    * semantics. The size-0 arm comes FIRST so element_at(last) only
+    * evaluates on non-empty accumulators (CaseWhen evaluates arms in
+    * order — ANSI-safe). ONE copy, shared by the word-level train fold,
+    * the word-level encode fold, and the byte-level pair — so the four
+    * call sites can never drift (the TextGolden.mergeOnce doctrine, on
+    * the engine side).
+    */
+  private def mergeFold(syms: Column, a: String, b: String,
+                        m: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) => when(size(acc) === 0, array(s)).otherwise(
+        when(element_at(acc, size(acc)) === lit(a) && (s === lit(b)),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+          .otherwise(concat(acc, array(s)))))
+
+  /** The Sennrich training loop over a pre-symbolized frequency
+    * relation `(syms: array<string>, freq)` — pair counts weighted by
+    * frequency (overlapping), greedy merge of the (count DESC, pair
+    * ASC) argmax, repeat. Shared by word-level ([[bpeTrainMerges]]) and
+    * byte-level ([[bbpeTrainMerges]]) training: the two differ ONLY in
+    * how text becomes initial symbols.
+    */
+  private def trainMergesLoop(spark: org.apache.spark.sql.SparkSession,
+                              wf0: DataFrame,
+                              numMerges: Int): DataFrame = {
+    var wf = wf0
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val best = wf.select(col("freq"),
+          explode(when(size(col("syms")) >= 2,
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("lhs"),
+                element_at(col("syms"), i + 1).as("rhs"))))
+            .otherwise(array().cast(
+              "array<struct<lhs:string,rhs:string>>"))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // all words down to one symbol
+      else {
+        val (a, b, c) =
+          (best.head.getString(0), best.head.getString(1),
+            best.head.getLong(2))
+        val m = a + b
+        merges += ((r, a, b, m, c))
+        wf = wf.select(mergeFold(col("syms"), a, b, m).as("syms"),
+          col("freq")).localCheckpoint()
+        r += 1
+      }
+    }
+    spark.createDataFrame(merges.toSeq)
+      .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
   /** BPE merge-table TRAINING — the tokenizer-side operator the token
     * counters ([[bpeishTokenCount]]) stand in for: learn the first
     * `numMerges` byte-pair-encoding merges from the corpus, Sennrich-
@@ -943,51 +1004,12 @@ object TextAnalysis {
   def bpeTrainMerges(docs: DataFrame, numMerges: Int = Bpe.NumMerges,
                      textCol: String = "text"): DataFrame = {
     require(numMerges >= 1, s"numMerges must be positive, got $numMerges")
-    val spark = docs.sparkSession
-    var wf = docs.select(explode(tokens(col(textCol))).as("word"))
+    val wf0 = docs.select(explode(tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(transform(sequence(lit(1), length(col("word"))),
         i => col("word").substr(i, lit(1))).as("syms"), col("freq"))
       .localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, String, String, String, Long)]
-    var r = 1
-    var exhausted = false
-    while (r <= numMerges && !exhausted) {
-      val best = wf.select(col("freq"),
-          explode(when(size(col("syms")) >= 2,
-            transform(sequence(lit(1), size(col("syms")) - 1),
-              i => struct(element_at(col("syms"), i).as("lhs"),
-                element_at(col("syms"), i + 1).as("rhs"))))
-            .otherwise(array().cast(
-              "array<struct<lhs:string,rhs:string>>"))).as("p"))
-        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true // all words down to one symbol
-      else {
-        val (a, b, c) =
-          (best.head.getString(0), best.head.getString(1),
-            best.head.getLong(2))
-        val m = a + b
-        merges += ((r, a, b, m, c))
-        // greedy left-to-right: a freshly merged symbol becomes the new
-        // "last" and is compared as a whole — "aaa" under (a,a) yields
-        // [aa, a], the non-overlapping regex semantics. The size-0 arm
-        // comes FIRST so element_at(last) only evaluates on non-empty
-        // accumulators (CaseWhen evaluates arms in order — ANSI-safe).
-        val fold = aggregate(col("syms"), array().cast("array<string>"),
-          (acc, s) => when(size(acc) === 0, array(s)).otherwise(
-            when(element_at(acc, size(acc)) === lit(a) && (s === lit(b)),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
-              .otherwise(concat(acc, array(s)))))
-        wf = wf.select(fold.as("syms"), col("freq")).localCheckpoint()
-        r += 1
-      }
-    }
-    spark.createDataFrame(merges.toSeq)
-      .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+    trainMergesLoop(docs.sparkSession, wf0, numMerges)
   }
 
   /** BPE ENCODE, vocabulary side — apply a trained merge table (lhs, rhs)
@@ -1012,16 +1034,9 @@ object TextAnalysis {
           i => col("word").substr(i, lit(1))).as("syms"))
       .localCheckpoint()
     merges.foreach { case (a, b) =>
-      val m = a + b
-      // same greedy fold as training: a fresh merge becomes the new last
-      // symbol, compared whole — "aaa" under (a,a) → [aa, a]; the size-0
-      // arm first so element_at only sees non-empty accumulators.
-      val fold = aggregate(col("syms"), array().cast("array<string>"),
-        (acc, s) => when(size(acc) === 0, array(s)).otherwise(
-          when(element_at(acc, size(acc)) === lit(a) && (s === lit(b)),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
-            .otherwise(concat(acc, array(s)))))
-      wf = wf.select(col("word"), col("freq"), fold.as("syms"))
+      // same greedy fold as training (shared mergeFold)
+      wf = wf.select(col("word"), col("freq"),
+          mergeFold(col("syms"), a, b, a + b).as("syms"))
         .localCheckpoint()
     }
     wf.select(col("word"), col("freq"), size(col("syms")).as("n_bpe"))
@@ -1052,6 +1067,130 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_bpe")).as("bpe_token_count"))
+  }
+
+  /** GPT-2-style BYTE-LEVEL BPE constants — the production tokenizer
+    * family (Radford et al. 2019, the public gpt-2 repo's encoder.py):
+    * text is pre-tokenized by a regex (leading-space word/number/
+    * punctuation groups plus the English contraction suffixes), each
+    * pre-token becomes its UTF-8 BYTES mapped through a fixed
+    * byte→printable-unicode table, and merges are learned over those
+    * byte symbols — so the base vocabulary is exactly 256, EVERY string
+    * round-trips losslessly (no unknown tokens, no normalization loss),
+    * and merges never cross pre-token boundaries. This differs from the
+    * word-level pair (l26/l29) in segmentation AND in the symbol
+    * alphabet, which changes every downstream token count — the reason
+    * it exists as its own operator pair (l43/l44).
+    */
+  object ByteBpe {
+    val NumMerges = 12
+
+    /** The GPT-2 pre-tokenization pattern, verbatim. Java regex
+      * supports the `(?!\S)` lookahead (trailing-whitespace branch);
+      * RE2 does not — which is why the DuckDB oracle consumes a
+      * typed-Scala pre-tokenization replay golden rather than
+      * re-running the regex (the l02 signature-golden convention).
+      */
+    val Pattern: String =
+      "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+|" +
+        " ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+    /** bytes_to_unicode: printable latin bytes map to themselves, the
+      * rest to U+0100.. in byte order — a bijection byte ↔ char, so the
+      * symbol strings stay printable and decode is exact.
+      */
+    val ByteToChar: Array[String] = {
+      val direct = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ'))
+        .map(_.toInt).toSet
+      val out = new Array[String](256)
+      var n = 0
+      for (b <- 0 until 256) {
+        if (direct(b)) out(b) = new String(Character.toChars(b))
+        else { out(b) = new String(Character.toChars(256 + n)); n += 1 }
+      }
+      out
+    }
+    /** Uppercase hex byte → mapped char (keyed to match Spark's
+      * `hex()` output). */
+    lazy val HexToChar: Map[String, String] =
+      ByteToChar.zipWithIndex.map { case (c, b) => (f"$b%02X", c) }.toMap
+    /** Inverse mapping for decode (replay/test side). */
+    lazy val CharToByte: Map[String, Int] =
+      ByteToChar.zipWithIndex.toMap
+  }
+
+  /** GPT-2 regex pre-tokens of `text` (null text → null → callers'
+    * explode drops the row, the l29 convention). The concatenation of
+    * the pre-tokens is ALWAYS the original string — every branch of the
+    * pattern is non-empty and the alternation covers every character —
+    * which is what makes byte-level BPE lossless end-to-end.
+    */
+  def preTokens(text: Column): Column =
+    regexp_extract_all(text, lit(ByteBpe.Pattern), lit(0))
+
+  /** Byte-level initial symbols of one pre-token: UTF-8 bytes via
+    * `hex(encode(...))`, each byte mapped through the fixed table as a
+    * 256-entry map literal — pure columnar math, no UDF.
+    */
+  def byteSyms(tok: Column): Column = {
+    val hexStr = hex(encode(tok, "UTF-8"))
+    transform(
+      sequence(lit(1), (length(hexStr) / lit(2)).cast("int")),
+      i => element_at(typedLit(ByteBpe.HexToChar),
+        hexStr.substr(i * lit(2) - lit(1), lit(2))))
+  }
+
+  /** Byte-level BPE TRAINING — [[bpeTrainMerges]]'s Sennrich loop
+    * (SHARED: [[trainMergesLoop]]/[[mergeFold]]) over the byte-symbol
+    * alphabet: corpus → pre-token frequency relation (ONE corpus pass)
+    * → `numMerges` vocabulary-sized iterations. Same (count DESC, pair
+    * ASC) determinism, same O(corpus) + merges·O(vocab) cost shape.
+    */
+  def bbpeTrainMerges(docs: DataFrame, numMerges: Int = ByteBpe.NumMerges,
+                      textCol: String = "text"): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be positive, got $numMerges")
+    val wf0 = docs.select(explode(preTokens(col(textCol))).as("ptok"))
+      .groupBy(col("ptok")).agg(count(lit(1)).as("freq"))
+      .select(byteSyms(col("ptok")).as("syms"), col("freq"))
+      .localCheckpoint()
+    trainMergesLoop(docs.sparkSession, wf0, numMerges)
+  }
+
+  /** Byte-level ENCODE, vocabulary side: trained merges applied in rank
+    * order to every DISTINCT pre-token (vocabulary-sized fold chain, the
+    * [[bpeEncodeVocab]] shape), returning `ptok → n_bpe`.
+    */
+  def bbpeEncodeVocab(docs: DataFrame, merges: Seq[(String, String)],
+                      textCol: String = "text"): DataFrame = {
+    var wf = docs.select(explode(preTokens(col(textCol))).as("ptok"))
+      .groupBy(col("ptok")).agg(count(lit(1)).as("freq"))
+      .select(col("ptok"), col("freq"), byteSyms(col("ptok")).as("syms"))
+      .localCheckpoint()
+    merges.foreach { case (a, b) =>
+      wf = wf.select(col("ptok"), col("freq"),
+          mergeFold(col("syms"), a, b, a + b).as("syms"))
+        .localCheckpoint()
+    }
+    wf.select(col("ptok"), col("freq"), size(col("syms")).as("n_bpe"))
+  }
+
+  /** Byte-level ENCODE, corpus side: per-document pre-token and
+    * byte-BPE token counts under a trained merge table — the context-
+    * budget number a byte-level tokenizer deployment needs (word-level
+    * counts misestimate it whenever segmentation differs, i.e. on any
+    * text with punctuation or leading-space structure). Corpus touched
+    * exactly once; the merge folds run on the vocabulary relation.
+    */
+  def bbpeEncodeCounts(docs: DataFrame, merges: Seq[(String, String)],
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val vocab = bbpeEncodeVocab(docs.select(col(textCol)), merges, textCol)
+      .select(col("ptok"), col("n_bpe"))
+    docs.select(col(idCol), explode(preTokens(col(textCol))).as("ptok"))
+      .join(vocab, "ptok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pretoks"),
+        sum(col("n_bpe")).as("bbpe_token_count"))
   }
 
   /** TEMPERATURE-based corpus mixing (τ = 0.5, "square-root sampling" —

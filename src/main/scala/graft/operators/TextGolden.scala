@@ -84,11 +84,21 @@ object TextGolden {
     * re-segmentation, same early stop when no pair remains.
     */
   def bpeMerges(wordFreq: Seq[(String, Long)], numMerges: Int)
-      : Seq[(Int, String, String, String, Long)] = {
-    var wf: Seq[(Array[String], Long)] = wordFreq.map { case (w, f) =>
+      : Seq[(Int, String, String, String, Long)] =
+    mergesFromSyms(wordFreq.map { case (w, f) =>
       (w.codePoints().toArray
         .map(cp => new String(Character.toChars(cp))), f)
-    }
+    }, numMerges)
+
+  /** The Sennrich loop over pre-symbolized (syms, freq) — ONE copy
+    * behind both the word-level ([[bpeMerges]]) and byte-level
+    * ([[bbpeMerges]]) replays, mirroring the engine's shared
+    * `trainMergesLoop`.
+    */
+  private def mergesFromSyms(wf0: Seq[(Array[String], Long)],
+                             numMerges: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    var wf = wf0
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var r = 1
@@ -116,6 +126,58 @@ object TextGolden {
       }
     }
     out.toSeq
+  }
+
+  // ---- byte-level (GPT-2) replays -----------------------------------
+
+  private lazy val preTokPattern =
+    java.util.regex.Pattern.compile(TextAnalysis.ByteBpe.Pattern)
+
+  /** [[TextAnalysis.preTokens]] replayed: the same GPT-2 pattern
+    * through the same engine (java.util.regex — Spark's
+    * regexp_extract_all runs Java regex too, so lookahead behavior is
+    * identical by construction).
+    */
+  def preTokens(text: String): Seq[String] = {
+    val m = preTokPattern.matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toSeq
+  }
+
+  /** [[TextAnalysis.byteSyms]] replayed: UTF-8 bytes through the fixed
+    * byte→unicode table (shared constant — the table IS the contract).
+    */
+  def byteSymsOf(ptok: String): Array[String] =
+    ptok.getBytes("UTF-8")
+      .map(b => TextAnalysis.ByteBpe.ByteToChar(b & 0xff))
+
+  /** [[TextAnalysis.bbpeTrainMerges]] replayed. */
+  def bbpeMerges(ptokFreq: Seq[(String, Long)], numMerges: Int)
+      : Seq[(Int, String, String, String, Long)] =
+    mergesFromSyms(ptokFreq.map { case (p, f) => (byteSymsOf(p), f) },
+      numMerges)
+
+  /** [[TextAnalysis.bbpeEncodeVocab]] replayed: the pre-token's symbol
+    * count under the trained byte-level merges.
+    */
+  def bbpeEncodePreTok(ptok: String,
+                       merges: Seq[(String, String)]): Int = {
+    var syms = byteSymsOf(ptok)
+    merges.foreach { case (a, b) => syms = mergeOnce(syms, a, b, a + b) }
+    syms.length
+  }
+
+  /** Byte-level DECODE: mapped-char symbols back to bytes to text —
+    * the lossless-round-trip half the spec pins on public test
+    * vectors. Works on symbols at ANY merge depth (merges only
+    * concatenate mapped chars).
+    */
+  def bbpeDecode(syms: Seq[String]): String = {
+    val bytes = syms.flatMap(_.codePoints().toArray.map(cp =>
+      TextAnalysis.ByteBpe.CharToByte(
+        new String(Character.toChars(cp))).toByte))
+    new String(bytes.toArray, "UTF-8")
   }
 
   /** One greedy left-to-right merge pass — the replay of the training

@@ -94,6 +94,25 @@ import org.apache.spark.sql.types._
   * left untouched (state-eviction bounds derive from the raw plan
   * shape).
   */
+/** Observability seam for the auto-width probe: how often the probe
+  * actually EXECUTED (a bounded driver-side job at optimization time),
+  * how often the width cache answered instead, how many sampled rows
+  * were read, and how often a probe failed (join left unrewritten).
+  * Process-wide counters (the DatPageMetrics convention) — a user can
+  * read them to see why a BETWEEN join re-planned; PlanSpec pins
+  * fire-once-then-cache. Each probe also emits one log line with the
+  * sampled count and derived width.
+  */
+object RangeJoinProbeMetrics {
+  val fired = new java.util.concurrent.atomic.LongAdder
+  val cacheHits = new java.util.concurrent.atomic.LongAdder
+  val failed = new java.util.concurrent.atomic.LongAdder
+  val rowsRead = new java.util.concurrent.atomic.LongAdder
+  def reset(): Unit = {
+    fired.reset(); cacheHits.reset(); failed.reset(); rowsRead.reset()
+  }
+}
+
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
   val WidthConf = "spark.graft.rangejoin.bucketWidth"
@@ -272,24 +291,36 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     SparkSession.getActiveSession.flatMap { session =>
       val key = (ivSide.canonicalized, lo.canonicalized, hi.canonicalized)
       val cached = widthCache.get(key)
-      if (cached != null) cached
+      if (cached != null) {
+        RangeJoinProbeMetrics.cacheHits.increment()
+        cached
+      }
       else {
         var failed = false
         val derived: Option[Long] =
           try {
             inProbe.set(true)
+            RangeJoinProbeMetrics.fired.increment()
             val span = Subtract(toLong(hi, tz), toLong(lo, tz))
             val probe = Limit(Literal(SampleRows),
               Project(Seq(Alias(span, "_graft_span")()),
                 Filter(And(IsNotNull(lo), IsNotNull(hi)), ivSide)))
             val spans = Bridge.ofRows(session, probe).collect()
               .map(_.getLong(0)).sorted
-            if (spans.isEmpty) None
-            else Some(math.max(1L, spans(spans.length / 2) + 1L))
+            RangeJoinProbeMetrics.rowsRead.add(spans.length.toLong)
+            val w = if (spans.isEmpty) None
+              else Some(math.max(1L, spans(spans.length / 2) + 1L))
+            // the one-line answer to "why did my BETWEEN join re-plan":
+            // what fired, what it read, what width came out
+            logInfo(s"range-join auto-width probe: sampled " +
+              s"${spans.length} interval spans, derived width = " +
+              s"${w.fold("none (empty side, rewrite skipped)")(_.toString)}")
+            w
           } catch {
             case scala.util.control.NonFatal(e) =>
               logWarning("range-join auto-width probe failed; leaving the " +
                 s"join unrewritten: $e")
+              RangeJoinProbeMetrics.failed.increment()
               failed = true
               None
           } finally inProbe.set(false)

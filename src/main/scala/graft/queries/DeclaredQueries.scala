@@ -378,5 +378,33 @@ object DeclaredQueries {
           .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
       },
       Some(attributionWindowOracleSql)),
+
+    // q17's keyed interval join through the SALTED path — the hot-key
+    // remedy for the case RangeJoinRewrite's auto mode deliberately
+    // skips (keyed joins already hash-plan; a hot user still piles one
+    // (key, bucket) onto one reducer). Points salted, intervals
+    // replicated across salts, join key (user_id, __salt, _bucket).
+    // Result-identical by construction — it shares q17's oracle
+    // CONSTANT, so the driver hash-proves salted ≡ keyed ≡ naive every
+    // round; the per-task input bound is pinned in SkewSpec on a
+    // planted hot key.
+    "q19_salted_interval_join" -> QuerySpec(
+      (s, dir) => {
+        val winUs = 12L * 3600L * 1000000L
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            unix_micros(col("ts")).as("start_us"))
+          .withColumn("end_us", col("start_us") + winUs)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            unix_micros(col("ts")).as("click_us"))
+        graft.operators.Skew.saltedIntervalJoin(clicks, "click_us",
+            purchases, "start_us", "end_us", bucketWidth = winUs,
+            keys = Seq("user_id"), salts = 8)
+          .select(col("user_id"), col("purchase_id"), col("click_id"))
+          .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+      },
+      Some(attributionWindowOracleSql)),
   )
 }

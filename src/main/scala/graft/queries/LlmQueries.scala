@@ -455,6 +455,26 @@ object LlmQueries {
              |FROM s ORDER BY t_sum / CAST(c_sum AS DOUBLE) DESC, doc_id
              |LIMIT 100""".stripMargin)),
 
+    // Trained quality classifier — the MODEL-BASED scorer beside l40's
+    // rule battery and l41's importance resampling: fastText-shape
+    // logistic regression over hashed bag-of-tokens features, trained
+    // with one gradient aggregate per epoch (driver traffic bounded by
+    // the hash dimension, never the corpus). Training floats are
+    // captured as data; SCORING quantizes them to integer micro-units so
+    // every margin is an exact integer sum the oracle re-derives from
+    // scratch — tokenize → md5-prefix bucket → weight join → sum — and
+    // hash-matches bit-for-bit. Label = the lang='en' ground truth;
+    // separability/AUC and loss monotonicity are pinned in OperatorSpec
+    // on a planted world.
+    "l42_quality_classifier" -> QuerySpec(
+      (s, dir) => {
+        val model = l42ModelCached(s, dir)
+        l42ModelByDir(dir) = model
+        graft.operators.QualityClassifier
+          .scoreUnits(Tables(s, dir, "documents"), model)
+          .orderBy(col("doc_id"))
+      }, None, Some(dir => l42Sql(dir))),
+
     // The 100 TB dedup layout as a first-class flow: signatures
     // materialized ONCE into a bucketed table (single corpus scan),
     // candidates from an exchange-free bucketed self-join, exact-jaccard
@@ -1257,6 +1277,45 @@ object LlmQueries {
             merges)
           .orderBy(col("doc_id"))
       }, None, Some(dir => l29OracleSql(dir))),
+
+    // BYTE-LEVEL BPE training (GPT-2 family) — the production tokenizer
+    // beside the word-level l26: regex pre-tokenization (contractions,
+    // leading-space word/number/punct groups), UTF-8 bytes through the
+    // fixed byte→unicode table, Sennrich merges over byte symbols (the
+    // SHARED trainMergesLoop). Oracle = the l26 convention: an
+    // independent plain-Scala replay (RDD pre-token frequencies →
+    // TextGolden.bbpeMerges) written as golden parquet.
+    "l43_bbpe_train" -> QuerySpec(
+      (s, dir) => {
+        ensureBbpeGolden(s, dir)
+        TextAnalysis.bbpeTrainMerges(
+            Tables(s, dir, "documents").select(col("text")))
+          .orderBy(col("rank"))
+      }, None, Some(dir => mGoldenSql(l43GoldenName(dir),
+        "rank, lhs, rhs, merged, pair_count", "rank"))),
+
+    // Byte-level BPE ENCODE — per-doc pre-token + byte-BPE token counts
+    // under the trained byte-level merges (the l29 shape on the byte
+    // alphabet; counts differ from l29 on ANY punctuation/space
+    // structure, which is the point). DuckDB re-derives the corpus join
+    // + aggregation against TWO replay goldens: the vocab mapping
+    // (ptok → n_bpe, replay-trained) and the per-doc pre-tokenization
+    // (typed-Scala replay of the SAME Java regex — RE2 cannot run the
+    // GPT-2 lookahead, so the segmentation itself is golden, the l02
+    // signature convention).
+    "l44_bbpe_encode" -> QuerySpec(
+      (s, dir) => {
+        ensureBbpeEncodeGoldens(s, dir)
+        val merges = l44MergesByDir.getOrElseUpdate(dir,
+          TextAnalysis.bbpeTrainMerges(
+              Tables(s, dir, "documents").select(col("text")))
+            .orderBy(col("rank")).collect()
+            .map(r => (r.getString(1), r.getString(2))).toSeq)
+        TextAnalysis.bbpeEncodeCounts(
+            Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+            merges)
+          .orderBy(col("doc_id"))
+      }, None, Some(dir => l44OracleSql(dir))),
 
     // Deterministic per-source sample: 20 docs per source under
     // content-hash order — the reproducible corpus-curation primitive
@@ -2135,6 +2194,88 @@ object LlmQueries {
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   }
 
+  // ---- byte-level BPE goldens (l43/l44) ----
+
+  private val l44MergesByDir = scala.collection.concurrent.TrieMap[
+    String, Seq[(String, String)]]()
+
+  private def l43GoldenName(dir: String): String =
+    s"l43-bbpe-${graft.operators.TextAnalysis.ByteBpe.NumMerges}-" +
+      s"${new java.io.File(dir).getName}-v1"
+  private def l44VocabGoldenName(dir: String): String =
+    s"l44-bbpevocab-${graft.operators.TextAnalysis.ByteBpe.NumMerges}-" +
+      s"${new java.io.File(dir).getName}-v1"
+  private def l44CorpusGoldenName(dir: String): String =
+    s"l44-bbpecorpus-${new java.io.File(dir).getName}-v1"
+
+  /** Replay pre-token frequencies on the RDD side (TextGolden.preTokens
+    * — same Java regex as the engine's regexp_extract_all, independent
+    * of the Column plumbing under test), vocabulary-sized by
+    * construction.
+    */
+  private def replayPreTokFreq(s: org.apache.spark.sql.SparkSession,
+                               dir: String): Seq[(String, Long)] = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("text"))
+      .as[String].rdd
+      .flatMap(t => if (t == null) Iterator.empty
+        else graft.operators.TextGolden.preTokens(t).iterator)
+      .map(p => (p, 1L)).reduceByKey(_ + _).collect().toSeq
+  }
+
+  private def ensureBbpeGolden(s: org.apache.spark.sql.SparkSession,
+                               dir: String): Unit = {
+    import s.implicits._
+    graft.operators.MultimodalGolden.ensureGoldenDf(l43GoldenName(dir), {
+      graft.operators.TextGolden
+        .bbpeMerges(replayPreTokFreq(s, dir),
+          graft.operators.TextAnalysis.ByteBpe.NumMerges)
+        .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+    })
+  }
+
+  private def ensureBbpeEncodeGoldens(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import s.implicits._
+    // per-doc pre-tokenization replay: RE2 (DuckDB's regex engine) has
+    // no lookahead, so the GPT-2 segmentation itself goes in as a
+    // typed-Scala golden; DuckDB re-derives the vocab join and the
+    // per-doc aggregation computationally
+    graft.operators.MultimodalGolden.ensureGoldenDf(
+      l44CorpusGoldenName(dir),
+      Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          if (t == null) Iterator.empty
+          else graft.operators.TextGolden.preTokens(t).iterator
+            .map(p => (id, p)) }
+        .toDF("doc_id", "ptok"))
+    graft.operators.MultimodalGolden.ensureGoldenDf(
+      l44VocabGoldenName(dir), {
+        val pfreq = replayPreTokFreq(s, dir)
+        val merges = graft.operators.TextGolden
+          .bbpeMerges(pfreq,
+            graft.operators.TextAnalysis.ByteBpe.NumMerges)
+          .map { case (_, lhs, rhs, _, _) => (lhs, rhs) }
+        pfreq.map { case (p, _) =>
+          (p, graft.operators.TextGolden.bbpeEncodePreTok(p, merges))
+        }.toDF("ptok", "n_bpe")
+      })
+  }
+
+  private def l44OracleSql(dir: String): String = {
+    val vb = graft.operators.MultimodalGolden
+      .goldenBase(l44VocabGoldenName(dir))
+    val cb = graft.operators.MultimodalGolden
+      .goldenBase(l44CorpusGoldenName(dir))
+    s"""WITH c AS (SELECT doc_id, ptok FROM read_parquet('$cb/*.parquet')),
+       |v AS (SELECT ptok, n_bpe FROM read_parquet('$vb/*.parquet'))
+       |SELECT c.doc_id, COUNT(*)::BIGINT AS n_pretoks,
+       |  SUM(v.n_bpe)::BIGINT AS bbpe_token_count
+       |FROM c JOIN v USING (ptok)
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+  }
+
   private def l03GoldenName(dir: String): String =
     s"l03-simhash-${new java.io.File(dir).getName}-v1"
 
@@ -2497,6 +2638,53 @@ object LlmQueries {
   }
   private val s06CapturesByDir = scala.collection.concurrent.TrieMap[
     String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
+
+  // l42: the trained model is plain data (weights + bias), so the cache
+  // is keyed by dir alone — training happens once per JVM per corpus
+  // (the fit-cache stance: training is train-time; the entry measures
+  // the scoring path), and the SAME model object both scores and feeds
+  // the oracle builder, so the two sides can never diverge.
+  private val l42ModelByDir = scala.collection.concurrent.TrieMap[
+    String, graft.operators.QualityClassifier.Model]()
+  private def l42ModelCached(s: org.apache.spark.sql.SparkSession,
+                             dir: String): graft.operators.QualityClassifier.Model =
+    l42ModelByDir.getOrElseUpdate(dir,
+      graft.operators.QualityClassifier.train(
+        parallelDocs(s, dir).withColumn("label", col("lang") === "en"),
+        labelCol = "label"))
+
+  /** l42 oracle: DuckDB re-derives every margin from the captured
+    * micro-unit weights — same tokenization as every token oracle, the
+    * md5-prefix bucket hash, a LEFT JOIN onto the non-zero weights, and
+    * an exact integer sum (+ bias units); zero-token docs score the
+    * bias via the outer join.
+    */
+  private def l42Sql(dir: String): String = {
+    val m = l42ModelByDir.getOrElse(dir,
+      sys.error(s"l42 never ran for $dir — no model captured"))
+    val wu = m.weightUnits()
+    val bu = m.biasUnits()
+    val nz = wu.zipWithIndex.collect { case (v, i) if v != 0L => s"($i, $v)" }
+    val vals = if (nz.isEmpty) "(-1, 0)" else nz.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    x -> length(x) > 0)) AS tok
+       |  FROM documents),
+       |tb AS (SELECT doc_id,
+       |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % ${m.dim} AS bucket,
+       |    COUNT(*) AS cnt
+       |  FROM toks GROUP BY 1, 2),
+       |w AS (SELECT * FROM (VALUES $vals) v(bucket, wu)),
+       |md AS (SELECT tb.doc_id,
+       |    CAST(SUM(tb.cnt * COALESCE(w.wu, 0)) AS BIGINT) AS dot
+       |  FROM tb LEFT JOIN w USING (bucket) GROUP BY tb.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(md.dot, 0) + $bu AS BIGINT) AS margin_units,
+       |  (COALESCE(md.dot, 0) + $bu) > 0 AS pred
+       |FROM documents d LEFT JOIN md USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
   private val s12CapturesByDir = scala.collection.concurrent.TrieMap[
     String, (Array[Array[Double]], Array[Double])]()
   private val s14CapturesByDir = scala.collection.concurrent.TrieMap[

@@ -407,8 +407,26 @@ class PlanSpec extends AnyFunSuite {
       // conf UNSET = auto mode (the default): width is derived by the
       // sampling probe, no workload knowledge required
       spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+      graft.plans.RangeJoinProbeMetrics.reset()
       val auto = run()
       auto.count()
+      // observability: the probe EXECUTED exactly once for this plan
+      // shape, read a bounded sample, and no probe failed
+      assert(graft.plans.RangeJoinProbeMetrics.fired.sum() == 1L,
+        s"probe fired ${graft.plans.RangeJoinProbeMetrics.fired.sum()} " +
+          "times for one new plan shape")
+      assert(graft.plans.RangeJoinProbeMetrics.failed.sum() == 0L)
+      val sampled = graft.plans.RangeJoinProbeMetrics.rowsRead.sum()
+      assert(sampled > 0L && sampled <= 4096L,
+        s"probe read $sampled rows — outside the bounded-sample contract")
+      // a SECOND query with the same interval sub-plan re-optimizes but
+      // must answer from the width cache: no second probe job
+      val again = run()
+      again.count()
+      assert(graft.plans.RangeJoinProbeMetrics.fired.sum() == 1L,
+        "re-optimizing the same shape re-fired the probe (cache miss)")
+      assert(graft.plans.RangeJoinProbeMetrics.cacheHits.sum() >= 1L,
+        "width cache hit not recorded on re-optimization")
       val plan = auto.queryExecution.executedPlan.toString
       // the bucketed equi-join must exist (the giant-interval pass-
       // through branch is empty here but may still plan a nested loop)

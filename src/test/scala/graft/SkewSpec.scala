@@ -45,4 +45,47 @@ class SkewSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(salted == plain)
   }
+
+  test("salted interval join: identical rows to the naive keyed BETWEEN " +
+      "join on a planted hot key, with the hot key's points spread over " +
+      "multiple salt partitions (bounded per-task input)") {
+    // ONE hot user holds 90% of the points, all inside a single bucket —
+    // the exact shape that defeats the unsalted (key, bucket) shuffle
+    val nHot = 9000
+    val points = spark.range(10000)
+      .select(
+        when(col("id") < nHot, lit(7L)).otherwise(col("id")).as("user_id"),
+        col("id").as("point_id"),
+        when(col("id") < nHot, col("id") % 100L)
+          .otherwise(lit(500L)).as("t"))
+    val intervals = Seq((7L, 1L, 0L, 99L), (9500L, 2L, 400L, 600L),
+      (9999L, 3L, 0L, 1000L)).toDF("user_id", "iv_id", "lo", "hi")
+    val naive = points.join(intervals, Seq("user_id"))
+      .filter(col("t") >= col("lo") && col("t") <= col("hi"))
+      .select(col("user_id"), col("point_id"), col("iv_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val salted = Skew.saltedIntervalJoin(points, "t", intervals,
+        "lo", "hi", bucketWidth = 1000L, keys = Seq("user_id"),
+        salts = 8)
+      .select(col("user_id"), col("point_id"), col("iv_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(salted == naive,
+      s"missing=${(naive -- salted).take(3)} extra=${(salted -- naive).take(3)}")
+    assert(naive.count(_._1 == 7L) == nHot, "hot key should match fully")
+    // the balance property: the hot key's point rows carry > 1 distinct
+    // salt (deterministically ~8 here), so no single reducer can receive
+    // the whole hot (key, bucket) group — per-task input is bounded by
+    // ~|hot| / salts instead of |hot|
+    val saltDist = points.filter(col("user_id") === 7L)
+      .withColumn("__salt",
+        pmod(hash(monotonically_increasing_id()), lit(8)))
+      .groupBy("__salt").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(saltDist.size >= 6,
+      s"hot key landed on too few salts: $saltDist")
+    assert(saltDist.values.max <= nHot / 2,
+      s"one salt still holds most of the hot key: $saltDist")
+  }
 }
