@@ -25,6 +25,22 @@ object PipelineQueries {
   private def txWorld(s: org.apache.spark.sql.SparkSession, dir: String) =
     Fixtures.generateTxWorld(s, nFor(dir))
 
+  /** The (url, warc_date, text) rows the WARC entries encode — ONE
+    * deterministic derivation from the documents table, shared by p17's
+    * round trip and st13's streaming-ingest fixture so their oracles
+    * describe the identical corpus (the q17/st12 shared-constant
+    * stance, applied to the fixture instead of the SQL).
+    */
+  private[queries] def warcRows(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.Tables(s, dir, "documents").select(
+      concat(lit("https://example.org/doc/"), col("doc_id")).as("url"),
+      date_format(
+        expr("timestampadd(SECOND, doc_id, " +
+          "TIMESTAMP'2026-01-01 00:00:00')"),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_date"),
+      col("text"))
+
   /** Materialize the synthetic worlds for `dir` outside any timed region:
     * fixture GENERATION is test-harness cost, not query cost (on a real
     * deployment the changeset tables already exist on disk). Bench calls
@@ -605,14 +621,7 @@ object PipelineQueries {
     // multi-byte text, and the warcinfo/conversion type filter.
     "p17_warc_ingest" -> QuerySpec(
       (s, dir) => {
-        val docs = graft.Tables(s, dir, "documents")
-        val rows = docs.select(
-          concat(lit("https://example.org/doc/"), col("doc_id")).as("url"),
-          date_format(
-            expr("timestampadd(SECOND, doc_id, " +
-              "TIMESTAMP'2026-01-01 00:00:00')"),
-            "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_date"),
-          col("text"))
+        val rows = warcRows(s, dir)
         val base = java.nio.file.Files
           .createTempDirectory("graft-warc-q").toString
         graft.sources.Warc.write(rows.repartition(4), base)

@@ -46,6 +46,31 @@ object StreamingQueries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** st13's WARC fixture: [[PipelineQueries.warcRows]] encoded ONCE per
+    * sf dir at a stable path (the golden/fixture write-once convention —
+    * a per-invocation temp dir would re-pay the encode in every bench
+    * run, and the entry's subject is streaming INGEST, not the writer
+    * p17 already round-trips). The _DONE marker commits the write; a
+    * partial dir from a crashed run is rebuilt.
+    */
+  private val warcFixLock = new Object
+  private def ensureWarcFixture(s: org.apache.spark.sql.SparkSession,
+                                dir: String): String =
+    warcFixLock.synchronized {
+      val base = new java.io.File(
+        s"target/warcfix/${new java.io.File(dir).getName}-v1")
+      val done = new java.io.File(base, "_DONE")
+      if (!done.exists()) {
+        if (base.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(base)
+        graft.sources.Warc.write(
+          PipelineQueries.warcRows(s, dir).repartition(4),
+          base.toString)
+        done.createNewFile()
+      }
+      base.toString
+    }
+
   /** Gap-based sessionization oracle (lag + running sum): an event at
     * exactly prev+30min starts a NEW session, matching Spark's half-open
     * [ts, ts+gap) session extent. Shared by the batch (w02) and
@@ -359,6 +384,59 @@ object StreamingQueries {
              |    regexp_split_to_array(lower(trim(text)), '\s+'),
              |    t -> length(t) > 0)) >= 5
              |ORDER BY digest""".stripMargin)),
+
+    // Streaming WARC ingestion — the l28/st10 corpus funnel fed by the
+    // REAL crawl input format: a binaryFile file-source stream tails a
+    // directory of multi-member .warc.gz part files (path column only —
+    // file bytes never enter a row), each micro-batch parses its files
+    // through the same mapPartitions-narrow Warc reader the batch entry
+    // uses, filters to conversion records, gates on a token floor, and
+    // appends (url, digest). The WARC fixture is built ONCE per sf dir
+    // from the SAME warcRows derivation p17 encodes (shared-fixture
+    // stance), so the oracle recomputes everything from documents
+    // directly. New crawl files landing in the directory would flow
+    // through the same query incrementally — the production
+    // ingest-as-it-arrives shape.
+    "st13_warc_stream" -> QuerySpec(
+      (s, dir) => {
+        val warcDir = ensureWarcFixture(s, dir)
+        val binSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("modificationTime",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("length",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.BinaryType)))
+        import s.implicits._
+        withStateSizing(s) {
+          val parsed = s.readStream.format("binaryFile").schema(binSchema)
+            .load(warcDir)
+            .select(col("path")).as[String]
+            .mapPartitions(paths =>
+              paths.flatMap(graft.sources.Warc.parseFile))
+            .toDF()
+          val q = parsed
+            .filter(col("rec_type") === "conversion")
+            .filter(size(graft.operators.TextAnalysis.tokens(col("text")))
+              >= 5)
+            .select(col("url"), md5(col("text")).as("digest"))
+            .writeStream.format("memory").queryName("st13_sink")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.table("st13_sink").orderBy(col("url"))
+      },
+      Some("""SELECT 'https://example.org/doc/' || doc_id AS url,
+             |  md5(text) AS digest
+             |FROM documents
+             |WHERE len(list_filter(
+             |    regexp_split_to_array(lower(trim(text)), '\s+'),
+             |    t -> length(t) > 0)) >= 5
+             |ORDER BY url""".stripMargin)),
 
     // The TIME-BOUNDED streaming near-dup contract, proven against the
     // exact-global one on the same deterministic schedule (st06 covers

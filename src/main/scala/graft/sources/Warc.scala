@@ -95,10 +95,17 @@ object Warc {
       private var done = false
       private def fetch(): Unit = {
         if (done || nextRec != null) return
-        nextRec = readRecord(uri, in) match {
-          case Some(r) => r
-          case None => done = true; in.close(); null
-        }
+        nextRec =
+          try readRecord(uri, in) match {
+            case Some(r) => r
+            case None => done = true; in.close(); null
+          } catch { case e: Throwable =>
+            // malformed framing fails the task LOUDLY, but must not
+            // leak the stream while doing it
+            done = true
+            try in.close() catch { case _: java.io.IOException => () }
+            throw e
+          }
       }
       override def hasNext: Boolean = { fetch(); nextRec != null }
       override def next(): Record = {

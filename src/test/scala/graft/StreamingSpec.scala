@@ -455,4 +455,79 @@ class StreamingSpec extends AnyFunSuite {
       .exists(_.contains("not comparable across streams"))),
       s"unexpected failure: $ex")
   }
+
+  test("streaming WARC ingest is incremental: a resumed query processes " +
+      "only the crawl files that landed since the checkpoint") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-warc-stream").toString
+    val ck = dir + "-ck"
+    def writeWarc(ids: Range): Unit =
+      graft.sources.Warc.write(
+        ids.map(i => (s"https://s.example/$i", "2026-03-01T00:00:00Z",
+          s"streamed document body number $i with several tokens"))
+          .toDF("url", "warc_date", "text").coalesce(1),
+        // distinct part name per batch: the writer names by partition id,
+        // so stage a unique subdir then move the file up
+        dir + s"/inc-${ids.head}")
+    // Warc.write writes into a subdir; flatten so the stream sees files
+    // land in ONE watched directory, like crawl output does
+    def flatten(): Unit = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.isDirectory).foreach { sub =>
+        // skip Hadoop's dot-prefixed .crc sidecars: Spark's file listing
+        // hides dot/underscore files, but a rename that un-hides one
+        // would feed checksum bytes to the WARC parser
+        sub.listFiles().filter(!_.getName.startsWith(".")).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(root, sub.getName + "-" + f.getName).toPath)
+        }
+        sub.listFiles().foreach(_.delete())
+        sub.delete()
+      }
+    }
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    // durable sink (parquet): the memory sink cannot recover from a
+    // checkpoint, and checkpoint RESUME is the property under test
+    val out = dir + "-out"
+    def drain(): Unit = {
+      val q = spark.readStream.format("binaryFile").schema(binSchema)
+        .load(dir)
+        .select(col("path")).as[String]
+        .mapPartitions(p => p.flatMap(graft.sources.Warc.parseFile))
+        .toDF()
+        .filter(col("rec_type") === "conversion")
+        .select(col("url"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def urls(): Seq[String] =
+      spark.read.parquet(out).as[String].collect().toSeq
+    writeWarc(0 until 5); flatten()
+    drain()
+    assert(urls().sorted ==
+      (0 until 5).map(i => s"https://s.example/$i").sorted)
+    // second crawl file lands; the RESUMED query (same checkpoint) must
+    // ingest ONLY the new records: exactly one output row per id with NO
+    // re-ingestion duplicates of the first file (file-source offsets
+    // track already-seen files)
+    writeWarc(5 until 8); flatten()
+    drain()
+    assert(urls().sorted ==
+      (0 until 8).map(i => s"https://s.example/$i").sorted,
+      s"resume re-ingested or missed files: ${urls().sorted}")
+  }
 }
