@@ -1069,6 +1069,62 @@ object TextAnalysis {
         sum(col("n_bpe")).as("bpe_token_count"))
   }
 
+  /** HTML → text extraction — the step every crawl pipeline runs
+    * between the WARC response payload and the text funnel (the
+    * trafilatura/jusText role, in its deterministic regex-pipeline
+    * form): drop script/style blocks and comments, strip tags, decode
+    * the common entities (one pass — `&amp;lt;` decodes to the TEXT
+    * `&lt;`, not `<`, because `&amp;` is replaced LAST), collapse
+    * whitespace. Narrow per-row columnar math (codegen regexp/replace
+    * chain, no UDF); every pattern is chosen to behave identically
+    * under Java regex (Spark) and RE2 (DuckDB) — inline `(?is)` flags
+    * and non-greedy `.*?` are common ground, and the whitespace class
+    * is written out explicitly (the [[tokens]] `\s`-drift rule).
+    */
+  def htmlExtract(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) =>
+        replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "[ \\t\\n\\f\\r]+", " "))
+  }
+
+  /** URL canonicalization — the dedup-key normalizer crawl pipelines
+    * apply before URL-level dedup: lowercase scheme and host, strip the
+    * fragment, strip the scheme's default port, default an empty path
+    * to "/", drop tracking parameters (utm_*, fbclid, gclid), and SORT
+    * the surviving query parameters so parameter order cannot split a
+    * dedup group. Pure columnar regexp/array ops, mirrored step-for-
+    * step by the l46 DuckDB oracle.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(
+      regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http",
+        regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val path0 = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val params = array_join(
+      array_sort(filter(split(query, "&"),
+        p => !(p.rlike("^(utm_[^=]*|fbclid|gclid)=") || p === ""))),
+      "&")
+    concat(scheme, lit("://"), host, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+  }
+
   /** GPT-2-style BYTE-LEVEL BPE constants — the production tokenizer
     * family (Radford et al. 2019, the public gpt-2 repo's encoder.py):
     * text is pre-tokenized by a regex (leading-space word/number/

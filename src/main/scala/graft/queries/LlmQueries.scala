@@ -1317,6 +1317,76 @@ object LlmQueries {
           .orderBy(col("doc_id"))
       }, None, Some(dir => l44OracleSql(dir))),
 
+    // HTML → text extraction — the step between a crawl's WARC response
+    // payloads (p17/st13) and the text funnel (l28): script/style/
+    // comment removal, tag stripping, single-pass entity decode,
+    // whitespace collapse, as a narrow codegen regexp chain. The
+    // fixture wraps each document in a deterministic HTML page with
+    // planted hazards (a script containing a bare '<', entities
+    // including the double-encoded &amp;lt; that must decode to the
+    // TEXT '&lt;', an &nbsp;, a comment). The oracle is INDEPENDENT:
+    // DuckDB never runs the extraction — it constructs the expected
+    // text from first principles (title + h1 + body + decoded tail), so
+    // a greedy regex eating content or a mis-ordered entity pass breaks
+    // the hash.
+    "l45_html_extract" -> QuerySpec(
+      (s, dir) => {
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title><style>p{color:red}</style>" +
+            "<script>var x = 1 < 2;</script></head>" +
+            "<body><!-- boilerplate --><h1>Doc "), col("doc_id"),
+          lit("</h1><p>"), col("text"),
+          lit(" &amp;lt; tail &nbsp;&lt;b&gt;</p></body></html>"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), html.as("html"))
+          .select(col("doc_id"), length(col("html")).as("n_chars_html"),
+            TextAnalysis.htmlExtract(col("html")).as("text_out"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  length('<html><head><title>Doc ' || doc_id
+             |    || '</title><style>p{color:red}</style>'
+             |    || '<script>var x = 1 < 2;</script></head>'
+             |    || '<body><!-- boilerplate --><h1>Doc ' || doc_id
+             |    || '</h1><p>' || text
+             |    || ' &amp;lt; tail &nbsp;&lt;b&gt;</p></body></html>')
+             |    AS n_chars_html,
+             |  trim(regexp_replace(
+             |    'Doc ' || doc_id || ' Doc ' || doc_id || ' ' || text
+             |      || ' &lt; tail <b>',
+             |    '[ \t\n\f\r]+', ' ', 'g')) AS text_out
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // URL canonicalization — the dedup-key normalizer between crawl
+    // ingestion and URL-level dedup: lowercase scheme/host, strip
+    // fragment and default port, drop tracking params, SORT surviving
+    // params. Three planted variants per doc (case+port+tracking+frag,
+    // param order, tracking-only differences) must collapse to ONE
+    // canonical group of 3. The oracle is INDEPENDENT: DuckDB
+    // constructs the expected canonical form directly — any
+    // normalization step misbehaving splits a group or shifts the
+    // canonical string and breaks the hash.
+    "l46_url_normalize" -> QuerySpec(
+      (s, dir) => {
+        val variants = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(array(
+            concat(lit("https://example.org/doc/"), col("doc_id"),
+              lit("?a=1&b=2")),
+            concat(lit("HTTPS://EXAMPLE.ORG:443/doc/"), col("doc_id"),
+              lit("?b=2&utm_source=feed&a=1#frag")),
+            concat(lit("https://example.org/doc/"), col("doc_id"),
+              lit("?utm_campaign=x&a=1&b=2")))).as("raw"))
+        variants
+          .select(TextAnalysis.normalizeUrl(col("raw")).as("url"))
+          .groupBy(col("url")).agg(count(lit(1)).as("n_variants"))
+          .orderBy(col("url"))
+      },
+      Some("""SELECT 'https://example.org/doc/' || doc_id || '?a=1&b=2'
+             |    AS url,
+             |  3 AS n_variants
+             |FROM documents ORDER BY url""".stripMargin)),
+
     // Deterministic per-source sample: 20 docs per source under
     // content-hash order — the reproducible corpus-curation primitive
     // (random sampling could never be oracled).

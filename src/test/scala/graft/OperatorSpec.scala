@@ -1251,6 +1251,61 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("htmlExtract: non-greedy block removal, single-pass entity " +
+      "decode, whitespace collapse") {
+    import graft.operators.TextAnalysis
+    def ex(h: String): String =
+      Seq(h).toDF("h").select(TextAnalysis.htmlExtract(col("h")).as("t"))
+        .head().getString(0)
+    // non-greedy: content BETWEEN two script blocks survives (a greedy
+    // .* would eat it)
+    assert(ex("<script>a</script><p>keep</p><script>b</script>") == "keep")
+    assert(ex("<style>x{}</style>mid<style>y{}</style>") == "mid")
+    // script containing '<' and a SPLIT '</scr'+'ipt>' string: no
+    // contiguous '</script>' literal exists inside, so the block
+    // removes cleanly. (A contiguous literal inside a JS string WOULD
+    // terminate the block early — regex extraction is not a JS parser;
+    // that documented limit is pinned on the next line.)
+    assert(ex("<script>if (1 < 2) { x = '</scr'+'ipt>'; }</script>ok")
+      == "ok")
+    assert(ex("<script>var s = 'a</script>'; f(s)</script>ok")
+      == "'; f(s) ok")
+    // single-pass entities: &amp;lt; is TEXT '&lt;', not '<'
+    assert(ex("<p>&amp;lt; &lt;b&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b</p>")
+      == "&lt; <b> \"q\" 's' a b")
+    // whitespace collapse incl. tabs/newlines; attributes with '>'
+    // inside quotes are an accepted regex-pipeline limitation (tag
+    // strip stops at the first '>')
+    assert(ex("a\n\n\tb   c") == "a b c")
+    assert(ex("<div class=\"x\">d</div>") == "d")
+    // comments removed, case-insensitive tags
+    assert(ex("<!-- no --><P>e</P><SCRIPT>f</SCRIPT>") == "e")
+  }
+
+  test("normalizeUrl: each canonicalization step isolated — case, " +
+      "default ports, fragment, tracking params, param sort, empty path") {
+    import graft.operators.TextAnalysis
+    def n(u: String): String =
+      Seq(u).toDF("u").select(TextAnalysis.normalizeUrl(col("u")).as("n"))
+        .head().getString(0)
+    assert(n("HTTPS://EXAMPLE.org/Path") == "https://example.org/Path")
+    // path case is PRESERVED (paths are case-sensitive by spec)
+    assert(n("https://example.org:443/a") == "https://example.org/a")
+    assert(n("http://example.org:80/a") == "http://example.org/a")
+    // non-default ports survive; 443 on http is NOT default
+    assert(n("http://example.org:8080/a") == "http://example.org:8080/a")
+    assert(n("http://example.org:443/a") == "http://example.org:443/a")
+    assert(n("https://e.org/a#frag") == "https://e.org/a")
+    assert(n("https://e.org") == "https://e.org/")
+    assert(n("https://e.org/p?utm_source=x&b=2&fbclid=1&a=1&gclid=2")
+      == "https://e.org/p?a=1&b=2")
+    assert(n("https://e.org/p?b=2&a=1") == "https://e.org/p?a=1&b=2")
+    // all params tracking -> no query at all
+    assert(n("https://e.org/p?utm_a=1&utm_b=2") == "https://e.org/p")
+    // empty query string
+    assert(n("https://e.org/p?") == "https://e.org/p")
+  }
+
   test("decontamination flags exactly the docs sharing benchmark n-grams") {
     val train = Seq(
       // shares the benchmark's full 8-token run TWICE (frequency counts)
