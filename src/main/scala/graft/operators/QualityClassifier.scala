@@ -125,6 +125,36 @@ object QualityClassifier {
     Model(dim, w, b, losses.result())
   }
 
+  /** ZERO-SHUFFLE scoring — the same integer micro-unit margins as
+    * [[scoreUnits]] but computed entirely WITHIN each row: tokens map
+    * through a full `dim`-entry weight-unit MAP LITERAL and fold with
+    * the `aggregate` higher-order function, so there is no explode, no
+    * join, and no groupBy — one narrow Project over the scan. This is
+    * the INFERENCE shape: it runs unchanged on a STREAMING frame (no
+    * aggregation ⇒ plain append mode, st14) and at 100 TB it fuses
+    * into the scan's codegen stage with the broadcast cost of one
+    * dim-sized literal. [[scoreUnits]]'s join form remains for the
+    * case where features are already materialized as (id, bucket, cnt).
+    * OperatorSpec pins scoreUnitsNarrow ≡ scoreUnits row-for-row.
+    */
+  def scoreUnitsNarrow(docs: DataFrame, model: Model, unit: Double = 1e6,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val wu = model.weightUnits(unit)
+    val bu = model.biasUnits(unit)
+    // FULL map (zeros included): every bucket value is a present key,
+    // so ANSI element_at can never throw on a miss
+    val wmap = typedLit(
+      wu.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toMap)
+    val margin = aggregate(
+      transform(TextAnalysis.tokens(col(textCol)),
+        t => element_at(wmap, bucketOf(t, model.dim))),
+      lit(bu),
+      (acc, w) => acc + w)
+    docs.select(col(idCol).as("doc_id"), margin.as("margin_units"))
+      .withColumn("pred", col("margin_units") > 0L)
+  }
+
   /** Score `docs` with integer micro-unit margins:
     * (doc_id, margin_units, pred) where
     * margin_units = Σ_buckets cnt·round(w·unit) + round(bias·unit) —

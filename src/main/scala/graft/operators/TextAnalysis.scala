@@ -1125,6 +1125,73 @@ object TextAnalysis {
       when(params === "", lit("")).otherwise(concat(lit("?"), params)))
   }
 
+  /** Registered domain of an absolute URL — the grouping key for
+    * domain-level curation (per-domain stats, blocklists, per-domain
+    * caps): lowercase host without port, reduced to its last two
+    * dot-labels. This is the standard SIMPLIFIED form (a full
+    * public-suffix-list lookup would treat `co.uk`-style suffixes as
+    * three labels — PSL data is a deployment input, not shipped here;
+    * the scaladoc states the limitation rather than hiding it). A
+    * single-label or empty host yields "" (no registered domain).
+    */
+  def registeredDomain(url: Column): Column = {
+    val host = regexp_extract(lower(url),
+      "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1)
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+  }
+
+  /** Per-domain corpus report + blocklist gate — the domain-level
+    * curation step (C4/RefinedWeb run exactly this between URL
+    * normalization and content filters): group documents by
+    * [[registeredDomain]], count, and flag blocklisted domains. The
+    * blocklist enters the plan as a literal array (`isin`) — at
+    * deployment scale a large blocklist becomes a broadcast semi-join,
+    * same shape. One partial-agg'd groupBy; nothing else shuffles.
+    */
+  def domainStats(docs: DataFrame, urlCol: String,
+                  blocklist: Seq[String]): DataFrame =
+    docs.select(registeredDomain(col(urlCol)).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("blocked", col("domain").isin(blocklist: _*))
+
+  /** C4-style LINE-LEVEL cleaning (Raffel et al. 2020 §2.2) — the
+    * other canonical filter battery beside the Gopher DOC-level rules
+    * ([[gopherRules]], l40): C4 edits INSIDE the page (keep only lines
+    * that end in terminal punctuation, have ≥ 3 words, and don't
+    * mention javascript), then gates the page (≥ 3 sentences in the
+    * retained text, no curly brace, no "lorem ipsum" anywhere in the
+    * RAW page). Output per input row:
+    * (id, n_lines, n_kept_lines, n_sentences, keep, text_clean).
+    *
+    * Narrow zero-shuffle columnar math (split / filter / rlike /
+    * regexp_count — all codegen); every regex is Java/RE2 common
+    * ground, so the DuckDB oracle recomputes each rule independently
+    * (the l40 convention, at line granularity).
+    */
+  def c4Clean(pages: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(tokens(l)) >= 3 &&
+        !lower(l).contains("javascript"))
+    pages.select(
+        col(idCol),
+        col(textCol).as("__page"),
+        size(lines).as("n_lines"),
+        size(kept).as("n_kept_lines"),
+        array_join(kept, "\n").as("text_clean"))
+      .withColumn("n_sentences",
+        regexp_count(col("text_clean"), lit("[.!?]")))
+      .withColumn("keep",
+        col("n_sentences") >= 3 &&
+          !col("__page").contains("{") &&
+          !lower(col("__page")).contains("lorem ipsum"))
+      .select(col(idCol), col("n_lines"), col("n_kept_lines"),
+        col("n_sentences"), col("keep"), col("text_clean"))
+  }
+
   /** GPT-2-style BYTE-LEVEL BPE constants — the production tokenizer
     * family (Radford et al. 2019, the public gpt-2 repo's encoder.py):
     * text is pre-tokenized by a regex (leading-space word/number/

@@ -1387,6 +1387,109 @@ object LlmQueries {
              |  3 AS n_variants
              |FROM documents ORDER BY url""".stripMargin)),
 
+    // Domain-level curation — the step C4/RefinedWeb run between URL
+    // normalization (l46) and content filters: group by REGISTERED
+    // domain (simplified last-two-labels form, limitation documented),
+    // count, flag blocklisted domains. Five planted hosts across the
+    // corpus (two sharing a registered domain, two blocklisted, one
+    // with a port) exercise subdomain collapse, the blocklist, and
+    // port stripping. The oracle is INDEPENDENT: DuckDB derives the
+    // expected domains from doc_id arithmetic alone — it never runs
+    // the host/domain extraction, so a regex slip splits or merges a
+    // group and breaks the hash.
+    "l48_domain_filter" -> QuerySpec(
+      (s, dir) => {
+        val host = expr("""CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN 'www.example.org'
+          WHEN 1 THEN 'cdn.spam.tracker.net:8443'
+          WHEN 2 THEN 'news.site.com'
+          WHEN 3 THEN 'blog.example.org'
+          ELSE 'ads.doubleclick.net' END""")
+        val urls = Tables(s, dir, "documents")
+          .select(concat(lit("https://"), host, lit("/doc/"),
+            col("doc_id")).as("url"))
+        TextAnalysis.domainStats(urls, "url",
+            blocklist = Seq("tracker.net", "doubleclick.net"))
+          .orderBy(col("domain"))
+      },
+      Some("""WITH m AS (
+             |  SELECT CASE CAST(doc_id % 5 AS INT)
+             |    WHEN 0 THEN 'example.org'
+             |    WHEN 1 THEN 'tracker.net'
+             |    WHEN 2 THEN 'site.com'
+             |    WHEN 3 THEN 'example.org'
+             |    ELSE 'doubleclick.net' END AS domain
+             |  FROM documents)
+             |SELECT domain, COUNT(*)::BIGINT AS n_docs,
+             |  domain IN ('tracker.net', 'doubleclick.net') AS blocked
+             |FROM m GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    // C4 line-level cleaning (Raffel et al. §2.2) — the REWRITE-side
+    // filter battery beside l40's doc-level Gopher flags: keep only
+    // lines ending in terminal punctuation with ≥3 words and no
+    // 'javascript', then gate the page on ≥3 sentences in the retained
+    // text / no '{' / no 'lorem ipsum' in the RAW page. The fixture
+    // wraps each document in a 7-line page with one planted violation
+    // per line rule, plus doc_id-keyed page-level violations ('{' on
+    // doc_id%7==0, lorem-ipsum on doc_id%11==3) so BOTH gate predicates
+    // flip across the corpus. DuckDB recomputes every rule over the
+    // identically-constructed page (the l40 convention at line
+    // granularity).
+    "l47_c4_clean" -> QuerySpec(
+      (s, dir) => {
+        val page = concat(
+          lit("Intro sentence number one is kept.\n"),
+          lit("too short.\n"),
+          lit("no terminal punctuation here\n"),
+          lit("Enable javascript to view this page.\n"),
+          col("text"), lit(" extra pad tokens.\n"),
+          when(col("doc_id") % 7 === 0, lit("bad { brace\n"))
+            .otherwise(lit("Fine closing line is kept.\n")),
+          when(col("doc_id") % 11 === 3,
+            lit("lorem ipsum dolor sit amet."))
+            .otherwise(lit("Final sentence stands alone.")))
+        TextAnalysis.c4Clean(
+            Tables(s, dir, "documents")
+              .select(col("doc_id"), page.as("text")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    'Intro sentence number one is kept.' || chr(10) ||
+             |    'too short.' || chr(10) ||
+             |    'no terminal punctuation here' || chr(10) ||
+             |    'Enable javascript to view this page.' || chr(10) ||
+             |    text || ' extra pad tokens.' || chr(10) ||
+             |    CASE WHEN doc_id % 7 = 0 THEN 'bad { brace' || chr(10)
+             |         ELSE 'Fine closing line is kept.' || chr(10) END ||
+             |    CASE WHEN doc_id % 11 = 3
+             |         THEN 'lorem ipsum dolor sit amet.'
+             |         ELSE 'Final sentence stands alone.' END AS page
+             |  FROM documents),
+             |k AS (
+             |  SELECT doc_id, page,
+             |    len(string_split(page, chr(10))) AS n_lines,
+             |    list_filter(string_split(page, chr(10)), x ->
+             |      regexp_matches(trim(x), '[.!?"]$')
+             |      AND len(list_filter(
+             |            regexp_split_to_array(lower(trim(x)), '\s+'),
+             |            t -> length(t) > 0)) >= 3
+             |      AND NOT contains(lower(x), 'javascript')) AS kept
+             |  FROM p),
+             |c AS (
+             |  SELECT doc_id, page, n_lines,
+             |    len(kept) AS n_kept_lines,
+             |    array_to_string(kept, chr(10)) AS text_clean
+             |  FROM k)
+             |SELECT doc_id, n_lines, n_kept_lines,
+             |  len(regexp_extract_all(text_clean, '[.!?]'))
+             |    AS n_sentences,
+             |  (len(regexp_extract_all(text_clean, '[.!?]')) >= 3
+             |   AND NOT contains(page, '{')
+             |   AND NOT contains(lower(page), 'lorem ipsum')) AS keep,
+             |  text_clean
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // Deterministic per-source sample: 20 docs per source under
     // content-hash order — the reproducible corpus-curation primitive
     // (random sampling could never be oracled).
@@ -2716,7 +2819,7 @@ object LlmQueries {
   // the oracle builder, so the two sides can never diverge.
   private val l42ModelByDir = scala.collection.concurrent.TrieMap[
     String, graft.operators.QualityClassifier.Model]()
-  private def l42ModelCached(s: org.apache.spark.sql.SparkSession,
+  private[queries] def l42ModelCached(s: org.apache.spark.sql.SparkSession,
                              dir: String): graft.operators.QualityClassifier.Model =
     l42ModelByDir.getOrElseUpdate(dir,
       graft.operators.QualityClassifier.train(
@@ -2729,7 +2832,7 @@ object LlmQueries {
     * an exact integer sum (+ bias units); zero-token docs score the
     * bias via the outer join.
     */
-  private def l42Sql(dir: String): String = {
+  private[queries] def l42Sql(dir: String): String = {
     val m = l42ModelByDir.getOrElse(dir,
       sys.error(s"l42 never ran for $dir — no model captured"))
     val wu = m.weightUnits()

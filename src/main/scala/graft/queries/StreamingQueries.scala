@@ -438,6 +438,32 @@ object StreamingQueries {
              |    t -> length(t) > 0)) >= 5
              |ORDER BY url""".stripMargin)),
 
+    // Streaming INFERENCE — the trained l42 classifier scoring a
+    // document stream: weights enter the plan as one dim-sized map
+    // literal and the margin folds WITHIN each row
+    // (QualityClassifier.scoreUnitsNarrow — no explode, no join, no
+    // aggregation), so the streaming query is plain append mode with
+    // zero state. The oracle is l42's own SQL (same captured weights,
+    // same integer margins) — so the driver hash-proves
+    // streaming-narrow ≡ batch-join ≡ DuckDB-recomputed, three
+    // independent evaluation strategies on one model.
+    "st14_stream_score" -> QuerySpec(
+      (s, dir) => {
+        val model = LlmQueries.l42ModelCached(s, dir)
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val q = graft.operators.QualityClassifier
+          .scoreUnitsNarrow(stream, model)
+          .writeStream.format("memory").queryName("st14_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st14_sink").orderBy(col("doc_id"))
+      }, None, Some(dir => LlmQueries.l42Sql(dir))),
+
     // The TIME-BOUNDED streaming near-dup contract, proven against the
     // exact-global one on the same deterministic schedule (st06 covers
     // the LSH semantics on the real corpus; this entry's subject is the

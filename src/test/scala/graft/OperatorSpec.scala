@@ -1306,6 +1306,59 @@ class OperatorSpec extends AnyFunSuite {
     assert(n("https://e.org/p?") == "https://e.org/p")
   }
 
+  test("c4Clean: each line rule and each page gate isolated on " +
+      "hand-computed pages") {
+    import graft.operators.TextAnalysis
+    val pages = Seq(
+      // all rules pass: 3 kept lines, 3 sentences
+      (1L, "One good sentence right here.\nAnother fine sentence here " +
+        "too.\nThird keeps the page alive."),
+      // line drops: short, no-punct, javascript; only 3 keepers remain
+      (2L, "Keep this first good line.\nno.\nmissing terminal " +
+        "punctuation\nPlease enable JavaScript now.\nKeep this second " +
+        "good line.\nKeep this third good line!"),
+      // page gate: curly brace kills an otherwise-clean page
+      (3L, "Good sentence number one here.\nGood sentence number two " +
+        "here.\nGood { sentence number three."),
+      // page gate: lorem ipsum (case-insensitive)
+      (4L, "Good sentence number one here.\nGood sentence number two " +
+        "here.\nLorem Ipsum dolor sit amet."),
+      // sentence floor: only 2 sentences survive -> dropped
+      (5L, "Only sentence number one here.\nOnly sentence number two " +
+        "here.\nno punct so this drops"),
+      (6L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Clean(pages).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_lines"), r.getAs[Int]("n_kept_lines"),
+          r.getAs[Int]("n_sentences"), r.getAs[Boolean]("keep")))).toMap
+    assert(got(1L) == ((3, 3, 3, true)), got(1L).toString)
+    assert(got(2L) == ((6, 3, 3, true)), got(2L).toString)
+    assert(got(3L) == ((3, 3, 3, false)), got(3L).toString)
+    assert(got(4L) == ((3, 3, 3, false)), got(4L).toString)
+    assert(got(5L) == ((3, 2, 2, false)), got(5L).toString)
+    assert(got(6L) == ((1, 0, 0, false)), got(6L).toString)
+    // the rewrite really removed the offending lines
+    val clean2 = TextAnalysis.c4Clean(pages)
+      .filter(col("doc_id") === 2L).head().getAs[String]("text_clean")
+    assert(clean2 == "Keep this first good line.\nKeep this second " +
+      "good line.\nKeep this third good line!")
+  }
+
+  test("registeredDomain: subdomain collapse, port strip, case, " +
+      "single-label and empty hosts") {
+    import graft.operators.TextAnalysis
+    def d(u: String): String =
+      Seq(u).toDF("u")
+        .select(TextAnalysis.registeredDomain(col("u")).as("d"))
+        .head().getString(0)
+    assert(d("https://www.example.org/p") == "example.org")
+    assert(d("https://a.b.c.example.org/p") == "example.org")
+    assert(d("HTTPS://CDN.Example.ORG:8443/p") == "example.org")
+    assert(d("https://example.org") == "example.org")
+    assert(d("https://localhost/p") == "") // single label: no reg domain
+    assert(d("not a url") == "")
+  }
+
   test("decontamination flags exactly the docs sharing benchmark n-grams") {
     val train = Seq(
       // shares the benchmark's full 8-token run TWICE (frequency counts)
@@ -1931,5 +1984,17 @@ class OperatorSpec extends AnyFunSuite {
     }
     // the empty doc scores exactly the bias
     assert(scores(120L) == bu)
+    // the zero-shuffle per-row fold scores identically to the
+    // explode+join form — same buckets, same integer units
+    val narrow = QualityClassifier.scoreUnitsNarrow(docs, model)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("margin_units"),
+        r.getAs[Boolean]("pred"))).toSet
+    val viaJoin = QualityClassifier.scoreUnits(docs, model)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("margin_units"),
+        r.getAs[Boolean]("pred"))).toSet
+    assert(narrow == viaJoin,
+      s"narrow/join drift: ${(viaJoin -- narrow).take(3)}")
   }
 }
