@@ -50,15 +50,23 @@ object StreamingQueries {
     * sf dir at a stable path (the golden/fixture write-once convention —
     * a per-invocation temp dir would re-pay the encode in every bench
     * run, and the entry's subject is streaming INGEST, not the writer
-    * p17 already round-trips). The _DONE marker commits the write; a
-    * partial dir from a crashed run is rebuilt.
+    * p17 already round-trips). The path is keyed by the SOURCE
+    * parquet's (size, mtime) — the s17 drift-remint stance with a
+    * filesystem stat instead of a content hash — so driver testdata
+    * regeneration mints a fresh fixture instead of streaming stale rows
+    * against a freshly-recomputed oracle. The _DONE marker commits the
+    * write; a partial dir from a crashed run is rebuilt.
     */
   private val warcFixLock = new Object
   private def ensureWarcFixture(s: org.apache.spark.sql.SparkSession,
                                 dir: String): String =
     warcFixLock.synchronized {
+      val src = new java.io.File(dir, "documents.parquet")
+      val key = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(
+          s"${src.length()}|${src.lastModified()}").toLong & 0xffffffffL)
       val base = new java.io.File(
-        s"target/warcfix/${new java.io.File(dir).getName}-v1")
+        s"target/warcfix/${new java.io.File(dir).getName}-$key-v1")
       val done = new java.io.File(base, "_DONE")
       if (!done.exists()) {
         if (base.exists())
