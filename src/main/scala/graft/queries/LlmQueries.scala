@@ -1331,15 +1331,9 @@ object LlmQueries {
     // the hash.
     "l45_html_extract" -> QuerySpec(
       (s, dir) => {
-        val html = concat(
-          lit("<html><head><title>Doc "), col("doc_id"),
-          lit("</title><style>p{color:red}</style>" +
-            "<script>var x = 1 < 2;</script></head>" +
-            "<body><!-- boilerplate --><h1>Doc "), col("doc_id"),
-          lit("</h1><p>"), col("text"),
-          lit(" &amp;lt; tail &nbsp;&lt;b&gt;</p></body></html>"))
         Tables(s, dir, "documents")
-          .select(col("doc_id"), html.as("html"))
+          .select(col("doc_id"),
+            l45Page(col("doc_id"), col("text")).as("html"))
           .select(col("doc_id"), length(col("html")).as("n_chars_html"),
             TextAnalysis.htmlExtract(col("html")).as("text_out"))
           .orderBy(col("doc_id"))
@@ -1423,6 +1417,59 @@ object LlmQueries {
              |SELECT domain, COUNT(*)::BIGINT AS n_docs,
              |  domain IN ('tracker.net', 'doubleclick.net') AS blocked
              |FROM m GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    // The crawl-to-corpus FUNNEL — the round's pieces composed the way
+    // a real pipeline runs them: WARC ingest (p17's reader over an
+    // HTML-payload fixture) → HTML→text extraction (l45's chain) → URL
+    // canonicalization + registered-domain blocklist (l46/l48) →
+    // token-floor quality gate — emitting the per-stage survivor counts
+    // (the l28 funnel shape, crawl-native). Every stage derives
+    // deterministically from documents.parquet, so the oracle chains
+    // the EXPECTED outcomes from first principles (doc_id arithmetic
+    // for domains, expected-extraction token counts for quality) and
+    // never runs WARC, the regex chain, or the URL parser — a failure
+    // anywhere in the composition shifts a count and breaks the hash.
+    "l49_crawl_funnel" -> QuerySpec(
+      (s, dir) => {
+        val base = ensureCrawlFixture(s, dir)
+        val recs = graft.sources.Warc.read(s, base)
+          .filter(col("rec_type") === "conversion")
+        val extracted = recs.select(
+          TextAnalysis.normalizeUrl(col("url")).as("url"),
+          TextAnalysis.htmlExtract(col("text")).as("text_x"))
+        val domainOk = extracted
+          .withColumn("domain",
+            TextAnalysis.registeredDomain(col("url")))
+          .filter(!col("domain").isin("tracker.net", "doubleclick.net"))
+        val qualityOk = domainOk
+          .filter(size(TextAnalysis.tokens(col("text_x"))) >= 50)
+        Seq("q1_ingested" -> recs, "q2_domain_ok" -> domainOk,
+            "q3_quality_ok" -> qualityOk)
+          .map { case (nm, df) =>
+            df.agg(count(lit(1)).as("n_docs"))
+              .select(lit(nm).as("stage"), col("n_docs")) }
+          .reduce(_.unionByName(_))
+          .orderBy(col("stage"))
+      },
+      // expected extraction = "Doc N Doc N <text> &lt; tail <b>" →
+      // 7 fixed tokens + the document's own (the l45Page contract)
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    len(list_filter(
+             |      regexp_split_to_array(lower(trim(text)), '\s+'),
+             |      x -> length(x) > 0)) AS ntok,
+             |    CAST(doc_id % 5 AS INT) NOT IN (1, 4) AS dom_ok
+             |  FROM documents)
+             |SELECT 'q1_ingested' AS stage, COUNT(*)::BIGINT AS n_docs
+             |FROM t
+             |UNION ALL
+             |SELECT 'q2_domain_ok', COUNT(*) FILTER (WHERE dom_ok)
+             |FROM t
+             |UNION ALL
+             |SELECT 'q3_quality_ok',
+             |  COUNT(*) FILTER (WHERE dom_ok AND ntok + 7 >= 50)
+             |FROM t
+             |ORDER BY stage""".stripMargin)),
 
     // C4 line-level cleaning (Raffel et al. §2.2) — the REWRITE-side
     // filter battery beside l40's doc-level Gopher flags: keep only
@@ -2366,6 +2413,66 @@ object LlmQueries {
        |FROM toks t JOIN v USING (word)
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   }
+
+  // ---- crawl fixture machinery (l45/l49) ----
+
+  /** The deterministic HTML page wrapping one document — ONE recipe
+    * shared by l45's extraction entry and l49's crawl-funnel WARC
+    * fixture (the shared-constant stance): title + style + script with
+    * a bare '<', a comment, an h1, the document text in a paragraph,
+    * and an entity tail incl. the double-encoded `&amp;lt;`. Expected
+    * extraction: "Doc N Doc N <text> &lt; tail <b>" (7 fixed tokens +
+    * the document's own), which is what both entries' oracles derive
+    * from first principles.
+    */
+  private def l45Page(id: org.apache.spark.sql.Column,
+                      text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><style>p{color:red}</style>" +
+        "<script>var x = 1 < 2;</script></head>" +
+        "<body><!-- boilerplate --><h1>Doc "), id,
+      lit("</h1><p>"), text,
+      lit(" &amp;lt; tail &nbsp;&lt;b&gt;</p></body></html>"))
+
+  /** l49's WARC fixture: each document's [[l45Page]] HTML as a
+    * conversion record under a DIRTY url (mixed case, non-default
+    * port, tracking params, fragment, the l48 domain pool with two
+    * blocklisted domains) — written once per sf dir, path keyed by the
+    * source parquet's (size, mtime) so testdata drift remints (the
+    * st13 convention).
+    */
+  private val crawlFixLock = new Object
+  private[queries] def ensureCrawlFixture(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    crawlFixLock.synchronized {
+      val src = new java.io.File(dir, "documents.parquet")
+      val key = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(
+          s"${src.length()}|${src.lastModified()}").toLong & 0xffffffffL)
+      val base = new java.io.File(
+        s"target/crawlfix/${new java.io.File(dir).getName}-$key-v1")
+      val done = new java.io.File(base, "_DONE")
+      if (!done.exists()) {
+        if (base.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(base)
+        val host = expr("""CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN 'WWW.EXAMPLE.ORG'
+          WHEN 1 THEN 'CDN.SPAM.TRACKER.NET:8443'
+          WHEN 2 THEN 'News.Site.com'
+          WHEN 3 THEN 'blog.example.org'
+          ELSE 'ads.DoubleClick.net' END""")
+        val rows = Tables(s, dir, "documents").select(
+          concat(lit("HTTPS://"), host, lit("/doc/"), col("doc_id"),
+            lit("?b=2&utm_source=feed&a=1#frag")).as("url"),
+          lit("2026-01-01T00:00:00Z").as("warc_date"),
+          l45Page(col("doc_id"), col("text")).as("text"))
+        graft.sources.Warc.write(rows.repartition(4), base.toString)
+        done.createNewFile()
+      }
+      base.toString
+    }
 
   // ---- byte-level BPE goldens (l43/l44) ----
 
