@@ -471,6 +471,49 @@ object Dedup {
       .distinct()
   }
 
+  /** INCREMENTAL candidate pairs — a NEW increment deduped against a
+    * PERSISTED signature store ([[materializeSignatures]]) without
+    * re-scanning the archived corpus: the daily-crawl shape. Signature
+    * computation touches ONLY the increment (one pass); the store side
+    * is the bucketed (id, band, bhash) table, orders of magnitude
+    * smaller than the corpus it summarizes; candidates are
+    * (new × store) ∪ (new × new) — old×old pairs are previous runs'
+    * output and are never recomputed. The store-vs-new join shuffles
+    * only the increment's band rows (the store is already bucketed on
+    * the join key); text is never read here at all — the caller's
+    * jaccard verification then reads text for CANDIDATE IDS ONLY (the
+    * semi-join-first kernel), so per increment the archived corpus
+    * costs O(candidate ids), not O(corpus).
+    *
+    * `maxBucketSize` caps each side's buckets independently (a bucket
+    * can exceed the cap only via its own side's membership) — pass 0/
+    * negative to disable, the exact-oracle stance.
+    */
+  def incrementalCandidates(spark: SparkSession, table: String,
+                            newDocs: DataFrame,
+                            numHashes: Int = 128, numBands: Int = 32,
+                            shingleK: Int = 3, idCol: String = "doc_id",
+                            textCol: String = "text",
+                            maxBucketSize: Int = 1000): DataFrame = {
+    val cap = if (maxBucketSize <= 0) Int.MaxValue else maxBucketSize
+    val newBands = capBuckets(
+      bandRows(newDocs, numHashes, numBands, shingleK, idCol, textCol)
+        .localCheckpoint(), cap)
+    val store = capBuckets(spark.table(table), cap)
+    val vsStore = newBands.as("x").join(store.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bhash") === col("y.bhash") &&
+          col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"))
+    val withinNew = newBands.as("x").join(newBands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bhash") === col("y.bhash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    vsStore.unionByName(withinNew).distinct()
+  }
+
   /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
     *
     * NOTE `maxBucketSize`: buckets with more members than the cap are

@@ -519,6 +519,51 @@ object LlmQueries {
           .orderBy(col("id_a"), col("id_b"))
       }, None, Some(dir => lshPairSql(l02GoldenName(dir)))),
 
+    // INCREMENTAL dedup — the production daily-crawl shape the batch
+    // family stops short of: a persisted signature store summarizes the
+    // ARCHIVED corpus (here: doc_id % 5 != 0, built write-once per sf
+    // dir), and each new increment (doc_id % 5 == 0) dedups against
+    // store + itself WITHOUT re-scanning the archive — signatures
+    // computed for the increment only, candidates =
+    // (new × store) ∪ (new × new), text read only for candidate ids.
+    // Result = exactly the full-corpus l02 pair set restricted to pairs
+    // touching the increment (old×old pairs are previous runs' output),
+    // which is what the oracle expresses: the l02 golden-replay SQL
+    // with the membership predicate added — so the driver hash-proves
+    // incremental ≡ full-recompute-restricted every round.
+    "l50_incremental_dedup" -> QuerySpec(
+      (s, dir) => {
+        ensureMinhashGolden(s, dir)
+        val docs = parallelDocs(s, dir)
+        val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
+        val newDocs = docs.filter(col("doc_id") % 5 === 0)
+        val dirTag = new java.io.File(dir).getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+        val table = s"graft_sig_store_old_$dirTag"
+        val path = new java.io.File(s"target/sigstore_inc/$dirTag")
+          .getAbsolutePath
+        val ok = java.nio.file.Paths.get(path, "_OK")
+        val spec = java.nio.file.Paths.get(path, "t", Dedup.bucketSpecFile)
+        if (!s.catalog.tableExists(table)) {
+          if (java.nio.file.Files.exists(ok) &&
+              java.nio.file.Files.exists(spec))
+            Dedup.registerSignatureStore(s, table, s"$path/t")
+          else {
+            Dedup.materializeSignatures(oldDocs, table, s"$path/t")
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(path))
+            java.nio.file.Files.write(ok, Array.emptyByteArray)
+          }
+        }
+        // uncapped (the cap-free-oracle stance, st06 convention): the
+        // production default keeps the 1000 cap
+        val cand = Dedup.incrementalCandidates(s, table, newDocs,
+          maxBucketSize = 0)
+        Dedup.ngramJaccard(docs, threshold = 0.5, candidates = Some(cand))
+          .orderBy(col("id_a"), col("id_b"))
+      }, None, Some(dir => lshPairSql(l02GoldenName(dir),
+        "(a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)"))),
+
     // Engine-specific text features (xxhash64 rolling fingerprint;
     // lookbehind subword segmentation unsupported by RE2) — rows-only,
     // semantics covered in OperatorSpec.
@@ -2789,7 +2834,8 @@ object LlmQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  private def lshPairSql(goldenName: String): String = {
+  private def lshPairSql(goldenName: String,
+                         pairPredicate: String = "TRUE"): String = {
     val base = MultimodalGolden.goldenBase(goldenName)
     s"""WITH sig AS (
        |  SELECT doc_id, sig FROM read_parquet('$base/*.parquet')),
@@ -2800,7 +2846,8 @@ object LlmQueries {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey
-       |    AND a.doc_id < b.doc_id),
+       |    AND a.doc_id < b.doc_id
+       |  WHERE $pairPredicate),
        |t AS (
        |  SELECT doc_id,
        |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),

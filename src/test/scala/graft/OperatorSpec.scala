@@ -1344,6 +1344,35 @@ class OperatorSpec extends AnyFunSuite {
       "good line.\nKeep this third good line!")
   }
 
+  test("incremental dedup: store + increment reproduces exactly the " +
+      "full-corpus pair set restricted to pairs touching the increment") {
+    import graft.operators.Dedup
+    // increment = every family's near-copy member (doc_id % 10 == 2):
+    // guarantees both cross-split pairs (base↔near-copy) and
+    // store-internal pairs (base↔exact-copy) that must NOT re-emit
+    val isNew = col("doc_id") % 10 === 2
+    val oldDocs = corpus.filter(!isNew)
+    val newDocs = corpus.filter(isNew)
+    val dirTmp = java.nio.file.Files
+      .createTempDirectory("graft-incdedup").toString
+    Dedup.materializeSignatures(oldDocs, "inc_test_store", s"$dirTmp/t")
+    val cand = Dedup.incrementalCandidates(spark, "inc_test_store",
+      newDocs, maxBucketSize = 0)
+    val got = Dedup.ngramJaccard(corpus, threshold = 0.5,
+        candidates = Some(cand))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashLsh(corpus, threshold = 0.5,
+        maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => a % 10 == 2 || b % 10 == 2 }
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(got.nonEmpty, "trivially-empty increment pair set")
+    // store-internal (old×old) pairs never re-emit
+    assert(got.forall { case (a, b) => a % 10 == 2 || b % 10 == 2 })
+    spark.sql("DROP TABLE IF EXISTS inc_test_store")
+  }
+
   test("registeredDomain: subdomain collapse, port strip, case, " +
       "single-label and empty hosts") {
     import graft.operators.TextAnalysis
