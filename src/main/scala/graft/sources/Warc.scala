@@ -49,6 +49,22 @@ object Warc {
 
   private val Crlf = "\r\n".getBytes("US-ASCII")
 
+  /** Per-record payload cap (bytes). A crafted `Content-Length` header
+    * must not be able to demand a multi-GiB allocation before a single
+    * payload byte is read — the same untrusted-header stance as the
+    * JPEG decoder's dimension cap (`Jpeg` rejects crafted 8-byte
+    * headers instead of OOMing). Real WARC records are page-sized;
+    * Common Crawl caps around 1 MiB. Oversized records fail the task
+    * loudly.
+    */
+  val MaxRecordBytes: Long = 256L * 1024 * 1024
+
+  /** Header-line length cap. A corrupt stream with no newline must not
+    * buffer unboundedly while "reading one line" — WARC header lines
+    * are tens of bytes.
+    */
+  val MaxHeaderLineBytes: Int = 64 * 1024
+
   // ---- read path ----------------------------------------------------
 
   /** All WARC records under `path` (a file, directory, or glob of
@@ -137,8 +153,9 @@ object Warc {
     val len = headers.getOrElse("content-length",
       throw new IllegalArgumentException(
         s"$file: WARC record without Content-Length")).toLong
-    require(len >= 0 && len <= Int.MaxValue.toLong,
-      s"$file: unreasonable Content-Length $len")
+    require(len >= 0 && len <= MaxRecordBytes,
+      s"$file: Content-Length $len outside [0, $MaxRecordBytes] — " +
+        "corrupt header or a record beyond the configured cap")
     val payload = new Array[Byte](len.toInt)
     var off = 0
     while (off < payload.length) {
@@ -166,6 +183,9 @@ object Warc {
     if (c < 0) return null
     while (c >= 0 && c != '\n') {
       buf.write(c)
+      require(buf.size <= MaxHeaderLineBytes,
+        s"WARC header line exceeds $MaxHeaderLineBytes bytes — " +
+          "corrupt stream (no newline found)")
       c = in.read()
     }
     val bytes = buf.toByteArray

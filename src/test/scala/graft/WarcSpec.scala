@@ -133,6 +133,76 @@ class WarcSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](readAll(garbage.toString))
   }
 
+  test("hostile headers are rejected cheaply: multi-GiB Content-Length " +
+      "and an unterminated header line fail loudly, never allocate") {
+    val dir = Files.createTempDirectory("graft-warc-hostile").toString
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    // a crafted header demanding 2 GB — must throw BEFORE allocating
+    // (the JPEG crafted-8-byte-header stance): this test OOMs if the
+    // allocation happens
+    val big = Paths.get(dir, "big.warc.gz")
+    Files.write(big, gz(("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "Content-Length: 2000000000\r\n\r\n").getBytes("UTF-8")))
+    val e1 = intercept[IllegalArgumentException](
+      Warc.parseFile(big.toUri.toString).toList)
+    assert(e1.getMessage.contains("Content-Length"))
+    // a header "line" with no newline for 1 MB — must throw at the
+    // line cap, not buffer the whole stream
+    val noNl = Paths.get(dir, "nonl.warc.gz")
+    Files.write(noNl, gz(("WARC/1.0\r\n" +
+      "X" * (1 << 20)).getBytes("UTF-8")))
+    val e2 = intercept[IllegalArgumentException](
+      Warc.parseFile(noNl.toUri.toString).toList)
+    assert(e2.getMessage.contains("header line"))
+  }
+
+  test("mutation fuzz: corrupting a valid .warc.gz anywhere yields " +
+      "records or a clean exception — never a hang, OOM, or crash " +
+      "(the Jpeg/Png/Gif codec fuzz convention)") {
+    val rows = mkRows(12)
+    val dir = Files.createTempDirectory("graft-warc-fuzz").toString
+    Warc.write(rows.toDF("url", "warc_date", "text").coalesce(1), dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    val good = Files.readAllBytes(f.toPath)
+    val rnd = new scala.util.Random(421)
+    val tmp = Paths.get(dir, "mut.warc.gz")
+    var parsedSome = 0
+    (1 to 300).foreach { i =>
+      val mut = good.clone()
+      rnd.nextInt(3) match {
+        case 0 => // flip one random byte
+          val p = rnd.nextInt(mut.length)
+          mut(p) = (mut(p) ^ (1 << rnd.nextInt(8))).toByte
+        case 1 => // truncate
+          val keep = 1 + rnd.nextInt(mut.length - 1)
+          Files.write(tmp, java.util.Arrays.copyOfRange(mut, 0, keep))
+        case 2 => // duplicate a random slice in place
+          val p = rnd.nextInt(mut.length - 2)
+          val l = 1 + rnd.nextInt(math.min(64, mut.length - p - 1))
+          System.arraycopy(mut, p, mut,
+            math.min(p + l, mut.length - l), l)
+      }
+      if (rnd.nextInt(3) != 1) Files.write(tmp, mut)
+      try { parsedSome += Warc.parseFile(tmp.toUri.toString).size }
+      catch {
+        case _: java.io.IOException => ()            // gzip/truncation
+        case _: IllegalArgumentException => ()       // framing/header
+        case _: NumberFormatException => ()          // corrupt length
+        case _: NegativeArraySizeException => fail("allocated negative")
+      }
+    }
+    // sanity: SOME mutations still parse (single bit flips in payload
+    // regions survive gzip CRC only rarely, but truncations at member
+    // boundaries parse their prefix) — the fuzz isn't vacuously failing
+    // everything before the parser even runs
+    info(s"fuzz parsed $parsedSome records across survivors")
+  }
+
   test("plan shape: Warc.read is mapPartitions-narrow — no exchange, " +
       "no whole-file content column in the scan") {
     val rows = mkRows(4)
