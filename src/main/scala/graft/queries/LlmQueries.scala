@@ -492,7 +492,7 @@ object LlmQueries {
         // session skip straight to the bucketed self-join, which is the
         // whole point of the amortized layout
         val dirTag = new java.io.File(dir).getName
-          .replaceAll("[^A-Za-z0-9]", "_")
+          .replaceAll("[^A-Za-z0-9]", "_") + "_" + docsDriftKey(dir)
         val table = s"graft_sig_store_$dirTag"
         val path = new java.io.File(s"target/sigstore/$dirTag")
           .getAbsolutePath
@@ -538,7 +538,7 @@ object LlmQueries {
         val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
         val newDocs = docs.filter(col("doc_id") % 5 === 0)
         val dirTag = new java.io.File(dir).getName
-          .replaceAll("[^A-Za-z0-9]", "_")
+          .replaceAll("[^A-Za-z0-9]", "_") + "_" + docsDriftKey(dir)
         val table = s"graft_sig_store_old_$dirTag"
         val path = new java.io.File(s"target/sigstore_inc/$dirTag")
           .getAbsolutePath
@@ -2459,6 +2459,21 @@ object LlmQueries {
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   }
 
+  /** Testdata drift key for on-disk artifacts derived from the
+    * documents table (signature stores, WARC fixtures): the source
+    * parquet's (size, mtime) folded to a short hex tag. Keying a
+    * persisted artifact's path on it means driver testdata regeneration
+    * REMINTS the artifact instead of serving stale derived state
+    * against a freshly-recomputed oracle (the s17 stance, with a
+    * filesystem stat standing in for a content hash).
+    */
+  private[queries] def docsDriftKey(dir: String): String = {
+    val src = new java.io.File(dir, "documents.parquet")
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"${src.length()}|${src.lastModified()}").toLong & 0xffffffffL)
+  }
+
   // ---- crawl fixture machinery (l45/l49) ----
 
   /** The deterministic HTML page wrapping one document — ONE recipe
@@ -2492,10 +2507,7 @@ object LlmQueries {
   private[queries] def ensureCrawlFixture(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     crawlFixLock.synchronized {
-      val src = new java.io.File(dir, "documents.parquet")
-      val key = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(
-          s"${src.length()}|${src.lastModified()}").toLong & 0xffffffffL)
+      val key = docsDriftKey(dir)
       val base = new java.io.File(
         s"target/crawlfix/${new java.io.File(dir).getName}-$key-v1")
       val done = new java.io.File(base, "_DONE")

@@ -61,10 +61,7 @@ object StreamingQueries {
   private def ensureWarcFixture(s: org.apache.spark.sql.SparkSession,
                                 dir: String): String =
     warcFixLock.synchronized {
-      val src = new java.io.File(dir, "documents.parquet")
-      val key = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(
-          s"${src.length()}|${src.lastModified()}").toLong & 0xffffffffL)
+      val key = LlmQueries.docsDriftKey(dir)
       val base = new java.io.File(
         s"target/warcfix/${new java.io.File(dir).getName}-$key-v1")
       val done = new java.io.File(base, "_DONE")
