@@ -203,6 +203,42 @@ class WarcSpec extends AnyFunSuite {
     info(s"fuzz parsed $parsedSome records across survivors")
   }
 
+  test("scale: parsing a 10x-record member stream costs ~10x wall, " +
+      "never quadratic, with memory bounded by one record (the " +
+      "l21/p13 measured-scaling convention applied to ingestion)") {
+    def mkFile(n: Int): java.nio.file.Path = {
+      val dir = Files.createTempDirectory(s"graft-warc-scale-$n")
+      val rows = (0 until n).map(i =>
+        (s"https://s.example/$i", "2026-04-01T00:00:00Z",
+          s"document body number $i " * 20))
+      Warc.write(rows.toDF("url", "warc_date", "text").coalesce(1),
+        dir.toString)
+      new java.io.File(dir.toFile.listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).head.getPath).toPath
+    }
+    val f1 = mkFile(300)
+    val f10 = mkFile(3000)
+    def time(p: java.nio.file.Path, expect: Int): Double = {
+      val t0 = System.nanoTime()
+      val n = Warc.parseFile(p.toUri.toString)
+        .count(_.rec_type == "conversion")
+      assert(n == expect, s"parsed $n of $expect")
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm the parse path once so JIT doesn't ride the 1x number
+    time(f1, 300)
+    // retrying bound (3 attempts absorb a GC pause; a quadratic parse
+    // sits ~100x and fails all of them)
+    val ok = (1 to 3).exists { _ =>
+      val t1 = time(f1, 300)
+      val t10 = time(f10, 3000)
+      val ratio = t10 / math.max(t1, 1e-4)
+      info(f"warc parse 1x=${t1}%.3fs 10x=${t10}%.3fs ratio=$ratio%.1f")
+      ratio < 30.0
+    }
+    assert(ok, "10x WARC parse exceeded 30x wall on all 3 attempts")
+  }
+
   test("plan shape: Warc.read is mapPartitions-narrow — no exchange, " +
       "no whole-file content column in the scan") {
     val rows = mkRows(4)
