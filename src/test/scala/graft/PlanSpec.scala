@@ -739,4 +739,34 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("MapPartitions"), plan.take(3000))
     assert(plan.contains("Aggregate"), plan.take(3000))
   }
+
+  test("l45/l47: the crawl-side text normalizers are ZERO-shuffle " +
+      "narrow projections — no exchange anywhere in either plan") {
+    import spark.implicits._
+    val docs = (0 until 50).map(i =>
+      (i.toLong, s"<p>line one is kept fine.</p>\nshort\nAnother " +
+        s"good line number $i here.")).toDF("doc_id", "text")
+    val html = graft.operators.TextAnalysis
+      .htmlExtract(org.apache.spark.sql.functions.col("text"))
+    val p45 = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        html.as("text_out"))
+      .queryExecution.executedPlan.toString
+    assert(!p45.contains("Exchange"),
+      s"htmlExtract shuffles:\n${p45.take(2000)}")
+    val p47 = graft.operators.TextAnalysis.c4Clean(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p47.contains("Exchange"),
+      s"c4Clean shuffles:\n${p47.take(2000)}")
+    // l48's report: exactly the ONE aggregate exchange, nothing else,
+    // with a map-side partial before it
+    val urls = docs.select(org.apache.spark.sql.functions.concat(
+      org.apache.spark.sql.functions.lit("https://h.example/"),
+      org.apache.spark.sql.functions.col("doc_id")).as("url"))
+    val p48 = graft.operators.TextAnalysis
+      .domainStats(urls, "url", Seq("blocked.example"))
+      .queryExecution.executedPlan.toString
+    assert(p48.split("Exchange").length - 1 == 1,
+      s"domainStats should shuffle exactly once:\n${p48.take(2000)}")
+    assert(p48.contains("partial"), p48.take(2000))
+  }
 }
