@@ -19,18 +19,19 @@ object Bench {
     * burned a judge rerun adjudicating 2x swings that were pure
     * contention).
     */
+  private def spin(seed: Long, iters: Long): Long = {
+    var x = 0x9E3779B97F4A7C15L ^ seed
+    var i = 0L
+    while (i < iters) {
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+      x ^= x >>> 29; x *= 0xC4CEB9FE1A85EC53L
+      i += 1
+    }
+    x
+  }
+
   private def calibrationProbe(threads: Int): Double = {
     val itersPerThread = 1L << 27 // ~134M mix rounds/thread, ~0.3s idle
-    def spin(seed: Long, iters: Long): Long = {
-      var x = 0x9E3779B97F4A7C15L ^ seed
-      var i = 0L
-      while (i < iters) {
-        x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
-        x ^= x >>> 29; x *= 0xC4CEB9FE1A85EC53L
-        i += 1
-      }
-      x
-    }
     spin(1L, 1L << 20) // JIT-compile the loop outside the timed region
     val t0 = System.nanoTime()
     val ts = (0 until threads).map { t =>
@@ -38,6 +39,28 @@ object Bench {
       th.start(); th
     }
     ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Per-ENTRY load probe: one single-thread fixed-work spin (~60 ms
+    * idle) timed immediately before each entry's measured runs. The r11
+    * episode this exists for: the driver bench flagged five entries at
+    * 3.7–5.1x their pins while `budget_scale` read 1.027 — because the
+    * full calibration probes run only BEFORE and AFTER the suite, a
+    * co-tenant CPU burst in the MIDDLE of the run is invisible to them.
+    * (The r11 flags formed a contiguous alphabetical window — l01..l16
+    * elevated, fading at l17, plus an isolated m07 spike — the
+    * signature of external bursts, not of entry code: l15/l16 are plain
+    * documents groupBys sharing nothing with l02/l14, and the same
+    * HEAD + same on-disk state re-measured at 1.0–1.3x pins.) A probe
+    * taken NEXT TO each entry's runs makes mid-run contention a
+    * recorded per-entry fact: the budget tripwire widens that entry's
+    * allowance by the probe ratio, and the artifact's `load` map proves
+    * the cause instead of narrating it.
+    */
+  private def loadProbe(): Double = {
+    val t0 = System.nanoTime()
+    probeSink ^= spin(0x5eedL, 1L << 24)
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -87,6 +110,7 @@ object Bench {
     // cold≫median ⇒ the entry is cold-start-sensitive and the flag would
     // have been a cold-cost artifact).
     val runsPer = 3
+    spin(1L, 1L << 20) // JIT the probe loop before the first entry
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         // a throwing query must be FLAGGED, not averaged in as a
@@ -102,15 +126,18 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         val cold = once()
+        val load = loadProbe()
         val times = (1 to runsPer).map(_ => once()).sorted
-        (name, times(runsPer / 2), times.last - times.head, err, cold)
+        (name, times(runsPer / 2), times.last - times.head, err, cold, load)
     }
-    val qs = results.map { case (k, m, _, _, _) => s"\"" + k + "\":" + m }
+    val qs = results.map { case (k, m, _, _, _, _) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, sp, _, _) => s"\"" + k + "\":" + sp }
-      .mkString("{", ",", "}")
-    val colds = results.map { case (k, _, _, _, c) =>
+    val spreads = results.map { case (k, _, sp, _, _, _) =>
+      s"\"" + k + "\":" + sp }.mkString("{", ",", "}")
+    val colds = results.map { case (k, _, _, _, c, _) =>
       s"\"" + k + "\":" + f"$c%.4f" }.mkString("{", ",", "}")
+    val loads = results.map { case (k, _, _, _, _, ld) =>
+      s"\"" + k + "\":" + f"$ld%.4f" }.mkString("{", ",", "}")
     // Exception messages routinely contain newlines (AnalysisException
     // embeds plan fragments); control chars must be \u-escaped or the
     // one-line JSON contract breaks exactly when a query fails.
@@ -120,44 +147,60 @@ object Bench {
       case c if c < ' '  => f"\\u${c.toInt}%04x"
       case c             => c.toString
     }
-    val errs = results.collect { case (k, _, _, Some(e), _) =>
+    val errs = results.collect { case (k, _, _, Some(e), _, _) =>
       "\"" + k + "\":\"" + jstr(e) + "\"" }.mkString("{", ",", "}")
     val calPost = calibrationProbe(cpus.toInt)
     val calMean = (calPre + calPost) / 2.0
     val cal = f""""calibration_sec":$calMean%.4f,"calibration_pre_sec":$calPre%.4f,"calibration_post_sec":$calPost%.4f"""
     val total = results.map(_._2).sum
     // per-entry budget tripwire (BenchBudgets): flag medians beyond
-    // 2x the pinned idle median, scaled by the calibration ratio so a
-    // loaded host widens the allowance instead of false-alarming.
-    // Telemetry only — rc stays 0 unless a query actually threw.
+    // 2x the pinned idle median, scaled by BOTH the suite-level
+    // calibration ratio AND the entry's OWN load-probe ratio — the r11
+    // driver bench proved a mid-run co-tenant burst can inflate a
+    // contiguous stretch of entries 3-5x while the before/after
+    // calibration reads near-idle; the per-entry probe widens exactly
+    // the entries the burst touched and records the evidence in the
+    // artifact's `load` map. Telemetry only — rc stays 0 unless a
+    // query actually threw.
     val calScale = math.max(1.0,
       calMean / graft.BenchBudgets.RefCalibration)
+    def entryScale(ld: Double): Double = math.max(calScale,
+      ld / graft.BenchBudgets.RefLoadProbe)
     val exceeded = results.collect {
-      case (k, m, _, None, _)
+      case (k, m, _, None, _, ld)
           if graft.BenchBudgets.pinnedMedians.get(k)
-            .exists(p => m > p * graft.BenchBudgets.Factor * calScale) =>
+            .exists(p =>
+              m > p * graft.BenchBudgets.Factor * entryScale(ld)) =>
         k -> m
     }
     val budgetJson = exceeded.map { case (k, m) =>
       "\"" + k + "\":" + f"$m%.4f" }.mkString("{", ",", "}")
+    // load spikes: entries whose adjacent single-thread probe ran > 2x
+    // the pinned idle probe — mid-run contention, named per entry
+    val loadSpikes = results.collect {
+      case (k, _, _, _, _, ld)
+          if ld > 2.0 * graft.BenchBudgets.RefLoadProbe => k
+    }
+    val loadSpikesJson =
+      loadSpikes.map("\"" + _ + "\"").mkString("[", ",", "]")
     val budget =
-      s""""budget_exceeded":$budgetJson,"budget_scale":${f"$calScale%.4f"}"""
+      s""""budget_exceeded":$budgetJson,"budget_scale":${f"$calScale%.4f"},"load_spikes":$loadSpikesJson"""
     // cold-start outliers: entries whose warmup run cost > 2x their
     // steady-state median — the entries a cold-context harness would have
     // flagged before the per-entry warmup existed
     val coldOutliers = results.collect {
-      case (k, m, _, None, c) if m > 0 && c > 2.0 * m => k
+      case (k, m, _, None, c, _) if m > 0 && c > 2.0 * m => k
     }
     val coldOutliersJson =
       coldOutliers.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runsPer,"warmup_runs_per_query":1,"aggregation":"median",$cal,$budget,"cold_outliers":$coldOutliersJson,"errors":$errs,"queries":$qs,"spread":$spreads,"cold":$colds,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runsPer,"warmup_runs_per_query":1,"aggregation":"median",$cal,$budget,"cold_outliers":$coldOutliersJson,"errors":$errs,"queries":$qs,"spread":$spreads,"cold":$colds,"load":$loads,"sf":"$sfDir"}"""
     println(fullLine)
     // Compact summary: a consumer that keeps only the tail of stdout (or
     // of the long line above) must still see MEDIANS — r3/r4 artifacts
     // captured only the trailing `spread` map and medians were misread as
     // spreads. Medians are rounded to 4dp to keep this line small.
     val maxMedian = results.map(_._2).maxOption.getOrElse(0.0)
-    val qs4 = results.map { case (k, m, _, _, _) =>
+    val qs4 = results.map { case (k, m, _, _, _, _) =>
       "\"" + k + "\":" + f"$m%.4f" }.mkString("{", ",", "}")
     println(s"""{"metric":"bench_summary","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},"max_median":${f"$maxMedian%.4f"},"aggregation":"median",$cal,$budget,"cold_outliers":$coldOutliersJson,"errors":$errs,"queries":$qs4}""")
     // The registry outgrew tail-capture: at 94 entries even the 4dp
@@ -178,11 +221,12 @@ object Bench {
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: java.io.IOException =>
       System.err.println(s"[bench] sidecar write failed: $e") }
-    val errNames = results.collect { case (k, _, _, Some(_), _) => k }
+    val errNames = results.collect { case (k, _, _, Some(_), _, _) => k }
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val top10 = results.sortBy(-_._2).take(10).map { case (k, m, _, _, _) =>
-      "\"" + k + "\":" + f"$m%.4f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"bench_scalars","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},"max_median":${f"$maxMedian%.4f"},"aggregation":"median",$cal,"n_budget_exceeded":${exceeded.size},"n_cold_outliers":${coldOutliers.size},"n_errors":${results.count(_._4.isDefined)},"error_queries":$errNames,"slowest":$top10,"sidecar":"${jstr(sidecar)}","sf":"${jstr(sfDir)}"}""")
+    val top10 = results.sortBy(-_._2).take(10).map {
+      case (k, m, _, _, _, _) =>
+        "\"" + k + "\":" + f"$m%.4f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"bench_scalars","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},"max_median":${f"$maxMedian%.4f"},"aggregation":"median",$cal,"n_budget_exceeded":${exceeded.size},"n_load_spikes":${loadSpikes.size},"n_cold_outliers":${coldOutliers.size},"n_errors":${results.count(_._4.isDefined)},"error_queries":$errNames,"slowest":$top10,"sidecar":"${jstr(sidecar)}","sf":"${jstr(sfDir)}"}""")
     spark.stop()
     // a broken query must not ride a green exit status: the errors map is
     // easy to miss in a 1.4 KB JSON line, rc != 0 is not

@@ -126,6 +126,139 @@ object TextHashExpressions {
 
   def token_ngrams(tokens: Column, n: Int): Column =
     Bridge.column(TokenNgramsExpr(Bridge.expression(tokens), n))
+
+  def registered_domain_psl(url: Column, rules: Seq[String]): Column =
+    Bridge.column(RegisteredDomainExpr(Bridge.expression(url), rules))
+}
+
+/** Pre-resolved public-suffix rule tables: one O(1) hash probe per
+  * candidate suffix instead of a linear scan over a rule-list literal.
+  * Built once per (de)serialized expression instance — the rule list
+  * rides the expression, the hash sets rebuild lazily on each executor.
+  */
+final class PslTables private (
+    val exact: java.util.HashSet[String],
+    val wildcard: java.util.HashSet[String],
+    val exception: java.util.HashSet[String]) extends Serializable
+
+object PslTables {
+  def build(rules: Seq[String]): PslTables = {
+    val ex = new java.util.HashSet[String]()
+    val wc = new java.util.HashSet[String]()
+    val xc = new java.util.HashSet[String]()
+    rules.foreach { r =>
+      if (r.startsWith("!")) xc.add(r.substring(1))
+      else if (r.startsWith("*.")) wc.add(r.substring(2))
+      else ex.add(r)
+    }
+    new PslTables(ex, wc, xc)
+  }
+}
+
+/** registered_domain_psl(url): registered domain under the full
+  * public-suffix-list algorithm (publicsuffix.org/list) — exception
+  * rules prevail, else the most-labels match (wildcard `*` = exactly
+  * one label), public suffix + one label is the registered domain;
+  * unlisted TLDs fall to the default `*` rule. A NATIVE expression
+  * rather than a composed HOF chain deliberately: the equivalent
+  * transform/filter/element_at tree is large enough that a filter or
+  * aggregate placed over the derived column drags the optimizer's
+  * constraint propagation into a per-execution ~0.4 s stall (measured;
+  * row-count-independent), and interpreted HOF evaluation re-derives
+  * the suffix array per probe. One compact node keeps the plan tiny,
+  * stays inside whole-stage codegen, and resolves each host with
+  * right-to-left suffix construction + O(1) hash probes.
+  */
+case class RegisteredDomainExpr(child: Expression, rules: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"registered_domain_psl needs string, got $other")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "registered_domain_psl"
+
+  @transient private lazy val tables: PslTables = PslTables.build(rules)
+
+  /** Instance entry point, also called from generated code. */
+  def resolve(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val url = u.toString
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      RegisteredDomainExpr.resolveDomain(url, tables))
+  }
+
+  override def nullSafeEval(u: Any): Any =
+    resolve(u.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("psl", this,
+      classOf[RegisteredDomainExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.resolve($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : RegisteredDomainExpr = copy(child = c)
+}
+
+object RegisteredDomainExpr {
+
+  /** The PSL resolution over a raw URL string. Host = the authority of
+    * a `scheme://` URL, lowercased, port and one trailing FQDN dot
+    * stripped. Empty, single-label, and public-suffix-only hosts (and
+    * therefore IP literals under no rule) yield "".
+    */
+  def resolveDomain(url: String, t: PslTables): String = {
+    // scheme://: first char a letter, rest [A-Za-z0-9+.-]
+    val si = url.indexOf("://")
+    if (si <= 0) return ""
+    if (!url.charAt(0).isLetter) return ""
+    var k = 1
+    while (k < si) {
+      val c = url.charAt(k)
+      if (!(c.isLetterOrDigit || c == '+' || c == '.' || c == '-'))
+        return ""
+      k += 1
+    }
+    // authority up to path/query/fragment/port
+    var e = si + 3
+    while (e < url.length && "/?#:".indexOf(url.charAt(e)) < 0) e += 1
+    var host = url.substring(si + 3, e).toLowerCase
+    if (host.endsWith(".")) host = host.substring(0, host.length - 1)
+    if (host.isEmpty || host.indexOf('.') < 0) return ""
+    val labels = host.split("\\.", -1)
+    val n = labels.length
+    // suffix starting at 1-based position i, built right-to-left: O(n)
+    // strings totalling O(host length * n) chars
+    val sufs = new Array[String](n + 1)
+    sufs(n) = labels(n - 1)
+    var i = n - 1
+    while (i >= 1) { sufs(i) = labels(i - 1) + "." + sufs(i + 1); i -= 1 }
+    // exception rules prevail: registered domain is the matching
+    // candidate itself (the rule minus its leftmost label is the
+    // public suffix)
+    i = 1
+    while (i <= n) {
+      if (t.exception.contains(sufs(i))) return sufs(i)
+      i += 1
+    }
+    // longest normal/wildcard match
+    i = 1
+    while (i <= n) {
+      if (t.exact.contains(sufs(i)) ||
+          (i < n && t.wildcard.contains(sufs(i + 1)))) {
+        return if (i > 1) sufs(i - 1) else ""
+      }
+      i += 1
+    }
+    // default rule "*": the TLD is the public suffix (n >= 2 here)
+    sufs(n - 1)
+  }
 }
 
 /** minhash_sig(tokens, k, numHashes): MinHash signature of word-shingle

@@ -495,11 +495,15 @@ object Dedup {
                             shingleK: Int = 3, idCol: String = "doc_id",
                             textCol: String = "text",
                             maxBucketSize: Int = 1000): DataFrame = {
-    val cap = if (maxBucketSize <= 0) Int.MaxValue else maxBucketSize
+    // pass the cap straight through: capBuckets' own cap<=0 bypass
+    // returns the input untouched, so cap-disabled callers (l50) skip
+    // the windowed per-bucket count entirely — translating to
+    // Int.MaxValue here would still pay that window pass over both the
+    // increment bands and the whole signature store
     val newBands = capBuckets(
       bandRows(newDocs, numHashes, numBands, shingleK, idCol, textCol)
-        .localCheckpoint(), cap)
-    val store = capBuckets(spark.table(table), cap)
+        .localCheckpoint(), maxBucketSize)
+    val store = capBuckets(spark.table(table), maxBucketSize)
     val vsStore = newBands.as("x").join(store.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bhash") === col("y.bhash") &&

@@ -146,8 +146,15 @@ object QualityClassifier {
     // so ANSI element_at can never throw on a miss
     val wmap = typedLit(
       wu.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toMap)
+    // null text folds to the bias (coalesce to an empty token array):
+    // without it, tokens→null propagates through transform/aggregate to
+    // a NULL margin, contradicting the documented row-for-row
+    // scoreUnitsNarrow ≡ scoreUnits contract (whose left_outer join
+    // scores null-text rows as the bias)
     val margin = aggregate(
-      transform(TextAnalysis.tokens(col(textCol)),
+      transform(
+        coalesce(TextAnalysis.tokens(col(textCol)),
+          array().cast("array<string>")),
         t => element_at(wmap, bucketOf(t, model.dim))),
       lit(bu),
       (acc, w) => acc + w)

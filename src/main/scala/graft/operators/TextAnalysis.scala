@@ -1140,6 +1140,77 @@ object TextAnalysis {
     regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
   }
 
+  /** Public-suffix-list support for [[registeredDomainPsl]]. The PSL is
+    * DEPLOYMENT DATA (Mozilla republishes it monthly), so the operator
+    * takes the rule list as an argument; [[SnapshotRules]] is a small
+    * checked-in snapshot SUBSET — enough to exercise every rule type
+    * the PSL algorithm defines (multi-label suffixes like `co.uk`,
+    * wildcard rules like `*.ck`, exception rules like `!www.ck`, and
+    * private-section entries like `github.io`) — NOT the full list. A
+    * production caller passes the current full list; the plan shape is
+    * identical (one map literal, sized by the rule count).
+    */
+  object PublicSuffix {
+    val SnapshotRules: Seq[String] = Seq(
+      // generic TLDs
+      "com", "org", "net", "edu", "gov", "int", "mil", "io", "co", "ai",
+      "dev", "app", "info", "biz",
+      // ccTLDs with multi-label registries
+      "uk", "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+      "ltd.uk", "plc.uk",
+      "jp", "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+      "au", "com.au", "net.au", "org.au", "edu.au", "gov.au",
+      "nz", "co.nz", "org.nz", "ac.nz", "govt.nz",
+      "br", "com.br", "net.br", "org.br",
+      "cn", "com.cn", "net.cn", "org.cn", "edu.cn",
+      "in", "co.in", "net.in", "org.in",
+      "kr", "co.kr", "or.kr",
+      "za", "co.za", "org.za",
+      // single-label ccTLDs
+      "de", "fr", "nl", "it", "es", "se", "no", "fi", "dk", "pl", "ru",
+      "ch", "at", "be", "us", "ca", "mx",
+      // wildcard + exception (the Cook Islands family, the PSL's own
+      // canonical example of both rule types)
+      "ck", "*.ck", "!www.ck",
+      // private-section entries
+      "github.io", "gitlab.io", "blogspot.com")
+  }
+
+  /** Registered domain under the FULL public-suffix-list algorithm
+    * (publicsuffix.org/list): among the rules matching the host, an
+    * exception rule prevails, else the rule with the most labels; the
+    * public suffix is the prevailing rule (minus its leftmost label for
+    * exceptions, with wildcard `*` matching exactly one label), and the
+    * registered domain is the public suffix plus one more label. Hosts
+    * with no matching rule fall to the default `*` rule (TLD = public
+    * suffix). A host that IS a public suffix, a single label, or empty
+    * yields "" — as does an IP-literal host (the PSL algorithm is
+    * defined over DNS names only).
+    *
+    * Zero-shuffle, and a NATIVE codegen expression
+    * ([[graft.functions.expressions.RegisteredDomainExpr]], the
+    * TokenNgramsExpr doctrine) rather than a composed HOF chain: the
+    * equivalent transform/filter/element_at tree measured a
+    * row-count-independent ~0.4 s PER-EXECUTION optimizer stall as soon
+    * as a filter or groupBy sat on the derived column (constraint
+    * propagation over the duplicated giant tree), and interpreted HOF
+    * evaluation re-derived the suffix array per probe. The native node
+    * keeps the plan tiny and resolves each host with O(labels) work and
+    * O(1) hash probes — rule-count-independent, so the full ~10k-rule
+    * production PSL costs the same per row as the snapshot.
+    *
+    * This closes [[registeredDomain]]'s documented last-two-labels
+    * limitation: `news.bbc.co.uk` groups as `bbc.co.uk`, not `co.uk` —
+    * on a real crawl, ccTLD-suffix hosts are a large fraction of all
+    * URLs, so the simplified rule mis-groups a large fraction of
+    * domain-level curation.
+    */
+  def registeredDomainPsl(
+      url: Column,
+      rules: Seq[String] = PublicSuffix.SnapshotRules): Column =
+    graft.functions.expressions.TextHashExpressions
+      .registered_domain_psl(url, rules)
+
   /** Per-domain corpus report + blocklist gate — the domain-level
     * curation step (C4/RefinedWeb run exactly this between URL
     * normalization and content filters): group documents by
@@ -1149,11 +1220,17 @@ object TextAnalysis {
     * same shape. One partial-agg'd groupBy; nothing else shuffles.
     */
   def domainStats(docs: DataFrame, urlCol: String,
-                  blocklist: Seq[String]): DataFrame =
-    docs.select(registeredDomain(col(urlCol)).as("domain"))
+                  blocklist: Seq[String],
+                  suffixRules: Option[Seq[String]] = None): DataFrame = {
+    val dom = suffixRules match {
+      case Some(rules) => registeredDomainPsl(col(urlCol), rules)
+      case None => registeredDomain(col(urlCol))
+    }
+    docs.select(dom.as("domain"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("blocked", col("domain").isin(blocklist: _*))
+  }
 
   /** C4-style LINE-LEVEL cleaning (Raffel et al. 2020 §2.2) — the
     * other canonical filter battery beside the Gopher DOC-level rules

@@ -267,16 +267,28 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   // ---- auto-width derivation ----------------------------------------
 
   // (interval sub-plan, bounds) -> derived width; None = probe failed
-  // or empty interval side (rewrite skipped, also cached). Keyed on the
-  // CANONICALIZED plan/expression objects themselves (structural
-  // equality), not their hash codes: a bare-hashCode key could serve a
-  // width derived from a DIFFERENT plan's spans on collision — results
-  // would stay correct (the residual condition re-checks every pair) but
-  // a pathological width can reintroduce the giant-Sequence blowup the
-  // maxSpan split only bounds per interval.
+  // or empty interval side (rewrite skipped, also cached). Keyed on a
+  // SHA-256 digest of the CANONICALIZED plan/expression text — the full
+  // canonical form participates (so two genuinely different plans cannot
+  // share a key short of a cryptographic collision; a bare int hashCode
+  // key could, and a colliding width can reintroduce the giant-Sequence
+  // blowup the maxSpan split only bounds per interval), while the cache
+  // retains only ~64-byte strings. Keying on the canonicalized OBJECTS
+  // (the previous design) pinned up to 128 whole plan trees — including
+  // their literals, so every BETWEEN join with fresh literals added one —
+  // in driver memory for the process lifetime: a slow leak in
+  // long-running sessions.
   private val widthCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (LogicalPlan, Expression, Expression), Option[Long]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Long]]()
+
+  private def widthKey(ivSide: LogicalPlan, lo: Expression,
+                       hi: Expression): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val canonical = ivSide.canonicalized.toString + " " +
+      lo.canonicalized.toString + " " + hi.canonicalized.toString
+    md.digest(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
 
   // re-entrancy guard: the probe executes a query, whose optimization
   // runs this rule again on this thread — and the interval sub-plan may
@@ -289,7 +301,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
                         tz: Option[String]): Option[Long] = {
     if (inProbe.get()) return None
     SparkSession.getActiveSession.flatMap { session =>
-      val key = (ivSide.canonicalized, lo.canonicalized, hi.canonicalized)
+      val key = widthKey(ivSide, lo, hi)
       val cached = widthCache.get(key)
       if (cached != null) {
         RangeJoinProbeMetrics.cacheHits.increment()

@@ -1436,28 +1436,44 @@ object LlmQueries {
     // expected domains from doc_id arithmetic alone — it never runs
     // the host/domain extraction, so a regex slip splits or merges a
     // group and breaks the hash.
+    // The host pool exercises every PSL rule TYPE: plain TLDs, a
+    // multi-label ccTLD suffix (co.uk/ac.uk — the last-two-labels rule
+    // would mis-group both as the SUFFIX), a wildcard-rule host
+    // (foo.bar.ck under *.ck → the registered domain keeps THREE
+    // labels), and the exception rule (!www.ck → www.ck is itself a
+    // registered domain). The oracle derives every expected domain from
+    // doc_id arithmetic alone — it never runs the PSL algorithm, so the
+    // hash proves the columnar rule resolution against first principles.
     "l48_domain_filter" -> QuerySpec(
       (s, dir) => {
-        val host = expr("""CASE CAST(doc_id % 5 AS INT)
+        val host = expr("""CASE CAST(doc_id % 8 AS INT)
           WHEN 0 THEN 'www.example.org'
           WHEN 1 THEN 'cdn.spam.tracker.net:8443'
           WHEN 2 THEN 'news.site.com'
-          WHEN 3 THEN 'blog.example.org'
-          ELSE 'ads.doubleclick.net' END""")
+          WHEN 3 THEN 'news.bbc.co.uk'
+          WHEN 4 THEN 'ads.doubleclick.net'
+          WHEN 5 THEN 'library.shef.ac.uk'
+          WHEN 6 THEN 'foo.bar.ck'
+          ELSE 'www.ck' END""")
         val urls = Tables(s, dir, "documents")
           .select(concat(lit("https://"), host, lit("/doc/"),
             col("doc_id")).as("url"))
         TextAnalysis.domainStats(urls, "url",
-            blocklist = Seq("tracker.net", "doubleclick.net"))
+            blocklist = Seq("tracker.net", "doubleclick.net"),
+            suffixRules =
+              Some(TextAnalysis.PublicSuffix.SnapshotRules))
           .orderBy(col("domain"))
       },
       Some("""WITH m AS (
-             |  SELECT CASE CAST(doc_id % 5 AS INT)
+             |  SELECT CASE CAST(doc_id % 8 AS INT)
              |    WHEN 0 THEN 'example.org'
              |    WHEN 1 THEN 'tracker.net'
              |    WHEN 2 THEN 'site.com'
-             |    WHEN 3 THEN 'example.org'
-             |    ELSE 'doubleclick.net' END AS domain
+             |    WHEN 3 THEN 'bbc.co.uk'
+             |    WHEN 4 THEN 'doubleclick.net'
+             |    WHEN 5 THEN 'shef.ac.uk'
+             |    WHEN 6 THEN 'foo.bar.ck'
+             |    ELSE 'www.ck' END AS domain
              |  FROM documents)
              |SELECT domain, COUNT(*)::BIGINT AS n_docs,
              |  domain IN ('tracker.net', 'doubleclick.net') AS blocked
@@ -1484,7 +1500,10 @@ object LlmQueries {
           TextAnalysis.htmlExtract(col("text")).as("text_x"))
         val domainOk = extracted
           .withColumn("domain",
-            TextAnalysis.registeredDomain(col("url")))
+            // full PSL resolution (these hosts sit under plain TLDs, so
+            // the expected doc_id%5 arithmetic is unchanged — the swap
+            // proves the PSL path composes in the funnel)
+            TextAnalysis.registeredDomainPsl(col("url")))
           .filter(!col("domain").isin("tracker.net", "doubleclick.net"))
         val qualityOk = domainOk
           .filter(size(TextAnalysis.tokens(col("text_x"))) >= 50)

@@ -416,11 +416,17 @@ object StreamingQueries {
             org.apache.spark.sql.types.BinaryType)))
         import s.implicits._
         withStateSizing(s) {
+          // ship the SESSION's Hadoop conf to the parse tasks (the
+          // Warc.read stance — a bare executor Configuration misses
+          // programmatic spark.hadoop.* settings)
+          val bc = s.sparkContext.broadcast(new graft.sources.Warc
+            .ShippedConf(graft.sources.Warc.sessionHadoopConf(s)))
           val parsed = s.readStream.format("binaryFile").schema(binSchema)
             .load(warcDir)
             .select(col("path")).as[String]
             .mapPartitions(paths =>
-              paths.flatMap(graft.sources.Warc.parseFile))
+              paths.flatMap(p =>
+                graft.sources.Warc.parseFile(p, bc.value.value)))
             .toDF()
           val q = parsed
             .filter(col("rec_type") === "conversion")

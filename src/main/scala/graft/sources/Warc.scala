@@ -3,7 +3,7 @@ package graft.sources
 import java.io.{BufferedInputStream, EOFException, InputStream, PushbackInputStream}
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.TaskContext
 
 /** WARC/WET ingestion — the Common Crawl corpus format, the most common
@@ -33,19 +33,80 @@ import org.apache.spark.TaskContext
   * buys nothing at this granularity, so it is intentionally out of
   * scope.
   *
+  * Executor-side filesystem resolution carries the SESSION's Hadoop
+  * configuration (shipped via broadcast): a bare `new Configuration()`
+  * on an executor picks up core-site.xml but NOT programmatic
+  * `spark.hadoop.*` session settings — on a real cluster reading
+  * `s3a://commoncrawl/...` with session-set credentials the listing
+  * would succeed and every parse task would fail auth. [[read]],
+  * [[readResponses]] and the writers all broadcast
+  * `sessionState.newHadoopConf()` (core-site + `spark.hadoop.*` +
+  * SQL-conf overrides, the same merge Spark's own file sources use).
+  *
   * [[write]] exists to produce fixtures and test round-trips: one
   * `warcinfo` member at the head of each part file, then one
   * `conversion` (WET-style) member per row, each its own gzip member.
+  * Tasks write to an attempt-unique temp name and commit by rename, so
+  * a retried or speculative attempt can never interleave with or
+  * truncate another attempt's part file, and a reader never observes a
+  * partially written part.
   */
 object Warc {
 
   /** One parsed record. `text` is the payload decoded as UTF-8 (WET
-    * `conversion` payloads are plain text by contract; `response`
-    * payloads are the raw HTTP bytes, decoded permissively).
+    * `conversion` payloads are plain text by contract; for `response`
+    * records prefer [[readResponses]], which splits the HTTP message
+    * and decodes the body by its declared charset).
     */
   final case class Record(file: String, rec_type: String, url: String,
                           warc_date: String, content_type: String,
                           n_bytes: Long, text: String)
+
+  /** A `response` record's payload split as an HTTP message
+    * (status-line + headers + body — what real Common Crawl `.warc`
+    * files carry, where WET carries pre-extracted text):
+    * `http_status` from the status line, `http_content_type` the HTTP
+    * `Content-Type` header verbatim, `charset` the charset the body was
+    * decoded with (the Content-Type parameter when present and
+    * supported, else UTF-8), `n_bytes` the BODY byte count, `body` the
+    * charset-decoded body text.
+    */
+  final case class HttpRecord(file: String, url: String, warc_date: String,
+                              http_status: Int, http_content_type: String,
+                              charset: String, n_bytes: Long, body: String)
+
+  /** Parse-side truth: the undecoded payload bytes. [[Record]] is its
+    * UTF-8 view; [[HttpRecord]] its HTTP-split view.
+    */
+  private[graft] final case class RawRecord(
+      file: String, rec_type: String, url: String, warc_date: String,
+      content_type: String, bytes: Array[Byte])
+
+  /** Minimal serializable Hadoop-conf carrier (`Configuration` is a
+    * Hadoop `Writable`, not `Serializable`; Spark's own wrapper is
+    * `private[spark]`).
+    */
+  private[graft] final class ShippedConf(
+      @transient private var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    def value: org.apache.hadoop.conf.Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  /** The Hadoop configuration [[read]]/[[write]] ship to tasks: the
+    * session's merged view (core-site + `spark.hadoop.*` + runtime SQL
+    * conf), NOT a bare `new Configuration()`. Visible for tests.
+    */
+  private[graft] def sessionHadoopConf(spark: SparkSession)
+      : org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.graftshim.Bridge.sessionHadoopConf(spark)
 
   private val Crlf = "\r\n".getBytes("US-ASCII")
 
@@ -76,25 +137,69 @@ object Warc {
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    // binaryFile is used ONLY as a distributed file lister (globbing,
-    // partitioning, FileIndex caching); selecting just `path` prunes the
-    // content column so file bytes never enter a row
-    val files: Dataset[String] = spark.read.format("binaryFile")
-      .load(path).select("path").as[String]
-    files.mapPartitions { paths =>
-      paths.flatMap(parseFile)
+    val bc = spark.sparkContext.broadcast(
+      new ShippedConf(sessionHadoopConf(spark)))
+    listFiles(spark, path).mapPartitions { paths =>
+      paths.flatMap(p => parseFile(p, bc.value.value))
     }.toDF()
   }
 
-  /** Parse one WARC file (gzip-member or plain), streaming — memory is
-    * bounded by the largest single record. Visible for tests.
+  /** The `response` records under `path` with their HTTP payloads split
+    * — the real Common Crawl `.warc` consumption path (WET's
+    * `conversion` records go through [[read]]): status line parsed,
+    * Content-Type surfaced, body decoded by its declared charset.
+    * Schema: (file, url, warc_date, http_status, http_content_type,
+    * charset, n_bytes, body). A `response` payload that is not an HTTP
+    * message fails loudly, the [[read]] stance.
     */
-  private[graft] def parseFile(uri: String): Iterator[Record] = {
-    // executor-side Hadoop FS access: the default Configuration carries
-    // the cluster's core-site on a real deployment and handles file://
-    // locally; no driver-side listing or collect is involved
+  def readResponses(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      new ShippedConf(sessionHadoopConf(spark)))
+    listFiles(spark, path).mapPartitions { paths =>
+      paths.flatMap(p => parseFileRaw(p, bc.value.value)
+        .filter(_.rec_type == "response")
+        .map(splitHttp))
+    }.toDF()
+  }
+
+  // binaryFile is used ONLY as a distributed file lister (globbing,
+  // partitioning, FileIndex caching); selecting just `path` prunes the
+  // content column so file bytes never enter a row
+  private def listFiles(spark: SparkSession, path: String)
+      : Dataset[String] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path).select("path").as[String]
+  }
+
+  /** Parse one WARC file with a fresh default Hadoop conf — test /
+    * local convenience; distributed callers go through [[read]], which
+    * ships the session conf.
+    */
+  private[graft] def parseFile(uri: String): Iterator[Record] =
+    parseFile(uri, new org.apache.hadoop.conf.Configuration())
+
+  private[graft] def parseFile(
+      uri: String, conf: org.apache.hadoop.conf.Configuration)
+      : Iterator[Record] =
+    parseFileRaw(uri, conf).map { r =>
+      Record(r.file, r.rec_type, r.url, r.warc_date, r.content_type,
+        r.bytes.length.toLong, new String(r.bytes, "UTF-8"))
+    }
+
+  /** Parse one WARC file (gzip-member or plain), streaming — memory is
+    * bounded by the largest single record. The stream closes at clean
+    * EOF and on parse errors; a task-completion listener additionally
+    * closes it when the consuming task stops before exhausting the
+    * iterator (limit pushdown, `take`, task abort) — otherwise the
+    * Hadoop file handle and gzip buffer would leak until GC, a
+    * file-descriptor hazard on partitions with many files.
+    */
+  private[graft] def parseFileRaw(
+      uri: String, conf: org.apache.hadoop.conf.Configuration)
+      : Iterator[RawRecord] = {
     val hPath = new org.apache.hadoop.fs.Path(uri)
-    val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = hPath.getFileSystem(conf)
     val raw = new PushbackInputStream(
       new BufferedInputStream(fs.open(hPath), 1 << 16), 2)
     val b0 = raw.read(); val b1 = raw.read()
@@ -106,25 +211,32 @@ object Warc {
         // transparently — exactly the multi-member framing
         new BufferedInputStream(new GZIPInputStream(raw, 1 << 16), 1 << 16)
       else raw
-    new Iterator[Record] {
-      private var nextRec: Record = null
+    var closed = false
+    def closeQuietly(): Unit = if (!closed) {
+      closed = true
+      try in.close() catch { case _: java.io.IOException => () }
+    }
+    Option(TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => closeQuietly()))
+    new Iterator[RawRecord] {
+      private var nextRec: RawRecord = null
       private var done = false
       private def fetch(): Unit = {
         if (done || nextRec != null) return
         nextRec =
           try readRecord(uri, in) match {
             case Some(r) => r
-            case None => done = true; in.close(); null
+            case None => done = true; closeQuietly(); null
           } catch { case e: Throwable =>
             // malformed framing fails the task LOUDLY, but must not
             // leak the stream while doing it
             done = true
-            try in.close() catch { case _: java.io.IOException => () }
+            closeQuietly()
             throw e
           }
       }
       override def hasNext: Boolean = { fetch(); nextRec != null }
-      override def next(): Record = {
+      override def next(): RawRecord = {
         fetch()
         if (nextRec == null) throw new NoSuchElementException
         val r = nextRec; nextRec = null; r
@@ -133,7 +245,8 @@ object Warc {
   }
 
   /** Read one record off the (decompressed) stream; None at clean EOF. */
-  private def readRecord(file: String, in: InputStream): Option[Record] = {
+  private def readRecord(file: String, in: InputStream)
+      : Option[RawRecord] = {
     // skip inter-record blank lines, find the version line
     var line = readLine(in)
     while (line != null && line.isEmpty) line = readLine(in)
@@ -164,15 +277,76 @@ object Warc {
         s"$file: truncated WARC payload ($off of $len bytes)")
       off += n
     }
-    Some(Record(
+    Some(RawRecord(
       file = file,
       rec_type = headers.getOrElse("warc-type", ""),
       url = headers.getOrElse("warc-target-uri", ""),
       warc_date = headers.getOrElse("warc-date", ""),
       content_type = headers.getOrElse("content-type", ""),
-      n_bytes = len,
-      text = new String(payload, "UTF-8")))
+      bytes = payload))
   }
+
+  // ---- HTTP response split -------------------------------------------
+
+  /** Split a `response` record's payload as an HTTP/1.x message. The
+    * header section is ASCII by RFC 9112 (decoded ISO-8859-1, the
+    * historical HTTP octet view — lossless for any byte); the body is
+    * decoded by the `charset` parameter of the HTTP Content-Type when
+    * present and supported by the JVM, else UTF-8 (the WHATWG default
+    * for the web corpus this feeds). A payload without an `HTTP/`
+    * status line or header/body separator fails loudly.
+    */
+  private[graft] def splitHttp(r: RawRecord): HttpRecord = {
+    val b = r.bytes
+    // header/body boundary: first CRLFCRLF (tolerating bare LFLF)
+    var i = 0; var boundary = -1; var bodyStart = -1
+    while (boundary < 0 && i < b.length) {
+      if (b(i) == '\n') {
+        if (i + 2 < b.length && b(i + 1) == '\r' && b(i + 2) == '\n') {
+          boundary = i; bodyStart = i + 3
+        } else if (i + 1 < b.length && b(i + 1) == '\n') {
+          boundary = i; bodyStart = i + 2
+        }
+      }
+      i += 1
+    }
+    require(boundary >= 0,
+      s"${r.file}: response payload for '${r.url}' has no HTTP " +
+        "header/body separator")
+    val head = new String(b, 0, boundary, "ISO-8859-1")
+    val lines = head.split("\r?\n")
+    val status = lines.headOption.getOrElse("")
+    require(status.startsWith("HTTP/"),
+      s"${r.file}: response payload for '${r.url}' does not start " +
+        s"with an HTTP status line (got '${status.take(40)}')")
+    val parts = status.split("\\s+")
+    require(parts.length >= 2 && parts(1).forall(_.isDigit),
+      s"${r.file}: malformed HTTP status line '${status.take(60)}'")
+    val code = parts(1).toInt
+    val httpHeaders = lines.iterator.drop(1).flatMap { ln =>
+      val j = ln.indexOf(':')
+      if (j > 0) Some(ln.substring(0, j).trim.toLowerCase ->
+        ln.substring(j + 1).trim)
+      else None
+    }.toMap
+    val contentType = httpHeaders.getOrElse("content-type", "")
+    val declared = CharsetParam.findFirstMatchIn(contentType)
+      .map(_.group(1).stripPrefix("\"").stripSuffix("\""))
+    val charset = declared.filter(cs =>
+      try java.nio.charset.Charset.isSupported(cs)
+      catch { case _: java.nio.charset.IllegalCharsetNameException =>
+        false })
+      .getOrElse("UTF-8")
+    val nBody = b.length - bodyStart
+    HttpRecord(
+      file = r.file, url = r.url, warc_date = r.warc_date,
+      http_status = code, http_content_type = contentType,
+      charset = charset, n_bytes = nBody.toLong,
+      body = new String(b, bodyStart, nBody, charset))
+  }
+
+  private val CharsetParam =
+    "(?i)charset\\s*=\\s*(\"[^\"]+\"|[^;,\\s]+)".r
 
   /** One CRLF- (or LF-) terminated line as a string without the
     * terminator; null at EOF before any byte.
@@ -204,28 +378,76 @@ object Warc {
     * through the driver.
     */
   def write(df: DataFrame, dir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, encode}
+    writeRecords(
+      df.select(col("url").cast("string"), col("warc_date").cast("string"),
+        encode(col("text").cast("string"), "UTF-8").as("payload")),
+      dir, recType = "conversion", contentType = "text/plain")
+  }
+
+  /** Write `df` (columns url, warc_date, payload: binary) as
+    * `part-NNNNN.warc.gz` files of `recType` records (e.g. `response`
+    * records whose payloads are full HTTP messages — use
+    * `application/http; msgtype=response` as the contentType, the
+    * Common Crawl convention). Per-task commit protocol: each task
+    * writes to an attempt-unique temp name and renames into place on
+    * success, so retried/speculative attempts never interleave and a
+    * reader never sees a partial part file; when two attempts race, the
+    * first rename wins and the loser discards its temp.
+    */
+  def writeRecords(df: DataFrame, dir: String, recType: String,
+                   contentType: String): Unit = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      new ShippedConf(sessionHadoopConf(spark)))
+    // job-level overwrite semantics: clear previous parts (and orphaned
+    // temps from a killed run) on the DRIVER before tasks launch — so a
+    // task-side rename that loses to an existing destination can only
+    // mean a concurrent attempt of THIS job already committed, and
+    // discarding the loser's temp is correct
+    locally {
+      val d = new org.apache.hadoop.fs.Path(dir)
+      val fs = d.getFileSystem(sessionHadoopConf(spark))
+      if (fs.exists(d)) {
+        val stale = fs.globStatus(new org.apache.hadoop.fs.Path(dir,
+          "{part-*.warc.gz,.tmp-part-*.warc.gz}"))
+        if (stale != null) stale.foreach(s => fs.delete(s.getPath, false))
+      }
+    }
     df.select(col("url").cast("string"), col("warc_date").cast("string"),
-        col("text").cast("string"))
-      .as[(String, String, String)]
-      .foreachPartition { (rows: Iterator[(String, String, String)]) =>
-        val pid = TaskContext.getPartitionId()
-        val hPath = new org.apache.hadoop.fs.Path(
+        col("payload").cast("binary"))
+      .as[(String, String, Array[Byte])]
+      .foreachPartition { (rows: Iterator[(String, String, Array[Byte])]) =>
+        val ctx = TaskContext.get()
+        val pid = ctx.partitionId()
+        val attempt = ctx.taskAttemptId()
+        val dst = new org.apache.hadoop.fs.Path(
           dir, f"part-$pid%05d.warc.gz")
-        val fs = hPath.getFileSystem(
-          new org.apache.hadoop.conf.Configuration())
-        val out = fs.create(hPath, true)
+        val tmp = new org.apache.hadoop.fs.Path(
+          dir, f".tmp-part-$pid%05d-attempt-$attempt.warc.gz")
+        val fs = dst.getFileSystem(bc.value.value)
+        val out = fs.create(tmp, true)
+        var ok = false
         try {
           writeMember(out, "warcinfo", "", "2026-01-01T00:00:00Z",
             "application/warc-fields",
             "software: graft-warc-fixture/1.0\r\n".getBytes("UTF-8"))
-          rows.foreach { case (url, date, text) =>
-            writeMember(out, "conversion", url, date, "text/plain",
-              text.getBytes("UTF-8"))
+          rows.foreach { case (url, date, payload) =>
+            writeMember(out, recType, url, date, contentType, payload)
           }
-        } finally out.close()
+          ok = true
+        } finally {
+          try out.close() finally if (!ok) fs.delete(tmp, false)
+        }
+        // commit by rename; a racing attempt that lost discards its temp
+        if (!fs.rename(tmp, dst)) {
+          if (fs.exists(dst)) fs.delete(tmp, false)
+          else throw new java.io.IOException(
+            s"WARC part commit failed: rename $tmp -> $dst")
+        }
+        ()
       }
   }
 

@@ -29,4 +29,27 @@ object Bridge {
     */
   def waitListenerBusEmpty(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** The session's merged Hadoop configuration — core-site +
+    * `spark.hadoop.*` + runtime SQL-conf overrides, the same view
+    * Spark's own file sources ship to tasks (`sessionState` is
+    * `private[sql]`). A bare `new Configuration()` on an executor sees
+    * none of the programmatic session settings.
+    */
+  def sessionHadoopConf(spark: SparkSession)
+      : org.apache.hadoop.conf.Configuration = {
+    val c =
+      spark.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf()
+    // newHadoopConf copies runtime SQL confs under their VERBATIM keys
+    // ("spark.hadoop.fs.s3a.access.key" stays prefixed — Hadoop looks
+    // up "fs.s3a.access.key" and misses); the prefix strip
+    // SparkHadoopUtil applies to startup-time confs must be applied to
+    // runtime session settings too, or `spark.conf.set("spark.hadoop.…")`
+    // after session start silently never reaches filesystem resolution
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (k.startsWith("spark.hadoop.") && v != null)
+        c.set(k.stripPrefix("spark.hadoop."), v)
+    }
+    c
+  }
 }

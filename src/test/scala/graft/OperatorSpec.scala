@@ -2025,5 +2025,56 @@ class OperatorSpec extends AnyFunSuite {
         r.getAs[Boolean]("pred"))).toSet
     assert(narrow == viaJoin,
       s"narrow/join drift: ${(viaJoin -- narrow).take(3)}")
+    // NULL text folds to the bias in BOTH forms (ADVICE r11: without
+    // the coalesce, tokens→null propagated through transform/aggregate
+    // to a NULL margin in the narrow form while the join form scored
+    // the bias — breaking the row-for-row contract on any corpus with
+    // null text)
+    val withNull = docs.select(col("doc_id"), col("text"))
+      .unionByName(Seq((122L, null: String))
+        .toDF("doc_id", "text"))
+    val nN = QualityClassifier.scoreUnitsNarrow(withNull, model)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("margin_units"))).toMap
+    val nJ = QualityClassifier.scoreUnits(withNull, model)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("margin_units"))).toMap
+    assert(nN == nJ, "narrow/join drift on null-text corpus")
+    assert(nN(122L) == bu, s"null text must score the bias: ${nN(122L)}")
+  }
+
+  test("registeredDomainPsl: full public-suffix algorithm — multi-label " +
+      "suffixes, wildcard and exception rules, default rule, and edge " +
+      "hosts (public-suffix-only, single-label, trailing dot, port)") {
+    import graft.operators.TextAnalysis
+    val cases = Seq(
+      // multi-label ccTLD suffixes (the last-two-labels rule would
+      // return the SUFFIX for all of these)
+      "https://news.bbc.co.uk/story" -> "bbc.co.uk",
+      "https://news.bbc.co.uk:8443/story" -> "bbc.co.uk",
+      "https://news.bbc.co.uk./story" -> "bbc.co.uk", // FQDN dot
+      "https://library.shef.ac.uk/x" -> "shef.ac.uk",
+      // wildcard rule *.ck: one more label stays registrable
+      "https://foo.bar.ck/" -> "foo.bar.ck",
+      // exception rule !www.ck: www.ck is itself a registered domain
+      "https://www.ck/" -> "www.ck",
+      "https://sub.www.ck/" -> "www.ck",
+      // hosts that ARE public suffixes have no registered domain
+      "https://co.uk/" -> "",
+      "https://github.io/" -> "",
+      // private-section suffix: user sites group per-user
+      "https://deep.a.b.github.io/" -> "b.github.io",
+      // default rule * — unlisted TLD: TLD is the public suffix
+      "https://example.zz987/" -> "example.zz987",
+      // single-label / plain cases
+      "https://localhost/" -> "",
+      "HTTP://WWW.Example.ORG/a" -> "example.org",
+      "https://site.com/" -> "site.com")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"),
+        TextAnalysis.registeredDomainPsl(col("url")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (u, want) =>
+      assert(got(u) == want, s"$u -> '${got(u)}', want '$want'") }
   }
 }

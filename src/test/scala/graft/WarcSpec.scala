@@ -253,4 +253,168 @@ class WarcSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<path:string>"),
       s"scan reads more than the path column:\n$plan")
   }
+
+  // ---- r12: session-conf shipping, HTTP split, commit, fd hygiene ----
+
+  test("session Hadoop conf reaches parse tasks: a programmatic " +
+      "spark.hadoop.* filesystem registration made on the SESSION " +
+      "resolves in Warc.read's tasks, while a bare executor " +
+      "Configuration cannot see it") {
+    val rows = mkRows(10)
+    val dir = Files.createTempDirectory("graft-warc-conf").toString
+    Warc.write(rows.toDF("url", "warc_date", "text").coalesce(1), dir)
+    spark.conf.set("spark.hadoop.fs.gtest.impl",
+      classOf[GtestFileSystem].getName)
+    spark.conf.set("spark.hadoop.graft.probe.marker", "r12")
+    try {
+      // the conf the reader ships is the session's merged view
+      val shipped = Warc.sessionHadoopConf(spark)
+      assert(shipped.get("graft.probe.marker") == "r12")
+      assert(shipped.get("fs.gtest.impl") != null)
+      // a bare Configuration (what the executor-side code used before
+      // the fix) cannot resolve the scheme — the test discriminates
+      val part = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).head.getAbsolutePath
+      val bare = intercept[Exception] {
+        Warc.parseFile(s"gtest://$part").toList
+      }
+      assert(bare.getMessage != null &&
+        bare.getMessage.toLowerCase.contains("gtest"),
+        s"unexpected failure mode: ${bare.getMessage}")
+      // the parse path fed the SHIPPED conf (exactly what Warc.read's
+      // tasks receive) resolves the session-registered scheme
+      val n = Warc.parseFile(s"gtest://$part", shipped)
+        .count(_.rec_type == "conversion")
+      assert(n == 10, s"expected 10 conversion records via gtest://, got $n")
+    } finally {
+      spark.conf.unset("spark.hadoop.fs.gtest.impl")
+      spark.conf.unset("spark.hadoop.graft.probe.marker")
+    }
+  }
+
+  test("readResponses: HTTP status line, Content-Type, and " +
+      "charset-declared body decode (UTF-8, ISO-8859-1, default)") {
+    val dir = Files.createTempDirectory("graft-warc-http").toString
+    def http(status: String, headers: Seq[String],
+             body: Array[Byte]): Array[Byte] = {
+      val head = (status +: headers).mkString("", "\r\n", "\r\n\r\n")
+      head.getBytes("ISO-8859-1") ++ body
+    }
+    val payloads = Seq(
+      ("https://a.example/utf8", http("HTTP/1.1 200 OK",
+        Seq("Content-Type: text/html; charset=utf-8", "Server: t"),
+        "<p>Ωmega snowman ☃</p>".getBytes("UTF-8"))),
+      ("https://a.example/latin1", http("HTTP/1.1 200 OK",
+        Seq("Content-Type: text/html; charset=ISO-8859-1"),
+        "café olé".getBytes("ISO-8859-1"))),
+      ("https://a.example/nocharset", http("HTTP/1.0 404 Not Found",
+        Seq("Content-Type: text/plain"),
+        "gone".getBytes("UTF-8"))),
+      ("https://a.example/quoted", http("HTTP/1.1 301 Moved",
+        Seq("Content-Type: text/html; charset=\"UTF-8\"; x=1",
+          "Location: https://b.example/"),
+        "moved".getBytes("UTF-8"))))
+    import spark.implicits._
+    Warc.writeRecords(
+      payloads.map { case (u, p) => (u, "2026-03-01T00:00:00Z", p) }
+        .toDF("url", "warc_date", "payload").coalesce(1),
+      dir, recType = "response",
+      contentType = "application/http; msgtype=response")
+    val got = Warc.readResponses(spark, dir).collect()
+      .map(r => r.getAs[String]("url") ->
+        ((r.getAs[Int]("http_status"), r.getAs[String]("charset"),
+          r.getAs[String]("body"), r.getAs[String]("http_content_type"))))
+      .toMap
+    assert(got.size == 4)
+    assert(got("https://a.example/utf8") ==
+      ((200, "utf-8", "<p>Ωmega snowman ☃</p>",
+        "text/html; charset=utf-8")))
+    assert(got("https://a.example/latin1")._3 == "café olé")
+    assert(got("https://a.example/latin1")._2 == "ISO-8859-1")
+    assert(got("https://a.example/nocharset") ==
+      ((404, "UTF-8", "gone", "text/plain")))
+    assert(got("https://a.example/quoted")._1 == 301)
+    assert(got("https://a.example/quoted")._2 == "UTF-8")
+    // body byte counts are BODY bytes, not payload bytes
+    val nb = Warc.readResponses(spark, dir).collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[Long]("n_bytes")).toMap
+    assert(nb("https://a.example/nocharset") == 4L)
+    // the plain reader still surfaces the records permissively
+    val plain = Warc.read(spark, dir)
+      .filter(col("rec_type") === "response").count()
+    assert(plain == 4)
+  }
+
+  test("readResponses fails loudly on a response payload that is not " +
+      "an HTTP message") {
+    val dir = Files.createTempDirectory("graft-warc-badhttp").toString
+    import spark.implicits._
+    Warc.writeRecords(
+      Seq(("https://x.example/", "2026-03-01T00:00:00Z",
+        "just some text, no status line".getBytes("UTF-8")))
+        .toDF("url", "warc_date", "payload").coalesce(1),
+      dir, recType = "response",
+      contentType = "application/http; msgtype=response")
+    val e = intercept[Exception] {
+      Warc.readResponses(spark, dir).count()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage)
+        .exists(m => m.contains("HTTP") || m.contains("separator"))),
+      s"unexpected failure: $e")
+  }
+
+  test("writer commit protocol: parts land via attempt-unique temp + " +
+      "rename — no temp files remain, and a re-write REPLACES the " +
+      "previous job's parts") {
+    val dir = Files.createTempDirectory("graft-warc-commit").toString
+    Warc.write(mkRows(30).toDF("url", "warc_date", "text")
+      .repartition(3), dir)
+    val names1 = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names1.count(_.startsWith("part-")) == 3)
+    assert(!names1.exists(_.contains("tmp")), s"temp leftovers: $names1")
+    // second job into the same dir with a DIFFERENT shape: old parts
+    // must not survive to serve stale records
+    Warc.write(mkRows(8).toDF("url", "warc_date", "text")
+      .coalesce(1), dir)
+    val names2 = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names2.count(_.startsWith("part-")) == 1, s"stale parts: $names2")
+    assert(!names2.exists(_.contains("tmp")), s"temp leftovers: $names2")
+    val n = Warc.read(spark, dir)
+      .filter(col("rec_type") === "conversion").count()
+    assert(n == 8, s"expected the second write's 8 records, got $n")
+  }
+
+  test("early-stopped read closes the file handle at task completion " +
+      "(limit pushdown must not leak an fd per file until GC)") {
+    val dir = Files.createTempDirectory("graft-warc-fd").toString
+    Warc.write(mkRows(200).toDF("url", "warc_date", "text")
+      .coalesce(1), dir)
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head.getCanonicalPath
+    // limit(1) stops the iterator after one record of 200+
+    val one = Warc.read(spark, dir).limit(1).collect()
+    assert(one.length == 1)
+    // local[4] tasks run in THIS JVM: after the job, no fd of this
+    // process may still point at the part file (the task-completion
+    // listener closes the stream; before it, the handle lingered
+    // until GC)
+    val fdDir = new java.io.File("/proc/self/fd")
+    assume(fdDir.isDirectory, "procfs not available")
+    val leaked = fdDir.listFiles().toSeq.flatMap { f =>
+      try Some(java.nio.file.Files.readSymbolicLink(f.toPath).toString)
+      catch { case _: Exception => None }
+    }.filter(_ == part)
+    assert(leaked.isEmpty, s"leaked fd(s) to $part")
+  }
+}
+
+/** Local filesystem under a scheme that ONLY exists via programmatic
+  * `spark.hadoop.fs.gtest.impl` session configuration — the WarcSpec
+  * probe proving the reader ships the session conf to its tasks.
+  */
+class GtestFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "gtest"
+  override def getUri: java.net.URI = java.net.URI.create("gtest:///")
 }
