@@ -934,45 +934,167 @@ object TextAnalysis {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
           .otherwise(concat(acc, array(s)))))
 
+  /** All adjacent symbol pairs of a word as structs (empty for
+    * single-symbol words — `sequence(1, 0)` would DESCEND, so the size
+    * guard is load-bearing). One copy shared by the recount loop, the
+    * pair-cache seed, and the per-merge delta computation.
+    */
+  private def pairsOf(syms: Column): Column =
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => struct(element_at(syms, i).as("lhs"),
+          element_at(syms, i + 1).as("rhs"))))
+      .otherwise(array().cast("array<struct<lhs:string,rhs:string>>"))
+
+  /** Does the word contain pair (a, b) adjacently? Narrow predicate —
+    * the pair-cache path uses it to touch ONLY the words the last merge
+    * can change.
+    */
+  private def hasPair(syms: Column, a: String, b: String): Column =
+    exists(
+      when(size(syms) >= 2, sequence(lit(1), size(syms) - 1))
+        .otherwise(array().cast("array<int>")),
+      i => element_at(syms, i) === lit(a) &&
+        element_at(syms, i + 1) === lit(b))
+
+  /** The pair-count relation of a symbol-frequency relation. */
+  private def pairCounts(wf: DataFrame): DataFrame =
+    wf.select(col("freq"), explode(pairsOf(col("syms"))).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("freq")).as("cnt"))
+
   /** The Sennrich training loop over a pre-symbolized frequency
     * relation `(syms: array<string>, freq)` — pair counts weighted by
     * frequency (overlapping), greedy merge of the (count DESC, pair
     * ASC) argmax, repeat. Shared by word-level ([[bpeTrainMerges]]) and
     * byte-level ([[bbpeTrainMerges]]) training: the two differ ONLY in
     * how text becomes initial symbols.
+    *
+    * `pairCache = true` (the default) maintains the pair-count relation
+    * INCREMENTALLY: pairs are counted from the full relation exactly
+    * once into an EXPLICITLY hash-partitioned pair store, and each
+    * merge then (1) takes the argmax with a per-partition top-1 +
+    * driver pick (no shuffle), (2) re-folds ONLY the words that contain
+    * the merged pair, and (3) applies the (old pairs −freq, new pairs
+    * +freq) delta of those touched words by shuffling JUST the delta to
+    * the store's partitioning and merging per-partition
+    * (`zipPartitions`, partitioner preserved — the genuine
+    * per-partition-imperative case the RDD escape hatch exists for; no
+    * Dataset operator keeps a stable partitioner across an outer-join
+    * update, so the SQL forms re-shuffled the whole store every merge).
+    * The recount loop re-exploded and re-shuffled EVERY word's EVERY
+    * adjacent pair on EVERY merge — at a production ~50k-merge
+    * vocabulary that is 50k corpus-vocab-sized shuffles where the cache
+    * path's per-merge shuffle is O(touched words' pairs). Result-
+    * identical by construction (the delta is exact long arithmetic);
+    * OperatorSpec pins cache ≡ recount merges AND a strictly-smaller
+    * shuffle-record count at 10x merges. `pairCache = false` keeps the
+    * recount loop as the reference implementation.
     */
-  private def trainMergesLoop(spark: org.apache.spark.sql.SparkSession,
-                              wf0: DataFrame,
-                              numMerges: Int): DataFrame = {
+  private[graft] def trainMergesLoop(
+      spark: org.apache.spark.sql.SparkSession,
+      wf0: DataFrame, numMerges: Int,
+      pairCache: Boolean = true): DataFrame = {
     var wf = wf0
+    // untouched ∪ merged concatenates both sides' partitions — without
+    // the coalesce back to the input's partition count, partitions
+    // double per merge (exponential after 30)
+    val wfParts = math.max(1, wf0.rdd.getNumPartitions)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
+    val partitioner = new org.apache.spark.HashPartitioner(
+      math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32")
+        .toInt))
+    def toPairRdd(df: DataFrame) = df.rdd
+      .map(row => ((row.getString(0), row.getString(1)), row.getLong(2)))
+    var pc: org.apache.spark.rdd.RDD[((String, String), Long)] =
+      if (pairCache)
+        toPairRdd(pairCounts(wf)).partitionBy(partitioner)
+          .localCheckpoint()
+      else null
+    // the superseded store of the previous merge: unpersisted only once
+    // the CURRENT store has materialized (the argmax action), because
+    // until then the new store's lineage still reads the old blocks —
+    // deferring the unpersist this way also saves a per-merge count()
+    // job whose only purpose was materialization
+    var pcPrev: org.apache.spark.rdd.RDD[((String, String), Long)] = null
     var r = 1
     var exhausted = false
+    // (count DESC, lhs ASC, rhs ASC) — ONE ordering, shared by the
+    // cache path's driver pick and the recount path's sort
+    val ord = Ordering.by[((String, String), Long),
+      (Long, String, String)] { case ((l, rr), c) => (-c, l, rr) }
     while (r <= numMerges && !exhausted) {
-      val best = wf.select(col("freq"),
-          explode(when(size(col("syms")) >= 2,
-            transform(sequence(lit(1), size(col("syms")) - 1),
-              i => struct(element_at(col("syms"), i).as("lhs"),
-                element_at(col("syms"), i + 1).as("rhs"))))
-            .otherwise(array().cast(
-              "array<struct<lhs:string,rhs:string>>"))).as("p"))
-        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true // all words down to one symbol
-      else {
-        val (a, b, c) =
-          (best.head.getString(0), best.head.getString(1),
-            best.head.getLong(2))
-        val m = a + b
-        merges += ((r, a, b, m, c))
-        wf = wf.select(mergeFold(col("syms"), a, b, m).as("syms"),
-          col("freq")).localCheckpoint()
-        r += 1
+      val best: Option[(String, String, Long)] =
+        if (pairCache) {
+          val picked = pc.mapPartitions { it =>
+            if (it.isEmpty) Iterator.empty
+            else Iterator.single(it.min(ord))
+          }.collect().sorted(ord).headOption
+            .map { case ((l, rr), c) => (l, rr, c) }
+          // pc is materialized now; the previous store can go
+          if (pcPrev != null) { pcPrev.unpersist(blocking = false)
+            pcPrev = null }
+          picked
+        } else {
+          pairCounts(wf)
+            .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+            .limit(1).collect().headOption
+            .map(row => (row.getString(0), row.getString(1),
+              row.getLong(2)))
+        }
+      best match {
+        case None => exhausted = true // all words down to one symbol
+        case Some((a, b, c)) =>
+          val m = a + b
+          merges += ((r, a, b, m, c))
+          if (pairCache) {
+            val touched = wf.filter(hasPair(col("syms"), a, b))
+            val merged = touched
+              .select(mergeFold(col("syms"), a, b, m).as("syms"),
+                col("freq"))
+            val minus = touched.select(
+              explode(pairsOf(col("syms"))).as("p"),
+              (-col("freq")).as("d"))
+            val plus = merged.select(
+              explode(pairsOf(col("syms"))).as("p"), col("freq").as("d"))
+            val delta = toPairRdd(
+              minus.unionByName(plus)
+                .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+                .agg(sum(col("d")).as("dcnt")))
+              .partitionBy(partitioner) // shuffles ONLY the delta
+            val prev = pc
+            pc = prev.zipPartitions(delta, preservesPartitioning = true) {
+              (pcIt, dIt) =>
+                val adj = new scala.collection.mutable.HashMap[
+                  (String, String), Long]()
+                dIt.foreach { case (k, d) =>
+                  adj.update(k, adj.getOrElse(k, 0L) + d) }
+                val updated = pcIt.flatMap { case (k, cnt) =>
+                  adj.remove(k) match {
+                    case Some(d) =>
+                      val c2 = cnt + d
+                      if (c2 > 0) Iterator.single((k, c2))
+                      else Iterator.empty
+                    case None => Iterator.single((k, cnt))
+                  }
+                }
+                // pairs born this merge (involving the new symbol)
+                updated ++ adj.iterator.filter(_._2 > 0)
+                  .map { case (k, d) => (k, d) }
+            }.localCheckpoint() // materialized by the NEXT argmax
+            pcPrev = prev
+            wf = wf.filter(!hasPair(col("syms"), a, b))
+              .unionByName(merged).coalesce(wfParts).localCheckpoint()
+          } else {
+            wf = wf.select(mergeFold(col("syms"), a, b, m).as("syms"),
+              col("freq")).localCheckpoint()
+          }
+          r += 1
       }
     }
+    if (pcPrev != null) pcPrev.unpersist(blocking = false)
+    if (pc != null) pc.unpersist(blocking = false)
     spark.createDataFrame(merges.toSeq)
       .toDF("rank", "lhs", "rhs", "merged", "pair_count")
   }

@@ -1535,6 +1535,63 @@ object LlmQueries {
              |FROM t
              |ORDER BY stage""".stripMargin)),
 
+    // l49's funnel fed by the REAL Common Crawl input: `.warc` RESPONSE
+    // records (full HTTP messages), not WET conversions — WARC ingest →
+    // HTTP status-line/header/body split (charset-decoded body) → HTTP
+    // status gate → HTML extraction → PSL domain blocklist →
+    // token-floor quality gate, per-stage survivor counts. The oracle
+    // derives every stage's EXPECTED count from documents.parquet
+    // arithmetic alone (doc_id % 9 for the planted non-200s, doc_id % 5
+    // for domains, expected-extraction token counts for quality) and
+    // never runs the WARC reader, the HTTP splitter, or the extraction
+    // chain — one hash spanning gzip framing, record typing, HTTP
+    // message parsing, charset decode, entity/tag stripping, PSL
+    // resolution, blocklist semantics, and tokenization at once.
+    "l51_http_funnel" -> QuerySpec(
+      (s, dir) => {
+        val base = ensureHttpCrawlFixture(s, dir)
+        val recs = graft.sources.Warc.readResponses(s, base)
+        val httpOk = recs.filter(col("http_status") === 200)
+        val extracted = httpOk.select(
+          TextAnalysis.normalizeUrl(col("url")).as("url"),
+          TextAnalysis.htmlExtract(col("body")).as("text_x"))
+        val domainOk = extracted
+          .withColumn("domain",
+            TextAnalysis.registeredDomainPsl(col("url")))
+          .filter(!col("domain").isin("tracker.net", "doubleclick.net"))
+        val qualityOk = domainOk
+          .filter(size(TextAnalysis.tokens(col("text_x"))) >= 50)
+        Seq("q1_responses" -> recs, "q2_http_ok" -> httpOk,
+            "q3_domain_ok" -> domainOk, "q4_quality_ok" -> qualityOk)
+          .map { case (nm, df) =>
+            df.agg(count(lit(1)).as("n_docs"))
+              .select(lit(nm).as("stage"), col("n_docs")) }
+          .reduce(_.unionByName(_))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    len(list_filter(
+             |      regexp_split_to_array(lower(trim(text)), '\s+'),
+             |      x -> length(x) > 0)) AS ntok,
+             |    CAST(doc_id % 5 AS INT) NOT IN (1, 4) AS dom_ok,
+             |    CAST(doc_id % 9 AS INT) <> 4 AS http_ok
+             |  FROM documents)
+             |SELECT 'q1_responses' AS stage, COUNT(*)::BIGINT AS n_docs
+             |FROM t
+             |UNION ALL
+             |SELECT 'q2_http_ok', COUNT(*) FILTER (WHERE http_ok)
+             |FROM t
+             |UNION ALL
+             |SELECT 'q3_domain_ok',
+             |  COUNT(*) FILTER (WHERE http_ok AND dom_ok)
+             |FROM t
+             |UNION ALL
+             |SELECT 'q4_quality_ok',
+             |  COUNT(*) FILTER (WHERE http_ok AND dom_ok AND ntok + 7 >= 50)
+             |FROM t
+             |ORDER BY stage""".stripMargin)),
+
     // C4 line-level cleaning (Raffel et al. §2.2) — the REWRITE-side
     // filter battery beside l40's doc-level Gopher flags: keep only
     // lines ending in terminal punctuation with ≥3 words and no
@@ -2545,6 +2602,48 @@ object LlmQueries {
           lit("2026-01-01T00:00:00Z").as("warc_date"),
           l45Page(col("doc_id"), col("text")).as("text"))
         graft.sources.Warc.write(rows.repartition(4), base.toString)
+        done.createNewFile()
+      }
+      base.toString
+    }
+
+  /** l51's WARC fixture: RESPONSE records — each document's [[l45Page]]
+    * HTML wrapped as a full HTTP message (status line + headers + body,
+    * what real Common Crawl `.warc` carries where WET carries
+    * pre-extracted text), under the same dirty-url host pool. Planted
+    * non-200s on doc_id % 9 == 4 give the funnel a real status gate.
+    * Write-once per sf dir, drift-keyed (the st13 convention).
+    */
+  private[queries] def ensureHttpCrawlFixture(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    crawlFixLock.synchronized {
+      val key = docsDriftKey(dir)
+      val base = new java.io.File(
+        s"target/httpfix/${new java.io.File(dir).getName}-$key-v1")
+      val done = new java.io.File(base, "_DONE")
+      if (!done.exists()) {
+        if (base.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(base)
+        val host = expr("""CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN 'WWW.EXAMPLE.ORG'
+          WHEN 1 THEN 'CDN.SPAM.TRACKER.NET:8443'
+          WHEN 2 THEN 'News.Site.com'
+          WHEN 3 THEN 'blog.example.org'
+          ELSE 'ads.DoubleClick.net' END""")
+        val status = when(col("doc_id") % 9 === 4,
+          lit("HTTP/1.1 404 Not Found")).otherwise(lit("HTTP/1.1 200 OK"))
+        val httpMsg = concat(status,
+          lit("\r\nContent-Type: text/html; charset=utf-8\r\n" +
+            "Server: graft-fixture\r\n\r\n"),
+          l45Page(col("doc_id"), col("text")))
+        val rows = Tables(s, dir, "documents").select(
+          concat(lit("HTTPS://"), host, lit("/doc/"), col("doc_id"),
+            lit("?b=2&utm_source=feed&a=1#frag")).as("url"),
+          lit("2026-01-01T00:00:00Z").as("warc_date"),
+          encode(httpMsg, "UTF-8").as("payload"))
+        graft.sources.Warc.writeRecords(rows.repartition(4),
+          base.toString, recType = "response",
+          contentType = "application/http; msgtype=response")
         done.createNewFile()
       }
       base.toString

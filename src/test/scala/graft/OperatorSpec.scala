@@ -1148,6 +1148,66 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == want, s"engine $got vs replay $want")
   }
 
+  test("BPE pair-cache: merges identical to the recount loop, and " +
+      "per-merge shuffle volume strictly below it at 10x merges " +
+      "(only touched words re-count)") {
+    import graft.operators.TextAnalysis
+    // a world where each merge touches exactly ONE word: every word is
+    // 4 GLOBALLY-UNIQUE codepoints, so every adjacent pair exists in
+    // one word only (cnt 1, ties broken lexicographically — fully
+    // deterministic). The recount loop re-explodes all 1200 words'
+    // pairs every merge; the cache path touches 1.
+    val words = (0 until 1200).map { i =>
+      val c0 = 0x4E00 + 4 * i
+      new String(Array(c0, c0 + 1, c0 + 2, c0 + 3), 0, 4)
+    }
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    def wf0() = docs
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text")))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))).as("syms"), col("freq"))
+      .localCheckpoint()
+    def shuffleRecords(body: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit =
+          acc.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        org.apache.spark.sql.graftshim.Bridge.waitListenerBusEmpty(spark)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      acc.get()
+    }
+    val nMerges = 30
+    var cached: Seq[(Int, String, String, String, Long)] = null
+    var recount: Seq[(Int, String, String, String, Long)] = null
+    def run(pairCache: Boolean) = TextAnalysis
+      .trainMergesLoop(spark, wf0(), nMerges, pairCache = pairCache)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val sCache = shuffleRecords { cached = run(pairCache = true) }
+    val sRecount = shuffleRecords { recount = run(pairCache = false) }
+    assert(cached == recount,
+      s"pair-cache drift: ${cached.take(3)} vs ${recount.take(3)}")
+    assert(cached.size == nMerges)
+    // the recount loop shuffles ~3600 pair instances x 30 merges; the
+    // cache path shuffles the seed once plus per-merge deltas of ONE
+    // word — require at least a 2x margin so the pin survives metric
+    // jitter while still failing if the cache ever degrades to recount
+    info(s"shuffle records: cache=$sCache recount=$sRecount")
+    assert(sCache * 2 < sRecount,
+      s"pair-cache shuffle volume not below recount: " +
+        s"cache=$sCache recount=$sRecount")
+  }
+
   test("byte-level BPE: GPT-2 pre-tokenization and byte mapping pins — " +
       "segmentation, lossless concatenation, the Ġ space convention") {
     import graft.operators.{TextAnalysis, TextGolden}
