@@ -1,0 +1,174 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.Bridge
+import org.apache.spark.sql.types._
+
+/** Structural (tokenizer-based) HTML→text extraction — the operator
+  * form of [[graft.operators.TextAnalysis.htmlExtract]]'s regex
+  * pipeline, closing its two PINNED limits:
+  *
+  *  1. a `>` inside a quoted attribute value ends the regex tag strip
+  *     early (`<p title="size>10">` leaves `10">` as text) — the
+  *     tokenizer consumes attributes quote-aware;
+  *  2. the regex script/style block match `<script[^>]*>` mis-parses an
+  *     open tag whose ATTRIBUTE contains `>` — the tokenizer finds the
+  *     true tag end first, then skips raw content.
+  *
+  * Script/style content ends at the LEXICAL `</script`/`</style`
+  * close-tag sequence (case-insensitive, followed by `>`, whitespace,
+  * or `/`) — deliberately matching the HTML5 script-data tokenizer
+  * state, where a contiguous `</script>` inside a JS string DOES close
+  * the element (the reason real pages write `<\/script>`); the regex
+  * form's behavior on that input was HTML5-correct all along and is
+  * preserved. Tolerant of malformed input: unterminated comments, tags,
+  * and raw-text blocks swallow to end-of-input; a bare `<` that opens
+  * no construct (`1 < 2` in text) stays literal text — MORE correct
+  * than the regex form, which eats `< 2, x >` as a tag.
+  *
+  * Downstream semantics match htmlExtract exactly: each removed
+  * construct becomes one space, the same six entities decode in one
+  * pass (`&amp;lt;` → `&lt;`, the double-encoding contract), and
+  * whitespace ([ \t\n\f\r]) collapses to single spaces with trim.
+  */
+object HtmlExpressions {
+
+  private val Entities: Array[(String, Char)] = Array(
+    "&nbsp;" -> ' ', "&lt;" -> '<', "&gt;" -> '>',
+    "&quot;" -> '"', "&#39;" -> '\'', "&amp;" -> '&')
+
+  /** Static entry point, referenced from generated code. */
+  def htmlTextStrict(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val s = u.toString
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    def matchesAt(pos: Int, lit: String): Boolean =
+      pos + lit.length <= n && s.regionMatches(true, pos, lit, 0,
+        lit.length)
+    // consume one tag starting at '<', attribute-quote-aware; returns
+    // the index AFTER '>', or n when unterminated (tolerant)
+    def consumeTag(start: Int): Int = {
+      var j = start + 1
+      while (j < n) {
+        val c = s.charAt(j)
+        if (c == '>') return j + 1
+        if (c == '"' || c == '\'') {
+          j += 1
+          while (j < n && s.charAt(j) != c) j += 1
+          if (j < n) j += 1
+        } else j += 1
+      }
+      n
+    }
+    def tagNameAt(pos: Int): String = {
+      var j = pos + 1
+      if (j < n && s.charAt(j) == '/') j += 1
+      val st = j
+      while (j < n && s.charAt(j).isLetterOrDigit) j += 1
+      s.substring(st, j).toLowerCase
+    }
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (matchesAt(i, "<!--")) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+          out.append(' ')
+        } else if (i + 1 < n &&
+            (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+          i = consumeTag(i) // doctype / processing instruction
+          out.append(' ')
+        } else if (i + 1 < n && (s.charAt(i + 1).isLetter ||
+            (s.charAt(i + 1) == '/' && i + 2 < n &&
+              s.charAt(i + 2).isLetter))) {
+          val name = tagNameAt(i)
+          val isClose = s.charAt(i + 1) == '/'
+          val after = consumeTag(i)
+          out.append(' ')
+          val selfClosing = after >= 2 && s.charAt(after - 2) == '/'
+          if (!isClose && !selfClosing &&
+              (name == "script" || name == "style")) {
+            val closeLit = "</" + name
+            var j = after
+            var end = -1
+            while (end < 0 && j < n) {
+              if (matchesAt(j, closeLit)) {
+                val k = j + closeLit.length
+                if (k >= n || s.charAt(k) == '>' ||
+                    s.charAt(k).isWhitespace || s.charAt(k) == '/')
+                  end = j
+                else j += 1
+              } else j += 1
+            }
+            i = if (end < 0) n else consumeTag(end)
+          } else i = after
+        } else { out.append('<'); i += 1 } // literal '<' in text
+      } else if (c == '&') {
+        var k = 0
+        var matched = false
+        while (!matched && k < Entities.length) {
+          val (lit, ch) = Entities(k)
+          if (i + lit.length <= n &&
+              s.regionMatches(false, i, lit, 0, lit.length)) {
+            out.append(ch); i += lit.length; matched = true
+          }
+          k += 1
+        }
+        if (!matched) { out.append('&'); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    // whitespace collapse (the same 5-char class as htmlExtract) + trim
+    val res = new java.lang.StringBuilder(out.length)
+    var j = 0
+    var pendingSpace = false
+    while (j < out.length) {
+      val ch = out.charAt(j)
+      if (ch == ' ' || ch == '\t' || ch == '\n' || ch == '\f' ||
+          ch == '\r') pendingSpace = true
+      else {
+        if (pendingSpace && res.length > 0) res.append(' ')
+        pendingSpace = false
+        res.append(ch)
+      }
+      j += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(res.toString)
+  }
+
+  def html_text_strict(html: Column): Column =
+    Bridge.column(HtmlTextStrictExpr(Bridge.expression(html)))
+}
+
+/** html_text_strict(html): tokenizer-based HTML→text extraction. See
+  * [[HtmlExpressions.htmlTextStrict]].
+  */
+case class HtmlTextStrictExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"html_text_strict needs string, got $other")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "html_text_strict"
+
+  override def nullSafeEval(str: Any): Any =
+    HtmlExpressions.htmlTextStrict(
+      str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.HtmlExpressions" +
+        s".htmlTextStrict($c);")
+
+  override protected def withNewChildInternal(c: Expression)
+      : HtmlTextStrictExpr = copy(child = c)
+}

@@ -129,6 +129,75 @@ object TextHashExpressions {
 
   def registered_domain_psl(url: Column, rules: Seq[String]): Column =
     Bridge.column(RegisteredDomainExpr(Bridge.expression(url), rules))
+
+  /** RFC 3986 §6.2.2 percent-encoding normalization: decode escapes of
+    * UNRESERVED characters (ALPHA / DIGIT / '-' / '.' / '_' / '~' —
+    * "%64oc" and "doc" are the same path), uppercase the hex of every
+    * escape that must remain ("%2f" ≡ "%2F"), leave malformed '%'
+    * sequences verbatim. Byte-wise, so multi-byte UTF-8 escapes
+    * (%C3%A9) normalize per byte and are correctly retained (≥ 0x80 is
+    * never unreserved). Without this, URL-level dedup loses recall on
+    * real crawls: the same resource under hex-case or gratuitous-escape
+    * variants splits into distinct dedup groups.
+    */
+  def percentNormalize(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val s = u.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val h1 = if (c == '%' && i + 2 < s.length)
+        Character.digit(s.charAt(i + 1), 16) else -1
+      val h2 = if (h1 >= 0) Character.digit(s.charAt(i + 2), 16) else -1
+      if (h2 >= 0) {
+        val ch = (h1 * 16 + h2).toChar
+        if ((ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z') ||
+            (ch >= '0' && ch <= '9') || ch == '-' || ch == '.' ||
+            ch == '_' || ch == '~') sb.append(ch)
+        else {
+          sb.append('%')
+          sb.append(Character.toUpperCase(s.charAt(i + 1)))
+          sb.append(Character.toUpperCase(s.charAt(i + 2)))
+        }
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  def percent_normalize(str: Column): Column =
+    Bridge.column(PercentNormalizeExpr(Bridge.expression(str)))
+}
+
+/** percent_normalize(str): RFC 3986 §6.2.2 percent-encoding
+  * normalization. See [[TextHashExpressions.percentNormalize]].
+  */
+case class PercentNormalizeExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"percent_normalize needs string, got $other")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "percent_normalize"
+
+  override def nullSafeEval(str: Any): Any =
+    TextHashExpressions.percentNormalize(
+      str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextHashExpressions" +
+        s".percentNormalize($c);")
+
+  override protected def withNewChildInternal(c: Expression)
+      : PercentNormalizeExpr = copy(child = c)
 }
 
 /** Pre-resolved public-suffix rule tables: one O(1) hash probe per

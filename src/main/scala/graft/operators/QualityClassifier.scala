@@ -40,7 +40,7 @@ object QualityClassifier {
     * separable corpus with the default step size — OperatorSpec pins it).
     */
   final case class Model(dim: Int, weights: Array[Double], bias: Double,
-                         lossHistory: Seq[Double]) {
+                         lossHistory: Seq[Double], wordNgrams: Int = 1) {
     /** Integer micro-unit quantization of the weights for exact-sum
       * scoring and oracle replay. */
     def weightUnits(unit: Double = 1e6): Array[Long] =
@@ -54,15 +54,38 @@ object QualityClassifier {
   def bucketOf(tok: Column, dim: Int): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % dim
 
-  /** Hashed bag-of-tokens: (id, bucket, cnt), one row per distinct
+  /** The feature-gram array of one document: tokens, plus (for
+    * `wordNgrams >= 2`, the fastText `-wordNgrams 2` setting)
+    * space-joined adjacent-token bigrams through the SAME md5-bucket
+    * hash and the same `dim` space — word order becomes signal
+    * ("alpha beta" and "beta alpha" land in different buckets) at zero
+    * vocabulary cost, exactly the hashing-trick argument. Tokens are
+    * whitespace-split so a bigram string can never textually collide
+    * with a unigram. Null text folds to an empty gram array (the
+    * bias-scoring contract). The `size >= 2` guard is load-bearing:
+    * `sequence(1, 0)` DESCENDS.
+    */
+  private def gramsOf(textCol: Column, wordNgrams: Int): Column = {
+    val toks = coalesce(TextAnalysis.tokens(textCol),
+      array().cast("array<string>"))
+    if (wordNgrams <= 1) toks
+    else concat(toks,
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i),
+            element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Hashed bag-of-grams: (id, bucket, cnt), one row per distinct
     * (document, bucket) — within-document repeats pre-aggregate before
     * anything shuffles (the l41 convention).
     */
-  private def feats(docs: DataFrame, dim: Int, idCol: String,
-                    textCol: String): DataFrame =
+  private def feats(docs: DataFrame, dim: Int, wordNgrams: Int,
+                    idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+        explode(gramsOf(col(textCol), wordNgrams)).as("tok"))
       .select(col("id"), bucketOf(col("tok"), dim).as("bucket"))
       .groupBy("id", "bucket").agg(count(lit(1)).as("cnt"))
 
@@ -76,7 +99,8 @@ object QualityClassifier {
     */
   def train(docs: DataFrame, labelCol: String, dim: Int = 512,
             epochs: Int = 12, lr: Double = 0.05,
-            idCol: String = "doc_id", textCol: String = "text"): Model = {
+            idCol: String = "doc_id", textCol: String = "text",
+            wordNgrams: Int = 1): Model = {
     require(dim > 0 && epochs > 0)
     val spark = docs.sparkSession
     import spark.implicits._
@@ -84,7 +108,7 @@ object QualityClassifier {
       col(labelCol).cast("double").as("y"), col(textCol).as("text"))
     // ONE corpus-scale pass; every epoch re-reads this materialized
     // (id, bucket, cnt) relation, never the raw text
-    val f = feats(labeled, dim, "id", "text").localCheckpoint()
+    val f = feats(labeled, dim, wordNgrams, "id", "text").localCheckpoint()
     val ids = labeled.select("id", "y").localCheckpoint()
     val nDocs = ids.count().toDouble
     require(nDocs > 0, "empty training corpus")
@@ -122,7 +146,7 @@ object QualityClassifier {
       }
       b -= lr * lb.getDouble(1) / nDocs
     }
-    Model(dim, w, b, losses.result())
+    Model(dim, w, b, losses.result(), wordNgrams)
   }
 
   /** ZERO-SHUFFLE scoring — the same integer micro-unit margins as
@@ -146,15 +170,11 @@ object QualityClassifier {
     // so ANSI element_at can never throw on a miss
     val wmap = typedLit(
       wu.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toMap)
-    // null text folds to the bias (coalesce to an empty token array):
-    // without it, tokens→null propagates through transform/aggregate to
-    // a NULL margin, contradicting the documented row-for-row
-    // scoreUnitsNarrow ≡ scoreUnits contract (whose left_outer join
-    // scores null-text rows as the bias)
+    // gramsOf folds null text to an empty array, so the margin is the
+    // bias — matching scoreUnits' left_outer join row-for-row (it would
+    // otherwise propagate to a NULL margin through transform/aggregate)
     val margin = aggregate(
-      transform(
-        coalesce(TextAnalysis.tokens(col(textCol)),
-          array().cast("array<string>")),
+      transform(gramsOf(col(textCol), model.wordNgrams),
         t => element_at(wmap, bucketOf(t, model.dim))),
       lit(bu),
       (acc, w) => acc + w)
@@ -180,7 +200,7 @@ object QualityClassifier {
     val wdf = broadcast(
       wu.zipWithIndex.collect { case (v, i) if v != 0L => (i.toLong, v) }
         .toSeq.toDF("bucket", "wu"))
-    val dots = feats(docs, model.dim, idCol, textCol)
+    val dots = feats(docs, model.dim, model.wordNgrams, idCol, textCol)
       .join(wdf, Seq("bucket"), "left_outer")
       .groupBy("id")
       .agg(sum(col("cnt") * coalesce(col("wu"), lit(0L))).as("dot"))

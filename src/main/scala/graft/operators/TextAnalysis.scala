@@ -1217,16 +1217,36 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "[ \\t\\n\\f\\r]+", " "))
   }
 
+  /** Structural (tokenizer-based) HTML→text extraction — same output
+    * contract as [[htmlExtract]] on well-formed pages, but
+    * attribute-quote-aware, so the regex pipeline's two pinned limits
+    * parse correctly: `>` inside a quoted attribute value no longer
+    * ends the tag strip, and a script OPEN tag with `>` in an attribute
+    * no longer derails the block skip. A native codegen kernel
+    * ([[graft.functions.expressions.HtmlExpressions.htmlTextStrict]]);
+    * zero-shuffle narrow pass like the regex form.
+    */
+  def htmlExtractStrict(html: Column): Column =
+    graft.functions.expressions.HtmlExpressions.html_text_strict(html)
+
   /** URL canonicalization — the dedup-key normalizer crawl pipelines
     * apply before URL-level dedup: lowercase scheme and host, strip the
     * fragment, strip the scheme's default port, default an empty path
-    * to "/", drop tracking parameters (utm_*, fbclid, gclid), and SORT
-    * the surviving query parameters so parameter order cannot split a
-    * dedup group. Pure columnar regexp/array ops, mirrored step-for-
-    * step by the l46 DuckDB oracle.
+    * to "/", normalize percent-encoding (RFC 3986 §6.2.2: decode
+    * unreserved escapes, uppercase retained hex — the
+    * [[graft.functions.expressions.PercentNormalizeExpr]] kernel), drop
+    * tracking parameters (utm_*, fbclid, gclid), and SORT the surviving
+    * query parameters so neither parameter order nor escape spelling
+    * can split a dedup group. Pure columnar regexp/array ops plus the
+    * native percent kernel; the l46 oracle derives the expected
+    * canonical form independently.
     */
   def normalizeUrl(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*$", "")
+    // percent-normalize AFTER the fragment strip (a '#' is never the
+    // product of unreserved-decode, so order is safe) and BEFORE
+    // component parsing, so path and query see canonical escapes
+    val noFrag = graft.functions.expressions.TextHashExpressions
+      .percent_normalize(regexp_replace(url, "#.*$", ""))
     val scheme = lower(
       regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostPort = lower(

@@ -1397,45 +1397,75 @@ object LlmQueries {
              |    '[ \t\n\f\r]+', ' ', 'g')) AS text_out
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // URL canonicalization — the dedup-key normalizer between crawl
-    // ingestion and URL-level dedup: lowercase scheme/host, strip
-    // fragment and default port, drop tracking params, SORT surviving
-    // params. Three planted variants per doc (case+port+tracking+frag,
-    // param order, tracking-only differences) must collapse to ONE
-    // canonical group of 3. The oracle is INDEPENDENT: DuckDB
-    // constructs the expected canonical form directly — any
-    // normalization step misbehaving splits a group or shifts the
-    // canonical string and breaks the hash.
+    // STRUCTURAL HTML extraction (l45's tokenizer-based sibling) on a
+    // page built from exactly the constructs the regex pipeline's
+    // pinned limits cannot parse: a '>' inside a quoted attribute value
+    // and a script OPEN tag whose attribute contains '>'. Expected
+    // extraction = "Attr N Doc N <text> tail", derived from first
+    // principles by the oracle (the l45 convention) — the regex form
+    // leaves attribute fragments ('10">', '2">var x = 1;') in the text
+    // on this page, so the hash passing IS the proof the tokenizer
+    // closes the documented limits.
+    "l52_html_strict" -> QuerySpec(
+      (s, dir) => {
+        val page = concat(
+          lit("<html><body><p title=\"size>10\">Attr "), col("doc_id"),
+          lit("</p><script data-x=\"1>2\">var x = 1;</script>" +
+            "<b>Doc "), col("doc_id"),
+          lit("</b> "), col("text"), lit(" <i>tail</i></body></html>"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), page.as("html"))
+          .select(col("doc_id"), length(col("html")).as("n_chars_html"),
+            TextAnalysis.htmlExtractStrict(col("html")).as("text_out"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  length('<html><body><p title="size>10">Attr ' || doc_id
+             |    || '</p><script data-x="1>2">var x = 1;</script>'
+             |    || '<b>Doc ' || doc_id || '</b> ' || text
+             |    || ' <i>tail</i></body></html>') AS n_chars_html,
+             |  trim(regexp_replace(
+             |    'Attr ' || doc_id || ' Doc ' || doc_id || ' ' || text
+             |      || ' tail',
+             |    '[ \t\n\f\r]+', ' ', 'g')) AS text_out
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Five planted variants per doc collapse to ONE canonical group:
+    // case/port/tracking-params/fragment (the original trio), plus two
+    // percent-encoding variants (RFC 3986 §6.2.2) — "%64oc" decodes to
+    // "doc" (unreserved), "%31" to "1", lowercase "%2f" uppercases to
+    // the RETAINED escape "%2F" the canonical form carries. The oracle
+    // states the expected canonical URL from first principles — it
+    // never runs the normalizer, so any escape-handling slip splits a
+    // group and breaks the hash.
     "l46_url_normalize" -> QuerySpec(
       (s, dir) => {
         val variants = Tables(s, dir, "documents")
           .select(col("doc_id"), explode(array(
             concat(lit("https://example.org/doc/"), col("doc_id"),
-              lit("?a=1&b=2")),
+              lit("?a=1&b=2&c=%2F")),
             concat(lit("HTTPS://EXAMPLE.ORG:443/doc/"), col("doc_id"),
-              lit("?b=2&utm_source=feed&a=1#frag")),
+              lit("?b=2&utm_source=feed&a=1&c=%2F#frag")),
             concat(lit("https://example.org/doc/"), col("doc_id"),
-              lit("?utm_campaign=x&a=1&b=2")))).as("raw"))
+              lit("?utm_campaign=x&a=1&b=2&c=%2f")),
+            concat(lit("https://example.org/%64oc/"), col("doc_id"),
+              lit("?a=%31&b=2&c=%2f")),
+            concat(lit("https://example.org/doc/"), col("doc_id"),
+              lit("?c=%2f&b=%32&a=1")))).as("raw"))
         variants
           .select(TextAnalysis.normalizeUrl(col("raw")).as("url"))
           .groupBy(col("url")).agg(count(lit(1)).as("n_variants"))
           .orderBy(col("url"))
       },
-      Some("""SELECT 'https://example.org/doc/' || doc_id || '?a=1&b=2'
-             |    AS url,
-             |  3 AS n_variants
+      Some("""SELECT 'https://example.org/doc/' || doc_id
+             |    || '?a=1&b=2&c=%2F' AS url,
+             |  5 AS n_variants
              |FROM documents ORDER BY url""".stripMargin)),
 
     // Domain-level curation — the step C4/RefinedWeb run between URL
     // normalization (l46) and content filters: group by REGISTERED
-    // domain (simplified last-two-labels form, limitation documented),
-    // count, flag blocklisted domains. Five planted hosts across the
-    // corpus (two sharing a registered domain, two blocklisted, one
-    // with a port) exercise subdomain collapse, the blocklist, and
-    // port stripping. The oracle is INDEPENDENT: DuckDB derives the
-    // expected domains from doc_id arithmetic alone — it never runs
-    // the host/domain extraction, so a regex slip splits or merges a
-    // group and breaks the hash.
+    // domain under the full public-suffix-list algorithm, count, flag
+    // blocklisted domains.
     // The host pool exercises every PSL rule TYPE: plain TLDs, a
     // multi-label ccTLD suffix (co.uk/ac.uk — the last-two-labels rule
     // would mis-group both as the SUFFIX), a wildcard-rule host
@@ -3108,7 +3138,12 @@ object LlmQueries {
     l42ModelByDir.getOrElseUpdate(dir,
       graft.operators.QualityClassifier.train(
         parallelDocs(s, dir).withColumn("label", col("lang") === "en"),
-        labelCol = "label"))
+        labelCol = "label",
+        // fastText parity: hashed word BIGRAMS beside the unigrams,
+        // same md5-bucket arithmetic — the DuckDB oracle extends with
+        // one more unnest (l42Sql); OperatorSpec pins separation on a
+        // world unigrams cannot split
+        wordNgrams = 2))
 
   /** l42 oracle: DuckDB re-derives every margin from the captured
     * micro-unit weights — same tokenization as every token oracle, the
@@ -3123,11 +3158,16 @@ object LlmQueries {
     val bu = m.biasUnits()
     val nz = wu.zipWithIndex.collect { case (v, i) if v != 0L => s"($i, $v)" }
     val vals = if (nz.isEmpty) "(-1, 0)" else nz.mkString(", ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, unnest(list_filter(
+    s"""WITH tl AS (
+       |  SELECT doc_id, list_filter(
        |    regexp_split_to_array(lower(trim(text)), '\\s+'),
-       |    x -> length(x) > 0)) AS tok
+       |    x -> length(x) > 0) AS t
        |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, unnest(t) AS tok FROM tl
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i + 1])) AS tok FROM tl),
        |tb AS (SELECT doc_id,
        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % ${m.dim} AS bucket,
        |    COUNT(*) AS cnt

@@ -1364,6 +1364,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(n("https://e.org/p?utm_a=1&utm_b=2") == "https://e.org/p")
     // empty query string
     assert(n("https://e.org/p?") == "https://e.org/p")
+    // RFC 3986 §6.2.2 percent normalization: unreserved escapes decode
+    assert(n("https://e.org/%64oc%2Dx") == "https://e.org/doc-x")
+    // retained escapes uppercase their hex
+    assert(n("https://e.org/a%2fb?q=%3a") == "https://e.org/a%2Fb?q=%3A")
+    // multi-byte UTF-8 escapes retained per byte, hex uppercased
+    assert(n("https://e.org/caf%c3%a9") == "https://e.org/caf%C3%A9")
+    // malformed '%' sequences pass through verbatim
+    assert(n("https://e.org/a%2") == "https://e.org/a%2")
+    assert(n("https://e.org/a%zz") == "https://e.org/a%zz")
+    // an encoded '#' is NOT a fragment start (strip happens first, and
+    // %23 is not unreserved so it stays an escape)
+    assert(n("https://e.org/a%23b") == "https://e.org/a%23b")
   }
 
   test("c4Clean: each line rule and each page gate isolated on " +
@@ -2101,6 +2113,85 @@ class OperatorSpec extends AnyFunSuite {
         r.getAs[Long]("margin_units"))).toMap
     assert(nN == nJ, "narrow/join drift on null-text corpus")
     assert(nN(122L) == bu, s"null text must score the bias: ${nN(122L)}")
+  }
+
+  test("htmlExtractStrict: equals the regex form on well-formed pages, " +
+      "parses the regex form's two pinned failure cases correctly, and " +
+      "tolerates malformed input") {
+    import graft.operators.TextAnalysis
+    def both(h: String): (String, String) = {
+      val r = Seq(h).toDF("h").select(
+        TextAnalysis.htmlExtract(col("h")).as("a"),
+        TextAnalysis.htmlExtractStrict(col("h")).as("b")).head()
+      (r.getString(0), r.getString(1))
+    }
+    def strict(h: String): String = both(h)._2
+    // equivalence on the l45-shaped page (blocks, comment, entities
+    // incl. the double-encoded &amp;lt;, whitespace)
+    val page = "<html><head><title>Doc 7</title>" +
+      "<style>p{color:red}</style><script>var x = 1 < 2;</script>" +
+      "</head><body><!-- boilerplate --><h1>Doc 7</h1>" +
+      "<p>body words here &amp;lt; tail &nbsp;&lt;b&gt;</p></body></html>"
+    val (viaRegex, viaStrict) = both(page)
+    assert(viaStrict == viaRegex,
+      s"strict/regex drift on well-formed page:\n'$viaStrict'\n'$viaRegex'")
+    assert(viaStrict == "Doc 7 Doc 7 body words here &lt; tail <b>")
+    // pinned limit 1: '>' inside attribute quotes — regex leaves the
+    // fragment, strict does not
+    val attr = "<p title=\"size>10\">kept</p>"
+    assert(strict(attr) == "kept")
+    assert(both(attr)._1 != "kept") // the regex limit is real
+    // pinned limit 2: script open tag with '>' in an attribute — the
+    // tokenizer finds the true tag end first (the regex form happens to
+    // recover here via its non-greedy tail, so only strict's answer is
+    // pinned)
+    val scr = "<script data-x=\"1>2\">var x = 1;</script>after"
+    assert(strict(scr) == "after")
+    // HTML5 script-data rule preserved: a contiguous close literal in a
+    // JS string closes the element (the '";' lands in text — matching
+    // how a browser tokenizes it)
+    assert(strict("<script>var s = \"</script>\";</script>x") == "\"; x")
+    // literal '<' in text survives (more correct than the regex form)
+    assert(strict("1 < 2 and x") == "1 < 2 and x")
+    // malformed input is tolerated, never thrown on
+    assert(strict("<p unterminated") == "")
+    assert(strict("<!-- never closed") == "")
+    assert(strict("<script>never closed") == "")
+    assert(strict("<p title=\"unclosed>text") == "")
+    assert(strict("a &unknown; b") == "a &unknown; b")
+  }
+
+  test("quality classifier word-bigram features separate a world " +
+      "unigrams cannot (fastText -wordNgrams 2), and narrow ≡ join " +
+      "holds for the bigram model") {
+    import graft.operators.QualityClassifier
+    // every doc has IDENTICAL unigrams {alpha, beta}; only the ORDER
+    // differs — pure word-order signal, visible to bigram buckets only
+    val docs = ((0 until 40).map(i => (i.toLong, "alpha beta", true)) ++
+      (40 until 80).map(i => (i.toLong, "beta alpha", false)))
+      .toDF("doc_id", "text", "label")
+    val uni = QualityClassifier.train(docs, "label", dim = 256,
+      epochs = 10, wordNgrams = 1)
+    val bi = QualityClassifier.train(docs, "label", dim = 256,
+      epochs = 10, wordNgrams = 2)
+    def margins(m: QualityClassifier.Model): Map[Long, Long] =
+      QualityClassifier.scoreUnits(docs, m).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Long]("margin_units")).toMap
+    val mu = margins(uni)
+    // unigram features are identical across classes: every margin equal
+    assert(mu.values.toSet.size == 1,
+      s"unigram model should not separate: ${mu.values.toSet}")
+    val mb = margins(bi)
+    val gMin = (0 until 40).map(i => mb(i.toLong)).min
+    val bMax = (40 until 80).map(i => mb(i.toLong)).max
+    assert(gMin > bMax,
+      s"bigram model must separate: min(good)=$gMin max(bad)=$bMax")
+    // narrow fold ≡ join form for the bigram gram set too
+    val viaNarrow = QualityClassifier.scoreUnitsNarrow(docs, bi)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("margin_units"))).toMap
+    assert(viaNarrow == mb, "bigram narrow/join drift")
   }
 
   test("registeredDomainPsl: full public-suffix algorithm — multi-label " +
