@@ -1229,6 +1229,148 @@ object TextAnalysis {
   def htmlExtractStrict(html: Column): Column =
     graft.functions.expressions.HtmlExpressions.html_text_strict(html)
 
+  /** PII detection + redaction — the corpus-prep step every released
+    * training set runs (The Pile, RefinedWeb, FineWeb all redact or
+    * filter PII): count and replace email addresses, dashed
+    * international phone numbers, and IPv4 literals with typed
+    * placeholders. The patterns are a DETERMINISTIC, documented subset
+    * (real-world PII recall needs locale-specific batteries — a
+    * deployment extends the list; the plan shape is identical): all
+    * three are Java/RE2 common ground, so the l53 oracle recomputes
+    * every count and the redacted text with the same regexes.
+    * Application order matters and is part of the contract: emails
+    * first (so `user@10.0.0.1`-style hosts become `user@<IP>` rather
+    * than swallowing the address), then phones, then IPs; counts are
+    * taken on the ORIGINAL text. Zero-shuffle narrow columnar pass.
+    */
+  def piiRedact(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    docs.select(col(idCol),
+      regexp_count(col(textCol), lit(PiiEmail)).cast("long")
+        .as("n_emails"),
+      regexp_count(col(textCol), lit(PiiPhone)).cast("long")
+        .as("n_phones"),
+      regexp_count(col(textCol), lit(PiiIpv4)).cast("long")
+        .as("n_ipv4"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), PiiEmail, "<EMAIL>"),
+          PiiPhone, "<PHONE>"),
+        PiiIpv4, "<IP>").as("text_redacted"))
+  }
+
+  /** The three PII patterns, ONE copy each (shared with the l53 oracle
+    * builder and the spec).
+    */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhone = "\\+\\d{1,3}-\\d{3}-\\d{3}-\\d{4}"
+  val PiiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Parse one robots.txt body into the rule list that applies to
+    * `agent` under RFC 9309 group semantics: lines group under
+    * consecutive `User-agent:` headers; if ANY group names the agent's
+    * product token exactly (case-insensitive), those groups' rules
+    * apply and `*` groups are ignored; otherwise the `*` groups apply.
+    * Rules are (allow, path-prefix); empty-value `Disallow:` (the
+    * allow-all idiom) contributes nothing. Deterministic documented
+    * subset: no `*`/`$` wildcards inside paths, no Crawl-delay —
+    * deployment extensions slot into this parser. Plain Scala so the
+    * typed flatMap ships it straight to executors and the spec tests it
+    * directly.
+    */
+  private[graft] def parseRobotsTxt(txt: String, agent: String)
+      : Seq[(Boolean, String)] = {
+    final case class Group(agents: List[String],
+                           rules: List[(Boolean, String)])
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var curAgents = List.empty[String]
+    var curRules = List.empty[(Boolean, String)]
+    var inAgents = false // consecutive User-agent lines share one group
+    def flush(): Unit = {
+      if (curAgents.nonEmpty) groups += Group(curAgents, curRules.reverse)
+      curAgents = Nil; curRules = Nil
+    }
+    Option(txt).getOrElse("").split("\n", -1).foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val key = line.substring(0, ci).trim.toLowerCase
+        val value = line.substring(ci + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inAgents) flush()
+            curAgents = value.toLowerCase :: curAgents
+            inAgents = true
+          case "allow" | "disallow" =>
+            inAgents = false
+            if (value.nonEmpty)
+              curRules = (key == "allow", value) :: curRules
+          case _ => inAgents = false // unknown directives end the
+          // agent-header run but stay inside the group (RFC 9309)
+        }
+      }
+    }
+    flush()
+    val a = agent.toLowerCase
+    val specific = groups.filter(_.agents.contains(a))
+    val chosen = if (specific.nonEmpty) specific
+      else groups.filter(_.agents.contains("*"))
+    chosen.toSeq.flatMap(_.rules)
+  }
+
+  /** Robots-exclusion evaluation (RFC 9309) over a URL frame — the
+    * crawl-side gate between frontier and fetch (and, for a corpus
+    * builder, the compliance re-check before publication): each URL is
+    * allowed iff the LONGEST matching rule prefix for its host allows
+    * it, Allow winning length ties; hosts with no robots row (or no
+    * matching rule) default to allowed. Output:
+    * (idCol, urlCol, host, allowed).
+    *
+    * Scale shape: robots bodies parse in a typed flatMap (one small
+    * document per host — the rule list is crawl-metadata-sized), the
+    * rules BROADCAST-join onto the URL frame's host column with the
+    * prefix test as the join residual, and the longest-match pick is a
+    * max_by struct aggregate keyed by the URL row — one partial-agg'd
+    * shuffle of (url-key, best-rule) pairs; the 100 TB URL frame is
+    * never re-partitioned by host (which would skew on large hosts).
+    */
+  def robotsFilter(urls: DataFrame, robots: DataFrame, agent: String,
+                   urlCol: String = "url", idCol: String = "doc_id",
+                   domainCol: String = "domain",
+                   txtCol: String = "robots_txt"): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val rules = robots
+      .select(lower(col(domainCol)).as("__host"), col(txtCol))
+      .as[(String, String)]
+      .flatMap { case (host, txt) =>
+        parseRobotsTxt(txt, agent).map { case (allow, prefix) =>
+          (host, allow, prefix) }
+      }.toDF("__host", "__allow", "__prefix")
+    val host = regexp_extract(lower(col(urlCol)),
+      "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1)
+    val path0 = regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val withHost = urls.withColumn("host", host)
+      .withColumn("__path", path)
+    val joined = withHost.join(broadcast(rules),
+      col("host") === col("__host") &&
+        col("__path").startsWith(col("__prefix")), "left_outer")
+    // longest matching prefix wins; Allow wins ties (the Google/RFC
+    // tie-break); no matching rule -> allowed
+    joined
+      .groupBy(col(idCol))
+      .agg(
+        first(col(urlCol)).as(urlCol),
+        first(col("host")).as("host"),
+        coalesce(
+          max(when(col("__prefix").isNotNull,
+            struct(length(col("__prefix")).as("l"),
+              col("__allow").cast("int").as("a"))))("a") === 1,
+          lit(true)).as("allowed"))
+  }
+
   /** URL canonicalization — the dedup-key normalizer crawl pipelines
     * apply before URL-level dedup: lowercase scheme and host, strip the
     * fragment, strip the scheme's default port, default an empty path

@@ -1430,6 +1430,118 @@ object LlmQueries {
              |    '[ \t\n\f\r]+', ' ', 'g')) AS text_out
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // PII detection + redaction (l53) — emails/phones/IPv4 planted by
+    // doc_id arithmetic onto each document (every doc one email;
+    // doc_id%3==0 adds a phone; doc_id%4==1 adds an IPv4, with the
+    // host octet varying by doc_id), so per-doc counts AND the
+    // placeholder-redacted text are both oracle-checkable: DuckDB
+    // builds the identical page and recomputes every count
+    // (regexp_extract_all) and the full redaction chain
+    // (regexp_replace 'g', same order) with the same RE2-compatible
+    // patterns (the l47 mirror convention).
+    "l53_pii_redact" -> QuerySpec(
+      (s, dir) => {
+        val page = concat(col("text"),
+          lit(" Contact a"), col("doc_id"), lit("@ex"),
+          col("doc_id") % 7, lit(".com now."),
+          when(col("doc_id") % 3 === 0,
+            lit(" Call +1-555-123-4567.")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 1,
+            concat(lit(" Host 10.0."), col("doc_id") % 250,
+              lit(".7 up."))).otherwise(lit("")))
+        TextAnalysis.piiRedact(
+            Tables(s, dir, "documents")
+              .select(col("doc_id"), page.as("text")))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH p AS (
+             |  SELECT doc_id,
+             |    text || ' Contact a' || doc_id || '@ex'
+             |      || (doc_id % 7) || '.com now.'
+             |      || CASE WHEN doc_id % 3 = 0
+             |           THEN ' Call +1-555-123-4567.' ELSE '' END
+             |      || CASE WHEN doc_id % 4 = 1
+             |           THEN ' Host 10.0.' || (doc_id % 250) || '.7 up.'
+             |           ELSE '' END AS page
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(page,
+             |    '${TextAnalysis.PiiEmail}'))::BIGINT AS n_emails,
+             |  len(regexp_extract_all(page,
+             |    '${TextAnalysis.PiiPhone}'))::BIGINT AS n_phones,
+             |  len(regexp_extract_all(page,
+             |    '${TextAnalysis.PiiIpv4}'))::BIGINT AS n_ipv4,
+             |  regexp_replace(regexp_replace(regexp_replace(page,
+             |    '${TextAnalysis.PiiEmail}', '<EMAIL>', 'g'),
+             |    '${TextAnalysis.PiiPhone}', '<PHONE>', 'g'),
+             |    '${TextAnalysis.PiiIpv4}', '<IP>', 'g')
+             |    AS text_redacted
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // Robots-exclusion evaluation (l54) — the crawl-side gate between
+    // frontier and fetch, RFC 9309 semantics: per-host robots.txt
+    // bodies (planted: a Disallow-with-longer-Allow-override host, a
+    // deny-all host, an AGENT-SPECIFIC group that supersedes '*', an
+    // Allow-all-via-'*' host with a decoy specific group, and one host
+    // with NO robots row → default allowed), urls spanning three path
+    // classes by doc_id % 3. The oracle derives every expected
+    // `allowed` from (host, path-class) arithmetic alone — group
+    // selection, longest-prefix-match, and the Allow tie-break are all
+    // exercised without the oracle ever parsing a robots body.
+    "l54_robots_filter" -> QuerySpec(
+      (s, dir) => {
+        val host = expr("""CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN 'www.example.org'
+          WHEN 1 THEN 'cdn.tracker.net'
+          WHEN 2 THEN 'news.site.com'
+          WHEN 3 THEN 'blog.example.org'
+          ELSE 'ads.doubleclick.net' END""")
+        val pathCls = expr("""CASE CAST(doc_id % 3 AS INT)
+          WHEN 0 THEN '/doc/' WHEN 1 THEN '/private/'
+          ELSE '/private/ok/' END""")
+        val urls = Tables(s, dir, "documents").select(col("doc_id"),
+          concat(lit("https://"), host, pathCls, col("doc_id"))
+            .as("url"))
+        val robots = s.createDataFrame(Seq(
+          ("www.example.org",
+            "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"),
+          ("cdn.tracker.net",
+            "# deny all\nUser-agent: *\nDisallow: /\n"),
+          ("news.site.com",
+            "User-agent: graftbot\nDisallow: /doc/\n\n" +
+              "User-agent: *\nDisallow: /\n"),
+          ("ads.doubleclick.net",
+            "User-agent: other\nDisallow: /\n\n" +
+              "User-agent: *\nAllow: /\n")))
+          .toDF("domain", "robots_txt")
+        TextAnalysis.robotsFilter(urls, robots, agent = "graftbot")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  'https://' ||
+             |  CASE CAST(doc_id % 5 AS INT)
+             |    WHEN 0 THEN 'www.example.org'
+             |    WHEN 1 THEN 'cdn.tracker.net'
+             |    WHEN 2 THEN 'news.site.com'
+             |    WHEN 3 THEN 'blog.example.org'
+             |    ELSE 'ads.doubleclick.net' END ||
+             |  CASE CAST(doc_id % 3 AS INT)
+             |    WHEN 0 THEN '/doc/' WHEN 1 THEN '/private/'
+             |    ELSE '/private/ok/' END || doc_id AS url,
+             |  CASE CAST(doc_id % 5 AS INT)
+             |    WHEN 0 THEN 'www.example.org'
+             |    WHEN 1 THEN 'cdn.tracker.net'
+             |    WHEN 2 THEN 'news.site.com'
+             |    WHEN 3 THEN 'blog.example.org'
+             |    ELSE 'ads.doubleclick.net' END AS host,
+             |  CASE CAST(doc_id % 5 AS INT)
+             |    WHEN 0 THEN CAST(doc_id % 3 AS INT) <> 1
+             |    WHEN 1 THEN FALSE
+             |    WHEN 2 THEN CAST(doc_id % 3 AS INT) <> 0
+             |    WHEN 3 THEN TRUE
+             |    ELSE TRUE END AS allowed
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Five planted variants per doc collapse to ONE canonical group:
     // case/port/tracking-params/fragment (the original trio), plus two
     // percent-encoding variants (RFC 3986 §6.2.2) — "%64oc" decodes to

@@ -2115,6 +2115,84 @@ class OperatorSpec extends AnyFunSuite {
     assert(nN(122L) == bu, s"null text must score the bias: ${nN(122L)}")
   }
 
+  test("robots.txt: RFC 9309 group selection, longest-prefix match " +
+      "with Allow tie-break, defaults, and parser edge cases") {
+    import graft.operators.TextAnalysis
+    // parser: specific agent group supersedes '*'
+    val twoGroups = "User-agent: GraftBot\nDisallow: /a/\n\n" +
+      "User-agent: *\nDisallow: /\n"
+    assert(TextAnalysis.parseRobotsTxt(twoGroups, "graftbot") ==
+      Seq((false, "/a/")))
+    assert(TextAnalysis.parseRobotsTxt(twoGroups, "otherbot") ==
+      Seq((false, "/")))
+    // consecutive User-agent headers share one group
+    val shared = "User-agent: a\nUser-agent: b\nDisallow: /x/\n"
+    assert(TextAnalysis.parseRobotsTxt(shared, "b") ==
+      Seq((false, "/x/")))
+    // empty Disallow (allow-all idiom) contributes no rule; comments
+    // and unknown directives are skipped
+    assert(TextAnalysis.parseRobotsTxt(
+      "User-agent: *\nDisallow:\nCrawl-delay: 10 # slow\n", "x")
+      == Seq.empty)
+    // no matching group at all -> no rules
+    assert(TextAnalysis.parseRobotsTxt(
+      "User-agent: other\nDisallow: /\n", "me") == Seq.empty)
+    assert(TextAnalysis.parseRobotsTxt(null, "me") == Seq.empty)
+    // evaluation: longest prefix wins, Allow wins length ties,
+    // no-rule and no-robots-row default to allowed
+    val urls = Seq(
+      (1L, "https://h.example/private/x"), // Disallow /private/
+      (2L, "https://h.example/private/ok/x"), // longer Allow wins
+      (3L, "https://h.example/doc/x"), // no matching rule
+      (4L, "https://h.example/tie"), // equal-length Allow+Disallow
+      (5L, "https://bare.example/anything")) // no robots row
+      .toDF("doc_id", "url")
+    val robots = Seq(
+      ("h.example", "User-agent: *\nDisallow: /private/\n" +
+        "Allow: /private/ok/\nDisallow: /tie\nAllow: /tie\n"))
+      .toDF("domain", "robots_txt")
+    val got = TextAnalysis.robotsFilter(urls, robots, "anybot")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("allowed")).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true,
+      4L -> true, 5L -> true), s"got $got")
+  }
+
+  test("piiRedact: counts and placeholder redaction per PII type, " +
+      "email-before-IP order on IP-host addresses, idempotence") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "write to john.doe+x@sub.example.co.uk or call " +
+        "+44-207-946-0958 from 192.168.1.7 today"),
+      (2L, "no pii here at all"),
+      (3L, "user@10.0.0.1 logged in"), // email pattern needs an alpha
+      //    TLD, so this is NOT an email; the IP inside redacts
+      (4L, "two mails a@b.com c@d.org one ip 8.8.8.8"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiRedact(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+          r.getAs[Long]("n_ipv4"), r.getAs[String]("text_redacted"))))
+      .toMap
+    assert(got(1L) == ((1L, 1L, 1L,
+      "write to <EMAIL> or call <PHONE> from <IP> today")))
+    assert(got(2L) == ((0L, 0L, 0L, "no pii here at all")))
+    assert(got(3L) == ((0L, 0L, 1L, "user@<IP> logged in")))
+    assert(got(4L) == ((2L, 0L, 1L,
+      "two mails <EMAIL> <EMAIL> one ip <IP>")))
+    assert(got(5L) == ((0L, 0L, 0L, "")))
+    // idempotence: redacting redacted text changes nothing (the
+    // placeholders contain no digits or '@')
+    val twice = TextAnalysis.piiRedact(
+        TextAnalysis.piiRedact(docs)
+          .select(col("doc_id"), col("text_redacted").as("text")))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text_redacted")).toMap
+    got.foreach { case (id, (_, _, _, red)) =>
+      assert(twice(id) == red, s"not idempotent on doc $id") }
+  }
+
   test("htmlExtractStrict: equals the regex form on well-formed pages, " +
       "parses the regex form's two pinned failure cases correctly, and " +
       "tolerates malformed input") {

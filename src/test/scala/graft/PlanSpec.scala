@@ -769,4 +769,44 @@ class PlanSpec extends AnyFunSuite {
       s"domainStats should shuffle exactly once:\n${p48.take(2000)}")
     assert(p48.contains("partial"), p48.take(2000))
   }
+
+  test("l52/l46/l48: the native text kernels stay inside whole-stage " +
+      "codegen in a zero-exchange narrow plan") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // range-based source: a local Seq would constant-fold the whole
+    // projection into a LocalTableScan and there'd be no plan to pin
+    val docs = spark.range(50).select(col("id").as("doc_id"),
+      concat(lit("<p title=\"a>b\">Doc "), col("id"), lit("</p>"))
+        .as("text"))
+    // l52: structural extraction — narrow, codegen'd, no exchange
+    val p52 = docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.htmlExtractStrict(col("text"))
+          .as("t"))
+      .queryExecution.executedPlan.toString
+    assert(!p52.contains("Exchange"),
+      s"htmlExtractStrict shuffles:\n${p52.take(2000)}")
+    // "*(n)" is the compact-plan marker for a WholeStageCodegen span
+    assert(p52.contains("*("),
+      s"htmlExtractStrict fell out of codegen:\n${p52.take(2000)}")
+    // l46 with percent normalization — still a narrow projection
+    val urls = docs.select(concat(lit("https://E.org/%64oc/"),
+      col("doc_id"), lit("?b=2&a=%31#f")).as("url"))
+    val p46 = urls.select(graft.operators.TextAnalysis
+        .normalizeUrl(col("url")).as("u"))
+      .queryExecution.executedPlan.toString
+    assert(!p46.contains("Exchange"),
+      s"normalizeUrl shuffles:\n${p46.take(2000)}")
+    // l48's PSL resolution: one native node — a FILTER over the derived
+    // domain column must not trigger the optimizer constraint-
+    // propagation stall the HOF form had (pinned indirectly by the plan
+    // staying codegen'd and exchange-free)
+    val pPsl = urls.select(graft.operators.TextAnalysis
+        .registeredDomainPsl(col("url")).as("d"))
+      .filter(col("d") =!= "")
+      .queryExecution.executedPlan.toString
+    assert(!pPsl.contains("Exchange"),
+      s"registeredDomainPsl shuffles:\n${pPsl.take(2000)}")
+    assert(pPsl.contains("registered_domain_psl"),
+      s"native node missing from plan:\n${pPsl.take(2000)}")
+  }
 }
