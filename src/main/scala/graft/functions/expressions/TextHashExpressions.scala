@@ -168,6 +168,89 @@ object TextHashExpressions {
 
   def percent_normalize(str: Column): Column =
     Bridge.column(PercentNormalizeExpr(Bridge.expression(str)))
+
+  def hashed_margin_units(text: Column, weightsUnits: Seq[Long],
+                          biasUnits: Long, dim: Int,
+                          wordNgrams: Int): Column =
+    Bridge.column(HashedMarginExpr(Bridge.expression(text),
+      weightsUnits, biasUnits, dim, wordNgrams))
+}
+
+/** hashed_margin_units(text): the quality classifier's integer
+  * micro-unit margin as ONE native kernel — tokenize (the engine's
+  * exact whitespace-class semantics via UTF8String trim/lowercase),
+  * md5-prefix bucket each token (and each adjacent-token bigram when
+  * `wordNgrams >= 2`), sum the per-bucket weight units + bias. Exists
+  * because the composed HOF form (transform over a dim-sized MAP
+  * LITERAL folded with `aggregate`) paid an O(dim) linear scan with
+  * boxed keys PER GRAM in interpreted HOF evaluation — measured 6x
+  * wall on the streaming-inference entry once bigrams doubled the gram
+  * count. Here the weight table is a plain long array indexed by the
+  * bucket: O(grams) with one MD5 per gram, fused into codegen. The
+  * bucket arithmetic is bit-identical to `QualityClassifier.bucketOf`
+  * (first 4 digest bytes big-endian, unsigned, mod dim) so the DuckDB
+  * oracle and the join-form scorer agree unchanged (OperatorSpec pins
+  * narrow ≡ join row-for-row, bigrams and null text included).
+  */
+case class HashedMarginExpr(child: Expression, weightsUnits: Seq[Long],
+                            biasUnits: Long, dim: Int, wordNgrams: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if dim > 0 && weightsUnits.length == dim =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"hashed_margin_units needs ${dim} weights, got " +
+        s"${weightsUnits.length}")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hashed_margin_units needs string, got $other")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "hashed_margin_units"
+
+  @transient private lazy val wu: Array[Long] = weightsUnits.toArray
+
+  def score(u: org.apache.spark.unsafe.types.UTF8String): Long = {
+    // EXACT engine tokenization (TextAnalysis.tokens): UTF8String trim
+    // + toLowerCase, split on the explicit [ \t\n\f\r]+ class, drop
+    // empties — the TextGolden.tokens recipe
+    val toks = u.trim().toLowerCase.toString
+      .split("[ \\t\\n\\f\\r]+", -1).filter(_.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(g: String): Int = {
+      val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets
+        .UTF_8))
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (v % dim).toInt
+    }
+    var s = biasUnits
+    var i = 0
+    while (i < toks.length) { s += wu(bucket(toks(i))); i += 1 }
+    if (wordNgrams >= 2) {
+      i = 0
+      while (i < toks.length - 1) {
+        s += wu(bucket(toks(i) + " " + toks(i + 1)))
+        i += 1
+      }
+    }
+    s
+  }
+
+  override def nullSafeEval(str: Any): Any =
+    score(str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("marginExpr", this,
+      classOf[HashedMarginExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.score($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : HashedMarginExpr = copy(child = c)
 }
 
 /** percent_normalize(str): RFC 3986 §6.2.2 percent-encoding

@@ -150,34 +150,29 @@ object QualityClassifier {
   }
 
   /** ZERO-SHUFFLE scoring — the same integer micro-unit margins as
-    * [[scoreUnits]] but computed entirely WITHIN each row: tokens map
-    * through a full `dim`-entry weight-unit MAP LITERAL and fold with
-    * the `aggregate` higher-order function, so there is no explode, no
-    * join, and no groupBy — one narrow Project over the scan. This is
-    * the INFERENCE shape: it runs unchanged on a STREAMING frame (no
+    * [[scoreUnits]] but computed entirely WITHIN each row by ONE native
+    * kernel ([[graft.functions.expressions.HashedMarginExpr]]):
+    * tokenize → md5-bucket each gram (bigrams included per the model's
+    * `wordNgrams`) → indexed weight-array sum + bias — no explode, no
+    * join, no groupBy, one narrow Project over the scan. This is the
+    * INFERENCE shape: it runs unchanged on a STREAMING frame (no
     * aggregation ⇒ plain append mode, st14) and at 100 TB it fuses
-    * into the scan's codegen stage with the broadcast cost of one
-    * dim-sized literal. [[scoreUnits]]'s join form remains for the
-    * case where features are already materialized as (id, bucket, cnt).
-    * OperatorSpec pins scoreUnitsNarrow ≡ scoreUnits row-for-row.
+    * into the scan's codegen stage shipping one dim-sized long array.
+    * An earlier HOF form (dim-entry MAP LITERAL + aggregate fold) paid
+    * an O(dim) boxed linear scan per gram in interpreted HOF
+    * evaluation — 6x wall on st14 once bigrams landed; the kernel is
+    * O(grams). [[scoreUnits]]'s join form remains for the case where
+    * features are already materialized as (id, bucket, cnt).
+    * OperatorSpec pins scoreUnitsNarrow ≡ scoreUnits row-for-row
+    * (bigram models and null text included — null folds to the bias).
     */
   def scoreUnitsNarrow(docs: DataFrame, model: Model, unit: Double = 1e6,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val wu = model.weightUnits(unit)
-    val bu = model.biasUnits(unit)
-    // FULL map (zeros included): every bucket value is a present key,
-    // so ANSI element_at can never throw on a miss
-    val wmap = typedLit(
-      wu.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toMap)
-    // gramsOf folds null text to an empty array, so the margin is the
-    // bias — matching scoreUnits' left_outer join row-for-row (it would
-    // otherwise propagate to a NULL margin through transform/aggregate)
-    val margin = aggregate(
-      transform(gramsOf(col(textCol), model.wordNgrams),
-        t => element_at(wmap, bucketOf(t, model.dim))),
-      lit(bu),
-      (acc, w) => acc + w)
+    val margin = graft.functions.expressions.TextHashExpressions
+      .hashed_margin_units(coalesce(col(textCol), lit("")),
+        model.weightUnits(unit).toSeq, model.biasUnits(unit),
+        model.dim, model.wordNgrams)
     docs.select(col(idCol).as("doc_id"), margin.as("margin_units"))
       .withColumn("pred", col("margin_units") > 0L)
   }

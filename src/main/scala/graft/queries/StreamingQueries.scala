@@ -402,6 +402,74 @@ object StreamingQueries {
     // directly. New crawl files landing in the directory would flow
     // through the same query incrementally — the production
     // ingest-as-it-arrives shape.
+    // Streaming ingestion of real `.warc` HTTP RESPONSE records (st13's
+    // sibling over the l51 fixture): each micro-batch parses its files,
+    // splits the HTTP messages (status/headers/charset-decoded body),
+    // gates on status 200, and appends (url, http_status, charset,
+    // digest-of-body). The oracle reconstructs the body — the full l45
+    // page HTML — from documents.parquet and re-derives the md5, so one
+    // hash spans streaming admission, gzip framing, HTTP parsing,
+    // charset decode, AND body byte-fidelity. Zero state, plain append.
+    "st15_http_stream" -> QuerySpec(
+      (s, dir) => {
+        val warcDir = LlmQueries.ensureHttpCrawlFixture(s, dir)
+        val binSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("modificationTime",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("length",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.BinaryType)))
+        import s.implicits._
+        withStateSizing(s) {
+          val bc = s.sparkContext.broadcast(new graft.sources.Warc
+            .ShippedConf(graft.sources.Warc.sessionHadoopConf(s)))
+          val parsed = s.readStream.format("binaryFile").schema(binSchema)
+            .load(warcDir)
+            .select(col("path")).as[String]
+            .mapPartitions(paths => paths.flatMap(p =>
+              graft.sources.Warc.parseFileRaw(p, bc.value.value)
+                .filter(_.rec_type == "response")
+                .map(graft.sources.Warc.splitHttp)))
+            .toDF()
+          val q = parsed
+            .filter(col("http_status") === 200)
+            .select(col("url"), col("http_status"), col("charset"),
+              md5(col("body")).as("digest"))
+            .writeStream.format("memory").queryName("st15_sink")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.table("st15_sink").orderBy(col("url"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    'HTTPS://' ||
+             |    CASE CAST(doc_id % 5 AS INT)
+             |      WHEN 0 THEN 'WWW.EXAMPLE.ORG'
+             |      WHEN 1 THEN 'CDN.SPAM.TRACKER.NET:8443'
+             |      WHEN 2 THEN 'News.Site.com'
+             |      WHEN 3 THEN 'blog.example.org'
+             |      ELSE 'ads.DoubleClick.net' END ||
+             |    '/doc/' || doc_id || '?b=2&utm_source=feed&a=1#frag'
+             |      AS url,
+             |    '<html><head><title>Doc ' || doc_id
+             |      || '</title><style>p{color:red}</style>'
+             |      || '<script>var x = 1 < 2;</script></head>'
+             |      || '<body><!-- boilerplate --><h1>Doc ' || doc_id
+             |      || '</h1><p>' || text
+             |      || ' &amp;lt; tail &nbsp;&lt;b&gt;</p></body></html>'
+             |      AS body
+             |  FROM documents
+             |  WHERE doc_id % 9 <> 4)
+             |SELECT url, 200 AS http_status, 'utf-8' AS charset,
+             |  md5(body) AS digest
+             |FROM p ORDER BY url""".stripMargin)),
+
     "st13_warc_stream" -> QuerySpec(
       (s, dir) => {
         val warcDir = ensureWarcFixture(s, dir)
