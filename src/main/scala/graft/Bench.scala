@@ -126,9 +126,21 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         val cold = once()
-        val load = loadProbe()
+        val loadPre = loadProbe()
         val times = (1 to runsPer).map(_ => once()).sorted
-        (name, times(runsPer / 2), times.last - times.head, err, cold, load)
+        val median = times(runsPer / 2)
+        // adaptive post-probe: the pre-probe samples one instant, and a
+        // burst arriving BETWEEN probe and runs would flag the entry
+        // with a clean-looking probe (observed once: q-family flags
+        // adjacent to q-family spikes). Only entries that WOULD flag
+        // under the pre-probe's scale pay the second ~60 ms probe; the
+        // budget check uses the max of the two.
+        val wouldFlag = graft.BenchBudgets.pinnedMedians.get(name)
+          .exists(p => median > p * graft.BenchBudgets.Factor *
+            math.max(1.0, loadPre / graft.BenchBudgets.RefLoadProbe))
+        val load =
+          if (wouldFlag) math.max(loadPre, loadProbe()) else loadPre
+        (name, median, times.last - times.head, err, cold, load)
     }
     val qs = results.map { case (k, m, _, _, _, _) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")

@@ -56,7 +56,11 @@ object Explain {
       "l45_html_extract" -> "HTML→text extraction (zero-shuffle regexp/replace projection)",
       "l47_c4_clean" -> "C4 line-level cleaning (one narrow Project: line rules + page gates)",
       "l49_crawl_funnel" -> "crawl-to-corpus funnel (three stage aggregates over the narrow WARC→extract→normalize pipeline)",
-      "l50_incremental_dedup" -> "incremental dedup (increment band rows vs bucketed store, semi-join-first verify)")
+      "l50_incremental_dedup" -> "incremental dedup (increment band rows vs bucketed store, semi-join-first verify)",
+      "l51_http_funnel" -> "HTTP-response crawl funnel (narrow parse+split, four stage aggregates)",
+      "l52_html_strict" -> "structural HTML extraction (one native codegen node, zero exchange)",
+      "l53_pii_redact" -> "PII counts + redaction (narrow regexp chain)",
+      "l54_robots_filter" -> "robots evaluation (broadcast rules join + max_by longest-match)")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans of flagship queries\n\n")
     sb.append("Generated by `runMain graft.Explain` on sf0.001; the\n")
