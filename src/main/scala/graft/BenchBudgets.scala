@@ -100,6 +100,7 @@ object BenchBudgets {
     "l52_html_strict" -> 0.1026,
     "l53_pii_redact" -> 0.0995,
     "l54_robots_filter" -> 0.1559,
+    "l55_kmv_distinct" -> 1.0100,
     "m01_media_features" -> 0.3174,
     "m02_frame_sample" -> 0.0922,
     "m03_media_resize" -> 0.0925,

@@ -1266,6 +1266,74 @@ object TextAnalysis {
   val PiiPhone = "\\+\\d{1,3}-\\d{3}-\\d{3}-\\d{4}"
   val PiiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
+  /** KMV (k-minimum-values) distinct-count sketches per source, plus
+    * their MERGE — the sketch family's missing member beside HLL (l11,
+    * estimate-only), CMS (l27, frequencies), and Misra-Gries (l35,
+    * heavy hitters): KMV supports set-algebra on sketches (the union
+    * here; intersections via inclusion-exclusion), which is how corpus
+    * registries answer "how many distinct tokens across sources A+B"
+    * without re-scanning either. Each source keeps its k SMALLEST
+    * 60-bit md5-prefix hashes of its distinct tokens; the estimator is
+    * (k−1)·M/h_(k) (exact count when a source has < k distinct
+    * values); the union sketch = the k smallest of the CONCATENATED
+    * per-source sketches — mergeability is the whole point, and the
+    * merged-vs-direct identity is spec-pinned.
+    *
+    * Oracle strength: md5 is cross-engine, so DuckDB re-derives the
+    * sketch ITSELF — every h_(k), every estimate — exactly (no
+    * bounded-error flags needed, unlike l11's opaque HLL). Scale
+    * shape: one distinct (source, token) aggregate, per-source k-th
+    * order statistic via a WindowGroupLimit-pushdown window (each map
+    * partition forwards ≤ k rows per source), union step over
+    * k·n_sources rows.
+    */
+  def kmvDistinct(docs: DataFrame, k: Int = 256,
+                  sourceCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val m = math.pow(2.0, 60).toLong // 15 hex chars
+    val hashed = docs
+      .select(col(sourceCol).as("source"),
+        explode(tokens(col(textCol))).as("tok"))
+      .distinct()
+      .select(col("source"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+          .as("h"))
+      // distinct TOKENS per source, then distinct hashes: md5-prefix
+      // collisions inside one source would double-count a slot
+      .distinct()
+    def sketch(grouped: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("h"))
+      grouped
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_min"))
+        .select(col("source"), col("kth_min"),
+          when(col("n_kept") < k, col("n_kept").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(m.toDouble) /
+              col("kth_min").cast("double"))
+            .as("est_raw"))
+        .select(col("source"), col("kth_min"),
+          quant(col("est_raw"), 2).as("est_distinct"))
+    }
+    val perSource = sketch(hashed)
+    // UNION VIA THE SKETCHES: concatenate the per-source k-min lists
+    // (≤ k·n_sources rows — sketch-sized, the corpus is not re-read)
+    // and take the k smallest of that
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"))
+    val sketchRows = hashed.withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= k)
+      .select(lit("ALL").as("source"), col("h"))
+      // the same token in two sources hashes identically — the union
+      // sketch de-duplicates slots exactly like a set union
+      .distinct()
+    val union = sketch(sketchRows)
+    perSource.unionByName(union)
+  }
+
   /** Parse one robots.txt body into the rule list that applies to
     * `agent` under RFC 9309 group semantics: lines group under
     * consecutive `User-agent:` headers; if ANY group names the agent's

@@ -1478,6 +1478,48 @@ object LlmQueries {
              |    AS text_redacted
              |FROM p ORDER BY doc_id""".stripMargin)),
 
+    // KMV distinct sketches (l55) — the MERGEABLE distinct-count
+    // family member beside HLL/CMS/MG: per-source k-minimum-values
+    // sketches of the distinct-token space plus their UNION computed
+    // from the sketches alone (k·n_sources rows — the corpus is not
+    // re-read for the merge). md5-based hashing makes the sketch
+    // itself cross-engine: DuckDB re-derives every k-th order
+    // statistic and every estimate EXACTLY — no bounded-error flags,
+    // unlike the opaque HLL (l11).
+    "l55_kmv_distinct" -> QuerySpec(
+      (s, dir) => {
+        TextAnalysis.kmvDistinct(
+            Tables(s, dir, "documents").select(col("source"), col("text")))
+          .orderBy(col("source"))
+      },
+      Some("""WITH dt AS (
+             |  SELECT DISTINCT source, unnest(list_filter(
+             |    regexp_split_to_array(lower(trim(text)), '\s+'),
+             |    x -> length(x) > 0)) AS tok
+             |  FROM documents),
+             |h AS (SELECT DISTINCT source,
+             |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+             |  FROM dt),
+             |r AS (SELECT source, h,
+             |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+             |  FROM h),
+             |ps AS (SELECT source, COUNT(*) AS n_kept, MAX(h) AS kth_min
+             |  FROM r WHERE rn <= 256 GROUP BY source),
+             |u0 AS (SELECT DISTINCT h FROM r WHERE rn <= 256),
+             |ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+             |  FROM u0),
+             |us AS (SELECT 'ALL' AS source, COUNT(*) AS n_kept,
+             |    MAX(h) AS kth_min
+             |  FROM ur WHERE rn <= 256),
+             |allrows AS (SELECT * FROM ps UNION ALL SELECT * FROM us)
+             |SELECT source, kth_min,
+             |  floor(CASE WHEN n_kept < 256
+             |      THEN CAST(n_kept AS DOUBLE)
+             |      ELSE 255.0 * 1152921504606846976.0
+             |           / CAST(kth_min AS DOUBLE) END
+             |    * 100.0 + 0.5) / 100.0 AS est_distinct
+             |FROM allrows ORDER BY source""".stripMargin)),
+
     // Robots-exclusion evaluation (l54) — the crawl-side gate between
     // frontier and fetch, RFC 9309 semantics: per-host robots.txt
     // bodies (planted: a Disallow-with-longer-Allow-override host, a

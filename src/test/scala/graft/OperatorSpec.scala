@@ -2115,6 +2115,50 @@ class OperatorSpec extends AnyFunSuite {
     assert(nN(122L) == bu, s"null text must score the bias: ${nN(122L)}")
   }
 
+  test("KMV distinct sketches: estimates within the sketch's error " +
+      "envelope, exact below k, and union-from-sketches identical to " +
+      "a direct sketch of the union") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(77)
+    // source a: 2000 distinct tokens; source b: 1500, overlapping a by
+    // 500 → exact union 3000. source c: 40 distinct (< k ⇒ exact).
+    def doc(src: String, toks: Seq[Int]) =
+      (src, toks.map(t => s"tok$t").mkString(" "))
+    val docs = (
+      (0 until 100).map(i => doc("a",
+        (0 until 20).map(_ => rnd.nextInt(2000)))) ++
+      (0 until 100).map(i => doc("b",
+        (0 until 15).map(_ => 1500 + rnd.nextInt(1500)))) ++
+      Seq(doc("c", 0 until 40))).toDF("source", "text")
+    // make every token of a/b actually PRESENT (random draws miss
+    // some): append one doc per source carrying the full range
+    val full = Seq(doc("a", 0 until 2000), doc("b", 1500 until 3000))
+      .toDF("source", "text")
+    val got = TextAnalysis.kmvDistinct(docs.unionByName(full))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("kth_min"), r.getAs[Double]("est_distinct"))))
+      .toMap
+    // c has 40 < k distinct tokens: the sketch is EXACT by contract
+    assert(got("c")._2 == 40.0, s"sub-k source must be exact: ${got("c")}")
+    // a/b/union: KMV standard error is ~1/sqrt(k-2) ≈ 6.3% at k=256;
+    // assert a generous 3-sigma 20% envelope (deterministic — md5 is
+    // fixed, so this can never flake)
+    def within(est: Double, exact: Double): Boolean =
+      math.abs(est - exact) / exact < 0.20
+    assert(within(got("a")._2, 2000.0), s"a: ${got("a")}")
+    assert(within(got("b")._2, 1500.0), s"b: ${got("b")}")
+    assert(within(got("ALL")._2, 3000.0), s"ALL: ${got("ALL")}")
+    // mergeability: the union row (computed from the per-source k-min
+    // lists alone) must equal a DIRECT sketch over the union corpus
+    val direct = TextAnalysis.kmvDistinct(
+        docs.unionByName(full).withColumn("source", lit("u")))
+      .filter(col("source") === "u").head()
+    assert(direct.getAs[Long]("kth_min") == got("ALL")._1 &&
+      direct.getAs[Double]("est_distinct") == got("ALL")._2,
+      s"merged sketch != direct sketch: direct=$direct got=${got("ALL")}")
+  }
+
   test("robots.txt: RFC 9309 group selection, longest-prefix match " +
       "with Allow tie-break, defaults, and parser edge cases") {
     import graft.operators.TextAnalysis

@@ -203,6 +203,46 @@ class WarcSpec extends AnyFunSuite {
     info(s"fuzz parsed $parsedSome records across survivors")
   }
 
+  test("HTTP-split mutation fuzz: corrupting a valid HTTP response " +
+      "payload anywhere yields an HttpRecord or a clean exception — " +
+      "never a hang, OOM, or crash") {
+    val base = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+      "charset=utf-8\r\nServer: t\r\nContent-Length: 24\r\n\r\n" +
+      "<p>body Ωmega text</p>").getBytes("UTF-8")
+    val rnd = new scala.util.Random(871)
+    var parsedSome = 0
+    (1 to 300).foreach { _ =>
+      val mut = base.clone()
+      val payload: Array[Byte] = rnd.nextInt(3) match {
+        case 0 => // flip one random byte
+          val p = rnd.nextInt(mut.length)
+          mut(p) = (mut(p) ^ (1 << rnd.nextInt(8))).toByte
+          mut
+        case 1 => // truncate
+          java.util.Arrays.copyOfRange(mut, 0,
+            1 + rnd.nextInt(mut.length - 1))
+        case 2 => // duplicate a random slice in place
+          val p = rnd.nextInt(mut.length - 2)
+          val l = 1 + rnd.nextInt(math.min(32, mut.length - p - 1))
+          System.arraycopy(mut, p, mut,
+            math.min(p + l, mut.length - l), l)
+          mut
+      }
+      val rec = graft.sources.Warc.RawRecord("fuzz.warc", "response",
+        "https://f.example/", "2026-01-01T00:00:00Z",
+        "application/http; msgtype=response", payload)
+      try { graft.sources.Warc.splitHttp(rec); parsedSome += 1 }
+      catch {
+        case _: IllegalArgumentException => () // no separator / bad
+        // status line — the documented loud failure modes
+        case e: java.io.UnsupportedEncodingException =>
+          fail(s"charset handling must pre-validate: $e")
+      }
+    }
+    info(s"HTTP fuzz: $parsedSome of 300 mutants split cleanly")
+    assert(parsedSome > 0, "fuzz vacuously rejected everything")
+  }
+
   test("scale: parsing a 10x-record member stream costs ~10x wall, " +
       "never quadratic, with memory bounded by one record (the " +
       "l21/p13 measured-scaling convention applied to ingestion)") {
