@@ -218,7 +218,9 @@ case class HashedMarginExpr(child: Expression, weightsUnits: Seq[Long],
     // empties — the TextGolden.tokens recipe
     val toks = u.trim().toLowerCase.toString
       .split("[ \\t\\n\\f\\r]+", -1).filter(_.nonEmpty)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // per-THREAD digest: one expression object serves many tasks in
+    // local mode, and MessageDigest is stateful; digest() resets it
+    val md = HashedMarginExpr.Md5.get()
     def bucket(g: String): Int = {
       val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets
         .UTF_8))
@@ -251,6 +253,12 @@ case class HashedMarginExpr(child: Expression, weightsUnits: Seq[Long],
 
   override protected def withNewChildInternal(c: Expression)
       : HashedMarginExpr = copy(child = c)
+}
+
+object HashedMarginExpr {
+  private[expressions] val Md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
 }
 
 /** percent_normalize(str): RFC 3986 §6.2.2 percent-encoding
@@ -366,14 +374,19 @@ object RegisteredDomainExpr {
     * therefore IP literals under no rule) yield "".
     */
   def resolveDomain(url: String, t: PslTables): String = {
-    // scheme://: first char a letter, rest [A-Za-z0-9+.-]
+    // scheme://: ASCII-only, matching the documented ^[a-z][a-z0-9+.-]
+    // grammar (Character.isLetter would admit non-ASCII schemes the
+    // columnar regex form rejected)
+    def asciiAlpha(c: Char) =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
     val si = url.indexOf("://")
     if (si <= 0) return ""
-    if (!url.charAt(0).isLetter) return ""
+    if (!asciiAlpha(url.charAt(0))) return ""
     var k = 1
     while (k < si) {
       val c = url.charAt(k)
-      if (!(c.isLetterOrDigit || c == '+' || c == '.' || c == '-'))
+      if (!(asciiAlpha(c) || (c >= '0' && c <= '9') || c == '+' ||
+          c == '.' || c == '-'))
         return ""
       k += 1
     }
