@@ -809,4 +809,25 @@ class PlanSpec extends AnyFunSuite {
     assert(pPsl.contains("registered_domain_psl"),
       s"native node missing from plan:\n${pPsl.take(2000)}")
   }
+
+  test("l54: robots evaluation broadcast-joins the rules and shuffles " +
+      "exactly once (the longest-match aggregate) — the URL frame is " +
+      "never repartitioned by host") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val urls = spark.range(1000).select(col("id").as("doc_id"),
+      concat(lit("https://h"), col("id") % 7, lit(".example/p/"),
+        col("id")).as("url"))
+    val robots = (0 until 7).map(i =>
+      (s"h$i.example", "User-agent: *\nDisallow: /p/\n"))
+      .toDF("domain", "robots_txt")
+    val plan = graft.operators.TextAnalysis
+      .robotsFilter(urls, robots, "bot")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rules must broadcast:\n${plan.take(2000)}")
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"exactly one exchange (the doc_id aggregate) expected:\n" +
+        plan.take(2000))
+  }
 }
