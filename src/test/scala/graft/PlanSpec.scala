@@ -830,4 +830,19 @@ class PlanSpec extends AnyFunSuite {
       s"exactly one exchange (the doc_id aggregate) expected:\n" +
         plan.take(2000))
   }
+
+  test("l55: the KMV k-th order statistic executes as a " +
+      "WindowGroupLimit pair — each map partition forwards at most k " +
+      "rows per source into the exchange") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = spark.range(2000).select(
+      concat(lit("s"), col("id") % 4).as("source"),
+      concat(lit("tok"), col("id"), lit(" tok"), col("id") * 7)
+        .as("text"))
+    val plan = graft.operators.TextAnalysis.kmvDistinct(docs, k = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"k-th order statistic must push the limit into map partitions:\n" +
+        plan.take(2500))
+  }
 }
