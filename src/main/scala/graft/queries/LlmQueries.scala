@@ -2645,15 +2645,15 @@ object LlmQueries {
   // golden name derived from the sf dir's basename — pure, so the query
   // fn and the dump-time oracle builder always name the same golden
   private def l13GoldenName(dir: String): String =
-    s"l13-fp-${new java.io.File(dir).getName}-v1"
+    s"l13-fp-${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
 
   private[queries] def l02GoldenName(dir: String): String =
-    s"l02-minhash-${new java.io.File(dir).getName}-v1"
+    s"l02-minhash-${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
   // NumMerges rides the name: the _OK-guarded golden can never go
   // stale against a retuned merge count without the name changing too
   private def l26GoldenName(dir: String): String =
     s"l26-bpe-${graft.operators.TextAnalysis.Bpe.NumMerges}-" +
-      s"${new java.io.File(dir).getName}-v1"
+      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
 
   /** The l26 golden: replay tokenization (TextGolden.tokens ≡ the
     * engine's tokens()) aggregated to a word-frequency dictionary on
@@ -2679,7 +2679,7 @@ object LlmQueries {
   // can never silently reuse a stale vocabulary golden
   private def l29GoldenName(dir: String): String =
     s"l29-bpevocab-${graft.operators.TextAnalysis.Bpe.NumMerges}-" +
-      s"${new java.io.File(dir).getName}-v1"
+      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
 
   /** The l29 golden: replay word frequencies (the l26 path), replay-train
     * the merge table, then plain-Scala-encode every distinct word —
@@ -2840,12 +2840,12 @@ object LlmQueries {
 
   private def l43GoldenName(dir: String): String =
     s"l43-bbpe-${graft.operators.TextAnalysis.ByteBpe.NumMerges}-" +
-      s"${new java.io.File(dir).getName}-v1"
+      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
   private def l44VocabGoldenName(dir: String): String =
     s"l44-bbpevocab-${graft.operators.TextAnalysis.ByteBpe.NumMerges}-" +
-      s"${new java.io.File(dir).getName}-v1"
+      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
   private def l44CorpusGoldenName(dir: String): String =
-    s"l44-bbpecorpus-${new java.io.File(dir).getName}-v1"
+    s"l44-bbpecorpus-${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
 
   /** Replay pre-token frequencies on the RDD side (TextGolden.preTokens
     * — same Java regex as the engine's regexp_extract_all, independent
@@ -2916,7 +2916,7 @@ object LlmQueries {
   }
 
   private def l03GoldenName(dir: String): String =
-    s"l03-simhash-${new java.io.File(dir).getName}-v1"
+    s"l03-simhash-${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
 
   // Signature goldens for l02/l03/l14 (see TextGolden.minhashSig /
   // simhashSig): computed DISTRIBUTED over the documents table by the
