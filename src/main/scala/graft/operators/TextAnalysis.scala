@@ -1287,11 +1287,14 @@ object TextAnalysis {
     * partition forwards ≤ k rows per source), union step over
     * k·n_sources rows.
     */
-  def kmvDistinct(docs: DataFrame, k: Int = 256,
-                  sourceCol: String = "source",
-                  textCol: String = "text"): DataFrame = {
-    require(k >= 2, s"KMV needs k >= 2, got $k")
-    val m = math.pow(2.0, 60).toLong // 15 hex chars
+  /** The per-source k-minimum rows (source, h) of [[kmvDistinct]] —
+    * the un-materialized window fragment, visible so PlanSpec can pin
+    * its WindowGroupLimit shape (the checkpoint inside kmvDistinct
+    * hides the window from the result's executed plan).
+    */
+  private[graft] def kmvKminRows(docs: DataFrame, k: Int,
+                                 sourceCol: String,
+                                 textCol: String): DataFrame = {
     val hashed = docs
       .select(col(sourceCol).as("source"),
         explode(tokens(col(textCol))).as("tok"))
@@ -1302,12 +1305,25 @@ object TextAnalysis {
       // distinct TOKENS per source, then distinct hashes: md5-prefix
       // collisions inside one source would double-count a slot
       .distinct()
-    def sketch(grouped: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"))
+    hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("h"))
+  }
+
+  def kmvDistinct(docs: DataFrame, k: Int = 256,
+                  sourceCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val m = math.pow(2.0, 60).toLong // 15 hex chars
+    // ONE corpus scan: the k-min relation (≤ k·n_sources rows) is
+    // materialized once and both the per-source sketches and the union
+    // read it — without the checkpoint the per-source and union
+    // branches would each re-run the corpus-scale distinct aggregate
+    val kmin = kmvKminRows(docs, k, sourceCol, textCol).localCheckpoint()
+    def estimate(grouped: DataFrame): DataFrame =
       grouped
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_min"))
         .select(col("source"), col("kth_min"),
@@ -1317,21 +1333,19 @@ object TextAnalysis {
             .as("est_raw"))
         .select(col("source"), col("kth_min"),
           quant(col("est_raw"), 2).as("est_distinct"))
-    }
-    val perSource = sketch(hashed)
+    val perSource = estimate(kmin)
     // UNION VIA THE SKETCHES: concatenate the per-source k-min lists
-    // (≤ k·n_sources rows — sketch-sized, the corpus is not re-read)
-    // and take the k smallest of that
-    val wS = org.apache.spark.sql.expressions.Window
+    // and keep the k smallest of that (the same token in two sources
+    // hashes identically, so DISTINCT de-duplicates slots exactly like
+    // a set union)
+    val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("h"))
-    val sketchRows = hashed.withColumn("rn", row_number().over(wS))
+    val unionRows = kmin
+      .select(lit("ALL").as("source"), col("h")).distinct()
+      .withColumn("rn", row_number().over(wAll))
       .filter(col("rn") <= k)
-      .select(lit("ALL").as("source"), col("h"))
-      // the same token in two sources hashes identically — the union
-      // sketch de-duplicates slots exactly like a set union
-      .distinct()
-    val union = sketch(sketchRows)
-    perSource.unionByName(union)
+      .select(col("source"), col("h"))
+    perSource.unionByName(estimate(unionRows))
   }
 
   /** Parse one robots.txt body into the rule list that applies to

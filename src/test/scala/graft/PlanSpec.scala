@@ -839,7 +839,10 @@ class PlanSpec extends AnyFunSuite {
       concat(lit("s"), col("id") % 4).as("source"),
       concat(lit("tok"), col("id"), lit(" tok"), col("id") * 7)
         .as("text"))
-    val plan = graft.operators.TextAnalysis.kmvDistinct(docs, k = 16)
+    // pin the un-materialized k-min fragment (kmvDistinct checkpoints
+    // it, which hides the window from the result's executed plan)
+    val plan = graft.operators.TextAnalysis
+      .kmvKminRows(docs, 16, "source", "text")
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"),
       s"k-th order statistic must push the limit into map partitions:\n" +
