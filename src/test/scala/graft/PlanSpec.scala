@@ -796,6 +796,11 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p46.contains("Exchange"),
       s"normalizeUrl shuffles:\n${p46.take(2000)}")
+    // l53: PII counts + redaction — a narrow regexp chain, no exchange
+    val p53 = graft.operators.TextAnalysis.piiRedact(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p53.contains("Exchange"),
+      s"piiRedact shuffles:\n${p53.take(2000)}")
     // l48's PSL resolution: one native node — a FILTER over the derived
     // domain column must not trigger the optimizer constraint-
     // propagation stall the HOF form had (pinned indirectly by the plan
