@@ -1439,8 +1439,9 @@ object TextAnalysis {
     val joined = withHost.join(broadcast(rules),
       col("host") === col("__host") &&
         col("__path").startsWith(col("__prefix")), "left_outer")
-    // longest matching prefix wins; Allow wins ties (the Google/RFC
-    // tie-break); no matching rule -> allowed
+    // longest matching prefix wins — by OCTET length, the RFC 9309
+    // §2.2.2 ordering (character length diverges on non-ASCII paths);
+    // Allow wins ties; no matching rule -> allowed
     joined
       .groupBy(col(idCol))
       .agg(
@@ -1448,7 +1449,7 @@ object TextAnalysis {
         first(col("host")).as("host"),
         coalesce(
           max(when(col("__prefix").isNotNull,
-            struct(length(col("__prefix")).as("l"),
+            struct(octet_length(col("__prefix")).as("l"),
               col("__allow").cast("int").as("a"))))("a") === 1,
           lit(true)).as("allowed"))
   }
