@@ -2159,6 +2159,33 @@ class OperatorSpec extends AnyFunSuite {
       s"merged sketch != direct sketch: direct=$direct got=${got("ALL")}")
   }
 
+  test("KMV scale bounds: 10x documents (10x distinct space) stays " +
+      "sub-quadratic — the k-min window forwards at most k rows per " +
+      "source per partition regardless of corpus size") {
+    import graft.operators.TextAnalysis
+    def world(n: Int) = spark.range(n).selectExpr(
+      "concat('s', id % 4) as source",
+      "concat_ws(' ', transform(sequence(0, 19), " +
+        "j -> concat('u', id, '_', j))) as text")
+      .localCheckpoint() // corpus construction outside the timed region
+    val w1 = world(500)
+    val w10 = world(5000)
+    def time(df: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      assert(TextAnalysis.kmvDistinct(df).count() == 5)
+      (System.nanoTime() - t0) / 1e9
+    }
+    time(w1) // warm codegen/JIT outside the measured attempts
+    val ok = (1 to 3).exists { _ =>
+      val t1 = math.min(time(w1), time(w1))
+      val t10 = math.min(time(w10), time(w10))
+      val ratio = t10 / math.max(t1, 1e-3)
+      info(f"kmv 1x=${t1}%.3fs 10x=${t10}%.3fs ratio=$ratio%.1f")
+      ratio < 30.0
+    }
+    assert(ok, "10x KMV exceeded 30x wall on all 3 attempts")
+  }
+
   test("robots.txt: RFC 9309 group selection, longest-prefix match " +
       "with Allow tie-break, defaults, and parser edge cases") {
     import graft.operators.TextAnalysis
