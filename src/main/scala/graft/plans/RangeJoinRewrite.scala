@@ -284,8 +284,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   private def widthKey(ivSide: LogicalPlan, lo: Expression,
                        hi: Expression): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    val canonical = ivSide.canonicalized.toString + " " +
-      lo.canonicalized.toString + " " + hi.canonicalized.toString
+    // toJSON is a LOSSLESS rendering: toString elides fields beyond
+    // spark.sql.debug.maxToStringFields (default 25) as "... N more
+    // fields", so two genuinely different WIDE interval plans could
+    // digest to the same key and serve a stale width — exactly the
+    // giant-Sequence blowup this cache exists to prevent. The JSON tree
+    // renders every field of every node unconditionally.
+    val canonical = ivSide.canonicalized.toJSON + "\u0000" +
+      lo.canonicalized.toJSON + "\u0000" + hi.canonicalized.toJSON
     md.digest(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
   }

@@ -1776,6 +1776,52 @@ object LlmQueries {
              |FROM t
              |ORDER BY stage""".stripMargin)),
 
+    // HTTP wire decoding, end-to-end per record: the l51 fixture's
+    // bodies cycle identity / gzip / chunked / chunked-over-gzip
+    // (doc_id % 6 — see ensureHttpCrawlFixture), and this entry hashes
+    // EVERY decoded body. The oracle reconstructs the expected page
+    // from documents.parquet alone and re-derives md5 + decoded octet
+    // length, so one hash spans gzip member framing, WARC parsing, HTTP
+    // header parsing, chunk de-framing (extensions, uppercase hex,
+    // trailers), gzip/deflate content decoding, layered-coding order,
+    // charset decode, and byte fidelity — the st15 convention extended
+    // to the coded-body population. content_encoding = '' pins "fully
+    // decoded" for every row.
+    "l56_http_decode" -> QuerySpec(
+      (s, dir) => {
+        val base = ensureHttpCrawlFixture(s, dir)
+        graft.sources.Warc.readResponses(s, base)
+          .select(col("url"), col("http_status"), col("content_encoding"),
+            col("n_bytes"), md5(col("body")).as("digest"))
+          .orderBy(col("url"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    'HTTPS://' ||
+             |    CASE CAST(doc_id % 5 AS INT)
+             |      WHEN 0 THEN 'WWW.EXAMPLE.ORG'
+             |      WHEN 1 THEN 'CDN.SPAM.TRACKER.NET:8443'
+             |      WHEN 2 THEN 'News.Site.com'
+             |      WHEN 3 THEN 'blog.example.org'
+             |      ELSE 'ads.DoubleClick.net' END ||
+             |    '/doc/' || doc_id || '?b=2&utm_source=feed&a=1#frag'
+             |      AS url,
+             |    '<html><head><title>Doc ' || doc_id
+             |      || '</title><style>p{color:red}</style>'
+             |      || '<script>var x = 1 < 2;</script></head>'
+             |      || '<body><!-- boilerplate --><h1>Doc ' || doc_id
+             |      || '</h1><p>' || text
+             |      || ' &amp;lt; tail &nbsp;&lt;b&gt;</p></body></html>'
+             |      AS body
+             |  FROM documents)
+             |SELECT url,
+             |  CASE WHEN doc_id % 9 = 4 THEN 404 ELSE 200 END
+             |    AS http_status,
+             |  '' AS content_encoding,
+             |  octet_length(encode(body))::BIGINT AS n_bytes,
+             |  md5(body) AS digest
+             |FROM p ORDER BY url""".stripMargin)),
+
     // C4 line-level cleaning (Raffel et al. §2.2) — the REWRITE-side
     // filter battery beside l40's doc-level Gopher flags: keep only
     // lines ending in terminal punctuation with ≥3 words and no
@@ -2796,6 +2842,18 @@ object LlmQueries {
     * what real Common Crawl `.warc` carries where WET carries
     * pre-extracted text), under the same dirty-url host pool. Planted
     * non-200s on doc_id % 9 == 4 give the funnel a real status gate.
+    *
+    * The body wire format cycles on doc_id % 6 — real crawl `response`
+    * records carry bodies AS RECEIVED, and most of the web sends them
+    * coded:
+    *   - 1 → `Content-Encoding: gzip`
+    *   - 3 → `Transfer-Encoding: chunked` (100-byte chunks, a chunk
+    *     extension on the first size line, a trailer field after the
+    *     last chunk — every RFC 9112 §7.1 frame element exercised)
+    *   - 5 → gzip THEN chunked (the layered real-world case: content
+    *     coding applied before transfer framing)
+    *   - 0/2/4 → identity (the plain baseline)
+    * so a decode bug in any branch flips md5s/counts downstream.
     * Write-once per sf dir, drift-keyed (the st13 convention).
     */
   private[queries] def ensureHttpCrawlFixture(
@@ -2803,7 +2861,7 @@ object LlmQueries {
     crawlFixLock.synchronized {
       val key = docsDriftKey(dir)
       val base = new java.io.File(
-        s"target/httpfix/${new java.io.File(dir).getName}-$key-v1")
+        s"target/httpfix/${new java.io.File(dir).getName}-$key-v2")
       val done = new java.io.File(base, "_DONE")
       if (!done.exists()) {
         if (base.exists())
@@ -2814,17 +2872,16 @@ object LlmQueries {
           WHEN 2 THEN 'News.Site.com'
           WHEN 3 THEN 'blog.example.org'
           ELSE 'ads.DoubleClick.net' END""")
-        val status = when(col("doc_id") % 9 === 4,
-          lit("HTTP/1.1 404 Not Found")).otherwise(lit("HTTP/1.1 200 OK"))
-        val httpMsg = concat(status,
-          lit("\r\nContent-Type: text/html; charset=utf-8\r\n" +
-            "Server: graft-fixture\r\n\r\n"),
-          l45Page(col("doc_id"), col("text")))
+        import s.implicits._
         val rows = Tables(s, dir, "documents").select(
-          concat(lit("HTTPS://"), host, lit("/doc/"), col("doc_id"),
-            lit("?b=2&utm_source=feed&a=1#frag")).as("url"),
-          lit("2026-01-01T00:00:00Z").as("warc_date"),
-          encode(httpMsg, "UTF-8").as("payload"))
+            col("doc_id"),
+            concat(lit("HTTPS://"), host, lit("/doc/"), col("doc_id"),
+              lit("?b=2&utm_source=feed&a=1#frag")).as("url"),
+            l45Page(col("doc_id"), col("text")).as("page"))
+          .as[(Long, String, String)]
+          .map { case (id, url, page) =>
+            (url, "2026-01-01T00:00:00Z", buildHttpMessage(id, page)) }
+          .toDF("url", "warc_date", "payload")
         graft.sources.Warc.writeRecords(rows.repartition(4),
           base.toString, recType = "response",
           contentType = "application/http; msgtype=response")
@@ -2832,6 +2889,60 @@ object LlmQueries {
       }
       base.toString
     }
+
+  /** One fixture HTTP response message (see [[ensureHttpCrawlFixture]]
+    * for the doc_id % 6 coding cycle). Encoding here is the INVERSE
+    * operation of the reader's decode path (`Warc.splitHttp`) — gzip
+    * via the JDK's compressor against the reader's decompressor, chunk
+    * framing handwritten against the reader's parser — the p02/p08
+    * round-trip-oracle stance: the DuckDB oracle independently
+    * re-derives the DECODED body from documents.parquet, so an
+    * encode/decode bug cannot cancel out.
+    */
+  private def buildHttpMessage(id: Long, page: String): Array[Byte] = {
+    val status =
+      if (id % 9 == 4) "HTTP/1.1 404 Not Found" else "HTTP/1.1 200 OK"
+    val plain = page.getBytes("UTF-8")
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.finish(); g.close()
+      bos.toByteArray
+    }
+    def chunk(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(b.length + 256)
+      var i = 0; var first = true
+      while (i < b.length) {
+        val n = math.min(100, b.length - i)
+        // chunk extension on the first frame; UPPERCASE hex on the
+        // rest — both valid per RFC 9112, both must parse
+        val sizeLine =
+          if (first) f"$n%x;ext=graft-fixture\r\n"
+          else f"$n%X\r\n"
+        out.write(sizeLine.getBytes("ISO-8859-1"))
+        out.write(b, i, n)
+        out.write("\r\n".getBytes("ISO-8859-1"))
+        i += n; first = false
+      }
+      out.write("0\r\nX-Graft-Trailer: done\r\n\r\n".getBytes("ISO-8859-1"))
+      out.toByteArray
+    }
+    val (headers, body) = (id % 6) match {
+      case 1 => ("Content-Encoding: gzip\r\n", gz(plain))
+      case 3 => ("Transfer-Encoding: chunked\r\n", chunk(plain))
+      case 5 => ("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+        chunk(gz(plain)))
+      case _ => ("", plain)
+    }
+    val head = (status + "\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n" +
+      headers +
+      "Server: graft-fixture\r\n\r\n").getBytes("ISO-8859-1")
+    val msg = new Array[Byte](head.length + body.length)
+    System.arraycopy(head, 0, msg, 0, head.length)
+    System.arraycopy(body, 0, msg, head.length, body.length)
+    msg
+  }
 
   // ---- byte-level BPE goldens (l43/l44) ----
 

@@ -68,12 +68,15 @@ object Warc {
     * `http_status` from the status line, `http_content_type` the HTTP
     * `Content-Type` header verbatim, `charset` the charset the body was
     * decoded with (the Content-Type parameter when present and
-    * supported, else UTF-8), `n_bytes` the BODY byte count, `body` the
+    * supported, else UTF-8), `content_encoding` the RESIDUAL undecoded
+    * content codings ("" when the body is fully decoded — see
+    * [[splitHttp]]), `n_bytes` the DECODED body byte count, `body` the
     * charset-decoded body text.
     */
   final case class HttpRecord(file: String, url: String, warc_date: String,
                               http_status: Int, http_content_type: String,
-                              charset: String, n_bytes: Long, body: String)
+                              charset: String, content_encoding: String,
+                              n_bytes: Long, body: String)
 
   /** Parse-side truth: the undecoded payload bytes. [[Record]] is its
     * UTF-8 view; [[HttpRecord]] its HTTP-split view.
@@ -108,6 +111,49 @@ object Warc {
       : org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.graftshim.Bridge.sessionHadoopConf(spark)
 
+  // One ShippedConf broadcast per (session, conf-fingerprint), reused by
+  // every read/readResponses/writeRecords call: a long-running session
+  // issuing many WARC operations would otherwise mint a new broadcast
+  // per call and accumulate broadcast blocks on driver and executors
+  // for the session lifetime (none were ever destroyed — destroying is
+  // unsafe for the LAZY readers, whose closures may execute long after
+  // the call returns). A replaced cache entry (runtime `spark.hadoop.*`
+  // change → new fingerprint) is dropped, not destroyed: in-flight
+  // plans may still hold it, and once unreferenced the ContextCleaner
+  // reclaims its blocks via GC. WeakHashMap keying lets a stopped
+  // session's entry be collected.
+  private val confBcCache = new java.util.WeakHashMap[
+    SparkSession,
+    (Long, org.apache.spark.broadcast.Broadcast[ShippedConf])]()
+
+  private def confFingerprint(
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    var h = 0xcbf29ce484222325L // FNV-1a over sorted key=value entries
+    val it = conf.iterator()
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) { val e = it.next(); entries += s"${e.getKey}=${e.getValue}" }
+    entries.sorted.foreach { s =>
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      h ^= '\n'; h *= 0x100000001b3L
+    }
+    h
+  }
+
+  private[graft] def shippedConfBc(spark: SparkSession)
+      : org.apache.spark.broadcast.Broadcast[ShippedConf] =
+    confBcCache.synchronized {
+      val conf = sessionHadoopConf(spark)
+      val fp = confFingerprint(conf)
+      Option(confBcCache.get(spark)) match {
+        case Some((`fp`, bc)) => bc
+        case _ =>
+          val bc = spark.sparkContext.broadcast(new ShippedConf(conf))
+          confBcCache.put(spark, (fp, bc))
+          bc
+      }
+    }
+
   private val Crlf = "\r\n".getBytes("US-ASCII")
 
   /** Per-record payload cap (bytes). A crafted `Content-Length` header
@@ -137,8 +183,7 @@ object Warc {
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(
-      new ShippedConf(sessionHadoopConf(spark)))
+    val bc = shippedConfBc(spark)
     listFiles(spark, path).mapPartitions { paths =>
       paths.flatMap(p => parseFile(p, bc.value.value))
     }.toDF()
@@ -154,8 +199,7 @@ object Warc {
     */
   def readResponses(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(
-      new ShippedConf(sessionHadoopConf(spark)))
+    val bc = shippedConfBc(spark)
     listFiles(spark, path).mapPartitions { paths =>
       paths.flatMap(p => parseFileRaw(p, bc.value.value)
         .filter(_.rec_type == "response")
@@ -202,15 +246,26 @@ object Warc {
     val fs = hPath.getFileSystem(conf)
     val raw = new PushbackInputStream(
       new BufferedInputStream(fs.open(hPath), 1 << 16), 2)
-    val b0 = raw.read(); val b1 = raw.read()
-    if (b1 >= 0) raw.unread(b1)
-    if (b0 >= 0) raw.unread(b0)
+    // the magic-byte sniff and GZIPInputStream constructor both READ the
+    // raw stream (the constructor parses the member header) — if either
+    // throws (truncated/corrupt gzip header after a valid 2-byte magic),
+    // the already-open file handle must not leak until GC: the
+    // closeQuietly wiring and the task-completion listener are only
+    // installed after `in` exists
     val in: InputStream =
-      if (b0 == 0x1f && b1 == 0x8b)
-        // java's GZIPInputStream consumes CONCATENATED members
-        // transparently — exactly the multi-member framing
-        new BufferedInputStream(new GZIPInputStream(raw, 1 << 16), 1 << 16)
-      else raw
+      try {
+        val b0 = raw.read(); val b1 = raw.read()
+        if (b1 >= 0) raw.unread(b1)
+        if (b0 >= 0) raw.unread(b0)
+        if (b0 == 0x1f && b1 == 0x8b)
+          // java's GZIPInputStream consumes CONCATENATED members
+          // transparently — exactly the multi-member framing
+          new BufferedInputStream(new GZIPInputStream(raw, 1 << 16), 1 << 16)
+        else raw
+      } catch { case e: Throwable =>
+        try raw.close() catch { case _: java.io.IOException => () }
+        throw e
+      }
     var closed = false
     def closeQuietly(): Unit = if (!closed) {
       closed = true
@@ -290,11 +345,31 @@ object Warc {
 
   /** Split a `response` record's payload as an HTTP/1.x message. The
     * header section is ASCII by RFC 9112 (decoded ISO-8859-1, the
-    * historical HTTP octet view — lossless for any byte); the body is
-    * decoded by the `charset` parameter of the HTTP Content-Type when
-    * present and supported by the JVM, else UTF-8 (the WHATWG default
-    * for the web corpus this feeds). A payload without an `HTTP/`
-    * status line or header/body separator fails loudly.
+    * historical HTTP octet view — lossless for any byte). The body is
+    * decoded in wire order before the charset pass:
+    *
+    *  1. `Transfer-Encoding: chunked` (RFC 9112 §7.1) — de-framed:
+    *     hex-size lines, chunk data, optional trailers. WARC `response`
+    *     records carry the payload AS RECEIVED, so chunk framing is in
+    *     the stored bytes.
+    *  2. `Content-Encoding` (RFC 9110 §8.4) — codings undone in reverse
+    *     of the listed order: `gzip`/`x-gzip` and `deflate` (both the
+    *     RFC's zlib-wrapped form and the bare-deflate form many servers
+    *     actually send — sniffed by attempting zlib first). A coding the
+    *     JVM cannot undo (e.g. `br`) is NOT a failure: real crawls mix
+    *     codings, and killing the task on every brotli page would make
+    *     the reader useless — the undecoded codings are surfaced in
+    *     `content_encoding` (empty = fully decoded) so a funnel can
+    *     gate on it, and the body passes through as latin-1-preserved
+    *     octets.
+    *  3. charset decode by the Content-Type `charset` parameter when
+    *     present and JVM-supported, else UTF-8 (the WHATWG default for
+    *     the web corpus this feeds).
+    *
+    * CORRUPT framing (truncated chunk, bad chunk-size line, corrupt
+    * gzip stream) fails loudly — that is data corruption, distinct from
+    * the unsupported-but-valid-coding case above. A payload without an
+    * `HTTP/` status line or header/body separator fails loudly.
     */
   private[graft] def splitHttp(r: RawRecord): HttpRecord = {
     val b = r.bytes
@@ -320,7 +395,12 @@ object Warc {
       s"${r.file}: response payload for '${r.url}' does not start " +
         s"with an HTTP status line (got '${status.take(40)}')")
     val parts = status.split("\\s+")
-    require(parts.length >= 2 && parts(1).forall(_.isDigit),
+    // an HTTP status is exactly three ASCII digits (RFC 9112 §4):
+    // Character.isDigit accepts Unicode digit classes and an unbounded
+    // length would surface a bare NumberFormatException without the
+    // file/url context the surrounding require messages carry
+    require(parts.length >= 2 && parts(1).length == 3 &&
+        parts(1).forall(c => c >= '0' && c <= '9'),
       s"${r.file}: malformed HTTP status line '${status.take(60)}'")
     val code = parts(1).toInt
     val httpHeaders = lines.iterator.drop(1).flatMap { ln =>
@@ -337,13 +417,159 @@ object Warc {
       catch { case _: java.nio.charset.IllegalCharsetNameException =>
         false })
       .getOrElse("UTF-8")
-    val nBody = b.length - bodyStart
+    val ctx = s"${r.file}: response for '${r.url}'"
+    // 1. transfer decoding — "chunked" is only valid as the FINAL
+    // coding (RFC 9112 §6.1); other transfer codings are rare in stored
+    // crawls and pass through to the content-encoding stage
+    val teChunked = httpHeaders.get("transfer-encoding").exists(
+      _.split(",").map(_.trim.toLowerCase).lastOption.contains("chunked"))
+    val framed: Array[Byte] =
+      if (teChunked) dechunk(b, bodyStart, ctx)
+      else java.util.Arrays.copyOfRange(b, bodyStart, b.length)
+    // 2. content decoding, reverse of application order
+    val codings = httpHeaders.getOrElse("content-encoding", "")
+      .split(",").map(_.trim.toLowerCase)
+      .filter(c => c.nonEmpty && c != "identity").toList
+    var residual = codings
+    var decoded = framed
+    var continue = true
+    while (continue && residual.nonEmpty) residual.last match {
+      case "gzip" | "x-gzip" =>
+        decoded = gunzip(decoded, ctx); residual = residual.init
+      case "deflate" =>
+        decoded = inflate(decoded, ctx); residual = residual.init
+      case _ => continue = false // unsupported (e.g. br): surface, keep bytes
+    }
+    val bodyText =
+      if (residual.isEmpty) new String(decoded, charset)
+      // undecodable coding: latin-1 preserves the octets losslessly so
+      // a downstream stage holding the missing codec can recover them
+      else new String(decoded, "ISO-8859-1")
     HttpRecord(
       file = r.file, url = r.url, warc_date = r.warc_date,
       http_status = code, http_content_type = contentType,
-      charset = charset, n_bytes = nBody.toLong,
-      body = new String(b, bodyStart, nBody, charset))
+      charset = if (residual.isEmpty) charset else "ISO-8859-1",
+      content_encoding = residual.mkString(","),
+      n_bytes = decoded.length.toLong,
+      body = bodyText)
   }
+
+  /** De-frame an RFC 9112 §7.1 chunked body starting at `start`:
+    * hex chunk-size line (chunk extensions after ';' ignored), chunk
+    * data, CRLF, …, a 0-size last chunk, optional trailer fields, blank
+    * line. Truncated or malformed framing fails loudly with `ctx`.
+    * Tolerates bare-LF line endings (the readLine stance) and EOF
+    * immediately after the last-chunk line (stored crawl payloads are
+    * routinely cut at the final CRLF).
+    */
+  private[graft] def dechunk(b: Array[Byte], start: Int,
+                             ctx: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(b.length - start, 1 << 16).max(16))
+    var i = start
+    def readChunkLine(): String = {
+      var j = i
+      while (j < b.length && b(j) != '\n') {
+        require(j - i <= MaxHeaderLineBytes,
+          s"$ctx: chunk-size line exceeds $MaxHeaderLineBytes bytes")
+        j += 1
+      }
+      require(j < b.length, s"$ctx: truncated chunked body (no " +
+        "newline after chunk-size at offset " + (i - start) + ")")
+      val end = if (j > i && b(j - 1) == '\r') j - 1 else j
+      val s = new String(b, i, end - i, "ISO-8859-1")
+      i = j + 1
+      s
+    }
+    var done = false
+    while (!done) {
+      val line = readChunkLine()
+      val sizePart = {
+        val semi = line.indexOf(';')
+        (if (semi >= 0) line.substring(0, semi) else line).trim
+      }
+      require(sizePart.nonEmpty && sizePart.length <= 8 &&
+          sizePart.forall(c => (c >= '0' && c <= '9') ||
+            (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')),
+        s"$ctx: malformed chunk-size line '${line.take(40)}'")
+      // ≤ 8 hex digits (required above) keeps parseLong overflow-free;
+      // the byte cap rejects anything past MaxRecordBytes BEFORE the
+      // Long→Int narrowing can wrap
+      val szL = java.lang.Long.parseLong(sizePart, 16)
+      require(out.size.toLong + szL <= MaxRecordBytes,
+        s"$ctx: chunked body exceeds $MaxRecordBytes bytes")
+      val sz = szL.toInt
+      if (sz == 0) {
+        // trailer section: zero or more field lines, then a blank line;
+        // EOF right here is tolerated (see Scaladoc)
+        var trailing = true
+        while (trailing && i < b.length) {
+          val t = readChunkLine()
+          if (t.isEmpty) trailing = false
+        }
+        done = true
+      } else {
+        require(i + sz <= b.length,
+          s"$ctx: truncated chunk (need $sz data bytes at offset " +
+            s"${i - start}, have ${b.length - i})")
+        out.write(b, i, sz)
+        i += sz
+        // CRLF (or LF) terminating the chunk data
+        if (i < b.length && b(i) == '\r') i += 1
+        require(i < b.length && b(i) == '\n',
+          s"$ctx: chunk data not followed by CRLF at offset ${i - start}")
+        i += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Inflate one complete gzip stream (multi-member tolerated — the
+    * WARC member framing precedent); corrupt data fails loudly.
+    */
+  private[graft] def gunzip(b: Array[Byte], ctx: String): Array[Byte] =
+    try drainCapped(new GZIPInputStream(
+      new java.io.ByteArrayInputStream(b), 1 << 16), ctx)
+    catch { case e: java.io.IOException =>
+      throw new java.io.IOException(
+        s"$ctx: corrupt gzip content-encoding: ${e.getMessage}", e) }
+
+  /** Undo `Content-Encoding: deflate`: RFC 9110 says zlib-wrapped
+    * (RFC 1950), but a large population of servers sends bare deflate
+    * (RFC 1951) — try zlib first, retry raw on failure (the browser
+    * behavior).
+    */
+  private[graft] def inflate(b: Array[Byte], ctx: String): Array[Byte] = {
+    def run(raw: Boolean): Array[Byte] =
+      drainCapped(new java.util.zip.InflaterInputStream(
+        new java.io.ByteArrayInputStream(b),
+        new java.util.zip.Inflater(raw), 1 << 16), ctx)
+    try run(raw = false)
+    catch { case _: java.io.IOException =>
+      try run(raw = true)
+      catch { case e: java.io.IOException =>
+        throw new java.io.IOException(
+          s"$ctx: corrupt deflate content-encoding: ${e.getMessage}", e) }
+    }
+  }
+
+  /** Drain a decompression stream with the [[MaxRecordBytes]] cap — a
+    * crafted tiny body must not be able to inflate unboundedly (the
+    * zip-bomb stance of the Content-Length cap).
+    */
+  private def drainCapped(in: InputStream, ctx: String): Array[Byte] =
+    try {
+      val out = new java.io.ByteArrayOutputStream(1 << 12)
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) {
+        require(out.size.toLong + n <= MaxRecordBytes,
+          s"$ctx: decompressed body exceeds $MaxRecordBytes bytes")
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } finally in.close()
 
   private val CharsetParam =
     "(?i)charset\\s*=\\s*(\"[^\"]+\"|[^;,\\s]+)".r
@@ -400,8 +626,7 @@ object Warc {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(
-      new ShippedConf(sessionHadoopConf(spark)))
+    val bc = shippedConfBc(spark)
     // job-level overwrite semantics: clear previous parts (and orphaned
     // temps from a killed run) on the DRIVER before tasks launch — so a
     // task-side rename that loses to an existing destination can only

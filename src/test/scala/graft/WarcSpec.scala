@@ -448,6 +448,206 @@ class WarcSpec extends AnyFunSuite {
     }.filter(_ == part)
     assert(leaked.isEmpty, s"leaked fd(s) to $part")
   }
+
+  // ---- HTTP body transfer/content decoding ---------------------------
+
+  private def httpRec(payload: Array[Byte]): Warc.RawRecord =
+    Warc.RawRecord("t.warc", "response", "https://d.example/",
+      "2026-01-01T00:00:00Z", "application/http; msgtype=response",
+      payload)
+
+  private def gzBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  private def chunkBytes(b: Array[Byte], sz: Int = 7,
+                         trailer: Boolean = true): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < b.length) {
+      val n = math.min(sz, b.length - i)
+      out.write(s"${n.toHexString}\r\n".getBytes("ISO-8859-1"))
+      out.write(b, i, n); out.write("\r\n".getBytes("ISO-8859-1"))
+      i += n
+    }
+    out.write((if (trailer) "0\r\nX-T: v\r\n\r\n" else "0\r\n\r\n")
+      .getBytes("ISO-8859-1"))
+    out.toByteArray
+  }
+
+  private def msg(headers: String, body: Array[Byte]): Array[Byte] = {
+    val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+      s"charset=utf-8\r\n$headers\r\n").getBytes("ISO-8859-1")
+    head ++ body
+  }
+
+  test("splitHttp decodes Transfer-Encoding: chunked — extensions, " +
+      "uppercase hex sizes, trailers, bare-LF frames all parse; " +
+      "n_bytes is the DECODED count") {
+    val body = "chunked body Ωmega content here, crossing chunk bounds."
+    val plain = body.getBytes("UTF-8")
+    // standard framing
+    val r1 = Warc.splitHttp(httpRec(
+      msg("Transfer-Encoding: chunked\r\n", chunkBytes(plain))))
+    assert(r1.body == body && r1.content_encoding == "" &&
+      r1.n_bytes == plain.length.toLong)
+    // extension on the size line + UPPERCASE hex + no trailer
+    val framed = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(f"${plain.length}%X;ext=1\r\n".getBytes("ISO-8859-1"))
+      out.write(plain); out.write("\r\n0\r\n\r\n".getBytes("ISO-8859-1"))
+      out.toByteArray
+    }
+    assert(Warc.splitHttp(httpRec(
+      msg("Transfer-Encoding: chunked\r\n", framed))).body == body)
+    // bare-LF chunk lines (the readLine tolerance, mirrored)
+    val lf = new String(chunkBytes(plain), "ISO-8859-1")
+      .replace("\r\n", "\n").getBytes("ISO-8859-1")
+    assert(Warc.splitHttp(httpRec(
+      msg("Transfer-Encoding: chunked\r\n", lf))).body == body)
+    // EOF immediately after the last-chunk line (stored-crawl cut)
+    val cut = chunkBytes(plain, trailer = false).dropRight(2)
+    assert(Warc.splitHttp(httpRec(
+      msg("Transfer-Encoding: chunked\r\n", cut))).body == body)
+  }
+
+  test("splitHttp decodes Content-Encoding gzip, zlib-deflate, " +
+      "raw-deflate, and the layered gzip-then-chunked case; an " +
+      "unsupported coding (br) is SURFACED, not a task kill") {
+    val body = "coded body § with multibyte Ω chars and length > one chunk."
+    val plain = body.getBytes("UTF-8")
+    val g = Warc.splitHttp(httpRec(
+      msg("Content-Encoding: gzip\r\n", gzBytes(plain))))
+    assert(g.body == body && g.content_encoding == "" &&
+      g.n_bytes == plain.length.toLong)
+    // x-gzip alias
+    assert(Warc.splitHttp(httpRec(
+      msg("Content-Encoding: x-gzip\r\n", gzBytes(plain)))).body == body)
+    // zlib-wrapped deflate (the RFC form)
+    val zlib = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(plain); d.finish()
+      val buf = new Array[Byte](plain.length * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    assert(Warc.splitHttp(httpRec(
+      msg("Content-Encoding: deflate\r\n", zlib))).body == body)
+    // raw deflate (what many servers actually send)
+    val rawDef = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(plain); d.finish()
+      val buf = new Array[Byte](plain.length * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    assert(Warc.splitHttp(httpRec(
+      msg("Content-Encoding: deflate\r\n", rawDef))).body == body)
+    // layered: gzip content coding UNDER chunked transfer framing
+    val layered = Warc.splitHttp(httpRec(msg(
+      "Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+      chunkBytes(gzBytes(plain), sz = 11))))
+    assert(layered.body == body && layered.n_bytes == plain.length.toLong)
+    // unsupported coding: surfaced in content_encoding, octets
+    // preserved via latin-1 (recoverable downstream), NOT an exception
+    val br = Warc.splitHttp(httpRec(
+      msg("Content-Encoding: br\r\n", Array[Byte](1, 2, -120, 42))))
+    assert(br.content_encoding == "br" && br.charset == "ISO-8859-1")
+    assert(br.body.toCharArray.map(_.toByte).toSeq ==
+      Seq[Byte](1, 2, -120, 42))
+    // partial chain: gzip decoded, br left surfaced
+    val partial = Warc.splitHttp(httpRec(
+      msg("Content-Encoding: br, gzip\r\n", gzBytes(Array[Byte](9, 8)))))
+    assert(partial.content_encoding == "br" &&
+      partial.body.toCharArray.map(_.toByte).toSeq == Seq[Byte](9, 8))
+  }
+
+  test("splitHttp fails LOUDLY (with file/url context) on corrupt " +
+      "framing: truncated chunk, bad size line, corrupt gzip, " +
+      "oversized chunk total, non-ASCII status digits") {
+    val plain = "some body".getBytes("UTF-8")
+    def boom(headers: String, body: Array[Byte]): Throwable =
+      intercept[Exception](Warc.splitHttp(httpRec(msg(headers, body))))
+    // truncated chunk data
+    val t1 = boom("Transfer-Encoding: chunked\r\n",
+      "ff\r\nshort".getBytes("ISO-8859-1"))
+    assert(t1.getMessage.contains("t.warc") &&
+      t1.getMessage.contains("truncated chunk"))
+    // malformed size line
+    assert(boom("Transfer-Encoding: chunked\r\n",
+      "zz\r\nab\r\n0\r\n\r\n".getBytes("ISO-8859-1"))
+      .getMessage.contains("chunk-size"))
+    // size line longer than 8 hex digits (overflow guard)
+    assert(boom("Transfer-Encoding: chunked\r\n",
+      "fffffffff\r\n\r\n".getBytes("ISO-8859-1"))
+      .getMessage.contains("chunk-size"))
+    // corrupt gzip stream
+    val t2 = boom("Content-Encoding: gzip\r\n",
+      Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0, 42, 42))
+    assert(t2.getMessage.contains("corrupt gzip"))
+    // Unicode digits in the status code must be rejected with context,
+    // not passed to toInt for a bare NumberFormatException
+    val uni = ("HTTP/1.1 ٢٠٠ OK\r\nContent-Type: text/plain\r\n\r\nx")
+      .getBytes("UTF-8")
+    val t3 = intercept[IllegalArgumentException](
+      Warc.splitHttp(httpRec(uni)))
+    assert(t3.getMessage.contains("status line"))
+  }
+
+  test("chunked-framing mutation fuzz: corrupting a valid chunked+" +
+      "gzip response anywhere yields an HttpRecord or a clean " +
+      "exception — never a hang, OOM, or crash (VERDICT r12 #2)") {
+    val body = ("fuzz corpus body with enough length to span several " +
+      "chunk frames Ω § and multibyte noise ☃ ").* (4)
+    val base = msg(
+      "Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+      chunkBytes(gzBytes(body.getBytes("UTF-8")), sz = 13))
+    val rnd = new scala.util.Random(2213)
+    var parsedSome = 0
+    (1 to 300).foreach { _ =>
+      val mut = base.clone()
+      val payload: Array[Byte] = rnd.nextInt(3) match {
+        case 0 =>
+          val p = rnd.nextInt(mut.length)
+          mut(p) = (mut(p) ^ (1 << rnd.nextInt(8))).toByte
+          mut
+        case 1 =>
+          java.util.Arrays.copyOfRange(mut, 0,
+            1 + rnd.nextInt(mut.length - 1))
+        case 2 =>
+          val p = rnd.nextInt(mut.length - 2)
+          val l = 1 + rnd.nextInt(math.min(32, mut.length - p - 1))
+          System.arraycopy(mut, p, mut,
+            math.min(p + l, mut.length - l), l)
+          mut
+      }
+      try { Warc.splitHttp(httpRec(payload)); parsedSome += 1 }
+      catch {
+        case _: IllegalArgumentException => () // framing requires
+        case _: java.io.IOException => ()      // corrupt gzip/deflate
+      }
+    }
+    info(s"chunk fuzz: $parsedSome of 300 mutants split cleanly")
+    assert(parsedSome > 0, "fuzz vacuously rejected everything")
+  }
+
+  test("ShippedConf broadcast is reused across reads on the same " +
+      "session+conf and reminted when the hadoop conf changes (the " +
+      "accumulation fix: one broadcast per session/conf, not per call)") {
+    val bc1 = Warc.shippedConfBc(spark)
+    val bc2 = Warc.shippedConfBc(spark)
+    assert(bc1 eq bc2, "same session+conf must reuse the broadcast")
+    spark.sparkContext.hadoopConfiguration
+      .set("graft.test.bc.remint", s"v${System.nanoTime()}")
+    val bc3 = Warc.shippedConfBc(spark)
+    assert(!(bc3 eq bc1), "conf change must mint a new broadcast")
+    assert(bc3.value.value.get("graft.test.bc.remint") != null)
+    assert(Warc.shippedConfBc(spark) eq bc3)
+  }
 }
 
 /** Local filesystem under a scheme that ONLY exists via programmatic
