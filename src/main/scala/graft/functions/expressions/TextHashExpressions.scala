@@ -169,6 +169,44 @@ object TextHashExpressions {
   def percent_normalize(str: Column): Column =
     Bridge.column(PercentNormalizeExpr(Bridge.expression(str)))
 
+  /** RFC 9309 §2.2.3 robots rule-path matching, byte-wise on the
+    * UTF8String octets (the RFC defines matching over octets; no UTF-8
+    * decode): the pattern must match a PREFIX of `path` starting at its
+    * first octet, `*` matching any octet run (including '/' and the
+    * empty run), a TRAILING `$` anchoring the match to the path end
+    * ('$' anywhere else is a literal). Classic two-pointer wildcard
+    * match with last-star backtracking — O(path·pattern) worst case on
+    * adversarial patterns, linear on real rules.
+    */
+  def robotsMatch(path: org.apache.spark.unsafe.types.UTF8String,
+                  pattern: org.apache.spark.unsafe.types.UTF8String)
+      : Boolean = {
+    val plen0 = pattern.numBytes
+    val anchored = plen0 > 0 && pattern.getByte(plen0 - 1) == '$'
+    val rlen = if (anchored) plen0 - 1 else plen0
+    val n = path.numBytes
+    var p = 0; var r = 0
+    var starR = -1; var starP = 0
+    while (true) {
+      if (r < rlen && pattern.getByte(r) == '*') {
+        starR = r; r += 1; starP = p
+      } else if (r == rlen) {
+        if (!anchored || p == n) return true
+        if (starR >= 0 && starP < n) { starP += 1; p = starP; r = starR + 1 }
+        else return false
+      } else if (p < n && pattern.getByte(r) == path.getByte(p)) {
+        p += 1; r += 1
+      } else if (starR >= 0 && starP < n) {
+        starP += 1; p = starP; r = starR + 1
+      } else return false
+    }
+    false // unreachable: the loop only exits via return
+  }
+
+  def robots_match(path: Column, pattern: Column): Column =
+    Bridge.column(RobotsMatchExpr(
+      Bridge.expression(path), Bridge.expression(pattern)))
+
   def hashed_margin_units(text: Column, weightsUnits: Seq[Long],
                           biasUnits: Long, dim: Int,
                           wordNgrams: Int): Column =
@@ -259,6 +297,43 @@ object HashedMarginExpr {
   private[expressions] val Md5: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() =>
       java.security.MessageDigest.getInstance("MD5"))
+}
+
+/** robots_match(path, pattern): RFC 9309 §2.2.3 robots rule matching
+  * with `*`/`$` wildcards — see [[TextHashExpressions.robotsMatch]].
+  * Native (codegen) because it sits on the JOIN RESIDUAL of the
+  * robots-rules broadcast join: it runs once per (url, candidate-rule)
+  * pair across the whole URL frame, the hottest predicate in the
+  * crawl-compliance path.
+  */
+case class RobotsMatchExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"robots_match needs (string, string), got $other")
+    }
+
+  override def dataType: DataType = BooleanType
+
+  override def prettyName: String = "robots_match"
+
+  override def nullSafeEval(path: Any, pat: Any): Any =
+    TextHashExpressions.robotsMatch(
+      path.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      pat.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, r) =>
+      s"${ev.value} = graft.functions.expressions.TextHashExpressions" +
+        s".robotsMatch($p, $r);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): RobotsMatchExpr =
+    copy(left = l, right = r)
 }
 
 /** percent_normalize(str): RFC 3986 §6.2.2 percent-encoding

@@ -1403,16 +1403,22 @@ object TextAnalysis {
   /** Robots-exclusion evaluation (RFC 9309) over a URL frame — the
     * crawl-side gate between frontier and fetch (and, for a corpus
     * builder, the compliance re-check before publication): each URL is
-    * allowed iff the LONGEST matching rule prefix for its host allows
-    * it, Allow winning length ties; hosts with no robots row (or no
-    * matching rule) default to allowed. Output:
-    * (idCol, urlCol, host, allowed).
+    * allowed iff the LONGEST matching rule for its host allows it,
+    * Allow winning length ties; hosts with no robots row (or no
+    * matching rule) default to allowed. Rules carry the full §2.2.3
+    * pattern grammar — `*` matches any octet run, a trailing `$`
+    * anchors the end (a `Disallow` of `/&#42;?sessionid=` or of
+    * `/files/&#42;.pdf$` behaves as a compliant crawler must) —
+    * matched byte-wise by the native
+    * [[graft.functions.expressions.RobotsMatchExpr]] kernel against the
+    * URI's path-plus-query (the match target real robots wildcards are
+    * written against). Output: (idCol, urlCol, host, allowed).
     *
     * Scale shape: robots bodies parse in a typed flatMap (one small
     * document per host — the rule list is crawl-metadata-sized), the
     * rules BROADCAST-join onto the URL frame's host column with the
-    * prefix test as the join residual, and the longest-match pick is a
-    * max_by struct aggregate keyed by the URL row — one partial-agg'd
+    * pattern match as the join residual, and the longest-match pick is
+    * a max_by struct aggregate keyed by the URL row — one partial-agg'd
     * shuffle of (url-key, best-rule) pairs; the 100 TB URL frame is
     * never re-partitioned by host (which would skew on large hosts).
     */
@@ -1431,17 +1437,26 @@ object TextAnalysis {
       }.toDF("__host", "__allow", "__prefix")
     val host = regexp_extract(lower(col(urlCol)),
       "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1)
+    // match target: path PLUS query (everything between authority and
+    // fragment) — `Disallow: /*?sessionid=` style rules are written
+    // against the query; an empty or query-only target gets the
+    // leading "/" RFC 9309 assumes
     val path0 = regexp_extract(col(urlCol),
-      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    val path = when(path0 === "", lit("/")).otherwise(path0)
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val path = when(path0 === "", lit("/"))
+      .when(path0.startsWith("?"), concat(lit("/"), path0))
+      .otherwise(path0)
     val withHost = urls.withColumn("host", host)
       .withColumn("__path", path)
     val joined = withHost.join(broadcast(rules),
       col("host") === col("__host") &&
-        col("__path").startsWith(col("__prefix")), "left_outer")
-    // longest matching prefix wins — by OCTET length, the RFC 9309
-    // §2.2.2 ordering (character length diverges on non-ASCII paths);
-    // Allow wins ties; no matching rule -> allowed
+        graft.functions.expressions.TextHashExpressions
+          .robots_match(col("__path"), col("__prefix")), "left_outer")
+    // longest matching rule wins — by PATTERN octet length, the RFC
+    // 9309 §2.2.2 ordering (character length diverges on non-ASCII
+    // rule paths; wildcard octets count as written, the reference
+    // google/robotstxt behavior); Allow wins ties; no matching rule ->
+    // allowed
     joined
       .groupBy(col(idCol))
       .agg(

@@ -1525,11 +1525,17 @@ object LlmQueries {
     // bodies (planted: a Disallow-with-longer-Allow-override host, a
     // deny-all host, an AGENT-SPECIFIC group that supersedes '*', an
     // Allow-all-via-'*' host with a decoy specific group, and one host
-    // with NO robots row → default allowed), urls spanning three path
-    // classes by doc_id % 3. The oracle derives every expected
-    // `allowed` from (host, path-class) arithmetic alone — group
-    // selection, longest-prefix-match, and the Allow tie-break are all
-    // exercised without the oracle ever parsing a robots body.
+    // with NO robots row → default allowed), urls spanning SIX path
+    // classes by doc_id % 6 — three prefix-rule classes plus three
+    // exercising the §2.2.3 pattern grammar: a ?sessionid= query hit
+    // for the `Disallow: /*?sessionid=` wildcard (the canonical
+    // real-world wildcard rule), a .pdf hit for the `$`-anchored
+    // `Disallow: /files/*.pdf$`, and a .pdfx near-miss proving the `$`
+    // actually anchors. The oracle derives every expected `allowed`
+    // from (host, path-class) arithmetic alone — group selection,
+    // longest-match ordering, the Allow tie-break, wildcard expansion,
+    // and end-anchoring are all exercised without the oracle ever
+    // parsing a robots body or evaluating a pattern.
     "l54_robots_filter" -> QuerySpec(
       (s, dir) => {
         val host = expr("""CASE CAST(doc_id % 5 AS INT)
@@ -1538,15 +1544,21 @@ object LlmQueries {
           WHEN 2 THEN 'news.site.com'
           WHEN 3 THEN 'blog.example.org'
           ELSE 'ads.doubleclick.net' END""")
-        val pathCls = expr("""CASE CAST(doc_id % 3 AS INT)
+        val pathPre = expr("""CASE CAST(doc_id % 6 AS INT)
           WHEN 0 THEN '/doc/' WHEN 1 THEN '/private/'
-          ELSE '/private/ok/' END""")
+          WHEN 2 THEN '/private/ok/' WHEN 3 THEN '/doc/'
+          ELSE '/files/' END""")
+        val pathSuf = expr("""CASE CAST(doc_id % 6 AS INT)
+          WHEN 3 THEN '?sessionid=abc123'
+          WHEN 4 THEN '.pdf' WHEN 5 THEN '.pdfx'
+          ELSE '' END""")
         val urls = Tables(s, dir, "documents").select(col("doc_id"),
-          concat(lit("https://"), host, pathCls, col("doc_id"))
+          concat(lit("https://"), host, pathPre, col("doc_id"), pathSuf)
             .as("url"))
         val robots = s.createDataFrame(Seq(
           ("www.example.org",
-            "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"),
+            "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n" +
+              "Disallow: /*?sessionid=\nDisallow: /files/*.pdf$\n"),
           ("cdn.tracker.net",
             "# deny all\nUser-agent: *\nDisallow: /\n"),
           ("news.site.com",
@@ -1559,6 +1571,14 @@ object LlmQueries {
         TextAnalysis.robotsFilter(urls, robots, agent = "graftbot")
           .orderBy(col("doc_id"))
       },
+      // expected allowed, per host:
+      //  www.example.org: /private/N denied (prefix), /doc/N?sessionid=
+      //    denied (wildcard), /files/N.pdf denied ($-anchored),
+      //    /files/N.pdfx ALLOWED ($ anchors), /private/ok/N allowed
+      //    (longer Allow), /doc/N allowed (no rule)
+      //  cdn: deny-all; news: graftbot group denies /doc/* (both %6==0
+      //    and the %6==3 query variant share the /doc/ prefix);
+      //  blog: no robots row; ads: '*' group allows all
       Some("""SELECT doc_id,
              |  'https://' ||
              |  CASE CAST(doc_id % 5 AS INT)
@@ -1567,9 +1587,14 @@ object LlmQueries {
              |    WHEN 2 THEN 'news.site.com'
              |    WHEN 3 THEN 'blog.example.org'
              |    ELSE 'ads.doubleclick.net' END ||
-             |  CASE CAST(doc_id % 3 AS INT)
+             |  CASE CAST(doc_id % 6 AS INT)
              |    WHEN 0 THEN '/doc/' WHEN 1 THEN '/private/'
-             |    ELSE '/private/ok/' END || doc_id AS url,
+             |    WHEN 2 THEN '/private/ok/' WHEN 3 THEN '/doc/'
+             |    ELSE '/files/' END || doc_id ||
+             |  CASE CAST(doc_id % 6 AS INT)
+             |    WHEN 3 THEN '?sessionid=abc123'
+             |    WHEN 4 THEN '.pdf' WHEN 5 THEN '.pdfx'
+             |    ELSE '' END AS url,
              |  CASE CAST(doc_id % 5 AS INT)
              |    WHEN 0 THEN 'www.example.org'
              |    WHEN 1 THEN 'cdn.tracker.net'
@@ -1577,9 +1602,9 @@ object LlmQueries {
              |    WHEN 3 THEN 'blog.example.org'
              |    ELSE 'ads.doubleclick.net' END AS host,
              |  CASE CAST(doc_id % 5 AS INT)
-             |    WHEN 0 THEN CAST(doc_id % 3 AS INT) <> 1
+             |    WHEN 0 THEN CAST(doc_id % 6 AS INT) NOT IN (1, 3, 4)
              |    WHEN 1 THEN FALSE
-             |    WHEN 2 THEN CAST(doc_id % 3 AS INT) <> 0
+             |    WHEN 2 THEN CAST(doc_id % 6 AS INT) NOT IN (0, 3)
              |    WHEN 3 THEN TRUE
              |    ELSE TRUE END AS allowed
              |FROM documents ORDER BY doc_id""".stripMargin)),

@@ -2229,6 +2229,56 @@ class OperatorSpec extends AnyFunSuite {
       4L -> true, 5L -> true), s"got $got")
   }
 
+  test("robots.txt wildcards: RFC 9309 §2.2.3 '*' and '$' patterns — " +
+      "matcher semantics, query-included match target, and " +
+      "pattern-octet-length precedence") {
+    import graft.functions.expressions.TextHashExpressions.robotsMatch
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // '*' spans any octet run including '/' and the empty run
+    assert(robotsMatch(u("/a/b/c?sessionid=1"), u("/*?sessionid=")))
+    assert(robotsMatch(u("/?sessionid=1"), u("/*?sessionid=")))
+    assert(!robotsMatch(u("/a/b?session=1"), u("/*?sessionid=")))
+    assert(robotsMatch(u("/fish/salmon.html"), u("/fish")))
+    assert(robotsMatch(u("/fish/salmon.html"), u("/*.html")))
+    // trailing '$' anchors; '$' elsewhere is literal
+    assert(robotsMatch(u("/a/x.pdf"), u("/*.pdf$")))
+    assert(!robotsMatch(u("/a/x.pdfx"), u("/*.pdf$")))
+    assert(robotsMatch(u("/p$q/r"), u("/p$q")))
+    assert(!robotsMatch(u("/p"), u("/p$q")))
+    // exact-path anchor
+    assert(robotsMatch(u("/fish"), u("/fish$")))
+    assert(!robotsMatch(u("/fishing"), u("/fish$")))
+    // multiple stars, star at end, backtracking across candidates
+    assert(robotsMatch(u("/a/bb/ccc.html?x=1"), u("/*/*/*.html")))
+    assert(robotsMatch(u("/anything"), u("/*")))
+    assert(!robotsMatch(u("/ab"), u("/a*b$c")))
+    // non-ASCII path octets match byte-wise
+    assert(robotsMatch(u("/münchen/doc"), u("/münchen/")))
+    // end-to-end: wildcard/anchored rules join + precedence by raw
+    // pattern octet length, Allow winning ties; the match target
+    // includes the QUERY string
+    val urls = Seq(
+      (1L, "https://w.example/doc/7?sessionid=abc"), // wildcard query
+      (2L, "https://w.example/doc/7?page=2"),        // no sessionid
+      (3L, "https://w.example/files/a.pdf"),         // $-anchored deny
+      (4L, "https://w.example/files/a.pdfx"),        // $ proves anchor
+      (5L, "https://w.example/cgi/x.html"),          // longer Allow
+      //    pattern (11 octets) beats shorter Disallow prefix (5)
+      (6L, "https://w.example/cgi/x.gif"))           // Disallow /cgi/
+      .toDF("doc_id", "url")
+    val robots = Seq(
+      ("w.example",
+        "User-agent: *\nDisallow: /*?sessionid=\n" +
+          "Disallow: /files/*.pdf$\nDisallow: /cgi/\n" +
+          "Allow: /cgi/*.html\n"))
+      .toDF("domain", "robots_txt")
+    val got = TextAnalysis.robotsFilter(urls, robots, "anybot")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("allowed")).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false,
+      4L -> true, 5L -> true, 6L -> false), s"got $got")
+  }
+
   test("piiRedact: counts and placeholder redaction per PII type, " +
       "email-before-IP order on IP-host addresses, idempotence") {
     import graft.operators.TextAnalysis
