@@ -207,6 +207,76 @@ object TextHashExpressions {
     Bridge.column(RobotsMatchExpr(
       Bridge.expression(path), Bridge.expression(pattern)))
 
+  /** Luhn check-digit validation (ISO/IEC 7812) over a digit array —
+    * the payment-card checksum: doubling every second digit from the
+    * right (subtracting 9 on overflow), the sum must be ≡ 0 mod 10.
+    */
+  def luhnValid(digits: Array[Int], len: Int): Boolean = {
+    var sum = 0; var dbl = false
+    var i = len - 1
+    while (i >= 0) {
+      var d = digits(i)
+      if (dbl) { d *= 2; if (d > 9) d -= 9 }
+      sum += d; dbl = !dbl; i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  /** Payment-card detection + redaction in ONE pass: candidate = a
+    * maximal run of 13–19 digits, optionally broken by SINGLE space or
+    * dash separators between digits (the common 4-4-4-4 groupings),
+    * starting at a digit-boundary (not preceded by a digit, nor by a
+    * separator that itself follows a digit — a mid-sequence start is
+    * part of a longer run, not a card). A candidate redacts to
+    * `<CARD>` only when the Luhn checksum HOLDS — a regex alone cannot
+    * express the check digit, which is why this is a native kernel and
+    * not another regexp_replace stage. Returns (n_cards, redacted).
+    * Runs of other lengths, Luhn-failing candidates, and runs with
+    * doubled separators pass through verbatim.
+    */
+  def ccRedact(str: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val s = str.toString
+    val len = s.length
+    val sb = new java.lang.StringBuilder(len)
+    val digits = new Array[Int](20)
+    var n = 0L
+    var i = 0
+    def isD(c: Char): Boolean = c >= '0' && c <= '9'
+    while (i < len) {
+      val c = s.charAt(i)
+      val boundary = isD(c) && (i == 0 || {
+        val p = s.charAt(i - 1)
+        !isD(p) && !((p == '-' || p == ' ') && i >= 2 && isD(s.charAt(i - 2)))
+      })
+      if (boundary) {
+        // scan the digit/separator run
+        var k = i; var nd = 0; var overrun = false
+        var continue = true
+        while (continue && k < len) {
+          val ck = s.charAt(k)
+          if (isD(ck)) {
+            if (nd < 19) digits(nd) = ck - '0' else overrun = true
+            nd += 1; k += 1
+          } else if ((ck == '-' || ck == ' ') && k + 1 < len &&
+              isD(s.charAt(k + 1)) && isD(s.charAt(k - 1))) {
+            k += 1 // single separator between digits
+          } else continue = false
+        }
+        if (nd >= 13 && nd <= 19 && !overrun && luhnValid(digits, nd)) {
+          sb.append("<CARD>"); n += 1
+        } else sb.append(s, i, k)
+        i = k
+      } else { sb.append(c); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n,
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
+  }
+
+  def cc_redact(text: Column): Column =
+    Bridge.column(CreditCardRedactExpr(Bridge.expression(text)))
+
   def hashed_margin_units(text: Column, weightsUnits: Seq[Long],
                           biasUnits: Long, dim: Int,
                           wordNgrams: Int): Column =
@@ -334,6 +404,41 @@ case class RobotsMatchExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): RobotsMatchExpr =
     copy(left = l, right = r)
+}
+
+/** cc_redact(text): payment-card detection + Luhn-validated redaction —
+  * see [[TextHashExpressions.ccRedact]]. Returns
+  * struct(n_cards: bigint, redacted: string); native because the Luhn
+  * check digit is inexpressible as a regex, and a Scala UDF would break
+  * the zero-shuffle whole-stage-codegen span the l53 PlanSpec pins.
+  */
+case class CreditCardRedactExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cc_redact needs string, got $other")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_cards", LongType, nullable = false),
+    StructField("redacted", StringType, nullable = false)))
+
+  override def prettyName: String = "cc_redact"
+
+  override def nullSafeEval(str: Any): Any =
+    TextHashExpressions.ccRedact(
+      str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextHashExpressions" +
+        s".ccRedact($c);")
+
+  override protected def withNewChildInternal(c: Expression)
+      : CreditCardRedactExpr = copy(child = c)
 }
 
 /** percent_normalize(str): RFC 3986 §6.2.2 percent-encoding

@@ -914,6 +914,21 @@ object TextAnalysis {
   /** l26's parameters, ONE copy (the Bm25-object convention). */
   object Bpe {
     val NumMerges = 12
+
+    /** Vocab-local training threshold: when the word-frequency relation
+      * has at most this many rows, [[trainMergesLocal]] trains inside
+      * ONE executor task (a single mapPartitions over the coalesced
+      * relation) instead of the distributed merge loop — ~4M rows at
+      * ~100 B/row is a few hundred MB in one task, comfortably inside
+      * an executor, and it removes the loop's one-driver-job-PER-MERGE
+      * scheduling constant (a production ~50k-merge vocabulary is 50k
+      * sequential jobs on the distributed path, O(1) jobs locally).
+      * This mirrors production tokenizer practice: corpus-scale work
+      * (the word-frequency aggregate) is distributed, the vocab-sized
+      * merge loop is not worth a cluster. The distributed pair-cache
+      * path remains the fallback for vocabularies beyond the threshold.
+      */
+    val MaxLocalVocab: Long = 4L * 1000 * 1000
   }
 
   /** One greedy left-to-right merge pass as a Catalyst fold: a freshly
@@ -1099,6 +1114,104 @@ object TextAnalysis {
       .toDF("rank", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** Vocab-LOCAL Sennrich training: the whole merge loop inside one
+    * executor task (`coalesce(1).mapPartitions` — executor-side, NOT a
+    * driver collect), result-identical to [[trainMergesLoop]] by
+    * construction: same overlapping pair counting weighted by freq,
+    * same (count DESC, lhs ASC, rhs ASC) argmax ordering, and the same
+    * accumulator-last greedy fold semantics as the shared
+    * [[mergeFold]] Catalyst expression ("aaa" under (a,a) → [aa, a]).
+    * Incremental inside the task: a pair→count map plus a pair→word-ids
+    * inverted index (entries may be stale supersets — membership is
+    * re-checked against the live word before re-folding), so each merge
+    * costs O(touched words), the in-memory analog of the distributed
+    * pair-cache. O(1) Spark jobs regardless of numMerges — the whole
+    * point (see [[Bpe.MaxLocalVocab]]); the engine≡replay goldens pin
+    * the identity to the independent TextGolden implementation.
+    */
+  private[graft] def trainMergesLocal(wf0: DataFrame,
+                                      numMerges: Int): DataFrame = {
+    val spark = wf0.sparkSession
+    import spark.implicits._
+    wf0.select(col("syms"), col("freq")).as[(Seq[String], Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val words = it.map { case (s, f) => (s.toArray, f) }.toArray
+        val ord = Ordering.by[((String, String), Long),
+          (Long, String, String)] { case ((l, rr), c) => (-c, l, rr) }
+        val counts =
+          new scala.collection.mutable.HashMap[(String, String), Long]()
+        val where = new scala.collection.mutable.HashMap[
+          (String, String), scala.collection.mutable.BitSet]()
+        def addPairs(i: Int, syms: Array[String], f: Long,
+                     sign: Long): Unit = {
+          var j = 0
+          while (j + 1 < syms.length) {
+            val p = (syms(j), syms(j + 1))
+            val c2 = counts.getOrElse(p, 0L) + sign * f
+            if (c2 > 0) counts.update(p, c2) else counts.remove(p)
+            if (sign > 0)
+              where.getOrElseUpdate(p,
+                new scala.collection.mutable.BitSet()) += i
+            j += 1
+          }
+        }
+        def fold(syms: Array[String], a: String, b: String,
+                 m: String): Array[String] = {
+          val acc =
+            new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var j = 0
+          while (j < syms.length) {
+            val s = syms(j)
+            if (acc.nonEmpty && acc(acc.length - 1) == a && s == b)
+              acc(acc.length - 1) = m
+            else acc += s
+            j += 1
+          }
+          acc.toArray
+        }
+        def containsPair(syms: Array[String], a: String,
+                         b: String): Boolean = {
+          var j = 0
+          while (j + 1 < syms.length) {
+            if (syms(j) == a && syms(j + 1) == b) return true
+            j += 1
+          }
+          false
+        }
+        var i = 0
+        while (i < words.length) {
+          addPairs(i, words(i)._1, words(i)._2, 1L); i += 1
+        }
+        val merges = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, String, String, String, Long)]
+        var r = 1
+        var exhausted = false
+        while (r <= numMerges && !exhausted) {
+          if (counts.isEmpty) exhausted = true
+          else {
+            val ((a, b), c) = counts.iterator.min(ord)
+            val m = a + b
+            merges += ((r, a, b, m, c))
+            val ids = where.remove((a, b))
+              .getOrElse(scala.collection.mutable.BitSet.empty)
+            ids.foreach { wi =>
+              val (syms, f) = words(wi)
+              if (containsPair(syms, a, b)) {
+                addPairs(wi, syms, f, -1L)
+                val ns = fold(syms, a, b, m)
+                words(wi) = (ns, f)
+                addPairs(wi, ns, f, 1L)
+              }
+            }
+            r += 1
+          }
+        }
+        merges.iterator
+      }
+      .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
   /** BPE merge-table TRAINING — the tokenizer-side operator the token
     * counters ([[bpeishTokenCount]]) stand in for: learn the first
     * `numMerges` byte-pair-encoding merges from the corpus, Sennrich-
@@ -1122,16 +1235,28 @@ object TextAnalysis {
     * use), and a narrow greedy re-segmentation fold; the relation is
     * localCheckpointed per iteration so plans stay flat instead of
     * stacking numMerges nested folds.
+    *
+    * When the word-frequency relation fits one task
+    * ([[Bpe.MaxLocalVocab]] rows — the common case even for web-scale
+    * corpora, whose distinct-word space is millions, not billions),
+    * training runs vocab-LOCAL ([[trainMergesLocal]]): O(1) Spark jobs
+    * total instead of one scheduling round-trip per merge, result-
+    * identical (OperatorSpec pins local ≡ distributed ≡ replay).
     */
   def bpeTrainMerges(docs: DataFrame, numMerges: Int = Bpe.NumMerges,
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text",
+                     maxLocalVocab: Long = Bpe.MaxLocalVocab)
+      : DataFrame = {
     require(numMerges >= 1, s"numMerges must be positive, got $numMerges")
     val wf0 = docs.select(explode(tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(transform(sequence(lit(1), length(col("word"))),
         i => col("word").substr(i, lit(1))).as("syms"), col("freq"))
       .localCheckpoint()
-    trainMergesLoop(docs.sparkSession, wf0, numMerges)
+    // vocab-local when the relation fits one task (O(1) jobs instead of
+    // one driver round-trip per merge); distributed pair-cache fallback
+    if (wf0.count() <= maxLocalVocab) trainMergesLocal(wf0, numMerges)
+    else trainMergesLoop(docs.sparkSession, wf0, numMerges)
   }
 
   /** BPE ENCODE, vocabulary side — apply a trained merge table (lhs, rhs)
@@ -1231,39 +1356,58 @@ object TextAnalysis {
 
   /** PII detection + redaction — the corpus-prep step every released
     * training set runs (The Pile, RefinedWeb, FineWeb all redact or
-    * filter PII): count and replace email addresses, dashed
-    * international phone numbers, and IPv4 literals with typed
-    * placeholders. The patterns are a DETERMINISTIC, documented subset
-    * (real-world PII recall needs locale-specific batteries — a
-    * deployment extends the list; the plan shape is identical): all
-    * three are Java/RE2 common ground, so the l53 oracle recomputes
-    * every count and the redacted text with the same regexes.
-    * Application order matters and is part of the contract: emails
-    * first (so `user@10.0.0.1`-style hosts become `user@<IP>` rather
-    * than swallowing the address), then phones, then IPs; counts are
-    * taken on the ORIGINAL text. Zero-shuffle narrow columnar pass.
+    * filter PII): count and replace email addresses, phone numbers
+    * (international `+CC` forms AND national forms with parens, dashes,
+    * dots, or spaces — `(212) 555-0147`, `646.555.0188`,
+    * `+44-207-946-0958` all match), payment-card numbers (13–19 digit
+    * groups VALIDATED by the Luhn check digit — a native kernel,
+    * [[graft.functions.expressions.CreditCardRedactExpr]], because a
+    * regex cannot express the checksum; Luhn-failing digit runs pass
+    * through untouched), and IPv4 literals, each with a typed
+    * placeholder. The regex patterns are a DETERMINISTIC, documented
+    * subset (real-world PII recall needs locale-specific batteries — a
+    * deployment extends the list; the plan shape is identical), all
+    * Java/RE2 common ground, so the l53 oracle recomputes every count
+    * and the redacted text with the same regexes. Application order
+    * matters and is part of the contract: emails first (so
+    * `user@10.0.0.1`-style hosts become `user@<IP>` rather than
+    * swallowing the address), then cards (digit runs too long to be
+    * phones), then phones, then IPs; the 3-3-4 phone grammar and the
+    * 4-group IPv4 cannot consume each other's matches by construction.
+    * Counts are taken on the ORIGINAL text. Zero-shuffle narrow
+    * columnar pass.
     */
   def piiRedact(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
+    import graft.functions.expressions.TextHashExpressions.cc_redact
     docs.select(col(idCol),
       regexp_count(col(textCol), lit(PiiEmail)).cast("long")
         .as("n_emails"),
       regexp_count(col(textCol), lit(PiiPhone)).cast("long")
         .as("n_phones"),
+      cc_redact(col(textCol)).getField("n_cards").as("n_cards"),
       regexp_count(col(textCol), lit(PiiIpv4)).cast("long")
         .as("n_ipv4"),
       regexp_replace(
         regexp_replace(
-          regexp_replace(col(textCol), PiiEmail, "<EMAIL>"),
+          cc_redact(
+            regexp_replace(col(textCol), PiiEmail, "<EMAIL>"))
+            .getField("redacted"),
           PiiPhone, "<PHONE>"),
         PiiIpv4, "<IP>").as("text_redacted"))
   }
 
-  /** The three PII patterns, ONE copy each (shared with the l53 oracle
-    * builder and the spec).
+  /** The PII regex patterns, ONE copy each (shared with the l53 oracle
+    * builder and the spec). The phone grammar: optional `+CC` country
+    * prefix, then either a parenthesized 3-digit area code or a
+    * word-boundary 3-digit group, then 3-and-4-digit groups — each
+    * junction separated by dash, dot, or space. Exactly the 3-3-4
+    * national shape (plus prefix), so dotted DATES, decimals, and
+    * 4-group IPv4s cannot match.
     */
   val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PiiPhone = "\\+\\d{1,3}-\\d{3}-\\d{3}-\\d{4}"
+  val PiiPhone = "(?:\\+\\d{1,3}[-. ]?)?" +
+    "(?:\\(\\d{3}\\)[-. ]?|\\b\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b"
   val PiiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   /** KMV (k-minimum-values) distinct-count sketches per source, plus
@@ -1348,17 +1492,113 @@ object TextAnalysis {
     perSource.unionByName(estimate(unionRows))
   }
 
+  /** KMV set algebra over the per-source sketches — the
+    * registry-overlap question ("how many distinct tokens do sources A
+    * and B share?") answered WITHOUT re-scanning either corpus, for
+    * every unordered source pair:
+    *
+    *   - `est_union`: the pair's union sketch (k smallest of the two
+    *     sketches' concatenation — the same merge [[kmvDistinct]]
+    *     proves) through the (k−1)·M/h₍k₎ estimator;
+    *   - `est_intersect`: inclusion–exclusion,
+    *     est(A) + est(B) − est(A∪B);
+    *   - `n_both`/`jaccard`: the DIRECT estimator — of the union
+    *     sketch's kept hashes, the count present in BOTH input sketches
+    *     (an exact integer, so the oracle pins it without tolerance);
+    *     their ratio estimates J(A,B), and
+    *   - `est_intersect_j` = Ĵ · est(A∪B), the Beyer et al. (SIGMOD
+    *     2007) form, usually tighter than inclusion–exclusion because
+    *     the subtraction cancels two k-sized errors.
+    *
+    * Output: (source_a, source_b, kth_min_union, est_union,
+    * est_intersect, n_both, jaccard, est_intersect_j), source_a <
+    * source_b. Scale shape: ONE corpus scan builds the k-min relation
+    * (≤ k·n_sources rows, the [[kmvDistinct]] checkpoint stance);
+    * everything pairwise happens on that sketch-sized relation —
+    * the n_sources² pair frame is registry-metadata-sized and every
+    * join on it broadcasts. est_intersect can be negative at small
+    * overlaps (estimator noise; reported raw, not clamped — clamping
+    * would hide the error the jaccard form exists to avoid).
+    */
+  def kmvIntersections(docs: DataFrame, k: Int = 256,
+                       sourceCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val m = math.pow(2.0, 60).toLong
+    val kmin = kmvKminRows(docs, k, sourceCol, textCol).localCheckpoint()
+    def estRaw(nKept: Column, kthMin: Column): Column =
+      when(nKept < k, nKept.cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(m.toDouble) /
+          kthMin.cast("double"))
+    val rawStats = kmin.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_min"))
+      .select(col("source"),
+        estRaw(col("n_kept"), col("kth_min")).as("est_raw"))
+    val pairs = rawStats
+      .select(col("source").as("source_a"), col("est_raw").as("est_a_raw"))
+      .crossJoin(broadcast(rawStats
+        .select(col("source").as("source_b"),
+          col("est_raw").as("est_b_raw"))))
+      .filter(col("source_a") < col("source_b"))
+    val pairKeys = pairs.select(col("source_a"), col("source_b"))
+    // each pair's candidate hashes: both sketches' rows, tagged by two
+    // equi-joins (never a per-row OR — the shape stays broadcastable)
+    val tagged = pairKeys
+      .join(broadcast(kmin.withColumnRenamed("source", "source_a")),
+        Seq("source_a"))
+      .select(col("source_a"), col("source_b"), col("h"))
+      .unionByName(pairKeys
+        .join(broadcast(kmin.withColumnRenamed("source", "source_b")),
+          Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("h")))
+      .distinct()
+    val wPair = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source_a"), col("source_b")).orderBy(col("h"))
+    val pu = tagged.withColumn("rn", row_number().over(wPair))
+      .filter(col("rn") <= k)
+      .select(col("source_a"), col("source_b"), col("h"))
+    val withFlags = pu
+      .join(broadcast(kmin
+          .select(col("source").as("source_a"), col("h"),
+            lit(1).as("__ina"))),
+        Seq("source_a", "h"), "left_outer")
+      .join(broadcast(kmin
+          .select(col("source").as("source_b"), col("h"),
+            lit(1).as("__inb"))),
+        Seq("source_b", "h"), "left_outer")
+    withFlags.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_union_kept"),
+        max(col("h")).as("kth_min_union"),
+        sum(when(col("__ina") === 1 && col("__inb") === 1, 1L)
+          .otherwise(0L)).as("n_both"))
+      .join(broadcast(pairs), Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"), col("kth_min_union"),
+        quant(estRaw(col("n_union_kept"), col("kth_min_union")), 2)
+          .as("est_union"),
+        quant(col("est_a_raw") + col("est_b_raw") -
+          estRaw(col("n_union_kept"), col("kth_min_union")), 2)
+          .as("est_intersect"),
+        col("n_both"),
+        quant(col("n_both").cast("double") /
+          col("n_union_kept").cast("double"), 2).as("jaccard"),
+        quant(col("n_both").cast("double") /
+          col("n_union_kept").cast("double") *
+          estRaw(col("n_union_kept"), col("kth_min_union")), 2)
+          .as("est_intersect_j"))
+  }
+
   /** Parse one robots.txt body into the rule list that applies to
     * `agent` under RFC 9309 group semantics: lines group under
     * consecutive `User-agent:` headers; if ANY group names the agent's
     * product token exactly (case-insensitive), those groups' rules
     * apply and `*` groups are ignored; otherwise the `*` groups apply.
-    * Rules are (allow, path-prefix); empty-value `Disallow:` (the
-    * allow-all idiom) contributes nothing. Deterministic documented
-    * subset: no `*`/`$` wildcards inside paths, no Crawl-delay —
-    * deployment extensions slot into this parser. Plain Scala so the
-    * typed flatMap ships it straight to executors and the spec tests it
-    * directly.
+    * Rules are (allow, path-pattern) — patterns pass through verbatim,
+    * including `*`/`$` wildcards, which [[robotsFilter]] evaluates via
+    * the native RFC 9309 §2.2.3 matcher; empty-value `Disallow:` (the
+    * allow-all idiom) contributes nothing. Crawl-delay and other
+    * non-rule directives are skipped (documented subset). Plain Scala
+    * so the typed flatMap ships it straight to executors and the spec
+    * tests it directly.
     */
   private[graft] def parseRobotsTxt(txt: String, agent: String)
       : Seq[(Boolean, String)] = {
@@ -1729,13 +1969,16 @@ object TextAnalysis {
     * ASC) determinism, same O(corpus) + merges·O(vocab) cost shape.
     */
   def bbpeTrainMerges(docs: DataFrame, numMerges: Int = ByteBpe.NumMerges,
-                      textCol: String = "text"): DataFrame = {
+                      textCol: String = "text",
+                      maxLocalVocab: Long = Bpe.MaxLocalVocab)
+      : DataFrame = {
     require(numMerges >= 1, s"numMerges must be positive, got $numMerges")
     val wf0 = docs.select(explode(preTokens(col(textCol))).as("ptok"))
       .groupBy(col("ptok")).agg(count(lit(1)).as("freq"))
       .select(byteSyms(col("ptok")).as("syms"), col("freq"))
       .localCheckpoint()
-    trainMergesLoop(docs.sparkSession, wf0, numMerges)
+    if (wf0.count() <= maxLocalVocab) trainMergesLocal(wf0, numMerges)
+    else trainMergesLoop(docs.sparkSession, wf0, numMerges)
   }
 
   /** Byte-level ENCODE, vocabulary side: trained merges applied in rank

@@ -1430,15 +1430,21 @@ object LlmQueries {
              |    '[ \t\n\f\r]+', ' ', 'g')) AS text_out
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // PII detection + redaction (l53) — emails/phones/IPv4 planted by
-    // doc_id arithmetic onto each document (every doc one email;
-    // doc_id%3==0 adds a phone; doc_id%4==1 adds an IPv4, with the
-    // host octet varying by doc_id), so per-doc counts AND the
-    // placeholder-redacted text are both oracle-checkable: DuckDB
-    // builds the identical page and recomputes every count
+    // PII detection + redaction (l53) — emails/phones/cards/IPv4
+    // planted by doc_id arithmetic onto each document (every doc one
+    // email; doc_id%3==0 adds a dashed international phone; doc_id%7==5
+    // adds a PARENTHESIZED and a DOTTED national phone — the
+    // generalized grammar; doc_id%5==2 adds a Luhn-VALID card (the
+    // classic 4111... test PAN) that must redact, doc_id%5==3 a
+    // Luhn-INVALID near-twin (...1112) that must pass through — the
+    // check-digit validation is only provable with both; doc_id%4==1
+    // adds an IPv4 with a doc_id-varying octet), so per-doc counts AND
+    // the placeholder-redacted text are both oracle-checkable: DuckDB
+    // builds the identical page and recomputes every regex count
     // (regexp_extract_all) and the full redaction chain
-    // (regexp_replace 'g', same order) with the same RE2-compatible
-    // patterns (the l47 mirror convention).
+    // (regexp_replace 'g', same order, with the card stage as a literal
+    // replace — validity is known by construction) with the same
+    // RE2-compatible patterns (the l47 mirror convention).
     "l53_pii_redact" -> QuerySpec(
       (s, dir) => {
         val page = concat(col("text"),
@@ -1446,6 +1452,13 @@ object LlmQueries {
           col("doc_id") % 7, lit(".com now."),
           when(col("doc_id") % 3 === 0,
             lit(" Call +1-555-123-4567.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 5,
+            lit(" Or (212) 555-0147 or 646.555.0188 today."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 2,
+            lit(" Pay 4111 1111 1111 1111 ok.")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 3,
+            lit(" Ref 4111-1111-1111-1112 id.")).otherwise(lit("")),
           when(col("doc_id") % 4 === 1,
             concat(lit(" Host 10.0."), col("doc_id") % 250,
               lit(".7 up."))).otherwise(lit("")))
@@ -1460,6 +1473,13 @@ object LlmQueries {
              |      || (doc_id % 7) || '.com now.'
              |      || CASE WHEN doc_id % 3 = 0
              |           THEN ' Call +1-555-123-4567.' ELSE '' END
+             |      || CASE WHEN doc_id % 7 = 5
+             |           THEN ' Or (212) 555-0147 or 646.555.0188 today.'
+             |           ELSE '' END
+             |      || CASE WHEN doc_id % 5 = 2
+             |           THEN ' Pay 4111 1111 1111 1111 ok.' ELSE '' END
+             |      || CASE WHEN doc_id % 5 = 3
+             |           THEN ' Ref 4111-1111-1111-1112 id.' ELSE '' END
              |      || CASE WHEN doc_id % 4 = 1
              |           THEN ' Host 10.0.' || (doc_id % 250) || '.7 up.'
              |           ELSE '' END AS page
@@ -1469,10 +1489,13 @@ object LlmQueries {
              |    '${TextAnalysis.PiiEmail}'))::BIGINT AS n_emails,
              |  len(regexp_extract_all(page,
              |    '${TextAnalysis.PiiPhone}'))::BIGINT AS n_phones,
+             |  CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END::BIGINT
+             |    AS n_cards,
              |  len(regexp_extract_all(page,
              |    '${TextAnalysis.PiiIpv4}'))::BIGINT AS n_ipv4,
-             |  regexp_replace(regexp_replace(regexp_replace(page,
+             |  regexp_replace(regexp_replace(replace(regexp_replace(page,
              |    '${TextAnalysis.PiiEmail}', '<EMAIL>', 'g'),
+             |    '4111 1111 1111 1111', '<CARD>'),
              |    '${TextAnalysis.PiiPhone}', '<PHONE>', 'g'),
              |    '${TextAnalysis.PiiIpv4}', '<IP>', 'g')
              |    AS text_redacted
@@ -1519,6 +1542,79 @@ object LlmQueries {
              |           / CAST(kth_min AS DOUBLE) END
              |    * 100.0 + 0.5) / 100.0 AS est_distinct
              |FROM allrows ORDER BY source""".stripMargin)),
+
+    // KMV set algebra (l57) — the registry-overlap question l55's doc
+    // promised: for every unordered source pair, the union estimate
+    // from the MERGED sketch, the inclusion-exclusion intersection
+    // (est_a + est_b − est_union), and the direct Jaccard estimator
+    // (n_both: of the union sketch's kept hashes, how many sit in BOTH
+    // input sketches — an exact integer; Ĵ·est_union is the Beyer et
+    // al. SIGMOD'07 form). Everything happens on the k·n_sources
+    // sketch relation — the corpus is scanned once. md5 keeps the
+    // sketch cross-engine: DuckDB re-derives every order statistic,
+    // membership count, and double-op estimate EXACTLY.
+    "l57_kmv_intersect" -> QuerySpec(
+      (s, dir) => {
+        TextAnalysis.kmvIntersections(
+            Tables(s, dir, "documents").select(col("source"), col("text")))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH dt AS (
+             |  SELECT DISTINCT source, unnest(list_filter(
+             |    regexp_split_to_array(lower(trim(text)), '\s+'),
+             |    x -> length(x) > 0)) AS tok
+             |  FROM documents),
+             |h AS (SELECT DISTINCT source,
+             |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+             |  FROM dt),
+             |r AS (SELECT source, h,
+             |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+             |  FROM h),
+             |s AS (SELECT source, h FROM r WHERE rn <= 256),
+             |st AS (SELECT source, COUNT(*) AS n_kept, MAX(h) AS kth_min
+             |  FROM s GROUP BY source),
+             |est AS (SELECT source,
+             |    CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+             |      ELSE 255.0 * 1152921504606846976.0
+             |           / CAST(kth_min AS DOUBLE) END AS est_raw
+             |  FROM st),
+             |prs AS (SELECT a.source AS source_a, a.est_raw AS est_a,
+             |    b.source AS source_b, b.est_raw AS est_b
+             |  FROM est a JOIN est b ON a.source < b.source),
+             |tg AS (SELECT DISTINCT p.source_a, p.source_b, s.h
+             |  FROM prs p JOIN s
+             |    ON s.source = p.source_a OR s.source = p.source_b),
+             |pu AS (SELECT source_a, source_b, h, row_number() OVER (
+             |    PARTITION BY source_a, source_b ORDER BY h) AS rn
+             |  FROM tg),
+             |puk AS (SELECT source_a, source_b, h FROM pu WHERE rn <= 256),
+             |fl AS (SELECT k.source_a, k.source_b, k.h,
+             |    CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+             |      THEN 1 ELSE 0 END AS in_both
+             |  FROM puk k
+             |  LEFT JOIN s a ON a.source = k.source_a AND a.h = k.h
+             |  LEFT JOIN s b ON b.source = k.source_b AND b.h = k.h),
+             |ag AS (SELECT source_a, source_b,
+             |    COUNT(*) AS n_union_kept, MAX(h) AS kth_min_union,
+             |    SUM(in_both)::BIGINT AS n_both
+             |  FROM fl GROUP BY source_a, source_b),
+             |fin AS (SELECT g.source_a, g.source_b, g.kth_min_union,
+             |    CASE WHEN g.n_union_kept < 256
+             |      THEN CAST(g.n_union_kept AS DOUBLE)
+             |      ELSE 255.0 * 1152921504606846976.0
+             |           / CAST(g.kth_min_union AS DOUBLE) END AS estu,
+             |    p.est_a, p.est_b, g.n_both, g.n_union_kept
+             |  FROM ag g JOIN prs p USING (source_a, source_b))
+             |SELECT source_a, source_b, kth_min_union,
+             |  floor(estu * 100.0 + 0.5) / 100.0 AS est_union,
+             |  floor((est_a + est_b - estu) * 100.0 + 0.5) / 100.0
+             |    AS est_intersect,
+             |  n_both,
+             |  floor(CAST(n_both AS DOUBLE) / CAST(n_union_kept AS DOUBLE)
+             |    * 100.0 + 0.5) / 100.0 AS jaccard,
+             |  floor(CAST(n_both AS DOUBLE) / CAST(n_union_kept AS DOUBLE)
+             |    * estu * 100.0 + 0.5) / 100.0 AS est_intersect_j
+             |FROM fin ORDER BY source_a, source_b""".stripMargin)),
 
     // Robots-exclusion evaluation (l54) — the crawl-side gate between
     // frontier and fetch, RFC 9309 semantics: per-host robots.txt

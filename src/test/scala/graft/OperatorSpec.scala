@@ -1206,6 +1206,52 @@ class OperatorSpec extends AnyFunSuite {
     assert(sCache * 2 < sRecount,
       s"pair-cache shuffle volume not below recount: " +
         s"cache=$sCache recount=$sRecount")
+
+    // vocab-LOCAL mode: identical merges to the distributed loop on the
+    // same relation (same argmax ordering, same fold semantics, same
+    // duplicate-merge reoccurrence behavior)
+    val local = TextAnalysis.trainMergesLocal(wf0(), nMerges)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(local == cached,
+      s"local-mode drift: ${local.take(3)} vs ${cached.take(3)}")
+  }
+
+  test("BPE vocab-local training: O(1) Spark jobs regardless of merge " +
+      "count — 10x merges adds ZERO jobs (the distributed loop pays " +
+      "one driver round-trip per merge)") {
+    import graft.operators.TextAnalysis
+    val words = (0 until 600).map { i =>
+      val c0 = 0x4E00 + 4 * i
+      new String(Array(c0, c0 + 1, c0 + 2, c0 + 3), 0, 4)
+    }
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    def countJobs(body: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          acc.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        org.apache.spark.sql.graftshim.Bridge.waitListenerBusEmpty(spark)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      acc.get()
+    }
+    def train(n: Int): Unit =
+      TextAnalysis.bpeTrainMerges(docs, numMerges = n).collect()
+    train(1) // JIT/codegen warmup outside the counted region
+    val j3 = countJobs(train(3))
+    val j30 = countJobs(train(30))
+    info(s"jobs at 3 merges: $j3, at 30 merges: $j30")
+    // identical pipelines except the merge count, which runs INSIDE one
+    // task: allow +2 slack for AQE/listing jitter, nowhere near the
+    // +27 the per-merge path would add
+    assert(j30 <= j3 + 2, s"job count grew with merges: $j3 -> $j30")
   }
 
   test("byte-level BPE: GPT-2 pre-tokenization and byte mapping pins — " +
@@ -2159,6 +2205,52 @@ class OperatorSpec extends AnyFunSuite {
       s"merged sketch != direct sketch: direct=$direct got=${got("ALL")}")
   }
 
+  test("KMV intersections: EXACT in the sub-k regime (est_intersect " +
+      "and jaccard equal set arithmetic), estimator-accurate above k, " +
+      "and n_both always an exact membership count") {
+    import graft.operators.TextAnalysis
+    def doc(src: String, toks: Range) =
+      (src, toks.map(t => s"tok$t").mkString(" "))
+    // sub-k regime (every per-source distinct < 256): sketches hold the
+    // FULL sets, so every estimate must equal exact set arithmetic:
+    // |a|=100, |b|=80 (overlap 40 with a), |c|=30 (disjoint from a,
+    // overlapping b by 10)
+    val small = Seq(doc("a", 0 until 100), doc("b", 60 until 140),
+      doc("c", 130 until 160)).toDF("source", "text")
+    val got = TextAnalysis.kmvIntersections(small).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+        -> ((r.getAs[Double]("est_union"),
+          r.getAs[Double]("est_intersect"), r.getAs[Long]("n_both"),
+          r.getAs[Double]("jaccard"),
+          r.getAs[Double]("est_intersect_j"))))
+      .toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // a∪b = 140, a∩b = 40, J = 40/140
+    assert(got(("a", "b")) == ((140.0, 40.0, 40L,
+      math.floor(40.0 / 140.0 * 100 + 0.5) / 100,
+      math.floor(40.0 / 140.0 * 140.0 * 100 + 0.5) / 100)),
+      s"""a-b: ${got(("a", "b"))}""")
+    // a∩c = ∅
+    assert(got(("a", "c")) == ((130.0, 0.0, 0L, 0.0, 0.0)),
+      s"""a-c: ${got(("a", "c"))}""")
+    // b∩c = {130..139} = 10, b∪c = 100
+    assert(got(("b", "c"))._2 == 10.0 && got(("b", "c"))._3 == 10L,
+      s"""b-c: ${got(("b", "c"))}""")
+    // above-k regime: 2000/1500 distinct with 500 shared — both
+    // estimators must land near the truth (deterministic md5, no flake)
+    val big = Seq(doc("a", 0 until 2000), doc("b", 1500 until 3000))
+      .toDF("source", "text")
+    val gb = TextAnalysis.kmvIntersections(big).head()
+    assert(math.abs(gb.getAs[Double]("est_union") - 3000.0) / 3000.0
+      < 0.20, s"union: $gb")
+    // inclusion-exclusion subtracts two k-sized errors — allow a wide
+    // band; the jaccard form must be tighter than half the truth
+    assert(math.abs(gb.getAs[Double]("est_intersect") - 500.0) < 400.0,
+      s"incl-excl: $gb")
+    assert(math.abs(gb.getAs[Double]("est_intersect_j") - 500.0) < 250.0,
+      s"jaccard form: $gb")
+  }
+
   test("KMV scale bounds: 10x documents (10x distinct space) stays " +
       "sub-quadratic — the k-min window forwards at most k rows per " +
       "source per partition regardless of corpus size") {
@@ -2312,6 +2404,54 @@ class OperatorSpec extends AnyFunSuite {
         r.getAs[String]("text_redacted")).toMap
     got.foreach { case (id, (_, _, _, red)) =>
       assert(twice(id) == red, s"not idempotent on doc $id") }
+  }
+
+  test("piiRedact: generalized phone grammar (parens/dots/spaces/" +
+      "dashes) and Luhn-validated card redaction — valid PANs redact, " +
+      "check-digit failures and wrong lengths pass through") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "call (212) 555-0147 or 646.555.0188 or 555 123 4567 now"),
+      (2L, "pay 4111 1111 1111 1111 thanks"),     // Luhn-valid, spaced
+      (3L, "ref 4111-1111-1111-1112 noted"),      // check digit off
+      (4L, "amex 378282246310005 and visa 4222222222222"), // 15, 13
+      (5L, "id 1234567890123456 stays"),          // 16 digits, invalid
+      (6L, "date 10.02.2024 and version 1.2.3.4 and price 3.14"),
+      (7L, "long 41111111111111111111 overrun")) // 20 digits: no card
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiRedact(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_phones"), r.getAs[Long]("n_cards"),
+          r.getAs[Long]("n_ipv4"), r.getAs[String]("text_redacted"))))
+      .toMap
+    assert(got(1L) == ((3L, 0L, 0L,
+      "call <PHONE> or <PHONE> or <PHONE> now")))
+    assert(got(2L) == ((0L, 1L, 0L, "pay <CARD> thanks")))
+    assert(got(3L) == ((0L, 0L, 0L, "ref 4111-1111-1111-1112 noted")))
+    assert(got(4L) == ((0L, 2L, 0L, "amex <CARD> and visa <CARD>")))
+    assert(got(5L) == ((0L, 0L, 0L, "id 1234567890123456 stays")))
+    // dotted dates / semver / decimals are NOT phones; 1.2.3.4 IS an
+    // IPv4 literal by the documented pattern
+    assert(got(6L) == ((0L, 0L, 1L,
+      "date 10.02.2024 and version <IP> and price 3.14")))
+    assert(got(7L) == ((0L, 0L, 0L,
+      "long 41111111111111111111 overrun")))
+    // Luhn property: any digit string with its computed check digit
+    // validates; any single-digit perturbation of the check fails
+    import graft.functions.expressions.TextHashExpressions.luhnValid
+    val rnd = new scala.util.Random(53)
+    (1 to 200).foreach { _ =>
+      val len = 13 + rnd.nextInt(7)
+      val base = Array.fill(len - 1)(rnd.nextInt(10))
+      // compute the check digit that makes the Luhn sum 0 mod 10
+      val check = (0 to 9).find { d =>
+        luhnValid(base :+ d, len) }.get
+      val good = base :+ check
+      assert(luhnValid(good, len))
+      val bad = good.clone()
+      bad(len - 1) = (bad(len - 1) + 1 + rnd.nextInt(9)) % 10
+      assert(!luhnValid(bad, len), bad.mkString)
+    }
   }
 
   test("htmlExtractStrict: equals the regex form on well-formed pages, " +

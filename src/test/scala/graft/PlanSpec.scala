@@ -853,4 +853,23 @@ class PlanSpec extends AnyFunSuite {
       s"k-th order statistic must push the limit into map partitions:\n" +
         plan.take(2500))
   }
+
+  test("l57: KMV set algebra runs entirely on the sketch relation — " +
+      "every pairwise join broadcasts, never a sort-merge join over " +
+      "the k-min rows") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = spark.range(2000).select(
+      concat(lit("s"), col("id") % 4).as("source"),
+      concat(lit("tok"), col("id"), lit(" tok"), col("id") * 7)
+        .as("text"))
+    val plan = graft.operators.TextAnalysis
+      .kmvIntersections(docs, k = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"sketch-relation joins must broadcast:\n${plan.take(2500)}")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast joins over the sketch relation:\n" +
+        plan.take(2500))
+  }
 }
