@@ -126,29 +126,28 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         val cold = once()
-        val loadPre = loadProbe()
-        val times = (1 to runsPer).map(_ => once()).sorted
+        // per-RUN load probe (r12 hardening): the r12 l36 flag was a
+        // burst arriving AFTER a clean per-entry pre-probe — with a
+        // probe immediately before EVERY measured run, each sample
+        // carries its own contention reading, and the tripwire can
+        // require that every run exceeded its own probe-scaled budget
+        // (a co-tenant burst inflates SOME runs; a real plan regression
+        // inflates ALL of them).
+        val samples = (1 to runsPer).map { _ =>
+          val lp = loadProbe(); (once(), lp)
+        }
+        val times = samples.map(_._1).sorted
         val median = times(runsPer / 2)
-        // adaptive post-probe: the pre-probe samples one instant, and a
-        // burst arriving BETWEEN probe and runs would flag the entry
-        // with a clean-looking probe (observed once: q-family flags
-        // adjacent to q-family spikes). Only entries that WOULD flag
-        // under the pre-probe's scale pay the second ~60 ms probe; the
-        // budget check uses the max of the two.
-        val wouldFlag = graft.BenchBudgets.pinnedMedians.get(name)
-          .exists(p => median > p * graft.BenchBudgets.Factor *
-            math.max(1.0, loadPre / graft.BenchBudgets.RefLoadProbe))
-        val load =
-          if (wouldFlag) math.max(loadPre, loadProbe()) else loadPre
-        (name, median, times.last - times.head, err, cold, load)
+        val load = samples.map(_._2).max
+        (name, median, times.last - times.head, err, cold, load, samples)
     }
-    val qs = results.map { case (k, m, _, _, _, _) => s"\"" + k + "\":" + m }
-      .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, sp, _, _, _) =>
+    val qs = results.map { case (k, m, _, _, _, _, _) =>
+      s"\"" + k + "\":" + m }.mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, sp, _, _, _, _) =>
       s"\"" + k + "\":" + sp }.mkString("{", ",", "}")
-    val colds = results.map { case (k, _, _, _, c, _) =>
+    val colds = results.map { case (k, _, _, _, c, _, _) =>
       s"\"" + k + "\":" + f"$c%.4f" }.mkString("{", ",", "}")
-    val loads = results.map { case (k, _, _, _, _, ld) =>
+    val loads = results.map { case (k, _, _, _, _, ld, _) =>
       s"\"" + k + "\":" + f"$ld%.4f" }.mkString("{", ",", "}")
     // Exception messages routinely contain newlines (AnalysisException
     // embeds plan fragments); control chars must be \u-escaped or the
@@ -159,38 +158,39 @@ object Bench {
       case c if c < ' '  => f"\\u${c.toInt}%04x"
       case c             => c.toString
     }
-    val errs = results.collect { case (k, _, _, Some(e), _, _) =>
+    val errs = results.collect { case (k, _, _, Some(e), _, _, _) =>
       "\"" + k + "\":\"" + jstr(e) + "\"" }.mkString("{", ",", "}")
     val calPost = calibrationProbe(cpus.toInt)
     val calMean = (calPre + calPost) / 2.0
     val cal = f""""calibration_sec":$calMean%.4f,"calibration_pre_sec":$calPre%.4f,"calibration_post_sec":$calPost%.4f"""
     val total = results.map(_._2).sum
-    // per-entry budget tripwire (BenchBudgets): flag medians beyond
-    // 2x the pinned idle median, scaled by BOTH the suite-level
-    // calibration ratio AND the entry's OWN load-probe ratio — the r11
-    // driver bench proved a mid-run co-tenant burst can inflate a
-    // contiguous stretch of entries 3-5x while the before/after
-    // calibration reads near-idle; the per-entry probe widens exactly
-    // the entries the burst touched and records the evidence in the
-    // artifact's `load` map. Telemetry only — rc stays 0 unless a
-    // query actually threw.
+    // per-entry budget tripwire (BenchBudgets): flag an entry only when
+    // EVERY measured run exceeds 2x the pinned idle median scaled by
+    // max(suite calibration ratio, that run's OWN adjacent load-probe
+    // ratio). Burst-robust by construction: a co-tenant CPU burst
+    // inflates SOME runs (and/or their adjacent probes — either way
+    // those runs stop flagging), while a genuine plan regression
+    // inflates ALL runs under ALL probe readings. This closes the r12
+    // l36 mode — a mid-ENTRY burst after a clean single pre-probe,
+    // invisible to both the suite calipers and the old per-entry probe.
+    // Telemetry only — rc stays 0 unless a query actually threw.
     val calScale = math.max(1.0,
       calMean / graft.BenchBudgets.RefCalibration)
-    def entryScale(ld: Double): Double = math.max(calScale,
+    def runScale(ld: Double): Double = math.max(calScale,
       ld / graft.BenchBudgets.RefLoadProbe)
     val exceeded = results.collect {
-      case (k, m, _, None, _, ld)
+      case (k, m, _, None, _, _, samples)
           if graft.BenchBudgets.pinnedMedians.get(k)
-            .exists(p =>
-              m > p * graft.BenchBudgets.Factor * entryScale(ld)) =>
+            .exists(p => samples.forall { case (t, lp) =>
+              t > p * graft.BenchBudgets.Factor * runScale(lp) }) =>
         k -> m
     }
     val budgetJson = exceeded.map { case (k, m) =>
       "\"" + k + "\":" + f"$m%.4f" }.mkString("{", ",", "}")
-    // load spikes: entries whose adjacent single-thread probe ran > 2x
-    // the pinned idle probe — mid-run contention, named per entry
+    // load spikes: entries where ANY run's adjacent probe ran > 2x the
+    // pinned idle probe — mid-run contention, named per entry
     val loadSpikes = results.collect {
-      case (k, _, _, _, _, ld)
+      case (k, _, _, _, _, ld, _)
           if ld > 2.0 * graft.BenchBudgets.RefLoadProbe => k
     }
     val loadSpikesJson =
@@ -201,7 +201,7 @@ object Bench {
     // steady-state median — the entries a cold-context harness would have
     // flagged before the per-entry warmup existed
     val coldOutliers = results.collect {
-      case (k, m, _, None, c, _) if m > 0 && c > 2.0 * m => k
+      case (k, m, _, None, c, _, _) if m > 0 && c > 2.0 * m => k
     }
     val coldOutliersJson =
       coldOutliers.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -212,7 +212,7 @@ object Bench {
     // captured only the trailing `spread` map and medians were misread as
     // spreads. Medians are rounded to 4dp to keep this line small.
     val maxMedian = results.map(_._2).maxOption.getOrElse(0.0)
-    val qs4 = results.map { case (k, m, _, _, _, _) =>
+    val qs4 = results.map { case (k, m, _, _, _, _, _) =>
       "\"" + k + "\":" + f"$m%.4f" }.mkString("{", ",", "}")
     println(s"""{"metric":"bench_summary","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},"max_median":${f"$maxMedian%.4f"},"aggregation":"median",$cal,$budget,"cold_outliers":$coldOutliersJson,"errors":$errs,"queries":$qs4}""")
     // The registry outgrew tail-capture: at 94 entries even the 4dp
@@ -233,10 +233,10 @@ object Bench {
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: java.io.IOException =>
       System.err.println(s"[bench] sidecar write failed: $e") }
-    val errNames = results.collect { case (k, _, _, Some(_), _, _) => k }
+    val errNames = results.collect { case (k, _, _, Some(_), _, _, _) => k }
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val top10 = results.sortBy(-_._2).take(10).map {
-      case (k, m, _, _, _, _) =>
+      case (k, m, _, _, _, _, _) =>
         "\"" + k + "\":" + f"$m%.4f" }.mkString("{", ",", "}")
     println(s"""{"metric":"bench_scalars","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},"max_median":${f"$maxMedian%.4f"},"aggregation":"median",$cal,"n_budget_exceeded":${exceeded.size},"n_load_spikes":${loadSpikes.size},"n_cold_outliers":${coldOutliers.size},"n_errors":${results.count(_._4.isDefined)},"error_queries":$errNames,"slowest":$top10,"sidecar":"${jstr(sidecar)}","sf":"${jstr(sfDir)}"}""")
     spark.stop()
