@@ -1,184 +1,174 @@
 package graft
 
-/** Per-entry bench budgets — the r10 regression tripwire (VERDICT r9
-  * stretch #8): each entry's pinned median (seconds, sf0.1, local[32])
-  * as the ELEMENT-WISE MIN of the two round-12 close runs
-  * (target/bench_r12_final{,2}.json — both zero-flag, calibrations
-  * 0.789/0.868; the host carried co-tenant load all evening, so
-  * RefCalibration records the LOWER run's probe: an idle future run
-  * scales at 1 with slightly loose pins, a loaded one widens — never a
-  * false alarm from pinning under load). Bench flags an entry when its
-  * median exceeds
-  * 2 x pinned x max(1, calibration_now / RefCalibration) — budgets
-  * SCALE with measured host contention, so a loaded driver host
-  * inflates the allowance instead of raising false alarms, while a
-  * genuine plan regression is flagged PER-QUERY instead of by
-  * eyeballing round-total diffs. Since r11, Bench also runs one
-  * un-measured WARMUP per entry and records its wall as `cold` in the
-  * artifact, so one-time costs (JIT, codegen, fixture/golden builds,
-  * first page-cache touch) can neither trip the budget nor hide: a
-  * future flag is self-diagnosing (cold~=median => real regression;
-  * cold>>median => cold-start sensitivity, not a plan change). Flags
-  * are telemetry: rc stays 0 (only thrown queries fail the run).
-  * Entries without a pin are never flagged.
+/** Per-entry bench budgets — the regression tripwire: each entry's
+  * pinned median (seconds, sf0.1, local[32]) as the ELEMENT-WISE MIN of
+  * the two round-13 close runs (target/bench_r13_idle{1,2}.json — both
+  * ZERO-flag zero-spike zero-error, suite calibrations 0.637/0.582 with
+  * post-suite probes 0.524/0.540 and every per-run load probe in the
+  * idle ~0.06 band; the r12 pins were taken at calibration 0.789 on a
+  * loaded host, which loosened the effective tripwire ~1.3x for idle
+  * runs — the r12 VERDICT item this regeneration closes). Since r13
+  * Bench probes before EVERY measured run and flags an entry only when
+  * ALL runs exceed 2 x pinned x max(1, cal_now/RefCalibration,
+  * run_probe/RefLoadProbe) — burst-robust (a co-tenant burst inflates
+  * some runs or their probes; a genuine plan regression inflates all of
+  * them). One un-measured WARMUP per entry keeps one-time costs (JIT,
+  * codegen, fixture/golden builds, page-cache first touch) out of the
+  * measured runs and visible as `cold` in the artifact. Flags are
+  * telemetry: rc stays 0 (only thrown queries fail the run). Entries
+  * without a pin are never flagged.
   *
-  * Regenerate after an intentional perf-profile change: run Bench on an
-  * idle host and refresh from target/bench_artifact.json.
+  * Regenerate after an intentional perf-profile change: run Bench TWICE
+  * on an idle host and refresh from the two sidecar artifacts
+  * (element-wise min; RefCalibration = the lower suite mean;
+  * RefLoadProbe = the min per-entry probe observed).
   */
 object BenchBudgets {
-  val RefCalibration: Double = 0.7888
+  val RefCalibration: Double = 0.5815
 
-  /** Idle-host wall of Bench's per-entry single-thread load probe
-    * (1<<24 mix rounds; see Bench.loadProbe). Since r12 the budget
-    * allowance for each entry scales by
-    * max(calibration ratio, entry's own probe / RefLoadProbe):
-    * the r11 driver bench flagged five entries 3.7-5.1x over pins at
-    * budget_scale 1.027 because a mid-run co-tenant CPU burst is
-    * invisible to the suite-endpoint calibration probes — the
-    * same-HEAD same-disk-state rerun measured those entries at
-    * 1.0-1.3x pins, and the r11 elevation formed a contiguous
-    * alphabetical window (l01..l16, fading at l17) unexplainable by
-    * entry code. A probe taken NEXT TO each entry's measured runs
-    * turns that burst into a per-entry recorded fact (`load` map /
-    * `load_spikes` in the artifact).
+  /** Idle-host wall of Bench's per-RUN single-thread load probe
+    * (1<<24 mix rounds; see Bench.loadProbe) — the minimum probe
+    * observed across both pin runs' entries.
     */
-  val RefLoadProbe: Double = 0.0602
+  val RefLoadProbe: Double = 0.0573
 
   val Factor: Double = 2.0
   val pinnedMedians: Map[String, Double] = Map(
-    "l01_dedup_exact" -> 0.2248,
-    "l02_minhash_lsh" -> 0.0542,
-    "l03_simhash_neardup" -> 0.6707,
-    "l04_ngram_jaccard" -> 0.8455,
-    "l05_embedding_neardup" -> 0.8069,
-    "l06_token_count" -> 0.1049,
-    "l07_char_stats" -> 0.1265,
-    "l08_fingerprint" -> 0.1033,
-    "l09_quality_langid" -> 0.1539,
-    "l10_dedup_clusters" -> 0.5974,
-    "l11_approx_distinct" -> 0.1148,
-    "l12_text_clean" -> 0.1119,
-    "l13_subword_fingerprint" -> 0.1083,
-    "l14_lsh_bucketed" -> 1.0619,
-    "l15_hash_split" -> 0.1666,
-    "l16_corpus_mix" -> 0.1814,
-    "l17_sequence_pack" -> 0.2678,
-    "l18_per_source_sample" -> 0.1656,
-    "l19_top_ngrams" -> 0.4207,
-    "l20_bm25_terms" -> 0.8652,
-    "l21_lsh_scale_stress" -> 3.2103,
-    "l22_decontaminate" -> 0.4422,
-    "l23_repetition" -> 0.1191,
-    "l24_repeated_ngrams" -> 0.7381,
-    "l25_ngram_lm" -> 0.6526,
-    "l26_bpe_train" -> 1.9389,
-    "l27_cms_counts" -> 0.4331,
-    "l28_corpus_funnel" -> 1.4890,
-    "l29_bpe_encode" -> 0.7688,
-    "l30_bloom_decontaminate" -> 0.5907,
-    "l31_fuzzy_join" -> 1.5463,
-    "l32_unicode_nfc" -> 0.1199,
-    "l33_temperature_mix" -> 0.1401,
-    "l34_chunk_overlap" -> 0.2347,
-    "l35_heavy_hitters" -> 0.4669,
-    "l36_concat_chunk_pack" -> 0.5185,
-    "l37_cluster_balance" -> 0.3750,
-    "l38_dedup_clusters_star" -> 0.8729,
-    "l39_passage_dedup" -> 0.1683,
-    "l40_gopher_rules" -> 0.1118,
-    "l41_dsir_select" -> 1.0456,
-    "l42_quality_classifier" -> 0.1260,
-    "l43_bbpe_train" -> 1.7708,
-    "l44_bbpe_encode" -> 0.6470,
-    "l45_html_extract" -> 0.0930,
-    "l46_url_normalize" -> 0.4522,
-    "l47_c4_clean" -> 0.1018,
-    "l48_domain_filter" -> 0.1558,
-    "l49_crawl_funnel" -> 0.2730,
-    "l50_incremental_dedup" -> 0.8471,
-    "l51_http_funnel" -> 0.3078,
-    "l52_html_strict" -> 0.1026,
-    "l53_pii_redact" -> 0.0995,
-    "l54_robots_filter" -> 0.1559,
-    "l55_kmv_distinct" -> 1.0100,
-    "m01_media_features" -> 0.3174,
-    "m02_frame_sample" -> 0.0922,
-    "m03_media_resize" -> 0.0925,
-    "m04_jpeg_decode" -> 0.1432,
-    "m05_png_decode" -> 0.1103,
-    "m06_gif_decode" -> 0.0924,
-    "m07_phash_neardup" -> 0.3119,
-    "m08_audio_fingerprint" -> 0.1968,
-    "m09_scene_detect" -> 0.0821,
-    "p01_full_history" -> 0.0721,
-    "p02_state_codec" -> 0.1908,
-    "p03_account_asof" -> 0.0764,
-    "p04_txbodies_stats" -> 0.3458,
-    "p05_txbodies_dups" -> 0.2239,
-    "p06_dat_roundtrip" -> 0.4486,
-    "p07_asof_join" -> 0.0967,
-    "p08_txbodies_roundtrip" -> 0.9538,
-    "p09_storage_asof_join" -> 0.1111,
-    "p10_dat_append" -> 0.4004,
-    "p11_full_history_skew" -> 1.1267,
-    "p12_dat_dsv2_write" -> 0.2688,
-    "p13_scale_stress" -> 4.2867,
-    "p14_dat_compact" -> 0.8216,
-    "p15_format_roundtrip" -> 1.4162,
-    "p16_point_lookup_pages" -> 0.1342,
-    "p17_warc_ingest" -> 0.3599,
-    "q01_range_filter" -> 0.1136,
-    "q02_project_predicate" -> 0.1068,
-    "q03_lookup_join" -> 0.1861,
-    "q04_seq_join_agg" -> 0.4866,
-    "q05_union_interleave" -> 0.1620,
-    "q06_multi_sort" -> 0.0966,
-    "q07_lag_retimestamp" -> 0.2049,
-    "q08_agg_counters" -> 0.1965,
-    "q09_dup_detect" -> 0.5336,
-    "q10_prune_tail" -> 0.1886,
-    "q11_kway_merge" -> 0.1480,
-    "q12_monotonic_guard" -> 0.0894,
-    "q13_salted_agg" -> 0.1405,
-    "q14_rollup" -> 0.2855,
-    "q15_set_ops" -> 0.2136,
-    "q16_salted_join" -> 0.2443,
-    "q17_interval_join" -> 0.2333,
-    "q18_cube" -> 0.3297,
-    "q19_salted_interval_join" -> 0.4144,
-    "s01_cosine_topk" -> 0.1951,
-    "s02_lsh_topk" -> 0.4248,
-    "s03_ivf_topk" -> 0.6890,
-    "s04_ivf_trained" -> 0.6525,
-    "s05_pq_adc" -> 0.5762,
-    "s06_ivf_pq" -> 1.0289,
-    "s07_semantic_dedup" -> 1.8075,
-    "s08_sq8_topk" -> 0.5193,
-    "s09_maxsim_topk" -> 0.2702,
-    "s10_ivf_sq8" -> 0.9298,
-    "s11_binary_topk" -> 0.3171,
-    "s12_ivf_bq" -> 0.8254,
-    "s13_ann_scale_stress" -> 5.7241,
-    "s14_two_stage_retrieval" -> 0.9405,
-    "s15_filtered_ann" -> 0.3912,
-    "s16_random_projection" -> 0.9102,
-    "s17_indexed_ann" -> 0.3700,
-    "st02_file_stream" -> 0.8690,
-    "st03_stream_dedup" -> 0.8385,
-    "st04_session_stream" -> 1.2160,
-    "st05_history_stream" -> 1.3566,
-    "st06_stream_neardup" -> 2.2056,
-    "st07_stream_archive" -> 1.5884,
-    "st08_archive_tail" -> 1.1738,
-    "st09_archive_mirror" -> 1.0761,
-    "st10_stream_funnel" -> 0.9522,
-    "st11_stream_neardup_ttl" -> 2.0838,
-    "st12_stream_interval_join" -> 2.1695,
-    "st13_warc_stream" -> 0.3835,
-    "st14_stream_score" -> 0.5120,
-    "st15_http_stream" -> 0.3705,
-    "w01_event_window" -> 0.1542,
-    "w02_session_window" -> 0.2890,
-    "w03_quantiles" -> 0.1214,
-    "w04_approx_quantiles" -> 0.2135)
+    "l01_dedup_exact" -> 0.2062,
+    "l02_minhash_lsh" -> 0.0528,
+    "l03_simhash_neardup" -> 0.5144,
+    "l04_ngram_jaccard" -> 0.8749,
+    "l05_embedding_neardup" -> 0.8870,
+    "l06_token_count" -> 0.0989,
+    "l07_char_stats" -> 0.1087,
+    "l08_fingerprint" -> 0.0959,
+    "l09_quality_langid" -> 0.1362,
+    "l10_dedup_clusters" -> 0.5481,
+    "l11_approx_distinct" -> 0.1044,
+    "l12_text_clean" -> 0.1180,
+    "l13_subword_fingerprint" -> 0.1219,
+    "l14_lsh_bucketed" -> 0.8554,
+    "l15_hash_split" -> 0.1413,
+    "l16_corpus_mix" -> 0.1535,
+    "l17_sequence_pack" -> 0.2332,
+    "l18_per_source_sample" -> 0.1582,
+    "l19_top_ngrams" -> 0.3998,
+    "l20_bm25_terms" -> 0.7506,
+    "l21_lsh_scale_stress" -> 3.0026,
+    "l22_decontaminate" -> 0.4242,
+    "l23_repetition" -> 0.1056,
+    "l24_repeated_ngrams" -> 0.6275,
+    "l25_ngram_lm" -> 0.5716,
+    "l26_bpe_train" -> 0.3722,
+    "l27_cms_counts" -> 0.3965,
+    "l28_corpus_funnel" -> 1.5305,
+    "l29_bpe_encode" -> 0.9496,
+    "l30_bloom_decontaminate" -> 0.6933,
+    "l31_fuzzy_join" -> 1.3963,
+    "l32_unicode_nfc" -> 0.1197,
+    "l33_temperature_mix" -> 0.1459,
+    "l34_chunk_overlap" -> 0.2449,
+    "l35_heavy_hitters" -> 0.4630,
+    "l36_concat_chunk_pack" -> 0.5526,
+    "l37_cluster_balance" -> 0.4422,
+    "l38_dedup_clusters_star" -> 0.8821,
+    "l39_passage_dedup" -> 0.2033,
+    "l40_gopher_rules" -> 0.1361,
+    "l41_dsir_select" -> 1.0430,
+    "l42_quality_classifier" -> 0.1336,
+    "l43_bbpe_train" -> 0.2741,
+    "l44_bbpe_encode" -> 0.6241,
+    "l45_html_extract" -> 0.0908,
+    "l46_url_normalize" -> 0.4077,
+    "l47_c4_clean" -> 0.1045,
+    "l48_domain_filter" -> 0.1454,
+    "l49_crawl_funnel" -> 0.2535,
+    "l50_incremental_dedup" -> 0.8231,
+    "l51_http_funnel" -> 0.3104,
+    "l52_html_strict" -> 0.1124,
+    "l53_pii_redact" -> 0.1120,
+    "l54_robots_filter" -> 0.1741,
+    "l55_kmv_distinct" -> 0.7507,
+    "l56_http_decode" -> 0.1038,
+    "l57_kmv_intersect" -> 0.7584,
+    "m01_media_features" -> 0.2213,
+    "m02_frame_sample" -> 0.0815,
+    "m03_media_resize" -> 0.0927,
+    "m04_jpeg_decode" -> 0.1408,
+    "m05_png_decode" -> 0.0957,
+    "m06_gif_decode" -> 0.0677,
+    "m07_phash_neardup" -> 0.2546,
+    "m08_audio_fingerprint" -> 0.1999,
+    "m09_scene_detect" -> 0.0937,
+    "p01_full_history" -> 0.0896,
+    "p02_state_codec" -> 0.2176,
+    "p03_account_asof" -> 0.1002,
+    "p04_txbodies_stats" -> 0.3577,
+    "p05_txbodies_dups" -> 0.2786,
+    "p06_dat_roundtrip" -> 0.4766,
+    "p07_asof_join" -> 0.1112,
+    "p08_txbodies_roundtrip" -> 0.8988,
+    "p09_storage_asof_join" -> 0.0965,
+    "p10_dat_append" -> 0.3768,
+    "p11_full_history_skew" -> 1.0285,
+    "p12_dat_dsv2_write" -> 0.2513,
+    "p13_scale_stress" -> 3.4834,
+    "p14_dat_compact" -> 0.7379,
+    "p15_format_roundtrip" -> 1.5669,
+    "p16_point_lookup_pages" -> 0.1439,
+    "p17_warc_ingest" -> 0.3649,
+    "q01_range_filter" -> 0.1214,
+    "q02_project_predicate" -> 0.1067,
+    "q03_lookup_join" -> 0.1761,
+    "q04_seq_join_agg" -> 0.4772,
+    "q05_union_interleave" -> 0.1735,
+    "q06_multi_sort" -> 0.0998,
+    "q07_lag_retimestamp" -> 0.1980,
+    "q08_agg_counters" -> 0.1765,
+    "q09_dup_detect" -> 0.5222,
+    "q10_prune_tail" -> 0.2008,
+    "q11_kway_merge" -> 0.1616,
+    "q12_monotonic_guard" -> 0.1073,
+    "q13_salted_agg" -> 0.1468,
+    "q14_rollup" -> 0.2837,
+    "q15_set_ops" -> 0.2156,
+    "q16_salted_join" -> 0.2662,
+    "q17_interval_join" -> 0.2397,
+    "q18_cube" -> 0.3163,
+    "q19_salted_interval_join" -> 0.3789,
+    "s01_cosine_topk" -> 0.2112,
+    "s02_lsh_topk" -> 0.4100,
+    "s03_ivf_topk" -> 0.7504,
+    "s04_ivf_trained" -> 0.6806,
+    "s05_pq_adc" -> 0.5625,
+    "s06_ivf_pq" -> 1.0045,
+    "s07_semantic_dedup" -> 1.5969,
+    "s08_sq8_topk" -> 0.4664,
+    "s09_maxsim_topk" -> 0.2560,
+    "s10_ivf_sq8" -> 0.9385,
+    "s11_binary_topk" -> 0.3080,
+    "s12_ivf_bq" -> 0.7541,
+    "s13_ann_scale_stress" -> 6.0153,
+    "s14_two_stage_retrieval" -> 0.9474,
+    "s15_filtered_ann" -> 0.3991,
+    "s16_random_projection" -> 0.9199,
+    "s17_indexed_ann" -> 0.4262,
+    "st02_file_stream" -> 0.9950,
+    "st03_stream_dedup" -> 0.9994,
+    "st04_session_stream" -> 1.4110,
+    "st05_history_stream" -> 1.3774,
+    "st06_stream_neardup" -> 1.8704,
+    "st07_stream_archive" -> 1.8942,
+    "st08_archive_tail" -> 1.4689,
+    "st09_archive_mirror" -> 1.4061,
+    "st10_stream_funnel" -> 1.0958,
+    "st11_stream_neardup_ttl" -> 2.4234,
+    "st12_stream_interval_join" -> 2.5622,
+    "st13_warc_stream" -> 0.4374,
+    "st14_stream_score" -> 0.5607,
+    "st15_http_stream" -> 0.4565,
+    "w01_event_window" -> 0.1764,
+    "w02_session_window" -> 0.2966,
+    "w03_quantiles" -> 0.1418,
+    "w04_approx_quantiles" -> 0.2214)
 }

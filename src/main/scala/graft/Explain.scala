@@ -59,8 +59,10 @@ object Explain {
       "l50_incremental_dedup" -> "incremental dedup (increment band rows vs bucketed store, semi-join-first verify)",
       "l51_http_funnel" -> "HTTP-response crawl funnel (narrow parse+split, four stage aggregates)",
       "l52_html_strict" -> "structural HTML extraction (one native codegen node, zero exchange)",
-      "l53_pii_redact" -> "PII counts + redaction (narrow regexp chain)",
-      "l54_robots_filter" -> "robots evaluation (broadcast rules join + max_by longest-match)")
+      "l53_pii_redact" -> "PII counts + redaction (narrow regexp chain + native Luhn card kernel)",
+      "l54_robots_filter" -> "robots evaluation (broadcast rules join, native wildcard-match residual, max_by longest-match)",
+      "l56_http_decode" -> "HTTP wire decoding (path-only scan, mapPartitions parse + chunk/gzip decode, one output sort)",
+      "l57_kmv_intersect" -> "KMV set algebra (one corpus scan to the k-min relation; broadcast-only pairwise joins)")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans of flagship queries\n\n")
     sb.append("Generated by `runMain graft.Explain` on sf0.001; the\n")
