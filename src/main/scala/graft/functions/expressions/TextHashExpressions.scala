@@ -277,6 +277,100 @@ object TextHashExpressions {
   def cc_redact(text: Column): Column =
     Bridge.column(CreditCardRedactExpr(Bridge.expression(text)))
 
+  /** ISO 13616 IBAN mod-97 check over the candidate's alphanumeric
+    * chars (`n` of them): the first four chars (country + check
+    * digits) move to the end, letters map to 10..35, and the resulting
+    * number must be ≡ 1 (mod 97). Computed with rolling remainders —
+    * no big-integer allocation.
+    */
+  def ibanMod97Valid(chars: Array[Char], n: Int): Boolean = {
+    var rem = 0
+    var i = 0
+    while (i < n) {
+      val c = chars((i + 4) % n) // rearranged: chars[4..n) ++ chars[0..4)
+      if (c >= '0' && c <= '9') rem = (rem * 10 + (c - '0')) % 97
+      else rem = (rem * 100 + (c - 'A' + 10)) % 97
+      i += 1
+    }
+    rem == 1
+  }
+
+  /** IBAN detection + redaction, the [[ccRedact]] scanner shape over
+    * the IBAN alphabet: candidate = an UPPERCASE letter pair at a
+    * non-alphanumeric boundary, then 15–34 total [A-Z0-9] chars
+    * (single spaces between groups tolerated — the common 4-char print
+    * grouping), shaped LLDD… (country code + check digits). Redacts to
+    * `<IBAN>` only when the ISO 13616 mod-97 checksum HOLDS — like the
+    * Luhn kernel, inexpressible as a regex. Documented subset: no
+    * per-country length table (mod-97 already rejects random strings
+    * at 96/97), uppercase only (the ISO canonical form).
+    */
+  def ibanRedact(str: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val s = str.toString
+    val len = s.length
+    val sb = new java.lang.StringBuilder(len)
+    val chars = new Array[Char](35)
+    var n = 0L
+    var i = 0
+    def isAl(c: Char): Boolean =
+      (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
+        (c >= 'a' && c <= 'z')
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c >= 'A' && c <= 'Z' && (i == 0 || !isAl(s.charAt(i - 1)))) {
+        // scan the maximal [A-Z0-9]/single-space span, recording each
+        // GROUP boundary (chars so far, string pos) — the candidate is
+        // the longest boundary prefix that validates, so a trailing
+        // uppercase word ("…0130 00 Now") cannot spoil a valid IBAN
+        // before it
+        var k = i; var nc = 0
+        val bCnt = new Array[Int](36); val bPos = new Array[Int](36)
+        var nb = 0
+        var continue = true
+        while (continue && k < len) {
+          val ck = s.charAt(k)
+          if ((ck >= 'A' && ck <= 'Z') || (ck >= '0' && ck <= '9')) {
+            if (nc < 35) { if (nc < 34) chars(nc) = ck; nc += 1 }
+            else continue = false // far past any IBAN; stop scanning
+            k += 1
+          } else if (ck == ' ' && k + 1 < len && isAl(s.charAt(k - 1)) &&
+              ((s.charAt(k + 1) >= 'A' && s.charAt(k + 1) <= 'Z') ||
+                (s.charAt(k + 1) >= '0' && s.charAt(k + 1) <= '9'))) {
+            if (nb < 36) { bCnt(nb) = nc; bPos(nb) = k; nb += 1 }
+            k += 1
+          } else continue = false
+        }
+        if (nb < 36) { bCnt(nb) = nc; bPos(nb) = k; nb += 1 }
+        val shaped = nc >= 4 &&
+          chars(0) >= 'A' && chars(0) <= 'Z' &&
+          chars(1) >= 'A' && chars(1) <= 'Z' &&
+          chars(2) >= '0' && chars(2) <= '9' &&
+          chars(3) >= '0' && chars(3) <= '9'
+        var matched = -1
+        if (shaped) {
+          var b = nb - 1
+          while (matched < 0 && b >= 0) {
+            val cnt = bCnt(b)
+            if (cnt >= 15 && cnt <= 34 && ibanMod97Valid(chars, cnt))
+              matched = b
+            b -= 1
+          }
+        }
+        if (matched >= 0) {
+          sb.append("<IBAN>"); n += 1; i = bPos(matched)
+        } else if (k > i) { sb.append(s, i, k); i = k }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n,
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
+  }
+
+  def iban_redact(text: Column): Column =
+    Bridge.column(IbanRedactExpr(Bridge.expression(text)))
+
   def hashed_margin_units(text: Column, weightsUnits: Seq[Long],
                           biasUnits: Long, dim: Int,
                           wordNgrams: Int): Column =
@@ -439,6 +533,40 @@ case class CreditCardRedactExpr(child: Expression)
 
   override protected def withNewChildInternal(c: Expression)
       : CreditCardRedactExpr = copy(child = c)
+}
+
+/** iban_redact(text): IBAN detection + ISO 13616 mod-97-validated
+  * redaction — see [[TextHashExpressions.ibanRedact]]. Returns
+  * struct(n_ibans: bigint, redacted: string); native for the same
+  * reason as the Luhn kernel: the checksum is regex-inexpressible.
+  */
+case class IbanRedactExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"iban_redact needs string, got $other")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ibans", LongType, nullable = false),
+    StructField("redacted", StringType, nullable = false)))
+
+  override def prettyName: String = "iban_redact"
+
+  override def nullSafeEval(str: Any): Any =
+    TextHashExpressions.ibanRedact(
+      str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextHashExpressions" +
+        s".ibanRedact($c);")
+
+  override protected def withNewChildInternal(c: Expression)
+      : IbanRedactExpr = copy(child = c)
 }
 
 /** percent_normalize(str): RFC 3986 §6.2.2 percent-encoding

@@ -1363,7 +1363,11 @@ object TextAnalysis {
     * groups VALIDATED by the Luhn check digit — a native kernel,
     * [[graft.functions.expressions.CreditCardRedactExpr]], because a
     * regex cannot express the checksum; Luhn-failing digit runs pass
-    * through untouched), and IPv4 literals, each with a typed
+    * through untouched), IBANs (LLDD-shaped 15–34-char candidates
+    * VALIDATED by the ISO 13616 mod-97 checksum —
+    * [[graft.functions.expressions.IbanRedactExpr]], same
+    * regex-inexpressible-checksum rationale, longest-valid-prefix at
+    * group boundaries), and IPv4 literals, each with a typed
     * placeholder. The regex patterns are a DETERMINISTIC, documented
     * subset (real-world PII recall needs locale-specific batteries — a
     * deployment extends the list; the plan shape is identical), all
@@ -1371,27 +1375,35 @@ object TextAnalysis {
     * and the redacted text with the same regexes. Application order
     * matters and is part of the contract: emails first (so
     * `user@10.0.0.1`-style hosts become `user@<IP>` rather than
-    * swallowing the address), then cards (digit runs too long to be
-    * phones), then phones, then IPs; the 3-3-4 phone grammar and the
-    * 4-group IPv4 cannot consume each other's matches by construction.
+    * swallowing the address), then IBANs (whose digit runs can
+    * themselves be Luhn-passing card candidates), then cards (digit
+    * runs too long to be phones), then phones, then IPs; the 3-3-4
+    * phone grammar and the 4-group IPv4 cannot consume each other's
+    * matches by construction.
     * Counts are taken on the ORIGINAL text. Zero-shuffle narrow
     * columnar pass.
     */
   def piiRedact(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
-    import graft.functions.expressions.TextHashExpressions.cc_redact
+    import graft.functions.expressions.TextHashExpressions.{cc_redact, iban_redact}
     docs.select(col(idCol),
       regexp_count(col(textCol), lit(PiiEmail)).cast("long")
         .as("n_emails"),
       regexp_count(col(textCol), lit(PiiPhone)).cast("long")
         .as("n_phones"),
+      // IBANs detected BEFORE cards in the chain (below) because an
+      // IBAN's digit run can itself be a Luhn-passing 13–19-digit
+      // sequence; counts here are each on the original text
+      iban_redact(col(textCol)).getField("n_ibans").as("n_ibans"),
       cc_redact(col(textCol)).getField("n_cards").as("n_cards"),
       regexp_count(col(textCol), lit(PiiIpv4)).cast("long")
         .as("n_ipv4"),
       regexp_replace(
         regexp_replace(
           cc_redact(
-            regexp_replace(col(textCol), PiiEmail, "<EMAIL>"))
+            iban_redact(
+              regexp_replace(col(textCol), PiiEmail, "<EMAIL>"))
+              .getField("redacted"))
             .getField("redacted"),
           PiiPhone, "<PHONE>"),
         PiiIpv4, "<IP>").as("text_redacted"))
@@ -1707,6 +1719,112 @@ object TextAnalysis {
             struct(octet_length(col("__prefix")).as("l"),
               col("__allow").cast("int").as("a"))))("a") === 1,
           lit(true)).as("allowed"))
+  }
+
+  /** Resolve an HTTP `Location` header against its base URL — the
+    * RFC 3986 §5 reference-resolution subset redirects actually use:
+    * absolute URLs pass through, scheme-relative `//host/...` takes the
+    * base's scheme, absolute-path `/...` takes the base's origin, and
+    * a bare relative path merges onto the base's directory (no
+    * dot-segment normalization — documented subset; "" stays "").
+    */
+  private[graft] def resolveLocation(base: Column, loc: Column): Column = {
+    val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val origin = regexp_extract(base,
+      "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val baseDir = regexp_replace(
+      regexp_extract(base,
+        "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "[^/]*$", "")
+    when(loc === "", lit(""))
+      .when(loc.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), loc)
+      .when(loc.startsWith("//"), concat(scheme, lit(":"), loc))
+      .when(loc.startsWith("/"), concat(origin, loc))
+      .otherwise(concat(origin,
+        when(baseDir === "", lit("/")).otherwise(baseDir), loc))
+  }
+
+  /** Redirect-chain resolution over a crawl's response records — the
+    * step between HTTP ingest and every URL-keyed stage (dedup keys,
+    * domain stats, robots re-checks all want the FINAL url, not the hop
+    * that happened to be fetched): for every crawled url, follow 3xx
+    * `Location` edges (resolved against the hop's own url via
+    * [[resolveLocation]]) until a non-redirect response, an
+    * out-of-corpus target, or the hop cap. Output per input url:
+    * `final_url`, `n_hops`, `terminal_status` (the final IN-CORPUS
+    * response's status; null when the chain leaves the corpus),
+    * `resolved` (false for cycles and chains beyond `maxHops` — their
+    * final_url/n_hops/terminal_status are null, deterministically,
+    * rather than whatever element the iteration parked on).
+    *
+    * Scale shape: POINTER DOUBLING, the l38 large-star precedent — the
+    * mapping composes with itself, so chains of length ≤ maxHops
+    * collapse in ⌈log₂ maxHops⌉+1 rounds of url-keyed equi-joins (8
+    * hops = 4 rounds), not maxHops sequential joins; each round is one
+    * shuffle of the url-space-sized relation, localCheckpointed so
+    * lineage stays flat. No driver-side iteration over rows.
+    */
+  def resolveRedirects(responses: DataFrame, maxHops: Int = 16,
+                       urlCol: String = "url",
+                       statusCol: String = "http_status",
+                       locationCol: String = "location"): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be positive, got $maxHops")
+    val isRedirect = col(statusCol).between(300, 399) &&
+      col(locationCol).isNotNull && (col(locationCol) =!= "")
+    // the mapping must be FUNCTIONAL or the composition join multiplies
+    // rows: duplicate fetches of one url (routine in real crawls)
+    // collapse deterministically to the least (status, location) pair
+    val perUrl = responses
+      .groupBy(col(urlCol))
+      .agg(min(struct(col(statusCol).cast("int").as("s"),
+        col(locationCol).cast("string").as("l"))).as("r"))
+      .select(col(urlCol), col("r.s").as(statusCol),
+        col("r.l").as(locationCol))
+    var m = perUrl.select(
+      col(urlCol).as("src"),
+      when(isRedirect,
+        resolveLocation(col(urlCol), col(locationCol)))
+        .otherwise(col(urlCol)).as("dst"),
+      when(isRedirect, lit(1L)).otherwise(lit(0L)).as("hops"),
+      col(statusCol).as("status"),
+      (!isRedirect).as("done")).localCheckpoint()
+    val rounds =
+      math.ceil(math.log(maxHops.toDouble) / math.log(2.0)).toInt + 1
+    (1 to rounds).foreach { _ =>
+      val open = m.filter(!col("done") && col("hops") <= maxHops)
+      val settled = m.filter(col("done") || col("hops") > maxHops)
+      val lookup = m.select(col("src").as("l_src"),
+        col("dst").as("l_dst"), col("hops").as("l_hops"),
+        col("status").as("l_status"), col("done").as("l_done"))
+      val composed = open.join(lookup,
+          open("dst") === lookup("l_src"), "left_outer")
+        .select(col("src"),
+          // no match: the chain leaves the corpus — terminal, status
+          // unknown (null), final = the out-of-corpus target
+          when(col("l_src").isNull, col("dst"))
+            .otherwise(col("l_dst")).as("dst"),
+          when(col("l_src").isNull, col("hops"))
+            .otherwise(col("hops") + col("l_hops")).as("hops"),
+          when(col("l_src").isNull, lit(null).cast("int"))
+            .otherwise(col("l_status")).as("status"),
+          when(col("l_src").isNull, lit(true))
+            .otherwise(col("l_done")).as("done"))
+      m = settled.unionByName(composed).localCheckpoint()
+    }
+    // cycles never reach done — their hop counts double each round
+    // until they pass the cap — so anything still open after the
+    // doubling rounds is a cycle or an over-cap chain: null the outputs
+    // DETERMINISTICALLY instead of exposing whichever cycle element the
+    // last composition parked on
+    val unresolved = !col("done") || col("hops") > maxHops
+    m.select(col("src").as(urlCol),
+      when(unresolved, lit(null).cast("string"))
+        .otherwise(col("dst")).as("final_url"),
+      when(unresolved, lit(null).cast("long"))
+        .otherwise(col("hops")).as("n_hops"),
+      when(unresolved, lit(null).cast("int"))
+        .otherwise(col("status")).as("terminal_status"),
+      (!unresolved).as("resolved"))
   }
 
   /** URL canonicalization — the dedup-key normalizer crawl pipelines

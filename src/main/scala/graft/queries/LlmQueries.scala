@@ -1437,7 +1437,10 @@ object LlmQueries {
     // generalized grammar; doc_id%5==2 adds a Luhn-VALID card (the
     // classic 4111... test PAN) that must redact, doc_id%5==3 a
     // Luhn-INVALID near-twin (...1112) that must pass through — the
-    // check-digit validation is only provable with both; doc_id%4==1
+    // check-digit validation is only provable with both; likewise
+    // doc_id%11==4 a mod-97-VALID IBAN (the ISO 13616 DE89 example,
+    // print-grouped) and doc_id%11==7 its mod-97-INVALID near-twin;
+    // doc_id%4==1
     // adds an IPv4 with a doc_id-varying octet), so per-doc counts AND
     // the placeholder-redacted text are both oracle-checkable: DuckDB
     // builds the identical page and recomputes every regex count
@@ -1459,6 +1462,12 @@ object LlmQueries {
             lit(" Pay 4111 1111 1111 1111 ok.")).otherwise(lit("")),
           when(col("doc_id") % 5 === 3,
             lit(" Ref 4111-1111-1111-1112 id.")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 4,
+            lit(" Wire DE89 3704 0044 0532 0130 00 sent."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 7,
+            lit(" Wire DE89 3704 0044 0532 0130 01 held."))
+            .otherwise(lit("")),
           when(col("doc_id") % 4 === 1,
             concat(lit(" Host 10.0."), col("doc_id") % 250,
               lit(".7 up."))).otherwise(lit("")))
@@ -1480,6 +1489,12 @@ object LlmQueries {
              |           THEN ' Pay 4111 1111 1111 1111 ok.' ELSE '' END
              |      || CASE WHEN doc_id % 5 = 3
              |           THEN ' Ref 4111-1111-1111-1112 id.' ELSE '' END
+             |      || CASE WHEN doc_id % 11 = 4
+             |           THEN ' Wire DE89 3704 0044 0532 0130 00 sent.'
+             |           ELSE '' END
+             |      || CASE WHEN doc_id % 11 = 7
+             |           THEN ' Wire DE89 3704 0044 0532 0130 01 held.'
+             |           ELSE '' END
              |      || CASE WHEN doc_id % 4 = 1
              |           THEN ' Host 10.0.' || (doc_id % 250) || '.7 up.'
              |           ELSE '' END AS page
@@ -1489,12 +1504,16 @@ object LlmQueries {
              |    '${TextAnalysis.PiiEmail}'))::BIGINT AS n_emails,
              |  len(regexp_extract_all(page,
              |    '${TextAnalysis.PiiPhone}'))::BIGINT AS n_phones,
+             |  CASE WHEN doc_id % 11 = 4 THEN 1 ELSE 0 END::BIGINT
+             |    AS n_ibans,
              |  CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END::BIGINT
              |    AS n_cards,
              |  len(regexp_extract_all(page,
              |    '${TextAnalysis.PiiIpv4}'))::BIGINT AS n_ipv4,
-             |  regexp_replace(regexp_replace(replace(regexp_replace(page,
+             |  regexp_replace(regexp_replace(replace(replace(
+             |    regexp_replace(page,
              |    '${TextAnalysis.PiiEmail}', '<EMAIL>', 'g'),
+             |    'DE89 3704 0044 0532 0130 00', '<IBAN>'),
              |    '4111 1111 1111 1111', '<CARD>'),
              |    '${TextAnalysis.PiiPhone}', '<PHONE>', 'g'),
              |    '${TextAnalysis.PiiIpv4}', '<IP>', 'g')
@@ -1615,6 +1634,96 @@ object LlmQueries {
              |  floor(CAST(n_both AS DOUBLE) / CAST(n_union_kept AS DOUBLE)
              |    * estu * 100.0 + 0.5) / 100.0 AS est_intersect_j
              |FROM fin ORDER BY source_a, source_b""".stripMargin)),
+
+    // Redirect-chain resolution (l58) — the crawl-graph step between
+    // HTTP ingest and every URL-keyed stage: follow 3xx Location edges
+    // to the final target by POINTER DOUBLING (log2(maxHops) rounds of
+    // url-keyed equi-joins, the l38 contraction precedent — never
+    // maxHops sequential joins, never driver iteration). The fixture
+    // plants, per doc, a chain of length doc_id % 4 whose hops exercise
+    // every Location form the resolver supports (absolute-path on the
+    // first hop, a BARE relative segment mid-chain, scheme-relative
+    // '//host/...' on the last hop), plus a 2-cycle on doc_id % 17 == 3
+    // (must come back resolved=false with NULL outputs — not whichever
+    // cycle element the iteration parked on) and an out-of-corpus
+    // target on doc_id % 19 == 5 (terminal, status unknown). The
+    // oracle derives every final url, hop count, terminal status, and
+    // resolved flag from doc_id arithmetic alone — it never follows an
+    // edge.
+    "l58_redirect_resolve" -> QuerySpec(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % 4).cast("int").as("L"))
+        val hops = d
+          .select(col("doc_id"), col("L"),
+            explode(when(col("L") > 0,
+              sequence(lit(0), col("L") - 1))
+              .otherwise(array().cast("array<int>"))).as("k"))
+          .select(
+            concat(lit("https://r.example/hop/"), col("doc_id"),
+              lit("/"), col("k")).as("url"),
+            lit(301).as("http_status"),
+            when(col("k") === col("L") - 1,
+              concat(lit("//final.example/doc/"), col("doc_id")))
+              .when(col("k") === 0,
+                concat(lit("/hop/"), col("doc_id"), lit("/1")))
+              .otherwise((col("k") + 1).cast("string")).as("location"))
+        val finals = d.select(
+          concat(lit("https://final.example/doc/"), col("doc_id"))
+            .as("url"),
+          lit(200).as("http_status"), lit("").as("location"))
+        val cycles = d.filter(col("doc_id") % 17 === 3)
+        val cycleRows = cycles.select(
+            concat(lit("https://loop.example/a/"), col("doc_id"))
+              .as("url"),
+            lit(301).as("http_status"),
+            concat(lit("https://loop.example/b/"), col("doc_id"))
+              .as("location"))
+          .unionByName(cycles.select(
+            concat(lit("https://loop.example/b/"), col("doc_id"))
+              .as("url"),
+            lit(301).as("http_status"),
+            concat(lit("https://loop.example/a/"), col("doc_id"))
+              .as("location")))
+        val ext = d.filter(col("doc_id") % 19 === 5).select(
+          concat(lit("https://r.example/ext/"), col("doc_id")).as("url"),
+          lit(302).as("http_status"),
+          concat(lit("https://offsite.example/x/"), col("doc_id"))
+            .as("location"))
+        val responses = hops.unionByName(finals)
+          .unionByName(cycleRows).unionByName(ext)
+        TextAnalysis.resolveRedirects(responses).orderBy(col("url"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS L
+             |  FROM documents),
+             |hops AS (
+             |  SELECT doc_id, L, unnest(range(L)) AS k FROM d),
+             |rows AS (
+             |  SELECT 'https://r.example/hop/' || doc_id || '/' || k
+             |      AS url,
+             |    'https://final.example/doc/' || doc_id AS final_url,
+             |    CAST(L - k AS BIGINT) AS n_hops,
+             |    200 AS terminal_status, TRUE AS resolved
+             |  FROM hops
+             |  UNION ALL
+             |  SELECT 'https://final.example/doc/' || doc_id,
+             |    'https://final.example/doc/' || doc_id, 0, 200, TRUE
+             |  FROM d
+             |  UNION ALL
+             |  SELECT 'https://loop.example/a/' || doc_id,
+             |    NULL, NULL, NULL, FALSE
+             |  FROM d WHERE doc_id % 17 = 3
+             |  UNION ALL
+             |  SELECT 'https://loop.example/b/' || doc_id,
+             |    NULL, NULL, NULL, FALSE
+             |  FROM d WHERE doc_id % 17 = 3
+             |  UNION ALL
+             |  SELECT 'https://r.example/ext/' || doc_id,
+             |    'https://offsite.example/x/' || doc_id, 1, NULL, TRUE
+             |  FROM d WHERE doc_id % 19 = 5)
+             |SELECT url, final_url, n_hops, terminal_status, resolved
+             |FROM rows ORDER BY url""".stripMargin)),
 
     // Robots-exclusion evaluation (l54) — the crawl-side gate between
     // frontier and fetch, RFC 9309 semantics: per-host robots.txt

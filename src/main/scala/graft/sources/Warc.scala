@@ -70,13 +70,15 @@ object Warc {
     * decoded with (the Content-Type parameter when present and
     * supported, else UTF-8), `content_encoding` the RESIDUAL undecoded
     * content codings ("" when the body is fully decoded — see
-    * [[splitHttp]]), `n_bytes` the DECODED body byte count, `body` the
-    * charset-decoded body text.
+    * [[splitHttp]]), `location` the `Location` header verbatim ("" when
+    * absent — the redirect-target input to
+    * `TextAnalysis.resolveRedirects`), `n_bytes` the DECODED body byte
+    * count, `body` the charset-decoded body text.
     */
   final case class HttpRecord(file: String, url: String, warc_date: String,
                               http_status: Int, http_content_type: String,
                               charset: String, content_encoding: String,
-                              n_bytes: Long, body: String)
+                              location: String, n_bytes: Long, body: String)
 
   /** Parse-side truth: the undecoded payload bytes. [[Record]] is its
     * UTF-8 view; [[HttpRecord]] its HTTP-split view.
@@ -450,6 +452,7 @@ object Warc {
       http_status = code, http_content_type = contentType,
       charset = if (residual.isEmpty) charset else "ISO-8859-1",
       content_encoding = residual.mkString(","),
+      location = httpHeaders.getOrElse("location", ""),
       n_bytes = decoded.length.toLong,
       body = bodyText)
   }

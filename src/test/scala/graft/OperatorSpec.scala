@@ -2321,6 +2321,61 @@ class OperatorSpec extends AnyFunSuite {
       4L -> true, 5L -> true), s"got $got")
   }
 
+  test("resolveRedirects: pointer-doubling chain resolution — every " +
+      "Location form, cycles/self-redirects null out, maxHops caps, " +
+      "duplicate fetches collapse deterministically") {
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      // 3-hop chain exercising absolute-path, bare-relative, and
+      // scheme-relative Location forms
+      ("https://a.ex/p/0", 301, "/p/1"),
+      ("https://a.ex/p/1", 302, "2"),
+      ("https://a.ex/p/2", 308, "//b.ex/done"),
+      ("https://b.ex/done", 200, ""),
+      // self-redirect and a 2-cycle
+      ("https://a.ex/self", 301, "https://a.ex/self"),
+      ("https://a.ex/c1", 301, "https://a.ex/c2"),
+      ("https://a.ex/c2", 301, "https://a.ex/c1"),
+      // out-of-corpus target
+      ("https://a.ex/ext", 302, "https://off.ex/x"),
+      // 3xx WITHOUT a Location header is terminal (some 304s)
+      ("https://a.ex/nowhere", 304, ""),
+      // duplicate fetch of one url: least (status, location) wins
+      ("https://a.ex/dup", 302, "https://b.ex/done"),
+      ("https://a.ex/dup", 301, "https://a.ex/self"))
+      .toDF("url", "http_status", "location")
+    val got = TextAnalysis.resolveRedirects(rows).collect()
+      .map(r => r.getAs[String]("url") ->
+        ((Option(r.getAs[String]("final_url")),
+          Option(r.get(r.fieldIndex("n_hops"))),
+          Option(r.get(r.fieldIndex("terminal_status"))),
+          r.getAs[Boolean]("resolved")))).toMap
+    assert(got("https://a.ex/p/0") ==
+      ((Some("https://b.ex/done"), Some(3L), Some(200), true)))
+    assert(got("https://a.ex/p/1") ==
+      ((Some("https://b.ex/done"), Some(2L), Some(200), true)))
+    assert(got("https://b.ex/done") ==
+      ((Some("https://b.ex/done"), Some(0L), Some(200), true)))
+    assert(got("https://a.ex/self") == ((None, None, None, false)))
+    assert(got("https://a.ex/c1") == ((None, None, None, false)))
+    assert(got("https://a.ex/c2") == ((None, None, None, false)))
+    assert(got("https://a.ex/ext") ==
+      ((Some("https://off.ex/x"), Some(1L), None, true)))
+    assert(got("https://a.ex/nowhere") ==
+      ((Some("https://a.ex/nowhere"), Some(0L), Some(304), true)))
+    // dup collapsed to the 301→self edge (least status) → unresolved
+    assert(got("https://a.ex/dup") == ((None, None, None, false)))
+    // maxHops: the 3-hop chain under a 2-hop cap is unresolved from
+    // its head but still resolved from one hop in
+    val capped = TextAnalysis.resolveRedirects(
+        rows.filter(col("url").startsWith("https://a.ex/p") ||
+          col("url") === "https://b.ex/done"), maxHops = 2)
+      .collect().map(r => r.getAs[String]("url") ->
+        r.getAs[Boolean]("resolved")).toMap
+    assert(!capped("https://a.ex/p/0") && capped("https://a.ex/p/1"),
+      s"cap: $capped")
+  }
+
   test("robots.txt wildcards: RFC 9309 §2.2.3 '*' and '$' patterns — " +
       "matcher semantics, query-included match target, and " +
       "pattern-octet-length precedence") {
@@ -2436,6 +2491,38 @@ class OperatorSpec extends AnyFunSuite {
       "date 10.02.2024 and version <IP> and price 3.14")))
     assert(got(7L) == ((0L, 0L, 0L,
       "long 41111111111111111111 overrun")))
+    // IBANs: ISO 13616 mod-97 validation, print grouping, the
+    // longest-valid-prefix rule, and ordering vs the card stage
+    val ibanDocs = Seq(
+      (11L, "wire DE89 3704 0044 0532 0130 00 sent"),      // valid, grouped
+      (12L, "wire DE89370400440532013000 sent"),           // valid, compact
+      (13L, "wire DE89 3704 0044 0532 0130 01 held"),      // mod-97 fails
+      (14L, "pay GB82 WEST 1234 5698 7654 32 Now thanks"), // uppercase word
+      //    after a valid IBAN must not spoil it (longest-valid-prefix)
+      (15L, "code DE89 alone and plain WORDS stay"),       // too short
+      (16L, "GB82WEST12345698765432"))                     // whole text
+      .toDF("doc_id", "text")
+    val gotI = TextAnalysis.piiRedact(ibanDocs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_ibans"), r.getAs[Long]("n_cards"),
+          r.getAs[String]("text_redacted")))).toMap
+    assert(gotI(11L) == ((1L, 0L, "wire <IBAN> sent")))
+    assert(gotI(12L) == ((1L, 0L, "wire <IBAN> sent")))
+    assert(gotI(13L) == ((0L, 0L,
+      "wire DE89 3704 0044 0532 0130 01 held")))
+    assert(gotI(14L) == ((1L, 0L, "pay <IBAN> Now thanks")))
+    assert(gotI(15L) == ((0L, 0L, "code DE89 alone and plain WORDS stay")))
+    assert(gotI(16L) == ((1L, 0L, "<IBAN>")))
+    // mod-97 property: the DE89 example validates; every single-char
+    // digit perturbation fails
+    import graft.functions.expressions.TextHashExpressions.ibanMod97Valid
+    val de = "DE89370400440532013000".toCharArray
+    assert(ibanMod97Valid(de, de.length))
+    (4 until de.length).foreach { i =>
+      val mut = de.clone()
+      mut(i) = (((mut(i) - '0') + 1) % 10 + '0').toChar
+      assert(!ibanMod97Valid(mut, mut.length), new String(mut))
+    }
     // Luhn property: any digit string with its computed check digit
     // validates; any single-digit perturbation of the check fails
     import graft.functions.expressions.TextHashExpressions.luhnValid
