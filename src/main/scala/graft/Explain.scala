@@ -62,7 +62,8 @@ object Explain {
       "l53_pii_redact" -> "PII counts + redaction (narrow regexp chain + native Luhn card kernel)",
       "l54_robots_filter" -> "robots evaluation (broadcast rules join, native wildcard-match residual, max_by longest-match)",
       "l56_http_decode" -> "HTTP wire decoding (path-only scan, mapPartitions parse + chunk/gzip decode, one output sort)",
-      "l57_kmv_intersect" -> "KMV set algebra (one corpus scan to the k-min relation; broadcast-only pairwise joins)")
+      "l57_kmv_intersect" -> "KMV set algebra (one corpus scan to the k-min relation; broadcast-only pairwise joins)",
+      "l58_redirect_resolve" -> "redirect-chain resolution (pointer-doubling equi-join rounds over the checkpointed url mapping)")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans of flagship queries\n\n")
     sb.append("Generated by `runMain graft.Explain` on sf0.001; the\n")

@@ -1721,6 +1721,36 @@ object TextAnalysis {
           lit(true)).as("allowed"))
   }
 
+  /** The `Sitemap:` directives of a robots frame — the crawl's
+    * seed-discovery channel (sitemaps.org; RFC 9309 §2.3 classifies it
+    * as an "other record"): GLOBAL per robots body, never scoped to a
+    * User-agent group, so this parse is deliberately independent of
+    * [[parseRobotsTxt]]'s group machinery. Case-insensitive key,
+    * comments stripped, the value taken verbatim after the FIRST colon
+    * (sitemap URLs contain their own ':'). Output (host, sitemap_url),
+    * one row per directive; typed flatMap, no shuffle before the
+    * caller's use.
+    */
+  def robotsSitemaps(robots: DataFrame, domainCol: String = "domain",
+                     txtCol: String = "robots_txt"): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots
+      .select(lower(col(domainCol)).as("host"), col(txtCol))
+      .as[(String, String)]
+      .flatMap { case (host, txt) =>
+        Option(txt).getOrElse("").split("\n", -1).toSeq.flatMap { raw =>
+          val line = raw.takeWhile(_ != '#').trim
+          val ci = line.indexOf(':')
+          if (ci > 0 &&
+              line.substring(0, ci).trim.equalsIgnoreCase("sitemap")) {
+            val v = line.substring(ci + 1).trim
+            if (v.nonEmpty) Some((host, v)) else None
+          } else None
+        }
+      }.toDF("host", "sitemap_url")
+  }
+
   /** Resolve an HTTP `Location` header against its base URL — the
     * RFC 3986 §5 reference-resolution subset redirects actually use:
     * absolute URLs pass through, scheme-relative `//host/...` takes the
@@ -1790,8 +1820,16 @@ object TextAnalysis {
       (!isRedirect).as("done")).localCheckpoint()
     val rounds =
       math.ceil(math.log(maxHops.toDouble) / math.log(2.0)).toInt + 1
-    (1 to rounds).foreach { _ =>
-      val open = m.filter(!col("done") && col("hops") <= maxHops)
+    def openRows = m.filter(!col("done") && col("hops") <= maxHops)
+    var r = 0
+    // early exit: real crawl redirect graphs are SHALLOW (1–2 hops
+    // dominate) — once nothing is open, the remaining doubling rounds
+    // are no-op self-joins over the whole url space; `m` is already
+    // materialized by the eager localCheckpoint, so the per-round
+    // open-count is a cheap scan, not a recompute
+    var nOpen = openRows.count()
+    while (r < rounds && nOpen > 0) {
+      val open = openRows
       val settled = m.filter(col("done") || col("hops") > maxHops)
       val lookup = m.select(col("src").as("l_src"),
         col("dst").as("l_dst"), col("hops").as("l_hops"),
@@ -1810,6 +1848,8 @@ object TextAnalysis {
           when(col("l_src").isNull, lit(true))
             .otherwise(col("l_done")).as("done"))
       m = settled.unionByName(composed).localCheckpoint()
+      nOpen = openRows.count()
+      r += 1
     }
     // cycles never reach done — their hop counts double each round
     // until they pass the cap — so anything still open after the

@@ -1725,6 +1725,42 @@ object LlmQueries {
              |SELECT url, final_url, n_hops, terminal_status, resolved
              |FROM rows ORDER BY url""".stripMargin)),
 
+    // Sitemap discovery (l59) — the crawl's seed channel: per-host
+    // robots.txt bodies carry 1–3 planted Sitemap directives (count =
+    // doc_id % 3 + 1) in all three key spellings (Sitemap/sitemap/
+    // SITEMAP — the directive is case-insensitive and GLOBAL, outside
+    // any User-agent group) plus a commented-out decoy that must NOT
+    // extract. The oracle regenerates every (host, sitemap_url) row
+    // from doc_id arithmetic alone.
+    "l59_sitemap_discovery" -> QuerySpec(
+      (s, dir) => {
+        val id = col("doc_id")
+        val body = concat(
+          lit("# robots for h"), id, lit("\nUser-agent: *\n"),
+          lit("Disallow: /private/\n"),
+          lit("Sitemap: https://h"), id, lit(".example/s0.xml\n"),
+          when(id % 3 >= 1,
+            concat(lit("sitemap: https://h"), id,
+              lit(".example/s1.xml\n"))).otherwise(lit("")),
+          when(id % 3 === 2,
+            concat(lit("SITEMAP: https://h"), id,
+              lit(".example/s2.xml\n"))).otherwise(lit("")),
+          lit("# Sitemap: https://decoy.example/no.xml\n"))
+        val robots = Tables(s, dir, "documents").select(
+          concat(lit("h"), id, lit(".example")).as("domain"),
+          body.as("robots_txt"))
+        TextAnalysis.robotsSitemaps(robots)
+          .orderBy(col("host"), col("sitemap_url"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, CAST(doc_id % 3 AS INT) + 1 AS n
+             |  FROM documents),
+             |s AS (SELECT doc_id, unnest(range(n)) AS j FROM d)
+             |SELECT 'h' || doc_id || '.example' AS host,
+             |  'https://h' || doc_id || '.example/s' || j || '.xml'
+             |    AS sitemap_url
+             |FROM s ORDER BY host, sitemap_url""".stripMargin)),
+
     // Robots-exclusion evaluation (l54) — the crawl-side gate between
     // frontier and fetch, RFC 9309 semantics: per-host robots.txt
     // bodies (planted: a Disallow-with-longer-Allow-override host, a

@@ -72,20 +72,28 @@ object Warc {
     * content codings ("" when the body is fully decoded — see
     * [[splitHttp]]), `location` the `Location` header verbatim ("" when
     * absent — the redirect-target input to
-    * `TextAnalysis.resolveRedirects`), `n_bytes` the DECODED body byte
-    * count, `body` the charset-decoded body text.
+    * `TextAnalysis.resolveRedirects`), `warc_truncated` the
+    * `WARC-Truncated` reason token ("" = payload stored complete; Common
+    * Crawl cuts bodies around 1 MiB and records `length` here — gate on
+    * it when byte-complete bodies matter), `n_bytes` the DECODED body
+    * byte count, `body` the charset-decoded body text.
     */
   final case class HttpRecord(file: String, url: String, warc_date: String,
                               http_status: Int, http_content_type: String,
                               charset: String, content_encoding: String,
-                              location: String, n_bytes: Long, body: String)
+                              location: String, warc_truncated: String,
+                              n_bytes: Long, body: String)
 
   /** Parse-side truth: the undecoded payload bytes. [[Record]] is its
-    * UTF-8 view; [[HttpRecord]] its HTTP-split view.
+    * UTF-8 view; [[HttpRecord]] its HTTP-split view. `truncated` is the
+    * `WARC-Truncated` header's reason token ("" when absent) — Common
+    * Crawl cuts response payloads around 1 MiB and records the cut here
+    * (`length`), so a pipeline can gate on body completeness.
     */
   private[graft] final case class RawRecord(
       file: String, rec_type: String, url: String, warc_date: String,
-      content_type: String, bytes: Array[Byte])
+      content_type: String, bytes: Array[Byte],
+      truncated: String = "")
 
   /** Minimal serializable Hadoop-conf carrier (`Configuration` is a
     * Hadoop `Writable`, not `Serializable`; Spark's own wrapper is
@@ -340,7 +348,8 @@ object Warc {
       url = headers.getOrElse("warc-target-uri", ""),
       warc_date = headers.getOrElse("warc-date", ""),
       content_type = headers.getOrElse("content-type", ""),
-      bytes = payload))
+      bytes = payload,
+      truncated = headers.getOrElse("warc-truncated", "")))
   }
 
   // ---- HTTP response split -------------------------------------------
@@ -453,6 +462,7 @@ object Warc {
       charset = if (residual.isEmpty) charset else "ISO-8859-1",
       content_encoding = residual.mkString(","),
       location = httpHeaders.getOrElse("location", ""),
+      warc_truncated = r.truncated,
       n_bytes = decoded.length.toLong,
       body = bodyText)
   }

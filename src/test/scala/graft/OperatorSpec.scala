@@ -2321,6 +2321,29 @@ class OperatorSpec extends AnyFunSuite {
       4L -> true, 5L -> true), s"got $got")
   }
 
+  test("robotsSitemaps: global extraction — any key case, group " +
+      "placement irrelevant, comments/empty values skipped, host " +
+      "lowercased, sitemap URLs keep their own colons (but a '#' " +
+      "starts a comment anywhere — the de-facto robots grammar)") {
+    import graft.operators.TextAnalysis
+    val robots = Seq(
+      ("WWW.Example.ORG",
+        "User-agent: a\nSitemap: https://e.org/a.xml\nDisallow: /x\n" +
+          "User-agent: b\nsitemap: https://e.org/b.xml\n" +
+          "# Sitemap: https://e.org/commented.xml\n" +
+          "SITEMAP:   https://e.org/c.xml  \n" +
+          "Sitemap:\n"), // empty value: no row
+      ("null.example", null),
+      ("plain.example", "User-agent: *\nDisallow: /\n"))
+      .toDF("domain", "robots_txt")
+    val got = TextAnalysis.robotsSitemaps(robots).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("www.example.org", "https://e.org/a.xml"),
+      ("www.example.org", "https://e.org/b.xml"),
+      ("www.example.org", "https://e.org/c.xml")), s"got $got")
+  }
+
   test("resolveRedirects: pointer-doubling chain resolution — every " +
       "Location form, cycles/self-redirects null out, maxHops caps, " +
       "duplicate fetches collapse deterministically") {

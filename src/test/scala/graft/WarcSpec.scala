@@ -635,6 +635,33 @@ class WarcSpec extends AnyFunSuite {
     assert(parsedSome > 0, "fuzz vacuously rejected everything")
   }
 
+  test("WARC-Truncated surfaces on HTTP records: the Common Crawl " +
+      "~1MiB payload cut is visible as a gateable column, absent = ''") {
+    val body = "partial body".getBytes("UTF-8")
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ body
+    def member(url: String, truncated: Option[String]): Array[Byte] = {
+      val hdr = new StringBuilder
+      hdr.append("WARC/1.0\r\nWARC-Type: response\r\n")
+      hdr.append(s"WARC-Target-URI: $url\r\n")
+      hdr.append("WARC-Date: 2026-01-01T00:00:00Z\r\n")
+      truncated.foreach(t => hdr.append(s"WARC-Truncated: $t\r\n"))
+      hdr.append("Content-Type: application/http; msgtype=response\r\n")
+      hdr.append(s"Content-Length: ${http.length}\r\n\r\n")
+      hdr.toString.getBytes("ISO-8859-1") ++ http ++
+        "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val dir = Files.createTempDirectory("graft-warc-trunc")
+    Files.write(dir.resolve("t.warc"),
+      member("https://t.ex/cut", Some("length")) ++
+        member("https://t.ex/whole", None))
+    val got = Warc.readResponses(spark, dir.toString)
+      .select("url", "warc_truncated").as[(String, String)]
+      .collect().toMap
+    assert(got == Map("https://t.ex/cut" -> "length",
+      "https://t.ex/whole" -> ""), s"got $got")
+  }
+
   test("ShippedConf broadcast is reused across reads on the same " +
       "session+conf and reminted when the hadoop conf changes (the " +
       "accumulation fix: one broadcast per session/conf, not per call)") {
