@@ -2,12 +2,14 @@ package graft
 
 /** Per-entry bench budgets — the regression tripwire: each entry's
   * pinned median (seconds, sf0.1, local[32]) as the ELEMENT-WISE MIN of
-  * the two round-13 close runs (target/bench_r13_idle{1,2}.json — both
-  * ZERO-flag zero-spike zero-error, suite calibrations 0.637/0.582 with
-  * post-suite probes 0.524/0.540 and every per-run load probe in the
-  * idle ~0.06 band; the r12 pins were taken at calibration 0.789 on a
-  * loaded host, which loosened the effective tripwire ~1.3x for idle
-  * runs — the r12 VERDICT item this regeneration closes). Since r13
+  * the three round-13 close runs (target/bench_r13_idle{1,2,3}.json —
+  * all ZERO-flag zero-spike zero-error, suite calibrations
+  * 0.637/0.582/0.551, the third IN the 0.49–0.56 idle band, and every
+  * per-run load probe at the idle ~0.06 level; the r12 pins were taken
+  * at calibration 0.789 on a loaded host, which loosened the effective
+  * tripwire ~1.3x for idle runs — the r12 VERDICT item this
+  * regeneration closes; run 3 also flagged nothing against the
+  * run-1/2 pins, so the pins are self-consistent). Since r13
   * Bench probes before EVERY measured run and flags an entry only when
   * ALL runs exceed 2 x pinned x max(1, cal_now/RefCalibration,
   * run_probe/RefLoadProbe) — burst-robust (a co-tenant burst inflates
@@ -18,35 +20,35 @@ package graft
   * telemetry: rc stays 0 (only thrown queries fail the run). Entries
   * without a pin are never flagged.
   *
-  * Regenerate after an intentional perf-profile change: run Bench TWICE
-  * on an idle host and refresh from the two sidecar artifacts
-  * (element-wise min; RefCalibration = the lower suite mean;
+  * Regenerate after an intentional perf-profile change: run Bench 2–3
+  * times on an idle host and refresh from the sidecar artifacts
+  * (element-wise min; RefCalibration = the lowest suite mean;
   * RefLoadProbe = the min per-entry probe observed).
   */
 object BenchBudgets {
-  val RefCalibration: Double = 0.5815
+  val RefCalibration: Double = 0.5507
 
   /** Idle-host wall of Bench's per-RUN single-thread load probe
     * (1<<24 mix rounds; see Bench.loadProbe) — the minimum probe
-    * observed across both pin runs' entries.
+    * observed across the pin runs' entries.
     */
   val RefLoadProbe: Double = 0.0573
 
   val Factor: Double = 2.0
   val pinnedMedians: Map[String, Double] = Map(
-    "l01_dedup_exact" -> 0.2062,
-    "l02_minhash_lsh" -> 0.0528,
+    "l01_dedup_exact" -> 0.1954,
+    "l02_minhash_lsh" -> 0.0475,
     "l03_simhash_neardup" -> 0.5144,
     "l04_ngram_jaccard" -> 0.8749,
-    "l05_embedding_neardup" -> 0.8870,
+    "l05_embedding_neardup" -> 0.8571,
     "l06_token_count" -> 0.0989,
     "l07_char_stats" -> 0.1087,
     "l08_fingerprint" -> 0.0959,
     "l09_quality_langid" -> 0.1362,
     "l10_dedup_clusters" -> 0.5481,
     "l11_approx_distinct" -> 0.1044,
-    "l12_text_clean" -> 0.1180,
-    "l13_subword_fingerprint" -> 0.1219,
+    "l12_text_clean" -> 0.1060,
+    "l13_subword_fingerprint" -> 0.1098,
     "l14_lsh_bucketed" -> 0.8554,
     "l15_hash_split" -> 0.1413,
     "l16_corpus_mix" -> 0.1535,
@@ -59,21 +61,21 @@ object BenchBudgets {
     "l23_repetition" -> 0.1056,
     "l24_repeated_ngrams" -> 0.6275,
     "l25_ngram_lm" -> 0.5716,
-    "l26_bpe_train" -> 0.3722,
+    "l26_bpe_train" -> 0.3653,
     "l27_cms_counts" -> 0.3965,
     "l28_corpus_funnel" -> 1.5305,
-    "l29_bpe_encode" -> 0.9496,
-    "l30_bloom_decontaminate" -> 0.6933,
-    "l31_fuzzy_join" -> 1.3963,
+    "l29_bpe_encode" -> 0.8339,
+    "l30_bloom_decontaminate" -> 0.6712,
+    "l31_fuzzy_join" -> 1.3386,
     "l32_unicode_nfc" -> 0.1197,
-    "l33_temperature_mix" -> 0.1459,
-    "l34_chunk_overlap" -> 0.2449,
+    "l33_temperature_mix" -> 0.1409,
+    "l34_chunk_overlap" -> 0.2377,
     "l35_heavy_hitters" -> 0.4630,
     "l36_concat_chunk_pack" -> 0.5526,
-    "l37_cluster_balance" -> 0.4422,
+    "l37_cluster_balance" -> 0.3915,
     "l38_dedup_clusters_star" -> 0.8821,
-    "l39_passage_dedup" -> 0.2033,
-    "l40_gopher_rules" -> 0.1361,
+    "l39_passage_dedup" -> 0.1987,
+    "l40_gopher_rules" -> 0.1212,
     "l41_dsir_select" -> 1.0430,
     "l42_quality_classifier" -> 0.1336,
     "l43_bbpe_train" -> 0.2741,
@@ -82,20 +84,22 @@ object BenchBudgets {
     "l46_url_normalize" -> 0.4077,
     "l47_c4_clean" -> 0.1045,
     "l48_domain_filter" -> 0.1454,
-    "l49_crawl_funnel" -> 0.2535,
-    "l50_incremental_dedup" -> 0.8231,
+    "l49_crawl_funnel" -> 0.2432,
+    "l50_incremental_dedup" -> 0.7853,
     "l51_http_funnel" -> 0.3104,
-    "l52_html_strict" -> 0.1124,
-    "l53_pii_redact" -> 0.1120,
-    "l54_robots_filter" -> 0.1741,
-    "l55_kmv_distinct" -> 0.7507,
-    "l56_http_decode" -> 0.1038,
+    "l52_html_strict" -> 0.0877,
+    "l53_pii_redact" -> 0.1090,
+    "l54_robots_filter" -> 0.1526,
+    "l55_kmv_distinct" -> 0.5926,
+    "l56_http_decode" -> 0.1025,
     "l57_kmv_intersect" -> 0.7584,
+    "l58_redirect_resolve" -> 1.1015,
+    "l59_sitemap_discovery" -> 0.1161,
     "m01_media_features" -> 0.2213,
-    "m02_frame_sample" -> 0.0815,
-    "m03_media_resize" -> 0.0927,
-    "m04_jpeg_decode" -> 0.1408,
-    "m05_png_decode" -> 0.0957,
+    "m02_frame_sample" -> 0.0812,
+    "m03_media_resize" -> 0.0926,
+    "m04_jpeg_decode" -> 0.1345,
+    "m05_png_decode" -> 0.0910,
     "m06_gif_decode" -> 0.0677,
     "m07_phash_neardup" -> 0.2546,
     "m08_audio_fingerprint" -> 0.1999,
@@ -106,67 +110,67 @@ object BenchBudgets {
     "p04_txbodies_stats" -> 0.3577,
     "p05_txbodies_dups" -> 0.2786,
     "p06_dat_roundtrip" -> 0.4766,
-    "p07_asof_join" -> 0.1112,
+    "p07_asof_join" -> 0.1040,
     "p08_txbodies_roundtrip" -> 0.8988,
     "p09_storage_asof_join" -> 0.0965,
     "p10_dat_append" -> 0.3768,
-    "p11_full_history_skew" -> 1.0285,
-    "p12_dat_dsv2_write" -> 0.2513,
+    "p11_full_history_skew" -> 0.9428,
+    "p12_dat_dsv2_write" -> 0.2265,
     "p13_scale_stress" -> 3.4834,
     "p14_dat_compact" -> 0.7379,
-    "p15_format_roundtrip" -> 1.5669,
-    "p16_point_lookup_pages" -> 0.1439,
+    "p15_format_roundtrip" -> 1.4848,
+    "p16_point_lookup_pages" -> 0.1348,
     "p17_warc_ingest" -> 0.3649,
     "q01_range_filter" -> 0.1214,
     "q02_project_predicate" -> 0.1067,
-    "q03_lookup_join" -> 0.1761,
-    "q04_seq_join_agg" -> 0.4772,
-    "q05_union_interleave" -> 0.1735,
-    "q06_multi_sort" -> 0.0998,
-    "q07_lag_retimestamp" -> 0.1980,
+    "q03_lookup_join" -> 0.1729,
+    "q04_seq_join_agg" -> 0.4680,
+    "q05_union_interleave" -> 0.1534,
+    "q06_multi_sort" -> 0.0853,
+    "q07_lag_retimestamp" -> 0.1865,
     "q08_agg_counters" -> 0.1765,
-    "q09_dup_detect" -> 0.5222,
-    "q10_prune_tail" -> 0.2008,
-    "q11_kway_merge" -> 0.1616,
-    "q12_monotonic_guard" -> 0.1073,
-    "q13_salted_agg" -> 0.1468,
-    "q14_rollup" -> 0.2837,
-    "q15_set_ops" -> 0.2156,
-    "q16_salted_join" -> 0.2662,
-    "q17_interval_join" -> 0.2397,
-    "q18_cube" -> 0.3163,
-    "q19_salted_interval_join" -> 0.3789,
-    "s01_cosine_topk" -> 0.2112,
-    "s02_lsh_topk" -> 0.4100,
-    "s03_ivf_topk" -> 0.7504,
-    "s04_ivf_trained" -> 0.6806,
-    "s05_pq_adc" -> 0.5625,
+    "q09_dup_detect" -> 0.4815,
+    "q10_prune_tail" -> 0.1894,
+    "q11_kway_merge" -> 0.1429,
+    "q12_monotonic_guard" -> 0.0979,
+    "q13_salted_agg" -> 0.1213,
+    "q14_rollup" -> 0.2567,
+    "q15_set_ops" -> 0.2008,
+    "q16_salted_join" -> 0.2288,
+    "q17_interval_join" -> 0.2375,
+    "q18_cube" -> 0.3046,
+    "q19_salted_interval_join" -> 0.3739,
+    "s01_cosine_topk" -> 0.1824,
+    "s02_lsh_topk" -> 0.3779,
+    "s03_ivf_topk" -> 0.5949,
+    "s04_ivf_trained" -> 0.6050,
+    "s05_pq_adc" -> 0.5577,
     "s06_ivf_pq" -> 1.0045,
     "s07_semantic_dedup" -> 1.5969,
     "s08_sq8_topk" -> 0.4664,
     "s09_maxsim_topk" -> 0.2560,
-    "s10_ivf_sq8" -> 0.9385,
-    "s11_binary_topk" -> 0.3080,
-    "s12_ivf_bq" -> 0.7541,
+    "s10_ivf_sq8" -> 0.8211,
+    "s11_binary_topk" -> 0.2886,
+    "s12_ivf_bq" -> 0.7420,
     "s13_ann_scale_stress" -> 6.0153,
     "s14_two_stage_retrieval" -> 0.9474,
-    "s15_filtered_ann" -> 0.3991,
-    "s16_random_projection" -> 0.9199,
-    "s17_indexed_ann" -> 0.4262,
-    "st02_file_stream" -> 0.9950,
-    "st03_stream_dedup" -> 0.9994,
-    "st04_session_stream" -> 1.4110,
-    "st05_history_stream" -> 1.3774,
-    "st06_stream_neardup" -> 1.8704,
-    "st07_stream_archive" -> 1.8942,
-    "st08_archive_tail" -> 1.4689,
-    "st09_archive_mirror" -> 1.4061,
-    "st10_stream_funnel" -> 1.0958,
-    "st11_stream_neardup_ttl" -> 2.4234,
-    "st12_stream_interval_join" -> 2.5622,
-    "st13_warc_stream" -> 0.4374,
-    "st14_stream_score" -> 0.5607,
-    "st15_http_stream" -> 0.4565,
+    "s15_filtered_ann" -> 0.3970,
+    "s16_random_projection" -> 0.8386,
+    "s17_indexed_ann" -> 0.3469,
+    "st02_file_stream" -> 0.8860,
+    "st03_stream_dedup" -> 0.8158,
+    "st04_session_stream" -> 1.2068,
+    "st05_history_stream" -> 1.3138,
+    "st06_stream_neardup" -> 1.7868,
+    "st07_stream_archive" -> 1.5761,
+    "st08_archive_tail" -> 1.3200,
+    "st09_archive_mirror" -> 1.2693,
+    "st10_stream_funnel" -> 0.9539,
+    "st11_stream_neardup_ttl" -> 2.2475,
+    "st12_stream_interval_join" -> 2.4915,
+    "st13_warc_stream" -> 0.4312,
+    "st14_stream_score" -> 0.5249,
+    "st15_http_stream" -> 0.4222,
     "w01_event_window" -> 0.1764,
     "w02_session_window" -> 0.2966,
     "w03_quantiles" -> 0.1418,
