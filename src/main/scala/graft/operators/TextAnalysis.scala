@@ -1820,7 +1820,14 @@ object TextAnalysis {
       (!isRedirect).as("done")).localCheckpoint()
     val rounds =
       math.ceil(math.log(maxHops.toDouble) / math.log(2.0)).toInt + 1
-    def openRows = m.filter(!col("done") && col("hops") <= maxHops)
+    // dst == src on a non-done row means following the chain from src
+    // leads BACK to src — a proven cycle; stop composing it (it can
+    // only keep doubling hops until the cap) and let the final
+    // unresolved classification null it. Self-loops land here at
+    // round 0, 2-cycles after one doubling — the common cycle shapes
+    // settle immediately instead of riding every round
+    def openRows = m.filter(!col("done") && col("hops") <= maxHops &&
+      col("dst") =!= col("src"))
     var r = 0
     // early exit: real crawl redirect graphs are SHALLOW (1–2 hops
     // dominate) — once nothing is open, the remaining doubling rounds
@@ -1830,7 +1837,11 @@ object TextAnalysis {
     var nOpen = openRows.count()
     while (r < rounds && nOpen > 0) {
       val open = openRows
-      val settled = m.filter(col("done") || col("hops") > maxHops)
+      // exact complement of openRows — a proven-cycle row (dst == src,
+      // not done) must be CARRIED, not dropped, so the final
+      // classification can null it
+      val settled = m.filter(col("done") || col("hops") > maxHops ||
+        col("dst") === col("src"))
       val lookup = m.select(col("src").as("l_src"),
         col("dst").as("l_dst"), col("hops").as("l_hops"),
         col("status").as("l_status"), col("done").as("l_done"))
