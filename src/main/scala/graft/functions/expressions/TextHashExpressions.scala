@@ -311,6 +311,11 @@ object TextHashExpressions {
     val len = s.length
     val sb = new java.lang.StringBuilder(len)
     val chars = new Array[Char](35)
+    // boundary scratch arrays hoisted out of the scan loop: EVERY
+    // capitalized word enters the candidate branch, and a per-word
+    // allocation would be pure GC churn on the hot redaction kernel
+    // (only slots [0, nb) are ever read)
+    val bCnt = new Array[Int](36); val bPos = new Array[Int](36)
     var n = 0L
     var i = 0
     def isAl(c: Char): Boolean =
@@ -325,7 +330,6 @@ object TextHashExpressions {
         // uppercase word ("…0130 00 Now") cannot spoil a valid IBAN
         // before it
         var k = i; var nc = 0
-        val bCnt = new Array[Int](36); val bPos = new Array[Int](36)
         var nb = 0
         var continue = true
         while (continue && k < len) {
@@ -359,6 +363,13 @@ object TextHashExpressions {
         }
         if (matched >= 0) {
           sb.append("<IBAN>"); n += 1; i = bPos(matched)
+        } else if (nb > 1) {
+          // no match from THIS start, but the span has further group
+          // boundaries — a LEADING uppercase word must not swallow the
+          // IBAN after it ("IBAN DE89 …", "REF GB82 …" are the common
+          // labeled renderings): emit only the first group and rescan
+          // from the boundary
+          sb.append(s, i, bPos(0)); i = bPos(0)
         } else if (k > i) { sb.append(s, i, k); i = k }
         else { sb.append(c); i += 1 }
       } else { sb.append(c); i += 1 }

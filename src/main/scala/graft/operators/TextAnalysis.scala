@@ -1137,10 +1137,18 @@ object TextAnalysis {
       .coalesce(1)
       .mapPartitions { it =>
         val words = it.map { case (s, f) => (s.toArray, f) }.toArray
-        val ord = Ordering.by[((String, String), Long),
-          (Long, String, String)] { case ((l, rr), c) => (-c, l, rr) }
         val counts =
           new scala.collection.mutable.HashMap[(String, String), Long]()
+        // ordered companion of `counts` — (count DESC, lhs, rhs), kept
+        // in exact sync by addPairs, so the per-merge argmax is O(log n)
+        // instead of a full map scan (at a production ~50k-merge run
+        // over a few-million-entry pair map, a linear argmax per merge
+        // would dominate the whole loop and void the cost model the
+        // Scaladoc states)
+        val byCount = new java.util.TreeSet[((String, String), Long)](
+          Ordering.by[((String, String), Long), (Long, String, String)] {
+            case ((l, rr), c) => (-c, l, rr)
+          })
         val where = new scala.collection.mutable.HashMap[
           (String, String), scala.collection.mutable.BitSet]()
         def addPairs(i: Int, syms: Array[String], f: Long,
@@ -1148,8 +1156,11 @@ object TextAnalysis {
           var j = 0
           while (j + 1 < syms.length) {
             val p = (syms(j), syms(j + 1))
-            val c2 = counts.getOrElse(p, 0L) + sign * f
-            if (c2 > 0) counts.update(p, c2) else counts.remove(p)
+            val c0 = counts.getOrElse(p, 0L)
+            if (c0 > 0) byCount.remove((p, c0))
+            val c2 = c0 + sign * f
+            if (c2 > 0) { counts.update(p, c2); byCount.add((p, c2)) }
+            else counts.remove(p)
             if (sign > 0)
               where.getOrElseUpdate(p,
                 new scala.collection.mutable.BitSet()) += i
@@ -1190,7 +1201,7 @@ object TextAnalysis {
         while (r <= numMerges && !exhausted) {
           if (counts.isEmpty) exhausted = true
           else {
-            val ((a, b), c) = counts.iterator.min(ord)
+            val ((a, b), c) = byCount.first()
             val m = a + b
             merges += ((r, a, b, m, c))
             val ids = where.remove((a, b))
@@ -1380,8 +1391,15 @@ object TextAnalysis {
     * runs too long to be phones), then phones, then IPs; the 3-3-4
     * phone grammar and the 4-group IPv4 cannot consume each other's
     * matches by construction.
-    * Counts are taken on the ORIGINAL text. Zero-shuffle narrow
-    * columnar pass.
+    * Counts are taken on the ORIGINAL text — which means a count is NOT
+    * a placeholder census of `text_redacted`: a Luhn-valid digit run
+    * living INSIDE an email local-part or an IBAN is counted by its own
+    * detector on the original but consumed by the earlier chain stage
+    * in the redaction (e.g. `user@4111111111111111.com` counts one card
+    * and redacts as one `<EMAIL>`). This is deliberate: counts answer
+    * "what PII does this text contain", the chain answers "remove it
+    * all, each span once"; reconcile placeholders against the chain
+    * order, not the raw counts. Zero-shuffle narrow columnar pass.
     */
   def piiRedact(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {

@@ -268,10 +268,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
 
   // (interval sub-plan, bounds) -> derived width; None = probe failed
   // or empty interval side (rewrite skipped, also cached). Keyed on a
-  // SHA-256 digest of the CANONICALIZED plan/expression text — the full
-  // canonical form participates (so two genuinely different plans cannot
-  // share a key short of a cryptographic collision; a bare int hashCode
-  // key could, and a colliding width can reintroduce the giant-Sequence
+  // SHA-256 digest of the canonicalized plan/expression JSON PLUS the
+  // plan's leaf-source identities (see widthKey — canonicalized JSON
+  // alone cannot distinguish two same-schema scans of different
+  // datasets, and a colliding width can reintroduce the giant-Sequence
   // blowup the maxSpan split only bounds per interval), while the cache
   // retains only ~64-byte strings. Keying on the canonicalized OBJECTS
   // (the previous design) pinned up to 128 whole plan trees — including
@@ -284,14 +284,34 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   private def widthKey(ivSide: LogicalPlan, lo: Expression,
                        hi: Expression): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    // toJSON is a LOSSLESS rendering: toString elides fields beyond
-    // spark.sql.debug.maxToStringFields (default 25) as "... N more
-    // fields", so two genuinely different WIDE interval plans could
-    // digest to the same key and serve a stale width — exactly the
-    // giant-Sequence blowup this cache exists to prevent. The JSON tree
-    // renders every field of every node unconditionally.
+    // toJSON renders every FIELD of every node unconditionally
+    // (toString elides fields beyond spark.sql.debug.maxToStringFields,
+    // so two wide-but-different plans could share a toString). It is
+    // still not lossless at the LEAVES: canonicalization normalizes
+    // attribute names away and a relation's BaseRelation serializes as
+    // null — two same-schema scans of DIFFERENT parquet datasets
+    // canonicalize to identical JSON, and a width probed for one would
+    // be served to the other (if their span distributions differ
+    // wildly, that is the giant-Sequence blowup this cache exists to
+    // prevent). So the leaf SOURCE identities join the digest
+    // explicitly: file-relation root paths, DSv2 table names, and each
+    // leaf's own rendering otherwise.
+    val leafIds = ivSide.collectLeaves().map {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+            "fs:" + fs.location.rootPaths.mkString(",")
+          case other => "rel:" + other.toString
+        }
+      case dsv2: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation =>
+        "dsv2:" + dsv2.table.name()
+      case leaf => leaf.getClass.getName + ":" + leaf.toString.take(512)
+    }.mkString("\u0000")
     val canonical = ivSide.canonicalized.toJSON + "\u0000" +
-      lo.canonicalized.toJSON + "\u0000" + hi.canonicalized.toJSON
+      lo.canonicalized.toJSON + "\u0000" + hi.canonicalized.toJSON +
+      "\u0000" + leafIds
     md.digest(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
   }

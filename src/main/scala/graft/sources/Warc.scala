@@ -362,7 +362,10 @@ object Warc {
     *  1. `Transfer-Encoding: chunked` (RFC 9112 §7.1) — de-framed:
     *     hex-size lines, chunk data, optional trailers. WARC `response`
     *     records carry the payload AS RECEIVED, so chunk framing is in
-    *     the stored bytes.
+    *     the stored bytes. Non-chunked transfer codings (e.g.
+    *     `Transfer-Encoding: gzip, chunked`) join the decode chain
+    *     below, undone BEFORE the content codings (they were applied
+    *     after them on the wire).
     *  2. `Content-Encoding` (RFC 9110 §8.4) — codings undone in reverse
     *     of the listed order: `gzip`/`x-gzip` and `deflate` (both the
     *     RFC's zlib-wrapped form and the bare-deflate form many servers
@@ -429,18 +432,29 @@ object Warc {
         false })
       .getOrElse("UTF-8")
     val ctx = s"${r.file}: response for '${r.url}'"
-    // 1. transfer decoding — "chunked" is only valid as the FINAL
-    // coding (RFC 9112 §6.1); other transfer codings are rare in stored
-    // crawls and pass through to the content-encoding stage
-    val teChunked = httpHeaders.get("transfer-encoding").exists(
-      _.split(",").map(_.trim.toLowerCase).lastOption.contains("chunked"))
+    // 1. transfer de-framing — "chunked" is only valid as the FINAL
+    // transfer coding (RFC 9112 §6.1)
+    val teCodings = httpHeaders.getOrElse("transfer-encoding", "")
+      .split(",").map(_.trim.toLowerCase)
+      .filter(c => c.nonEmpty && c != "identity").toList
+    val teChunked = teCodings.lastOption.contains("chunked")
     val framed: Array[Byte] =
       if (teChunked) dechunk(b, bodyStart, ctx)
       else java.util.Arrays.copyOfRange(b, bodyStart, b.length)
-    // 2. content decoding, reverse of application order
-    val codings = httpHeaders.getOrElse("content-encoding", "")
-      .split(",").map(_.trim.toLowerCase)
-      .filter(c => c.nonEmpty && c != "identity").toList
+    // 2. remaining codings, undone in reverse of application order. The
+    // wire is TE-chain(CE-chain(body)) — content codings applied first,
+    // transfer codings after, chunked outermost — so after de-chunking
+    // the combined application-ordered list is CE-list ++ residual-TE
+    // (e.g. `Transfer-Encoding: gzip, chunked` leaves a gzip layer that
+    // must be undone BEFORE any Content-Encoding layer); the loop pops
+    // from the END. A leftover the JVM cannot undo surfaces in
+    // `content_encoding` with latin-1-preserved octets like any other
+    // undecodable coding.
+    val codings =
+      (httpHeaders.getOrElse("content-encoding", "")
+        .split(",").map(_.trim.toLowerCase)
+        .filter(c => c.nonEmpty && c != "identity").toList) ++
+        (if (teChunked) teCodings.init else teCodings)
     var residual = codings
     var decoded = framed
     var continue = true

@@ -2536,6 +2536,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(gotI(14L) == ((1L, 0L, "pay <IBAN> Now thanks")))
     assert(gotI(15L) == ((0L, 0L, "code DE89 alone and plain WORDS stay")))
     assert(gotI(16L) == ((1L, 0L, "<IBAN>")))
+    // a LEADING uppercase label must not swallow the IBAN after it —
+    // the canonical real-world rendering ("IBAN DE89 …", "REF GB82 …")
+    val labeled = TextAnalysis.piiRedact(Seq(
+        (21L, "IBAN DE89 3704 0044 0532 0130 00 thanks"),
+        (22L, "SEPA REF GB82 WEST 1234 5698 7654 32"))
+      .toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_ibans"), r.getAs[String]("text_redacted"))))
+      .toMap
+    assert(labeled(21L) == ((1L, "IBAN <IBAN> thanks")), s"$labeled")
+    assert(labeled(22L) == ((1L, "SEPA REF <IBAN>")), s"$labeled")
     // mod-97 property: the DE89 example validates; every single-char
     // digit perturbation fails
     import graft.functions.expressions.TextHashExpressions.ibanMod97Valid

@@ -564,6 +564,37 @@ class WarcSpec extends AnyFunSuite {
       msg("Content-Encoding: br, gzip\r\n", gzBytes(Array[Byte](9, 8)))))
     assert(partial.content_encoding == "br" &&
       partial.body.toCharArray.map(_.toByte).toSeq == Seq[Byte](9, 8))
+    // NON-chunked transfer codings join the decode chain: the wire is
+    // TE(CE(body)), so `Transfer-Encoding: gzip, chunked` leaves a gzip
+    // layer that must be undone after de-chunking and BEFORE any
+    // Content-Encoding layer
+    val teGz = Warc.splitHttp(httpRec(msg(
+      "Transfer-Encoding: gzip, chunked\r\n",
+      chunkBytes(gzBytes(plain), sz = 9))))
+    assert(teGz.body == body && teGz.content_encoding == "" &&
+      teGz.n_bytes == plain.length.toLong)
+    // bare (non-chunked) TE gzip
+    assert(Warc.splitHttp(httpRec(
+      msg("Transfer-Encoding: gzip\r\n", gzBytes(plain)))).body == body)
+    // layered across BOTH headers: CE deflate under TE gzip+chunked —
+    // undo order chunked, TE-gzip, CE-deflate
+    val zlib2 = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(plain); d.finish()
+      val buf = new Array[Byte](plain.length * 2 + 64)
+      val m = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, m)
+    }
+    val both = Warc.splitHttp(httpRec(msg(
+      "Content-Encoding: deflate\r\nTransfer-Encoding: gzip, chunked\r\n",
+      chunkBytes(gzBytes(zlib2), sz = 13))))
+    assert(both.body == body && both.content_encoding == "")
+    // an undecodable TE coding surfaces instead of silently claiming
+    // "fully decoded" over compressed octets
+    val teBr = Warc.splitHttp(httpRec(msg(
+      "Transfer-Encoding: br, chunked\r\n",
+      chunkBytes(Array[Byte](7, 6), sz = 2))))
+    assert(teBr.content_encoding == "br" && teBr.charset == "ISO-8859-1")
   }
 
   test("splitHttp fails LOUDLY (with file/url context) on corrupt " +
