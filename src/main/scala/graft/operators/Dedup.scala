@@ -1082,4 +1082,74 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
+
+  /** LINE-level boilerplate removal — the web-corpus cleaning step the
+    * passage family ([[passageDedup]], l39) is the wrong granularity
+    * for: navigation menus, cookie banners, footer legalese repeat as
+    * whole LINES across thousands of pages of a site while the prose
+    * around them is unique (CCNet, Wenzek et al. 2020; RefinedWeb,
+    * Penedo et al. 2023 both dedup at this granularity before any
+    * document-level pass). A line is BOILERPLATE when its trimmed form
+    * occurs in ≥ `minDocs` DISTINCT documents; boilerplate lines are
+    * removed from EVERY document (unlike passage dedup's keep-first —
+    * a cookie banner's "first" occurrence is no more content than its
+    * millionth), unique lines survive untouched.
+    *
+    * Lines are `\n`-split; a trailing `\r` joins the trim. Lines whose
+    * trimmed form is empty are dropped and not counted (they carry no
+    * content and would otherwise be the corpus's hottest "line").
+    * Output, one row per input document: (doc_id, n_lines, n_kept,
+    * text_clean) — counts over non-empty lines, text_clean the kept
+    * lines' TRIMMED form joined by `\n` in original order (trimming is
+    * part of the normalization, so the output is the normalized doc).
+    *
+    * Scale shape: the line relation is built NARROW (split +
+    * posexplode, no shuffle); doc-frequency is two map-side-combinable
+    * phases — distinct (doc_id, line) then count by line — so a line
+    * repeated a million times inside ONE document contributes one row
+    * to the count shuffle, and partial aggregation keeps both phases
+    * skew-free. The verdict join back to the line relation is keyed on
+    * the line string; a planetary-hot boilerplate line ("Home") lands
+    * on one reducer there — that is the one skew point, and it is the
+    * AQE skew-join shape (one fat probe partition against a one-row
+    * build group, split at runtime); a deployment at longer line
+    * lengths would key on a 128-bit digest of the line (the l01
+    * convention) to shrink shuffle bytes — kept as the raw string here
+    * so the DuckDB oracle mirrors the plan exactly. Reassembly is one
+    * doc-keyed aggregate over (idx, line) pairs.
+    */
+  def lineDedup(docs: DataFrame, minDocs: Int = 5,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "raw")))
+      .select(col("doc_id"), col("idx"),
+        trim(regexp_replace(col("raw"), "\r$", "")).as("line"))
+      .filter(col("line") =!= "")
+    // doc-frequency of each distinct line: distinct then count — both
+    // phases partial-aggregate, so neither is hot-key-bound
+    val boiler = lines.select(col("line"), col("doc_id")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("line"), lit(true).as("is_boiler"))
+    val kept = lines.join(boiler, Seq("line"), "left_outer")
+      .filter(col("is_boiler").isNull)
+    val perDoc = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(sort_array(collect_list(struct(col("idx"),
+          col("line")))), s => s.getField("line")), "\n")
+        .as("text_clean"))
+    val counts = lines.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(counts, Seq("doc_id"), "left_outer")
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

@@ -243,6 +243,83 @@ object LlmQueries {
              |FROM c LEFT JOIN a ON c.doc_id = a.doc_id
              |ORDER BY c.doc_id""".stripMargin)),
 
+    // LINE-level boilerplate removal (l60) — CCNet/RefinedWeb
+    // granularity: a line occurring in >= 5 DISTINCT documents is
+    // removed from EVERY document (no keep-first — a cookie banner's
+    // first occurrence is no more content than its millionth). The
+    // fixture plants, by doc_id arithmetic, a high-frequency banner
+    // (%3), a footer with surrounding spaces (%4, exercises trim), a
+    // newsletter line with a Windows \r tail (%5, exercises the CRLF
+    // normalization), and a near-miss planted in ~N/125 docs that must
+    // SURVIVE at the gate scale (4 docs < minDocs=5 at sf0.01); the
+    // oracle mirrors the whole computation in SQL over the same
+    // planted input.
+    "l60_line_dedup" -> QuerySpec(
+      (s, dir) => {
+        val id = col("doc_id")
+        val t2 = concat(
+          when(id % 3 === 0, lit("Accept cookies to continue\n"))
+            .otherwise(lit("")),
+          col("text"),
+          when(id % 4 === 1, lit("\n  Copyright Example Inc  "))
+            .otherwise(lit("")),
+          when(id % 5 === 2, lit("\nSubscribe to our newsletter\r"))
+            .otherwise(lit("")),
+          when(id % 125 === 1, lit("\nseldom seen line"))
+            .otherwise(lit("")))
+        Dedup.lineDedup(
+            Tables(s, dir, "documents").select(id, t2.as("text")),
+            minDocs = 5)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 3 = 0
+             |      THEN 'Accept cookies to continue' || chr(10)
+             |      ELSE '' END
+             |    || text
+             |    || CASE WHEN doc_id % 4 = 1
+             |      THEN chr(10) || '  Copyright Example Inc  '
+             |      ELSE '' END
+             |    || CASE WHEN doc_id % 5 = 2
+             |      THEN chr(10) || 'Subscribe to our newsletter' || chr(13)
+             |      ELSE '' END
+             |    || CASE WHEN doc_id % 125 = 1
+             |      THEN chr(10) || 'seldom seen line'
+             |      ELSE '' END AS text
+             |  FROM documents),
+             |l0 AS (
+             |  SELECT doc_id,
+             |    generate_subscripts(string_split(text, chr(10)), 1) AS idx,
+             |    unnest(string_split(text, chr(10))) AS raw
+             |  FROM src),
+             |l AS (
+             |  SELECT doc_id, idx,
+             |    trim(regexp_replace(raw, '\r$', '')) AS line
+             |  FROM l0
+             |  WHERE trim(regexp_replace(raw, '\r$', '')) <> ''),
+             |b AS (
+             |  SELECT line FROM (
+             |    SELECT line, COUNT(DISTINCT doc_id) AS df
+             |    FROM l GROUP BY line) WHERE df >= 5),
+             |k AS (
+             |  SELECT l.doc_id, l.idx, l.line
+             |  FROM l LEFT JOIN b ON l.line = b.line
+             |  WHERE b.line IS NULL),
+             |a AS (
+             |  SELECT doc_id, COUNT(*) AS n_kept,
+             |    string_agg(line, chr(10) ORDER BY idx) AS text_clean
+             |  FROM k GROUP BY doc_id),
+             |c AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  coalesce(c.n_lines, 0) AS n_lines,
+             |  coalesce(a.n_kept, 0) AS n_kept,
+             |  coalesce(a.text_clean, '') AS text_clean
+             |FROM documents d
+             |LEFT JOIN c ON d.doc_id = c.doc_id
+             |LEFT JOIN a ON d.doc_id = a.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // -- text analysis --
 
     "l06_token_count" -> QuerySpec(

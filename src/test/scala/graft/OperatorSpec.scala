@@ -1948,6 +1948,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(7L) == ((2L, 1L, "p q r s")))
   }
 
+  test("lineDedup: a line in >= minDocs distinct docs is removed from " +
+      "EVERY doc (no keep-first), trim + \\r normalization unifies " +
+      "renderings, within-doc repetition does not trip the threshold, " +
+      "a minDocs-1 line survives, empty lines are dropped uncounted") {
+    val banner = "Accept cookies"
+    val docs = Seq(
+      (1L, s"$banner\nunique one\n\n  $banner  \r\ntail one"),
+      (2L, s"$banner\nunique two"),
+      (3L, s" $banner \nunique three"),
+      (4L, s"$banner\r\nnear miss\nunique four"),
+      (5L, s"$banner\nnear miss\nunique five"),
+      (6L, "near miss\nnear miss\nnear miss\nnear miss\nnear miss"),
+      (7L, "\n \n\t\n"), // whitespace-only: n_lines counts the tab line
+      (8L, "")
+    ).toDF("doc_id", "text")
+    // banner: docs 1,2,3,4,5 -> df 5 >= minDocs 5 -> removed everywhere
+    // (doc 1 carries it TWICE; both copies go). "near miss": docs 4,5,6
+    // -> df 3 < 5 -> survives (doc 6's five copies are ONE distinct doc).
+    val out = Dedup.lineDedup(docs, minDocs = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(out.size == 8, "one row per input doc")
+    assert(out(1L) == ((4L, 2L, "unique one\ntail one")))
+    assert(out(2L) == ((2L, 1L, "unique two")))
+    assert(out(3L) == ((2L, 1L, "unique three")))
+    assert(out(4L) == ((3L, 2L, "near miss\nunique four")))
+    assert(out(5L) == ((3L, 2L, "near miss\nunique five")))
+    assert(out(6L) == ((5L, 5L,
+      "near miss\nnear miss\nnear miss\nnear miss\nnear miss")))
+    // '\t' is NOT in Spark/DuckDB trim's default strip set (space only),
+    // so the tab-only line is a non-empty "line" — stated, not hidden
+    assert(out(7L) == ((1L, 1L, "\t")))
+    assert(out(8L) == ((0L, 0L, "")))
+  }
+
   test("dsirSelect: target-vocabulary docs outrank distractors; an " +
       "UNLABELED doc in the target vocabulary is selected (the point " +
       "of DSIR — selection generalizes beyond the labels); on the " +
