@@ -142,6 +142,180 @@ object HtmlExpressions {
 
   def html_text_strict(html: Column): Column =
     Bridge.column(HtmlTextStrictExpr(Bridge.expression(html)))
+
+  private def decodeEntities(v: String): String = {
+    val out = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      if (v.charAt(i) == '&') {
+        var k = 0
+        var matched = false
+        while (!matched && k < Entities.length) {
+          val (lit, ch) = Entities(k)
+          if (i + lit.length <= v.length &&
+              v.regionMatches(false, i, lit, 0, lit.length)) {
+            out.append(ch); i += lit.length; matched = true
+          }
+          k += 1
+        }
+        if (!matched) { out.append('&'); i += 1 }
+      } else { out.append(v.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Value of the (case-insensitive) `attr` attribute inside the tag
+    * source `s[tagStart, tagEnd)` (tagEnd = index after '>'), or None.
+    * Quote-aware; unquoted values run to whitespace/'>' (so the HTML5
+    * `<a href=x/>` quirk — the '/' joins the value — is preserved, the
+    * same reading the self-closing heuristic above takes). The six
+    * shared entities decode in the returned value (`&amp;` in query
+    * strings is the normal serialization of '&').
+    */
+  private def attrValue(s: String, tagStart: Int, tagEnd: Int,
+                        attr: String): Option[String] = {
+    val lim = // exclude the terminating '>' when the tag has one
+      if (tagEnd > tagStart && s.charAt(tagEnd - 1) == '>') tagEnd - 1
+      else tagEnd
+    var j = tagStart + 1
+    while (j < lim && s.charAt(j).isLetterOrDigit) j += 1
+    while (j < lim) {
+      while (j < lim && (s.charAt(j).isWhitespace || s.charAt(j) == '/'))
+        j += 1
+      if (j >= lim) return None
+      val st = j
+      while (j < lim && s.charAt(j) != '=' && !s.charAt(j).isWhitespace)
+        j += 1
+      val name = s.substring(st, j)
+      while (j < lim && s.charAt(j).isWhitespace) j += 1
+      var value = ""
+      if (j < lim && s.charAt(j) == '=') {
+        j += 1
+        while (j < lim && s.charAt(j).isWhitespace) j += 1
+        if (j < lim && (s.charAt(j) == '"' || s.charAt(j) == '\'')) {
+          val q = s.charAt(j); j += 1
+          val vs = j
+          while (j < lim && s.charAt(j) != q) j += 1
+          value = s.substring(vs, j)
+          if (j < lim) j += 1
+        } else {
+          val vs = j
+          while (j < lim && !s.charAt(j).isWhitespace) j += 1
+          value = s.substring(vs, j)
+        }
+      }
+      if (name.equalsIgnoreCase(attr)) return Some(decodeEntities(value))
+    }
+    None
+  }
+
+  /** Static entry point, referenced from generated code: every
+    * href-bearing `<a>` element as (href, anchor-text) in document
+    * order. The scan shares the [[htmlTextStrict]] tokenizer's reading
+    * of the input — comments, doctype/PI, and script/style raw text are
+    * skipped with the same HTML5 script-data close semantics, so a
+    * decoy `<a href=...>` inside JS never extracts; attribute parsing
+    * is quote-aware ('>' inside a quoted href does not end the tag).
+    * Anchor text is the element's inner HTML through [[htmlTextStrict]]
+    * (nested markup stripped, entities decoded, whitespace collapsed);
+    * an unterminated anchor swallows to end-of-input (tolerant, like
+    * every other construct). Scanning resumes AFTER the anchor's close
+    * tag, so an (invalid) `<a>` nested inside an href-bearing anchor is
+    * not extracted — documented subset; href-less `<a name=...>`
+    * anchors emit nothing and their inner content IS scanned.
+    */
+  def htmlLinks(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = u.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    def matchesAt(pos: Int, lit: String): Boolean =
+      pos + lit.length <= n && s.regionMatches(true, pos, lit, 0,
+        lit.length)
+    def consumeTag(start: Int): Int = {
+      var j = start + 1
+      while (j < n) {
+        val c = s.charAt(j)
+        if (c == '>') return j + 1
+        if (c == '"' || c == '\'') {
+          j += 1
+          while (j < n && s.charAt(j) != c) j += 1
+          if (j < n) j += 1
+        } else j += 1
+      }
+      n
+    }
+    def tagNameAt(pos: Int): String = {
+      var j = pos + 1
+      if (j < n && s.charAt(j) == '/') j += 1
+      val st = j
+      while (j < n && s.charAt(j).isLetterOrDigit) j += 1
+      s.substring(st, j).toLowerCase
+    }
+    // lexical close-tag search (the script-data reading shared with
+    // htmlTextStrict): first `</name` followed by '>', whitespace, '/',
+    // or end-of-input
+    def findClose(from: Int, name: String): Int = {
+      val closeLit = "</" + name
+      var j = from
+      while (j < n) {
+        if (matchesAt(j, closeLit)) {
+          val k = j + closeLit.length
+          if (k >= n || s.charAt(k) == '>' ||
+              s.charAt(k).isWhitespace || s.charAt(k) == '/') return j
+        }
+        j += 1
+      }
+      -1
+    }
+    def emit(href: String, anchor: String): Unit =
+      out += org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(href),
+        org.apache.spark.unsafe.types.UTF8String.fromString(anchor))
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        if (matchesAt(i, "<!--")) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n &&
+            (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+          i = consumeTag(i)
+        } else if (i + 1 < n && (s.charAt(i + 1).isLetter ||
+            (s.charAt(i + 1) == '/' && i + 2 < n &&
+              s.charAt(i + 2).isLetter))) {
+          val name = tagNameAt(i)
+          val isClose = s.charAt(i + 1) == '/'
+          val after = consumeTag(i)
+          val selfClosing = after >= 2 && s.charAt(after - 2) == '/'
+          if (!isClose && !selfClosing &&
+              (name == "script" || name == "style")) {
+            val end = findClose(after, name)
+            i = if (end < 0) n else consumeTag(end)
+          } else if (!isClose && name == "a") {
+            val href = attrValue(s, i, after, "href")
+            if (selfClosing) {
+              href.foreach(h => emit(h, ""))
+              i = after
+            } else href match {
+              case Some(h) =>
+                val end = findClose(after, "a")
+                val innerEnd = if (end < 0) n else end
+                emit(h, htmlTextStrict(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(
+                    s.substring(after, innerEnd))).toString)
+                i = if (end < 0) n else consumeTag(end)
+              case None => i = after // inner content scans normally
+            }
+          } else i = after
+        } else i += 1 // literal '<' in text
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  def html_links(html: Column): Column =
+    Bridge.column(HtmlLinksExpr(Bridge.expression(html)))
 }
 
 /** html_text_strict(html): tokenizer-based HTML→text extraction. See
@@ -171,4 +345,39 @@ case class HtmlTextStrictExpr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression)
       : HtmlTextStrictExpr = copy(child = c)
+}
+
+/** html_links(html): array<struct<href,anchor>> of every href-bearing
+  * anchor element, in document order. See [[HtmlExpressions.htmlLinks]].
+  * Codegen is a static call like every other kernel in this package —
+  * the expression stays inside whole-stage codegen so the usual
+  * explode-over-extract plan is one generated stage.
+  */
+case class HtmlLinksExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"html_links needs string, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("href", StringType, nullable = false),
+    StructField("anchor", StringType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "html_links"
+
+  override def nullSafeEval(str: Any): Any =
+    HtmlExpressions.htmlLinks(
+      str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.HtmlExpressions" +
+        s".htmlLinks($c);")
+
+  override protected def withNewChildInternal(c: Expression)
+      : HtmlLinksExpr = copy(child = c)
 }

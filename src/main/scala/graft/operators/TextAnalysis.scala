@@ -1896,6 +1896,54 @@ object TextAnalysis {
       (!unresolved).as("resolved"))
   }
 
+  /** HTML outlink extraction — the crawl step that turns fetched pages
+    * into the LINK GRAPH every downstream web analytic (domain stats,
+    * [[graft.operators.WebGraph.pageRank]], anchor-text aggregation,
+    * frontier expansion) consumes. Per page, every href-bearing
+    * `<a>` element in document order via the
+    * [[graft.functions.expressions.HtmlExpressions.htmlLinks]] codegen
+    * kernel (quote-aware attributes, script/style decoys skipped,
+    * anchor text = inner HTML through the strict extractor), then:
+    *
+    *  - non-navigational hrefs drop (`#fragment`-only, `javascript:`,
+    *    `mailto:`, `data:` — case-insensitive on the scheme);
+    *  - the rest resolve against the PAGE url ([[resolveLocation]] —
+    *    the same RFC 3986 §5 subset redirects use: absolute,
+    *    scheme-relative, absolute-path, bare-relative);
+    *  - `dst_host` is extracted from the resolved url (the key the
+    *    graph aggregations group on).
+    *
+    * Output: (src_url, link_idx, dst_url, dst_host, anchor) —
+    * `link_idx` is the anchor's position among the page's href-bearing
+    * anchors BEFORE filtering, so a page's surviving links keep their
+    * document positions (gaps where navigational noise was dropped).
+    *
+    * Scale shape: one NARROW pass — extract + explode + resolve are a
+    * single projection/generate stage inside whole-stage codegen, no
+    * shuffle at all; the output is link-granular, ready to be keyed by
+    * dst_host (aggregations partial-combine) or fed to the pointer-
+    * doubling / PageRank stages which own their shuffles.
+    */
+  def extractOutlinks(pages: DataFrame, urlCol: String = "url",
+                      htmlCol: String = "html"): DataFrame = {
+    val exploded = pages
+      .select(col(urlCol).as("src_url"),
+        posexplode(graft.functions.expressions.HtmlExpressions
+          .html_links(col(htmlCol))).as(Seq("link_idx", "lnk")))
+      .select(col("src_url"), col("link_idx").cast("long").as("link_idx"),
+        col("lnk.href").as("href"), col("lnk.anchor").as("anchor"))
+    val scheme = lower(col("href"))
+    val dst = resolveLocation(col("src_url"), col("href"))
+    exploded
+      .filter(col("href") =!= "" && !col("href").startsWith("#") &&
+        !scheme.startsWith("javascript:") &&
+        !scheme.startsWith("mailto:") && !scheme.startsWith("data:"))
+      .select(col("src_url"), col("link_idx"), dst.as("dst_url"),
+        regexp_extract(dst, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+          .as("dst_host"),
+        col("anchor"))
+  }
+
   /** URL canonicalization — the dedup-key normalizer crawl pipelines
     * apply before URL-level dedup: lowercase scheme and host, strip the
     * fragment, strip the scheme's default port, default an empty path

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, MultimodalGolden, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, MultimodalGolden, Similarity, TextAnalysis, WebGraph}
 
 /** LLM training-data pipeline operators over `documents` and `embeddings`
   * (SURVEY.md §7.2 step 7). SQL-expressible ones carry a DuckDB oracle;
@@ -1837,6 +1837,171 @@ object LlmQueries {
              |  'https://h' || doc_id || '.example/s' || j || '.xml'
              |    AS sitemap_url
              |FROM s ORDER BY host, sitemap_url""".stripMargin)),
+
+    // HTML outlink extraction (l61) — fetched pages → the link graph.
+    // Per doc the planted page carries a script-decoy link (must NOT
+    // extract), four href forms the resolver supports (absolute with an
+    // &amp;-encoded query, scheme-relative, UNQUOTED absolute-path,
+    // bare-relative against the page's /dir/), and three
+    // non-navigational links (#fragment / mailto / javascript) that
+    // are filtered but still CONSUME document-order indices — the
+    // oracle regenerates every row, index gaps included, from doc_id
+    // arithmetic alone.
+    "l61_outlinks" -> QuerySpec(
+      (s, dir) => {
+        val id = col("doc_id")
+        val html = concat(
+          lit("<html><head><script>var a='<a href=\"http://no.example/x\">';" +
+            "</script></head><body>"),
+          lit("<a href=\"https://abs.example/a?x="), id,
+          lit("&amp;y=2\">Abs <b>Link</b></a>"),
+          lit("<a href='//cdn.example/c"), id, lit(".js'>proto rel</a>"),
+          lit("<a href=/r/"), id, lit(" title=\"size>10\">root rel</a>"),
+          lit("<a href=\"sub/p"), id, lit(".html\">rel "), id,
+          lit("</a>"),
+          lit("<a href=\"#f\">n</a><a href=\"mailto:a@b.c\">m</a>" +
+            "<a href=\"javascript:void(0)\">j</a></body></html>"))
+        val pages = Tables(s, dir, "documents").select(
+          concat(lit("https://h"), id, lit(".example/dir/page.html"))
+            .as("url"),
+          html.as("html"))
+        TextAnalysis.extractOutlinks(pages)
+          .orderBy(col("src_url"), col("link_idx"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  'https://h' || doc_id || '.example/dir/page.html' AS src
+             |  FROM documents),
+             |rows AS (
+             |  SELECT src, CAST(0 AS BIGINT) AS link_idx,
+             |    'https://abs.example/a?x=' || doc_id || '&y=2' AS dst_url,
+             |    'abs.example' AS dst_host, 'Abs Link' AS anchor
+             |  FROM d
+             |  UNION ALL
+             |  SELECT src, 1, 'https://cdn.example/c' || doc_id || '.js',
+             |    'cdn.example', 'proto rel' FROM d
+             |  UNION ALL
+             |  SELECT src, 2,
+             |    'https://h' || doc_id || '.example/r/' || doc_id,
+             |    'h' || doc_id || '.example', 'root rel' FROM d
+             |  UNION ALL
+             |  SELECT src, 3,
+             |    'https://h' || doc_id || '.example/dir/sub/p'
+             |      || doc_id || '.html',
+             |    'h' || doc_id || '.example', 'rel ' || doc_id FROM d)
+             |SELECT src AS src_url, link_idx, dst_url, dst_host, anchor
+             |FROM rows ORDER BY src_url, link_idx""".stripMargin)),
+
+    // PageRank (l62) — fixed-iteration power method with dangling-mass
+    // redistribution over an arithmetic graph: docs emit two modular
+    // edges each (13 hub targets + a 101-target spread), every 11th doc
+    // emits NONE (dangling — it receives rank but redistributes through
+    // the teleport term). The oracle unrolls all three iterations in
+    // SQL — contributions, per-iteration dangling mass, and the
+    // teleport arithmetic written as the SAME double expressions — and
+    // both sides quantize to 1e-6.
+    "l62_pagerank" -> QuerySpec(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") % 11 =!= 0)
+        val e1 = d.select(concat(lit("n"), col("doc_id")).as("src"),
+          concat(lit("n"), col("doc_id") % 13).as("dst"))
+        val e2 = d.select(concat(lit("n"), col("doc_id")).as("src"),
+          concat(lit("n"), (col("doc_id") * 7 + 3) % 101).as("dst"))
+        WebGraph.pageRank(e1.unionByName(e2), iterations = 3)
+          .select(col("node"),
+            (floor(col("rank") * 1e6 + 0.5) / 1e6).as("rank"))
+          .orderBy(col("node"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id FROM documents WHERE doc_id % 11 <> 0),
+             |e AS (
+             |  SELECT DISTINCT src, dst FROM (
+             |    SELECT 'n' || doc_id AS src,
+             |      'n' || (doc_id % 13) AS dst FROM d
+             |    UNION ALL
+             |    SELECT 'n' || doc_id,
+             |      'n' || ((doc_id * 7 + 3) % 101) FROM d)),
+             |nodes AS (SELECT src AS node FROM e UNION
+             |          SELECT dst FROM e),
+             |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+             |deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od
+             |        FROM e GROUP BY src),
+             |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank
+             |       FROM nodes),
+             |c1 AS (SELECT e.dst AS node, SUM(r.rank / g.od) AS contrib
+             |       FROM e JOIN r0 r ON e.src = r.node
+             |       JOIN deg g ON e.src = g.src GROUP BY e.dst),
+             |d1 AS (SELECT coalesce(SUM(r.rank), 0) AS dm FROM r0 r
+             |       LEFT JOIN deg g ON r.node = g.src
+             |       WHERE g.src IS NULL),
+             |r1 AS (SELECT n.node,
+             |         (1.0 - 0.85) / (SELECT n FROM nn)
+             |           + 0.85 * (coalesce(c.contrib, 0)
+             |             + (SELECT dm FROM d1) / (SELECT n FROM nn))
+             |           AS rank
+             |       FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+             |c2 AS (SELECT e.dst AS node, SUM(r.rank / g.od) AS contrib
+             |       FROM e JOIN r1 r ON e.src = r.node
+             |       JOIN deg g ON e.src = g.src GROUP BY e.dst),
+             |d2 AS (SELECT coalesce(SUM(r.rank), 0) AS dm FROM r1 r
+             |       LEFT JOIN deg g ON r.node = g.src
+             |       WHERE g.src IS NULL),
+             |r2 AS (SELECT n.node,
+             |         (1.0 - 0.85) / (SELECT n FROM nn)
+             |           + 0.85 * (coalesce(c.contrib, 0)
+             |             + (SELECT dm FROM d2) / (SELECT n FROM nn))
+             |           AS rank
+             |       FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+             |c3 AS (SELECT e.dst AS node, SUM(r.rank / g.od) AS contrib
+             |       FROM e JOIN r2 r ON e.src = r.node
+             |       JOIN deg g ON e.src = g.src GROUP BY e.dst),
+             |d3 AS (SELECT coalesce(SUM(r.rank), 0) AS dm FROM r2 r
+             |       LEFT JOIN deg g ON r.node = g.src
+             |       WHERE g.src IS NULL),
+             |r3 AS (SELECT n.node,
+             |         (1.0 - 0.85) / (SELECT n FROM nn)
+             |           + 0.85 * (coalesce(c.contrib, 0)
+             |             + (SELECT dm FROM d3) / (SELECT n FROM nn))
+             |           AS rank
+             |       FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+             |SELECT node,
+             |  floor(rank * 1000000 + 0.5) / 1000000 AS rank
+             |FROM r3 ORDER BY node""".stripMargin)),
+
+    // Anchor-text aggregation (l63) — the link-graph text signal: each
+    // doc links TWICE to its modular hub page (once with a planted
+    // anchor, once with an EMPTY anchor that counts as a link but is
+    // dropped from the anchor set), so each of the 7 hubs aggregates
+    // ~N/7 sources, 2 links per source, and a distinct-anchor set that
+    // is a doc_id-derived subset of {Hub 0, Hub 1, Hub 2}. End-to-end
+    // through extractOutlinks -> anchorText; oracle from arithmetic.
+    "l63_anchor_text" -> QuerySpec(
+      (s, dir) => {
+        val id = col("doc_id")
+        val html = concat(
+          lit("<a href=\"https://hub.example/p"), id % 7,
+          lit("\">Hub "), id % 3, lit("</a>"),
+          lit("<a href=\"https://hub.example/p"), id % 7,
+          lit("\"></a>"))
+        val pages = Tables(s, dir, "documents").select(
+          concat(lit("https://s"), id, lit(".example/")).as("url"),
+          html.as("html"))
+        WebGraph.anchorText(TextAnalysis.extractOutlinks(pages))
+          .select(col("dst_url"), col("n_links"), col("n_sources"),
+            array_join(col("anchors"), "|").as("anchors"))
+          .orderBy(col("dst_url"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id % 7 AS k, doc_id % 3 AS a
+             |  FROM documents),
+             |g AS (SELECT k, COUNT(*) AS cnt FROM d GROUP BY k),
+             |an AS (SELECT DISTINCT k, 'Hub ' || a AS anchor FROM d),
+             |al AS (SELECT k, string_agg(anchor, '|' ORDER BY anchor)
+             |       AS anchors FROM an GROUP BY k)
+             |SELECT 'https://hub.example/p' || g.k AS dst_url,
+             |  2 * g.cnt AS n_links, g.cnt AS n_sources, al.anchors
+             |FROM g JOIN al ON g.k = al.k
+             |ORDER BY dst_url""".stripMargin)),
 
     // Robots-exclusion evaluation (l54) — the crawl-side gate between
     // frontier and fetch, RFC 9309 semantics: per-host robots.txt

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, WebGraph}
 
 /** Semantic tests for the LLM-pipeline operators: controlled synthetic
   * inputs with known ground truth, plus recall measurements of the
@@ -1981,6 +1981,84 @@ class OperatorSpec extends AnyFunSuite {
     // so the tab-only line is a non-empty "line" — stated, not hidden
     assert(out(7L) == ((1L, 1L, "\t")))
     assert(out(8L) == ((0L, 0L, "")))
+  }
+
+  test("htmlLinks/extractOutlinks: href forms resolve against the page " +
+      "url, quote-aware attrs, script decoys skipped, entity-decoded " +
+      "hrefs, non-navigational schemes filtered, document-order idx") {
+    val html =
+      """<html><head><script>var a = '<a href="http://no.example/x">';
+        |</script><style>a:after{content:"<a href=/no>"}</style></head>
+        |<body><p>intro</p>
+        |<a href="https://abs.example/a?x=1&amp;y=2">Abs <b>Link</b></a>
+        |<a href='//cdn.example/c.js'>proto rel</a>
+        |<a href=/rootrel/r title="size>10">root rel</a>
+        |<a href="sub/p2.html">rel <i>child</i></a>
+        |<a href="#frag">skip frag</a>
+        |<a href="MAILTO:x@y.z">skip mail</a>
+        |<a href="javascript:void(0)">skip js</a>
+        |<a name="anchor">no href, inner scanned:
+        |  <a href="inner.html">inner</a></a>
+        |</body></html>""".stripMargin.replace("\n", " ")
+    val pages = Seq(("https://host.example/dir/page.html", html))
+      .toDF("url", "html")
+    val out = TextAnalysis.extractOutlinks(pages).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, "https://abs.example/a?x=1&y=2", "abs.example", "Abs Link"),
+      (1L, "https://cdn.example/c.js", "cdn.example", "proto rel"),
+      (2L, "https://host.example/rootrel/r", "host.example", "root rel"),
+      (3L, "https://host.example/dir/sub/p2.html", "host.example",
+        "rel child"),
+      // idx 4,5,6 were the filtered fragment/mailto/javascript links;
+      // idx 7 is the nested link under the href-LESS anchor (its inner
+      // content scans normally)
+      (7L, "https://host.example/dir/inner.html", "host.example",
+        "inner")), s"got ${out.toSeq}")
+    // unterminated anchor swallows to end-of-input, tolerant
+    val tail = TextAnalysis.extractOutlinks(Seq(
+        ("https://h.example/", "<a href=\"x.html\">dangling <b>tail"))
+      .toDF("url", "html")).collect()
+    assert(tail.length == 1 && tail(0).getString(4) == "dangling tail")
+  }
+
+  test("pageRank: hand-computed single iteration with a dangling node; " +
+      "ranks sum to 1 after many iterations; parallel edges collapse") {
+    // A -> B, B -> C (twice — must count once), C dangling
+    val edges = Seq(("A", "B"), ("B", "C"), ("B", "C")).toDF("src", "dst")
+    val r1 = WebGraph.pageRank(edges, iterations = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // N=3, D=1/3: A = .05 + .85/9; B = C = .05 + .85*(1/3 + 1/9)
+    assert(math.abs(r1("A") - 0.14444444444) < 1e-9, s"$r1")
+    assert(math.abs(r1("B") - 0.42777777777) < 1e-9, s"$r1")
+    assert(math.abs(r1("C") - 0.42777777777) < 1e-9, s"$r1")
+    val r10 = WebGraph.pageRank(edges, iterations = 10).collect()
+      .map(_.getDouble(1))
+    assert(math.abs(r10.sum - 1.0) < 1e-9,
+      s"rank mass must be conserved, got ${r10.sum}")
+    // a hub receiving from everyone outranks its spokes
+    val star = (1 to 20).map(i => (s"s$i", "hub")).toDF("src", "dst")
+    val rs = WebGraph.pageRank(star, iterations = 5).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rs("hub") > 10 * rs("s1"), s"$rs")
+  }
+
+  test("anchorText: per-target distinct anchors sorted, empty anchors " +
+      "dropped, link vs distinct-source counts") {
+    val links = Seq(
+      ("p1", 0L, "https://t.example/a", "t.example", "Click"),
+      ("p1", 1L, "https://t.example/a", "t.example", "Click"),
+      ("p2", 0L, "https://t.example/a", "t.example", "About us"),
+      ("p2", 1L, "https://t.example/b", "t.example", ""),
+      ("p3", 0L, "https://t.example/a", "t.example", "Click")
+    ).toDF("src_url", "link_idx", "dst_url", "dst_host", "anchor")
+    val out = WebGraph.anchorText(links).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getSeq[String](3).toList))).toMap
+    assert(out("https://t.example/a") ==
+      ((4L, 3L, List("About us", "Click"))))
+    assert(out("https://t.example/b") == ((1L, 1L, Nil)))
   }
 
   test("dsirSelect: target-vocabulary docs outrank distractors; an " +

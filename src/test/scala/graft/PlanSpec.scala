@@ -872,4 +872,68 @@ class PlanSpec extends AnyFunSuite {
       s"expected broadcast joins over the sketch relation:\n" +
         plan.take(2500))
   }
+
+  test("l61: outlink extraction is one zero-exchange codegen'd " +
+      "extract+explode+resolve stage") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val pages = spark.range(200).select(
+      concat(lit("https://h"), col("id"), lit(".example/d/p.html"))
+        .as("url"),
+      concat(lit("<a href=\"/x/"), col("id"), lit("\">L</a>"))
+        .as("html"))
+    val plan = graft.operators.TextAnalysis.extractOutlinks(pages)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"extractOutlinks must not shuffle:\n${plan.take(2500)}")
+    assert(plan.contains("*("),
+      s"extractOutlinks fell out of codegen:\n${plan.take(2500)}")
+    assert(plan.contains("html_links"),
+      s"native kernel missing from plan:\n${plan.take(2500)}")
+  }
+
+  test("l62: a PageRank step broadcasts the scalar (N, dangling-mass) " +
+      "relations and partial-aggregates the contribution sum — hub " +
+      "in-degree skew dies in map-side combine") {
+    import org.apache.spark.sql.functions.{col, concat, count, lit}
+    val e = spark.range(2000).select(
+        concat(lit("n"), col("id")).as("src"),
+        concat(lit("n"), col("id") % 7).as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val nFrame = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    val outdeg = e.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+    val ranks = nodes.select(col("node"), lit(0.5).as("rank"))
+      .localCheckpoint()
+    val plan = graft.operators.WebGraph
+      .pageRankStep(e, nodes, outdeg, nFrame, ranks, 0.85)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"scalar relations must broadcast:\n${plan.take(2500)}")
+    assert(plan.contains("partial"),
+      s"contribution sum must partial-aggregate:\n${plan.take(2500)}")
+  }
+
+  test("l63: anchor aggregation shuffles on dst_url only — the " +
+      "count-distinct expands to a two-phase partial aggregate, " +
+      "never a per-source repartition") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val links = spark.range(2000).select(
+      concat(lit("https://s"), col("id"), lit(".example/")).as("src_url"),
+      col("id").as("link_idx"),
+      concat(lit("https://hub.example/p"), col("id") % 7).as("dst_url"),
+      lit("hub.example").as("dst_host"),
+      concat(lit("A"), col("id") % 3).as("anchor"))
+    val plan = graft.operators.WebGraph.anchorText(links)
+      .queryExecution.executedPlan.toString
+    val hashEx = plan.split("Exchange hashpartitioning").length - 1
+    assert(hashEx <= 2,
+      s"expected at most the two count-distinct phases, got $hashEx:\n" +
+        plan.take(2500))
+    assert(plan.contains("partial"),
+      s"aggregates must partial-combine:\n${plan.take(2500)}")
+  }
 }
