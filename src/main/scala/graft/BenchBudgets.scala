@@ -95,6 +95,12 @@ object BenchBudgets {
     "l57_kmv_intersect" -> 0.7584,
     "l58_redirect_resolve" -> 1.1015,
     "l59_sitemap_discovery" -> 0.1161,
+    // l60–l63 pinned from target/bench_r13_idle5.json (143 entries,
+    // cal 0.5607, zero flags/spikes/errors)
+    "l60_line_dedup" -> 0.1371,
+    "l61_outlinks" -> 0.1464,
+    "l62_pagerank" -> 0.9947,
+    "l63_anchor_text" -> 0.1930,
     "m01_media_features" -> 0.2213,
     "m02_frame_sample" -> 0.0812,
     "m03_media_resize" -> 0.0926,

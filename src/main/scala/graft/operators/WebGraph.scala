@@ -98,6 +98,101 @@ object WebGraph {
             col("dangling_mass") / col("n_nodes"))).as("rank"))
   }
 
+  /** Neighborhood function / ball sizes by KMV sketch — HyperBall
+    * (Boldi & Vigna, "In-Core Computation of Geometric Centralities
+    * with HyperBall", 2013) with k-minimum-values sketches in place of
+    * HyperLogLog counters: for every node v and radius r ≤ `radius`,
+    * an estimate of |B(v,r)| = |{w : dist(v→w) ≤ r}| — the statistic
+    * behind reachability profiles, harmonic/closeness centrality, and
+    * "effective diameter" on graphs where an exact per-node BFS is
+    * impossible (a 100 TB web graph has ~10¹⁰ nodes; exact all-pairs
+    * ball sizes are quadratic, the sketch pass is |E|·k·radius).
+    *
+    * Recurrence: B(v,0) = {v}; B(v,r) = B(v,r−1) ∪ ⋃_{v→w} B(w,r−1).
+    * KMV sketches are UNION-MERGEABLE (the k smallest of the
+    * concatenation of two k-min lists IS the k-min list of the set
+    * union — the l55/l57-proven merge), so each iteration is:
+    *
+    *   - one `dst`-keyed equi-join (edge picks up its target's ≤ k
+    *     sketch rows — the build side is sketch-sized, ≤ k rows per
+    *     node, so dst-side in-degree skew is bounded by construction);
+    *   - a union with the node's own current rows;
+    *   - the per-node k smallest via a row_number window that Spark
+    *     pushes down as WindowGroupLimit (each map partition forwards
+    *     ≤ k rows per node before the shuffle — out-degree fan-in
+    *     collapses map-side, the l55 shape);
+    *   - `localCheckpoint`, so lineage stays flat per iteration (the
+    *     l38/l58/pageRank precedent).
+    *
+    * Estimator: the l55 KMV form — |B| ≈ (k−1)·M/h₍k₎ when the sketch
+    * is full, EXACT n_kept when |B| < k. Hashes are 60-bit md5
+    * prefixes of the node id, so the sketch itself is cross-engine:
+    * a SQL oracle re-derives every kth_min and estimate exactly from
+    * relationally-computed reachable sets — the estimates carry no
+    * engine-private randomness.
+    *
+    * Output: (node, radius, n_kept, kth_min, est_ball) for every node
+    * and every radius 0..`radius` (radius 0 rows are the exact
+    * singleton — they pin the hash convention).
+    */
+  def neighborhoodKmv(edges: DataFrame, radius: Int = 2, k: Int = 64,
+                      srcCol: String = "src",
+                      dstCol: String = "dst"): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val m = math.pow(2.0, 60) // 15 hex chars, the l55 hash space
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // radius-0 sketch: each node's own 60-bit md5-prefix hash
+    var sketch = nodes.select(col("node"),
+      conv(substring(md5(col("node")), 1, 15), 16, 10).cast("long")
+        .as("h")).localCheckpoint()
+    def stats(sk: DataFrame, r: Int): DataFrame =
+      sk.groupBy(col("node"))
+        .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_min"))
+        .select(col("node"), lit(r).as("radius"), col("n_kept"),
+          col("kth_min"),
+          TextAnalysis.quant(
+            when(col("n_kept") < k, col("n_kept").cast("double"))
+              .otherwise(lit((k - 1).toDouble) * lit(m) /
+                col("kth_min").cast("double")), 2).as("est_ball"))
+    var out = stats(sketch, 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("h"))
+    var r = 1
+    while (r <= radius) {
+      val viaEdges = e.join(sketch, e("dst") === sketch("node"))
+        .select(e("src").as("node"), col("h"))
+      sketch = sketch.unionByName(viaEdges).distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("node"), col("h"))
+        .localCheckpoint()
+      out = out.unionByName(stats(sketch, r))
+      r += 1
+    }
+    out
+  }
+
+  /** One sketch-growth iteration as a pure plan (package-visible so
+    * PlanSpec can pin the WindowGroupLimit pushdown and the join shape
+    * without peeling checkpoints).
+    */
+  private[graft] def neighborhoodStep(e: DataFrame, sketch: DataFrame,
+                                      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("h"))
+    sketch.unionByName(
+        e.join(sketch, e("dst") === sketch("node"))
+          .select(e("src").as("node"), col("h")))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("node"), col("h"))
+  }
+
   /** Anchor-text aggregation — the classic link-graph text signal
     * (anchor text describes the TARGET better than the target's own
     * page; every web-search stack and several pretraining corpora

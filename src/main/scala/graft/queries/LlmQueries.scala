@@ -2003,6 +2003,58 @@ object LlmQueries {
              |FROM g JOIN al ON g.k = al.k
              |ORDER BY dst_url""".stripMargin)),
 
+    // Graph neighborhood function (l64) — HyperBall with KMV sketches:
+    // per-node ball-size estimates at radius 0/1/2 over an arithmetic
+    // graph (each doc a chain edge n{i} → n{(7i+3)%101}, plus a 'root'
+    // star onto n{i%50} whose 1-ball exceeds k=16, exercising the
+    // (k−1)·M/h₍k₎ estimator path; typical chain nodes stay under k —
+    // the exact path). Spark grows per-node sketches by r iterated
+    // union-merges; the oracle computes the EXACT reachable sets
+    // relationally (B₁ = self ∪ edges, B₂ = B₁ ∪ e⋈e) and re-derives
+    // every k-th order statistic and estimate from md5 arithmetic —
+    // two genuinely different computations, one exact answer, proving
+    // the sketch-merge identity end-to-end (the l55/l57 convention).
+    "l64_graph_balls" -> QuerySpec(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").select(col("doc_id"))
+        val chain = d.select(concat(lit("n"), col("doc_id")).as("src"),
+          concat(lit("n"), (col("doc_id") * 7 + 3) % 101).as("dst"))
+        val star = d.select(lit("root").as("src"),
+          concat(lit("n"), col("doc_id") % 50).as("dst"))
+        WebGraph.neighborhoodKmv(chain.unionByName(star),
+            radius = 2, k = 16)
+          .orderBy(col("node"), col("radius"))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents),
+             |e AS (
+             |  SELECT DISTINCT src, dst FROM (
+             |    SELECT 'n' || doc_id AS src,
+             |      'n' || ((doc_id * 7 + 3) % 101) AS dst FROM d
+             |    UNION ALL
+             |    SELECT 'root', 'n' || (doc_id % 50) FROM d)),
+             |nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+             |b0 AS (SELECT v, v AS w FROM nodes),
+             |b1 AS (SELECT v, w FROM b0 UNION SELECT src, dst FROM e),
+             |b2 AS (SELECT v, w FROM b1 UNION
+             |       SELECT a.src, b.dst FROM e a JOIN e b
+             |         ON a.dst = b.src),
+             |r AS (SELECT v, 0 AS radius, w FROM b0
+             |      UNION ALL SELECT v, 1, w FROM b1
+             |      UNION ALL SELECT v, 2, w FROM b2),
+             |h AS (SELECT v, radius,
+             |    ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM r),
+             |rk AS (SELECT v, radius, h, row_number() OVER (
+             |    PARTITION BY v, radius ORDER BY h) AS rn FROM h),
+             |st AS (SELECT v, radius, COUNT(*) AS n_kept,
+             |    MAX(h) AS kth_min
+             |  FROM rk WHERE rn <= 16 GROUP BY v, radius)
+             |SELECT v AS node, radius, n_kept, kth_min,
+             |  floor(CASE WHEN n_kept < 16 THEN CAST(n_kept AS DOUBLE)
+             |      ELSE 15.0 * 1152921504606846976.0
+             |           / CAST(kth_min AS DOUBLE) END
+             |    * 100.0 + 0.5) / 100.0 AS est_ball
+             |FROM st ORDER BY node, radius""".stripMargin)),
+
     // Robots-exclusion evaluation (l54) — the crawl-side gate between
     // frontier and fetch, RFC 9309 semantics: per-host robots.txt
     // bodies (planted: a Disallow-with-longer-Allow-override host, a
@@ -2327,6 +2379,53 @@ object LlmQueries {
              |    AS http_status,
              |  '' AS content_encoding,
              |  octet_length(encode(body))::BIGINT AS n_bytes,
+             |  md5(body) AS digest
+             |FROM p ORDER BY url""".stripMargin)),
+
+    // Charset sniffing (l65) — the WHATWG resolution ladder over a
+    // fixture with one response class per rung (doc_id % 4): a
+    // UTF-16LE BOM that must OVERRIDE a lying iso-8859-1 header, a
+    // header-declared latin-1 body, a header-silent page whose charset
+    // lives in a <meta http-equiv> inside the 1024-byte prescan window
+    // (cp1252 curly quotes — mojibake under the UTF-8 default), and an
+    // undeclared page falling through to UTF-8. Every body carries a
+    // non-ASCII byte whose round-trip the md5 digest pins; the oracle
+    // reconstructs each decoded page from documents arithmetic and
+    // chr() literals and re-derives charset label, decoded-octet
+    // count, and digest — a wrong rung anywhere flips all three.
+    "l65_charset_sniff" -> QuerySpec(
+      (s, dir) => {
+        val base = ensureCharsetFixture(s, dir)
+        graft.sources.Warc.readResponses(s, base)
+          .select(col("url"), col("charset"), col("n_bytes"),
+            md5(col("body")).as("digest"))
+          .orderBy(col("url"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS c
+             |  FROM documents),
+             |p AS (SELECT doc_id, c,
+             |  CASE c
+             |    WHEN 0 THEN '<html><body>U16 doc ' || doc_id
+             |      || ' caf' || chr(233) || '</body></html>'
+             |    WHEN 1 THEN '<html><body>L1 doc ' || doc_id
+             |      || ' caf' || chr(233) || '</body></html>'
+             |    WHEN 2 THEN '<html><head><meta http-equiv='
+             |      || '"Content-Type" content="text/html; '
+             |      || 'charset=windows-1252"></head><body>W pq '
+             |      || doc_id || ' ' || chr(8220) || 'q' || chr(8221)
+             |      || '</body></html>'
+             |    ELSE '<html><body>U8 doc ' || doc_id
+             |      || ' caf' || chr(233) || '</body></html>'
+             |  END AS body
+             |  FROM d)
+             |SELECT 'https://cs' || c || '.example/d/' || doc_id AS url,
+             |  CASE c WHEN 0 THEN 'UTF-16LE' WHEN 1 THEN 'iso-8859-1'
+             |         WHEN 2 THEN 'windows-1252' ELSE 'UTF-8' END
+             |    AS charset,
+             |  (CASE c WHEN 0 THEN 2 + 2 * length(body)
+             |          WHEN 3 THEN octet_length(encode(body))
+             |          ELSE length(body) END)::BIGINT AS n_bytes,
              |  md5(body) AS digest
              |FROM p ORDER BY url""".stripMargin)),
 
@@ -3446,6 +3545,76 @@ object LlmQueries {
       "Content-Type: text/html; charset=utf-8\r\n" +
       headers +
       "Server: graft-fixture\r\n\r\n").getBytes("ISO-8859-1")
+    val msg = new Array[Byte](head.length + body.length)
+    System.arraycopy(head, 0, msg, 0, head.length)
+    System.arraycopy(body, 0, msg, head.length, body.length)
+    msg
+  }
+
+  /** l65's WARC fixture: response records exercising the WHATWG charset
+    * resolution ladder, one rung per doc_id % 4 —
+    *   - 0: UTF-16LE body behind a UTF-16LE BOM **with a LYING header**
+    *     (`charset=iso-8859-1`) — the BOM must win or the body decodes
+    *     to mojibake;
+    *   - 1: header-declared iso-8859-1 with a latin-1-only é byte;
+    *   - 2: NO header charset, `<meta http-equiv=content-type …
+    *     charset=windows-1252>` inside the prescan window, cp1252 curly
+    *     quotes (0x93/0x94 — mojibake under the UTF-8 default);
+    *   - 3: no declaration anywhere → the UTF-8 default.
+    * Write-once per sf dir, drift-keyed (the st13 convention).
+    */
+  private[queries] def ensureCharsetFixture(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    crawlFixLock.synchronized {
+      val key = docsDriftKey(dir)
+      val base = new java.io.File(
+        s"target/charsetfix/${new java.io.File(dir).getName}-$key-v1")
+      val done = new java.io.File(base, "_DONE")
+      if (!done.exists()) {
+        if (base.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(base)
+        import s.implicits._
+        val rows = Tables(s, dir, "documents").select(col("doc_id"))
+          .as[Long]
+          .map { id =>
+            (s"https://cs${id % 4}.example/d/$id",
+              "2026-01-01T00:00:00Z", buildCharsetMessage(id)) }
+          .toDF("url", "warc_date", "payload")
+        graft.sources.Warc.writeRecords(rows.repartition(4),
+          base.toString, recType = "response",
+          contentType = "application/http; msgtype=response")
+        done.createNewFile()
+      }
+      base.toString
+    }
+
+  /** One l65 fixture message (see [[ensureCharsetFixture]] for the
+    * doc_id % 4 ladder). Encoding is the inverse of the reader's
+    * resolution under test; the DuckDB oracle re-derives the DECODED
+    * text from documents.parquet arithmetic, so an encode/decode bug
+    * cannot cancel out (the l56 stance).
+    */
+  private def buildCharsetMessage(id: Long): Array[Byte] = {
+    val c = (id % 4).toInt
+    val (ctype, body): (String, Array[Byte]) = c match {
+      case 0 =>
+        val page = s"<html><body>U16 doc $id caf\u00e9</body></html>"
+        ("text/html; charset=iso-8859-1", // the BOM must override this
+          Array(0xFF.toByte, 0xFE.toByte) ++ page.getBytes("UTF-16LE"))
+      case 1 =>
+        val page = s"<html><body>L1 doc $id caf\u00e9</body></html>"
+        ("text/html; charset=iso-8859-1", page.getBytes("ISO-8859-1"))
+      case 2 =>
+        val page = "<html><head><meta http-equiv=\"Content-Type\" " +
+          "content=\"text/html; charset=windows-1252\"></head>" +
+          s"<body>W pq $id \u201cq\u201d</body></html>"
+        ("text/html", page.getBytes("windows-1252"))
+      case _ =>
+        val page = s"<html><body>U8 doc $id caf\u00e9</body></html>"
+        ("text/html", page.getBytes("UTF-8"))
+    }
+    val head = ("HTTP/1.1 200 OK\r\nContent-Type: " + ctype +
+      "\r\nServer: graft-fixture\r\n\r\n").getBytes("ISO-8859-1")
     val msg = new Array[Byte](head.length + body.length)
     System.arraycopy(head, 0, msg, 0, head.length)
     System.arraycopy(body, 0, msg, head.length, body.length)

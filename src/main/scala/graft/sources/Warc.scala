@@ -376,9 +376,18 @@ object Warc {
     *     `content_encoding` (empty = fully decoded) so a funnel can
     *     gate on it, and the body passes through as latin-1-preserved
     *     octets.
-    *  3. charset decode by the Content-Type `charset` parameter when
-    *     present and JVM-supported, else UTF-8 (the WHATWG default for
-    *     the web corpus this feeds).
+    *  3. charset decode with WHATWG-encoding-standard precedence —
+    *     the order every browser and crawl pipeline implements:
+    *     a byte-order mark on the decoded body wins over everything
+    *     (UTF-8 / UTF-16LE / UTF-16BE, consumed — §6.2 "the BOM is
+    *     more authoritative than anything else"); else the
+    *     Content-Type `charset` parameter when present and
+    *     JVM-supported; else an html `<meta charset=…>` /
+    *     `<meta http-equiv=content-type …>` declaration inside the
+    *     first 1024 body bytes (the standard's prescan window — real
+    *     servers very often send `text/html` with no header charset
+    *     and the page declares it inline); else UTF-8 (the WHATWG
+    *     default for the web corpus this feeds).
     *
     * CORRUPT framing (truncated chunk, bad chunk-size line, corrupt
     * gzip stream) fails loudly — that is data corruption, distinct from
@@ -426,11 +435,6 @@ object Warc {
     val contentType = httpHeaders.getOrElse("content-type", "")
     val declared = CharsetParam.findFirstMatchIn(contentType)
       .map(_.group(1).stripPrefix("\"").stripSuffix("\""))
-    val charset = declared.filter(cs =>
-      try java.nio.charset.Charset.isSupported(cs)
-      catch { case _: java.nio.charset.IllegalCharsetNameException =>
-        false })
-      .getOrElse("UTF-8")
     val ctx = s"${r.file}: response for '${r.url}'"
     // 1. transfer de-framing — "chunked" is only valid as the FINAL
     // transfer coding (RFC 9112 §6.1)
@@ -465,15 +469,28 @@ object Warc {
         decoded = inflate(decoded, ctx); residual = residual.init
       case _ => continue = false // unsupported (e.g. br): surface, keep bytes
     }
+    // WHATWG precedence: BOM > Content-Type header > meta prescan >
+    // UTF-8. Sniffing runs on the CODING-DECODED bytes (a gzipped page
+    // carries its BOM/meta inside the compressed stream).
+    val bom = sniffBom(decoded)
+    val effCharset = bom.map(_._1)
+      .orElse(declared.filter(cs =>
+        try java.nio.charset.Charset.isSupported(cs)
+        catch { case _: java.nio.charset.IllegalCharsetNameException =>
+          false }))
+      .orElse(sniffMetaCharset(decoded))
+      .getOrElse("UTF-8")
+    val bomLen = bom.map(_._2).getOrElse(0)
     val bodyText =
-      if (residual.isEmpty) new String(decoded, charset)
+      if (residual.isEmpty)
+        new String(decoded, bomLen, decoded.length - bomLen, effCharset)
       // undecodable coding: latin-1 preserves the octets losslessly so
       // a downstream stage holding the missing codec can recover them
       else new String(decoded, "ISO-8859-1")
     HttpRecord(
       file = r.file, url = r.url, warc_date = r.warc_date,
       http_status = code, http_content_type = contentType,
-      charset = if (residual.isEmpty) charset else "ISO-8859-1",
+      charset = if (residual.isEmpty) effCharset else "ISO-8859-1",
       content_encoding = residual.mkString(","),
       location = httpHeaders.getOrElse("location", ""),
       warc_truncated = r.truncated,
@@ -551,6 +568,39 @@ object Warc {
     out.toByteArray
   }
 
+  /** Byte-order-mark sniff (WHATWG encoding §6.2 — the BOM outranks
+    * every other charset source): (charset, bom-byte-count), or None.
+    * UTF-8 EF BB BF; UTF-16LE FF FE; UTF-16BE FE FF. The BOM is
+    * CONSUMED (the standard's behavior; leaving it in would prepend
+    * U+FEFF to every downstream tokenization).
+    */
+  private[graft] def sniffBom(b: Array[Byte]): Option[(String, Int)] =
+    if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte &&
+        b(2) == 0xBF.toByte) Some(("UTF-8", 3))
+    else if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte)
+      Some(("UTF-16LE", 2))
+    else if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte)
+      Some(("UTF-16BE", 2))
+    else None
+
+  /** html meta-declaration prescan (WHATWG encoding §6.3 shape, the
+    * 1024-byte window): the first `<meta charset=…>` or
+    * `<meta http-equiv=content-type content="…charset=…">` whose value
+    * names a JVM-supported charset. The window is scanned as latin-1 —
+    * ASCII-compatible supersets (everything the prescan is FOR) render
+    * the markup identically, and a UTF-16 page never reaches here (its
+    * BOM already decided above).
+    */
+  private[graft] def sniffMetaCharset(b: Array[Byte]): Option[String] = {
+    val window = new String(b, 0, math.min(1024, b.length), "ISO-8859-1")
+    MetaCharset.findFirstMatchIn(window)
+      .map(_.group(1).trim)
+      .filter(cs => cs.nonEmpty && (
+        try java.nio.charset.Charset.isSupported(cs)
+        catch { case _: java.nio.charset.IllegalCharsetNameException =>
+          false }))
+  }
+
   /** Inflate one complete gzip stream (multi-member tolerated — the
     * WARC member framing precedent); corrupt data fails loudly.
     */
@@ -600,6 +650,14 @@ object Warc {
 
   private val CharsetParam =
     "(?i)charset\\s*=\\s*(\"[^\"]+\"|[^;,\\s]+)".r
+
+  /** `charset=` inside any `<meta …>` tag — matches both the html5
+    * `<meta charset=…>` form and the legacy
+    * `<meta http-equiv=content-type content="…; charset=…">` form (the
+    * parameter string appears verbatim inside the content attribute).
+    */
+  private val MetaCharset =
+    "(?i)<meta[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9._:\\-]+)".r
 
   /** One CRLF- (or LF-) terminated line as a string without the
     * terminator; null at EOF before any byte.

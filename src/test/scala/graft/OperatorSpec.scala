@@ -2061,6 +2061,47 @@ class OperatorSpec extends AnyFunSuite {
     assert(out("https://t.example/b") == ((1L, 1L, Nil)))
   }
 
+  test("neighborhoodKmv: with k above every ball size the sketch IS the " +
+      "exact ball (est_ball = |B(v,r)| for every node and radius); with " +
+      "a tiny k the kept hashes are provably the k smallest md5 prefixes " +
+      "of the exact ball and the estimate follows the (k-1)*M/h_k form") {
+    // a -> b -> c -> d plus the shortcut a -> c: radius-2 balls differ
+    // by node, and a's 2-ball {a,b,c,d} exercises the shortcut merge
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"))
+      .toDF("src", "dst")
+    val exact = WebGraph.neighborhoodKmv(edges, radius = 2, k = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(4)))).toMap
+    val balls = Map(
+      ("a", 0) -> 1, ("a", 1) -> 3, ("a", 2) -> 4, // a,b,c then +d
+      ("b", 0) -> 1, ("b", 1) -> 2, ("b", 2) -> 3,
+      ("c", 0) -> 1, ("c", 1) -> 2, ("c", 2) -> 2,
+      ("d", 0) -> 1, ("d", 1) -> 1, ("d", 2) -> 1)
+    balls.foreach { case (key, n) =>
+      assert(exact(key) == ((n.toLong, n.toDouble)),
+        s"$key: got ${exact(key)}, want exact ball $n")
+    }
+    // truncation: hub -> s1..s9, k=4 — the radius-1 sketch must keep
+    // exactly the 4 smallest 60-bit md5 prefixes of the exact ball
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val star = (1 to 9).map(i => ("hub", s"s$i")).toDF("src", "dst")
+    val got = WebGraph.neighborhoodKmv(star, radius = 1, k = 4)
+      .filter(col("node") === "hub" && col("radius") === 1)
+      .collect()(0)
+    val kth = ("hub" +: (1 to 9).map(i => s"s$i")).map(h60)
+      .sorted.apply(3) // 4th smallest
+    assert(got.getLong(2) == 4L && got.getLong(3) == kth,
+      s"kth_min ${got.getLong(3)} want $kth")
+    val est = math.floor(3.0 * math.pow(2.0, 60) / kth * 100.0 + 0.5) / 100.0
+    assert(got.getDouble(4) == est, s"est ${got.getDouble(4)} want $est")
+  }
+
   test("dsirSelect: target-vocabulary docs outrank distractors; an " +
       "UNLABELED doc in the target vocabulary is selected (the point " +
       "of DSIR — selection generalizes beyond the labels); on the " +

@@ -936,4 +936,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial"),
       s"aggregates must partial-combine:\n${plan.take(2500)}")
   }
+
+  test("l64: a neighborhood sketch-growth iteration pushes the per-node " +
+      "k-min as WindowGroupLimit (each map partition forwards at most k " +
+      "rows per node into the exchange) and joins sketch rows by dst " +
+      "equi-join — never a cross product") {
+    import org.apache.spark.sql.functions.{col, concat}
+    val e = spark.range(2000).select(
+        concat(org.apache.spark.sql.functions.lit("n"), col("id"))
+          .as("src"),
+        concat(org.apache.spark.sql.functions.lit("n"), col("id") % 101)
+          .as("dst"))
+      .localCheckpoint()
+    val sketch = spark.range(500).select(
+      concat(org.apache.spark.sql.functions.lit("n"), col("id"))
+        .as("node"),
+      (col("id") * 2654435761L).as("h")).localCheckpoint()
+    val plan = graft.operators.WebGraph.neighborhoodStep(e, sketch, 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-node k-min must push into map partitions:\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"sketch growth must stay an equi-join:\n${plan.take(2500)}")
+  }
 }

@@ -597,6 +597,61 @@ class WarcSpec extends AnyFunSuite {
     assert(teBr.content_encoding == "br" && teBr.charset == "ISO-8859-1")
   }
 
+  test("splitHttp charset resolution is the WHATWG ladder: BOM over " +
+      "header over meta prescan over UTF-8 default; the BOM is " +
+      "consumed; the prescan stops at 1024 bytes; sniffing runs on " +
+      "CODING-DECODED bytes") {
+    def raw(ctype: String, body: Array[Byte],
+            extra: String = ""): Warc.RawRecord = httpRec(
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n$extra\r\n")
+        .getBytes("ISO-8859-1") ++ body)
+    val text = "bom body café"
+    // UTF-16LE BOM beats a LYING latin-1 header, and is consumed
+    val u16 = Warc.splitHttp(raw("text/html; charset=iso-8859-1",
+      Array(0xFF.toByte, 0xFE.toByte) ++ text.getBytes("UTF-16LE")))
+    assert(u16.charset == "UTF-16LE" && u16.body == text, u16.body)
+    // UTF-8 BOM likewise consumed (no U+FEFF prefix survives)
+    val u8 = Warc.splitHttp(raw("text/html",
+      Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+        text.getBytes("UTF-8")))
+    assert(u8.charset == "UTF-8" && u8.body == text, u8.body)
+    // UTF-16BE BOM
+    val be = Warc.splitHttp(raw("text/html",
+      Array(0xFE.toByte, 0xFF.toByte) ++ text.getBytes("UTF-16BE")))
+    assert(be.charset == "UTF-16BE" && be.body == text)
+    // header (when present and supported) beats meta
+    val hdrWins = Warc.splitHttp(raw("text/html; charset=utf-8",
+      "<meta charset=\"iso-8859-1\"><p>café</p>".getBytes("UTF-8")))
+    assert(hdrWins.charset == "utf-8" && hdrWins.body.contains("café"))
+    // html5 meta form, unquoted value, cp1252 round-trip
+    val m1 = Warc.splitHttp(raw("text/html",
+      "<meta charset=windows-1252><p>“q”</p>"
+        .getBytes("windows-1252")))
+    assert(m1.charset == "windows-1252" && m1.body.contains("“q”"))
+    // legacy http-equiv form, single-quoted
+    val m2 = Warc.splitHttp(raw("text/html",
+      ("<meta http-equiv='Content-Type' content='text/html; " +
+        "charset=iso-8859-1'><p>café</p>").getBytes("ISO-8859-1")))
+    assert(m2.charset == "iso-8859-1" && m2.body.contains("café"))
+    // meta OUTSIDE the 1024-byte prescan window is ignored -> UTF-8
+    val far = ("<html>" + ("x" * 1100) +
+      "<meta charset=iso-8859-1><p>tail</p>").getBytes("UTF-8")
+    assert(Warc.splitHttp(raw("text/html", far)).charset == "UTF-8")
+    // unsupported meta charset name falls through to the default
+    assert(Warc.splitHttp(raw("text/html",
+      "<meta charset=not-a-charset><p>x</p>".getBytes("UTF-8")))
+      .charset == "UTF-8")
+    // sniffing happens AFTER content decoding: gzipped page, meta inside
+    val gz = Warc.splitHttp(raw("text/html",
+      gzBytes("<meta charset=windows-1252><p>“q”</p>"
+        .getBytes("windows-1252")),
+      extra = "Content-Encoding: gzip\r\n"))
+    assert(gz.charset == "windows-1252" && gz.body.contains("“q”"))
+    // no BOM, no header, no meta -> UTF-8 default
+    assert(Warc.splitHttp(raw("text/html",
+      "plain café".getBytes("UTF-8"))).charset == "UTF-8")
+  }
+
   test("splitHttp fails LOUDLY (with file/url context) on corrupt " +
       "framing: truncated chunk, bad size line, corrupt gzip, " +
       "oversized chunk total, non-ASCII status digits") {
