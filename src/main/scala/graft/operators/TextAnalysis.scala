@@ -1625,22 +1625,32 @@ object TextAnalysis {
     * Rules are (allow, path-pattern) — patterns pass through verbatim,
     * including `*`/`$` wildcards, which [[robotsFilter]] evaluates via
     * the native RFC 9309 §2.2.3 matcher; empty-value `Disallow:` (the
-    * allow-all idiom) contributes nothing. Crawl-delay and other
-    * non-rule directives are skipped (documented subset). Plain Scala
-    * so the typed flatMap ships it straight to executors and the spec
-    * tests it directly.
+    * allow-all idiom) contributes nothing. Crawl-delay lives on the
+    * same groups and is read by [[robotsCrawlDelay]]; other non-rule
+    * directives are skipped. Plain Scala so the typed flatMap ships it
+    * straight to executors and the spec tests it directly.
     */
-  private[graft] def parseRobotsTxt(txt: String, agent: String)
-      : Seq[(Boolean, String)] = {
-    final case class Group(agents: List[String],
-                           rules: List[(Boolean, String)])
-    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+  private[graft] final case class RobotsGroup(
+      agents: List[String], rules: List[(Boolean, String)],
+      delays: List[Double])
+
+  /** The shared group parse behind [[parseRobotsTxt]] and
+    * [[robotsCrawlDelay]]: lines group under consecutive `User-agent:`
+    * headers; Allow/Disallow rules and Crawl-delay values collect per
+    * group; any other directive ends the agent-header run but stays
+    * inside the group (RFC 9309).
+    */
+  private[graft] def parseRobotsGroups(txt: String): Seq[RobotsGroup] = {
+    val groups = scala.collection.mutable.ArrayBuffer.empty[RobotsGroup]
     var curAgents = List.empty[String]
     var curRules = List.empty[(Boolean, String)]
+    var curDelays = List.empty[Double]
     var inAgents = false // consecutive User-agent lines share one group
     def flush(): Unit = {
-      if (curAgents.nonEmpty) groups += Group(curAgents, curRules.reverse)
-      curAgents = Nil; curRules = Nil
+      if (curAgents.nonEmpty)
+        groups += RobotsGroup(curAgents, curRules.reverse,
+          curDelays.reverse)
+      curAgents = Nil; curRules = Nil; curDelays = Nil
     }
     Option(txt).getOrElse("").split("\n", -1).foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -1657,18 +1667,35 @@ object TextAnalysis {
             inAgents = false
             if (value.nonEmpty)
               curRules = (key == "allow", value) :: curRules
+          case "crawl-delay" =>
+            inAgents = false
+            value.toDoubleOption
+              .filter(d => d >= 0 && java.lang.Double.isFinite(d))
+              .foreach(d => curDelays = d :: curDelays)
           case _ => inAgents = false // unknown directives end the
           // agent-header run but stay inside the group (RFC 9309)
         }
       }
     }
     flush()
+    groups.toSeq
+  }
+
+  /** The groups that apply to `agent`: any group naming the agent's
+    * product token exactly (case-insensitive) supersedes every `*`
+    * group.
+    */
+  private[graft] def selectRobotsGroups(groups: Seq[RobotsGroup],
+                                        agent: String): Seq[RobotsGroup] = {
     val a = agent.toLowerCase
     val specific = groups.filter(_.agents.contains(a))
-    val chosen = if (specific.nonEmpty) specific
-      else groups.filter(_.agents.contains("*"))
-    chosen.toSeq.flatMap(_.rules)
+    if (specific.nonEmpty) specific
+    else groups.filter(_.agents.contains("*"))
   }
+
+  private[graft] def parseRobotsTxt(txt: String, agent: String)
+      : Seq[(Boolean, String)] =
+    selectRobotsGroups(parseRobotsGroups(txt), agent).flatMap(_.rules)
 
   /** Robots-exclusion evaluation (RFC 9309) over a URL frame — the
     * crawl-side gate between frontier and fetch (and, for a corpus
@@ -1790,6 +1817,38 @@ object TextAnalysis {
       .when(loc.startsWith("/"), concat(origin, loc))
       .otherwise(concat(origin,
         when(baseDir === "", lit("/")).otherwise(baseDir), loc))
+  }
+
+  /** Crawl-delay extraction (the de-facto politeness directive — not
+    * in RFC 9309 but honored by most non-Google crawlers and present
+    * on a large fraction of real robots.txt): per host, the
+    * Crawl-delay that applies to `agent` under the SAME group
+    * selection as the Allow/Disallow rules (a group naming the agent
+    * supersedes `*` — the directive is group-scoped, unlike the
+    * global `Sitemap:`). When the selected groups carry several
+    * values the MAX wins — the conservative politeness reading (a
+    * crawler honoring the smaller value would violate the larger
+    * one). Non-numeric / negative / non-finite values are skipped.
+    * Hosts whose selected groups carry no delay produce NO row (the
+    * caller's frontier scheduler falls back to its own default).
+    *
+    * Output: (host, crawl_delay). Scale shape: typed flatMap over the
+    * crawl-metadata-sized robots frame, no shuffle — the result is the
+    * small side of whatever politeness join the scheduler does next.
+    */
+  def robotsCrawlDelay(robots: DataFrame, agent: String,
+                       domainCol: String = "domain",
+                       txtCol: String = "robots_txt"): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots
+      .select(lower(col(domainCol)).as("host"), col(txtCol))
+      .as[(String, String)]
+      .flatMap { case (host, txt) =>
+        val delays = selectRobotsGroups(parseRobotsGroups(txt), agent)
+          .flatMap(_.delays)
+        if (delays.isEmpty) None else Some((host, delays.max))
+      }.toDF("host", "crawl_delay")
   }
 
   /** Redirect-chain resolution over a crawl's response records — the

@@ -176,6 +176,41 @@ object WebGraph {
     out
   }
 
+  /** Harmonic centrality from [[neighborhoodKmv]] ball estimates —
+    * the statistic HyperBall exists to compute (Boldi & Vigna 2014
+    * use exactly this decomposition):
+    *
+    *   H(v) = Σ_{w≠v} 1/dist(v→w)
+    *        = Σ_{r≥1} (|B(v,r)| − |B(v,r−1)|)/r
+    *
+    * (each node first reached at distance r contributes 1/r). Takes
+    * the (node, radius, est_ball) frame and pivots the ≤ radius+1
+    * rows per node into columns via max-when conditional aggregation
+    * — ONE node-keyed aggregate, and the per-node sum is then a
+    * closed-form expression over the pivoted columns evaluated in a
+    * FIXED order (a double `sum()` over per-row terms would expose
+    * FP addition-order nondeterminism; the pivot keeps the arithmetic
+    * engine-reproducible, the l33 decimal-normalizer stance). Truncation
+    * at `radius` makes this the LOWER-bound estimate every finite
+    * HyperBall run reports; callers pick radius ≥ the effective
+    * diameter they care about.
+    *
+    * Output: (node, harmonic) — harmonic quantized to 1e-2 like the
+    * ball estimates it derives from.
+    */
+  def harmonicCentrality(balls: DataFrame, radius: Int): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    val aggs = (0 to radius).map(r =>
+      max(when(col("radius") === r, col("est_ball"))).as(s"b$r"))
+    val pivoted = balls.groupBy(col("node"))
+      .agg(aggs.head, aggs.tail: _*)
+    val h = (1 to radius)
+      .map(r => (col(s"b$r") - col(s"b${r - 1}")) / lit(r.toDouble))
+      .reduce(_ + _)
+    pivoted.select(col("node"),
+      TextAnalysis.quant(h, 2).as("harmonic"))
+  }
+
   /** One sketch-growth iteration as a pure plan (package-visible so
     * PlanSpec can pin the WindowGroupLimit pushdown and the join shape
     * without peeling checkpoints).

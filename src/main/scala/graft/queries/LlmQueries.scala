@@ -1838,6 +1838,49 @@ object LlmQueries {
              |    AS sitemap_url
              |FROM s ORDER BY host, sitemap_url""".stripMargin)),
 
+    // Crawl-delay extraction (l67) — the politeness directive, group
+    // selection + conservative-max semantics: per host the '*' group
+    // carries zero/one/two delay lines by doc_id arithmetic (two →
+    // max wins), a commented decoy must not parse, and on doc_id%7==2
+    // a graftbot-specific group (delay 0.5) SUPERSEDES the '*' group
+    // entirely. Hosts with no applicable delay emit no row. The
+    // oracle derives every (host, delay) from doc_id arithmetic alone.
+    "l67_crawl_delay" -> QuerySpec(
+      (s, dir) => {
+        val id = col("doc_id")
+        val body = concat(
+          lit("# robots for h"), id, lit("\nUser-agent: *\n"),
+          lit("Disallow: /private/\n"),
+          when(id % 3 === 0,
+            concat(lit("Crawl-delay: "), (id % 5).cast("int"),
+              lit("\n"))).otherwise(lit("")),
+          when(id % 11 === 1, lit("Crawl-delay: 7\n"))
+            .otherwise(lit("")),
+          lit("# Crawl-delay: 99\n"),
+          when(id % 7 === 2,
+            lit("User-agent: graftbot\nCrawl-delay: 0.5\n"))
+            .otherwise(lit("")))
+        val robots = Tables(s, dir, "documents").select(
+          concat(lit("h"), id, lit(".example")).as("domain"),
+          body.as("robots_txt"))
+        TextAnalysis.robotsCrawlDelay(robots, "GraftBot")
+          .orderBy(col("host"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(doc_id % 7 AS INT) = 2 AS spec,
+             |    CAST(doc_id % 3 AS INT) = 0 AS hasa,
+             |    CAST(doc_id % 11 AS INT) = 1 AS hasb,
+             |    CAST(doc_id % 5 AS INT) AS a
+             |  FROM documents)
+             |SELECT 'h' || doc_id || '.example' AS host,
+             |  CASE WHEN spec THEN 0.5
+             |       WHEN hasa AND hasb
+             |         THEN GREATEST(CAST(a AS DOUBLE), 7.0)
+             |       WHEN hasa THEN CAST(a AS DOUBLE)
+             |       ELSE 7.0 END AS crawl_delay
+             |FROM d WHERE spec OR hasa OR hasb
+             |ORDER BY host""".stripMargin)),
+
     // HTML outlink extraction (l61) — fetched pages → the link graph.
     // Per doc the planted page carries a script-decoy link (must NOT
     // extract), four href forms the resolver supports (absolute with an
@@ -2054,6 +2097,64 @@ object LlmQueries {
              |           / CAST(kth_min AS DOUBLE) END
              |    * 100.0 + 0.5) / 100.0 AS est_ball
              |FROM st ORDER BY node, radius""".stripMargin)),
+
+    // Harmonic centrality (l66) — HyperBall's payoff statistic, from
+    // the l64 sketches: H(v) = Σ_r (|B(v,r)|−|B(v,r−1)|)/r, truncated
+    // at radius 2 (the finite-run lower bound). Same arithmetic graph
+    // as l64; the oracle re-derives the EXACT ball sizes relationally,
+    // pushes them through the same KMV estimator, then the same
+    // fixed-order closed form — the sketch pipeline and the relational
+    // pipeline must agree to the last quantized digit.
+    "l66_harmonic_centrality" -> QuerySpec(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").select(col("doc_id"))
+        val chain = d.select(concat(lit("n"), col("doc_id")).as("src"),
+          concat(lit("n"), (col("doc_id") * 7 + 3) % 101).as("dst"))
+        val star = d.select(lit("root").as("src"),
+          concat(lit("n"), col("doc_id") % 50).as("dst"))
+        WebGraph.harmonicCentrality(
+            WebGraph.neighborhoodKmv(chain.unionByName(star),
+              radius = 2, k = 16), radius = 2)
+          .orderBy(col("node"))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents),
+             |e AS (
+             |  SELECT DISTINCT src, dst FROM (
+             |    SELECT 'n' || doc_id AS src,
+             |      'n' || ((doc_id * 7 + 3) % 101) AS dst FROM d
+             |    UNION ALL
+             |    SELECT 'root', 'n' || (doc_id % 50) FROM d)),
+             |nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+             |b0 AS (SELECT v, v AS w FROM nodes),
+             |b1 AS (SELECT v, w FROM b0 UNION SELECT src, dst FROM e),
+             |b2 AS (SELECT v, w FROM b1 UNION
+             |       SELECT a.src, b.dst FROM e a JOIN e b
+             |         ON a.dst = b.src),
+             |r AS (SELECT v, 0 AS radius, w FROM b0
+             |      UNION ALL SELECT v, 1, w FROM b1
+             |      UNION ALL SELECT v, 2, w FROM b2),
+             |h AS (SELECT v, radius,
+             |    ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM r),
+             |rk AS (SELECT v, radius, h, row_number() OVER (
+             |    PARTITION BY v, radius ORDER BY h) AS rn FROM h),
+             |st AS (SELECT v, radius, COUNT(*) AS n_kept,
+             |    MAX(h) AS kth_min
+             |  FROM rk WHERE rn <= 16 GROUP BY v, radius),
+             |eb AS (SELECT v, radius,
+             |    floor(CASE WHEN n_kept < 16 THEN CAST(n_kept AS DOUBLE)
+             |        ELSE 15.0 * 1152921504606846976.0
+             |             / CAST(kth_min AS DOUBLE) END
+             |      * 100.0 + 0.5) / 100.0 AS est_ball
+             |  FROM st),
+             |pv AS (SELECT v,
+             |    MAX(CASE WHEN radius = 0 THEN est_ball END) AS e0,
+             |    MAX(CASE WHEN radius = 1 THEN est_ball END) AS e1,
+             |    MAX(CASE WHEN radius = 2 THEN est_ball END) AS e2
+             |  FROM eb GROUP BY v)
+             |SELECT v AS node,
+             |  floor(((e1 - e0) / 1.0 + (e2 - e1) / 2.0)
+             |    * 100.0 + 0.5) / 100.0 AS harmonic
+             |FROM pv ORDER BY node""".stripMargin)),
 
     // Robots-exclusion evaluation (l54) — the crawl-side gate between
     // frontier and fetch, RFC 9309 semantics: per-host robots.txt

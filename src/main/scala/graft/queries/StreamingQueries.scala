@@ -337,6 +337,49 @@ object StreamingQueries {
       }, None,
       Some(dir => LlmQueries.lshCandSql(LlmQueries.l02GoldenName(dir)))),
 
+    // Streaming frontier discovery (st16) — the crawl loop's feedback
+    // edge: pages arrive as a stream, the l61 native outlink extractor
+    // runs STATELESSLY inside each micro-batch (zero-exchange codegen
+    // stage, streaming-legal by construction), and a stateful
+    // cross-batch dropDuplicates on dst_url emits each discovered URL
+    // exactly ONCE across the whole stream — the "new frontier" a
+    // fetcher would enqueue. Hub links (doc_id % 13) collide massively
+    // across documents, so the dedup state is doing real work; the
+    // per-doc unique link proves nothing true is dropped. The DISTINCT
+    // output set is arrival-order-invariant, so the DuckDB oracle
+    // re-derives it from doc_id arithmetic alone (the st03 stance).
+    "st16_frontier_stream" -> QuerySpec(
+      (s, dir) => {
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val id = col("doc_id")
+        val html = concat(
+          lit("<a href=\"https://hub.example/p"), id % 13,
+          lit("\">h</a><a href=\"/u/"), id, lit("\">u</a>"))
+        val pages = stream.select(
+          concat(lit("https://s"), id, lit(".example/x/")).as("url"),
+          html.as("html"))
+        val q = graft.operators.TextAnalysis.extractOutlinks(pages)
+          .select(col("dst_url"))
+          .dropDuplicates("dst_url")
+          .writeStream.format("memory").queryName("st16_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st16_sink").orderBy(col("dst_url"))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents)
+             |SELECT DISTINCT dst_url FROM (
+             |  SELECT 'https://hub.example/p' || (doc_id % 13)
+             |    AS dst_url FROM d
+             |  UNION ALL
+             |  SELECT 'https://s' || doc_id || '.example/u/' || doc_id
+             |  FROM d)
+             |ORDER BY dst_url""".stripMargin)),
+
     "st03_stream_dedup" -> QuerySpec(
       (s, dir) => {
         val raw = s.read.parquet(s"$dir/documents.parquet")

@@ -2102,6 +2102,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.getDouble(4) == est, s"est ${got.getDouble(4)} want $est")
   }
 
+  test("harmonicCentrality: hand-computed truncated H(v) on the " +
+      "chain-with-shortcut graph (exact-sketch regime)") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"))
+      .toDF("src", "dst")
+    val h = WebGraph.harmonicCentrality(
+        WebGraph.neighborhoodKmv(edges, radius = 2, k = 64), radius = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // H(a) = (3-1)/1 + (4-3)/2 = 2.5 (b,c at dist 1; d at dist 2)
+    assert(h == Map("a" -> 2.5, "b" -> 1.5, "c" -> 1.0, "d" -> 0.0), s"$h")
+  }
+
   test("dsirSelect: target-vocabulary docs outrank distractors; an " +
       "UNLABELED doc in the target vocabulary is selected (the point " +
       "of DSIR — selection generalizes beyond the labels); on the " +
@@ -2455,6 +2466,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(TextAnalysis.parseRobotsTxt(
       "User-agent: other\nDisallow: /\n", "me") == Seq.empty)
     assert(TextAnalysis.parseRobotsTxt(null, "me") == Seq.empty)
+    // crawl-delay: group-scoped, specific supersedes '*', max of the
+    // selected groups' values, invalid/negative skipped, fractional ok
+    def delay(txt: String, agent: String): Option[Double] = {
+      val sel = TextAnalysis.selectRobotsGroups(
+        TextAnalysis.parseRobotsGroups(txt), agent).flatMap(_.delays)
+      if (sel.isEmpty) None else Some(sel.max)
+    }
+    val cd = "User-agent: *\nCrawl-delay: 2\nCrawl-delay: 10\n\n" +
+      "User-agent: GraftBot\nCrawl-delay: 0.5\n"
+    assert(delay(cd, "graftbot").contains(0.5))
+    assert(delay(cd, "otherbot").contains(10.0)) // max of 2, 10
+    assert(delay("User-agent: *\nCrawl-delay: nope\n" +
+      "Crawl-delay: -3\nCrawl-delay: Infinity\n", "x").isEmpty)
+    val cdDf = TextAnalysis.robotsCrawlDelay(Seq(
+        ("H.example", "User-agent: *\nCrawl-delay: 1.5\n"),
+        ("none.example", "User-agent: *\nDisallow: /\n"))
+      .toDF("domain", "robots_txt"), "anybot").collect()
+    assert(cdDf.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("h.example", 1.5)), "lowercased host, no row without delay")
     // evaluation: longest prefix wins, Allow wins length ties,
     // no-rule and no-robots-row default to allowed
     val urls = Seq(
