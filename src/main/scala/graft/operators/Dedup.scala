@@ -1152,4 +1152,80 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
+
+  /** ExactSubstr span REMOVAL — the operator behind "Deduplicating
+    * Training Data Makes Language Models Better" (Lee et al., ACL
+    * 2022): where l24 measures how much of a document is corpus-
+    * repeated material, this one CUTS it. A token position is
+    * duplicated when ANY word n-gram covering it occurs in ≥ `minDocs`
+    * distinct documents (the n≈10 "sharing means copying" threshold);
+    * maximal runs of duplicated positions merge into spans, which are
+    * removed from every document — the Lee et al. reading: a licence
+    * header's first occurrence is no more signal than its millionth
+    * (the keep-first alternative lives in l39's passage dedup).
+    *
+    * Output, one row per input document: (doc_id, n_tokens, n_covered,
+    * n_spans, dup_frac, text_clean) — text_clean is the surviving
+    * tokens in original order, whitespace-normalized (tokenization is
+    * part of the operator's normalization, the lineDedup stance; docs
+    * shorter than n tokens pass through untouched).
+    *
+    * Scale shape: positional n-grams are built NARROW (the
+    * tokenNgramsAll kernel + posexplode, no shuffle) and materialized
+    * once for both consumers (the l24 localCheckpoint stance);
+    * doc-support is distinct-then-count — both phases partial-
+    * aggregate, so a doc repeating one n-gram 10⁶× shuffles one row;
+    * the duplicated-gram verdict joins back on the gram string
+    * (boilerplate grams are the hot keys — the AQE skew-join shape; a
+    * deployment keys on xxhash64 digests, kept as strings here so the
+    * DuckDB oracle mirrors string-for-string); span merge + text
+    * reassembly are ONE doc-keyed aggregate each over doc-length-
+    * bounded arrays (never a per-corpus window).
+    */
+  def exactSubstrSpans(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // (doc, start-position, gram), scanned once, used twice
+    val pg = docs.select(col(idCol).as("doc_id"),
+        posexplode(tokenNgramsAll(col(textCol), n))
+          .as(Seq("pos", "ngram")))
+      .localCheckpoint()
+    val shared = pg.select(col("ngram"), col("doc_id")).distinct()
+      .groupBy(col("ngram")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("ngram"))
+    // every token position under a duplicated gram, collected per doc
+    val cov = pg.join(shared, Seq("ngram"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + n - 1)).as("cpos"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_covered"),
+        sort_array(collect_list(col("cpos"))).as("cs"))
+    // span count: 1 + the number of gaps > 1 between consecutive
+    // covered positions (cs is doc-length-bounded)
+    val nsp = lit(1) + size(filter(
+      zip_with(slice(col("cs"), lit(2), size(col("cs")) - 1),
+        slice(col("cs"), lit(1), size(col("cs")) - 1),
+        (a, b) => a - b),
+      d => d > 1))
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    base.join(cov, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        coalesce(when(col("n_covered").isNotNull, nsp), lit(0))
+          .cast("long").as("n_spans"),
+        quant4(when(size(col("toks")) > 0,
+          coalesce(col("n_covered"), lit(0L)).cast("double") /
+            size(col("toks")).cast("double"))
+          .otherwise(lit(0.0d))).as("dup_frac"),
+        array_join(filter(col("toks"), (t, i) =>
+          !array_contains(
+            coalesce(col("cs"), array().cast("array<int>")), i)), " ")
+          .as("text_clean"))
+  }
 }

@@ -1229,6 +1229,60 @@ object LlmQueries {
              |LEFT JOIN tot USING (doc_id) LEFT JOIN rep USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ExactSubstr span REMOVAL (l68) — l24's signal turned into the
+    // Lee et al. 2022 cut, over the REAL corpus text: token positions
+    // under any cross-document 10-gram merge into maximal spans and
+    // are removed from every doc. DuckDB re-derives the whole pipeline
+    // relationally — positional grams, distinct-doc support, covered-
+    // position expansion, span merge via consecutive-gap counting, and
+    // the surviving-token reassembly — so the oracle pins not just the
+    // counts but the full cleaned TEXT of every document.
+    "l68_exact_substr" -> QuerySpec(
+      (s, dir) => Dedup.exactSubstrSpans(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |                x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    [array_to_string(toks[i:i+9], ' ')
+             |     for i in generate_series(1, len(toks) - 9)] AS gs
+             |  FROM t),
+             |gp AS (SELECT doc_id, unnest(gs) AS ngram,
+             |         unnest(range(len(gs))) AS pos FROM g),
+             |sh AS (SELECT ngram FROM (SELECT DISTINCT doc_id, ngram
+             |         FROM gp) GROUP BY ngram HAVING COUNT(*) >= 2),
+             |ds AS (SELECT DISTINCT doc_id, pos FROM gp
+             |       JOIN sh USING (ngram)),
+             |cv AS (SELECT DISTINCT doc_id, pos + unnest(range(10))
+             |         AS cpos FROM ds),
+             |cva AS (SELECT doc_id, COUNT(*) AS ncov,
+             |         list_sort(list(cpos)) AS cs
+             |       FROM cv GROUP BY doc_id),
+             |sp AS (SELECT doc_id, ncov, cs,
+             |    1 + len(list_filter(
+             |      [cs[i+1] - cs[i] for i in
+             |         generate_series(1, len(cs) - 1)],
+             |      d -> d > 1)) AS nsp
+             |  FROM cva)
+             |SELECT t.doc_id,
+             |  len(toks)::BIGINT AS n_tokens,
+             |  COALESCE(ncov, 0)::BIGINT AS n_covered,
+             |  COALESCE(nsp, 0)::BIGINT AS n_spans,
+             |  CASE WHEN len(toks) > 0 THEN
+             |    floor(COALESCE(ncov, 0)::DOUBLE / len(toks)::DOUBLE
+             |      * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+             |  ELSE 0.0::DOUBLE END AS dup_frac,
+             |  COALESCE(array_to_string(
+             |    [toks[i] for i in generate_series(1, len(toks))
+             |     if NOT list_contains(COALESCE(cs, []), i - 1)], ' '),
+             |    '') AS text_clean
+             |FROM t LEFT JOIN sp USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Corpus-relative trigram LM familiarity (the CCNet LM-filter shape,
     // rational therefore bit-exact — see ngramLmScore's scaladoc). The
     // witness column is a string MIN over %012d-padded (support, ngram)

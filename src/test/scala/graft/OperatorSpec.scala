@@ -2113,6 +2113,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(h == Map("a" -> 2.5, "b" -> 1.5, "c" -> 1.0, "d" -> 0.0), s"$h")
   }
 
+  test("exactSubstrSpans: a cross-doc 12-token block is cut from every " +
+      "doc (covered-position expansion, span merge); two separated " +
+      "blocks count two spans; sub-n docs pass through untouched") {
+    val sh = (1 to 12).map(i => s"sh$i").mkString(" ")  // shared block 1
+    val th = (1 to 12).map(i => s"th$i").mkString(" ")  // shared block 2
+    val docs = Seq(
+      (1L, s"a1 a2 $sh a3 a4"),
+      (2L, s"b1 $sh b2"),
+      (3L, s"c1 $sh c2 c3 c4 $th c5"),
+      (4L, th),
+      (5L, "tiny doc under ten tokens here now")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.exactSubstrSpans(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getString(5)))).toMap
+    assert(out(1L) == ((16L, 12L, 1L, 0.75, "a1 a2 a3 a4")), s"${out(1L)}")
+    assert(out(2L) == ((14L, 12L, 1L,
+      math.floor(12.0 / 14.0 * 10000 + 0.5) / 10000, "b1 b2")),
+      s"${out(2L)}")
+    assert(out(3L) == ((29L, 24L, 2L,
+      math.floor(24.0 / 29.0 * 10000 + 0.5) / 10000,
+      "c1 c2 c3 c4 c5")), s"${out(3L)}")
+    assert(out(4L) == ((12L, 12L, 1L, 1.0, "")), s"${out(4L)}")
+    assert(out(5L) == ((7L, 0L, 0L, 0.0,
+      "tiny doc under ten tokens here now")), s"${out(5L)}")
+  }
+
   test("dsirSelect: target-vocabulary docs outrank distractors; an " +
       "UNLABELED doc in the target vocabulary is selected (the point " +
       "of DSIR — selection generalizes beyond the labels); on the " +

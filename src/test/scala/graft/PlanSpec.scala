@@ -937,6 +937,21 @@ class PlanSpec extends AnyFunSuite {
       s"aggregates must partial-combine:\n${plan.take(2500)}")
   }
 
+  test("l68: ExactSubstr span removal partial-aggregates both support " +
+      "phases and never cross-products — the gram-verdict join is an " +
+      "equi-join on the gram key") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = spark.range(500).select(col("id").as("doc_id"),
+      concat(lit("w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 tail"), col("id") % 7)
+        .as("text"))
+    val plan = graft.operators.Dedup.exactSubstrSpans(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"span removal must stay equi-join shaped:\n${plan.take(2500)}")
+    assert(plan.contains("partial"),
+      s"support counts must partial-aggregate:\n${plan.take(2500)}")
+  }
+
   test("l64: a neighborhood sketch-growth iteration pushes the per-node " +
       "k-min as WindowGroupLimit (each map partition forwards at most k " +
       "rows per node into the exchange) and joins sketch rows by dst " +
