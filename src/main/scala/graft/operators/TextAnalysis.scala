@@ -1851,6 +1851,49 @@ object TextAnalysis {
       }.toDF("host", "crawl_delay")
   }
 
+  /** Frontier fetch scheduling — the politeness step between frontier
+    * and fetcher: per host, URLs take consecutive fetch SLOTS in a
+    * deterministic order (the `idCol` key — discovery order in a real
+    * frontier), and each URL's `scheduled_at` offset is
+    * slot × the host's crawl delay ([[robotsCrawlDelay]]'s output,
+    * `defaultDelay` where the host published none). This is the
+    * per-host FIFO every polite fetcher (Heritrix, Nutch, Scrapy's
+    * per-domain queues) implements.
+    *
+    * Scale shape: the slot assignment is a per-HOST window — hosts are
+    * independent, so the URL frame hash-partitions by host across the
+    * cluster and each host ranks locally; per-host serialization is
+    * the politeness SEMANTICS, not an implementation artifact (a
+    * host's queue is inherently sequential). The delay relation is
+    * crawl-metadata-sized and broadcasts. A pathological single host
+    * holding a measurable fraction of the frontier would rank in two
+    * passes (range-partition by the order key, per-bucket counts,
+    * prefix-sum offsets) — not needed at any realistic host skew,
+    * where the widest host is ~10⁻⁴ of the frontier.
+    *
+    * Output: (idCol, urlCol, host, slot, delay, scheduled_at).
+    */
+  def frontierSchedule(urls: DataFrame, delays: DataFrame,
+                       defaultDelay: Double = 1.0,
+                       urlCol: String = "url",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(defaultDelay >= 0,
+      s"defaultDelay must be >= 0, got $defaultDelay")
+    val host = regexp_extract(lower(col(urlCol)),
+      "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col(idCol))
+    urls.withColumn("host", host)
+      .join(broadcast(delays
+        .select(lower(col("host")).as("host"),
+          col("crawl_delay").as("__cd"))), Seq("host"), "left_outer")
+      .withColumn("slot", row_number().over(w).cast("long") - 1)
+      .select(col(idCol), col(urlCol), col("host"), col("slot"),
+        coalesce(col("__cd"), lit(defaultDelay)).as("delay"),
+        (col("slot").cast("double") *
+          coalesce(col("__cd"), lit(defaultDelay))).as("scheduled_at"))
+  }
+
   /** Redirect-chain resolution over a crawl's response records — the
     * step between HTTP ingest and every URL-keyed stage (dedup keys,
     * domain stats, robots re-checks all want the FINAL url, not the hop

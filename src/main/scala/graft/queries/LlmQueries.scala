@@ -1935,6 +1935,44 @@ object LlmQueries {
              |FROM d WHERE spec OR hasa OR hasb
              |ORDER BY host""".stripMargin)),
 
+    // Frontier fetch scheduling (l69) — the politeness step l67 feeds:
+    // per host (20-host pool), URLs take consecutive slots in doc_id
+    // order and scheduled_at = slot x the host's delay — published
+    // {0.5, 1.5} on even hosts, the 1.0 default on odd (both the join
+    // hit and the default path exercised). All delays are exact
+    // binary fractions, so slot x delay is FP-exact in both engines
+    // and the oracle needs no quantization.
+    "l69_frontier_schedule" -> QuerySpec(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").select(col("doc_id"))
+        val urls = d.select(col("doc_id"),
+          concat(lit("https://h"), col("doc_id") % 20,
+            lit(".example/p/"), col("doc_id")).as("url"))
+        val delays = d.select((col("doc_id") % 20).as("k")).distinct()
+          .filter(col("k") % 2 === 0)
+          .select(concat(lit("h"), col("k"), lit(".example")).as("host"),
+            ((col("k") % 4) * 0.5 + 0.5).as("crawl_delay"))
+        TextAnalysis.frontierSchedule(urls, delays, defaultDelay = 1.0)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    'https://h' || (doc_id % 20) || '.example/p/' || doc_id
+             |      AS url,
+             |    'h' || (doc_id % 20) || '.example' AS host,
+             |    CAST(doc_id % 20 AS INT) AS k
+             |  FROM documents),
+             |r AS (SELECT doc_id, url, host,
+             |    (row_number() OVER (PARTITION BY host ORDER BY doc_id)
+             |      - 1)::BIGINT AS slot,
+             |    CASE WHEN k % 2 = 0
+             |      THEN CAST(k % 4 AS DOUBLE) * 0.5 + 0.5
+             |      ELSE 1.0 END AS delay
+             |  FROM u)
+             |SELECT doc_id, url, host, slot, delay,
+             |  CAST(slot AS DOUBLE) * delay AS scheduled_at
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
     // HTML outlink extraction (l61) — fetched pages → the link graph.
     // Per doc the planted page carries a script-decoy link (must NOT
     // extract), four href forms the resolver supports (absolute with an

@@ -2470,6 +2470,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(ok, "10x KMV exceeded 30x wall on all 3 attempts")
   }
 
+  test("neighborhood-sketch scale bounds: 10x edges stays sub-quadratic " +
+      "— each growth round is one |E|-proportional equi-join plus a " +
+      "WindowGroupLimit k-min, never |V|^2 ball materialization") {
+    def world(n: Int) = spark.range(n).selectExpr(
+        "concat('n', id) as src",
+        "concat('n', (id * 7 + 3) % 211) as dst")
+      .localCheckpoint() // graph construction outside the timed region
+    val w1 = world(500)
+    val w10 = world(5000)
+    def time(df: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      assert(WebGraph.neighborhoodKmv(df, radius = 2, k = 16)
+        .count() > 0)
+      (System.nanoTime() - t0) / 1e9
+    }
+    time(w1) // warm codegen/JIT outside the measured attempts
+    val ok = (1 to 3).exists { _ =>
+      val t1 = math.min(time(w1), time(w1))
+      val t10 = math.min(time(w10), time(w10))
+      val ratio = t10 / math.max(t1, 1e-3)
+      info(f"balls 1x=${t1}%.3fs 10x=${t10}%.3fs ratio=$ratio%.1f")
+      ratio < 30.0
+    }
+    assert(ok, "10x neighborhood sketch exceeded 30x wall on all 3 attempts")
+  }
+
   test("robots.txt: RFC 9309 group selection, longest-prefix match " +
       "with Allow tie-break, defaults, and parser edge cases") {
     import graft.operators.TextAnalysis
