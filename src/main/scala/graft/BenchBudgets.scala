@@ -101,6 +101,15 @@ object BenchBudgets {
     "l61_outlinks" -> 0.1464,
     "l62_pagerank" -> 0.9947,
     "l63_anchor_text" -> 0.1930,
+    // l64–l69/st16 pinned from target/bench_r13_idle6.json (150
+    // entries, cal 0.5779, zero flags/spikes/errors)
+    "l64_graph_balls" -> 0.8133,
+    "l65_charset_sniff" -> 0.1227,
+    "l66_harmonic_centrality" -> 0.7459,
+    "l67_crawl_delay" -> 0.1587,
+    "l68_exact_substr" -> 0.4118,
+    "l69_frontier_schedule" -> 0.1987,
+    "st16_frontier_stream" -> 1.0502,
     "m01_media_features" -> 0.2213,
     "m02_frame_sample" -> 0.0812,
     "m03_media_resize" -> 0.0926,

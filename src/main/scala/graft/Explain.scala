@@ -63,7 +63,15 @@ object Explain {
       "l54_robots_filter" -> "robots evaluation (broadcast rules join, native wildcard-match residual, max_by longest-match)",
       "l56_http_decode" -> "HTTP wire decoding (path-only scan, mapPartitions parse + chunk/gzip decode, one output sort)",
       "l57_kmv_intersect" -> "KMV set algebra (one corpus scan to the k-min relation; broadcast-only pairwise joins)",
-      "l58_redirect_resolve" -> "redirect-chain resolution (pointer-doubling equi-join rounds over the checkpointed url mapping)")
+      "l58_redirect_resolve" -> "redirect-chain resolution (pointer-doubling equi-join rounds over the checkpointed url mapping)",
+      "l60_line_dedup" -> "line-level boilerplate dedup (narrow line relation, distinct-then-count doc frequency, line-keyed verdict join, doc-keyed reassembly)",
+      "l61_outlinks" -> "HTML outlink extraction (one zero-exchange codegen extract+explode+resolve stage)",
+      "l62_pagerank" -> "PageRank iteration (broadcast scalar relations, partial-aggregated contribution sum)",
+      "l63_anchor_text" -> "anchor-text aggregation (dst-keyed agg, two-phase count-distinct)",
+      "l64_graph_balls" -> "KMV neighborhood function (dst-keyed sketch join + WindowGroupLimit k-min per round)",
+      "l66_harmonic_centrality" -> "harmonic centrality (node-keyed max-when pivot over the ball frame, closed-form sum)",
+      "l68_exact_substr" -> "ExactSubstr span removal (scanned-once positional grams, partial-agg support, gram-keyed verdict join, doc-keyed span merge + reassembly)",
+      "l69_frontier_schedule" -> "frontier scheduling (host-partitioned slot window, broadcast delay join)")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans of flagship queries\n\n")
     sb.append("Generated by `runMain graft.Explain` on sf0.001; the\n")
