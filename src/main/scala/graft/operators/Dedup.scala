@@ -1183,6 +1183,7 @@ object Dedup {
     * bounded arrays (never a per-corpus window).
     */
   def exactSubstrSpans(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
+                       withinDoc: Boolean = false,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
@@ -1192,8 +1193,17 @@ object Dedup {
         posexplode(tokenNgramsAll(col(textCol), n))
           .as(Seq("pos", "ngram")))
       .localCheckpoint()
-    val shared = pg.select(col("ngram"), col("doc_id")).distinct()
-      .groupBy(col("ngram")).agg(count(lit(1)).as("nd"))
+    // withinDoc = the full Lee et al. reading: ANY ≥ minDocs
+    // occurrences qualify, a doc repeating its own licence block
+    // included (support counts multiplicity). Default counts DISTINCT
+    // documents — the cross-doc contract l24 measures, leaving
+    // within-doc repetition to the l23/l24 signals.
+    val support =
+      if (withinDoc) pg.groupBy(col("ngram"))
+        .agg(count(lit(1)).as("nd"))
+      else pg.select(col("ngram"), col("doc_id")).distinct()
+        .groupBy(col("ngram")).agg(count(lit(1)).as("nd"))
+    val shared = support
       .filter(col("nd") >= minDocs)
       .select(col("ngram"))
     // every token position under a duplicated gram, collected per doc

@@ -1851,6 +1851,113 @@ object TextAnalysis {
       }.toDF("host", "crawl_delay")
   }
 
+  /** Sitemap XML parsing (sitemaps.org protocol) — the step after
+    * [[robotsSitemaps]] discovers the files: each body is either a
+    * `<urlset>` (leaf: `<url>` entries with `<loc>` + optional
+    * `<lastmod>`) or a `<sitemapindex>` (`<sitemap>` entries pointing
+    * at child sitemaps — the caller feeds those back through fetch +
+    * this parser; 50k-URL files make indexes the NORM at scale, not a
+    * corner). One output row per entry: (sitemap_url, kind, loc,
+    * lastmod) — `kind` ∈ {urlset, sitemapindex}, `lastmod` "" when
+    * absent. `<loc>` values decode the five XML predefined entities
+    * and unwrap CDATA (both appear in the wild — ampersand-bearing
+    * URLs MUST be escaped per the protocol); entries without a loc
+    * are skipped; tags match case-insensitively, attributes and
+    * namespaces on the container tolerated. A body with neither root
+    * yields no rows (HTML error pages parked at sitemap URLs are
+    * routine — a loud failure here would kill the seed channel).
+    * Plain-Scala scanner so the typed flatMap ships it to executors
+    * whole; documented subset: no gzip (the fetch layer's job, see
+    * `Warc.splitHttp`), no per-entry changefreq/priority.
+    *
+    * Scale shape: narrow flatMap over the crawl-metadata-sized
+    * sitemap frame — no shuffle; output feeds [[frontierSchedule]].
+    */
+  def parseSitemaps(sitemaps: DataFrame,
+                    urlCol: String = "sitemap_url",
+                    xmlCol: String = "xml"): DataFrame = {
+    val spark = sitemaps.sparkSession
+    import spark.implicits._
+    sitemaps
+      .select(col(urlCol).cast("string").as("sitemap_url"),
+        col(xmlCol).as("xml"))
+      .as[(String, String)]
+      .flatMap { case (u, xml) =>
+        sitemapEntries(Option(xml).getOrElse("")).map {
+          case (kind, loc, lastmod) => (u, kind, loc, lastmod) }
+      }.toDF("sitemap_url", "kind", "loc", "lastmod")
+  }
+
+  /** [[parseSitemaps]]'s per-body scanner: (kind, loc, lastmod) rows. */
+  private[graft] def sitemapEntries(xml: String)
+      : Seq[(String, String, String)] = {
+    val lowerXml = xml.toLowerCase
+    val (kind, entryTag) =
+      if (lowerXml.contains("<sitemapindex")) ("sitemapindex", "sitemap")
+      else if (lowerXml.contains("<urlset")) ("urlset", "url")
+      else return Seq.empty
+    def decodeXml(s: String): String = {
+      val t = s.trim
+      val unCdata =
+        if (t.startsWith("<![CDATA[") && t.endsWith("]]>"))
+          t.substring(9, t.length - 3)
+        else t
+      unCdata.replace("&lt;", "<").replace("&gt;", ">")
+        .replace("&quot;", "\"").replace("&apos;", "'")
+        .replace("&amp;", "&") // last, so &amp;lt; decodes to &lt;
+        .trim
+    }
+    def inner(block: String, tag: String): Option[String] = {
+      val open = block.indexOf(s"<$tag")
+      if (open < 0) return None
+      val gt = block.indexOf('>', open)
+      val close = block.indexOf(s"</$tag", gt + 1)
+      if (gt < 0 || close < 0) None
+      else Some(block.substring(gt + 1, close))
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String)]
+    var i = 0
+    val openTag = s"<$entryTag"
+    val closeTag = s"</$entryTag"
+    var continue = true
+    while (continue) {
+      val open = lowerXml.indexOf(openTag, i)
+      // reject <urlX…> lookalikes: the match must close the tag name
+      val nameOk = open >= 0 && {
+        val c = lowerXml.charAt(math.min(open + openTag.length,
+          lowerXml.length - 1))
+        c == '>' || c == ' ' || c == '\t' || c == '\n' || c == '\r'
+      }
+      if (open < 0) continue = false
+      else if (!nameOk) i = open + openTag.length
+      else {
+        val close = lowerXml.indexOf(closeTag, open)
+        if (close < 0) { continue = false }
+        else {
+          val block = xml.substring(open, close)
+          val blockLower = lowerXml.substring(open, close)
+          // tag positions found on the lowercased view, content cut
+          // from the original (loc values are case-significant)
+          def innerOrig(tag: String): Option[String] =
+            inner(blockLower, tag).map { _ =>
+              val o = blockLower.indexOf(s"<$tag")
+              val gt = blockLower.indexOf('>', o)
+              val cl = blockLower.indexOf(s"</$tag", gt + 1)
+              block.substring(gt + 1, cl)
+            }
+          innerOrig("loc").map(decodeXml).filter(_.nonEmpty)
+            .foreach { loc =>
+              out += ((kind, loc,
+                innerOrig("lastmod").map(decodeXml).getOrElse("")))
+            }
+          i = close + closeTag.length
+        }
+      }
+    }
+    out.toSeq
+  }
+
   /** Frontier fetch scheduling — the politeness step between frontier
     * and fetcher: per host, URLs take consecutive fetch SLOTS in a
     * deterministic order (the `idCol` key — discovery order in a real

@@ -1935,6 +1935,77 @@ object LlmQueries {
              |FROM d WHERE spec OR hasa OR hasb
              |ORDER BY host""".stripMargin)),
 
+    // Sitemap XML parsing (l70) — the step after l59's discovery:
+    // per host the body is a <sitemapindex> (doc_id%5==0: two child
+    // sitemap locs, one with lastmod) or a <urlset> (1–3 url entries
+    // by doc_id%3 — the first with lastmod, the second whitespace-
+    // padded, the third in UPPERCASE tags — plus a CDATA loc on
+    // doc_id%7==3 and a loc-less decoy entry that must not emit).
+    // Entity-encoded ampersands decode; the oracle regenerates every
+    // (sitemap_url, kind, loc, lastmod) row from doc_id arithmetic.
+    "l70_sitemap_parse" -> QuerySpec(
+      (s, dir) => {
+        val id = col("doc_id")
+        val urlEntries = concat(
+          lit("<url><loc>https://h"), id,
+          lit(".example/p0?a=1&amp;b=2</loc>" +
+            "<lastmod>2026-02-01</lastmod></url>"),
+          when(id % 3 >= 1, concat(lit("<url>\n  <loc> https://h"), id,
+            lit(".example/p1?a=1&amp;b=2 </loc></url>")))
+            .otherwise(lit("")),
+          when(id % 3 === 2, concat(lit("<URL><LOC>https://h"), id,
+            lit(".example/p2?a=1&amp;b=2</LOC></URL>")))
+            .otherwise(lit("")),
+          when(id % 7 === 3, concat(lit("<url><loc><![CDATA[https://h"),
+            id, lit(".example/cd?x=1&y=2]]></loc></url>")))
+            .otherwise(lit("")),
+          lit("<url><priority>0.5</priority></url>"))
+        val xml = when(id % 5 === 0, concat(
+            lit("<?xml version=\"1.0\"?><sitemapindex xmlns=" +
+              "\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+              "<sitemap><loc>https://h"), id,
+            lit(".example/sm0.xml</loc><lastmod>2026-01-15</lastmod>" +
+              "</sitemap><sitemap><loc>https://h"), id,
+            lit(".example/sm1.xml</loc></sitemap></sitemapindex>")))
+          .otherwise(concat(
+            lit("<?xml version=\"1.0\"?><urlset xmlns=" +
+              "\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+            urlEntries, lit("</urlset>")))
+        val frames = Tables(s, dir, "documents").select(
+          concat(lit("https://h"), id, lit(".example/s0.xml"))
+            .as("sitemap_url"),
+          xml.as("xml"))
+        TextAnalysis.parseSitemaps(frames)
+          .orderBy(col("sitemap_url"), col("loc"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(doc_id % 5 AS INT) = 0 AS idx,
+             |    CAST(doc_id % 3 AS INT) AS n3,
+             |    CAST(doc_id % 7 AS INT) = 3 AS cd
+             |  FROM documents),
+             |rows AS (
+             |  SELECT doc_id, 'urlset' AS kind,
+             |    'https://h' || doc_id || '.example/p' || j
+             |      || '?a=1&b=2' AS loc,
+             |    CASE WHEN j = 0 THEN '2026-02-01' ELSE '' END
+             |      AS lastmod
+             |  FROM (SELECT doc_id, unnest(range(n3 + 1)) AS j
+             |        FROM d WHERE NOT idx)
+             |  UNION ALL
+             |  SELECT doc_id, 'urlset',
+             |    'https://h' || doc_id || '.example/cd?x=1&y=2', ''
+             |  FROM d WHERE NOT idx AND cd
+             |  UNION ALL
+             |  SELECT doc_id, 'sitemapindex',
+             |    'https://h' || doc_id || '.example/sm' || j || '.xml',
+             |    CASE WHEN j = 0 THEN '2026-01-15' ELSE '' END
+             |  FROM (SELECT doc_id, unnest(range(2)) AS j
+             |        FROM d WHERE idx))
+             |SELECT 'https://h' || doc_id || '.example/s0.xml'
+             |    AS sitemap_url,
+             |  kind, loc, lastmod
+             |FROM rows ORDER BY sitemap_url, loc""".stripMargin)),
+
     // Frontier fetch scheduling (l69) — the politeness step l67 feeds:
     // per host (20-host pool), URLs take consecutive slots in doc_id
     // order and scheduled_at = slot x the host's delay — published

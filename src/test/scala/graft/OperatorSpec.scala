@@ -2138,6 +2138,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(4L) == ((12L, 12L, 1L, 1.0, "")), s"${out(4L)}")
     assert(out(5L) == ((7L, 0L, 0L, 0.0,
       "tiny doc under ten tokens here now")), s"${out(5L)}")
+    // withinDoc = the full Lee et al. reading: a doc repeating its OWN
+    // 12-token block gets cut even though no other doc shares it
+    val selfRep = Seq((9L, s"z0 $sh z1 $sh z2"),
+      (10L, "unrelated filler text with many distinct tokens " +
+        "one two three four")).toDF("doc_id", "text")
+    val dflt = graft.operators.Dedup.exactSubstrSpans(selfRep)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dflt(9L) == 0L, "distinct-doc default must NOT cut self-repeats")
+    val wd = graft.operators.Dedup
+      .exactSubstrSpans(selfRep, withinDoc = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(5)))).toMap
+    assert(wd(9L) == ((24L, 2L, "z0 z1 z2")), s"${wd(9L)}")
+    assert(wd(10L)._1 == 0L)
   }
 
   test("dsirSelect: target-vocabulary docs outrank distractors; an " +
@@ -2538,6 +2552,41 @@ class OperatorSpec extends AnyFunSuite {
       .toDF("domain", "robots_txt"), "anybot").collect()
     assert(cdDf.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
       Seq(("h.example", 1.5)), "lowercased host, no row without delay")
+  }
+
+  test("sitemapEntries: urlset vs sitemapindex (the root's own " +
+      "'<sitemap' prefix must not parse as an entry), CDATA + entity " +
+      "decode, loc-less entries skipped, case-insensitive tags, " +
+      "whitespace trim, HTML error pages yield no rows") {
+    import graft.operators.TextAnalysis.sitemapEntries
+    val urlset = """<?xml version="1.0"?>
+      |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |<url><loc> https://a.example/p?x=1&amp;y=2 </loc>
+      |  <lastmod>2026-01-01</lastmod></url>
+      |<URL><LOC><![CDATA[https://a.example/cd?a=1&b=2]]></LOC></URL>
+      |<url><priority>0.5</priority></url>
+      |<url><loc>&lt;odd&gt;</loc></url>
+      |</urlset>""".stripMargin
+    assert(sitemapEntries(urlset) == Seq(
+      ("urlset", "https://a.example/p?x=1&y=2", "2026-01-01"),
+      ("urlset", "https://a.example/cd?a=1&b=2", ""),
+      ("urlset", "<odd>", "")))
+    val index = "<sitemapindex><sitemap><loc>https://a.example/s1.xml" +
+      "</loc><lastmod>2026-02-02</lastmod></sitemap>" +
+      "<sitemap><loc>https://a.example/s2.xml</loc></sitemap>" +
+      "</sitemapindex>"
+    assert(sitemapEntries(index) == Seq(
+      ("sitemapindex", "https://a.example/s1.xml", "2026-02-02"),
+      ("sitemapindex", "https://a.example/s2.xml", "")))
+    // an HTML error page parked at the sitemap URL: no rows, no throw
+    assert(sitemapEntries(
+      "<html><body><h1>404</h1></body></html>").isEmpty)
+    assert(sitemapEntries("").isEmpty)
+    assert(sitemapEntries("<urlset><url><loc></loc></url></urlset>")
+      .isEmpty, "empty loc skipped")
+    // unterminated trailing entry is dropped, earlier entries survive
+    assert(sitemapEntries("<urlset><url><loc>https://x/1</loc></url>" +
+      "<url><loc>https://x/2").map(_._2) == Seq("https://x/1"))
     // evaluation: longest prefix wins, Allow wins length ties,
     // no-rule and no-robots-row default to allowed
     val urls = Seq(
