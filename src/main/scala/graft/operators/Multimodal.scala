@@ -347,6 +347,69 @@ object Multimodal {
       writer.dispose(); ios.close()
       bos.toByteArray
     }
+
+    /** Header-only image metadata sniff — (type, width, height) from
+      * the FIRST BYTES, no pixel decode: the prune-before-decode gate
+      * a multimodal ingest runs over every blob before spending a
+      * full decode on it (dimension floors, aspect filters, and
+      * type routing are all decided here; at 100 TB the difference
+      * between reading 32 bytes and inflating a full image IS the
+      * pipeline's budget). PNG reads IHDR; GIF the logical screen
+      * descriptor; BMP the BITMAPINFOHEADER (top-down negative height
+      * normalized); JPEG walks the marker chain past APPn/COM
+      * segments to the first SOF frame header (all SOF variants —
+      * baseline SOF0/1, progressive SOF2, the rest of the T.81
+      * family except the non-frame DHT/DAC/RST markers). Truncated
+      * or alien bytes return None — a gate, not a parser, so it
+      * never throws.
+      */
+    def sniffImageMeta(b: Array[Byte]): Option[(String, Int, Int)] = {
+      def u16be(i: Int) = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+      def u16le(i: Int) = ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+      def u32be(i: Int) = ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      def i32le(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+      try {
+        if (b.length >= 24 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+            b(2) == 'N' && b(3) == 'G')
+          Some(("png", u32be(16), u32be(20)))
+        else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' &&
+            b(2) == 'F' && b(3) == '8' &&
+            (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+          Some(("gif", u16le(6), u16le(8)))
+        else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+          Some(("bmp", i32le(18), math.abs(i32le(22))))
+        else if (b.length >= 4 && (b(0) & 0xff) == 0xff &&
+            (b(1) & 0xff) == 0xd8) {
+          // JPEG: walk marker segments to the first SOF
+          var i = 2
+          var res: Option[(String, Int, Int)] = None
+          var continue = true
+          while (continue && i + 3 < b.length) {
+            if ((b(i) & 0xff) != 0xff) { continue = false }
+            else {
+              val m = b(i + 1) & 0xff
+              if (m == 0xff) i += 1 // fill bytes
+              else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2
+              else {
+                val len = u16be(i + 2)
+                if (len < 2 || i + 2 + len > b.length) continue = false
+                else if ((m >= 0xc0 && m <= 0xcf) && m != 0xc4 &&
+                    m != 0xc8 && m != 0xcc) {
+                  if (len >= 7)
+                    res = Some(("jpeg", u16be(i + 7), u16be(i + 5)))
+                  continue = false
+                } else i += 2 + len
+              }
+            }
+          }
+          res
+        } else None
+      } catch {
+        case _: ArrayIndexOutOfBoundsException => None
+      }
+    }
   }
 
   /** Deterministic synthetic media table with VALID payloads: real BMPs,

@@ -3210,6 +3210,55 @@ object LlmQueries {
     // entropy, or color-convert regression while absorbing lossy-codec
     // rounding. JpegSpec independently cross-checks the codec against the
     // JDK's ImageIO decoder in both directions.
+    // Header-only image metadata sniff (m10) — the prune-before-decode
+    // gate: (type, width, height) from the first bytes of real
+    // payloads produced by all four codecs (BMP/JPEG/PNG/GIF, dims
+    // varied by id arithmetic) plus a garbage class that must sniff to
+    // none without throwing. At 100 TB the dimension/aspect/type gates
+    // run HERE, on ~32 bytes per blob, so full decodes are spent only
+    // on survivors. The oracle is pure arithmetic — no golden, no
+    // decode anywhere.
+    "m10_image_sniff" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val n = 200
+        s.range(n).map { id =>
+          val w = 16 + (id % 13).toInt
+          val h = 16 + (id % 7).toInt
+          val rnd = new scala.util.Random(42L + id)
+          val rgb = Multimodal.smoothRgb(w, h, rnd)
+          val bytes = (id % 5) match {
+            case 0 => Multimodal.Codecs.encodeBmp(w, h, rgb)
+            case 1 => graft.codec.Jpeg.encode(w, h, rgb)
+            case 2 => graft.codec.Png.encode(w, h, rgb)
+            case 3 =>
+              val pal = Array.tabulate(256)(i => (i << 16) | (i << 8) | i)
+              graft.codec.Gif.encode(w, h, pal,
+                Multimodal.Codecs.lumaOf(rgb))
+            case _ =>
+              val junk = new Array[Byte](64); rnd.nextBytes(junk)
+              junk(0) = 0x42; junk(1) = 0x00 // not any magic
+              junk
+          }
+          (id, bytes)
+        }.map { case (id, bytes) =>
+          val m = Multimodal.Codecs.sniffImageMeta(bytes)
+          (id, m.map(_._1).getOrElse(""),
+            m.map(_._2).getOrElse(-1), m.map(_._3).getOrElse(-1))
+        }.toDF("media_id", "img_type", "width", "height")
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT id AS media_id,
+             |  CASE CAST(id % 5 AS INT)
+             |    WHEN 0 THEN 'bmp' WHEN 1 THEN 'jpeg'
+             |    WHEN 2 THEN 'png' WHEN 3 THEN 'gif' ELSE '' END
+             |    AS img_type,
+             |  (CASE WHEN id % 5 = 4 THEN -1
+             |        ELSE 16 + CAST(id % 13 AS INT) END)::INT AS width,
+             |  (CASE WHEN id % 5 = 4 THEN -1
+             |        ELSE 16 + CAST(id % 7 AS INT) END)::INT AS height
+             |FROM range(200) t(id) ORDER BY media_id""".stripMargin)),
+
     "m04_jpeg_decode" -> QuerySpec(
       (s, dir) => {
         import s.implicits._

@@ -2587,6 +2587,59 @@ class OperatorSpec extends AnyFunSuite {
     // unterminated trailing entry is dropped, earlier entries survive
     assert(sitemapEntries("<urlset><url><loc>https://x/1</loc></url>" +
       "<url><loc>https://x/2").map(_._2) == Seq("https://x/1"))
+  }
+
+  test("sniffImageMeta: header-only dims agree with the full decoders " +
+      "on all four formats INCLUDING foreign-encoder streams (ImageIO " +
+      "JFIF/progressive JPEG, Adam7 PNG, ImageIO GIF); garbage and " +
+      "truncated prefixes sniff to None without throwing") {
+    import graft.operators.Multimodal
+    val sniff = Multimodal.Codecs.sniffImageMeta _
+    val rnd = new scala.util.Random(7)
+    val (w, h) = (37, 23)
+    val rgb = Multimodal.smoothRgb(w, h, rnd)
+    assert(sniff(Multimodal.Codecs.encodeBmp(w, h, rgb))
+      .contains(("bmp", w, h)))
+    assert(sniff(graft.codec.Jpeg.encode(w, h, rgb))
+      .contains(("jpeg", w, h)))
+    assert(sniff(graft.codec.Png.encode(w, h, rgb))
+      .contains(("png", w, h)))
+    val pal = Array.tabulate(256)(i => (i << 16) | (i << 8) | i)
+    assert(sniff(graft.codec.Gif.encode(w, h, pal,
+      Multimodal.Codecs.lumaOf(rgb))).contains(("gif", w, h)))
+    // foreign encoders: ImageIO writes JFIF APP0 segments before SOF,
+    // progressive mode emits SOF2, Adam7 PNG, ImageIO GIF
+    assert(sniff(Multimodal.Codecs.imageIoPng(w, h, rgb,
+      progressive = true)).contains(("png", w, h)))
+    assert(sniff(Multimodal.Codecs.imageIoGif(w, h, pal,
+      Multimodal.Codecs.lumaOf(rgb))).contains(("gif", w, h)))
+    def imageIoJpeg(progressive: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      if (progressive) param.setProgressiveMode(
+        javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null),
+        param)
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    assert(sniff(imageIoJpeg(progressive = false))
+      .contains(("jpeg", w, h)), "JFIF APP0 walk")
+    assert(sniff(imageIoJpeg(progressive = true))
+      .contains(("jpeg", w, h)), "progressive SOF2")
+    // gates, not parsers: junk and truncation return None, never throw
+    assert(sniff(Array[Byte](0x42, 0x00, 1, 2, 3)).isEmpty)
+    assert(sniff(Array.empty[Byte]).isEmpty)
+    assert(sniff(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xe0.toByte)).isEmpty, "truncated JPEG prefix")
+    assert(sniff("GIF89a".getBytes("ISO-8859-1")).isEmpty,
+      "GIF magic without a screen descriptor")
     // evaluation: longest prefix wins, Allow wins length ties,
     // no-rule and no-robots-row default to allowed
     val urls = Seq(
