@@ -98,6 +98,78 @@ object WebGraph {
             col("dangling_mass") / col("n_nodes"))).as("rank"))
   }
 
+  /** Personalized PageRank (Haveliwala 2002, "Topic-Sensitive
+    * PageRank") — [[pageRank]] with the teleport mass restricted to a
+    * SEED set: the crawl-prioritization / related-page primitive (rank
+    * frontier URLs by proximity to trusted seeds — the OPIC/seed-crawl
+    * shape; also the "similar pages" signal). The recurrence swaps the
+    * uniform 1/N teleport vector for s(v) = 1/|S| on seeds, 0
+    * elsewhere — dangling mass also returns to the seeds:
+    *
+    *   rank'(v) = (1−d)·s(v) + d·(Σ_{u→v} rank(u)/outdeg(u) + D·s(v))
+    *
+    * Initial rank = s(v) (all mass starts on the seeds). Ranks sum to
+    * 1 every iteration; nodes unreachable from the seed set correctly
+    * converge to 0. Same scale shape as [[pageRank]] — the seed
+    * indicator is one extra broadcast-joined column on the node
+    * relation; scalars stay in-plan; fixed iteration count (a
+    * convergence-tolerance stop would need one scalar read per
+    * iteration — the BPE-argmax-style control scalar — and is left to
+    * deployments that want it).
+    *
+    * Output: (node, rank) for every edge-endpoint node.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int = 10, damping: Double = 0.85,
+                           srcCol: String = "src",
+                           dstCol: String = "dst",
+                           seedCol: String = "node"): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val seedSet = seeds.select(col(seedCol).cast("string").as("node"))
+      .distinct().localCheckpoint()
+    val nSeeds = seedSet.agg(count(lit(1)).cast("double").as("n_seeds"))
+    // s(v) as a column on the node relation: 1/|S| on seeds, 0 off
+    val nodesWithS = nodes
+      .join(broadcast(seedSet.withColumn("__seed", lit(1))),
+        Seq("node"), "left_outer")
+      .crossJoin(broadcast(nSeeds))
+      .select(col("node"),
+        when(col("__seed") === 1, lit(1.0) / col("n_seeds"))
+          .otherwise(lit(0.0)).as("s"))
+      .localCheckpoint()
+    val outdeg = e.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+    var ranks = nodesWithS.select(col("node"), col("s").as("rank"))
+      .localCheckpoint()
+    var it = 0
+    while (it < iterations) {
+      val contribs = e
+        .join(ranks, e("src") === ranks("node"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"),
+          (col("rank") / col("outdeg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      val dangling = ranks.join(outdeg,
+          ranks("node") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_mass"))
+      ranks = nodesWithS
+        .join(contribs, Seq("node"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          ((lit(1.0) - damping) * col("s") +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+              col("dangling_mass") * col("s"))).as("rank"))
+        .localCheckpoint()
+      it += 1
+    }
+    ranks
+  }
+
   /** Neighborhood function / ball sizes by KMV sketch — HyperBall
     * (Boldi & Vigna, "In-Core Computation of Geometric Centralities
     * with HyperBall", 2013) with k-minimum-values sketches in place of

@@ -2174,6 +2174,87 @@ object LlmQueries {
              |  floor(rank * 1000000 + 0.5) / 1000000 AS rank
              |FROM r3 ORDER BY node""".stripMargin)),
 
+    // Personalized PageRank (l71) — the seed-teleport variant (crawl
+    // prioritization / related pages): same arithmetic graph as l62,
+    // teleport + dangling mass restricted to the five seed hubs
+    // n0..n4. The oracle unrolls all three iterations with s(v) as a
+    // CASE column — identical double expressions, both sides quantized
+    // to 1e-6; nodes unreachable from the seeds pin to exactly 0.
+    "l71_personalized_pagerank" -> QuerySpec(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") % 11 =!= 0)
+        val e1 = d.select(concat(lit("n"), col("doc_id")).as("src"),
+          concat(lit("n"), col("doc_id") % 13).as("dst"))
+        val e2 = d.select(concat(lit("n"), col("doc_id")).as("src"),
+          concat(lit("n"), (col("doc_id") * 7 + 3) % 101).as("dst"))
+        val seeds = d.select((col("doc_id") % 13).as("k")).distinct()
+          .filter(col("k") < 5)
+          .select(concat(lit("n"), col("k")).as("node"))
+        WebGraph.personalizedPageRank(e1.unionByName(e2), seeds,
+            iterations = 3)
+          .select(col("node"),
+            (floor(col("rank") * 1e6 + 0.5) / 1e6).as("rank"))
+          .orderBy(col("node"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id FROM documents WHERE doc_id % 11 <> 0),
+             |e AS (
+             |  SELECT DISTINCT src, dst FROM (
+             |    SELECT 'n' || doc_id AS src,
+             |      'n' || (doc_id % 13) AS dst FROM d
+             |    UNION ALL
+             |    SELECT 'n' || doc_id,
+             |      'n' || ((doc_id * 7 + 3) % 101) FROM d)),
+             |nodes AS (SELECT src AS node FROM e UNION
+             |          SELECT dst FROM e),
+             |sd AS (SELECT DISTINCT 'n' || (doc_id % 13) AS node
+             |       FROM d WHERE doc_id % 13 < 5),
+             |ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM sd),
+             |sv AS (SELECT n.node,
+             |         CASE WHEN s.node IS NOT NULL
+             |           THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS s
+             |       FROM nodes n LEFT JOIN sd s ON n.node = s.node),
+             |deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od
+             |        FROM e GROUP BY src),
+             |r0 AS (SELECT node, s AS rank FROM sv),
+             |c1 AS (SELECT e.dst AS node, SUM(r.rank / g.od) AS contrib
+             |       FROM e JOIN r0 r ON e.src = r.node
+             |       JOIN deg g ON e.src = g.src GROUP BY e.dst),
+             |d1 AS (SELECT coalesce(SUM(r.rank), 0) AS dm FROM r0 r
+             |       LEFT JOIN deg g ON r.node = g.src
+             |       WHERE g.src IS NULL),
+             |r1 AS (SELECT v.node,
+             |         (1.0 - 0.85) * v.s
+             |           + 0.85 * (coalesce(c.contrib, 0)
+             |             + (SELECT dm FROM d1) * v.s) AS rank
+             |       FROM sv v LEFT JOIN c1 c ON v.node = c.node),
+             |c2 AS (SELECT e.dst AS node, SUM(r.rank / g.od) AS contrib
+             |       FROM e JOIN r1 r ON e.src = r.node
+             |       JOIN deg g ON e.src = g.src GROUP BY e.dst),
+             |d2 AS (SELECT coalesce(SUM(r.rank), 0) AS dm FROM r1 r
+             |       LEFT JOIN deg g ON r.node = g.src
+             |       WHERE g.src IS NULL),
+             |r2 AS (SELECT v.node,
+             |         (1.0 - 0.85) * v.s
+             |           + 0.85 * (coalesce(c.contrib, 0)
+             |             + (SELECT dm FROM d2) * v.s) AS rank
+             |       FROM sv v LEFT JOIN c2 c ON v.node = c.node),
+             |c3 AS (SELECT e.dst AS node, SUM(r.rank / g.od) AS contrib
+             |       FROM e JOIN r2 r ON e.src = r.node
+             |       JOIN deg g ON e.src = g.src GROUP BY e.dst),
+             |d3 AS (SELECT coalesce(SUM(r.rank), 0) AS dm FROM r2 r
+             |       LEFT JOIN deg g ON r.node = g.src
+             |       WHERE g.src IS NULL),
+             |r3 AS (SELECT v.node,
+             |         (1.0 - 0.85) * v.s
+             |           + 0.85 * (coalesce(c.contrib, 0)
+             |             + (SELECT dm FROM d3) * v.s) AS rank
+             |       FROM sv v LEFT JOIN c3 c ON v.node = c.node)
+             |SELECT node,
+             |  floor(rank * 1000000 + 0.5) / 1000000 AS rank
+             |FROM r3 ORDER BY node""".stripMargin)),
+
     // Anchor-text aggregation (l63) — the link-graph text signal: each
     // doc links TWICE to its modular hub page (once with a planted
     // anchor, once with an EMPTY anchor that counts as a link but is

@@ -2061,6 +2061,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(out("https://t.example/b") == ((1L, 1L, Nil)))
   }
 
+  test("personalizedPageRank: hand-computed two iterations with a seed " +
+      "teleport; mass conserved; nodes unreachable from the seeds " +
+      "stay exactly 0") {
+    // A -> B -> C (C dangling), Z -> A (Z unreachable from seed A)
+    val edges = Seq(("A", "B"), ("B", "C"), ("Z", "A"))
+      .toDF("src", "dst")
+    val seeds = Seq("A").toDF("node")
+    val r = WebGraph.personalizedPageRank(edges, seeds, iterations = 2)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // r1 = (.15, .85, 0, 0); r2: A = .15, B = .85*.15, C = .85*.85
+    assert(math.abs(r("A") - 0.15) < 1e-12, s"$r")
+    assert(math.abs(r("B") - 0.1275) < 1e-12, s"$r")
+    assert(math.abs(r("C") - 0.7225) < 1e-12, s"$r")
+    assert(r("Z") == 0.0, s"unreachable node must stay exactly 0: $r")
+    assert(math.abs(r.values.sum - 1.0) < 1e-12,
+      s"mass must be conserved, got ${r.values.sum}")
+  }
+
   test("neighborhoodKmv: with k above every ball size the sketch IS the " +
       "exact ball (est_ball = |B(v,r)| for every node and radius); with " +
       "a tiny k the kept hashes are provably the k smallest md5 prefixes " +
