@@ -1958,6 +1958,46 @@ object TextAnalysis {
     out.toSeq
   }
 
+  /** Recrawl selection — the incremental-crawl decision joining
+    * [[parseSitemaps]] output against the crawl's fetch log: per URL,
+    *
+    *   - `new`:   never fetched (no log row) — always fetch;
+    *   - `stale`: fetched, but the sitemap's lastmod is AFTER the
+    *     fetch — or absent (an unknown lastmod cannot prove
+    *     freshness; refetching is the only way to know — the
+    *     conservative reading every incremental crawler takes);
+    *   - `fresh`: fetched at or after a present lastmod — skip.
+    *
+    * Dates compare LEXICOGRAPHICALLY — W3C datetime (the sitemaps.org
+    * requirement) is big-endian, so string order IS time order and
+    * the comparison is engine-exact (no timestamp parsing, no zone
+    * arithmetic; a malformed lastmod simply compares as a string,
+    * which at worst refetches). Output: (url, lastmod, fetched_at,
+    * status) — fetched_at "" on `new` rows.
+    *
+    * Scale shape: one url-keyed equi-join of two crawl-sized frames
+    * (AQE handles relative sizes; no skew — urls are unique on both
+    * sides), then a narrow CASE. The `stale` ∪ `new` output feeds
+    * [[frontierSchedule]].
+    */
+  def recrawlSelect(entries: DataFrame, fetchLog: DataFrame,
+                    locCol: String = "loc",
+                    lastmodCol: String = "lastmod",
+                    urlCol: String = "url",
+                    fetchedCol: String = "fetched_at"): DataFrame =
+    entries
+      .select(col(locCol).cast("string").as("url"),
+        coalesce(col(lastmodCol).cast("string"), lit("")).as("lastmod"))
+      .join(fetchLog.select(col(urlCol).cast("string").as("url"),
+          col(fetchedCol).cast("string").as("__fetched")),
+        Seq("url"), "left_outer")
+      .select(col("url"), col("lastmod"),
+        coalesce(col("__fetched"), lit("")).as("fetched_at"),
+        when(col("__fetched").isNull, lit("new"))
+          .when(col("lastmod") === "" ||
+            col("lastmod") > col("__fetched"), lit("stale"))
+          .otherwise(lit("fresh")).as("status"))
+
   /** Frontier fetch scheduling — the politeness step between frontier
     * and fetcher: per host, URLs take consecutive fetch SLOTS in a
     * deterministic order (the `idCol` key — discovery order in a real

@@ -2006,6 +2006,48 @@ object LlmQueries {
              |  kind, loc, lastmod
              |FROM rows ORDER BY sitemap_url, loc""".stripMargin)),
 
+    // Recrawl selection (l72) — the incremental-crawl decision: per
+    // doc_id, lastmod is absent (%7==0), older (2026-01-15, %2==0) or
+    // newer (2026-02-15) than the 2026-02-01 fetch; every third url
+    // (%3==1) has no log row at all. The four-way outcome (new /
+    // stale-by-unknown / stale-by-date / fresh) is pure doc_id
+    // arithmetic, and the date compare is lexicographic on W3C
+    // datetime strings — engine-exact by construction.
+    "l72_recrawl_select" -> QuerySpec(
+      (s, dir) => {
+        val id = col("doc_id")
+        val d = Tables(s, dir, "documents")
+        val entries = d.select(
+          concat(lit("https://h"), id % 20, lit(".example/p/"), id)
+            .as("loc"),
+          when(id % 7 === 0, lit(""))
+            .when(id % 2 === 0, lit("2026-01-15"))
+            .otherwise(lit("2026-02-15")).as("lastmod"))
+        val log = d.filter(id % 3 =!= 1).select(
+          concat(lit("https://h"), id % 20, lit(".example/p/"), id)
+            .as("url"),
+          lit("2026-02-01").as("fetched_at"))
+        TextAnalysis.recrawlSelect(entries, log)
+          .orderBy(col("url"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN ''
+             |         WHEN doc_id % 2 = 0 THEN '2026-01-15'
+             |         ELSE '2026-02-15' END AS lastmod,
+             |    CAST(doc_id % 3 AS INT) <> 1 AS logged
+             |  FROM documents)
+             |SELECT
+             |  'https://h' || (doc_id % 20) || '.example/p/' || doc_id
+             |    AS url,
+             |  lastmod,
+             |  CASE WHEN logged THEN '2026-02-01' ELSE '' END
+             |    AS fetched_at,
+             |  CASE WHEN NOT logged THEN 'new'
+             |       WHEN lastmod = '' OR lastmod > '2026-02-01'
+             |         THEN 'stale'
+             |       ELSE 'fresh' END AS status
+             |FROM d ORDER BY url""".stripMargin)),
+
     // Frontier fetch scheduling (l69) — the politeness step l67 feeds:
     // per host (20-host pool), URLs take consecutive slots in doc_id
     // order and scheduled_at = slot x the host's delay — published
