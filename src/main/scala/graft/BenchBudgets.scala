@@ -2,14 +2,15 @@ package graft
 
 /** Per-entry bench budgets — the regression tripwire: each entry's
   * pinned median (seconds, sf0.1, local[32]) as the ELEMENT-WISE MIN of
-  * the three round-13 close runs (target/bench_r13_idle{1,2,3}.json —
+  * the six round-13 runs (target/bench_r13_idle{1,2,3,5,6,7}.json —
   * all ZERO-flag zero-spike zero-error, suite calibrations
-  * 0.637/0.582/0.551, the third IN the 0.49–0.56 idle band, and every
-  * per-run load probe at the idle ~0.06 level; the r12 pins were taken
-  * at calibration 0.789 on a loaded host, which loosened the effective
-  * tripwire ~1.3x for idle runs — the r12 VERDICT item this
-  * regeneration closes; run 3 also flagged nothing against the
-  * run-1/2 pins, so the pins are self-consistent). Since r13
+  * 0.637/0.582/0.551/0.561/0.578/0.553, three IN the 0.49–0.56 idle
+  * band, every per-run load probe at the idle ~0.06 level; the r12
+  * pins were taken at calibration 0.789 on a loaded host, which
+  * loosened the effective tripwire ~1.3x for idle runs — the r12
+  * VERDICT item the first regeneration closed; each later run also
+  * flagged nothing against the earlier pins, so the map is
+  * self-consistent). Since r13
   * Bench probes before EVERY measured run and flags an entry only when
   * ALL runs exceed 2 x pinned x max(1, cal_now/RefCalibration,
   * run_probe/RefLoadProbe) — burst-robust (a co-tenant burst inflates
@@ -40,154 +41,154 @@ object BenchBudgets {
     "l02_minhash_lsh" -> 0.0475,
     "l03_simhash_neardup" -> 0.5144,
     "l04_ngram_jaccard" -> 0.8749,
-    "l05_embedding_neardup" -> 0.8571,
+    "l05_embedding_neardup" -> 0.8283,
     "l06_token_count" -> 0.0989,
     "l07_char_stats" -> 0.1087,
     "l08_fingerprint" -> 0.0959,
     "l09_quality_langid" -> 0.1362,
-    "l10_dedup_clusters" -> 0.5481,
+    "l10_dedup_clusters" -> 0.5197,
     "l11_approx_distinct" -> 0.1044,
-    "l12_text_clean" -> 0.1060,
-    "l13_subword_fingerprint" -> 0.1098,
-    "l14_lsh_bucketed" -> 0.8554,
-    "l15_hash_split" -> 0.1413,
-    "l16_corpus_mix" -> 0.1535,
-    "l17_sequence_pack" -> 0.2332,
-    "l18_per_source_sample" -> 0.1582,
+    "l12_text_clean" -> 0.1057,
+    "l13_subword_fingerprint" -> 0.1049,
+    "l14_lsh_bucketed" -> 0.7545,
+    "l15_hash_split" -> 0.1292,
+    "l16_corpus_mix" -> 0.1520,
+    "l17_sequence_pack" -> 0.2224,
+    "l18_per_source_sample" -> 0.1571,
     "l19_top_ngrams" -> 0.3998,
     "l20_bm25_terms" -> 0.7506,
     "l21_lsh_scale_stress" -> 3.0026,
-    "l22_decontaminate" -> 0.4242,
-    "l23_repetition" -> 0.1056,
+    "l22_decontaminate" -> 0.4028,
+    "l23_repetition" -> 0.1026,
     "l24_repeated_ngrams" -> 0.6275,
     "l25_ngram_lm" -> 0.5716,
-    "l26_bpe_train" -> 0.3653,
+    "l26_bpe_train" -> 0.3025,
     "l27_cms_counts" -> 0.3965,
-    "l28_corpus_funnel" -> 1.5305,
-    "l29_bpe_encode" -> 0.8339,
-    "l30_bloom_decontaminate" -> 0.6712,
-    "l31_fuzzy_join" -> 1.3386,
-    "l32_unicode_nfc" -> 0.1197,
-    "l33_temperature_mix" -> 0.1409,
-    "l34_chunk_overlap" -> 0.2377,
-    "l35_heavy_hitters" -> 0.4630,
-    "l36_concat_chunk_pack" -> 0.5526,
-    "l37_cluster_balance" -> 0.3915,
-    "l38_dedup_clusters_star" -> 0.8821,
-    "l39_passage_dedup" -> 0.1987,
-    "l40_gopher_rules" -> 0.1212,
+    "l28_corpus_funnel" -> 1.4079,
+    "l29_bpe_encode" -> 0.7148,
+    "l30_bloom_decontaminate" -> 0.5488,
+    "l31_fuzzy_join" -> 1.2753,
+    "l32_unicode_nfc" -> 0.1156,
+    "l33_temperature_mix" -> 0.1335,
+    "l34_chunk_overlap" -> 0.2252,
+    "l35_heavy_hitters" -> 0.4472,
+    "l36_concat_chunk_pack" -> 0.5156,
+    "l37_cluster_balance" -> 0.3787,
+    "l38_dedup_clusters_star" -> 0.7628,
+    "l39_passage_dedup" -> 0.1788,
+    "l40_gopher_rules" -> 0.1064,
     "l41_dsir_select" -> 1.0430,
-    "l42_quality_classifier" -> 0.1336,
+    "l42_quality_classifier" -> 0.1313,
     "l43_bbpe_train" -> 0.2741,
     "l44_bbpe_encode" -> 0.6241,
     "l45_html_extract" -> 0.0908,
     "l46_url_normalize" -> 0.4077,
-    "l47_c4_clean" -> 0.1045,
-    "l48_domain_filter" -> 0.1454,
+    "l47_c4_clean" -> 0.0950,
+    "l48_domain_filter" -> 0.1436,
     "l49_crawl_funnel" -> 0.2432,
-    "l50_incremental_dedup" -> 0.7853,
-    "l51_http_funnel" -> 0.3104,
+    "l50_incremental_dedup" -> 0.7796,
+    "l51_http_funnel" -> 0.3052,
     "l52_html_strict" -> 0.0877,
-    "l53_pii_redact" -> 0.1090,
+    "l53_pii_redact" -> 0.1023,
     "l54_robots_filter" -> 0.1526,
     "l55_kmv_distinct" -> 0.5926,
-    "l56_http_decode" -> 0.1025,
-    "l57_kmv_intersect" -> 0.7584,
-    "l58_redirect_resolve" -> 1.1015,
+    "l56_http_decode" -> 0.0984,
+    "l57_kmv_intersect" -> 0.7266,
+    "l58_redirect_resolve" -> 0.7005,
     "l59_sitemap_discovery" -> 0.1161,
-    // l60–l63 pinned from target/bench_r13_idle5.json (143 entries,
-    // cal 0.5607, zero flags/spikes/errors)
     "l60_line_dedup" -> 0.1371,
     "l61_outlinks" -> 0.1464,
-    "l62_pagerank" -> 0.9947,
-    "l63_anchor_text" -> 0.1930,
-    // l64–l69/st16 pinned from target/bench_r13_idle6.json (150
-    // entries, cal 0.5779, zero flags/spikes/errors)
-    "l64_graph_balls" -> 0.8133,
-    "l65_charset_sniff" -> 0.1227,
-    "l66_harmonic_centrality" -> 0.7459,
-    "l67_crawl_delay" -> 0.1587,
-    "l68_exact_substr" -> 0.4118,
-    "l69_frontier_schedule" -> 0.1987,
-    "st16_frontier_stream" -> 1.0502,
+    "l62_pagerank" -> 0.9408,
+    "l63_anchor_text" -> 0.1586,
+    "l64_graph_balls" -> 0.7228,
+    "l65_charset_sniff" -> 0.0845,
+    "l66_harmonic_centrality" -> 0.6993,
+    "l67_crawl_delay" -> 0.1161,
+    "l68_exact_substr" -> 0.3296,
+    "l69_frontier_schedule" -> 0.1634,
+    "l70_sitemap_parse" -> 0.1178,
+    "l71_personalized_pagerank" -> 0.8618,
+    "l72_recrawl_select" -> 0.1406,
     "m01_media_features" -> 0.2213,
     "m02_frame_sample" -> 0.0812,
-    "m03_media_resize" -> 0.0926,
-    "m04_jpeg_decode" -> 0.1345,
-    "m05_png_decode" -> 0.0910,
+    "m03_media_resize" -> 0.0864,
+    "m04_jpeg_decode" -> 0.1319,
+    "m05_png_decode" -> 0.0795,
     "m06_gif_decode" -> 0.0677,
-    "m07_phash_neardup" -> 0.2546,
-    "m08_audio_fingerprint" -> 0.1999,
-    "m09_scene_detect" -> 0.0937,
-    "p01_full_history" -> 0.0896,
-    "p02_state_codec" -> 0.2176,
-    "p03_account_asof" -> 0.1002,
-    "p04_txbodies_stats" -> 0.3577,
-    "p05_txbodies_dups" -> 0.2786,
-    "p06_dat_roundtrip" -> 0.4766,
-    "p07_asof_join" -> 0.1040,
-    "p08_txbodies_roundtrip" -> 0.8988,
-    "p09_storage_asof_join" -> 0.0965,
-    "p10_dat_append" -> 0.3768,
+    "m07_phash_neardup" -> 0.2346,
+    "m08_audio_fingerprint" -> 0.1903,
+    "m09_scene_detect" -> 0.0918,
+    "m10_image_sniff" -> 0.0746,
+    "p01_full_history" -> 0.0868,
+    "p02_state_codec" -> 0.2001,
+    "p03_account_asof" -> 0.0766,
+    "p04_txbodies_stats" -> 0.3514,
+    "p05_txbodies_dups" -> 0.2578,
+    "p06_dat_roundtrip" -> 0.4240,
+    "p07_asof_join" -> 0.0994,
+    "p08_txbodies_roundtrip" -> 0.8008,
+    "p09_storage_asof_join" -> 0.0947,
+    "p10_dat_append" -> 0.3681,
     "p11_full_history_skew" -> 0.9428,
     "p12_dat_dsv2_write" -> 0.2265,
-    "p13_scale_stress" -> 3.4834,
-    "p14_dat_compact" -> 0.7379,
-    "p15_format_roundtrip" -> 1.4848,
-    "p16_point_lookup_pages" -> 0.1348,
-    "p17_warc_ingest" -> 0.3649,
-    "q01_range_filter" -> 0.1214,
-    "q02_project_predicate" -> 0.1067,
-    "q03_lookup_join" -> 0.1729,
-    "q04_seq_join_agg" -> 0.4680,
-    "q05_union_interleave" -> 0.1534,
+    "p13_scale_stress" -> 3.3351,
+    "p14_dat_compact" -> 0.7296,
+    "p15_format_roundtrip" -> 1.2698,
+    "p16_point_lookup_pages" -> 0.1202,
+    "p17_warc_ingest" -> 0.3420,
+    "q01_range_filter" -> 0.1103,
+    "q02_project_predicate" -> 0.0889,
+    "q03_lookup_join" -> 0.1453,
+    "q04_seq_join_agg" -> 0.4323,
+    "q05_union_interleave" -> 0.1310,
     "q06_multi_sort" -> 0.0853,
-    "q07_lag_retimestamp" -> 0.1865,
-    "q08_agg_counters" -> 0.1765,
-    "q09_dup_detect" -> 0.4815,
-    "q10_prune_tail" -> 0.1894,
-    "q11_kway_merge" -> 0.1429,
-    "q12_monotonic_guard" -> 0.0979,
-    "q13_salted_agg" -> 0.1213,
-    "q14_rollup" -> 0.2567,
-    "q15_set_ops" -> 0.2008,
-    "q16_salted_join" -> 0.2288,
-    "q17_interval_join" -> 0.2375,
-    "q18_cube" -> 0.3046,
-    "q19_salted_interval_join" -> 0.3739,
-    "s01_cosine_topk" -> 0.1824,
-    "s02_lsh_topk" -> 0.3779,
-    "s03_ivf_topk" -> 0.5949,
-    "s04_ivf_trained" -> 0.6050,
-    "s05_pq_adc" -> 0.5577,
-    "s06_ivf_pq" -> 1.0045,
-    "s07_semantic_dedup" -> 1.5969,
-    "s08_sq8_topk" -> 0.4664,
-    "s09_maxsim_topk" -> 0.2560,
+    "q07_lag_retimestamp" -> 0.1552,
+    "q08_agg_counters" -> 0.1615,
+    "q09_dup_detect" -> 0.4324,
+    "q10_prune_tail" -> 0.1718,
+    "q11_kway_merge" -> 0.1283,
+    "q12_monotonic_guard" -> 0.0847,
+    "q13_salted_agg" -> 0.1090,
+    "q14_rollup" -> 0.2466,
+    "q15_set_ops" -> 0.1894,
+    "q16_salted_join" -> 0.2098,
+    "q17_interval_join" -> 0.2147,
+    "q18_cube" -> 0.2570,
+    "q19_salted_interval_join" -> 0.3390,
+    "s01_cosine_topk" -> 0.1795,
+    "s02_lsh_topk" -> 0.3612,
+    "s03_ivf_topk" -> 0.5884,
+    "s04_ivf_trained" -> 0.5956,
+    "s05_pq_adc" -> 0.4959,
+    "s06_ivf_pq" -> 0.9638,
+    "s07_semantic_dedup" -> 1.5026,
+    "s08_sq8_topk" -> 0.4562,
+    "s09_maxsim_topk" -> 0.2505,
     "s10_ivf_sq8" -> 0.8211,
-    "s11_binary_topk" -> 0.2886,
+    "s11_binary_topk" -> 0.2762,
     "s12_ivf_bq" -> 0.7420,
-    "s13_ann_scale_stress" -> 6.0153,
-    "s14_two_stage_retrieval" -> 0.9474,
-    "s15_filtered_ann" -> 0.3970,
-    "s16_random_projection" -> 0.8386,
-    "s17_indexed_ann" -> 0.3469,
+    "s13_ann_scale_stress" -> 5.7456,
+    "s14_two_stage_retrieval" -> 0.8023,
+    "s15_filtered_ann" -> 0.3707,
+    "s16_random_projection" -> 0.8236,
+    "s17_indexed_ann" -> 0.3380,
     "st02_file_stream" -> 0.8860,
     "st03_stream_dedup" -> 0.8158,
     "st04_session_stream" -> 1.2068,
-    "st05_history_stream" -> 1.3138,
-    "st06_stream_neardup" -> 1.7868,
+    "st05_history_stream" -> 1.1772,
+    "st06_stream_neardup" -> 1.6766,
     "st07_stream_archive" -> 1.5761,
-    "st08_archive_tail" -> 1.3200,
-    "st09_archive_mirror" -> 1.2693,
-    "st10_stream_funnel" -> 0.9539,
-    "st11_stream_neardup_ttl" -> 2.2475,
-    "st12_stream_interval_join" -> 2.4915,
-    "st13_warc_stream" -> 0.4312,
-    "st14_stream_score" -> 0.5249,
-    "st15_http_stream" -> 0.4222,
-    "w01_event_window" -> 0.1764,
-    "w02_session_window" -> 0.2966,
-    "w03_quantiles" -> 0.1418,
-    "w04_approx_quantiles" -> 0.2214)
+    "st08_archive_tail" -> 1.2367,
+    "st09_archive_mirror" -> 1.1632,
+    "st10_stream_funnel" -> 0.9212,
+    "st11_stream_neardup_ttl" -> 2.0026,
+    "st12_stream_interval_join" -> 2.1892,
+    "st13_warc_stream" -> 0.3603,
+    "st14_stream_score" -> 0.5024,
+    "st15_http_stream" -> 0.3727,
+    "st16_frontier_stream" -> 1.0039,
+    "w01_event_window" -> 0.1643,
+    "w02_session_window" -> 0.2845,
+    "w03_quantiles" -> 0.1305,
+    "w04_approx_quantiles" -> 0.1859)
 }

@@ -71,7 +71,9 @@ object Explain {
       "l64_graph_balls" -> "KMV neighborhood function (dst-keyed sketch join + WindowGroupLimit k-min per round)",
       "l66_harmonic_centrality" -> "harmonic centrality (node-keyed max-when pivot over the ball frame, closed-form sum)",
       "l68_exact_substr" -> "ExactSubstr span removal (scanned-once positional grams, partial-agg support, gram-keyed verdict join, doc-keyed span merge + reassembly)",
-      "l69_frontier_schedule" -> "frontier scheduling (host-partitioned slot window, broadcast delay join)")
+      "l69_frontier_schedule" -> "frontier scheduling (host-partitioned slot window, broadcast delay join)",
+      "l71_personalized_pagerank" -> "personalized PageRank iteration (seed column broadcast-joined, partial-aggregated contributions)",
+      "l72_recrawl_select" -> "recrawl selection (url-keyed equi-join + narrow CASE, lexicographic date compare)")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans of flagship queries\n\n")
     sb.append("Generated by `runMain graft.Explain` on sf0.001; the\n")
