@@ -98,6 +98,56 @@ object WebGraph {
             col("dangling_mass") / col("n_nodes"))).as("rank"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999), fixed iterations, in
+    * EXACT INTEGER form: starting from hub = 1 everywhere,
+    *
+    *   auth'(v) = Σ_{u→v} hub(u)      then
+    *   hub'(v)  = Σ_{v→w} auth'(w)
+    *
+    * with NO per-iteration normalization — the classical algorithm
+    * normalizes to keep floats bounded, but normalization is one
+    * uniform scalar per iteration and cannot change the RANKING, which
+    * is what hubs/authorities are for (callers divide by the max for
+    * display). Unnormalized, every score is an exact integer (a count
+    * of length-bounded alternating paths), so the oracle needs no
+    * quantization and a hash compares bit-for-bit. Parallel edges
+    * collapse (one endorsement per page pair, the pageRank reading).
+    *
+    * Scale shape: each iteration is two src/dst-keyed equi-join +
+    * partial-aggregated sums (hub fan-in dies map-side, the l62
+    * argument), localCheckpointed. Output: (node, hub, authority) for
+    * every edge endpoint.
+    */
+  def hits(edges: DataFrame, iterations: Int = 2,
+           srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var hub = nodes.select(col("node"), lit(1L).as("hub"))
+      .localCheckpoint()
+    var auth = nodes.select(col("node"), lit(0L).as("authority"))
+    var it = 0
+    while (it < iterations) {
+      auth = nodes
+        .join(e.join(hub, e("src") === hub("node"))
+            .groupBy(col("dst")).agg(sum(col("hub")).as("a")),
+          nodes("node") === col("dst"), "left_outer")
+        .select(nodes("node"), coalesce(col("a"), lit(0L)).as("authority"))
+        .localCheckpoint()
+      hub = nodes
+        .join(e.join(auth, e("dst") === auth("node"))
+            .groupBy(col("src")).agg(sum(col("authority")).as("h")),
+          nodes("node") === col("src"), "left_outer")
+        .select(nodes("node"), coalesce(col("h"), lit(0L)).as("hub"))
+        .localCheckpoint()
+      it += 1
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), col("hub"), col("authority"))
+  }
+
   /** Personalized PageRank (Haveliwala 2002, "Topic-Sensitive
     * PageRank") — [[pageRank]] with the teleport mass restricted to a
     * SEED set: the crawl-prioritization / related-page primitive (rank

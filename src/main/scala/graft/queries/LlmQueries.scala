@@ -2216,6 +2216,60 @@ object LlmQueries {
              |  floor(rank * 1000000 + 0.5) / 1000000 AS rank
              |FROM r3 ORDER BY node""".stripMargin)),
 
+    // HITS hubs & authorities (l73) — Kleinberg's companion to
+    // PageRank over the same arithmetic graph, TWO iterations in
+    // exact-integer (unnormalized) form: every score is a count of
+    // bounded alternating paths, so the oracle unrolls both
+    // iterations in SQL and the hash compares integers bit-for-bit —
+    // no quantization anywhere (normalization is a uniform
+    // per-iteration scalar; ranking is unchanged, see the scaladoc).
+    "l73_hits" -> QuerySpec(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") % 11 =!= 0)
+        val e1 = d.select(concat(lit("n"), col("doc_id")).as("src"),
+          concat(lit("n"), col("doc_id") % 13).as("dst"))
+        val e2 = d.select(concat(lit("n"), col("doc_id")).as("src"),
+          concat(lit("n"), (col("doc_id") * 7 + 3) % 101).as("dst"))
+        WebGraph.hits(e1.unionByName(e2), iterations = 2)
+          .orderBy(col("node"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id FROM documents WHERE doc_id % 11 <> 0),
+             |e AS (
+             |  SELECT DISTINCT src, dst FROM (
+             |    SELECT 'n' || doc_id AS src,
+             |      'n' || (doc_id % 13) AS dst FROM d
+             |    UNION ALL
+             |    SELECT 'n' || doc_id,
+             |      'n' || ((doc_id * 7 + 3) % 101) FROM d)),
+             |nodes AS (SELECT src AS node FROM e UNION
+             |          SELECT dst FROM e),
+             |h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes),
+             |a1 AS (SELECT n.node, coalesce(s.a, 0)::BIGINT AS auth
+             |       FROM nodes n LEFT JOIN (
+             |         SELECT e.dst AS node, SUM(h.hub) AS a
+             |         FROM e JOIN h0 h ON e.src = h.node
+             |         GROUP BY e.dst) s ON n.node = s.node),
+             |h1 AS (SELECT n.node, coalesce(s.h, 0)::BIGINT AS hub
+             |       FROM nodes n LEFT JOIN (
+             |         SELECT e.src AS node, SUM(a.auth) AS h
+             |         FROM e JOIN a1 a ON e.dst = a.node
+             |         GROUP BY e.src) s ON n.node = s.node),
+             |a2 AS (SELECT n.node, coalesce(s.a, 0)::BIGINT AS auth
+             |       FROM nodes n LEFT JOIN (
+             |         SELECT e.dst AS node, SUM(h.hub) AS a
+             |         FROM e JOIN h1 h ON e.src = h.node
+             |         GROUP BY e.dst) s ON n.node = s.node),
+             |h2 AS (SELECT n.node, coalesce(s.h, 0)::BIGINT AS hub
+             |       FROM nodes n LEFT JOIN (
+             |         SELECT e.src AS node, SUM(a.auth) AS h
+             |         FROM e JOIN a2 a ON e.dst = a.node
+             |         GROUP BY e.src) s ON n.node = s.node)
+             |SELECT h2.node AS node, h2.hub, a2.auth AS authority
+             |FROM h2 JOIN a2 ON h2.node = a2.node
+             |ORDER BY h2.node""".stripMargin)),
+
     // Personalized PageRank (l71) — the seed-teleport variant (crawl
     // prioritization / related pages): same arithmetic graph as l62,
     // teleport + dangling mass restricted to the five seed hubs

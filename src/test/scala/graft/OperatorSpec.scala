@@ -2061,6 +2061,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(out("https://t.example/b") == ((1L, 1L, Nil)))
   }
 
+  test("hits: hand-computed two exact-integer iterations (unnormalized " +
+      "path counts); parallel edges collapse; sinks have hub 0, " +
+      "sources authority 0") {
+    // A -> B, A -> C, B -> C (B -> C twice: must count once)
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("B", "C"))
+      .toDF("src", "dst")
+    val r = WebGraph.hits(edges, iterations = 2).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // a1 = (0,1,2); h1 = (3,2,0); a2 = (0,3,5); h2 = (8,5,0)
+    assert(r == Map("A" -> ((8L, 0L)), "B" -> ((5L, 3L)),
+      "C" -> ((0L, 5L))), s"$r")
+  }
+
   test("personalizedPageRank: hand-computed two iterations with a seed " +
       "teleport; mass conserved; nodes unreachable from the seeds " +
       "stay exactly 0") {
