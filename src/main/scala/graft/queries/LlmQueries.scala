@@ -981,6 +981,24 @@ object LlmQueries {
           .toDF("docs_1x", "docs_10x", "pairs_1x", "pairs_10x")
       }, None, Some(dir => l21Sql(dir))),
 
+    // Measured scale stress for the graph-sketch path (l74 — the
+    // l21/p13/s13 pattern on the link-graph family): the full KMV
+    // neighborhood pipeline (radius 2, k 16) over a 1x and a 10x edge
+    // world IN THE SAME INVOCATION. The oracle-hashed output carries
+    // only design-exact counts (node counts and radii-row counts —
+    // wrong-at-scale sketch growth fails the hash); the measured
+    // wall ratio and heap delta print as a parseable [l74] stderr
+    // line with the sub-quadratic / flat-heap bounds enforced by
+    // OperatorSpec's retrying check.
+    "l74_graph_scale_stress" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val n = l74NFor(dir)
+        val m = measureGraphScaleStress(s, dir)
+        Seq((n.toLong, n * 10L, m.rows1, m.rows10))
+          .toDF("nodes_1x", "nodes_10x", "rows_1x", "rows_10x")
+      }, None, Some(dir => l74Sql(dir))),
+
     // Within-document repetition (Gopher-style quality rules): top-token
     // fraction + duplicate 2/3-gram fractions, all narrow per-row array
     // math. DuckDB mirrors the comprehensions exactly (same tokenization,
@@ -4300,6 +4318,71 @@ object LlmQueries {
     val n = l21NFor(dir)
     s"""SELECT $n::BIGINT AS docs_1x, ${n * 10}::BIGINT AS docs_10x,
        |  ${n / 10}::BIGINT AS pairs_1x, $n::BIGINT AS pairs_10x""".stripMargin
+  }
+
+  // ---- l74: measured graph-sketch scale stress ----
+
+  private[queries] def l74NFor(dir: String): Int =
+    if (dir.contains("sf0.1")) 2000 else 500
+
+  /** Deterministic graph world for the measured scale run, cached as
+    * parquet (the l21 fixture convention): n chain edges
+    * n{i} → n{(7i+3) % 211}. 7 is coprime to 211, so for n ≥ 211 every
+    * residue appears as a dst and the dst set is a subset of the src
+    * set — the node count is EXACTLY n and the l74 output is O(1)
+    * design arithmetic, no sketch replay needed.
+    */
+  private def l74EdgesPath(s: org.apache.spark.sql.SparkSession,
+                           n: Int): String = {
+    require(n >= 211, s"l74 world needs n >= 211, got $n")
+    val base = new java.io.File(s"target/l74graph/$n").getAbsolutePath
+    val ok = java.nio.file.Paths.get(base, "_OK")
+    if (!java.nio.file.Files.exists(ok)) {
+      import s.implicits._
+      (0 until n).map(i => (s"n$i", s"n${(7 * i + 3) % 211}"))
+        .toDF("src", "dst")
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$base/edges")
+      java.nio.file.Files.write(ok, Array.emptyByteArray)
+    }
+    s"$base/edges"
+  }
+
+  /** One measured 1x-vs-10x run of the KMV neighborhood sketch
+    * ([[WebGraph.neighborhoodKmv]], radius 2, k 16) — each growth round
+    * is one |E|-proportional equi-join + WindowGroupLimit k-min, so the
+    * wall must scale near-linearly in the edge count. Shared by the
+    * l74 registry entry (design-exact row counts → oracle hash) and
+    * OperatorSpec's retrying bound check (ratio/heap → assertion), the
+    * l21 split: environment-dependent measurements never ride the
+    * correctness hash.
+    */
+  def measureGraphScaleStress(s: org.apache.spark.sql.SparkSession,
+      dir: String): PipelineQueries.ScaleRun = {
+    val n = l74NFor(dir)
+    val p1 = l74EdgesPath(s, n)
+    val p10 = l74EdgesPath(s, n * 10)
+    def timedRun(path: String)(): (Long, Double) = {
+      def once(): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val c = graft.operators.WebGraph
+          .neighborhoodKmv(s.read.parquet(path), radius = 2, k = 16)
+          .count()
+        (c, (System.nanoTime() - t0) / 1e9)
+      }
+      val (rows, tA) = once()
+      val (_, tB) = once()
+      (rows, math.min(tA, tB))
+    }
+    PipelineQueries.measureScalePair("l74", timedRun(p1), timedRun(p10))
+  }
+
+  private def l74Sql(dir: String): String = {
+    val n = l74NFor(dir)
+    // nodes = n exactly (see l74EdgesPath); rows = nodes x 3 radii
+    s"""SELECT $n::BIGINT AS nodes_1x, ${n * 10}::BIGINT AS nodes_10x,
+       |  ${3L * n}::BIGINT AS rows_1x,
+       |  ${30L * n}::BIGINT AS rows_10x""".stripMargin
   }
 
   // ---- s13: measured quantized-ANN scale stress ----

@@ -2515,30 +2515,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(ok, "10x KMV exceeded 30x wall on all 3 attempts")
   }
 
-  test("neighborhood-sketch scale bounds: 10x edges stays sub-quadratic " +
-      "— each growth round is one |E|-proportional equi-join plus a " +
+  test("l74 scale bounds: 10x edges through the KMV neighborhood " +
+      "pipeline stays sub-quadratic with flat driver heap — each " +
+      "growth round is one |E|-proportional equi-join plus a " +
       "WindowGroupLimit k-min, never |V|^2 ball materialization") {
-    def world(n: Int) = spark.range(n).selectExpr(
-        "concat('n', id) as src",
-        "concat('n', (id * 7 + 3) % 211) as dst")
-      .localCheckpoint() // graph construction outside the timed region
-    val w1 = world(500)
-    val w10 = world(5000)
-    def time(df: org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      assert(WebGraph.neighborhoodKmv(df, radius = 2, k = 16)
-        .count() > 0)
-      (System.nanoTime() - t0) / 1e9
-    }
-    time(w1) // warm codegen/JIT outside the measured attempts
-    val ok = (1 to 3).exists { _ =>
-      val t1 = math.min(time(w1), time(w1))
-      val t10 = math.min(time(w10), time(w10))
-      val ratio = t10 / math.max(t1, 1e-3)
-      info(f"balls 1x=${t1}%.3fs 10x=${t10}%.3fs ratio=$ratio%.1f")
-      ratio < 30.0
-    }
-    assert(ok, "10x neighborhood sketch exceeded 30x wall on all 3 attempts")
+    // The l74 registry entry oracle-hashes only the design-exact
+    // counts; the environment-dependent ratio/heap bounds live here
+    // with retries (the l21/ADVICE-r6 split).
+    val attempts = LazyList.continually(
+      graft.queries.LlmQueries.measureGraphScaleStress(spark, "spec"))
+      .take(3)
+    assert(attempts.exists(m => m.subquadratic && m.driverHeapFlat),
+      "ratio >= 35x or driver heap grew >= 512MB on all 3 attempts")
+    val first = attempts.head
+    // node count = n exactly (dst residues are a subset of src ids);
+    // rows = nodes x 3 radii
+    assert(first.rows1 == 1500L && first.rows10 == 15000L,
+      s"rows ${first.rows1}/${first.rows10}")
   }
 
   test("robots.txt: RFC 9309 group selection, longest-prefix match " +
