@@ -1958,6 +1958,87 @@ object TextAnalysis {
     out.toSeq
   }
 
+  /** Sitemap TREE resolution — the walk [[parseSitemaps]] feeds: from
+    * the DISCOVERED roots ([[robotsSitemaps]] output), follow
+    * `<sitemapindex>` child pointers through the fetched-bodies frame
+    * to the leaf `<urlset>` entries, keeping root provenance and
+    * depth. Index files are the norm at the protocol's 50k-URL cap,
+    * so a real seed channel is a 2–3-level tree, not a flat list.
+    * Orphan sitemap bodies (fetched but reachable from no root) seed
+    * nothing; CYCLES (index files pointing back up — they exist in
+    * the wild) terminate because each level anti-joins the already-
+    * visited url set; depth is capped at `maxDepth` levels of
+    * indirection.
+    *
+    * Output: (host, root_url, sitemap_url, depth, loc, lastmod) — one
+    * row per urlset entry reachable from a root, `sitemap_url` the
+    * leaf file that carried it, `depth` its indirection level
+    * (0 = the root itself was a urlset).
+    *
+    * Scale shape: `maxDepth` rounds of url-keyed equi-joins between
+    * the frontier (crawl-metadata-sized) and the bodies frame, each
+    * round localCheckpointed (the l58 pointer-walk stance, with depth
+    * as a small fixed constant rather than log-doubling — sitemap
+    * trees are shallow by construction).
+    */
+  def resolveSitemapTree(roots: DataFrame, bodies: DataFrame,
+                         maxDepth: Int = 3,
+                         hostCol: String = "host",
+                         rootUrlCol: String = "sitemap_url",
+                         urlCol: String = "url",
+                         xmlCol: String = "xml"): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val b = bodies.select(col(urlCol).cast("string").as("__u"),
+      col(xmlCol).as("__xml")).localCheckpoint()
+    var frontier = roots.select(col(hostCol).cast("string").as("host"),
+        col(rootUrlCol).cast("string").as("root_url"))
+      .distinct()
+      .select(col("host"), col("root_url"),
+        col("root_url").as("sitemap_url"), lit(0).as("depth"))
+      .localCheckpoint()
+    var visited = frontier.select(col("host"), col("root_url"),
+      col("sitemap_url")).localCheckpoint()
+    var out: DataFrame = null
+    var d = 0
+    var more = true
+    while (more && d <= maxDepth) {
+      val parsed = frontier
+        .join(b, frontier("sitemap_url") === col("__u"))
+        .select(col("host"), col("root_url"), col("sitemap_url"),
+          col("depth"), col("__xml"))
+      val spark = parsed.sparkSession
+      import spark.implicits._
+      val rows = parsed.as[(String, String, String, Int, String)]
+        .flatMap { case (h, r, u, dep, xml) =>
+          sitemapEntries(Option(xml).getOrElse("")).map {
+            case (kind, loc, lastmod) => (h, r, u, dep, kind, loc, lastmod)
+          }
+        }.toDF("host", "root_url", "sitemap_url", "depth", "kind",
+          "loc", "lastmod")
+        .localCheckpoint()
+      val leaves = rows.filter(col("kind") === "urlset")
+        .select(col("host"), col("root_url"), col("sitemap_url"),
+          col("depth"), col("loc"), col("lastmod"))
+      out = if (out == null) leaves else out.unionByName(leaves)
+      val children = rows.filter(col("kind") === "sitemapindex")
+        .select(col("host"), col("root_url"),
+          col("loc").as("sitemap_url"), (col("depth") + 1).as("depth"))
+        .distinct()
+      // cycle guard: a child already visited under the SAME root is
+      // not re-entered (per-root, so two roots sharing a child both
+      // get its entries)
+      frontier = children
+        .join(visited, Seq("host", "root_url", "sitemap_url"),
+          "left_anti")
+        .localCheckpoint()
+      visited = visited.unionByName(frontier.select(col("host"),
+        col("root_url"), col("sitemap_url"))).localCheckpoint()
+      more = !frontier.isEmpty
+      d += 1
+    }
+    out
+  }
+
   /** Recrawl selection — the incremental-crawl decision joining
     * [[parseSitemaps]] output against the crawl's fetch log: per URL,
     *

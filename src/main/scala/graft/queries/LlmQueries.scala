@@ -2024,6 +2024,77 @@ object LlmQueries {
              |  kind, loc, lastmod
              |FROM rows ORDER BY sitemap_url, loc""".stripMargin)),
 
+    // Sitemap tree resolution (l75) — the walk from discovered roots
+    // to leaf urlsets: even hosts' root s0.xml is an INDEX over
+    // c0/c1.xml (odd hosts' root is a direct urlset, depth 0); on
+    // doc_id%9==4 c0.xml is an index pointing BACK at s0.xml — a
+    // planted cycle that must terminate via the visited set and
+    // contribute nothing; c0/c1 bodies also exist for odd hosts but
+    // are reachable from no root there (orphans — must not seed).
+    // The oracle regenerates every (root, leaf, depth, loc) row from
+    // doc_id arithmetic alone without walking an edge.
+    "l75_sitemap_tree" -> QuerySpec(
+      (s, dir) => {
+        val id = col("doc_id")
+        val d = Tables(s, dir, "documents").select(col("doc_id"))
+        def sm(name: String): org.apache.spark.sql.Column =
+          concat(lit("https://h"), id, lit(s".example/$name.xml"))
+        val s0 = d.select(sm("s0").as("url"),
+          when(id % 2 === 0, concat(
+            lit("<sitemapindex><sitemap><loc>https://h"), id,
+            lit(".example/c0.xml</loc></sitemap><sitemap><loc>https://h"),
+            id, lit(".example/c1.xml</loc></sitemap></sitemapindex>")))
+          .otherwise(concat(
+            lit("<urlset><url><loc>https://h"), id,
+            lit(".example/direct/"), id,
+            lit("</loc></url></urlset>"))).as("xml"))
+        val c0 = d.select(sm("c0").as("url"),
+          when(id % 9 === 4, concat(
+            lit("<sitemapindex><sitemap><loc>https://h"), id,
+            lit(".example/s0.xml</loc></sitemap></sitemapindex>")))
+          .otherwise(concat(
+            lit("<urlset><url><loc>https://h"), id,
+            lit(".example/a/"), id,
+            lit("</loc><lastmod>2026-03-01</lastmod></url></urlset>")))
+            .as("xml"))
+        val c1 = d.select(sm("c1").as("url"),
+          concat(lit("<urlset><url><loc>https://h"), id,
+            lit(".example/b/"), id,
+            lit("</loc></url></urlset>")).as("xml"))
+        val orphan = d.select(sm("orphan").as("url"),
+          concat(lit("<urlset><url><loc>https://h"), id,
+            lit(".example/orphan/"), id,
+            lit("</loc></url></urlset>")).as("xml"))
+        val roots = d.select(
+          concat(lit("h"), id, lit(".example")).as("host"),
+          sm("s0").as("sitemap_url"))
+        TextAnalysis.resolveSitemapTree(roots,
+            s0.unionByName(c0).unionByName(c1).unionByName(orphan))
+          .orderBy(col("host"), col("sitemap_url"), col("loc"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(doc_id % 2 AS INT) = 0 AS idx,
+             |    CAST(doc_id % 9 AS INT) = 4 AS cyc
+             |  FROM documents),
+             |rows AS (
+             |  SELECT doc_id, 's0' AS leaf, 0 AS depth,
+             |    '/direct/' AS p, '' AS lm FROM d WHERE NOT idx
+             |  UNION ALL
+             |  SELECT doc_id, 'c1', 1, '/b/', '' FROM d WHERE idx
+             |  UNION ALL
+             |  SELECT doc_id, 'c0', 1, '/a/', '2026-03-01'
+             |  FROM d WHERE idx AND NOT cyc)
+             |SELECT 'h' || doc_id || '.example' AS host,
+             |  'https://h' || doc_id || '.example/s0.xml' AS root_url,
+             |  'https://h' || doc_id || '.example/' || leaf || '.xml'
+             |    AS sitemap_url,
+             |  depth,
+             |  'https://h' || doc_id || '.example' || p || doc_id
+             |    AS loc,
+             |  lm AS lastmod
+             |FROM rows
+             |ORDER BY host, sitemap_url, loc""".stripMargin)),
+
     // Recrawl selection (l72) — the incremental-crawl decision: per
     // doc_id, lastmod is absent (%7==0), older (2026-01-15, %2==0) or
     // newer (2026-02-15) than the 2026-02-01 fetch; every third url

@@ -2613,6 +2613,50 @@ class OperatorSpec extends AnyFunSuite {
       "<url><loc>https://x/2").map(_._2) == Seq("https://x/1"))
   }
 
+  test("resolveSitemapTree: index walk with root provenance — a cycle " +
+      "terminates via the visited set, orphan bodies seed nothing, a " +
+      "child shared by two roots yields entries under BOTH, depth is " +
+      "capped") {
+    import graft.operators.TextAnalysis
+    def idx(children: String*): String =
+      "<sitemapindex>" + children.map(c =>
+        s"<sitemap><loc>$c</loc></sitemap>").mkString + "</sitemapindex>"
+    def leaf(locs: String*): String =
+      "<urlset>" + locs.map(l => s"<url><loc>$l</loc></url>").mkString +
+        "</urlset>"
+    val roots = Seq(("h1", "r1.xml"), ("h2", "r2.xml"))
+      .toDF("host", "sitemap_url")
+    val bodies = Seq(
+      ("r1.xml", idx("shared.xml", "cyc.xml")),
+      ("r2.xml", idx("shared.xml")),
+      ("shared.xml", leaf("https://x/a")),
+      ("cyc.xml", idx("r1.xml")), // cycle back to the root
+      ("orphan.xml", leaf("https://x/orphan")),
+      ("deep0.xml", idx("deep1.xml"))
+    ).toDF("url", "xml")
+    val out = TextAnalysis.resolveSitemapTree(roots, bodies)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getString(4))).toSet
+    assert(out == Set(
+      ("h1", "r1.xml", "shared.xml", 1, "https://x/a"),
+      ("h2", "r2.xml", "shared.xml", 1, "https://x/a")), s"$out")
+    // depth cap: a chain longer than maxDepth stops without error
+    val chainBodies = Seq(
+      ("r.xml", idx("d1.xml")), ("d1.xml", idx("d2.xml")),
+      ("d2.xml", idx("d3.xml")), ("d3.xml", leaf("https://x/deep"))
+    ).toDF("url", "xml")
+    val capped = TextAnalysis.resolveSitemapTree(
+      Seq(("h", "r.xml")).toDF("host", "sitemap_url"), chainBodies,
+      maxDepth = 2).collect()
+    assert(capped.isEmpty, s"depth-3 leaf must be cut at maxDepth=2: " +
+      s"${capped.toSeq}")
+    val full = TextAnalysis.resolveSitemapTree(
+      Seq(("h", "r.xml")).toDF("host", "sitemap_url"), chainBodies,
+      maxDepth = 3).collect()
+    assert(full.length == 1 && full(0).getInt(3) == 3, s"${full.toSeq}")
+  }
+
   test("sniffImageMeta: header-only dims agree with the full decoders " +
       "on all four formats INCLUDING foreign-encoder streams (ImageIO " +
       "JFIF/progressive JPEG, Adam7 PNG, ImageIO GIF); garbage and " +
