@@ -73,7 +73,9 @@ object Explain {
       "l68_exact_substr" -> "ExactSubstr span removal (scanned-once positional grams, partial-agg support, gram-keyed verdict join, doc-keyed span merge + reassembly)",
       "l69_frontier_schedule" -> "frontier scheduling (host-partitioned slot window, broadcast delay join)",
       "l71_personalized_pagerank" -> "personalized PageRank iteration (seed column broadcast-joined, partial-aggregated contributions)",
-      "l72_recrawl_select" -> "recrawl selection (url-keyed equi-join + narrow CASE, lexicographic date compare)")
+      "l72_recrawl_select" -> "recrawl selection (url-keyed equi-join + narrow CASE, lexicographic date compare)",
+      "l73_hits" -> "HITS iteration (two partial-aggregated equi-join sums, exact-integer scores)",
+      "l75_sitemap_tree" -> "sitemap tree walk (per-level url-keyed equi-join + typed parse, visited anti-join)")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans of flagship queries\n\n")
     sb.append("Generated by `runMain graft.Explain` on sf0.001; the\n")

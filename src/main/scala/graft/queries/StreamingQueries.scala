@@ -46,6 +46,50 @@ object StreamingQueries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** st17's image-file fixture: the m10 payload battery (BMP / JPEG /
+    * PNG / GIF / garbage by id % 5, dims by id arithmetic) written as
+    * ONE FILE PER BLOB — the shape a binaryFile stream tails in
+    * production (an object-store landing prefix). Write-once at a
+    * stable path; ids are seed-deterministic so no drift key is
+    * needed (the fixture derives from nothing in the sf dir).
+    */
+  private val imageFixLock = new Object
+  private[queries] def ensureImageFixture(): String =
+    imageFixLock.synchronized {
+      val n = 200
+      val base = new java.io.File(s"target/imagefix/n$n-v1")
+      val done = new java.io.File(base, "_DONE")
+      if (!done.exists()) {
+        if (base.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(base)
+        base.mkdirs()
+        (0 until n).foreach { i =>
+          val id = i.toLong
+          val w = 16 + (id % 13).toInt
+          val h = 16 + (id % 7).toInt
+          val rnd = new scala.util.Random(42L + id)
+          val rgb = graft.operators.Multimodal.smoothRgb(w, h, rnd)
+          val bytes = (id % 5) match {
+            case 0 => graft.operators.Multimodal.Codecs.encodeBmp(w, h, rgb)
+            case 1 => graft.codec.Jpeg.encode(w, h, rgb)
+            case 2 => graft.codec.Png.encode(w, h, rgb)
+            case 3 =>
+              val pal = Array.tabulate(256)(x => (x << 16) | (x << 8) | x)
+              graft.codec.Gif.encode(w, h, pal,
+                graft.operators.Multimodal.Codecs.lumaOf(rgb))
+            case _ =>
+              val junk = new Array[Byte](64); rnd.nextBytes(junk)
+              junk(0) = 0x42; junk(1) = 0x00
+              junk
+          }
+          java.nio.file.Files.write(
+            new java.io.File(base, f"media-$id%05d.bin").toPath, bytes)
+        }
+        done.createNewFile()
+      }
+      base.getAbsolutePath
+    }
+
   /** st13's WARC fixture: [[PipelineQueries.warcRows]] encoded ONCE per
     * sf dir at a stable path (the golden/fixture write-once convention —
     * a per-invocation temp dir would re-pay the encode in every bench
@@ -379,6 +423,58 @@ object StreamingQueries {
              |  SELECT 'https://s' || doc_id || '.example/u/' || doc_id
              |  FROM d)
              |ORDER BY dst_url""".stripMargin)),
+
+    // Streaming image-gate (st17) — the m10 prune-before-decode sniff
+    // over a REAL binaryFile stream (the object-store landing-prefix
+    // shape): each micro-batch reads the blob files, sniffs (type,
+    // width, height) from the FIRST BYTES — no pixel decode — and
+    // gates on dimension floors before any decoder would run; garbage
+    // blobs sniff to none and fall out at the same gate. Zero state,
+    // plain append; the oracle regenerates the surviving set from id
+    // arithmetic alone (the m10 dims battery streamed).
+    "st17_image_gate_stream" -> QuerySpec(
+      (s, dir) => {
+        val imgDir = ensureImageFixture()
+        val binSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("modificationTime",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("length",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.BinaryType)))
+        import s.implicits._
+        val q = s.readStream.format("binaryFile").schema(binSchema)
+          .option("pathGlobFilter", "*.bin")
+          .load(imgDir)
+          .select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+          .map { case (p, bytes) =>
+            val name = p.substring(p.lastIndexOf('-') + 1)
+            val id = name.substring(0, name.indexOf('.')).toLong
+            val m = graft.operators.Multimodal.Codecs.sniffImageMeta(bytes)
+            (id, m.map(_._1).getOrElse(""),
+              m.map(_._2).getOrElse(-1), m.map(_._3).getOrElse(-1))
+          }.toDF("media_id", "img_type", "width", "height")
+          .filter(col("width") >= 20 && col("height") >= 18)
+          .writeStream.format("memory").queryName("st17_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st17_sink").orderBy(col("media_id"))
+      },
+      Some("""SELECT id AS media_id,
+             |  CASE CAST(id % 5 AS INT)
+             |    WHEN 0 THEN 'bmp' WHEN 1 THEN 'jpeg'
+             |    WHEN 2 THEN 'png' WHEN 3 THEN 'gif' ELSE '' END
+             |    AS img_type,
+             |  (16 + CAST(id % 13 AS INT))::INT AS width,
+             |  (16 + CAST(id % 7 AS INT))::INT AS height
+             |FROM range(200) t(id)
+             |WHERE id % 5 <> 4 AND id % 13 >= 4 AND id % 7 >= 2
+             |ORDER BY media_id""".stripMargin)),
 
     "st03_stream_dedup" -> QuerySpec(
       (s, dir) => {
