@@ -277,6 +277,49 @@ object TextHashExpressions {
   def cc_redact(text: Column): Column =
     Bridge.column(CreditCardRedactExpr(Bridge.expression(text)))
 
+  /** LZW code count over the UTF-8 bytes — the COMPRESSIBILITY quality
+    * signal (highly repetitive/templated text compresses far below
+    * natural prose; several public corpus pipelines gate on a
+    * compression ratio): classic LZW with a 256-symbol byte alphabet
+    * and the dictionary capped at 2^16 entries (no reset — the cap
+    * freezes the dictionary, the GIF-without-clear-codes behavior).
+    * Deterministic pure arithmetic — no zlib version dependence, so a
+    * plain-Scala replay golden reproduces it bit-for-bit on any
+    * engine. Returns struct(n_bytes, n_codes); the ratio
+    * n_codes/n_bytes is ~1 for incompressible text, → 0 for
+    * pathological repetition.
+    */
+  def lzwCodes(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val b = s.getBytes
+    var nCodes = 0L
+    if (b.length > 0) {
+      // key = current-code << 8 | next-byte (code < 2^16 -> key < 2^24)
+      val dict = new java.util.HashMap[Integer, Integer](1024)
+      var next = 256
+      var cur = b(0) & 0xff
+      var i = 1
+      while (i < b.length) {
+        val c = b(i) & 0xff
+        val key = Integer.valueOf((cur << 8) | c)
+        val ext = dict.get(key)
+        if (ext != null) cur = ext.intValue()
+        else {
+          nCodes += 1
+          if (next < (1 << 16)) { dict.put(key, Integer.valueOf(next)); next += 1 }
+          cur = c
+        }
+        i += 1
+      }
+      nCodes += 1 // the final pending code
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](b.length.toLong, nCodes))
+  }
+
+  def lzw_codes(text: Column): Column =
+    Bridge.column(LzwCodesExpr(Bridge.expression(text)))
+
   /** ISO 13616 IBAN mod-97 check over the candidate's alphanumeric
     * chars (`n` of them): the first four chars (country + check
     * digits) move to the end, letters map to 10..35, and the resulting
@@ -578,6 +621,39 @@ case class IbanRedactExpr(child: Expression)
 
   override protected def withNewChildInternal(c: Expression)
       : IbanRedactExpr = copy(child = c)
+}
+
+/** lzw_codes(text): LZW code count over UTF-8 bytes — the
+  * compressibility quality signal. See [[TextHashExpressions.lzwCodes]].
+  * Returns struct(n_bytes: bigint, n_codes: bigint).
+  */
+case class LzwCodesExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lzw_codes needs string, got $other")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_codes", LongType, nullable = false)))
+
+  override def prettyName: String = "lzw_codes"
+
+  override def nullSafeEval(str: Any): Any =
+    TextHashExpressions.lzwCodes(
+      str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextHashExpressions" +
+        s".lzwCodes($c);")
+
+  override protected def withNewChildInternal(c: Expression)
+      : LzwCodesExpr = copy(child = c)
 }
 
 /** percent_normalize(str): RFC 3986 §6.2.2 percent-encoding

@@ -1851,6 +1851,33 @@ object TextAnalysis {
       }.toDF("host", "crawl_delay")
   }
 
+  /** Compressibility quality signal — the "compression filter" several
+    * public corpus pipelines run beside the Gopher rules: highly
+    * templated / repetitive text compresses far below natural prose,
+    * and near-random noise doesn't compress at all, so the LZW
+    * codes-per-byte ratio separates both tails from real content with
+    * one narrow pass. The kernel ([[graft.functions.expressions
+    * .TextHashExpressions.lzwCodes]]) is deterministic pure arithmetic
+    * — unlike a zlib ratio, it has no library-version dependence, so
+    * the golden replay reproduces it bit-for-bit.
+    *
+    * Output: (idCol, n_bytes, n_codes, compress_ratio) — ratio
+    * quantized 1e-4, 0.0 for empty/null text. Zero-shuffle narrow
+    * codegen pass.
+    */
+  def compressionSignal(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.expressions.TextHashExpressions
+          .lzw_codes(col(textCol)).as("__z"))
+      .select(col(idCol),
+        coalesce(col("__z.n_bytes"), lit(0L)).as("n_bytes"),
+        coalesce(col("__z.n_codes"), lit(0L)).as("n_codes"))
+      .select(col(idCol), col("n_bytes"), col("n_codes"),
+        quant4(when(col("n_bytes") > 0,
+          col("n_codes").cast("double") / col("n_bytes").cast("double"))
+          .otherwise(lit(0.0d))).as("compress_ratio"))
+
   /** Sitemap XML parsing (sitemaps.org protocol) — the step after
     * [[robotsSitemaps]] discovers the files: each body is either a
     * `<urlset>` (leaf: `<url>` entries with `<loc>` + optional

@@ -207,4 +207,32 @@ object TextGolden {
     merges.foreach { case (a, b) => syms = mergeOnce(syms, a, b, a + b) }
     syms.length
   }
+
+  /** Independent LZW replay for the l76 golden — the same classic
+    * algorithm as [[graft.functions.expressions.TextHashExpressions
+    * .lzwCodes]] (256-symbol byte alphabet, dictionary capped at 2^16,
+    * no reset) with a DISJOINT implementation (tuple-keyed Scala map
+    * vs the kernel's packed-int Java map), so an indexing or
+    * state-threading bug in either side breaks the compare.
+    */
+  def lzwStats(text: String): (Long, Long) = {
+    val b = text.getBytes("UTF-8")
+    if (b.isEmpty) return (0L, 0L)
+    val dict = scala.collection.mutable.HashMap.empty[(Int, Byte), Int]
+    var next = 256
+    var cur: Int = b(0) & 0xff
+    var codes = 0L
+    var i = 1
+    while (i < b.length) {
+      dict.get((cur, b(i))) match {
+        case Some(code) => cur = code
+        case None =>
+          codes += 1
+          if (next < 65536) { dict((cur, b(i))) = next; next += 1 }
+          cur = b(i) & 0xff
+      }
+      i += 1
+    }
+    (b.length.toLong, codes + 1)
+  }
 }

@@ -677,6 +677,45 @@ object LlmQueries {
       }, None, Some(dir => mGoldenSql(l13GoldenName(dir),
         "doc_id, fp_rolling, n_subwords", "doc_id"))),
 
+    // Compressibility quality signal (l76) — LZW codes-per-byte over
+    // the REAL corpus text plus two planted tails (a 200x-repeated
+    // token on doc_id%31==7 — must compress hard — left inline in the
+    // text column by fixture construction here via concat). The
+    // engine side is the native LzwCodesExpr codegen kernel; the
+    // golden is TextGolden.lzwStats — the same classic algorithm with
+    // a DISJOINT implementation (tuple-keyed Scala map vs packed-int
+    // Java map), computed distributed and written once as golden
+    // parquet (the l13 convention); the oracle derives the quantized
+    // ratio from the golden's integer columns in SQL.
+    "l76_compress_ratio" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val page = when(col("doc_id") % 31 === 7,
+            concat(col("text"), lit(" "),
+              array_join(array_repeat(lit("spamspam"), 200), " ")))
+          .otherwise(col("text"))
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), page.as("text"))
+        graft.operators.MultimodalGolden.ensureGoldenDf(
+          l76GoldenName(dir),
+          docs.as[(Long, String)].map { case (id, t) =>
+            if (t == null)
+              (id, 0L, 0L)
+            else {
+              val (nb, nc) = graft.operators.TextGolden.lzwStats(t)
+              (id, nb, nc)
+            }
+          }.toDF("doc_id", "n_bytes", "n_codes"))
+        TextAnalysis.compressionSignal(docs)
+          .orderBy(col("doc_id"))
+      }, None, Some(dir => mGoldenSql(l76GoldenName(dir),
+        """doc_id, n_bytes, n_codes,
+          |  CASE WHEN n_bytes > 0 THEN
+          |    floor(n_codes::DOUBLE / n_bytes::DOUBLE
+          |      * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+          |  ELSE 0.0::DOUBLE END AS compress_ratio""".stripMargin,
+        "doc_id"))),
+
     // HLL sketch with a BOUNDED-ERROR oracle: the estimate itself is
     // engine-specific (HLL++ register layout), but its error envelope is
     // not — |approx − exact| ≤ 3·rsd·exact holds with probability
@@ -3878,6 +3917,9 @@ object LlmQueries {
   // fn and the dump-time oracle builder always name the same golden
   private def l13GoldenName(dir: String): String =
     s"l13-fp-${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
+
+  private def l76GoldenName(dir: String): String =
+    s"l76-lzw-${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
 
   private[queries] def l02GoldenName(dir: String): String =
     s"l02-minhash-${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"

@@ -2613,6 +2613,39 @@ class OperatorSpec extends AnyFunSuite {
       "<url><loc>https://x/2").map(_._2) == Seq("https://x/1"))
   }
 
+  test("lzwCodes: the native kernel and the independent replay agree " +
+      "byte-for-byte on edge strings; the ratio orders repetition < " +
+      "prose < noise") {
+    import graft.functions.expressions.TextHashExpressions
+    import graft.operators.TextGolden
+    def kernel(s: String): (Long, Long) = {
+      val r = TextHashExpressions.lzwCodes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      (r.getLong(0), r.getLong(1))
+    }
+    val rnd = new scala.util.Random(99)
+    val cases = Seq("", "a", "ab", "abababababab",
+      "the quick brown fox jumps over the lazy dog",
+      ("spam " * 500).trim,
+      "café “smart” ☃ snowman 😀 emoji",
+      Seq.fill(400)(rnd.nextPrintableChar()).mkString,
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")
+    cases.foreach { s =>
+      assert(kernel(s) == TextGolden.lzwStats(s), s"mismatch on '${
+        s.take(30)}'")
+    }
+    def ratio(s: String): Double = {
+      val (nb, nc) = TextGolden.lzwStats(s)
+      if (nb == 0) 0.0 else nc.toDouble / nb
+    }
+    val rep = ratio(("lorem ipsum " * 300).trim)
+    val prose = ratio(("the quick brown fox jumps over a lazy dog and " +
+      "every sentence here differs a little in its wording ") * 5)
+    val noise = ratio(Seq.fill(2000)(rnd.nextPrintableChar()).mkString)
+    assert(rep < prose && prose < noise,
+      f"ordering violated: rep=$rep%.3f prose=$prose%.3f noise=$noise%.3f")
+  }
+
   test("resolveSitemapTree: index walk with root provenance — a cycle " +
       "terminates via the visited set, orphan bodies seed nothing, a " +
       "child shared by two roots yields entries under BOTH, depth is " +
