@@ -109,12 +109,14 @@ object BenchBudgets {
     "l70_sitemap_parse" -> 0.1178,
     "l71_personalized_pagerank" -> 0.8618,
     "l72_recrawl_select" -> 0.1406,
-    // l73–l75 pinned from target/bench_r13_idle9.json (157 entries,
-    // cal 0.6644 — ~1.2x idle, so these pins are correspondingly
-    // loose until an idle re-pin; zero flags/spikes)
-    "l73_hits" -> 0.8086,
-    "l74_graph_scale_stress" -> 4.0366,
-    "l75_sitemap_tree" -> 0.8312,
+    // l73–l76/st17 pinned as the min of bench_r13_idle{9,11}.json
+    // (157/159 entries, cal 0.6644/0.5607 — idle11 IS the idle band;
+    // both zero-flag)
+    "l73_hits" -> 0.7589,
+    "l74_graph_scale_stress" -> 3.9377,
+    "l75_sitemap_tree" -> 0.7923,
+    "l76_compress_ratio" -> 0.1051,
+    "st17_image_gate_stream" -> 0.7208,
     "m01_media_features" -> 0.2213,
     "m02_frame_sample" -> 0.0812,
     "m03_media_resize" -> 0.0864,
