@@ -2690,6 +2690,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(full.length == 1 && full(0).getInt(3) == 3, s"${full.toSeq}")
   }
 
+  test("sitemapEntries mutation fuzz: corrupting a valid sitemap " +
+      "anywhere (flip/truncate/duplicate) yields rows or an empty " +
+      "result — never a hang or a throw (the WarcSpec HTTP-fuzz " +
+      "convention for the seed channel)") {
+    import graft.operators.TextAnalysis.sitemapEntries
+    val base = ("<?xml version=\"1.0\"?><urlset xmlns=\"http://www." +
+      "sitemaps.org/schemas/sitemap/0.9\"><url><loc>https://a.example" +
+      "/p?x=1&amp;y=2</loc><lastmod>2026-01-01</lastmod></url>" +
+      "<url><loc><![CDATA[https://a.example/cd]]></loc></url>" +
+      "<url><loc>https://a.example/q</loc></url></urlset>")
+      .getBytes("ISO-8859-1")
+    val rnd = new scala.util.Random(4242)
+    var parsed = 0
+    (1 to 300).foreach { _ =>
+      val mutated = rnd.nextInt(3) match {
+        case 0 => // byte flip
+          val b = base.clone()
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          b
+        case 1 => base.take(rnd.nextInt(base.length)) // truncate
+        case _ => // duplicate a slice in place
+          val at = rnd.nextInt(base.length)
+          val len = math.min(rnd.nextInt(40) + 1, base.length - at)
+          base.take(at + len) ++ base.drop(at)
+      }
+      val rows = sitemapEntries(new String(mutated, "ISO-8859-1"))
+      parsed += rows.length // total function: any Seq is acceptable
+    }
+    assert(parsed > 0, "fuzz battery never parsed a single row — " +
+      "mutations are likely destroying the corpus shape entirely")
+  }
+
   test("sniffImageMeta: header-only dims agree with the full decoders " +
       "on all four formats INCLUDING foreign-encoder streams (ImageIO " +
       "JFIF/progressive JPEG, Adam7 PNG, ImageIO GIF); garbage and " +
