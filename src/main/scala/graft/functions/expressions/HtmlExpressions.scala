@@ -293,11 +293,13 @@ object HtmlExpressions {
             val end = findClose(after, name)
             i = if (end < 0) n else consumeTag(end)
           } else if (!isClose && name == "a") {
-            val href = attrValue(s, i, after, "href")
-            if (selfClosing) {
-              href.foreach(h => emit(h, ""))
-              i = after
-            } else href match {
+            // <a> is never void, and the HTML5 parser IGNORES a
+            // self-closing slash on non-void elements — so no
+            // selfClosing check here. This also keeps an unquoted href
+            // ending in '/' (<a href=/dir/>text</a>, a common pattern)
+            // from being misread as self-closing, which would emit an
+            // empty anchor and lose the anchor text.
+            attrValue(s, i, after, "href") match {
               case Some(h) =>
                 val end = findClose(after, "a")
                 val innerEnd = if (end < 0) n else end

@@ -167,7 +167,9 @@ object WebGraph {
     * iteration — the BPE-argmax-style control scalar — and is left to
     * deployments that want it).
     *
-    * Output: (node, rank) for every edge-endpoint node.
+    * Output: (node, rank) for every node that is an edge endpoint OR a
+    * seed (an uncrawled seed is a legitimate node — dropping it would
+    * leak its teleport share each iteration).
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iterations: Int = 10, damping: Double = 0.85,
@@ -178,10 +180,17 @@ object WebGraph {
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst")).distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
     val seedSet = seeds.select(col(seedCol).cast("string").as("node"))
       .distinct().localCheckpoint()
+    // seeds UNION edge endpoints: a seed not (yet) present in the edge
+    // relation — the seed-frontier case this operator exists for — must
+    // still carry its 1/|S| teleport share, or mass leaks every
+    // iteration and ranks stop summing to 1. Such a seed has no
+    // out-edges, so it is dangling and its mass returns to the seeds
+    // through the D·s(v) term, conserving the invariant.
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(seedSet.select(col("node"))).distinct()
     val nSeeds = seedSet.agg(count(lit(1)).cast("double").as("n_seeds"))
     // s(v) as a column on the node relation: 1/|S| on seeds, 0 off
     val nodesWithS = nodes

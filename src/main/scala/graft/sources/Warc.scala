@@ -391,8 +391,14 @@ object Warc {
     *
     * CORRUPT framing (truncated chunk, bad chunk-size line, corrupt
     * gzip stream) fails loudly — that is data corruption, distinct from
-    * the unsupported-but-valid-coding case above. A payload without an
-    * `HTTP/` status line or header/body separator fails loudly.
+    * the unsupported-but-valid-coding case above — UNLESS the record is
+    * marked `WARC-Truncated`: there the crawler cut the payload mid-wire
+    * on purpose (Common Crawl does, around 1 MiB), a cut chunk/gzip
+    * stream is the expected shape, and the body falls back to latin-1
+    * pass-through with the whole undone chain surfaced in
+    * `content_encoding`, so truncation is gatable instead of fatal. A
+    * payload without an `HTTP/` status line or header/body separator
+    * fails loudly (the cut point is ~1 MiB; headers are bytes).
     */
   private[graft] def splitHttp(r: RawRecord): HttpRecord = {
     val b = r.bytes
@@ -442,9 +448,6 @@ object Warc {
       .split(",").map(_.trim.toLowerCase)
       .filter(c => c.nonEmpty && c != "identity").toList
     val teChunked = teCodings.lastOption.contains("chunked")
-    val framed: Array[Byte] =
-      if (teChunked) dechunk(b, bodyStart, ctx)
-      else java.util.Arrays.copyOfRange(b, bodyStart, b.length)
     // 2. remaining codings, undone in reverse of application order. The
     // wire is TE-chain(CE-chain(body)) — content codings applied first,
     // transfer codings after, chunked outermost — so after de-chunking
@@ -459,16 +462,39 @@ object Warc {
         .split(",").map(_.trim.toLowerCase)
         .filter(c => c.nonEmpty && c != "identity").toList) ++
         (if (teChunked) teCodings.init else teCodings)
-    var residual = codings
-    var decoded = framed
-    var continue = true
-    while (continue && residual.nonEmpty) residual.last match {
-      case "gzip" | "x-gzip" =>
-        decoded = gunzip(decoded, ctx); residual = residual.init
-      case "deflate" =>
-        decoded = inflate(decoded, ctx); residual = residual.init
-      case _ => continue = false // unsupported (e.g. br): surface, keep bytes
+    def decodeChain(): (Array[Byte], List[String]) = {
+      val framed: Array[Byte] =
+        if (teChunked) dechunk(b, bodyStart, ctx)
+        else java.util.Arrays.copyOfRange(b, bodyStart, b.length)
+      var residual = codings
+      var decoded = framed
+      var continue = true
+      while (continue && residual.nonEmpty) residual.last match {
+        case "gzip" | "x-gzip" =>
+          decoded = gunzip(decoded, ctx); residual = residual.init
+        case "deflate" =>
+          decoded = inflate(decoded, ctx); residual = residual.init
+        case _ => continue = false // unsupported (e.g. br): surface, keep bytes
+      }
+      (decoded, residual)
     }
+    // A WARC-Truncated record's payload was CUT mid-wire by the crawler
+    // (Common Crawl does this around 1 MiB, routinely) — so a truncated
+    // chunk frame or gzip stream here is EXPECTED, not data corruption,
+    // and must be gatable (on warc_truncated / content_encoding), not
+    // fatal: one such record would otherwise kill the whole job on real
+    // crawl data. On decode failure the stored octets pass through
+    // latin-1 (lossless) with the entire undone chain surfaced —
+    // chunked last, since it was the outermost wire layer. Records NOT
+    // marked truncated keep the loud-failure stance: there, corrupt
+    // framing IS corruption.
+    val (decoded, residual) =
+      if (r.truncated.isEmpty) decodeChain()
+      else try decodeChain() catch {
+        case scala.util.control.NonFatal(_) =>
+          (java.util.Arrays.copyOfRange(b, bodyStart, b.length),
+            if (teChunked) codings :+ "chunked" else codings)
+      }
     // WHATWG precedence: BOM > Content-Type header > meta prescan >
     // UTF-8. Sniffing runs on the CODING-DECODED bytes (a gzipped page
     // carries its BOM/meta inside the compressed stream).

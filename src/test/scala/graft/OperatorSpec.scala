@@ -2021,6 +2021,22 @@ class OperatorSpec extends AnyFunSuite {
         ("https://h.example/", "<a href=\"x.html\">dangling <b>tail"))
       .toDF("url", "html")).collect()
     assert(tail.length == 1 && tail(0).getString(4) == "dangling tail")
+    // an unquoted href ending in '/' must NOT read as self-closing —
+    // html5 never self-closes <a> (non-void), so the anchor text is
+    // kept; the trailing '/' is part of the unquoted value
+    val dirRel = TextAnalysis.extractOutlinks(Seq(
+        ("https://h.example/", "<a href=/dir/>directory text</a> after"))
+      .toDF("url", "html")).collect()
+    assert(dirRel.length == 1 &&
+      dirRel(0).getString(2) == "https://h.example/dir/" &&
+      dirRel(0).getString(4) == "directory text", dirRel.toSeq)
+    // XHTML-style <a href="x"/> likewise stays OPEN (html5 ignores the
+    // slash on non-void elements): following text is the anchor text
+    val xhtml = TextAnalysis.extractOutlinks(Seq(
+        ("https://h.example/", "<a href=\"x.html\"/>still anchor</a>"))
+      .toDF("url", "html")).collect()
+    assert(xhtml.length == 1 && xhtml(0).getString(4) == "still anchor",
+      xhtml.toSeq)
   }
 
   test("pageRank: hand-computed single iteration with a dangling node; " +
@@ -2090,6 +2106,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(r("Z") == 0.0, s"unreachable node must stay exactly 0: $r")
     assert(math.abs(r.values.sum - 1.0) < 1e-12,
       s"mass must be conserved, got ${r.values.sum}")
+    // a seed ABSENT from the edge relation (the seed-frontier case:
+    // seeded but not yet crawled) must still carry its 1/|S| teleport
+    // share — it is a node with no out-edges, so its mass returns to
+    // the seeds through the dangling term and the sum stays 1
+    val r2 = WebGraph.personalizedPageRank(edges,
+        Seq("A", "NEW").toDF("node"), iterations = 3)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r2.contains("NEW"), s"uncrawled seed must appear: $r2")
+    assert(r2("NEW") > 0.0, s"uncrawled seed holds teleport mass: $r2")
+    assert(math.abs(r2.values.sum - 1.0) < 1e-12,
+      s"mass conserved with off-graph seed, got ${r2.values.sum}")
   }
 
   test("neighborhoodKmv: with k above every ball size the sketch IS the " +

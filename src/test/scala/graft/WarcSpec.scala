@@ -684,6 +684,43 @@ class WarcSpec extends AnyFunSuite {
     assert(t3.getMessage.contains("status line"))
   }
 
+  test("splitHttp on a WARC-Truncated record: a cut gzip/chunked body " +
+      "falls back to latin-1 pass-through with the undone chain " +
+      "surfaced (gatable, not fatal); an intact truncated record " +
+      "still decodes; untruncated corruption still fails loudly") {
+    val body = "truncated record body, long enough to cut mid-stream Ω"
+    val plain = body.getBytes("UTF-8")
+    def trunc(payload: Array[Byte]): Warc.RawRecord =
+      httpRec(payload).copy(truncated = "length")
+    // gzip stream cut mid-member (the Common Crawl ~1 MiB cut shape)
+    val cutGz = gzBytes(plain).dropRight(9)
+    val g = Warc.splitHttp(trunc(msg("Content-Encoding: gzip\r\n", cutGz)))
+    assert(g.warc_truncated == "length" && g.content_encoding == "gzip" &&
+      g.charset == "ISO-8859-1", g)
+    assert(g.body.toCharArray.map(_.toByte).toSeq == cutGz.toSeq,
+      "stored octets must pass through latin-1 losslessly")
+    // chunk framing cut mid-chunk: the whole chain surfaces, chunked
+    // LAST (it was the outermost wire layer)
+    val cutChunks = chunkBytes(gzBytes(plain), sz = 11).dropRight(20)
+    val c = Warc.splitHttp(trunc(msg(
+      "Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+      cutChunks)))
+    assert(c.content_encoding == "gzip,chunked" &&
+      c.charset == "ISO-8859-1", c)
+    // a truncated record whose stored prefix happens to decode fine
+    // (cut fell on a member boundary) decodes normally
+    val ok = Warc.splitHttp(trunc(msg(
+      "Content-Encoding: gzip\r\n", gzBytes(plain))))
+    assert(ok.body == body && ok.content_encoding == "" &&
+      ok.warc_truncated == "length")
+    // identity truncated body: plain pass-through, still gatable
+    val id = Warc.splitHttp(trunc(msg("", plain.dropRight(5))))
+    assert(id.warc_truncated == "length" && id.content_encoding == "")
+    // NOT truncated -> the loud-failure stance is unchanged
+    intercept[Exception](Warc.splitHttp(
+      httpRec(msg("Content-Encoding: gzip\r\n", cutGz))))
+  }
+
   test("chunked-framing mutation fuzz: corrupting a valid chunked+" +
       "gzip response anywhere yields an HttpRecord or a clean " +
       "exception — never a hang, OOM, or crash (VERDICT r12 #2)") {
