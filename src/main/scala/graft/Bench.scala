@@ -207,6 +207,18 @@ object Bench {
       coldOutliers.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runsPer,"warmup_runs_per_query":1,"aggregation":"median",$cal,$budget,"cold_outliers":$coldOutliersJson,"errors":$errs,"queries":$qs,"spread":$spreads,"cold":$colds,"load":$loads,"sf":"$sfDir"}"""
     println(fullLine)
+    // Per-run (wall, adjacent-probe) pairs for EVERY entry, sidecar-only
+    // (r13 VERDICT #1): a budget flag's burst-vs-real adjudication needs
+    // the individual runs, not just median/spread/max-probe — e.g. three
+    // runs (2.6, 2.7, 2.6) with idle probes reads as a real regression,
+    // while (0.9, 4.1, 2.9) with one hot probe reads as contention that
+    // outlived its burst. ~10 KB at 159 entries: file-sized, not
+    // stdout-tail-sized, so it joins the sidecar line only.
+    val runsJson = results.map { case (k, _, _, _, _, _, samples) =>
+      "\"" + k + "\":" + samples.map { case (t, lp) =>
+        f"[$t%.4f,$lp%.4f]" }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val sidecarLine = fullLine.dropRight(1) + s""","runs":$runsJson}"""
     // Compact summary: a consumer that keeps only the tail of stdout (or
     // of the long line above) must still see MEDIANS — r3/r4 artifacts
     // captured only the trailing `spread` map and medians were misread as
@@ -230,7 +242,7 @@ object Bench {
       val p = java.nio.file.Paths.get(sidecar)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(p,
-        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (sidecarLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: java.io.IOException =>
       System.err.println(s"[bench] sidecar write failed: $e") }
     val errNames = results.collect { case (k, _, _, Some(_), _, _, _) => k }
