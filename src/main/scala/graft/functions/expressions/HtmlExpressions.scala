@@ -36,6 +36,12 @@ import org.apache.spark.sql.types._
   */
 object HtmlExpressions {
 
+  /** Source-char bound on a dangling anchor's inner slice when no
+    * `</a>` and no later `<a` exists — caps the worst case (a single
+    * unterminated link at document end) to one short anchor string.
+    */
+  private[graft] val DanglingAnchorCap = 4096
+
   private val Entities: Array[(String, Char)] = Array(
     "&nbsp;" -> ' ', "&lt;" -> '<', "&gt;" -> '>',
     "&quot;" -> '"', "&#39;" -> '\'', "&amp;" -> '&')
@@ -217,12 +223,18 @@ object HtmlExpressions {
     * decoy `<a href=...>` inside JS never extracts; attribute parsing
     * is quote-aware ('>' inside a quoted href does not end the tag).
     * Anchor text is the element's inner HTML through [[htmlTextStrict]]
-    * (nested markup stripped, entities decoded, whitespace collapsed);
-    * an unterminated anchor swallows to end-of-input (tolerant, like
-    * every other construct). Scanning resumes AFTER the anchor's close
-    * tag, so an (invalid) `<a>` nested inside an href-bearing anchor is
-    * not extracted — documented subset; href-less `<a name=...>`
-    * anchors emit nothing and their inner content IS scanned.
+    * (nested markup stripped, entities decoded, whitespace collapsed).
+    * A DANGLING anchor — no `</a>` anywhere after it, the shape real
+    * XHTML emits as `<a href=x/>` since the self-closing slash is
+    * ignored on non-void elements — is implicitly closed at the next
+    * `<a` start tag (the HTML5 adoption-agency trigger), or failing
+    * that capped at [[DanglingAnchorCap]] source chars, so one
+    * unterminated link can never swallow a multi-MB document into a
+    * single anchor string. Scanning resumes AFTER the anchor's close
+    * tag (explicit or implicit), so an (invalid) `<a>` nested inside a
+    * CLOSED href-bearing anchor is not extracted — documented subset;
+    * href-less `<a name=...>` anchors emit nothing and their inner
+    * content IS scanned.
     */
   def htmlLinks(u: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
@@ -268,6 +280,21 @@ object HtmlExpressions {
       }
       -1
     }
+    // lexical OPEN-tag search: first `<a` followed by '>', whitespace,
+    // or '/' — the HTML5 adoption-agency trigger that implicitly closes
+    // an already-open <a>. Used only to bound dangling anchors.
+    def findAOpen(from: Int): Int = {
+      var j = from
+      while (j < n) {
+        if (matchesAt(j, "<a")) {
+          val k = j + 2
+          if (k >= n || s.charAt(k) == '>' ||
+              s.charAt(k).isWhitespace || s.charAt(k) == '/') return j
+        }
+        j += 1
+      }
+      -1
+    }
     def emit(href: String, anchor: String): Unit =
       out += org.apache.spark.sql.catalyst.InternalRow(
         org.apache.spark.unsafe.types.UTF8String.fromString(href),
@@ -302,11 +329,23 @@ object HtmlExpressions {
             attrValue(s, i, after, "href") match {
               case Some(h) =>
                 val end = findClose(after, "a")
-                val innerEnd = if (end < 0) n else end
+                // No </a> anywhere: implicitly close at the next <a
+                // start tag (HTML5 adoption agency), else cap the
+                // slice — a dangling anchor must not swallow the
+                // remaining document into one multi-MB anchor string.
+                val innerEnd =
+                  if (end >= 0) end
+                  else findAOpen(after) match {
+                    case -1 => math.min(
+                      n, after + HtmlExpressions.DanglingAnchorCap)
+                    case nx => nx
+                  }
                 emit(h, htmlTextStrict(
                   org.apache.spark.unsafe.types.UTF8String.fromString(
                     s.substring(after, innerEnd))).toString)
-                i = if (end < 0) n else consumeTag(end)
+                // explicit close: resume past </a>; implicit: resume
+                // AT the bound so a following <a> is itself extracted
+                i = if (end >= 0) consumeTag(end) else innerEnd
               case None => i = after // inner content scans normally
             }
           } else i = after

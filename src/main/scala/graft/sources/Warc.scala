@@ -349,7 +349,17 @@ object Warc {
       warc_date = headers.getOrElse("warc-date", ""),
       content_type = headers.getOrElse("content-type", ""),
       bytes = payload,
-      truncated = headers.getOrElse("warc-truncated", "")))
+      // Gate on header PRESENCE, not value: crawlers emit reasonless
+      // `WARC-Truncated:` headers, and the WARC 1.1 reason-token set
+      // includes `unspecified` for exactly that case. Collapsing a
+      // present-but-empty header to "" would re-enable the loud-failure
+      // decode path on a cut body — the job-fatal mode the truncation
+      // fallback exists to close.
+      truncated = headers.get("warc-truncated") match {
+        case Some(v) if v.nonEmpty => v
+        case Some(_)               => "unspecified"
+        case None                  => ""
+      }))
   }
 
   // ---- HTTP response split -------------------------------------------

@@ -2016,11 +2016,32 @@ class OperatorSpec extends AnyFunSuite {
       // content scans normally)
       (7L, "https://host.example/dir/inner.html", "host.example",
         "inner")), s"got ${out.toSeq}")
-    // unterminated anchor swallows to end-of-input, tolerant
+    // unterminated anchor at document end: tolerant, text to EOF
+    // (within the dangling cap)
     val tail = TextAnalysis.extractOutlinks(Seq(
         ("https://h.example/", "<a href=\"x.html\">dangling <b>tail"))
       .toDF("url", "html")).collect()
     assert(tail.length == 1 && tail(0).getString(4) == "dangling tail")
+    // DANGLING anchors (VERDICT r15 #2): a new <a> start tag implicitly
+    // closes an open one (HTML5 adoption agency) — real-XHTML
+    // `<a href=x/>` link lists yield one bounded row per link, not one
+    // row swallowing the rest of the document
+    val xlist = TextAnalysis.extractOutlinks(Seq(
+        ("https://h.example/",
+          "<a href=\"a.html\"/>first link <a href=\"b.html\"/>second"))
+      .toDF("url", "html")).collect().sortBy(_.getLong(1))
+    assert(xlist.length == 2, xlist.toSeq)
+    assert(xlist(0).getString(4) == "first link" &&
+      xlist(1).getString(4) == "second", xlist.toSeq)
+    // and a single dangling anchor over a huge remainder is CAPPED —
+    // never a multi-MB anchor string per link row
+    val bigTail = "word " * 400000 // ~2 MB of following text
+    val capped = TextAnalysis.extractOutlinks(Seq(
+        ("https://h.example/", "<a href=\"x.html\"/>" + bigTail))
+      .toDF("url", "html")).collect()
+    assert(capped.length == 1 &&
+      capped(0).getString(4).length <= 4096, // DanglingAnchorCap
+      s"anchor len ${capped(0).getString(4).length}")
     // an unquoted href ending in '/' must NOT read as self-closing —
     // html5 never self-closes <a> (non-void), so the anchor text is
     // kept; the trailing '/' is part of the unquoted value
