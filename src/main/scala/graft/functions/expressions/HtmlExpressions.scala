@@ -357,6 +357,153 @@ object HtmlExpressions {
 
   def html_links(html: Column): Column =
     Bridge.column(HtmlLinksExpr(Bridge.expression(html)))
+
+  /** Block-level element set for [[htmlBlocks]] — the HTML5 flow
+    * content that terminates a text run (CSS display:block defaults
+    * plus list/table internals). `br`/`hr` are void boundary markers:
+    * they flush but never open a block.
+    */
+  private val BlockTags: Set[String] = Set(
+    "address", "article", "aside", "blockquote", "body", "caption",
+    "dd", "div", "dl", "dt", "fieldset", "figcaption", "figure",
+    "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6", "header",
+    "li", "main", "nav", "ol", "p", "pre", "section", "table", "tbody",
+    "td", "tfoot", "th", "thead", "tr", "ul",
+    // document scaffolding: html/head/title segment too, so <title>
+    // text becomes its own attributable block (tag "title") instead of
+    // leaking into the first body run — the classifier treats head
+    // content as chrome
+    "html", "head", "title")
+  private val BoundaryVoids: Set[String] = Set("br", "hr")
+
+  /** Static entry point, referenced from generated code: segment a
+    * document into boilerpipe-style text BLOCKS — array<struct<tag,
+    * part>> in document order, where `part` is the RAW inner-HTML run
+    * between block-level tag boundaries (inline markup preserved) and
+    * `tag` the nearest enclosing block element when the run started
+    * ("body" at top level). The kernel does ONLY the lexical split;
+    * per-block features compose from the existing kernels in column
+    * space — text via [[htmlTextStrict]](part), link mass via
+    * [[htmlLinks]](part) — so classification (length gates, link
+    * density, structural penalties, neighbor promotion) stays fully
+    * relational and the whole extract+classify plan is one codegen
+    * stage plus a per-document window.
+    *
+    * Reading shared with the other kernels: comments, doctype/PI
+    * skipped; script/style raw text skipped with the HTML5 script-data
+    * close semantics (a decoy block tag inside JS neither splits nor
+    * leaks); tag consumption is attribute-quote-aware. Runs whose
+    * extracted text is empty still emit when they contain non-tag
+    * characters — dropping them is the caller's relational filter.
+    * An `<a>` spanning a block boundary is cut at the boundary
+    * (documented subset — HTML5 itself reopens formatting elements
+    * across blocks).
+    */
+  def htmlBlocks(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = u.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    def matchesAt(pos: Int, lit: String): Boolean =
+      pos + lit.length <= n && s.regionMatches(true, pos, lit, 0,
+        lit.length)
+    def consumeTag(start: Int): Int = {
+      var j = start + 1
+      while (j < n) {
+        val c = s.charAt(j)
+        if (c == '>') return j + 1
+        if (c == '"' || c == '\'') {
+          j += 1
+          while (j < n && s.charAt(j) != c) j += 1
+          if (j < n) j += 1
+        } else j += 1
+      }
+      n
+    }
+    def tagNameAt(pos: Int): String = {
+      var j = pos + 1
+      if (j < n && s.charAt(j) == '/') j += 1
+      val st = j
+      while (j < n && s.charAt(j).isLetterOrDigit) j += 1
+      s.substring(st, j).toLowerCase
+    }
+    val stack = scala.collection.mutable.ArrayBuffer[String]()
+    val buf = new java.lang.StringBuilder()
+    def flush(): Unit = {
+      var hasContent = false
+      var j = 0
+      while (!hasContent && j < buf.length) {
+        if (!Character.isWhitespace(buf.charAt(j))) hasContent = true
+        j += 1
+      }
+      if (hasContent) {
+        val tag = if (stack.isEmpty) "body" else stack.last
+        out += org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(tag),
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            buf.toString))
+      }
+      buf.setLength(0)
+    }
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        if (matchesAt(i, "<!--")) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+          buf.append(' ')
+        } else if (i + 1 < n &&
+            (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+          i = consumeTag(i)
+          buf.append(' ')
+        } else if (i + 1 < n && (s.charAt(i + 1).isLetter ||
+            (s.charAt(i + 1) == '/' && i + 2 < n &&
+              s.charAt(i + 2).isLetter))) {
+          val name = tagNameAt(i)
+          val isClose = s.charAt(i + 1) == '/'
+          val after = consumeTag(i)
+          val selfClosing = after >= 2 && s.charAt(after - 2) == '/'
+          if (!isClose && !selfClosing &&
+              (name == "script" || name == "style")) {
+            // script-data skip, same close semantics as htmlTextStrict
+            val closeLit = "</" + name
+            var j = after
+            var end = -1
+            while (end < 0 && j < n) {
+              if (matchesAt(j, closeLit)) {
+                val k = j + closeLit.length
+                if (k >= n || s.charAt(k) == '>' ||
+                    s.charAt(k).isWhitespace || s.charAt(k) == '/')
+                  end = j
+                else j += 1
+              } else j += 1
+            }
+            buf.append(' ')
+            i = if (end < 0) n else consumeTag(end)
+          } else if (BlockTags.contains(name)) {
+            flush()
+            if (isClose) {
+              val at = stack.lastIndexOf(name)
+              if (at >= 0) stack.remove(at, stack.length - at)
+            } else if (!selfClosing) stack += name
+            i = after
+          } else if (BoundaryVoids.contains(name)) {
+            flush()
+            i = after
+          } else {
+            // inline tag: part of the current run, markup preserved
+            buf.append(s, i, after)
+            i = after
+          }
+        } else { buf.append('<'); i += 1 } // literal '<' in text
+      } else { buf.append(s.charAt(i)); i += 1 }
+    }
+    flush()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  def html_blocks(html: Column): Column =
+    Bridge.column(HtmlBlocksExpr(Bridge.expression(html)))
 }
 
 /** html_text_strict(html): tokenizer-based HTML→text extraction. See
@@ -421,4 +568,37 @@ case class HtmlLinksExpr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression)
       : HtmlLinksExpr = copy(child = c)
+}
+
+/** html_blocks(html): array<struct<tag,part>> of boilerpipe-style text
+  * blocks in document order — `part` the raw inner-HTML run, `tag` the
+  * nearest enclosing block element. See [[HtmlExpressions.htmlBlocks]].
+  */
+case class HtmlBlocksExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"html_blocks needs string, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("part", StringType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "html_blocks"
+
+  override def nullSafeEval(str: Any): Any =
+    HtmlExpressions.htmlBlocks(
+      str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.HtmlExpressions" +
+        s".htmlBlocks($c);")
+
+  override protected def withNewChildInternal(c: Expression)
+      : HtmlBlocksExpr = copy(child = c)
 }

@@ -430,6 +430,12 @@ object TextHashExpressions {
                           wordNgrams: Int): Column =
     Bridge.column(HashedMarginExpr(Bridge.expression(text),
       weightsUnits, biasUnits, dim, wordNgrams))
+
+  def lang_argmax_units(text: Column, weightsUnits: Seq[Seq[Long]],
+                        biasUnits: Seq[Long], langs: Seq[String],
+                        dim: Int, gramSizes: Seq[Int]): Column =
+    Bridge.column(LangArgmaxExpr(Bridge.expression(text),
+      weightsUnits, biasUnits, langs, dim, gramSizes))
 }
 
 /** hashed_margin_units(text): the quality classifier's integer
@@ -515,6 +521,119 @@ object HashedMarginExpr {
   private[expressions] val Md5: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() =>
       java.security.MessageDigest.getInstance("MD5"))
+}
+
+/** lang_argmax_units(text): the trained language classifier's whole
+  * inference step as ONE native kernel — char-n-gram the space-padded
+  * lowercased text (CODE-POINT substrings, matching the column form's
+  * `substr` semantics), md5-prefix-bucket each gram, accumulate K exact
+  * integer micro-unit margins, and argmax → struct(lang_pred,
+  * margin_units). Exists for the same reason as [[HashedMarginExpr]]:
+  * the composed form (explode → broadcast weight join → two groupBys)
+  * shuffles (doc × K) rows; this is O(grams·K) WITHIN the row, no
+  * explode/join/aggregate, streams in plain append mode and fuses into
+  * the scan's codegen stage shipping K dim-sized long arrays.
+  *
+  * Argmax contract (engine-exact, mirrored by the DuckDB oracle):
+  * best = max margin over `langs` (SORTED ascending — ties resolve to
+  * the lexicographically smallest code by first-strictly-greater scan),
+  * `und` when no margin is > 0 (one-vs-rest log-odds: "no class says
+  * yes" IS undetermined; zero-gram text scores the biases, trained
+  * negative on any class-imbalanced corpus, hence `und`).
+  */
+case class LangArgmaxExpr(child: Expression, weightsUnits: Seq[Seq[Long]],
+                          biasUnits: Seq[Long], langs: Seq[String],
+                          dim: Int, gramSizes: Seq[Int])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType
+        if dim > 0 && langs.nonEmpty &&
+          langs.length == weightsUnits.length &&
+          langs.length == biasUnits.length &&
+          weightsUnits.forall(_.length == dim) &&
+          gramSizes.nonEmpty && gramSizes.forall(_ > 0) =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"lang_argmax_units: need |langs| == |weights| == |biases| " +
+        s"(${langs.length}/${weightsUnits.length}/${biasUnits.length}), " +
+        s"each weight row of length dim=$dim, gramSizes positive")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lang_argmax_units needs string, got $other")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("lang_pred", StringType, nullable = false),
+    StructField("margin_units", LongType, nullable = false)))
+
+  override def prettyName: String = "lang_argmax_units"
+
+  @transient private lazy val wu: Array[Array[Long]] =
+    weightsUnits.map(_.toArray).toArray
+  @transient private lazy val bu: Array[Long] = biasUnits.toArray
+  @transient private lazy val ls: Array[
+    org.apache.spark.unsafe.types.UTF8String] =
+    langs.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+  @transient private lazy val ns: Array[Int] = gramSizes.toArray
+
+  def score(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val k = ls.length
+    // EXACT column-form semantics: ' ' + lower(text) + ' ', grams are
+    // code-point substrings (Spark substr counts code points, Java
+    // String indexes UTF-16 units — offsets bridge the two)
+    val s = " " + u.toLowerCase.toString + " "
+    val cp = s.codePointCount(0, s.length)
+    val offs = new Array[Int](cp + 1)
+    var o = 0
+    var i = 0
+    while (i < cp) {
+      offs(i) = o
+      o += Character.charCount(s.codePointAt(o))
+      i += 1
+    }
+    offs(cp) = s.length
+    val m = new Array[Long](k)
+    System.arraycopy(bu, 0, m, 0, k)
+    val md = HashedMarginExpr.Md5.get()
+    var gi = 0
+    while (gi < ns.length) {
+      val n = ns(gi)
+      var p = 0
+      while (p <= cp - n) {
+        val d = md.digest(s.substring(offs(p), offs(p + n))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val bkt = (v % dim).toInt
+        var ki = 0
+        while (ki < k) { m(ki) += wu(ki)(bkt); ki += 1 }
+        p += 1
+      }
+      gi += 1
+    }
+    // first strictly-greater scan over ascending langs = max margin
+    // with smallest-code tie-break
+    var best = 0
+    var ki = 1
+    while (ki < k) { if (m(ki) > m(best)) best = ki; ki += 1 }
+    val pred = if (m(best) > 0L) ls(best)
+      else org.apache.spark.unsafe.types.UTF8String.fromString("und")
+    org.apache.spark.sql.catalyst.InternalRow(pred, m(best))
+  }
+
+  override def nullSafeEval(str: Any): Any =
+    score(str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langArgmaxExpr", this,
+      classOf[LangArgmaxExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.score($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : LangArgmaxExpr = copy(child = c)
 }
 
 /** robots_match(path, pattern): RFC 9309 §2.2.3 robots rule matching

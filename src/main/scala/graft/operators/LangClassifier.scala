@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained multiclass language identification — the model-based corpus
+  * gate production pipelines run where [[TextAnalysis.langId]]'s
+  * 5-language marker heuristic stops: a LINEAR one-vs-rest classifier
+  * over HASHED character-n-gram features (the fastText langid shape:
+  * char 2- and 3-grams, hashing trick, linear scorer), trained by
+  * full-batch gradient descent where each epoch is ONE distributed
+  * aggregate pass and the state crossing the driver is exactly
+  * `K·(dim+1)` doubles.
+  *
+  * Scale shape (same argument as [[QualityClassifier]]):
+  *  - the feature space is a FIXED `dim` per class — no char-gram
+  *    vocabulary to build or broadcast;
+  *  - per epoch: margins are a broadcast weight join + one
+  *    `groupBy(id, lang)` sum, the gradient is one
+  *    `groupBy(bucket, lang)` aggregate of at most `dim·K` rows (the
+  *    ONLY driver collect, bounded by model size, never corpus size);
+  *  - scoring is a narrow columnar pass; the inference path is ONE
+  *    native kernel per row ([[graft.functions.expressions.LangArgmaxExpr]])
+  *    that grams, buckets, and argmaxes without explode/join/groupBy —
+  *    plain append-mode streamable, scan-fused at 100 TB.
+  *
+  * Determinism contract (the l42 convention): trained weights are
+  * float aggregates, so they are CAPTURED as data; scoring quantizes
+  * them to integer micro-units and computes every per-class margin as
+  * an exact integer sum. The argmax is therefore engine-exact: best =
+  * max margin, tie-break = lexicographically smallest language code,
+  * `und` when no class clears zero (one-vs-rest margins are
+  * log-odds-shaped, so "no class says yes" IS the undetermined state —
+  * zero-gram docs score each class's bias, trained negative on any
+  * class-imbalanced corpus, and fall out as `und` without a special
+  * case). A DuckDB oracle given the captured units re-derives every
+  * margin and every argmax bit-for-bit.
+  *
+  * The bucket hash is [[QualityClassifier.bucketOf]] (md5-prefix mod
+  * dim) so both engines agree; grams are CODE-POINT substrings of
+  * `' ' + lower(text) + ' '` — the padding makes word-boundary grams
+  * (" th", "er ") first-class signal, the heart of char-gram langid.
+  */
+object LangClassifier {
+
+  /** Gram sizes: character bigrams + trigrams (fastText langid's
+    * minChar/maxChar sweet spot for short text).
+    */
+  val GramSizes: Seq[Int] = Seq(2, 3)
+
+  /** A trained model: `langs` sorted ascending (the tie-break order),
+    * `weights(k)(bucket)` for class k, `biases(k)`, and the per-epoch
+    * mean one-vs-rest BCE trace (monotone on a separable corpus —
+    * OperatorSpec pins it).
+    */
+  final case class Model(dim: Int, langs: Array[String],
+                         weights: Array[Array[Double]],
+                         biases: Array[Double],
+                         lossHistory: Seq[Double]) {
+    require(langs.sorted.sameElements(langs), "langs must be sorted")
+    def weightUnits(unit: Double = 1e6): Array[Array[Long]] =
+      weights.map(_.map(w => math.rint(w * unit).toLong))
+    def biasUnits(unit: Double = 1e6): Array[Long] =
+      biases.map(b => math.rint(b * unit).toLong)
+  }
+
+  /** The char-gram array of one document: code-point n-grams of the
+    * space-padded lowercased text for each size in [[GramSizes]].
+    * Null text folds to an empty array (scores the biases → `und`).
+    */
+  def charGrams(text: Column): Column = {
+    val padded = concat(lit(" "), lower(coalesce(text, lit(""))), lit(" "))
+    GramSizes.map(n => TextAnalysis.ngrams(padded, n))
+      .reduce(concat(_, _))
+  }
+
+  /** Hashed bag-of-chargrams: (id, bucket, cnt) — within-document
+    * repeats pre-aggregate before anything shuffles.
+    */
+  private def feats(docs: DataFrame, dim: Int,
+                    idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        explode(charGrams(col(textCol))).as("g"))
+      .select(col("id"), QualityClassifier.bucketOf(col("g"), dim)
+        .as("bucket"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Train K one-vs-rest logistic regressions (shared features, one
+    * distributed pass per epoch for ALL classes).
+    *
+    * @param docs    corpus with `idCol`, `textCol`, `langCol` (the
+    *                ground-truth language label; the class set is its
+    *                distinct values, sorted)
+    * @param lr      step size on the MEAN gradient. Char-gram counts
+    *                run ~2× text length per doc, so the curvature is
+    *                much steeper than word-feature models — the
+    *                default is set for monotone full-batch descent at
+    *                a few hundred grams/doc (OperatorSpec pins the
+    *                loss trace monotone; 0.5 overshoots at epoch 2 and
+    *                recovers, classic too-large-step behavior)
+    */
+  def train(docs: DataFrame, langCol: String, dim: Int = 512,
+            epochs: Int = 15, lr: Double = 0.02,
+            idCol: String = "doc_id", textCol: String = "text"): Model = {
+    require(dim > 0 && epochs > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val labeled = docs.select(col(idCol).as("id"),
+      col(langCol).cast("string").as("y_lang"), col(textCol).as("text"))
+    val langs = labeled.select("y_lang").distinct()
+      .as[String].collect().sorted
+    require(langs.nonEmpty, "empty training corpus")
+    val k = langs.length
+    // ONE corpus-scale pass; every epoch re-reads this materialized
+    // (id, bucket, cnt) relation, never the raw text
+    val f = feats(labeled, dim, "id", "text").localCheckpoint()
+    val ids = labeled.select("id", "y_lang").localCheckpoint()
+    val nDocs = ids.count().toDouble
+    require(nDocs > 0, "empty training corpus")
+    val langsDf = broadcast(langs.toSeq.toDF("lang"))
+
+    val w = Array.fill(k)(new Array[Double](dim))
+    val b = new Array[Double](k)
+    val losses = Seq.newBuilder[Double]
+    for (_ <- 1 to epochs) {
+      val wdf = broadcast(
+        (for (ki <- 0 until k; bi <- 0 until dim if w(ki)(bi) != 0.0)
+          yield (bi.toLong, langs(ki), w(ki)(bi)))
+          .toDF("bucket", "lang", "wv"))
+      val bdf = broadcast(
+        langs.zip(b).toSeq.toDF("lang", "bv"))
+      val dots = f.join(wdf, Seq("bucket"))
+        .groupBy("id", "lang").agg(sum(col("cnt") * col("wv")).as("dot"))
+      // every (doc, class) pair carries a margin (at least the bias)
+      // and a residual — zero-gram docs and zero-weight classes included
+      val perDoc = ids.crossJoin(langsDf)
+        .join(dots, Seq("id", "lang"), "left_outer")
+        .join(bdf, Seq("lang"))
+        .select(col("id"), col("lang"),
+          (coalesce(col("dot"), lit(0.0)) + col("bv")).as("m"),
+          (col("y_lang") === col("lang")).cast("double").as("y"))
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+        .withColumn("r", col("p") - col("y"))
+        .localCheckpoint() // consumers: loss + bias grads, weight grads
+      val lb = perDoc.groupBy("lang").agg(
+        avg(greatest(col("m"), lit(0.0)) - col("m") * col("y") +
+          log1p(exp(-abs(col("m"))))).as("loss"),
+        sum(col("r")).as("gb")).collect()
+      var lossSum = 0.0
+      lb.foreach { row =>
+        val ki = langs.indexOf(row.getString(0))
+        lossSum += row.getDouble(1)
+        b(ki) -= lr * row.getDouble(2) / nDocs
+      }
+      losses += lossSum / k
+      // the gradient aggregate: ≤ dim·K rows to the driver
+      f.join(perDoc.select("id", "lang", "r"), Seq("id"))
+        .groupBy("bucket", "lang")
+        .agg(sum(col("cnt") * col("r")).as("g"))
+        .collect()
+        .foreach { row =>
+          val ki = langs.indexOf(row.getString(1))
+          w(ki)(row.getAs[Long]("bucket").toInt) -=
+            lr * row.getAs[Double]("g") / nDocs
+        }
+    }
+    Model(dim, langs, w, b, losses.result())
+  }
+
+  /** Score with integer micro-unit margins, JOIN form:
+    * (doc_id, lang_pred, margin_units) where margin_units is the BEST
+    * class's exact integer margin, lang_pred the argmax (ties: smallest
+    * code), `und` when no class margin is > 0. One row per document.
+    */
+  def scoreUnits(docs: DataFrame, model: Model, unit: Double = 1e6,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wu = model.weightUnits(unit)
+    val bu = model.biasUnits(unit)
+    val wdf = broadcast(
+      (for (ki <- model.langs.indices; bi <- 0 until model.dim
+            if wu(ki)(bi) != 0L)
+        yield (bi.toLong, model.langs(ki), wu(ki)(bi)))
+        .toDF("bucket", "lang", "wu"))
+    val budf = broadcast(
+      model.langs.zip(bu).toSeq.toDF("lang", "bu"))
+    val dots = feats(docs, model.dim, idCol, textCol)
+      .join(wdf, Seq("bucket"))
+      .groupBy("id", "lang").agg(sum(col("cnt") * col("wu")).as("dot"))
+    val margins = docs.select(col(idCol).as("id"))
+      .crossJoin(budf.select("lang"))
+      .join(dots, Seq("id", "lang"), "left_outer")
+      .join(budf, Seq("lang"))
+      .select(col("id"), col("lang"),
+        (coalesce(col("dot"), lit(0L)) + col("bu")).as("mu"))
+    val best = margins.groupBy("id").agg(max(col("mu")).as("best_mu"))
+    margins.join(best, Seq("id"))
+      .filter(col("mu") === col("best_mu"))
+      .groupBy("id").agg(min(col("lang")).as("arg"),
+        min(col("best_mu")).as("margin_units"))
+      .select(col("id").as("doc_id"),
+        when(col("margin_units") > 0L, col("arg")).otherwise("und")
+          .as("lang_pred"),
+        col("margin_units"))
+  }
+
+  /** ZERO-SHUFFLE scoring — one native kernel per row (gram → bucket →
+    * K integer margin sums → argmax), no explode/join/groupBy. The
+    * inference shape: streams in plain append mode, fuses into the
+    * scan's codegen stage at 100 TB shipping K dim-sized long arrays.
+    * OperatorSpec pins narrow ≡ join row-for-row.
+    */
+  def scoreUnitsNarrow(docs: DataFrame, model: Model, unit: Double = 1e6,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    // null text folds to "" exactly as [[charGrams]] does in the join
+    // form — both paths score the biases and emit `und`
+    val s = graft.functions.expressions.TextHashExpressions
+      .lang_argmax_units(coalesce(col(textCol), lit("")),
+        model.weightUnits(unit).map(_.toSeq).toSeq,
+        model.biasUnits(unit).toSeq, model.langs.toSeq, model.dim,
+        GramSizes)
+    docs.select(col(idCol).as("doc_id"),
+      s.getField("lang_pred").as("lang_pred"),
+      s.getField("margin_units").as("margin_units"))
+  }
+}

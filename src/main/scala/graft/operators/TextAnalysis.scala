@@ -2301,6 +2301,79 @@ object TextAnalysis {
         col("anchor"))
   }
 
+  /** Main-content block extraction — the boilerpipe/justext step
+    * between tag stripping (l52) and line-level dedup (l60): separate
+    * the article body from nav/sidebar/footer chrome. The
+    * [[graft.functions.expressions.HtmlExpressions.htmlBlocks]] kernel
+    * does ONLY the lexical split (raw inner-HTML runs between
+    * block-level tag boundaries); every feature and the whole
+    * classification are RELATIONAL over the exploded blocks, composed
+    * from the existing kernels:
+    *
+    *  - `text` = html_text_strict(part), `n_chars` = length(text)
+    *    (blocks whose text is empty drop here);
+    *  - `n_link_chars` = Σ length(anchor) over html_links(part) — the
+    *    justext link-mass numerator;
+    *  - base rule: content ⇔ n_chars ≥ minChars AND
+    *    n_link_chars ≤ maxLinkDensity · n_chars AND tag ∉
+    *    {nav, header, footer, aside, head, title} (the HTML5
+    *    semantic-chrome penalty justext applies via class hints, plus
+    *    head content);
+    *  - neighbor promotion (boilerpipe's context pass): a SHORT
+    *    non-chrome block within link density whose nearest preceding
+    *    AND following base-content blocks both exist and are adjacent
+    *    in block order (lag/lead over a per-document window) joins the
+    *    content — captions and one-line transitions survive between
+    *    paragraphs without letting footer fragments in.
+    *
+    * Output: one row per document — (url, n_blocks, n_content_blocks,
+    * main_text, n_main_chars), main_text the content blocks' text
+    * joined by single spaces in block order (string_agg-equivalent, so
+    * a DuckDB oracle reassembles it exactly). Scale: the explode is
+    * output-linear, the window partitions by document, the reassembly
+    * is one groupBy(url) — nothing wider than (url, block) shuffles.
+    */
+  def mainContent(pages: DataFrame, urlCol: String = "url",
+                  htmlCol: String = "html", minChars: Int = 25,
+                  maxLinkDensity: Double = 0.33): DataFrame = {
+    val he = graft.functions.expressions.HtmlExpressions
+    val blocks = pages
+      .select(col(urlCol).as("url"),
+        posexplode(he.html_blocks(col(htmlCol)))
+          .as(Seq("block_idx", "b")))
+      .select(col("url"), col("block_idx").cast("long").as("block_idx"),
+        col("b.tag").as("tag"),
+        he.html_text_strict(col("b.part")).as("text"),
+        aggregate(he.html_links(col("b.part")), lit(0L),
+          (acc, l) => acc + length(l.getField("anchor")).cast("long"))
+          .as("n_link_chars"))
+      .filter(length(col("text")) > 0)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val chrome = col("tag").isin("nav", "header", "footer", "aside",
+      "head", "title")
+    val inDensity = col("n_link_chars").cast("double") <=
+      lit(maxLinkDensity) * col("n_chars").cast("double")
+    val base = col("n_chars") >= minChars.toLong && inDensity && !chrome
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("url").orderBy("block_idx")
+    val flagged = blocks.withColumn("base", base)
+      // nearest neighbors in the SURVIVING block order: a short block
+      // is promoted only when sandwiched directly between two base-
+      // content blocks
+      .withColumn("prev_base", lag(col("base"), 1, false).over(w))
+      .withColumn("next_base", lead(col("base"), 1, false).over(w))
+      .withColumn("content", col("base") ||
+        (!chrome && inDensity && col("prev_base") && col("next_base")))
+    flagged.groupBy("url").agg(
+      count(lit(1)).as("n_blocks"),
+      sum(col("content").cast("long")).as("n_content_blocks"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(when(col("content"),
+          struct(col("block_idx"), col("text"))))),
+        x => x.getField("text"))).as("main_text"))
+      .withColumn("n_main_chars", length(col("main_text")).cast("long"))
+  }
+
   /** URL canonicalization — the dedup-key normalizer crawl pipelines
     * apply before URL-level dedup: lowercase scheme and host, strip the
     * fragment, strip the scheme's default port, default an empty path

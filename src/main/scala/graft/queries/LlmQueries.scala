@@ -552,6 +552,92 @@ object LlmQueries {
           .orderBy(col("doc_id"))
       }, None, Some(dir => l42Sql(dir))),
 
+    // Trained multiclass language ID (l77) — the corpus gate l09's
+    // 5-language marker heuristic under-delivers on: one-vs-rest
+    // logistic regression over hashed char-2/3-gram features (the
+    // fastText-langid shape), trained on a PLANTED 9-language world
+    // derived arithmetically from doc_id (the l61 fixture convention —
+    // the driver's documents.text is English-ish regardless of its
+    // lang column, so a real multilingual signal must be planted to be
+    // learnable AND oracle-derivable). Training floats are captured;
+    // scoring is the ONE-KERNEL narrow path (LangArgmaxExpr: gram →
+    // md5 bucket → 9 exact integer margin sums → argmax in-row, no
+    // explode/join/groupBy) and the DuckDB oracle re-derives every
+    // margin and every argmax from the captured micro-unit weights —
+    // including the `und` rule (no class margin > 0) on the planted
+    // digit-noise docs. Separability/accuracy and narrow ≡ join are
+    // pinned in OperatorSpec.
+    "l77_trained_langid" -> QuerySpec(
+      (s, dir) => {
+        val model = l77ModelCached(s, dir)
+        graft.operators.LangClassifier
+          .scoreUnitsNarrow(langWorld(s, dir), model)
+          .orderBy(col("doc_id"))
+      }, None, Some(dir => l77Sql(dir))),
+
+    // Main-content block extraction (l78) — the boilerpipe/justext
+    // step between l52's tag stripping and l60's line dedup: the
+    // htmlBlocks kernel segments, every feature and the classification
+    // are relational (html_text_strict + html_links per block, length
+    // gate, link density, semantic-chrome penalty, lag/lead neighbor
+    // promotion). The planted page puts one block behind EACH rule:
+    // title+nav+header die by length/chrome, the aside by chrome AND
+    // density, the archive div by density ALONE (long enough, wrong
+    // link mass), the footer by chrome ALONE (long enough, low
+    // density), the short mid-article note survives ONLY via neighbor
+    // promotion between two content paragraphs, and the short
+    // after-footer postscript is NOT promoted (its neighbors are
+    // boilerplate — pins the window edge). The oracle derives the
+    // surviving blocks and the reassembled main text from doc_id
+    // arithmetic alone, first principles.
+    "l78_main_content" -> QuerySpec(
+      (s, dir) => {
+        val id = col("doc_id")
+        val p1 = concat(lit("First paragraph of substantive article " +
+          "text for document "), id, lit(" with enough characters to " +
+          "pass the length gate comfortably."))
+        val p2 = concat(lit("Second long paragraph of document "), id,
+          lit(" body text that also clearly exceeds the minimum " +
+            "character threshold for content."))
+        val html = concat(
+          lit("<html><head><title>Doc "), id,
+          lit("</title><script>var x='<p>decoy block</p>';</script>" +
+            "</head><body>" +
+            "<nav><a href=\"/home\">Home</a> <a href=\"/about\">About" +
+            "</a> <a href=\"/contact\">Contact</a></nav>" +
+            "<header>Site "), id, lit(" tagline</header><article><p>"),
+          p1, lit("</p><p>Note "), id % 7, lit(".</p><p>"), p2,
+          lit("</p></article>" +
+            "<aside>Related: <a href=\"/r1\">first related link</a> " +
+            "<a href=\"/r2\">second related link</a></aside>" +
+            "<div>See <a href=\"/archive/"), id,
+          lit("\">the complete archive of all previous documents and " +
+            "notes</a> now.</div>" +
+            "<footer>Copyright 2026 Example Corp. All rights " +
+            "reserved. <a href=\"/tos\">Terms</a></footer><p>End "),
+          id % 5, lit(".</p></body></html>"))
+        val pages = Tables(s, dir, "documents").select(
+          concat(lit("https://h"), id, lit(".example/a/")).as("url"),
+          html.as("html"))
+        TextAnalysis.mainContent(pages).orderBy(col("url"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  'https://h' || doc_id || '.example/a/' AS url,
+             |  'First paragraph of substantive article text for '
+             |    || 'document ' || doc_id || ' with enough characters '
+             |    || 'to pass the length gate comfortably.' AS p1,
+             |  'Note ' || (doc_id % 7) || '.' AS note,
+             |  'Second long paragraph of document ' || doc_id
+             |    || ' body text that also clearly exceeds the minimum '
+             |    || 'character threshold for content.' AS p2
+             |  FROM documents),
+             |m AS (SELECT url,
+             |    p1 || ' ' || note || ' ' || p2 AS main_text FROM d)
+             |SELECT url, CAST(10 AS BIGINT) AS n_blocks,
+             |  CAST(3 AS BIGINT) AS n_content_blocks, main_text,
+             |  CAST(length(main_text) AS BIGINT) AS n_main_chars
+             |FROM m ORDER BY url""".stripMargin)),
+
     // The 100 TB dedup layout as a first-class flow: signatures
     // materialized ONCE into a bucketed table (single corpus scan),
     // candidates from an exchange-free bucketed self-join, exact-jaccard
@@ -4810,6 +4896,126 @@ object LlmQueries {
        |FROM documents d LEFT JOIN md USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
   }
+  // l77: planted 9-language world + trained multiclass langid model.
+  // Phrases are ASCII function-word text, one per language, assigned by
+  // doc_id % 10 in SORTED language order (the model's class order);
+  // slot 9 is digit noise — out-of-class rows the `und` rule must
+  // catch. Both engines build the text from doc_id with the same
+  // arithmetic, so the oracle needs no side-channel fixture.
+  private val l77Langs: Seq[(String, String)] = Seq(
+    "de" -> ("der schnelle und der faule denken dass sie dort gewesen " +
+      "sein sollten mit ihnen zusammen"),
+    "en" -> ("the quick and the lazy ones think that they should have " +
+      "been there with them today"),
+    "es" -> ("el rapido y el perezoso piensan que deberian haber estado " +
+      "alli con ellos en los campos"),
+    "fr" -> ("le rapide et le paresseux pensent qu'ils auraient du etre " +
+      "la avec eux dans les champs"),
+    "it" -> ("il veloce e il pigro pensano che avrebbero dovuto essere " +
+      "li con loro nei campi verdi"),
+    "nl" -> ("de snelle en de luie denken dat zij daar hadden moeten " +
+      "zijn met hen samen in het veld"),
+    "pl" -> ("szybki i leniwy mysla ze powinni byli tam byc z nimi " +
+      "razem na polu zielonym wczoraj"),
+    "pt" -> ("o rapido e o preguicoso pensam que deveriam ter estado " +
+      "la com eles nos campos verdes"),
+    "sv" -> ("den snabba och den lata tror att de borde ha varit dar " +
+      "med dem tillsammans pa faltet"))
+
+  /** (doc_id, lang_true, text): planted multilingual corpus over the
+    * documents table's ids. lang_true = '' for the digit-noise rows
+    * (they are excluded from training, scored as out-of-class).
+    */
+  private def langWorld(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    val id = col("doc_id")
+    val li = id % 10
+    val phrase = l77Langs.zipWithIndex.foldLeft(lit(""): org.apache.spark
+        .sql.Column) {
+      case (acc, ((_, p), i)) => when(li === i, lit(p)).otherwise(acc)
+    }
+    val text = when(li === 9,
+      concat(lit("7 42 13 99 "), (id % 97).cast("string"),
+        lit(" 100 2048 65536")))
+      .otherwise(concat(phrase, lit(" v"), (id % 7).cast("string"),
+        lit(" n"), (id % 13).cast("string")))
+    val langTrue = l77Langs.zipWithIndex.foldLeft(lit(""): org.apache
+        .spark.sql.Column) {
+      case (acc, ((l, _), i)) => when(li === i, lit(l)).otherwise(acc)
+    }
+    Tables(s, dir, "documents")
+      .select(id, langTrue.as("lang_true"), text.as("text"))
+  }
+
+  private val l77ModelByDir = scala.collection.concurrent.TrieMap[
+    String, graft.operators.LangClassifier.Model]()
+  private[queries] def l77ModelCached(s: org.apache.spark.sql.SparkSession,
+                                      dir: String)
+      : graft.operators.LangClassifier.Model =
+    l77ModelByDir.getOrElseUpdate(dir,
+      graft.operators.LangClassifier.train(
+        langWorld(s, dir).filter(col("lang_true") =!= ""),
+        langCol = "lang_true", dim = 1024))
+
+  /** l77 oracle: DuckDB rebuilds the planted text from doc_id, grams it
+    * (code-point substrings of the space-padded lowercased text, 2- and
+    * 3-grams), md5-prefix-buckets, LEFT JOINs the captured non-zero
+    * weight units, sums exact integer margins per (doc, lang), and
+    * argmaxes with the same tie-break (max margin, then smallest code)
+    * and `und` rule (no margin > 0).
+    */
+  private[queries] def l77Sql(dir: String): String = {
+    val m = l77ModelByDir.getOrElse(dir,
+      sys.error(s"l77 never ran for $dir — no model captured"))
+    val wu = m.weightUnits()
+    val bu = m.biasUnits()
+    val wvals = (for (ki <- m.langs.indices; bi <- 0 until m.dim
+                      if wu(ki)(bi) != 0L)
+      yield s"($bi, '${m.langs(ki)}', ${wu(ki)(bi)})").mkString(", ")
+    val bvals = m.langs.zip(bu)
+      .map { case (l, b) => s"('$l', $b)" }.mkString(", ")
+    val phraseCase = l77Langs.zipWithIndex
+      .map { case ((_, p), i) => s"WHEN $i THEN '${p.replace("'", "''")}'" }
+      .mkString(" ")
+    s"""WITH world AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 9
+       |      THEN '7 42 13 99 ' || (doc_id % 97) || ' 100 2048 65536'
+       |      ELSE (CASE doc_id % 10 $phraseCase END)
+       |           || ' v' || (doc_id % 7) || ' n' || (doc_id % 13)
+       |    END AS text
+       |  FROM documents),
+       |p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM world),
+       |g AS (
+       |  SELECT doc_id, unnest([substr(s, i, 2)
+       |    for i in generate_series(1, length(s) - 1)]) AS g FROM p
+       |  UNION ALL
+       |  SELECT doc_id, unnest([substr(s, i, 3)
+       |    for i in generate_series(1, length(s) - 2)]) AS g FROM p),
+       |tb AS (SELECT doc_id,
+       |    ('0x' || substr(md5(g), 1, 8))::BIGINT % ${m.dim} AS bucket,
+       |    COUNT(*) AS cnt
+       |  FROM g GROUP BY 1, 2),
+       |w AS (SELECT * FROM (VALUES $wvals) v(bucket, lang, wu)),
+       |lb AS (SELECT * FROM (VALUES $bvals) l(lang, bu)),
+       |dot AS (SELECT tb.doc_id, w.lang,
+       |    CAST(SUM(tb.cnt * w.wu) AS BIGINT) AS dot
+       |  FROM tb JOIN w USING (bucket) GROUP BY 1, 2),
+       |mm AS (SELECT d.doc_id, l.lang,
+       |    COALESCE(dot.dot, 0) + l.bu AS mu
+       |  FROM (SELECT doc_id FROM world) d CROSS JOIN lb l
+       |  LEFT JOIN dot ON dot.doc_id = d.doc_id AND dot.lang = l.lang),
+       |b AS (SELECT doc_id, MAX(mu) AS bm FROM mm GROUP BY 1),
+       |pick AS (SELECT mm.doc_id, MIN(mm.lang) AS arg,
+       |    MIN(b.bm) AS bm
+       |  FROM mm JOIN b ON mm.doc_id = b.doc_id AND mm.mu = b.bm
+       |  GROUP BY 1)
+       |SELECT doc_id,
+       |  CASE WHEN bm > 0 THEN arg ELSE 'und' END AS lang_pred,
+       |  CAST(bm AS BIGINT) AS margin_units
+       |FROM pick ORDER BY doc_id""".stripMargin
+  }
+
   private val s12CapturesByDir = scala.collection.concurrent.TrieMap[
     String, (Array[Array[Double]], Array[Double])]()
   private val s14CapturesByDir = scala.collection.concurrent.TrieMap[

@@ -3208,4 +3208,207 @@ class OperatorSpec extends AnyFunSuite {
     cases.foreach { case (u, want) =>
       assert(got(u) == want, s"$u -> '${got(u)}', want '$want'") }
   }
+
+  // ---- main-content block extraction ---------------------------------
+
+  test("htmlBlocks: segments at block-tag boundaries with enclosing-tag " +
+      "attribution — inline markup stays in the run, script decoys and " +
+      "comments never split or leak, br is a boundary, title text is " +
+      "its own head block, unclosed tags stay tolerant") {
+    def blocks(html: String): Seq[(String, String)] =
+      graft.functions.expressions.HtmlExpressions
+        .htmlBlocks(org.apache.spark.unsafe.types.UTF8String
+          .fromString(html))
+        .toArray[org.apache.spark.sql.catalyst.InternalRow](
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("tag",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("part",
+              org.apache.spark.sql.types.StringType))))
+        .toSeq.map(r => (r.getUTF8String(0).toString,
+          r.getUTF8String(1).toString))
+    val b1 = blocks("<html><head><title>T1</title>" +
+      "<script>var a='<p>decoy</p>';</script></head><body>" +
+      "<p>one <b>bold</b> run</p><div>two<br>three</div>" +
+      "<!-- <p>comment decoy</p> -->deep</body></html>")
+    assert(b1 == Seq(
+      ("title", "T1"),
+      ("p", "one <b>bold</b> run"),
+      ("div", "two"), ("div", "three"),
+      // comment skipped, trailing text attributed to the open body
+      ("body", " deep")), b1)
+    // implicit <p> close (HTML5 auto-closing): both runs attribute to p
+    val b2 = blocks("<body><p>alpha<p>beta</p></body>")
+    assert(b2.map(_._2) == Seq("alpha", "beta") &&
+      b2.forall(_._1 == "p"), b2)
+    // unclosed block tag: EOF flushes the run, tolerant
+    val b3 = blocks("<div>never closed")
+    assert(b3 == Seq(("div", "never closed")), b3)
+    // whitespace-only runs between block tags never emit
+    assert(blocks("<div> </div>  <p>x</p>") == Seq(("p", "x")))
+  }
+
+  test("mainContent: each justext rule kills exactly its planted " +
+      "block — length, link density ALONE, chrome ALONE — the short " +
+      "mid-article block survives only via neighbor promotion, and a " +
+      "short block beside boilerplate is NOT promoted") {
+    val html =
+      "<html><head><title>Doc title</title></head><body>" +
+        "<nav><a href=\"/h\">Home</a> <a href=\"/a\">About</a></nav>" +
+        "<article>" +
+        "<p>A first long paragraph with clearly more than twenty five " +
+        "characters of body text.</p>" +
+        "<p>Tiny note.</p>" +
+        "<p>A second long paragraph that also has clearly more than " +
+        "the minimum character count.</p>" +
+        "</article>" +
+        // density-only kill: long enough, not chrome, link-heavy
+        "<div>See <a href=\"/x\">the complete archive of everything " +
+        "we have ever published</a> now.</div>" +
+        // chrome-only kill: long enough, low density, footer
+        "<footer>Copyright 2026 Example Corp. All rights reserved " +
+        "worldwide. <a href=\"/t\">Terms</a></footer>" +
+        // NOT promoted: neighbors are boilerplate
+        "<p>End.</p>" +
+        "</body></html>"
+    val out = TextAnalysis.mainContent(
+      Seq(("https://x.example/", html)).toDF("url", "html")).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("n_blocks") == 8L, r) // title,nav,p,p,p,div,footer,p
+    assert(r.getAs[Long]("n_content_blocks") == 3L, r)
+    val main = r.getAs[String]("main_text")
+    assert(main ==
+      "A first long paragraph with clearly more than twenty five " +
+      "characters of body text. Tiny note. A second long paragraph " +
+      "that also has clearly more than the minimum character count.",
+      main)
+    assert(r.getAs[Long]("n_main_chars") == main.length.toLong)
+    // promotion requires BOTH neighbors: content, gap, content with the
+    // gap two blocks wide -> the two short blocks stay boilerplate
+    val twoGap = "<body>" +
+      "<p>A first long paragraph with clearly more than twenty five " +
+      "characters of body text.</p><p>gap one.</p><p>gap two.</p>" +
+      "<p>A second long paragraph that also has clearly more than " +
+      "the minimum character count.</p></body>"
+    val r2 = TextAnalysis.mainContent(
+      Seq(("https://y.example/", twoGap)).toDF("url", "html"))
+      .collect()(0)
+    assert(r2.getAs[Long]("n_content_blocks") == 2L, r2)
+  }
+
+  // ---- trained language ID (LangClassifier) --------------------------
+
+  /** 9 planted languages, ASCII function-word phrases — linearly
+    * separable by char 2/3-grams by construction.
+    */
+  private val langPhrases: Seq[(String, String)] = Seq(
+    "de" -> ("der schnelle und der faule denken dass sie dort gewesen " +
+      "sein sollten mit ihnen zusammen"),
+    "en" -> ("the quick and the lazy ones think that they should have " +
+      "been there with them today"),
+    "es" -> ("el rapido y el perezoso piensan que deberian haber estado " +
+      "alli con ellos en los campos"),
+    "fr" -> ("le rapide et le paresseux pensent qu'ils auraient du etre " +
+      "la avec eux dans les champs"),
+    "it" -> ("il veloce e il pigro pensano che avrebbero dovuto essere " +
+      "li con loro nei campi verdi"),
+    "nl" -> ("de snelle en de luie denken dat zij daar hadden moeten " +
+      "zijn met hen samen in het veld"),
+    "pl" -> ("szybki i leniwy mysla ze powinni byli tam byc z nimi " +
+      "razem na polu zielonym wczoraj"),
+    "pt" -> ("o rapido e o preguicoso pensam que deveriam ter estado " +
+      "la com eles nos campos verdes"),
+    "sv" -> ("den snabba och den lata tror att de borde ha varit dar " +
+      "med dem tillsammans pa faltet"))
+
+  private lazy val langWorldDf = {
+    val k = langPhrases.length
+    (0 until 45 * k).map { i =>
+      val (lang, phrase) = langPhrases(i % k)
+      (i.toLong, lang, s"$phrase v${i % 7} n${i % 13}")
+    }.toDF("doc_id", "lang_true", "text")
+  }
+
+  private lazy val langModel = graft.operators.LangClassifier.train(
+    langWorldDf, langCol = "lang_true", dim = 1024)
+
+  test("LangClassifier: 9-language planted-separable accuracy — every " +
+      "trained doc argmaxes to its true language with a positive " +
+      "margin; digit-only / empty / null text falls out as 'und'; " +
+      "the per-epoch OvR loss decreases monotonically") {
+    val m = langModel
+    assert(m.langs.toSeq == langPhrases.map(_._1),
+      "class set = sorted distinct labels")
+    m.lossHistory.sliding(2).foreach { case Seq(a, b) =>
+      assert(b < a, s"loss must decrease: ${m.lossHistory}") }
+    val scored = graft.operators.LangClassifier
+      .scoreUnits(langWorldDf, m)
+      .join(langWorldDf.select("doc_id", "lang_true"), "doc_id")
+      .collect()
+    assert(scored.length == langWorldDf.count())
+    scored.foreach { r =>
+      assert(r.getAs[String]("lang_pred") == r.getAs[String]("lang_true"),
+        s"doc ${r.getAs[Long]("doc_id")}: pred " +
+          s"${r.getAs[String]("lang_pred")} want " +
+          s"${r.getAs[String]("lang_true")}")
+      assert(r.getAs[Long]("margin_units") > 0L)
+    }
+    // out-of-class text: digit noise (grams unseen in training → zero
+    // weights → bias-only margins, negative), empty, and null all 'und'
+    val und = graft.operators.LangClassifier.scoreUnits(
+      Seq((1L, "7 42 13 99 100 2048 65536 31337"), (2L, ""),
+        (3L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), m).collect()
+    und.foreach { r =>
+      assert(r.getAs[String]("lang_pred") == "und", r.toString)
+      assert(r.getAs[Long]("margin_units") <= 0L) }
+  }
+
+  test("LangClassifier: narrow kernel ≡ join scorer row-for-row " +
+      "(unicode incl. non-BMP text, null, empty), and a bit-exact " +
+      "plain-Scala replay reproduces every margin and argmax") {
+    val m = langModel
+    val probe = langWorldDf.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ++ Seq(
+      (9001L, "der schnelle und die schoene überäll"),
+      (9002L, "mixed el rapido the quick le rapide"),
+      (9003L, "😀 emoji und der faule 😀"), // non-BMP
+      (9004L, ""), (9005L, null.asInstanceOf[String]))
+    val df = probe.toDF("doc_id", "text")
+    val joinForm = graft.operators.LangClassifier.scoreUnits(df, m)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    val narrow = graft.operators.LangClassifier.scoreUnitsNarrow(df, m)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(narrow == joinForm,
+      s"narrow vs join diff: ${(narrow.toSet -- joinForm.toSet).take(3)}")
+    // independent plain-Scala replay: Java streams + BigInteger md5
+    // prefix (a different md5-prefix derivation than the kernel's
+    // byte-shift form), gram list via codePoints array
+    val wu = m.weightUnits()
+    val bu = m.biasUnits()
+    def replay(text: String): (String, Long) = {
+      val s = " " + (if (text == null) "" else text).toLowerCase + " "
+      val cps = s.codePoints.toArray
+      val margins = bu.clone()
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      for (n <- graft.operators.LangClassifier.GramSizes;
+           i <- 0 to cps.length - n) {
+        val g = new String(cps, i, n)
+        val hex = md5.digest(g.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        val bkt = (new java.math.BigInteger(hex, 16).longValueExact()
+          % m.dim).toInt
+        for (k <- margins.indices) margins(k) += wu(k)(bkt)
+      }
+      val best = margins.indices.minBy(k => (-margins(k), m.langs(k)))
+      (if (margins(best) > 0L) m.langs(best) else "und", margins(best))
+    }
+    probe.foreach { case (id, text) =>
+      assert(replay(text) == joinForm(id),
+        s"replay mismatch on doc $id: ${replay(text)} vs ${joinForm(id)}")
+    }
+  }
 }

@@ -975,4 +975,30 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"sketch growth must stay an equi-join:\n${plan.take(2500)}")
   }
+
+  test("l77: trained-langid narrow inference is ONE zero-exchange " +
+      "codegen'd project over the scan — no explode, no join, no " +
+      "aggregate; the whole K-class argmax runs inside the row") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import spark.implicits._
+    val model = graft.operators.LangClassifier.train(
+      Seq((0L, "aa", "the quick and the lazy"),
+        (1L, "bb", "der schnelle und der faule"))
+        .toDF("doc_id", "lang_true", "text"),
+      langCol = "lang_true", dim = 64, epochs = 2)
+    val docs = spark.range(500).select(col("id").as("doc_id"),
+      concat(lit("some text "), col("id")).as("text"))
+    val plan = graft.operators.LangClassifier
+      .scoreUnitsNarrow(docs, model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"narrow langid must not shuffle:\n${plan.take(2500)}")
+    assert(!plan.contains("Join") && !plan.contains("Aggregate") &&
+      !plan.contains("Generate"),
+      s"narrow langid must stay a per-row kernel:\n${plan.take(2500)}")
+    assert(plan.contains("*("),
+      s"narrow langid fell out of codegen:\n${plan.take(2500)}")
+    assert(plan.contains("lang_argmax_units"),
+      s"native kernel missing from plan:\n${plan.take(2500)}")
+  }
 }
