@@ -75,7 +75,10 @@ object Explain {
       "l71_personalized_pagerank" -> "personalized PageRank iteration (seed column broadcast-joined, partial-aggregated contributions)",
       "l72_recrawl_select" -> "recrawl selection (url-keyed equi-join + narrow CASE, lexicographic date compare)",
       "l73_hits" -> "HITS iteration (two partial-aggregated equi-join sums, exact-integer scores)",
-      "l75_sitemap_tree" -> "sitemap tree walk (per-level url-keyed equi-join + typed parse, visited anti-join)")
+      "l75_sitemap_tree" -> "sitemap tree walk (per-level url-keyed equi-join + typed parse, visited anti-join)",
+      "l77_trained_langid" -> "trained langid inference (ONE zero-exchange codegen project: in-row gram→bucket→K-margin argmax kernel)",
+      "l78_main_content" -> "main-content extraction (one codegen segment+feature stage, per-document window, one reassembly agg)",
+      "l80_unigram_encode" -> "unigram-LM encode (narrow per-row kernel pass: in-kernel Viterbi per token, in-row sum — no explode, no join)")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans of flagship queries\n\n")
     sb.append("Generated by `runMain graft.Explain` on sf0.001; the\n")

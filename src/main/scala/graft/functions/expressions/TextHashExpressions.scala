@@ -425,6 +425,148 @@ object TextHashExpressions {
   def iban_redact(text: Column): Column =
     Bridge.column(IbanRedactExpr(Bridge.expression(text)))
 
+  /** Is ddd-dd-dddd a VALID SSA number? Range rules (the SSA issuance
+    * constraints): area ∉ {000, 666}, area < 900; group ≠ 00;
+    * serial ≠ 0000. Inexpressible in RE2 (needs lookahead), hence the
+    * native-kernel placement — and planted invalid-range negatives are
+    * how the l53 oracle proves the validation runs.
+    */
+  def ssnRangesValid(area: Int, group: Int, serial: Int): Boolean =
+    area != 0 && area != 666 && area < 900 && group != 0 && serial != 0
+
+  /** SSN detection + redaction, the [[ccRedact]] scanner shape:
+    * candidate = ddd-dd-dddd at non-alphanumeric boundaries on both
+    * sides (the strict hyphenated print form — a bare 9-digit run is a
+    * documented non-candidate: it collides with order numbers and
+    * Luhn-checkable sequences and real pipelines gate on the grouped
+    * form). Redacts to `<SSN>` only when [[ssnRangesValid]] holds;
+    * invalid-range shapes pass through verbatim.
+    */
+  def ssnRedact(str: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val s = str.toString
+    val len = s.length
+    val sb = new java.lang.StringBuilder(len)
+    var n = 0L
+    var i = 0
+    def isD(c: Char): Boolean = c >= '0' && c <= '9'
+    def isAl(c: Char): Boolean =
+      isD(c) || (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+    def dig(at: Int, cnt: Int): Int = {
+      var v = 0; var j = 0
+      while (j < cnt) { v = v * 10 + (s.charAt(at + j) - '0'); j += 1 }
+      v
+    }
+    while (i < len) {
+      val c = s.charAt(i)
+      val start = isD(c) && (i == 0 || (!isAl(s.charAt(i - 1)) &&
+        s.charAt(i - 1) != '-'))
+      if (start && i + 11 <= len &&
+          isD(s.charAt(i + 1)) && isD(s.charAt(i + 2)) &&
+          s.charAt(i + 3) == '-' &&
+          isD(s.charAt(i + 4)) && isD(s.charAt(i + 5)) &&
+          s.charAt(i + 6) == '-' &&
+          isD(s.charAt(i + 7)) && isD(s.charAt(i + 8)) &&
+          isD(s.charAt(i + 9)) && isD(s.charAt(i + 10)) &&
+          (i + 11 == len || (!isAl(s.charAt(i + 11)) &&
+            s.charAt(i + 11) != '-'))) {
+        if (ssnRangesValid(dig(i, 3), dig(i + 4, 2), dig(i + 7, 4))) {
+          sb.append("<SSN>"); n += 1
+        } else sb.append(s, i, i + 11)
+        i += 11
+      } else { sb.append(c); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n,
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
+  }
+
+  def ssn_redact(text: Column): Column =
+    Bridge.column(SsnRedactExpr(Bridge.expression(text)))
+
+  private val Base58Alphabet =
+    "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+  private val Base58Index: Array[Int] = {
+    val a = Array.fill(128)(-1)
+    Base58Alphabet.zipWithIndex.foreach { case (c, i) => a(c.toInt) = i }
+    a
+  }
+
+  /** Does a base58 string decode to a 25-byte payload whose trailing 4
+    * bytes equal the first 4 of SHA256(SHA256(payload[0..21)))? — the
+    * Base58Check rule legacy Bitcoin addresses (P2PKH '1…' / P2SH
+    * '3…') carry. A real 32-bit checksum, so random look-alikes fail
+    * at 1 − 2⁻³²; a DOUBLE SHA-256 is far beyond any regex, the
+    * Luhn/mod-97 precedent taken one step further.
+    */
+  def base58CheckValid(s: String): Boolean = {
+    var big = java.math.BigInteger.ZERO
+    val fifty8 = java.math.BigInteger.valueOf(58)
+    var leading = 0
+    var seenNonOne = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 128 || Base58Index(c.toInt) < 0) return false
+      if (c == '1' && !seenNonOne) leading += 1 else seenNonOne = true
+      big = big.multiply(fifty8)
+        .add(java.math.BigInteger.valueOf(Base58Index(c.toInt).toLong))
+      i += 1
+    }
+    val num = big.toByteArray.dropWhile(_ == 0)
+    val payload = new Array[Byte](leading + num.length)
+    System.arraycopy(num, 0, payload, leading, num.length)
+    if (payload.length != 25) return false
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val h = md.digest(md.digest(
+      java.util.Arrays.copyOfRange(payload, 0, 21)))
+    h(0) == payload(21) && h(1) == payload(22) &&
+      h(2) == payload(23) && h(3) == payload(24)
+  }
+
+  /** Cryptocurrency-address detection + redaction: candidate = a
+    * base58-alphabet run of 26–35 chars starting with '1' or '3' at
+    * non-alphanumeric boundaries (the legacy Bitcoin address shape);
+    * redacts to `<CRYPTO>` only when [[base58CheckValid]] holds.
+    * Checksum-failing look-alikes pass through — the credential-shape
+    * analog of the Luhn/mod-97 stance.
+    */
+  def btcRedact(str: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val s = str.toString
+    val len = s.length
+    val sb = new java.lang.StringBuilder(len)
+    var n = 0L
+    var i = 0
+    def isAl(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') ||
+        (c >= 'a' && c <= 'z')
+    def isB58(c: Char): Boolean =
+      c < 128 && Base58Index(c.toInt) >= 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if ((c == '1' || c == '3') &&
+          (i == 0 || !isAl(s.charAt(i - 1)))) {
+        var k = i
+        while (k < len && isB58(s.charAt(k))) k += 1
+        val runEnd = k
+        val bounded = runEnd == len || !isAl(s.charAt(runEnd))
+        val nc = runEnd - i
+        if (bounded && nc >= 26 && nc <= 35 &&
+            base58CheckValid(s.substring(i, runEnd))) {
+          sb.append("<CRYPTO>"); n += 1; i = runEnd
+        } else if (runEnd > i) { sb.append(s, i, runEnd); i = runEnd }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n,
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
+  }
+
+  def btc_redact(text: Column): Column =
+    Bridge.column(BtcRedactExpr(Bridge.expression(text)))
+
   def hashed_margin_units(text: Column, weightsUnits: Seq[Long],
                           biasUnits: Long, dim: Int,
                           wordNgrams: Int): Column =
@@ -436,6 +578,12 @@ object TextHashExpressions {
                         dim: Int, gramSizes: Seq[Int]): Column =
     Bridge.column(LangArgmaxExpr(Bridge.expression(text),
       weightsUnits, biasUnits, langs, dim, gramSizes))
+
+  def unigram_segment(word: Column, pieces: Seq[String],
+                      lpUnits: Seq[Long], maxPieceLen: Int,
+                      unkUnits: Long): Column =
+    Bridge.column(UnigramSegmentExpr(Bridge.expression(word),
+      pieces, lpUnits, maxPieceLen, unkUnits))
 }
 
 /** hashed_margin_units(text): the quality classifier's integer
@@ -636,6 +784,126 @@ case class LangArgmaxExpr(child: Expression, weightsUnits: Seq[Seq[Long]],
       : LangArgmaxExpr = copy(child = c)
 }
 
+/** unigram_segment(word): Viterbi segmentation of one word under a
+  * unigram language model (the SentencePiece decode step) as ONE native
+  * kernel — the E-step workhorse of [[graft.operators.TextAnalysis]]'s
+  * unigram trainer and the whole encode path. Piece scores are INTEGER
+  * micro-units (quantized log-probs), so the DP is exact long
+  * arithmetic: engine, replay, and re-runs can never drift in the last
+  * ulp the way float Viterbi can.
+  *
+  * DP contract (mirrored bit-for-bit by TextGolden.unigramViterbi):
+  * positions are CODE POINTS; best(0) = 0; for end position i
+  * ascending, candidate starts j = max(0, i−maxPieceLen)..i−1 ascending
+  * propose best(j) + lp(word[j,i)) — unknown SINGLE code points score
+  * `unkUnits` (coverage guarantee; unknown multi-char spans never
+  * match) — and a candidate replaces only on STRICT improvement, so
+  * ties resolve to the smallest j (the longest piece). Segmenting ""
+  * yields an empty array.
+  */
+case class UnigramSegmentExpr(child: Expression, pieces: Seq[String],
+                              lpUnits: Seq[Long], maxPieceLen: Int,
+                              unkUnits: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if pieces.length == lpUnits.length &&
+        maxPieceLen > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"unigram_segment: |pieces|=${pieces.length} must equal " +
+        s"|lpUnits|=${lpUnits.length} and maxPieceLen > 0")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"unigram_segment needs string, got $other")
+  }
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "unigram_segment"
+
+  @transient private lazy val lpMap: java.util.HashMap[String,
+    java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](
+      pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) {
+      m.put(pieces(i), java.lang.Long.valueOf(lpUnits(i)))
+      i += 1
+    }
+    m
+  }
+
+  def segment(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = u.toString
+    val cp = s.codePointCount(0, s.length)
+    if (cp == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val offs = new Array[Int](cp + 1)
+    var o = 0
+    var i = 0
+    while (i < cp) {
+      offs(i) = o
+      o += Character.charCount(s.codePointAt(o))
+      i += 1
+    }
+    offs(cp) = s.length
+    val NegInf = java.lang.Long.MIN_VALUE / 4
+    val best = Array.fill(cp + 1)(NegInf)
+    val back = new Array[Int](cp + 1)
+    best(0) = 0L
+    i = 1
+    while (i <= cp) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (best(j) > NegInf) {
+          val piece = s.substring(offs(j), offs(i))
+          val lp = lpMap.get(piece)
+          val cand =
+            if (lp != null) best(j) + lp.longValue()
+            else if (i - j == 1) best(j) + unkUnits
+            else NegInf
+          if (cand > best(i)) { best(i) = cand; back(i) = j }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // walk backpointers, then reverse in place
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var p = cp
+    while (p > 0) {
+      val j = back(p)
+      out += org.apache.spark.unsafe.types.UTF8String.fromString(
+        s.substring(offs(j), offs(p)))
+      p = j
+    }
+    val arr = out.toArray
+    var a = 0
+    var b = arr.length - 1
+    while (a < b) {
+      val t = arr(a); arr(a) = arr(b); arr(b) = t
+      a += 1; b -= 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(str: Any): Any =
+    segment(str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramSegmentExpr", this,
+      classOf[UnigramSegmentExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.segment($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : UnigramSegmentExpr = copy(child = c)
+}
+
 /** robots_match(path, pattern): RFC 9309 §2.2.3 robots rule matching
   * with `*`/`$` wildcards — see [[TextHashExpressions.robotsMatch]].
   * Native (codegen) because it sits on the JOIN RESIDUAL of the
@@ -740,6 +1008,75 @@ case class IbanRedactExpr(child: Expression)
 
   override protected def withNewChildInternal(c: Expression)
       : IbanRedactExpr = copy(child = c)
+}
+
+/** ssn_redact(text): SSN detection + SSA range-rule-validated
+  * redaction — see [[TextHashExpressions.ssnRedact]]. Returns
+  * struct(n_ssns: bigint, redacted: string); native because the range
+  * rules need lookahead RE2 lacks.
+  */
+case class SsnRedactExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ssn_redact needs string, got $other")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ssns", LongType, nullable = false),
+    StructField("redacted", StringType, nullable = false)))
+
+  override def prettyName: String = "ssn_redact"
+
+  override def nullSafeEval(str: Any): Any =
+    TextHashExpressions.ssnRedact(
+      str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextHashExpressions" +
+        s".ssnRedact($c);")
+
+  override protected def withNewChildInternal(c: Expression)
+      : SsnRedactExpr = copy(child = c)
+}
+
+/** btc_redact(text): legacy Bitcoin-address detection + Base58Check
+  * (double-SHA256) validated redaction — see
+  * [[TextHashExpressions.btcRedact]]. Returns struct(n_crypto: bigint,
+  * redacted: string); the checksum is a real 32-bit hash check, far
+  * beyond regex.
+  */
+case class BtcRedactExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"btc_redact needs string, got $other")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_crypto", LongType, nullable = false),
+    StructField("redacted", StringType, nullable = false)))
+
+  override def prettyName: String = "btc_redact"
+
+  override def nullSafeEval(str: Any): Any =
+    TextHashExpressions.btcRedact(
+      str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextHashExpressions" +
+        s".btcRedact($c);")
+
+  override protected def withNewChildInternal(c: Expression)
+      : BtcRedactExpr = copy(child = c)
 }
 
 /** lzw_codes(text): LZW code count over UTF-8 bytes — the

@@ -1327,6 +1327,154 @@ object TextAnalysis {
         sum(col("n_bpe")).as("bpe_token_count"))
   }
 
+  /** Unigram-LM tokenizer (the SentencePiece family) — the third
+    * tokenizer beside word-level BPE (l26/l29) and byte-level BPE
+    * (l43/l44), and the one that is NOT merge-based: a vocabulary of
+    * pieces each carrying a log-probability, segmentation = the
+    * Viterbi-best decomposition of a word under the unigram LM,
+    * training = hard-EM (E-step: Viterbi-segment the corpus under the
+    * current probabilities; M-step: piece probability ∝ its Viterbi
+    * count). Kudo (ACL 2018), in its standard hard-EM simplification,
+    * word-level (whitespace pre-tokenization, the l26 stance, rather
+    * than SentencePiece's ▁-marked raw sentences).
+    *
+    * Scale shape: the corpus-scale work (word frequencies, substring
+    * seed counts) is two distributed aggregates; every EM epoch is ONE
+    * distributed aggregate over the vocabulary-sized word-frequency
+    * relation — the per-word Viterbi runs inside the
+    * [[graft.functions.expressions.UnigramSegmentExpr]] kernel
+    * (explode → groupBy(piece) → ≤ vocab rows to the driver), the
+    * l42/l77 "one aggregate per epoch, driver traffic bounded by model
+    * size" discipline.
+    *
+    * Determinism contract: piece scores are INTEGER micro-units
+    * (quantized log-probs), the Viterbi DP is exact long arithmetic
+    * with a fixed tie-break (longest piece — see the kernel's doc), and
+    * the M-step maps identical (count, total) longs to identical unit
+    * values — so an independently written plain-Scala replay
+    * (TextGolden.unigramTrainReplay) reproduces the trained table and
+    * every segmentation bit-for-bit (the l26 golden convention).
+    */
+  object Unigram {
+    val VocabSize = 512
+    val MaxPieceLen = 4
+    val Epochs = 5
+
+    /** Unknown-single-codepoint score, micro-units: far below any real
+      * piece (a corpus piece at relative frequency e^-50 would already
+      * be absurd) yet finite, so any string segments (coverage) without
+      * -infinity sentinel edge cases in the DP.
+      */
+    val UnkUnits: Long = -100L * 1000 * 1000
+
+    /** A trained model: (piece, viterbiCount, lpUnits) ranked by
+      * (count DESC, piece ASC) — rank order IS output order.
+      */
+    final case class Model(pieces: Seq[(String, Long, Long)])
+  }
+
+  /** Rank + quantized log-probs of a piece-count table: order
+    * (cnt DESC, piece ASC), lpUnits = rint((ln cnt − ln total)·1e6).
+    */
+  private def unigramRank(cnts: Seq[(String, Long)])
+      : Seq[(String, Long, Long)] = {
+    val total = cnts.iterator.map(_._2).sum
+    val lnT = math.log(total.toDouble)
+    cnts.sortBy { case (p, c) => (-c, p) }
+      .map { case (p, c) =>
+        (p, c, math.rint((math.log(c.toDouble) - lnT) * 1e6).toLong) }
+  }
+
+  private def unigramSegCol(word: Column,
+                            model: Unigram.Model): Column =
+    graft.functions.expressions.TextHashExpressions.unigram_segment(
+      word, model.pieces.map(_._1), model.pieces.map(_._3),
+      Unigram.MaxPieceLen, Unigram.UnkUnits)
+
+  /** Train a unigram-LM piece vocabulary over the corpus. Seeding: all
+    * code-point substrings of length 1..maxPieceLen of every corpus
+    * word, occurrence-weighted (overlaps counted); ALL single
+    * code points enter the vocabulary (coverage) plus the top
+    * (vocabSize − #singles) multi-char pieces by (count DESC, piece
+    * ASC). EM: `epochs` rounds of Viterbi-count → re-normalize, with a
+    * count floor of 1 on singles (never pruned) and zero-count
+    * multi-char pieces pruned.
+    */
+  def unigramTrain(docs: DataFrame, textCol: String = "text",
+                   vocabSize: Int = Unigram.VocabSize,
+                   maxPieceLen: Int = Unigram.MaxPieceLen,
+                   epochs: Int = Unigram.Epochs): Unigram.Model = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf = docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val subs = flatten(transform(sequence(lit(1), lit(maxPieceLen)),
+      l => when(length(col("word")) >= l,
+        transform(sequence(lit(1), length(col("word")) - l + 1),
+          i => col("word").substr(i, l)))
+        .otherwise(array().cast("array<string>"))))
+    val seeds = wf.select(col("freq"), explode(subs).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint()
+    val singles = seeds.filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect().toSeq
+    val multis = seeds.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(math.max(0, vocabSize - singles.length))
+      .as[(String, Long)].collect().toSeq
+    var model = Unigram.Model(unigramRank(singles ++ multis))
+    for (_ <- 1 to epochs) {
+      // E-step: ONE distributed aggregate — Viterbi counts by piece
+      val counted = wf
+        .select(col("freq"),
+          explode(unigramSegCol(col("word"), model)).as("piece"))
+        .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+        .as[(String, Long)].collect().toMap
+      // M-step: singles floor at 1 (coverage), zero-count multis prune
+      val kept = model.pieces.flatMap { case (p, _, _) =>
+        val c = counted.getOrElse(p, 0L)
+        if (p.codePointCount(0, p.length) == 1)
+          Some((p, math.max(c, 1L)))
+        else if (c > 0) Some((p, c))
+        else None
+      }
+      model = Unigram.Model(unigramRank(kept))
+    }
+    model
+  }
+
+  /** The trained piece table as a frame: (rank, piece, cnt, lp_units)
+    * in rank order — the l79 entry's output, compared against the
+    * independent replay golden.
+    */
+  def unigramTrainTable(spark: org.apache.spark.sql.SparkSession,
+                        model: Unigram.Model): DataFrame = {
+    import spark.implicits._
+    model.pieces.zipWithIndex
+      .map { case ((p, c, lp), i) => (i + 1, p, c, lp) }
+      .toDF("rank", "piece", "cnt", "lp_units")
+  }
+
+  /** Per-document token counts under a trained unigram model — the
+    * encode path: ONE narrow per-row pass (tokenize, Viterbi each word
+    * in the kernel, sum piece counts inside the row — no explode, no
+    * join), the l77 inference shape. Documents with no tokens drop
+    * (the l29 inner-join convention).
+    */
+  def unigramEncodeCounts(docs: DataFrame, model: Unigram.Model,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs
+      .select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), size(col("toks")).cast("long").as("n_words"),
+        aggregate(col("toks"), lit(0L),
+          (acc, w) => acc + size(unigramSegCol(w, model)).cast("long"))
+          .as("n_pieces"))
+  }
+
   /** HTML → text extraction — the step every crawl pipeline runs
     * between the WARC response payload and the text funnel (the
     * trafilatura/jusText role, in its deterministic regex-pipeline
@@ -1403,7 +1551,8 @@ object TextAnalysis {
     */
   def piiRedact(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
-    import graft.functions.expressions.TextHashExpressions.{cc_redact, iban_redact}
+    import graft.functions.expressions.TextHashExpressions.{
+      btc_redact, cc_redact, iban_redact, ssn_redact}
     docs.select(col(idCol),
       regexp_count(col(textCol), lit(PiiEmail)).cast("long")
         .as("n_emails"),
@@ -1414,16 +1563,26 @@ object TextAnalysis {
       // sequence; counts here are each on the original text
       iban_redact(col(textCol)).getField("n_ibans").as("n_ibans"),
       cc_redact(col(textCol)).getField("n_cards").as("n_cards"),
+      ssn_redact(col(textCol)).getField("n_ssns").as("n_ssns"),
+      btc_redact(col(textCol)).getField("n_crypto").as("n_crypto"),
+      regexp_count(col(textCol), lit(PiiAwsKey)).cast("long")
+        .as("n_aws_keys"),
       regexp_count(col(textCol), lit(PiiIpv4)).cast("long")
         .as("n_ipv4"),
       regexp_replace(
         regexp_replace(
-          cc_redact(
-            iban_redact(
-              regexp_replace(col(textCol), PiiEmail, "<EMAIL>"))
-              .getField("redacted"))
-            .getField("redacted"),
-          PiiPhone, "<PHONE>"),
+          regexp_replace(
+            ssn_redact(
+              btc_redact(
+                cc_redact(
+                  iban_redact(
+                    regexp_replace(col(textCol), PiiEmail, "<EMAIL>"))
+                    .getField("redacted"))
+                  .getField("redacted"))
+                .getField("redacted"))
+              .getField("redacted"),
+            PiiPhone, "<PHONE>"),
+          PiiAwsKey, "<AWSKEY>"),
         PiiIpv4, "<IP>").as("text_redacted"))
   }
 
@@ -1439,6 +1598,12 @@ object TextAnalysis {
   val PiiPhone = "(?:\\+\\d{1,3}[-. ]?)?" +
     "(?:\\(\\d{3}\\)[-. ]?|\\b\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b"
   val PiiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** AWS-style access-key id: the fixed `AKIA` service prefix + 16
+    * uppercase base-32 chars — pure shape (no checksum), so it stays a
+    * regex (Java/RE2 common ground) unlike the validated kernels.
+    */
+  val PiiAwsKey = "\\bAKIA[0-9A-Z]{16}\\b"
 
   /** KMV (k-minimum-values) distinct-count sketches per source, plus
     * their MERGE — the sketch family's missing member beside HLL (l11,
@@ -1764,6 +1929,66 @@ object TextAnalysis {
             struct(octet_length(col("__prefix")).as("l"),
               col("__allow").cast("int").as("a"))))("a") === 1,
           lit(true)).as("allowed"))
+  }
+
+  /** Per-row robots evaluation — [[robotsFilter]]'s decision WITHOUT
+    * the aggregation, so it is STREAMING-LEGAL: each host's parsed
+    * rule list rides ONE broadcast row as an array (crawl-metadata-
+    * sized static side), the stream joins it stateless
+    * (stream-static broadcast left-outer), and the RFC 9309
+    * longest-match + Allow-tie-break argmax folds over the matched
+    * rules INSIDE the row (`aggregate` over the native `robots_match`
+    * kernel — exact (octet-length, allow) lexicographic max, the same
+    * ordering robotsFilter's struct-max aggregation computes).
+    * OperatorSpec pins gate ≡ robotsFilter row-for-row on the l54
+    * fixture. Output: the input columns + (host, allowed).
+    */
+  def robotsGate(urls: DataFrame, robots: DataFrame, agent: String,
+                 urlCol: String = "url",
+                 domainCol: String = "domain",
+                 txtCol: String = "robots_txt"): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    val rules = robots
+      .select(lower(col(domainCol)).as("__host"), col(txtCol))
+      .as[(String, String)]
+      .flatMap { case (host, txt) =>
+        parseRobotsTxt(txt, agent).map { case (allow, prefix) =>
+          (host, if (allow) 1 else 0, prefix) }
+      }.toDF("__host", "__a", "__p")
+      .groupBy("__host")
+      .agg(collect_list(struct(col("__a").as("a"), col("__p").as("p")))
+        .as("__rules"))
+    val host = regexp_extract(lower(col(urlCol)),
+      "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1)
+    val path0 = regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val path = when(path0 === "", lit("/"))
+      .when(path0.startsWith("?"), concat(lit("/"), path0))
+      .otherwise(path0)
+    val joined = urls.withColumn("host", host)
+      .withColumn("__path", path)
+      .join(broadcast(rules), col("host") === col("__host"),
+        "left_outer")
+    val matched = filter(
+      coalesce(col("__rules"),
+        array().cast("array<struct<a:int,p:string>>")),
+      r => graft.functions.expressions.TextHashExpressions
+        .robots_match(col("__path"), r.getField("p")))
+    val best = aggregate(matched,
+      struct(lit(-1).as("l"), lit(1).as("a")),
+      (acc, r) => {
+        val l = octet_length(r.getField("p"))
+        when(l > acc.getField("l") ||
+            (l === acc.getField("l") &&
+              r.getField("a") > acc.getField("a")),
+          struct(l.as("l"), r.getField("a").as("a")))
+          .otherwise(acc)
+      })
+    joined
+      .withColumn("allowed",
+        best.getField("l") === -1 || best.getField("a") === 1)
+      .drop("__host", "__rules", "__path")
   }
 
   /** The `Sitemap:` directives of a robots frame — the crawl's

@@ -76,6 +76,87 @@ object TextGolden {
   def simhashSig(text: String): Long =
     graft.functions.TextHash.simhash(tokens(text))
 
+  /** [[TextAnalysis.unigramTrain]] replayed in plain Scala for the l79
+    * golden — independently structured (forward-extension DP, loop
+    * seed counting) but the same contract: code-point substring seeds
+    * (overlaps counted, all singles + top multis by (cnt DESC, piece
+    * ASC)), hard-EM with Viterbi counts, singles floored at 1, zero
+    * multis pruned, lpUnits = rint((ln cnt − ln total)·1e6), ranking
+    * (cnt DESC, piece ASC).
+    */
+  def unigramTrainReplay(wordFreq: Seq[(String, Long)], vocabSize: Int,
+                         maxLen: Int, epochs: Int, unkUnits: Long)
+      : Seq[(Int, String, Long, Long)] = {
+    def rankOf(cnts: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
+      val total = cnts.iterator.map(_._2).sum
+      val lnT = math.log(total.toDouble)
+      cnts.sortBy { case (p, c) => (-c, p) }.map { case (p, c) =>
+        (p, c, math.rint((math.log(c.toDouble) - lnT) * 1e6).toLong) }
+    }
+    // seed counts by plain loops over code-point windows
+    val seed = scala.collection.mutable.HashMap[String, Long]()
+    for ((w, f) <- wordFreq) {
+      val cps = w.codePoints().toArray
+      for (l <- 1 to maxLen; i <- 0 to cps.length - l) {
+        val p = new String(cps, i, l)
+        seed(p) = seed.getOrElse(p, 0L) + f
+      }
+    }
+    val (singles, multis) = seed.toSeq.partition(
+      _._1.codePoints().count() == 1L)
+    val top = multis.sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, vocabSize - singles.length))
+    var ranked = rankOf(singles ++ top)
+    for (_ <- 1 to epochs) {
+      val lp = ranked.map { case (p, _, u) => p -> u }.toMap
+      val counted = scala.collection.mutable.HashMap[String, Long]()
+      for ((w, f) <- wordFreq; p <- unigramViterbi(w, lp, maxLen,
+          unkUnits))
+        counted(p) = counted.getOrElse(p, 0L) + f
+      val kept = ranked.flatMap { case (p, _, _) =>
+        val c = counted.getOrElse(p, 0L)
+        if (p.codePoints().count() == 1L) Some((p, math.max(c, 1L)))
+        else if (c > 0) Some((p, c)) else None
+      }
+      ranked = rankOf(kept)
+    }
+    ranked.zipWithIndex.map { case ((p, c, u), i) => (i + 1, p, c, u) }
+  }
+
+  /** [[graft.functions.expressions.UnigramSegmentExpr]] replayed —
+    * FORWARD-extension DP (the kernel scans ends backward-looking;
+    * visit order over (j, i) pairs is identical, so strict-improvement
+    * tie-breaks agree): exact long arithmetic, unknown single code
+    * points score `unkUnits`.
+    */
+  def unigramViterbi(word: String, lp: Map[String, Long], maxLen: Int,
+                     unkUnits: Long): Seq[String] = {
+    val cps = word.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return Seq.empty
+    val NegInf = Long.MinValue / 4
+    val best = Array.fill(n + 1)(NegInf)
+    val back = new Array[Int](n + 1)
+    best(0) = 0L
+    for (j <- 0 until n if best(j) > NegInf;
+         i <- (j + 1) to math.min(j + maxLen, n)) {
+      val piece = new String(cps, j, i - j)
+      val cand = lp.get(piece) match {
+        case Some(u) => best(j) + u
+        case None if i - j == 1 => best(j) + unkUnits
+        case None => NegInf
+      }
+      if (cand > best(i)) { best(i) = cand; back(i) = j }
+    }
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var p = n
+    while (p > 0) {
+      out.prepend(new String(cps, back(p), p - back(p)))
+      p = back(p)
+    }
+    out.toSeq
+  }
+
   /** [[TextAnalysis.bpeTrainMerges]] replayed in plain Scala for the
     * l26 golden: same code-point symbols (Catalyst `substr` indexes by
     * code point, so the replay must too — `String.map` would split

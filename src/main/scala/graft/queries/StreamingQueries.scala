@@ -476,6 +476,82 @@ object StreamingQueries {
              |WHERE id % 5 <> 4 AND id % 13 >= 4 AND id % 7 >= 2
              |ORDER BY media_id""".stripMargin)),
 
+    // Streaming politeness gate (st18) — the crawl loop CLOSED: st16's
+    // discovered frontier (stateless outlink extraction per batch) is
+    // gated by l54 robots semantics as a stream-static BROADCAST join
+    // (each host's parsed rules ride one broadcast array row; the RFC
+    // 9309 longest-match + Allow-tie-break argmax folds INSIDE the row
+    // — no stream aggregation, append-legal), then scheduled by l69's
+    // per-host FIFO carried across batches as CUSTOM STATE
+    // (flatMapGroupsWithState: state = the host's next slot). Planted
+    // world: each page links /pub/N (admitted on h0–h2, denied on
+    // deny-all h3) and /private/N (denied everywhere); per-host
+    // Crawl-delay 1/2/3 prices the slots. The oracle derives the whole
+    // admitted fetch schedule arithmetically — membership from the
+    // robots rules by construction, slots from a per-host row_number
+    // over the url order, scheduled_at = slot × delay.
+    "st18_politeness_gate" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val id = col("doc_id")
+        val host = concat(lit("h"), id % 4, lit(".example"))
+        val html = concat(
+          lit("<a href=\"https://"), host, lit("/pub/"), id,
+          lit("\">p</a><a href=\"https://"), host, lit("/private/"),
+          id, lit("\">q</a>"))
+        val pages = stream.select(
+          concat(lit("https://"), host, lit("/x/")).as("url"),
+          html.as("html"))
+        val robots = s.createDataFrame(Seq(
+          ("h0.example",
+            "User-agent: *\nDisallow: /private/\nCrawl-delay: 1\n"),
+          ("h1.example",
+            "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"),
+          ("h2.example",
+            "User-agent: *\nDisallow: /private/\nCrawl-delay: 3\n"),
+          ("h3.example",
+            "User-agent: *\nDisallow: /\nCrawl-delay: 1\n")))
+          .toDF("domain", "robots_txt")
+        val delays = graft.operators.TextAnalysis
+          .robotsCrawlDelay(robots, agent = "graftbot")
+          .withColumnRenamed("host", "__dhost")
+        val admitted = graft.operators.TextAnalysis
+          .robotsGate(
+            graft.operators.TextAnalysis.extractOutlinks(pages)
+              .select(col("dst_url")),
+            robots, agent = "graftbot", urlCol = "dst_url")
+          .filter(col("allowed"))
+          .join(broadcast(delays), col("host") === col("__dhost"),
+            "left_outer")
+          .select(col("host"), col("dst_url").as("url"),
+            coalesce(col("crawl_delay"), lit(1.0)).as("delay"))
+          .as[Streams.FetchCandidate]
+        val q = Streams.politenessSchedule(admitted)
+          .writeStream.format("memory").queryName("st18_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st18_sink").orderBy(col("host"), col("url"))
+      },
+      Some("""WITH adm AS (
+             |  SELECT 'h' || (doc_id % 4) || '.example' AS host,
+             |    'https://h' || (doc_id % 4) || '.example/pub/'
+             |      || doc_id AS url,
+             |    CAST(1 + (doc_id % 4) AS DOUBLE) AS delay
+             |  FROM documents WHERE doc_id % 4 <> 3),
+             |r AS (SELECT host, url, delay,
+             |    CAST(row_number() OVER (PARTITION BY host
+             |      ORDER BY url) - 1 AS BIGINT) AS slot
+             |  FROM adm)
+             |SELECT host, url, slot, delay,
+             |  slot * delay AS scheduled_at
+             |FROM r ORDER BY host, url""".stripMargin)),
+
     "st03_stream_dedup" -> QuerySpec(
       (s, dir) => {
         val raw = s.read.parquet(s"$dir/documents.parquet")

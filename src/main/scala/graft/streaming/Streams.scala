@@ -56,6 +56,48 @@ object Streams {
       }
   }
 
+  /** A robots-admitted URL awaiting a politeness slot. */
+  final case class FetchCandidate(host: String, url: String,
+                                  delay: Double)
+
+  /** One scheduled fetch: `slot` is the host's FIFO position across the
+    * whole stream, `scheduled_at` = slot × delay (the l69 arithmetic).
+    */
+  final case class ScheduledFetch(host: String, url: String, slot: Long,
+                                  delay: Double, scheduled_at: Double)
+
+  /** Streaming politeness scheduler — l69's per-host FIFO
+    * ([[graft.operators.TextAnalysis.frontierSchedule]]) carried
+    * ACROSS micro-batches as custom state (flatMapGroupsWithState):
+    * per-host state is the next fetch slot, so an admitted URL keeps
+    * its place in the host's queue no matter how the stream batches.
+    * Each batch's group slice sorts by url for a deterministic
+    * within-batch order (the [[incrementalHistory]] buffering note:
+    * a group is one HOST's admissions within one batch). Hosts are
+    * independent keys, so the state hash-partitions across the
+    * cluster — per-host serialization is the politeness SEMANTICS.
+    */
+  def politenessSchedule(admitted: Dataset[FetchCandidate])
+      : Dataset[ScheduledFetch] = {
+    import admitted.sparkSession.implicits._
+    admitted
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[Long, ScheduledFetch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (host: String, it: Iterator[FetchCandidate],
+         state: GroupState[Long]) =>
+          var slot = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(_.url).map { c =>
+            val r = ScheduledFetch(host, c.url, slot, c.delay,
+              slot * c.delay)
+            slot += 1
+            r
+          }
+          state.update(slot)
+          out.iterator
+      }
+  }
+
   /** Generic event-stream surface: watermarked tumbling-window aggregation
     * over the driver's `events` shape (ts, event_type, value).
     */

@@ -530,4 +530,79 @@ class StreamingSpec extends AnyFunSuite {
       (0 until 8).map(i => s"https://s.example/$i").sorted,
       s"resume re-ingested or missed files: ${urls().sorted}")
   }
+
+  test("politenessSchedule: per-host FIFO slots continue ACROSS " +
+      "micro-batches (the custom-state contract), within-batch order " +
+      "is by url, hosts are independent, scheduled_at = slot x delay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.FetchCandidate]
+    val q = Streams.politenessSchedule(mem.toDS())
+      .writeStream.format("memory").queryName("polite_sink")
+      .outputMode("append").start()
+    // batch 1: two urls on a, one on b (added out of url order)
+    mem.addData(Seq(
+      Streams.FetchCandidate("a.example", "https://a.example/2", 2.0),
+      Streams.FetchCandidate("a.example", "https://a.example/1", 2.0),
+      Streams.FetchCandidate("b.example", "https://b.example/1", 1.0)))
+    q.processAllAvailable()
+    // batch 2: a's queue must CONTINUE at slot 2, not restart at 0
+    mem.addData(Seq(
+      Streams.FetchCandidate("a.example", "https://a.example/3", 2.0)))
+    q.processAllAvailable()
+    val got = spark.table("polite_sink")
+      .collect().map(r => (r.getString(1), r.getLong(2),
+        r.getDouble(4))).toSet
+    q.stop()
+    assert(got == Set(
+      ("https://a.example/1", 0L, 0.0),
+      ("https://a.example/2", 1L, 2.0),
+      ("https://b.example/1", 0L, 0.0),
+      ("https://a.example/3", 2L, 4.0)), got)
+  }
+
+  test("robotsGate (streaming-legal per-row form) == robotsFilter " +
+      "(batch aggregation form) decision-for-decision on the l54 " +
+      "rule battery: prefix rules, longer-Allow override, wildcard, " +
+      "$-anchor, agent-specific group, deny-all, missing host") {
+    import spark.implicits._
+    val robots = Seq(
+      ("www.example.org",
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n" +
+          "Disallow: /*?sessionid=\nDisallow: /files/*.pdf$\n"),
+      ("cdn.tracker.net", "# deny all\nUser-agent: *\nDisallow: /\n"),
+      ("news.site.com",
+        "User-agent: graftbot\nDisallow: /doc/\n\n" +
+          "User-agent: *\nDisallow: /\n"),
+      ("ads.doubleclick.net",
+        "User-agent: other\nDisallow: /\n\n" +
+          "User-agent: *\nAllow: /\n"))
+      .toDF("domain", "robots_txt")
+    val hosts = Seq("www.example.org", "cdn.tracker.net",
+      "news.site.com", "blog.example.org", "ads.doubleclick.net")
+    val paths = Seq("/doc/7", "/private/7", "/private/ok/7",
+      "/doc/7?sessionid=abc123", "/files/7.pdf", "/files/7.pdfx", "")
+    val urls = (for (h <- hosts; p <- paths)
+      yield s"https://$h$p").zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("doc_id", "url")
+    val viaFilter = graft.operators.TextAnalysis
+      .robotsFilter(urls, robots, agent = "graftbot")
+      .collect().map(r => r.getAs[String]("url") ->
+        r.getAs[Boolean]("allowed")).toMap
+    val viaGate = graft.operators.TextAnalysis
+      .robotsGate(urls, robots, agent = "graftbot")
+      .collect().map(r => r.getAs[String]("url") ->
+        r.getAs[Boolean]("allowed")).toMap
+    assert(viaGate.size == hosts.length * paths.length)
+    assert(viaGate == viaFilter,
+      s"diff: ${viaGate.toSet.diff(viaFilter.toSet).take(5)}")
+    // and a spot anchor so both forms can't be wrong together
+    assert(!viaGate("https://www.example.org/private/7"))
+    assert(viaGate("https://www.example.org/private/ok/7"))
+    assert(!viaGate("https://www.example.org/files/7.pdf"))
+    assert(viaGate("https://www.example.org/files/7.pdfx"))
+    assert(viaGate("https://blog.example.org/doc/7"))
+    assert(!viaGate("https://news.site.com/doc/7"))
+    assert(!viaGate("https://cdn.tracker.net/doc/7"))
+  }
 }
