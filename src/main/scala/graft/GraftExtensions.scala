@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.expressions.{CosineSimExpr, DeletionVariantsExpr, MinHashSigExpr, NfcNormalizeExpr, SimHash64Expr, TokenNgramsExpr, Uint256Expr}
+import graft.functions.expressions.{BtcRedactExpr, CosineSimExpr, CreditCardRedactExpr, DeletionVariantsExpr, HtmlBlocksExpr, HtmlLinksExpr, HtmlTextStrictExpr, IbanRedactExpr, LzwCodesExpr, MinHashSigExpr, NfcNormalizeExpr, PercentNormalizeExpr, RobotsMatchExpr, SimHash64Expr, SsnRedactExpr, TokenNgramsExpr, Uint256Expr}
 
 /** SQL surface for the graft-native expressions.
   *
@@ -84,6 +84,75 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "uint256_sub(a, b)")
         Uint256Expr(exprs(0), exprs(1), sub = true)
+      }),
+    // crawl/corpus kernels (r16 surface widening — every zero-config
+    // scalar kernel is SQL-reachable; the model-parameterized ones —
+    // hashed_margin_units, lang_argmax_units, unigram_segment — stay
+    // Column-API-only, their weight arrays are plan literals a SQL
+    // call-site cannot reasonably write)
+    (FunctionIdentifier("html_text_strict"),
+      new ExpressionInfo(classOf[HtmlTextStrictExpr].getName,
+        "html_text_strict"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "html_text_strict(html)")
+        HtmlTextStrictExpr(exprs.head)
+      }),
+    (FunctionIdentifier("html_links"),
+      new ExpressionInfo(classOf[HtmlLinksExpr].getName, "html_links"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "html_links(html)")
+        HtmlLinksExpr(exprs.head)
+      }),
+    (FunctionIdentifier("html_blocks"),
+      new ExpressionInfo(classOf[HtmlBlocksExpr].getName, "html_blocks"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "html_blocks(html)")
+        HtmlBlocksExpr(exprs.head)
+      }),
+    (FunctionIdentifier("robots_match"),
+      new ExpressionInfo(classOf[RobotsMatchExpr].getName,
+        "robots_match"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "robots_match(path, pattern)")
+        RobotsMatchExpr(exprs(0), exprs(1))
+      }),
+    (FunctionIdentifier("percent_normalize"),
+      new ExpressionInfo(classOf[PercentNormalizeExpr].getName,
+        "percent_normalize"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "percent_normalize(url)")
+        PercentNormalizeExpr(exprs.head)
+      }),
+    (FunctionIdentifier("lzw_codes"),
+      new ExpressionInfo(classOf[LzwCodesExpr].getName, "lzw_codes"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "lzw_codes(text)")
+        LzwCodesExpr(exprs.head)
+      }),
+    (FunctionIdentifier("cc_redact"),
+      new ExpressionInfo(classOf[CreditCardRedactExpr].getName,
+        "cc_redact"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "cc_redact(text)")
+        CreditCardRedactExpr(exprs.head)
+      }),
+    (FunctionIdentifier("iban_redact"),
+      new ExpressionInfo(classOf[IbanRedactExpr].getName, "iban_redact"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "iban_redact(text)")
+        IbanRedactExpr(exprs.head)
+      }),
+    (FunctionIdentifier("ssn_redact"),
+      new ExpressionInfo(classOf[SsnRedactExpr].getName, "ssn_redact"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "ssn_redact(text)")
+        SsnRedactExpr(exprs.head)
+      }),
+    (FunctionIdentifier("btc_redact"),
+      new ExpressionInfo(classOf[BtcRedactExpr].getName, "btc_redact"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "btc_redact(text)")
+        BtcRedactExpr(exprs.head)
       }))
 
   /** Idempotent retrofit for sessions not built with the extension. */

@@ -264,6 +264,38 @@ class ExpressionSpec extends AnyFunSuite {
     assert(GraftFunctions.descriptors.map(_._1.funcName) ==
       Seq("minhash_sig", "simhash64", "token_ngrams",
         "deletion_variants", "nfc_normalize", "cosine_sim",
-        "uint256_add", "uint256_sub"))
+        "uint256_add", "uint256_sub",
+        "html_text_strict", "html_links", "html_blocks", "robots_match",
+        "percent_normalize", "lzw_codes", "cc_redact", "iban_redact",
+        "ssn_redact", "btc_redact"))
+  }
+
+  test("crawl/corpus kernels usable from SQL after registration " +
+      "(r16 surface widening)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT html_text_strict('<p>a <b>b</b></p>') AS t, " +
+        "html_links('<a href=\"/x\">L</a>') AS lk, " +
+        "size(html_blocks('<p>one</p><p>two</p>')) AS nb, " +
+        "robots_match('/doc/a.pdf', '/doc/*.pdf$') AS rm, " +
+        "percent_normalize('/a%2fb%41') AS pn, " +
+        "lzw_codes('aaaa').n_codes AS lz, " +
+        "cc_redact('pay 4111 1111 1111 1111 ok').n_cards AS cc, " +
+        "iban_redact('DE89 3704 0044 0532 0130 00').n_ibans AS ib, " +
+        "ssn_redact('id 219-09-9999 x').redacted AS ssn, " +
+        "btc_redact('1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa').n_crypto " +
+        "AS bc").collect()(0)
+    assert(r.getString(0) == "a b")
+    assert(r.getSeq[org.apache.spark.sql.Row](1).head.getString(0) ==
+      "/x")
+    assert(r.getInt(2) == 2)
+    assert(r.getBoolean(3))
+    // %2f reserved -> kept, hex uppercased; %41 unreserved -> decodes
+    assert(r.getString(4) == "/a%2FbA")
+    assert(r.getLong(5) > 0L)
+    assert(r.getLong(6) == 1L)
+    assert(r.getLong(7) == 1L)
+    assert(r.getString(8) == "id <SSN> x")
+    assert(r.getLong(9) == 1L)
   }
 }
