@@ -1597,6 +1597,70 @@ object LlmQueries {
           .orderBy(col("doc_id"))
       }, None, Some(dir => l29OracleSql(dir))),
 
+    // Content funnel (l81) — l78's main-content extraction COMPOSED
+    // into the funnel family (l28/l49/l51 convention): planted pages →
+    // block segmentation + justext classification → whitespace token
+    // count over the reassembled main text → token gate, with
+    // per-stage survivor counts AND total token mass in one output.
+    // Differentiation is planted: docs with doc_id % 3 == 0 lack the
+    // second article paragraph, so their mid-article note is NOT
+    // neighbor-promoted (its following block is chrome) and their main
+    // text is exactly the 18-token first paragraph — under the
+    // 30-token gate; all other docs reassemble 38 tokens (p1 + the
+    // promoted 2-token note + p2). The oracle derives both stages'
+    // counts and token mass from doc_id arithmetic alone — one hash
+    // spanning segmentation, classification, promotion, reassembly,
+    // tokenization, and the gate.
+    "l81_content_funnel" -> QuerySpec(
+      (s, dir) => {
+        val id = col("doc_id")
+        val p1 = concat(lit("First paragraph of substantive article " +
+          "text for document "), id, lit(" with enough characters to " +
+          "pass the length gate comfortably."))
+        val p2 = concat(lit("Second long paragraph of document "), id,
+          lit(" body text that also clearly exceeds the minimum " +
+            "character threshold for content."))
+        val html = concat(
+          lit("<html><head><title>Doc "), id,
+          lit("</title></head><body>" +
+            "<nav><a href=\"/home\">Home</a></nav><article><p>"),
+          p1, lit("</p><p>Note "), id % 7, lit(".</p>"),
+          when(id % 3 =!= 0, concat(lit("<p>"), p2, lit("</p>")))
+            .otherwise(lit("")),
+          lit("</article><aside>Related: <a href=\"/r1\">first " +
+            "related link</a> <a href=\"/r2\">second related link</a>" +
+            "</aside><footer>Copyright 2026 Example Corp. All rights " +
+            "reserved. <a href=\"/tos\">Terms</a></footer>" +
+            "</body></html>"))
+        val pages = Tables(s, dir, "documents").select(
+          concat(lit("https://h"), id, lit(".example/a/")).as("url"),
+          html.as("html"))
+        val extracted = TextAnalysis.mainContent(pages)
+          .select(col("url"),
+            TextAnalysis.tokenCount(col("main_text")).cast("long")
+              .as("n_tokens"))
+        val gated = extracted.filter(col("n_tokens") >= 30L)
+        def stage(name: String,
+                  df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n"),
+            coalesce(sum(col("n_tokens")), lit(0L)).as("total_tokens"))
+            .select(lit(name).as("stage"), col("n"),
+              col("total_tokens"))
+        stage("extracted", extracted)
+          .unionByName(stage("token_gate", gated))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 3 = 0 THEN 18 ELSE 38 END AS nt
+             |  FROM documents)
+             |SELECT * FROM (
+             |  SELECT 'extracted' AS stage, COUNT(*)::BIGINT AS n,
+             |    SUM(nt)::BIGINT AS total_tokens FROM d
+             |  UNION ALL
+             |  SELECT 'token_gate', COUNT(*)::BIGINT,
+             |    SUM(nt)::BIGINT FROM d WHERE nt >= 30)
+             |ORDER BY stage""".stripMargin)),
+
     // Unigram-LM tokenizer TRAIN (l79) — the SentencePiece family
     // beside the two BPE pairs: substring-seeded vocabulary, hard-EM
     // (Viterbi counts → renormalize), integer micro-unit log-probs so

@@ -1001,4 +1001,52 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("lang_argmax_units"),
       s"native kernel missing from plan:\n${plan.take(2500)}")
   }
+
+  test("l78: main-content extraction is one codegen segment+feature " +
+      "stage, a per-document window, and ONE reassembly aggregate — " +
+      "no cartesian product, no extra exchange") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val pages = spark.range(300).select(
+      concat(lit("https://h"), col("id"), lit(".example/")).as("url"),
+      concat(lit("<p>one long enough paragraph body "), col("id"),
+        lit(" with sufficient characters</p><p>x</p>")).as("html"))
+    val plan = graft.operators.TextAnalysis.mainContent(pages)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("html_blocks") &&
+      plan.contains("html_text_strict") && plan.contains("html_links"),
+      s"kernels missing from plan:\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"mainContent must not cross-join:\n${plan.take(2500)}")
+    // exchanges: the url window/groupBy partitioning (+ AQE reuse) —
+    // never more than two distinct shuffle origins
+    val exchanges = plan.linesIterator.count(l =>
+      l.trim.startsWith("+- Exchange") || l.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"too many exchanges ($exchanges):\n" +
+      plan.take(2500))
+    assert(plan.contains("Window"),
+      s"neighbor promotion must ride a window:\n${plan.take(2500)}")
+  }
+
+  test("l80: unigram-LM encode is a zero-exchange narrow kernel pass " +
+      "— no explode, no join, no aggregate node; Viterbi runs inside " +
+      "the row") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import spark.implicits._
+    val model = graft.operators.TextAnalysis.unigramTrain(
+      Seq((0L, "abab abab cdcd")).toDF("doc_id", "text"),
+      vocabSize = 16, epochs = 2)
+    val docs = spark.range(400).select(col("id").as("doc_id"),
+      concat(lit("abab cdcd ab "), col("id")).as("text"))
+    val plan = graft.operators.TextAnalysis
+      .unigramEncodeCounts(docs, model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"unigram encode must not shuffle:\n${plan.take(2500)}")
+    assert(!plan.contains("Generate") && !plan.contains("Join") &&
+      !plan.contains("HashAggregate"),
+      s"unigram encode must stay per-row:\n${plan.take(2500)}")
+    assert(plan.contains("unigram_segment"),
+      s"native kernel missing from plan:\n${plan.take(2500)}")
+  }
 }
