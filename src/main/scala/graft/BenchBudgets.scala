@@ -117,6 +117,19 @@ object BenchBudgets {
     "l75_sitemap_tree" -> 0.7923,
     "l76_compress_ratio" -> 0.1051,
     "st17_image_gate_stream" -> 0.7208,
+    // r16 entries pinned from the round's idle bench (run2:
+    // target copy of bench_artifact.json — 166 entries, total 94.3 s,
+    // zero flags / zero spikes, every per-run probe at the idle ~0.06
+    // band; element-wise min with the earlier run1 where both measured;
+    // l81/st19 single-run). Refresh from the first driver artifact if
+    // its environment differs.
+    "l77_trained_langid" -> 0.0955,
+    "l78_main_content" -> 0.2493,
+    "l79_unigram_train" -> 0.0371,
+    "l80_unigram_encode" -> 0.1689,
+    "l81_content_funnel" -> 0.4368,
+    "st18_politeness_gate" -> 1.0602,
+    "st19_langid_stream" -> 0.6128,
     "m01_media_features" -> 0.2213,
     "m02_frame_sample" -> 0.0812,
     "m03_media_resize" -> 0.0864,

@@ -5154,8 +5154,17 @@ object LlmQueries {
     * documents table's ids. lang_true = '' for the digit-noise rows
     * (they are excluded from training, scored as out-of-class).
     */
-  private def langWorld(s: org.apache.spark.sql.SparkSession,
-                        dir: String): org.apache.spark.sql.DataFrame = {
+  private[queries] def langWorld(s: org.apache.spark.sql.SparkSession,
+                                 dir: String)
+      : org.apache.spark.sql.DataFrame =
+    langWorldOver(Tables(s, dir, "documents"))
+
+  /** The planted projection over ANY documents-shaped frame — batch
+    * (l77) or streaming (st19): same arithmetic, same columns, so the
+    * two entries share l77's oracle verbatim.
+    */
+  private[queries] def langWorldOver(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val id = col("doc_id")
     val li = id % 10
     val phrase = l77Langs.zipWithIndex.foldLeft(lit(""): org.apache.spark
@@ -5171,8 +5180,7 @@ object LlmQueries {
         .spark.sql.Column) {
       case (acc, ((l, _), i)) => when(li === i, lit(l)).otherwise(acc)
     }
-    Tables(s, dir, "documents")
-      .select(id, langTrue.as("lang_true"), text.as("text"))
+    docs.select(id, langTrue.as("lang_true"), text.as("text"))
   }
 
   private val l77ModelByDir = scala.collection.concurrent.TrieMap[

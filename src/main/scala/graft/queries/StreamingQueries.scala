@@ -758,6 +758,31 @@ object StreamingQueries {
         s.table("st14_sink").orderBy(col("doc_id"))
       }, None, Some(dir => LlmQueries.l42Sql(dir))),
 
+    // Streaming language-ID inference (st19) — the st14 convention
+    // applied to the trained multiclass model: the planted-world
+    // projection runs over a file-source stream and l77's ONE-KERNEL
+    // argmax (LangArgmaxExpr) scores each micro-batch — no state, no
+    // aggregation, plain append (the production corpus-gate shape:
+    // classify pages as they land). The oracle IS l77's SQL, so one
+    // hash proves streaming-narrow ≡ batch-narrow ≡ DuckDB on the same
+    // captured weights.
+    "st19_langid_stream" -> QuerySpec(
+      (s, dir) => {
+        val model = LlmQueries.l77ModelCached(s, dir)
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val q = graft.operators.LangClassifier
+          .scoreUnitsNarrow(LlmQueries.langWorldOver(stream), model)
+          .writeStream.format("memory").queryName("st19_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st19_sink").orderBy(col("doc_id"))
+      }, None, Some(dir => LlmQueries.l77Sql(dir))),
+
     // The TIME-BOUNDED streaming near-dup contract, proven against the
     // exact-global one on the same deterministic schedule (st06 covers
     // the LSH semantics on the real corpus; this entry's subject is the
