@@ -333,13 +333,22 @@ object HtmlExpressions {
                 // start tag (HTML5 adoption agency), else cap the
                 // slice — a dangling anchor must not swallow the
                 // remaining document into one multi-MB anchor string.
-                val innerEnd =
-                  if (end >= 0) end
-                  else findAOpen(after) match {
-                    case -1 => math.min(
-                      n, after + HtmlExpressions.DanglingAnchorCap)
-                    case nx => nx
-                  }
+                val innerEnd = {
+                  val e0 =
+                    if (end >= 0) end
+                    else findAOpen(after) match {
+                      case -1 => math.min(
+                        n, after + HtmlExpressions.DanglingAnchorCap)
+                      case nx => nx
+                    }
+                  // the cap is a char offset — never split a surrogate
+                  // pair (a lone high surrogate would mojibake the
+                  // anchor tail)
+                  if (e0 < n && e0 > after &&
+                      Character.isLowSurrogate(s.charAt(e0)))
+                    e0 - 1
+                  else e0
+                }
                 emit(h, htmlTextStrict(
                   org.apache.spark.unsafe.types.UTF8String.fromString(
                     s.substring(after, innerEnd))).toString)

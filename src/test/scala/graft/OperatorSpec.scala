@@ -2042,6 +2042,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(capped.length == 1 &&
       capped(0).getString(4).length <= 4096, // DanglingAnchorCap
       s"anchor len ${capped(0).getString(4).length}")
+    // the cap never splits a surrogate pair: an emoji spanning the cap
+    // boundary is dropped whole, not mojibaked into a lone surrogate
+    val emojiTail = "😀" * 4096 // 2 UTF-16 units each
+    val cappedEmoji = TextAnalysis.extractOutlinks(Seq(
+        ("https://h.example/", "<a href=\"x.html\"/>" + emojiTail))
+      .toDF("url", "html")).collect()
+    val anchor = cappedEmoji(0).getString(4)
+    assert(anchor.codePoints().toArray.forall(_ == 0x1F600),
+      "cap split a surrogate pair")
     // an unquoted href ending in '/' must NOT read as self-closing —
     // html5 never self-closes <a> (non-void), so the anchor text is
     // kept; the trailing '/' is part of the unquoted value
