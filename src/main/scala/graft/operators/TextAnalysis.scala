@@ -2551,10 +2551,13 @@ object TextAnalysis {
     *    content — captions and one-line transitions survive between
     *    paragraphs without letting footer fragments in.
     *
-    * Output: one row per document — (url, n_blocks, n_content_blocks,
-    * main_text, n_main_chars), main_text the content blocks' text
-    * joined by single spaces in block order (string_agg-equivalent, so
-    * a DuckDB oracle reassembles it exactly). Scale: the explode is
+    * Output: one row per document WITH at least one non-empty text
+    * block (a blockless/empty page contributes nothing — the explode
+    * drops it, the caller left-joins if absence must be visible) —
+    * (url, n_blocks, n_content_blocks, main_text, n_main_chars),
+    * main_text the content blocks' text joined by single spaces in
+    * block order (string_agg-equivalent, so a DuckDB oracle
+    * reassembles it exactly). Scale: the explode is
     * output-linear, the window partitions by document, the reassembly
     * is one groupBy(url) — nothing wider than (url, block) shuffles.
     */
