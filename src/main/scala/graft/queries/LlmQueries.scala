@@ -1661,6 +1661,36 @@ object LlmQueries {
              |    SUM(nt)::BIGINT FROM d WHERE nt >= 30)
              |ORDER BY stage""".stripMargin)),
 
+    // Multilingual corpus funnel (l82) — the TRAINED gate composed
+    // end-to-end: planted multilingual HTML pages → main-content block
+    // extraction (l78's operator: the nav chrome drops, the one
+    // article block survives, main text ≡ the planted text
+    // bit-for-bit) → the l77 one-kernel trained language ID → keep the
+    // {de, en, fr} target set → per-language survivor counts + exact
+    // integer min-margin. This is the corpus-construction shape
+    // production pipelines run (extract → langid → route); because the
+    // extraction is exact, every per-doc margin is l77's own and the
+    // oracle is the SAME captured-weight re-derivation, aggregated —
+    // one hash spans extraction, classification, gating, and stats.
+    "l82_multilingual_funnel" -> QuerySpec(
+      (s, dir) => {
+        val model = l77ModelCached(s, dir)
+        val id = col("doc_id")
+        val pages = langWorld(s, dir).select(id,
+          concat(lit("<html><body><nav><a href=\"/m\">site menu " +
+            "links</a></nav><p>"), col("text"),
+            lit("</p></body></html>")).as("html"))
+        val main = TextAnalysis.mainContent(pages, urlCol = "doc_id")
+        val scored = graft.operators.LangClassifier.scoreUnitsNarrow(
+          main.select(col("url").as("doc_id"),
+            col("main_text").as("text")), model)
+        scored.filter(col("lang_pred").isin("de", "en", "fr"))
+          .groupBy(col("lang_pred"))
+          .agg(count(lit(1)).as("n"),
+            min(col("margin_units")).as("min_margin"))
+          .orderBy(col("lang_pred"))
+      }, None, Some(dir => l82Sql(dir))),
+
     // Unigram-LM tokenizer TRAIN (l79) — the SentencePiece family
     // beside the two BPE pairs: substring-seeded vocabulary, hard-EM
     // (Viterbi counts → renormalize), integer micro-unit log-probs so
@@ -5200,7 +5230,34 @@ object LlmQueries {
     * argmaxes with the same tie-break (max margin, then smallest code)
     * and `und` rule (no margin > 0).
     */
-  private[queries] def l77Sql(dir: String): String = {
+  private[queries] def l77Sql(dir: String): String =
+    l77PickCte(dir) + "\n" +
+      """SELECT doc_id,
+        |  CASE WHEN bm > 0 THEN arg ELSE 'und' END AS lang_pred,
+        |  CAST(bm AS BIGINT) AS margin_units
+        |FROM pick ORDER BY doc_id""".stripMargin
+
+  /** l82: the same captured-weight re-derivation aggregated — the
+    * funnel's language gate + per-language survivor stats. Valid
+    * because the funnel's extracted main text equals the planted text
+    * bit-for-bit (single content block, whitespace already collapsed),
+    * so per-doc margins are l77's own.
+    */
+  private[queries] def l82Sql(dir: String): String =
+    l77PickCte(dir) + "\n" +
+      """SELECT lang_pred, COUNT(*)::BIGINT AS n,
+        |  CAST(MIN(bm) AS BIGINT) AS min_margin
+        |FROM (SELECT CASE WHEN bm > 0 THEN arg ELSE 'und' END
+        |        AS lang_pred, bm FROM pick) t
+        |WHERE lang_pred IN ('de', 'en', 'fr')
+        |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+
+  /** The shared WITH-chain of the l77/l82 oracles: planted text from
+    * doc_id, char grams, md5 buckets, captured weight units, exact
+    * integer margins, and the `pick` relation (per-doc argmax + best
+    * margin with the smallest-code tie-break).
+    */
+  private def l77PickCte(dir: String): String = {
     val m = l77ModelByDir.getOrElse(dir,
       sys.error(s"l77 never ran for $dir — no model captured"))
     val wu = m.weightUnits()
@@ -5245,11 +5302,7 @@ object LlmQueries {
        |pick AS (SELECT mm.doc_id, MIN(mm.lang) AS arg,
        |    MIN(b.bm) AS bm
        |  FROM mm JOIN b ON mm.doc_id = b.doc_id AND mm.mu = b.bm
-       |  GROUP BY 1)
-       |SELECT doc_id,
-       |  CASE WHEN bm > 0 THEN arg ELSE 'und' END AS lang_pred,
-       |  CAST(bm AS BIGINT) AS margin_units
-       |FROM pick ORDER BY doc_id""".stripMargin
+       |  GROUP BY 1)""".stripMargin
   }
 
   private val s12CapturesByDir = scala.collection.concurrent.TrieMap[
