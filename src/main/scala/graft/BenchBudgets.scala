@@ -130,6 +130,11 @@ object BenchBudgets {
     "l81_content_funnel" -> 0.4368,
     "st18_politeness_gate" -> 1.0602,
     "st19_langid_stream" -> 0.6128,
+    // l82 pinned from bench_r16_idle4.json (167 entries, 98.3 s, zero
+    // flags/spikes/errors); st20 intentionally UNPINNED this round —
+    // it landed after the last idle run, and unpinned entries are
+    // never flagged. Pin from the first driver artifact.
+    "l82_multilingual_funnel" -> 0.611,
     "m01_media_features" -> 0.2213,
     "m02_frame_sample" -> 0.0812,
     "m03_media_resize" -> 0.0864,

@@ -4277,7 +4277,7 @@ object LlmQueries {
     * corpus word — (word, n_pieces), vocabulary-sized. DuckDB does the
     * corpus-side tokenize/join/aggregate itself (the l29 convention).
     */
-  private def ensureUnigramEncodeGolden(
+  private[queries] def ensureUnigramEncodeGolden(
       s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import s.implicits._
     graft.operators.MultimodalGolden.ensureGoldenDf(l80GoldenName(dir), {
@@ -4295,7 +4295,7 @@ object LlmQueries {
     })
   }
 
-  private def l80OracleSql(dir: String): String = {
+  private[queries] def l80OracleSql(dir: String): String = {
     val base = graft.operators.MultimodalGolden
       .goldenBase(l80GoldenName(dir))
     s"""WITH toks AS (
@@ -4315,7 +4315,7 @@ object LlmQueries {
   // stance)
   private val unigramModelByDir = scala.collection.concurrent.TrieMap[
     String, graft.operators.TextAnalysis.Unigram.Model]()
-  private def unigramModelCached(s: org.apache.spark.sql.SparkSession,
+  private[queries] def unigramModelCached(s: org.apache.spark.sql.SparkSession,
                                  dir: String)
       : graft.operators.TextAnalysis.Unigram.Model =
     unigramModelByDir.getOrElseUpdate(dir,

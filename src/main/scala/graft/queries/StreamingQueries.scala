@@ -783,6 +783,33 @@ object StreamingQueries {
         s.table("st19_sink").orderBy(col("doc_id"))
       }, None, Some(dir => LlmQueries.l77Sql(dir))),
 
+    // Streaming unigram-LM encode (st20) — the third trained-model
+    // streaming twin (l42→st14, l77→st19, unigram→st20): per-doc
+    // Viterbi token counts over a file-source stream through the SAME
+    // narrow per-row kernel pass as l80 (tokenize → in-kernel Viterbi
+    // per word → in-row sum; no state, no aggregation, plain append).
+    // The oracle IS l80's (DuckDB corpus join/aggregate against the
+    // replay-trained word → n_pieces golden), so one hash proves
+    // streaming-narrow ≡ batch-narrow ≡ the independent replay.
+    "st20_unigram_stream" -> QuerySpec(
+      (s, dir) => {
+        val model = LlmQueries.unigramModelCached(s, dir)
+        LlmQueries.ensureUnigramEncodeGolden(s, dir)
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val q = graft.operators.TextAnalysis
+          .unigramEncodeCounts(
+            stream.select(col("doc_id"), col("text")), model)
+          .writeStream.format("memory").queryName("st20_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st20_sink").orderBy(col("doc_id"))
+      }, None, Some(dir => LlmQueries.l80OracleSql(dir))),
+
     // The TIME-BOUNDED streaming near-dup contract, proven against the
     // exact-global one on the same deterministic schedule (st06 covers
     // the LSH semantics on the real corpus; this entry's subject is the
