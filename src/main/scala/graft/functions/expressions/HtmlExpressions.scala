@@ -36,9 +36,9 @@ import org.apache.spark.sql.types._
   */
 object HtmlExpressions {
 
-  /** Source-char bound on a dangling anchor's inner slice when no
-    * `</a>` and no later `<a` exists — caps the worst case (a single
-    * unterminated link at document end) to one short anchor string.
+  /** Source-char bound on any anchor's inner slice — caps the worst
+    * cases (an unterminated link at document end, or a close tag
+    * megabytes away) to one short anchor string.
     */
   private[graft] val DanglingAnchorCap = 4096
 
@@ -96,9 +96,11 @@ object HtmlExpressions {
           val isClose = s.charAt(i + 1) == '/'
           val after = consumeTag(i)
           out.append(' ')
-          val selfClosing = after >= 2 && s.charAt(after - 2) == '/'
-          if (!isClose && !selfClosing &&
-              (name == "script" || name == "style")) {
+          // HTML5 script/style elements are NEVER self-closing — the
+          // tokenizer ignores a trailing '/' and still enters the
+          // raw-text state, so `<script src=x />` data must not leak
+          // into extracted text
+          if (!isClose && (name == "script" || name == "style")) {
             val closeLit = "</" + name
             var j = after
             var end = -1
@@ -224,17 +226,18 @@ object HtmlExpressions {
     * is quote-aware ('>' inside a quoted href does not end the tag).
     * Anchor text is the element's inner HTML through [[htmlTextStrict]]
     * (nested markup stripped, entities decoded, whitespace collapsed).
-    * A DANGLING anchor — no `</a>` anywhere after it, the shape real
-    * XHTML emits as `<a href=x/>` since the self-closing slash is
-    * ignored on non-void elements — is implicitly closed at the next
-    * `<a` start tag (the HTML5 adoption-agency trigger), or failing
-    * that capped at [[DanglingAnchorCap]] source chars, so one
-    * unterminated link can never swallow a multi-MB document into a
-    * single anchor string. Scanning resumes AFTER the anchor's close
-    * tag (explicit or implicit), so an (invalid) `<a>` nested inside a
-    * CLOSED href-bearing anchor is not extracted — documented subset;
-    * href-less `<a name=...>` anchors emit nothing and their inner
-    * content IS scanned.
+    * An anchor's inner slice ends at the EARLIEST of its explicit
+    * `</a>`, the next `<a` start tag (the HTML5 adoption-agency
+    * trigger — a new `<a` implicitly closes an open one regardless of
+    * a later close tag, the shape real XHTML emits as `<a href=x/>`
+    * since the self-closing slash is ignored on non-void elements),
+    * and a [[DanglingAnchorCap]]-source-char cap — so one anchor,
+    * dangling or not, can never swallow a multi-MB document into a
+    * single anchor string or hide the links inside it. Scanning
+    * resumes AFTER an explicit close, AT an implicit/capped bound (so
+    * the following `<a>` is itself extracted); href-less
+    * `<a name=...>` anchors emit nothing and their inner content IS
+    * scanned.
     */
   def htmlLinks(u: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
@@ -314,9 +317,9 @@ object HtmlExpressions {
           val name = tagNameAt(i)
           val isClose = s.charAt(i + 1) == '/'
           val after = consumeTag(i)
-          val selfClosing = after >= 2 && s.charAt(after - 2) == '/'
-          if (!isClose && !selfClosing &&
-              (name == "script" || name == "style")) {
+          // script/style are never self-closing in HTML5 — always
+          // raw-text (see htmlTextStrict)
+          if (!isClose && (name == "script" || name == "style")) {
             val end = findClose(after, name)
             i = if (end < 0) n else consumeTag(end)
           } else if (!isClose && name == "a") {
@@ -328,33 +331,37 @@ object HtmlExpressions {
             // empty anchor and lose the anchor text.
             attrValue(s, i, after, "href") match {
               case Some(h) =>
+                // The anchor ends at the EARLIEST of: its explicit
+                // </a>, the next <a start tag (HTML5 adoption agency —
+                // a new <a implicitly closes an open one REGARDLESS of
+                // a later </a>, so a self-closed <a href=x/> on a
+                // mixed page can never swallow the links between it
+                // and some far-away close tag), and the cap (so
+                // neither a dangling anchor nor a pathological
+                // multi-MB element body yields a multi-MB anchor
+                // string).
                 val end = findClose(after, "a")
-                // No </a> anywhere: implicitly close at the next <a
-                // start tag (HTML5 adoption agency), else cap the
-                // slice — a dangling anchor must not swallow the
-                // remaining document into one multi-MB anchor string.
-                val innerEnd = {
-                  val e0 =
-                    if (end >= 0) end
-                    else findAOpen(after) match {
-                      case -1 => math.min(
-                        n, after + HtmlExpressions.DanglingAnchorCap)
-                      case nx => nx
-                    }
-                  // the cap is a char offset — never split a surrogate
-                  // pair (a lone high surrogate would mojibake the
-                  // anchor tail)
+                val nextOpen = findAOpen(after)
+                var e0 = math.min(
+                  n, after + HtmlExpressions.DanglingAnchorCap)
+                if (end >= 0 && end < e0) e0 = end
+                if (nextOpen >= 0 && nextOpen < e0) e0 = nextOpen
+                // the cap is a char offset — never split a surrogate
+                // pair (a lone high surrogate would mojibake the
+                // anchor tail); the other two bounds sit on '<'
+                val innerEnd =
                   if (e0 < n && e0 > after &&
                       Character.isLowSurrogate(s.charAt(e0)))
                     e0 - 1
                   else e0
-                }
                 emit(h, htmlTextStrict(
                   org.apache.spark.unsafe.types.UTF8String.fromString(
                     s.substring(after, innerEnd))).toString)
-                // explicit close: resume past </a>; implicit: resume
-                // AT the bound so a following <a> is itself extracted
-                i = if (end >= 0) consumeTag(end) else innerEnd
+                // explicit close: resume past </a>; implicit or
+                // capped: resume AT the bound so a following <a> is
+                // itself extracted
+                i = if (end >= 0 && e0 == end) consumeTag(end)
+                    else innerEnd
               case None => i = after // inner content scans normally
             }
           } else i = after
@@ -472,8 +479,10 @@ object HtmlExpressions {
           val isClose = s.charAt(i + 1) == '/'
           val after = consumeTag(i)
           val selfClosing = after >= 2 && s.charAt(after - 2) == '/'
-          if (!isClose && !selfClosing &&
-              (name == "script" || name == "style")) {
+          // script/style are never self-closing in HTML5 — always
+          // raw-text (see htmlTextStrict); script data behind a
+          // `<script src=x />` must not leak into text blocks
+          if (!isClose && (name == "script" || name == "style")) {
             // script-data skip, same close semantics as htmlTextStrict
             val closeLit = "</" + name
             var j = after

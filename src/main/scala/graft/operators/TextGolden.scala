@@ -18,6 +18,29 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextGolden {
 
+  /** CODE-POINT string order — identical to Spark's UTF-8 binary
+    * string comparison (unsigned byte order over valid UTF-8 = code
+    * point order), which Java's UTF-16 `String.compareTo` is NOT: a
+    * supplementary-plane string's high surrogate (0xD800–0xDBFF)
+    * compares BELOW a U+E000..U+FFFF char in UTF-16 but its code point
+    * (≥ 0x10000) is ABOVE. Replays that must agree with an engine-side
+    * `orderBy` on strings compare through this.
+    */
+  val codePointOrdering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      var i = 0
+      var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i)
+        val cb = b.codePointAt(j)
+        if (ca != cb) return java.lang.Integer.compare(ca, cb)
+        i += Character.charCount(ca)
+        j += Character.charCount(cb)
+      }
+      java.lang.Integer.compare(a.length - i, b.length - j)
+    }
+  }
+
   /** [[TextAnalysis.rollingFingerprint]] replayed: min xxhash64 (seed 42,
     * the engine's string hash) over the character k-grams of lower(text);
     * 0 when the text is shorter than k characters.
@@ -80,7 +103,9 @@ object TextGolden {
     * golden — independently structured (forward-extension DP, loop
     * seed counting) but the same contract: code-point substring seeds
     * (overlaps counted, all singles + top multis by (cnt DESC, piece
-    * ASC)), hard-EM with Viterbi counts, singles floored at 1, zero
+    * ASC in CODE-POINT order — the engine side is a Spark orderBy,
+    * which compares UTF-8 bytes)), hard-EM with Viterbi counts,
+    * singles floored at 1, zero
     * multis pruned, lpUnits = rint((ln cnt − ln total)·1e6), ranking
     * (cnt DESC, piece ASC).
     */
@@ -104,7 +129,14 @@ object TextGolden {
     }
     val (singles, multis) = seed.toSeq.partition(
       _._1.codePoints().count() == 1L)
-    val top = multis.sortBy { case (p, c) => (-c, p) }
+    // The vocab CUTOFF tie-break must be engine-independent: the
+    // engine side is a Spark orderBy, which compares strings in UTF-8
+    // binary = CODE-POINT order; Java String.compareTo is UTF-16
+    // code-unit order and disagrees when a U+E000..U+FFFF piece ties
+    // with a supplementary-plane piece. Compare by code points here so
+    // the replay takes the same piece at the boundary.
+    val top = multis.sortBy(_._1)(TextGolden.codePointOrdering)
+      .sortBy(-_._2)(Ordering.Long)
       .take(math.max(0, vocabSize - singles.length))
     var ranked = rankOf(singles ++ top)
     for (_ <- 1 to epochs) {

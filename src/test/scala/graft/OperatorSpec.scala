@@ -2042,6 +2042,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(capped.length == 1 &&
       capped(0).getString(4).length <= 4096, // DanglingAnchorCap
       s"anchor len ${capped(0).getString(4).length}")
+    // MIXED page (ADVICE r16): a self-closed <a href=x/> followed
+    // megabytes later by one NORMAL link — the far </a> must not let
+    // the first anchor swallow the tail and hide the second link; the
+    // next <a start implicitly closes the first (adoption agency),
+    // and both links extract
+    val mixed = TextAnalysis.extractOutlinks(Seq(
+        ("https://h.example/", "<a href=\"x.html\"/>head " + bigTail +
+          "<a href=\"y.html\">real link</a>"))
+      .toDF("url", "html")).collect().sortBy(_.getLong(1))
+    assert(mixed.length == 2, s"got ${mixed.length} links")
+    assert(mixed(0).getString(2) == "https://h.example/x.html" &&
+      mixed(0).getString(4).length <= 4096, // capped, not the tail
+      s"first anchor len ${mixed(0).getString(4).length}")
+    assert(mixed(1).getString(2) == "https://h.example/y.html" &&
+      mixed(1).getString(4) == "real link", mixed.toSeq)
+    // and when the far </a> exists with NO intervening <a, the cap
+    // alone bounds the slice
+    val farClose = TextAnalysis.extractOutlinks(Seq(
+        ("https://h.example/", "<a href=\"x.html\"/>head " + bigTail +
+          "</a> outside"))
+      .toDF("url", "html")).collect()
+    assert(farClose.length == 1 &&
+      farClose(0).getString(4).length <= 4096,
+      s"anchor len ${farClose(0).getString(4).length}")
     // the cap never splits a surrogate pair: an emoji spanning the cap
     // boundary is dropped whole, not mojibaked into a lone surrogate
     val emojiTail = "😀" * 4096 // 2 UTF-16 units each
@@ -3255,6 +3279,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(b3 == Seq(("div", "never closed")), b3)
     // whitespace-only runs between block tags never emit
     assert(blocks("<div> </div>  <p>x</p>") == Seq(("p", "x")))
+    // ADVICE r16: HTML5 script/style are NEVER self-closing — a
+    // `<script src=x />` still enters raw-text state, so the script
+    // data must not leak into text blocks
+    val b4 = blocks("<body><script src=\"x.js\" />" +
+      "var leak = '<p>decoy</p>';</script><p>real</p></body>")
+    assert(b4 == Seq(("p", "real")), b4)
+    // same contract in htmlTextStrict
+    val t4 = graft.functions.expressions.HtmlExpressions
+      .htmlTextStrict(org.apache.spark.unsafe.types.UTF8String
+        .fromString("<script src=\"x.js\" />var leak;</script>ok"))
+      .toString
+    assert(t4 == "ok", t4)
+    // and in htmlLinks: a decoy anchor behind a self-closed script
+    // open tag never extracts
+    val l4 = graft.functions.expressions.HtmlExpressions
+      .htmlLinks(org.apache.spark.unsafe.types.UTF8String.fromString(
+        "<script src=\"x.js\" /><a href=\"/no\">decoy</a></script>" +
+        "<a href=\"/yes\">real</a>"))
+    assert(l4.numElements() == 1, s"got ${l4.numElements()} links")
   }
 
   test("mainContent: each justext rule kills exactly its planted " +
@@ -3407,6 +3450,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(TextAnalysis.unigramEncodeCounts(
       Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "abab"))
         .toDF("doc_id", "text"), m).count() == 1L)
+  }
+
+  test("Unigram train: the vocab-cutoff tie-break is engine-independent " +
+      "— a count tie between a private-use BMP piece and a " +
+      "supplementary-plane piece resolves by CODE-POINT order on both " +
+      "the Spark side and the replay (ADVICE r16: Java UTF-16 " +
+      "code-unit order would flip it)") {
+    import graft.operators.{TextAnalysis, TextGolden}
+    // two 2-codepoint words, freq 1 each: 4 singles + 2 multi-char
+    // seeds tied at cnt 1; vocabSize 5 keeps exactly ONE multi.
+    // UTF-16 code units: "𐀀" starts 0xD800 < 0xF000, so Java ordering
+    // takes the supplementary piece; code points: 0x10000 > 0xF000, so
+    // code-point (= Spark UTF-8 binary) ordering takes the BMP one.
+    val bmp = "\uF000\uF001"
+    val supp = new String(Character.toChars(0x10000)) +
+      new String(Character.toChars(0x10001))
+    val docs = Seq((1L, s"$bmp $supp")).toDF("doc_id", "text")
+    val m = TextAnalysis.unigramTrain(docs, vocabSize = 5,
+      maxPieceLen = 2, epochs = 1)
+    val multis = m.pieces.map(_._1)
+      .filter(p => p.codePointCount(0, p.length) == 2)
+    assert(multis == Seq(bmp),
+      s"cutoff must take the code-point-smaller piece, got $multis")
+    val replay = TextGolden.unigramTrainReplay(
+      Seq((bmp, 1L), (supp, 1L)), vocabSize = 5, maxLen = 2,
+      epochs = 1, unkUnits = TextAnalysis.Unigram.UnkUnits)
+    val engine = m.pieces.zipWithIndex.map { case ((p, c, u), i) =>
+      (i + 1, p, c, u) }
+    assert(engine == replay, s"engine $engine vs replay $replay")
   }
 
   // ---- trained language ID (LangClassifier) --------------------------
