@@ -79,7 +79,12 @@ object BenchBudgets {
     "l40_gopher_rules" -> 0.1064,
     "l41_dsir_select" -> 1.0430,
     "l42_quality_classifier" -> 0.1313,
-    "l43_bbpe_train" -> 0.2741,
+    // re-pinned r17 from target/bench_r17_idle1.json (168 entries,
+    // 88.9 s, cal 0.4757, zero flags/spikes/errors) AFTER the eager
+    // per-merge checkpoint unpersist landed — the 0.2741 idle pin was
+    // never reproduced under the driver bench (r16 VERDICT #5); the
+    // sidecar now shows flat run-to-run walls (0.31/0.32/0.29)
+    "l43_bbpe_train" -> 0.3139,
     "l44_bbpe_encode" -> 0.6241,
     "l45_html_extract" -> 0.0908,
     "l46_url_normalize" -> 0.4077,
@@ -96,8 +101,12 @@ object BenchBudgets {
     "l57_kmv_intersect" -> 0.7266,
     "l58_redirect_resolve" -> 0.7005,
     "l59_sitemap_discovery" -> 0.1161,
-    "l60_line_dedup" -> 0.1371,
-    "l61_outlinks" -> 0.1464,
+    // l60/l61 re-pinned r17 (same artifact): both measured inside the
+    // idle band this round — l60 BELOW its old pin, l61 at 1.18x (the
+    // r16 note that the driver band "never met" these pins did not
+    // reproduce; l61 takes the measured median)
+    "l60_line_dedup" -> 0.1198,
+    "l61_outlinks" -> 0.1723,
     "l62_pagerank" -> 0.9408,
     "l63_anchor_text" -> 0.1586,
     "l64_graph_balls" -> 0.7228,
@@ -131,10 +140,11 @@ object BenchBudgets {
     "st18_politeness_gate" -> 1.0602,
     "st19_langid_stream" -> 0.6128,
     // l82 pinned from bench_r16_idle4.json (167 entries, 98.3 s, zero
-    // flags/spikes/errors); st20 intentionally UNPINNED this round —
-    // it landed after the last idle run, and unpinned entries are
-    // never flagged. Pin from the first driver artifact.
+    // flags/spikes/errors)
     "l82_multilingual_funnel" -> 0.611,
+    // st20 pinned r17 from target/bench_r17_idle1.json (it landed
+    // after r16's last idle run and was intentionally unpinned there)
+    "st20_unigram_stream" -> 0.6534,
     "m01_media_features" -> 0.2213,
     "m02_frame_sample" -> 0.0812,
     "m03_media_resize" -> 0.0864,

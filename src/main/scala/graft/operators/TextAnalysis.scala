@@ -1033,6 +1033,17 @@ object TextAnalysis {
     // deferring the unpersist this way also saves a per-merge count()
     // job whose only purpose was materialization
     var pcPrev: org.apache.spark.rdd.RDD[((String, String), Long)] = null
+    // the superseded WORD frame gets the same treatment (r16 l43 bench
+    // flag: leaving each round's wf checkpoint to the lazy
+    // ContextCleaner let storage pile up across back-to-back trainings
+    // in one JVM). The old wf must outlive the NEXT argmax on the
+    // cache path — pc's delta lineage reads it until pc materializes —
+    // so it is freed at the same point pcPrev is. Never frees the
+    // caller's wf0.
+    var wfPrev: DataFrame = null
+    def freeWf(df: DataFrame): Unit =
+      if ((df ne null) && (df ne wf0))
+        org.apache.spark.sql.graftshim.Bridge.unpersistLocalCheckpoint(df)
     var r = 1
     var exhausted = false
     // (count DESC, lhs ASC, rhs ASC) — ONE ordering, shared by the
@@ -1047,9 +1058,11 @@ object TextAnalysis {
             else Iterator.single(it.min(ord))
           }.collect().sorted(ord).headOption
             .map { case ((l, rr), c) => (l, rr, c) }
-          // pc is materialized now; the previous store can go
+          // pc is materialized now; the previous store and the word
+          // frame its delta lineage read can both go
           if (pcPrev != null) { pcPrev.unpersist(blocking = false)
             pcPrev = null }
+          if (wfPrev != null) { freeWf(wfPrev); wfPrev = null }
           picked
         } else {
           pairCounts(wf)
@@ -1099,17 +1112,22 @@ object TextAnalysis {
                   .map { case (k, d) => (k, d) }
             }.localCheckpoint() // materialized by the NEXT argmax
             pcPrev = prev
+            wfPrev = wf // freed after the NEXT argmax (delta reads it)
             wf = wf.filter(!hasPair(col("syms"), a, b))
               .unionByName(merged).coalesce(wfParts).localCheckpoint()
           } else {
+            val old = wf
             wf = wf.select(mergeFold(col("syms"), a, b, m).as("syms"),
               col("freq")).localCheckpoint()
+            freeWf(old) // Dataset.localCheckpoint is EAGER — old is done
           }
           r += 1
       }
     }
     if (pcPrev != null) pcPrev.unpersist(blocking = false)
     if (pc != null) pc.unpersist(blocking = false)
+    freeWf(wfPrev)
+    freeWf(wf) // only the driver-side merge table leaves this loop
     spark.createDataFrame(merges.toSeq)
       .toDF("rank", "lhs", "rhs", "merged", "pair_count")
   }
@@ -1419,10 +1437,17 @@ object TextAnalysis {
       .localCheckpoint()
     val singles = seeds.filter(length(col("piece")) === 1)
       .as[(String, Long)].collect().toSeq
+    // (cnt DESC, piece ASC) — Spark's string orderBy is UTF-8 binary =
+    // CODE-POINT order; the replay golden's cutoff sort matches it
+    // through TextGolden.codePointOrdering (ADVICE r16)
     val multis = seeds.filter(length(col("piece")) > 1)
       .orderBy(col("cnt").desc, col("piece"))
       .limit(math.max(0, vocabSize - singles.length))
       .as[(String, Long)].collect().toSeq
+    // the seed relation is fully collected — free its blocks eagerly
+    // rather than leaving them to the ContextCleaner (bench hygiene,
+    // the l43 lesson)
+    org.apache.spark.sql.graftshim.Bridge.unpersistLocalCheckpoint(seeds)
     var model = Unigram.Model(unigramRank(singles ++ multis))
     for (_ <- 1 to epochs) {
       // E-step: ONE distributed aggregate — Viterbi counts by piece
@@ -1441,6 +1466,7 @@ object TextAnalysis {
       }
       model = Unigram.Model(unigramRank(kept))
     }
+    org.apache.spark.sql.graftshim.Bridge.unpersistLocalCheckpoint(wf)
     model
   }
 

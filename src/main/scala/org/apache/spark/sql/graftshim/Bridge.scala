@@ -23,6 +23,25 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Eagerly release a LOCAL-CHECKPOINTED frame's storage blocks. A
+    * `Dataset.localCheckpoint()` parks its rows in an internal RDD
+    * reachable only through the plan's `LogicalRDD` (`private[sql]`);
+    * `Dataset.unpersist()` talks to the cache manager and never touches
+    * it, so iterative loops that re-checkpoint per round otherwise
+    * leave every superseded round's blocks to the lazy ContextCleaner —
+    * which under back-to-back invocations in one JVM accumulates enough
+    * storage to slow later rounds (the r16 l43 bench flag). No-op on
+    * non-checkpoint plans. CAUTION: the checkpointed RDD's lineage is
+    * truncated — after this the frame is unusable; only call on frames
+    * no live lineage still reads.
+    */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Drain the async listener bus (`private[spark]`) so a test's
     * job-counting SparkListener has seen every already-submitted job
     * before the count is read.
