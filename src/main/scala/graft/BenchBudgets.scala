@@ -145,6 +145,11 @@ object BenchBudgets {
     // st20 pinned r17 from target/bench_r17_idle1.json (it landed
     // after r16's last idle run and was intentionally unpinned there)
     "st20_unigram_stream" -> 0.6534,
+    // token-ID emission family pinned from target/bench_r17_idle2.json
+    // (171 entries, 88.9 s, cal 0.4917, zero flags/spikes/errors)
+    "l83_unigram_encode_ids" -> 0.2563,
+    "l84_bbpe_encode_ids" -> 0.5549,
+    "l85_pack_ids" -> 0.8374,
     "m01_media_features" -> 0.2213,
     "m02_frame_sample" -> 0.0812,
     "m03_media_resize" -> 0.0864,

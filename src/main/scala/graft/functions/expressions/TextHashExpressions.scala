@@ -584,6 +584,12 @@ object TextHashExpressions {
                       unkUnits: Long): Column =
     Bridge.column(UnigramSegmentExpr(Bridge.expression(word),
       pieces, lpUnits, maxPieceLen, unkUnits))
+
+  def unigram_encode_ids(text: Column, pieces: Seq[String],
+                         lpUnits: Seq[Long], maxPieceLen: Int,
+                         unkUnits: Long): Column =
+    Bridge.column(UnigramEncodeIdsExpr(Bridge.expression(text),
+      pieces, lpUnits, maxPieceLen, unkUnits))
 }
 
 /** hashed_margin_units(text): the quality classifier's integer
@@ -902,6 +908,126 @@ case class UnigramSegmentExpr(child: Expression, pieces: Seq[String],
 
   override protected def withNewChildInternal(c: Expression)
       : UnigramSegmentExpr = copy(child = c)
+}
+
+/** unigram_encode_ids(text): a WHOLE DOCUMENT to its token-ID sequence
+  * under a trained unigram model, as ONE native kernel — the artifact a
+  * training pipeline actually writes (`array<int>`), where
+  * [[UnigramSegmentExpr]] returns one word's pieces. In-kernel: exact
+  * engine tokenization (UTF8String trim/lowercase + the explicit
+  * whitespace class — the [[HashedMarginExpr]] recipe), then the SAME
+  * integer-unit Viterbi DP per word (identical (j,i) visit order and
+  * strict-improvement tie-break), emitting each winning piece's ID.
+  *
+  * ID space: `pieces` arrive in RANK order (the trained table), so
+  * id = index + 1 — 1-based ranks matching the l79 golden's `rank`
+  * column; an unknown single code point (possible only on text outside
+  * the training corpus — coverage keeps every corpus single in-vocab)
+  * emits the reserved UNK id 0. Null text → null; empty/whitespace
+  * text → empty array. Zero-exchange, scan-fused, append-streamable —
+  * the l77/l80 inference shape.
+  */
+case class UnigramEncodeIdsExpr(child: Expression, pieces: Seq[String],
+                                lpUnits: Seq[Long], maxPieceLen: Int,
+                                unkUnits: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if pieces.length == lpUnits.length &&
+        maxPieceLen > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"unigram_encode_ids: |pieces|=${pieces.length} must equal " +
+        s"|lpUnits|=${lpUnits.length} and maxPieceLen > 0")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"unigram_encode_ids needs string, got $other")
+  }
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "unigram_encode_ids"
+
+  /** piece → (lpUnits, 1-based rank id) — one probe per DP candidate. */
+  @transient private lazy val lpId: java.util.HashMap[String, (Long, Int)] = {
+    val m = new java.util.HashMap[String, (Long, Int)](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) {
+      m.put(pieces(i), (lpUnits(i), i + 1))
+      i += 1
+    }
+    m
+  }
+
+  def encode(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = u.trim().toLowerCase.toString
+      .split("[ \\t\\n\\f\\r]+", -1).filter(_.nonEmpty)
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var t = 0
+    while (t < toks.length) {
+      val s = toks(t)
+      val cp = s.codePointCount(0, s.length)
+      val offs = new Array[Int](cp + 1)
+      var o = 0
+      var i = 0
+      while (i < cp) {
+        offs(i) = o
+        o += Character.charCount(s.codePointAt(o))
+        i += 1
+      }
+      offs(cp) = s.length
+      val NegInf = java.lang.Long.MIN_VALUE / 4
+      val best = Array.fill(cp + 1)(NegInf)
+      val back = new Array[Int](cp + 1)
+      val id = new Array[Int](cp + 1)
+      best(0) = 0L
+      i = 1
+      while (i <= cp) {
+        var j = math.max(0, i - maxPieceLen)
+        while (j < i) {
+          if (best(j) > NegInf) {
+            val piece = s.substring(offs(j), offs(i))
+            val hit = lpId.get(piece)
+            var cand = NegInf
+            var candId = 0
+            if (hit != null) { cand = best(j) + hit._1; candId = hit._2 }
+            else if (i - j == 1) { cand = best(j) + unkUnits }
+            if (cand > best(i)) {
+              best(i) = cand; back(i) = j; id(i) = candId
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      // walk backpointers, reverse the word's ids in place
+      val from = out.length
+      var p = cp
+      while (p > 0) { out += Integer.valueOf(id(p)); p = back(p) }
+      var a = from
+      var b = out.length - 1
+      while (a < b) {
+        val tmp = out(a); out(a) = out(b); out(b) = tmp
+        a += 1; b -= 1
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(str: Any): Any =
+    encode(str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramEncodeIdsExpr", this,
+      classOf[UnigramEncodeIdsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : UnigramEncodeIdsExpr = copy(child = c)
 }
 
 /** robots_match(path, pattern): RFC 9309 §2.2.3 robots rule matching

@@ -1310,10 +1310,15 @@ object TextAnalysis {
           i => col("word").substr(i, lit(1))).as("syms"))
       .localCheckpoint()
     merges.foreach { case (a, b) =>
-      // same greedy fold as training (shared mergeFold)
+      // same greedy fold as training (shared mergeFold); the superseded
+      // checkpoint frees eagerly — Dataset.localCheckpoint is eager, so
+      // the old blocks are done the moment the new frame exists (the
+      // l43 bench-hygiene lesson)
+      val old = wf
       wf = wf.select(col("word"), col("freq"),
           mergeFold(col("syms"), a, b, a + b).as("syms"))
         .localCheckpoint()
+      org.apache.spark.sql.graftshim.Bridge.unpersistLocalCheckpoint(old)
     }
     wf.select(col("word"), col("freq"), size(col("syms")).as("n_bpe"))
   }
@@ -1499,6 +1504,126 @@ object TextAnalysis {
         aggregate(col("toks"), lit(0L),
           (acc, w) => acc + size(unigramSegCol(w, model)).cast("long"))
           .as("n_pieces"))
+  }
+
+  /** Per-document token-ID SEQUENCES under a trained unigram model —
+    * the artifact a training pipeline actually writes (`array<int>`),
+    * where [[unigramEncodeCounts]] stops at counts: ONE narrow per-row
+    * kernel pass ([[graft.functions.expressions.UnigramEncodeIdsExpr]]:
+    * in-kernel tokenize + per-word Viterbi + rank-ID emission — no
+    * explode, no join, scan-fused, append-streamable). IDs are the
+    * trained table's 1-based ranks; unknown single code points (never
+    * on the training corpus itself — coverage) emit the reserved UNK
+    * id 0. Documents with no tokens drop (the l29 inner-join
+    * convention). Output: (idCol, n_tokens, token_ids).
+    */
+  def unigramEncodeIds(docs: DataFrame, model: Unigram.Model,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val ids = graft.functions.expressions.TextHashExpressions
+      .unigram_encode_ids(col(textCol), model.pieces.map(_._1),
+        model.pieces.map(_._3), Unigram.MaxPieceLen, Unigram.UnkUnits)
+    docs
+      .select(col(idCol), ids.as("token_ids"))
+      .filter(size(col("token_ids")) > 0)
+      .select(col(idCol),
+        size(col("token_ids")).cast("long").as("n_tokens"),
+        col("token_ids"))
+  }
+
+  /** Document-boundary marker in packed ID streams: -1 — outside the
+    * unigram id space (ranks are 1-based, UNK is 0), so a loader can
+    * split samples back into documents without a vocab lookup.
+    */
+  val PackEosId: Int = -1
+
+  /** l83's packing sibling on REAL token IDs — [[packTokenStream]]
+    * emits the packing MANIFEST from token counts; this packs the
+    * actual id sequences: each document's ids get the [[PackEosId]]
+    * boundary marker appended, documents concatenate in `idCol` order
+    * into one virtual id stream, and the stream splits at exact
+    * `seqLen` boundaries into the fixed-length training rows (partial
+    * tail dropped — standard).
+    *
+    * Scale shape — the [[packTokenStream]] two-phase fold (NO global
+    * window, which Spark plans as ONE partition): range-partition by
+    * id (pinned via localCheckpoint so both passes see the same
+    * partitioning), per-partition length totals → driver prefix sum
+    * (O(partitions)), second narrow pass assigns each doc its global
+    * (start, ids); each doc then explodes to per-sequence FRAGMENTS
+    * (`slice` arithmetic — Σ fragment ids = corpus tokens, linear) and
+    * ONE shuffle on seq_idx reassembles fragments in start order
+    * (`sort_array` of (start, frag) structs → flatten). Every sequence
+    * is exactly seqLen ids; payload shuffled = the id stream itself,
+    * skew-free by construction (each seq_idx receives exactly seqLen
+    * ids). Output: (seq_idx, n_docs, n_starts, first_doc, token_ids).
+    *
+    * Input contract: `idsDf` = (idCol numeric, idsCol array<int>)
+    * WITHOUT boundary markers — the marker is appended here.
+    */
+  def packIdStream(idsDf: DataFrame, seqLen: Int,
+                   idCol: String = "doc_id",
+                   idsCol: String = "token_ids",
+                   partitions: Int = 0): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val spark = idsDf.sparkSession
+    import spark.implicits._
+    val n = if (partitions > 0) partitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val withEos = idsDf.select(col(idCol).cast("long").as("id"),
+        concat(col(idsCol), array(lit(PackEosId))).as("ids"))
+      .repartitionByRange(n, col("id"))
+      .sortWithinPartitions(col("id"))
+      .localCheckpoint() // pin the sampled ranges across the two passes
+    val perPart: Array[(Int, Long)] = withEos
+      .select(col("id"), size(col("ids")).cast("long").as("len"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var s = 0L
+        it.foreach(s += _._2)
+        Iterator.single((pid, s))
+      }.collect()
+    var acc = 0L
+    val offMap = perPart.sortBy(_._1).map { case (pid, s) =>
+      val base = pid -> acc; acc += s; base
+    }.toMap
+    val total = acc
+    val nSeq = total / seqLen
+    val bc = spark.sparkContext.broadcast(offMap)
+    val offsets = withEos.as[(Long, Array[Int])].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var off = bc.value.getOrElse(pid, 0L)
+      it.map { case (id, ids) =>
+        val s = off; off += ids.length; (id, s, ids) }
+    }.toDF("id", "start", "ids")
+    val frags = offsets
+      .withColumn("len", size(col("ids")).cast("long"))
+      .withColumn("first_seq", expr(s"start div $seqLen"))
+      .withColumn("last_seq", expr(s"(start + len - 1) div $seqLen"))
+      .filter(col("first_seq") < lit(nSeq)) // tail-only docs drop
+      .withColumn("seq_idx", explode(sequence(col("first_seq"),
+        least(col("last_seq"), lit(nSeq - 1)))))
+      // this doc's slice of sequence seq_idx: global window
+      // [seq_idx*seqLen, (seq_idx+1)*seqLen) intersected with
+      // [start, start+len) — 1-based slice into ids
+      .withColumn("lo",
+        greatest(lit(0L), col("seq_idx") * seqLen - col("start")))
+      .withColumn("hi",
+        least(col("len"), (col("seq_idx") + 1) * seqLen - col("start")))
+      .select(col("id"), col("start"), col("seq_idx"),
+        slice(col("ids"), (col("lo") + 1).cast("int"),
+          (col("hi") - col("lo")).cast("int")).as("frag"),
+        col("first_seq"))
+    frags
+      .groupBy(col("seq_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("first_seq") === col("seq_idx"), 1))
+          .as("n_starts"),
+        min(col("id")).as("first_doc"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("start"), col("frag")))),
+          s => s.getField("frag"))).as("token_ids"))
   }
 
   /** HTML → text extraction — the step every crawl pipeline runs
@@ -2911,9 +3036,12 @@ object TextAnalysis {
       .select(col("ptok"), col("freq"), byteSyms(col("ptok")).as("syms"))
       .localCheckpoint()
     merges.foreach { case (a, b) =>
+      val old = wf
       wf = wf.select(col("ptok"), col("freq"),
           mergeFold(col("syms"), a, b, a + b).as("syms"))
         .localCheckpoint()
+      // superseded checkpoint frees eagerly (the l43 hygiene lesson)
+      org.apache.spark.sql.graftshim.Bridge.unpersistLocalCheckpoint(old)
     }
     wf.select(col("ptok"), col("freq"), size(col("syms")).as("n_bpe"))
   }
@@ -2935,6 +3063,64 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_pretoks"),
         sum(col("n_bpe")).as("bbpe_token_count"))
+  }
+
+  /** Byte-level ENCODE to GPT-2-CONVENTION token IDs, vocabulary side:
+    * the [[bbpeEncodeVocab]] fold chain keeping the SYMBOLS, each
+    * mapped to its id — a base byte symbol is its byte value (0..255),
+    * merge rank k (1-based) is 255 + k: exactly the public GPT-2
+    * encoder's id space (256 base ids, merges appended in rank order),
+    * so no separate vocab ranking step exists to drift. Returns
+    * `ptok → ids` (array<int>), vocabulary-sized.
+    */
+  def bbpeEncodeIdsVocab(docs: DataFrame, merges: Seq[(String, String)],
+                         textCol: String = "text"): DataFrame = {
+    val symId: Map[String, Int] =
+      ByteBpe.ByteToChar.zipWithIndex.map { case (c, b) => c -> b }.toMap ++
+        merges.zipWithIndex.map { case ((a, b), k) => (a + b) -> (256 + k) }
+    var wf = docs.select(explode(preTokens(col(textCol))).as("ptok"))
+      .groupBy(col("ptok")).agg(count(lit(1)).as("freq"))
+      .select(col("ptok"), byteSyms(col("ptok")).as("syms"))
+      .localCheckpoint()
+    merges.foreach { case (a, b) =>
+      val old = wf
+      wf = wf.select(col("ptok"),
+          mergeFold(col("syms"), a, b, a + b).as("syms"))
+        .localCheckpoint()
+      org.apache.spark.sql.graftshim.Bridge.unpersistLocalCheckpoint(old)
+    }
+    wf.select(col("ptok"),
+      transform(col("syms"),
+        s => element_at(typedLit(symId), s)).as("ids"))
+  }
+
+  /** Byte-level ENCODE, corpus side, emitting the per-document
+    * token-ID SEQUENCE — the training artifact itself (`array<int>`),
+    * where [[bbpeEncodeCounts]] stops at counts. Corpus touched exactly
+    * once: `posexplode` keeps pre-token order, the id join is against
+    * the VOCABULARY-sized relation, and ONE shuffle back to the
+    * document reassembles ids in pre-token order (`sort_array` over
+    * (pos, ids) structs → flatten — positions are unique per doc, so
+    * the struct sort is total). Documents with no pre-tokens (null
+    * text) drop — the l29/l44 inner-join convention. Output:
+    * (idCol, n_pretoks, n_tokens, token_ids).
+    */
+  def bbpeEncodeIds(docs: DataFrame, merges: Seq[(String, String)],
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val vocab = bbpeEncodeIdsVocab(docs.select(col(textCol)), merges,
+      textCol)
+    docs.select(col(idCol), posexplode(preTokens(col(textCol))))
+      .withColumnRenamed("col", "ptok")
+      .join(vocab, "ptok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pretoks"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("ids")))),
+          s => s.getField("ids"))).as("token_ids"))
+      .select(col(idCol), col("n_pretoks"),
+        size(col("token_ids")).cast("long").as("n_tokens"),
+        col("token_ids"))
   }
 
   /** TEMPERATURE-based corpus mixing (τ = 0.5, "square-root sampling" —

@@ -281,6 +281,22 @@ object TextGolden {
     syms.length
   }
 
+  /** [[TextAnalysis.bbpeEncodeIdsVocab]] replayed: the pre-token's
+    * symbols under the trained merges mapped to GPT-2-CONVENTION ids —
+    * a base byte symbol is its byte value (0..255), merge rank k
+    * (1-based) is 255 + k, exactly the public GPT-2 encoder's id space
+    * (256 base ids, merges appended in rank order).
+    */
+  def bbpeEncodeIdsPreTok(ptok: String,
+                          merges: Seq[(String, String)]): Seq[Int] = {
+    var syms = byteSymsOf(ptok)
+    merges.foreach { case (a, b) => syms = mergeOnce(syms, a, b, a + b) }
+    val mergeId = merges.zipWithIndex
+      .map { case ((a, b), k) => (a + b) -> (256 + k) }.toMap
+    syms.toSeq.map(s =>
+      mergeId.getOrElse(s, TextAnalysis.ByteBpe.CharToByte(s)))
+  }
+
   /** Byte-level DECODE: mapped-char symbols back to bytes to text —
     * the lossless-round-trip half the spec pins on public test
     * vectors. Works on symbols at ANY merge depth (merges only

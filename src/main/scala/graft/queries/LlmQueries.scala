@@ -1727,6 +1727,83 @@ object LlmQueries {
           .orderBy(col("doc_id"))
       }, None, Some(dir => l80OracleSql(dir))),
 
+    // Unigram ENCODE to token-ID SEQUENCES (l83) — the artifact a
+    // training pipeline actually writes (array<int> under the trained
+    // vocab; l80 stops at counts): ONE narrow per-row kernel pass
+    // (in-kernel tokenize + per-word Viterbi + rank-id emission — no
+    // explode, no join, scan-fused, the l77/l80 inference shape). IDs
+    // are the l79 table's 1-based ranks; UNK id 0 never fires on the
+    // training corpus (coverage). DuckDB re-derives every document's
+    // FULL id string from the replay-trained word → ids golden: zipped
+    // unnest keeps word order, string_agg(ORDER BY pos) reassembles —
+    // so the hash pins id values AND their order.
+    "l83_unigram_encode_ids" -> QuerySpec(
+      (s, dir) => {
+        ensureUnigramIdsGolden(s, dir)
+        graft.operators.TextAnalysis.unigramEncodeIds(
+            Tables(s, dir, "documents")
+              .select(col("doc_id"), col("text")),
+            unigramModelCached(s, dir))
+          .select(col("doc_id"), col("n_tokens"),
+            array_join(transform(col("token_ids"),
+              i => i.cast("string")), " ").as("ids_str"))
+          .orderBy(col("doc_id"))
+      }, None, Some(dir => l83OracleSql(dir))),
+
+    // Byte-level BPE ENCODE to GPT-2-convention token-ID sequences
+    // (l84) — base byte symbols are their byte value (0..255), merge
+    // rank k is 255+k, exactly the public GPT-2 encoder's id space (no
+    // separate vocab ranking to drift). Corpus touched once
+    // (posexplode keeps pre-token order), the id join is vocab-sized,
+    // ONE shuffle reassembles per-doc sequences. DuckDB re-derives
+    // every document's id string from TWO replay goldens — the ordered
+    // per-doc pre-tokenization (RE2 can't run the GPT-2 lookahead) and
+    // the ptok → ids mapping — joined and string_agg'd in position
+    // order.
+    "l84_bbpe_encode_ids" -> QuerySpec(
+      (s, dir) => {
+        ensureBbpeIdsGoldens(s, dir)
+        val merges = l44MergesByDir.getOrElseUpdate(dir,
+          TextAnalysis.bbpeTrainMerges(
+              Tables(s, dir, "documents").select(col("text")))
+            .orderBy(col("rank")).collect()
+            .map(r => (r.getString(1), r.getString(2))).toSeq)
+        TextAnalysis.bbpeEncodeIds(
+            Tables(s, dir, "documents")
+              .select(col("doc_id"), col("text")), merges)
+          .select(col("doc_id"), col("n_pretoks"), col("n_tokens"),
+            array_join(transform(col("token_ids"),
+              i => i.cast("string")), " ").as("ids_str"))
+          .orderBy(col("doc_id"))
+      }, None, Some(dir => l84OracleSql(dir))),
+
+    // Sequence packing on REAL token ids (l85) — l36 packs a count
+    // manifest; this packs the actual id streams: per-doc unigram ids
+    // (l83's operator) + the -1 document-boundary marker, concatenated
+    // in doc_id order, split at exact 512-id boundaries, partial tail
+    // dropped. Engine: the packTokenStream two-phase offset fold (NO
+    // global window) + per-sequence fragment slices + ONE shuffle on
+    // seq_idx reassembling fragments in start order — every output row
+    // is exactly 512 ids. The oracle re-derives the ENTIRE packed
+    // stream in DuckDB from the word → ids golden (flatten per doc,
+    // append -1, window cumsum for the manifest, list_slice for the id
+    // windows) — one hash spans tokenization, id mapping, ordering,
+    // boundary markers, and the split arithmetic.
+    "l85_pack_ids" -> QuerySpec(
+      (s, dir) => {
+        ensureUnigramIdsGolden(s, dir)
+        val ids = graft.operators.TextAnalysis.unigramEncodeIds(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("text")),
+          unigramModelCached(s, dir))
+        graft.operators.TextAnalysis.packIdStream(ids, seqLen = 512)
+          .select(col("seq_idx"), col("n_docs"), col("n_starts"),
+            col("first_doc"),
+            array_join(transform(col("token_ids"),
+              i => i.cast("string")), " ").as("ids_str"))
+          .orderBy(col("seq_idx"))
+      }, None, Some(dir => l85OracleSql(dir))),
+
     // BYTE-LEVEL BPE training (GPT-2 family) — the production tokenizer
     // beside the word-level l26: regex pre-tokenization (contractions,
     // leading-space word/number/punct groups), UTF-8 bytes through the
@@ -4310,6 +4387,102 @@ object LlmQueries {
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   }
 
+  private def l83GoldenName(dir: String): String =
+    s"l83-unigramids-" +
+      s"${graft.operators.TextAnalysis.Unigram.VocabSize}-" +
+      s"${graft.operators.TextAnalysis.Unigram.Epochs}-" +
+      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
+
+  /** The l83/l85 golden: replay-train, then replay-Viterbi every
+    * distinct corpus word and map pieces to the replay table's 1-based
+    * ranks (UNK 0 — never fires on the training corpus) —
+    * (word, n_ids, ids_str), vocabulary-sized. DuckDB re-derives the
+    * per-document sequences (and l85's packed stream) computationally.
+    */
+  private[queries] def ensureUnigramIdsGolden(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import s.implicits._
+    graft.operators.MultimodalGolden.ensureGoldenDf(l83GoldenName(dir), {
+      val u = graft.operators.TextAnalysis.Unigram
+      val wfreq = replayWordFreq(s, dir)
+      val trained = graft.operators.TextGolden
+        .unigramTrainReplay(wfreq, u.VocabSize, u.MaxPieceLen, u.Epochs,
+          u.UnkUnits)
+      val lp = trained.map { case (_, p, _, units) => p -> units }.toMap
+      val rank = trained.map { case (r, p, _, _) => p -> r }.toMap
+      wfreq.map { case (w, _) =>
+        val ids = graft.operators.TextGolden
+          .unigramViterbi(w, lp, u.MaxPieceLen, u.UnkUnits)
+          .map(p => rank.getOrElse(p, 0))
+        (w, ids.length.toLong, ids.mkString(" "))
+      }.toDF("word", "n_ids", "ids_str")
+    })
+  }
+
+  private[queries] def l83OracleSql(dir: String): String = {
+    val base = graft.operators.MultimodalGolden
+      .goldenBase(l83GoldenName(dir))
+    s"""WITH t0 AS (
+       |  SELECT doc_id, list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    x -> length(x) > 0) AS arr
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, unnest(arr) AS word,
+       |    unnest(range(1, len(arr) + 1)) AS pos
+       |  FROM t0 WHERE len(arr) > 0),
+       |v AS (SELECT word, n_ids, ids_str
+       |      FROM read_parquet('$base/*.parquet'))
+       |SELECT t.doc_id, SUM(v.n_ids)::BIGINT AS n_tokens,
+       |  string_agg(v.ids_str, ' ' ORDER BY t.pos) AS ids_str
+       |FROM toks t JOIN v USING (word)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+  }
+
+  private[queries] def l85OracleSql(dir: String): String = {
+    val base = graft.operators.MultimodalGolden
+      .goldenBase(l83GoldenName(dir))
+    s"""WITH t0 AS (
+       |  SELECT doc_id, list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    x -> length(x) > 0) AS arr
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, unnest(arr) AS word,
+       |    unnest(range(1, len(arr) + 1)) AS pos
+       |  FROM t0 WHERE len(arr) > 0),
+       |v AS (SELECT word, ids_str FROM read_parquet('$base/*.parquet')),
+       |docids AS (
+       |  SELECT t.doc_id,
+       |    flatten(list(list_transform(string_split(v.ids_str, ' '),
+       |      x -> CAST(x AS INT)) ORDER BY t.pos)) || [-1] AS ids
+       |  FROM toks t JOIN v USING (word) GROUP BY t.doc_id),
+       |lens AS (SELECT doc_id, len(ids)::BIGINT AS len FROM docids),
+       |offs AS (SELECT doc_id, len,
+       |    COALESCE(SUM(len) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0)::BIGINT AS s
+       |  FROM lens),
+       |stream AS (SELECT flatten(list(ids ORDER BY doc_id)) AS alltok
+       |           FROM docids),
+       |tot AS (SELECT len(alltok)::BIGINT AS total FROM stream),
+       |perdoc AS (SELECT o.doc_id, o.s,
+       |    unnest(generate_series(o.s // 512,
+       |      least((o.s + o.len - 1) // 512,
+       |            (SELECT total FROM tot) // 512 - 1))) AS seq
+       |  FROM offs o
+       |  WHERE o.s // 512 < (SELECT total FROM tot) // 512),
+       |g AS (SELECT seq::BIGINT AS seq_idx, COUNT(*)::BIGINT AS n_docs,
+       |    (COUNT(*) FILTER (WHERE s // 512 = seq))::BIGINT AS n_starts,
+       |    MIN(doc_id) AS first_doc
+       |  FROM perdoc GROUP BY seq)
+       |SELECT g.seq_idx, g.n_docs, g.n_starts, g.first_doc,
+       |  array_to_string(list_slice((SELECT alltok FROM stream),
+       |    (g.seq_idx * 512 + 1)::BIGINT,
+       |    ((g.seq_idx + 1) * 512)::BIGINT), ' ') AS ids_str
+       |FROM g ORDER BY seq_idx""".stripMargin
+  }
+
   // training is deterministic per dir — memoized so l80 benches the
   // ENCODE path and both entries share one model (the l29 fit-cache
   // stance)
@@ -4653,6 +4826,62 @@ object LlmQueries {
           (p, graft.operators.TextGolden.bbpeEncodePreTok(p, merges))
         }.toDF("ptok", "n_bpe")
       })
+  }
+
+  private def l84CorpusGoldenName(dir: String): String =
+    s"l84-bbpecorpus-ord-${new java.io.File(dir).getName}-" +
+      s"${docsDriftKey(dir)}-v1"
+  private def l84VocabGoldenName(dir: String): String =
+    s"l84-bbpeids-${graft.operators.TextAnalysis.ByteBpe.NumMerges}-" +
+      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
+
+  /** The l84 goldens: (a) ORDERED per-doc pre-tokenization — l44's
+    * corpus golden carries no position because its aggregate is
+    * order-free; id sequences need one — and (b) ptok → GPT-2-
+    * convention ids (replay merges + the base-byte/merge-rank id map,
+    * space-joined). DuckDB re-derives the per-doc sequences itself.
+    */
+  private def ensureBbpeIdsGoldens(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import s.implicits._
+    graft.operators.MultimodalGolden.ensureGoldenDf(
+      l84CorpusGoldenName(dir),
+      Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          if (t == null) Iterator.empty
+          else graft.operators.TextGolden.preTokens(t).iterator
+            .zipWithIndex.map { case (p, i) => (id, i, p) } }
+        .toDF("doc_id", "pos", "ptok"))
+    graft.operators.MultimodalGolden.ensureGoldenDf(
+      l84VocabGoldenName(dir), {
+        val pfreq = replayPreTokFreq(s, dir)
+        val merges = graft.operators.TextGolden
+          .bbpeMerges(pfreq,
+            graft.operators.TextAnalysis.ByteBpe.NumMerges)
+          .map { case (_, lhs, rhs, _, _) => (lhs, rhs) }
+        pfreq.map { case (p, _) =>
+          val ids = graft.operators.TextGolden
+            .bbpeEncodeIdsPreTok(p, merges)
+          (p, ids.length.toLong, ids.mkString(" "))
+        }.toDF("ptok", "n_ids", "ids_str")
+      })
+  }
+
+  private def l84OracleSql(dir: String): String = {
+    val vb = graft.operators.MultimodalGolden
+      .goldenBase(l84VocabGoldenName(dir))
+    val cb = graft.operators.MultimodalGolden
+      .goldenBase(l84CorpusGoldenName(dir))
+    s"""WITH c AS (SELECT doc_id, pos, ptok
+       |           FROM read_parquet('$cb/*.parquet')),
+       |v AS (SELECT ptok, n_ids, ids_str
+       |      FROM read_parquet('$vb/*.parquet'))
+       |SELECT c.doc_id, COUNT(*)::BIGINT AS n_pretoks,
+       |  SUM(v.n_ids)::BIGINT AS n_tokens,
+       |  string_agg(v.ids_str, ' ' ORDER BY c.pos) AS ids_str
+       |FROM c JOIN v USING (ptok)
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
   }
 
   private def l44OracleSql(dir: String): String = {

@@ -3452,6 +3452,113 @@ class OperatorSpec extends AnyFunSuite {
         .toDF("doc_id", "text"), m).count() == 1L)
   }
 
+  test("unigramEncodeIds: whole-document kernel emits 1-based rank ids " +
+      "— hand-computed on the planted corpus, UNK id 0 for out-of-vocab " +
+      "singles, kernel ≡ (replay Viterbi + rank map) incl. non-BMP, " +
+      "empty/null text drops") {
+    import graft.operators.{TextAnalysis, TextGolden}
+    val docs = (0 until 20).map(i => (i.toLong, "abab abab cdcd"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.unigramTrain(docs, vocabSize = 16, epochs = 3)
+    // rank 1 = abab (cnt 40), rank 2 = cdcd (cnt 20): the corpus doc
+    // encodes to exactly [1, 1, 2]
+    assert(m.pieces.head._1 == "abab" && m.pieces(1)._1 == "cdcd")
+    val enc = TextAnalysis.unigramEncodeIds(docs, m).collect()
+    assert(enc.length == 20)
+    enc.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == 3L, r)
+      assert(r.getSeq[Int](2) == Seq(1, 1, 2), r) }
+    // out-of-vocab singles → UNK id 0; in-vocab pieces keep their ranks
+    val mixed = TextAnalysis.unigramEncodeIds(
+      Seq((1L, "abab xyz"), (2L, ""), (3L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), m).collect()
+    assert(mixed.length == 1 && mixed(0).getLong(0) == 1L)
+    assert(mixed(0).getSeq[Int](2) == Seq(1, 0, 0, 0),
+      mixed(0).getSeq[Int](2))
+    // kernel ≡ replay(viterbi → rank map) word-for-word, non-BMP incl.
+    val rank = m.pieces.zipWithIndex
+      .map { case ((p, _, _), i) => p -> (i + 1) }.toMap
+    val lp = m.pieces.map { case (p, _, u) => p -> u }.toMap
+    val probes = Seq("abab cdcd ab", "a😀b abab", "x", "cd cd")
+    val got = TextAnalysis.unigramEncodeIds(
+      probes.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), m).orderBy(col("doc_id")).collect()
+    probes.zip(got).foreach { case (t, r) =>
+      val want = TextGolden.tokens(t).toSeq.flatMap(w =>
+        TextGolden.unigramViterbi(w, lp,
+          TextAnalysis.Unigram.MaxPieceLen,
+          TextAnalysis.Unigram.UnkUnits).map(p => rank.getOrElse(p, 0)))
+      assert(r.getSeq[Int](2) == want, s"'$t': ${r.getSeq[Int](2)}") }
+  }
+
+  test("bbpeEncodeIds: GPT-2 id space (base byte = its value, merge " +
+      "rank k = 255+k), per-doc sequences in pre-token order, ids " +
+      "decode losslessly back to the original text, engine ≡ replay") {
+    import graft.operators.{TextAnalysis, TextGolden}
+    val texts = Seq("the cat, the hat!", "  the the cat cat",
+      "don't stop", "café éclair", "the 42 cats")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bbpeTrainMerges(docs, numMerges = 8)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = TextAnalysis.bbpeEncodeIds(docs, merges)
+      .orderBy(col("doc_id")).collect()
+    assert(out.length == texts.length)
+    val mergedSym = merges.zipWithIndex
+      .map { case ((a, b), k) => (256 + k) -> (a + b) }.toMap
+    texts.zip(out).foreach { case (t, r) =>
+      val ids = r.getSeq[Int](3)
+      assert(r.getAs[Long]("n_tokens") == ids.length.toLong)
+      // replay: per pre-token ids, concatenated in order
+      val want = TextGolden.preTokens(t)
+        .flatMap(p => TextGolden.bbpeEncodeIdsPreTok(p, merges))
+      assert(ids == want, s"'$t': $ids vs $want")
+      // lossless decode: id → symbol (base byte char or merge string)
+      // → bytes → text reproduces the document EXACTLY
+      val syms = ids.map(id => mergedSym.getOrElse(id,
+        TextAnalysis.ByteBpe.ByteToChar(id)))
+      assert(TextGolden.bbpeDecode(syms) == t, s"decode of '$t'") }
+    // id space pins: every id < 256 IS its byte value; the first
+    // trained merge occupies id 256 somewhere in the corpus encoding
+    val allIds = out.flatMap(_.getSeq[Int](3))
+    assert(allIds.exists(_ >= 256), "merges must fire on this corpus")
+    assert(allIds.forall(id => id >= 0 && id < 256 + merges.length))
+  }
+
+  test("packIdStream: hand-computed packing with EOS boundaries — " +
+      "exact seqLen windows, fragment reassembly across docs, partial " +
+      "tail dropped, n_docs/n_starts/first_doc manifest, stable across " +
+      "partitioning") {
+    import graft.operators.TextAnalysis
+    // ids per doc (EOS -1 appended by the operator):
+    // doc1 [1,2,3,-1] doc2 [4,5,-1] doc3 [6,7,8,9,-1] → stream of 12,
+    // seqLen 4 → seqs [1,2,3,-1] [4,5,-1,6] [7,8,9,-1]
+    val idsDf = Seq(
+      (1L, Seq(1, 2, 3)), (2L, Seq(4, 5)), (3L, Seq(6, 7, 8, 9)))
+      .toDF("doc_id", "token_ids")
+    for (parts <- Seq(1, 3)) {
+      val out = TextAnalysis.packIdStream(idsDf, seqLen = 4,
+          partitions = parts)
+        .orderBy(col("seq_idx")).collect()
+      assert(out.length == 3, s"parts=$parts: ${out.toSeq}")
+      val rows = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getSeq[Int](4)))
+      assert(rows(0) == ((0L, 1L, 1L, 1L, Seq(1, 2, 3, -1))), rows(0))
+      assert(rows(1) == ((1L, 2L, 2L, 2L, Seq(4, 5, -1, 6))), rows(1))
+      assert(rows(2) == ((2L, 1L, 0L, 3L, Seq(7, 8, 9, -1))), rows(2))
+    }
+    // partial tail: stream of 13 (extra id on doc3) still yields 3 full
+    // sequences, the 1-id tail vanishes
+    val idsDf2 = Seq(
+      (1L, Seq(1, 2, 3)), (2L, Seq(4, 5)), (3L, Seq(6, 7, 8, 9, 10)))
+      .toDF("doc_id", "token_ids")
+    val out2 = TextAnalysis.packIdStream(idsDf2, seqLen = 4)
+      .orderBy(col("seq_idx")).collect()
+    assert(out2.length == 3 &&
+      out2(2).getSeq[Int](4) == Seq(7, 8, 9, 10), out2.toSeq)
+  }
+
   test("Unigram train: the vocab-cutoff tie-break is engine-independent " +
       "— a count tie between a private-use BMP piece and a " +
       "supplementary-plane piece resolves by CODE-POINT order on both " +

@@ -1049,4 +1049,37 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("unigram_segment"),
       s"native kernel missing from plan:\n${plan.take(2500)}")
   }
+
+  test("l83: unigram encode-to-ids is a zero-exchange narrow kernel " +
+      "pass (the l80 shape on the whole document); l85's packing plans " +
+      "exactly ONE exchange — the seq_idx reassembly — with no global " +
+      "single-partition window") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import spark.implicits._
+    val model = graft.operators.TextAnalysis.unigramTrain(
+      Seq((0L, "abab abab cdcd")).toDF("doc_id", "text"),
+      vocabSize = 16, epochs = 2)
+    val docs = spark.range(400).select(col("id").as("doc_id"),
+      concat(lit("abab cdcd ab "), col("id")).as("text"))
+    val ids = graft.operators.TextAnalysis.unigramEncodeIds(docs, model)
+    val plan = ids.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"id encode must not shuffle:\n${plan.take(2500)}")
+    assert(!plan.contains("Generate") && !plan.contains("Join") &&
+      !plan.contains("HashAggregate"),
+      s"id encode must stay per-row:\n${plan.take(2500)}")
+    assert(plan.contains("unigram_encode_ids"),
+      s"native kernel missing from plan:\n${plan.take(2500)}")
+    // packing: the localCheckpointed offsets side is pre-computed, so
+    // the final plan's only exchange is the seq_idx aggregate; a global
+    // Window would betray the single-partition cumsum trap
+    val packed = graft.operators.TextAnalysis.packIdStream(
+      ids, seqLen = 64)
+    val pplan = packed.queryExecution.executedPlan.toString
+    val nEx = "Exchange".r.findAllIn(pplan).length
+    assert(nEx <= 1, s"packing must shuffle once ($nEx):\n" +
+      pplan.take(2500))
+    assert(!pplan.contains("Window"),
+      s"no global window in the pack plan:\n${pplan.take(2500)}")
+  }
 }
