@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.expressions.{BtcRedactExpr, CosineSimExpr, CreditCardRedactExpr, DeletionVariantsExpr, HtmlBlocksExpr, HtmlLinksExpr, HtmlTextStrictExpr, IbanRedactExpr, LzwCodesExpr, MinHashSigExpr, NfcNormalizeExpr, PercentNormalizeExpr, RobotsMatchExpr, SimHash64Expr, SsnRedactExpr, TokenNgramsExpr, Uint256Expr}
+import graft.functions.expressions.{BtcRedactExpr, CosineSimExpr, CreditCardRedactExpr, DeletionVariantsExpr, HtmlBlocksExpr, HtmlImagesExpr, HtmlLinksExpr, HtmlTextStrictExpr, IbanRedactExpr, LzwCodesExpr, MinHashSigExpr, NfcNormalizeExpr, PercentNormalizeExpr, RobotsMatchExpr, SimHash64Expr, SsnRedactExpr, TokenNgramsExpr, Uint256Expr}
 
 /** SQL surface for the graft-native expressions.
   *
@@ -108,6 +108,12 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "html_blocks(html)")
         HtmlBlocksExpr(exprs.head)
+      }),
+    (FunctionIdentifier("html_images"),
+      new ExpressionInfo(classOf[HtmlImagesExpr].getName, "html_images"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "html_images(html)")
+        HtmlImagesExpr(exprs.head)
       }),
     (FunctionIdentifier("robots_match"),
       new ExpressionInfo(classOf[RobotsMatchExpr].getName,

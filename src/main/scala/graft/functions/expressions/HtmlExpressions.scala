@@ -522,6 +522,133 @@ object HtmlExpressions {
 
   def html_blocks(html: Column): Column =
     Bridge.column(HtmlBlocksExpr(Bridge.expression(html)))
+
+  /** Static entry point, referenced from generated code: every
+    * src-bearing `<img>` element as (src, alt, caption) in document
+    * order — the extraction an image–text pair pipeline starts from.
+    * The scan shares the [[htmlTextStrict]] tokenizer's reading
+    * (comments/doctype skipped, script/style raw text skipped with the
+    * HTML5 script-data close semantics — a decoy `<img src=...>` inside
+    * JS never extracts; attribute parsing quote-aware, the six shared
+    * entities decode in attribute values).
+    *
+    * Caption semantics (the `<figure>` association HTML defines):
+    * an `<img>` inside a `<figure>` element takes the figure's
+    * `<figcaption>` inner text (through [[htmlTextStrict]] — markup
+    * stripped, entities decoded, whitespace collapsed) whether the
+    * caption precedes or follows it; imgs outside any figure, and
+    * figures without a caption, carry "". Documented subset: figures
+    * don't nest (a `<figure` while one is open flushes the open one —
+    * the implicit-close reading every other kernel takes), and a
+    * figure's caption applies to ALL its imgs. src-less imgs emit
+    * nothing.
+    */
+  def htmlImages(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = u.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    def matchesAt(pos: Int, lit: String): Boolean =
+      pos + lit.length <= n && s.regionMatches(true, pos, lit, 0,
+        lit.length)
+    def consumeTag(start: Int): Int = {
+      var j = start + 1
+      while (j < n) {
+        val c = s.charAt(j)
+        if (c == '>') return j + 1
+        if (c == '"' || c == '\'') {
+          j += 1
+          while (j < n && s.charAt(j) != c) j += 1
+          if (j < n) j += 1
+        } else j += 1
+      }
+      n
+    }
+    def tagNameAt(pos: Int): String = {
+      var j = pos + 1
+      if (j < n && s.charAt(j) == '/') j += 1
+      val st = j
+      while (j < n && s.charAt(j).isLetterOrDigit) j += 1
+      s.substring(st, j).toLowerCase
+    }
+    def findClose(from: Int, name: String): Int = {
+      val closeLit = "</" + name
+      var j = from
+      while (j < n) {
+        if (matchesAt(j, closeLit)) {
+          val k = j + closeLit.length
+          if (k >= n || s.charAt(k) == '>' ||
+              s.charAt(k).isWhitespace || s.charAt(k) == '/') return j
+        }
+        j += 1
+      }
+      -1
+    }
+    def emit(src: String, alt: String, caption: String): Unit =
+      out += org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(src),
+        org.apache.spark.unsafe.types.UTF8String.fromString(alt),
+        org.apache.spark.unsafe.types.UTF8String.fromString(caption))
+    // open-figure state: pending (src, alt) imgs + the figure's caption
+    var inFigure = false
+    var figCaption = ""
+    val pending = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    def flushFigure(): Unit = {
+      pending.foreach { case (src, alt) => emit(src, alt, figCaption) }
+      pending.clear()
+      figCaption = ""
+      inFigure = false
+    }
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        if (matchesAt(i, "<!--")) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n &&
+            (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+          i = consumeTag(i)
+        } else if (i + 1 < n && (s.charAt(i + 1).isLetter ||
+            (s.charAt(i + 1) == '/' && i + 2 < n &&
+              s.charAt(i + 2).isLetter))) {
+          val name = tagNameAt(i)
+          val isClose = s.charAt(i + 1) == '/'
+          val after = consumeTag(i)
+          if (!isClose && (name == "script" || name == "style")) {
+            val end = findClose(after, name)
+            i = if (end < 0) n else consumeTag(end)
+          } else if (name == "figure") {
+            // open: flush any already-open figure (implicit close);
+            // close: flush the current one
+            flushFigure()
+            if (!isClose) inFigure = true
+            i = after
+          } else if (!isClose && name == "figcaption" && inFigure) {
+            val end = findClose(after, "figcaption")
+            val capEnd = if (end < 0) n else end
+            figCaption = htmlTextStrict(
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                s.substring(after, capEnd))).toString
+            i = if (end < 0) n else consumeTag(end)
+          } else if (!isClose && name == "img") {
+            attrValue(s, i, after, "src") match {
+              case Some(src) =>
+                val alt = attrValue(s, i, after, "alt").getOrElse("")
+                if (inFigure) pending += ((src, alt))
+                else emit(src, alt, "")
+              case None => ()
+            }
+            i = after
+          } else i = after
+        } else i += 1
+      } else i += 1
+    }
+    flushFigure() // unterminated figure: tolerant, caption-so-far
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  def html_images(html: Column): Column =
+    Bridge.column(HtmlImagesExpr(Bridge.expression(html)))
 }
 
 /** html_text_strict(html): tokenizer-based HTML→text extraction. See
@@ -619,4 +746,39 @@ case class HtmlBlocksExpr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression)
       : HtmlBlocksExpr = copy(child = c)
+}
+
+/** html_images(html): array<struct<src,alt,caption>> of every
+  * src-bearing `<img>` element in document order, with the enclosing
+  * `<figure>`'s `<figcaption>` text as caption. See
+  * [[HtmlExpressions.htmlImages]].
+  */
+case class HtmlImagesExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"html_images needs string, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("src", StringType, nullable = false),
+    StructField("alt", StringType, nullable = false),
+    StructField("caption", StringType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "html_images"
+
+  override def nullSafeEval(str: Any): Any =
+    HtmlExpressions.htmlImages(
+      str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.HtmlExpressions" +
+        s".htmlImages($c);")
+
+  override protected def withNewChildInternal(c: Expression)
+      : HtmlImagesExpr = copy(child = c)
 }

@@ -635,6 +635,74 @@ object Multimodal {
     }.toDF("media_id", "phash")
   }
 
+  /** Decode ANY supported still image (header-sniffed dispatch: BMP /
+    * PNG / GIF / baseline+progressive JPEG, all pure-JVM codecs) to
+    * (width, height, top-down RGB) — the media side of pair
+    * construction, where the blob arrives as fetched bytes with no
+    * trusted type column. Throws on unsupported/garbage payloads; a
+    * pipeline gates with [[Codecs.sniffImageMeta]] first (the m10
+    * prune-before-decode stance).
+    */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) =
+    Codecs.sniffImageMeta(bytes) match {
+      case Some(("bmp", _, _)) => Codecs.decodeBmp(bytes)
+      case Some(("png", _, _)) => graft.codec.Png.decode(bytes)
+      case Some(("gif", _, _)) => graft.codec.Gif.decode(bytes)
+      case Some(("jpeg", _, _)) => graft.codec.Jpeg.decode(bytes)
+      case other => throw new IllegalArgumentException(
+        s"decodeImage: unsupported payload (sniffed $other)")
+    }
+
+  /** Image–text PAIR construction — the multimodal training-data shape
+    * (LAION/DataComp): page-extracted candidates
+    * ([[graft.operators.TextAnalysis.extractImagePairs]]:
+    * (src_url, img_idx, img_url, alt, caption, text)) joined to fetched
+    * media bytes by CANONICAL url, perceptual features attached, then
+    * PAIR-LEVEL exact dedup — the same image (by decoded-pixel dHash)
+    * under the same pair text keeps one copy (min (src_url, img_idx)
+    * — the l01 min-keeper convention), `n_dup_pairs` recording each
+    * group's collapse.
+    *
+    * Scale shape: media DECODES ONCE PER BLOB (a media-sized typed map
+    * — never per pair; at 100 TB the media table is the big side and
+    * decode is the expensive step, so it must not replicate across the
+    * pages referencing one image), the pair join is a url-keyed
+    * equi-join, and the dedup shuffles (phash, text) keys only.
+    * `media`: (urlCol, dataCol binary) with urlCol already canonical
+    * ([[graft.operators.TextAnalysis.normalizeUrl]] spelling).
+    * Output: one row per KEPT pair — (src_url, img_idx, img_url, alt,
+    * caption, text, width, height, phash, n_dup_pairs).
+    */
+  def imageTextPairs(pairs: DataFrame, media: DataFrame,
+                     urlCol: String = "media_url",
+                     dataCol: String = "data"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val feats = media
+      .select(col(urlCol).as("img_url"), col(dataCol).as("data"))
+      .as[(String, Array[Byte])]
+      .map { case (url, bytes) =>
+        val (w, h, rgb) = decodeImage(bytes)
+        (url, w, h, dHash64(w, h, rgb))
+      }.toDF("img_url", "width", "height", "phash")
+    val joined = pairs.join(feats, "img_url")
+    // exact pair dedup: (image content via phash, pair text) — keep the
+    // smallest (src_url, img_idx), count the group
+    joined
+      .groupBy(col("phash"), col("text"))
+      .agg(min(struct(col("src_url"), col("img_idx"), col("img_url"),
+          col("alt"), col("caption"), col("width"), col("height")))
+          .as("keep"),
+        count(lit(1)).as("n_dup_pairs"))
+      .select(col("keep.src_url").as("src_url"),
+        col("keep.img_idx").as("img_idx"),
+        col("keep.img_url").as("img_url"),
+        col("keep.alt").as("alt"), col("keep.caption").as("caption"),
+        col("text"), col("keep.width").as("width"),
+        col("keep.height").as("height"), col("phash"),
+        col("n_dup_pairs"))
+  }
+
   /** 64-bit audio fingerprint over 16-bit PCM samples — the dHash idea
     * in the time domain (Philips/Haitsma-Kalker sign-of-energy-delta
     * fingerprinting, reduced to integer time-domain band energies so it

@@ -2677,6 +2677,49 @@ object TextAnalysis {
         col("anchor"))
   }
 
+  /** HTML image reference extraction — the first step of an image–text
+    * PAIR pipeline (the LAION/DataComp shape: web pages → (image url,
+    * alt/caption text) candidates → join to fetched media → pair-level
+    * dedup). Per page, every src-bearing `<img>` in document order via
+    * the [[graft.functions.expressions.HtmlExpressions.htmlImages]]
+    * codegen kernel (script/style decoys skipped, quote-aware
+    * attributes, `<figure>`/`<figcaption>` association), then:
+    *
+    *  - non-fetchable srcs drop (`data:`, `javascript:`, fragment-only
+    *    — the [[extractOutlinks]] filter);
+    *  - the rest resolve against the PAGE url ([[resolveLocation]])
+    *    and CANONICALIZE through [[normalizeUrl]] — the media store's
+    *    join key, so spelling variants of one image collapse before
+    *    the join;
+    *  - `text` = alt if non-empty else caption — the pair's text side.
+    *
+    * Output: (src_url, img_idx, img_url, alt, caption, text);
+    * `img_idx` is the img's position among the page's src-bearing imgs
+    * BEFORE filtering (gaps where non-fetchable srcs dropped). One
+    * NARROW pass — extract + explode + resolve + normalize in a single
+    * generate stage, no shuffle; the media join downstream owns its
+    * shuffle (url-keyed equi-join, media side decoded once).
+    */
+  def extractImagePairs(pages: DataFrame, urlCol: String = "url",
+                        htmlCol: String = "html"): DataFrame = {
+    val exploded = pages
+      .select(col(urlCol).as("src_url"),
+        posexplode(graft.functions.expressions.HtmlExpressions
+          .html_images(col(htmlCol))).as(Seq("img_idx", "img")))
+      .select(col("src_url"), col("img_idx").cast("long").as("img_idx"),
+        col("img.src").as("src"), col("img.alt").as("alt"),
+        col("img.caption").as("caption"))
+    val scheme = lower(col("src"))
+    val dst = resolveLocation(col("src_url"), col("src"))
+    exploded
+      .filter(col("src") =!= "" && !col("src").startsWith("#") &&
+        !scheme.startsWith("javascript:") && !scheme.startsWith("data:"))
+      .select(col("src_url"), col("img_idx"),
+        normalizeUrl(dst).as("img_url"), col("alt"), col("caption"),
+        when(col("alt") =!= "", col("alt")).otherwise(col("caption"))
+          .as("text"))
+  }
+
   /** Main-content block extraction — the boilerpipe/justext step
     * between tag stripping (l52) and line-level dedup (l60): separate
     * the article body from nav/sidebar/footer chrome. The

@@ -4034,7 +4034,103 @@ object LlmQueries {
             idCol = "media_id", hashCol = "phash")
           .orderBy(col("id_a"), col("id_b"))
       }, None, Some(_ => m07Sql("m07-phash-200-40-v1"))),
+
+    // Image–text PAIR construction (m11) — the multimodal
+    // training-data shape (LAION/DataComp): planted pages (script
+    // decoy, an <img alt> needing URL normalization, a <figure>/
+    // <figcaption> img resolving a relative src, a data: img that must
+    // filter) → extractImagePairs (one narrow kernel pass) → url-keyed
+    // join to a 40-image media store (BMP/PNG payloads decoded ONCE
+    // per blob — lossless codecs, so the decoded-pixel dHash matches
+    // the raw-pixel golden bit-exactly) → pair-level exact dedup on
+    // (phash, text): docs with doc_id%10==7 all emit the SAME
+    // (image 3, 'shared alt') pair and must collapse to the min
+    // (src_url, img_idx) keeper. The oracle derives every pair, every
+    // feature, and the dedup from documents arithmetic + the raw-pixel
+    // golden (ROW_NUMBER mirror of the min-struct keeper).
+    "m11_image_text_pairs" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val nImg = 40
+        MultimodalGolden.ensureGoldenDf(s"m11-imgfeat-$nImg-v1",
+          s.range(nImg).map { boxed =>
+            val i: Long = boxed
+            val (w, h, rgb) = Multimodal.pngRawDraw(i)
+            (i, w, h, Multimodal.dHash64(w, h, rgb))
+          }.toDF("img_id", "width", "height", "phash"))
+        val media = s.range(nImg).map { boxed =>
+          val i: Long = boxed
+          val (w, h, rgb) = Multimodal.pngRawDraw(i)
+          val bytes =
+            if (i % 2 == 0) Multimodal.Codecs.encodeBmp(w, h, rgb)
+            else graft.codec.Png.encode(w, h, rgb)
+          (s"http://media.example/img/$i.bmp", bytes)
+        }.toDF("media_url", "data")
+        val d = col("doc_id")
+        val ida = when(d % 10 === 7, lit(3L)).otherwise(d % nImg)
+        val alta = when(d % 10 === 7, lit("shared alt"))
+          .otherwise(concat(lit("Doc "), d, lit(" primary")))
+        val idb = (d * 3 + 1) % nImg
+        val pages = Tables(s, dir, "documents").select(
+          concat(lit("http://media.example/pages/"), d, lit(".html"))
+            .as("url"),
+          concat(
+            lit("<html><head><script>var x = '<img " +
+              "src=\"http://no.example/x.png\">';</script></head><body>"),
+            lit("<img src=\"HTTP://Media.Example:80/img/"), ida,
+            lit(".bmp\" alt=\""), alta, lit("\">"),
+            lit("<figure><img src=\"/img/"), idb,
+            lit(".bmp\"><figcaption>Caption "), d,
+            lit(" fig</figcaption></figure>"),
+            lit("<img src=\"data:image/png;base64,AAAA\" alt=\"skip\">"),
+            lit("</body></html>")).as("html"))
+        Multimodal.imageTextPairs(
+            TextAnalysis.extractImagePairs(pages), media)
+          .orderBy(col("src_url"), col("img_idx"))
+      }, None, Some(_ => m11Sql("m11-imgfeat-40-v1", 40))),
   ) + m08Entry + m09Entry
+
+  /** m11's oracle: pairs, features, and the (phash, text) dedup all
+    * re-derived in DuckDB from documents arithmetic + the raw-pixel
+    * feature golden; the min-struct keeper mirrors as ROW_NUMBER over
+    * (src_url, img_idx).
+    */
+  private def m11Sql(gname: String, nImg: Int): String = {
+    val base = MultimodalGolden.goldenBase(gname)
+    s"""WITH g AS (SELECT img_id, width, height, phash
+       |           FROM read_parquet('$base/*.parquet')),
+       |docs AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 7 THEN 3
+       |         ELSE doc_id % $nImg END AS ida,
+       |    (doc_id * 3 + 1) % $nImg AS idb,
+       |    CASE WHEN doc_id % 10 = 7 THEN 'shared alt'
+       |         ELSE 'Doc ' || doc_id || ' primary' END AS alta,
+       |    'Caption ' || doc_id || ' fig' AS capb
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT 'http://media.example/pages/' || doc_id || '.html'
+       |      AS src_url,
+       |    0::BIGINT AS img_idx,
+       |    'http://media.example/img/' || ida || '.bmp' AS img_url,
+       |    alta AS alt, '' AS caption, alta AS text, ida AS img_id
+       |  FROM docs
+       |  UNION ALL
+       |  SELECT 'http://media.example/pages/' || doc_id || '.html',
+       |    1::BIGINT,
+       |    'http://media.example/img/' || idb || '.bmp',
+       |    '', capb, capb, idb
+       |  FROM docs),
+       |j AS (SELECT p.*, g.width, g.height, g.phash
+       |      FROM pairs p JOIN g USING (img_id)),
+       |d AS (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY phash, text
+       |      ORDER BY src_url, img_idx) AS rn,
+       |    COUNT(*) OVER (PARTITION BY phash, text) AS n_dup_pairs
+       |  FROM j)
+       |SELECT src_url, img_idx, img_url, alt, caption, text,
+       |  width, height, phash, n_dup_pairs::BIGINT AS n_dup_pairs
+       |FROM d WHERE rn = 1 ORDER BY src_url, img_idx""".stripMargin
+  }
 
   /** m08 — the m07 contract on AUDIO: WAV payloads decode through the
     * PCM codec, fingerprint via the shared integer energy-delta hash

@@ -265,7 +265,8 @@ class ExpressionSpec extends AnyFunSuite {
       Seq("minhash_sig", "simhash64", "token_ngrams",
         "deletion_variants", "nfc_normalize", "cosine_sim",
         "uint256_add", "uint256_sub",
-        "html_text_strict", "html_links", "html_blocks", "robots_match",
+        "html_text_strict", "html_links", "html_blocks", "html_images",
+        "robots_match",
         "percent_normalize", "lzw_codes", "cc_redact", "iban_redact",
         "ssn_redact", "btc_redact"))
   }
@@ -277,6 +278,8 @@ class ExpressionSpec extends AnyFunSuite {
       "SELECT html_text_strict('<p>a <b>b</b></p>') AS t, " +
         "html_links('<a href=\"/x\">L</a>') AS lk, " +
         "size(html_blocks('<p>one</p><p>two</p>')) AS nb, " +
+        "html_images('<figure><img src=\"/i.png\" alt=\"a\">" +
+        "<figcaption>c</figcaption></figure>') AS im, " +
         "robots_match('/doc/a.pdf', '/doc/*.pdf$') AS rm, " +
         "percent_normalize('/a%2fb%41') AS pn, " +
         "lzw_codes('aaaa').n_codes AS lz, " +
@@ -289,13 +292,16 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.getSeq[org.apache.spark.sql.Row](1).head.getString(0) ==
       "/x")
     assert(r.getInt(2) == 2)
-    assert(r.getBoolean(3))
+    val im = r.getSeq[org.apache.spark.sql.Row](3).head
+    assert(im.getString(0) == "/i.png" && im.getString(1) == "a" &&
+      im.getString(2) == "c")
+    assert(r.getBoolean(4))
     // %2f reserved -> kept, hex uppercased; %41 unreserved -> decodes
-    assert(r.getString(4) == "/a%2FbA")
-    assert(r.getLong(5) > 0L)
-    assert(r.getLong(6) == 1L)
+    assert(r.getString(5) == "/a%2FbA")
+    assert(r.getLong(6) > 0L)
     assert(r.getLong(7) == 1L)
-    assert(r.getString(8) == "id <SSN> x")
-    assert(r.getLong(9) == 1L)
+    assert(r.getLong(8) == 1L)
+    assert(r.getString(9) == "id <SSN> x")
+    assert(r.getLong(10) == 1L)
   }
 }

@@ -2093,6 +2093,73 @@ class OperatorSpec extends AnyFunSuite {
       xhtml.toSeq)
   }
 
+  test("htmlImages/extractImagePairs: src/alt extraction with figure/" +
+      "figcaption association (caption before AND after the img), " +
+      "script decoys skipped, src-less imgs skipped, data: filtered, " +
+      "URL resolve + normalize; imageTextPairs decodes once, attaches " +
+      "phash, and dedups exact (phash, text) pairs to the min keeper") {
+    val html =
+      """<html><head><script>var d='<img src="http://no.example/x.png">';
+        |</script></head><body>
+        |<img src="HTTP://Media.Example:80/a.bmp" alt="first &amp; alt">
+        |<figure><img src="/b.bmp"><figcaption>Cap <b>one</b></figcaption>
+        |</figure>
+        |<figure><figcaption>Cap two</figcaption><img src="b2.bmp"></figure>
+        |<img alt="no src, skipped">
+        |<img src="data:image/png;base64,AAAA" alt="inline skipped">
+        |</body></html>""".stripMargin.replace("\n", " ")
+    val pages = Seq(("http://media.example/dir/page.html", html))
+      .toDF("url", "html")
+    val pairs = TextAnalysis.extractImagePairs(pages)
+    val rows = pairs.collect().map(r => (r.getLong(1), r.getString(2),
+      r.getString(3), r.getString(4), r.getString(5))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (0L, "http://media.example/a.bmp", "first & alt", "",
+        "first & alt"),
+      (1L, "http://media.example/b.bmp", "", "Cap one", "Cap one"),
+      (2L, "http://media.example/dir/b2.bmp", "", "Cap two", "Cap two")),
+      // idx 3 was the data: img (src-less imgs never take an index)
+      s"got ${rows.toSeq}")
+
+    // pair construction: decode + phash + exact (phash, text) dedup.
+    // Media: a.bmp and b.bmp are THE SAME pixels (dup by phash);
+    // dir/b2.bmp differs. Page 2 repeats the a.bmp pair verbatim.
+    val rnd = new scala.util.Random(7)
+    val rgb1 = graft.operators.Multimodal.smoothRgb(24, 16, rnd)
+    val rgb2 = graft.operators.Multimodal.smoothRgb(24, 16, rnd)
+    val bmp = (rgb: Array[Byte]) =>
+      graft.operators.Multimodal.Codecs.encodeBmp(24, 16, rgb)
+    val media = Seq(
+      ("http://media.example/a.bmp", bmp(rgb1)),
+      ("http://media.example/b.bmp", bmp(rgb1)),
+      ("http://media.example/dir/b2.bmp", bmp(rgb2)))
+      .toDF("media_url", "data")
+    val page2 = Seq(("http://media.example/dir/p2.html",
+      "<img src=\"/a.bmp\" alt=\"first &amp; alt\">"))
+      .toDF("url", "html")
+    val allPairs = TextAnalysis.extractImagePairs(
+      pages.unionByName(page2))
+    val out = graft.operators.Multimodal.imageTextPairs(allPairs, media)
+      .collect()
+    // groups: (phash1, "first & alt") covers page1/idx0 + page2/idx0 +
+    // nothing else; (phash1, "Cap one") is its own pair; (phash2,
+    // "Cap two") its own — 3 keepers
+    assert(out.length == 3, out.toSeq)
+    val byText = out.map(r => r.getAs[String]("text") -> r).toMap
+    val dup = byText("first & alt")
+    assert(dup.getAs[Long]("n_dup_pairs") == 2L, dup)
+    assert(dup.getAs[String]("src_url")
+      == "http://media.example/dir/p2.html", dup) // min src_url keeper
+      // ("p2" < "page": '2' sorts below 'a')
+    assert(byText("Cap one").getAs[Long]("n_dup_pairs") == 1L)
+    assert(byText("Cap one").getAs[Long]("phash")
+      == dup.getAs[Long]("phash"), "same pixels, same phash")
+    assert(byText("Cap two").getAs[Long]("phash")
+      != dup.getAs[Long]("phash"), "different pixels")
+    assert(out.forall(r => r.getAs[Int]("width") == 24 &&
+      r.getAs[Int]("height") == 16))
+  }
+
   test("pageRank: hand-computed single iteration with a dangling node; " +
       "ranks sum to 1 after many iterations; parallel edges collapse") {
     // A -> B, B -> C (twice — must count once), C dangling
