@@ -587,9 +587,10 @@ object TextHashExpressions {
 
   def unigram_encode_ids(text: Column, pieces: Seq[String],
                          lpUnits: Seq[Long], maxPieceLen: Int,
-                         unkUnits: Long): Column =
+                         unkUnits: Long,
+                         wordPrefix: String = ""): Column =
     Bridge.column(UnigramEncodeIdsExpr(Bridge.expression(text),
-      pieces, lpUnits, maxPieceLen, unkUnits))
+      pieces, lpUnits, maxPieceLen, unkUnits, wordPrefix))
 }
 
 /** hashed_margin_units(text): the quality classifier's integer
@@ -929,7 +930,8 @@ case class UnigramSegmentExpr(child: Expression, pieces: Seq[String],
   */
 case class UnigramEncodeIdsExpr(child: Expression, pieces: Seq[String],
                                 lpUnits: Seq[Long], maxPieceLen: Int,
-                                unkUnits: Long)
+                                unkUnits: Long,
+                                wordPrefix: String = "")
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -966,7 +968,10 @@ case class UnigramEncodeIdsExpr(child: Expression, pieces: Seq[String],
     val out = scala.collection.mutable.ArrayBuffer[Any]()
     var t = 0
     while (t < toks.length) {
-      val s = toks(t)
+      // ▁-marked mode: the word-boundary marker joins the word as an
+      // ordinary code point BEFORE the DP (SentencePiece's production
+      // default); "" = the bare word-level stance
+      val s = wordPrefix + toks(t)
       val cp = s.codePointCount(0, s.length)
       val offs = new Array[Int](cp + 1)
       var o = 0

@@ -1383,6 +1383,22 @@ object TextAnalysis {
     val MaxPieceLen = 4
     val Epochs = 5
 
+    /** SentencePiece's word-boundary marker (U+2581 LOWER ONE EIGHTH
+      * BLOCK). In MARKED mode every word unit is prefixed with it
+      * before seeding/EM/segmentation, so the marker is an ordinary
+      * code point to the DP and pieces like "▁the" carry the boundary
+      * signal — the production SentencePiece default (add_dummy_prefix
+      * + escape-whitespace + split-by-whitespace), vs this operator
+      * family's bare word-level default. Segmentations DIFFER between
+      * the modes (a ▁-prefixed piece competes with the word's bare
+      * prefix pieces); both are exact under the same integer-unit
+      * Viterbi. TRUE raw-sentence mode (split_by_whitespace = false,
+      * pieces crossing spaces) stays out of scope — pieces would span
+      * word units and the corpus-seeding relation would be
+      * sentence-sized, not vocabulary-sized.
+      */
+    val Marker = "▁"
+
     /** Unknown-single-codepoint score, micro-units: far below any real
       * piece (a corpus piece at relative frequency e^-50 would already
       * be absurd) yet finite, so any string segments (coverage) without
@@ -1426,10 +1442,16 @@ object TextAnalysis {
   def unigramTrain(docs: DataFrame, textCol: String = "text",
                    vocabSize: Int = Unigram.VocabSize,
                    maxPieceLen: Int = Unigram.MaxPieceLen,
-                   epochs: Int = Unigram.Epochs): Unigram.Model = {
+                   epochs: Int = Unigram.Epochs,
+                   markWords: Boolean = false): Unigram.Model = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val wf = docs.select(explode(tokens(col(textCol))).as("word"))
+    val toks0 = tokens(col(textCol))
+    val toks = // ▁-marked mode: see [[Unigram.Marker]]
+      if (markWords) transform(toks0,
+        w => concat(lit(Unigram.Marker), w))
+      else toks0
+    val wf = docs.select(explode(toks).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .localCheckpoint()
     val subs = flatten(transform(sequence(lit(1), lit(maxPieceLen)),
@@ -1519,10 +1541,12 @@ object TextAnalysis {
     */
   def unigramEncodeIds(docs: DataFrame, model: Unigram.Model,
                        idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text",
+                       markWords: Boolean = false): DataFrame = {
     val ids = graft.functions.expressions.TextHashExpressions
       .unigram_encode_ids(col(textCol), model.pieces.map(_._1),
-        model.pieces.map(_._3), Unigram.MaxPieceLen, Unigram.UnkUnits)
+        model.pieces.map(_._3), Unigram.MaxPieceLen, Unigram.UnkUnits,
+        wordPrefix = if (markWords) Unigram.Marker else "")
     docs
       .select(col(idCol), ids.as("token_ids"))
       .filter(size(col("token_ids")) > 0)

@@ -1804,6 +1804,41 @@ object LlmQueries {
           .orderBy(col("seq_idx"))
       }, None, Some(dir => l85OracleSql(dir))),
 
+    // Unigram TRAIN in ▁-MARKED mode (l86) — SentencePiece's
+    // production default (add_dummy_prefix + escape-whitespace +
+    // split-by-whitespace) beside l79's bare word-level stance: every
+    // word unit carries the U+2581 boundary marker, so the vocabulary
+    // learns ▁-prefixed pieces and segmentations DIFFER from l79
+    // (boundary as signal, not delimiter — the Unigram.Marker
+    // scaladoc records the trade). Same trainer, same replay golden
+    // machinery over the marked word universe.
+    "l86_unigram_train_marked" -> QuerySpec(
+      (s, dir) => {
+        ensureUnigramMarkedGolden(s, dir)
+        graft.operators.TextAnalysis.unigramTrainTable(s,
+          unigramMarkedModelCached(s, dir))
+          .orderBy(col("rank"))
+      }, None, Some(dir => mGoldenSql(l86GoldenName(dir),
+        "rank, piece, cnt, lp_units", "rank"))),
+
+    // Unigram ENCODE-to-ids in ▁-marked mode (l87) — l83's kernel pass
+    // with the marker prepended in-kernel before each word's Viterbi;
+    // ids are the MARKED table's ranks. The golden keys by the
+    // UNMARKED word, so the oracle is the l83 shape verbatim (DuckDB's
+    // corpus side doesn't know about markers at all).
+    "l87_unigram_encode_ids_marked" -> QuerySpec(
+      (s, dir) => {
+        ensureUnigramMarkedIdsGolden(s, dir)
+        graft.operators.TextAnalysis.unigramEncodeIds(
+            Tables(s, dir, "documents")
+              .select(col("doc_id"), col("text")),
+            unigramMarkedModelCached(s, dir), markWords = true)
+          .select(col("doc_id"), col("n_tokens"),
+            array_join(transform(col("token_ids"),
+              i => i.cast("string")), " ").as("ids_str"))
+          .orderBy(col("doc_id"))
+      }, None, Some(dir => unigramIdsOracleSql(l87GoldenName(dir)))),
+
     // BYTE-LEVEL BPE training (GPT-2 family) — the production tokenizer
     // beside the word-level l26: regex pre-tokenization (contractions,
     // leading-space word/number/punct groups), UTF-8 bytes through the
@@ -4515,9 +4550,16 @@ object LlmQueries {
     })
   }
 
-  private[queries] def l83OracleSql(dir: String): String = {
-    val base = graft.operators.MultimodalGolden
-      .goldenBase(l83GoldenName(dir))
+  private[queries] def l83OracleSql(dir: String): String =
+    unigramIdsOracleSql(l83GoldenName(dir))
+
+  /** Shared id-sequence oracle shape (l83 word-level, l87 ▁-marked —
+    * the golden's `word` key is the UNMARKED corpus word either way,
+    * so the corpus side is identical): zipped unnest keeps word order,
+    * string_agg(ORDER BY pos) reassembles the document's id string.
+    */
+  private def unigramIdsOracleSql(goldenName: String): String = {
+    val base = graft.operators.MultimodalGolden.goldenBase(goldenName)
     s"""WITH t0 AS (
        |  SELECT doc_id, list_filter(
        |    regexp_split_to_array(lower(trim(text)), '\\s+'),
@@ -4534,6 +4576,73 @@ object LlmQueries {
        |FROM toks t JOIN v USING (word)
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   }
+
+  private def l86GoldenName(dir: String): String =
+    s"l86-unigrammarked-" +
+      s"${graft.operators.TextAnalysis.Unigram.VocabSize}-" +
+      s"${graft.operators.TextAnalysis.Unigram.Epochs}-" +
+      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
+  private def l87GoldenName(dir: String): String =
+    s"l87-unigrammarkedids-" +
+      s"${graft.operators.TextAnalysis.Unigram.VocabSize}-" +
+      s"${graft.operators.TextAnalysis.Unigram.Epochs}-" +
+      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
+
+  /** The replay word-frequency relation with every word ▁-marked —
+    * the l86/l87 training universe (the [[graft.operators.TextAnalysis
+    * .Unigram.Marker]] stance).
+    */
+  private def markedWordFreq(s: org.apache.spark.sql.SparkSession,
+                             dir: String): Seq[(String, Long)] =
+    replayWordFreq(s, dir).map { case (w, f) =>
+      (graft.operators.TextAnalysis.Unigram.Marker + w, f) }
+
+  private def ensureUnigramMarkedGolden(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import s.implicits._
+    graft.operators.MultimodalGolden.ensureGoldenDf(l86GoldenName(dir), {
+      val u = graft.operators.TextAnalysis.Unigram
+      graft.operators.TextGolden
+        .unigramTrainReplay(markedWordFreq(s, dir), u.VocabSize,
+          u.MaxPieceLen, u.Epochs, u.UnkUnits)
+        .toDF("rank", "piece", "cnt", "lp_units")
+    })
+  }
+
+  /** The l87 golden: the MARKED replay model, Viterbi over each marked
+    * word, keyed by the UNMARKED word so DuckDB's corpus tokenization
+    * joins directly (the l83 shape).
+    */
+  private def ensureUnigramMarkedIdsGolden(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import s.implicits._
+    graft.operators.MultimodalGolden.ensureGoldenDf(l87GoldenName(dir), {
+      val u = graft.operators.TextAnalysis.Unigram
+      val trained = graft.operators.TextGolden
+        .unigramTrainReplay(markedWordFreq(s, dir), u.VocabSize,
+          u.MaxPieceLen, u.Epochs, u.UnkUnits)
+      val lp = trained.map { case (_, p, _, units) => p -> units }.toMap
+      val rank = trained.map { case (r, p, _, _) => p -> r }.toMap
+      replayWordFreq(s, dir).map { case (w, _) =>
+        val ids = graft.operators.TextGolden
+          .unigramViterbi(
+            graft.operators.TextAnalysis.Unigram.Marker + w, lp,
+            u.MaxPieceLen, u.UnkUnits)
+          .map(p => rank.getOrElse(p, 0))
+        (w, ids.length.toLong, ids.mkString(" "))
+      }.toDF("word", "n_ids", "ids_str")
+    })
+  }
+
+  private val unigramMarkedModelByDir = scala.collection.concurrent
+    .TrieMap[String, graft.operators.TextAnalysis.Unigram.Model]()
+  private def unigramMarkedModelCached(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : graft.operators.TextAnalysis.Unigram.Model =
+    unigramMarkedModelByDir.getOrElseUpdate(dir,
+      graft.operators.TextAnalysis.unigramTrain(
+        Tables(s, dir, "documents").select(col("text")),
+        markWords = true))
 
   private[queries] def l85OracleSql(dir: String): String = {
     val base = graft.operators.MultimodalGolden

@@ -3626,6 +3626,52 @@ class OperatorSpec extends AnyFunSuite {
       out2(2).getSeq[Int](4) == Seq(7, 8, 9, 10), out2.toSeq)
   }
 
+  test("Unigram ▁-marked mode: the boundary marker changes the learned " +
+      "vocabulary and the segmentation (SentencePiece production " +
+      "default vs bare word-level); marked engine train ≡ marked " +
+      "replay; marked encode ids ≡ replay ids") {
+    import graft.operators.{TextAnalysis, TextGolden}
+    val u = TextAnalysis.Unigram
+    val docs = (0 until 20).map(i => (i.toLong, "abab abab cdcd"))
+      .toDF("doc_id", "text")
+    val bare = TextAnalysis.unigramTrain(docs, vocabSize = 24, epochs = 3)
+    val marked = TextAnalysis.unigramTrain(docs, vocabSize = 24,
+      epochs = 3, markWords = true)
+    // the marked vocabulary is ▁-structured: whole words "abab" fit in
+    // maxPieceLen=4 bare but "▁abab" (5 cps) cannot — the SAME corpus
+    // trains a genuinely different piece inventory
+    assert(bare.pieces.head._1 == "abab")
+    assert(marked.pieces.exists(_._1.startsWith(u.Marker)),
+      marked.pieces)
+    assert(!marked.pieces.exists(_._1 == "abab") ||
+      marked.pieces.head._1 != "abab",
+      "marked mode must not rank the bare whole word first")
+    // engine ≡ replay on the marked universe
+    val wf = Seq((u.Marker + "abab", 40L), (u.Marker + "cdcd", 20L))
+    val replay = TextGolden.unigramTrainReplay(wf, vocabSize = 24,
+      maxLen = u.MaxPieceLen, epochs = 3, unkUnits = u.UnkUnits)
+    val engine = marked.pieces.zipWithIndex.map { case ((p, c, lp), i) =>
+      (i + 1, p, c, lp) }
+    assert(engine == replay, s"engine $engine vs replay $replay")
+    // segmentation differs: bare = 3 tokens/doc, marked > 3 (the
+    // 5-cp marked words cannot be single pieces)
+    val bareIds = TextAnalysis.unigramEncodeIds(docs, bare).collect()
+    val markedIds = TextAnalysis.unigramEncodeIds(docs, marked,
+      markWords = true).collect()
+    assert(bareIds.forall(_.getAs[Long]("n_tokens") == 3L))
+    assert(markedIds.forall(_.getAs[Long]("n_tokens") > 3L),
+      markedIds.map(_.getAs[Long]("n_tokens")).toSeq)
+    // marked encode ids ≡ replay (viterbi over marker+word, rank map)
+    val lp = marked.pieces.map { case (p, _, x) => p -> x }.toMap
+    val rank = marked.pieces.zipWithIndex
+      .map { case ((p, _, _), i) => p -> (i + 1) }.toMap
+    val want = Seq("abab", "abab", "cdcd").flatMap(w =>
+      TextGolden.unigramViterbi(u.Marker + w, lp, u.MaxPieceLen,
+        u.UnkUnits).map(p => rank.getOrElse(p, 0)))
+    markedIds.foreach { r =>
+      assert(r.getSeq[Int](2) == want, s"${r.getSeq[Int](2)} vs $want") }
+  }
+
   test("Unigram train: the vocab-cutoff tie-break is engine-independent " +
       "— a count tie between a private-use BMP piece and a " +
       "supplementary-plane piece resolves by CODE-POINT order on both " +
