@@ -78,7 +78,13 @@ object Explain {
       "l75_sitemap_tree" -> "sitemap tree walk (per-level url-keyed equi-join + typed parse, visited anti-join)",
       "l77_trained_langid" -> "trained langid inference (ONE zero-exchange codegen project: in-row gram→bucket→K-margin argmax kernel)",
       "l78_main_content" -> "main-content extraction (one codegen segment+feature stage, per-document window, one reassembly agg)",
-      "l80_unigram_encode" -> "unigram-LM encode (narrow per-row kernel pass: in-kernel Viterbi per token, in-row sum — no explode, no join)")
+      "l80_unigram_encode" -> "unigram-LM encode (narrow per-row kernel pass: in-kernel Viterbi per token, in-row sum — no explode, no join)",
+      "l81_content_funnel" -> "main-content funnel (l78 extraction + token gate, per-stage aggregates over one extraction plan)",
+      "l82_multilingual_funnel" -> "multilingual funnel (extraction → one-kernel trained langid → language gate → per-language agg)",
+      "l83_unigram_encode_ids" -> "unigram encode-to-ids (the l80 zero-exchange shape; whole-document kernel emits the id array; l87's ▁-marked sibling differs only in the kernel's wordPrefix argument — same plan)",
+      "l84_bbpe_encode_ids" -> "byte-BPE encode-to-ids (posexplode keeps pre-token order, vocab-sized id join, one doc-keyed reassembly agg)",
+      "l85_pack_ids" -> "token-id packing (pre-folded offsets — no global window; per-sequence fragment slices; ONE seq_idx shuffle reassembles)",
+      "m11_image_text_pairs" -> "image-text pairs (narrow extract kernel, media decoded once in a typed map, url equi-join, (phash,text) dedup agg)")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans of flagship queries\n\n")
     sb.append("Generated by `runMain graft.Explain` on sf0.001; the\n")
@@ -227,6 +233,85 @@ object Explain {
         "eviction-bound derivation.\n\n```\n")
       sb.append(buf.toString("UTF-8"))
       sb.append("```\n")
+    }
+    locally {
+      import org.apache.spark.sql.functions.{col, count, explode, lit, sum}
+      // l79/l86's entry frames are driver-built rank tables
+      // (LocalTableScan — nothing to review); the reviewable plan is
+      // ONE EM epoch's E-step aggregate, rebuilt here exactly as
+      // unigramTrain runs it (l86 differs only in the ▁-marked word
+      // universe — same plan)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("text"))
+      val model = graft.operators.TextAnalysis.unigramTrain(
+        docs, vocabSize = 64, epochs = 1)
+      val wf = docs.select(explode(
+          graft.operators.TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val eStep = wf.select(col("freq"), explode(
+          graft.functions.expressions.TextHashExpressions.unigram_segment(
+            col("word"), model.pieces.map(_._1), model.pieces.map(_._3),
+            graft.operators.TextAnalysis.Unigram.MaxPieceLen,
+            graft.operators.TextAnalysis.Unigram.UnkUnits)).as("piece"))
+        .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+      eStep.count()
+      sb.append("\n## l79_unigram_train / l86_unigram_train_marked — " +
+        "INNER plan: one EM epoch's E-step aggregate\n\n")
+      sb.append("The entries' own frames are driver-built rank tables " +
+        "(LocalTableScan); training's cost lives here, once per epoch: " +
+        "the vocabulary-sized word-frequency relation (ONE corpus scan, " +
+        "localCheckpointed — reused across all epochs), per-word " +
+        "Viterbi INSIDE the unigram_segment kernel, and one " +
+        "partial-aggregated piece-count shuffle. Driver traffic is " +
+        "vocabulary-sized (the collected counts); nothing corpus-sized " +
+        "leaves the executors. l86 runs the identical plan over " +
+        "▁-marked words.\n\n```\n")
+      sb.append(fmt(eStep))
+      sb.append("```\n")
+    }
+    locally {
+      import org.apache.spark.sql.functions.col
+      // st18's entry frame is the memory-sink table; its two load-
+      // bearing pieces are (a) the robotsGate stream-static projection
+      // (dumped here over a static frame — the stream side is the same
+      // plan under a MicroBatchScan) and (b) the per-host FIFO
+      // flatMapGroupsWithState, whose cross-batch state contract is
+      // StreamingSpec-pinned (slot continuation across micro-batches)
+      import spark.implicits._
+      val robots = Seq(
+        ("a.example", "User-agent: *\nDisallow: /private/"),
+        ("b.example", "User-agent: *\nAllow: /"))
+        .toDF("domain", "robots_txt")
+      val urls = spark.range(200).select(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("https://a.example/p/"),
+          col("id")).as("url"))
+      val gated = graft.operators.TextAnalysis.robotsGate(
+        urls, robots, agent = "graftbot")
+      gated.count()
+      sb.append("\n## st18_politeness_gate — INNER plan: the " +
+        "robotsGate stream-static projection\n\n")
+      sb.append("st18's entry frame is the memory-sink table. The gate " +
+        "side shown here is what each micro-batch executes: every " +
+        "host's parsed rules ride ONE broadcast array row and the RFC " +
+        "9309 longest-match + Allow-tie-break argmax folds INSIDE the " +
+        "row over the native robots_match kernel — no stream " +
+        "aggregation, no join state, append-legal. The admission side " +
+        "(per-host FIFO slots as flatMapGroupsWithState) is custom " +
+        "keyed state; its two-batch slot-continuation contract is " +
+        "pinned in StreamingSpec rather than reviewable as a static " +
+        "plan.\n\n```\n")
+      sb.append(fmt(gated))
+      sb.append("```\n")
+      sb.append("\n## st19_langid_stream / st20_unigram_stream — " +
+        "inherits-from note\n\n")
+      sb.append("Both are stateless append-mode streaming twins of " +
+        "batch entries whose plans are pinned above: st19 runs l77's " +
+        "one-kernel argmax projection (see l77_trained_langid) and " +
+        "st20 runs l80's narrow Viterbi pass (see l80_unigram_encode) " +
+        "over a file-source stream — the only difference is the " +
+        "MicroBatchScan leaf. l87_unigram_encode_ids_marked likewise " +
+        "inherits l83's plan with a different kernel constant.\n")
     }
     Files.write(Paths.get("EXPLAIN.md"), sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote EXPLAIN.md (${interesting.size} plans)")
