@@ -1497,6 +1497,178 @@ object TextAnalysis {
     model
   }
 
+  /** Soft-EM expected piece counts for ONE word, EXACT: the
+    * forward–backward E-step (Kudo's actual EM, where hard-EM's
+    * Viterbi counts are the documented simplification) computed in
+    * exact integer arithmetic. Current-model piece probabilities are
+    * the RATIONALS cnt/total (the unquantized probabilities the lp
+    * units approximate); the lattice clears denominators against the
+    * common denominator total^k — A(i) = Σ_j A(j)·c(j,i)·T^(i−j−1)
+    * (the forward sum over piece-count-k paths scaled to T^i),
+    * B mirrored backward — so every α/β/posterior is an exact BigInt
+    * ratio, no float enters the E-step at all. Each (word, piece)
+    * expected count × freq quantizes to MICRO-UNITS by round-half-up
+    * on the exact rational (floor((2·N·f·10⁶ + Z)/(2Z))); the corpus
+    * aggregate then sums exact longs — order-free, so the distributed
+    * sum, the replay, and any re-run agree bit-for-bit (the reason
+    * hard-EM could use integer Viterbi counts directly, preserved
+    * here at the cost of this bookkeeping).
+    *
+    * Unknown single code points have probability 0 here (coverage
+    * keeps every training single in-vocab, and singles are never
+    * pruned, so Z > 0 on the training corpus; a zero-Z word
+    * contributes nothing — guarded, not assumed).
+    */
+  private[graft] def unigramSoftCountUnits(
+      word: String, pieceCnt: collection.Map[String, Long],
+      total: Long, maxPieceLen: Int, freq: Long): Seq[(String, Long)] = {
+    val cp = word.codePointCount(0, word.length)
+    if (cp == 0 || total <= 0) return Nil
+    val offs = new Array[Int](cp + 1)
+    var o = 0
+    var i = 0
+    while (i < cp) {
+      offs(i) = o
+      o += Character.charCount(word.codePointAt(o))
+      i += 1
+    }
+    offs(cp) = word.length
+    val T = BigInt(total)
+    val tPow = new Array[BigInt](maxPieceLen) // T^0 .. T^(L-1)
+    tPow(0) = BigInt(1)
+    i = 1
+    while (i < maxPieceLen) { tPow(i) = tPow(i - 1) * T; i += 1 }
+    def c(j: Int, k: Int): Option[BigInt] =
+      pieceCnt.get(word.substring(offs(j), offs(k))).map(BigInt(_))
+    val A = new Array[BigInt](cp + 1)
+    A(0) = BigInt(1)
+    i = 1
+    while (i <= cp) {
+      var acc = BigInt(0)
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (A(j).signum != 0) c(j, i) match {
+          case Some(cc) => acc += A(j) * cc * tPow(i - j - 1)
+          case None => ()
+        }
+        j += 1
+      }
+      A(i) = acc
+      i += 1
+    }
+    val Z = A(cp)
+    if (Z.signum == 0) return Nil // unsegmentable word: contributes 0
+    val B = new Array[BigInt](cp + 1)
+    B(cp) = BigInt(1)
+    i = cp - 1
+    while (i >= 0) {
+      var acc = BigInt(0)
+      var k = i + 1
+      val kMax = math.min(cp, i + maxPieceLen)
+      while (k <= kMax) {
+        if (B(k).signum != 0) c(i, k) match {
+          case Some(cc) => acc += cc * B(k) * tPow(k - i - 1)
+          case None => ()
+        }
+        k += 1
+      }
+      B(i) = acc
+      i -= 1
+    }
+    // per-piece posterior numerators over denominator Z
+    val num = scala.collection.mutable.HashMap.empty[String, BigInt]
+    i = 1
+    while (i <= cp) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (A(j).signum != 0 && B(i).signum != 0) c(j, i) match {
+          case Some(cc) =>
+            val p = word.substring(offs(j), offs(i))
+            val contrib = A(j) * cc * B(i) * tPow(i - j - 1)
+            num.update(p, num.getOrElse(p, BigInt(0)) + contrib)
+          case None => ()
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val scale = BigInt(freq) * BigInt(1000000)
+    num.iterator.map { case (p, nm) =>
+      (p, ((nm * scale * 2 + Z) / (Z * 2)).toLong)
+    }.toSeq
+  }
+
+  /** Unigram-LM training with the SOFT E-step — forward–backward
+    * expected counts ([[unigramSoftCountUnits]], exact rational →
+    * micro-unit longs) where [[unigramTrain]] takes hard Viterbi
+    * counts. Same seeding, same M-step conventions (singles floored —
+    * at 1 micro-unit here — zero multis pruned, rank/lp derivation
+    * unchanged: lp is scale-invariant in the count unit). Diverges
+    * from hard-EM exactly where segmentations are ambiguous: a piece
+    * on a losing-but-probable path keeps its posterior mass instead
+    * of being pruned (spec-pinned on a planted ambiguous corpus).
+    *
+    * Spark shape: the E-step is a typed flatMap over the
+    * VOCABULARY-sized word-frequency relation (not a corpus pass, and
+    * not a codegen kernel — the BigInt lattice has no profitable
+    * codegen form and never touches corpus-scale data) followed by one
+    * partial-aggregated sum; driver traffic stays vocabulary-bounded.
+    * Encode under the trained model uses the same quantized-unit
+    * Viterbi kernels as the hard-EM family.
+    */
+  def unigramTrainSoft(docs: DataFrame, textCol: String = "text",
+                       vocabSize: Int = Unigram.VocabSize,
+                       maxPieceLen: Int = Unigram.MaxPieceLen,
+                       epochs: Int = Unigram.Epochs,
+                       markWords: Boolean = false): Unigram.Model = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks0 = tokens(col(textCol))
+    val toks =
+      if (markWords) transform(toks0,
+        w => concat(lit(Unigram.Marker), w))
+      else toks0
+    val wf = docs.select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val subs = flatten(transform(sequence(lit(1), lit(maxPieceLen)),
+      l => when(length(col("word")) >= l,
+        transform(sequence(lit(1), length(col("word")) - l + 1),
+          i => col("word").substr(i, l)))
+        .otherwise(array().cast("array<string>"))))
+    val seeds = wf.select(col("freq"), explode(subs).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint()
+    val singles = seeds.filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect().toSeq
+    val multis = seeds.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(math.max(0, vocabSize - singles.length))
+      .as[(String, Long)].collect().toSeq
+    org.apache.spark.sql.graftshim.Bridge.unpersistLocalCheckpoint(seeds)
+    var model = Unigram.Model(unigramRank(singles ++ multis))
+    val L = maxPieceLen
+    for (_ <- 1 to epochs) {
+      val pcMap = model.pieces.map(p => p._1 -> p._2).toMap
+      val total = model.pieces.iterator.map(_._2).sum
+      val counted = wf.as[(String, Long)]
+        .flatMap { case (w, f) =>
+          unigramSoftCountUnits(w, pcMap, total, L, f) }
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .collect().toMap
+      val kept = model.pieces.flatMap { case (p, _, _) =>
+        val u = counted.getOrElse(p, 0L)
+        if (p.codePointCount(0, p.length) == 1)
+          Some((p, math.max(u, 1L)))
+        else if (u > 0) Some((p, u))
+        else None
+      }
+      model = Unigram.Model(unigramRank(kept))
+    }
+    org.apache.spark.sql.graftshim.Bridge.unpersistLocalCheckpoint(wf)
+    model
+  }
+
   /** The trained piece table as a frame: (rank, piece, cnt, lp_units)
     * in rank order — the l79 entry's output, compared against the
     * independent replay golden.

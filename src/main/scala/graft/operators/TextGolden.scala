@@ -155,6 +155,120 @@ object TextGolden {
     ranked.zipWithIndex.map { case ((p, c, u), i) => (i + 1, p, c, u) }
   }
 
+  /** Exact rational for the soft-EM replay — gcd-REDUCED num/den
+    * BigInts, deliberately a different representation from the
+    * engine's common-denominator integer lattice
+    * ([[TextAnalysis.unigramSoftCountUnits]] clears denominators
+    * against total^k and never reduces): exact arithmetic makes the
+    * two formulations agree bit-for-bit, which is the whole point of
+    * the soft E-step's rational design.
+    */
+  private final case class Rat(num: BigInt, den: BigInt) {
+    def +(o: Rat): Rat = Rat.of(num * o.den + o.num * den, den * o.den)
+    def *(o: Rat): Rat = Rat.of(num * o.num, den * o.den)
+    def /(o: Rat): Rat = Rat.of(num * o.den, den * o.num)
+    def isZero: Boolean = num.signum == 0
+    /** round-half-up to a long after scaling by s (exact). */
+    def roundScaled(s: BigInt): Long =
+      ((num * s * 2 + den) / (den * 2)).toLong
+  }
+  private object Rat {
+    val Zero = Rat(0, 1)
+    val One = Rat(1, 1)
+    def of(n: BigInt, d: BigInt): Rat = {
+      if (n.signum == 0) Zero
+      else {
+        val g = n.gcd(d)
+        if (d.signum < 0) Rat(-n / g, -d / g) else Rat(n / g, d / g)
+      }
+    }
+  }
+
+  /** [[TextAnalysis.unigramSoftCountUnits]] replayed with reduced
+    * rationals: forward α, backward β over code-point positions,
+    * posterior per lattice edge, round-half-up micro-unit
+    * quantization of E[occurrences]·freq.
+    */
+  def unigramSoftCountUnitsReplay(word: String,
+                                  pieceCnt: Map[String, Long],
+                                  total: Long, maxLen: Int,
+                                  freq: Long): Seq[(String, Long)] = {
+    val cps = word.codePoints().toArray
+    val n = cps.length
+    if (n == 0 || total <= 0) return Nil
+    def piece(j: Int, i: Int): String = new String(cps, j, i - j)
+    def p(j: Int, i: Int): Rat =
+      pieceCnt.get(piece(j, i))
+        .map(cc => Rat.of(BigInt(cc), BigInt(total)))
+        .getOrElse(Rat.Zero)
+    val a = Array.fill(n + 1)(Rat.Zero)
+    a(0) = Rat.One
+    for (i <- 1 to n; j <- math.max(0, i - maxLen) until i)
+      a(i) = a(i) + a(j) * p(j, i)
+    if (a(n).isZero) return Nil
+    val b = Array.fill(n + 1)(Rat.Zero)
+    b(n) = Rat.One
+    for (i <- n - 1 to 0 by -1;
+         k <- (i + 1) to math.min(n, i + maxLen))
+      b(i) = b(i) + p(i, k) * b(k)
+    val e = scala.collection.mutable.HashMap.empty[String, Rat]
+    for (i <- 1 to n; j <- math.max(0, i - maxLen) until i) {
+      val pr = p(j, i)
+      if (!pr.isZero && !a(j).isZero && !b(i).isZero) {
+        val post = a(j) * pr * b(i) / a(n)
+        val key = piece(j, i)
+        e.update(key, e.getOrElse(key, Rat.Zero) + post)
+      }
+    }
+    val scale = BigInt(freq) * BigInt(1000000)
+    e.iterator.map { case (pc, r) => (pc, r.roundScaled(scale)) }.toSeq
+  }
+
+  /** [[TextAnalysis.unigramTrainSoft]] replayed: same seeding as
+    * [[unigramTrainReplay]], soft E-step via
+    * [[unigramSoftCountUnitsReplay]], singles floored at 1 micro-unit,
+    * zero multis pruned, same rank/lp derivation.
+    */
+  def unigramTrainSoftReplay(wordFreq: Seq[(String, Long)],
+                             vocabSize: Int, maxLen: Int, epochs: Int)
+      : Seq[(Int, String, Long, Long)] = {
+    def rankOf(cnts: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
+      val total = cnts.iterator.map(_._2).sum
+      val lnT = math.log(total.toDouble)
+      cnts.sortBy { case (p, c) => (-c, p) }.map { case (p, c) =>
+        (p, c, math.rint((math.log(c.toDouble) - lnT) * 1e6).toLong) }
+    }
+    val seed = scala.collection.mutable.HashMap[String, Long]()
+    for ((w, f) <- wordFreq) {
+      val cps = w.codePoints().toArray
+      for (l <- 1 to maxLen; i <- 0 to cps.length - l) {
+        val p = new String(cps, i, l)
+        seed(p) = seed.getOrElse(p, 0L) + f
+      }
+    }
+    val (singles, multis) = seed.toSeq.partition(
+      _._1.codePoints().count() == 1L)
+    val top = multis.sortBy(_._1)(TextGolden.codePointOrdering)
+      .sortBy(-_._2)(Ordering.Long)
+      .take(math.max(0, vocabSize - singles.length))
+    var ranked = rankOf(singles ++ top)
+    for (_ <- 1 to epochs) {
+      val pc = ranked.map { case (p, c, _) => p -> c }.toMap
+      val total = ranked.iterator.map(_._2).sum
+      val counted = scala.collection.mutable.HashMap[String, Long]()
+      for ((w, f) <- wordFreq;
+           (p, u) <- unigramSoftCountUnitsReplay(w, pc, total, maxLen, f))
+        counted(p) = counted.getOrElse(p, 0L) + u
+      val kept = ranked.flatMap { case (p, _, _) =>
+        val u = counted.getOrElse(p, 0L)
+        if (p.codePoints().count() == 1L) Some((p, math.max(u, 1L)))
+        else if (u > 0) Some((p, u)) else None
+      }
+      ranked = rankOf(kept)
+    }
+    ranked.zipWithIndex.map { case ((p, c, u), i) => (i + 1, p, c, u) }
+  }
+
   /** [[graft.functions.expressions.UnigramSegmentExpr]] replayed —
     * FORWARD-extension DP (the kernel scans ends backward-looking;
     * visit order over (j, i) pairs is identical, so strict-improvement

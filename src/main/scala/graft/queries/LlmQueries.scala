@@ -1839,6 +1839,26 @@ object LlmQueries {
           .orderBy(col("doc_id"))
       }, None, Some(dir => unigramIdsOracleSql(l87GoldenName(dir)))),
 
+    // Unigram TRAIN with the SOFT E-step (l88) — Kudo's actual EM
+    // (forward-backward expected counts) where l79's hard Viterbi
+    // counts are the documented simplification. The E-step is EXACT:
+    // integer common-denominator lattice in the engine, gcd-reduced
+    // rationals in the replay — exact arithmetic makes the two
+    // independently structured implementations (and the distributed
+    // sum, which adds quantized micro-unit longs) agree bit-for-bit.
+    // Diverges from l79 wherever segmentation is ambiguous: pieces on
+    // losing-but-probable paths keep posterior mass instead of
+    // pruning (OperatorSpec pins the planted case with hand-derived
+    // exact expectations).
+    "l88_unigram_train_soft" -> QuerySpec(
+      (s, dir) => {
+        ensureUnigramSoftGolden(s, dir)
+        graft.operators.TextAnalysis.unigramTrainTable(s,
+          unigramSoftModelCached(s, dir))
+          .orderBy(col("rank"))
+      }, None, Some(dir => mGoldenSql(l88GoldenName(dir),
+        "rank, piece, cnt, lp_units", "rank"))),
+
     // BYTE-LEVEL BPE training (GPT-2 family) — the production tokenizer
     // beside the word-level l26: regex pre-tokenization (contractions,
     // leading-space word/number/punct groups), UTF-8 bytes through the
@@ -4633,6 +4653,33 @@ object LlmQueries {
       }.toDF("word", "n_ids", "ids_str")
     })
   }
+
+  private def l88GoldenName(dir: String): String =
+    s"l88-unigramsoft-" +
+      s"${graft.operators.TextAnalysis.Unigram.VocabSize}-" +
+      s"${graft.operators.TextAnalysis.Unigram.Epochs}-" +
+      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
+
+  private def ensureUnigramSoftGolden(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import s.implicits._
+    graft.operators.MultimodalGolden.ensureGoldenDf(l88GoldenName(dir), {
+      val u = graft.operators.TextAnalysis.Unigram
+      graft.operators.TextGolden
+        .unigramTrainSoftReplay(replayWordFreq(s, dir), u.VocabSize,
+          u.MaxPieceLen, u.Epochs)
+        .toDF("rank", "piece", "cnt", "lp_units")
+    })
+  }
+
+  private val unigramSoftModelByDir = scala.collection.concurrent
+    .TrieMap[String, graft.operators.TextAnalysis.Unigram.Model]()
+  private def unigramSoftModelCached(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : graft.operators.TextAnalysis.Unigram.Model =
+    unigramSoftModelByDir.getOrElseUpdate(dir,
+      graft.operators.TextAnalysis.unigramTrainSoft(
+        Tables(s, dir, "documents").select(col("text"))))
 
   private val unigramMarkedModelByDir = scala.collection.concurrent
     .TrieMap[String, graft.operators.TextAnalysis.Unigram.Model]()

@@ -3626,6 +3626,50 @@ class OperatorSpec extends AnyFunSuite {
       out2(2).getSeq[Int](4) == Seq(7, 8, 9, 10), out2.toSeq)
   }
 
+  test("Unigram SOFT EM: forward-backward expected counts diverge from " +
+      "hard Viterbi counts on a planted ambiguous corpus (the pruned " +
+      "piece keeps its posterior mass), hand-computed exact micro-unit " +
+      "expectations, engine ≡ independent rational replay (multi-epoch, " +
+      "non-BMP included)") {
+    import graft.operators.{TextAnalysis, TextGolden}
+    // "abc" with pieces {ab, bc} + singles: three segmentations
+    // [a,b,c] [ab,c] [a,bc] — hard Viterbi tie-breaks to ONE path and
+    // PRUNES "ab"; soft EM keeps both multis at posterior 5/11 each
+    val docs = (0 until 10).map(i => (i.toLong, "abc"))
+      .toDF("doc_id", "text")
+    val hard = TextAnalysis.unigramTrain(docs, vocabSize = 5,
+      maxPieceLen = 2, epochs = 1)
+    val soft = TextAnalysis.unigramTrainSoft(docs, vocabSize = 5,
+      maxPieceLen = 2, epochs = 1)
+    assert(!hard.pieces.exists(_._1 == "ab"),
+      s"hard EM must prune the losing path's piece: ${hard.pieces}")
+    val m = soft.pieces.map(p => p._1 -> p._2).toMap
+    // exact hand-derived expectations (T=50, p=1/5 each, Z=11/125):
+    // E[ab]=E[bc]=5/11, E[a]=E[c]=6/11, E[b]=1/11; ×freq 10 ×1e6,
+    // round-half-up
+    assert(m("ab") == 4545455L && m("bc") == 4545455L, m)
+    assert(m("a") == 5454545L && m("c") == 5454545L, m)
+    assert(m("b") == 909091L, m)
+    val engine = soft.pieces.zipWithIndex.map { case ((p, c, u), i) =>
+      (i + 1, p, c, u) }
+    val replay = TextGolden.unigramTrainSoftReplay(
+      Seq(("abc", 10L)), vocabSize = 5, maxLen = 2, epochs = 1)
+    assert(engine == replay, s"engine $engine vs replay $replay")
+    // multi-epoch, mixed corpus with a supplementary-plane word: the
+    // common-denominator integer lattice and the reduced-rational
+    // replay still agree bit-for-bit
+    val docs2 = Seq((1L, "abc abc xy"), (2L, "😀ab abc"),
+      (3L, "xy xy")).toDF("doc_id", "text")
+    val s2 = TextAnalysis.unigramTrainSoft(docs2, vocabSize = 12,
+      maxPieceLen = 3, epochs = 3)
+    val e2 = s2.pieces.zipWithIndex.map { case ((p, c, u), i) =>
+      (i + 1, p, c, u) }
+    val r2 = TextGolden.unigramTrainSoftReplay(
+      Seq(("abc", 3L), ("xy", 3L), ("😀ab", 1L)),
+      vocabSize = 12, maxLen = 3, epochs = 3)
+    assert(e2 == r2, s"engine $e2 vs replay $r2")
+  }
+
   test("Unigram ▁-marked mode: the boundary marker changes the learned " +
       "vocabulary and the segmentation (SentencePiece production " +
       "default vs bare word-level); marked engine train ≡ marked " +
