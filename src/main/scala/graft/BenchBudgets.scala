@@ -150,6 +150,15 @@ object BenchBudgets {
     "l83_unigram_encode_ids" -> 0.2563,
     "l84_bbpe_encode_ids" -> 0.5549,
     "l85_pack_ids" -> 0.8374,
+    // marked/soft unigram + LM score + pairs + st21 pinned from
+    // target/bench_r17_idle3.json (177 entries, 97.6 s, cal 0.5002,
+    // zero flags/spikes/errors)
+    "l86_unigram_train_marked" -> 0.0318,
+    "l87_unigram_encode_ids_marked" -> 0.2860,
+    "l88_unigram_train_soft" -> 0.0325,
+    "l89_unigram_lm_score" -> 0.2625,
+    "m11_image_text_pairs" -> 0.4786,
+    "st21_ids_stream" -> 0.7479,
     "m01_media_features" -> 0.2213,
     "m02_frame_sample" -> 0.0812,
     "m03_media_resize" -> 0.0864,

@@ -1727,6 +1727,36 @@ object TextAnalysis {
         col("token_ids"))
   }
 
+  /** Unigram-LM quality scoring — the CCNet/Wikipedia-LM filter shape
+    * under OUR trained tokenizer LM (l25's n-gram familiarity is the
+    * corpus-support member; this is the trained-model member): each
+    * document's total Viterbi log-likelihood in exact micro-units,
+    * derived from the id sequence by an in-row fold over the model's
+    * lp table (ids are 1-based ranks, so the table rides as one array
+    * literal; UNK id 0 scores [[Unigram.UnkUnits]]). The keep gate
+    * compares `total_units >= thresholdUnits · n_tokens` in exact
+    * integer arithmetic — algebraically "mean lp per token ≥
+    * threshold" with no division to disagree across engines.
+    * Zero-exchange narrow pass end-to-end (the l83 plan plus one
+    * in-row fold). Output: (idCol, n_tokens, total_units, keep).
+    */
+  def unigramLmScore(docs: DataFrame, model: Unigram.Model,
+                     thresholdUnits: Long,
+                     idCol: String = "doc_id",
+                     textCol: String = "text",
+                     markWords: Boolean = false): DataFrame = {
+    val unitsArr = model.pieces.map(_._3)
+    val perTok = (id: Column) =>
+      when(id === 0, lit(Unigram.UnkUnits))
+        .otherwise(element_at(typedLit(unitsArr), id))
+    unigramEncodeIds(docs, model, idCol, textCol, markWords)
+      .select(col(idCol), col("n_tokens"),
+        aggregate(col("token_ids"), lit(0L),
+          (acc, id) => acc + perTok(id)).as("total_units"))
+      .withColumn("keep",
+        col("total_units") >= lit(thresholdUnits) * col("n_tokens"))
+  }
+
   /** Document-boundary marker in packed ID streams: -1 — outside the
     * unigram id space (ranks are 1-based, UNK is 0), so a loader can
     * split samples back into documents without a vocab lookup.

@@ -1839,6 +1839,28 @@ object LlmQueries {
           .orderBy(col("doc_id"))
       }, None, Some(dir => unigramIdsOracleSql(l87GoldenName(dir)))),
 
+    // Unigram-LM quality scoring (l89) — the CCNet/Wikipedia-LM filter
+    // under OUR trained tokenizer LM (l25 is the corpus-support
+    // member; this is the trained-model member): per-doc total Viterbi
+    // log-likelihood in exact micro-units via an in-row fold over the
+    // lp table (ids → lp lookup on one array literal), keep gate as
+    // the division-free integer compare total ≥ threshold·n. The
+    // threshold (−3.70 lp-units/token) sits at the testdata's median
+    // mean-lp, so both classes appear. Oracle: DuckDB re-derives
+    // totals from TWO goldens — word → ids (l83's) unnested and
+    // joined to the l79 rank → lp table — and mirrors the integer
+    // gate; zero new golden surface.
+    "l89_unigram_lm_score" -> QuerySpec(
+      (s, dir) => {
+        ensureUnigramIdsGolden(s, dir)
+        ensureUnigramGolden(s, dir)
+        graft.operators.TextAnalysis.unigramLmScore(
+            Tables(s, dir, "documents")
+              .select(col("doc_id"), col("text")),
+            unigramModelCached(s, dir), thresholdUnits = -3700000L)
+          .orderBy(col("doc_id"))
+      }, None, Some(dir => l89OracleSql(dir))),
+
     // Unigram TRAIN with the SOFT E-step (l88) — Kudo's actual EM
     // (forward-backward expected counts) where l79's hard Viterbi
     // counts are the documented simplification. The E-step is EXACT:
@@ -4652,6 +4674,41 @@ object LlmQueries {
         (w, ids.length.toLong, ids.mkString(" "))
       }.toDF("word", "n_ids", "ids_str")
     })
+  }
+
+  /** l89's oracle: per-word unit sums from the l83 ids golden joined
+    * to the l79 rank → lp table, then per-doc aggregation + the
+    * division-free integer keep gate.
+    */
+  private def l89OracleSql(dir: String): String = {
+    val idsBase = graft.operators.MultimodalGolden
+      .goldenBase(l83GoldenName(dir))
+    val lmBase = graft.operators.MultimodalGolden
+      .goldenBase(l79GoldenName(dir))
+    s"""WITH t0 AS (
+       |  SELECT doc_id, list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    x -> length(x) > 0) AS arr
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, unnest(arr) AS word FROM t0 WHERE len(arr) > 0),
+       |v AS (SELECT word, n_ids, ids_str
+       |      FROM read_parquet('$idsBase/*.parquet')),
+       |g AS (SELECT rank, lp_units
+       |      FROM read_parquet('$lmBase/*.parquet')),
+       |wu AS (
+       |  SELECT q.word, q.n_ids, SUM(g.lp_units) AS wunits
+       |  FROM (SELECT word, n_ids,
+       |          unnest(list_transform(string_split(ids_str, ' '),
+       |            x -> CAST(x AS INT))) AS rank
+       |        FROM v) q
+       |  JOIN g USING (rank)
+       |  GROUP BY q.word, q.n_ids)
+       |SELECT t.doc_id, SUM(wu.n_ids)::BIGINT AS n_tokens,
+       |  SUM(wu.wunits)::BIGINT AS total_units,
+       |  SUM(wu.wunits) >= -3700000 * SUM(wu.n_ids) AS keep
+       |FROM toks t JOIN wu USING (word)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   }
 
   private def l88GoldenName(dir: String): String =

@@ -810,6 +810,36 @@ object StreamingQueries {
         s.table("st20_sink").orderBy(col("doc_id"))
       }, None, Some(dir => LlmQueries.l80OracleSql(dir))),
 
+    // Streaming token-ID emission (st21) — l83's streaming twin (the
+    // st14/st19/st20 convention): whole-document id sequences from the
+    // UnigramEncodeIdsExpr kernel over a file-source stream — no
+    // state, no aggregation, plain append: the production shape where
+    // tokenized training shards are written as documents land. The
+    // oracle IS l83's (DuckDB re-derives every id string, values AND
+    // order, from the replay-trained word → ids golden), so one hash
+    // proves streaming-narrow ≡ batch-narrow ≡ the independent replay.
+    "st21_ids_stream" -> QuerySpec(
+      (s, dir) => {
+        val model = LlmQueries.unigramModelCached(s, dir)
+        LlmQueries.ensureUnigramIdsGolden(s, dir)
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val q = graft.operators.TextAnalysis
+          .unigramEncodeIds(
+            stream.select(col("doc_id"), col("text")), model)
+          .select(col("doc_id"), col("n_tokens"),
+            array_join(transform(col("token_ids"),
+              i => i.cast("string")), " ").as("ids_str"))
+          .writeStream.format("memory").queryName("st21_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st21_sink").orderBy(col("doc_id"))
+      }, None, Some(dir => LlmQueries.l83OracleSql(dir))),
+
     // The TIME-BOUNDED streaming near-dup contract, proven against the
     // exact-global one on the same deterministic schedule (st06 covers
     // the LSH semantics on the real corpus; this entry's subject is the

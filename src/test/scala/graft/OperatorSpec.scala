@@ -3626,6 +3626,40 @@ class OperatorSpec extends AnyFunSuite {
       out2(2).getSeq[Int](4) == Seq(7, 8, 9, 10), out2.toSeq)
   }
 
+  test("unigramLmScore: total Viterbi log-likelihood folds the lp table " +
+      "over the id sequence (unk id 0 scores UnkUnits), keep gate is " +
+      "the division-free integer compare") {
+    import graft.operators.TextAnalysis
+    val docs = (0 until 5).map(i => (i.toLong, "abab abab cdcd"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.unigramTrain(docs, vocabSize = 16, epochs = 3)
+    val lp = m.pieces.map(p => p._1 -> p._3).toMap
+    val want = 2 * lp("abab") + lp("cdcd")
+    val out = TextAnalysis.unigramLmScore(docs, m,
+      thresholdUnits = want / 3).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == 3L)
+      assert(r.getAs[Long]("total_units") == want, r)
+      // threshold = exact mean (floor) — total >= thr*3 iff
+      // want >= (want/3)*3, true when want/3 truncates toward zero
+      // on a negative total... pin both directions explicitly instead:
+    }
+    val keepAll = TextAnalysis.unigramLmScore(docs, m,
+      thresholdUnits = want) // per-token threshold far below the mean
+    assert(keepAll.collect().forall(_.getAs[Boolean]("keep")))
+    val dropAll = TextAnalysis.unigramLmScore(docs, m,
+      thresholdUnits = 0L) // lp is negative: nothing clears 0
+    assert(dropAll.collect().forall(!_.getAs[Boolean]("keep")))
+    // unknown singles score UnkUnits each
+    val unk = TextAnalysis.unigramLmScore(
+      Seq((1L, "abab xyz")).toDF("doc_id", "text"), m,
+      thresholdUnits = -1000000L).collect()(0)
+    assert(unk.getAs[Long]("n_tokens") == 4L)
+    assert(unk.getAs[Long]("total_units") ==
+      lp("abab") + 3 * TextAnalysis.Unigram.UnkUnits, unk)
+    assert(!unk.getAs[Boolean]("keep"))
+  }
+
   test("Unigram SOFT EM: forward-backward expected counts diverge from " +
       "hard Viterbi counts on a planted ambiguous corpus (the pruned " +
       "piece keeps its posterior mass), hand-computed exact micro-unit " +
