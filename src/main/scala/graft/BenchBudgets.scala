@@ -157,6 +157,10 @@ object BenchBudgets {
     "l87_unigram_encode_ids_marked" -> 0.2860,
     "l88_unigram_train_soft" -> 0.0325,
     "l89_unigram_lm_score" -> 0.2625,
+    // l90/l91 pinned from target/bench_r17_idle4.json (179 entries,
+    // 105.2 s, cal 0.4983, zero flags/spikes/errors)
+    "l90_ffd_pack" -> 0.3161,
+    "l91_fertility" -> 0.3188,
     "m11_image_text_pairs" -> 0.4786,
     "st21_ids_stream" -> 0.7479,
     "m01_media_features" -> 0.2213,

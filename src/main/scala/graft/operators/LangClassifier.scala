@@ -216,15 +216,24 @@ object LangClassifier {
   def scoreUnitsNarrow(docs: DataFrame, model: Model, unit: Double = 1e6,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    // null text folds to "" exactly as [[charGrams]] does in the join
-    // form — both paths score the biases and emit `und`
-    val s = graft.functions.expressions.TextHashExpressions
-      .lang_argmax_units(coalesce(col(textCol), lit("")),
-        model.weightUnits(unit).map(_.toSeq).toSeq,
-        model.biasUnits(unit).toSeq, model.langs.toSeq, model.dim,
-        GramSizes)
+    val s = langPredCol(model, col(textCol), unit)
     docs.select(col(idCol).as("doc_id"),
       s.getField("lang_pred").as("lang_pred"),
       s.getField("margin_units").as("margin_units"))
   }
+
+  /** The inference kernel as a COMPOSABLE column —
+    * struct(lang_pred, margin_units) — so callers can classify inside
+    * a wider single projection (l91 pairs it with tokenizer stats in
+    * one narrow pass) instead of joining two doc-keyed frames. Null
+    * text folds to "" exactly as [[charGrams]] does in the join form —
+    * both paths score the biases and emit `und`.
+    */
+  def langPredCol(model: Model, text: Column,
+                  unit: Double = 1e6): Column =
+    graft.functions.expressions.TextHashExpressions
+      .lang_argmax_units(coalesce(text, lit("")),
+        model.weightUnits(unit).map(_.toSeq).toSeq,
+        model.biasUnits(unit).toSeq, model.langs.toSeq, model.dim,
+        GramSizes)
 }

@@ -424,6 +424,70 @@ object TextAnalysis {
       .drop("__cum")
   }
 
+  /** FIRST-FIT-DECREASING bin packing — the padding-minimizing member
+    * of the packing family ("fewer truncations" packing: whole docs,
+    * never split, packed to minimize wasted capacity, where
+    * [[packSequences]] bins greedily in id order and
+    * [[packTokenStream]] splits the token stream): per group, docs
+    * sort (n_tokens DESC, id ASC) and each goes to the LOWEST-indexed
+    * bin with remaining capacity, else opens a new bin; a doc longer
+    * than `capacity` gets its own bin, flagged oversize. Deterministic
+    * by the total sort order, so partitioning never changes the
+    * result.
+    *
+    * Scale shape: ONE shuffle on the group key, then the classic FFD
+    * loop per group inside `flatMapGroups` — FFD is inherently
+    * SEQUENTIAL (each placement depends on all previous loads), so the
+    * packing DOMAIN is the parallelism unit and a group's docs must
+    * fit one task. That is the trade every production packer makes:
+    * shard the corpus (source, date, hash-shard) and pack within
+    * shards; pass that shard key as `group`.
+    *
+    * Output, one row per (group, bin): (group, bin_id, n_docs,
+    * bin_tokens, n_oversize) — bin_id in open order (stable under the
+    * sort), n_oversize ∈ {0,1} marking the own-bin overlong case.
+    */
+  def packBinsFfd(docs: DataFrame, capacity: Int,
+                  groupCol: String = "source",
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(groupCol).cast("string").as("g"),
+        col(idCol).cast("long").as("id"),
+        tokenCount(col(textCol)).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val docs = it.map { case (_, id, n) => (id, n) }.toArray
+        java.util.Arrays.sort(docs, Ordering.by[(Long, Long),
+          (Long, Long)] { case (id, n) => (-n, id) })
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val nDocs = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val oversize = scala.collection.mutable.ArrayBuffer.empty[Long]
+        docs.foreach { case (_, n) =>
+          if (n > capacity) {
+            loads += n; nDocs += 1L; oversize += 1L
+          } else {
+            var b = 0
+            var placed = false
+            while (!placed && b < loads.length) {
+              if (oversize(b) == 0L && loads(b) + n <= capacity) {
+                loads(b) += n; nDocs(b) += 1L; placed = true
+              }
+              b += 1
+            }
+            if (!placed) { loads += n; nDocs += 1L; oversize += 0L }
+          }
+        }
+        loads.indices.iterator.map(b =>
+          (g, b.toLong, nDocs(b), loads(b), oversize(b)))
+      }
+      .toDF(groupCol, "bin_id", "n_docs", "bin_tokens", "n_oversize")
+  }
+
   /** Deterministic per-group sample: keep the first `n` rows of each
     * group under content-hash order — reproducible across engines, runs,
     * and cluster sizes (unlike random sampling), and unbiased w.r.t. the
@@ -1699,6 +1763,15 @@ object TextAnalysis {
           (acc, w) => acc + size(unigramSegCol(w, model)).cast("long"))
           .as("n_pieces"))
   }
+
+  /** Per-row unigram piece count as a COMPOSABLE column (the
+    * [[unigramEncodeCounts]] n_pieces fold exposed for wider single
+    * projections — l91 pairs it with language classification in one
+    * narrow pass). Empty/whitespace text counts 0.
+    */
+  def unigramPieceCount(text: Column, model: Unigram.Model): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, w) => acc + size(unigramSegCol(w, model)).cast("long"))
 
   /** Per-document token-ID SEQUENCES under a trained unigram model —
     * the artifact a training pipeline actually writes (`array<int>`),

@@ -451,6 +451,29 @@ object TextGolden {
     syms.length
   }
 
+  /** [[TextAnalysis.packBinsFfd]] replayed for the l90 golden — the
+    * same FFD contract ((n DESC, id ASC) order, lowest-indexed fitting
+    * bin, own flagged bin when n > capacity) as an immutable fold over
+    * case-class bins, deliberately a different shape from the engine's
+    * three parallel mutable buffers. Input: one group's (id, n) docs,
+    * n > 0. Output rows: (bin_id, n_docs, bin_tokens, n_oversize).
+    */
+  def ffdPackReplay(docs: Seq[(Long, Long)], capacity: Int)
+      : Seq[(Long, Long, Long, Long)] = {
+    final case class Bin(nDocs: Long, load: Long, oversize: Boolean)
+    val sorted = docs.sortBy { case (id, n) => (-n, id) }
+    val bins = sorted.foldLeft(Vector.empty[Bin]) { case (bs, (_, n)) =>
+      if (n > capacity) bs :+ Bin(1L, n, oversize = true)
+      else bs.indexWhere(b => !b.oversize && b.load + n <= capacity) match {
+        case -1 => bs :+ Bin(1L, n, oversize = false)
+        case i => bs.updated(i,
+          Bin(bs(i).nDocs + 1, bs(i).load + n, oversize = false))
+      }
+    }
+    bins.zipWithIndex.map { case (b, i) =>
+      (i.toLong, b.nDocs, b.load, if (b.oversize) 1L else 0L) }
+  }
+
   /** Independent LZW replay for the l76 golden — the same classic
     * algorithm as [[graft.functions.expressions.TextHashExpressions
     * .lzwCodes]] (256-symbol byte alphabet, dictionary capped at 2^16,

@@ -1839,6 +1839,26 @@ object LlmQueries {
           .orderBy(col("doc_id"))
       }, None, Some(dir => unigramIdsOracleSql(l87GoldenName(dir)))),
 
+    // FIRST-FIT-DECREASING packing (l90) — the padding-minimizing
+    // member of the packing family ("fewer truncations": whole docs,
+    // never split, minimal waste; l17 bins greedily in id order, l36/
+    // l85 split the token stream). Capacity 96 sits under the
+    // testdata's max doc length, so BOTH paths run: oversize docs take
+    // flagged own bins, the rest first-fit-decreasing. FFD is
+    // inherently sequential per packing domain (here: source), which
+    // is the trade every production packer makes — shard, then pack
+    // within shards. Oracle = replay golden (independent tokenization
+    // + an immutable-fold FFD vs the engine's mutable-buffer loop).
+    "l90_ffd_pack" -> QuerySpec(
+      (s, dir) => {
+        ensureFfdGolden(s, dir)
+        graft.operators.TextAnalysis.packBinsFfd(
+            Tables(s, dir, "documents"), capacity = 96)
+          .orderBy(col("source"), col("bin_id"))
+      }, None, Some(dir => mGoldenSql(l90GoldenName(dir),
+        "source, bin_id, n_docs, bin_tokens, n_oversize",
+        "source, bin_id"))),
+
     // Unigram-LM quality scoring (l89) — the CCNet/Wikipedia-LM filter
     // under OUR trained tokenizer LM (l25 is the corpus-support
     // member; this is the trained-model member): per-doc total Viterbi
@@ -1860,6 +1880,39 @@ object LlmQueries {
             unigramModelCached(s, dir), thresholdUnits = -3700000L)
           .orderBy(col("doc_id"))
       }, None, Some(dir => l89OracleSql(dir))),
+
+    // Tokenizer FERTILITY by language (l91) — the standard
+    // tokenizer-evaluation metric (mean pieces per word; multilingual
+    // reports quote it per language to expose vocabulary bias): the
+    // l77 planted multilingual world classified by the trained gate
+    // AND piece-counted under the documents-trained unigram model in
+    // ONE narrow projection (langPredCol + unigramPieceCount compose —
+    // no doc-keyed join), then a language-width aggregate. The oracle
+    // re-derives predictions from the captured weights (the l77 pick
+    // CTE) and piece counts from a replay-Viterbi word golden over the
+    // planted vocabulary, mirroring the quant4 fertility.
+    "l91_fertility" -> QuerySpec(
+      (s, dir) => {
+        val lm = l77ModelCached(s, dir)
+        ensureFertilityGolden(s, dir)
+        val um = unigramModelCached(s, dir)
+        val world = langWorld(s, dir)
+        val pred = graft.operators.LangClassifier
+          .langPredCol(lm, col("text"))
+        val toks = TextAnalysis.tokens(col("text"))
+        world.select(
+            pred.getField("lang_pred").as("lang_pred"),
+            size(toks).cast("long").as("n_words"),
+            TextAnalysis.unigramPieceCount(col("text"), um)
+              .as("n_pieces"))
+          .groupBy(col("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("sum_words"),
+            sum(col("n_pieces")).as("sum_pieces"))
+          .withColumn("fertility", TextAnalysis.quant4(
+            col("sum_pieces") / col("sum_words")))
+          .orderBy(col("lang_pred"))
+      }, None, Some(dir => l91Sql(dir))),
 
     // Unigram TRAIN with the SOFT E-step (l88) — Kudo's actual EM
     // (forward-backward expected counts) where l79's hard Viterbi
@@ -4709,6 +4762,94 @@ object LlmQueries {
        |  SUM(wu.wunits) >= -3700000 * SUM(wu.n_ids) AS keep
        |FROM toks t JOIN wu USING (word)
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+  }
+
+  private def l91GoldenName(dir: String): String =
+    s"l91-fertility-" +
+      s"${graft.operators.TextAnalysis.Unigram.VocabSize}-" +
+      s"${graft.operators.TextAnalysis.Unigram.Epochs}-" +
+      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
+
+  /** The l91 golden: every distinct planted-world word replay-Viterbi'd
+    * under the DOCUMENTS-trained replay model (the l80 golden's model —
+    * the planted multilingual vocabulary is out-of-domain for it, which
+    * is exactly what a fertility report exposes).
+    */
+  private def ensureFertilityGolden(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import s.implicits._
+    graft.operators.MultimodalGolden.ensureGoldenDf(l91GoldenName(dir), {
+      val u = graft.operators.TextAnalysis.Unigram
+      val trained = graft.operators.TextGolden
+        .unigramTrainReplay(replayWordFreq(s, dir), u.VocabSize,
+          u.MaxPieceLen, u.Epochs, u.UnkUnits)
+      val lp = trained.map { case (_, p, _, units) => p -> units }.toMap
+      val words = langWorld(s, dir).select(col("text")).as[String].rdd
+        .flatMap(t => if (t == null) Iterator.empty
+          else graft.operators.TextGolden.tokens(t).iterator)
+        .distinct().collect().toSeq
+      words.map { w =>
+        (w, graft.operators.TextGolden
+          .unigramViterbi(w, lp, u.MaxPieceLen, u.UnkUnits).length
+          .toLong)
+      }.toDF("word", "n_pieces")
+    })
+  }
+
+  /** l91 oracle: the l77 pick CTE (captured-weight argmax) extended
+    * with planted-world tokenization joined to the fertility golden.
+    */
+  private def l91Sql(dir: String): String =
+    l77PickCte(dir) + ",\n" +
+      s"""toksf AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |    x -> length(x) > 0)) AS word
+         |  FROM world),
+         |fg AS (SELECT word, n_pieces FROM read_parquet(
+         |  '${graft.operators.MultimodalGolden
+                .goldenBase(l91GoldenName(dir))}/*.parquet')),
+         |perdoc AS (
+         |  SELECT t.doc_id, COUNT(*)::BIGINT AS nw,
+         |    SUM(fg.n_pieces)::BIGINT AS np
+         |  FROM toksf t JOIN fg USING (word) GROUP BY t.doc_id),
+         |pl AS (SELECT doc_id,
+         |    CASE WHEN bm > 0 THEN arg ELSE 'und' END AS lang_pred
+         |  FROM pick)
+         |SELECT pl.lang_pred, COUNT(*)::BIGINT AS n_docs,
+         |  SUM(perdoc.nw)::BIGINT AS sum_words,
+         |  SUM(perdoc.np)::BIGINT AS sum_pieces,
+         |  floor(SUM(perdoc.np)::DOUBLE / SUM(perdoc.nw)::DOUBLE
+         |    * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+         |    AS fertility
+         |FROM pl JOIN perdoc USING (doc_id)
+         |GROUP BY pl.lang_pred ORDER BY pl.lang_pred""".stripMargin
+
+  private def l90GoldenName(dir: String): String =
+    s"l90-ffd-96-${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
+
+  /** The l90 golden: replay tokenization (TextGolden.tokens) + the
+    * immutable-fold FFD replay, per source.
+    */
+  private def ensureFfdGolden(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import s.implicits._
+    graft.operators.MultimodalGolden.ensureGoldenDf(l90GoldenName(dir),
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("text"))
+        .as[(String, Long, String)]
+        .map { case (src, id, t) =>
+          (src, id, if (t == null) 0L
+                    else graft.operators.TextGolden.tokens(t).length
+                      .toLong) }
+        .filter(_._3 > 0)
+        .groupByKey(_._1)
+        .flatMapGroups { (src, it) =>
+          val ds = it.map { case (_, id, n) => (id, n) }.toSeq
+          graft.operators.TextGolden.ffdPackReplay(ds, capacity = 96)
+            .iterator.map { case (b, nd, bt, ov) => (src, b, nd, bt, ov) }
+        }
+        .toDF("source", "bin_id", "n_docs", "bin_tokens", "n_oversize"))
   }
 
   private def l88GoldenName(dir: String): String =

@@ -3626,6 +3626,48 @@ class OperatorSpec extends AnyFunSuite {
       out2(2).getSeq[Int](4) == Seq(7, 8, 9, 10), out2.toSeq)
   }
 
+  test("packBinsFfd: hand-computed first-fit-decreasing — sort by " +
+      "(n DESC, id ASC), lowest-indexed fitting bin, oversize docs in " +
+      "flagged own bins, empty docs dropped, deterministic across " +
+      "partitioning; engine ≡ immutable-fold replay") {
+    import graft.operators.{TextAnalysis, TextGolden}
+    // capacity 10; per-doc tokens: ids 1..6 → 7, 6, 6, 4, 3, 1; id 7 →
+    // 12 (oversize); id 8 → "" (drops). FFD order: 12*, 7, 6, 6, 4, 3,
+    // 1 → bins: [12*] [7,3] [6,4] [6,1]... trace: 12 oversize own;
+    // 7 → new bin1; 6 → bin2; 6 → bin3; 4 → first fit = bin2 (6+4=10);
+    // 3 → bin1 (7+3=10); 1 → bin3 (6+1=7)
+    def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, words(7)), (2L, words(6)), (3L, words(6)), (4L, words(4)),
+      (5L, words(3)), (6L, words(1)), (7L, words(12)), (8L, ""))
+      .map { case (id, t) => ("s1", id, t) }
+      .toDF("source", "doc_id", "text")
+    for (parts <- Seq(1, 4)) {
+      val out = TextAnalysis.packBinsFfd(docs.repartition(parts),
+          capacity = 10)
+        .orderBy(col("bin_id")).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      assert(out.toSeq == Seq(
+        (0L, 1L, 12L, 1L), // oversize own bin
+        (1L, 2L, 10L, 0L), // 7 + 3
+        (2L, 2L, 10L, 0L), // 6 + 4
+        (3L, 2L, 7L, 0L)), // 6 + 1
+        s"parts=$parts: ${out.toSeq}")
+    }
+    // engine ≡ replay on the same world
+    val replay = TextGolden.ffdPackReplay(
+      Seq((1L, 7L), (2L, 6L), (3L, 6L), (4L, 4L), (5L, 3L), (6L, 1L),
+        (7L, 12L)), capacity = 10)
+    assert(replay == Seq((0L, 1L, 12L, 1L), (1L, 2L, 10L, 0L),
+      (2L, 2L, 10L, 0L), (3L, 2L, 7L, 0L)), replay)
+    // tie on n: id ASC places the smaller id first (bin open order)
+    val tie = TextGolden.ffdPackReplay(
+      Seq((9L, 6L), (2L, 6L), (5L, 6L)), capacity = 10)
+    assert(tie == Seq((0L, 1L, 6L, 0L), (1L, 1L, 6L, 0L),
+      (2L, 1L, 6L, 0L)), tie)
+  }
+
   test("unigramLmScore: total Viterbi log-likelihood folds the lp table " +
       "over the id sequence (unk id 0 scores UnkUnits), keep gate is " +
       "the division-free integer compare") {

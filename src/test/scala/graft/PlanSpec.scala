@@ -1082,4 +1082,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!pplan.contains("Window"),
       s"no global window in the pack plan:\n${pplan.take(2500)}")
   }
+
+  test("l91: langid + tokenizer stats compose in ONE narrow projection " +
+      "— both kernels in the same stage, no doc-keyed join, only the " +
+      "language-width aggregate exchanges") {
+    import org.apache.spark.sql.functions.{col, concat, count, lit, size, sum}
+    import spark.implicits._
+    val labeled = Seq((0L, "en", "the quick fox"),
+      (1L, "de", "der schnelle fuchs")).toDF("doc_id", "lang_true",
+      "text")
+    val lm = graft.operators.LangClassifier.train(labeled,
+      langCol = "lang_true", dim = 256, epochs = 3)
+    val um = graft.operators.TextAnalysis.unigramTrain(
+      Seq((0L, "the quick fox der schnelle fuchs"))
+        .toDF("doc_id", "text"), vocabSize = 32, epochs = 1)
+    val docs = spark.range(300).select(col("id").as("doc_id"),
+      concat(lit("the quick fox "), col("id")).as("text"))
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    val plan = docs.select(
+        graft.operators.LangClassifier.langPredCol(lm, col("text"))
+          .getField("lang_pred").as("lang_pred"),
+        size(toks).cast("long").as("n_words"),
+        graft.operators.TextAnalysis.unigramPieceCount(col("text"), um)
+          .as("n_pieces"))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sw"),
+        sum(col("n_pieces")).as("sp"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"no doc-keyed join:\n${plan.take(2500)}")
+    val nEx = "Exchange".r.findAllIn(plan).length
+    assert(nEx <= 1, s"only the language-width agg exchanges ($nEx):\n" +
+      plan.take(2500))
+    assert(plan.contains("lang_argmax_units") &&
+      plan.contains("unigram_segment"),
+      s"both kernels must sit in the one projection:\n${plan.take(2500)}")
+  }
 }
