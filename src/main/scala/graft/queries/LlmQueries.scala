@@ -1881,6 +1881,32 @@ object LlmQueries {
           .orderBy(col("doc_id"))
       }, None, Some(dir => l89OracleSql(dir))),
 
+    // Token-ID decontamination (l92) — the PRODUCTION decontamination
+    // shape: GPT-3/PaLM overlap checks run on TOKENIZED sequences
+    // under the shipped tokenizer (l22/l30 are the word-level
+    // members); 13-id window (the PaLM number), %25 benchmark split so
+    // the three decontamination entries cover different slices.
+    // Oracle: DuckDB re-derives every document's id sequence from the
+    // l83 replay golden (ordered word → ids join), slides the same
+    // 13-wide window, and mirrors the frequency-semantics hit counts —
+    // zero new golden surface.
+    "l92_decontaminate_ids" -> QuerySpec(
+      (s, dir) => {
+        ensureUnigramIdsGolden(s, dir)
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val bench = docs.filter(col("doc_id") % 25 === 0)
+        // PLANTED positives (the l04/l05 convention): leaked copies of
+        // benchmark docs at id+100000 — every one must flag with a
+        // full-document hit count; organic 13-id overlaps join them
+        val corpus = docs.filter(col("doc_id") % 25 =!= 0)
+          .unionByName(bench.filter(col("doc_id") % 100 === 0)
+            .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        graft.operators.TextAnalysis.contaminatedDocsIds(
+            corpus, bench, unigramModelCached(s, dir), n = 13)
+          .orderBy(col("doc_id"))
+      }, None, Some(dir => l92OracleSql(dir))),
+
     // Tokenizer FERTILITY by language (l91) — the standard
     // tokenizer-evaluation metric (mean pieces per word; multilingual
     // reports quote it per language to expose vocabulary bias): the
@@ -4762,6 +4788,46 @@ object LlmQueries {
        |  SUM(wu.wunits) >= -3700000 * SUM(wu.n_ids) AS keep
        |FROM toks t JOIN wu USING (word)
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+  }
+
+  /** l92 oracle: id sequences from the l83 golden (ordered word → ids
+    * join), 13-wide id windows, frequency-semantics hits vs the %25
+    * benchmark slice.
+    */
+  private def l92OracleSql(dir: String): String = {
+    val base = graft.operators.MultimodalGolden
+      .goldenBase(l83GoldenName(dir))
+    s"""WITH t0 AS (
+       |  SELECT doc_id, list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    x -> length(x) > 0) AS arr
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, unnest(arr) AS word,
+       |    unnest(range(1, len(arr) + 1)) AS pos
+       |  FROM t0 WHERE len(arr) > 0),
+       |v AS (SELECT word, ids_str FROM read_parquet('$base/*.parquet')),
+       |docids AS (
+       |  SELECT t.doc_id,
+       |    flatten(list(list_transform(string_split(v.ids_str, ' '),
+       |      x -> CAST(x AS INT)) ORDER BY t.pos)) AS ids
+       |  FROM toks t JOIN v USING (word) GROUP BY t.doc_id),
+       |g AS (
+       |  SELECT doc_id,
+       |    [array_to_string(ids[i:i+12], ' ')
+       |     for i in generate_series(1, len(ids) - 12)] AS gs
+       |  FROM docids WHERE len(ids) >= 13),
+       |bg AS (SELECT DISTINCT unnest(gs) AS gram FROM g
+       |       WHERE doc_id % 25 = 0),
+       |tg AS (SELECT doc_id, unnest(gs) AS gram FROM g
+       |       WHERE doc_id % 25 <> 0
+       |       UNION ALL
+       |       SELECT doc_id + 100000, unnest(gs) FROM g
+       |       WHERE doc_id % 25 = 0 AND doc_id % 100 = 0)
+       |SELECT tg.doc_id, COUNT(*)::BIGINT AS n_hits,
+       |  MIN(tg.gram) AS first_gram
+       |FROM tg JOIN bg USING (gram)
+       |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin
   }
 
   private def l91GoldenName(dir: String): String =

@@ -3668,6 +3668,68 @@ class OperatorSpec extends AnyFunSuite {
       (2L, 1L, 6L, 0L)), tie)
   }
 
+  test("packIdStream scale bound: 10x docs costs linear-ish wall (the " +
+      "two-phase fold is O(partitions) on the driver and the fragment " +
+      "shuffle is token-linear); every sequence is exactly seqLen ids " +
+      "at BOTH scales") {
+    def world(n: Int) = spark.range(n).select(col("id").as("doc_id"),
+      transform(sequence(lit(1L), lit(100L) + (col("id") % 28)),
+        i => (i % 97).cast("int")).as("token_ids"))
+    def run(n: Int): (Long, Long) = {
+      val t0 = System.nanoTime()
+      val packed = graft.operators.TextAnalysis.packIdStream(
+        world(n), seqLen = 512)
+      val stats = packed.agg(count(lit(1)),
+        min(size(col("token_ids"))), max(size(col("token_ids"))))
+        .collect()(0)
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      assert(stats.getInt(1) == 512 && stats.getInt(2) == 512,
+        s"n=$n: sequence sizes ${(stats.getInt(1), stats.getInt(2))}")
+      (stats.getLong(0), wallMs)
+    }
+    val (c1, w1) = run(2000)
+    val (c10, w10) = run(20000)
+    // token mass is id-arithmetic: 10x docs → ~10x sequences
+    assert(c10 > c1 * 9 && c10 < c1 * 11, s"seq counts $c1 -> $c10")
+    val ok = LazyList.continually {
+      val (_, wa) = run(2000); val (_, wb) = run(20000)
+      wb < wa * 6 + 4000
+    }.take(3).exists(identity)
+    assert(ok, s"10x pack wall blew past the bound ($w1 -> $w10 ms)")
+  }
+
+  test("htmlImages: 300-mutation fuzz — truncated/flipped/spliced pages " +
+      "never throw and always yield well-formed (src, alt, caption) " +
+      "rows") {
+    val base = "<html><body><figure><img src=\"/a.png\" alt=\"x\">" +
+      "<figcaption>cap <b>one</b></figcaption></figure>" +
+      "<script>var s='<img src=\"/decoy.png\">';</script>" +
+      "<img src='/b.png' alt='y'><p>text</p></body></html>"
+    val rnd = new scala.util.Random(42)
+    (0 until 300).foreach { i =>
+      val b = base.toCharArray
+      val mutated = rnd.nextInt(3) match {
+        case 0 => new String(b, 0, rnd.nextInt(b.length)) // truncate
+        case 1 => // flip one char
+          b(rnd.nextInt(b.length)) = (32 + rnd.nextInt(95)).toChar
+          new String(b)
+        case _ => // splice an unterminated img open + arbitrary tail
+          val at = rnd.nextInt(b.length)
+          val off = rnd.nextInt(b.length)
+          new String(b, 0, at) + "<img src=" +
+            new String(b, off, math.min(10, b.length - off))
+      }
+      val out = graft.functions.expressions.HtmlExpressions.htmlImages(
+        org.apache.spark.unsafe.types.UTF8String.fromString(mutated))
+      (0 until out.numElements()).foreach { j =>
+        val row = out.getStruct(j, 3)
+        assert(row.getUTF8String(0) != null &&
+          row.getUTF8String(1) != null && row.getUTF8String(2) != null,
+          s"mutation $i: null field")
+      }
+    }
+  }
+
   test("unigramLmScore: total Viterbi log-likelihood folds the lp table " +
       "over the id sequence (unk id 0 scores UnkUnits), keep gate is " +
       "the division-free integer compare") {
