@@ -165,6 +165,13 @@ object BenchBudgets {
     // 101.3 s, cal 0.4913)
     "l92_decontaminate_ids" -> 1.7588,
     "m11_image_text_pairs" -> 0.4786,
+    // m12 pinned from target/bench_r17_idle7.json (181 entries,
+    // 96.0 s, cal 0.492, zero flags/spikes/errors) AFTER the entry
+    // checkpointed the slim pair frame (the near-dup join consumes it
+    // 4x; extraction+decode now run once — 3.48 -> 2.99 s); remaining
+    // cost is the planted clique's pigeonhole join at sf0.1 — flat
+    // run-to-run
+    "m12_pair_neardup" -> 2.9887,
     "st21_ids_stream" -> 0.7479,
     "m01_media_features" -> 0.2213,
     "m02_frame_sample" -> 0.0812,

@@ -673,9 +673,14 @@ object Multimodal {
     * Output: one row per KEPT pair — (src_url, img_idx, img_url, alt,
     * caption, text, width, height, phash, n_dup_pairs).
     */
-  def imageTextPairs(pairs: DataFrame, media: DataFrame,
-                     urlCol: String = "media_url",
-                     dataCol: String = "data"): DataFrame = {
+  /** The pair frame JOINED to decoded media features, before any
+    * dedup — [[imageTextPairs]]' first half, exposed so pair-level
+    * near-dup (m12) can run on the same frame. Media decodes ONCE per
+    * blob in a media-sized typed map.
+    */
+  def imageTextJoined(pairs: DataFrame, media: DataFrame,
+                      urlCol: String = "media_url",
+                      dataCol: String = "data"): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val feats = media
@@ -685,7 +690,38 @@ object Multimodal {
         val (w, h, rgb) = decodeImage(bytes)
         (url, w, h, dHash64(w, h, rgb))
       }.toDF("img_url", "width", "height", "phash")
-    val joined = pairs.join(feats, "img_url")
+    pairs.join(feats, "img_url")
+  }
+
+  /** Pair-level NEAR-dup — what [[imageTextPairs]]' exact (phash,
+    * text) dedup cannot catch: the SAME pair text over
+    * perceptually-equal but byte- and URL-different images (mirror
+    * hosts, re-encodes, brightness-shifted thumbnails). Candidates
+    * come from [[graft.operators.Dedup.hammingNearDup]]'s pigeonhole
+    * chunk join on the pair phashes (never all-pairs); the text-
+    * equality residual joins each side's text back by pair id.
+    * Output: (id_a, id_b, hamming, text), id_a < id_b.
+    */
+  def pairNearDup(pairs: DataFrame, maxHamming: Int = 3,
+                  idCol: String = "pair_id",
+                  textCol: String = "text",
+                  hashCol: String = "phash"): DataFrame = {
+    val cand = graft.operators.Dedup.hammingNearDup(
+      pairs.select(col(idCol), col(hashCol)), maxHamming,
+      idCol = idCol, hashCol = hashCol)
+    val t = pairs.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    cand
+      .join(t.as("ta"), col("id_a") === col("ta.__id"))
+      .join(t.as("tb"), col("id_b") === col("tb.__id"))
+      .filter(col("ta.__t") === col("tb.__t"))
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        col("ta.__t").as("text"))
+  }
+
+  def imageTextPairs(pairs: DataFrame, media: DataFrame,
+                     urlCol: String = "media_url",
+                     dataCol: String = "data"): DataFrame = {
+    val joined = imageTextJoined(pairs, media, urlCol, dataCol)
     // exact pair dedup: (image content via phash, pair text) — keep the
     // smallest (src_url, img_idx), count the group
     joined

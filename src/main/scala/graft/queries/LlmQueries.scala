@@ -4244,7 +4244,118 @@ object LlmQueries {
             TextAnalysis.extractImagePairs(pages), media)
           .orderBy(col("src_url"), col("img_idx"))
       }, None, Some(_ => m11Sql("m11-imgfeat-40-v1", 40))),
+    // Pair-level NEAR-dup (m12) — what m11's exact (phash, text) dedup
+    // cannot catch: the same pair text over perceptually-equal but
+    // byte- AND url-different images (the mirror-host/re-encode/
+    // brightness-thumbnail case). Planted: docs with doc_id%100==7
+    // reference base image 4, doc_id%100==3 a brightness-shifted
+    // VARIANT at a different url (dHash-invariant shift, the m07
+    // machinery) — all under the same 'shared alt' text, so the
+    // near-dup clique spans urls exact dedup sees as distinct.
+    // Candidates via the pigeonhole hamming join (never all-pairs),
+    // text-equality residual joined by pair id. Oracle = the m07
+    // pigeonhole derivation over arithmetically-derived pairs + the
+    // raw-pixel phash golden (variant INCLUDED as its own golden row —
+    // the invariance is read, not assumed).
+    "m12_pair_neardup" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val nImg = 40
+        MultimodalGolden.ensureGoldenDf(s"m12-imgfeat-$nImg-v1", {
+          s.range(nImg + 1).map { boxed =>
+            val i: Long = boxed
+            if (i < nImg) {
+              val (w, h, rgb) = Multimodal.pngRawDraw(i)
+              (i, Multimodal.dHash64(w, h, rgb))
+            } else {
+              val (w, h, rgb) = Multimodal.phashVariantRaw(4L)
+              (1000L, Multimodal.dHash64(w, h, rgb))
+            }
+          }.toDF("img_id", "phash")
+        })
+        val media = s.range(nImg + 1).map { boxed =>
+          val i: Long = boxed
+          if (i < nImg) {
+            val (w, h, rgb) = Multimodal.pngRawDraw(i)
+            val bytes =
+              if (i % 2 == 0) Multimodal.Codecs.encodeBmp(w, h, rgb)
+              else graft.codec.Png.encode(w, h, rgb)
+            (s"http://media.example/img/$i.bmp", bytes)
+          } else {
+            val (w, h, rgb) = Multimodal.phashVariantRaw(4L)
+            ("http://media.example/img/v4.bmp",
+              Multimodal.Codecs.encodeBmp(w, h, rgb))
+          }
+        }.toDF("media_url", "data")
+        val d = col("doc_id")
+        val srcA = when(d % 100 === 7, lit("/img/4.bmp"))
+          .when(d % 100 === 3, lit("/img/v4.bmp"))
+          .otherwise(concat(lit("/img/"), d % nImg, lit(".bmp")))
+        val alta = when(d % 100 === 7 || d % 100 === 3,
+          lit("shared alt"))
+          .otherwise(concat(lit("Doc "), d, lit(" primary")))
+        val idb = (d * 3 + 1) % nImg
+        val pages = Tables(s, dir, "documents").select(
+          concat(lit("http://media.example/pages/"), d, lit(".html"))
+            .as("url"),
+          concat(
+            lit("<html><body><img src=\""), srcA, lit("\" alt=\""),
+            alta, lit("\">"),
+            lit("<figure><img src=\"/img/"), idb,
+            lit(".bmp\"><figcaption>Caption "), d,
+            lit(" fig</figcaption></figure></body></html>")).as("html"))
+        // the near-dup join consumes the pair frame FOUR times (two
+        // pigeonhole self-join sides + two text-residual joins) —
+        // checkpoint the slim (pair_id, text, phash) projection so
+        // extraction + decode + media join run ONCE (the l02 store
+        // convention)
+        val joined = Multimodal.imageTextJoined(
+            TextAnalysis.extractImagePairs(pages), media)
+          .withColumn("pair_id",
+            regexp_extract(col("src_url"), "pages/(\\d+)", 1)
+              .cast("long") * 4 + col("img_idx"))
+          .select(col("pair_id"), col("text"), col("phash"))
+          .localCheckpoint()
+        Multimodal.pairNearDup(joined, maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      }, None, Some(_ => m12Sql(s"m12-imgfeat-40-v1", 40))),
   ) + m08Entry + m09Entry
+
+  /** m12's oracle: the m07 pigeonhole hamming derivation over
+    * arithmetically-derived (pair_id, text, img_id) pairs joined to
+    * the raw-pixel phash golden, with the text-equality residual.
+    */
+  private def m12Sql(gname: String, nImg: Int): String = {
+    val base = MultimodalGolden.goldenBase(gname)
+    s"""WITH g AS (SELECT img_id, phash
+       |           FROM read_parquet('$base/*.parquet')),
+       |docs AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 100 = 7 THEN 4
+       |         WHEN doc_id % 100 = 3 THEN 1000
+       |         ELSE doc_id % $nImg END AS ida,
+       |    (doc_id * 3 + 1) % $nImg AS idb,
+       |    CASE WHEN doc_id % 100 IN (3, 7) THEN 'shared alt'
+       |         ELSE 'Doc ' || doc_id || ' primary' END AS alta,
+       |    'Caption ' || doc_id || ' fig' AS capb
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT doc_id * 4 + 0 AS pid, alta AS text, ida AS img_id
+       |  FROM docs
+       |  UNION ALL
+       |  SELECT doc_id * 4 + 1, capb, idb FROM docs),
+       |sig AS (SELECT p.pid, p.text, g.phash
+       |        FROM pairs p JOIN g USING (img_id)),
+       |bnd AS (SELECT pid, text, phash, c AS chunk,
+       |    (phash >> (c*16)) & 65535 AS ckey
+       |  FROM sig, generate_series(0, 3) g2(c)),
+       |cand AS (
+       |  SELECT DISTINCT a.pid AS id_a, b.pid AS id_b,
+       |    bit_count(xor(a.phash, b.phash)) AS h, a.text
+       |  FROM bnd a JOIN bnd b ON a.chunk = b.chunk
+       |    AND a.ckey = b.ckey AND a.pid < b.pid AND a.text = b.text)
+       |SELECT id_a, id_b, h::INT AS hamming, text
+       |FROM cand WHERE h <= 3 ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** m11's oracle: pairs, features, and the (phash, text) dedup all
     * re-derived in DuckDB from documents arithmetic + the raw-pixel

@@ -2160,6 +2160,29 @@ class OperatorSpec extends AnyFunSuite {
       r.getAs[Int]("height") == 16))
   }
 
+  test("pairNearDup: perceptually-equal images under the SAME text " +
+      "pair across different urls; same image under different text " +
+      "does NOT; hamming respects the bound") {
+    import graft.operators.Multimodal
+    val (w, h, rgb) = Multimodal.pngRawDraw(4L)
+    val (_, _, rgbVar) = Multimodal.phashVariantRaw(4L) // brightness+8
+    val (w2, h2, rgb2) = Multimodal.pngRawDraw(11L) // different image
+    val p = Multimodal.dHash64(w, h, rgb)
+    assert(Multimodal.dHash64(w, h, rgbVar) == p,
+      "brightness shift must be dHash-invariant")
+    val pairs = Seq(
+      (1L, "cap A", p),
+      (2L, "cap A", Multimodal.dHash64(w, h, rgbVar)), // near-dup of 1
+      (3L, "cap B", p), // same image, different text → no pair
+      (4L, "cap A", Multimodal.dHash64(w2, h2, rgb2))) // diff image
+      .toDF("pair_id", "text", "phash")
+    val out = Multimodal.pairNearDup(pairs, maxHamming = 3).collect()
+    assert(out.length == 1 &&
+      out(0).getLong(0) == 1L && out(0).getLong(1) == 2L &&
+      out(0).getInt(2) == 0 && out(0).getString(3) == "cap A",
+      out.toSeq)
+  }
+
   test("pageRank: hand-computed single iteration with a dangling node; " +
       "ranks sum to 1 after many iterations; parallel edges collapse") {
     // A -> B, B -> C (twice — must count once), C dangling
