@@ -172,6 +172,9 @@ object BenchBudgets {
     // cost is the planted clique's pigeonhole join at sf0.1 — flat
     // run-to-run
     "m12_pair_neardup" -> 2.9887,
+    // m13 pinned from target/bench_r17_idle8.json (182 entries,
+    // 110.0 s, cal 0.5057, zero flags/spikes/errors)
+    "m13_pair_funnel" -> 0.7599,
     "st21_ids_stream" -> 0.7479,
     "m01_media_features" -> 0.2213,
     "m02_frame_sample" -> 0.0812,

@@ -693,6 +693,26 @@ object Multimodal {
     pairs.join(feats, "img_url")
   }
 
+  /** Header-only dimensions for a media frame — the m10
+    * prune-before-decode gate as a relation: (urlCol, sniff_w,
+    * sniff_h) from the first bytes via [[Codecs.sniffImageMeta]], no
+    * pixel decode anywhere; unsniffable payloads drop (they could
+    * never decode downstream). At 100 TB the dimension/type gates run
+    * HERE on ~32 bytes per blob so full decodes are spent only on
+    * survivors.
+    */
+  def sniffDims(media: DataFrame, urlCol: String = "media_url",
+                dataCol: String = "data"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(urlCol).as("img_url"), col(dataCol).as("data"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (url, bytes) =>
+        Codecs.sniffImageMeta(bytes).iterator
+          .map { case (_, w, h) => (url, w, h) } }
+      .toDF("img_url", "sniff_w", "sniff_h")
+  }
+
   /** Pair-level NEAR-dup — what [[imageTextPairs]]' exact (phash,
     * text) dedup cannot catch: the SAME pair text over
     * perceptually-equal but byte- and URL-different images (mirror

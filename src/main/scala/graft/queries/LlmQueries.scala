@@ -4319,7 +4319,110 @@ object LlmQueries {
         Multimodal.pairNearDup(joined, maxHamming = 3)
           .orderBy(col("id_a"), col("id_b"))
       }, None, Some(_ => m12Sql(s"m12-imgfeat-40-v1", 40))),
+    // Multimodal pair FUNNEL (m13) — the m-family composed the way
+    // l28/l49/l81/l82 compose text: pages → image-pair extraction →
+    // header-only dimension gate (the m10 prune-before-decode stance:
+    // sniffed dims from ~32 header bytes, full decode spent on
+    // SURVIVORS only) → pair-text token gate (empty figcaptions fall
+    // out) → exact (phash, text) pair dedup, emitting per-stage pair
+    // counts in one hash. Media dims are id-ARITHMETIC (w = 16+4·(i%13),
+    // h = 16+5·(7i%11)), so sniff-gate membership is derivable; the
+    // raw-pixel golden carries dims + phash so the oracle reads, never
+    // recomputes, the decode side.
+    "m13_pair_funnel" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val nImg = 40
+        def draw(i: Long): (Int, Int, Array[Byte]) = {
+          val w = 16 + (i % 13).toInt * 4
+          val h = 16 + ((i * 7) % 11).toInt * 5
+          val rnd = new scala.util.Random(7331L + 31L * i)
+          (w, h, Multimodal.smoothRgb(w, h, rnd))
+        }
+        MultimodalGolden.ensureGoldenDf(s"m13-imgfeat-$nImg-v1", {
+          s.range(nImg).map { boxed =>
+            val i: Long = boxed
+            val (w, h, rgb) = draw(i)
+            (i, w, h, Multimodal.dHash64(w, h, rgb))
+          }.toDF("img_id", "width", "height", "phash")
+        })
+        val media = s.range(nImg).map { boxed =>
+          val i: Long = boxed
+          val (w, h, rgb) = draw(i)
+          (s"http://media.example/img/$i.bmp",
+            Multimodal.Codecs.encodeBmp(w, h, rgb))
+        }.toDF("media_url", "data")
+        val d = col("doc_id")
+        val ida = when(d % 10 === 7, lit(3L)).otherwise(d % nImg)
+        val alta = when(d % 10 === 7, lit("shared alt"))
+          .otherwise(concat(lit("Doc "), d, lit(" primary")))
+        val idb = (d * 3 + 1) % nImg
+        val capb = when(d % 7 === 2, lit(""))
+          .otherwise(concat(lit("Caption "), d, lit(" fig")))
+        val pages = Tables(s, dir, "documents").select(
+          concat(lit("http://media.example/pages/"), d, lit(".html"))
+            .as("url"),
+          concat(
+            lit("<html><body><img src=\"/img/"), ida, lit(".bmp\" alt=\""),
+            alta, lit("\">"),
+            lit("<figure><img src=\"/img/"), idb,
+            lit(".bmp\"><figcaption>"), capb,
+            lit("</figcaption></figure></body></html>")).as("html"))
+        val pairs = TextAnalysis.extractImagePairs(pages)
+        val gated = Multimodal.sniffDims(media)
+          .filter(col("sniff_w") >= 24 && col("sniff_h") >= 24)
+          .select(col("img_url"))
+        val p2 = pairs.join(gated, "img_url")
+        val p3 = p2.filter(TextAnalysis.tokenCount(col("text")) >= 1)
+        // prune-before-decode: only gate survivors reach the decoder
+        val gatedMedia = media.join(
+          gated.withColumnRenamed("img_url", "media_url"), "media_url")
+        val p4 = Multimodal.imageTextPairs(p3, gatedMedia)
+        def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_pairs"))
+            .select(lit(name).as("stage"), col("n_pairs"))
+        stage("1_extracted", pairs)
+          .unionByName(stage("2_media_gate", p2))
+          .unionByName(stage("3_text_gate", p3))
+          .unionByName(stage("4_pair_dedup", p4))
+          .orderBy(col("stage"))
+      }, None, Some(_ => m13Sql(s"m13-imgfeat-40-v1", 40))),
   ) + m08Entry + m09Entry
+
+  /** m13's oracle: per-stage pair counts chained as CTEs over the
+    * arithmetic pair derivation + the raw-pixel dims/phash golden.
+    */
+  private def m13Sql(gname: String, nImg: Int): String = {
+    val base = MultimodalGolden.goldenBase(gname)
+    s"""WITH g AS (SELECT img_id, width, height, phash
+       |           FROM read_parquet('$base/*.parquet')),
+       |docs AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 7 THEN 3
+       |         ELSE doc_id % $nImg END AS ida,
+       |    (doc_id * 3 + 1) % $nImg AS idb,
+       |    CASE WHEN doc_id % 10 = 7 THEN 'shared alt'
+       |         ELSE 'Doc ' || doc_id || ' primary' END AS alta,
+       |    CASE WHEN doc_id % 7 = 2 THEN ''
+       |         ELSE 'Caption ' || doc_id || ' fig' END AS capb
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT doc_id * 4 AS pid, alta AS text, ida AS img_id FROM docs
+       |  UNION ALL
+       |  SELECT doc_id * 4 + 1, capb, idb FROM docs),
+       |j AS (SELECT p.*, g.width, g.height, g.phash
+       |      FROM pairs p JOIN g USING (img_id)),
+       |p2 AS (SELECT * FROM j WHERE width >= 24 AND height >= 24),
+       |p3 AS (SELECT * FROM p2 WHERE len(list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    x -> length(x) > 0)) >= 1),
+       |p4 AS (SELECT phash, text FROM p3 GROUP BY phash, text)
+       |SELECT '1_extracted' AS stage, COUNT(*)::BIGINT AS n_pairs
+       |FROM pairs
+       |UNION ALL SELECT '2_media_gate', COUNT(*)::BIGINT FROM p2
+       |UNION ALL SELECT '3_text_gate', COUNT(*)::BIGINT FROM p3
+       |UNION ALL SELECT '4_pair_dedup', COUNT(*)::BIGINT FROM p4
+       |ORDER BY stage""".stripMargin
+  }
 
   /** m12's oracle: the m07 pigeonhole hamming derivation over
     * arithmetically-derived (pair_id, text, img_id) pairs joined to
