@@ -12,7 +12,8 @@ package graft
   * flagged nothing against the earlier pins, so the map is
   * self-consistent). Since r13
   * Bench probes before EVERY measured run and flags an entry only when
-  * ALL runs exceed 2 x pinned x max(1, cal_now/RefCalibration,
+  * ALL runs exceed max(Factor x pinned, pinned + AbsFloorSec) x
+  * max(1, cal_now/RefCalibration,
   * run_probe/RefLoadProbe) — burst-robust (a co-tenant burst inflates
   * some runs or their probes; a genuine plan regression inflates all of
   * them). One un-measured WARMUP per entry keeps one-time costs (JIT,
@@ -36,6 +37,15 @@ object BenchBudgets {
   val RefLoadProbe: Double = 0.0573
 
   val Factor: Double = 2.0
+
+  /** Absolute floor on the budget allowance: an entry flags only when
+    * every run exceeds max(Factor*pin, pin + AbsFloorSec) scaled — so
+    * sub-100 ms pins (l88's 33 ms wall is mostly fixed overhead) stop
+    * flagging on ±50 ms of run-context noise while large pins keep the
+    * pure Factor tripwire (r17 VERDICT #1: three consecutive rounds'
+    * only weak was an idle-band pin tripping under the driver band).
+    */
+  val AbsFloorSec: Double = 0.15
   val pinnedMedians: Map[String, Double] = Map(
     "l01_dedup_exact" -> 0.1954,
     "l02_minhash_lsh" -> 0.0475,
@@ -155,7 +165,14 @@ object BenchBudgets {
     // zero flags/spikes/errors)
     "l86_unigram_train_marked" -> 0.0318,
     "l87_unigram_encode_ids_marked" -> 0.2860,
-    "l88_unigram_train_soft" -> 0.0325,
+    // l88 re-pinned from the r17 DRIVER artifact (target/
+    // bench_artifact.json of the 2026-08-15 driver run: runs
+    // 0.076/0.078/0.080 at idle probes ~0.060) per the r17 verdict —
+    // the 0.0325 idle pin sat under the driver band (fixed-overhead-
+    // dominated 33 ms wall) and tripped the pure-2x tripwire on
+    // context noise. Pin = min driver run; the AbsFloorSec allowance
+    // is what actually protects entries this small.
+    "l88_unigram_train_soft" -> 0.0760,
     "l89_unigram_lm_score" -> 0.2625,
     // l90/l91 pinned from target/bench_r17_idle4.json (179 entries,
     // 105.2 s, cal 0.4983, zero flags/spikes/errors)
