@@ -541,7 +541,11 @@ object HtmlExpressions {
     * don't nest (a `<figure` while one is open flushes the open one —
     * the implicit-close reading every other kernel takes), and a
     * figure's caption applies to ALL its imgs. src-less imgs emit
-    * nothing.
+    * nothing. Document order is unconditional: an in-figure img takes
+    * its output slot where it appears and only its CAPTION is patched
+    * when the figure closes, so an unterminated `<figure>` on a
+    * truncated page keeps its imgs in place (with the caption seen by
+    * end-of-document) instead of reordering them to the end.
     */
   def htmlImages(u: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
@@ -584,17 +588,26 @@ object HtmlExpressions {
       }
       -1
     }
-    def emit(src: String, alt: String, caption: String): Unit =
-      out += org.apache.spark.sql.catalyst.InternalRow(
+    def row(src: String, alt: String, caption: String)
+        : org.apache.spark.sql.catalyst.InternalRow =
+      org.apache.spark.sql.catalyst.InternalRow(
         org.apache.spark.unsafe.types.UTF8String.fromString(src),
         org.apache.spark.unsafe.types.UTF8String.fromString(alt),
         org.apache.spark.unsafe.types.UTF8String.fromString(caption))
-    // open-figure state: pending (src, alt) imgs + the figure's caption
+    def emit(src: String, alt: String, caption: String): Unit =
+      out += row(src, alt, caption)
+    // open-figure state: in-figure imgs emit their output SLOT
+    // immediately (so document order holds even when the figure never
+    // closes — a truncated real-crawl page must not reorder its imgs
+    // to the end) and the slot's caption is patched in at flush time,
+    // which is when a caption that FOLLOWS its imgs becomes known.
     var inFigure = false
     var figCaption = ""
-    val pending = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val pending =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String)]()
     def flushFigure(): Unit = {
-      pending.foreach { case (src, alt) => emit(src, alt, figCaption) }
+      pending.foreach { case (at, src, alt) =>
+        out(at) = row(src, alt, figCaption) }
       pending.clear()
       figCaption = ""
       inFigure = false
@@ -634,8 +647,10 @@ object HtmlExpressions {
             attrValue(s, i, after, "src") match {
               case Some(src) =>
                 val alt = attrValue(s, i, after, "alt").getOrElse("")
-                if (inFigure) pending += ((src, alt))
-                else emit(src, alt, "")
+                if (inFigure) {
+                  pending += ((out.length, src, alt))
+                  emit(src, alt, "") // slot now, caption at flush
+                } else emit(src, alt, "")
               case None => ()
             }
             i = after
@@ -643,7 +658,7 @@ object HtmlExpressions {
         } else i += 1
       } else i += 1
     }
-    flushFigure() // unterminated figure: tolerant, caption-so-far
+    flushFigure() // unterminated figure: caption-so-far, order kept
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 

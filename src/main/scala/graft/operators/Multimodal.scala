@@ -683,13 +683,21 @@ object Multimodal {
                       dataCol: String = "data"): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    // Degrade PER ROW, not per job: a real fetched-media store always
+    // carries some unsniffable/corrupt payloads, and one of them must
+    // not fail the whole pipeline — an undecodable blob simply drops
+    // here (its pairs fall out of the inner join), the same outcome
+    // m13's explicit sniff gate produces for them upstream.
     val feats = media
       .select(col(urlCol).as("img_url"), col(dataCol).as("data"))
       .as[(String, Array[Byte])]
-      .map { case (url, bytes) =>
-        val (w, h, rgb) = decodeImage(bytes)
-        (url, w, h, dHash64(w, h, rgb))
-      }.toDF("img_url", "width", "height", "phash")
+      .flatMap { case (url, bytes) =>
+        try {
+          val (w, h, rgb) = decodeImage(bytes)
+          Iterator.single((url, w, h, dHash64(w, h, rgb)))
+        } catch { // strict codecs throw cleanly on corrupt payloads
+          case scala.util.control.NonFatal(_) => Iterator.empty
+        } }.toDF("img_url", "width", "height", "phash")
     pairs.join(feats, "img_url")
   }
 

@@ -3450,6 +3450,17 @@ object TextAnalysis {
     */
   def bbpeEncodeIdsVocab(docs: DataFrame, merges: Seq[(String, String)],
                          textCol: String = "text"): DataFrame = {
+    // symId keys by the merged STRING, so two distinct merges whose
+    // concatenations collide (a+bc and ab+c both → "abc") would
+    // silently reassign the earlier rank's id — and the replay shares
+    // the toMap convention, so the oracle could not catch it. The
+    // GPT-2 id-space contract needs distinct merged symbols: fail
+    // loudly instead of letting the later rank win.
+    val mergedStrs = merges.map { case (a, b) => a + b }
+    require(mergedStrs.toSet.size == mergedStrs.length,
+      "bbpeEncodeIdsVocab: colliding merged symbols in merge table: " +
+        mergedStrs.groupBy(identity).collect {
+          case (s, g) if g.length > 1 => s }.mkString(", "))
     val symId: Map[String, Int] =
       ByteBpe.ByteToChar.zipWithIndex.map { case (c, b) => c -> b }.toMap ++
         merges.zipWithIndex.map { case ((a, b), k) => (a + b) -> (256 + k) }

@@ -41,6 +41,17 @@ object TextGolden {
     }
   }
 
+  /** Revision tag folded into every golden NAME derived from
+    * [[unigramTrainReplay]] / [[unigramTrainSoftReplay]] — bump it
+    * whenever either replay's OUTPUT can change for a fixed input (the
+    * r17 vocab-cutoff tie-break moved from UTF-16 `compareTo` to
+    * code-point order — "cp1"), so a golden persisted by an older
+    * replay is rebuilt instead of silently reused against a fresh
+    * oracle (the "retuned parameters can never silently reuse a stale
+    * golden" convention, extended to replay-algorithm revisions).
+    */
+  val ReplayTag: String = "cp1"
+
   /** [[TextAnalysis.rollingFingerprint]] replayed: min xxhash64 (seed 42,
     * the engine's string hash) over the character k-grams of lower(text);
     * 0 when the text is shorter than k characters.
@@ -405,6 +416,11 @@ object TextGolden {
                           merges: Seq[(String, String)]): Seq[Int] = {
     var syms = byteSymsOf(ptok)
     merges.foreach { case (a, b) => syms = mergeOnce(syms, a, b, a + b) }
+    // same loud-failure contract as bbpeEncodeIdsVocab: a string-keyed
+    // id map cannot represent two merges with colliding concatenations
+    val mergedStrs = merges.map { case (a, b) => a + b }
+    require(mergedStrs.toSet.size == mergedStrs.length,
+      "bbpeEncodeIdsPreTok: colliding merged symbols in merge table")
     val mergeId = merges.zipWithIndex
       .map { case ((a, b), k) => (a + b) -> (256 + k) }.toMap
     syms.toSeq.map(s =>

@@ -4783,13 +4783,15 @@ object LlmQueries {
   private def l79GoldenName(dir: String): String =
     s"l79-unigram-${graft.operators.TextAnalysis.Unigram.VocabSize}-" +
       s"${graft.operators.TextAnalysis.Unigram.Epochs}-" +
-      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
+      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-" +
+      s"${graft.operators.TextGolden.ReplayTag}-v1"
 
   private def l80GoldenName(dir: String): String =
     s"l80-unigramvocab-" +
       s"${graft.operators.TextAnalysis.Unigram.VocabSize}-" +
       s"${graft.operators.TextAnalysis.Unigram.Epochs}-" +
-      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
+      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-" +
+      s"${graft.operators.TextGolden.ReplayTag}-v1"
 
   private def replayWordFreq(s: org.apache.spark.sql.SparkSession,
                              dir: String): Seq[(String, Long)] = {
@@ -4857,7 +4859,8 @@ object LlmQueries {
     s"l83-unigramids-" +
       s"${graft.operators.TextAnalysis.Unigram.VocabSize}-" +
       s"${graft.operators.TextAnalysis.Unigram.Epochs}-" +
-      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
+      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-" +
+      s"${graft.operators.TextGolden.ReplayTag}-v1"
 
   /** The l83/l85 golden: replay-train, then replay-Viterbi every
     * distinct corpus word and map pieces to the replay table's 1-based
@@ -4916,12 +4919,14 @@ object LlmQueries {
     s"l86-unigrammarked-" +
       s"${graft.operators.TextAnalysis.Unigram.VocabSize}-" +
       s"${graft.operators.TextAnalysis.Unigram.Epochs}-" +
-      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
+      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-" +
+      s"${graft.operators.TextGolden.ReplayTag}-v1"
   private def l87GoldenName(dir: String): String =
     s"l87-unigrammarkedids-" +
       s"${graft.operators.TextAnalysis.Unigram.VocabSize}-" +
       s"${graft.operators.TextAnalysis.Unigram.Epochs}-" +
-      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
+      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-" +
+      s"${graft.operators.TextGolden.ReplayTag}-v1"
 
   /** The replay word-frequency relation with every word ▁-marked —
     * the l86/l87 training universe (the [[graft.operators.TextAnalysis
@@ -5048,7 +5053,8 @@ object LlmQueries {
     s"l91-fertility-" +
       s"${graft.operators.TextAnalysis.Unigram.VocabSize}-" +
       s"${graft.operators.TextAnalysis.Unigram.Epochs}-" +
-      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
+      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-" +
+      s"${graft.operators.TextGolden.ReplayTag}-v1"
 
   /** The l91 golden: every distinct planted-world word replay-Viterbi'd
     * under the DOCUMENTS-trained replay model (the l80 golden's model —
@@ -5136,7 +5142,8 @@ object LlmQueries {
     s"l88-unigramsoft-" +
       s"${graft.operators.TextAnalysis.Unigram.VocabSize}-" +
       s"${graft.operators.TextAnalysis.Unigram.Epochs}-" +
-      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
+      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-" +
+      s"${graft.operators.TextGolden.ReplayTag}-v1"
 
   private def ensureUnigramSoftGolden(
       s: org.apache.spark.sql.SparkSession, dir: String): Unit = {

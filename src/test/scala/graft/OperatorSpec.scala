@@ -4020,4 +4020,65 @@ class OperatorSpec extends AnyFunSuite {
         s"replay mismatch on doc $id: ${replay(text)} vs ${joinForm(id)}")
     }
   }
+
+  test("htmlImages: unterminated <figure> keeps document order — " +
+      "in-figure imgs hold their slots, the caption seen by " +
+      "end-of-document patches in (r17 ADVICE regression)") {
+    val html = "<img src=\"/pre.png\" alt=\"p\">" +
+      "<figure><img src=\"/a.png\"><figcaption>cap</figcaption>" +
+      "<p>flow content</p><img src=\"/b.png\">" // figure never closes
+    val out = graft.functions.expressions.HtmlExpressions.htmlImages(
+      org.apache.spark.unsafe.types.UTF8String.fromString(html))
+    val rows = (0 until out.numElements()).map { j =>
+      val r = out.getStruct(j, 3)
+      (r.getUTF8String(0).toString, r.getUTF8String(1).toString,
+        r.getUTF8String(2).toString)
+    }
+    assert(rows == Seq(
+      ("/pre.png", "p", ""),
+      ("/a.png", "", "cap"),
+      ("/b.png", "", "cap")), s"got $rows")
+  }
+
+  test("imageTextJoined: corrupt/unsniffable media blobs drop per-row " +
+      "instead of failing the job (r17 ADVICE regression)") {
+    val rnd = new scala.util.Random(11)
+    val rgb = Multimodal.smoothRgb(16, 16, rnd)
+    val good = Multimodal.Codecs.encodeBmp(16, 16, rgb)
+    val truncated = good.take(20) // sniffable header, cut body
+    val media = Seq(
+      ("http://x.example/ok.bmp", good),
+      ("http://x.example/junk.bin", Array[Byte](1, 2, 3, 4, 5)),
+      ("http://x.example/cut.bmp", truncated))
+      .toDF("media_url", "data")
+    val pairs = Seq(
+      ("http://x.example/p.html", 0L, "http://x.example/ok.bmp",
+        "a", "", "a"),
+      ("http://x.example/p.html", 1L, "http://x.example/junk.bin",
+        "b", "", "b"),
+      ("http://x.example/p.html", 2L, "http://x.example/cut.bmp",
+        "c", "", "c"))
+      .toDF("src_url", "img_idx", "img_url", "alt", "caption", "text")
+    val out = Multimodal.imageTextJoined(pairs, media).collect()
+    assert(out.length == 1 &&
+      out(0).getAs[String]("img_url") == "http://x.example/ok.bmp",
+      out.toSeq.toString)
+  }
+
+  test("bbpeEncodeIdsVocab: colliding merged symbols (a+bc vs ab+c) " +
+      "fail loudly instead of silently reassigning ids " +
+      "(r17 ADVICE regression)") {
+    val docs = Seq("abc abc").toDF("text")
+    // symbol strings here are mapped byte chars, but the collision
+    // property only needs the concatenations to be equal
+    val colliding = Seq(("a", "bc"), ("ab", "c"))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bbpeEncodeIdsVocab(docs, colliding).collect()
+    }
+    assert(e.getMessage.contains("colliding merged symbols"), e)
+    val er = intercept[IllegalArgumentException] {
+      graft.operators.TextGolden.bbpeEncodeIdsPreTok("abc", colliding)
+    }
+    assert(er.getMessage.contains("colliding merged symbols"), er)
+  }
 }
