@@ -588,9 +588,11 @@ object TextHashExpressions {
   def unigram_encode_ids(text: Column, pieces: Seq[String],
                          lpUnits: Seq[Long], maxPieceLen: Int,
                          unkUnits: Long,
-                         wordPrefix: String = ""): Column =
+                         wordPrefix: String = "",
+                         byteFallback: Boolean = false): Column =
     Bridge.column(UnigramEncodeIdsExpr(Bridge.expression(text),
-      pieces, lpUnits, maxPieceLen, unkUnits, wordPrefix))
+      pieces, lpUnits, maxPieceLen, unkUnits, wordPrefix,
+      byteFallback))
 }
 
 /** hashed_margin_units(text): the quality classifier's integer
@@ -927,11 +929,23 @@ case class UnigramSegmentExpr(child: Expression, pieces: Seq[String],
   * emits the reserved UNK id 0. Null text → null; empty/whitespace
   * text → empty array. Zero-exchange, scan-fused, append-streamable —
   * the l77/l80 inference shape.
+  *
+  * `byteFallback` (SentencePiece `byte_fallback`, the Llama-family
+  * production convention): UNK never appears in the id stream —
+  * instead the id space prepends a 256-entry BYTE block (byte value b
+  * → id 1+b; trained rank r → id 256+r; id 0 unused) and an unknown
+  * single code point emits its UTF-8 bytes as byte-piece ids, so
+  * EVERY document round-trips losslessly
+  * ([[graft.operators.TextAnalysis.unigramDecodeIds]]). The DP itself
+  * is UNCHANGED — fallback only rewrites the EMISSION of the unk edge
+  * (segmentations are bit-identical to the non-fallback mode), which
+  * keeps both modes on one exactness proof.
   */
 case class UnigramEncodeIdsExpr(child: Expression, pieces: Seq[String],
                                 lpUnits: Seq[Long], maxPieceLen: Int,
                                 unkUnits: Long,
-                                wordPrefix: String = "")
+                                wordPrefix: String = "",
+                                byteFallback: Boolean = false)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -1006,10 +1020,26 @@ case class UnigramEncodeIdsExpr(child: Expression, pieces: Seq[String],
         }
         i += 1
       }
-      // walk backpointers, reverse the word's ids in place
+      // walk backpointers, reverse the word's ids in place (a
+      // byte-fallback segment appends its UTF-8 byte ids REVERSED so
+      // the single flip below restores document order for them too)
       val from = out.length
       var p = cp
-      while (p > 0) { out += Integer.valueOf(id(p)); p = back(p) }
+      while (p > 0) {
+        if (byteFallback) {
+          if (id(p) > 0) out += Integer.valueOf(256 + id(p))
+          else {
+            val bs = s.substring(offs(back(p)), offs(p)).getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)
+            var bi = bs.length - 1
+            while (bi >= 0) {
+              out += Integer.valueOf((bs(bi) & 0xff) + 1)
+              bi -= 1
+            }
+          }
+        } else out += Integer.valueOf(id(p))
+        p = back(p)
+      }
       var a = from
       var b = out.length - 1
       while (a < b) {

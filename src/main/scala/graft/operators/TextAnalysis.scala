@@ -1787,17 +1787,48 @@ object TextAnalysis {
   def unigramEncodeIds(docs: DataFrame, model: Unigram.Model,
                        idCol: String = "doc_id",
                        textCol: String = "text",
-                       markWords: Boolean = false): DataFrame = {
+                       markWords: Boolean = false,
+                       byteFallback: Boolean = false): DataFrame = {
     val ids = graft.functions.expressions.TextHashExpressions
       .unigram_encode_ids(col(textCol), model.pieces.map(_._1),
         model.pieces.map(_._3), Unigram.MaxPieceLen, Unigram.UnkUnits,
-        wordPrefix = if (markWords) Unigram.Marker else "")
+        wordPrefix = if (markWords) Unigram.Marker else "",
+        byteFallback = byteFallback)
     docs
       .select(col(idCol), ids.as("token_ids"))
       .filter(size(col("token_ids")) > 0)
       .select(col(idCol),
         size(col("token_ids")).cast("long").as("n_tokens"),
         col("token_ids"))
+  }
+
+  /** Decode a byte-fallback id sequence back to text — the lossless
+    * half of the `byteFallback = true` contract (the l84 byte-BPE
+    * decode pattern): byte ids (1..256) contribute their byte, trained
+    * ids (257+) contribute the piece's UTF-8 bytes, and — in marked
+    * mode — the ▁ markers that carried word boundaries through the id
+    * stream turn back into spaces. `decode(encode(text))` equals the
+    * engine-normalized text (lowercased, whitespace collapsed to
+    * single spaces, trimmed) for EVERY input, in-vocabulary or not;
+    * id 0 (UNK) is rejected because a byte-fallback stream can never
+    * contain it.
+    */
+  def unigramDecodeIds(ids: Seq[Int], model: Unigram.Model,
+                       markWords: Boolean = false): String = {
+    val bytes = scala.collection.mutable.ArrayBuffer[Byte]()
+    ids.foreach { id =>
+      require(id >= 1 && id <= 256 + model.pieces.length,
+        s"unigramDecodeIds: id $id outside the byte-fallback id space" +
+          s" [1, ${256 + model.pieces.length}] (0 = UNK never appears)")
+      if (id <= 256) bytes += (id - 1).toByte
+      else bytes ++= model.pieces(id - 257)._1
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val raw = new String(bytes.toArray,
+      java.nio.charset.StandardCharsets.UTF_8)
+    if (markWords)
+      raw.replace(Unigram.Marker, " ").stripPrefix(" ")
+    else raw
   }
 
   /** Unigram-LM quality scoring — the CCNet/Wikipedia-LM filter shape

@@ -1960,6 +1960,34 @@ object LlmQueries {
       }, None, Some(dir => mGoldenSql(l88GoldenName(dir),
         "rank, piece, cnt, lp_units", "rank"))),
 
+    // BYTE-FALLBACK token-ID emission (l93) — SentencePiece
+    // `byte_fallback`, the Llama-family production convention closing
+    // l83/l87's one lossy edge: UNK id 0 never appears; the id space
+    // prepends a 256-entry byte block (byte b → 1 + b, trained rank r
+    // → 256 + r) and an unknown single code point emits its UTF-8
+    // bytes, so EVERY document round-trips losslessly (the l84
+    // byte-BPE decode contract, now on the unigram family —
+    // OperatorSpec pins decode(encode(text)) == normalized text).
+    // The DP is UNCHANGED — fallback rewrites only the unk edge's
+    // EMISSION, so segmentations are bit-identical to l87's. Runs over
+    // a planted world with known 2/3/4-byte OOV characters under the
+    // documents-trained marked model (training text has no emoji — the
+    // OOV case is structural, not accidental). Same zero-exchange
+    // scan-fused plan as l83. Oracle: DuckDB rebuilds the world from
+    // doc_id arithmetic and reassembles full id strings from the
+    // word → fallback-ids replay golden (values AND order).
+    "l93_unigram_ids_bytefb" -> QuerySpec(
+      (s, dir) => {
+        ensureUnigramFbGolden(s, dir)
+        graft.operators.TextAnalysis.unigramEncodeIds(
+            l93World(s, dir), unigramMarkedModelCached(s, dir),
+            markWords = true, byteFallback = true)
+          .select(col("doc_id"), col("n_tokens"),
+            array_join(transform(col("token_ids"),
+              i => i.cast("string")), " ").as("ids_str"))
+          .orderBy(col("doc_id"))
+      }, None, Some(dir => l93Sql(dir))),
+
     // BYTE-LEVEL BPE training (GPT-2 family) — the production tokenizer
     // beside the word-level l26: regex pre-tokenization (contractions,
     // leading-space word/number/punct groups), UTF-8 bytes through the
@@ -4972,6 +5000,106 @@ object LlmQueries {
         (w, ids.length.toLong, ids.mkString(" "))
       }.toDF("word", "n_ids", "ids_str")
     })
+  }
+
+  // ---- byte-fallback token-ID emission (l93) ----
+
+  /** The l93 planted world: documents ids carrying text with KNOWN
+    * out-of-vocabulary characters relative to the documents-trained
+    * model — 2-byte (é, ï), 3-byte (№), and 4-byte supplementary-plane
+    * (😀, a surrogate pair in UTF-16) UTF-8 sequences — derived
+    * arithmetically from doc_id so DuckDB rebuilds the identical text
+    * (the l77/l91 planted-world convention). In-vocab words ("the",
+    * digits) ride along so BOTH emission paths (trained piece ids and
+    * byte-fallback ids) appear in every document.
+    */
+  private[queries] def l93World(s: org.apache.spark.sql.SparkSession,
+                                dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val id = col("doc_id")
+    Tables(s, dir, "documents").select(id,
+      concat(lit("the résumé № "),
+        (id % 7).cast("string"),
+        lit(" naïve 😀"),
+        (id % 5).cast("string")).as("text"))
+  }
+
+  /** Every distinct word the l93 world can produce (residues 0..6 and
+    * 0..4 both enumerate fully on any ids table; extra golden rows are
+    * join-dropped, never wrong).
+    */
+  private def l93Words: Seq[String] =
+    Seq("the", "résumé", "№", "naïve") ++
+      (0 until 7).map(_.toString) ++
+      (0 until 5).map(i => "😀" + i)
+
+  private def l93GoldenName(dir: String): String =
+    s"l93-unigramfbids-" +
+      s"${graft.operators.TextAnalysis.Unigram.VocabSize}-" +
+      s"${graft.operators.TextAnalysis.Unigram.Epochs}-" +
+      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-" +
+      s"${graft.operators.TextGolden.ReplayTag}-v1"
+
+  /** The l93 golden: the MARKED replay model (l87's), Viterbi over
+    * each marked planted-world word, pieces mapped to the BYTE-
+    * FALLBACK id space — trained rank r → 256 + r, an unknown single
+    * code point → its UTF-8 bytes as ids 1 + b (id 0 never appears).
+    * Keyed by the unmarked word, the l83/l87 oracle shape.
+    */
+  private def ensureUnigramFbGolden(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import s.implicits._
+    graft.operators.MultimodalGolden.ensureGoldenDf(l93GoldenName(dir), {
+      val u = graft.operators.TextAnalysis.Unigram
+      val trained = graft.operators.TextGolden
+        .unigramTrainReplay(markedWordFreq(s, dir), u.VocabSize,
+          u.MaxPieceLen, u.Epochs, u.UnkUnits)
+      val lp = trained.map { case (_, p, _, units) => p -> units }.toMap
+      val rank = trained.map { case (r, p, _, _) => p -> r }.toMap
+      l93Words.map { w =>
+        val ids = graft.operators.TextGolden
+          .unigramViterbi(u.Marker + w, lp, u.MaxPieceLen, u.UnkUnits)
+          .flatMap { p =>
+            rank.get(p) match {
+              case Some(r) => Seq(256 + r)
+              case None => p.getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8)
+                .toSeq.map(b => (b & 0xff) + 1)
+            }
+          }
+        (w, ids.length.toLong, ids.mkString(" "))
+      }.toDF("word", "n_ids", "ids_str")
+    })
+  }
+
+  /** l93 oracle: rebuild the planted world from doc_id arithmetic,
+    * tokenize, join the word → fallback-ids golden, reassemble each
+    * document's full id string in word order (the l83 oracle shape
+    * over the planted world).
+    */
+  private def l93Sql(dir: String): String = {
+    val base = graft.operators.MultimodalGolden
+      .goldenBase(l93GoldenName(dir))
+    s"""WITH world AS (
+       |  SELECT doc_id,
+       |    'the résumé № ' || (doc_id % 7)::VARCHAR ||
+       |    ' naïve 😀' || (doc_id % 5)::VARCHAR AS text
+       |  FROM documents),
+       |t0 AS (
+       |  SELECT doc_id, list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    x -> length(x) > 0) AS arr
+       |  FROM world),
+       |toks AS (
+       |  SELECT doc_id, unnest(arr) AS word,
+       |    unnest(range(1, len(arr) + 1)) AS pos
+       |  FROM t0 WHERE len(arr) > 0),
+       |v AS (SELECT word, n_ids, ids_str
+       |      FROM read_parquet('$base/*.parquet'))
+       |SELECT t.doc_id, SUM(v.n_ids)::BIGINT AS n_tokens,
+       |  string_agg(v.ids_str, ' ' ORDER BY t.pos) AS ids_str
+       |FROM toks t JOIN v USING (word)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   }
 
   /** l89's oracle: per-word unit sums from the l83 ids golden joined

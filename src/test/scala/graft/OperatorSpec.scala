@@ -4081,4 +4081,52 @@ class OperatorSpec extends AnyFunSuite {
     }
     assert(er.getMessage.contains("colliding merged symbols"), er)
   }
+
+  test("unigram byteFallback: UNK never appears, OOV code points emit " +
+      "UTF-8 byte ids, decode(encode(text)) round-trips the normalized " +
+      "text losslessly, and in-vocab segmentation is the marked mode's " +
+      "shifted by the 256-entry byte block") {
+    import graft.operators.TextAnalysis
+    // training corpus: ASCII only — every non-ASCII char below is
+    // structurally OOV for the trained model
+    val docs = (0 until 8).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog " + i))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.unigramTrain(docs, markWords = true,
+      vocabSize = 64, epochs = 2)
+    // 2-byte (é, ï), 3-byte (№), 4-byte surrogate-pair (😀) UTF-8,
+    // irregular whitespace and case — everything normalize handles
+    val oov = "  The  Na\u00efve \t caf\u00e9 \u2116 42" +
+      " \ud83d\ude00ok  "
+    val probe = Seq((1L, oov), (2L, "the quick dog"))
+      .toDF("doc_id", "text")
+    val fb = TextAnalysis.unigramEncodeIds(probe, m, markWords = true,
+        byteFallback = true)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Int]]("token_ids").toSeq).toMap
+    // (a) the whole stream lives in [1, 256 + |vocab|]: no UNK 0
+    fb.values.flatten.foreach(id =>
+      assert(id >= 1 && id <= 256 + m.pieces.length, s"id $id"))
+    // (b) fallback FIRED: the OOV doc carries byte-block ids
+    assert(fb(1L).exists(_ <= 256), fb(1L).toString)
+    // (c) lossless: decode == the engine-normalized text
+    def norm(t: String) = t.trim.toLowerCase
+      .split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty).mkString(" ")
+    assert(TextAnalysis.unigramDecodeIds(fb(1L), m, markWords = true)
+      == norm(oov))
+    assert(TextAnalysis.unigramDecodeIds(fb(2L), m, markWords = true)
+      == "the quick dog")
+    // (d) on in-vocab text the fallback stream is EXACTLY the marked
+    // stream shifted by the byte block (the DP is unchanged)
+    val plain = TextAnalysis.unigramEncodeIds(probe, m,
+        markWords = true)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Int]]("token_ids").toSeq).toMap
+    assert(fb(2L) == plain(2L).map(_ + 256),
+      s"${fb(2L)} vs ${plain(2L)}")
+    // (e) id 0 rejected by decode (a fallback stream can't carry it)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unigramDecodeIds(Seq(0), m, markWords = true)
+    }
+  }
 }
