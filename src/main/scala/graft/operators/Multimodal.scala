@@ -746,6 +746,41 @@ object Multimodal {
         col("ta.__t").as("text"))
   }
 
+  /** Embedding-similarity PAIR GATE — the CLIP-score filter every
+    * multimodal corpus build runs (LAION keeps pairs with CLIP
+    * similarity ≥ 0.28; DataComp sweeps the threshold): each
+    * image–text pair scores the cosine between its image embedding and
+    * its text embedding, and `keep` is `clip_score >= minScore`. The
+    * embedding MODEL is deployment infrastructure (a GPU inference
+    * fleet) — this operator takes its outputs as RELATIONS, the same
+    * stance the s-family takes for the `embeddings` table: `imgEmb`
+    * keyed by the pair's image url, `txtEmb` keyed by the pair text
+    * (identical captions score identically by construction — CLIP text
+    * encoding is a pure function of the text).
+    *
+    * Scale shape: two equi-joins (url-keyed, text-keyed — never a
+    * cross join) + ONE in-row cosine
+    * ([[graft.functions.expressions.VectorExpressions.cosine_sim]],
+    * the s01-proven kernel); scores round to 6 decimals (the s-family
+    * convention, engine-stable). Output: the pair columns +
+    * (clip_score, keep) — callers filter on `keep` (the funnel stage)
+    * or keep the score for threshold sweeps.
+    */
+  def pairEmbedGate(pairs: DataFrame, imgEmb: DataFrame,
+                    txtEmb: DataFrame, minScore: Double,
+                    imgUrlCol: String = "img_url",
+                    textCol: String = "text",
+                    imgVecCol: String = "img_vec",
+                    txtVecCol: String = "txt_vec"): DataFrame =
+    pairs
+      .join(imgEmb, imgUrlCol)
+      .join(txtEmb, textCol)
+      .withColumn("clip_score", round(
+        graft.operators.Similarity.cosine(col(imgVecCol),
+          col(txtVecCol)), 6))
+      .withColumn("keep", col("clip_score") >= lit(minScore))
+      .drop(imgVecCol, txtVecCol)
+
   def imageTextPairs(pairs: DataFrame, media: DataFrame,
                      urlCol: String = "media_url",
                      dataCol: String = "data"): DataFrame = {

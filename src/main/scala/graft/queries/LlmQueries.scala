@@ -4406,6 +4406,11 @@ object LlmQueries {
         val gatedMedia = media.join(
           gated.withColumnRenamed("img_url", "media_url"), "media_url")
         val p4 = Multimodal.imageTextPairs(p3, gatedMedia)
+        // the CLIP-score analog (m14) as the funnel's last stage:
+        // keepers whose image/text embeddings cosine >= 0.9
+        val p5 = Multimodal.pairEmbedGate(p4, m14ImgEmb(s, dir, nImg),
+            m14TxtEmb(s, dir, nImg), minScore = 0.9)
+          .filter(col("keep"))
         def stage(name: String, df: org.apache.spark.sql.DataFrame) =
           df.agg(count(lit(1)).as("n_pairs"))
             .select(lit(name).as("stage"), col("n_pairs"))
@@ -4413,8 +4418,64 @@ object LlmQueries {
           .unionByName(stage("2_media_gate", p2))
           .unionByName(stage("3_text_gate", p3))
           .unionByName(stage("4_pair_dedup", p4))
+          .unionByName(stage("5_embed_gate", p5))
           .orderBy(col("stage"))
       }, None, Some(_ => m13Sql(s"m13-imgfeat-40-v1", 40))),
+
+    // Embedding-similarity PAIR GATE (m14) — the CLIP-score filter
+    // every multimodal corpus build runs (LAION's CLIP >= 0.28 cut,
+    // DataComp's threshold sweeps), closing the one missing stage in
+    // the m-family: m11's kept pairs join their image embedding (by
+    // canonical url) and their text embedding (by the text itself —
+    // identical captions score identically), cosine in-row (the
+    // s01-proven kernel), gate at 0.9. The embedding model is
+    // deployment infrastructure; its outputs arrive as RELATIONS (the
+    // s-family stance) — here planted from the embeddings table with
+    // aligned pairs at cosine exactly 1 and misaligned ones in the
+    // data's natural <= ~0.5 band, so both classes appear. Two
+    // equi-joins + one narrow score — never a cross join (PlanSpec).
+    // Oracle: the m11 kept-pair chain + list_inner_product cosine on
+    // the same embeddings rows.
+    "m14_pair_embed_gate" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val nImg = 40
+        MultimodalGolden.ensureGoldenDf(s"m11-imgfeat-$nImg-v1",
+          s.range(nImg).map { boxed =>
+            val i: Long = boxed
+            val (w, h, rgb) = Multimodal.pngRawDraw(i)
+            (i, w, h, Multimodal.dHash64(w, h, rgb))
+          }.toDF("img_id", "width", "height", "phash"))
+        val media = s.range(nImg).map { boxed =>
+          val i: Long = boxed
+          val (w, h, rgb) = Multimodal.pngRawDraw(i)
+          val bytes =
+            if (i % 2 == 0) Multimodal.Codecs.encodeBmp(w, h, rgb)
+            else graft.codec.Png.encode(w, h, rgb)
+          (s"http://media.example/img/$i.bmp", bytes)
+        }.toDF("media_url", "data")
+        val d = col("doc_id")
+        val ida = when(d % 10 === 7, lit(3L)).otherwise(d % nImg)
+        val alta = when(d % 10 === 7, lit("shared alt"))
+          .otherwise(concat(lit("Doc "), d, lit(" primary")))
+        val idb = (d * 3 + 1) % nImg
+        val pages = Tables(s, dir, "documents").select(
+          concat(lit("http://media.example/pages/"), d, lit(".html"))
+            .as("url"),
+          concat(
+            lit("<html><body><img src=\"/img/"), ida,
+            lit(".bmp\" alt=\""), alta, lit("\">"),
+            lit("<figure><img src=\"/img/"), idb,
+            lit(".bmp\"><figcaption>Caption "), d,
+            lit(" fig</figcaption></figure></body></html>")).as("html"))
+        val kept = Multimodal.imageTextPairs(
+          TextAnalysis.extractImagePairs(pages), media)
+        Multimodal.pairEmbedGate(kept, m14ImgEmb(s, dir, nImg),
+            m14TxtEmb(s, dir, nImg), minScore = 0.9)
+          .select(col("src_url"), col("img_idx"), col("img_url"),
+            col("text"), col("clip_score"), col("keep"))
+          .orderBy(col("src_url"), col("img_idx"))
+      }, None, Some(_ => m14Sql("m11-imgfeat-40-v1", 40))),
   ) + m08Entry + m09Entry
 
   /** m13's oracle: per-stage pair counts chained as CTEs over the
@@ -4434,21 +4495,37 @@ object LlmQueries {
        |         ELSE 'Caption ' || doc_id || ' fig' END AS capb
        |  FROM documents),
        |pairs AS (
-       |  SELECT doc_id * 4 AS pid, alta AS text, ida AS img_id FROM docs
+       |  SELECT 'http://media.example/pages/' || doc_id || '.html'
+       |      AS src_url,
+       |    0::BIGINT AS img_idx, alta AS text, ida AS img_id FROM docs
        |  UNION ALL
-       |  SELECT doc_id * 4 + 1, capb, idb FROM docs),
+       |  SELECT 'http://media.example/pages/' || doc_id || '.html',
+       |    1::BIGINT, capb, idb FROM docs),
        |j AS (SELECT p.*, g.width, g.height, g.phash
        |      FROM pairs p JOIN g USING (img_id)),
        |p2 AS (SELECT * FROM j WHERE width >= 24 AND height >= 24),
        |p3 AS (SELECT * FROM p2 WHERE len(list_filter(
        |    regexp_split_to_array(lower(trim(text)), '\\s+'),
        |    x -> length(x) > 0)) >= 1),
-       |p4 AS (SELECT phash, text FROM p3 GROUP BY phash, text)
+       |p4 AS (SELECT phash, text, img_id,
+       |    ROW_NUMBER() OVER (PARTITION BY phash, text
+       |      ORDER BY src_url, img_idx) AS rn
+       |  FROM p3),
+       |p4k AS (SELECT * FROM p4 WHERE rn = 1),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |${m14TvCte(nImg)},
+       |p5 AS (SELECT k.img_id,
+       |    ${mCosSql("ei.ev", "et.ev")} AS c
+       |  FROM p4k k JOIN e ei ON ei.vec_id = k.img_id
+       |    JOIN tv ON tv.text = k.text
+       |    JOIN e et ON et.vec_id = tv.tvid)
        |SELECT '1_extracted' AS stage, COUNT(*)::BIGINT AS n_pairs
        |FROM pairs
        |UNION ALL SELECT '2_media_gate', COUNT(*)::BIGINT FROM p2
        |UNION ALL SELECT '3_text_gate', COUNT(*)::BIGINT FROM p3
-       |UNION ALL SELECT '4_pair_dedup', COUNT(*)::BIGINT FROM p4
+       |UNION ALL SELECT '4_pair_dedup', COUNT(*)::BIGINT FROM p4k
+       |UNION ALL SELECT '5_embed_gate', COUNT(*)::BIGINT FROM p5
+       |  WHERE round(c, 6) >= 0.9
        |ORDER BY stage""".stripMargin
   }
 
@@ -4486,6 +4563,121 @@ object LlmQueries {
        |    AND a.ckey = b.ckey AND a.pid < b.pid AND a.text = b.text)
        |SELECT id_a, id_b, h::INT AS hamming, text
        |FROM cand WHERE h <= 3 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** m14 image-embedding relation: image i's embedding is the
+    * embeddings row vec_id = i, keyed by the canonical media url — the
+    * s-family stance (embedding models are deployment infrastructure;
+    * their outputs arrive as relations).
+    */
+  private def m14ImgEmb(s: org.apache.spark.sql.SparkSession,
+                        dir: String, nImg: Int)
+      : org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "embeddings").filter(col("vec_id") < nImg)
+      .select(concat(lit("http://media.example/img/"), col("vec_id"),
+        lit(".bmp")).as("img_url"),
+        col("embedding").as("img_vec"))
+
+  /** m14 text-embedding relation over the m11/m13 planted text
+    * universe, keyed by the text itself: ALIGNED texts point at their
+    * pair's own image vector (cosine exactly 1 — the CLIP-high class:
+    * primary texts with doc_id % 3 != 0, captions with even doc_id,
+    * and 'shared alt' → image 3), misaligned ones at an unrelated
+    * embeddings row (this data's natural cosines top out ≈ 0.5, far
+    * under the 0.9 gate — both classes appear by construction).
+    */
+  private def m14TxtEmb(s: org.apache.spark.sql.SparkSession,
+                        dir: String, nImg: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val d = col("doc_id")
+    val docs = Tables(s, dir, "documents")
+    val prim = docs.filter(d % 10 =!= 7).select(
+      concat(lit("Doc "), d, lit(" primary")).as("text"),
+      when(d % 3 === 0, (d * 7 + 11) % 500)
+        .otherwise(d % nImg).as("vec_id"))
+    val cap = docs.select(
+      concat(lit("Caption "), d, lit(" fig")).as("text"),
+      when(d % 2 === 0, (d * 3 + 1) % nImg)
+        .otherwise((d * 13 + 29) % 500).as("vec_id"))
+    val shared = s.range(1).select(lit("shared alt").as("text"),
+      lit(3L).as("vec_id"))
+    prim.unionByName(cap).unionByName(shared)
+      .join(Tables(s, dir, "embeddings"), "vec_id")
+      .select(col("text"), col("embedding").as("txt_vec"))
+  }
+
+  /** The m14 text → embedding-row CTE — ONE copy shared by the m14
+    * and m13 oracles (the st12/q17 shared-constant convention).
+    */
+  private def m14TvCte(nImg: Int): String =
+    s"""tv AS (
+       |  SELECT 'shared alt' AS text, 3::BIGINT AS tvid
+       |  UNION ALL
+       |  SELECT 'Doc ' || doc_id || ' primary',
+       |    CASE WHEN doc_id % 3 = 0 THEN (doc_id * 7 + 11) % 500
+       |         ELSE doc_id % $nImg END
+       |  FROM documents WHERE doc_id % 10 <> 7
+       |  UNION ALL
+       |  SELECT 'Caption ' || doc_id || ' fig',
+       |    CASE WHEN doc_id % 2 = 0 THEN (doc_id * 3 + 1) % $nImg
+       |         ELSE (doc_id * 13 + 29) % 500 END
+       |  FROM documents)""".stripMargin
+
+  /** The s01-proven cosine formula over two DOUBLE[] columns. */
+  private def mCosSql(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_inner_product($a, $a))
+       |          * sqrt(list_inner_product($b, $b)) <> 0
+       |     THEN list_inner_product($a, $b)
+       |          / (sqrt(list_inner_product($a, $a))
+       |             * sqrt(list_inner_product($b, $b)))
+       |     ELSE 0 END""".stripMargin
+
+  /** m14's oracle: the m11 kept-pair chain extended with the two
+    * embedding joins and the rounded cosine + gate.
+    */
+  private def m14Sql(gname: String, nImg: Int): String = {
+    val base = MultimodalGolden.goldenBase(gname)
+    s"""WITH g AS (SELECT img_id, width, height, phash
+       |           FROM read_parquet('$base/*.parquet')),
+       |docs AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 7 THEN 3
+       |         ELSE doc_id % $nImg END AS ida,
+       |    (doc_id * 3 + 1) % $nImg AS idb,
+       |    CASE WHEN doc_id % 10 = 7 THEN 'shared alt'
+       |         ELSE 'Doc ' || doc_id || ' primary' END AS alta,
+       |    'Caption ' || doc_id || ' fig' AS capb
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT 'http://media.example/pages/' || doc_id || '.html'
+       |      AS src_url,
+       |    0::BIGINT AS img_idx,
+       |    'http://media.example/img/' || ida || '.bmp' AS img_url,
+       |    alta AS text, ida AS img_id
+       |  FROM docs
+       |  UNION ALL
+       |  SELECT 'http://media.example/pages/' || doc_id || '.html',
+       |    1::BIGINT,
+       |    'http://media.example/img/' || idb || '.bmp',
+       |    capb, idb
+       |  FROM docs),
+       |j AS (SELECT p.*, g.phash
+       |      FROM pairs p JOIN g USING (img_id)),
+       |dd AS (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY phash, text
+       |      ORDER BY src_url, img_idx) AS rn
+       |  FROM j),
+       |kept AS (SELECT src_url, img_idx, img_url, text, img_id
+       |         FROM dd WHERE rn = 1),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |${m14TvCte(nImg)},
+       |sc AS (SELECT k.src_url, k.img_idx, k.img_url, k.text,
+       |    ${mCosSql("ei.ev", "et.ev")} AS c
+       |  FROM kept k JOIN e ei ON ei.vec_id = k.img_id
+       |    JOIN tv ON tv.text = k.text
+       |    JOIN e et ON et.vec_id = tv.tvid)
+       |SELECT src_url, img_idx, img_url, text,
+       |  round(c, 6) AS clip_score, round(c, 6) >= 0.9 AS keep
+       |FROM sc ORDER BY src_url, img_idx""".stripMargin
   }
 
   /** m11's oracle: pairs, features, and the (phash, text) dedup all

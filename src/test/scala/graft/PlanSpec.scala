@@ -1118,4 +1118,32 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("unigram_segment"),
       s"both kernels must sit in the one projection:\n${plan.take(2500)}")
   }
+
+  test("m14: the embedding pair gate is two equi-joins (url-keyed, " +
+      "text-keyed) + one in-row cosine — no cartesian product, no " +
+      "broadcast nested loop, the score inside a projection") {
+    import org.apache.spark.sql.functions.{array, col, concat, lit}
+    import spark.implicits._
+    val pairs = spark.range(200).select(
+      concat(lit("http://x.example/p"), col("id")).as("src_url"),
+      lit(0L).as("img_idx"),
+      concat(lit("http://x.example/i"), col("id") % 10, lit(".bmp"))
+        .as("img_url"),
+      concat(lit("cap "), col("id")).as("text"))
+    val imgEmb = spark.range(10).select(
+      concat(lit("http://x.example/i"), col("id"), lit(".bmp"))
+        .as("img_url"),
+      array(lit(1.0f), col("id").cast("float")).as("img_vec"))
+    val txtEmb = spark.range(200).select(
+      concat(lit("cap "), col("id")).as("text"),
+      array(col("id").cast("float"), lit(1.0f)).as("txt_vec"))
+    val plan = graft.operators.Multimodal.pairEmbedGate(
+        pairs, imgEmb, txtEmb, minScore = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"equi-joins only:\n${plan.take(2500)}")
+    assert(plan.contains("cosine_sim"),
+      s"the score is the in-row kernel:\n${plan.take(2500)}")
+  }
 }
