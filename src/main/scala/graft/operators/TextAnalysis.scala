@@ -1874,11 +1874,26 @@ object TextAnalysis {
     * billions), and hits aggregate per corpus doc with frequency
     * semantics + a lexicographic witness gram (the l22 output
     * contract). Documents shorter than n ids contribute nothing.
+    *
+    * `bloomBitsPerGram > 0` switches to the BLOOM-PREFILTERED shape
+    * (the [[contaminatedDocsBloom]]/l30 machinery on id grams) for
+    * eval suites too large to broadcast raw: the benchmark grams
+    * aggregate into ONE distributed bloom (O(bits) to the driver,
+    * never the grams), corpus grams probe it as a narrow codegen'd
+    * filter BEFORE any join structure exists, and only survivors —
+    * true hits plus an fpp-sized trickle — reach the exact gram join,
+    * which is UNHINTED (AQE broadcasts a small benchmark side and
+    * shuffle-joins a huge one; at the scale that motivates the bloom,
+    * forcing a broadcast would be the bug). The result is provably
+    * equal to the raw-broadcast path — the bloom changes the plan,
+    * never the answer (OperatorSpec pins identity under a
+    * deliberately collision-heavy 1-bit bloom).
     */
   def contaminatedDocsIds(corpus: DataFrame, benchmark: DataFrame,
                           model: Unigram.Model, n: Int = 13,
                           idCol: String = "doc_id",
-                          textCol: String = "text"): DataFrame = {
+                          textCol: String = "text",
+                          bloomBitsPerGram: Long = 0): DataFrame = {
     require(n >= 2, s"n-gram width must be >= 2: $n")
     def grams(df: DataFrame): DataFrame =
       unigramEncodeIds(df, model, idCol, textCol)
@@ -1887,11 +1902,36 @@ object TextAnalysis {
           sequence(lit(1), size(col("token_ids")) - (n - 1)),
           i => array_join(transform(slice(col("token_ids"), i, lit(n)),
             id => id.cast("string")), " "))).as("gram"))
-    val bg = grams(benchmark).select(col("gram")).distinct()
-    grams(corpus)
-      .join(broadcast(bg), "gram")
+    def report(hits: DataFrame): DataFrame = hits
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"), min(col("gram")).as("first_gram"))
+    if (bloomBitsPerGram <= 0) {
+      val bg = grams(benchmark).select(col("gram")).distinct()
+      report(grams(corpus).join(broadcast(bg), "gram"))
+    } else {
+      import org.apache.spark.sql.catalyst.expressions.{
+        BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.
+        BloomFilterAggregate
+      import org.apache.spark.sql.graftshim.Bridge
+      val bg = grams(benchmark).select(col("gram")).distinct()
+        .localCheckpoint() // bloom build + exact join share one pass
+      val est = math.max(bg.count(), 1L)
+      val bloomAgg = new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("gram"))),
+        Literal(est), Literal(math.max(64L, est * bloomBitsPerGram)))
+      val bloomBytes = bg
+        .select(Bridge.column(bloomAgg.toAggregateExpression()))
+        .head().getAs[Array[Byte]](0)
+      val probe = Bridge.column(BloomFilterMightContain(
+        Literal.create(bloomBytes,
+          org.apache.spark.sql.types.BinaryType),
+        Bridge.expression(xxhash64(col("gram")))))
+      // bg stays checkpointed while the returned (lazy) plan needs it;
+      // a localCheckpoint is non-recomputable, so freeing it here would
+      // break the caller's execution — the ContextCleaner reclaims it
+      report(grams(corpus).filter(probe).join(bg, Seq("gram")))
+    }
   }
 
   /** Document-boundary marker in packed ID streams: -1 — outside the

@@ -1907,6 +1907,32 @@ object LlmQueries {
           .orderBy(col("doc_id"))
       }, None, Some(dir => l92OracleSql(dir))),
 
+    // BLOOM-prefiltered token-ID decontamination (l94) — l92 for eval
+    // suites too large to broadcast raw (the l30 machinery on id
+    // grams): benchmark grams aggregate into ONE distributed bloom
+    // (O(bits) to the driver), corpus grams probe it as a narrow
+    // codegen filter before any join exists, and only survivors reach
+    // the exact gram join (UNHINTED — AQE picks broadcast vs shuffle
+    // by the benchmark's true size). Same planted world as l92 and the
+    // SAME oracle SQL: the bloom changes the plan, never the answer —
+    // every run of this entry re-proves the prefilter lossless (the
+    // l30/l31 convention).
+    "l94_decontaminate_ids_bloom" -> QuerySpec(
+      (s, dir) => {
+        ensureUnigramIdsGolden(s, dir)
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val bench = docs.filter(col("doc_id") % 25 === 0)
+        val corpus = docs.filter(col("doc_id") % 25 =!= 0)
+          .unionByName(bench.filter(col("doc_id") % 100 === 0)
+            .select((col("doc_id") + 100000L).as("doc_id"),
+              col("text")))
+        graft.operators.TextAnalysis.contaminatedDocsIds(
+            corpus, bench, unigramModelCached(s, dir), n = 13,
+            bloomBitsPerGram = 16)
+          .orderBy(col("doc_id"))
+      }, None, Some(dir => l92OracleSql(dir))),
+
     // Tokenizer FERTILITY by language (l91) — the standard
     // tokenizer-evaluation metric (mean pieces per word; multilingual
     // reports quote it per language to expose vocabulary bias): the

@@ -4129,4 +4129,34 @@ class OperatorSpec extends AnyFunSuite {
       TextAnalysis.unigramDecodeIds(Seq(0), m, markWords = true)
     }
   }
+
+  test("contaminatedDocsIds: the bloom-prefiltered path is result-" +
+      "identical to the raw-broadcast path, even under a deliberately " +
+      "collision-heavy 1-bit-per-gram bloom (false positives scrubbed " +
+      "by the exact residual join)") {
+    import graft.operators.TextAnalysis
+    val base = (0 until 20).map { i =>
+      (i.toLong, (0 until 20).map(j => s"w${(i * 7 + j) % 15}")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val m = TextAnalysis.unigramTrain(base, vocabSize = 64, epochs = 2)
+    val bench = base.filter(col("doc_id") % 5 === 0)
+    // leaked copies of benchmark docs at id+1000 MUST flag; the rest
+    // of the corpus may organically share 13-id windows with bench
+    val corpus = base.filter(col("doc_id") % 5 =!= 0)
+      .unionByName(bench.select((col("doc_id") + 1000L).as("doc_id"),
+        col("text")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2))).toSet
+    val raw = rows(TextAnalysis.contaminatedDocsIds(
+      corpus, bench, m, n = 13))
+    val bloomed = rows(TextAnalysis.contaminatedDocsIds(
+      corpus, bench, m, n = 13, bloomBitsPerGram = 1))
+    assert(raw == bloomed,
+      s"bloom path diverged: ${(raw -- bloomed) ++ (bloomed -- raw)}")
+    val flagged = raw.map(_._1)
+    bench.collect().map(_.getLong(0) + 1000L).foreach(id =>
+      assert(flagged.contains(id), s"leaked copy $id not flagged"))
+  }
 }
