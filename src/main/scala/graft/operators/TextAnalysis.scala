@@ -2029,6 +2029,23 @@ object TextAnalysis {
           s => s.getField("frag"))).as("token_ids"))
   }
 
+  /** Caller-driven release of the storage a [[packIdStream]]
+    * invocation pinned: each call localCheckpoints the range-
+    * partitioned id stream so both fold passes see one sampled
+    * partitioning, and that generation otherwise waits for the lazy
+    * ContextCleaner (bounded — one per call — but cleaner hygiene says
+    * free it the moment the packed result has been consumed: the l43
+    * lesson at the operator boundary instead of per call site). Call
+    * AFTER the packed frame is written/collected; the frame must not
+    * execute again afterwards (a localCheckpoint is non-recomputable).
+    * Accepts the packed frame OR any frame derived from it (the
+    * checkpoint is found by plan traversal). Returns the number of
+    * checkpointed RDDs released.
+    */
+  def packIdStreamRelease(packed: DataFrame): Int =
+    org.apache.spark.sql.graftshim.Bridge
+      .unpersistPlanCheckpoints(packed)
+
   /** HTML → text extraction — the step every crawl pipeline runs
     * between the WARC response payload and the text funnel (the
     * trafilatura/jusText role, in its deterministic regex-pipeline

@@ -42,6 +42,26 @@ object Bridge {
       case _ => ()
     }
 
+  /** Unpersist EVERY checkpointed RDD reachable from `df`'s logical
+    * plan — the [[unpersistLocalCheckpoint]] pattern for operators
+    * whose RETURNED plan still references an internal localCheckpoint
+    * (the root match above only sees a frame that IS the checkpoint).
+    * Blocking, so a caller-driven release is deterministic (a spec can
+    * assert flat storage immediately after). Returns the number of
+    * RDDs released. After release the frame must not be executed
+    * again: a localCheckpoint is non-recomputable.
+    */
+  def unpersistPlanCheckpoints(df: DataFrame): Int = {
+    var n = 0
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.logical.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = true)
+        n += 1
+      case _ => ()
+    }
+    n
+  }
+
   /** Drain the async listener bus (`private[spark]`) so a test's
     * job-counting SparkListener has seen every already-submitted job
     * before the count is read.

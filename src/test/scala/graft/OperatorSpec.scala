@@ -4159,4 +4159,32 @@ class OperatorSpec extends AnyFunSuite {
     bench.collect().map(_.getLong(0) + 1000L).foreach(id =>
       assert(flagged.contains(id), s"leaked copy $id not flagged"))
   }
+
+  test("packIdStream: caller-driven storage release keeps persistent-" +
+      "RDD storage FLAT across >= 3 back-to-back invocations (the l43 " +
+      "regression pattern at the operator boundary)") {
+    import graft.operators.TextAnalysis
+    val idsDf = (0 until 60).map { i =>
+      (i.toLong, (0 until 7 + i % 5).map(j => (j % 9) + 1).toArray)
+    }.toDF("doc_id", "token_ids")
+    def persistedIds: Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val baseline = persistedIds
+    var expected: Long = -1L
+    (1 to 3).foreach { round =>
+      val packed = TextAnalysis.packIdStream(idsDf, seqLen = 16)
+      val n = packed.count()
+      if (expected < 0) expected = n else assert(n == expected)
+      assert(n > 0)
+      // the invocation pinned at least one generation...
+      assert((persistedIds -- baseline).nonEmpty,
+        s"round $round: expected a pinned checkpoint generation")
+      // ...and the release frees it deterministically (blocking)
+      val released = TextAnalysis.packIdStreamRelease(packed)
+      assert(released >= 1, s"round $round: released $released")
+      assert(persistedIds == baseline,
+        s"round $round: storage not flat — leaked " +
+          s"${(persistedIds -- baseline).toSeq.sorted}")
+    }
+  }
 }
