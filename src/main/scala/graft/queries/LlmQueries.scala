@@ -1986,6 +1986,24 @@ object LlmQueries {
       }, None, Some(dir => mGoldenSql(l88GoldenName(dir),
         "rank, piece, cnt, lp_units", "rank"))),
 
+    // Soft-EM × ▁-MARKED training (l95) — the production-default MODE
+    // (SentencePiece's add_dummy_prefix world, l86) under the
+    // production-default E-STEP (Kudo's forward-backward, l88): the
+    // two flags compose because the exact-rational lattice treats ▁ as
+    // an ordinary code point. The trained table diverges from BOTH
+    // parents — from l86 wherever segmentation is ambiguous (posterior
+    // mass vs Viterbi winner-take-all), from l88 on every ▁-piece.
+    // Oracle = the l88 gcd-reduced-rational replay over the marked
+    // word universe, bit-for-bit.
+    "l95_unigram_train_soft_marked" -> QuerySpec(
+      (s, dir) => {
+        ensureUnigramSoftMarkedGolden(s, dir)
+        graft.operators.TextAnalysis.unigramTrainTable(s,
+          unigramSoftMarkedModelCached(s, dir))
+          .orderBy(col("rank"))
+      }, None, Some(dir => mGoldenSql(l95GoldenName(dir),
+        "rank, piece, cnt, lp_units", "rank"))),
+
     // BYTE-FALLBACK token-ID emission (l93) — SentencePiece
     // `byte_fallback`, the Llama-family production convention closing
     // l83/l87's one lossy edge: UNK id 0 never appears; the id space
@@ -5502,6 +5520,39 @@ object LlmQueries {
         .toDF("rank", "piece", "cnt", "lp_units")
     })
   }
+
+  private def l95GoldenName(dir: String): String =
+    s"l95-unigramsoftmarked-" +
+      s"${graft.operators.TextAnalysis.Unigram.VocabSize}-" +
+      s"${graft.operators.TextAnalysis.Unigram.Epochs}-" +
+      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-" +
+      s"${graft.operators.TextGolden.ReplayTag}-v1"
+
+  /** The l95 golden: the l88 soft-EM replay over the ▁-MARKED word
+    * universe (the exact-rational lattice is marker-agnostic — ▁ is an
+    * ordinary code point to it, the l86 stance).
+    */
+  private def ensureUnigramSoftMarkedGolden(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import s.implicits._
+    graft.operators.MultimodalGolden.ensureGoldenDf(l95GoldenName(dir), {
+      val u = graft.operators.TextAnalysis.Unigram
+      graft.operators.TextGolden
+        .unigramTrainSoftReplay(markedWordFreq(s, dir), u.VocabSize,
+          u.MaxPieceLen, u.Epochs)
+        .toDF("rank", "piece", "cnt", "lp_units")
+    })
+  }
+
+  private val unigramSoftMarkedModelByDir = scala.collection.concurrent
+    .TrieMap[String, graft.operators.TextAnalysis.Unigram.Model]()
+  private def unigramSoftMarkedModelCached(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : graft.operators.TextAnalysis.Unigram.Model =
+    unigramSoftMarkedModelByDir.getOrElseUpdate(dir,
+      graft.operators.TextAnalysis.unigramTrainSoft(
+        Tables(s, dir, "documents").select(col("text")),
+        markWords = true))
 
   private val unigramSoftModelByDir = scala.collection.concurrent
     .TrieMap[String, graft.operators.TextAnalysis.Unigram.Model]()

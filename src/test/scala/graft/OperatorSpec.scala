@@ -4187,4 +4187,33 @@ class OperatorSpec extends AnyFunSuite {
           s"${(persistedIds -- baseline).toSeq.sorted}")
     }
   }
+
+  test("unigramTrainSoft x markWords (l95): the soft E-step composes " +
+      "with the boundary marker — a marked ambiguous piece hard EM " +
+      "prunes keeps posterior mass under soft EM, and marked-soft " +
+      "engine == marked-soft replay bit-for-bit") {
+    import graft.operators.{TextAnalysis, TextGolden}
+    // the l88 planted ambiguity, shifted into the marked universe:
+    // word "bc" marks to "\u2581bc" (3 cps); with maxPieceLen=2 the
+    // two segmentations ["\u2581b","c"] and ["\u2581","bc"] tie the
+    // same way "abc" did, so hard EM prunes a loser soft EM keeps
+    val docs = (0 until 10).map(i => (i.toLong, "bc"))
+      .toDF("doc_id", "text")
+    val hard = TextAnalysis.unigramTrain(docs, vocabSize = 5,
+      maxPieceLen = 2, epochs = 1, markWords = true)
+    val soft = TextAnalysis.unigramTrainSoft(docs, vocabSize = 5,
+      maxPieceLen = 2, epochs = 1, markWords = true)
+    val u = TextAnalysis.Unigram.Marker
+    assert(hard.pieces.map(_._1).toSet !=
+      soft.pieces.map(_._1).toSet,
+      s"soft must keep a piece hard prunes: hard ${hard.pieces} " +
+        s"soft ${soft.pieces}")
+    assert(soft.pieces.exists(_._1.startsWith(u)),
+      s"marked pieces must carry the boundary: ${soft.pieces}")
+    val engine = soft.pieces.zipWithIndex.map { case ((p, c, w), i) =>
+      (i + 1, p, c, w) }
+    val replay = TextGolden.unigramTrainSoftReplay(
+      Seq((u + "bc", 10L)), vocabSize = 5, maxLen = 2, epochs = 1)
+    assert(engine == replay, s"engine $engine vs replay $replay")
+  }
 }
