@@ -189,10 +189,19 @@ object BenchBudgets {
     // cost is the planted clique's pigeonhole join at sf0.1 — flat
     // run-to-run
     "m12_pair_neardup" -> 2.9887,
-    // m13 pinned from target/bench_r17_idle8.json (182 entries,
-    // 110.0 s, cal 0.5057, zero flags/spikes/errors)
-    "m13_pair_funnel" -> 0.7599,
+    // m13 RE-pinned (r18): the funnel gained the m14 embed-gate as
+    // stage 5 — an intentional profile change. Pin = element-wise min
+    // of target/bench_r18_idle{1,2}.json (186 entries, cal
+    // 0.496/0.5004, both zero flags/spikes/errors).
+    "m13_pair_funnel" -> 1.2881,
     "st21_ids_stream" -> 0.7479,
+    // r18 additions pinned from target/bench_r18_idle{1,2}.json
+    // (element-wise min; both runs zero flags/spikes/errors at cal
+    // 0.496/0.5004)
+    "l93_unigram_ids_bytefb" -> 0.1355,
+    "l94_decontaminate_ids_bloom" -> 1.8852,
+    "l95_unigram_train_soft_marked" -> 0.0322,
+    "m14_pair_embed_gate" -> 0.6970,
     "m01_media_features" -> 0.2213,
     "m02_frame_sample" -> 0.0812,
     "m03_media_resize" -> 0.0864,

@@ -84,7 +84,16 @@ object Explain {
       "l83_unigram_encode_ids" -> "unigram encode-to-ids (the l80 zero-exchange shape; whole-document kernel emits the id array; l87's ▁-marked sibling differs only in the kernel's wordPrefix argument — same plan)",
       "l84_bbpe_encode_ids" -> "byte-BPE encode-to-ids (posexplode keeps pre-token order, vocab-sized id join, one doc-keyed reassembly agg)",
       "l85_pack_ids" -> "token-id packing (pre-folded offsets — no global window; per-sequence fragment slices; ONE seq_idx shuffle reassembles)",
-      "m11_image_text_pairs" -> "image-text pairs (narrow extract kernel, media decoded once in a typed map, url equi-join, (phash,text) dedup agg)")
+      "m11_image_text_pairs" -> "image-text pairs (narrow extract kernel, media decoded once in a typed map, url equi-join, (phash,text) dedup agg)",
+      "l89_unigram_lm_score" -> "trained-LM quality scoring (the l83 zero-exchange id plan + one in-row lp fold; the keep gate is an integer compare in the same projection — no new exchange)",
+      "l90_ffd_pack" -> "FFD bin packing (ONE group shuffle to the packing shard, flatMapGroups packs sequentially INSIDE the shard — the production trade — plus the output sort)",
+      "l91_fertility" -> "tokenizer fertility (langid argmax + unigram piece-count kernels composed in ONE narrow projection — no doc-keyed join; only the language-width aggregate exchanges)",
+      "l92_decontaminate_ids" -> "token-ID decontamination (both sides through the one-kernel encode pass, id-gram window transform in-row, benchmark grams BROADCAST, per-doc hit aggregate)",
+      "l93_unigram_ids_bytefb" -> "byte-fallback encode-to-ids (the l83/l87 zero-exchange kernel plan verbatim — byte fallback rewrites only the unk edge's EMISSION inside the kernel, the plan cannot tell)",
+      "l94_decontaminate_ids_bloom" -> "bloom-prefiltered id decontamination (the l30 shape on id grams: might_contain as a narrow filter BELOW the exact gram join; the join is unhinted so AQE sizes it)",
+      "m12_pair_neardup" -> "pair-level near-dup (checkpointed slim pair frame consumed 4x, pigeonhole hamming chunk equi-join — never all-pairs — id-keyed text-equality residual)",
+      "m13_pair_funnel" -> "multimodal pair funnel (header-only sniff gate BEFORE any decode, per-stage aggregates over one extraction plan, embed-gate stage = two equi-joins + in-row cosine)",
+      "m14_pair_embed_gate" -> "embedding pair gate (url-keyed + text-keyed equi-joins, in-row cosine kernel, threshold in the same projection — no cross join, no BNLJ)")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans of flagship queries\n\n")
     sb.append("Generated by `runMain graft.Explain` on sf0.001; the\n")
@@ -311,7 +320,23 @@ object Explain {
         "st20 runs l80's narrow Viterbi pass (see l80_unigram_encode) " +
         "over a file-source stream — the only difference is the " +
         "MicroBatchScan leaf. l87_unigram_encode_ids_marked likewise " +
-        "inherits l83's plan with a different kernel constant.\n")
+        "inherits l83's plan with a different kernel constant, and " +
+        "st21_ids_stream streams the same l83 kernel projection " +
+        "(stateless append — batch ≡ stream ≡ replay share one " +
+        "oracle).\n")
+      sb.append("\n## l88_unigram_train_soft / " +
+        "l95_unigram_train_soft_marked — inherits-from note\n\n")
+      sb.append("Both ENTRY frames are the trained table " +
+        "(vocabulary-sized, LocalTableScan — nothing to review). The " +
+        "load-bearing plan is the per-epoch soft E-step, which " +
+        "inherits the l79/l86 E-step shape dumped above with ONE " +
+        "substitution: the per-word kernel is unigramSoftCountUnits " +
+        "(the exact-BigInt forward-backward lattice emitting " +
+        "micro-unit expectations) instead of the Viterbi segmenter — " +
+        "still ONE distributed aggregate per epoch, driver traffic " +
+        "still vocabulary-bounded (only in-vocab pieces carry " +
+        "posterior mass). l95 is l88 over the ▁-marked word universe " +
+        "(a different word relation, the same plan).\n")
     }
     Files.write(Paths.get("EXPLAIN.md"), sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote EXPLAIN.md (${interesting.size} plans)")

@@ -1745,6 +1745,32 @@ object TextAnalysis {
       .toDF("rank", "piece", "cnt", "lp_units")
   }
 
+  /** [[unigramTrainTable]]'s inverse — the LOAD half of the tokenizer
+    * artifact lifecycle (train once, persist the vocab as a relation,
+    * load it in every encode job; the deployment never re-trains to
+    * encode). Reads (rank, piece, cnt, lp_units), restores rank order,
+    * and validates the invariants encode depends on: ranks are exactly
+    * 1..n (ids ARE ranks — a gap or duplicate would silently shift
+    * every id above it) and pieces are distinct. The table is
+    * vocabulary-sized by contract, so the collect is model-bounded.
+    */
+  def unigramModelFromTable(table: DataFrame): Unigram.Model = {
+    val rows = table.select(col("rank").cast("int"), col("piece"),
+        col("cnt").cast("long"), col("lp_units").cast("long"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "unigramModelFromTable: empty vocab table")
+    require(rows.iterator.map(_._1).zipWithIndex
+        .forall { case (r, i) => r == i + 1 },
+      "unigramModelFromTable: ranks must be exactly 1..n " +
+        "(ids are ranks; a gap or duplicate shifts every id above it)")
+    require(rows.iterator.map(_._2).toSet.size == rows.length,
+      "unigramModelFromTable: duplicate piece in vocab table")
+    Unigram.Model(rows.toSeq.map { case (_, p, c, lp) => (p, c, lp) })
+  }
+
   /** Per-document token counts under a trained unigram model — the
     * encode path: ONE narrow per-row pass (tokenize, Viterbi each word
     * in the kernel, sum piece counts inside the row — no explode, no

@@ -2032,6 +2032,35 @@ object LlmQueries {
           .orderBy(col("doc_id"))
       }, None, Some(dir => l93Sql(dir))),
 
+    // Tokenizer-artifact LIFECYCLE (l96) — train once, persist the
+    // vocab as a relation, LOAD it in every encode job (a deployment
+    // never re-trains to encode; the vocab parquet is the artifact
+    // that ships): the trained table writes to a drift-keyed parquet
+    // store, `unigramModelFromTable` loads it back (validating the
+    // id-space invariants — ranks exactly 1..n, pieces distinct), and
+    // the LOADED model encodes the corpus. Oracle = l83's replay-
+    // golden SQL verbatim, so one hash spans write → read → load →
+    // encode ≡ the in-memory model ≡ the independent replay.
+    "l96_unigram_vocab_roundtrip" -> QuerySpec(
+      (s, dir) => {
+        ensureUnigramIdsGolden(s, dir)
+        val path = "target/vocabstore/" +
+          s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-" +
+          s"${graft.operators.TextGolden.ReplayTag}-v1"
+        graft.operators.TextAnalysis.unigramTrainTable(s,
+            unigramModelCached(s, dir))
+          .write.mode("overwrite").parquet(path)
+        val loaded = graft.operators.TextAnalysis
+          .unigramModelFromTable(s.read.parquet(path))
+        graft.operators.TextAnalysis.unigramEncodeIds(
+            Tables(s, dir, "documents")
+              .select(col("doc_id"), col("text")), loaded)
+          .select(col("doc_id"), col("n_tokens"),
+            array_join(transform(col("token_ids"),
+              i => i.cast("string")), " ").as("ids_str"))
+          .orderBy(col("doc_id"))
+      }, None, Some(dir => l83OracleSql(dir))),
+
     // BYTE-LEVEL BPE training (GPT-2 family) — the production tokenizer
     // beside the word-level l26: regex pre-tokenization (contractions,
     // leading-space word/number/punct groups), UTF-8 bytes through the
@@ -5251,9 +5280,18 @@ object LlmQueries {
     */
   private[queries] def l93World(s: org.apache.spark.sql.SparkSession,
                                 dir: String)
+      : org.apache.spark.sql.DataFrame =
+    l93WorldOver(Tables(s, dir, "documents"))
+
+  /** The l93 planted projection over ANY documents-shaped frame —
+    * batch (l93) or streaming (st22): same arithmetic, same columns,
+    * so the two entries share l93's oracle verbatim (the langWorldOver
+    * convention).
+    */
+  private[queries] def l93WorldOver(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val id = col("doc_id")
-    Tables(s, dir, "documents").select(id,
+    docs.select(id,
       concat(lit("the résumé № "),
         (id % 7).cast("string"),
         lit(" naïve 😀"),
@@ -5282,7 +5320,7 @@ object LlmQueries {
     * code point → its UTF-8 bytes as ids 1 + b (id 0 never appears).
     * Keyed by the unmarked word, the l83/l87 oracle shape.
     */
-  private def ensureUnigramFbGolden(
+  private[queries] def ensureUnigramFbGolden(
       s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import s.implicits._
     graft.operators.MultimodalGolden.ensureGoldenDf(l93GoldenName(dir), {
@@ -5313,7 +5351,7 @@ object LlmQueries {
     * document's full id string in word order (the l83 oracle shape
     * over the planted world).
     */
-  private def l93Sql(dir: String): String = {
+  private[queries] def l93Sql(dir: String): String = {
     val base = graft.operators.MultimodalGolden
       .goldenBase(l93GoldenName(dir))
     s"""WITH world AS (
@@ -5565,7 +5603,7 @@ object LlmQueries {
 
   private val unigramMarkedModelByDir = scala.collection.concurrent
     .TrieMap[String, graft.operators.TextAnalysis.Unigram.Model]()
-  private def unigramMarkedModelCached(
+  private[queries] def unigramMarkedModelCached(
       s: org.apache.spark.sql.SparkSession, dir: String)
       : graft.operators.TextAnalysis.Unigram.Model =
     unigramMarkedModelByDir.getOrElseUpdate(dir,

@@ -186,7 +186,18 @@ object PipelineQueries {
     */
   final case class ScaleRun(rows1: Long, rows10: Long, t1Sec: Double,
       t10Sec: Double, ratio: Double, heapDeltaMb: Long) {
-    def subquadratic: Boolean = ratio < 35.0
+    /** Sub-quadratic gate with a DENOMINATOR floor — the same bug
+      * class the r18 bench tripwire fix (BenchBudgets.AbsFloorSec)
+      * closed, on the ratio's other side: when the 1x wall collapses
+      * into fixed-overhead territory (min-of-two-counts on a warm
+      * cache measures ~0.06 s at p13's sf0.1 world), the raw ratio is
+      * denominator-noise — 40x of nothing. The 10x wall is therefore
+      * judged against 35 x max(t1, 0.25 s): an absolute bar that a
+      * genuinely quadratic stage (t10 ≈ 100 x a real t1) still fails
+      * by an order of magnitude, while entries whose t1 is meaningful
+      * (l21/l74/s13 measure 0.5–1 s) keep the pure ratio semantics.
+      */
+    def subquadratic: Boolean = t10Sec < 35.0 * math.max(t1Sec, 0.25)
     def driverHeapFlat: Boolean = heapDeltaMb < 512L
   }
 

@@ -840,6 +840,38 @@ object StreamingQueries {
         s.table("st21_sink").orderBy(col("doc_id"))
       }, None, Some(dir => LlmQueries.l83OracleSql(dir))),
 
+    // Streaming BYTE-FALLBACK token-ID emission (st22) — l93's
+    // streaming twin, the st21 convention: the byte-fallback kernel is
+    // stateless and append-legal, so the LOSSLESS id stream (UNK never
+    // appears; OOV code points emit their UTF-8 bytes) emits per
+    // micro-batch with zero state. The planted OOV world projects over
+    // the stream frame (l93WorldOver — same arithmetic, same columns),
+    // so this entry shares l93's oracle VERBATIM: one hash proves
+    // streaming ≡ batch ≡ replay for the byte-fallback id space too.
+    "st22_ids_fb_stream" -> QuerySpec(
+      (s, dir) => {
+        val model = LlmQueries.unigramMarkedModelCached(s, dir)
+        LlmQueries.ensureUnigramFbGolden(s, dir)
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val q = graft.operators.TextAnalysis
+          .unigramEncodeIds(
+            LlmQueries.l93WorldOver(
+              stream.select(col("doc_id"), col("text"))),
+            model, markWords = true, byteFallback = true)
+          .select(col("doc_id"), col("n_tokens"),
+            array_join(transform(col("token_ids"),
+              i => i.cast("string")), " ").as("ids_str"))
+          .writeStream.format("memory").queryName("st22_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st22_sink").orderBy(col("doc_id"))
+      }, None, Some(dir => LlmQueries.l93Sql(dir))),
+
     // The TIME-BOUNDED streaming near-dup contract, proven against the
     // exact-global one on the same deterministic schedule (st06 covers
     // the LSH semantics on the real corpus; this entry's subject is the

@@ -4216,4 +4216,24 @@ class OperatorSpec extends AnyFunSuite {
       Seq((u + "bc", 10L)), vocabSize = 5, maxLen = 2, epochs = 1)
     assert(engine == replay, s"engine $engine vs replay $replay")
   }
+
+  test("unigramModelFromTable: the persisted-vocab load half restores " +
+      "the model exactly and rejects id-space violations (rank gaps, " +
+      "duplicate pieces)") {
+    import graft.operators.TextAnalysis
+    val docs = (0 until 6).map(i => (i.toLong, "abab cdcd abab " + i))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.unigramTrain(docs, vocabSize = 32, epochs = 2)
+    val table = TextAnalysis.unigramTrainTable(spark, m)
+    assert(TextAnalysis.unigramModelFromTable(table).pieces == m.pieces)
+    // a rank gap would silently shift every id above it — reject
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unigramModelFromTable(
+        table.filter(col("rank") =!= 2))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unigramModelFromTable(
+        table.unionByName(table.filter(col("rank") === 1)))
+    }
+  }
 }
