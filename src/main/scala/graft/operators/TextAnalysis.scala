@@ -2072,6 +2072,37 @@ object TextAnalysis {
     org.apache.spark.sql.graftshim.Bridge
       .unpersistPlanCheckpoints(packed)
 
+  /** [[packIdStream]] plus the ATTENTION METADATA a trainer actually
+    * loads beside the ids — the packed-sample convention (HF packing /
+    * "fewer truncations" practice): `position_ids` RESTART at 0 after
+    * each document boundary (restarted positions are how packed
+    * samples keep per-document positional structure; paired with a
+    * block-diagonal attention mask, which `segment_ids` — the 0-based
+    * document index within the row — lets the loader build without a
+    * vocab lookup). Both columns derive IN-ROW from the -1 boundary
+    * markers already in the stream: one `filter` finds the boundary
+    * indices, two `transform`s fold them — NO exchange beyond
+    * [[packIdStream]]'s own plan (PlanSpec pins the equal exchange
+    * count). The boundary id itself takes the last position of its
+    * document and its document's segment.
+    */
+  def packIdStreamWithPositions(idsDf: DataFrame, seqLen: Int,
+                                idCol: String = "doc_id",
+                                idsCol: String = "token_ids",
+                                partitions: Int = 0): DataFrame = {
+    val idxs = sequence(lit(0), size(col("token_ids")) - 1)
+    val bnds = filter(idxs, j =>
+      element_at(col("token_ids"), j + 1) === lit(PackEosId))
+    packIdStream(idsDf, seqLen, idCol, idsCol, partitions)
+      .withColumn("__bnds", bnds)
+      .withColumn("position_ids", transform(idxs, i =>
+        i - coalesce(array_max(filter(col("__bnds"), b => b < i)),
+          lit(-1)) - 1))
+      .withColumn("segment_ids", transform(idxs, i =>
+        size(filter(col("__bnds"), b => b < i))))
+      .drop("__bnds")
+  }
+
   /** HTML → text extraction — the step every crawl pipeline runs
     * between the WARC response payload and the text funnel (the
     * trafilatura/jusText role, in its deterministic regex-pipeline

@@ -1804,6 +1804,35 @@ object LlmQueries {
           .orderBy(col("seq_idx"))
       }, None, Some(dir => l85OracleSql(dir))),
 
+    // Packed-row ATTENTION METADATA (l97) — the other half of the
+    // packed training row (l85 emits the ids; a trainer also loads
+    // position_ids and the segment structure): positions RESTART at 0
+    // after each document boundary (how packed samples keep
+    // per-document positional structure) and segment_ids number the
+    // documents within the row (what the loader builds the
+    // block-diagonal attention mask from, no vocab lookup needed).
+    // Both derive IN-ROW from the -1 boundary markers already in the
+    // stream — no exchange beyond l85's own plan (PlanSpec pins the
+    // equal exchange count). Oracle: the l85 chain's re-derived
+    // 512-slices + DuckDB list comprehensions over the boundary
+    // indices.
+    "l97_pack_positions" -> QuerySpec(
+      (s, dir) => {
+        ensureUnigramIdsGolden(s, dir)
+        val ids = graft.operators.TextAnalysis.unigramEncodeIds(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("text")),
+          unigramModelCached(s, dir))
+        graft.operators.TextAnalysis
+          .packIdStreamWithPositions(ids, seqLen = 512)
+          .select(col("seq_idx"), col("n_docs"),
+            array_join(transform(col("position_ids"),
+              i => i.cast("string")), " ").as("pos_str"),
+            array_join(transform(col("segment_ids"),
+              i => i.cast("string")), " ").as("seg_str"))
+          .orderBy(col("seq_idx"))
+      }, None, Some(dir => l97OracleSql(dir))),
+
     // Unigram TRAIN in ▁-MARKED mode (l86) — SentencePiece's
     // production default (add_dummy_prefix + escape-whitespace +
     // split-by-whitespace) beside l79's bare word-level stance: every
@@ -5611,7 +5640,12 @@ object LlmQueries {
         Tables(s, dir, "documents").select(col("text")),
         markWords = true))
 
-  private[queries] def l85OracleSql(dir: String): String = {
+  /** The shared l85/l97 packed-stream re-derivation (docs → golden id
+    * join → global stream → 512-slices) — ONE copy so the two oracles
+    * cannot drift; each appends its own final SELECT over `g` +
+    * `stream`.
+    */
+  private def l85ChainCte(dir: String): String = {
     val base = graft.operators.MultimodalGolden
       .goldenBase(l83GoldenName(dir))
     s"""WITH t0 AS (
@@ -5647,13 +5681,41 @@ object LlmQueries {
        |g AS (SELECT seq::BIGINT AS seq_idx, COUNT(*)::BIGINT AS n_docs,
        |    (COUNT(*) FILTER (WHERE s // 512 = seq))::BIGINT AS n_starts,
        |    MIN(doc_id) AS first_doc
-       |  FROM perdoc GROUP BY seq)
-       |SELECT g.seq_idx, g.n_docs, g.n_starts, g.first_doc,
-       |  array_to_string(list_slice((SELECT alltok FROM stream),
-       |    (g.seq_idx * 512 + 1)::BIGINT,
-       |    ((g.seq_idx + 1) * 512)::BIGINT), ' ') AS ids_str
-       |FROM g ORDER BY seq_idx""".stripMargin
+       |  FROM perdoc GROUP BY seq)""".stripMargin
   }
+
+  private[queries] def l85OracleSql(dir: String): String =
+    l85ChainCte(dir) + "\n" +
+      """SELECT g.seq_idx, g.n_docs, g.n_starts, g.first_doc,
+        |  array_to_string(list_slice((SELECT alltok FROM stream),
+        |    (g.seq_idx * 512 + 1)::BIGINT,
+        |    ((g.seq_idx + 1) * 512)::BIGINT), ' ') AS ids_str
+        |FROM g ORDER BY seq_idx""".stripMargin
+
+  /** l97 oracle: the l85 chain's 512-slices, then positions/segments
+    * re-derived by list comprehensions over the re-derived ids —
+    * boundary indices (0-based, matching the engine), position =
+    * distance from the last earlier boundary, segment = count of
+    * earlier boundaries.
+    */
+  private[queries] def l97OracleSql(dir: String): String =
+    l85ChainCte(dir) + ",\n" +
+      """sl AS (SELECT g.seq_idx, g.n_docs,
+        |    list_slice((SELECT alltok FROM stream),
+        |      (g.seq_idx * 512 + 1)::BIGINT,
+        |      ((g.seq_idx + 1) * 512)::BIGINT) AS ids
+        |  FROM g),
+        |bn AS (SELECT seq_idx, n_docs,
+        |    list_filter(range(0, 512), j -> ids[(j + 1)::BIGINT] = -1)
+        |      AS bnds
+        |  FROM sl)
+        |SELECT seq_idx, n_docs,
+        |  array_to_string(list_transform(range(0, 512), i ->
+        |    i - coalesce(list_max(list_filter(bnds, b -> b < i)), -1)
+        |      - 1), ' ') AS pos_str,
+        |  array_to_string(list_transform(range(0, 512), i ->
+        |    len(list_filter(bnds, b -> b < i))), ' ') AS seg_str
+        |FROM bn ORDER BY seq_idx""".stripMargin
 
   // training is deterministic per dir — memoized so l80 benches the
   // ENCODE path and both entries share one model (the l29 fit-cache

@@ -4236,4 +4236,23 @@ class OperatorSpec extends AnyFunSuite {
         table.unionByName(table.filter(col("rank") === 1)))
     }
   }
+
+  test("packIdStreamWithPositions: position_ids restart at 0 after " +
+      "each -1 boundary, segment_ids number documents within the row, " +
+      "the boundary takes its own doc's last position and segment") {
+    import graft.operators.TextAnalysis
+    // 3 docs of 3 real ids each -> with EOS markers the stream is
+    // [a a a -1 b b b -1 c c c -1]; seqLen 12 = exactly one row
+    val ids = Seq((0L, Array(7, 7, 7)), (1L, Array(8, 8, 8)),
+      (2L, Array(9, 9, 9))).toDF("doc_id", "token_ids")
+    val packed = TextAnalysis.packIdStreamWithPositions(ids, seqLen = 12)
+    val row = packed.collect()
+    assert(row.length == 1, row.toSeq)
+    val pos = row(0).getAs[scala.collection.Seq[Int]]("position_ids")
+    val seg = row(0).getAs[scala.collection.Seq[Int]]("segment_ids")
+    assert(pos.toSeq == Seq(0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3), pos)
+    assert(seg.toSeq == Seq(0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2), seg)
+    // release works on the DERIVED frame too (plan traversal)
+    assert(TextAnalysis.packIdStreamRelease(packed) >= 1)
+  }
 }

@@ -1146,4 +1146,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("cosine_sim"),
       s"the score is the in-row kernel:\n${plan.take(2500)}")
   }
+
+  test("l97: packed position/segment ids add ZERO exchanges over the " +
+      "l85 pack plan — the metadata derives in-row from the boundary " +
+      "markers") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val ids = (0 until 40).map { i =>
+      (i.toLong, (0 until 5 + i % 3).map(j => j + 1).toArray)
+    }.toDF("doc_id", "token_ids")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(
+        df.queryExecution.executedPlan.toString).length
+    val base = exchanges(
+      graft.operators.TextAnalysis.packIdStream(ids, seqLen = 16))
+    val withPos = exchanges(
+      graft.operators.TextAnalysis.packIdStreamWithPositions(
+        ids, seqLen = 16))
+    assert(withPos == base,
+      s"positions must not add an exchange: $withPos vs $base")
+  }
 }
