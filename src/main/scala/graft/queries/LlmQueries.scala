@@ -4556,22 +4556,9 @@ object LlmQueries {
             else graft.codec.Png.encode(w, h, rgb)
           (s"http://media.example/img/$i.bmp", bytes)
         }.toDF("media_url", "data")
-        val d = col("doc_id")
-        val ida = when(d % 10 === 7, lit(3L)).otherwise(d % nImg)
-        val alta = when(d % 10 === 7, lit("shared alt"))
-          .otherwise(concat(lit("Doc "), d, lit(" primary")))
-        val idb = (d * 3 + 1) % nImg
-        val pages = Tables(s, dir, "documents").select(
-          concat(lit("http://media.example/pages/"), d, lit(".html"))
-            .as("url"),
-          concat(
-            lit("<html><body><img src=\"/img/"), ida,
-            lit(".bmp\" alt=\""), alta, lit("\">"),
-            lit("<figure><img src=\"/img/"), idb,
-            lit(".bmp\"><figcaption>Caption "), d,
-            lit(" fig</figcaption></figure></body></html>")).as("html"))
         val kept = Multimodal.imageTextPairs(
-          TextAnalysis.extractImagePairs(pages), media)
+          TextAnalysis.extractImagePairs(
+            m14PagesOver(Tables(s, dir, "documents"), nImg)), media)
         Multimodal.pairEmbedGate(kept, m14ImgEmb(s, dir, nImg),
             m14TxtEmb(s, dir, nImg), minScore = 0.9)
           .select(col("src_url"), col("img_idx"), col("img_url"),
@@ -4667,12 +4654,35 @@ object LlmQueries {
        |FROM cand WHERE h <= 3 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** The m14 planted-page projection over ANY documents-shaped frame —
+    * batch (m14) or streaming (st23): same arithmetic, same columns
+    * (the langWorldOver convention).
+    */
+  private[queries] def m14PagesOver(docs: org.apache.spark.sql.DataFrame,
+                                    nImg: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val d = col("doc_id")
+    val ida = when(d % 10 === 7, lit(3L)).otherwise(d % nImg)
+    val alta = when(d % 10 === 7, lit("shared alt"))
+      .otherwise(concat(lit("Doc "), d, lit(" primary")))
+    val idb = (d * 3 + 1) % nImg
+    docs.select(
+      concat(lit("http://media.example/pages/"), d, lit(".html"))
+        .as("url"),
+      concat(
+        lit("<html><body><img src=\"/img/"), ida,
+        lit(".bmp\" alt=\""), alta, lit("\">"),
+        lit("<figure><img src=\"/img/"), idb,
+        lit(".bmp\"><figcaption>Caption "), d,
+        lit(" fig</figcaption></figure></body></html>")).as("html"))
+  }
+
   /** m14 image-embedding relation: image i's embedding is the
     * embeddings row vec_id = i, keyed by the canonical media url — the
     * s-family stance (embedding models are deployment infrastructure;
     * their outputs arrive as relations).
     */
-  private def m14ImgEmb(s: org.apache.spark.sql.SparkSession,
+  private[queries] def m14ImgEmb(s: org.apache.spark.sql.SparkSession,
                         dir: String, nImg: Int)
       : org.apache.spark.sql.DataFrame =
     Tables(s, dir, "embeddings").filter(col("vec_id") < nImg)
@@ -4688,7 +4698,7 @@ object LlmQueries {
     * embeddings row (this data's natural cosines top out ≈ 0.5, far
     * under the 0.9 gate — both classes appear by construction).
     */
-  private def m14TxtEmb(s: org.apache.spark.sql.SparkSession,
+  private[queries] def m14TxtEmb(s: org.apache.spark.sql.SparkSession,
                         dir: String, nImg: Int)
       : org.apache.spark.sql.DataFrame = {
     val d = col("doc_id")
@@ -4781,6 +4791,40 @@ object LlmQueries {
        |  round(c, 6) AS clip_score, round(c, 6) >= 0.9 AS keep
        |FROM sc ORDER BY src_url, img_idx""".stripMargin
   }
+
+  /** st23's oracle: the m14 chain WITHOUT golden or dedup — the
+    * streaming gate runs pre-dedup (stateless), so every extracted
+    * pair scores; pure documents/embeddings arithmetic, no golden
+    * surface at all.
+    */
+  private[queries] def st23Sql(nImg: Int): String =
+    s"""WITH docs AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 7 THEN 3
+       |         ELSE doc_id % $nImg END AS ida,
+       |    (doc_id * 3 + 1) % $nImg AS idb,
+       |    CASE WHEN doc_id % 10 = 7 THEN 'shared alt'
+       |         ELSE 'Doc ' || doc_id || ' primary' END AS alta,
+       |    'Caption ' || doc_id || ' fig' AS capb
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT 'http://media.example/pages/' || doc_id || '.html'
+       |      AS src_url,
+       |    0::BIGINT AS img_idx, alta AS text, ida AS img_id
+       |  FROM docs
+       |  UNION ALL
+       |  SELECT 'http://media.example/pages/' || doc_id || '.html',
+       |    1::BIGINT, capb, idb
+       |  FROM docs),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |${m14TvCte(nImg)},
+       |sc AS (SELECT p.src_url, p.img_idx,
+       |    ${mCosSql("ei.ev", "et.ev")} AS c
+       |  FROM pairs p JOIN e ei ON ei.vec_id = p.img_id
+       |    JOIN tv ON tv.text = p.text
+       |    JOIN e et ON et.vec_id = tv.tvid)
+       |SELECT src_url, img_idx,
+       |  round(c, 6) AS clip_score, round(c, 6) >= 0.9 AS keep
+       |FROM sc ORDER BY src_url, img_idx""".stripMargin
 
   /** m11's oracle: pairs, features, and the (phash, text) dedup all
     * re-derived in DuckDB from documents arithmetic + the raw-pixel

@@ -872,6 +872,38 @@ object StreamingQueries {
         s.table("st22_sink").orderBy(col("doc_id"))
       }, None, Some(dir => LlmQueries.l93Sql(dir))),
 
+    // Streaming multimodal pair GATE (st23) — the multimodal ingest
+    // front-end as a stream: page extraction (the html_images kernel —
+    // stateless narrow) → the m14 embed gate (two STREAM-STATIC
+    // equi-joins against the embedding relations + in-row cosine —
+    // append-legal, zero state) per micro-batch. Runs PRE-dedup (the
+    // stateful stages stay batch — st06/st10 cover streaming dedup
+    // semantics elsewhere), so the oracle is pure documents/embeddings
+    // arithmetic with NO golden surface: one hash proves the streamed
+    // extraction+join+score ≡ batch ≡ DuckDB.
+    "st23_pair_gate_stream" -> QuerySpec(
+      (s, dir) => {
+        val nImg = 40
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val pairs = graft.operators.TextAnalysis.extractImagePairs(
+          LlmQueries.m14PagesOver(
+            stream.select(col("doc_id")), nImg))
+        val q = graft.operators.Multimodal.pairEmbedGate(pairs,
+            LlmQueries.m14ImgEmb(s, dir, nImg),
+            LlmQueries.m14TxtEmb(s, dir, nImg), minScore = 0.9)
+          .select(col("src_url"), col("img_idx"), col("clip_score"),
+            col("keep"))
+          .writeStream.format("memory").queryName("st23_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st23_sink").orderBy(col("src_url"), col("img_idx"))
+      }, None, Some(_ => LlmQueries.st23Sql(40))),
+
     // The TIME-BOUNDED streaming near-dup contract, proven against the
     // exact-global one on the same deterministic schedule (st06 covers
     // the LSH semantics on the real corpus; this entry's subject is the
