@@ -93,7 +93,8 @@ object Explain {
       "l94_decontaminate_ids_bloom" -> "bloom-prefiltered id decontamination (the l30 shape on id grams: might_contain as a narrow filter BELOW the exact gram join; the join is unhinted so AQE sizes it)",
       "m12_pair_neardup" -> "pair-level near-dup (checkpointed slim pair frame consumed 4x, pigeonhole hamming chunk equi-join — never all-pairs — id-keyed text-equality residual)",
       "m13_pair_funnel" -> "multimodal pair funnel (header-only sniff gate BEFORE any decode, per-stage aggregates over one extraction plan, embed-gate stage = two equi-joins + in-row cosine)",
-      "m14_pair_embed_gate" -> "embedding pair gate (url-keyed + text-keyed equi-joins, in-row cosine kernel, threshold in the same projection — no cross join, no BNLJ)")
+      "m14_pair_embed_gate" -> "embedding pair gate (url-keyed + text-keyed equi-joins, in-row cosine kernel, threshold in the same projection — no cross join, no BNLJ)",
+      "l97_pack_positions" -> "packed attention metadata (the l85 pack plan + in-row boundary-index folds — PlanSpec pins ZERO added exchanges)")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans of flagship queries\n\n")
     sb.append("Generated by `runMain graft.Explain` on sf0.001; the\n")
@@ -337,6 +338,18 @@ object Explain {
         "still vocabulary-bounded (only in-vocab pieces carry " +
         "posterior mass). l95 is l88 over the ▁-marked word universe " +
         "(a different word relation, the same plan).\n")
+      sb.append("\n## l93 / l96 / st22 / st23 — inherits-from notes\n\n")
+      sb.append("l93_unigram_ids_bytefb and l96_unigram_vocab_roundtrip " +
+        "both run the l83 zero-exchange encode projection (pinned " +
+        "above): byte fallback rewrites only the unk edge's EMISSION " +
+        "inside the kernel, and l96's loaded model embeds the same " +
+        "literals the in-memory model would — the plan cannot tell " +
+        "either apart from l83's. st22_ids_fb_stream streams l93's " +
+        "projection (stateless append, MicroBatchScan leaf); " +
+        "st23_pair_gate_stream streams m14's gate — the page-extract " +
+        "kernel plus two STREAM-STATIC equi-joins against the " +
+        "embedding relations (append-legal, zero state), the " +
+        "m14_pair_embed_gate plan under a streaming scan.\n")
     }
     Files.write(Paths.get("EXPLAIN.md"), sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote EXPLAIN.md (${interesting.size} plans)")
