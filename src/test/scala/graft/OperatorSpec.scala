@@ -4255,4 +4255,59 @@ class OperatorSpec extends AnyFunSuite {
     // release works on the DERIVED frame too (plan traversal)
     assert(TextAnalysis.packIdStreamRelease(packed) >= 1)
   }
+
+  test("unigram byteFallback fuzz: 150 random multilingual strings " +
+      "(ASCII/Latin/CJK/emoji/whitespace mix) round-trip " +
+      "decode(encode(text)) == the engine's own normalized text") {
+    import graft.operators.TextAnalysis
+    // ASCII-only training corpus: everything non-ASCII below is OOV
+    val train = (0 until 8).map(i =>
+      (i.toLong, "pack my box with five dozen liquor jugs " + i))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.unigramTrain(train, markWords = true,
+      vocabSize = 64, epochs = 2)
+    val rnd = new scala.util.Random(1234)
+    // code-point pools: ASCII letters, Latin-1 accents, CJK, emoji
+    // (supplementary plane), digits, and the kernel's whitespace class.
+    // U+2581 (the boundary marker) is EXCLUDED: text containing the
+    // marker itself is the one documented decode ambiguity
+    // (SentencePiece shares it).
+    val pools = Seq(
+      ('a' to 'z').map(_.toInt),
+      (0xC0 to 0xFF).filterNot(_ == 0xD7),
+      (0x4E00 to 0x4E40),
+      (0x1F600 to 0x1F640),
+      ('0' to '9').map(_.toInt),
+      Seq(' ', '\t', '\n', '\f', '\r').map(_.toInt))
+    def randString(): String = {
+      val sb = new StringBuilder
+      (0 until 3 + rnd.nextInt(40)).foreach { _ =>
+        val pool = pools(rnd.nextInt(pools.length))
+        sb.appendAll(Character.toChars(pool(rnd.nextInt(pool.length))))
+      }
+      sb.toString
+    }
+    val rows = (0 until 150).map(i => (i.toLong, randString()))
+    val df = rows.toDF("doc_id", "text")
+    // expected = the ENGINE's own normalization (same UTF8String
+    // lowercase/trim + the same whitespace-class split the kernel uses)
+    val expected = df.select(col("doc_id"),
+        array_join(filter(split(lower(trim(col("text"))),
+          "[ \\t\\n\\f\\r]+"), w => w =!= ""), " ").as("norm"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalysis.unigramEncodeIds(df, m, markWords = true,
+        byteFallback = true)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        TextAnalysis.unigramDecodeIds(
+          r.getAs[scala.collection.Seq[Int]]("token_ids").toSeq, m,
+          markWords = true)).toMap
+    // whitespace-only strings drop from encode output (no tokens);
+    // every emitted doc must round-trip exactly
+    got.foreach { case (id, dec) =>
+      assert(dec == expected(id),
+        s"doc $id: decode ${dec.length} chars != norm " +
+          s"${expected(id).length}: [$dec] vs [${expected(id)}]")
+    }
+    assert(got.nonEmpty && got.size >= 140, s"only ${got.size} docs")
+  }
 }
