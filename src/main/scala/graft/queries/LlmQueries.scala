@@ -192,6 +192,35 @@ object LlmQueries {
           .orderBy(col("cluster"), col("id"))
       }, None, Some(dir => l10Sql(dir))),
 
+    // BEST-member cluster dedup (l98) — the keeper policy production
+    // pipelines actually use where l01/l10 keep the MIN id: within
+    // each near-dup cluster keep the member with the most tokens
+    // (longest-copy wins — truncated/mirrored variants drop), tie to
+    // the smallest id. One argmax-by-struct aggregate over the
+    // cluster join — max(struct(n_tokens, -id)) IS the (tokens DESC,
+    // id ASC) argmax, no window, no second shuffle. The oracle chains
+    // the l10 recursive-CTE components with a DuckDB token count +
+    // ROW_NUMBER keeper mirror.
+    "l98_dedup_best_keeper" -> QuerySpec(
+      (s, dir) => {
+        val cl = Dedup.clusters(lshPairs(s, dir))
+        val docs = Tables(s, dir, "documents").select(
+          col("doc_id").as("id"),
+          TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+        cl.join(docs, "id")
+          .groupBy(col("cluster"))
+          .agg(max(struct(col("n_tokens"), (-col("id")).as("negid")))
+              .as("best"),
+            count(lit(1)).as("n_members"),
+            sum(col("n_tokens")).as("cluster_tokens"))
+          .select(col("cluster"),
+            (-col("best.negid")).cast("long").as("keeper_id"),
+            col("best.n_tokens").as("keeper_tokens"),
+            col("n_members"), col("cluster_tokens"))
+          .orderBy(col("cluster"))
+      }, None, Some(dir => l98Sql(dir))),
+
     // The SAME components through star contraction (large-star/
     // small-star, O(log n) rounds vs label propagation's O(diameter)) —
     // same oracle as l10, so the driver hash-proves the two algorithms
@@ -6539,7 +6568,17 @@ object LlmQueries {
     * cluster / keep decision). Keyed by dir through pairsCache; a dir
     * the queries never ran degrades to rows-only via the builder throw.
     */
-  private def l10Sql(dir: String): String = {
+  private def l10Sql(dir: String): String =
+    s"""${lshReachCte(dir)}
+       |SELECT id, MIN(r) AS cluster,
+       |  CASE WHEN id = MIN(r) THEN 'keep' ELSE 'drop' END AS action
+       |FROM reach GROUP BY id ORDER BY cluster, id""".stripMargin
+
+  /** The shared l10/l98 component re-derivation: captured candidate
+    * pairs as VALUES → recursive-CTE reachability (ONE copy so the
+    * keeper policies cannot drift from the clustering).
+    */
+  private def lshReachCte(dir: String): String = {
     val df = synchronized {
       pairsCache.get(dir) match {
         case Some((owner, df)) if !owner.sparkContext.isStopped => df
@@ -6558,11 +6597,31 @@ object LlmQueries {
        |reach(id, r) AS (
        |  SELECT src, src FROM edges
        |  UNION
-       |  SELECT rr.id, e.dst FROM reach rr JOIN edges e ON e.src = rr.r)
-       |SELECT id, MIN(r) AS cluster,
-       |  CASE WHEN id = MIN(r) THEN 'keep' ELSE 'drop' END AS action
-       |FROM reach GROUP BY id ORDER BY cluster, id""".stripMargin
+       |  SELECT rr.id, e.dst FROM reach rr JOIN edges e ON e.src = rr.r)""".stripMargin
   }
+
+  /** l98 oracle: the l10 components + token counts from documents,
+    * keeper = ROW_NUMBER over (n_tokens DESC, id ASC) — the mirror of
+    * the engine's max(struct(n_tokens, -id)) argmax.
+    */
+  private def l98Sql(dir: String): String =
+    s"""${lshReachCte(dir)},
+       |cl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+       |tc AS (SELECT doc_id AS id, len(list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    x -> length(x) > 0))::BIGINT AS n_tokens
+       |  FROM documents),
+       |j AS (SELECT cl.cluster, cl.id, tc.n_tokens
+       |      FROM cl JOIN tc USING (id)),
+       |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+       |    ORDER BY n_tokens DESC, id) AS rn FROM j)
+       |SELECT cluster,
+       |  MAX(CASE WHEN rn = 1 THEN id END)::BIGINT AS keeper_id,
+       |  MAX(CASE WHEN rn = 1 THEN n_tokens END)::BIGINT
+       |    AS keeper_tokens,
+       |  COUNT(*)::BIGINT AS n_members,
+       |  SUM(n_tokens)::BIGINT AS cluster_tokens
+       |FROM r2 GROUP BY cluster ORDER BY cluster""".stripMargin
 
   // ---- ANN oracle builders (late-bound; see the s-entries) ----
 
