@@ -4594,6 +4594,68 @@ object LlmQueries {
             col("text"), col("clip_score"), col("keep"))
           .orderBy(col("src_url"), col("img_idx"))
       }, None, Some(_ => m14Sql("m11-imgfeat-40-v1", 40))),
+
+    // Pair-media ARCHIVAL EXPORT (m15) — the interchange step a
+    // multimodal corpus build ends with (the img2dataset/WebDataset
+    // role, here in the archival WARC convention: raw objects as
+    // `resource` records, every record its own gzip member): media
+    // referenced by at least one embed-gate SURVIVOR exports through
+    // the distributed WARC writer and reads back through the raw
+    // resource path — byte-identical (payload md5 + length against a
+    // fixture golden) with gate-derived membership (DuckDB re-derives
+    // the kept-image set from the same cosine arithmetic as the gate).
+    // One hash spans gate → distinct-media join → WARC framing →
+    // gzip-member round trip.
+    "m15_pair_media_export" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val nImg = 40
+        MultimodalGolden.ensureGoldenDf(s"m15-mediamd5-$nImg-v1", {
+          s.range(nImg).map { boxed =>
+            val i: Long = boxed
+            val (w, h, rgb) = Multimodal.pngRawDraw(i)
+            val bytes =
+              if (i % 2 == 0) Multimodal.Codecs.encodeBmp(w, h, rgb)
+              else graft.codec.Png.encode(w, h, rgb)
+            (s"http://media.example/img/$i.bmp",
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(bytes).map("%02x".format(_)).mkString,
+              bytes.length.toLong)
+          }.toDF("img_url", "payload_md5", "n_bytes")
+        })
+        val media = s.range(nImg).map { boxed =>
+          val i: Long = boxed
+          val (w, h, rgb) = Multimodal.pngRawDraw(i)
+          val bytes =
+            if (i % 2 == 0) Multimodal.Codecs.encodeBmp(w, h, rgb)
+            else graft.codec.Png.encode(w, h, rgb)
+          (s"http://media.example/img/$i.bmp", bytes)
+        }.toDF("media_url", "data")
+        // a QUARTER of the crawl (doc_id % 4 == 1) so the kept-image
+        // set is genuinely selective (odd ids + the shared-alt image;
+        // even-id caption alignment needs even docs, which this slice
+        // has none of) — membership is the thing the oracle derives
+        val keptUrls = Multimodal.pairEmbedGate(
+            TextAnalysis.extractImagePairs(
+              m14PagesOver(Tables(s, dir, "documents")
+                .filter(col("doc_id") % 4 === 1), nImg)),
+            m14ImgEmb(s, dir, nImg), m14TxtEmb(s, dir, nImg),
+            minScore = 0.9)
+          .filter(col("keep"))
+          .select(col("img_url").as("media_url")).distinct()
+        val export = media.join(keptUrls, "media_url")
+          .select(col("media_url").as("url"),
+            lit("2026-01-01T00:00:00Z").as("warc_date"),
+            col("data").as("payload"))
+        val out = "target/pairexport/" +
+          s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
+        graft.sources.Warc.writeRecords(export, out,
+          recType = "resource", contentType = "image/bmp")
+        graft.sources.Warc.readResources(s, out)
+          .select(col("url").as("img_url"),
+            md5(col("payload")).as("payload_md5"), col("n_bytes"))
+          .orderBy(col("img_url"))
+      }, None, Some(_ => m15Sql("m15-mediamd5-40-v1", 40))),
   ) + m08Entry + m09Entry
 
   /** m13's oracle: per-stage pair counts chained as CTEs over the
@@ -4854,6 +4916,42 @@ object LlmQueries {
        |SELECT src_url, img_idx,
        |  round(c, 6) AS clip_score, round(c, 6) >= 0.9 AS keep
        |FROM sc ORDER BY src_url, img_idx""".stripMargin
+
+  /** m15's oracle: the gate's kept-image set re-derived from the same
+    * cosine arithmetic (the st23 chain reduced to image ids), joined to
+    * the fixture's payload-md5 golden — membership AND bytes in one
+    * hash.
+    */
+  private def m15Sql(gname: String, nImg: Int): String = {
+    val base = MultimodalGolden.goldenBase(gname)
+    s"""WITH docs AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 7 THEN 3
+       |         ELSE doc_id % $nImg END AS ida,
+       |    (doc_id * 3 + 1) % $nImg AS idb,
+       |    CASE WHEN doc_id % 10 = 7 THEN 'shared alt'
+       |         ELSE 'Doc ' || doc_id || ' primary' END AS alta,
+       |    'Caption ' || doc_id || ' fig' AS capb
+       |  FROM documents WHERE doc_id % 4 = 1),
+       |pairs AS (
+       |  SELECT alta AS text, ida AS img_id FROM docs
+       |  UNION ALL
+       |  SELECT capb, idb FROM docs),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |${m14TvCte(nImg)},
+       |sc AS (SELECT p.img_id,
+       |    ${mCosSql("ei.ev", "et.ev")} AS c
+       |  FROM pairs p JOIN e ei ON ei.vec_id = p.img_id
+       |    JOIN tv ON tv.text = p.text
+       |    JOIN e et ON et.vec_id = tv.tvid),
+       |ku AS (SELECT DISTINCT img_id FROM sc WHERE round(c, 6) >= 0.9),
+       |g AS (SELECT img_url, payload_md5, n_bytes
+       |      FROM read_parquet('$base/*.parquet'))
+       |SELECT g.img_url, g.payload_md5, g.n_bytes
+       |FROM g JOIN ku
+       |  ON g.img_url = 'http://media.example/img/' || ku.img_id
+       |     || '.bmp'
+       |ORDER BY g.img_url""".stripMargin
+  }
 
   /** m11's oracle: pairs, features, and the (phash, text) dedup all
     * re-derived in DuckDB from documents arithmetic + the raw-pixel

@@ -199,6 +199,24 @@ object Warc {
     }.toDF()
   }
 
+  /** The `resource` records under `path` with their RAW payload bytes —
+    * the archival read path for binary media (images/audio exported as
+    * WARC `resource` records, the archive convention for raw objects;
+    * [[read]]'s Record is a UTF-8 TEXT view and would mangle binary).
+    * Schema: (file, url, warc_date, content_type, n_bytes, payload).
+    */
+  def readResources(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val bc = shippedConfBc(spark)
+    listFiles(spark, path).mapPartitions { paths =>
+      paths.flatMap(p => parseFileRaw(p, bc.value.value)
+        .filter(_.rec_type == "resource")
+        .map(r => (r.file, r.url, r.warc_date, r.content_type,
+          r.bytes.length.toLong, r.bytes)))
+    }.toDF("file", "url", "warc_date", "content_type", "n_bytes",
+      "payload")
+  }
+
   /** The `response` records under `path` with their HTTP payloads split
     * — the real Common Crawl `.warc` consumption path (WET's
     * `conversion` records go through [[read]]): status line parsed,
