@@ -191,17 +191,24 @@ object BenchBudgets {
     "m12_pair_neardup" -> 2.9887,
     // m13 RE-pinned (r18): the funnel gained the m14 embed-gate as
     // stage 5 — an intentional profile change. Pin = element-wise min
-    // of target/bench_r18_idle{1,2}.json (186 entries, cal
-    // 0.496/0.5004, both zero flags/spikes/errors).
-    "m13_pair_funnel" -> 1.2881,
+    // of target/bench_r18_idle{1..4}.json (all zero flags/spikes/
+    // errors).
+    "m13_pair_funnel" -> 1.1870,
     "st21_ids_stream" -> 0.7479,
-    // r18 additions pinned from target/bench_r18_idle{1,2}.json
-    // (element-wise min; both runs zero flags/spikes/errors at cal
-    // 0.496/0.5004)
+    // r18 additions pinned from target/bench_r18_idle{1..4}.json
+    // (element-wise min across the runs each entry appears in; ALL
+    // four runs zero flags/spikes/errors at cal 0.491–0.557; l98/m15
+    // appear only in idle4, st22/l96/l97/st23 in idle3+4)
     "l93_unigram_ids_bytefb" -> 0.1355,
-    "l94_decontaminate_ids_bloom" -> 1.8852,
-    "l95_unigram_train_soft_marked" -> 0.0322,
+    "l94_decontaminate_ids_bloom" -> 1.8522,
+    "l95_unigram_train_soft_marked" -> 0.0290,
     "m14_pair_embed_gate" -> 0.6970,
+    "st22_ids_fb_stream" -> 0.4708,
+    "l96_unigram_vocab_roundtrip" -> 0.4179,
+    "l97_pack_positions" -> 0.9090,
+    "st23_pair_gate_stream" -> 1.1909,
+    "l98_dedup_best_keeper" -> 0.4981,
+    "m15_pair_media_export" -> 0.6832,
     "m01_media_features" -> 0.2213,
     "m02_frame_sample" -> 0.0812,
     "m03_media_resize" -> 0.0864,

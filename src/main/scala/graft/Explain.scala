@@ -350,6 +350,19 @@ object Explain {
         "kernel plus two STREAM-STATIC equi-joins against the " +
         "embedding relations (append-legal, zero state), the " +
         "m14_pair_embed_gate plan under a streaming scan.\n")
+      sb.append("\n## l98 / m15 — inherits-from notes\n\n")
+      sb.append("l98_dedup_best_keeper is l10's clustering plan " +
+        "(candidate pairs → per-round checkpointed label propagation) " +
+        "plus ONE argmax-by-struct aggregate over the cluster-to-" +
+        "token-count equi-join — max(struct(n_tokens, -id)) IS the " +
+        "(tokens DESC, id ASC) keeper argmax, so no window and no " +
+        "second shuffle exist to review. m15_pair_media_export runs " +
+        "the m14 gate plan (pinned above) to the kept-url DISTINCT, " +
+        "one url equi-join against the media store, then the " +
+        "distributed WARC writer's foreachPartition (each task " +
+        "streams its own part, attempt-unique temp + rename commit — " +
+        "the p17 write path) and the binaryFile-listed " +
+        "mapPartitions-narrow resource read back.\n")
     }
     Files.write(Paths.get("EXPLAIN.md"), sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote EXPLAIN.md (${interesting.size} plans)")
