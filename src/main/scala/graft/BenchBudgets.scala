@@ -197,18 +197,19 @@ object BenchBudgets {
     "st21_ids_stream" -> 0.7479,
     // r18 additions pinned from target/bench_r18_idle{1..4}.json
     // (element-wise min across the runs each entry appears in; ALL
-    // four runs zero flags/spikes/errors at cal 0.491–0.557; l98/m15
-    // appear only in idle4, st22/l96/l97/st23 in idle3+4)
+    // five runs (idle1..4 + the close run) zero flags/spikes/errors at
+    // cal 0.491–0.557; l98/m15 appear in idle4 + close, st22/l96/l97/
+    // st23 in idle3/4 + close)
     "l93_unigram_ids_bytefb" -> 0.1355,
     "l94_decontaminate_ids_bloom" -> 1.8522,
     "l95_unigram_train_soft_marked" -> 0.0290,
     "m14_pair_embed_gate" -> 0.6970,
-    "st22_ids_fb_stream" -> 0.4708,
+    "st22_ids_fb_stream" -> 0.4655,
     "l96_unigram_vocab_roundtrip" -> 0.4179,
     "l97_pack_positions" -> 0.9090,
     "st23_pair_gate_stream" -> 1.1909,
     "l98_dedup_best_keeper" -> 0.4981,
-    "m15_pair_media_export" -> 0.6832,
+    "m15_pair_media_export" -> 0.6306,
     "m01_media_features" -> 0.2213,
     "m02_frame_sample" -> 0.0812,
     "m03_media_resize" -> 0.0864,
