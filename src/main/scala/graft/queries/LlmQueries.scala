@@ -192,6 +192,32 @@ object LlmQueries {
           .orderBy(col("cluster"), col("id"))
       }, None, Some(dir => l10Sql(dir))),
 
+    // Cross-SOURCE duplication matrix (l99) — the corpus-assembly
+    // report the dedup family feeds: near-dup pairs attributed to
+    // their documents' SOURCES as an unordered source-pair count
+    // matrix (the diagonal = within-source duplication, off-diagonal =
+    // sources mirroring each other — what decides dedup ORDER and
+    // source pruning when assembling a mixture). Two id-keyed
+    // equi-joins against the (doc_id, source) projection + one
+    // source-width aggregate; least/greatest canonicalizes the
+    // unordered pair. Oracle: the captured candidate pairs as VALUES
+    // (the l10 convention) joined to documents' sources in DuckDB.
+    "l99_cross_source_dups" -> QuerySpec(
+      (s, dir) => {
+        val src = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+        lshPairs(s, dir)
+          .join(src.select(col("doc_id").as("id_a"),
+            col("source").as("sa")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"),
+            col("source").as("sb")), "id_b")
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("source_a"), col("source_b"))
+      }, None, Some(dir => l99Sql(dir))),
+
     // BEST-member cluster dedup (l98) — the keeper policy production
     // pipelines actually use where l01/l10 keep the MIN id: within
     // each near-dup cluster keep the member with the most tokens
@@ -6696,6 +6722,30 @@ object LlmQueries {
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT rr.id, e.dst FROM reach rr JOIN edges e ON e.src = rr.r)""".stripMargin
+  }
+
+  /** l99 oracle: the captured candidate pairs as VALUES joined to
+    * documents' sources, unordered-pair canonicalized.
+    */
+  private def l99Sql(dir: String): String = {
+    val df = synchronized {
+      pairsCache.get(dir) match {
+        case Some((owner, df)) if !owner.sparkContext.isStopped => df
+        case _ => sys.error(s"l02/l99 never ran for $dir — no pairs")
+      }
+    }
+    val pairs = df.select(col("id_a"), col("id_b")).collect()
+      .map(r => s"(${r.getLong(0)}::BIGINT,${r.getLong(1)}::BIGINT)")
+    require(pairs.nonEmpty, "no near-dup pairs — VALUES would be empty")
+    s"""WITH pr(id_a, id_b) AS (
+       |  SELECT * FROM (VALUES ${pairs.mkString(", ")}) t(id_a, id_b)),
+       |s AS (SELECT doc_id, source FROM documents)
+       |SELECT least(sa.source, sb.source) AS source_a,
+       |  greatest(sa.source, sb.source) AS source_b,
+       |  COUNT(*)::BIGINT AS n_pairs
+       |FROM pr JOIN s sa ON sa.doc_id = pr.id_a
+       |  JOIN s sb ON sb.doc_id = pr.id_b
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   /** l98 oracle: the l10 components + token counts from documents,
