@@ -210,6 +210,9 @@ object BenchBudgets {
     "st23_pair_gate_stream" -> 1.1909,
     "l98_dedup_best_keeper" -> 0.4981,
     "m15_pair_media_export" -> 0.6306,
+    // l99 pinned from target/bench_r18_idle5.json (193 entries,
+    // 115.0 s, cal 0.5056, zero flags/spikes/errors)
+    "l99_cross_source_dups" -> 0.1778,
     "m01_media_features" -> 0.2213,
     "m02_frame_sample" -> 0.0812,
     "m03_media_resize" -> 0.0864,
