@@ -762,9 +762,14 @@ object Multimodal {
     * cross join) + ONE in-row cosine
     * ([[graft.functions.expressions.VectorExpressions.cosine_sim]],
     * the s01-proven kernel); scores round to 6 decimals (the s-family
-    * convention, engine-stable). Output: the pair columns +
-    * (clip_score, keep) — callers filter on `keep` (the funnel stage)
-    * or keep the score for threshold sweeps.
+    * convention, engine-stable — `keep` compares the ROUNDED score, so
+    * the gate decision is cross-engine exact). Output: the pair
+    * columns + (clip_score, keep) — callers filter on `keep` (the
+    * funnel stage) or keep the score for threshold sweeps. Pairs with
+    * no embedding row on EITHER side drop (inner joins): a pair the
+    * embedding fleet has not scored cannot be gated, and emitting it
+    * unscored would launder it past the filter — callers that want to
+    * quarantine them instead diff against the input frame.
     */
   def pairEmbedGate(pairs: DataFrame, imgEmb: DataFrame,
                     txtEmb: DataFrame, minScore: Double,
