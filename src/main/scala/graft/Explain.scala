@@ -94,7 +94,11 @@ object Explain {
       "m12_pair_neardup" -> "pair-level near-dup (checkpointed slim pair frame consumed 4x, pigeonhole hamming chunk equi-join — never all-pairs — id-keyed text-equality residual)",
       "m13_pair_funnel" -> "multimodal pair funnel (header-only sniff gate BEFORE any decode, per-stage aggregates over one extraction plan, embed-gate stage = two equi-joins + in-row cosine)",
       "m14_pair_embed_gate" -> "embedding pair gate (url-keyed + text-keyed equi-joins, in-row cosine kernel, threshold in the same projection — no cross join, no BNLJ)",
-      "l97_pack_positions" -> "packed attention metadata (the l85 pack plan + in-row boundary-index folds — PlanSpec pins ZERO added exchanges)")
+      "l97_pack_positions" -> "packed attention metadata (the l85 pack plan + in-row boundary-index folds — PlanSpec pins ZERO added exchanges)",
+      "l102_epoch_allocation" -> "token-budget epoch allocation (ONE source-width partial aggregate + a scalar cross join; the report is source-count-sized — nothing corpus-scale survives the first agg)",
+      "l103_fim_transform" -> "FIM transform (the l83 zero-exchange encode plan + one narrow slice/concat projection — sentinel assembly adds no exchange)",
+      "l105_token_drift" -> "token-distribution drift (one token-width conditional-count agg, doc-width totals, TakeOrderedAndProject top-100 — no global sort)",
+      "s18_ivf_merge" -> "IVF segment merge (secondary reassigned by literal centroids, union write; query = s17's partition-pruned path over the merged store)")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans of flagship queries\n\n")
     sb.append("Generated by `runMain graft.Explain` on sf0.001; the\n")
@@ -363,6 +367,30 @@ object Explain {
         "streams its own part, attempt-unique temp + rename commit — " +
         "the p17 write path) and the binaryFile-listed " +
         "mapPartitions-narrow resource read back.\n")
+      sb.append("\n## l100 / l101 / l104 / m16 / st24 — " +
+        "inherits-from notes\n\n")
+      sb.append("l100_unigram_ids_soft_fb runs l93's byte-fallback " +
+        "encode projection (itself l83's zero-exchange plan) with the " +
+        "SOFT-trained model's literals — the plan cannot tell the " +
+        "trainer apart; the training side inherits the l88/l95 " +
+        "E-step note above. l101_dedup_savings_matrix is l98's " +
+        "clustering + argmax plan with the keeper's SOURCE carried in " +
+        "the same max(struct(...)) (no extra lookup join), one " +
+        "cluster-keyed equi-join back, and a source-width final " +
+        "aggregate. l104_shard_manifest is l85's pack plan (pinned " +
+        "above) followed by a shard-partitioned parquet write, a " +
+        "partition-pruned read back, and ONE shard-width aggregate " +
+        "whose digest folds sort_array(collect_list(struct(...))) — " +
+        "deterministic under any partitioning, shard-count-sized " +
+        "output. m16_paired_archive is m15's gate + media join with " +
+        "the per-pair metadata projection unioned in (both sides " +
+        "narrow over already-joined frames) through the same " +
+        "foreachPartition WARC writer, read back by the readRaw " +
+        "mapPartitions-narrow scan. st24_pair_dedup_stream is st23's " +
+        "stream plan plus Spark's streaming dropDuplicates state " +
+        "store keyed by the (img_url, text) pair key — state bounded " +
+        "by the distinct-key space; the projection keeps only " +
+        "key-determined columns, so arrival order is unobservable.\n")
     }
     Files.write(Paths.get("EXPLAIN.md"), sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote EXPLAIN.md (${interesting.size} plans)")

@@ -382,6 +382,36 @@ object Similarity {
       .select(col("id").as(idCol), col("v").as(vecCol), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Merge a secondary [[writeIvfIndex]] segment into a primary one —
+    * the incremental-indexing maintenance step (new crawl slices land
+    * as their own segments; a vector store periodically compacts them):
+    * the PRIMARY's centroids are adopted (the Lucene-style merge
+    * policy — retraining k-means over the union would invalidate every
+    * existing cell assignment and force a full rebuild), the primary's
+    * rows copy through with their cell assignments INTACT, and only
+    * the secondary's vectors re-assign — one narrow literal-centroid
+    * projection over the smaller side. The merged store is
+    * bit-identical to an index built over the union with the primary's
+    * centroids (OperatorSpec asserts it; the s18 oracle re-derives the
+    * query result from that identity), so [[queryIvfIndex]] needs no
+    * merge awareness. At scale the copy is the rewrite a compaction
+    * pays anyway; partition layout (cell directories) is preserved.
+    */
+  def mergeIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                    primary: String,
+                    secondary: String, centroids: Array[Array[Double]],
+                    out: String, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val a = spark.read.parquet(primary)
+      .select(col(idCol), col(vecCol), col("cell"))
+    val b = assignCells(
+        spark.read.parquet(secondary).select(col(idCol), col(vecCol)),
+        centroids, idCol, vecCol)
+      .select(col("id").as(idCol), col("v").as(vecCol), col("cell"))
+    a.unionByName(b)
+      .write.mode("overwrite").partitionBy("cell").parquet(out)
+  }
+
   /** Query a [[writeIvfIndex]] index: the probe cells come from the
     * literal centroid matrix (same 2·v·c − ‖c‖², ties to the higher
     * cell), their union becomes a plan-time `IN` literal on the

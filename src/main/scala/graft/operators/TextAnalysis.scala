@@ -3686,6 +3686,123 @@ object TextAnalysis {
           .cast("long").as("quota"))
   }
 
+  /** Token-budget EPOCH ALLOCATION — the published-mixture-table step
+    * (the Llama-1/GPT-3 "epochs over each source" column): given the
+    * corpus' per-source available token mass, a total training budget
+    * (`budgetFactor` × the corpus mass), and a repetition ceiling
+    * (`maxEpochs` — data-quality work shows returns degrade past a few
+    * epochs of the same text), allocate budget tokens per source under
+    * τ=0.5 temperature weights and report the resulting epoch counts.
+    * Small sources up-weight (sqrt), so their targets EXCEED the
+    * ceiling and clamp — both classes (capped / uncapped) appear by
+    * construction on any non-degenerate source distribution.
+    *
+    * Cross-engine determinism is the [[temperatureMix]] discipline:
+    * sqrt is exactly-rounded IEEE, per-source terms quantize to a
+    * 6-decimal grid BEFORE the normalizer sums them as DECIMAL (exact,
+    * order-free), every division happens in one pinned operation
+    * order, and the target floors to an integer — so the whole table
+    * hashes bit-for-bit. One source-width aggregate + one scalar
+    * cross join; the report is source-count-sized.
+    */
+  def epochAllocation(docs: DataFrame, budgetFactor: Int = 2,
+                      maxEpochs: Int = 2, sourceCol: String = "source",
+                      textCol: String = "text"): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol).as("source"))
+      .agg(sum(tokenCount(col(textCol)).cast("long")).as("avail_tokens"))
+    val sq = quant(sqrt(col("avail_tokens").cast("double")), 6)
+    val totals = counts.agg(
+      sum(sq.cast("decimal(18,6)")).cast("double").as("z"),
+      sum(col("avail_tokens")).as("ta"))
+    val target = floor(sq / col("z") *
+      (col("ta").cast("double") * lit(budgetFactor.toDouble)))
+      .cast("long")
+    val cap = col("avail_tokens") * lit(maxEpochs.toLong)
+    counts.crossJoin(totals)
+      .select(col("source"), col("avail_tokens"),
+        quant4(sq / col("z")).as("weight"),
+        target.as("target_tokens"),
+        least(target, cap).as("alloc_tokens"),
+        quant4(least(target, cap).cast("double") /
+          col("avail_tokens").cast("double")).as("epochs"),
+        (target > cap).as("capped"))
+  }
+
+  /** Token-distribution DRIFT between two corpus snapshots — the
+    * pipeline-monitoring report that catches a changed crawl mix, a
+    * broken extractor, or a filter regression BEFORE a training run:
+    * per-token probabilities in each snapshot and the per-token
+    * total-variation contribution |p_a − p_b| (TV = half the sum — the
+    * one f-divergence computable here in exactly-rounded IEEE ops:
+    * integer counts, ONE division each, one subtraction; a KL would
+    * need a log, which is not exactly-rounded cross-engine), top
+    * movers first. Splitting is caller-defined (`inA`), so the same
+    * operator compares time slices, sources, or pipeline versions.
+    *
+    * Shape at scale: one token-width conditional-count aggregate (ONE
+    * corpus pass — parity resolved by `count(when(...))` inside the
+    * same agg), one doc-width totals aggregate, a scalar cross join,
+    * and a TakeOrderedAndProject top-k — never a global sort. All
+    * reported values quantize to the 6-decimal grid, and the (drift
+    * DESC, token) order is total, so the top-k cut itself hashes.
+    */
+  def tokenDrift(docs: DataFrame, inA: Column, topK: Int = 100,
+                 textCol: String = "text"): DataFrame = {
+    val toks = docs.select(inA.as("in_a"),
+      explode(tokens(col(textCol))).as("token"))
+    val g = toks.groupBy(col("token"))
+      .agg(count(when(col("in_a"), lit(1))).as("cnt_a"),
+        count(when(!col("in_a"), lit(1))).as("cnt_b"))
+    // totals from a DOC-width aggregate (cheap second scan) rather than
+    // a second pass over the token-width relation
+    val t = docs.agg(
+      sum(when(inA, size(tokens(col(textCol)))).otherwise(lit(0)))
+        .cast("double").as("na"),
+      sum(when(!inA, size(tokens(col(textCol)))).otherwise(lit(0)))
+        .cast("double").as("nb"))
+    val pa = col("cnt_a").cast("double") / col("na")
+    val pb = col("cnt_b").cast("double") / col("nb")
+    g.crossJoin(t)
+      .select(col("token"), col("cnt_a"), col("cnt_b"),
+        quant(pa, 6).as("p_a"), quant(pb, 6).as("p_b"),
+        quant(abs(pa - pb), 6).as("tv_drift"))
+      .orderBy(col("tv_drift").desc, col("token"))
+      .limit(topK)
+  }
+
+  /** FIM (fill-in-the-middle) transform over token-id sequences — the
+    * pretraining augmentation code models run (Bavarian et al., "FIM
+    * loses nothing"): a deterministic half of the corpus (doc-id
+    * parity — the published 50% FIM rate) has its id sequence split at
+    * n/3 and 2n/3 and re-emitted in PSM order,
+    * `[PRE] prefix [SUF] suffix [MID] middle`, so the model learns to
+    * infill; the other half (and any sequence under 3 ids) passes
+    * through untouched. Sentinel ids default to 90001–90003 — outside
+    * every id space this engine emits (plain ranks ≤ vocab, byte
+    * fallback ≤ 256 + vocab, GPT-2 byte-BPE ≤ 255 + merges).
+    *
+    * ONE narrow projection — array slices and concats over the already
+    * -encoded frame; zero exchanges added (PlanSpec pins it). Output:
+    * (idCol, fim_applied, n_tokens, token_ids) with n_tokens counting
+    * the 3 sentinels when applied.
+    */
+  def fimTransform(ids: DataFrame, preId: Int = 90001,
+                   sufId: Int = 90002, midId: Int = 90003,
+                   idCol: String = "doc_id",
+                   idsCol: String = "token_ids"): DataFrame = {
+    val n = size(col(idsCol))
+    val a = floor(n / lit(3)).cast("int")
+    val b = floor((n * 2) / lit(3)).cast("int")
+    val app = (col(idCol) % 2 === 0) && (n >= 3)
+    val fim = concat(
+      array(lit(preId)), slice(col(idsCol), lit(1), a),
+      array(lit(sufId)), slice(col(idsCol), b + 1, n - b),
+      array(lit(midId)), slice(col(idsCol), a + 1, b - a))
+    ids.select(col(idCol), app.as("fim_applied"),
+      when(app, n + 3).otherwise(n).cast("long").as("n_tokens"),
+      when(app, fim).otherwise(col(idsCol)).as("token_ids"))
+  }
+
   /** WITHIN-document repetition signals — the Gopher-style quality
     * rules that catch boilerplate/spam text cross-document dedup never
     * sees (a page repeating one nav bar 50 times is unique as a

@@ -247,6 +247,42 @@ object LlmQueries {
           .orderBy(col("cluster"))
       }, None, Some(dir => l98Sql(dir))),
 
+    // Dedup token-SAVINGS matrix (l101) — l99's duplication matrix
+    // weighted by what dedup actually RECLAIMS (the r18 handoff item:
+    // cluster mass, not pair counts — pair counts over-weight dense
+    // cliques quadratically while the reclaimable mass is linear in
+    // members): compose the l98 keeper policy (longest member, tie min
+    // id) with l99's source attribution — every NON-keeper member's
+    // tokens land in the (keeper_source → dropped_source) ORDERED cell,
+    // i.e. "how many tokens source B loses to copies source A keeps",
+    // the number that decides dedup precedence and source pruning when
+    // assembling a mixture. One cluster aggregate (the keeper argmax
+    // carries its source in the same struct — no second lookup join),
+    // one cluster-keyed equi-join back, one source-width aggregate.
+    // Oracle: the shared l10/l98 recursive-CTE components + ROW_NUMBER
+    // keeper, joined to documents' sources.
+    "l101_dedup_savings_matrix" -> QuerySpec(
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(
+          col("doc_id").as("id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+        val m = Dedup.clusters(lshPairs(s, dir)).join(docs, "id")
+        val keep = m.groupBy(col("cluster"))
+          .agg(max(struct(col("n_tokens"), (-col("id")).as("negid"),
+            col("source"))).as("best"))
+          .select(col("cluster"),
+            (-col("best.negid")).cast("long").as("keeper_id"),
+            col("best.source").as("keeper_source"))
+        m.join(keep, "cluster")
+          .filter(col("id") =!= col("keeper_id"))
+          .groupBy(col("keeper_source"),
+            col("source").as("dropped_source"))
+          .agg(count(lit(1)).as("n_dropped"),
+            sum(col("n_tokens")).as("dropped_tokens"))
+          .orderBy(col("keeper_source"), col("dropped_source"))
+      }, None, Some(dir => l101Sql(dir))),
+
     // The SAME components through star contraction (large-star/
     // small-star, O(log n) rounds vs label propagation's O(diameter)) —
     // same oracle as l10, so the driver hash-proves the two algorithms
@@ -1329,6 +1365,87 @@ object LlmQueries {
              |  ON a.doc_id < b.doc_id AND levenshtein(a.title, b.title) <= 2
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Token-distribution DRIFT report (l105) — the snapshot-over-
+    // snapshot monitoring every production pipeline runs before a
+    // training job (a changed crawl mix, a broken extractor, a filter
+    // regression all surface here first): per-token probabilities in
+    // two snapshots (doc-id parity stands in for consecutive crawls)
+    // and the per-token total-variation contribution |p_a − p_b|, top
+    // movers first. TV is the f-divergence computable in exactly-
+    // rounded IEEE ops (KL needs a log — not exactly-rounded
+    // cross-engine). ONE token-width conditional-count aggregate, a
+    // doc-width totals aggregate, TakeOrderedAndProject top-100 —
+    // never a global sort; the quantized (drift DESC, token) order is
+    // total so the cut itself hashes.
+    "l105_token_drift" -> QuerySpec(
+      (s, dir) => TextAnalysis.tokenDrift(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("doc_id") % 2 === 0),
+      Some("""WITH toks AS (SELECT doc_id,
+             |    unnest(list_filter(
+             |      regexp_split_to_array(lower(trim(text)), '\s+'),
+             |      x -> length(x) > 0)) AS token
+             |  FROM documents),
+             |g AS (SELECT token,
+             |    (COUNT(*) FILTER (WHERE doc_id % 2 = 0))::BIGINT
+             |      AS cnt_a,
+             |    (COUNT(*) FILTER (WHERE doc_id % 2 = 1))::BIGINT
+             |      AS cnt_b
+             |  FROM toks GROUP BY token),
+             |t AS (SELECT SUM(cnt_a)::DOUBLE AS na,
+             |             SUM(cnt_b)::DOUBLE AS nb FROM g),
+             |d AS (SELECT token, cnt_a, cnt_b,
+             |    cnt_a::DOUBLE / t.na AS pa,
+             |    cnt_b::DOUBLE / t.nb AS pb
+             |  FROM g, t)
+             |SELECT token, cnt_a, cnt_b,
+             |  floor(pa * 1000000.0 + 0.5) / 1000000.0 AS p_a,
+             |  floor(pb * 1000000.0 + 0.5) / 1000000.0 AS p_b,
+             |  floor(abs(pa - pb) * 1000000.0 + 0.5) / 1000000.0
+             |    AS tv_drift
+             |FROM d
+             |ORDER BY tv_drift DESC, token LIMIT 100""".stripMargin)),
+
+    // Token-budget EPOCH ALLOCATION (l102) — the published-mixture-
+    // table step (the Llama-1/GPT-3 "epochs over each source" column)
+    // that l33's weights FEED: per-source available token mass, a
+    // 2×-corpus training budget split under τ=0.5 weights, and a
+    // 2-epoch repetition ceiling (returns degrade past a few epochs of
+    // the same text — the cap production tables apply); sqrt
+    // up-weights small sources past the ceiling so BOTH classes
+    // (capped/uncapped) appear. Determinism is the l33 discipline:
+    // 6-decimal-quantized terms summed as DECIMAL, pinned operation
+    // order, integer floors — the whole table hashes. One source-width
+    // aggregate + a scalar cross join.
+    "l102_epoch_allocation" -> QuerySpec(
+      (s, dir) => TextAnalysis.epochAllocation(
+          Tables(s, dir, "documents").select(col("source"), col("text")))
+        .orderBy(col("source")),
+      Some("""WITH c AS (SELECT source, SUM(len(list_filter(
+             |    regexp_split_to_array(lower(trim(text)), '\s+'),
+             |    x -> length(x) > 0)))::BIGINT AS avail
+             |  FROM documents GROUP BY source),
+             |q AS (SELECT source, avail,
+             |  floor(sqrt(avail::DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             |    AS sq
+             |  FROM c),
+             |z AS (SELECT CAST(SUM(CAST(sq AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS z,
+             |  SUM(avail)::BIGINT AS ta FROM q),
+             |t AS (SELECT source, avail, sq,
+             |  floor(sq / z.z * 10000.0 + 0.5) / 10000.0 AS weight,
+             |  CAST(floor(sq / z.z * (z.ta::DOUBLE * 2.0)) AS BIGINT)
+             |    AS target,
+             |  avail * 2 AS cap
+             |  FROM q, z)
+             |SELECT source, avail AS avail_tokens, weight,
+             |  target AS target_tokens,
+             |  least(target, cap) AS alloc_tokens,
+             |  floor(least(target, cap)::DOUBLE / avail::DOUBLE
+             |    * 10000.0 + 0.5) / 10000.0 AS epochs,
+             |  target > cap AS capped
+             |FROM t ORDER BY source""".stripMargin)),
+
     // Temperature-based corpus mixing (τ=0.5 square-root sampling): the
     // multilingual/multi-source rebalancing rule — weight n_i^τ/Σn_j^τ,
     // integer quota for a 1000-doc budget. sqrt is exactly-rounded IEEE
@@ -1888,6 +2005,74 @@ object LlmQueries {
           .orderBy(col("seq_idx"))
       }, None, Some(dir => l97OracleSql(dir))),
 
+    // FIM (fill-in-the-middle) TRANSFORM (l103) — the pretraining
+    // augmentation code models run over their id streams (Bavarian et
+    // al.: split a document into prefix/middle/suffix, emit
+    // [PRE] prefix [SUF] suffix [MID] middle so the model learns to
+    // infill): applied to HALF the corpus (the published 50% FIM
+    // rate), selected deterministically by doc_id parity, split points
+    // at n/3 and 2n/3 of the real l83 id sequence, sentinel ids
+    // 90001–90003 outside every id space this engine emits. PSM order.
+    // ONE narrow projection over the encode kernel — array slices and
+    // concats, zero added exchanges. Oracle: per-doc ids re-derived
+    // from the l83 replay golden, the same slices by DuckDB list
+    // arithmetic.
+    "l103_fim_transform" -> QuerySpec(
+      (s, dir) => {
+        ensureUnigramIdsGolden(s, dir)
+        val ids = graft.operators.TextAnalysis.unigramEncodeIds(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("text")),
+          unigramModelCached(s, dir))
+        graft.operators.TextAnalysis.fimTransform(ids)
+          .select(col("doc_id"), col("fim_applied"), col("n_tokens"),
+            array_join(transform(col("token_ids"),
+              i => i.cast("string")), " ").as("ids_str"))
+          .orderBy(col("doc_id"))
+      }, None, Some(dir => l103Sql(dir))),
+
+    // Packed-SHARD export + MANIFEST (l104) — how a training job
+    // actually consumes the packed stream at 100 TB: sequences land in
+    // SHARDS (here seq_idx % 8 — any count works; partitioned parquet,
+    // the directory layout data loaders address), and the manifest —
+    // per-shard row count, token count, and an order-pinned content
+    // digest — is what the loader validates before a run (a silent
+    // short shard is a silently skewed epoch). One hash spans pack →
+    // partitioned write → read-back → manifest: the digest
+    // concatenates each shard's id strings in seq_idx order (the
+    // sort_array-of-struct fold, deterministic under any partitioning),
+    // so a dropped/duplicated/reordered row anywhere in the round trip
+    // fails the oracle. Oracle: the l85 chain's re-derived slices
+    // grouped by the same shard arithmetic, digest via ordered
+    // string_agg.
+    "l104_shard_manifest" -> QuerySpec(
+      (s, dir) => {
+        ensureUnigramIdsGolden(s, dir)
+        val ids = graft.operators.TextAnalysis.unigramEncodeIds(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("text")),
+          unigramModelCached(s, dir))
+        val packed = graft.operators.TextAnalysis
+          .packIdStream(ids, seqLen = 512)
+          .select(col("seq_idx"), (col("seq_idx") % 8).as("shard"),
+            array_join(transform(col("token_ids"),
+              i => i.cast("string")), " ").as("ids_str"))
+        val out = "target/shardstore/" +
+          s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-" +
+          s"${graft.operators.TextGolden.ReplayTag}-v1"
+        packed.write.mode("overwrite").partitionBy("shard").parquet(out)
+        s.read.parquet(out)
+          .groupBy(col("shard").cast("long").as("shard"))
+          .agg(count(lit(1)).as("n_seqs"),
+            (count(lit(1)) * 512).as("n_tokens"),
+            collect_list(struct(col("seq_idx"), col("ids_str")))
+              .as("rows"))
+          .select(col("shard"), col("n_seqs"), col("n_tokens"),
+            md5(array_join(transform(sort_array(col("rows")),
+              x => x.getField("ids_str")), "\n")).as("shard_md5"))
+          .orderBy(col("shard"))
+      }, None, Some(dir => l104Sql(dir))),
+
     // Unigram TRAIN in ▁-MARKED mode (l86) — SentencePiece's
     // production default (add_dummy_prefix + escape-whitespace +
     // split-by-whitespace) beside l79's bare word-level stance: every
@@ -2115,6 +2300,30 @@ object LlmQueries {
               i => i.cast("string")), " ").as("ids_str"))
           .orderBy(col("doc_id"))
       }, None, Some(dir => l93Sql(dir))),
+
+    // Byte-fallback ids under the SOFT-EM marked model (l100) — the
+    // production stack assembled end-to-end: soft-EM training (l88's
+    // E-step), ▁-marked segmentation (l86's mode), byte-fallback
+    // lossless emission (l93's id space) in ONE entry, so the
+    // Llama-convention artifact chain (soft-trained marked model →
+    // lossless id stream) is proven as a composition, not three
+    // separate facts. The encode kernel is l83's — the soft model is a
+    // drop-in `Unigram.Model`, which is exactly the claim this entry
+    // pins. Same planted OOV world and plan shape as l93; the oracle
+    // reassembles id strings from a word → ids golden replayed under
+    // the SOFT (gcd-reduced-rational) trainer, so a soft-vs-hard vocab
+    // divergence that changes any segmentation fails the hash.
+    "l100_unigram_ids_soft_fb" -> QuerySpec(
+      (s, dir) => {
+        ensureUnigramSoftFbGolden(s, dir)
+        graft.operators.TextAnalysis.unigramEncodeIds(
+            l93World(s, dir), unigramSoftMarkedModelCached(s, dir),
+            markWords = true, byteFallback = true)
+          .select(col("doc_id"), col("n_tokens"),
+            array_join(transform(col("token_ids"),
+              i => i.cast("string")), " ").as("ids_str"))
+          .orderBy(col("doc_id"))
+      }, None, Some(dir => l100Sql(dir))),
 
     // Tokenizer-artifact LIFECYCLE (l96) — train once, persist the
     // vocab as a relation, LOAD it in every encode job (a deployment
@@ -3898,6 +4107,42 @@ object LlmQueries {
           .orderBy(col("query_id"), col("rank"))
       }, None, Some(dir => s17Sql(dir))),
 
+    // IVF segment MERGE (s18) — the index-MAINTENANCE step s17's
+    // build-once story needs at scale: new corpus slices land as their
+    // own segments (here the odd-id half, k-means-trained on ITS OWN
+    // data — segments genuinely disagree on cells), and compaction
+    // merges them under the PRIMARY's centroids: primary rows copy
+    // with cells intact, only the secondary re-assigns (one narrow
+    // literal-centroid projection — never a retrain, which would
+    // invalidate every existing assignment). The merged store is
+    // provably ≡ an index built over the union with the primary's
+    // centroids (OperatorSpec asserts equality; the oracle queries
+    // exactly that identity: the s17 SQL shape under the
+    // PRIMARY-half-trained centroid literals). Same page-pruned
+    // query path as s17 — no merge awareness.
+    "s18_ivf_merge" -> QuerySpec(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val ea = e.filter(col("vec_id") % 2 === 0)
+        val eb = e.filter(col("vec_id") % 2 === 1)
+        val centsA = Similarity.fitIvfCentroids(ea)
+        val centsB = Similarity.fitIvfCentroids(eb)
+        s18CentroidsByDir(dir) = centsA
+        val pa = s18IndexPath(dir, centsA, "prim")
+        val pb = s18IndexPath(dir, centsB, "sec")
+        val pm = s18IndexPath(dir, centsA, "merged")
+        s18BuildLock.synchronized {
+          if (!new java.io.File(pm, "_SUCCESS").isFile) {
+            Similarity.writeIvfIndex(ea, centsA, pa)
+            Similarity.writeIvfIndex(eb, centsB, pb)
+            Similarity.mergeIvfIndex(s, pa, pb, centsA, pm)
+          }
+        }
+        Similarity.queryIvfIndex(pm, centsA,
+            e.filter(col("vec_id") < 5), k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      }, None, Some(dir => s18Sql(dir))),
+
     // Random-projection (Johnson–Lindenstrauss) ANN — the dimension-
     // REDUCTION point on the compression spectrum (PQ/SQ8/BQ quantize
     // precision; JL cuts the dimension count): seeded ±1 projection to
@@ -4682,6 +4927,81 @@ object LlmQueries {
             md5(col("payload")).as("payload_md5"), col("n_bytes"))
           .orderBy(col("img_url"))
       }, None, Some(_ => m15Sql("m15-mediamd5-40-v1", 40))),
+    // Paired-corpus ARCHIVE export (m16) — m15 extended to the full
+    // WebDataset-tar analog in WARC form (the r18 handoff item): ONE
+    // self-describing archive interleaving each gate-surviving image's
+    // bytes (`resource` member, keyed by media url) with a `metadata`
+    // member PER KEPT PAIR (keyed src_url#img_idx — the WebDataset
+    // sample-key role) whose JSON payload carries the pair tuple, so a
+    // training loader needs no sidecar that can drift from the media.
+    // The JSON is built by deterministic concat (planted texts are
+    // quote-free by construction) so DuckDB reconstructs the exact
+    // bytes and the oracle hashes BOTH member classes: media md5s from
+    // the m15 fixture golden, metadata md5s recomputed from the same
+    // cosine arithmetic that decides membership. Distributed writer →
+    // [[graft.sources.Warc.readRaw]] round trip, per-record gzip
+    // members throughout.
+    "m16_paired_archive" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val nImg = 40
+        MultimodalGolden.ensureGoldenDf(s"m15-mediamd5-$nImg-v1", {
+          s.range(nImg).map { boxed =>
+            val i: Long = boxed
+            val (w, h, rgb) = Multimodal.pngRawDraw(i)
+            val bytes =
+              if (i % 2 == 0) Multimodal.Codecs.encodeBmp(w, h, rgb)
+              else graft.codec.Png.encode(w, h, rgb)
+            (s"http://media.example/img/$i.bmp",
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(bytes).map("%02x".format(_)).mkString,
+              bytes.length.toLong)
+          }.toDF("img_url", "payload_md5", "n_bytes")
+        })
+        val media = s.range(nImg).map { boxed =>
+          val i: Long = boxed
+          val (w, h, rgb) = Multimodal.pngRawDraw(i)
+          val bytes =
+            if (i % 2 == 0) Multimodal.Codecs.encodeBmp(w, h, rgb)
+            else graft.codec.Png.encode(w, h, rgb)
+          (s"http://media.example/img/$i.bmp", bytes)
+        }.toDF("media_url", "data")
+        // the m15 quarter-crawl slice (selective kept set — see m15)
+        val keptPairs = Multimodal.pairEmbedGate(
+            TextAnalysis.extractImagePairs(
+              m14PagesOver(Tables(s, dir, "documents")
+                .filter(col("doc_id") % 4 === 1), nImg)),
+            m14ImgEmb(s, dir, nImg), m14TxtEmb(s, dir, nImg),
+            minScore = 0.9)
+          .filter(col("keep"))
+        val mediaRecs = media
+          .join(keptPairs.select(col("img_url").as("media_url"))
+            .distinct(), "media_url")
+          .select(lit("resource").as("rec_type"),
+            col("media_url").as("url"),
+            lit("2026-01-01T00:00:00Z").as("warc_date"),
+            lit("image/bmp").as("content_type"),
+            col("data").as("payload"))
+        val metaRecs = keptPairs.select(
+          lit("metadata").as("rec_type"),
+          concat(col("src_url"), lit("#"), col("img_idx")).as("url"),
+          lit("2026-01-01T00:00:00Z").as("warc_date"),
+          lit("application/json").as("content_type"),
+          encode(concat(lit("{\"src_url\":\""), col("src_url"),
+            lit("\",\"img_idx\":"), col("img_idx"),
+            lit(",\"img_url\":\""), col("img_url"),
+            lit("\",\"text\":\""), col("text"), lit("\"}")), "UTF-8")
+            .as("payload"))
+        val out = "target/pairedarchive/" +
+          s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
+        graft.sources.Warc.writeTypedRecords(
+          mediaRecs.unionByName(metaRecs), out)
+        graft.sources.Warc.readRaw(s, out)
+          .filter(col("rec_type") =!= "warcinfo")
+          .select(col("rec_type"), col("url"),
+            md5(col("payload")).as("payload_md5"), col("n_bytes"))
+          .orderBy(col("rec_type"), col("url"))
+      }, None, Some(dir => m16Sql("m15-mediamd5-40-v1", 40))),
   ) + m08Entry + m09Entry
 
   /** m13's oracle: per-stage pair counts chained as CTEs over the
@@ -4943,6 +5263,35 @@ object LlmQueries {
        |  round(c, 6) AS clip_score, round(c, 6) >= 0.9 AS keep
        |FROM sc ORDER BY src_url, img_idx""".stripMargin
 
+  /** st24's oracle: the st23 chain reduced to DISTINCT gated
+    * (img_url, text) keys with their (key-determined) scores.
+    */
+  private[queries] def st24Sql(nImg: Int): String =
+    s"""WITH docs AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 7 THEN 3
+       |         ELSE doc_id % $nImg END AS ida,
+       |    (doc_id * 3 + 1) % $nImg AS idb,
+       |    CASE WHEN doc_id % 10 = 7 THEN 'shared alt'
+       |         ELSE 'Doc ' || doc_id || ' primary' END AS alta,
+       |    'Caption ' || doc_id || ' fig' AS capb
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT alta AS text, ida AS img_id FROM docs
+       |  UNION ALL
+       |  SELECT capb, idb FROM docs),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |${m14TvCte(nImg)},
+       |sc AS (SELECT p.img_id, p.text,
+       |    ${mCosSql("ei.ev", "et.ev")} AS c
+       |  FROM pairs p JOIN e ei ON ei.vec_id = p.img_id
+       |    JOIN tv ON tv.text = p.text
+       |    JOIN e et ON et.vec_id = tv.tvid)
+       |SELECT DISTINCT
+       |  'http://media.example/img/' || img_id || '.bmp' AS img_url,
+       |  text, round(c, 6) AS clip_score
+       |FROM sc WHERE round(c, 6) >= 0.9
+       |ORDER BY img_url, text""".stripMargin
+
   /** m15's oracle: the gate's kept-image set re-derived from the same
     * cosine arithmetic (the st23 chain reduced to image ids), joined to
     * the fixture's payload-md5 golden — membership AND bytes in one
@@ -4977,6 +5326,63 @@ object LlmQueries {
        |  ON g.img_url = 'http://media.example/img/' || ku.img_id
        |     || '.bmp'
        |ORDER BY g.img_url""".stripMargin
+  }
+
+  /** m16's oracle: the m15 membership chain kept at PAIR grain, then
+    * both member classes — media md5s from the fixture golden,
+    * metadata md5s recomputed over the identical concat-built JSON
+    * bytes — unioned in the engine's (rec_type, url) order.
+    */
+  private def m16Sql(gname: String, nImg: Int): String = {
+    val base = MultimodalGolden.goldenBase(gname)
+    s"""WITH docs AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 7 THEN 3
+       |         ELSE doc_id % $nImg END AS ida,
+       |    (doc_id * 3 + 1) % $nImg AS idb,
+       |    CASE WHEN doc_id % 10 = 7 THEN 'shared alt'
+       |         ELSE 'Doc ' || doc_id || ' primary' END AS alta,
+       |    'Caption ' || doc_id || ' fig' AS capb
+       |  FROM documents WHERE doc_id % 4 = 1),
+       |pairs AS (
+       |  SELECT 'http://media.example/pages/' || doc_id || '.html'
+       |      AS src_url,
+       |    0::BIGINT AS img_idx,
+       |    'http://media.example/img/' || ida || '.bmp' AS img_url,
+       |    alta AS text, ida AS img_id
+       |  FROM docs
+       |  UNION ALL
+       |  SELECT 'http://media.example/pages/' || doc_id || '.html',
+       |    1::BIGINT,
+       |    'http://media.example/img/' || idb || '.bmp',
+       |    capb, idb
+       |  FROM docs),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |${m14TvCte(nImg)},
+       |sc AS (SELECT p.src_url, p.img_idx, p.img_url, p.text, p.img_id,
+       |    ${mCosSql("ei.ev", "et.ev")} AS c
+       |  FROM pairs p JOIN e ei ON ei.vec_id = p.img_id
+       |    JOIN tv ON tv.text = p.text
+       |    JOIN e et ON et.vec_id = tv.tvid),
+       |kp AS (SELECT * FROM sc WHERE round(c, 6) >= 0.9),
+       |g AS (SELECT img_url, payload_md5, n_bytes
+       |      FROM read_parquet('$base/*.parquet')),
+       |media AS (SELECT 'resource' AS rec_type, g.img_url AS url,
+       |    g.payload_md5, g.n_bytes
+       |  FROM g JOIN (SELECT DISTINCT img_url FROM kp) ku
+       |    USING (img_url)),
+       |meta0 AS (SELECT src_url || '#' || img_idx AS url,
+       |    '{"src_url":"' || src_url || '","img_idx":' || img_idx ||
+       |    ',"img_url":"' || img_url || '","text":"' || text || '"}'
+       |      AS js
+       |  FROM kp),
+       |meta AS (SELECT 'metadata' AS rec_type, url, md5(js)
+       |      AS payload_md5,
+       |    strlen(js)::BIGINT AS n_bytes
+       |  FROM meta0)
+       |SELECT rec_type, url, payload_md5, n_bytes FROM media
+       |UNION ALL
+       |SELECT rec_type, url, payload_md5, n_bytes FROM meta
+       |ORDER BY rec_type, url""".stripMargin
   }
 
   /** m11's oracle: pairs, features, and the (phash, text) dedup all
@@ -5540,35 +5946,69 @@ object LlmQueries {
       s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-" +
       s"${graft.operators.TextGolden.ReplayTag}-v1"
 
-  /** The l93 golden: the MARKED replay model (l87's), Viterbi over
-    * each marked planted-world word, pieces mapped to the BYTE-
-    * FALLBACK id space — trained rank r → 256 + r, an unknown single
-    * code point → its UTF-8 bytes as ids 1 + b (id 0 never appears).
-    * Keyed by the unmarked word, the l83/l87 oracle shape.
+  /** The shared byte-fallback word → ids replay (l93 hard-EM / l100
+    * soft-EM): Viterbi over each MARKED planted-world word under the
+    * given trained (rank, piece, cnt, lp_units) table, pieces mapped
+    * to the BYTE-FALLBACK id space — trained rank r → 256 + r, an
+    * unknown single code point → its UTF-8 bytes as ids 1 + b (id 0
+    * never appears). Keyed by the unmarked word, the l83/l87 oracle
+    * shape.
+    */
+  private def fbGoldenRows(trained: Seq[(Int, String, Long, Long)])
+      : Seq[(String, Long, String)] = {
+    val u = graft.operators.TextAnalysis.Unigram
+    val lp = trained.map { case (_, p, _, units) => p -> units }.toMap
+    val rank = trained.map { case (r, p, _, _) => p -> r }.toMap
+    l93Words.map { w =>
+      val ids = graft.operators.TextGolden
+        .unigramViterbi(u.Marker + w, lp, u.MaxPieceLen, u.UnkUnits)
+        .flatMap { p =>
+          rank.get(p) match {
+            case Some(r) => Seq(256 + r)
+            case None => p.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)
+              .toSeq.map(b => (b & 0xff) + 1)
+          }
+        }
+      (w, ids.length.toLong, ids.mkString(" "))
+    }
+  }
+
+  /** The l93 golden: [[fbGoldenRows]] under the hard-EM MARKED replay
+    * model (l87's).
     */
   private[queries] def ensureUnigramFbGolden(
       s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import s.implicits._
     graft.operators.MultimodalGolden.ensureGoldenDf(l93GoldenName(dir), {
       val u = graft.operators.TextAnalysis.Unigram
-      val trained = graft.operators.TextGolden
+      fbGoldenRows(graft.operators.TextGolden
         .unigramTrainReplay(markedWordFreq(s, dir), u.VocabSize,
-          u.MaxPieceLen, u.Epochs, u.UnkUnits)
-      val lp = trained.map { case (_, p, _, units) => p -> units }.toMap
-      val rank = trained.map { case (r, p, _, _) => p -> r }.toMap
-      l93Words.map { w =>
-        val ids = graft.operators.TextGolden
-          .unigramViterbi(u.Marker + w, lp, u.MaxPieceLen, u.UnkUnits)
-          .flatMap { p =>
-            rank.get(p) match {
-              case Some(r) => Seq(256 + r)
-              case None => p.getBytes(
-                  java.nio.charset.StandardCharsets.UTF_8)
-                .toSeq.map(b => (b & 0xff) + 1)
-            }
-          }
-        (w, ids.length.toLong, ids.mkString(" "))
-      }.toDF("word", "n_ids", "ids_str")
+          u.MaxPieceLen, u.Epochs, u.UnkUnits))
+        .toDF("word", "n_ids", "ids_str")
+    })
+  }
+
+  private def l100GoldenName(dir: String): String =
+    s"l100-unigramsoftfbids-" +
+      s"${graft.operators.TextAnalysis.Unigram.VocabSize}-" +
+      s"${graft.operators.TextAnalysis.Unigram.Epochs}-" +
+      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-" +
+      s"${graft.operators.TextGolden.ReplayTag}-v1"
+
+  /** The l100 golden: [[fbGoldenRows]] under the SOFT-EM MARKED replay
+    * model (l95's) — the l88 exact-rational E-step over the ▁-marked
+    * universe, then the same Viterbi + fallback-id mapping as l93.
+    */
+  private[queries] def ensureUnigramSoftFbGolden(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import s.implicits._
+    graft.operators.MultimodalGolden.ensureGoldenDf(l100GoldenName(dir), {
+      val u = graft.operators.TextAnalysis.Unigram
+      fbGoldenRows(graft.operators.TextGolden
+        .unigramTrainSoftReplay(markedWordFreq(s, dir), u.VocabSize,
+          u.MaxPieceLen, u.Epochs))
+        .toDF("word", "n_ids", "ids_str")
     })
   }
 
@@ -5577,9 +6017,15 @@ object LlmQueries {
     * document's full id string in word order (the l83 oracle shape
     * over the planted world).
     */
-  private[queries] def l93Sql(dir: String): String = {
-    val base = graft.operators.MultimodalGolden
-      .goldenBase(l93GoldenName(dir))
+  private[queries] def l93Sql(dir: String): String =
+    fbIdsSqlFor(l93GoldenName(dir))
+
+  /** l100 oracle: the l93 SQL shape against the soft-EM golden. */
+  private[queries] def l100Sql(dir: String): String =
+    fbIdsSqlFor(l100GoldenName(dir))
+
+  private def fbIdsSqlFor(gname: String): String = {
+    val base = graft.operators.MultimodalGolden.goldenBase(gname)
     s"""WITH world AS (
        |  SELECT doc_id,
        |    'the résumé № ' || (doc_id % 7)::VARCHAR ||
@@ -5888,6 +6334,59 @@ object LlmQueries {
         |    (g.seq_idx * 512 + 1)::BIGINT,
         |    ((g.seq_idx + 1) * 512)::BIGINT), ' ') AS ids_str
         |FROM g ORDER BY seq_idx""".stripMargin
+
+  /** l103 oracle: per-doc id arrays re-derived from the l83 replay
+    * golden, then the identical parity gate, n/3 split points, and
+    * PSM sentinel assembly by DuckDB list arithmetic.
+    */
+  private[queries] def l103Sql(dir: String): String = {
+    val base = graft.operators.MultimodalGolden
+      .goldenBase(l83GoldenName(dir))
+    s"""WITH t0 AS (
+       |  SELECT doc_id, list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    x -> length(x) > 0) AS arr
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, unnest(arr) AS word,
+       |    unnest(range(1, len(arr) + 1)) AS pos
+       |  FROM t0 WHERE len(arr) > 0),
+       |v AS (SELECT word, ids_str FROM read_parquet('$base/*.parquet')),
+       |docids AS (
+       |  SELECT t.doc_id,
+       |    flatten(list(list_transform(string_split(v.ids_str, ' '),
+       |      x -> CAST(x AS INT)) ORDER BY t.pos)) AS ids
+       |  FROM toks t JOIN v USING (word) GROUP BY t.doc_id),
+       |f AS (SELECT doc_id, ids, len(ids) AS n,
+       |    (doc_id % 2 = 0 AND len(ids) >= 3) AS app
+       |  FROM docids)
+       |SELECT doc_id, app AS fim_applied,
+       |  (CASE WHEN app THEN n + 3 ELSE n END)::BIGINT AS n_tokens,
+       |  CASE WHEN app THEN array_to_string(
+       |      [90001] || ids[1 : n // 3] ||
+       |      [90002] || ids[(n * 2) // 3 + 1 : n] ||
+       |      [90003] || ids[n // 3 + 1 : (n * 2) // 3], ' ')
+       |    ELSE array_to_string(ids, ' ') END AS ids_str
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** l104 oracle: the l85 chain's re-derived 512-slices grouped by the
+    * shard arithmetic, digest = ordered string_agg (the engine's
+    * sort_array fold mirrored).
+    */
+  private[queries] def l104Sql(dir: String): String =
+    l85ChainCte(dir) + ",\n" +
+      """sl AS (SELECT g.seq_idx,
+        |    array_to_string(list_slice((SELECT alltok FROM stream),
+        |      (g.seq_idx * 512 + 1)::BIGINT,
+        |      ((g.seq_idx + 1) * 512)::BIGINT), ' ') AS ids_str
+        |  FROM g)
+        |SELECT (seq_idx % 8)::BIGINT AS shard,
+        |  COUNT(*)::BIGINT AS n_seqs,
+        |  (COUNT(*) * 512)::BIGINT AS n_tokens,
+        |  md5(string_agg(ids_str, chr(10) ORDER BY seq_idx))
+        |    AS shard_md5
+        |FROM sl GROUP BY 1 ORDER BY shard""".stripMargin
 
   /** l97 oracle: the l85 chain's 512-slices, then positions/segments
     * re-derived by list comprehensions over the re-derived ids —
@@ -6771,6 +7270,30 @@ object LlmQueries {
        |  SUM(n_tokens)::BIGINT AS cluster_tokens
        |FROM r2 GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  /** l101 oracle: the shared l10/l98 components + token counts +
+    * sources, keeper = ROW_NUMBER over (n_tokens DESC, id ASC), then
+    * every non-keeper's tokens attributed to the
+    * (keeper_source, dropped_source) ordered cell.
+    */
+  private def l101Sql(dir: String): String =
+    s"""${lshReachCte(dir)},
+       |cl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+       |tc AS (SELECT doc_id AS id, source, len(list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    x -> length(x) > 0))::BIGINT AS n_tokens
+       |  FROM documents),
+       |j AS (SELECT cl.cluster, cl.id, tc.source, tc.n_tokens
+       |      FROM cl JOIN tc USING (id)),
+       |k AS (SELECT cluster, id AS keeper_id, source AS keeper_source
+       |      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+       |          ORDER BY n_tokens DESC, id) AS rn FROM j)
+       |      WHERE rn = 1)
+       |SELECT k.keeper_source, j.source AS dropped_source,
+       |  COUNT(*)::BIGINT AS n_dropped,
+       |  SUM(j.n_tokens)::BIGINT AS dropped_tokens
+       |FROM j JOIN k USING (cluster) WHERE j.id <> k.keeper_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- ANN oracle builders (late-bound; see the s-entries) ----
 
   // run-derived values the dump-time SQL builders need, keyed PER SF DIR
@@ -6799,6 +7322,17 @@ object LlmQueries {
   private val s17CentroidsByDir = scala.collection.concurrent.TrieMap[
     String, Array[Array[Double]]]()
   private val s17BuildLock = new Object
+  private val s18CentroidsByDir = scala.collection.concurrent.TrieMap[
+    String, Array[Array[Double]]]()
+  private val s18BuildLock = new Object
+  private def s18IndexPath(dir: String, cents: Array[Array[Double]],
+                           role: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((dir + "|" + role + "|" +
+          cents.map(_.mkString(",")).mkString(";"))
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"target/annindex/ivfseg-$role-$key"
+  }
   // index content is a pure function of (corpus dir, centroid matrix) —
   // hashing BOTH into the path means testdata drift (which changes the
   // trained centroids) remints the index instead of serving stale cells
@@ -7332,6 +7866,21 @@ object LlmQueries {
   private def s17Sql(dir: String): String = {
     val cents = s17CentroidsByDir.getOrElse(dir,
       sys.error(s"s17 never ran for $dir — no centroids captured"))
+    val centVals = cents.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      s"($i, ${sqlArr(c)}, $c2::DOUBLE)"
+    }.mkString(", ")
+    ivfSql("(cell, c, c2)", centVals,
+      "list_inner_product(e, c) * 2.0 - c2")
+  }
+
+  /** s18 oracle: the merged store ≡ an index over the FULL corpus under
+    * the primary-half-trained centroids, so the query re-derives as the
+    * s17 SQL shape with those captured literals.
+    */
+  private def s18Sql(dir: String): String = {
+    val cents = s18CentroidsByDir.getOrElse(dir,
+      sys.error(s"s18 never ran for $dir — no centroids captured"))
     val centVals = cents.zipWithIndex.map { case (c, i) =>
       val c2 = c.map(x => x * x).sum
       s"($i, ${sqlArr(c)}, $c2::DOUBLE)"

@@ -904,6 +904,44 @@ object StreamingQueries {
         s.table("st23_sink").orderBy(col("src_url"), col("img_idx"))
       }, None, Some(_ => LlmQueries.st23Sql(40))),
 
+    // Streaming POST-gate pair dedup (st24) — the stateful stage st23
+    // deliberately leaves to batch, now as the stream's own operator
+    // (the r18 handoff item): gate survivors dedup EXACTLY on the
+    // (img_url, text) pair key via streaming dropDuplicates — Spark's
+    // state-store keyed by the pair key, so state is bounded by the
+    // DISTINCT KEY SPACE (the production dedup-key cardinality), not
+    // the stream length; at 100 TB the keys partition across executors
+    // by hash, the same shuffle the batch groupBy pays. The projection
+    // keeps ONLY key-determined columns (clip_score is a function of
+    // (img_url, text) through the embedding relations), so which
+    // physical row survives is unobservable and the result is
+    // deterministic under any partitioning/arrival order. Oracle: the
+    // st23 chain reduced to DISTINCT gated keys — pure documents/
+    // embeddings arithmetic, no golden surface.
+    "st24_pair_dedup_stream" -> QuerySpec(
+      (s, dir) => {
+        val nImg = 40
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val pairs = graft.operators.TextAnalysis.extractImagePairs(
+          LlmQueries.m14PagesOver(
+            stream.select(col("doc_id")), nImg))
+        val q = graft.operators.Multimodal.pairEmbedGate(pairs,
+            LlmQueries.m14ImgEmb(s, dir, nImg),
+            LlmQueries.m14TxtEmb(s, dir, nImg), minScore = 0.9)
+          .filter(col("keep"))
+          .select(col("img_url"), col("text"), col("clip_score"))
+          .dropDuplicates("img_url", "text")
+          .writeStream.format("memory").queryName("st24_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st24_sink").orderBy(col("img_url"), col("text"))
+      }, None, Some(_ => LlmQueries.st24Sql(40))),
+
     // The TIME-BOUNDED streaming near-dup contract, proven against the
     // exact-global one on the same deterministic schedule (st06 covers
     // the LSH semantics on the real corpus; this entry's subject is the

@@ -217,6 +217,24 @@ object Warc {
       "payload")
   }
 
+  /** EVERY record under `path` with its RAW payload bytes and record
+    * type — the read side of [[writeTypedRecords]]'s mixed archives
+    * (a paired corpus export interleaves `resource` media with
+    * per-pair `metadata` records; [[readResources]] would drop the
+    * metadata and [[read]] would mangle the media). Schema:
+    * (file, rec_type, url, warc_date, content_type, n_bytes, payload).
+    */
+  def readRaw(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val bc = shippedConfBc(spark)
+    listFiles(spark, path).mapPartitions { paths =>
+      paths.flatMap(p => parseFileRaw(p, bc.value.value)
+        .map(r => (r.file, r.rec_type, r.url, r.warc_date,
+          r.content_type, r.bytes.length.toLong, r.bytes)))
+    }.toDF("file", "rec_type", "url", "warc_date", "content_type",
+      "n_bytes", "payload")
+  }
+
   /** The `response` records under `path` with their HTTP payloads split
     * — the real Common Crawl `.warc` consumption path (WET's
     * `conversion` records go through [[read]]): status line parsed,
@@ -762,6 +780,24 @@ object Warc {
     */
   def writeRecords(df: DataFrame, dir: String, recType: String,
                    contentType: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    writeTypedRecords(
+      df.select(lit(recType).as("rec_type"), col("url"),
+        col("warc_date"), lit(contentType).as("content_type"),
+        col("payload")),
+      dir)
+  }
+
+  /** Write `df` (columns rec_type, url, warc_date, content_type,
+    * payload: binary) as `part-NNNNN.warc.gz` files with PER-ROW record
+    * and content types — the paired-corpus archive shape (the
+    * WebDataset-tar analog in WARC form: `resource` media members
+    * interleaved with `metadata` members describing each kept pair,
+    * one self-describing archive instead of two sidecars that can
+    * drift). Same per-task temp+rename commit protocol as
+    * [[writeRecords]].
+    */
+  def writeTypedRecords(df: DataFrame, dir: String): Unit = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     import spark.implicits._
@@ -780,10 +816,12 @@ object Warc {
         if (stale != null) stale.foreach(s => fs.delete(s.getPath, false))
       }
     }
-    df.select(col("url").cast("string"), col("warc_date").cast("string"),
-        col("payload").cast("binary"))
-      .as[(String, String, Array[Byte])]
-      .foreachPartition { (rows: Iterator[(String, String, Array[Byte])]) =>
+    df.select(col("rec_type").cast("string"), col("url").cast("string"),
+        col("warc_date").cast("string"),
+        col("content_type").cast("string"), col("payload").cast("binary"))
+      .as[(String, String, String, String, Array[Byte])]
+      .foreachPartition {
+        (rows: Iterator[(String, String, String, String, Array[Byte])]) =>
         val ctx = TaskContext.get()
         val pid = ctx.partitionId()
         val attempt = ctx.taskAttemptId()
@@ -798,7 +836,7 @@ object Warc {
           writeMember(out, "warcinfo", "", "2026-01-01T00:00:00Z",
             "application/warc-fields",
             "software: graft-warc-fixture/1.0\r\n".getBytes("UTF-8"))
-          rows.foreach { case (url, date, payload) =>
+          rows.foreach { case (recType, url, date, contentType, payload) =>
             writeMember(out, recType, url, date, contentType, payload)
           }
           ok = true

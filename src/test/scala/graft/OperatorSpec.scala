@@ -579,6 +579,98 @@ class OperatorSpec extends AnyFunSuite {
     // exceeds its raw share (1/126 ≈ 0.8%)
   }
 
+  test("epoch allocation clamps sqrt-up-weighted small sources at the " +
+      "ceiling and leaves big sources uncapped (hand-checkable)") {
+    // token masses 90 / 10: sqrt weights 3√10/4√10 = 0.75 and 0.25
+    // (exact to quant4; the 6-decimal grid leaves big's raw ratio a
+    // hair UNDER 0.75, so its floored target is 149 — the allocation
+    // floor is conservative by design); budget 2×100 = 200 → targets
+    // 149 / 50; ceiling 2 epochs → big uncapped (149 ≤ 180, epochs
+    // 1.6556), small CAPPED at 20 (epochs exactly 2.0)
+    val df = (Seq.fill(9)(("big", "w " * 10)) ++
+        Seq(("small", "w " * 10)))
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t.trim) }
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.epochAllocation(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+      .toMap
+    val (bAvail, bW, bTarget, bAlloc, bEpochs, bCapped) = got("big")
+    assert((bAvail, bW, bCapped) == ((90L, 0.75, false)), s"big: ${got("big")}")
+    assert(bTarget == bAlloc && bAlloc == 149L, s"big: ${got("big")}")
+    assert(bEpochs == 1.6556, s"big epochs: $bEpochs")
+    val (sAvail, sW, sTarget, sAlloc, sEpochs, sCapped) = got("small")
+    assert((sAvail, sW, sCapped) == ((10L, 0.25, true)),
+      s"small: ${got("small")}")
+    assert(sTarget == 50L && sAlloc == 20L && sEpochs == 2.0,
+      s"small: ${got("small")}")
+  }
+
+  test("FIM transform emits exact PSM sentinel order on a crafted " +
+      "sequence, skips odd ids and sub-3-token docs, and is invertible") {
+    val df = Seq(
+      (0L, Array(1, 2, 3, 4, 5, 6, 7)), // applied: a=2, b=4
+      (1L, Array(1, 2, 3, 4, 5, 6, 7)), // odd id: untouched
+      (2L, Array(8, 9)))                // under 3 ids: untouched
+      .toDF("doc_id", "token_ids")
+    val got = TextAnalysis.fimTransform(df).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2),
+        r.getSeq[Int](3).toList)).toMap
+    // PSM: [PRE] 1 2 [SUF] 5 6 7 [MID] 3 4
+    assert(got(0L) == ((true, 10L,
+      List(90001, 1, 2, 90002, 5, 6, 7, 90003, 3, 4))), s"got ${got(0L)}")
+    assert(got(1L) == ((false, 7L, List(1, 2, 3, 4, 5, 6, 7))))
+    assert(got(2L) == ((false, 2L, List(8, 9))))
+    // invertible: the sentinel positions recover the original order
+    val ids = got(0L)._3
+    val pre = ids.slice(ids.indexOf(90001) + 1, ids.indexOf(90002))
+    val suf = ids.slice(ids.indexOf(90002) + 1, ids.indexOf(90003))
+    val mid = ids.drop(ids.indexOf(90003) + 1)
+    assert(pre ++ mid ++ suf == List(1, 2, 3, 4, 5, 6, 7))
+  }
+
+  test("IVF segment merge under the primary's centroids is row-" +
+      "identical to a direct build over the union (cells included)") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val prim = vecs.filter(col("vec_id") % 2 === 0)
+    val sec = vecs.filter(col("vec_id") % 2 === 1)
+    val centsA = Similarity.fitIvfCentroids(prim, nCentroids = 4)
+    val centsB = Similarity.fitIvfCentroids(sec, nCentroids = 4)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivfmerge").toString
+    Similarity.writeIvfIndex(prim, centsA, s"$base/prim")
+    Similarity.writeIvfIndex(sec, centsB, s"$base/sec")
+    Similarity.mergeIvfIndex(spark, s"$base/prim", s"$base/sec",
+      centsA, s"$base/merged")
+    Similarity.writeIvfIndex(vecs, centsA, s"$base/direct")
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("cell"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toList))
+      .toSet
+    val merged = rows(s"$base/merged")
+    val direct = rows(s"$base/direct")
+    assert(merged == direct,
+      s"merge != direct build: only-merged=${(merged -- direct).take(3)}" +
+        s" only-direct=${(direct -- merged).take(3)}")
+    // the secondary's own-centroid cells genuinely DISAGREE with the
+    // adopted assignment — the reassignment is load-bearing
+    val secOwn = spark.read.parquet(s"$base/sec")
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val inMerged = spark.read.parquet(s"$base/merged")
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(secOwn.exists { case (id, c) => inMerged(id) != c },
+      "secondary cells all agreed with the primary's centroids — " +
+        "the fixture does not exercise reassignment")
+  }
+
   test("MaxSim scores hand-computable multi-vector matches") {
     // q doc 0: tokens along axes x and y. doc 1 matches BOTH aspects
     // (maxsim 2.0); doc 2 matches only x twice (maxsim 1.0); doc 3

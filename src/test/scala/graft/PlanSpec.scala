@@ -1166,4 +1166,20 @@ class PlanSpec extends AnyFunSuite {
     assert(withPos == base,
       s"positions must not add an exchange: $withPos vs $base")
   }
+
+  test("l103: the FIM transform adds ZERO exchanges over the encoded " +
+      "frame — sentinel assembly is one narrow slice/concat projection") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val ids = (0 until 40).map { i =>
+      (i.toLong, (0 until 5 + i % 3).map(j => j + 1).toArray)
+    }.toDF("doc_id", "token_ids")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(
+        df.queryExecution.executedPlan.toString).length
+    val base = exchanges(ids.select(col("doc_id"), col("token_ids")))
+    val fim = exchanges(graft.operators.TextAnalysis.fimTransform(ids))
+    assert(fim == base,
+      s"FIM must not add an exchange: $fim vs $base")
+  }
 }

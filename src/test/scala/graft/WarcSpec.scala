@@ -426,6 +426,46 @@ class WarcSpec extends AnyFunSuite {
     assert(n == 8, s"expected the second write's 8 records, got $n")
   }
 
+  test("writeTypedRecords interleaves per-row record/content types in " +
+      "one archive; readRaw returns every member's exact bytes and " +
+      "readResources still sees only the resource subset") {
+    val dir = Files.createTempDirectory("graft-warc-typed").toString
+    // binary payloads that would break a text view: NULs, the gzip
+    // magic, high bytes — plus a JSON metadata member per resource
+    val rows = (0 until 12).flatMap { i =>
+      val payload = Array[Byte](0x1f, 0x8b.toByte, 0x00, i.toByte,
+        0xff.toByte, 0x80.toByte) ++ s"bin$i".getBytes("UTF-8")
+      Seq(
+        ("resource", s"https://t.example/media/$i",
+          "2026-02-01T00:00:00Z", "application/octet-stream", payload),
+        ("metadata", s"https://t.example/pages/$i.html#0",
+          "2026-02-01T00:00:00Z", "application/json",
+          s"""{"k":$i}""".getBytes("UTF-8")))
+    }
+    Warc.writeTypedRecords(
+      rows.toDF("rec_type", "url", "warc_date", "content_type",
+        "payload").repartition(3), dir)
+    val back = Warc.readRaw(spark, dir)
+      .filter(col("rec_type") =!= "warcinfo")
+      .select("rec_type", "url", "content_type", "payload")
+      .as[(String, String, String, Array[Byte])]
+      .collect().map(r => (r._1, r._2) -> (r._3, r._4.toSeq)).toMap
+    assert(back.size == 24, s"expected 24 members, got ${back.size}")
+    rows.foreach { case (rt, url, _, ct, payload) =>
+      val (gotCt, gotBytes) = back((rt, url))
+      assert(gotCt == ct, s"$url content_type: $gotCt != $ct")
+      assert(gotBytes == payload.toSeq, s"$url payload bytes differ")
+    }
+    // the typed archive's resource subset through the existing reader
+    val res = Warc.readResources(spark, dir)
+    assert(res.count() == 12)
+    assert(res.filter(col("content_type") =!=
+      "application/octet-stream").count() == 0)
+    // and readRaw sees the per-part warcinfo members too (3 parts)
+    assert(Warc.readRaw(spark, dir)
+      .filter(col("rec_type") === "warcinfo").count() == 3)
+  }
+
   test("early-stopped read closes the file handle at task completion " +
       "(limit pushdown must not leak an fd per file until GC)") {
     val dir = Files.createTempDirectory("graft-warc-fd").toString
