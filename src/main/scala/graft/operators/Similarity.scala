@@ -412,6 +412,26 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(out)
   }
 
+  /** Compact a [[writeIvfIndex]] segment against a tombstone relation —
+    * the DELETE half of index maintenance beside [[mergeIvfIndex]]'s
+    * merge half (right-to-be-forgotten requests and takedowns arrive as
+    * id lists; a vector store honors them by rewriting segments without
+    * the tombstoned rows — assignments never change, so no centroid
+    * work): one id-keyed LEFT ANTI join, cell partition layout
+    * preserved. The compacted store is identical to an index built
+    * over the corpus minus the tombstones (the s19 oracle queries that
+    * identity), so [[queryIvfIndex]] needs no delete awareness.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String,
+                      tombstones: DataFrame, out: String,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit =
+    spark.read.parquet(path)
+      .select(col(idCol), col(vecCol), col("cell"))
+      .join(tombstones.select(col(idCol)), Seq(idCol), "left_anti")
+      .write.mode("overwrite").partitionBy("cell").parquet(out)
+
   /** Query a [[writeIvfIndex]] index: the probe cells come from the
     * literal centroid matrix (same 2·v·c − ‖c‖², ties to the higher
     * cell), their union becomes a plan-time `IN` literal on the

@@ -218,6 +218,50 @@ object LlmQueries {
           .orderBy(col("source_a"), col("source_b"))
       }, None, Some(dir => l99Sql(dir))),
 
+    // Right-to-be-forgotten KEEPER RECOMPUTE (l106) — what a deletion
+    // request does to the dedup layer: when a cluster's KEEPER is
+    // deleted (the deletion relation here is the full-corpus keeper of
+    // every even-id cluster — derivable arithmetic, so promotions are
+    // guaranteed exercised, and in production it arrives as an id list
+    // exactly like this), the next-best member PROMOTES under the same
+    // (tokens DESC, id ASC) policy instead of the cluster's content
+    // silently vanishing from the corpus. One extra anti-join + one
+    // re-argmax over the surviving members — never a recluster (edges
+    // among survivors are unchanged). Reports old/new keeper,
+    // promotion flag, member/survivor counts per cluster; -1 marks a
+    // cluster whose every member was deleted. Oracle: the shared
+    // l10/l98 components + ROW_NUMBER keepers over both member sets.
+    "l106_rtbf_keeper_recompute" -> QuerySpec(
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(
+          col("doc_id").as("id"),
+          TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+        val m = Dedup.clusters(lshPairs(s, dir)).join(docs, "id")
+        def keeper(df: org.apache.spark.sql.DataFrame,
+                   keepName: String, cntName: String) =
+          df.groupBy(col("cluster"))
+            .agg(max(struct(col("n_tokens"), (-col("id")).as("negid")))
+                .as("best"),
+              count(lit(1)).as(cntName))
+            .select(col("cluster"),
+              (-col("best.negid")).cast("long").as(keepName),
+              col(cntName))
+        val kf = keeper(m, "old_keeper", "n_members")
+        val del = kf.filter(col("cluster") % 2 === 0)
+          .select(col("old_keeper").as("id"))
+        val kn = keeper(m.join(del, Seq("id"), "left_anti"),
+          "new_keeper", "n_survivors")
+        kf.join(kn, Seq("cluster"), "left_outer")
+          .select(col("cluster"), col("old_keeper"),
+            coalesce(col("new_keeper"), lit(-1L)).as("new_keeper"),
+            (coalesce(col("new_keeper"), lit(-1L)) =!= col("old_keeper"))
+              .as("keeper_changed"),
+            col("n_members"),
+            coalesce(col("n_survivors"), lit(0L)).as("n_survivors"))
+          .orderBy(col("cluster"))
+      }, None, Some(dir => l106Sql(dir))),
+
     // BEST-member cluster dedup (l98) — the keeper policy production
     // pipelines actually use where l01/l10 keep the MIN id: within
     // each near-dup cluster keep the member with the most tokens
@@ -4107,6 +4151,39 @@ object LlmQueries {
           .orderBy(col("query_id"), col("rank"))
       }, None, Some(dir => s17Sql(dir))),
 
+    // IVF tombstone COMPACTION (s19) — the DELETE half of index
+    // maintenance beside s18's merge half: right-to-be-forgotten /
+    // takedown requests arrive as an id relation (here vec_id % 10 =
+    // 3 — arithmetic, so the oracle re-derives it), and compaction
+    // rewrites the store without those rows via ONE id-keyed left-anti
+    // join — assignments never change, so no centroid work and the
+    // same page-pruned query path. The compacted store ≡ an index
+    // built over the corpus minus the tombstones; the oracle queries
+    // exactly that identity (the s17 SQL shape with the tombstone
+    // predicate on the base relation — deleted vectors can neither
+    // match nor query).
+    "s19_ivf_delete" -> QuerySpec(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val cents = Similarity.ivfCentroidsCached(dir, e)
+        s19CentroidsByDir(dir) = cents
+        val full = s18IndexPath(dir, cents, "s19full")
+        val live = s18IndexPath(dir, cents, "s19live")
+        s19BuildLock.synchronized {
+          if (!new java.io.File(live, "_SUCCESS").isFile) {
+            if (!new java.io.File(full, "_SUCCESS").isFile)
+              Similarity.writeIvfIndex(e, cents, full)
+            Similarity.compactIvfIndex(s, full,
+              e.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
+              live)
+          }
+        }
+        Similarity.queryIvfIndex(live, cents,
+            e.filter(col("vec_id") < 5 && col("vec_id") % 10 =!= 3),
+            k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      }, None, Some(dir => s19Sql(dir))),
+
     // IVF segment MERGE (s18) — the index-MAINTENANCE step s17's
     // build-once story needs at scale: new corpus slices land as their
     // own segments (here the odd-id half, k-means-trained on ITS OWN
@@ -7294,6 +7371,42 @@ object LlmQueries {
        |FROM j JOIN k USING (cluster) WHERE j.id <> k.keeper_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** l106 oracle: the shared components + token counts; full-set and
+    * surviving-set keepers both as ROW_NUMBER over
+    * (n_tokens DESC, id ASC); the deletion relation re-derived as the
+    * full-set keeper of every even-id cluster.
+    */
+  private def l106Sql(dir: String): String =
+    s"""${lshReachCte(dir)},
+       |cl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+       |tc AS (SELECT doc_id AS id, len(list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    x -> length(x) > 0))::BIGINT AS n_tokens
+       |  FROM documents),
+       |j AS (SELECT cl.cluster, cl.id, tc.n_tokens
+       |      FROM cl JOIN tc USING (id)),
+       |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+       |    ORDER BY n_tokens DESC, id) AS rn FROM j),
+       |kf AS (SELECT cluster,
+       |    MAX(CASE WHEN rn = 1 THEN id END)::BIGINT AS old_keeper,
+       |    COUNT(*)::BIGINT AS n_members
+       |  FROM r2 GROUP BY cluster),
+       |del AS (SELECT old_keeper AS id FROM kf WHERE cluster % 2 = 0),
+       |surv AS (SELECT * FROM j
+       |         WHERE id NOT IN (SELECT id FROM del)),
+       |s2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+       |    ORDER BY n_tokens DESC, id) AS rn FROM surv),
+       |kn AS (SELECT cluster,
+       |    MAX(CASE WHEN rn = 1 THEN id END)::BIGINT AS new_keeper,
+       |    COUNT(*)::BIGINT AS n_survivors
+       |  FROM s2 GROUP BY cluster)
+       |SELECT kf.cluster, kf.old_keeper,
+       |  COALESCE(kn.new_keeper, -1)::BIGINT AS new_keeper,
+       |  COALESCE(kn.new_keeper, -1) <> kf.old_keeper AS keeper_changed,
+       |  kf.n_members,
+       |  COALESCE(kn.n_survivors, 0)::BIGINT AS n_survivors
+       |FROM kf LEFT JOIN kn USING (cluster) ORDER BY kf.cluster""".stripMargin
+
   // ---- ANN oracle builders (late-bound; see the s-entries) ----
 
   // run-derived values the dump-time SQL builders need, keyed PER SF DIR
@@ -7325,6 +7438,9 @@ object LlmQueries {
   private val s18CentroidsByDir = scala.collection.concurrent.TrieMap[
     String, Array[Array[Double]]]()
   private val s18BuildLock = new Object
+  private val s19CentroidsByDir = scala.collection.concurrent.TrieMap[
+    String, Array[Array[Double]]]()
+  private val s19BuildLock = new Object
   private def s18IndexPath(dir: String, cents: Array[Array[Double]],
                            role: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
@@ -7606,8 +7722,8 @@ object LlmQueries {
     * centroid literals (ties broken score DESC, cell DESC on both sides).
     */
   private def ivfSql(centCols: String, centVals: String,
-                     score: String): String =
-    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+                     score: String, basePred: String = ""): String =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings$basePred),
        |cents$centCols AS (VALUES $centVals),
        |sc AS (SELECT vec_id, e, cell, $score AS s
        |  FROM base CROSS JOIN cents),
@@ -7887,6 +8003,22 @@ object LlmQueries {
     }.mkString(", ")
     ivfSql("(cell, c, c2)", centVals,
       "list_inner_product(e, c) * 2.0 - c2")
+  }
+
+  /** s19 oracle: the compacted store ≡ an index over the corpus MINUS
+    * the tombstones, so the query re-derives as the s17 SQL shape with
+    * the tombstone predicate on the base relation.
+    */
+  private def s19Sql(dir: String): String = {
+    val cents = s19CentroidsByDir.getOrElse(dir,
+      sys.error(s"s19 never ran for $dir — no centroids captured"))
+    val centVals = cents.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      s"($i, ${sqlArr(c)}, $c2::DOUBLE)"
+    }.mkString(", ")
+    ivfSql("(cell, c, c2)", centVals,
+      "list_inner_product(e, c) * 2.0 - c2",
+      basePred = " WHERE vec_id % 10 <> 3")
   }
 
   /** s16 oracle: the seeded ±1 projection matrix regenerates from the

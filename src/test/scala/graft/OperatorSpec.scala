@@ -671,6 +671,32 @@ class OperatorSpec extends AnyFunSuite {
         "the fixture does not exercise reassignment")
   }
 
+  test("IVF tombstone compaction drops exactly the deleted rows and " +
+      "preserves every survivor's bytes and cell assignment") {
+    val rnd = new scala.util.Random(23)
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.fitIvfCentroids(vecs, nCentroids = 4)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivfdel").toString
+    Similarity.writeIvfIndex(vecs, cents, s"$base/full")
+    Similarity.compactIvfIndex(spark, s"$base/full",
+      vecs.filter(col("vec_id") % 5 === 0).select(col("vec_id")),
+      s"$base/live")
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("cell"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toList))
+      .toSet
+    val full = rows(s"$base/full")
+    val live = rows(s"$base/live")
+    assert(live == full.filterNot(_._1 % 5 == 0),
+      "compaction must drop exactly the tombstoned rows and nothing else")
+    assert(live.nonEmpty && live.size == 40)
+  }
+
   test("MaxSim scores hand-computable multi-vector matches") {
     // q doc 0: tokens along axes x and y. doc 1 matches BOTH aspects
     // (maxsim 2.0); doc 2 matches only x twice (maxsim 1.0); doc 3
