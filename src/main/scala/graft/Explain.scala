@@ -100,7 +100,8 @@ object Explain {
       "l105_token_drift" -> "token-distribution drift (one token-width conditional-count agg, doc-width totals, TakeOrderedAndProject top-100 — no global sort)",
       "s18_ivf_merge" -> "IVF segment merge (secondary reassigned by literal centroids, union write; query = s17's partition-pruned path over the merged store)",
       "s19_ivf_delete" -> "IVF tombstone compaction (one id-keyed left-anti rewrite; query = s17's partition-pruned path over the live store)",
-      "l106_rtbf_keeper_recompute" -> "RTBF keeper recompute (l98's cluster argmax twice — full set and anti-joined survivors — one cluster-keyed left join to report promotions)")
+      "l106_rtbf_keeper_recompute" -> "RTBF keeper recompute (l98's cluster argmax twice — full set and anti-joined survivors — one cluster-keyed left join to report promotions)",
+      "l107_snapshot_novelty" -> "cross-snapshot novelty (parity filter on the checkpointed LSH pairs, distinct new-side endpoint, one left join + source-width agg)")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans of flagship queries\n\n")
     sb.append("Generated by `runMain graft.Explain` on sf0.001; the\n")

@@ -218,6 +218,42 @@ object LlmQueries {
           .orderBy(col("source_a"), col("source_b"))
       }, None, Some(dir => l99Sql(dir))),
 
+    // Cross-snapshot NOVELTY yield (l107) — the per-source number a
+    // crawl operator actually tracks: of the NEW snapshot's documents
+    // ((doc_id % 13) % 2 = 1 stands in for the new crawl — 13 is
+    // coprime with the fixture's source assignment, so every source
+    // appears in BOTH snapshots), what fraction is novel vs near-dup
+    // of the PREVIOUS snapshot? Within-snapshot
+    // dups do NOT count against novelty (they are l99's diagonal) —
+    // only odd↔even edges do. Drives recrawl budgets and source
+    // retirement (a source whose yield decays is re-crawling the same
+    // pages). One parity filter over the shared LSH pair set, a
+    // distinct on the new-side endpoint, one left join + source-width
+    // aggregate. Oracle: captured pairs as VALUES (the l99
+    // convention) + documents arithmetic.
+    "l107_snapshot_novelty" -> QuerySpec(
+      (s, dir) => {
+        val cross = lshPairs(s, dir)
+          .filter(col("id_a") % 13 % 2 =!= col("id_b") % 13 % 2)
+        val newDup = cross.select(
+            when(col("id_a") % 13 % 2 === 1, col("id_a"))
+              .otherwise(col("id_b")).as("id"))
+          .distinct()
+          .withColumn("dup", lit(1L))
+        Tables(s, dir, "documents")
+          .filter(col("doc_id") % 13 % 2 === 1)
+          .select(col("doc_id").as("id"), col("source"))
+          .join(newDup, Seq("id"), "left_outer")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_new"),
+            sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+          .select(col("source"), col("n_new"), col("n_dup"),
+            TextAnalysis.quant4(
+              (col("n_new") - col("n_dup")).cast("double") /
+                col("n_new").cast("double")).as("novelty_rate"))
+          .orderBy(col("source"))
+      }, None, Some(dir => l107Sql(dir))),
+
     // Right-to-be-forgotten KEEPER RECOMPUTE (l106) — what a deletion
     // request does to the dedup layer: when a cluster's KEEPER is
     // deleted (the deletion relation here is the full-corpus keeper of
@@ -7370,6 +7406,34 @@ object LlmQueries {
        |  SUM(j.n_tokens)::BIGINT AS dropped_tokens
        |FROM j JOIN k USING (cluster) WHERE j.id <> k.keeper_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** l107 oracle: captured pairs as VALUES; a new-snapshot (odd) doc is
+    * non-novel iff some pair links it to an old-snapshot (even) doc.
+    */
+  private def l107Sql(dir: String): String = {
+    val df = synchronized {
+      pairsCache.get(dir) match {
+        case Some((owner, df)) if !owner.sparkContext.isStopped => df
+        case _ => sys.error(s"l02/l107 never ran for $dir — no pairs")
+      }
+    }
+    val pairs = df.select(col("id_a"), col("id_b")).collect()
+      .map(r => s"(${r.getLong(0)}::BIGINT,${r.getLong(1)}::BIGINT)")
+    require(pairs.nonEmpty, "no near-dup pairs — VALUES would be empty")
+    s"""WITH pr(id_a, id_b) AS (
+       |  SELECT * FROM (VALUES ${pairs.mkString(", ")}) t(id_a, id_b)),
+       |ndup AS (SELECT DISTINCT
+       |    CASE WHEN (id_a % 13) % 2 = 1 THEN id_a ELSE id_b END AS id
+       |  FROM pr WHERE (id_a % 13) % 2 <> (id_b % 13) % 2),
+       |nd AS (SELECT doc_id AS id, source FROM documents
+       |       WHERE (doc_id % 13) % 2 = 1)
+       |SELECT nd.source, COUNT(*)::BIGINT AS n_new,
+       |  COUNT(ndup.id)::BIGINT AS n_dup,
+       |  floor((COUNT(*) - COUNT(ndup.id))::DOUBLE / COUNT(*)::DOUBLE
+       |    * 10000.0 + 0.5) / 10000.0 AS novelty_rate
+       |FROM nd LEFT JOIN ndup USING (id)
+       |GROUP BY nd.source ORDER BY nd.source""".stripMargin
+  }
 
   /** l106 oracle: the shared components + token counts; full-set and
     * surviving-set keepers both as ROW_NUMBER over

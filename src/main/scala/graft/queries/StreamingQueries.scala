@@ -904,6 +904,39 @@ object StreamingQueries {
         s.table("st23_sink").orderBy(col("src_url"), col("img_idx"))
       }, None, Some(_ => LlmQueries.st23Sql(40))),
 
+    // Streaming DELETION gate (st25) — right-to-be-forgotten at INGEST
+    // time (the other end of the pipeline from s19/l106's stored-state
+    // compaction): every arriving document checks against the static
+    // tombstone relation (id % 17 = 5 — arithmetic, so the oracle
+    // re-derives it; in production the list is exactly such a
+    // relation) via a stream-static LEFT OUTER equi-join + null filter
+    // — the anti-join spelled in the form Spark's streaming planner
+    // admits; append-legal, ZERO state (the static side broadcasts),
+    // so the gate costs one narrow pass per micro-batch at any corpus
+    // size. One hash proves streamed gate ≡ batch predicate ≡ DuckDB.
+    "st25_deletion_gate_stream" -> QuerySpec(
+      (s, dir) => {
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val tombs = graft.Tables(s, dir, "documents")
+          .filter(col("doc_id") % 17 === 5)
+          .select(col("doc_id"), lit(1).as("tomb"))
+        val q = stream.select(col("doc_id"), col("text"))
+          .join(tombs, Seq("doc_id"), "left_outer")
+          .filter(col("tomb").isNull)
+          .select(col("doc_id"), md5(col("text")).as("text_md5"))
+          .writeStream.format("memory").queryName("st25_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st25_sink").orderBy(col("doc_id"))
+      }, None, Some(_ =>
+        """SELECT doc_id, md5(text) AS text_md5 FROM documents
+          |WHERE doc_id % 17 <> 5 ORDER BY doc_id""".stripMargin)),
+
     // Streaming POST-gate pair dedup (st24) — the stateful stage st23
     // deliberately leaves to batch, now as the stream's own operator
     // (the r18 handoff item): gate survivors dedup EXACTLY on the

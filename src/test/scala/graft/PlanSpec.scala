@@ -1182,4 +1182,18 @@ class PlanSpec extends AnyFunSuite {
     assert(fim == base,
       s"FIM must not add an exchange: $fim vs $base")
   }
+
+  test("l105: token drift's top-k plans as TakeOrderedAndProject — " +
+      "per-partition heaps + driver merge, never a global sort") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = (0 until 40).map(i => (i.toLong, s"tok$i common words"))
+      .toDF("doc_id", "text")
+    val df = graft.operators.TextAnalysis.tokenDrift(docs,
+      col("doc_id") % 2 === 0)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+  }
 }
