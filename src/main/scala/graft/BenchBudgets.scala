@@ -213,6 +213,28 @@ object BenchBudgets {
     // l99 pinned from target/bench_r18_idle5.json (193 entries,
     // 115.0 s, cal 0.5056, zero flags/spikes/errors)
     "l99_cross_source_dups" -> 0.1778,
+    // The 13 continuation-session entries: element-wise min of
+    // target/bench_r18c_idle{1,2}.json (206 entries; idle2 116.1 s at
+    // cal 0.4515, zero flags/spikes/errors — idle1's 150.2 s was the
+    // fresh VM instance's first-ever sweep: page cache + JIT cold
+    // across the run, heavy-parallel tail uniformly ~1.8x with
+    // single-thread calibration flat and probes idle; its one p13
+    // flag vanished on the warmed instance, p13 10.18 -> 5.40 with
+    // code untouched — the instance-cold pattern, recorded here so a
+    // future first-sweep flag is adjudicated against it)
+    "l100_unigram_ids_soft_fb" -> 0.1584,
+    "l101_dedup_savings_matrix" -> 0.7890,
+    "l102_epoch_allocation" -> 0.1654,
+    "l103_fim_transform" -> 0.2708,
+    "l104_shard_manifest" -> 1.2819,
+    "l105_token_drift" -> 0.2500,
+    "l106_rtbf_keeper_recompute" -> 0.6496,
+    "l107_snapshot_novelty" -> 0.1334,
+    "m16_paired_archive" -> 0.8134,
+    "st24_pair_dedup_stream" -> 1.3029,
+    "st25_deletion_gate_stream" -> 0.3751,
+    "s18_ivf_merge" -> 1.8720,
+    "s19_ivf_delete" -> 0.4119,
     "m01_media_features" -> 0.2213,
     "m02_frame_sample" -> 0.0812,
     "m03_media_resize" -> 0.0864,
