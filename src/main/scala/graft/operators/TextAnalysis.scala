@@ -3708,8 +3708,12 @@ object TextAnalysis {
   def epochAllocation(docs: DataFrame, budgetFactor: Int = 2,
                       maxEpochs: Int = 2, sourceCol: String = "source",
                       textCol: String = "text"): DataFrame = {
+    // materialized ONCE (localCheckpoint): the totals aggregate and the
+    // final cross join both consume it, and Spark does not dedupe
+    // common subplans — uncached, the corpus would tokenize twice
     val counts = docs.groupBy(col(sourceCol).as("source"))
       .agg(sum(tokenCount(col(textCol)).cast("long")).as("avail_tokens"))
+      .localCheckpoint()
     val sq = quant(sqrt(col("avail_tokens").cast("double")), 6)
     val totals = counts.agg(
       sum(sq.cast("decimal(18,6)")).cast("double").as("z"),
@@ -3798,8 +3802,15 @@ object TextAnalysis {
       array(lit(preId)), slice(col(idsCol), lit(1), a),
       array(lit(sufId)), slice(col(idsCol), b + 1, n - b),
       array(lit(midId)), slice(col(idsCol), a + 1, b - a))
+    // a null id array (e.g. from a left-joined encode) must fail LOUDLY:
+    // size(null) is -1 under Spark's default, which would otherwise ride
+    // out as a poisoned n_tokens = -1 into packing/budget arithmetic
+    val nTok = when(col(idsCol).isNull,
+        raise_error(lit("fimTransform: null token_ids — encode " +
+          "upstream (or drop un-encoded rows) before FIM")).cast("long"))
+      .otherwise(when(app, n + 3).otherwise(n).cast("long"))
     ids.select(col(idCol), app.as("fim_applied"),
-      when(app, n + 3).otherwise(n).cast("long").as("n_tokens"),
+      nTok.as("n_tokens"),
       when(app, fim).otherwise(col(idsCol)).as("token_ids"))
   }
 

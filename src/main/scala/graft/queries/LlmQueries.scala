@@ -4203,16 +4203,20 @@ object LlmQueries {
         val e = Tables(s, dir, "embeddings")
         val cents = Similarity.ivfCentroidsCached(dir, e)
         s19CentroidsByDir(dir) = cents
-        val full = s18IndexPath(dir, cents, "s19full")
+        // the FULL index is s17's — same (dir, centroids) key, so the
+        // content is bit-identical; build it under s17's own lock if
+        // s17 hasn't run yet rather than paying a redundant build
+        val full = s17IndexPath(dir, cents)
         val live = s18IndexPath(dir, cents, "s19live")
+        s17BuildLock.synchronized {
+          if (!new java.io.File(full, "_SUCCESS").isFile)
+            Similarity.writeIvfIndex(e, cents, full)
+        }
         s19BuildLock.synchronized {
-          if (!new java.io.File(live, "_SUCCESS").isFile) {
-            if (!new java.io.File(full, "_SUCCESS").isFile)
-              Similarity.writeIvfIndex(e, cents, full)
+          if (!new java.io.File(live, "_SUCCESS").isFile)
             Similarity.compactIvfIndex(s, full,
               e.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
               live)
-          }
         }
         Similarity.queryIvfIndex(live, cents,
             e.filter(col("vec_id") < 5 && col("vec_id") % 10 =!= 3),
@@ -4757,14 +4761,8 @@ object LlmQueries {
             val (w, h, rgb) = Multimodal.pngRawDraw(i)
             (i, w, h, Multimodal.dHash64(w, h, rgb))
           }.toDF("img_id", "width", "height", "phash"))
-        val media = s.range(nImg).map { boxed =>
-          val i: Long = boxed
-          val (w, h, rgb) = Multimodal.pngRawDraw(i)
-          val bytes =
-            if (i % 2 == 0) Multimodal.Codecs.encodeBmp(w, h, rgb)
-            else graft.codec.Png.encode(w, h, rgb)
-          (s"http://media.example/img/$i.bmp", bytes)
-        }.toDF("media_url", "data")
+        val media = mediaFixture(s, nImg)
+          .select(col("media_url"), col("data"))
         val d = col("doc_id")
         val ida = when(d % 10 === 7, lit(3L)).otherwise(d % nImg)
         val alta = when(d % 10 === 7, lit("shared alt"))
@@ -4961,14 +4959,8 @@ object LlmQueries {
             val (w, h, rgb) = Multimodal.pngRawDraw(i)
             (i, w, h, Multimodal.dHash64(w, h, rgb))
           }.toDF("img_id", "width", "height", "phash"))
-        val media = s.range(nImg).map { boxed =>
-          val i: Long = boxed
-          val (w, h, rgb) = Multimodal.pngRawDraw(i)
-          val bytes =
-            if (i % 2 == 0) Multimodal.Codecs.encodeBmp(w, h, rgb)
-            else graft.codec.Png.encode(w, h, rgb)
-          (s"http://media.example/img/$i.bmp", bytes)
-        }.toDF("media_url", "data")
+        val media = mediaFixture(s, nImg)
+          .select(col("media_url"), col("data"))
         val kept = Multimodal.imageTextPairs(
           TextAnalysis.extractImagePairs(
             m14PagesOver(Tables(s, dir, "documents"), nImg)), media)
@@ -4992,29 +4984,8 @@ object LlmQueries {
     // gzip-member round trip.
     "m15_pair_media_export" -> QuerySpec(
       (s, dir) => {
-        import s.implicits._
         val nImg = 40
-        MultimodalGolden.ensureGoldenDf(s"m15-mediamd5-$nImg-v1", {
-          s.range(nImg).map { boxed =>
-            val i: Long = boxed
-            val (w, h, rgb) = Multimodal.pngRawDraw(i)
-            val bytes =
-              if (i % 2 == 0) Multimodal.Codecs.encodeBmp(w, h, rgb)
-              else graft.codec.Png.encode(w, h, rgb)
-            (s"http://media.example/img/$i.bmp",
-              java.security.MessageDigest.getInstance("MD5")
-                .digest(bytes).map("%02x".format(_)).mkString,
-              bytes.length.toLong)
-          }.toDF("img_url", "payload_md5", "n_bytes")
-        })
-        val media = s.range(nImg).map { boxed =>
-          val i: Long = boxed
-          val (w, h, rgb) = Multimodal.pngRawDraw(i)
-          val bytes =
-            if (i % 2 == 0) Multimodal.Codecs.encodeBmp(w, h, rgb)
-            else graft.codec.Png.encode(w, h, rgb)
-          (s"http://media.example/img/$i.bmp", bytes)
-        }.toDF("media_url", "data")
+        ensureMediaMd5Golden(s, nImg)
         // a QUARTER of the crawl (doc_id % 4 == 1) so the kept-image
         // set is genuinely selective (odd ids + the shared-alt image;
         // even-id caption alignment needs even docs, which this slice
@@ -5027,14 +4998,15 @@ object LlmQueries {
             minScore = 0.9)
           .filter(col("keep"))
           .select(col("img_url").as("media_url")).distinct()
-        val export = media.join(keptUrls, "media_url")
-          .select(col("media_url").as("url"),
+        val export = mediaFixture(s, nImg).join(keptUrls, "media_url")
+          .select(lit("resource").as("rec_type"),
+            col("media_url").as("url"),
             lit("2026-01-01T00:00:00Z").as("warc_date"),
+            col("content_type"),
             col("data").as("payload"))
         val out = "target/pairexport/" +
           s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
-        graft.sources.Warc.writeRecords(export, out,
-          recType = "resource", contentType = "image/bmp")
+        graft.sources.Warc.writeTypedRecords(export, out)
         graft.sources.Warc.readResources(s, out)
           .select(col("url").as("img_url"),
             md5(col("payload")).as("payload_md5"), col("n_bytes"))
@@ -5056,30 +5028,13 @@ object LlmQueries {
     // members throughout.
     "m16_paired_archive" -> QuerySpec(
       (s, dir) => {
-        import s.implicits._
         val nImg = 40
-        MultimodalGolden.ensureGoldenDf(s"m15-mediamd5-$nImg-v1", {
-          s.range(nImg).map { boxed =>
-            val i: Long = boxed
-            val (w, h, rgb) = Multimodal.pngRawDraw(i)
-            val bytes =
-              if (i % 2 == 0) Multimodal.Codecs.encodeBmp(w, h, rgb)
-              else graft.codec.Png.encode(w, h, rgb)
-            (s"http://media.example/img/$i.bmp",
-              java.security.MessageDigest.getInstance("MD5")
-                .digest(bytes).map("%02x".format(_)).mkString,
-              bytes.length.toLong)
-          }.toDF("img_url", "payload_md5", "n_bytes")
-        })
-        val media = s.range(nImg).map { boxed =>
-          val i: Long = boxed
-          val (w, h, rgb) = Multimodal.pngRawDraw(i)
-          val bytes =
-            if (i % 2 == 0) Multimodal.Codecs.encodeBmp(w, h, rgb)
-            else graft.codec.Png.encode(w, h, rgb)
-          (s"http://media.example/img/$i.bmp", bytes)
-        }.toDF("media_url", "data")
-        // the m15 quarter-crawl slice (selective kept set — see m15)
+        ensureMediaMd5Golden(s, nImg)
+        // the m15 quarter-crawl slice (selective kept set — see m15);
+        // materialized ONCE (localCheckpoint, the lshPairs convention):
+        // both archive member classes consume it, and Spark does not
+        // dedupe common subplans — uncached, the extraction + both
+        // embedding joins would run twice inside the write job
         val keptPairs = Multimodal.pairEmbedGate(
             TextAnalysis.extractImagePairs(
               m14PagesOver(Tables(s, dir, "documents")
@@ -5087,13 +5042,14 @@ object LlmQueries {
             m14ImgEmb(s, dir, nImg), m14TxtEmb(s, dir, nImg),
             minScore = 0.9)
           .filter(col("keep"))
-        val mediaRecs = media
+          .localCheckpoint()
+        val mediaRecs = mediaFixture(s, nImg)
           .join(keptPairs.select(col("img_url").as("media_url"))
             .distinct(), "media_url")
           .select(lit("resource").as("rec_type"),
             col("media_url").as("url"),
             lit("2026-01-01T00:00:00Z").as("warc_date"),
-            lit("image/bmp").as("content_type"),
+            col("content_type"),
             col("data").as("payload"))
         val metaRecs = keptPairs.select(
           lit("metadata").as("rec_type"),
@@ -5202,6 +5158,48 @@ object LlmQueries {
        |    AND a.ckey = b.ckey AND a.pid < b.pid AND a.text = b.text)
        |SELECT id_a, id_b, h::INT AS hamming, text
        |FROM cand WHERE h <= 3 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** The shared m-family media fixture (ONE copy — m11/m14/m15/m16 all
+    * consume it): image i's raw draw encoded BMP (even i) or PNG (odd
+    * i) so the sniffed decode dispatch is exercised, with the MATCHING
+    * content type (a self-describing archive must carry the right
+    * Content-Type per member), keyed by the canonical media url.
+    */
+  private def mediaFixture(s: org.apache.spark.sql.SparkSession,
+                           nImg: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    s.range(nImg).map { boxed =>
+      val i: Long = boxed
+      val (w, h, rgb) = Multimodal.pngRawDraw(i)
+      val bytes =
+        if (i % 2 == 0) Multimodal.Codecs.encodeBmp(w, h, rgb)
+        else graft.codec.Png.encode(w, h, rgb)
+      (s"http://media.example/img/$i.bmp",
+        if (i % 2 == 0) "image/bmp" else "image/png", bytes)
+    }.toDF("media_url", "content_type", "data")
+  }
+
+  /** The m15/m16 payload-md5 golden over the SAME fixture bytes,
+    * derived independently (driver-side MessageDigest, not the
+    * engine's md5 function).
+    */
+  private def ensureMediaMd5Golden(s: org.apache.spark.sql.SparkSession,
+                                   nImg: Int): Unit = {
+    import s.implicits._
+    MultimodalGolden.ensureGoldenDf(s"m15-mediamd5-$nImg-v1", {
+      s.range(nImg).map { boxed =>
+        val i: Long = boxed
+        val (w, h, rgb) = Multimodal.pngRawDraw(i)
+        val bytes =
+          if (i % 2 == 0) Multimodal.Codecs.encodeBmp(w, h, rgb)
+          else graft.codec.Png.encode(w, h, rgb)
+        (s"http://media.example/img/$i.bmp",
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(bytes).map("%02x".format(_)).mkString,
+          bytes.length.toLong)
+      }.toDF("img_url", "payload_md5", "n_bytes")
+    })
   }
 
   /** The m14 planted-page projection over ANY documents-shaped frame —

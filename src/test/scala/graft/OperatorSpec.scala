@@ -627,6 +627,16 @@ class OperatorSpec extends AnyFunSuite {
     val suf = ids.slice(ids.indexOf(90002) + 1, ids.indexOf(90003))
     val mid = ids.drop(ids.indexOf(90003) + 1)
     assert(pre ++ mid ++ suf == List(1, 2, 3, 4, 5, 6, 7))
+    // a null id array (a left-joined un-encoded row) fails LOUDLY —
+    // size(null) = -1 must never ride out as a poisoned token count
+    val withNull = Seq((0L, Seq(1, 2, 3)), (1L, null))
+      .toDF("doc_id", "token_ids")
+    val e = intercept[Exception] {
+      TextAnalysis.fimTransform(withNull).collect()
+    }
+    assert(e.getMessage.contains("fimTransform") ||
+      Option(e.getCause).exists(_.getMessage.contains("fimTransform")),
+      s"expected the loud fimTransform error, got: ${e.getMessage}")
   }
 
   test("IVF segment merge under the primary's centroids is row-" +
