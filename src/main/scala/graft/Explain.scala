@@ -393,7 +393,12 @@ object Explain {
         "stream plan plus Spark's streaming dropDuplicates state " +
         "store keyed by the (img_url, text) pair key — state bounded " +
         "by the distinct-key space; the projection keeps only " +
-        "key-determined columns, so arrival order is unobservable.\n")
+        "key-determined columns, so arrival order is unobservable. " +
+        "l108_ids_scale_stress's entry frame is a one-row counts " +
+        "table (the l21/l74/p13 stress convention); the measured plan " +
+        "is l83's encode projection + l85's pack plan — both pinned " +
+        "above — executed at 1x and 10x inside the harness with the " +
+        "pack checkpoint released per run.\n")
     }
     Files.write(Paths.get("EXPLAIN.md"), sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote EXPLAIN.md (${interesting.size} plans)")

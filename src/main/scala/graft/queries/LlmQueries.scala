@@ -1277,6 +1277,28 @@ object LlmQueries {
           .toDF("docs_1x", "docs_10x", "pairs_1x", "pairs_10x")
       }, None, Some(dir => l21Sql(dir))),
 
+    // Measured scale stress for the TOKEN-ID pipeline (l108 — the
+    // l21/l74/p13/s13 pattern on the headline tokenizer family):
+    // encode-to-ids + packIdStream over a 1x and a 10x planted corpus
+    // in one invocation, under a FIXED literal model so every count is
+    // closed-form (training is train-time; what scales with the corpus
+    // is encode + pack). The oracle hashes only the design-exact doc
+    // and packed-sequence counts — a wrong-at-scale pack (dropped
+    // fragment, double-counted boundary) fails the hash; the measured
+    // wall ratio and driver-heap delta print as a parseable [l108]
+    // stderr line with the sub-quadratic / flat-heap bounds enforced
+    // by OperatorSpec's retrying check. Each timed run RELEASES its
+    // pack checkpoint (packIdStreamRelease), so the harness itself
+    // proves the storage-hygiene API under repetition.
+    "l108_ids_scale_stress" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val n = l108NFor(dir)
+        val m = measureIdsScaleStress(s, dir)
+        Seq((n.toLong, n * 10L, m.rows1, m.rows10))
+          .toDF("docs_1x", "docs_10x", "seqs_1x", "seqs_10x")
+      }, None, Some(dir => l108Sql(dir))),
+
     // Measured scale stress for the graph-sketch path (l74 — the
     // l21/p13/s13 pattern on the link-graph family): the full KMV
     // neighborhood pipeline (radius 2, k 16) over a 1x and a 10x edge
@@ -7045,6 +7067,70 @@ object LlmQueries {
     val n = l21NFor(dir)
     s"""SELECT $n::BIGINT AS docs_1x, ${n * 10}::BIGINT AS docs_10x,
        |  ${n / 10}::BIGINT AS pairs_1x, $n::BIGINT AS pairs_10x""".stripMargin
+  }
+
+  // ---- l108: measured token-ID pipeline scale stress ----
+
+  private[queries] def l108NFor(dir: String): Int =
+    if (dir.contains("sf0.1")) 20000 else 4000
+
+  /** A FIXED literal unigram model for the stress run (training is
+    * train-time — the encode+pack path is what scales with the corpus):
+    * ranks 1–4 = ab/c/a/b with lp units making Viterbi of "abc" pick
+    * [ab, c] (−250k) over [a, b, c] (−550k). Every planted doc is
+    * "abc ab c abc" ×8 plus ONE doc-id-dependent word ("ab" or "c" by
+    * parity — the dependence defeats Catalyst constant folding, which
+    * would otherwise evaluate the encode kernel ONCE at plan time and
+    * benchmark nothing; both branches contribute exactly one id), so
+    * every doc is 49 ids + the -1 boundary = 50 stream tokens and the
+    * packed-sequence count stays closed-form: (50n) / 512.
+    */
+  private[queries] val l108Model: graft.operators.TextAnalysis.Unigram.Model =
+    graft.operators.TextAnalysis.Unigram.Model(Seq(
+      ("ab", 100L, -100000L), ("c", 50L, -150000L),
+      ("a", 20L, -200000L), ("b", 10L, -200000L)))
+
+  /** Measured scale stress for the token-ID pipeline (the l21/l74/p13
+    * pattern on the tokenizer family): encode-to-ids (one-kernel
+    * Viterbi) + packIdStream (two-phase offset fold + one seq_idx
+    * shuffle) over 1x and 10x planted corpora IN THE SAME INVOCATION.
+    * Each run releases its pack checkpoint eagerly
+    * ([[graft.operators.TextAnalysis.packIdStreamRelease]] — the l43
+    * hygiene lesson applied inside the harness, so repeated bench runs
+    * cannot accumulate superseded generations). The oracle hashes only
+    * design-exact counts; the wall ratio / heap bounds live in
+    * OperatorSpec's retrying check.
+    */
+  def measureIdsScaleStress(s: org.apache.spark.sql.SparkSession,
+      dir: String): PipelineQueries.ScaleRun = {
+    val n = l108NFor(dir)
+    def world(k: Int) = s.range(k).select(col("id").as("doc_id"),
+      concat(lit(Seq.fill(8)("abc ab c abc").mkString(" ") + " "),
+        when(col("id") % 2 === 0, lit("ab")).otherwise(lit("c")))
+        .as("text"))
+    def timedRun(k: Int)(): (Long, Double) = {
+      def once(): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val packed = graft.operators.TextAnalysis.packIdStream(
+          graft.operators.TextAnalysis.unigramEncodeIds(
+            world(k), l108Model), seqLen = 512)
+        val c = packed.count()
+        val t = (System.nanoTime() - t0) / 1e9
+        graft.operators.TextAnalysis.packIdStreamRelease(packed)
+        (c, t)
+      }
+      val (rows, tA) = once()
+      val (_, tB) = once()
+      (rows, math.min(tA, tB))
+    }
+    PipelineQueries.measureScalePair("l108", timedRun(n), timedRun(n * 10))
+  }
+
+  private def l108Sql(dir: String): String = {
+    val n = l108NFor(dir)
+    s"""SELECT $n::BIGINT AS docs_1x, ${n * 10}::BIGINT AS docs_10x,
+       |  ${50L * n / 512}::BIGINT AS seqs_1x,
+       |  ${500L * n / 512}::BIGINT AS seqs_10x""".stripMargin
   }
 
   // ---- l74: measured graph-sketch scale stress ----

@@ -1680,6 +1680,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(first.rows1 == 15L && first.rows10 == 150L)
   }
 
+  test("l108 scale bounds: 10x documents through encode+pack stays " +
+      "sub-quadratic with flat driver heap") {
+    // the registry entry oracle-hashes only the closed-form counts; the
+    // environment-dependent ratio/heap bounds live here with retries
+    // (the l21/p13 convention)
+    val attempts = LazyList.continually(
+      graft.queries.LlmQueries.measureIdsScaleStress(spark, "spec"))
+      .take(3)
+    assert(attempts.exists(m => m.subquadratic && m.driverHeapFlat),
+      "ratio >= 35x or driver heap grew >= 512MB on all 3 attempts")
+    val first = attempts.head
+    // 50 stream tokens per doc (49 ids + boundary): (50n)/512 sequences
+    assert(first.rows1 == 50L * 4000 / 512 &&
+      first.rows10 == 500L * 4000 / 512,
+      s"packed counts off design: ${(first.rows1, first.rows10)}")
+  }
+
   test("packTokenStream: hand-computed manifest — doc spanning multiple " +
       "sequences, tail-only doc dropped, separator counted") {
     import spark.implicits._
