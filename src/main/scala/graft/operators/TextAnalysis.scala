@@ -1999,11 +1999,13 @@ object TextAnalysis {
     import spark.implicits._
     val n = if (partitions > 0) partitions
             else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val withEos = idsDf.select(col(idCol).cast("long").as("id"),
-        concat(col(idsCol), array(lit(PackEosId))).as("ids"))
-      .repartitionByRange(n, col("id"))
-      .sortWithinPartitions(col("id"))
-      .localCheckpoint() // pin the sampled ranges across the two passes
+    val withEos = org.apache.spark.sql.graftshim.Bridge
+      .markOwnedCheckpoint( // precise release target — see release()
+        idsDf.select(col(idCol).cast("long").as("id"),
+            concat(col(idsCol), array(lit(PackEosId))).as("ids"))
+          .repartitionByRange(n, col("id"))
+          .sortWithinPartitions(col("id"))
+          .localCheckpoint()) // pin the sampled ranges across the passes
     val perPart: Array[(Int, Long)] = withEos
       .select(col("id"), size(col("ids")).cast("long").as("len"))
       .as[(Long, Long)]
@@ -2064,13 +2066,16 @@ object TextAnalysis {
     * lesson at the operator boundary instead of per call site). Call
     * AFTER the packed frame is written/collected; the frame must not
     * execute again afterwards (a localCheckpoint is non-recomputable).
-    * Accepts the packed frame OR any frame derived from it (the
-    * checkpoint is found by plan traversal). Returns the number of
-    * checkpointed RDDs released.
+    * Accepts the packed frame OR any frame derived from it — even one
+    * COMPOSED with other checkpointed frames: the traversal releases
+    * only checkpoints [[packIdStream]] itself created (ownership-tagged
+    * at creation), so a shared checkpoint (a cached pair frame, another
+    * operator's pin) composed into the same plan is never poisoned.
+    * Returns the number of checkpointed RDDs actually released.
     */
   def packIdStreamRelease(packed: DataFrame): Int =
     org.apache.spark.sql.graftshim.Bridge
-      .unpersistPlanCheckpoints(packed)
+      .unpersistOwnedPlanCheckpoints(packed)
 
   /** [[packIdStream]] plus the ATTENTION METADATA a trainer actually
     * loads beside the ids — the packed-sample convention (HF packing /
@@ -2085,6 +2090,15 @@ object TextAnalysis {
     * [[packIdStream]]'s own plan (PlanSpec pins the equal exchange
     * count). The boundary id itself takes the last position of its
     * document and its document's segment.
+    *
+    * Positions are ROW-relative (every packed row's first token is
+    * position 0): a document split across rows restarts its positions
+    * in the continuation row — the fragment is a new training sample,
+    * which is the standard concat-and-chunk trade (samples don't
+    * attend across rows, so sample-relative positions are what the
+    * model sees). A trainer needing TRUE document-absolute positions
+    * for continuation fragments must carry them from the pre-pack
+    * stream; this operator does not.
     */
   def packIdStreamWithPositions(idsDf: DataFrame, seqLen: Int,
                                 idCol: String = "doc_id",

@@ -414,13 +414,15 @@ object TextGolden {
     */
   def bbpeEncodeIdsPreTok(ptok: String,
                           merges: Seq[(String, String)]): Seq[Int] = {
-    var syms = byteSymsOf(ptok)
-    merges.foreach { case (a, b) => syms = mergeOnce(syms, a, b, a + b) }
-    // same loud-failure contract as bbpeEncodeIdsVocab: a string-keyed
-    // id map cannot represent two merges with colliding concatenations
+    // same loud-failure contract as bbpeEncodeIdsVocab, validated
+    // BEFORE any merge work (fail-fast, and name the colliding
+    // symbols so a golden-build failure diagnoses like the engine's)
     val mergedStrs = merges.map { case (a, b) => a + b }
     require(mergedStrs.toSet.size == mergedStrs.length,
-      "bbpeEncodeIdsPreTok: colliding merged symbols in merge table")
+      "bbpeEncodeIdsPreTok: colliding merged symbols in merge table: " +
+        mergedStrs.diff(mergedStrs.distinct).distinct.mkString(", "))
+    var syms = byteSymsOf(ptok)
+    merges.foreach { case (a, b) => syms = mergeOnce(syms, a, b, a + b) }
     val mergeId = merges.zipWithIndex
       .map { case ((a, b), k) => (a + b) -> (256 + k) }.toMap
     syms.toSeq.map(s =>

@@ -221,7 +221,11 @@ object PipelineQueries {
     val heap0 = usedMb()
     val (rows10, t10) = timed10x()
     val heap1 = usedMb()
-    val ratio = t10 / math.max(t1, 0.05)
+    // the SAME 0.25 s denominator floor the subquadratic gate uses —
+    // with a smaller floor the reported ratio can read as a failure
+    // (e.g. 38x off a 0.06 s warm-cache t1) while the gate passes,
+    // sending triage to the opposite conclusion from the decision
+    val ratio = t10 / math.max(t1, 0.25)
     val run = ScaleRun(rows1, rows10, t1, t10, ratio, heap1 - heap0)
     val flag = if (run.subquadratic && run.driverHeapFlat) "" else
       "SCALE REGRESSION: "

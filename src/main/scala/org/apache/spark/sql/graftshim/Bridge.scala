@@ -42,21 +42,53 @@ object Bridge {
       case _ => ()
     }
 
-  /** Unpersist EVERY checkpointed RDD reachable from `df`'s logical
-    * plan — the [[unpersistLocalCheckpoint]] pattern for operators
-    * whose RETURNED plan still references an internal localCheckpoint
-    * (the root match above only sees a frame that IS the checkpoint).
-    * Blocking, so a caller-driven release is deterministic (a spec can
-    * assert flat storage immediately after). Returns the number of
-    * RDDs released. After release the frame must not be executed
-    * again: a localCheckpoint is non-recomputable.
+  /** Marks a checkpointed leaf an operator OWNS (created itself, for
+    * its own plan) so [[unpersistOwnedPlanCheckpoints]] can release it
+    * precisely: a blanket every-LogicalRDD traversal would also
+    * unpersist checkpoints the caller's plan merely SHARES (a cached
+    * pair frame, another operator's checkpoint) — and a localCheckpoint
+    * is non-recomputable, so that would poison the shared frame's next
+    * execution.
     */
-  def unpersistPlanCheckpoints(df: DataFrame): Int = {
+  private val OwnedCheckpointTag =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean](
+      "graft.ownedCheckpoint")
+
+  /** Tag `df` (which must BE a localCheckpoint — its logical plan the
+    * LogicalRDD) as owned by the calling operator. Returns `df`.
+    */
+  def markOwnedCheckpoint(df: DataFrame): DataFrame = {
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.setTagValue(OwnedCheckpointTag, true)
+      case _ => ()
+    }
+    df
+  }
+
+  /** Unpersist every OWNED ([[markOwnedCheckpoint]]) and still-persisted
+    * checkpointed RDD reachable from `df`'s logical plan — the
+    * [[unpersistLocalCheckpoint]] pattern for operators whose RETURNED
+    * plan still references an internal localCheckpoint (the root match
+    * above only sees a frame that IS the checkpoint). Untagged
+    * LogicalRDD leaves (shared/foreign checkpoints composed into the
+    * caller's plan) are left alone. Blocking, so a caller-driven
+    * release is deterministic (a spec can assert flat storage
+    * immediately after). Returns the number of RDDs actually released
+    * (already-unpersisted leaves don't count). After release the
+    * owning operator's frame must not be executed again: a
+    * localCheckpoint is non-recomputable.
+    */
+  def unpersistOwnedPlanCheckpoints(df: DataFrame): Int = {
     var n = 0
     df.asInstanceOf[classic.Dataset[_]].queryExecution.logical.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = true)
-        n += 1
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if lr.getTagValue(OwnedCheckpointTag).isDefined =>
+        if (lr.rdd.getStorageLevel !=
+            org.apache.spark.storage.StorageLevel.NONE) {
+          lr.rdd.unpersist(blocking = true)
+          n += 1
+        }
       case _ => ()
     }
     n

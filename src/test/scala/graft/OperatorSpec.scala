@@ -4333,6 +4333,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("packIdStreamRelease is ownership-precise: releasing a frame " +
+      "COMPOSED with a foreign checkpoint never poisons the shared " +
+      "frame (only the pack's own pin is freed)") {
+    import graft.operators.TextAnalysis
+    val idsDf = (0 until 40).map { i =>
+      (i.toLong, (0 until 8).map(j => j + 1).toArray)
+    }.toDF("doc_id", "token_ids")
+    // a SHARED checkpointed frame (a cached pair store, another
+    // operator's pin) the caller joins against the packed result
+    val shared = (0 until 5).map(i => (i.toLong, s"meta$i"))
+      .toDF("seq_idx", "note").localCheckpoint()
+    val packed = TextAnalysis.packIdStream(idsDf, seqLen = 16)
+    val composed = packed.join(shared, Seq("seq_idx"), "left_outer")
+    composed.count()
+    val released = TextAnalysis.packIdStreamRelease(composed)
+    assert(released == 1,
+      s"exactly the pack's own checkpoint should release: $released")
+    // the shared frame still executes (its checkpoint was NOT dropped —
+    // a blanket traversal would have unpersisted it and this would
+    // throw on the lost non-recomputable blocks)
+    assert(shared.count() == 5)
+  }
+
   test("unigramTrainSoft x markWords (l95): the soft E-step composes " +
       "with the boundary marker — a marked ambiguous piece hard EM " +
       "prunes keeps posterior mass under soft EM, and marked-soft " +
