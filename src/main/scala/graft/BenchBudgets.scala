@@ -235,6 +235,9 @@ object BenchBudgets {
     "st25_deletion_gate_stream" -> 0.3751,
     "s18_ivf_merge" -> 1.8720,
     "s19_ivf_delete" -> 0.4119,
+    // l108 pinned from target/bench_r18c_idle4.json (207 entries,
+    // 134.8 s, cal 0.4654, zero flags/spikes/errors)
+    "l108_ids_scale_stress" -> 8.4476,
     "m01_media_features" -> 0.2213,
     "m02_frame_sample" -> 0.0812,
     "m03_media_resize" -> 0.0864,
