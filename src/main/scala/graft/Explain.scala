@@ -398,7 +398,11 @@ object Explain {
         "table (the l21/l74/p13 stress convention); the measured plan " +
         "is l83's encode projection + l85's pack plan — both pinned " +
         "above — executed at 1x and 10x inside the harness with the " +
-        "pack checkpoint released per run.\n")
+        "pack checkpoint released per run. s20_ivf_lifecycle composes " +
+        "the s18 merge and s19 compaction plans (both noted above) " +
+        "and queries through s17's partition-pruned path; " +
+        "l109_novelty_token_mass is l107's plan with the tokenized " +
+        "source-width aggregate.\n")
     }
     Files.write(Paths.get("EXPLAIN.md"), sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote EXPLAIN.md (${interesting.size} plans)")

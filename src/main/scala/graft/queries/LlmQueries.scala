@@ -254,6 +254,43 @@ object LlmQueries {
           .orderBy(col("source"))
       }, None, Some(dir => l107Sql(dir))),
 
+    // Cross-snapshot novelty by TOKEN MASS (l109) — l107 weighted by
+    // what a training run actually consumes (the l101-over-l99 lesson
+    // on the snapshot axis: doc counts over-weight short pages; the
+    // budget decision needs tokens): per source, the new snapshot's
+    // token mass, the share of it sitting in docs that near-dup the
+    // previous snapshot, and the novel-token rate. Same parity filter
+    // over the shared LSH pair set + one tokenized source-width
+    // aggregate; the rate is one division of two exact integer sums,
+    // quant4-pinned. Oracle: captured pairs as VALUES + the tokenCount
+    // mirror.
+    "l109_novelty_token_mass" -> QuerySpec(
+      (s, dir) => {
+        val cross = lshPairs(s, dir)
+          .filter(col("id_a") % 13 % 2 =!= col("id_b") % 13 % 2)
+        val newDup = cross.select(
+            when(col("id_a") % 13 % 2 === 1, col("id_a"))
+              .otherwise(col("id_b")).as("id"))
+          .distinct()
+          .withColumn("dup", lit(1L))
+        Tables(s, dir, "documents")
+          .filter(col("doc_id") % 13 % 2 === 1)
+          .select(col("doc_id").as("id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens"))
+          .join(newDup, Seq("id"), "left_outer")
+          .groupBy(col("source"))
+          .agg(sum(col("n_tokens")).as("new_tokens"),
+            sum(when(col("dup").isNotNull, col("n_tokens"))
+              .otherwise(lit(0L))).as("dup_tokens"))
+          .select(col("source"), col("new_tokens"), col("dup_tokens"),
+            TextAnalysis.quant4(
+              (col("new_tokens") - col("dup_tokens")).cast("double") /
+                col("new_tokens").cast("double"))
+              .as("novel_token_rate"))
+          .orderBy(col("source"))
+      }, None, Some(dir => l109Sql(dir))),
+
     // Right-to-be-forgotten KEEPER RECOMPUTE (l106) — what a deletion
     // request does to the dedup layer: when a cluster's KEEPER is
     // deleted (the deletion relation here is the full-corpus keeper of
@@ -4209,6 +4246,44 @@ object LlmQueries {
           .orderBy(col("query_id"), col("rank"))
       }, None, Some(dir => s17Sql(dir))),
 
+    // IVF segment LIFECYCLE (s20) — the maintenance LOOP composed:
+    // two independently-trained segments MERGE under the primary's
+    // centroids (s18's op), the merged store then tombstone-COMPACTS
+    // (s19's op), and the query runs against the survivor store — one
+    // entry proving merge ∘ delete ≡ an index built over (union minus
+    // tombstones) under the primary's centroids, which is what lets a
+    // store interleave compactions and deletions in any order without
+    // drift. Shares s18's segment/merged stores (same paths, same
+    // lock) so the composition adds only the compaction rewrite.
+    "s20_ivf_lifecycle" -> QuerySpec(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val ea = e.filter(col("vec_id") % 2 === 0)
+        val eb = e.filter(col("vec_id") % 2 === 1)
+        val centsA = Similarity.fitIvfCentroids(ea)
+        val centsB = Similarity.fitIvfCentroids(eb)
+        s20CentroidsByDir(dir) = centsA
+        val pa = s18IndexPath(dir, centsA, "prim")
+        val pb = s18IndexPath(dir, centsB, "sec")
+        val pm = s18IndexPath(dir, centsA, "merged")
+        val pl = s18IndexPath(dir, centsA, "live")
+        s18BuildLock.synchronized {
+          if (!new java.io.File(pm, "_SUCCESS").isFile) {
+            Similarity.writeIvfIndex(ea, centsA, pa)
+            Similarity.writeIvfIndex(eb, centsB, pb)
+            Similarity.mergeIvfIndex(s, pa, pb, centsA, pm)
+          }
+          if (!new java.io.File(pl, "_SUCCESS").isFile)
+            Similarity.compactIvfIndex(s, pm,
+              e.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
+              pl)
+        }
+        Similarity.queryIvfIndex(pl, centsA,
+            e.filter(col("vec_id") < 5 && col("vec_id") % 10 =!= 3),
+            k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      }, None, Some(dir => s20Sql(dir))),
+
     // IVF tombstone COMPACTION (s19) — the DELETE half of index
     // maintenance beside s18's merge half: right-to-be-forgotten /
     // takedown requests arrive as an id relation (here vec_id % 10 =
@@ -7519,6 +7594,40 @@ object LlmQueries {
        |GROUP BY nd.source ORDER BY nd.source""".stripMargin
   }
 
+  /** l109 oracle: l107's captured-pairs derivation with the tokenCount
+    * mirror — token mass per source, split novel vs cross-snapshot dup.
+    */
+  private def l109Sql(dir: String): String = {
+    val df = synchronized {
+      pairsCache.get(dir) match {
+        case Some((owner, df)) if !owner.sparkContext.isStopped => df
+        case _ => sys.error(s"l02/l109 never ran for $dir — no pairs")
+      }
+    }
+    val pairs = df.select(col("id_a"), col("id_b")).collect()
+      .map(r => s"(${r.getLong(0)}::BIGINT,${r.getLong(1)}::BIGINT)")
+    require(pairs.nonEmpty, "no near-dup pairs — VALUES would be empty")
+    s"""WITH pr(id_a, id_b) AS (
+       |  SELECT * FROM (VALUES ${pairs.mkString(", ")}) t(id_a, id_b)),
+       |ndup AS (SELECT DISTINCT
+       |    CASE WHEN (id_a % 13) % 2 = 1 THEN id_a ELSE id_b END AS id
+       |  FROM pr WHERE (id_a % 13) % 2 <> (id_b % 13) % 2),
+       |nd AS (SELECT doc_id AS id, source, len(list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    x -> length(x) > 0))::BIGINT AS n_tokens
+       |  FROM documents WHERE (doc_id % 13) % 2 = 1)
+       |SELECT nd.source, SUM(nd.n_tokens)::BIGINT AS new_tokens,
+       |  COALESCE(SUM(nd.n_tokens) FILTER (WHERE ndup.id IS NOT NULL),
+       |    0)::BIGINT AS dup_tokens,
+       |  floor((SUM(nd.n_tokens) -
+       |      COALESCE(SUM(nd.n_tokens)
+       |        FILTER (WHERE ndup.id IS NOT NULL), 0))::DOUBLE
+       |    / SUM(nd.n_tokens)::DOUBLE * 10000.0 + 0.5) / 10000.0
+       |    AS novel_token_rate
+       |FROM nd LEFT JOIN ndup USING (id)
+       |GROUP BY nd.source ORDER BY nd.source""".stripMargin
+  }
+
   /** l106 oracle: the shared components + token counts; full-set and
     * surviving-set keepers both as ROW_NUMBER over
     * (n_tokens DESC, id ASC); the deletion relation re-derived as the
@@ -7589,6 +7698,8 @@ object LlmQueries {
   private val s19CentroidsByDir = scala.collection.concurrent.TrieMap[
     String, Array[Array[Double]]]()
   private val s19BuildLock = new Object
+  private val s20CentroidsByDir = scala.collection.concurrent.TrieMap[
+    String, Array[Array[Double]]]()
   private def s18IndexPath(dir: String, cents: Array[Array[Double]],
                            role: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
@@ -8160,6 +8271,22 @@ object LlmQueries {
   private def s19Sql(dir: String): String = {
     val cents = s19CentroidsByDir.getOrElse(dir,
       sys.error(s"s19 never ran for $dir — no centroids captured"))
+    val centVals = cents.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      s"($i, ${sqlArr(c)}, $c2::DOUBLE)"
+    }.mkString(", ")
+    ivfSql("(cell, c, c2)", centVals,
+      "list_inner_product(e, c) * 2.0 - c2",
+      basePred = " WHERE vec_id % 10 <> 3")
+  }
+
+  /** s20 oracle: merge ∘ delete ≡ an index over (union minus
+    * tombstones) under the primary's centroids — the s18 SQL shape
+    * with the tombstone predicate on the base relation.
+    */
+  private def s20Sql(dir: String): String = {
+    val cents = s20CentroidsByDir.getOrElse(dir,
+      sys.error(s"s20 never ran for $dir — no centroids captured"))
     val centVals = cents.zipWithIndex.map { case (c, i) =>
       val c2 = c.map(x => x * x).sum
       s"($i, ${sqlArr(c)}, $c2::DOUBLE)"
