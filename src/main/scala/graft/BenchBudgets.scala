@@ -238,6 +238,10 @@ object BenchBudgets {
     // l108 pinned from target/bench_r18c_idle4.json (207 entries,
     // 134.8 s, cal 0.4654, zero flags/spikes/errors)
     "l108_ids_scale_stress" -> 8.4476,
+    // s20/l109 pinned from target/bench_r18c_idle5.json (209 entries,
+    // 122.7 s, cal 0.4719, zero flags/spikes/errors)
+    "s20_ivf_lifecycle" -> 1.5315,
+    "l109_novelty_token_mass" -> 0.1428,
     "m01_media_features" -> 0.2213,
     "m02_frame_sample" -> 0.0812,
     "m03_media_resize" -> 0.0864,
