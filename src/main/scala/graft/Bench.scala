@@ -64,9 +64,54 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Per-RUN memory/IO load probe — the spin probe's missing sense
+    * (r18 VERDICT #3): the driver's l31–l33/m09 window had every wall
+    * uniformly 3–11x with IDLE adjacent spin probes, because a pure-ALU
+    * register loop cannot see IO or memory-bandwidth contention — the
+    * tripwire confidently mis-flagged three entries, and the same
+    * blindness would excuse a real IO regression's absence. Fixed work,
+    * two legs: (a) a read-modify-write sweep over a 128 MiB long array
+    * — far past L3, so each pass is DRAM traffic and inflates under a
+    * co-tenant memory hog; (b) a re-read of the KB-sized nation.parquet
+    * — page-cache/IO latency, inflating under disk pressure that leaves
+    * the ALU and DRAM legs idle. ~35 ms idle; the budget tripwire takes
+    * the MAX of the spin and mem probe ratios, so a uniform-elevation
+    * contention window reads as an excused spike instead of N flags.
+    */
+  private val memBuf = new Array[Long](1 << 24) // 128 MiB
+  private def memProbe(sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    var pass = 0
+    while (pass < 2) {
+      var i = 0
+      while (i < memBuf.length) {
+        memBuf(i) = memBuf(i) * 0x9E3779B97F4A7C15L + i
+        i += 1
+      }
+      pass += 1
+    }
+    val bytes =
+      try java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$sfDir/nation.parquet"))
+      catch { case _: java.io.IOException => Array.emptyByteArray }
+    probeSink ^= memBuf(((t0 & 0x7FFFFF) | 1).toInt) + bytes.length
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // probe-only mode: print idle medians of both per-run probes (for
+    // pinning RefLoadProbe/RefMemProbe) without touching Spark
+    if (sys.env.contains("SPARK_GRAFT_PROBE_ONLY")) {
+      spin(1L, 1L << 20); memProbe(sfDir) // JIT + first-touch page faults
+      val ls = (1 to 15).map(_ => loadProbe()).sorted
+      val ms = (1 to 15).map(_ => memProbe(sfDir)).sorted
+      println(f"""{"load_probe_median":${ls(7)}%.4f,"load_probe_min":${
+        ls.head}%.4f,"mem_probe_median":${ms(7)}%.4f,"mem_probe_min":${
+        ms.head}%.4f}""")
+      return
+    }
     val spark = Sessions.withDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -111,6 +156,7 @@ object Bench {
     // have been a cold-cost artifact).
     val runsPer = 3
     spin(1L, 1L << 20) // JIT the probe loop before the first entry
+    memProbe(sfDir) // JIT + fault in the probe buffer's 128 MiB once
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         // a throwing query must be FLAGGED, not averaged in as a
@@ -118,7 +164,17 @@ object Bench {
         var err: Option[String] = None
         def once(): Double = {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() }
+          try {
+            val df = fn(spark, sfDir)
+            df.count()
+            // release any ownership-tagged localCheckpoints the entry's
+            // plan created (packIdStream / epochAllocation discipline):
+            // without this, every run of every sweep parks another
+            // non-recomputable generation until the lazy ContextCleaner
+            // gets to it — the r16 l43 slow-creep mode
+            org.apache.spark.sql.graftshim.Bridge
+              .unpersistOwnedPlanCheckpoints(df)
+          }
           catch { case e: Throwable =>
             err = Some(s"${e.getClass.getSimpleName}: " +
               Option(e.getMessage).getOrElse("").take(120))
@@ -134,21 +190,26 @@ object Bench {
         // (a co-tenant burst inflates SOME runs; a real plan regression
         // inflates ALL of them).
         val samples = (1 to runsPer).map { _ =>
-          val lp = loadProbe(); (once(), lp)
+          val lp = loadProbe(); val mp = memProbe(sfDir)
+          (once(), lp, mp)
         }
         val times = samples.map(_._1).sorted
         val median = times(runsPer / 2)
         val load = samples.map(_._2).max
-        (name, median, times.last - times.head, err, cold, load, samples)
+        val memLoad = samples.map(_._3).max
+        (name, median, times.last - times.head, err, cold, load, memLoad,
+          samples)
     }
-    val qs = results.map { case (k, m, _, _, _, _, _) =>
+    val qs = results.map { case (k, m, _, _, _, _, _, _) =>
       s"\"" + k + "\":" + m }.mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, sp, _, _, _, _) =>
+    val spreads = results.map { case (k, _, sp, _, _, _, _, _) =>
       s"\"" + k + "\":" + sp }.mkString("{", ",", "}")
-    val colds = results.map { case (k, _, _, _, c, _, _) =>
+    val colds = results.map { case (k, _, _, _, c, _, _, _) =>
       s"\"" + k + "\":" + f"$c%.4f" }.mkString("{", ",", "}")
-    val loads = results.map { case (k, _, _, _, _, ld, _) =>
+    val loads = results.map { case (k, _, _, _, _, ld, _, _) =>
       s"\"" + k + "\":" + f"$ld%.4f" }.mkString("{", ",", "}")
+    val memloads = results.map { case (k, _, _, _, _, _, mld, _) =>
+      s"\"" + k + "\":" + f"$mld%.4f" }.mkString("{", ",", "}")
     // Exception messages routinely contain newlines (AnalysisException
     // embeds plan fragments); control chars must be \u-escaped or the
     // one-line JSON contract breaks exactly when a query fails.
@@ -158,7 +219,7 @@ object Bench {
       case c if c < ' '  => f"\\u${c.toInt}%04x"
       case c             => c.toString
     }
-    val errs = results.collect { case (k, _, _, Some(e), _, _, _) =>
+    val errs = results.collect { case (k, _, _, Some(e), _, _, _, _) =>
       "\"" + k + "\":\"" + jstr(e) + "\"" }.mkString("{", ",", "}")
     val calPost = calibrationProbe(cpus.toInt)
     val calMean = (calPre + calPost) / 2.0
@@ -176,8 +237,12 @@ object Bench {
     // Telemetry only — rc stays 0 unless a query actually threw.
     val calScale = math.max(1.0,
       calMean / graft.BenchBudgets.RefCalibration)
-    def runScale(ld: Double): Double = math.max(calScale,
-      ld / graft.BenchBudgets.RefLoadProbe)
+    // each run's allowance widens by the WORST contention any probe saw
+    // next to it — ALU spin (CPU steal) or memory-sweep + file re-read
+    // (DRAM bandwidth / IO), the r18 blind spot
+    def runScale(ld: Double, mld: Double): Double = math.max(calScale,
+      math.max(ld / graft.BenchBudgets.RefLoadProbe,
+        mld / graft.BenchBudgets.RefMemProbe))
     // Absolute floor (r17 VERDICT #1): a sub-100 ms pin's 2x band is
     // narrower than ordinary run-context noise (scheduler wake-ups,
     // page-cache state — ±50 ms on a 33 ms wall), which produced one
@@ -188,14 +253,14 @@ object Bench {
     // over pin on every run) to flag, while entries whose pin dwarfs
     // the floor keep the pure 2x tripwire unchanged.
     val exceeded = results.collect {
-      case (k, m, _, None, _, _, samples)
+      case (k, m, _, None, _, _, _, samples)
           if graft.BenchBudgets.pinnedMedians.get(k)
             .exists { p =>
               val allowance = math.max(
                 p * graft.BenchBudgets.Factor,
                 p + graft.BenchBudgets.AbsFloorSec)
-              samples.forall { case (t, lp) =>
-                t > allowance * runScale(lp) } } =>
+              samples.forall { case (t, lp, mp) =>
+                t > allowance * runScale(lp, mp) } } =>
         k -> m
     }
     val budgetJson = exceeded.map { case (k, m) =>
@@ -203,22 +268,29 @@ object Bench {
     // load spikes: entries where ANY run's adjacent probe ran > 2x the
     // pinned idle probe — mid-run contention, named per entry
     val loadSpikes = results.collect {
-      case (k, _, _, _, _, ld, _)
+      case (k, _, _, _, _, ld, _, _)
           if ld > 2.0 * graft.BenchBudgets.RefLoadProbe => k
     }
     val loadSpikesJson =
       loadSpikes.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // mem/IO spikes: the contention class the spin probe can't see
+    val memSpikes = results.collect {
+      case (k, _, _, _, _, _, mld, _)
+          if mld > 2.0 * graft.BenchBudgets.RefMemProbe => k
+    }
+    val memSpikesJson =
+      memSpikes.map("\"" + _ + "\"").mkString("[", ",", "]")
     val budget =
-      s""""budget_exceeded":$budgetJson,"budget_scale":${f"$calScale%.4f"},"load_spikes":$loadSpikesJson"""
+      s""""budget_exceeded":$budgetJson,"budget_scale":${f"$calScale%.4f"},"load_spikes":$loadSpikesJson,"mem_spikes":$memSpikesJson"""
     // cold-start outliers: entries whose warmup run cost > 2x their
     // steady-state median — the entries a cold-context harness would have
     // flagged before the per-entry warmup existed
     val coldOutliers = results.collect {
-      case (k, m, _, None, c, _, _) if m > 0 && c > 2.0 * m => k
+      case (k, m, _, None, c, _, _, _) if m > 0 && c > 2.0 * m => k
     }
     val coldOutliersJson =
       coldOutliers.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runsPer,"warmup_runs_per_query":1,"aggregation":"median",$cal,$budget,"cold_outliers":$coldOutliersJson,"errors":$errs,"queries":$qs,"spread":$spreads,"cold":$colds,"load":$loads,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runsPer,"warmup_runs_per_query":1,"aggregation":"median",$cal,$budget,"cold_outliers":$coldOutliersJson,"errors":$errs,"queries":$qs,"spread":$spreads,"cold":$colds,"load":$loads,"memload":$memloads,"sf":"$sfDir"}"""
     println(fullLine)
     // Per-run (wall, adjacent-probe) pairs for EVERY entry, sidecar-only
     // (r13 VERDICT #1): a budget flag's burst-vs-real adjudication needs
@@ -227,9 +299,9 @@ object Bench {
     // while (0.9, 4.1, 2.9) with one hot probe reads as contention that
     // outlived its burst. ~10 KB at 159 entries: file-sized, not
     // stdout-tail-sized, so it joins the sidecar line only.
-    val runsJson = results.map { case (k, _, _, _, _, _, samples) =>
-      "\"" + k + "\":" + samples.map { case (t, lp) =>
-        f"[$t%.4f,$lp%.4f]" }.mkString("[", ",", "]")
+    val runsJson = results.map { case (k, _, _, _, _, _, _, samples) =>
+      "\"" + k + "\":" + samples.map { case (t, lp, mp) =>
+        f"[$t%.4f,$lp%.4f,$mp%.4f]" }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val sidecarLine = fullLine.dropRight(1) + s""","runs":$runsJson}"""
     // Compact summary: a consumer that keeps only the tail of stdout (or
@@ -237,7 +309,7 @@ object Bench {
     // captured only the trailing `spread` map and medians were misread as
     // spreads. Medians are rounded to 4dp to keep this line small.
     val maxMedian = results.map(_._2).maxOption.getOrElse(0.0)
-    val qs4 = results.map { case (k, m, _, _, _, _, _) =>
+    val qs4 = results.map { case (k, m, _, _, _, _, _, _) =>
       "\"" + k + "\":" + f"$m%.4f" }.mkString("{", ",", "}")
     println(s"""{"metric":"bench_summary","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},"max_median":${f"$maxMedian%.4f"},"aggregation":"median",$cal,$budget,"cold_outliers":$coldOutliersJson,"errors":$errs,"queries":$qs4}""")
     // The registry outgrew tail-capture: at 94 entries even the 4dp
@@ -258,12 +330,13 @@ object Bench {
         (sidecarLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: java.io.IOException =>
       System.err.println(s"[bench] sidecar write failed: $e") }
-    val errNames = results.collect { case (k, _, _, Some(_), _, _, _) => k }
+    val errNames = results.collect {
+      case (k, _, _, Some(_), _, _, _, _) => k }
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val top10 = results.sortBy(-_._2).take(10).map {
-      case (k, m, _, _, _, _, _) =>
+      case (k, m, _, _, _, _, _, _) =>
         "\"" + k + "\":" + f"$m%.4f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"bench_scalars","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},"max_median":${f"$maxMedian%.4f"},"aggregation":"median",$cal,"n_budget_exceeded":${exceeded.size},"n_load_spikes":${loadSpikes.size},"n_cold_outliers":${coldOutliers.size},"n_errors":${results.count(_._4.isDefined)},"error_queries":$errNames,"slowest":$top10,"sidecar":"${jstr(sidecar)}","sf":"${jstr(sfDir)}"}""")
+    println(s"""{"metric":"bench_scalars","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},"max_median":${f"$maxMedian%.4f"},"aggregation":"median",$cal,"n_budget_exceeded":${exceeded.size},"n_load_spikes":${loadSpikes.size},"n_mem_spikes":${memSpikes.size},"n_cold_outliers":${coldOutliers.size},"n_errors":${results.count(_._4.isDefined)},"error_queries":$errNames,"slowest":$top10,"sidecar":"${jstr(sidecar)}","sf":"${jstr(sfDir)}"}""")
     spark.stop()
     // a broken query must not ride a green exit status: the errors map is
     // easy to miss in a 1.4 KB JSON line, rc != 0 is not

@@ -36,6 +36,17 @@ object BenchBudgets {
     */
   val RefLoadProbe: Double = 0.0573
 
+  /** Idle-host wall of Bench's per-RUN memory/IO probe (two
+    * read-modify-write passes over a 128 MiB long array + a re-read of
+    * the KB-sized nation.parquet; see Bench.memProbe) — pinned r19 from
+    * SPARK_GRAFT_PROBE_ONLY idle medians on the build host, to be
+    * min-refreshed from sweep sidecars like RefLoadProbe. The spin
+    * probe is pure ALU and blind to DRAM-bandwidth/IO contention (the
+    * r18 l31–l33/m09 mis-flag window); the tripwire scales each run's
+    * allowance by the MAX of the two probe ratios.
+    */
+  val RefMemProbe: Double = 0.0267
+
   val Factor: Double = 2.0
 
   /** Absolute floor on the budget allowance: an entry flags only when
@@ -231,7 +242,17 @@ object BenchBudgets {
     "l106_rtbf_keeper_recompute" -> 0.6496,
     "l107_snapshot_novelty" -> 0.1334,
     "m16_paired_archive" -> 0.8134,
-    "st24_pair_dedup_stream" -> 1.3029,
+    // st24 re-pinned r19 (the l88 driver-band precedent, VERDICT r18
+    // #1): the original 1.3029 was the min of the instance-cold idle1
+    // sweep and sat 1.3–2.1x under every reproducible reading — driver
+    // r18 2.687 (runs 3.58/2.35/2.69, probes idle), judge same-machine
+    // re-run 2.783 (2.57/2.78/3.32, probes idle), builder's own later
+    // sweeps 1.66–1.72. The state-accumulation hypothesis (walls rising
+    // within one session) was tested and DISPROVEN before re-pinning:
+    // 10 back-to-back st24 runs in one JVM hold flat at 2.2–3.3 s with
+    // zero temp-checkpoint/state-dir growth (r19 session; NOTES.md).
+    // Pin = min of the two band medians (driver 2.687 / judge 2.783).
+    "st24_pair_dedup_stream" -> 2.6870,
     "st25_deletion_gate_stream" -> 0.3751,
     "s18_ivf_merge" -> 1.8720,
     "s19_ivf_delete" -> 0.4119,

@@ -19,7 +19,17 @@ object TimedBench {
       .foreach { case (name, fn) =>
       for (i <- 1 to repeat) {
         val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count() catch { case e: Throwable => System.err.println(s"$name ERR ${e.getMessage.take(100)}"); -1L }
+        // count + release owned checkpoints, mirroring Bench.once() —
+        // repeated runs must not accumulate superseded checkpoint
+        // generations (that would make TimedBench measure a different
+        // storage regime than the Bench it exists to reproduce)
+        val n = try {
+          val df = fn(spark, sfDir)
+          val c = df.count()
+          org.apache.spark.sql.graftshim.Bridge
+            .unpersistOwnedPlanCheckpoints(df)
+          c
+        } catch { case e: Throwable => System.err.println(s"$name ERR ${e.getMessage.take(100)}"); -1L }
         System.err.println(f"TIMING $name%-24s run$i ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
       }
     }

@@ -30,8 +30,14 @@ object Verify {
     val status = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val err: Option[String] =
         try {
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          val df = fn(spark, sfDir)
+          df.coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
+          // the dump is the plan's last execution — release any
+          // ownership-tagged localCheckpoints it pinned (packIdStream /
+          // epochAllocation discipline; harmless no-op otherwise)
+          org.apache.spark.sql.graftshim.Bridge
+            .unpersistOwnedPlanCheckpoints(df)
           None
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

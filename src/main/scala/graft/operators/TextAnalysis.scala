@@ -3724,10 +3724,15 @@ object TextAnalysis {
                       textCol: String = "text"): DataFrame = {
     // materialized ONCE (localCheckpoint): the totals aggregate and the
     // final cross join both consume it, and Spark does not dedupe
-    // common subplans — uncached, the corpus would tokenize twice
-    val counts = docs.groupBy(col(sourceCol).as("source"))
-      .agg(sum(tokenCount(col(textCol)).cast("long")).as("avail_tokens"))
-      .localCheckpoint()
+    // common subplans — uncached, the corpus would tokenize twice.
+    // Ownership-tagged (the packIdStream discipline) so the harness can
+    // release this source-width pin the moment the report materializes,
+    // instead of leaving each bench sweep's generation to the lazy
+    // ContextCleaner.
+    val counts = org.apache.spark.sql.graftshim.Bridge.markOwnedCheckpoint(
+      docs.groupBy(col(sourceCol).as("source"))
+        .agg(sum(tokenCount(col(textCol)).cast("long")).as("avail_tokens"))
+        .localCheckpoint())
     val sq = quant(sqrt(col("avail_tokens").cast("double")), 6)
     val totals = counts.agg(
       sum(sq.cast("decimal(18,6)")).cast("double").as("z"),
@@ -3759,7 +3764,9 @@ object TextAnalysis {
     *
     * Shape at scale: one token-width conditional-count aggregate (ONE
     * corpus pass — parity resolved by `count(when(...))` inside the
-    * same agg), one doc-width totals aggregate, a scalar cross join,
+    * same agg), totals as a VOCABULARY-width aggregate over those
+    * counts (r19: the second corpus scan deleted — na = Σ cnt_a by
+    * definition), a scalar cross join,
     * and a TakeOrderedAndProject top-k — never a global sort. All
     * reported values quantize to the 6-decimal grid, and the (drift
     * DESC, token) order is total, so the top-k cut itself hashes.
@@ -3771,14 +3778,33 @@ object TextAnalysis {
     val g = toks.groupBy(col("token"))
       .agg(count(when(col("in_a"), lit(1))).as("cnt_a"),
         count(when(!col("in_a"), lit(1))).as("cnt_b"))
-    // totals from a DOC-width aggregate (cheap second scan) rather than
-    // a second pass over the token-width relation
-    val t = docs.agg(
-      sum(when(inA, size(tokens(col(textCol)))).otherwise(lit(0)))
-        .cast("double").as("na"),
-      sum(when(!inA, size(tokens(col(textCol)))).otherwise(lit(0)))
-        .cast("double").as("nb"))
-    val pa = col("cnt_a").cast("double") / col("na")
+    driftReport(g, topK)
+  }
+
+  /** The drift projection over an ALREADY-AGGREGATED token-count
+    * relation (token, cnt_a, cnt_b) — one copy shared by [[tokenDrift]]
+    * (batch) and its streaming twin (st27: the counts arrive from a
+    * complete-mode streaming aggregate, the division is this batch
+    * post-step — Spark disallows chaining a second streaming agg). The
+    * totals come from the count relation ITSELF (na = Σ cnt_a — a
+    * vocabulary-width aggregate, never a second corpus scan; this is
+    * also exactly how the DuckDB oracle derives them, so the two
+    * engines share one arithmetic path).
+    */
+  def driftReport(g: DataFrame, topK: Int = 100): DataFrame = {
+    val t = g.agg(sum(col("cnt_a")).cast("double").as("na"),
+      sum(col("cnt_b")).cast("double").as("nb"))
+    // a split that leaves one side with ZERO tokens must fail LOUDLY
+    // (the fimTransform stance): x/0.0 is silent Infinity/NaN, which
+    // would ride out as a poisoned p_a/p_b into the drift report (and
+    // diverge from any integer-exact oracle). The guard lives on pa
+    // alone — it checks BOTH totals and throws during projection, so
+    // one copy protects every output column of the row.
+    val pa = when(col("na") === 0d || col("nb") === 0d,
+        raise_error(lit("tokenDrift: one side of the inA split has zero " +
+          "tokens — both snapshots must be non-empty to compare " +
+          "distributions")).cast("double"))
+      .otherwise(col("cnt_a").cast("double") / col("na"))
     val pb = col("cnt_b").cast("double") / col("nb")
     g.crossJoin(t)
       .select(col("token"), col("cnt_a"), col("cnt_b"),

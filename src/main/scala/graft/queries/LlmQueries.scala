@@ -1520,30 +1520,7 @@ object LlmQueries {
       (s, dir) => TextAnalysis.tokenDrift(
         Tables(s, dir, "documents").select(col("doc_id"), col("text")),
         col("doc_id") % 2 === 0),
-      Some("""WITH toks AS (SELECT doc_id,
-             |    unnest(list_filter(
-             |      regexp_split_to_array(lower(trim(text)), '\s+'),
-             |      x -> length(x) > 0)) AS token
-             |  FROM documents),
-             |g AS (SELECT token,
-             |    (COUNT(*) FILTER (WHERE doc_id % 2 = 0))::BIGINT
-             |      AS cnt_a,
-             |    (COUNT(*) FILTER (WHERE doc_id % 2 = 1))::BIGINT
-             |      AS cnt_b
-             |  FROM toks GROUP BY token),
-             |t AS (SELECT SUM(cnt_a)::DOUBLE AS na,
-             |             SUM(cnt_b)::DOUBLE AS nb FROM g),
-             |d AS (SELECT token, cnt_a, cnt_b,
-             |    cnt_a::DOUBLE / t.na AS pa,
-             |    cnt_b::DOUBLE / t.nb AS pb
-             |  FROM g, t)
-             |SELECT token, cnt_a, cnt_b,
-             |  floor(pa * 1000000.0 + 0.5) / 1000000.0 AS p_a,
-             |  floor(pb * 1000000.0 + 0.5) / 1000000.0 AS p_b,
-             |  floor(abs(pa - pb) * 1000000.0 + 0.5) / 1000000.0
-             |    AS tv_drift
-             |FROM d
-             |ORDER BY tv_drift DESC, token LIMIT 100""".stripMargin)),
+      Some(l105Sql)),
 
     // Token-budget EPOCH ALLOCATION (l102) — the published-mixture-
     // table step (the Llama-1/GPT-3 "epochs over each source" column)
@@ -5162,12 +5139,87 @@ object LlmQueries {
           s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
         graft.sources.Warc.writeTypedRecords(
           mediaRecs.unionByName(metaRecs), out)
+        // the archive write above is the checkpoint's LAST consumer —
+        // release its storage eagerly (the packIdStream hygiene) so
+        // repeated bench sweeps don't pin superseded kept-pair frames
+        // until the lazy ContextCleaner runs
+        org.apache.spark.sql.graftshim.Bridge
+          .unpersistLocalCheckpoint(keptPairs)
         graft.sources.Warc.readRaw(s, out)
           .filter(col("rec_type") =!= "warcinfo")
           .select(col("rec_type"), col("url"),
             md5(col("payload")).as("payload_md5"), col("n_bytes"))
           .orderBy(col("rec_type"), col("url"))
       }, None, Some(dir => m16Sql("m15-mediamd5-40-v1", 40))),
+    // SHARDED paired-corpus archive (m17) — m16 rotated into
+    // size-targeted shards, the WebDataset-shard analog (production
+    // paired corpora ship fixed-size shards + a manifest, not one
+    // monolith): the same gate-surviving member set flows through
+    // Warc.assignShards (the l85 two-phase byte-offset fold — shard =
+    // running payload mass / target, a PURE function of the member
+    // set, spec-pinned identical under any input partitioning) and
+    // each shard is written whole by one task, rotating files on the
+    // boundary. The entry's output IS the manifest: per-shard member
+    // counts, payload mass, and a digest over the READ-BACK payload
+    // md5s in member order — so one hash spans gate → rotation →
+    // distributed write → archive bytes, and the DuckDB oracle
+    // re-derives the whole table from documents/embeddings arithmetic
+    // + the media golden alone.
+    "m17_sharded_archive" -> QuerySpec(
+      (s, dir) => {
+        val nImg = 40
+        ensureMediaMd5Golden(s, nImg)
+        // the m16 member assembly verbatim (one checkpointed gate
+        // chain feeding both member classes)
+        val keptPairs = Multimodal.pairEmbedGate(
+            TextAnalysis.extractImagePairs(
+              m14PagesOver(Tables(s, dir, "documents")
+                .filter(col("doc_id") % 4 === 1), nImg)),
+            m14ImgEmb(s, dir, nImg), m14TxtEmb(s, dir, nImg),
+            minScore = 0.9)
+          .filter(col("keep"))
+          .localCheckpoint()
+        val mediaRecs = mediaFixture(s, nImg)
+          .join(keptPairs.select(col("img_url").as("media_url"))
+            .distinct(), "media_url")
+          .select(lit("resource").as("rec_type"),
+            col("media_url").as("url"),
+            lit("2026-01-01T00:00:00Z").as("warc_date"),
+            col("content_type"),
+            col("data").as("payload"))
+        val metaRecs = keptPairs.select(
+          lit("metadata").as("rec_type"),
+          concat(col("src_url"), lit("#"), col("img_idx")).as("url"),
+          lit("2026-01-01T00:00:00Z").as("warc_date"),
+          lit("application/json").as("content_type"),
+          encode(concat(lit("{\"src_url\":\""), col("src_url"),
+            lit("\",\"img_idx\":"), col("img_idx"),
+            lit(",\"img_url\":\""), col("img_url"),
+            lit("\",\"text\":\""), col("text"), lit("\"}")), "UTF-8")
+            .as("payload"))
+        val out = "target/shardedarchive/" +
+          s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
+        graft.sources.Warc.writeShardedTypedRecords(
+          mediaRecs.unionByName(metaRecs), out, M17TargetBytes)
+        org.apache.spark.sql.graftshim.Bridge
+          .unpersistLocalCheckpoint(keptPairs)
+        graft.sources.Warc.readRaw(s, out)
+          .filter(col("rec_type") =!= "warcinfo")
+          .select(regexp_extract(col("file"),
+              "shard-(\\d+)\\.warc\\.gz", 1).cast("long").as("shard"),
+            col("rec_type"), col("url"),
+            md5(col("payload")).as("pmd5"), col("n_bytes"))
+          .groupBy(col("shard"))
+          .agg(
+            count(when(col("rec_type") === "resource", 1)).as("n_media"),
+            count(when(col("rec_type") === "metadata", 1)).as("n_meta"),
+            sum(col("n_bytes")).as("n_bytes"),
+            md5(concat_ws(",", transform(
+              array_sort(collect_list(struct(col("rec_type"), col("url"),
+                col("pmd5")))),
+              x => x.getField("pmd5")))).as("members_md5"))
+          .orderBy(col("shard"))
+      }, None, Some(dir => m17Sql("m15-mediamd5-40-v1", 40))),
   ) + m08Entry + m09Entry
 
   /** m13's oracle: per-stage pair counts chained as CTEs over the
@@ -5541,9 +5593,60 @@ object LlmQueries {
     * metadata md5s recomputed over the identical concat-built JSON
     * bytes — unioned in the engine's (rec_type, url) order.
     */
-  private def m16Sql(gname: String, nImg: Int): String = {
+  /** l105's oracle — ONE copy shared by the batch entry and its
+    * streaming twin st27 (the st12/q17 shared-constant convention: the
+    * streamed complete-mode counts + batch drift post-step must equal
+    * the batch operator on static input, enforced by sharing the
+    * oracle string, not by keeping two literals in sync). Note the
+    * totals CTE derives na/nb from the count relation — the same
+    * arithmetic path `TextAnalysis.driftReport` uses.
+    */
+  // a def, not a val: the registry map is built during object init,
+  // BEFORE a later-declared val would be assigned — a val here is
+  // silently null inside the map (the compiler warns; the driver would
+  // record a missing oracle)
+  private[queries] def l105Sql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(list_filter(
+      |      regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      x -> length(x) > 0)) AS token
+      |  FROM documents),
+      |g AS (SELECT token,
+      |    (COUNT(*) FILTER (WHERE doc_id % 2 = 0))::BIGINT
+      |      AS cnt_a,
+      |    (COUNT(*) FILTER (WHERE doc_id % 2 = 1))::BIGINT
+      |      AS cnt_b
+      |  FROM toks GROUP BY token),
+      |t AS (SELECT SUM(cnt_a)::DOUBLE AS na,
+      |             SUM(cnt_b)::DOUBLE AS nb FROM g),
+      |d AS (SELECT token, cnt_a, cnt_b,
+      |    cnt_a::DOUBLE / t.na AS pa,
+      |    cnt_b::DOUBLE / t.nb AS pb
+      |  FROM g, t)
+      |SELECT token, cnt_a, cnt_b,
+      |  floor(pa * 1000000.0 + 0.5) / 1000000.0 AS p_a,
+      |  floor(pb * 1000000.0 + 0.5) / 1000000.0 AS p_b,
+      |  floor(abs(pa - pb) * 1000000.0 + 0.5) / 1000000.0
+      |    AS tv_drift
+      |FROM d
+      |ORDER BY tv_drift DESC, token LIMIT 100""".stripMargin
+
+  /** m17's shard-rotation target: small enough that the sf0.001 fixture
+    * already produces several shards (the rotation path is exercised at
+    * every gate scale), large enough that media members don't each
+    * claim a shard. Shared by the entry and its oracle — the assignment
+    * arithmetic must agree bit-for-bit.
+    */
+  private val M17TargetBytes: Long = 8192L
+
+  /** The m16 member-relation CTE chain (kept pairs → media + metadata
+    * members with payload_md5/n_bytes) — ONE copy shared by the m16 and
+    * m17 oracles (the st12/q17 shared-constant convention: m17 is m16's
+    * member set under shard rotation, enforced by construction).
+    */
+  private def m16MemberCtes(gname: String, nImg: Int): String = {
     val base = MultimodalGolden.goldenBase(gname)
-    s"""WITH docs AS (SELECT doc_id,
+    s"""docs AS (SELECT doc_id,
        |    CASE WHEN doc_id % 10 = 7 THEN 3
        |         ELSE doc_id % $nImg END AS ida,
        |    (doc_id * 3 + 1) % $nImg AS idb,
@@ -5586,12 +5689,44 @@ object LlmQueries {
        |meta AS (SELECT 'metadata' AS rec_type, url, md5(js)
        |      AS payload_md5,
        |    strlen(js)::BIGINT AS n_bytes
-       |  FROM meta0)
+       |  FROM meta0)""".stripMargin
+  }
+
+  private def m16Sql(gname: String, nImg: Int): String =
+    s"""WITH ${m16MemberCtes(gname, nImg)}
        |SELECT rec_type, url, payload_md5, n_bytes FROM media
        |UNION ALL
        |SELECT rec_type, url, payload_md5, n_bytes FROM meta
        |ORDER BY rec_type, url""".stripMargin
-  }
+
+  /** m17's oracle: the m16 member relation re-sharded by the SAME
+    * offset arithmetic the engine's assignShards computes — a running
+    * payload-byte prefix sum over the total (rec_type, url) order,
+    * integer-divided by the target — then per-shard counts/mass and a
+    * digest over the members' md5s in member order. One hash therefore
+    * spans gate → member assembly → shard rotation → distributed write
+    * → read-back bytes.
+    */
+  private def m17Sql(gname: String, nImg: Int): String =
+    s"""WITH ${m16MemberCtes(gname, nImg)},
+       |mem AS (SELECT rec_type, url, payload_md5, n_bytes FROM media
+       |        UNION ALL
+       |        SELECT rec_type, url, payload_md5, n_bytes FROM meta),
+       |o AS (SELECT *, COALESCE(SUM(n_bytes) OVER (
+       |      ORDER BY rec_type, url
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    0)::BIGINT AS off
+       |  FROM mem),
+       |sh AS (SELECT *, off // $M17TargetBytes AS shard FROM o)
+       |SELECT shard,
+       |  SUM(CASE WHEN rec_type = 'resource' THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_media,
+       |  SUM(CASE WHEN rec_type = 'metadata' THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_meta,
+       |  SUM(n_bytes)::BIGINT AS n_bytes,
+       |  md5(string_agg(payload_md5, ',' ORDER BY rec_type, url))
+       |    AS members_md5
+       |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
 
   /** m11's oracle: pairs, features, and the (phash, text) dedup all
     * re-derived in DuckDB from documents arithmetic + the raw-pixel

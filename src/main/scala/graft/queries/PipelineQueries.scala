@@ -203,7 +203,9 @@ object PipelineQueries {
 
   /** The shared 1x-vs-10x measurement scaffold (one copy of the noise
     * protocol — p13 and l21 must not drift apart): heap is probed post-GC
-    * around the 10x run, ratio computed against a 50 ms floor, and the
+    * around the 10x run, ratio computed against the SAME 0.25 s
+    * denominator floor the subquadratic gate uses (a smaller floor lets a
+    * warm-cache t1 fabricate a scary ratio the gate ignores), and the
     * result printed as a parseable `[tag]` stderr line. `timed1x` /
     * `timed10x` return (rows, seconds) however the caller defines its
     * timed region. The 1x run goes first so its codegen/scan warmup can
@@ -651,6 +653,33 @@ object PipelineQueries {
       Some("""SELECT 'https://example.org/doc/' || doc_id AS url,
              |  TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id) AS ts,
              |  text
+             |FROM documents ORDER BY url""".stripMargin)),
+
+    // WARC through the DataSource V2 READ PATH (p18 — the r18 VERDICT
+    // stretch item): the same fixture archive p17 round-trips and st13
+    // streams, scanned via `spark.read.format(WarcDataSource)` — one
+    // split per archive file (gzip members have no random access; the
+    // file is the smallest decodable unit, and m17's size-targeted
+    // shard rotation is precisely what makes that a PARALLEL layout),
+    // the rec_type predicate pushed into the reader (non-matching
+    // members are skipped before a row is materialized) and the
+    // payload column carried only because this entry hashes it —
+    // PlanSpec pins the url-only projection never materializes
+    // payloads at all. Oracle: the p17/st13 shared corpus derivation —
+    // md5(payload) of a conversion record IS md5(text).
+    "p18_warc_dsv2" -> QuerySpec(
+      (s, dir) => {
+        val base = StreamingQueries.ensureWarcFixture(s, dir)
+        s.read.format("graft.spark.datasource.WarcDataSource")
+          .load(base)
+          .filter(col("rec_type") === "conversion")
+          .select(col("url"), md5(col("payload")).as("digest"),
+            col("n_bytes"))
+          .orderBy(col("url"))
+      },
+      Some("""SELECT 'https://example.org/doc/' || doc_id AS url,
+             |  md5(text) AS digest,
+             |  octet_length(encode(text))::BIGINT AS n_bytes
              |FROM documents ORDER BY url""".stripMargin)),
 
     // Batch as-of join: the flagship lookup as a set operation (one pass

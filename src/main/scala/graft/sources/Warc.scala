@@ -853,6 +853,152 @@ object Warc {
       }
   }
 
+  /** Deterministic SIZE-TARGETED shard assignment over typed records —
+    * the WebDataset-style rotation rule as arithmetic instead of writer
+    * state: records are totally ordered by (rec_type, url) (unique
+    * across a paired corpus's member classes by construction), each
+    * record's byte offset into that ordered stream is computed by the
+    * packIdStream two-phase fold (per-partition payload sums → driver
+    * offsets map, partition-count-sized — never a global window), and
+    * `shard_id = offset_before / targetBytes` — so a shard closes when
+    * the running payload mass passes the target (shard sizes land in
+    * [target, target + max_record)), and the assignment is a PURE
+    * function of the record set: any input partitioning, any arrival
+    * order, any cluster size produces byte-identical shards (spec-
+    * pinned under repartition). Input/output schema = writeTypedRecords'
+    * plus `shard_id`.
+    */
+  def assignShards(df: DataFrame, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val typed = org.apache.spark.sql.graftshim.Bridge.markOwnedCheckpoint(
+      df.select(col("rec_type").cast("string"), col("url").cast("string"),
+          col("warc_date").cast("string"),
+          col("content_type").cast("string"),
+          col("payload").cast("binary"))
+        .repartitionByRange(n, col("rec_type"), col("url"))
+        .sortWithinPartitions(col("rec_type"), col("url"))
+        .localCheckpoint()) // pin the sampled ranges across both passes
+      .as[(String, String, String, String, Array[Byte])]
+    val perPart: Array[(Int, Long)] = typed.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var s = 0L
+      it.foreach(s += _._5.length)
+      Iterator.single((pid, s))
+    }.collect()
+    var acc = 0L
+    val offMap = perPart.sortBy(_._1).map { case (pid, s) =>
+      val base = pid -> acc; acc += s; base
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offMap)
+    typed.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var off = bc.value.getOrElse(pid, 0L)
+      it.map { case (rt, url, date, ct, payload) =>
+        val shard = off / targetBytes
+        off += payload.length
+        (rt, url, date, ct, payload, shard)
+      }
+    }.toDF("rec_type", "url", "warc_date", "content_type", "payload",
+      "shard_id")
+  }
+
+  /** [[writeTypedRecords]] with size-targeted shard ROTATION: the
+    * [[assignShards]] assignment, then `shard-NNNNN.warc.gz` files —
+    * each shard written whole by exactly one task (records hash to
+    * tasks BY SHARD, a task streams its shards sequentially, switching
+    * files on the shard boundary), same attempt-unique temp + rename
+    * commit as [[writeTypedRecords]]. Member order inside a shard is
+    * the global (rec_type, url) order restricted to the shard, so the
+    * archive bytes are deterministic end-to-end. Returns the shard
+    * count.
+    */
+  def writeShardedTypedRecords(df: DataFrame, dir: String,
+                               targetBytes: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = shippedConfBc(spark)
+    locally {
+      val d = new org.apache.hadoop.fs.Path(dir)
+      val fs = d.getFileSystem(sessionHadoopConf(spark))
+      if (fs.exists(d)) {
+        val stale = fs.globStatus(new org.apache.hadoop.fs.Path(dir,
+          "{shard-*.warc.gz,.tmp-shard-*.warc.gz}"))
+        if (stale != null) stale.foreach(s => fs.delete(s.getPath, false))
+      }
+    }
+    val assigned = assignShards(df, targetBytes)
+    val maxShard = assigned.agg(
+      org.apache.spark.sql.functions.max(col("shard_id"))).head()
+    if (maxShard.isNullAt(0)) { // empty input: no shards, no files
+      org.apache.spark.sql.graftshim.Bridge
+        .unpersistOwnedPlanCheckpoints(assigned)
+      return 0L
+    }
+    val nShards = maxShard.getLong(0) + 1L
+    assigned
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("rec_type"), col("url"))
+      .as[(String, String, String, String, Array[Byte], Long)]
+      .foreachPartition {
+        (rows: Iterator[(String, String, String, String, Array[Byte],
+          Long)]) =>
+        val ctx = TaskContext.get()
+        val attempt = ctx.taskAttemptId()
+        var cur = -1L
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        var tmp: org.apache.hadoop.fs.Path = null
+        var fs: org.apache.hadoop.fs.FileSystem = null
+        var ok = false
+        def commit(): Unit = if (out != null) {
+          try { out.close(); ok = true } finally if (!ok)
+            fs.delete(tmp, false)
+          val dst = new org.apache.hadoop.fs.Path(
+            dir, f"shard-$cur%05d.warc.gz")
+          if (!fs.rename(tmp, dst)) {
+            if (fs.exists(dst)) fs.delete(tmp, false)
+            else throw new java.io.IOException(
+              s"WARC shard commit failed: rename $tmp -> $dst")
+          }
+          out = null
+        }
+        try {
+          rows.foreach { case (recType, url, date, contentType, payload,
+              shard) =>
+            if (shard != cur) {
+              commit()
+              cur = shard
+              ok = false
+              tmp = new org.apache.hadoop.fs.Path(
+                dir, f".tmp-shard-$cur%05d-attempt-$attempt.warc.gz")
+              if (fs == null) fs = tmp.getFileSystem(bc.value.value)
+              out = fs.create(tmp, true)
+              writeMember(out, "warcinfo", "", "2026-01-01T00:00:00Z",
+                "application/warc-fields",
+                "software: graft-warc-fixture/1.0\r\n".getBytes("UTF-8"))
+            }
+            writeMember(out, recType, url, date, contentType, payload)
+          }
+          commit()
+        } finally {
+          if (out != null) { // an exception mid-shard: discard the temp
+            try out.close() catch { case _: java.io.IOException => () }
+            fs.delete(tmp, false)
+          }
+        }
+        ()
+      }
+    // the fold's range-partitioned checkpoint has been consumed by both
+    // passes and the write — release it eagerly (packIdStream hygiene)
+    org.apache.spark.sql.graftshim.Bridge
+      .unpersistOwnedPlanCheckpoints(assigned)
+    nShards
+  }
+
   /** One WARC record as ONE complete gzip member on `out`. */
   private def writeMember(out: java.io.OutputStream, recType: String,
                           url: String, date: String, contentType: String,

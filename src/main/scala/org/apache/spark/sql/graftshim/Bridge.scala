@@ -56,12 +56,20 @@ object Bridge {
 
   /** Tag `df` (which must BE a localCheckpoint — its logical plan the
     * LogicalRDD) as owned by the calling operator. Returns `df`.
+    * THROWS on any other plan shape: a silent no-op here would turn
+    * every downstream [[unpersistOwnedPlanCheckpoints]] into a
+    * permanent storage leak the moment a Spark upgrade changes
+    * `localCheckpoint`'s plan shape — the contract violation must
+    * surface at the call site, not as slow accumulation.
     */
   def markOwnedCheckpoint(df: DataFrame): DataFrame = {
     df.asInstanceOf[classic.Dataset[_]].queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.setTagValue(OwnedCheckpointTag, true)
-      case _ => ()
+      case other => throw new IllegalArgumentException(
+        "markOwnedCheckpoint expects a localCheckpoint frame (LogicalRDD " +
+          s"root); got ${other.getClass.getSimpleName} — did a Spark " +
+          "change alter localCheckpoint's plan shape?")
     }
     df
   }

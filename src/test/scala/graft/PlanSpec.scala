@@ -1196,4 +1196,37 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected TakeOrderedAndProject in:\n$plan")
   }
+
+  test("EXPLAIN.md covers every registry entry (a pinned section or an " +
+      "inherits note) — doc completeness is a red test, not regen timing") {
+    // three rounds running, entries landed near the regen boundary
+    // leaked coverage (8 in r17, 2 in r18); the generator now refuses
+    // to write a gap, and this spec holds the CHECKED-IN file to the
+    // same bar so a hand-edit or stale regen fails here
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("EXPLAIN.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val missing = Explain.missingCoverage(doc, SparkEntry.queries.keys)
+    assert(missing.isEmpty,
+      s"EXPLAIN.md lacks a section or inherits note for: " +
+        missing.mkString(", "))
+  }
+
+  test("tokenDrift: a split with zero tokens on one side fails loudly " +
+      "(raise_error), never a silent Infinity/NaN distribution") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = (0 until 10).map(i => (i.toLong, s"tok$i words here"))
+      .toDF("doc_id", "text")
+    // inA never matches — side A has zero tokens
+    val ex = intercept[Exception] {
+      graft.operators.TextAnalysis.tokenDrift(docs,
+        col("doc_id") < 0).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("zero")),
+      s"expected the loud zero-tokens error, got: ${msgs(ex)}")
+  }
 }

@@ -605,4 +605,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(!viaGate("https://news.site.com/doc/7"))
     assert(!viaGate("https://cdn.tracker.net/doc/7"))
   }
+
+  test("st26 scale bounds: 10x rows through streaming dedup stays " +
+      "sub-linear with flat driver heap, and the state store ends at " +
+      "the distinct-key count — keys, not rows seen") {
+    // the registry entry oracle-hashes the design-exact counts
+    // (including state == keys); the environment-dependent wall/heap
+    // bounds live here with retries (the l21/l108 convention)
+    val attempts = LazyList.continually(
+      graft.queries.StreamingQueries.measureStreamScaleStress(
+        spark, "spec")).take(3)
+    assert(attempts.exists { case (m, _, _) =>
+      m.subquadratic && m.driverHeapFlat },
+      "ratio >= 35x or driver heap grew >= 512MB on all 3 attempts")
+    val (m, s1, s10) = attempts.head
+    val n = graft.queries.StreamingQueries.st26NFor("spec")
+    // rows grow 10x; distinct keys (and therefore state) exactly 2x
+    assert(s1 == n / 5 && s10 == 2L * n / 5,
+      s"state rows off design: ($s1, $s10) vs (${n / 5}, ${2 * n / 5})")
+    assert(m.rows1 == n / 5 && m.rows10 == 2L * n / 5,
+      s"sink counts off design: ${(m.rows1, m.rows10)}")
+  }
 }

@@ -877,6 +877,136 @@ class WarcSpec extends AnyFunSuite {
     assert(bc3.value.value.get("graft.test.bc.remint") != null)
     assert(Warc.shippedConfBc(spark) eq bc3)
   }
+
+  private def typedRows(n: Int): org.apache.spark.sql.DataFrame =
+    (0 until n).map { i =>
+      val rt = if (i % 3 == 0) "resource" else "metadata"
+      // payload sizes vary 1..~400 bytes so shard boundaries land
+      // mid-stream, not on record multiples
+      val payload = (s"payload $i " * (i % 13 + 1)).getBytes("UTF-8")
+      (rt, f"https://t.example/r$i%03d", "2026-01-01T00:00:00Z",
+        "application/octet-stream", payload)
+    }.toDF("rec_type", "url", "warc_date", "content_type", "payload")
+
+  test("assignShards is a PURE function of the record set: identical " +
+      "shard ids under any input partitioning/order, contiguous from " +
+      "0, monotone along the (rec_type, url) order") {
+    val base = typedRows(60)
+    def assignment(df: org.apache.spark.sql.DataFrame)
+        : Map[String, Long] =
+      Warc.assignShards(df, targetBytes = 600L)
+        .select("url", "shard_id").as[(String, Long)].collect().toMap
+    val a1 = assignment(base.repartition(1))
+    val a7 = assignment(base.repartition(7))
+    val aShuf = assignment(base.orderBy(rand(42)).repartition(3))
+    assert(a1 == a7 && a1 == aShuf,
+      "shard assignment drifted under repartitioning")
+    val shards = a1.values.toSet
+    assert(shards.min == 0L && shards == (0L until (shards.max + 1)).toSet,
+      s"shard ids must be contiguous from 0: $shards")
+    assert(shards.size > 3, s"fixture must exercise rotation: $shards")
+    // monotone: walking members in (rec_type, url) order never
+    // decreases the shard id (the rotation invariant)
+    val ordered = Warc.assignShards(base, 600L)
+      .orderBy(col("rec_type"), col("url"))
+      .select("shard_id").as[Long].collect()
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b },
+      "shard ids must be monotone along the member order")
+  }
+
+  test("writeShardedTypedRecords rotates shard files at the size " +
+      "target and round-trips every member into the shard " +
+      "assignShards computed") {
+    val base = typedRows(60)
+    val dir = Files.createTempDirectory("graft-warc-shard").toString
+    val n = Warc.writeShardedTypedRecords(base, dir, targetBytes = 600L)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).map(_.getName).sorted
+    assert(files.length == n, s"expected $n shard files, got $files")
+    assert(files.forall(_.matches("shard-\\d{5}\\.warc\\.gz")), files)
+    val expected = Warc.assignShards(base, 600L)
+      .select("url", "shard_id").as[(String, Long)].collect().toMap
+    val got = Warc.readRaw(spark, dir)
+      .filter(col("rec_type") =!= "warcinfo")
+      .select(regexp_extract(col("file"),
+          "shard-(\\d+)\\.warc\\.gz", 1).cast("long").as("shard"),
+        col("url"))
+      .as[(Long, String)].collect()
+    assert(got.length == 60, s"member count: ${got.length}")
+    got.foreach { case (shard, url) =>
+      assert(expected(url) == shard,
+        s"$url landed in shard $shard, assignment says ${expected(url)}")
+    }
+    // each shard is one file with its own warcinfo header
+    val infos = Warc.readRaw(spark, dir)
+      .filter(col("rec_type") === "warcinfo").count()
+    assert(infos == n, s"one warcinfo per shard: $infos vs $n")
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("WarcDataSource (DSv2) reads the same rows readRaw parses, one " +
+      "split per archive file, and the pushed rec_type/url-prefix " +
+      "skip never drops a matching member") {
+    val base = typedRows(40)
+    val dir = Files.createTempDirectory("graft-warc-dsv2").toString
+    Warc.writeTypedRecords(base.repartition(3), dir)
+    def viaSource = spark.read
+      .format("graft.spark.datasource.WarcDataSource").load(dir)
+    // full equality against the mapPartitions reader (payload via md5)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("rec_type"), col("url"), col("warc_date"),
+        col("content_type"), col("n_bytes"),
+        md5(col("payload")).as("pm"))
+      .as[(String, String, String, String, Long, String)]
+      .collect().toSet
+    assert(canon(viaSource) == canon(Warc.readRaw(spark, dir)),
+      "DSv2 rows differ from readRaw")
+    // one split per part file
+    assert(viaSource.rdd.getNumPartitions == 3,
+      s"expected 3 splits, got ${viaSource.rdd.getNumPartitions}")
+    // pushdown paths: equality, IN, url prefix — results must equal the
+    // residual-only evaluation (superset-safe means EQUAL post-filter)
+    val md = viaSource.filter(col("rec_type") === "metadata")
+    assert(md.count() == base.filter(col("rec_type") === "metadata")
+      .count())
+    val in2 = viaSource.filter(
+      col("rec_type").isin("metadata", "warcinfo"))
+    assert(in2.count() ==
+      base.filter(col("rec_type") === "metadata").count() + 3)
+    val pre = viaSource.filter(col("url").startsWith(
+      "https://t.example/r00"))
+    assert(pre.count() == 10, s"prefix skip: ${pre.count()}")
+    // contradictory prefixes read nothing (and don't error)
+    assert(viaSource.filter(col("url").startsWith("https://t.example/r00"))
+      .filter(col("url").startsWith("other://")).count() == 0)
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("WarcDataSource column pruning: a url-only projection's scan " +
+      "schema carries no payload column (the archive-listing shape), " +
+      "and the pushed skip set is visible in the plan") {
+    val base = typedRows(20)
+    val dir = Files.createTempDirectory("graft-warc-prune").toString
+    Warc.writeTypedRecords(base.repartition(2), dir)
+    val df = spark.read
+      .format("graft.spark.datasource.WarcDataSource").load(dir)
+      .filter(col("rec_type") === "metadata")
+      .select(col("url"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("skip=[metadata]"),
+      s"pushed rec_type skip not in plan:\n${plan.take(1500)}")
+    // the scan's pruned column list excludes payload
+    val scanLine = plan.linesIterator
+      .find(_.contains("columns=[")).getOrElse("")
+    assert(scanLine.contains("columns=[") &&
+      !scanLine.contains("payload"),
+      s"payload not pruned from scan: $scanLine")
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
 }
 
 /** Local filesystem under a scheme that ONLY exists via programmatic
