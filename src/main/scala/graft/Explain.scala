@@ -121,6 +121,7 @@ object Explain {
       "s18_ivf_merge" -> "IVF segment merge (secondary reassigned by literal centroids, union write; query = s17's partition-pruned path over the merged store)",
       "s19_ivf_delete" -> "IVF tombstone compaction (one id-keyed left-anti rewrite; query = s17's partition-pruned path over the live store)",
       "l106_rtbf_keeper_recompute" -> "RTBF keeper recompute (l98's cluster argmax twice — full set and anti-joined survivors — one cluster-keyed left join to report promotions)",
+      "l110_mixture_schedule" -> "mixture schedule (keyed two-phase offset fold — no per-source single-task window — broadcast join to the source-width allocation, VALUES-relation epochs, TakeOrderedAndProject head)",
       "l107_snapshot_novelty" -> "cross-snapshot novelty (parity filter on the checkpointed LSH pairs, distinct new-side endpoint, one left join + source-width agg)")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans of flagship queries\n\n")
@@ -439,7 +440,13 @@ object Explain {
         "whole by one task (records hash to tasks BY SHARD, files " +
         "rotate on the boundary, attempt-unique temp + rename commit) " +
         "and the entry's manifest digests the READ-BACK bytes per " +
-        "shard — one hash spans gate → rotation → write → archive.\n")
+        "shard — one hash spans gate → rotation → write → archive. " +
+        "m18_paired_samples is the loop's read half: the shard dir " +
+        "scanned through the WarcDataSource DSv2 source (p18's plan), " +
+        "metadata members parsing their own JSON payloads (from_json — " +
+        "the archive is self-describing), and two archive-sized " +
+        "equi-joins re-assembling (metadata, media) into samples with " +
+        "both members' shard ids carried — nothing corpus-scale.\n")
       sb.append("\n## l99 / st25 — inherits-from notes\n\n")
       sb.append("l99_cross_source_dups consumes the SHARED checkpointed " +
         "LSH pair relation (the l02_minhash_lsh plan pinned above — " +
@@ -515,7 +522,15 @@ object Explain {
           "distinct-token space), the totals/division/top-k as a batch " +
           "post-step through the SAME driftReport projection the batch " +
           "operator uses (chained streaming aggregates are disallowed " +
-          "— this is the one admissible form); shared l105 oracle.\n")
+          "— this is the one admissible form); shared l105 oracle.\n" +
+        "- st28_warc_tail_stream — the WarcDataSource MicroBatchStream " +
+          "(the st08 contract on the crawl-archive format): offsets " +
+          "are name-sorted listing prefixes of the append-only landing " +
+          "directory, maxFilesPerTrigger admission control, " +
+          "checkpoint-resumed drains read only new files, and a " +
+          "directory mutated under a live stream fails loudly " +
+          "(StreamingSpec-pinned) — each micro-batch is the " +
+          "file-per-split batch reader over its own increment.\n")
     }
     // ---- auto-generated one-line plan digests for every entry not
     // covered by a pinned section or note above: node counts from the

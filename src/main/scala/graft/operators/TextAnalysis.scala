@@ -2073,6 +2073,69 @@ object TextAnalysis {
     * operator's pin) composed into the same plan is never poisoned.
     * Returns the number of checkpointed RDDs actually released.
     */
+  /** Per-KEY running prefix offsets — the [[packIdStream]] two-phase
+    * fold generalized from one global stream to one stream per key
+    * (the l110 mixture-schedule shape: every source needs its docs'
+    * cumulative token offsets). The obvious spelling —
+    * `SUM(w) OVER (PARTITION BY key ORDER BY ord)` — executes each
+    * key's entire stream on ONE task, which is exactly the
+    * single-reducer-per-source bottleneck a 100 TB corpus cannot pay
+    * (a source is trillions of tokens). Here instead: range-partition
+    * by (key, ord) — each key's stream spans a RUN of partitions in
+    * order — then per-partition (key → weight sum) maps (key-count ×
+    * partition-count sized, driver-safe for any corpus whose KEY
+    * cardinality is bounded), then a per-partition scan seeded with
+    * each key's prefix across earlier partitions. Output: the input
+    * columns (key, ord, weight) plus `offset_before` = the sum of
+    * weights of same-key rows with smaller ord. Requires (key, ord)
+    * unique (ties would make the prefix order ambiguous).
+    *
+    * The range-partitioned frame is localCheckpointed (both passes must
+    * see one sampled partitioning) and ownership-tagged — the harness
+    * releases it after the consuming entry materializes.
+    */
+  def keyedPrefixOffsets(df: DataFrame, keyCol: String, ordCol: String,
+                         weightCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val typed = org.apache.spark.sql.graftshim.Bridge.markOwnedCheckpoint(
+      df.select(col(keyCol).cast("string").as("k"),
+          col(ordCol).cast("long").as("o"),
+          col(weightCol).cast("long").as("w"))
+        .repartitionByRange(n, col("k"), col("o"))
+        .sortWithinPartitions(col("k"), col("o"))
+        .localCheckpoint())
+      .as[(String, Long, Long)]
+    val perPart: Array[(Int, Map[String, Long])] =
+      typed.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val sums = scala.collection.mutable.LinkedHashMap[String, Long]()
+        it.foreach { case (k, _, w) =>
+          sums(k) = sums.getOrElse(k, 0L) + w }
+        Iterator.single((pid, sums.toMap))
+      }.collect()
+    val acc = scala.collection.mutable.Map[String, Long]()
+    val offMap: Map[Int, Map[String, Long]] =
+      perPart.sortBy(_._1).map { case (pid, sums) =>
+        val base = sums.keys.map(k => k -> acc.getOrElse(k, 0L)).toMap
+        sums.foreach { case (k, s) =>
+          acc(k) = acc.getOrElse(k, 0L) + s }
+        pid -> base
+      }.toMap
+    val bc = spark.sparkContext.broadcast(offMap)
+    typed.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val off = scala.collection.mutable.Map[String, Long]() ++
+        bc.value.getOrElse(pid, Map.empty)
+      it.map { case (k, o, w) =>
+        val s = off.getOrElse(k, 0L)
+        off(k) = s + w
+        (k, o, w, s)
+      }
+    }.toDF(keyCol, ordCol, weightCol, "offset_before")
+  }
+
   def packIdStreamRelease(packed: DataFrame): Int =
     org.apache.spark.sql.graftshim.Bridge
       .unpersistOwnedPlanCheckpoints(packed)
@@ -3749,6 +3812,63 @@ object TextAnalysis {
         quant4(least(target, cap).cast("double") /
           col("avail_tokens").cast("double")).as("epochs"),
         (target > cap).as("capped"))
+  }
+
+  /** The TRAINING ORDER [[epochAllocation]]'s table implies — the step
+    * that turns a published mixture into the actual sample schedule a
+    * loader walks (proportional interleave: every source advances
+    * through its allocation at the same RATE, so a batch window at any
+    * point of training carries the mixture's proportions — the
+    * property temperature mixing exists to buy): each doc's within-
+    * source token offset (via [[keyedPrefixOffsets]] — never a
+    * per-source single-task window), epoch-wrapped up to the
+    * allocation's repetition ceiling, keyed by
+    * `progress = offset / alloc_tokens` and interleaved by ordering on
+    * it. Docs are scheduled whole (a doc whose START offset is inside
+    * the allocation is kept). Output: the schedule head — top-k rows
+    * of (source, epoch, doc_id, n_tokens, progress) in
+    * (progress, source, doc_id) order, which is total (the same doc's
+    * epochs differ in progress because avail > 0), so the cut hashes.
+    *
+    * Scale shape: ONE corpus-width tokenize + the two-phase fold's two
+    * narrow passes, a broadcast join against the source-width
+    * allocation, and TakeOrderedAndProject — no global sort, no
+    * per-source reducer.
+    */
+  def mixtureSchedule(docs: DataFrame, budgetFactor: Int = 2,
+                      maxEpochs: Int = 2, topK: Int = 200,
+                      sourceCol: String = "source",
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val alloc = epochAllocation(docs, budgetFactor, maxEpochs,
+        sourceCol, textCol)
+      .select(col("source"), col("avail_tokens"), col("alloc_tokens"))
+      // a tokenless source has no schedule (and would divide by zero)
+      .filter(col("avail_tokens") > 0)
+    val perDoc = docs.select(col(sourceCol).cast("string").as("source"),
+      col(idCol).cast("long").as("doc_id"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val withOff = keyedPrefixOffsets(perDoc, "source", "doc_id",
+      "n_tokens")
+    // epochs materialize as a 2-row literal relation filtered by the
+    // per-source repeat count (n_rep = ceil(alloc/avail) ≤ maxEpochs by
+    // the allocation's own cap) — the DuckDB oracle uses the identical
+    // VALUES form, so the two engines share one epoch derivation
+    val reps = (0 until maxEpochs).map(_.toLong)
+    withOff.join(broadcast(alloc), "source")
+      .withColumn("n_rep", expr(
+        "(alloc_tokens + avail_tokens - 1) div avail_tokens"))
+      .withColumn("epoch", explode(lit(reps.toArray)))
+      .filter(col("epoch") < col("n_rep"))
+      .withColumn("offset",
+        col("epoch") * col("avail_tokens") + col("offset_before"))
+      .filter(col("offset") < col("alloc_tokens"))
+      .select(col("source"), col("epoch"), col("doc_id"),
+        col("n_tokens"),
+        quant(col("offset").cast("double") /
+          col("alloc_tokens").cast("double"), 6).as("progress"))
+      .orderBy(col("progress"), col("source"), col("doc_id"))
+      .limit(topK)
   }
 
   /** Token-distribution DRIFT between two corpus snapshots — the

@@ -1562,6 +1562,23 @@ object LlmQueries {
              |  target > cap AS capped
              |FROM t ORDER BY source""".stripMargin)),
 
+    // Mixture SCHEDULE (l110) — the training ORDER l102's table
+    // implies, the last step between a published mixture and a loader:
+    // proportional interleave by progress = token_offset/alloc_tokens,
+    // epoch-wrapped under the repetition ceiling, docs scheduled whole.
+    // Per-source offsets come from the keyed two-phase fold
+    // (TextAnalysis.keyedPrefixOffsets) — NEVER a per-source
+    // single-task window, the 100 TB shape. Determinism: integer
+    // offsets, one exactly-rounded division, the 6-decimal grid, and a
+    // total (progress, source, doc_id) order — the top-200 cut hashes.
+    // Oracle: l102's allocation CTEs + a window prefix sum + the same
+    // VALUES-relation epoch derivation.
+    "l110_mixture_schedule" -> QuerySpec(
+      (s, dir) => TextAnalysis.mixtureSchedule(
+        Tables(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("text"))),
+      Some(l110Sql)),
+
     // Temperature-based corpus mixing (τ=0.5 square-root sampling): the
     // multilingual/multi-source rebalancing rule — weight n_i^τ/Σn_j^τ,
     // integer quota for a 1000-doc budget. sqrt is exactly-rounded IEEE
@@ -5168,39 +5185,11 @@ object LlmQueries {
     "m17_sharded_archive" -> QuerySpec(
       (s, dir) => {
         val nImg = 40
-        ensureMediaMd5Golden(s, nImg)
-        // the m16 member assembly verbatim (one checkpointed gate
-        // chain feeding both member classes)
-        val keptPairs = Multimodal.pairEmbedGate(
-            TextAnalysis.extractImagePairs(
-              m14PagesOver(Tables(s, dir, "documents")
-                .filter(col("doc_id") % 4 === 1), nImg)),
-            m14ImgEmb(s, dir, nImg), m14TxtEmb(s, dir, nImg),
-            minScore = 0.9)
-          .filter(col("keep"))
-          .localCheckpoint()
-        val mediaRecs = mediaFixture(s, nImg)
-          .join(keptPairs.select(col("img_url").as("media_url"))
-            .distinct(), "media_url")
-          .select(lit("resource").as("rec_type"),
-            col("media_url").as("url"),
-            lit("2026-01-01T00:00:00Z").as("warc_date"),
-            col("content_type"),
-            col("data").as("payload"))
-        val metaRecs = keptPairs.select(
-          lit("metadata").as("rec_type"),
-          concat(col("src_url"), lit("#"), col("img_idx")).as("url"),
-          lit("2026-01-01T00:00:00Z").as("warc_date"),
-          lit("application/json").as("content_type"),
-          encode(concat(lit("{\"src_url\":\""), col("src_url"),
-            lit("\",\"img_idx\":"), col("img_idx"),
-            lit(",\"img_url\":\""), col("img_url"),
-            lit("\",\"text\":\""), col("text"), lit("\"}")), "UTF-8")
-            .as("payload"))
+        val (keptPairs, members) = m17MemberFrames(s, dir, nImg)
         val out = "target/shardedarchive/" +
           s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
         graft.sources.Warc.writeShardedTypedRecords(
-          mediaRecs.unionByName(metaRecs), out, M17TargetBytes)
+          members, out, M17TargetBytes)
         org.apache.spark.sql.graftshim.Bridge
           .unpersistLocalCheckpoint(keptPairs)
         graft.sources.Warc.readRaw(s, out)
@@ -5220,6 +5209,55 @@ object LlmQueries {
               x => x.getField("pmd5")))).as("members_md5"))
           .orderBy(col("shard"))
       }, None, Some(dir => m17Sql("m15-mediamd5-40-v1", 40))),
+    // Paired-SAMPLE loading (m18) — the WebDataset loop's read half,
+    // closing write → shard → LOAD: the sharded archive (ensure-once
+    // loader fixture) is scanned through the DSv2 source and the two
+    // member classes re-join into training samples — metadata members
+    // parse their own JSON payload (from_json; the archive is
+    // self-describing, no sidecar), media members contribute payload
+    // md5/mass, the join key is the img_url the metadata carries, and
+    // BOTH members' shard ids ride along (a loader must locate a
+    // sample's parts across shard files — that is the point of the
+    // manifest discipline). Two archive-sized equi-joins, nothing
+    // corpus-scale. The oracle re-derives everything: kept pairs from
+    // documents/embeddings arithmetic, media md5/mass from the golden,
+    // shard ids from the SAME offset window as m17's oracle.
+    "m18_paired_samples" -> QuerySpec(
+      (s, dir) => {
+        val nImg = 40
+        val base = ensureShardedArchive(s, dir, nImg)
+        val raw = s.read
+          .format("graft.spark.datasource.WarcDataSource").load(base)
+        val shard = regexp_extract(col("file"),
+          "shard-(\\d+)\\.warc\\.gz", 1).cast("long")
+        val metaSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("src_url",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("img_idx",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("img_url",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))
+        val meta = raw.filter(col("rec_type") === "metadata")
+          .select(shard.as("meta_shard"),
+            from_json(col("payload").cast("string"), metaSchema)
+              .as("j"))
+          .select(col("j.src_url").as("src_url"),
+            col("j.img_idx").as("img_idx"),
+            col("j.img_url").as("img_url"),
+            col("j.text").as("text"), col("meta_shard"))
+        val media = raw.filter(col("rec_type") === "resource")
+          .select(col("url").as("img_url"),
+            md5(col("payload")).as("media_md5"),
+            col("n_bytes").as("media_bytes"),
+            shard.as("media_shard"))
+        meta.join(media, "img_url")
+          .select(col("src_url"), col("img_idx"), col("img_url"),
+            col("text"), col("media_md5"), col("media_bytes"),
+            col("meta_shard"), col("media_shard"))
+          .orderBy(col("src_url"), col("img_idx"))
+      }, None, Some(dir => m18Sql("m15-mediamd5-40-v1", 40))),
   ) + m08Entry + m09Entry
 
   /** m13's oracle: per-stage pair counts chained as CTEs over the
@@ -5601,6 +5639,51 @@ object LlmQueries {
     * totals CTE derives na/nb from the count relation — the same
     * arithmetic path `TextAnalysis.driftReport` uses.
     */
+  /** l110's oracle: l102's allocation CTE chain (same 6-decimal/DECIMAL
+    * discipline), a per-source prefix-sum window (the oracle MAY use
+    * the single-reducer window — DuckDB is not the 100 TB engine), the
+    * 2-row VALUES epoch relation, and the same quantized progress key.
+    */
+  private[queries] def l110Sql: String =
+    """WITH c AS (SELECT source, SUM(len(list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '\s+'),
+      |    x -> length(x) > 0)))::BIGINT AS avail
+      |  FROM documents GROUP BY source),
+      |q AS (SELECT source, avail,
+      |  floor(sqrt(avail::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS sq
+      |  FROM c),
+      |z AS (SELECT CAST(SUM(CAST(sq AS DECIMAL(18,6))) AS DOUBLE) AS z,
+      |  SUM(avail)::BIGINT AS ta FROM q),
+      |t AS (SELECT source, avail,
+      |  CAST(floor(sq / z.z * (z.ta::DOUBLE * 2.0)) AS BIGINT) AS target,
+      |  avail * 2 AS cap
+      |  FROM q, z),
+      |a AS (SELECT source, avail, least(target, cap) AS alloc
+      |  FROM t WHERE avail > 0),
+      |d AS (SELECT source, doc_id, len(list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '\s+'),
+      |    x -> length(x) > 0))::BIGINT AS n_tokens
+      |  FROM documents),
+      |o AS (SELECT source, doc_id, n_tokens,
+      |  COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    0)::BIGINT AS off_b
+      |  FROM d),
+      |r AS (SELECT o.source, o.doc_id, o.n_tokens, o.off_b,
+      |    a.avail, a.alloc,
+      |    (a.alloc + a.avail - 1) // a.avail AS n_rep
+      |  FROM o JOIN a USING (source)),
+      |e AS (SELECT r.*, ep.epoch
+      |  FROM r, (VALUES (0::BIGINT), (1::BIGINT)) AS ep(epoch)
+      |  WHERE ep.epoch < r.n_rep),
+      |s AS (SELECT source, epoch, doc_id, n_tokens,
+      |    epoch * avail + off_b AS off, alloc
+      |  FROM e WHERE epoch * avail + off_b < alloc)
+      |SELECT source, epoch, doc_id, n_tokens,
+      |  floor(off::DOUBLE / alloc::DOUBLE * 1000000.0 + 0.5)
+      |    / 1000000.0 AS progress
+      |FROM s ORDER BY progress, source, doc_id LIMIT 200""".stripMargin
+
   // a def, not a val: the registry map is built during object init,
   // BEFORE a later-declared val would be assigned — a val here is
   // silently null inside the map (the compiler warns; the driver would
@@ -5630,6 +5713,69 @@ object LlmQueries {
       |    AS tv_drift
       |FROM d
       |ORDER BY tv_drift DESC, token LIMIT 100""".stripMargin
+
+  /** The m16/m17/m18 shared member assembly: the checkpointed gate
+    * chain (one materialization feeds both member classes) plus the
+    * media `resource` + per-pair `metadata` record frames. Returns
+    * (keptPairs, members) — the caller releases keptPairs
+    * (unpersistLocalCheckpoint) after the members' last consumer runs.
+    */
+  private def m17MemberFrames(s: org.apache.spark.sql.SparkSession,
+      dir: String, nImg: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    ensureMediaMd5Golden(s, nImg)
+    val keptPairs = Multimodal.pairEmbedGate(
+        TextAnalysis.extractImagePairs(
+          m14PagesOver(Tables(s, dir, "documents")
+            .filter(col("doc_id") % 4 === 1), nImg)),
+        m14ImgEmb(s, dir, nImg), m14TxtEmb(s, dir, nImg),
+        minScore = 0.9)
+      .filter(col("keep"))
+      .localCheckpoint()
+    val mediaRecs = mediaFixture(s, nImg)
+      .join(keptPairs.select(col("img_url").as("media_url"))
+        .distinct(), "media_url")
+      .select(lit("resource").as("rec_type"),
+        col("media_url").as("url"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        col("content_type"),
+        col("data").as("payload"))
+    val metaRecs = keptPairs.select(
+      lit("metadata").as("rec_type"),
+      concat(col("src_url"), lit("#"), col("img_idx")).as("url"),
+      lit("2026-01-01T00:00:00Z").as("warc_date"),
+      lit("application/json").as("content_type"),
+      encode(concat(lit("{\"src_url\":\""), col("src_url"),
+        lit("\",\"img_idx\":"), col("img_idx"),
+        lit(",\"img_url\":\""), col("img_url"),
+        lit("\",\"text\":\""), col("text"), lit("\"}")), "UTF-8")
+        .as("payload"))
+    (keptPairs, mediaRecs.unionByName(metaRecs))
+  }
+
+  /** m18's LOADER-SIDE fixture: the m17 archive written ONCE per sf dir
+    * at a drift-keyed path (the ensureWarcFixture convention) — m18's
+    * subject is reading samples back through the DSv2 source, not the
+    * write m17 already measures.
+    */
+  private val shardedFixLock = new Object
+  private def ensureShardedArchive(s: org.apache.spark.sql.SparkSession,
+      dir: String, nImg: Int): String = shardedFixLock.synchronized {
+    val base = new java.io.File("target/shardedarchive/" +
+      s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-ld-v1")
+    val done = new java.io.File(base, "_DONE")
+    if (!done.exists()) {
+      if (base.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(base)
+      val (keptPairs, members) = m17MemberFrames(s, dir, nImg)
+      graft.sources.Warc.writeShardedTypedRecords(
+        members, base.toString, M17TargetBytes)
+      org.apache.spark.sql.graftshim.Bridge
+        .unpersistLocalCheckpoint(keptPairs)
+      done.createNewFile()
+    }
+    base.getAbsolutePath
+  }
 
   /** m17's shard-rotation target: small enough that the sf0.001 fixture
     * already produces several shards (the rotation path is exercised at
@@ -5727,6 +5873,32 @@ object LlmQueries {
        |  md5(string_agg(payload_md5, ',' ORDER BY rec_type, url))
        |    AS members_md5
        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** m18's oracle: the m16 member relation + m17's shard window, the
+    * two classes re-joined into samples exactly as the loader does.
+    */
+  private def m18Sql(gname: String, nImg: Int): String =
+    s"""WITH ${m16MemberCtes(gname, nImg)},
+       |mem AS (SELECT rec_type, url, payload_md5, n_bytes FROM media
+       |        UNION ALL
+       |        SELECT rec_type, url, payload_md5, n_bytes FROM meta),
+       |o AS (SELECT *, COALESCE(SUM(n_bytes) OVER (
+       |      ORDER BY rec_type, url
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    0)::BIGINT AS off
+       |  FROM mem),
+       |sh AS (SELECT rec_type, url, payload_md5, n_bytes,
+       |    off // $M17TargetBytes AS shard FROM o),
+       |ms AS (SELECT url AS img_url, payload_md5 AS media_md5,
+       |    n_bytes AS media_bytes, shard AS media_shard
+       |  FROM sh WHERE rec_type = 'resource'),
+       |mt AS (SELECT url AS murl, shard AS meta_shard
+       |  FROM sh WHERE rec_type = 'metadata')
+       |SELECT k.src_url, k.img_idx, k.img_url, k.text,
+       |  ms.media_md5, ms.media_bytes, mt.meta_shard, ms.media_shard
+       |FROM kp k JOIN ms USING (img_url)
+       |  JOIN mt ON mt.murl = k.src_url || '#' || k.img_idx
+       |ORDER BY src_url, img_idx""".stripMargin
 
   /** m11's oracle: pairs, features, and the (phash, text) dedup all
     * re-derived in DuckDB from documents arithmetic + the raw-pixel

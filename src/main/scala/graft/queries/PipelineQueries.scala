@@ -33,7 +33,15 @@ object PipelineQueries {
     */
   private[queries] def warcRows(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    graft.Tables(s, dir, "documents").select(
+    warcRowsOver(graft.Tables(s, dir, "documents"))
+
+  /** The same projection over ANY documents-shaped frame (the
+    * m14PagesOver convention) — st28 encodes parity SLICES of the
+    * corpus as separate archive increments.
+    */
+  private[queries] def warcRowsOver(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(
       concat(lit("https://example.org/doc/"), col("doc_id")).as("url"),
       date_format(
         expr("timestampadd(SECOND, doc_id, " +

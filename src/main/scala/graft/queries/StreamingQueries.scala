@@ -1040,6 +1040,95 @@ object StreamingQueries {
         s.table("st24_sink").orderBy(col("img_url"), col("text"))
       }, None, Some(_ => LlmQueries.st24Sql(40))),
 
+    // WARC landing-directory TAIL (st28) — the WarcDataSource
+    // MicroBatchStream, the st08 contract on the crawl-archive format:
+    // offsets are name-sorted listing prefixes (the append-only
+    // lexical-naming landing convention; mutation under a live stream
+    // fails loudly), maxFilesPerTrigger=1 forces real multi-micro-batch
+    // admission control, and the checkpoint makes drain 2 a genuine
+    // RECOVERY: increment 1 (even doc_ids) drains in run 1; increment 2
+    // (odd doc_ids) lands; run 2 resumes and reads ONLY the new files —
+    // proven because phase-2 rows are exactly the odd parity class.
+    // foreachBatch appends to parquet (a fault-tolerant sink, required
+    // for checkpoint recovery); the oracle re-derives both phases from
+    // documents parity.
+    "st28_warc_tail_stream" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val streamDir = java.nio.file.Files
+          .createTempDirectory("graft-warc-tail").toString
+        val ckpt = streamDir + "-ckpt"
+        val outPq = streamDir + "-out"
+        def addIncrement(tag: String,
+            part: org.apache.spark.sql.DataFrame): Unit = {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft-warc-inc").toString
+          graft.sources.Warc.write(
+            PipelineQueries.warcRowsOver(part).repartition(2), tmp)
+          // move parts in under lexically-increasing names — the
+          // source's append-only landing contract
+          new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".warc.gz")).sortBy(_.getName)
+            .foreach { f =>
+              java.nio.file.Files.move(f.toPath,
+                java.nio.file.Paths.get(streamDir,
+                  s"$tag-${f.getName}"))
+            }
+          org.apache.commons.io.FileUtils
+            .deleteDirectory(new java.io.File(tmp))
+        }
+        def drain(phase: Int): Unit = withStateSizing(s) {
+          val q = s.readStream
+            .format("graft.spark.datasource.WarcDataSource")
+            .option("maxFilesPerTrigger", "1")
+            .load(streamDir)
+            .writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               _: Long) =>
+                b.filter(col("rec_type") === "conversion")
+                  .select(lit(phase).as("phase"), col("url"),
+                    md5(col("payload")).as("digest"))
+                  .write.mode("append").parquet(outPq)
+                ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        addIncrement("inc1", docs.filter(col("doc_id") % 2 === 0))
+        drain(1)
+        addIncrement("inc2", docs.filter(col("doc_id") % 2 === 1))
+        drain(2)
+        val result = s.read.parquet(outPq)
+          .orderBy(col("phase"), col("url")).collect()
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("phase",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("url",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("digest",
+            org.apache.spark.sql.types.StringType)))
+        // localize (archive-sized — the fixture corpus) so the temp
+        // dirs can be deleted before the frame is consumed
+        val local = s.createDataFrame(
+          java.util.Arrays.asList(result: _*), schema)
+        Seq(streamDir, ckpt, outPq).foreach(d =>
+          org.apache.commons.io.FileUtils
+            .deleteDirectory(new java.io.File(d)))
+        local
+      },
+      Some("""SELECT 1 AS phase,
+             |  'https://example.org/doc/' || doc_id AS url,
+             |  md5(text) AS digest
+             |FROM documents WHERE doc_id % 2 = 0
+             |UNION ALL
+             |SELECT 2, 'https://example.org/doc/' || doc_id, md5(text)
+             |FROM documents WHERE doc_id % 2 = 1
+             |ORDER BY phase, url""".stripMargin)),
+
     // Streaming DRIFT twin (st27) — l105's pipeline-monitoring report
     // fed by a LIVE stream (the r18 VERDICT #6 decision: entry-worthy,
     // shipped in the one form Spark's streaming planner admits): the

@@ -4478,4 +4478,75 @@ class OperatorSpec extends AnyFunSuite {
     }
     assert(got.nonEmpty && got.size >= 140, s"only ${got.size} docs")
   }
+
+  test("keyedPrefixOffsets equals the per-key window prefix sum and is " +
+      "invariant under input partitioning (the l110 fold — no " +
+      "single-task-per-source window at scale)") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rows = (0 until 300).map { i =>
+      (s"src${i % 7}", i.toLong, (i % 13 + 1).toLong)
+    }.toDF("source", "doc_id", "n_tokens")
+    val ref = rows.withColumn("expected",
+      org.apache.spark.sql.functions.coalesce(
+        fsum(col("n_tokens")).over(Window.partitionBy(col("source"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        org.apache.spark.sql.functions.lit(0L)))
+      .select(col("source"), col("doc_id"), col("expected"))
+      .as[(String, Long, Long)].collect()
+      .map { case (s, d, e) => (s, d) -> e }.toMap
+    def got(df: org.apache.spark.sql.DataFrame): Map[(String, Long), Long] =
+      TextAnalysis.keyedPrefixOffsets(df, "source", "doc_id", "n_tokens")
+        .select(col("source"), col("doc_id"), col("offset_before"))
+        .as[(String, Long, Long)].collect()
+        .map { case (s, d, o) => (s, d) -> o }.toMap
+    val g1 = got(rows.repartition(1))
+    val g9 = got(rows.repartition(9))
+    val gShuf = got(rows.orderBy(org.apache.spark.sql.functions.rand(7))
+      .repartition(4))
+    assert(g1 == ref, s"fold != window: ${
+      g1.toSet.diff(ref.toSet).take(3)}")
+    assert(g9 == ref && gShuf == ref,
+      "fold drifted under repartitioning")
+  }
+
+  test("mixtureSchedule: proportional interleave — scheduled token " +
+      "mass per source tracks the allocation, epochs wrap only capped " +
+      "sources, and the head is progress-ordered") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // skewed sources: src0 huge, src1 small (sqrt up-weights src1 past
+    // the 2-epoch cap by construction — the l102 design)
+    val docs = (0 until 400).map { i =>
+      val src = if (i % 8 == 0) "small" else "big"
+      (src, i.toLong, s"tok$i words here now " * (i % 3 + 1))
+    }.toDF("source", "doc_id", "text")
+    val full = TextAnalysis.mixtureSchedule(docs, topK = 1000000)
+      .collect()
+    // progress-ordered head, total order
+    val progs = full.map(r => (r.getAs[Double]("progress"),
+      r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+    assert(progs.sameElements(progs.sortBy(identity)),
+      "schedule not in (progress, source, doc_id) order")
+    // the small source wraps into epoch 1 (capped), the big one doesn't
+    val epochsBySrc = full.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("epoch")).toSet).toMap
+    assert(epochsBySrc("small") == Set(0L, 1L),
+      s"small source should wrap: ${epochsBySrc("small")}")
+    assert(epochsBySrc("big") == Set(0L, 1L) ||
+      epochsBySrc("big") == Set(0L), "big source epochs")
+    // whole-doc truncation: per-source scheduled mass lands within one
+    // doc of the allocation
+    val alloc = TextAnalysis.epochAllocation(docs)
+      .select(col("source"), col("alloc_tokens"))
+      .as[(String, Long)].collect().toMap
+    val maxDoc = full.map(_.getAs[Long]("n_tokens")).max
+    full.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val mass = rs.map(_.getAs[Long]("n_tokens")).sum
+      assert(mass <= alloc(src) + maxDoc && mass >= alloc(src) - maxDoc,
+        s"$src scheduled $mass vs alloc ${alloc(src)}")
+    }
+  }
 }

@@ -606,6 +606,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(!viaGate("https://cdn.tracker.net/doc/7"))
   }
 
+  test("WarcMicroBatchStream: maxFilesPerTrigger=1 admits one file per " +
+      "micro-batch, and mutating the landing dir under a live " +
+      "checkpoint fails loudly instead of silently re-reading") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-warc-mbs").toString
+    val ckpt = streamDir + "-ckpt"
+    def addFiles(tag: String, n: Int): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-warc-mbs-inc").toString
+      val rows = (0 until 6).map(i =>
+        (s"https://t.ex/$tag/$i", "2026-01-01T00:00:00Z", s"body $tag $i"))
+      graft.sources.Warc.write(
+        rows.toDF("url", "warc_date", "text").repartition(n), tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).sortBy(_.getName)
+        .foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(streamDir, s"$tag-${f.getName}"))
+        }
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    }
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+    val rowsSeen = new java.util.concurrent.atomic.AtomicLong
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft.spark.datasource.WarcDataSource")
+        .option("maxFilesPerTrigger", "1")
+        .load(streamDir)
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            batches.incrementAndGet()
+            rowsSeen.addAndGet(
+              b.filter(col("rec_type") === "conversion").count())
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    addFiles("inc1", 3)
+    drain()
+    assert(batches.get() == 3,
+      s"3 files at maxFilesPerTrigger=1 must be 3 batches: ${batches.get()}")
+    assert(rowsSeen.get() == 6, s"rows: ${rowsSeen.get()}")
+    // non-appending mutation: remove the FIRST consumed file — the
+    // resumed stream's offset prefix no longer matches the listing
+    val first = new java.io.File(streamDir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).sortBy(_.getName).head
+    assert(first.delete())
+    addFiles("inc2", 1)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("mutated under a live stream")),
+      s"expected the loud mutation diagnostic, got: ${msgs(ex).take(3)}")
+    Seq(streamDir, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(d)))
+  }
+
   test("st26 scale bounds: 10x rows through streaming dedup stays " +
       "sub-linear with flat driver heap, and the state store ends at " +
       "the distinct-key count — keys, not rows seen") {
