@@ -38,14 +38,19 @@ object BenchBudgets {
 
   /** Idle-host wall of Bench's per-RUN memory/IO probe (two
     * read-modify-write passes over a 128 MiB long array + a re-read of
-    * the KB-sized nation.parquet; see Bench.memProbe) — pinned r19 from
-    * SPARK_GRAFT_PROBE_ONLY idle medians on the build host, to be
-    * min-refreshed from sweep sidecars like RefLoadProbe. The spin
-    * probe is pure ALU and blind to DRAM-bandwidth/IO contention (the
-    * r18 l31–l33/m09 mis-flag window); the tripwire scales each run's
-    * allowance by the MAX of the two probe ratios.
+    * the KB-sized nation.parquet; see Bench.memProbe) — the minimum
+    * per-entry memload across the r19 pin sweeps
+    * (target/bench_r19_idle{1,2,3}.json: 0.0441/0.0459/0.0455), the
+    * RefLoadProbe convention. NOT the SPARK_GRAFT_PROBE_ONLY idle
+    * (0.0267): inside a busy suite JVM the probe's floor is set by the
+    * engine's own GC/page-cache churn, and pinning the quiet-JVM number
+    * recorded ~100 phantom mem_spikes per sweep. The spin probe is pure
+    * ALU and blind to DRAM-bandwidth/IO contention (the r18 l31–l33/m09
+    * mis-flag window); the tripwire scales each run's allowance by the
+    * MAX of the two probe ratios — validated under a synthetic 8-way dd
+    * memory hog (mem probe 1.77x idle, spin 1.11x; NOTES.md r19).
     */
-  val RefMemProbe: Double = 0.0267
+  val RefMemProbe: Double = 0.0441
 
   val Factor: Double = 2.0
 
@@ -263,6 +268,19 @@ object BenchBudgets {
     // 122.7 s, cal 0.4719, zero flags/spikes/errors)
     "s20_ivf_lifecycle" -> 1.5315,
     "l109_novelty_token_mass" -> 0.1428,
+    // The 7 r19 entries: element-wise min of target/bench_r19_idle{1,2,3}
+    // .json (216 entries, 131.1/148.5/150.2 s at cal 0.542/0.553/0.555,
+    // all ZERO budget flags, zero errors; idle1 predates l110/m18/st28 —
+    // those pin from idle2/3). st26 is a deliberate measured 1x/10x
+    // streaming harness (8 micro-batch drains per invocation) — its
+    // wall IS the scale evidence, the l108 convention.
+    "m17_sharded_archive" -> 0.9277,
+    "m18_paired_samples" -> 0.1665,
+    "st26_stream_scale_stress" -> 3.8280,
+    "st27_drift_stream" -> 0.9734,
+    "st28_warc_tail_stream" -> 1.5786,
+    "p18_warc_dsv2" -> 0.0721,
+    "l110_mixture_schedule" -> 0.8495,
     "m01_media_features" -> 0.2213,
     "m02_frame_sample" -> 0.0812,
     "m03_media_resize" -> 0.0864,
