@@ -164,20 +164,25 @@ object Bench {
         var err: Option[String] = None
         def once(): Double = {
           val t0 = System.nanoTime()
+          // release any ownership-tagged localCheckpoints the entry's
+          // plan created (packIdStream / epochAllocation discipline) in
+          // a FINALLY — a run whose count() throws would otherwise park
+          // its generation until the lazy ContextCleaner, exactly the
+          // r16 l43 slow-creep mode, and precisely while the bench is
+          // in its flagged state (review r19 finding)
+          var df: org.apache.spark.sql.DataFrame = null
           try {
-            val df = fn(spark, sfDir)
+            df = fn(spark, sfDir)
             df.count()
-            // release any ownership-tagged localCheckpoints the entry's
-            // plan created (packIdStream / epochAllocation discipline):
-            // without this, every run of every sweep parks another
-            // non-recomputable generation until the lazy ContextCleaner
-            // gets to it — the r16 l43 slow-creep mode
-            org.apache.spark.sql.graftshim.Bridge
-              .unpersistOwnedPlanCheckpoints(df)
           }
           catch { case e: Throwable =>
             err = Some(s"${e.getClass.getSimpleName}: " +
               Option(e.getMessage).getOrElse("").take(120))
+          }
+          finally if (df != null) {
+            try org.apache.spark.sql.graftshim.Bridge
+              .unpersistOwnedPlanCheckpoints(df)
+            catch { case _: Throwable => () }
           }
           (System.nanoTime() - t0) / 1e9
         }

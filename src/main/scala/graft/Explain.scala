@@ -10,22 +10,29 @@ import org.apache.spark.sql.SparkSession
 object Explain {
 
   /** Registry entries NOT covered by `doc`: an entry is covered when its
-    * full name appears (a `## name` section or an inherits-note mention)
-    * or its short id (the prefix before the first underscore, e.g.
-    * "l99") appears as a standalone token — the form the grouped
-    * inherits-note headers use. Shared by the generator (which REFUSES
+    * FULL name appears anywhere (a `## name` section or an inherits-note
+    * mention), or its short id (the prefix before the first underscore,
+    * e.g. "l99") appears as a standalone token in a `## ` HEADER line —
+    * the form the grouped inherits-note headers use. The short-id match
+    * is header-only on purpose (review r19 finding): body prose is full
+    * of incidental cross-references ("l28's funnel", "the m10 sniff"),
+    * and letting those count would green-light exactly the silent gap
+    * this check exists to catch. Shared by the generator (which REFUSES
     * to write an incomplete EXPLAIN.md) and PlanSpec (which holds the
     * checked-in file to the same bar) — the r17/r18 lesson that
     * regen-ordering discipline alone still leaks entries landed near
     * the regen boundary; completeness must be a red test, not timing.
     */
-  def missingCoverage(doc: String, keys: Iterable[String]): Seq[String] =
+  def missingCoverage(doc: String, keys: Iterable[String]): Seq[String] = {
+    val headers = doc.linesIterator.filter(_.startsWith("## "))
+      .mkString("\n")
     keys.toSeq.sorted.filterNot { k =>
       doc.contains(k) ||
         java.util.regex.Pattern.compile("\\b" +
           java.util.regex.Pattern.quote(k.takeWhile(_ != '_')) + "\\b")
-          .matcher(doc).find()
+          .matcher(headers).find()
     }
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.withDefaults(SparkSession.builder())
@@ -557,8 +564,13 @@ object Explain {
           def n(pat: String): Int =
             java.util.regex.Pattern.compile(pat).matcher(plan)
               .results().count().toInt
+          // shuffles counted by partitioning kind: a bare "Exchange"
+          // count also matches Broadcast/ReusedExchange nodes, so a
+          // reused broadcast would read as a phantom shuffle (review
+          // r19 finding)
+          val exch = n("Exchange (hashpartitioning|rangepartitioning|" +
+            "SinglePartition|RoundRobinPartitioning)")
           val bcast = n("BroadcastExchange")
-          val exch = n("Exchange") - bcast
           val digest = Seq(
             "exch" -> exch, "bcast" -> bcast,
             "bhj" -> n("BroadcastHashJoin"),

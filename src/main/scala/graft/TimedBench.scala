@@ -23,13 +23,19 @@ object TimedBench {
         // repeated runs must not accumulate superseded checkpoint
         // generations (that would make TimedBench measure a different
         // storage regime than the Bench it exists to reproduce)
+        var df: org.apache.spark.sql.DataFrame = null
         val n = try {
-          val df = fn(spark, sfDir)
-          val c = df.count()
-          org.apache.spark.sql.graftshim.Bridge
+          df = fn(spark, sfDir)
+          df.count()
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"$name ERR ${e.getMessage.take(100)}")
+            -1L
+        } finally if (df != null) {
+          try org.apache.spark.sql.graftshim.Bridge
             .unpersistOwnedPlanCheckpoints(df)
-          c
-        } catch { case e: Throwable => System.err.println(s"$name ERR ${e.getMessage.take(100)}"); -1L }
+          catch { case _: Throwable => () }
+        }
         System.err.println(f"TIMING $name%-24s run$i ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
       }
     }

@@ -28,16 +28,12 @@ object Verify {
     // registry (r8: st02/st04 vanished from CORRECTNESS rather than
     // appearing as failures — VERDICT item 6)
     val status = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var df: org.apache.spark.sql.DataFrame = null
       val err: Option[String] =
         try {
-          val df = fn(spark, sfDir)
+          df = fn(spark, sfDir)
           df.coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
-          // the dump is the plan's last execution — release any
-          // ownership-tagged localCheckpoints it pinned (packIdStream /
-          // epochAllocation discipline; harmless no-op otherwise)
-          org.apache.spark.sql.graftshim.Bridge
-            .unpersistOwnedPlanCheckpoints(df)
           None
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -56,6 +52,13 @@ object Verify {
               s"failed: ${e2.getMessage}")
           }
           Some(msg)
+        } finally if (df != null) {
+          // the dump (or the failure) is the plan's last execution —
+          // release ownership-tagged localCheckpoints on BOTH paths
+          // (packIdStream / epochAllocation discipline)
+          try org.apache.spark.sql.graftshim.Bridge
+            .unpersistOwnedPlanCheckpoints(df)
+          catch { case _: Throwable => () }
         }
       name -> err
     }

@@ -5242,7 +5242,15 @@ object LlmQueries {
         val meta = raw.filter(col("rec_type") === "metadata")
           .select(shard.as("meta_shard"),
             from_json(col("payload").cast("string"), metaSchema)
-              .as("j"))
+              .as("j0"))
+          // a payload that fails the parse must fail LOUDLY: a null
+          // struct would drop/mis-key the sample at the join while the
+          // oracle still emits it — silent divergence (review r19)
+          .select(col("meta_shard"),
+            when(col("j0").isNull,
+              raise_error(lit("m18: metadata payload failed JSON " +
+                "parse — corrupt archive or unescaped writer")))
+            .otherwise(col("j0")).as("j"))
           .select(col("j.src_url").as("src_url"),
             col("j.img_idx").as("img_idx"),
             col("j.img_url").as("img_url"),
@@ -5740,6 +5748,19 @@ object LlmQueries {
         lit("2026-01-01T00:00:00Z").as("warc_date"),
         col("content_type"),
         col("data").as("payload"))
+    // the JSON is concat-built (so the DuckDB oracle reconstructs the
+    // exact bytes), which is only sound while the text carries no JSON
+    // metacharacter — and m18 PARSES this payload, where a quote/
+    // backslash/control char would from_json to a null struct and
+    // silently diverge. The contract fails LOUDLY at write time instead
+    // (the fimTransform stance); a deployment with arbitrary text
+    // switches to to_json + a JSON-parsing oracle.
+    val safeText = when(col("text").rlike("[\"\\\\\\x00-\\x1f]"),
+        raise_error(lit("paired-archive metadata: text contains a JSON " +
+          "metacharacter (quote/backslash/control) — concat-built " +
+          "payload would be malformed; escape upstream or switch to " +
+          "to_json")))
+      .otherwise(col("text"))
     val metaRecs = keptPairs.select(
       lit("metadata").as("rec_type"),
       concat(col("src_url"), lit("#"), col("img_idx")).as("url"),
@@ -5748,7 +5769,7 @@ object LlmQueries {
       encode(concat(lit("{\"src_url\":\""), col("src_url"),
         lit("\",\"img_idx\":"), col("img_idx"),
         lit(",\"img_url\":\""), col("img_url"),
-        lit("\",\"text\":\""), col("text"), lit("\"}")), "UTF-8")
+        lit("\",\"text\":\""), safeText, lit("\"}")), "UTF-8")
         .as("payload"))
     (keptPairs, mediaRecs.unionByName(metaRecs))
   }

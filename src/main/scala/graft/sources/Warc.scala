@@ -865,8 +865,13 @@ object Warc {
     * [target, target + max_record)), and the assignment is a PURE
     * function of the record set: any input partitioning, any arrival
     * order, any cluster size produces byte-identical shards (spec-
-    * pinned under repartition). Input/output schema = writeTypedRecords'
-    * plus `shard_id`.
+    * pinned under repartition). Shard ids are OFFSET-derived, not
+    * sequence numbers: a single record larger than the target advances
+    * the running mass past whole shard widths, so ids may SKIP (e.g. a
+    * 3-target-sized record is followed by id+3) — readers must treat
+    * the id as a label, never iterate 0..n (spec-pinned with an
+    * oversized record). Input/output schema = writeTypedRecords' plus
+    * `shard_id`.
     */
   def assignShards(df: DataFrame, targetBytes: Long): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
@@ -913,8 +918,11 @@ object Warc {
     * files on the shard boundary), same attempt-unique temp + rename
     * commit as [[writeTypedRecords]]. Member order inside a shard is
     * the global (rec_type, url) order restricted to the shard, so the
-    * archive bytes are deterministic end-to-end. Returns the shard
-    * count.
+    * archive bytes are deterministic end-to-end. Returns the number of
+    * shard files written — the count of DISTINCT assigned ids, which
+    * is LESS than max_id+1 when an oversized record skips ids (see
+    * [[assignShards]]); file names carry the id, so never enumerate
+    * 0..n.
     */
   def writeShardedTypedRecords(df: DataFrame, dir: String,
                                targetBytes: Long): Long = {
@@ -932,14 +940,15 @@ object Warc {
       }
     }
     val assigned = assignShards(df, targetBytes)
-    val maxShard = assigned.agg(
-      org.apache.spark.sql.functions.max(col("shard_id"))).head()
-    if (maxShard.isNullAt(0)) { // empty input: no shards, no files
+    // DISTINCT ids, not max+1: an oversized record skips ids, and the
+    // return value must equal the file count (review r19 finding)
+    val nShards = assigned.agg(org.apache.spark.sql.functions
+      .countDistinct(col("shard_id"))).head().getLong(0)
+    if (nShards == 0L) { // empty input: no shards, no files
       org.apache.spark.sql.graftshim.Bridge
         .unpersistOwnedPlanCheckpoints(assigned)
       return 0L
     }
-    val nShards = maxShard.getLong(0) + 1L
     assigned
       .repartition(col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col("rec_type"), col("url"))

@@ -901,17 +901,56 @@ class WarcSpec extends AnyFunSuite {
     val aShuf = assignment(base.orderBy(rand(42)).repartition(3))
     assert(a1 == a7 && a1 == aShuf,
       "shard assignment drifted under repartitioning")
-    val shards = a1.values.toSet
-    assert(shards.min == 0L && shards == (0L until (shards.max + 1)).toSet,
-      s"shard ids must be contiguous from 0: $shards")
-    assert(shards.size > 3, s"fixture must exercise rotation: $shards")
+    // exact arithmetic: ids equal an INDEPENDENT driver-side fold over
+    // the (rec_type, url)-ordered members (floor(offset_before/target))
+    val ordered = base
+      .select(col("rec_type"), col("url"), length(col("payload")))
+      .as[(String, String, Int)].collect()
+      .sortBy(r => (r._1, r._2))
+    var off = 0L
+    val expected = ordered.map { case (_, url, n) =>
+      val id = off / 600L; off += n; url -> id }.toMap
+    assert(a1 == expected, s"ids != driver fold: ${
+      a1.toSet.diff(expected.toSet).take(3)}")
+    assert(a1.values.toSet.size > 3, "fixture must exercise rotation")
     // monotone: walking members in (rec_type, url) order never
     // decreases the shard id (the rotation invariant)
-    val ordered = Warc.assignShards(base, 600L)
+    val mono = Warc.assignShards(base, 600L)
       .orderBy(col("rec_type"), col("url"))
       .select("shard_id").as[Long].collect()
-    assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b },
+    assert(mono.zip(mono.tail).forall { case (a, b) => a <= b },
       "shard ids must be monotone along the member order")
+  }
+
+  test("oversized records SKIP shard ids (offset-derived labels, not " +
+      "sequence numbers) and the writer's return equals the actual " +
+      "file count") {
+    // one 2000-byte record among ~100-byte ones at a 600-byte target:
+    // the id after the giant advances by floor-width, leaving gaps
+    val rows = (0 until 20).map { i =>
+      val payload =
+        if (i == 7) Array.fill[Byte](2000)('x'.toByte)
+        else s"payload $i padded to size".getBytes("UTF-8")
+      ("resource", f"https://t.example/o$i%03d", "2026-01-01T00:00:00Z",
+        "application/octet-stream", payload)
+    }.toDF("rec_type", "url", "warc_date", "content_type", "payload")
+    val ids = Warc.assignShards(rows, 600L)
+      .select("url", "shard_id").as[(String, Long)].collect()
+      .toMap.values.toSet
+    assert(ids.size < ids.max + 1,
+      s"fixture must produce a gap: $ids") // the giant skipped ids
+    val dir = Files.createTempDirectory("graft-warc-oversize").toString
+    val n = Warc.writeShardedTypedRecords(rows, dir, 600L)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz"))
+    assert(files.length == n && n == ids.size,
+      s"writer returned $n, wrote ${files.length}, ids ${ids.size}")
+    // every member still lands in its assigned (possibly gapped) shard
+    val got = Warc.readRaw(spark, dir)
+      .filter(col("rec_type") =!= "warcinfo").count()
+    assert(got == 20, s"members: $got")
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
   }
 
   test("writeShardedTypedRecords rotates shard files at the size " +
