@@ -453,7 +453,13 @@ object Explain {
         "metadata members parsing their own JSON payloads (from_json — " +
         "the archive is self-describing), and two archive-sized " +
         "equi-joins re-assembling (metadata, media) into samples with " +
-        "both members' shard ids carried — nothing corpus-scale.\n")
+        "both members' shard ids carried — nothing corpus-scale. " +
+        "m19_sample_pack closes the loop's last step (gate → shard → " +
+        "load → PACK): m18's samples costed (text tokens + a fixed " +
+        "per-image vision budget), prefix-summed in document order by " +
+        "the keyedPrefixOffsets fold under a constant key (no global " +
+        "window), floor-divided into groups, aggregated to the pack " +
+        "manifest with an order-pinned member digest.\n")
       sb.append("\n## l99 / st25 — inherits-from notes\n\n")
       sb.append("l99_cross_source_dups consumes the SHARED checkpointed " +
         "LSH pair relation (the l02_minhash_lsh plan pinned above — " +

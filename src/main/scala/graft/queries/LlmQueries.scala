@@ -5223,50 +5223,110 @@ object LlmQueries {
     // documents/embeddings arithmetic, media md5/mass from the golden,
     // shard ids from the SAME offset window as m17's oracle.
     "m18_paired_samples" -> QuerySpec(
+      (s, dir) => m18Samples(s, dir, 40)
+        .orderBy(col("src_url"), col("img_idx")),
+      None, Some(dir => m18Sql("m15-mediamd5-40-v1", 40))),
+    // Multimodal SAMPLE PACKING (m19) — the batch-assembly step a VLM
+    // trainer runs over loaded samples (the l85/l110 discipline on the
+    // multimodal loop, closing gate → shard → load → PACK): each
+    // sample's token budget = its text tokens + a fixed per-image
+    // vision budget (64 — a ViT patch-grid constant), samples walk in
+    // DOCUMENT order ((doc_id, img_idx) — the numeric key, not string
+    // url order), the running budget mass assigns
+    // group = offset / target (the assignShards arithmetic on token
+    // mass — groups close when the mass passes the target, samples
+    // never split), and the output is the pack manifest: per-group
+    // sample count, token masses, and an order-pinned digest over the
+    // member sample keys. The offset fold is keyedPrefixOffsets under
+    // a constant key — the same no-global-window shape. Oracle: the
+    // m18 sample CTEs + a prefix-sum window + the same floor division.
+    "m19_sample_pack" -> QuerySpec(
       (s, dir) => {
-        val nImg = 40
-        val base = ensureShardedArchive(s, dir, nImg)
-        val raw = s.read
-          .format("graft.spark.datasource.WarcDataSource").load(base)
-        val shard = regexp_extract(col("file"),
-          "shard-(\\d+)\\.warc\\.gz", 1).cast("long")
-        val metaSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("src_url",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("img_idx",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("img_url",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("text",
-            org.apache.spark.sql.types.StringType)))
-        val meta = raw.filter(col("rec_type") === "metadata")
-          .select(shard.as("meta_shard"),
-            from_json(col("payload").cast("string"), metaSchema)
-              .as("j0"))
-          // a payload that fails the parse must fail LOUDLY: a null
-          // struct would drop/mis-key the sample at the join while the
-          // oracle still emits it — silent divergence (review r19)
-          .select(col("meta_shard"),
-            when(col("j0").isNull,
-              raise_error(lit("m18: metadata payload failed JSON " +
-                "parse — corrupt archive or unescaped writer")))
-            .otherwise(col("j0")).as("j"))
-          .select(col("j.src_url").as("src_url"),
-            col("j.img_idx").as("img_idx"),
-            col("j.img_url").as("img_url"),
-            col("j.text").as("text"), col("meta_shard"))
-        val media = raw.filter(col("rec_type") === "resource")
-          .select(col("url").as("img_url"),
-            md5(col("payload")).as("media_md5"),
-            col("n_bytes").as("media_bytes"),
-            shard.as("media_shard"))
-        meta.join(media, "img_url")
-          .select(col("src_url"), col("img_idx"), col("img_url"),
-            col("text"), col("media_md5"), col("media_bytes"),
-            col("meta_shard"), col("media_shard"))
-          .orderBy(col("src_url"), col("img_idx"))
-      }, None, Some(dir => m18Sql("m15-mediamd5-40-v1", 40))),
+        val samples = m18Samples(s, dir, 40)
+        val costed = samples.select(
+          lit("all").as("corpus"),
+          (regexp_extract(col("src_url"), "pages/(\\d+)\\.html", 1)
+            .cast("long") * 2 + col("img_idx")).as("ord"),
+          (TextAnalysis.tokenCount(col("text")).cast("long") +
+            lit(M19ImgTokens)).as("cost"),
+          concat(col("src_url"), lit("#"), col("img_idx"))
+            .as("sample"),
+          TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("text_tokens"))
+        val withOff = TextAnalysis.keyedPrefixOffsets(
+            costed.select(col("corpus"), col("ord"), col("cost")),
+            "corpus", "ord", "cost")
+          .join(costed.select(col("ord"), col("sample"),
+            col("text_tokens")), "ord")
+        withOff
+          .select(expr(s"offset_before div $M19TargetTokens")
+              .as("group_id"),
+            col("ord"), col("sample"), col("text_tokens"),
+            col("cost"))
+          .groupBy(col("group_id"))
+          .agg(count(lit(1)).as("n_samples"),
+            sum(col("text_tokens")).as("text_tokens"),
+            (count(lit(1)) * lit(M19ImgTokens)).as("img_tokens"),
+            sum(col("cost")).as("total_tokens"),
+            md5(concat_ws(",", transform(
+              array_sort(collect_list(struct(col("ord"),
+                col("sample")))),
+              x => x.getField("sample")))).as("members_md5"))
+          .orderBy(col("group_id"))
+      }, None, Some(dir => m19Sql("m15-mediamd5-40-v1", 40))),
   ) + m08Entry + m09Entry
+
+  /** The m18 sample loader — the sharded archive (ensure-once fixture)
+    * through the DSv2 source, both member classes re-joined into
+    * samples. Shared by m18 (which IS the loader) and m19 (which packs
+    * its output).
+    */
+  private def m18Samples(s: org.apache.spark.sql.SparkSession,
+      dir: String, nImg: Int): org.apache.spark.sql.DataFrame = {
+    val base = ensureShardedArchive(s, dir, nImg)
+    val raw = s.read
+      .format("graft.spark.datasource.WarcDataSource").load(base)
+    val shard = regexp_extract(col("file"),
+      "shard-(\\d+)\\.warc\\.gz", 1).cast("long")
+    val metaSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("src_url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("img_idx",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("img_url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val meta = raw.filter(col("rec_type") === "metadata")
+      .select(shard.as("meta_shard"),
+        from_json(col("payload").cast("string"), metaSchema)
+          .as("j0"))
+      // a payload that fails the parse must fail LOUDLY: a null
+      // struct would drop/mis-key the sample at the join while the
+      // oracle still emits it — silent divergence (review r19)
+      .select(col("meta_shard"),
+        when(col("j0").isNull,
+          raise_error(lit("m18: metadata payload failed JSON " +
+            "parse — corrupt archive or unescaped writer")))
+        .otherwise(col("j0")).as("j"))
+      .select(col("j.src_url").as("src_url"),
+        col("j.img_idx").as("img_idx"),
+        col("j.img_url").as("img_url"),
+        col("j.text").as("text"), col("meta_shard"))
+    val media = raw.filter(col("rec_type") === "resource")
+      .select(col("url").as("img_url"),
+        md5(col("payload")).as("media_md5"),
+        col("n_bytes").as("media_bytes"),
+        shard.as("media_shard"))
+    meta.join(media, "img_url")
+      .select(col("src_url"), col("img_idx"), col("img_url"),
+        col("text"), col("media_md5"), col("media_bytes"),
+        col("meta_shard"), col("media_shard"))
+  }
+
+  /** m19's per-image vision-token budget and pack target. */
+  private val M19ImgTokens: Long = 64L
+  private val M19TargetTokens: Long = 256L
 
   /** m13's oracle: per-stage pair counts chained as CTEs over the
     * arithmetic pair derivation + the raw-pixel dims/phash golden.
@@ -5895,11 +5955,13 @@ object LlmQueries {
        |    AS members_md5
        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
 
-  /** m18's oracle: the m16 member relation + m17's shard window, the
-    * two classes re-joined into samples exactly as the loader does.
+  /** The m18 sample-relation CTE chain (the m16 members + m17's shard
+    * window, re-joined into samples) — shared by the m18 and m19
+    * oracles (m19 packs exactly m18's output, enforced by sharing the
+    * CTEs).
     */
-  private def m18Sql(gname: String, nImg: Int): String =
-    s"""WITH ${m16MemberCtes(gname, nImg)},
+  private def m18SampleCtes(gname: String, nImg: Int): String =
+    s"""${m16MemberCtes(gname, nImg)},
        |mem AS (SELECT rec_type, url, payload_md5, n_bytes FROM media
        |        UNION ALL
        |        SELECT rec_type, url, payload_md5, n_bytes FROM meta),
@@ -5914,12 +5976,43 @@ object LlmQueries {
        |    n_bytes AS media_bytes, shard AS media_shard
        |  FROM sh WHERE rec_type = 'resource'),
        |mt AS (SELECT url AS murl, shard AS meta_shard
-       |  FROM sh WHERE rec_type = 'metadata')
-       |SELECT k.src_url, k.img_idx, k.img_url, k.text,
-       |  ms.media_md5, ms.media_bytes, mt.meta_shard, ms.media_shard
-       |FROM kp k JOIN ms USING (img_url)
-       |  JOIN mt ON mt.murl = k.src_url || '#' || k.img_idx
-       |ORDER BY src_url, img_idx""".stripMargin
+       |  FROM sh WHERE rec_type = 'metadata'),
+       |samp AS (SELECT k.src_url, k.img_idx, k.img_url, k.text,
+       |    ms.media_md5, ms.media_bytes, mt.meta_shard, ms.media_shard
+       |  FROM kp k JOIN ms USING (img_url)
+       |    JOIN mt ON mt.murl = k.src_url || '#' || k.img_idx)"""
+      .stripMargin
+
+  /** m18's oracle: the sample relation in (src_url, img_idx) order. */
+  private def m18Sql(gname: String, nImg: Int): String =
+    s"""WITH ${m18SampleCtes(gname, nImg)}
+       |SELECT * FROM samp ORDER BY src_url, img_idx""".stripMargin
+
+  /** m19's oracle: the sample relation costed (text tokens + the fixed
+    * per-image budget), prefix-summed in DOCUMENT order, floor-divided
+    * into groups, aggregated to the pack manifest.
+    */
+  private def m19Sql(gname: String, nImg: Int): String =
+    s"""WITH ${m18SampleCtes(gname, nImg)},
+       |c AS (SELECT src_url, img_idx,
+       |    CAST(regexp_extract(src_url, 'pages/(\\d+)\\.html', 1)
+       |      AS BIGINT) * 2 + img_idx AS ord,
+       |    len(list_filter(
+       |      regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |      x -> length(x) > 0))::BIGINT AS text_tokens
+       |  FROM samp),
+       |c2 AS (SELECT *, text_tokens + $M19ImgTokens AS cost,
+       |    src_url || '#' || img_idx AS sample FROM c),
+       |o2 AS (SELECT *, COALESCE(SUM(cost) OVER (ORDER BY ord
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    0)::BIGINT AS off FROM c2),
+       |g2 AS (SELECT *, off // $M19TargetTokens AS group_id FROM o2)
+       |SELECT group_id, COUNT(*)::BIGINT AS n_samples,
+       |  SUM(text_tokens)::BIGINT AS text_tokens,
+       |  (COUNT(*) * $M19ImgTokens)::BIGINT AS img_tokens,
+       |  SUM(cost)::BIGINT AS total_tokens,
+       |  md5(string_agg(sample, ',' ORDER BY ord)) AS members_md5
+       |FROM g2 GROUP BY group_id ORDER BY group_id""".stripMargin
 
   /** m11's oracle: pairs, features, and the (phash, text) dedup all
     * re-derived in DuckDB from documents arithmetic + the raw-pixel
