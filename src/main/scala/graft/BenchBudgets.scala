@@ -281,6 +281,15 @@ object BenchBudgets {
     "st28_warc_tail_stream" -> 1.5786,
     "p18_warc_dsv2" -> 0.0721,
     "l110_mixture_schedule" -> 0.8495,
+    // m19 pinned from min of target/bench_r19_idle{5,6}.json
+    // (0.8263/0.9026; idle6 zero-flag at 153.2 s, cal 0.5944). idle5's
+    // single st28 flag (5.27 vs 1.58 pin, cold 9.7, ALL probes idle)
+    // did not reproduce in idle6 (1.76–1.93, at-band) or idle2/3 with
+    // identical code — adjudicated a transient WRITE-IO window hitting
+    // the suite's write-heaviest streaming entry: the spin probe is
+    // ALU-only and the mem probe's IO leg is a CACHED READ, so neither
+    // sees write/fsync latency (candidate next-round probe leg).
+    "m19_sample_pack" -> 0.8263,
     "m01_media_features" -> 0.2213,
     "m02_frame_sample" -> 0.0812,
     "m03_media_resize" -> 0.0864,
