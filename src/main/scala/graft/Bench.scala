@@ -70,13 +70,25 @@ object Bench {
     * register loop cannot see IO or memory-bandwidth contention — the
     * tripwire confidently mis-flagged three entries, and the same
     * blindness would excuse a real IO regression's absence. Fixed work,
-    * two legs: (a) a read-modify-write sweep over a 128 MiB long array
-    * — far past L3, so each pass is DRAM traffic and inflates under a
-    * co-tenant memory hog; (b) a re-read of the KB-sized nation.parquet
-    * — page-cache/IO latency, inflating under disk pressure that leaves
-    * the ALU and DRAM legs idle. ~35 ms idle; the budget tripwire takes
-    * the MAX of the spin and mem probe ratios, so a uniform-elevation
-    * contention window reads as an excused spike instead of N flags.
+    * three legs: (a) a read-modify-write sweep over a 128 MiB long
+    * array — far past L3, so each pass is DRAM traffic and inflates
+    * under a co-tenant memory hog; (b) a re-read of the KB-sized
+    * nation.parquet — page-cache/read latency, inflating under disk
+    * pressure that leaves the ALU and DRAM legs idle. ~35 ms idle; the
+    * budget tripwire takes the MAX of the spin and mem probe ratios,
+    * so a uniform-elevation contention window reads as an excused
+    * spike instead of N flags.
+    *
+    * KNOWN REMAINING BLIND SPOT — write/flush latency (the r19 idle5
+    * window: st28, the suite's write-heaviest streaming entry, ran
+    * uniformly 3x pin while both probes sat idle; it vanished in the
+    * adjacent sweeps with identical code). A small fsync'd-write leg
+    * was PROTOTYPED AND REJECTED: under a sustained `dd conv=fsync`
+    * hog on the same filesystem it still read idle (ext4 commits a
+    * small file's fsync independently of other files' dirty pages), so
+    * it added ~15 ms/run without sensing the storm. Write-latency
+    * windows therefore remain adjudicate-by-resweep — the
+    * BenchBudgets m19-pin comment records the precedent.
     */
   private val memBuf = new Array[Long](1 << 24) // 128 MiB
   private def memProbe(sfDir: String): Double = {
