@@ -86,11 +86,15 @@ object Bench {
     * was PROTOTYPED AND REJECTED: under a sustained `dd conv=fsync`
     * hog on the same filesystem it still read idle (ext4 commits a
     * small file's fsync independently of other files' dirty pages), so
-    * it added ~15 ms/run without sensing the storm. Write-latency
-    * windows therefore remain adjudicate-by-resweep — the
-    * BenchBudgets m19-pin comment records the precedent.
+    * it added ~15 ms/run without sensing the storm. Since r20 the
+    * write-latency blind spot is covered OBSERVATIONALLY by the PSI
+    * sample around each run (see [[psiIo]]) — adjudication of such a
+    * window now reads the artifact's `psiio` value instead of costing
+    * a full resweep; the BenchBudgets m19-pin comment records the
+    * pre-PSI precedent.
     */
   private val memBuf = new Array[Long](1 << 24) // 128 MiB
+  @volatile private var ioLegWarned = false
   private def memProbe(sfDir: String): Double = {
     val t0 = System.nanoTime()
     var pass = 0
@@ -105,10 +109,64 @@ object Bench {
     val bytes =
       try java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"$sfDir/nation.parquet"))
-      catch { case _: java.io.IOException => Array.emptyByteArray }
+      catch { case e: java.io.IOException =>
+        // a dead IO leg silently reduces this probe to the DRAM sweep —
+        // the exact blind spot it exists to narrow. Warn ONCE so a sweep
+        // whose sfDir is wrong/remote reads as "IO leg dead", not
+        // "probes idle".
+        if (!ioLegWarned) {
+          ioLegWarned = true
+          System.err.println(
+            s"[bench] memProbe IO leg dead ($sfDir/nation.parquet: $e); " +
+              "probe degrades to DRAM-only for this sweep")
+        }
+        Array.emptyByteArray
+      }
     probeSink ^= memBuf(((t0 & 0x7FFFFF) | 1).toInt) + bytes.length
     (System.nanoTime() - t0) / 1e9
   }
+
+  /** Per-RUN IO-pressure sample — the probe family's write-latency sense
+    * (r19 VERDICT #1). Every open flag in r19 — the driver's l43/l44
+    * budget flags, two one-victim sweep transients (idle5 st28, idle7
+    * p17), the judge's sweep-1 l102/m18 flags — was one class: a host
+    * WRITE-latency storm that the ALU spin, the DRAM sweep, and the
+    * cached read all miss (and that a small fsync'd-write leg,
+    * prototyped and rejected, also missed — ext4 commits a small file's
+    * fsync independently of other files' dirty pages). Linux PSI
+    * measures the ACTUAL stall time instead of timing synthetic work:
+    * `/proc/pressure/io`'s `some total` is cumulative microseconds in
+    * which ≥1 runnable task was blocked on IO. Sampled immediately
+    * before and after each measured run, (Δtotal/1e6)/wall is the
+    * fraction of the run's wall the HOST spent IO-stalled — an entry's
+    * own writes contribute a small steady baseline (pinned by the idle
+    * sweeps), while a co-tenant write storm reads as a large excess.
+    * OBSERVATIONAL this round per the VERDICT: recorded in the artifact
+    * (`psiio` per-entry max, `psi_spikes` at a provisional 0.5
+    * stall-fraction threshold, per-run values in the sidecar `runs`
+    * quints) but NOT yet folded into the budget tripwire's runScale —
+    * that coupling needs a round of idle-baseline data first, so a
+    * write-heavy entry's own steady stall can't excuse a real
+    * regression. Returns (avg10, total_micros); None when PSI is
+    * unavailable (non-Linux, CONFIG_PSI=n) — psiio then reads 0.0 and
+    * `psi_available` in the artifact says so.
+    */
+  private def psiIo(): Option[(Double, Long)] =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get("/proc/pressure/io"))
+        .asScala.find(_.startsWith("some ")).flatMap { line =>
+          val kv = line.split("\\s+").drop(1).flatMap { tok =>
+            tok.split("=", 2) match {
+              case Array(k, v) => Some(k -> v)
+              case _           => None
+            }
+          }.toMap
+          for (a <- kv.get("avg10"); t <- kv.get("total"))
+            yield (a.toDouble, t.toLong)
+        }
+    } catch { case _: Exception => None }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -119,9 +177,16 @@ object Bench {
       spin(1L, 1L << 20); memProbe(sfDir) // JIT + first-touch page faults
       val ls = (1 to 15).map(_ => loadProbe()).sorted
       val ms = (1 to 15).map(_ => memProbe(sfDir)).sorted
+      // PSI stall fraction over a fixed 500 ms window (same derivation
+      // as the per-run sample: Δ some-total / wall)
+      val psi = {
+        val p0 = psiIo(); Thread.sleep(500); val p1 = psiIo()
+        (for ((_, t0) <- p0; (_, t1) <- p1)
+          yield (t1 - t0) / 1e6 / 0.5).getOrElse(-1.0)
+      }
       println(f"""{"load_probe_median":${ls(7)}%.4f,"load_probe_min":${
         ls.head}%.4f,"mem_probe_median":${ms(7)}%.4f,"mem_probe_min":${
-        ms.head}%.4f}""")
+        ms.head}%.4f,"psi_stall_frac":$psi%.4f}""")
       return
     }
     val spark = Sessions.withDefaults(SparkSession.builder())
@@ -208,7 +273,15 @@ object Bench {
         // inflates ALL of them).
         val samples = (1 to runsPer).map { _ =>
           val lp = loadProbe(); val mp = memProbe(sfDir)
-          (once(), lp, mp)
+          // PSI around the run itself: Δ(some total)/wall = fraction of
+          // the run's wall the host spent with ≥1 task IO-stalled
+          val p0 = psiIo()
+          val t = once()
+          val p1 = psiIo()
+          val psiStall = (for ((_, t0) <- p0; (_, t1) <- p1)
+            yield (t1 - t0) / 1e6 / math.max(t, 1e-9)).getOrElse(0.0)
+          val psiAvg10 = p0.map(_._1).getOrElse(0.0)
+          (t, lp, mp, psiStall, psiAvg10)
         }
         val times = samples.map(_._1).sorted
         val median = times(runsPer / 2)
@@ -227,6 +300,10 @@ object Bench {
       s"\"" + k + "\":" + f"$ld%.4f" }.mkString("{", ",", "}")
     val memloads = results.map { case (k, _, _, _, _, _, mld, _) =>
       s"\"" + k + "\":" + f"$mld%.4f" }.mkString("{", ",", "}")
+    // per-entry max IO-stall fraction (observational — see psiIo scaladoc)
+    val psiios = results.map { case (k, _, _, _, _, _, _, samples) =>
+      s"\"" + k + "\":" + f"${samples.map(_._4).max}%.4f"
+    }.mkString("{", ",", "}")
     // Exception messages routinely contain newlines (AnalysisException
     // embeds plan fragments); control chars must be \u-escaped or the
     // one-line JSON contract breaks exactly when a query fails.
@@ -276,7 +353,7 @@ object Bench {
               val allowance = math.max(
                 p * graft.BenchBudgets.Factor,
                 p + graft.BenchBudgets.AbsFloorSec)
-              samples.forall { case (t, lp, mp) =>
+              samples.forall { case (t, lp, mp, _, _) =>
                 t > allowance * runScale(lp, mp) } } =>
         k -> m
     }
@@ -297,8 +374,19 @@ object Bench {
     }
     val memSpikesJson =
       memSpikes.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // IO-pressure spikes: ≥ half the run's wall spent host-IO-stalled on
+    // ANY measured run. The threshold is PROVISIONAL (first round of PSI
+    // data) and observational only — it names the write-storm windows the
+    // other probes can't see; it does not scale any allowance yet.
+    val psiSpikes = results.collect {
+      case (k, _, _, _, _, _, _, samples)
+          if samples.exists(_._4 > 0.5) => k
+    }
+    val psiSpikesJson =
+      psiSpikes.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val psiAvailable = psiIo().isDefined
     val budget =
-      s""""budget_exceeded":$budgetJson,"budget_scale":${f"$calScale%.4f"},"load_spikes":$loadSpikesJson,"mem_spikes":$memSpikesJson"""
+      s""""budget_exceeded":$budgetJson,"budget_scale":${f"$calScale%.4f"},"load_spikes":$loadSpikesJson,"mem_spikes":$memSpikesJson,"psi_spikes":$psiSpikesJson,"psi_available":$psiAvailable"""
     // cold-start outliers: entries whose warmup run cost > 2x their
     // steady-state median — the entries a cold-context harness would have
     // flagged before the per-entry warmup existed
@@ -307,7 +395,7 @@ object Bench {
     }
     val coldOutliersJson =
       coldOutliers.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runsPer,"warmup_runs_per_query":1,"aggregation":"median",$cal,$budget,"cold_outliers":$coldOutliersJson,"errors":$errs,"queries":$qs,"spread":$spreads,"cold":$colds,"load":$loads,"memload":$memloads,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runsPer,"warmup_runs_per_query":1,"aggregation":"median",$cal,$budget,"cold_outliers":$coldOutliersJson,"errors":$errs,"queries":$qs,"spread":$spreads,"cold":$colds,"load":$loads,"memload":$memloads,"psiio":$psiios,"sf":"$sfDir"}"""
     println(fullLine)
     // Per-run (wall, adjacent-probe) pairs for EVERY entry, sidecar-only
     // (r13 VERDICT #1): a budget flag's burst-vs-real adjudication needs
@@ -317,8 +405,9 @@ object Bench {
     // outlived its burst. ~10 KB at 159 entries: file-sized, not
     // stdout-tail-sized, so it joins the sidecar line only.
     val runsJson = results.map { case (k, _, _, _, _, _, _, samples) =>
-      "\"" + k + "\":" + samples.map { case (t, lp, mp) =>
-        f"[$t%.4f,$lp%.4f,$mp%.4f]" }.mkString("[", ",", "]")
+      "\"" + k + "\":" + samples.map { case (t, lp, mp, ps, pa) =>
+        f"[$t%.4f,$lp%.4f,$mp%.4f,$ps%.4f,$pa%.4f]" }
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val sidecarLine = fullLine.dropRight(1) + s""","runs":$runsJson}"""
     // Compact summary: a consumer that keeps only the tail of stdout (or
@@ -353,7 +442,7 @@ object Bench {
     val top10 = results.sortBy(-_._2).take(10).map {
       case (k, m, _, _, _, _, _, _) =>
         "\"" + k + "\":" + f"$m%.4f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"bench_scalars","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},"max_median":${f"$maxMedian%.4f"},"aggregation":"median",$cal,"n_budget_exceeded":${exceeded.size},"n_load_spikes":${loadSpikes.size},"n_mem_spikes":${memSpikes.size},"n_cold_outliers":${coldOutliers.size},"n_errors":${results.count(_._4.isDefined)},"error_queries":$errNames,"slowest":$top10,"sidecar":"${jstr(sidecar)}","sf":"${jstr(sfDir)}"}""")
+    println(s"""{"metric":"bench_scalars","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},"max_median":${f"$maxMedian%.4f"},"aggregation":"median",$cal,"n_budget_exceeded":${exceeded.size},"n_load_spikes":${loadSpikes.size},"n_mem_spikes":${memSpikes.size},"n_psi_spikes":${psiSpikes.size},"n_cold_outliers":${coldOutliers.size},"n_errors":${results.count(_._4.isDefined)},"error_queries":$errNames,"slowest":$top10,"sidecar":"${jstr(sidecar)}","sf":"${jstr(sfDir)}"}""")
     spark.stop()
     // a broken query must not ride a green exit status: the errors map is
     // easy to miss in a 1.4 KB JSON line, rc != 0 is not

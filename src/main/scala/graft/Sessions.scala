@@ -50,4 +50,17 @@ object Sessions {
     * `Sessions.withDefaults(SparkSession.builder().master(...))`. */
   def withDefaults(b: SparkSession.Builder): SparkSession.Builder =
     readDefaults.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
+  /** `spark.sql.shuffle.partitions` as an Int, for sizing the two-phase
+    * fold's range partitioning (packTokenStream / keyedPrefixOffsets /
+    * assignShards / FullHistory.build / TxBodyFiles). The conf is not
+    * guaranteed numeric — some deployments set "auto" and let an
+    * adaptive layer resolve it — and the value here only SIZES a
+    * repartitionByRange, so a parse failure must not kill the fold:
+    * fall back to the cluster's default parallelism (ADVICE r19).
+    */
+  def shufflePartitions(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .filter(_ > 0)
+      .getOrElse(spark.sparkContext.defaultParallelism)
 }

@@ -95,7 +95,7 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val n = if (partitions > 0) partitions
-            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+            else graft.Sessions.shufflePartitions(spark)
     val lens = docs.select(col(idCol).cast("long").as("id"),
         (tokenCount(col(textCol)) + lit(1)).cast("long").as("len"))
       .repartitionByRange(n, col("id"))
@@ -1998,7 +1998,7 @@ object TextAnalysis {
     val spark = idsDf.sparkSession
     import spark.implicits._
     val n = if (partitions > 0) partitions
-            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+            else graft.Sessions.shufflePartitions(spark)
     val withEos = org.apache.spark.sql.graftshim.Bridge
       .markOwnedCheckpoint( // precise release target — see release()
         idsDf.select(col(idCol).cast("long").as("id"),
@@ -2098,7 +2098,7 @@ object TextAnalysis {
                          weightCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = graft.Sessions.shufflePartitions(spark)
     val typed = org.apache.spark.sql.graftshim.Bridge.markOwnedCheckpoint(
       df.select(col(keyCol).cast("string").as("k"),
           col(ordCol).cast("long").as("o"),
@@ -3784,18 +3784,33 @@ object TextAnalysis {
     */
   def epochAllocation(docs: DataFrame, budgetFactor: Int = 2,
                       maxEpochs: Int = 2, sourceCol: String = "source",
-                      textCol: String = "text"): DataFrame = {
+                      textCol: String = "text"): DataFrame =
+    epochAllocationFromCounts(
+      docs.groupBy(col(sourceCol).as("source"))
+        .agg(sum(tokenCount(col(textCol)).cast("long"))
+          .as("avail_tokens")),
+      budgetFactor, maxEpochs)
+
+  /** [[epochAllocation]] over an ALREADY-AGGREGATED per-source token
+    * mass relation (source, avail_tokens) — the arithmetic half, split
+    * out so a caller that already holds per-doc token counts (the l110
+    * mixture schedule) derives the allocation from them instead of
+    * paying a SECOND corpus-width tokenize (ADVICE r19 medium: at the
+    * 100 TB design point the tokenize is the most expensive stage, and
+    * mixtureSchedule was running it twice).
+    */
+  def epochAllocationFromCounts(sourceCounts: DataFrame,
+                                budgetFactor: Int = 2,
+                                maxEpochs: Int = 2): DataFrame = {
     // materialized ONCE (localCheckpoint): the totals aggregate and the
     // final cross join both consume it, and Spark does not dedupe
-    // common subplans — uncached, the corpus would tokenize twice.
-    // Ownership-tagged (the packIdStream discipline) so the harness can
-    // release this source-width pin the moment the report materializes,
-    // instead of leaving each bench sweep's generation to the lazy
-    // ContextCleaner.
+    // common subplans — uncached, the (possibly corpus-derived) counts
+    // plan would execute twice. Ownership-tagged (the packIdStream
+    // discipline) so the harness can release this source-width pin the
+    // moment the report materializes, instead of leaving each bench
+    // sweep's generation to the lazy ContextCleaner.
     val counts = org.apache.spark.sql.graftshim.Bridge.markOwnedCheckpoint(
-      docs.groupBy(col(sourceCol).as("source"))
-        .agg(sum(tokenCount(col(textCol)).cast("long")).as("avail_tokens"))
-        .localCheckpoint())
+      sourceCounts.localCheckpoint())
     val sq = quant(sqrt(col("avail_tokens").cast("double")), 6)
     val totals = counts.agg(
       sum(sq.cast("decimal(18,6)")).cast("double").as("z"),
@@ -3840,14 +3855,23 @@ object TextAnalysis {
                       sourceCol: String = "source",
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    val alloc = epochAllocation(docs, budgetFactor, maxEpochs,
-        sourceCol, textCol)
+    // the ONE corpus-width tokenize: a per-doc (source, doc_id,
+    // n_tokens) frame, eagerly checkpointed (ownership-tagged) because
+    // BOTH the allocation's per-source mass and the offset fold's
+    // weights derive from it — before r20 each derived its own
+    // tokenize pass, doubling the most expensive stage (ADVICE r19)
+    val perDoc = org.apache.spark.sql.graftshim.Bridge.markOwnedCheckpoint(
+      docs.select(col(sourceCol).cast("string").as("source"),
+          col(idCol).cast("long").as("doc_id"),
+          tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        .localCheckpoint())
+    val alloc = epochAllocationFromCounts(
+        perDoc.groupBy(col("source"))
+          .agg(sum(col("n_tokens")).as("avail_tokens")),
+        budgetFactor, maxEpochs)
       .select(col("source"), col("avail_tokens"), col("alloc_tokens"))
       // a tokenless source has no schedule (and would divide by zero)
       .filter(col("avail_tokens") > 0)
-    val perDoc = docs.select(col(sourceCol).cast("string").as("source"),
-      col(idCol).cast("long").as("doc_id"),
-      tokenCount(col(textCol)).cast("long").as("n_tokens"))
     val withOff = keyedPrefixOffsets(perDoc, "source", "doc_id",
       "n_tokens")
     // epochs materialize as a 2-row literal relation filtered by the

@@ -172,7 +172,7 @@ object FullHistory {
       plainCodeHash, plainStateAccounts, plainStateStorage, latestBlock,
       blockStart)
     val n = if (shufflePartitions > 0) shufflePartitions
-            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+            else graft.Sessions.shufflePartitions(spark)
 
     // ONE range exchange serves three consumers: it ranges on the GROUP key
     // (not the full sort key) so each W1 group lands wholly in one
@@ -249,7 +249,7 @@ object FullHistory {
       plainCodeHash, plainStateAccounts, plainStateStorage, latestBlock,
       blockStart)
     val n = if (shufflePartitions > 0) shufflePartitions
-            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+            else graft.Sessions.shufflePartitions(spark)
     val splitKeys = Seq(col("address"), col("isStorage"), col("gInc"),
       col("gSlot"), col("block"))
     val sorted = keyed

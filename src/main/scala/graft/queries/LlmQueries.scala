@@ -5848,12 +5848,20 @@ object LlmQueries {
     if (!done.exists()) {
       if (base.exists())
         org.apache.commons.io.FileUtils.deleteDirectory(base)
-      val (keptPairs, members) = m17MemberFrames(s, dir, nImg)
-      graft.sources.Warc.writeShardedTypedRecords(
-        members, base.toString, M17TargetBytes)
-      org.apache.spark.sql.graftshim.Bridge
-        .unpersistLocalCheckpoint(keptPairs)
-      done.createNewFile()
+      // a partial build (no _DONE) must not linger: the next call would
+      // rebuild anyway, but an abandoned half-written archive dir reads
+      // as fixture state it isn't (ADVICE r19)
+      try {
+        val (keptPairs, members) = m17MemberFrames(s, dir, nImg)
+        graft.sources.Warc.writeShardedTypedRecords(
+          members, base.toString, M17TargetBytes)
+        org.apache.spark.sql.graftshim.Bridge
+          .unpersistLocalCheckpoint(keptPairs)
+        done.createNewFile()
+      } catch { case e: Throwable =>
+        org.apache.commons.io.FileUtils.deleteQuietly(base)
+        throw e
+      }
     }
     base.getAbsolutePath
   }

@@ -1064,18 +1064,21 @@ object StreamingQueries {
             part: org.apache.spark.sql.DataFrame): Unit = {
           val tmp = java.nio.file.Files
             .createTempDirectory("graft-warc-inc").toString
-          graft.sources.Warc.write(
-            PipelineQueries.warcRowsOver(part).repartition(2), tmp)
-          // move parts in under lexically-increasing names — the
-          // source's append-only landing contract
-          new java.io.File(tmp).listFiles()
-            .filter(_.getName.endsWith(".warc.gz")).sortBy(_.getName)
-            .foreach { f =>
-              java.nio.file.Files.move(f.toPath,
-                java.nio.file.Paths.get(streamDir,
-                  s"$tag-${f.getName}"))
-            }
-          org.apache.commons.io.FileUtils
+          // finally: a failed write/move must not leak the staging dir
+          // on every retried sweep (ADVICE r19)
+          try {
+            graft.sources.Warc.write(
+              PipelineQueries.warcRowsOver(part).repartition(2), tmp)
+            // move parts in under lexically-increasing names — the
+            // source's append-only landing contract
+            new java.io.File(tmp).listFiles()
+              .filter(_.getName.endsWith(".warc.gz")).sortBy(_.getName)
+              .foreach { f =>
+                java.nio.file.Files.move(f.toPath,
+                  java.nio.file.Paths.get(streamDir,
+                    s"$tag-${f.getName}"))
+              }
+          } finally org.apache.commons.io.FileUtils
             .deleteDirectory(new java.io.File(tmp))
         }
         def drain(phase: Int): Unit = withStateSizing(s) {
@@ -1098,27 +1101,29 @@ object StreamingQueries {
             .start()
           q.awaitTermination()
         }
-        addIncrement("inc1", docs.filter(col("doc_id") % 2 === 0))
-        drain(1)
-        addIncrement("inc2", docs.filter(col("doc_id") % 2 === 1))
-        drain(2)
-        val result = s.read.parquet(outPq)
-          .orderBy(col("phase"), col("url")).collect()
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("phase",
-            org.apache.spark.sql.types.IntegerType, nullable = false),
-          org.apache.spark.sql.types.StructField("url",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("digest",
-            org.apache.spark.sql.types.StringType)))
-        // localize (archive-sized — the fixture corpus) so the temp
-        // dirs can be deleted before the frame is consumed
-        val local = s.createDataFrame(
-          java.util.Arrays.asList(result: _*), schema)
-        Seq(streamDir, ckpt, outPq).foreach(d =>
+        // finally: a failure anywhere mid-entry (a drain throwing, a
+        // malformed landing file) must not leak the landing/checkpoint/
+        // sink dirs on every retried bench/verify sweep (ADVICE r19)
+        try {
+          addIncrement("inc1", docs.filter(col("doc_id") % 2 === 0))
+          drain(1)
+          addIncrement("inc2", docs.filter(col("doc_id") % 2 === 1))
+          drain(2)
+          val result = s.read.parquet(outPq)
+            .orderBy(col("phase"), col("url")).collect()
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("phase",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("url",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("digest",
+              org.apache.spark.sql.types.StringType)))
+          // localize (archive-sized — the fixture corpus) so the temp
+          // dirs can be deleted before the frame is consumed
+          s.createDataFrame(java.util.Arrays.asList(result: _*), schema)
+        } finally Seq(streamDir, ckpt, outPq).foreach(d =>
           org.apache.commons.io.FileUtils
             .deleteDirectory(new java.io.File(d)))
-        local
       },
       Some("""SELECT 1 AS phase,
              |  'https://example.org/doc/' || doc_id AS url,

@@ -878,7 +878,7 @@ object Warc {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     import spark.implicits._
-    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = graft.Sessions.shufflePartitions(spark)
     val typed = org.apache.spark.sql.graftshim.Bridge.markOwnedCheckpoint(
       df.select(col("rec_type").cast("string"), col("url").cast("string"),
           col("warc_date").cast("string"),
@@ -1009,7 +1009,7 @@ object Warc {
   }
 
   /** One WARC record as ONE complete gzip member on `out`. */
-  private def writeMember(out: java.io.OutputStream, recType: String,
+  private[graft] def writeMember(out: java.io.OutputStream, recType: String,
                           url: String, date: String, contentType: String,
                           payload: Array[Byte]): Unit = {
     // GZIPOutputStream.finish() completes the member WITHOUT closing the

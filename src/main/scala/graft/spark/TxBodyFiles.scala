@@ -35,7 +35,7 @@ object TxBodyFiles {
     import spark.implicits._
     Files.createDirectories(Paths.get(dir))
     val n = if (partitions > 0) partitions
-            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+            else graft.Sessions.shufflePartitions(spark)
     val stats = encodedBlocks
       .repartitionByRange(n, col("block"), col("block_hash"))
       .sortWithinPartitions(col("block"), col("block_hash"))

@@ -61,15 +61,28 @@ object WarcDataSource {
     StructField("payload", BinaryType, nullable = false)))
 }
 
-class WarcTable(path: String) extends Table with SupportsRead {
+class WarcTable(path: String) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"warc($path)"
   override def schema(): StructType = WarcDataSource.schema
+  // ACCEPT_ANY_SCHEMA: the write shape (writeTypedRecords' 5 columns,
+  // + optional shard_id) is narrower than the read schema, whose
+  // `file`/`n_bytes` are scan-derived — Spark's byName output
+  // resolution would reject every legitimate write, so the sink
+  // validates its own shape (WarcWrite.validate, loud on anything
+  // unexpected) — the Kafka-sink pattern.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(path,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new WarcWriteBuilder(path, info.schema(), info.queryId())
 }
 
 class WarcScanBuilder(path: String,
@@ -151,10 +164,22 @@ class WarcScanBuilder(path: String,
 
   // Spark does not push filters/pruning into streaming DSv2 scans (the
   // DatDataSource finding, verified on 4.1.2) — the stream reads the
-  // full schema and composes with .filter()
+  // full schema and composes with .filter(). The stream's reader
+  // factory emits the full 7-column schema unconditionally, so that
+  // version-specific behavior is load-bearing: if a future Spark
+  // starts pruning/pushing into streaming scans, rows would silently
+  // misalign against readSchema(). Fail loudly instead (ADVICE r19).
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(required == WarcDataSource.schema && pushed.isEmpty,
+      s"warc($path): streaming scan built with pruned columns " +
+        s"[${required.fieldNames.mkString(",")}] or pushed filters " +
+        s"(${pushed.length}) — this Spark version prunes streaming " +
+        "DSv2 scans, but WarcMicroBatchStream's reader emits the full " +
+        "schema; teach createReaderFactory the pruned column list " +
+        "before trusting this stream")
     new WarcMicroBatchStream(path, maxFilesPerTrigger)
+  }
 }
 
 case class WarcInputPartition(file: String) extends InputPartition
@@ -330,5 +355,466 @@ class WarcReaderFactory(conf: graft.sources.Warc.ShippedConf,
 
       override def close(): Unit = ()
     }
+  }
+}
+// ---- write path (the paired-corpus sink as first-class DSv2; r19
+// VERDICT #2) ----
+//
+//   Warc.assignShards(df, targetBytes)             // sharded build
+//     .write.format("graft.spark.datasource.WarcDataSource")
+//     .mode("overwrite").save(dir)
+//
+//   df.write.format(...).mode("append").save(dir)  // plain parts
+//
+//   df.writeStream.format(...).option("checkpointLocation", ckpt)
+//     .start(landingDir)                           // landing appends
+//
+// Input schema is the writeTypedRecords shape — (rec_type, url,
+// warc_date, content_type, payload) — plus an OPTIONAL shard_id
+// (assignShards' column): its presence switches the sink into
+// size-targeted shard rotation. The table declares ACCEPT_ANY_SCHEMA
+// (the Kafka-sink pattern: the write shape is narrower than the read
+// schema, whose `file`/`n_bytes` are scan-derived), so the builder
+// validates the shape itself and fails loudly on anything else.
+//
+// Commit protocol is the .dat sink's two-phase commit: tasks stream
+// their (pre-arranged) partitions into attempt-unique TEMP names and
+// send (finalName, tempName) pairs to the driver; BatchWrite.commit
+// renames everything into place (truncate additionally GCs the
+// previous snapshot's files AFTER the renames); abort deletes temps
+// and leaves the previous files untouched. The STREAMING sink appends
+// one increment per epoch under lexically-INCREASING names
+// (stream-<epoch>-<seq>.warc.gz — the micro-batch source's append-only
+// landing contract), with a replay guard persisted in a `_warc_stream`
+// sidecar (invisible to the *.warc/*.warc.gz read globs): a replayed
+// epoch after a crash drops its temps instead of double-appending, and
+// a DIFFERENT query's stream id fails loudly (the landing dir has one
+// producer — the StateFiles.lastStreamBatch contract).
+//
+// Shard rotation is NOT writer state: the Write declares
+// RequiresDistributionAndOrdering (clustered by shard_id, ordered by
+// (shard_id, rec_type, url)) and Spark plans the exchange + sort —
+// each shard file is then written whole by exactly one task, rotating
+// on the boundary, byte-identical to writeShardedTypedRecords' output
+// (WarcSpec-pinned). Sharded mode is a BUILD operation: ids restart at
+// 0 for every assignment, so appending into a dir that already has
+// shard files would collide — overwrite only. Streaming + shard_id is
+// rejected for the same reason (ids would collide across epochs).
+
+class WarcWriteBuilder(path: String, schema: StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new WarcWrite(path, schema, doTruncate, queryId)
+}
+
+object WarcWrite {
+  private val Required: Seq[(String, DataType)] = Seq(
+    "rec_type" -> StringType, "url" -> StringType,
+    "warc_date" -> StringType, "content_type" -> StringType,
+    "payload" -> BinaryType)
+
+  /** ACCEPT_ANY_SCHEMA skips Spark's byName output resolution, so the
+    * shape check is OURS to make — and it must fail loudly: an extra
+    * column would otherwise be silently dropped from the archive, and
+    * a wrong type would corrupt members at write time.
+    */
+  private[datasource] def validate(path: String,
+                                   schema: StructType): Boolean = {
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    Required.foreach { case (n, t) =>
+      require(byName.get(n).contains(t),
+        s"warc sink $path: input must carry $n: ${t.simpleString} " +
+          s"(got schema ${schema.simpleString}) — the " +
+          "writeTypedRecords shape, plus an optional shard_id: bigint " +
+          "from Warc.assignShards")
+    }
+    val extra = schema.fieldNames.toSet --
+      Required.map(_._1).toSet - "shard_id"
+    require(extra.isEmpty,
+      s"warc sink $path: unexpected columns ${extra.mkString(", ")} — " +
+        "a WARC member has no home for them; drop or fold them into " +
+        "the payload before writing")
+    if (schema.fieldNames.contains("shard_id")) {
+      require(byName("shard_id") == LongType,
+        s"warc sink $path: shard_id must be bigint (assignShards' " +
+          s"column), got ${byName("shard_id").simpleString}")
+      true
+    } else false
+  }
+
+  private[datasource] def fs(path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(
+      graft.sources.Warc.sessionHadoopConf(SparkSession.active)), p)
+  }
+
+  /** Largest existing part number + 1 — fresh names for every write
+    * (the .dat nextPartBase stance): an overwrite's renames then never
+    * land on a name the previous snapshot used, so a reader holding
+    * the old listing keeps reading old bytes until the post-commit GC.
+    */
+  private[datasource] def nextPartBase(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Int = {
+    val re = "part-(\\d{5})\\.warc\\.gz".r
+    val listed = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(dir, "part-*.warc.gz")))
+      .fold(Seq.empty[org.apache.hadoop.fs.FileStatus])(_.toSeq)
+    listed.map(_.getPath.getName).flatMap {
+      case re(n) => Some(n.toInt)
+      case _     => None
+    }.maxOption.fold(0)(_ + 1)
+  }
+}
+
+case class WarcCommitMessage(files: Seq[(String, String)], rows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class WarcWrite(path: String, schema: StructType, truncate: Boolean,
+                queryId: String)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite
+    with org.apache.spark.sql.connector.write
+      .RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.write._
+
+  private val sharded = WarcWrite.validate(path, schema)
+
+  override def toBatch: BatchWrite = this
+
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!truncate,
+      "warc streaming sink supports append output mode only — a " +
+        "landing directory only ever EXTENDS (the micro-batch " +
+        "source's offset contract)")
+    require(!sharded,
+      "warc streaming sink cannot rotate shards: assignShards ids " +
+        "restart at 0 per batch and would collide across epochs — " +
+        "drop shard_id; epochs are the increment unit")
+    require(queryId.nonEmpty, "streaming write without a query id")
+    new WarcStreamingWrite(path, schema, queryId)
+  }
+
+  // shard rotation is planned, not improvised: Spark inserts the
+  // clustered exchange + per-partition sort, and the writer only
+  // rotates files on the boundary — the same plan
+  // writeShardedTypedRecords builds by hand
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (sharded)
+      org.apache.spark.sql.connector.distributions.Distributions
+        .clustered(Array(
+          org.apache.spark.sql.connector.expressions.Expressions
+            .identity("shard_id")))
+    else org.apache.spark.sql.connector.distributions.Distributions
+      .unspecified()
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (!sharded)
+      Array.empty // plain mode preserves the caller's row order
+    else {
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+      Array("shard_id", "rec_type", "url").map(c =>
+        Expressions.sort(Expressions.identity(c),
+          SortDirection.ASCENDING))
+    }
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val (fs, dir) = WarcWrite.fs(path)
+    fs.mkdirs(dir)
+    val partBase = if (sharded) 0 else WarcWrite.nextPartBase(fs, dir)
+    if (sharded && !truncate) {
+      // shard ids restart at 0 per assignment — appending a second
+      // assignment into the same dir would collide names/ids
+      val existing = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(dir, "shard-*.warc.gz")))
+        .fold(0)(_.length)
+      require(existing == 0,
+        s"warc sink $path: cannot append a sharded assignment into a " +
+          s"directory with $existing existing shard files (ids would " +
+          "collide) — use mode(\"overwrite\") to rebuild the archive")
+    }
+    new WarcWriterFactory(path, schema,
+      new graft.sources.Warc.ShippedConf(
+        graft.sources.Warc.sessionHadoopConf(SparkSession.active)),
+      sharded, partBase, epochId = -1L)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages
+      .collect { case m: WarcCommitMessage => m.files }.flatten
+      .sortBy(_._1)
+    val (fs, dir) = WarcWrite.fs(path)
+    files.foreach { case (name, tmp) =>
+      val dst = new org.apache.hadoop.fs.Path(dir, name)
+      // a RETRIED driver commit may find its own earlier rename: the
+      // fresh-names discipline means any existing dst belongs to THIS
+      // write, so replacing is safe
+      if (fs.exists(dst)) fs.delete(dst, false)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+        throw new java.io.IOException(
+          s"warc commit failed: rename $tmp -> $dst")
+    }
+    if (truncate) {
+      // snapshot is live; files outside the committed set are garbage
+      val keep = files.map(_._1).toSet
+      Seq("part-*.warc.gz", "shard-*.warc.gz").foreach { g =>
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir, g)))
+          .fold(Seq.empty[org.apache.hadoop.fs.FileStatus])(_.toSeq)
+          .foreach { s =>
+            if (!keep.contains(s.getPath.getName))
+              try fs.delete(s.getPath, false)
+              catch { case _: java.io.IOException => () } // best-effort
+          }
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, _) = WarcWrite.fs(path)
+    messages.collect { case m: WarcCommitMessage => m.files }
+      .flatten.foreach { case (_, tmp) =>
+        try fs.delete(new org.apache.hadoop.fs.Path(tmp), false)
+        catch { case _: java.io.IOException => () }
+      }
+  }
+}
+
+/** One DataWriter implementation for all three modes — plain parts
+  * (one file per non-empty partition), shard rotation (file switch on
+  * the pre-sorted shard_id boundary), and streaming epochs (plain
+  * parts under epoch-tagged names). Column indices are resolved by
+  * NAME at factory build (ACCEPT_ANY_SCHEMA means the input's column
+  * order is the caller's); nulls fail loudly — a null member field has
+  * no WARC encoding, and writing an empty one would silently diverge
+  * from the frame that claimed the row.
+  */
+class WarcWriterFactory(path: String, schema: StructType,
+                        conf: graft.sources.Warc.ShippedConf,
+                        sharded: Boolean, partBase: Int, epochId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+
+  private val iRec = schema.fieldIndex("rec_type")
+  private val iUrl = schema.fieldIndex("url")
+  private val iDate = schema.fieldIndex("warc_date")
+  private val iCt = schema.fieldIndex("content_type")
+  private val iPay = schema.fieldIndex("payload")
+  private val iShard = if (sharded) schema.fieldIndex("shard_id") else -1
+
+  // batch entry point
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    writer(partitionId, taskId, epochId)
+
+  // streaming entry point (epoch rides the name; the factory's own
+  // epochId field is the batch sentinel -1)
+  override def createWriter(partitionId: Int, taskId: Long, epoch: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    writer(partitionId, taskId, epoch)
+
+  private def writer(partitionId: Int, taskId: Long, epoch: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(conf.value)
+      private var out: org.apache.hadoop.fs.FSDataOutputStream = _
+      private var curShard = -1L
+      private var rows = 0L
+      private val committed =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      private var curFinal: String = _
+      private var curTmp: org.apache.hadoop.fs.Path = _
+
+      private def open(finalName: String): Unit = {
+        curFinal = finalName
+        curTmp = new org.apache.hadoop.fs.Path(path,
+          s".tmp-$finalName-attempt-$taskId")
+        out = fs.create(curTmp, true)
+        graft.sources.Warc.writeMember(out, "warcinfo", "",
+          "2026-01-01T00:00:00Z", "application/warc-fields",
+          "software: graft-warc-fixture/1.0\r\n".getBytes("UTF-8"))
+      }
+
+      private def roll(): Unit = if (out != null) {
+        out.close()
+        committed += ((curFinal, curTmp.toString))
+        out = null
+      }
+
+      private def str(r: InternalRow, i: Int, n: String): String = {
+        require(!r.isNullAt(i), s"warc sink $path: null $n")
+        r.getUTF8String(i).toString
+      }
+
+      override def write(r: InternalRow): Unit = {
+        if (sharded) {
+          require(!r.isNullAt(iShard),
+            s"warc sink $path: null shard_id")
+          val shard = r.getLong(iShard)
+          if (shard != curShard) {
+            roll()
+            curShard = shard
+            open(f"shard-$shard%05d.warc.gz")
+          }
+        } else if (out == null) {
+          val name =
+            if (epoch >= 0L)
+              f"stream-$epoch%012d-${partBase + partitionId}%05d.warc.gz"
+            else f"part-${partBase + partitionId}%05d.warc.gz"
+          open(name)
+        }
+        require(!r.isNullAt(iPay), s"warc sink $path: null payload")
+        graft.sources.Warc.writeMember(out, str(r, iRec, "rec_type"),
+          str(r, iUrl, "url"), str(r, iDate, "warc_date"),
+          str(r, iCt, "content_type"), r.getBinary(iPay))
+        rows += 1
+      }
+
+      override def commit()
+          : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        roll()
+        WarcCommitMessage(committed.toSeq, rows)
+      }
+
+      override def abort(): Unit = {
+        if (out != null) {
+          try out.close()
+          catch { case _: java.io.IOException => () }
+          try fs.delete(curTmp, false)
+          catch { case _: java.io.IOException => () }
+        }
+        committed.foreach { case (_, tmp) =>
+          try fs.delete(new org.apache.hadoop.fs.Path(tmp), false)
+          catch { case _: java.io.IOException => () }
+        }
+      }
+
+      override def close(): Unit = ()
+    }
+}
+
+/** The streaming half: one append increment per epoch under lexically
+  * increasing names, replay-guarded by the `_warc_stream` sidecar.
+  */
+class WarcStreamingWrite(path: String, schema: StructType,
+                         queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write._
+  import org.apache.spark.sql.connector.write.streaming._
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val (fs, dir) = WarcWrite.fs(path)
+    fs.mkdirs(dir)
+    // ownership check ONCE at query start: a landing dir has one
+    // producer; a second query appending interleaved epochs would
+    // corrupt both replay guards
+    WarcStreamState.read(fs, dir).foreach { case (owner, _) =>
+      require(owner == queryId,
+        s"warc landing dir $path is stream-owned by query $owner; " +
+          s"refusing appends from query $queryId — reset the sidecar " +
+          "or write to a fresh landing dir")
+    }
+    new WarcWriterFactory(path, schema,
+      new graft.sources.Warc.ShippedConf(
+        graft.sources.Warc.sessionHadoopConf(SparkSession.active)),
+      sharded = false, partBase = 0, epochId = 0L)
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages
+      .collect { case m: WarcCommitMessage => m.files }.flatten
+      .sortBy(_._1)
+    val (fs, dir) = WarcWrite.fs(path)
+    // replay guard: an epoch re-delivered after a crash between THIS
+    // commit and the streaming checkpoint's must drop its temps, not
+    // append twice (the .dat lastStreamBatch contract)
+    WarcStreamState.read(fs, dir) match {
+      case Some((owner, last)) =>
+        require(owner == queryId,
+          s"warc landing dir $path is stream-owned by query $owner; " +
+            s"refusing epoch $epochId from query $queryId")
+        if (last >= epochId) {
+          files.foreach { case (_, tmp) =>
+            try fs.delete(new org.apache.hadoop.fs.Path(tmp), false)
+            catch { case _: java.io.IOException => () }
+          }
+          return
+        }
+      case None => ()
+    }
+    files.foreach { case (name, tmp) =>
+      val dst = new org.apache.hadoop.fs.Path(dir, name)
+      if (fs.exists(dst)) fs.delete(dst, false) // retried commit
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+        throw new java.io.IOException(
+          s"warc stream commit failed: rename $tmp -> $dst")
+    }
+    // the sidecar lands LAST: a crash before this line replays the
+    // epoch (names are epoch-tagged, so the replacing renames are
+    // idempotent); a crash after it skips the replay
+    WarcStreamState.write(fs, dir, queryId, epochId)
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, _) = WarcWrite.fs(path)
+    messages.collect { case m: WarcCommitMessage => m.files }
+      .flatten.foreach { case (_, tmp) =>
+        try fs.delete(new org.apache.hadoop.fs.Path(tmp), false)
+        catch { case _: java.io.IOException => () }
+      }
+  }
+}
+
+/** The `_warc_stream` sidecar: `queryId\nlastEpoch` (starts with `_`,
+  * so the read globs never see it). Written atomically (temp + rename)
+  * so a reader never parses a torn state.
+  */
+object WarcStreamState {
+  private val Name = "_warc_stream"
+
+  def read(fs: org.apache.hadoop.fs.FileSystem,
+           dir: org.apache.hadoop.fs.Path): Option[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir, Name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes =
+        try org.apache.commons.io.IOUtils.toByteArray(in)
+        finally in.close()
+      new String(bytes, "UTF-8").split("\n", 2) match {
+        case Array(id, e) => Some((id.trim, e.trim.toLong))
+        case _ => throw new java.io.IOException(
+          s"torn warc stream sidecar at $p")
+      }
+    }
+  }
+
+  def write(fs: org.apache.hadoop.fs.FileSystem,
+            dir: org.apache.hadoop.fs.Path, queryId: String,
+            epoch: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$Name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$queryId\n$epoch".getBytes("UTF-8"))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, Name)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"warc stream sidecar commit failed: rename $tmp -> $dst")
   }
 }

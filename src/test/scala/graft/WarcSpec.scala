@@ -1046,6 +1046,168 @@ class WarcSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }
+
+  // ---- DSv2 write path (r19 VERDICT #2) ----
+
+  private def fileBytes(dir: String): Map[String, Seq[Byte]] =
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz"))
+      .map(f => f.getName ->
+        java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+
+  test("DSv2 sharded write is byte-identical to " +
+      "writeShardedTypedRecords: assignShards + " +
+      "df.write.format(...).mode(overwrite) produces the same shard " +
+      "files from ANY input partitioning") {
+    val base = typedRows(60)
+    val viaLib = Files.createTempDirectory("graft-wsink-lib").toString
+    Warc.writeShardedTypedRecords(base, viaLib, targetBytes = 600L)
+    val viaSink = Files.createTempDirectory("graft-wsink-dsv2").toString
+    // scramble the input: the Write DECLARES clustering/ordering on
+    // shard_id and Spark must plan the exchange + sort itself
+    Warc.assignShards(base, 600L).orderBy(rand(7)).repartition(5)
+      .write.format("graft.spark.datasource.WarcDataSource")
+      .mode("overwrite").save(viaSink)
+    val lib = fileBytes(viaLib)
+    val sink = fileBytes(viaSink)
+    assert(sink.keySet == lib.keySet,
+      s"shard sets differ: ${sink.keySet} vs ${lib.keySet}")
+    sink.keySet.foreach { n =>
+      assert(sink(n) == lib(n), s"shard $n bytes differ")
+    }
+    assert(new java.io.File(viaSink).listFiles()
+      .forall(!_.getName.startsWith(".tmp")), "temp files leaked")
+    Seq(viaLib, viaSink).foreach(d => org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(d)))
+  }
+
+  test("DSv2 plain batch write: append assigns FRESH part numbers " +
+      "after the existing ones; overwrite publishes the new snapshot " +
+      "and GCs the previous files") {
+    val dir = Files.createTempDirectory("graft-wsink-plain").toString
+    val a = typedRows(12).repartitionByRange(2, col("url"))
+      .sortWithinPartitions(col("url"))
+    a.write.format("graft.spark.datasource.WarcDataSource")
+      .mode("append").save(dir)
+    a.write.format("graft.spark.datasource.WarcDataSource")
+      .mode("append").save(dir)
+    val names1 = fileBytes(dir).keySet
+    assert(names1 == Set("part-00000.warc.gz", "part-00001.warc.gz",
+      "part-00002.warc.gz", "part-00003.warc.gz"), names1)
+    assert(Warc.readRaw(spark, dir)
+      .filter(col("rec_type") =!= "warcinfo").count() == 24)
+    // overwrite: 1 new partition, previous 4 files GC'd after commit
+    typedRows(5).coalesce(1)
+      .write.format("graft.spark.datasource.WarcDataSource")
+      .mode("overwrite").save(dir)
+    val names2 = fileBytes(dir).keySet
+    assert(names2 == Set("part-00004.warc.gz"),
+      s"overwrite left stale files: $names2")
+    assert(Warc.readRaw(spark, dir)
+      .filter(col("rec_type") =!= "warcinfo").count() == 5)
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("DSv2 write validates its own shape LOUDLY (ACCEPT_ANY_SCHEMA " +
+      "skips Spark's resolution): extra column, wrong shard_id type, " +
+      "missing column, sharded append collision, sharded streaming") {
+    val dir = Files.createTempDirectory("graft-wsink-shape").toString
+    def boom(df: org.apache.spark.sql.DataFrame,
+             mode: String = "append"): Throwable =
+      intercept[Throwable] {
+        df.write.format("graft.spark.datasource.WarcDataSource")
+          .mode(mode).save(dir)
+      }
+    def messages(t: Throwable): String = {
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    }
+    val base = typedRows(6)
+    assert(messages(boom(base.withColumn("junk", lit(1))))
+      .contains("unexpected columns"))
+    assert(messages(boom(base.withColumn("shard_id", lit(0.5))))
+      .contains("shard_id must be bigint"))
+    assert(messages(boom(base.drop("warc_date")))
+      .contains("warc_date"))
+    // sharded append into a dir that already has shard files collides
+    Warc.assignShards(base, 600L)
+      .write.format("graft.spark.datasource.WarcDataSource")
+      .mode("overwrite").save(dir)
+    assert(messages(boom(Warc.assignShards(base, 600L)))
+      .contains("ids would collide"))
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("DSv2 streaming sink: epochs land as lexically-increasing " +
+      "increments through writeStream.format(...), and the sidecar " +
+      "replay guard makes a re-delivered epoch a no-op") {
+    val dir = Files.createTempDirectory("graft-wsink-stream").toString
+    val ckpt = Files.createTempDirectory("graft-wsink-ckpt").toString
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, String, String, String,
+      Array[Byte])]
+    val q = mem.toDF()
+      .toDF("rec_type", "url", "warc_date", "content_type", "payload")
+      .writeStream
+      .format("graft.spark.datasource.WarcDataSource")
+      .option("checkpointLocation", ckpt)
+      .start(dir)
+    def recs(tag: String, n: Int) = (0 until n).map(i =>
+      ("conversion", s"https://t.example/$tag/$i",
+        "2026-01-01T00:00:00Z", "text/plain",
+        s"body $tag $i".getBytes("UTF-8")))
+    mem.addData(recs("inc1", 4): _*)
+    q.processAllAvailable()
+    mem.addData(recs("inc2", 3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val names = fileBytes(dir).keySet.toSeq.sorted
+    assert(names.forall(_.matches("stream-\\d{12}-\\d{5}\\.warc\\.gz")),
+      s"epoch naming: $names")
+    // two distinct epochs, names strictly increasing epoch-major
+    val epochs = names.map(_.substring(7, 19)).distinct
+    assert(epochs.size == 2, s"expected 2 epochs: $names")
+    assert(Warc.readRaw(spark, dir)
+      .filter(col("rec_type") === "conversion").count() == 7)
+    // replay guard, driven directly at the StreamingWrite surface: a
+    // crash between the sink commit and the engine's checkpoint commit
+    // re-delivers the epoch; the sidecar must swallow it
+    val hconf = Warc.sessionHadoopConf(spark)
+    val hdir = new org.apache.hadoop.fs.Path(dir)
+    val fs = hdir.getFileSystem(hconf)
+    val sidecar = graft.spark.datasource.WarcStreamState.read(fs, hdir)
+    assert(sidecar.exists(_._2 == 1L), s"sidecar after 2 epochs: " +
+      s"$sidecar")
+    val owner = sidecar.get._1
+    val sw = new graft.spark.datasource.WarcStreamingWrite(dir,
+      mem.toDF().toDF("rec_type", "url", "warc_date", "content_type",
+        "payload").schema, owner)
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".tmp-replay")
+    val out = fs.create(tmp, true)
+    out.write("x".getBytes); out.close()
+    sw.commit(1L, Array(graft.spark.datasource.WarcCommitMessage(
+      Seq(("stream-000000000001-99999.warc.gz", tmp.toString)), 1L)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
+      "stream-000000000001-99999.warc.gz")),
+      "replayed epoch must not publish")
+    assert(!fs.exists(tmp), "replayed epoch must drop its temps")
+    assert(Warc.readRaw(spark, dir)
+      .filter(col("rec_type") === "conversion").count() == 7)
+    // a DIFFERENT query id is not a replay — it is a second producer,
+    // and the landing dir refuses it loudly
+    val alien = intercept[IllegalArgumentException] {
+      new graft.spark.datasource.WarcStreamingWrite(dir,
+        mem.toDF().toDF("rec_type", "url", "warc_date", "content_type",
+          "payload").schema, "someone-else")
+        .commit(2L, Array.empty)
+    }
+    assert(alien.getMessage.contains("stream-owned"))
+    Seq(dir, ckpt).foreach(d => org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(d)))
+  }
 }
 
 /** Local filesystem under a scheme that ONLY exists via programmatic
