@@ -543,7 +543,20 @@ object Explain {
           "checkpoint-resumed drains read only new files, and a " +
           "directory mutated under a live stream fails loudly " +
           "(StreamingSpec-pinned) — each micro-batch is the " +
-          "file-per-split batch reader over its own increment.\n")
+          "file-per-split batch reader over its own increment.\n" +
+        "- st29_paired_stream_loader — st28's tail feeding the m18 " +
+          "re-join PER MICRO-BATCH (foreachBatch: JSON metadata " +
+          "members parse their own payloads — loud on a null struct " +
+          "— and equi-join media members on img_url, both frames " +
+          "batch-increment-sized); the producer half is the native " +
+          "STREAMING WARC sink (one epoch per increment, lexically-" +
+          "increasing names, sidecar replay guard) fed by a " +
+          "stream-static join of doc IDS against documents — ids in " +
+          "the MemoryStream, never a corpus collect. The entry frame " +
+          "is the localized phase-tagged result (the st28 " +
+          "convention); phase 2 being exactly the odd parity class " +
+          "pins that the checkpoint-resumed drain read only the new " +
+          "increment.\n")
     }
     // ---- auto-generated one-line plan digests for every entry not
     // covered by a pinned section or note above: node counts from the

@@ -3895,6 +3895,64 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** CURRICULUM schedule (l111) — quality-annealed training order: a
+    * warmup phase restricted to docs a trained quality scorer accepts
+    * (margin > 0 — "hard gate"), then a full phase over everything
+    * (the anneal hard→all: start the run on the cleanest slice, widen
+    * once the model has a footing — the curriculum-learning recipe
+    * composed from published pieces: a fastText-shape scorer's margins
+    * + proportional interleave). WITHIN each phase the docs walk in
+    * [[mixtureSchedule]]'s proportional-interleave order — progress =
+    * within-(phase, source) token offset / that slice's token mass, so
+    * a batch window anywhere in a phase carries the phase's source
+    * proportions. Offsets come from [[keyedPrefixOffsets]] under the
+    * composite (phase | source) key — one fold, never a per-source
+    * window (the 100 TB shape); masses are a source-width broadcast.
+    *
+    * Input: a per-doc (source, doc_id, n_tokens, margin_units) frame —
+    * the caller brings the scorer (margins stay exact integers, so the
+    * whole schedule is arithmetic an oracle re-derives). Output: the
+    * schedule head — top-k rows of (phase, source, doc_id, n_tokens,
+    * margin_units, progress) in (phase, progress, source, doc_id)
+    * order, which is total (doc_id is unique within a phase×source),
+    * so the cut hashes. Zero-token (phase, source) slices drop — an
+    * empty slice has no schedule (and would divide by zero).
+    */
+  def curriculumSchedule(perDoc: DataFrame, topK: Int = 200): DataFrame = {
+    // checkpointed (ownership-tagged): both phases, the fold, the mass
+    // aggregate, and the margin re-join all consume it — uncached, the
+    // caller's scoring plan would execute five times
+    val pd = org.apache.spark.sql.graftshim.Bridge.markOwnedCheckpoint(
+      perDoc.select(col("source").cast("string").as("source"),
+          col("doc_id").cast("long").as("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("margin_units").cast("long").as("margin_units"))
+        .localCheckpoint())
+    val phased = pd.filter(col("margin_units") > 0)
+      .select(lit(0L).as("phase"), col("source"), col("doc_id"),
+        col("n_tokens"), col("margin_units"))
+      .unionByName(pd.select(lit(1L).as("phase"), col("source"),
+        col("doc_id"), col("n_tokens"), col("margin_units")))
+      .withColumn("pk",
+        concat(col("phase"), lit("|"), col("source")))
+    val withOff = keyedPrefixOffsets(
+      phased.select(col("pk"), col("doc_id"), col("n_tokens")),
+      "pk", "doc_id", "n_tokens")
+    val masses = phased.groupBy(col("pk"))
+      .agg(sum(col("n_tokens")).as("mass"))
+      .filter(col("mass") > 0)
+    withOff.drop("n_tokens")
+      .join(phased, Seq("pk", "doc_id"))
+      .join(broadcast(masses), "pk")
+      .select(col("phase"), col("source"), col("doc_id"),
+        col("n_tokens"), col("margin_units"),
+        quant(col("offset_before").cast("double") /
+          col("mass").cast("double"), 6).as("progress"))
+      .orderBy(col("phase"), col("progress"), col("source"),
+        col("doc_id"))
+      .limit(topK)
+  }
+
   /** Token-distribution DRIFT between two corpus snapshots — the
     * pipeline-monitoring report that catches a changed crawl mix, a
     * broken extractor, or a filter regression BEFORE a training run:

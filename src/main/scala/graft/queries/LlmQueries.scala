@@ -1579,6 +1579,34 @@ object LlmQueries {
           .select(col("source"), col("doc_id"), col("text"))),
       Some(l110Sql)),
 
+    // CURRICULUM schedule (l111) — l42's trained quality margins
+    // composed with l110's proportional interleave (r19 VERDICT list):
+    // phase 0 walks ONLY the scorer-accepted docs (margin > 0 — the
+    // hard gate), phase 1 anneals out to everything; within a phase,
+    // progress = within-(phase, source) token offset / slice mass via
+    // the keyed two-phase fold under a composite (phase | source) key
+    // — one fold, never a per-source window. ONE corpus pass computes
+    // BOTH kernels (token count + the l42 margin expression in a
+    // single projection); margins stay exact integers, so the whole
+    // schedule is arithmetic. Oracle: the l42 margin CTEs (captured
+    // micro-unit weights) + per-phase window prefix sums + the same
+    // quantized division.
+    "l111_curriculum_schedule" -> QuerySpec(
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val model = l42ModelCached(s, dir)
+        l42ModelByDir(dir) = model
+        val margin = graft.functions.expressions.TextHashExpressions
+          .hashed_margin_units(coalesce(col("text"), lit("")),
+            model.weightUnits().toSeq, model.biasUnits(),
+            model.dim, model.wordNgrams)
+        TextAnalysis.curriculumSchedule(docs.select(col("source"),
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tokens"),
+          margin.as("margin_units")))
+      }, None, Some(dir => l111Sql(dir))),
+
     // Temperature-based corpus mixing (τ=0.5 square-root sampling): the
     // multilingual/multi-source rebalancing rule — weight n_i^τ/Σn_j^τ,
     // integer quota for a 1000-doc budget. sqrt is exactly-rounded IEEE
@@ -5188,8 +5216,17 @@ object LlmQueries {
         val (keptPairs, members) = m17MemberFrames(s, dir, nImg)
         val out = "target/shardedarchive/" +
           s"${new java.io.File(dir).getName}-${docsDriftKey(dir)}-v1"
-        graft.sources.Warc.writeShardedTypedRecords(
-          members, out, M17TargetBytes)
+        // the archive build goes through the native DSv2 sink (r20):
+        // assignShards' pure rotation column + a declared-distribution
+        // write — byte-identical to writeShardedTypedRecords
+        // (WarcSpec-pinned), with the .dat-style two-phase commit
+        val assigned = graft.sources.Warc.assignShards(
+          members, M17TargetBytes)
+        assigned.write
+          .format("graft.spark.datasource.WarcDataSource")
+          .mode("overwrite").save(out)
+        org.apache.spark.sql.graftshim.Bridge
+          .unpersistOwnedPlanCheckpoints(assigned)
         org.apache.spark.sql.graftshim.Bridge
           .unpersistLocalCheckpoint(keptPairs)
         graft.sources.Warc.readRaw(s, out)
@@ -5274,6 +5311,29 @@ object LlmQueries {
               x => x.getField("sample")))).as("members_md5"))
           .orderBy(col("group_id"))
       }, None, Some(dir => m19Sql("m15-mediamd5-40-v1", 40))),
+    // Deterministic SHARD-LOCAL sampling (m20) — the QA/eval draw a
+    // trainer runs over a sharded archive (inspect k members per
+    // shard) in the one shape 100 TB allows: a seeded hash rank
+    // WITHIN each shard + row_number ≤ k — no global shuffle, no
+    // order-dependent sample (identical under any partitioning,
+    // WarcSpec-pinned; changing the seed changes the draw). Oracle:
+    // the m16 member CTEs + m17's shard window + the SAME hash-ranked
+    // row_number in DuckDB — the draw is exact arithmetic, not
+    // statistics.
+    "m20_shard_sample" -> QuerySpec(
+      (s, dir) => {
+        val base = ensureShardedArchive(s, dir, 40)
+        val members = s.read
+          .format("graft.spark.datasource.WarcDataSource").load(base)
+          .filter(col("rec_type") =!= "warcinfo")
+          .select(regexp_extract(col("file"),
+              "shard-(\\d+)\\.warc\\.gz", 1).cast("long").as("shard"),
+            col("rec_type"), col("url"),
+            md5(col("payload")).as("payload_md5"))
+        graft.sources.Warc
+          .sampleShardLocal(members, k = 3, seed = "m20-seed-1")
+          .orderBy(col("shard"), col("rn"))
+      }, None, Some(dir => m20Sql("m15-mediamd5-40-v1", 40))),
   ) + m08Entry + m09Entry
 
   /** The m18 sample loader — the sharded archive (ensure-once fixture)
@@ -5752,6 +5812,57 @@ object LlmQueries {
       |    / 1000000.0 AS progress
       |FROM s ORDER BY progress, source, doc_id LIMIT 200""".stripMargin
 
+  /** l111 oracle: the l42 margin CTEs (tokenize → md5-prefix bucket →
+    * captured micro-unit weight join → exact integer sum) extended
+    * with the two-phase curriculum union and the per-(phase, source)
+    * prefix/mass windows — every value integer or one quantized
+    * division, so the top-200 cut hashes.
+    */
+  private[queries] def l111Sql(dir: String): String = {
+    val m = l42ModelByDir.getOrElse(dir,
+      sys.error(s"l111/l42 never ran for $dir — no model captured"))
+    val wu = m.weightUnits()
+    val bu = m.biasUnits()
+    val nz = wu.zipWithIndex.collect { case (v, i) if v != 0L => s"($i, $v)" }
+    val vals = if (nz.isEmpty) "(-1, 0)" else nz.mkString(", ")
+    s"""WITH tl AS (SELECT doc_id, source, list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    x -> length(x) > 0) AS t
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, unnest(t) AS tok FROM tl
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i + 1])) AS tok FROM tl),
+       |tb AS (SELECT doc_id,
+       |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % ${m.dim} AS bucket,
+       |    COUNT(*) AS cnt
+       |  FROM toks GROUP BY 1, 2),
+       |w AS (SELECT * FROM (VALUES $vals) v(bucket, wu)),
+       |md AS (SELECT tb.doc_id,
+       |    CAST(SUM(tb.cnt * COALESCE(w.wu, 0)) AS BIGINT) AS dot
+       |  FROM tb LEFT JOIN w USING (bucket) GROUP BY tb.doc_id),
+       |d AS (SELECT tl.doc_id, tl.source, len(t)::BIGINT AS n_tokens,
+       |    CAST(COALESCE(md.dot, 0) + $bu AS BIGINT) AS margin_units
+       |  FROM tl LEFT JOIN md USING (doc_id)),
+       |ph AS (SELECT 0::BIGINT AS phase, * FROM d
+       |    WHERE margin_units > 0
+       |  UNION ALL SELECT 1::BIGINT AS phase, * FROM d),
+       |o AS (SELECT phase, source, doc_id, n_tokens, margin_units,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY phase, source
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0)::BIGINT AS off_b,
+       |    SUM(n_tokens) OVER (PARTITION BY phase, source)::BIGINT
+       |      AS mass
+       |  FROM ph)
+       |SELECT phase, source, doc_id, n_tokens, margin_units,
+       |  floor(off_b::DOUBLE / mass::DOUBLE * 1000000.0 + 0.5)
+       |    / 1000000.0 AS progress
+       |FROM o WHERE mass > 0
+       |ORDER BY phase, progress, source, doc_id LIMIT 200""".stripMargin
+  }
+
   // a def, not a val: the registry map is built during object init,
   // BEFORE a later-declared val would be assigned — a val here is
   // silently null inside the map (the compiler warns; the driver would
@@ -5853,8 +5964,16 @@ object LlmQueries {
       // as fixture state it isn't (ADVICE r19)
       try {
         val (keptPairs, members) = m17MemberFrames(s, dir, nImg)
-        graft.sources.Warc.writeShardedTypedRecords(
-          members, base.toString, M17TargetBytes)
+        // through the DSv2 sink (byte-identical to the library writer;
+        // WarcSpec-pinned) so the loader fixture exercises the same
+        // write path m17 does
+        val assigned = graft.sources.Warc.assignShards(
+          members, M17TargetBytes)
+        assigned.write
+          .format("graft.spark.datasource.WarcDataSource")
+          .mode("overwrite").save(base.toString)
+        org.apache.spark.sql.graftshim.Bridge
+          .unpersistOwnedPlanCheckpoints(assigned)
         org.apache.spark.sql.graftshim.Bridge
           .unpersistLocalCheckpoint(keptPairs)
         done.createNewFile()
@@ -5962,6 +6081,28 @@ object LlmQueries {
        |  md5(string_agg(payload_md5, ',' ORDER BY rec_type, url))
        |    AS members_md5
        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** m20's oracle: the m16 member CTEs + m17's shard window + the same
+    * seeded hash-ranked row_number — DuckDB re-derives the exact draw.
+    */
+  private def m20Sql(gname: String, nImg: Int): String =
+    s"""WITH ${m16MemberCtes(gname, nImg)},
+       |mem AS (SELECT rec_type, url, payload_md5, n_bytes FROM media
+       |        UNION ALL
+       |        SELECT rec_type, url, payload_md5, n_bytes FROM meta),
+       |o AS (SELECT *, COALESCE(SUM(n_bytes) OVER (
+       |      ORDER BY rec_type, url
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    0)::BIGINT AS off
+       |  FROM mem),
+       |sh AS (SELECT rec_type, url, payload_md5,
+       |    off // $M17TargetBytes AS shard FROM o),
+       |r AS (SELECT shard, rec_type, url, payload_md5,
+       |    (row_number() OVER (PARTITION BY shard
+       |      ORDER BY md5('m20-seed-1' || url), url))::BIGINT AS rn
+       |  FROM sh)
+       |SELECT shard, rec_type, url, payload_md5, rn
+       |FROM r WHERE rn <= 3 ORDER BY shard, rn""".stripMargin
 
   /** The m18 sample-relation CTE chain (the m16 members + m17's shard
     * window, re-joined into samples) — shared by the m18 and m19

@@ -1134,6 +1134,164 @@ object StreamingQueries {
              |FROM documents WHERE doc_id % 2 = 1
              |ORDER BY phase, url""".stripMargin)),
 
+    // Streaming PAIRED-SAMPLE loader (st29) — the multimodal landing
+    // loop end-to-end (r19 VERDICT #3): a GROWING paired archive whose
+    // increments land through the NATIVE streaming WARC sink
+    // (writeStream.format — one epoch per increment, lexically-
+    // increasing names, sidecar replay guard), tailed by the
+    // WarcMicroBatchStream, with the m18 re-join running PER MICRO-
+    // BATCH inside foreachBatch: metadata members parse their own JSON
+    // payloads, media members contribute digest/mass, and the two
+    // classes re-assemble into samples. The producer derives members
+    // on the CLUSTER via a stream-static join of doc IDS against the
+    // documents table (never a corpus collect — only ids enter the
+    // MemoryStream). The checkpoint makes drain 2 a genuine RECOVERY:
+    // phase-2 samples are exactly the odd parity class, proving the
+    // resumed consumer read ONLY the new increment and still
+    // re-assembled complete pairs (each increment is pair-complete by
+    // construction — the landing convention a WebDataset-style
+    // producer keeps).
+    "st29_paired_stream_loader" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+          s.sqlContext
+        val docs = Tables(s, dir, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+        val landing = java.nio.file.Files
+          .createTempDirectory("graft-st29").toString
+        val prodCkpt = landing + "-prodckpt"
+        val consCkpt = landing + "-consckpt"
+        val outPq = landing + "-out"
+        try {
+          val mem = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[Long]
+          val members = mem.toDS().toDF("doc_id")
+            .join(docs.select(col("doc_id"), col("text")), "doc_id")
+            .select(explode(array(
+              struct(lit("metadata").as("rec_type"),
+                concat(lit("meta://"), col("doc_id")).as("url"),
+                to_json(struct(
+                  concat(lit("https://example.org/doc/"),
+                    col("doc_id")).as("src_url"),
+                  lit(0L).as("img_idx"),
+                  concat(lit("img://"), col("doc_id")).as("img_url"),
+                  col("text").as("text"))).as("body")),
+              struct(lit("resource").as("rec_type"),
+                concat(lit("img://"), col("doc_id")).as("url"),
+                concat(lit("IMG:"), col("text")).as("body"))))
+              .as("m"))
+            .select(col("m.rec_type").as("rec_type"),
+              col("m.url").as("url"),
+              lit("2026-01-01T00:00:00Z").as("warc_date"),
+              when(col("m.rec_type") === "metadata",
+                lit("application/json"))
+                .otherwise(lit("application/octet-stream"))
+                .as("content_type"),
+              encode(col("m.body"), "UTF-8").as("payload"))
+          val prod = members.writeStream
+            .format("graft.spark.datasource.WarcDataSource")
+            .option("checkpointLocation", prodCkpt)
+            .start(landing)
+          def produce(parity: Int): Unit = {
+            mem.addData((0L to maxId).filter(_ % 2 == parity))
+            prod.processAllAvailable()
+          }
+          val metaSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("src_url",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("img_idx",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("img_url",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType)))
+          def drain(phase: Int): Unit = withStateSizing(s) {
+            val q = s.readStream
+              .format("graft.spark.datasource.WarcDataSource")
+              .load(landing)
+              .writeStream
+              .foreachBatch {
+                (b: org.apache.spark.sql.Dataset[
+                   org.apache.spark.sql.Row], _: Long) =>
+                  // the m18 re-join, batch-local: the increment is
+                  // pair-complete, so the batch is too
+                  val meta = b.filter(col("rec_type") === "metadata")
+                    .select(from_json(col("payload").cast("string"),
+                      metaSchema).as("j0"))
+                    // a null struct would silently DROP the sample at
+                    // the join while the oracle still emits it (the
+                    // m18 loud-parse stance)
+                    .select(when(col("j0").isNull,
+                        raise_error(lit("st29: metadata payload " +
+                          "failed JSON parse")))
+                      .otherwise(col("j0")).as("j"))
+                    .select(col("j.src_url").as("src_url"),
+                      col("j.img_idx").as("img_idx"),
+                      col("j.img_url").as("img_url"),
+                      col("j.text").as("text"))
+                  val media = b.filter(col("rec_type") === "resource")
+                    .select(col("url").as("img_url"),
+                      md5(col("payload")).as("media_md5"),
+                      col("n_bytes").as("media_bytes"))
+                  meta.join(media, "img_url")
+                    .select(lit(phase).as("phase"), col("src_url"),
+                      col("img_idx"), col("img_url"), col("text"),
+                      col("media_md5"), col("media_bytes"))
+                    .write.mode("append").parquet(outPq)
+                  ()
+              }
+              .option("checkpointLocation", consCkpt)
+              .trigger(
+                org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
+          produce(0)
+          drain(1)
+          produce(1)
+          drain(2)
+          prod.stop()
+          val result = s.read.parquet(outPq)
+            .orderBy(col("phase"), col("src_url")).collect()
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("phase",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("src_url",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("img_idx",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("img_url",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("media_md5",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("media_bytes",
+              org.apache.spark.sql.types.LongType)))
+          // localize (archive-sized) so the temp dirs can be deleted
+          // before the frame is consumed (the st28 convention)
+          s.createDataFrame(
+            java.util.Arrays.asList(result: _*), schema)
+        } finally Seq(landing, prodCkpt, consCkpt, outPq).foreach(d =>
+          org.apache.commons.io.FileUtils
+            .deleteDirectory(new java.io.File(d)))
+      },
+      Some("""SELECT 1 AS phase,
+             |  'https://example.org/doc/' || doc_id AS src_url,
+             |  0::BIGINT AS img_idx,
+             |  'img://' || doc_id AS img_url,
+             |  text,
+             |  md5('IMG:' || text) AS media_md5,
+             |  octet_length(encode('IMG:' || text)) AS media_bytes
+             |FROM documents WHERE doc_id % 2 = 0
+             |UNION ALL
+             |SELECT 2, 'https://example.org/doc/' || doc_id, 0::BIGINT,
+             |  'img://' || doc_id, text, md5('IMG:' || text),
+             |  octet_length(encode('IMG:' || text))
+             |FROM documents WHERE doc_id % 2 = 1
+             |ORDER BY phase, src_url""".stripMargin)),
+
     // Streaming DRIFT twin (st27) — l105's pipeline-monitoring report
     // fed by a LIVE stream (the r18 VERDICT #6 decision: entry-worthy,
     // shipped in the one form Spark's streaming planner admits): the

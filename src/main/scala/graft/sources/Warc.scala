@@ -911,6 +911,32 @@ object Warc {
       "shard_id")
   }
 
+  /** Deterministic SHARD-LOCAL sampling (m20) — the QA/eval draw over
+    * a sharded archive done the way 100 TB allows: a seeded
+    * pseudo-random rank WITHIN each shard (md5(seed ‖ url) — a
+    * keyed hash, so the draw changes with the seed but is a pure
+    * function of (seed, member set)) and the first `k` ranks per
+    * shard. NEVER a global shuffle: the only exchange is the
+    * rank window's partition-by-shard hash (parallelism = shard
+    * count; a shard is rotation-bounded, so no window partition can
+    * outgrow a task). Identical samples under any input partitioning
+    * (WarcSpec-pinned); the tie-break on the order column itself makes
+    * the rank total. Output: the input columns + `rn` (1-based rank,
+    * ≤ k).
+    */
+  def sampleShardLocal(df: DataFrame, k: Int, seed: String,
+                       shardCol: String = "shard",
+                       orderCol: String = "url"): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    import org.apache.spark.sql.functions.{col, concat, lit, md5, row_number}
+    df.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(shardCol))
+          .orderBy(md5(concat(lit(seed), col(orderCol))), col(orderCol)))
+      .cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** [[writeTypedRecords]] with size-targeted shard ROTATION: the
     * [[assignShards]] assignment, then `shard-NNNNN.warc.gz` files —
     * each shard written whole by exactly one task (records hash to

@@ -1212,6 +1212,22 @@ class PlanSpec extends AnyFunSuite {
         missing.mkString(", "))
   }
 
+  test("COVERAGE.md's §2.12 headline count equals the registry size — " +
+      "the count can't lag a batch again (r19's one blemish: the text " +
+      "said 209 at a 217-entry registry)") {
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("COVERAGE.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val re = "(\\d+) oracle-matched entries of (\\d+) total".r
+    val m = re.findFirstMatchIn(doc).getOrElse(
+      fail("COVERAGE.md lost its '<N> oracle-matched entries of <N> " +
+        "total' headline — this spec pins that phrase"))
+    val n = SparkEntry.queries.size
+    assert(m.group(1).toInt == n && m.group(2).toInt == n,
+      s"COVERAGE.md headline says ${m.group(1)} of ${m.group(2)}, " +
+        s"registry has $n entries — update §2.12's count")
+  }
+
   test("tokenDrift: a split with zero tokens on one side fails loudly " +
       "(raise_error), never a silent Infinity/NaN distribution") {
     import org.apache.spark.sql.functions.col

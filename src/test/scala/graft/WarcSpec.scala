@@ -1047,6 +1047,37 @@ class WarcSpec extends AnyFunSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("sampleShardLocal is a PURE function of (seed, member set): " +
+      "identical samples under any input partitioning, k per shard, " +
+      "a different seed draws differently, and the rank matches an " +
+      "independent driver-side sort") {
+    val members = (0 until 60).map { i =>
+      (i.toLong % 5, s"https://t.example/m$i%03d".format(i))
+    }.toDF("shard", "url")
+    def draw(df: org.apache.spark.sql.DataFrame, seed: String) =
+      Warc.sampleShardLocal(df, k = 3, seed = seed)
+        .select("shard", "url", "rn").as[(Long, String, Long)]
+        .collect().toSet
+    val d1 = draw(members.repartition(1), "s1")
+    val d7 = draw(members.repartition(7), "s1")
+    val dShuf = draw(members.orderBy(rand(99)).repartition(3), "s1")
+    assert(d1 == d7 && d1 == dShuf,
+      "sample drifted under repartitioning")
+    assert(d1.groupBy(_._1).forall(_._2.size == 3), "k per shard")
+    assert(draw(members, "s2") != d1, "seed must change the draw")
+    // exact rank: the same seeded hash sort done on the driver
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): String = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = (0 until 60)
+      .map(i => (i.toLong % 5, s"https://t.example/m$i%03d".format(i)))
+      .groupBy(_._1).toSeq.flatMap { case (shard, rows) =>
+        rows.map(_._2).sortBy(u => (h("s1" + u), u)).take(3)
+          .zipWithIndex.map { case (u, j) => (shard, u, j + 1L) }
+      }.toSet
+    assert(d1 == expected, "rank != driver-side seeded sort")
+  }
+
   // ---- DSv2 write path (r19 VERDICT #2) ----
 
   private def fileBytes(dir: String): Map[String, Seq[Byte]] =
