@@ -141,15 +141,18 @@ object Bench {
     * fraction of the run's wall the HOST spent IO-stalled — an entry's
     * own writes contribute a small steady baseline (pinned by the idle
     * sweeps), while a co-tenant write storm reads as a large excess.
-    * OBSERVATIONAL this round per the VERDICT: recorded in the artifact
-    * (`psiio` per-entry max, `psi_spikes` at a provisional 0.5
-    * stall-fraction threshold, per-run values in the sidecar `runs`
-    * quints) but NOT yet folded into the budget tripwire's runScale —
-    * that coupling needs a round of idle-baseline data first, so a
-    * write-heavy entry's own steady stall can't excuse a real
-    * regression. Returns (avg10, total_micros); None when PSI is
-    * unavailable (non-Linux, CONFIG_PSI=n) — psiio then reads 0.0 and
-    * `psi_available` in the artifact says so.
+    * Recorded in the artifact (`psiio` per-entry max, `psi_spikes` at
+    * a provisional 0.5 stall-fraction threshold, per-run values in the
+    * sidecar `runs` quints) AND — after a round of observational data
+    * (two full r20 sweeps: idle suite ceiling 0.0206, fsync-hog 1.05 —
+    * a ~50x separation) — folded into the budget tripwire's runScale
+    * via BenchBudgets.RefPsiStall, pinned ABOVE the idle band so the
+    * fold only engages under genuine host IO pressure. A write-heavy
+    * entry's own steady stall cannot excuse a real regression: the
+    * FRACTION (stall/wall) is rate-normalized, and the idle band sits
+    * far below the reference. Returns (avg10, total_micros); None when
+    * PSI is unavailable (non-Linux, CONFIG_PSI=n) — psiio then reads
+    * 0.0 and `psi_available` in the artifact says so.
     */
   private def psiIo(): Option[(Double, Long)] =
     try {
@@ -332,11 +335,17 @@ object Bench {
     val calScale = math.max(1.0,
       calMean / graft.BenchBudgets.RefCalibration)
     // each run's allowance widens by the WORST contention any probe saw
-    // next to it — ALU spin (CPU steal) or memory-sweep + file re-read
-    // (DRAM bandwidth / IO), the r18 blind spot
-    def runScale(ld: Double, mld: Double): Double = math.max(calScale,
-      math.max(ld / graft.BenchBudgets.RefLoadProbe,
-        mld / graft.BenchBudgets.RefMemProbe))
+    // next to it — ALU spin (CPU steal), memory-sweep + file re-read
+    // (DRAM bandwidth / read IO, the r18 blind spot), or the PSI
+    // IO-stall fraction (write-latency storms, the r19 blind spot —
+    // folded in r20 after a round of observational data; RefPsiStall
+    // is pinned ABOVE the idle band, so the ratio only engages under
+    // genuine host IO pressure and can never tighten an allowance)
+    def runScale(ld: Double, mld: Double, psi: Double): Double =
+      math.max(calScale,
+        math.max(ld / graft.BenchBudgets.RefLoadProbe,
+          math.max(mld / graft.BenchBudgets.RefMemProbe,
+            psi / graft.BenchBudgets.RefPsiStall)))
     // Absolute floor (r17 VERDICT #1): a sub-100 ms pin's 2x band is
     // narrower than ordinary run-context noise (scheduler wake-ups,
     // page-cache state — ±50 ms on a 33 ms wall), which produced one
@@ -353,8 +362,8 @@ object Bench {
               val allowance = math.max(
                 p * graft.BenchBudgets.Factor,
                 p + graft.BenchBudgets.AbsFloorSec)
-              samples.forall { case (t, lp, mp, _, _) =>
-                t > allowance * runScale(lp, mp) } } =>
+              samples.forall { case (t, lp, mp, ps, _) =>
+                t > allowance * runScale(lp, mp, ps) } } =>
         k -> m
     }
     val budgetJson = exceeded.map { case (k, m) =>

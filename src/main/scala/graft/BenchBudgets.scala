@@ -52,6 +52,25 @@ object BenchBudgets {
     */
   val RefMemProbe: Double = 0.0441
 
+  /** IO-stall allowance reference for the per-run PSI sample
+    * (Bench.psiIo): a run's allowance scales by psi_stall/RefPsiStall
+    * when that ratio exceeds the other probe ratios — the write-latency
+    * contention class the ALU spin and the DRAM/cached-read probe are
+    * both blind to (two adjudication-by-resweep episodes in r19).
+    * Pinned DELIBERATELY ABOVE the idle band, not at it: across the two
+    * full r20 sweeps the max per-entry stall fraction was 0.0206
+    * (suite-wide; async page-cache writeback means even the
+    * write-heaviest entries barely stall), while the synthetic fsync
+    * write hog read 1.05 — a ~50x separation. At 0.05 (2.4x the
+    * observed idle ceiling) the ratio stays < 1 on every idle run (the
+    * fold can never TIGHTEN an allowance — runScale is a max with 1)
+    * and only engages under genuine host IO pressure. Regression-safe
+    * by construction: the metric is stall/wall, so an entry that
+    * writes the same way for twice as long keeps the same FRACTION —
+    * only a changed stall RATE (a storm) inflates it.
+    */
+  val RefPsiStall: Double = 0.05
+
   val Factor: Double = 2.0
 
   /** Absolute floor on the budget allowance: an entry flags only when
@@ -274,7 +293,11 @@ object BenchBudgets {
     // those pin from idle2/3). st26 is a deliberate measured 1x/10x
     // streaming harness (8 micro-batch drains per invocation) — its
     // wall IS the scale evidence, the l108 convention.
-    "m17_sharded_archive" -> 0.9277,
+    // re-pinned in r20: the archive build now goes through the DSv2
+    // sink (same exchange/sort plan + driver-commit renames) —
+    // min(2.145, 1.310) of the two r20 sweeps (cal 0.75/0.69; the r19
+    // library-writer pin was 0.9277)
+    "m17_sharded_archive" -> 1.3100,
     "m18_paired_samples" -> 0.1665,
     "st26_stream_scale_stress" -> 3.8280,
     "st27_drift_stream" -> 0.9734,
@@ -290,6 +313,15 @@ object BenchBudgets {
     // ALU-only and the mem probe's IO leg is a CACHED READ, so neither
     // sees write/fsync latency (candidate next-round probe leg).
     "m19_sample_pack" -> 0.8263,
+    // r20 entries, pinned from the element-wise min of the two r20
+    // sweeps (target/bench_r20_idle{1,2}.json; cal 0.7522/0.6934 —
+    // both carried background load the calibration scaling absorbs).
+    // st29 is the suite's heaviest streaming entry by construction:
+    // one long-lived producer query + two checkpoint-resumed consumer
+    // drains, four stream executions per run.
+    "st29_paired_stream_loader" -> 5.3490,
+    "l111_curriculum_schedule" -> 0.6420,
+    "m20_shard_sample" -> 0.1510,
     "m01_media_features" -> 0.2213,
     "m02_frame_sample" -> 0.0812,
     "m03_media_resize" -> 0.0864,
