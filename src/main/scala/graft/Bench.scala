@@ -340,12 +340,16 @@ object Bench {
     // IO-stall fraction (write-latency storms, the r19 blind spot —
     // folded in r20 after a round of observational data; RefPsiStall
     // is pinned ABOVE the idle band, so the ratio only engages under
-    // genuine host IO pressure and can never tighten an allowance)
+    // genuine host IO pressure and can never tighten an allowance).
+    // The PSI term is CAPPED: its delta spans the run itself, so an
+    // entry's own spill IO could otherwise buy an unbounded excuse
+    // (BenchBudgets.PsiScaleCap has the full argument).
     def runScale(ld: Double, mld: Double, psi: Double): Double =
       math.max(calScale,
         math.max(ld / graft.BenchBudgets.RefLoadProbe,
           math.max(mld / graft.BenchBudgets.RefMemProbe,
-            psi / graft.BenchBudgets.RefPsiStall)))
+            math.min(psi / graft.BenchBudgets.RefPsiStall,
+              graft.BenchBudgets.PsiScaleCap))))
     // Absolute floor (r17 VERDICT #1): a sub-100 ms pin's 2x band is
     // narrower than ordinary run-context noise (scheduler wake-ups,
     // page-cache state — ±50 ms on a 33 ms wall), which produced one

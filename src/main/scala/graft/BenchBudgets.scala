@@ -71,6 +71,19 @@ object BenchBudgets {
     */
   val RefPsiStall: Double = 0.05
 
+  /** Ceiling on the PSI-sourced allowance scale (review r20): unlike
+    * the spin/mem probes — fixed synthetic work timed NEXT TO the run
+    * — the PSI delta spans the run itself, so it includes the entry's
+    * OWN IO stalls, and an uncapped ratio would let a spill-inducing
+    * plan regression excuse its own slowdown (stall 0.6 → scale 12 →
+    * a 3x wall rides green). At 3.0 the observed storm class still
+    * self-excuses (r19's one-victim windows ran 3–4x pin; they need
+    * scale ≥ 1.5–2 against the 2x Factor), while a regression can at
+    * most earn a 6x-of-pin allowance — anything slower flags, and the
+    * artifact's psiio value adjudicates the band between.
+    */
+  val PsiScaleCap: Double = 3.0
+
   val Factor: Double = 2.0
 
   /** Absolute floor on the budget allowance: an entry flags only when

@@ -1594,8 +1594,9 @@ object LlmQueries {
     "l111_curriculum_schedule" -> QuerySpec(
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
+        // l42ModelCached registers the model in l42ModelByDir itself
+        // (getOrElseUpdate) — the l111Sql late oracle reads it there
         val model = l42ModelCached(s, dir)
-        l42ModelByDir(dir) = model
         val margin = graft.functions.expressions.TextHashExpressions
           .hashed_margin_units(coalesce(col("text"), lit("")),
             model.weightUnits().toSeq, model.biasUnits(),

@@ -1163,6 +1163,12 @@ object StreamingQueries {
         val prodCkpt = landing + "-prodckpt"
         val consCkpt = landing + "-consckpt"
         val outPq = landing + "-out"
+        // the producer handle lives OUTSIDE the try so the finally can
+        // stop it: a drain throwing mid-entry would otherwise leak a
+        // live streaming query whose landing/checkpoint dirs the same
+        // finally is deleting under it (review r20 — the exact leak
+        // class the st28 cleanup closed for directories)
+        var prod: org.apache.spark.sql.streaming.StreamingQuery = null
         try {
           val mem = org.apache.spark.sql.execution.streaming.runtime
             .MemoryStream[Long]
@@ -1189,7 +1195,7 @@ object StreamingQueries {
                 .otherwise(lit("application/octet-stream"))
                 .as("content_type"),
               encode(col("m.body"), "UTF-8").as("payload"))
-          val prod = members.writeStream
+          prod = members.writeStream
             .format("graft.spark.datasource.WarcDataSource")
             .option("checkpointLocation", prodCkpt)
             .start(landing)
@@ -1251,7 +1257,6 @@ object StreamingQueries {
           drain(1)
           produce(1)
           drain(2)
-          prod.stop()
           val result = s.read.parquet(outPq)
             .orderBy(col("phase"), col("src_url")).collect()
           val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -1273,9 +1278,13 @@ object StreamingQueries {
           // before the frame is consumed (the st28 convention)
           s.createDataFrame(
             java.util.Arrays.asList(result: _*), schema)
-        } finally Seq(landing, prodCkpt, consCkpt, outPq).foreach(d =>
-          org.apache.commons.io.FileUtils
-            .deleteDirectory(new java.io.File(d)))
+        } finally {
+          if (prod != null)
+            try prod.stop() catch { case _: Throwable => () }
+          Seq(landing, prodCkpt, consCkpt, outPq).foreach(d =>
+            org.apache.commons.io.FileUtils
+              .deleteDirectory(new java.io.File(d)))
+        }
       },
       Some("""SELECT 1 AS phase,
              |  'https://example.org/doc/' || doc_id AS src_url,

@@ -921,8 +921,12 @@ object Warc {
     * count; a shard is rotation-bounded, so no window partition can
     * outgrow a task). Identical samples under any input partitioning
     * (WarcSpec-pinned); the tie-break on the order column itself makes
-    * the rank total. Output: the input columns + `rn` (1-based rank,
-    * ≤ k).
+    * the rank total — which REQUIRES (shardCol, orderCol) unique: two
+    * rows sharing an order value would tie completely, and the window
+    * would break the tie arbitrarily per partitioning (review r20).
+    * Archive members satisfy this by the (rec_type, url) identity
+    * contract; pass a composed column when urls can repeat. Output:
+    * the input columns + `rn` (1-based rank, ≤ k).
     */
   def sampleShardLocal(df: DataFrame, k: Int, seed: String,
                        shardCol: String = "shard",

@@ -398,7 +398,11 @@ class WarcReaderFactory(conf: graft.sources.Warc.ShippedConf,
 // on the boundary, byte-identical to writeShardedTypedRecords' output
 // (WarcSpec-pinned). Sharded mode is a BUILD operation: ids restart at
 // 0 for every assignment, so appending into a dir that already has
-// shard files would collide — overwrite only. Streaming + shard_id is
+// shard files would collide — overwrite only — and an overwrite's
+// commit REPLACES same-named shard files one by one (names carry the
+// id, so they cannot be fresh): a rebuild of a live archive is not a
+// reader-isolated snapshot swap; the plain part-* path, whose numbers
+// ARE fresh per write, keeps that property. Streaming + shard_id is
 // rejected for the same reason (ids would collide across epochs).
 
 class WarcWriteBuilder(path: String, schema: StructType, queryId: String)
@@ -459,11 +463,21 @@ object WarcWrite {
     * (the .dat nextPartBase stance): an overwrite's renames then never
     * land on a name the previous snapshot used, so a reader holding
     * the old listing keeps reading old bytes until the post-commit GC.
+    * NOTE this reader-snapshot property holds for PLAIN part names
+    * only: shard-NNNNN names carry the assignShards id, which restarts
+    * at 0 every assignment — a sharded overwrite is a REBUILD (the
+    * writeShardedTypedRecords contract), not an isolated snapshot
+    * swap; don't read an archive while rebuilding it in place.
+    *
+    * The regex accepts ANY digit run, not \d{5}: `%05d` widens past
+    * five digits at part 100000, and a 5-digit-only match would make
+    * those parts invisible here — the next append would then re-issue
+    * their numbers and silently replace data files (review r20).
     */
   private[datasource] def nextPartBase(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Int = {
-    val re = "part-(\\d{5})\\.warc\\.gz".r
+    val re = "part-(\\d+)\\.warc\\.gz".r
     val listed = Option(fs.globStatus(
       new org.apache.hadoop.fs.Path(dir, "part-*.warc.gz")))
       .fold(Seq.empty[org.apache.hadoop.fs.FileStatus])(_.toSeq)
@@ -472,6 +486,33 @@ object WarcWrite {
       case _     => None
     }.maxOption.fold(0)(_ + 1)
   }
+
+  /** The publish loop shared by the batch and streaming commits: every
+    * (finalName, temp) pair renames into place. An existing dst is
+    * deleted first — a RETRIED commit may find its own earlier rename
+    * (fresh names mean any existing dst belongs to THIS write), and a
+    * REPLAYED streaming epoch supersedes its pre-crash files.
+    */
+  private[datasource] def publish(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      files: Seq[(String, String)], ctx: String): Unit =
+    files.foreach { case (name, tmp) =>
+      val dst = new org.apache.hadoop.fs.Path(dir, name)
+      if (fs.exists(dst)) fs.delete(dst, false)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+        throw new java.io.IOException(
+          s"warc $ctx failed: rename $tmp -> $dst")
+    }
+
+  /** Best-effort temp cleanup shared by every abort/replay path. */
+  private[datasource] def dropTemps(
+      fs: org.apache.hadoop.fs.FileSystem,
+      files: Seq[(String, String)]): Unit =
+    files.foreach { case (_, tmp) =>
+      try fs.delete(new org.apache.hadoop.fs.Path(tmp), false)
+      catch { case _: java.io.IOException => () }
+    }
 }
 
 case class WarcCommitMessage(files: Seq[(String, String)], rows: Long)
@@ -555,16 +596,7 @@ class WarcWrite(path: String, schema: StructType, truncate: Boolean,
       .collect { case m: WarcCommitMessage => m.files }.flatten
       .sortBy(_._1)
     val (fs, dir) = WarcWrite.fs(path)
-    files.foreach { case (name, tmp) =>
-      val dst = new org.apache.hadoop.fs.Path(dir, name)
-      // a RETRIED driver commit may find its own earlier rename: the
-      // fresh-names discipline means any existing dst belongs to THIS
-      // write, so replacing is safe
-      if (fs.exists(dst)) fs.delete(dst, false)
-      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
-        throw new java.io.IOException(
-          s"warc commit failed: rename $tmp -> $dst")
-    }
+    WarcWrite.publish(fs, dir, files, "commit")
     if (truncate) {
       // snapshot is live; files outside the committed set are garbage
       val keep = files.map(_._1).toSet
@@ -582,11 +614,9 @@ class WarcWrite(path: String, schema: StructType, truncate: Boolean,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val (fs, _) = WarcWrite.fs(path)
-    messages.collect { case m: WarcCommitMessage => m.files }
-      .flatten.foreach { case (_, tmp) =>
-        try fs.delete(new org.apache.hadoop.fs.Path(tmp), false)
-        catch { case _: java.io.IOException => () }
-      }
+    WarcWrite.dropTemps(fs,
+      messages.collect { case m: WarcCommitMessage => m.files }.flatten
+        .toSeq)
   }
 }
 
@@ -748,35 +778,39 @@ class WarcStreamingWrite(path: String, schema: StructType,
           s"warc landing dir $path is stream-owned by query $owner; " +
             s"refusing epoch $epochId from query $queryId")
         if (last >= epochId) {
-          files.foreach { case (_, tmp) =>
-            try fs.delete(new org.apache.hadoop.fs.Path(tmp), false)
-            catch { case _: java.io.IOException => () }
-          }
+          WarcWrite.dropTemps(fs, files)
           return
         }
       case None => ()
     }
-    files.foreach { case (name, tmp) =>
-      val dst = new org.apache.hadoop.fs.Path(dir, name)
-      if (fs.exists(dst)) fs.delete(dst, false) // retried commit
-      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
-        throw new java.io.IOException(
-          s"warc stream commit failed: rename $tmp -> $dst")
+    // a REPLAYED epoch (crash after some/all renames, before the
+    // sidecar) may re-plan with a DIFFERENT partition count: the new
+    // file set supersedes the pre-crash one, so any epoch-tagged file
+    // NOT in this commit's set is a stale orphan that would duplicate
+    // rows at the consumer — delete before publishing (review r20)
+    locally {
+      val keep = files.map(_._1).toSet
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir,
+          f"stream-$epochId%012d-*.warc.gz")))
+        .fold(Seq.empty[org.apache.hadoop.fs.FileStatus])(_.toSeq)
+        .foreach { s =>
+          if (!keep.contains(s.getPath.getName))
+            fs.delete(s.getPath, false)
+        }
     }
+    WarcWrite.publish(fs, dir, files, "stream commit")
     // the sidecar lands LAST: a crash before this line replays the
-    // epoch (names are epoch-tagged, so the replacing renames are
-    // idempotent); a crash after it skips the replay
+    // epoch (the replay supersedes every epoch-tagged file, above); a
+    // crash after it skips the replay
     WarcStreamState.write(fs, dir, queryId, epochId)
   }
 
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit = {
     val (fs, _) = WarcWrite.fs(path)
-    messages.collect { case m: WarcCommitMessage => m.files }
-      .flatten.foreach { case (_, tmp) =>
-        try fs.delete(new org.apache.hadoop.fs.Path(tmp), false)
-        catch { case _: java.io.IOException => () }
-      }
+    WarcWrite.dropTemps(fs,
+      messages.collect { case m: WarcCommitMessage => m.files }.flatten
+        .toSeq)
   }
 }
 

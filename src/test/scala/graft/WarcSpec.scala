@@ -1236,6 +1236,20 @@ class WarcSpec extends AnyFunSuite {
         .commit(2L, Array.empty)
     }
     assert(alien.getMessage.contains("stream-owned"))
+    // a replayed epoch that re-plans with FEWER partitions supersedes
+    // its pre-crash files: epoch-tagged names not in the new commit's
+    // set are stale orphans that would duplicate rows at the consumer
+    val stale = new org.apache.hadoop.fs.Path(dir,
+      "stream-000000000002-00099.warc.gz")
+    val so = fs.create(stale, true); so.write("old".getBytes); so.close()
+    val tmp2 = new org.apache.hadoop.fs.Path(dir, ".tmp-replay2")
+    val o2 = fs.create(tmp2, true); o2.write("y".getBytes); o2.close()
+    sw.commit(2L, Array(graft.spark.datasource.WarcCommitMessage(
+      Seq(("stream-000000000002-00000.warc.gz", tmp2.toString)), 1L)))
+    assert(!fs.exists(stale),
+      "pre-crash epoch file must be superseded by the replay's set")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir,
+      "stream-000000000002-00000.warc.gz")))
     Seq(dir, ckpt).foreach(d => org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(d)))
   }
