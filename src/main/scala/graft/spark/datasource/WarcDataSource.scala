@@ -518,6 +518,35 @@ object WarcWrite {
 case class WarcCommitMessage(files: Seq[(String, String)], rows: Long)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
+// ---- sink observability (the DatDataSource pages-decoded precedent,
+// applied to the WRITE side): members / payload bytes / file
+// rotations flow through the DSv2 CustomMetric channel into the SQL
+// UI's write node — the surface a cluster operator actually watches
+// when an archive build is slow (rotation count says whether the
+// size target matches the data; payload bytes say whether the
+// bottleneck is encode or commit).
+
+class WarcMembersWrittenMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "warcMembersWritten"
+  override def description(): String =
+    "warc members written (excl. per-file warcinfo)"
+}
+
+class WarcPayloadBytesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "warcPayloadBytes"
+  override def description(): String =
+    "warc payload bytes written (pre-gzip)"
+}
+
+class WarcFilesRotatedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "warcFilesRotated"
+  override def description(): String =
+    "warc files opened (parts, shard rotations, epoch increments)"
+}
+
 class WarcWrite(path: String, schema: StructType, truncate: Boolean,
                 queryId: String)
     extends org.apache.spark.sql.connector.write.Write
@@ -527,6 +556,11 @@ class WarcWrite(path: String, schema: StructType, truncate: Boolean,
   import org.apache.spark.sql.connector.write._
 
   private val sharded = WarcWrite.validate(path, schema)
+
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new WarcMembersWrittenMetric, new WarcPayloadBytesMetric,
+      new WarcFilesRotatedMetric)
 
   override def toBatch: BatchWrite = this
 
@@ -662,6 +696,7 @@ class WarcWriterFactory(path: String, schema: StructType,
       private var out: org.apache.hadoop.fs.FSDataOutputStream = _
       private var curShard = -1L
       private var rows = 0L
+      private var payloadBytes = 0L
       private val committed =
         scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       private var curFinal: String = _
@@ -706,10 +741,12 @@ class WarcWriterFactory(path: String, schema: StructType,
           open(name)
         }
         require(!r.isNullAt(iPay), s"warc sink $path: null payload")
+        val payload = r.getBinary(iPay)
         graft.sources.Warc.writeMember(out, str(r, iRec, "rec_type"),
           str(r, iUrl, "url"), str(r, iDate, "warc_date"),
-          str(r, iCt, "content_type"), r.getBinary(iPay))
+          str(r, iCt, "content_type"), payload)
         rows += 1
+        payloadBytes += payload.length
       }
 
       override def commit()
@@ -717,6 +754,13 @@ class WarcWriterFactory(path: String, schema: StructType,
         roll()
         WarcCommitMessage(committed.toSeq, rows)
       }
+
+      override def currentMetricsValues(): Array[
+          org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(DatTaskMetric("warcMembersWritten", rows),
+          DatTaskMetric("warcPayloadBytes", payloadBytes),
+          DatTaskMetric("warcFilesRotated",
+            committed.length + (if (out != null) 1L else 0L)))
 
       override def abort(): Unit = {
         if (out != null) {

@@ -1171,6 +1171,42 @@ class WarcSpec extends AnyFunSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("DSv2 sink custom metrics: members / payload bytes / file " +
+      "rotations flow through the CustomMetric channel (the " +
+      "DatDataSource pages-decoded precedent on the write side)") {
+    val dir = Files.createTempDirectory("graft-wsink-metrics").toString
+    val schema = typedRows(1).withColumn("shard_id", lit(0L)).schema
+    val w = new graft.spark.datasource.WarcWrite(dir, schema,
+      truncate = false, queryId = "")
+    assert(w.supportedCustomMetrics().map(_.name()).toSet ==
+      Set("warcMembersWritten", "warcPayloadBytes", "warcFilesRotated"))
+    // drive one task writer by hand: 3 members across 2 shards
+    val factory = new graft.spark.datasource.WarcWriterFactory(dir,
+      schema, new Warc.ShippedConf(Warc.sessionHadoopConf(spark)),
+      sharded = true, partBase = 0, epochId = -1L)
+    val dw = factory.createWriter(0, 42L)
+    def row(shard: Long, i: Int, payload: Array[Byte]) =
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(Seq(
+        org.apache.spark.unsafe.types.UTF8String.fromString("resource"),
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(s"https://t.example/m$i"),
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString("2026-01-01T00:00:00Z"),
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString("application/octet-stream"),
+        payload, shard))
+    dw.write(row(0L, 0, Array.fill[Byte](10)('a')))
+    dw.write(row(0L, 1, Array.fill[Byte](7)('b')))
+    dw.write(row(1L, 2, Array.fill[Byte](5)('c')))
+    val m = dw.currentMetricsValues().map(t => t.name() -> t.value())
+      .toMap
+    assert(m == Map("warcMembersWritten" -> 3L,
+      "warcPayloadBytes" -> 22L, "warcFilesRotated" -> 2L), m)
+    dw.commit()
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("DSv2 streaming sink: epochs land as lexically-increasing " +
       "increments through writeStream.format(...), and the sidecar " +
       "replay guard makes a re-delivered epoch a no-op") {
