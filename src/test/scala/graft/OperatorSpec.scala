@@ -4512,6 +4512,60 @@ class OperatorSpec extends AnyFunSuite {
       "fold drifted under repartitioning")
   }
 
+  test("curriculumSchedule: identical schedule under any input " +
+      "partitioning, phase 0 is exactly the margin-gated subset of " +
+      "phase 1, and within-phase progress is the slice-mass prefix " +
+      "division (the l111 anneal)") {
+    import org.apache.spark.sql.functions.{col, rand}
+    import spark.implicits._
+    val perDoc = (0 until 240).map { i =>
+      // margins straddle zero; sources skewed; token masses vary
+      (s"src${i % 5}", i.toLong, (i % 11 + 1).toLong,
+        (i % 7 - 3).toLong * 1000L)
+    }.toDF("source", "doc_id", "n_tokens", "margin_units")
+    def sched(df: org.apache.spark.sql.DataFrame)
+        : Seq[(Long, String, Long, Double)] =
+      TextAnalysis.curriculumSchedule(df, topK = 1000000)
+        .select(col("phase"), col("source"), col("doc_id"),
+          col("progress"))
+        .as[(Long, String, Long, Double)].collect().toSeq
+    val s1 = sched(perDoc.repartition(1))
+    val s7 = sched(perDoc.repartition(7))
+    val sShuf = sched(perDoc.orderBy(rand(11)).repartition(3))
+    assert(s1 == s7 && s1 == sShuf,
+      "curriculum schedule drifted under repartitioning")
+    // phase 0 = exactly the accepted docs; phase 1 = everything
+    val p0 = s1.filter(_._1 == 0L).map(_._3).toSet
+    val p1 = s1.filter(_._1 == 1L).map(_._3).toSet
+    val accepted = (0 until 240)
+      .filter(i => (i % 7 - 3).toLong > 0L).map(_.toLong).toSet
+    assert(p0 == accepted, "phase 0 != margin-gated subset")
+    assert(p1 == (0L until 240L).toSet, "phase 1 != full corpus")
+    // independent driver-side derivation of every progress value
+    val rows = (0 until 240).map { i =>
+      (s"src${i % 5}", i.toLong, (i % 11 + 1).toLong,
+        (i % 7 - 3).toLong * 1000L)
+    }
+    val expected = (for {
+      phase <- Seq(0L, 1L)
+      slice = rows.filter(r => phase == 1L || r._4 > 0L)
+        .groupBy(_._1)
+    } yield slice.flatMap { case (src, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val mass = sorted.map(_._3).sum.toDouble
+      var off = 0L
+      sorted.map { r =>
+        val p = math.floor(off / mass * 1e6 + 0.5) / 1e6
+        off += r._3
+        (phase, src, r._2) -> p
+      }
+    }).flatten.toMap
+    s1.foreach { case (ph, src, id, prog) =>
+      assert(expected((ph, src, id)) == prog,
+        s"progress mismatch at ($ph, $src, $id)")
+    }
+  }
+
   test("mixtureSchedule: proportional interleave — scheduled token " +
       "mass per source tracks the allocation, epochs wrap only capped " +
       "sources, and the head is progress-ordered") {
