@@ -1212,6 +1212,29 @@ class PlanSpec extends AnyFunSuite {
         missing.mkString(", "))
   }
 
+  test("Sessions.shufflePartitions: the numeric conf wins; Spark 4.1 " +
+      "itself rejects a non-numeric set (typed conf), so the " +
+      "defensive fallback is unreachable via spark.conf here — " +
+      "pinned so the day that changes, this goes red (ADVICE r19)") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      assert(Sessions.shufflePartitions(spark) == 13)
+      // the ADVICE scenario ("auto" from an adaptive deployment layer)
+      // cannot even be SET through the session conf on 4.1.2 — the
+      // typed entry throws at set time. The helper's toIntOption
+      // fallback therefore guards conf layers this test can't reach
+      // (conf providers, forks); pin the 4.1 behavior so a future
+      // Spark that starts ACCEPTING non-numeric values here fails this
+      // test and forces the fallback to be properly exercised.
+      intercept[Exception] {
+        spark.conf.set("spark.sql.shuffle.partitions", "auto")
+      }
+      assert(Sessions.shufflePartitions(spark) == 13,
+        "rejected set must leave the previous numeric value in force")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("COVERAGE.md's §2.12 headline count equals the registry size — " +
       "the count can't lag a batch again (r19's one blemish: the text " +
       "said 209 at a 217-entry registry)") {
