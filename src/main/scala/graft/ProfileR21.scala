@@ -1,0 +1,104 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, WebGraph}
+
+/** Ad-hoc stage profiler for the r21 optimization round (dev tool):
+  * breaks the heaviest bench entries (s13's PQ/BQ query paths, l74's
+  * KMV sketch, l62's pageRank) into sub-plans timed with the noop sink
+  * so the compute is measured without the count() column-pruning
+  * shortcut (guide §1.4).
+  */
+object ProfileR21 {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.withDefaults(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"STAGE $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val which = args.headOption.getOrElse("s13")
+
+    if (which == "s13") {
+      // the s13 10x world: 20k 64-dim vectors, 24 queries
+      val n = 20000
+      spark.sparkContext.setJobDescription("s13: corpus gen")
+      val vecs = spark.range(n.toLong).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          d => (pmod(xxhash64(col("id"), d), lit(2000L)).cast("double")
+            / lit(1000.0d) - lit(1.0d)).cast("float")).as("embedding"))
+        .localCheckpoint()
+      val books = Similarity.pqCodebooksCached("profile-s13", vecs)
+      val q = vecs.filter(col("vec_id") < 24)
+      for (i <- 1 to 2) {
+        time(s"pqTopK full r$i")(noop(Similarity.pqTopK(vecs, q, 10, books)))
+        time(s"pq codes only r$i")(noop(vecs.select(
+          graft.functions.expressions.VectorExpressions
+            .pq_codes(col("embedding"), books).as("codes"))))
+        time(s"bqTopK full r$i")(noop(Similarity.bqTopK(vecs, q, 10,
+          Array.fill(64)(0.0))))
+      }
+      // sub-plans of pqTopK: join+ADC score without any window; then
+      // the approx window alone on slim vs wide rows
+      val v = vecs.select(col("vec_id").as("id"), col("embedding").as("v"),
+        graft.functions.expressions.VectorExpressions
+          .pq_codes(col("embedding"), books).as("codes"))
+      val qq = q.select(col("vec_id").as("query_id"),
+        col("embedding").as("q"),
+        Similarity.pqQueryTables(col("embedding"), books).as("tabs"))
+      for (i <- 1 to 2) {
+        val approx = v.join(broadcast(qq), col("id") =!= col("query_id"))
+          .withColumn("s", graft.functions.expressions.VectorExpressions
+            .adc_score(col("codes"), col("tabs")))
+        time(s"join+adc (wide) r$i")(noop(approx))
+        time(s"join+adc slim out r$i")(noop(
+          approx.select(col("query_id"), col("id"), col("s"))))
+        val wA = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("s").desc, col("id"))
+        time(s"approx window wide r$i")(noop(
+          approx.withColumn("arn", row_number().over(wA))
+            .filter(col("arn") <= 64)))
+        time(s"approx window slim r$i")(noop(
+          approx.select(col("query_id"), col("id"), col("s"))
+            .withColumn("arn", row_number().over(wA))
+            .filter(col("arn") <= 64)))
+      }
+    }
+
+    if (which == "l74") {
+      import spark.implicits._
+      val n = 20000
+      val e = (0 until n).map(i => (s"n$i", s"n${(7 * i + 3) % 211}"))
+        .toDF("src", "dst").repartition(8).localCheckpoint()
+      for (i <- 1 to 2)
+        time(s"neighborhoodKmv r$i")(
+          noop(WebGraph.neighborhoodKmv(e, radius = 2, k = 16)))
+    }
+
+    if (which == "l62") {
+      import spark.implicits._
+      val docs = spark.range(5000).select(col("id").as("doc_id"))
+        .filter(col("doc_id") % 11 =!= 0)
+      val e1 = docs.select(concat(lit("n"), col("doc_id")).as("src"),
+        concat(lit("n"), col("doc_id") % 13).as("dst"))
+      val e2 = docs.select(concat(lit("n"), col("doc_id")).as("src"),
+        concat(lit("n"), (col("doc_id") * 7 + 3) % 101).as("dst"))
+      val e = e1.unionByName(e2)
+      for (i <- 1 to 2)
+        time(s"pageRank 10it r$i")(noop(WebGraph.pageRank(e)))
+      for (i <- 1 to 2)
+        time(s"hits 2it r$i")(noop(WebGraph.hits(e)))
+    }
+
+    spark.stop()
+  }
+}

@@ -271,40 +271,43 @@ object WebGraph {
                       dstCol: String = "dst"): DataFrame = {
     require(radius >= 1, s"radius must be >= 1, got $radius")
     require(k >= 2, s"KMV needs k >= 2, got $k")
-    val m = math.pow(2.0, 60) // 15 hex chars, the l55 hash space
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    // radius-0 sketch: each node's own 60-bit md5-prefix hash
+    // radius-0 sketch: each node's own 60-bit md5-prefix hash, held as a
+    // 1-element sorted array — the sketch lives as ONE ROW PER NODE
+    // (node, hs sorted ascending, |hs| ≤ k) so per-radius stats are a
+    // narrow projection and each growth round is ONE aggregation
     var sketch = nodes.select(col("node"),
-      conv(substring(md5(col("node")), 1, 15), 16, 10).cast("long")
-        .as("h")).localCheckpoint()
-    def stats(sk: DataFrame, r: Int): DataFrame =
-      sk.groupBy(col("node"))
-        .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_min"))
-        .select(col("node"), lit(r).as("radius"), col("n_kept"),
-          col("kth_min"),
-          TextAnalysis.quant(
-            when(col("n_kept") < k, col("n_kept").cast("double"))
-              .otherwise(lit((k - 1).toDouble) * lit(m) /
-                col("kth_min").cast("double")), 2).as("est_ball"))
-    var out = stats(sketch, 0)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node")).orderBy(col("h"))
+      array(conv(substring(md5(col("node")), 1, 15), 16, 10).cast("long"))
+        .as("hs")).localCheckpoint()
+    var out = kmvStats(sketch, 0, k)
     var r = 1
     while (r <= radius) {
-      val viaEdges = e.join(sketch, e("dst") === sketch("node"))
-        .select(e("src").as("node"), col("h"))
-      sketch = sketch.unionByName(viaEdges).distinct()
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
-        .select(col("node"), col("h"))
-        .localCheckpoint()
-      out = out.unionByName(stats(sketch, r))
+      sketch = neighborhoodStep(e, sketch, k).localCheckpoint()
+      out = out.unionByName(kmvStats(sketch, r, k))
       r += 1
     }
     out
+  }
+
+  /** Per-radius stats from the array-form sketch — no exchange: the
+    * kept hashes are sorted ascending, so n_kept = |hs| and
+    * kth_min = hs.last, and the estimator is row-local arithmetic
+    * (same expression order as the pre-r21 groupBy form, so est_ball
+    * is bit-identical).
+    */
+  private def kmvStats(sk: DataFrame, r: Int, k: Int): DataFrame = {
+    val m = math.pow(2.0, 60) // 15 hex chars, the l55 hash space
+    val nKept = size(col("hs")).cast("long")
+    val kthMin = element_at(col("hs"), size(col("hs")))
+    sk.select(col("node"), lit(r).as("radius"), nKept.as("n_kept"),
+      kthMin.as("kth_min"),
+      TextAnalysis.quant(
+        when(nKept < k, nKept.cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(m) /
+            kthMin.cast("double")), 2).as("est_ball"))
   }
 
   /** Harmonic centrality from [[neighborhoodKmv]] ball estimates —
@@ -343,20 +346,28 @@ object WebGraph {
   }
 
   /** One sketch-growth iteration as a pure plan (package-visible so
-    * PlanSpec can pin the WindowGroupLimit pushdown and the join shape
-    * without peeling checkpoints).
+    * PlanSpec can pin the single-exchange shape and the join strategy
+    * without peeling checkpoints). Takes and returns the ARRAY-form
+    * sketch (node, hs sorted ascending, |hs| ≤ k).
+    *
+    * r21 shape: the pre-r21 form ran THREE keyed passes per radius —
+    * a (node, h) `distinct` exchange, a `row_number` window exchange
+    * (WindowGroupLimit-capped), and the stats groupBy — because the
+    * sketch lived as ≤ k ROWS per node. Holding it as one sorted array
+    * per node collapses all of that into ONE `collect_set` aggregation
+    * (map-side partial dedup, one exchange), with the k-min cut as
+    * in-row `slice(array_sort(...))` arithmetic; KMV union-mergeability
+    * makes the two forms produce identical kept sets. The exploded
+    * (node, h) view exists only map-side, feeding the dst-keyed join.
     */
   private[graft] def neighborhoodStep(e: DataFrame, sketch: DataFrame,
                                       k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node")).orderBy(col("h"))
-    sketch.unionByName(
-        e.join(sketch, e("dst") === sketch("node"))
+    val flat = sketch.select(col("node"), explode(col("hs")).as("h"))
+    flat.unionByName(
+        e.join(flat, e("dst") === flat("node"))
           .select(e("src").as("node"), col("h")))
-      .distinct()
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("node"), col("h"))
+      .groupBy(col("node"))
+      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("hs"))
   }
 
   /** Anchor-text aggregation — the classic link-graph text signal

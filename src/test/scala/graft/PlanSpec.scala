@@ -952,11 +952,13 @@ class PlanSpec extends AnyFunSuite {
       s"support counts must partial-aggregate:\n${plan.take(2500)}")
   }
 
-  test("l64: a neighborhood sketch-growth iteration pushes the per-node " +
-      "k-min as WindowGroupLimit (each map partition forwards at most k " +
-      "rows per node into the exchange) and joins sketch rows by dst " +
-      "equi-join — never a cross product") {
-    import org.apache.spark.sql.functions.{col, concat}
+  test("l64: a neighborhood sketch-growth iteration is ONE per-node " +
+      "aggregation (partial collect_set dedups map-side, one shuffle " +
+      "exchange, k-min cut in-row) and joins sketch rows by dst " +
+      "equi-join — never a cross product, never a second keyed pass " +
+      "(the pre-r21 shape paid distinct + window + stats-groupBy " +
+      "exchanges per radius)") {
+    import org.apache.spark.sql.functions.{array, col, concat}
     val e = spark.range(2000).select(
         concat(org.apache.spark.sql.functions.lit("n"), col("id"))
           .as("src"),
@@ -966,11 +968,17 @@ class PlanSpec extends AnyFunSuite {
     val sketch = spark.range(500).select(
       concat(org.apache.spark.sql.functions.lit("n"), col("id"))
         .as("node"),
-      (col("id") * 2654435761L).as("h")).localCheckpoint()
+      array((col("id") * 2654435761L)).as("hs")).localCheckpoint()
     val plan = graft.operators.WebGraph.neighborhoodStep(e, sketch, 16)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit"),
-      s"per-node k-min must push into map partitions:\n${plan.take(2500)}")
+    assert(plan.contains("partial_collect_set") ||
+      plan.toLowerCase.contains("partial"),
+      s"sketch merge must partial-aggregate map-side:\n${plan.take(2500)}")
+    val shuffles = "Exchange (?!SinglePartition)".r
+      .findAllIn(plan.replace("BroadcastExchange", "BX")).size
+    assert(shuffles == 1,
+      s"sketch growth must pay exactly ONE shuffle exchange, " +
+        s"got $shuffles:\n${plan.take(2500)}")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"sketch growth must stay an equi-join:\n${plan.take(2500)}")
