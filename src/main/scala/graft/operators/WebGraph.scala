@@ -55,10 +55,16 @@ object WebGraph {
       col(dstCol).cast("string").as("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    // 1-row scalar relations, broadcast onto row-wise arithmetic below
+    // 1-row scalar relations, broadcast onto row-wise arithmetic below.
+    // BOTH materialize once (localCheckpoint): outdeg and nFrame are
+    // static across iterations, and uncached every iteration re-ran the
+    // edge-wide outdeg aggregate TWICE (contribution join + dangling
+    // anti-join) and the node count once — at 100 TB that is 3·k extra
+    // full-relation passes over a k-iteration run (r21 plan audit).
     val nFrame = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+      .localCheckpoint()
     val outdeg = e.groupBy(col("src"))
-      .agg(count(lit(1)).cast("double").as("outdeg"))
+      .agg(count(lit(1)).cast("double").as("outdeg")).localCheckpoint()
     var ranks = nodes.crossJoin(broadcast(nFrame))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
       .localCheckpoint()
@@ -74,6 +80,15 @@ object WebGraph {
   /** One power-iteration step as a pure plan (package-visible so the
     * plan shape — scalar relations broadcast, contribution sum
     * partial-aggregated — can be pinned without peeling checkpoints).
+    *
+    * r21 shape: the zero-contribution nodes are restored by UNIONING a
+    * (node, 0.0) row per node into the contribution stream before the
+    * per-node sum, instead of the old contribs-groupBy THEN
+    * nodes-left-outer-join — that join re-shuffled (and sorted) the
+    * node relation every iteration just to re-attach zeros, where the
+    * union rides the same single exchange the sum already pays
+    * (x + 0.0 is exact in IEEE for every non-negative x, and
+    * contributions are non-negative, so sums are bit-identical).
     */
   private[graft] def pageRankStep(e: DataFrame, nodes: DataFrame,
                                   outdeg: DataFrame, nFrame: DataFrame,
@@ -84,17 +99,17 @@ object WebGraph {
       .join(outdeg, Seq("src"))
       .select(col("dst").as("node"),
         (col("rank") / col("outdeg")).as("c"))
-      .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
     val dangling = ranks.join(outdeg,
         ranks("node") === outdeg("src"), "left_anti")
       .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_mass"))
-    nodes
-      .join(contribs, Seq("node"), "left_outer")
+    contribs
+      .unionByName(nodes.select(col("node"), lit(0.0).as("c")))
+      .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
       .crossJoin(broadcast(dangling))
       .crossJoin(broadcast(nFrame))
       .select(col("node"),
         ((lit(1.0) - damping) / col("n_nodes") +
-          lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+          lit(damping) * (col("contrib") +
             col("dangling_mass") / col("n_nodes"))).as("rank"))
   }
 
@@ -129,18 +144,21 @@ object WebGraph {
       .localCheckpoint()
     var auth = nodes.select(col("node"), lit(0L).as("authority"))
     var it = 0
+    // zero-score nodes are restored by unioning a (node, 0) row into
+    // the endorsement stream before the per-node sum (the r21
+    // pageRankStep shape — exact in integers): one exchange per
+    // half-iteration instead of a groupBy plus a nodes-side
+    // re-shuffled left-outer join
     while (it < iterations) {
-      auth = nodes
-        .join(e.join(hub, e("src") === hub("node"))
-            .groupBy(col("dst")).agg(sum(col("hub")).as("a")),
-          nodes("node") === col("dst"), "left_outer")
-        .select(nodes("node"), coalesce(col("a"), lit(0L)).as("authority"))
+      auth = e.join(hub, e("src") === hub("node"))
+        .select(col("dst").as("node"), col("hub").as("v"))
+        .unionByName(nodes.select(col("node"), lit(0L).as("v")))
+        .groupBy(col("node")).agg(sum(col("v")).as("authority"))
         .localCheckpoint()
-      hub = nodes
-        .join(e.join(auth, e("dst") === auth("node"))
-            .groupBy(col("src")).agg(sum(col("authority")).as("h")),
-          nodes("node") === col("src"), "left_outer")
-        .select(nodes("node"), coalesce(col("h"), lit(0L)).as("hub"))
+      hub = e.join(auth, e("dst") === auth("node"))
+        .select(col("src").as("node"), col("authority").as("v"))
+        .unionByName(nodes.select(col("node"), lit(0L).as("v")))
+        .groupBy(col("node")).agg(sum(col("v")).as("hub"))
         .localCheckpoint()
       it += 1
     }
@@ -201,27 +219,38 @@ object WebGraph {
         when(col("__seed") === 1, lit(1.0) / col("n_seeds"))
           .otherwise(lit(0.0)).as("s"))
       .localCheckpoint()
+    // static across iterations — materialized once (the r21 pageRank
+    // fix: uncached, every iteration re-ran this edge-wide aggregate
+    // twice)
     val outdeg = e.groupBy(col("src"))
-      .agg(count(lit(1)).cast("double").as("outdeg"))
+      .agg(count(lit(1)).cast("double").as("outdeg")).localCheckpoint()
     var ranks = nodesWithS.select(col("node"), col("s").as("rank"))
       .localCheckpoint()
     var it = 0
     while (it < iterations) {
+      // zero-contribution nodes are restored by unioning (node, 0.0, s)
+      // rows into the contribution stream before the per-node sum (the
+      // r21 pageRankStep shape; the teleport share s rides the same
+      // aggregate as max — every node's zeros row carries it, so the
+      // old per-iteration nodes-side left-outer re-shuffle disappears)
       val contribs = e
         .join(ranks, e("src") === ranks("node"))
         .join(outdeg, Seq("src"))
         .select(col("dst").as("node"),
-          (col("rank") / col("outdeg")).as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+          (col("rank") / col("outdeg")).as("c"),
+          lit(null).cast("double").as("s"))
       val dangling = ranks.join(outdeg,
           ranks("node") === outdeg("src"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_mass"))
-      ranks = nodesWithS
-        .join(contribs, Seq("node"), "left_outer")
+      ranks = contribs
+        .unionByName(nodesWithS.select(col("node"), lit(0.0).as("c"),
+          col("s")))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"),
+          max(col("s")).as("s"))
         .crossJoin(broadcast(dangling))
         .select(col("node"),
           ((lit(1.0) - damping) * col("s") +
-            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+            lit(damping) * (col("contrib") +
               col("dangling_mass") * col("s"))).as("rank"))
         .localCheckpoint()
       it += 1
