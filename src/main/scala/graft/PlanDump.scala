@@ -57,6 +57,14 @@ object PlanDump {
         .localCheckpoint()
       dump("op_pagerank_step",
         W.pageRankStep(e, nodes, outdeg, nFrame, ranks, 0.85))
+      // the LSH candidate shape (the l02/l21 path) — the entry-level
+      // plans are checkpoint-truncated, so the operator plan is the
+      // reviewable surface
+      val docs = spark.range(2000).select(col("id").as("doc_id"),
+        concat(lit("some words here repeated "), col("id") % 97)
+          .as("text"))
+      dump("op_lsh_candidates",
+        graft.operators.Dedup.lshCandidates(docs))
     }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>

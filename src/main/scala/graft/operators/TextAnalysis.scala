@@ -2409,16 +2409,23 @@ object TextAnalysis {
     val perSource = estimate(kmin)
     // UNION VIA THE SKETCHES: concatenate the per-source k-min lists
     // and keep the k smallest of that (the same token in two sources
-    // hashes identically, so DISTINCT de-duplicates slots exactly like
-    // a set union)
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("h"))
-    val unionRows = kmin
-      .select(lit("ALL").as("source"), col("h")).distinct()
-      .withColumn("rn", row_number().over(wAll))
-      .filter(col("rn") <= k)
-      .select(col("source"), col("h"))
-    perSource.unionByName(estimate(unionRows))
+    // hashes identically, so the set-aggregate de-duplicates slots
+    // exactly like a set union). r21: one collect_set aggregation with
+    // the k-min cut in-row — the pre-r21 spelling was a row_number
+    // window over a CONSTANT partition key, which the optimizer folds
+    // to an empty partition spec (Spark's "No Partition Defined"
+    // single-partition warning); the input is sketch-sized
+    // (≤ k·n_sources rows) either way, but the aggregate form is one
+    // partial-merged pass with no global sort.
+    val nKept = size(col("hs")).cast("long")
+    val kthMin = element_at(col("hs"), size(col("hs")))
+    val unionEst = kmin
+      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("hs"))
+      .select(lit("ALL").as("source"), kthMin.as("kth_min"),
+        quant(when(nKept < k, nKept.cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(m.toDouble) /
+            kthMin.cast("double")), 2).as("est_distinct"))
+    perSource.unionByName(unionEst)
   }
 
   /** KMV set algebra over the per-source sketches — the

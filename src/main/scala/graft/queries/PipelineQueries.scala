@@ -593,12 +593,16 @@ object PipelineQueries {
           .select(col("doc_id"), col("text"), col("lang"), col("source"),
             col("n_chars"))
         // order-independent content digest: XOR of row hashes (sum would
-        // overflow under ANSI arithmetic)
-        def digest(df: org.apache.spark.sql.DataFrame): Long =
-          df.select(xxhash64(col("doc_id"), col("text"), col("lang"),
-              col("source"), col("n_chars")).as("h"))
-            .agg(expr("bit_xor(h)")).head().getLong(0)
-        val want = digest(docs)
+        // overflow under ANSI arithmetic). Count rides the same
+        // aggregate (r21): one action per format leg instead of two.
+        def countAndDigest(df: org.apache.spark.sql.DataFrame)
+            : (Long, Long) = {
+          val r = df.select(xxhash64(col("doc_id"), col("text"),
+              col("lang"), col("source"), col("n_chars")).as("h"))
+            .agg(count(lit(1)), expr("bit_xor(h)")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val want = countAndDigest(docs)._2
         val base = java.nio.file.Files
           .createTempDirectory("graft-formats-q").toString
         // the sandbox's spark-sql bundles the complete Avro v1 FileFormat
@@ -623,7 +627,8 @@ object PipelineQueries {
             case "orc" => s.read.orc(path)
             case _ => s.read.parquet(path)
           }
-          (fmt, back.count(), digest(back) == want)
+          val (n, d) = countAndDigest(back)
+          (fmt, n, d == want)
         }
         org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(base))
