@@ -105,6 +105,32 @@ object ProfileR21 {
       }
     }
 
+    if (which == "l92") {
+      import graft.operators.TextAnalysis
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+        "/root/testdata/sf0.1")
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val model = graft.operators.TextAnalysis.unigramTrain(
+        Tables(spark, sfDir, "documents").select(col("text")))
+      val n = 13
+      for (i <- 1 to 2) {
+        time(s"encode corpus r$i")(noop(
+          TextAnalysis.unigramEncodeIds(docs, model)))
+        val enc = TextAnalysis.unigramEncodeIds(docs, model)
+          .filter(size(col("token_ids")) >= n)
+        time(s"gram explode r$i")(noop(
+          enc.select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(col("token_ids")) - (n - 1)),
+            j => array_join(transform(slice(col("token_ids"), j, lit(n)),
+              id => id.cast("string")), " "))).as("gram"))))
+        val bench = docs.filter(col("doc_id") % 25 === 0)
+        val corpus = docs.filter(col("doc_id") % 25 =!= 0)
+        time(s"full contaminatedDocsIds r$i")(noop(
+          TextAnalysis.contaminatedDocsIds(corpus, bench, model, n)))
+      }
+    }
+
     if (which == "l62") {
       import spark.implicits._
       val docs = spark.range(5000).select(col("id").as("doc_id"))

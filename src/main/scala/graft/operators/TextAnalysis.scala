@@ -844,8 +844,11 @@ object TextAnalysis {
       .partitionBy(md5(col("clean"))).orderBy(col(idCol))
     val ded = qual.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
+    // the decontam gram join feeds BOTH the stage-4 aggregate and the
+    // split breakdown — materialized once (r21, same rationale as the
+    // stats checkpoint above)
     val decon = decontaminate(ded, bench, n = contamN, idCol = idCol,
-      textCol = "clean")
+      textCol = "clean").localCheckpoint()
     val spl = decon.withColumn("split", hashSplit(col("clean")))
     def stage(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs"),
@@ -1936,10 +1939,16 @@ object TextAnalysis {
     def grams(df: DataFrame): DataFrame =
       unigramEncodeIds(df, model, idCol, textCol)
         .filter(size(col("token_ids")) >= n)
+        // ids stringify ONCE per position (r21) — the previous
+        // per-gram transform re-cast each id in every one of the ≤ n
+        // overlapping windows it appears in (n× the conversions for
+        // identical gram strings)
+        .select(col(idCol), transform(col("token_ids"),
+          id => id.cast("string")).as("toks"))
         .select(col(idCol), explode(transform(
-          sequence(lit(1), size(col("token_ids")) - (n - 1)),
-          i => array_join(transform(slice(col("token_ids"), i, lit(n)),
-            id => id.cast("string")), " "))).as("gram"))
+          sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => array_join(slice(col("toks"), i, lit(n)), " ")))
+          .as("gram"))
     def report(hits: DataFrame): DataFrame = hits
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"), min(col("gram")).as("first_gram"))
