@@ -131,6 +131,24 @@ object ProfileR21 {
       }
     }
 
+    if (which == "p13") {
+      import graft.pipeline.{Fixtures, FullHistory}
+      val w = Fixtures.generate(spark, nAddresses = 500, nBlocks = 20000)
+      for (i <- 1 to 2) {
+        time(s"mergedStream noop r$i")(noop(FullHistory.mergedStream(
+          w.accountChangeset, w.storageChangeset, w.plainCodeHash,
+          w.plainStateAccounts, w.plainStateStorage, w.latestBlock)))
+        time(s"build count r$i")(FullHistory.build(spark,
+          w.accountChangeset, w.storageChangeset, w.plainCodeHash,
+          w.plainStateAccounts, w.plainStateStorage,
+          w.latestBlock).count())
+        time(s"skewTolerant count r$i")(FullHistory.buildSkewTolerant(
+          spark, w.accountChangeset, w.storageChangeset, w.plainCodeHash,
+          w.plainStateAccounts, w.plainStateStorage,
+          w.latestBlock).count())
+      }
+    }
+
     if (which == "l62") {
       import spark.implicits._
       val docs = spark.range(5000).select(col("id").as("doc_id"))

@@ -252,14 +252,24 @@ object FullHistory {
             else graft.Sessions.shufflePartitions(spark)
     val splitKeys = Seq(col("address"), col("isStorage"), col("gInc"),
       col("gSlot"), col("block"))
-    val sorted = keyed
+    // pre-materialize before the range exchange (the r21 fold fix):
+    // RangePartitioning's bounds sampling re-executes its child, so an
+    // un-materialized keyed union pays the decode + J1 front TWICE per
+    // build. This path already materializes eagerly (the documented
+    // price of hot-key tolerance), so pinning one step earlier changes
+    // nothing about the operator's contract; the pre-pin is released
+    // the moment the range-partitioned checkpoint exists.
+    val pre = keyed
       .select(col("address"), col("block"), col("isStorage"), col("nonce"),
         col("incarnation"), col("balance"), col("codeHash"), col("slot"),
         col("value"), col("gInc"), col("gSlot"))
+      .localCheckpoint()
+    val sorted = pre
       .repartitionByRange(n, splitKeys: _*)
       .sortWithinPartitions(splitKeys: _*)
       .as[KeyedRow]
       .localCheckpoint()
+    org.apache.spark.sql.graftshim.Bridge.unpersistLocalCheckpoint(pre)
 
     // step 2: partition boundary digest (first/last row per partition)
     val bounds = sorted.mapPartitions { it =>

@@ -36,7 +36,15 @@ object TxBodyFiles {
     Files.createDirectories(Paths.get(dir))
     val n = if (partitions > 0) partitions
             else graft.Sessions.shufflePartitions(spark)
-    val stats = encodedBlocks
+    // pre-materialize before the range exchange (the r21 fold fix):
+    // RangePartitioning's bounds sampling re-executes its child, and
+    // the child here is the per-block RLP encode — one eager
+    // checkpoint keeps the encode single-execution; released as soon
+    // as the write job below has consumed the exchange
+    val pre = encodedBlocks
+      .select(col("block"), col("block_hash"), col("record"))
+      .localCheckpoint()
+    val stats = pre
       .repartitionByRange(n, col("block"), col("block_hash"))
       .sortWithinPartitions(col("block"), col("block_hash"))
       .select(col("record"))
@@ -66,6 +74,8 @@ object TxBodyFiles {
           Iterator.single((pid, blocks, bytes))
         }
       }.collect()
+    // the write job above was the exchange's last consumer
+    org.apache.spark.sql.graftshim.Bridge.unpersistLocalCheckpoint(pre)
     val blocks = stats.map(_._2).sum
     val bytes = stats.map(_._3).sum
     // the manifest IS the commit point (same protocol as StateFiles):
