@@ -131,6 +131,22 @@ object ProfileR21 {
       }
     }
 
+    if (which == "p13big") {
+      // the p13 10x world at sf0.1's nFor: where the decode front is a
+      // real fraction of the build (the r21 range-sampling A/B surface)
+      import graft.pipeline.{Fixtures, FullHistory}
+      val w = Fixtures.generate(spark, nAddresses = 5000, nBlocks = 200000)
+      for (i <- 1 to 3) {
+        time(s"mergedStream noop r$i")(noop(FullHistory.mergedStream(
+          w.accountChangeset, w.storageChangeset, w.plainCodeHash,
+          w.plainStateAccounts, w.plainStateStorage, w.latestBlock)))
+        time(s"build count r$i")(FullHistory.build(spark,
+          w.accountChangeset, w.storageChangeset, w.plainCodeHash,
+          w.plainStateAccounts, w.plainStateStorage,
+          w.latestBlock).count())
+      }
+    }
+
     if (which == "p13") {
       import graft.pipeline.{Fixtures, FullHistory}
       val w = Fixtures.generate(spark, nAddresses = 500, nBlocks = 20000)

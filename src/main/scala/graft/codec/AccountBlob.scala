@@ -61,6 +61,58 @@ object AccountBlob {
     Decoded(nonce, balance, incarnation, codeHash)
   }
 
+  /** Allocation-free peek of [[decode]]'s J1 needs-lookup predicate
+    * (erigon_extract.c:262-292): returns the incarnation iff this blob's
+    * code hash would NORMALIZE to zeros (field absent, explicit zeros, or
+    * the empty-code keccak) — i.e. returns non-zero exactly for the rows
+    * `FullHistory.resolveCodeHash` sends into the PlainCodeHash probe, and
+    * that value IS the probe's incarnation join key. Walks the same
+    * fieldset layout with the same strict validation as [[decode]] (same
+    * failure messages), but copies no field bytes: this runs on the raw
+    * changeset stream BEFORE the flagship's range exchange (whose bounds
+    * sampling re-executes its child), so it must stay far cheaper than
+    * the full decode that now runs after the exchange, exactly once.
+    */
+  def peekLookupIncarnation(blob: Array[Byte]): Long = {
+    var pos = 0
+    def fail(msg: String) =
+      throw new IllegalArgumentException(
+        s"Error decoding account: $msg (blob=${Bytes.hex(blob)})")
+    val fieldset = if (blob.length >= 1) { pos = 1; blob(0) & 0xff } else 0
+    var incarnation = 0L
+    var hashZeroOrEmpty = true
+    def readLen(maxLen: Int): Int = {
+      if (pos >= blob.length) fail("truncated length")
+      val len = blob(pos) & 0xff; pos += 1
+      if (pos + len > blob.length || len > maxLen) fail(s"bad length $len")
+      len
+    }
+    if ((fieldset & 1) != 0) { val len = readLen(8); pos += len }
+    if ((fieldset & 2) != 0) { val len = readLen(32); pos += len }
+    if ((fieldset & 4) != 0) {
+      val len = readLen(8)
+      incarnation = Bytes.get64beLen(blob, pos, len); pos += len
+    }
+    if ((fieldset & 8) != 0) {
+      val len = readLen(32)
+      if (len != 32) fail(s"codeHash length $len != 32")
+      var allZero = true
+      var sameAsEmpty = true
+      var i = 0
+      while (i < 32) {
+        val b = blob(pos + i)
+        if (b != 0) allZero = false
+        if (b != graft.model.StateItem.EmptyCodeHash(i)) sameAsEmpty = false
+        i += 1
+      }
+      hashZeroOrEmpty = allZero || sameAsEmpty
+      pos += len
+    }
+    if ((fieldset & 0xf0) != 0) fail(f"fieldset upper bits set: $fieldset%02x")
+    if (pos != blob.length) fail(s"trailing bytes: $pos != ${blob.length}")
+    if (hashZeroOrEmpty) incarnation else 0L
+  }
+
   /** Inverse of [[decode]]: minimal-length field encoding, fields included
     * iff non-zero (Erigon's own convention).
     */

@@ -30,12 +30,18 @@ object StateExpressions {
 
   def padValue32(v: Array[Byte]): Array[Byte] = AccountBlob.padValue32(v)
 
+  def peekLookupIncarnation(blob: Array[Byte]): Long =
+    AccountBlob.peekLookupIncarnation(blob)
+
   /** Column helpers (the Scala-facing API). */
   def account_decode(blob: Column): Column =
     Bridge.column(AccountDecodeExpr(Bridge.expression(blob)))
 
   def pad_value32(v: Column): Column =
     Bridge.column(PadValue32Expr(Bridge.expression(v)))
+
+  def account_peek_lookup(blob: Column): Column =
+    Bridge.column(AccountPeekLookupExpr(Bridge.expression(blob)))
 }
 
 /** account_decode(blob): the P1 fieldset decode
@@ -75,6 +81,37 @@ object AccountDecodeExpr {
     StructField("balance", BinaryType, nullable = false),
     StructField("incarnation", LongType, nullable = false),
     StructField("codeHash", BinaryType, nullable = false)))
+}
+
+/** account_peek_lookup(blob): [[AccountBlob.peekLookupIncarnation]] as a
+  * long-returning native expression — non-zero (= the incarnation join
+  * key) exactly for the rows whose normalized code hash is zeros, i.e.
+  * the J1 needs-lookup subset. Allocation-free, so the flagship's range
+  * exchange can sample its raw child without paying the struct decode.
+  */
+case class AccountPeekLookupExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"account_peek_lookup needs binary, got $other")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "account_peek_lookup"
+
+  override def nullSafeEval(blob: Any): Any =
+    StateExpressions.peekLookupIncarnation(blob.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.StateExpressions" +
+        s".peekLookupIncarnation($c);")
+
+  override protected def withNewChildInternal(c: Expression): AccountPeekLookupExpr =
+    copy(child = c)
 }
 
 /** pad_value32(v): the P2 left-zero-pad of a trimmed storage value to 32

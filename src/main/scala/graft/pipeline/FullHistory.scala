@@ -33,6 +33,9 @@ object FullHistory {
   private def padValueExpr(v: Column): Column =
     graft.functions.expressions.StateExpressions.pad_value32(v)
 
+  private def peekExpr(blob: Column): Column =
+    graft.functions.expressions.StateExpressions.account_peek_lookup(blob)
+
   /** J1: conditional code-hash lookup, the reference's per-row conditional
     * probe (erigon_extract.c:262-292) as a plan split: only rows whose
     * decoded codeHash is zero but incarnation ≠ 0 — contract rows that
@@ -159,6 +162,119 @@ object FullHistory {
     col("incarnation"), col("slot"), col("valid_from_block"), col("nonce"),
     col("balance"), col("codeHash"), col("value"))
 
+  /** RAW (pre-decode) prune + J1 + union front of [[build]] — same rows,
+    * same group-key annotation as [[keyedUnion]], but the account blob and
+    * the trimmed storage value ride UNDECODED, with the code-hash
+    * resolution carried as a nullable `__pch` column instead of being
+    * folded into a decoded `codeHash`.
+    *
+    * Why this exists (r21 guide §1.2/§2.2): `build`'s single range
+    * exchange computes its partition bounds by SAMPLING ITS CHILD — a full
+    * re-execution of the narrow segment below it, once per run. With the
+    * decode in that segment (the old shape), the most expensive per-row
+    * work of the flagship ran twice. Here the sampled segment is just the
+    * scans + the allocation-free [[peekExpr]] J1 split (the peek returns
+    * the probe's incarnation join key directly, so the split needs no
+    * decoded fields), and the struct decode runs exactly once, AFTER the
+    * exchange. The exchange also shuffles strictly fewer bytes: a ≤ ~80 B
+    * blob instead of the decoded nonce/balance/codeHash columns, a
+    * trimmed storage value instead of the padded 32 B one.
+    *
+    * Group keys never need the decode: accounts range on
+    * (address, false, 0, zeros); storage on (address, true, incarnation,
+    * slot) — all raw columns (the r21 "Not yet optimized" verification).
+    */
+  private def rawKeyedUnion(accountChangeset: DataFrame,
+                            storageChangeset: DataFrame,
+                            plainCodeHash: DataFrame,
+                            plainStateAccounts: DataFrame,
+                            plainStateStorage: DataFrame,
+                            latestBlock: Long,
+                            blockStart: Long): DataFrame = {
+    val nullBin = lit(null).cast("binary")
+    // the J1 split on the raw stream: peek ≠ 0 ⇔ the decoded row would
+    // satisfy resolveCodeHash's needsLookup, and the peek value IS the
+    // decoded incarnation, so the probe join is key-identical to the
+    // decoded form's. NOTFOUND rows keep __pch null and fall back to the
+    // post-exchange normalized hash (zeros, exactly as before).
+    def accRaw(src: DataFrame): DataFrame = {
+      val base = src.select(col("address"), col("block"),
+        col("account_blob").as("__blob"),
+        peekExpr(col("account_blob")).as("__peek"))
+      val pass = base.filter(col("__peek") === 0L)
+        .select(col("address"), col("block"), col("__blob"),
+          nullBin.as("__pch"))
+      val probe = base.filter(col("__peek") =!= 0L)
+        .join(plainCodeHash.select(
+            col("address").as("pch_address"),
+            col("incarnation").as("pch_incarnation"),
+            col("code_hash").as("pch_code_hash")),
+          col("address") === col("pch_address") &&
+            col("__peek") === col("pch_incarnation"),
+          "left_outer")
+        .select(col("address"), col("block"), col("__blob"),
+          col("pch_code_hash").as("__pch"))
+      pass.unionByName(probe)
+        .select(col("address"), col("block"), lit(false).as("isStorage"),
+          lit(0L).as("gInc"), zeros32.as("gSlot"), col("__blob"),
+          nullBin.as("__rawv"), col("__pch"))
+    }
+    def stoRaw(src: DataFrame): DataFrame =
+      src.select(col("address"), col("block"), lit(true).as("isStorage"),
+        col("incarnation").as("gInc"), col("slot").as("gSlot"),
+        nullBin.as("__blob"), col("value").as("__rawv"), nullBin.as("__pch"))
+    // F2 prune before everything, as in keyedUnion (pushdown to the scan)
+    val accCs =
+      if (blockStart > 0) accountChangeset.filter(col("block") >= blockStart)
+      else accountChangeset
+    val stoCs =
+      if (blockStart > 0) storageChangeset.filter(col("block") >= blockStart)
+      else storageChangeset
+    accRaw(accCs)
+      .unionByName(stoRaw(stoCs))
+      .unionByName(accRaw(
+        plainStateAccounts.withColumn("block", lit(latestBlock + 1L))))
+      .unionByName(stoRaw(
+        plainStateStorage.withColumn("block", lit(latestBlock + 1L))))
+  }
+
+  /** The post-exchange decode of [[rawKeyedUnion]] rows into the exact
+    * [[keyedUnion]] column set: a narrow projection that preserves the
+    * range partitioning and the (gKeys, block) sort order (every key
+    * column passes through untouched), so the W1 window still rides the
+    * one exchange. Field semantics replicate [[decodeAccounts]] /
+    * [[decodeStorage]] bit for bit: EmptyCodeHash normalizes to zeros
+    * BEFORE the `__pch` coalesce (needs-lookup rows had normalized-zeros
+    * hashes by definition, so NOTFOUND keeps zeros, exactly the old
+    * coalesce), storage values left-zero-pad to 32 bytes.
+    */
+  private def decodeRaw(raw: DataFrame): DataFrame = {
+    // two-level projection, NOT one inlined select: `__d` is referenced
+    // from several (conditional) field expressions, and CollapseProject
+    // keeps the non-cheap decode in its own lower projection, evaluated
+    // once per row — the same shape decodeAccounts relied on. A single
+    // select would inline account_decode into 4 CASE WHEN branches,
+    // where codegen subexpression elimination cannot hoist it.
+    val d = col("__d")
+    val normHash =
+      when(d.getField("codeHash") === lit(StateItem.EmptyCodeHash), zeros32)
+        .otherwise(d.getField("codeHash"))
+    raw.withColumn("__d", decodeAccountExpr(col("__blob"))).select(
+      col("address"), col("isStorage"), col("gInc"), col("gSlot"),
+      col("block"),
+      when(col("isStorage"), lit(0L))
+        .otherwise(d.getField("nonce")).as("nonce"),
+      when(col("isStorage"), col("gInc"))
+        .otherwise(d.getField("incarnation")).as("incarnation"),
+      when(col("isStorage"), zeros32)
+        .otherwise(d.getField("balance")).as("balance"),
+      when(col("isStorage"), zeros32)
+        .otherwise(coalesce(col("__pch"), normHash)).as("codeHash"),
+      when(col("isStorage"), col("gSlot")).otherwise(zeros32).as("slot"),
+      when(col("isStorage"), padValueExpr(col("__rawv")))
+        .otherwise(zeros32).as("value"))
+  }
+
   def build(spark: SparkSession,
             accountChangeset: DataFrame,
             storageChangeset: DataFrame,
@@ -168,7 +284,7 @@ object FullHistory {
             latestBlock: Long,
             shufflePartitions: Int = 0,
             blockStart: Long = 0L): DataFrame = {
-    val keyed = keyedUnion(accountChangeset, storageChangeset,
+    val raw = rawKeyedUnion(accountChangeset, storageChangeset,
       plainCodeHash, plainStateAccounts, plainStateStorage, latestBlock,
       blockStart)
     val n = if (shufflePartitions > 0) shufflePartitions
@@ -180,14 +296,18 @@ object FullHistory {
     // ClusteredDistribution(groupKeys), so the window adds no second
     // exchange — while sortWithinPartitions on the full O1 key makes the
     // output globally sorted AND satisfies the window's required ordering.
+    // The exchange's child is the RAW union (rawKeyedUnion): its bounds
+    // sampling re-executes only scans + the allocation-free peek, and the
+    // struct decode (decodeRaw) runs exactly once, after the exchange —
+    // a plain projection, so partitioning and sort order carry through.
     val gKeys = Seq(col("address"), col("isStorage"), col("gInc"),
       col("gSlot"))
-    val sorted = keyed
+    val sorted = raw
       .repartitionByRange(n, gKeys: _*)
       .sortWithinPartitions((gKeys :+ col("block")): _*)
 
     val w = Window.partitionBy(gKeys: _*).orderBy(col("block"))
-    sorted
+    decodeRaw(sorted)
       .withColumn("valid_from_block", lag(col("block"), 1, 0L).over(w))
       // F3: genesis entries (first-in-group AND original block 0) are
       // dropped (erigon_extract.c:2422-2425)

@@ -198,6 +198,60 @@ class ExpressionSpec extends AnyFunSuite {
       _.getMessage.contains("Error decoding account")), bad.getMessage)
   }
 
+  test("account_peek_lookup ≡ decode-derived needs-lookup over the blob " +
+      "space (codegen path), strict on malformed blobs") {
+    import spark.implicits._
+    import graft.codec.AccountBlob
+    import graft.model.StateItem
+    val exprs = graft.functions.expressions.StateExpressions
+    val rnd = new scala.util.Random(29)
+    // hash classes: absent (encodes as no field), explicit EmptyCodeHash,
+    // random non-zero — the three normalization paths of decodeAccounts
+    val blobs = (1 to 300).map { i =>
+      val nonce = if (rnd.nextBoolean()) math.abs(rnd.nextLong()) % 1000000 else 0L
+      val bal = new Array[Byte](32)
+      if (rnd.nextBoolean()) rnd.nextBytes(bal)
+      val inc = rnd.nextInt(4).toLong
+      val hash = rnd.nextInt(3) match {
+        case 0 => StateItem.zeros(32)
+        case 1 => StateItem.EmptyCodeHash.clone()
+        case _ => val h = new Array[Byte](32); rnd.nextBytes(h); h }
+      (i.toLong, AccountBlob.encode(nonce, bal, inc, hash))
+    } :+ (0L, Array.emptyByteArray) // the zero account (creation pre-state)
+    // oracle: the decode-first formulation build() used before r21 —
+    // normalized hash == zeros && incarnation != 0 selects the J1 probe,
+    // whose join key is the decoded incarnation
+    def oracle(blob: Array[Byte]): Long = {
+      val d = AccountBlob.decode(blob)
+      val zeroOrEmpty = graft.functions.Bytes.isZero(d.codeHash) ||
+        java.util.Arrays.equals(d.codeHash, StateItem.EmptyCodeHash)
+      if (zeroOrEmpty) d.incarnation else 0L
+    }
+    blobs.foreach { case (i, blob) =>
+      assert(AccountBlob.peekLookupIncarnation(blob) == oracle(blob),
+        s"id=$i blob=${graft.functions.Bytes.hex(blob)}")
+    }
+    // codegen path: the expression agrees with the kernel row for row
+    blobs.toDF("id", "blob")
+      .select(col("id"), exprs.account_peek_lookup(col("blob")).as("p"),
+        col("blob"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) == oracle(r.getAs[Array[Byte]](2)),
+          s"id=${r.getLong(0)}")
+      }
+    // malformed blobs fail the peek with decode's exact strictness (the
+    // peek runs BEFORE the post-exchange decode in build(), so a corrupt
+    // changeset must abort at the same message, not flow to the shuffle)
+    for (bad <- Seq(Array[Byte](0x0f, 99.toByte),     // truncated length
+                    Array[Byte](0x10),                // upper fieldset bits
+                    Array[Byte](0x01, 0x01, 0x01, 0x00))) { // trailing
+      val eK = intercept[IllegalArgumentException] {
+        AccountBlob.peekLookupIncarnation(bad) }
+      val eD = intercept[IllegalArgumentException] { AccountBlob.decode(bad) }
+      assert(eK.getMessage == eD.getMessage, graft.functions.Bytes.hex(bad))
+    }
+  }
+
   private def exceptionChain(e: Throwable): List[Throwable] =
     if (e == null) Nil else e :: exceptionChain(e.getCause)
 

@@ -84,6 +84,34 @@ class PlanSpec extends AnyFunSuite {
     assert(hashShuffles == 0, s"window must reuse the range exchange\n$plan")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"J1 code-hash join must broadcast\n$plan")
+    // r21: the range exchange SAMPLES its child to derive bounds (a full
+    // re-execution of the narrow segment below it), so the struct decode
+    // must sit ABOVE the exchange — its child carries only the raw blob
+    // plus the allocation-free account_peek_lookup J1 split. A decode
+    // below the exchange means the flagship pays the P1 kernel twice.
+    val exec = h.queryExecution.executedPlan
+    def find(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(find)) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          find(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          find(q.plan)
+        case _ => Nil
+      })
+    val rangeEx = find(exec).collectFirst {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => e
+    }
+    assert(rangeEx.isDefined, s"range exchange not found\n$plan")
+    val below = rangeEx.get.child.toString
+    assert(!below.contains("account_decode"),
+      s"decode must run above the sampled range exchange\n$below")
+    assert(below.contains("account_peek_lookup"),
+      s"the J1 split below the exchange must use the raw peek\n$below")
+    assert(plan.contains("account_decode"),
+      s"decode missing from the plan entirely\n$plan")
   }
 
   test("ANN plans carry literal planes/centroids: no per-row xxhash64") {
