@@ -1091,6 +1091,16 @@ object Multimodal {
     */
   def sizeBinned(media: Dataset[MediaBlob], partitions: Int): Dataset[MediaBlob] = {
     import media.sparkSession.implicits._
-    media.repartitionByRange(partitions, length(col("data")), col("media_id"))
+    // pre-materialize before the range exchange (the packIdStream r21
+    // fix): RangePartitioning's bounds sampling re-executes its child,
+    // and the media frame feeding this is blob construction/decode work
+    // (m01's synthetic battery ENCODES every blob in-plan) — without the
+    // pin that work ran twice per action. Ownership-tagged so the
+    // bench/verify harness releases the checkpoint after the plan's
+    // last execution (the assignShards discipline).
+    val pre = org.apache.spark.sql.graftshim.Bridge
+      .markOwnedCheckpoint(media.toDF().localCheckpoint())
+      .as[MediaBlob]
+    pre.repartitionByRange(partitions, length(col("data")), col("media_id"))
   }
 }
